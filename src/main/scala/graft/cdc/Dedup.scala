@@ -1,0 +1,79 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** C2 — batch deduplication: keep one event per primary key, the winner by
+  * (dedup column desc, op priority desc, arrival asc).
+  *
+  * Re-expresses SINK/tableoperator/IcebergTableOperator.java:58-92,108-125:
+  * the reference folds the batch into a HashMap keyed by the key object and
+  * keeps the max by (`upsert-dedup-column` long, then op priority i<r<u<d),
+  * keeping the earlier event on full ties.
+  *
+  * Spark-first shape: `groupBy(pk).agg(max_by(struct(*), orderKey))` rather
+  * than a window — max_by is a declarative aggregate, so Catalyst plans a
+  * partial (map-side) aggregation before the shuffle and the reduce side
+  * only sees one candidate row per key per input partition. At 100 TB this
+  * halves-or-better the shuffle volume vs. `row_number() over (...)`, which
+  * must shuffle every raw event to rank it.
+  */
+object Dedup {
+
+  val ArrivalCol = "__arrival_idx"
+
+  /** Default dedup column (reference config `upsert-dedup-column`,
+    * SINK/IcebergConfig.java — default `__source_ts_ns`).
+    */
+  val DefaultDedupColumn: String = CdcMeta.SourceTsNs
+
+  /** Stamp within-batch arrival order; call once at ingest so ties resolve
+    * to the earliest event like the reference's fold does.
+    */
+  def withArrivalIndex(df: DataFrame): DataFrame =
+    if (df.columns.contains(ArrivalCol)) df
+    else df.withColumn(ArrivalCol, monotonically_increasing_id())
+
+  /** Deduplicate; null keys are a contract violation like the reference's
+    * "null key" error (IcebergTableOperatorTest.java:102-175) — they are
+    * surfaced by the forced-required identifier schema instead of a scan.
+    */
+  def deduplicate(
+      batch: DataFrame,
+      pks: Seq[String],
+      dedupColumn: String = DefaultDedupColumn,
+      opColumn: String = CdcMeta.Op
+  ): DataFrame = {
+    require(pks.nonEmpty, "dedup requires identifier fields")
+    val df = withArrivalIndex(batch)
+    val cols = df.columns
+    require(cols.contains(dedupColumn),
+      s"dedup column $dedupColumn not present in batch (have: ${cols.mkString(",")})")
+
+    val orderKey = struct(
+      coalesce(col(dedupColumn).cast("long"), lit(Long.MinValue)).as("ts"),
+      expr(Operation.prioritySql(opColumn)).as("prio"),
+      (lit(Long.MaxValue) - col(ArrivalCol)).as("arrival") // earlier wins ties
+    )
+    val all = struct(cols.map(col): _*)
+    df.groupBy(pks.map(col): _*)
+      .agg(max_by(all, orderKey).as("__winner"))
+      .select(cols.map(c => col(s"__winner.$c").as(c)): _*)
+      .drop(ArrivalCol)
+  }
+
+  /** C7 companion — per key, was the first-arriving op an INSERT? Used by
+    * the reference to skip the pre-delete
+    * (SINK/tableoperator/BaseDeltaTaskWriter.java:56-60); in the MERGE-style
+    * apply this falls out of the NOT-MATCHED branch, but the flag is kept
+    * available for parity tests.
+    */
+  def withNewKeyFlag(batch: DataFrame, pks: Seq[String],
+                     opColumn: String = CdcMeta.Op): DataFrame = {
+    val df = withArrivalIndex(batch)
+    val firstOp = min_by(col(opColumn), col(ArrivalCol))
+    val flags = df.groupBy(pks.map(col): _*)
+      .agg((firstOp.isin(Operation.Insert, Operation.InsertAlias)).as("__is_new_key"))
+    df.join(flags, pks).drop(ArrivalCol)
+  }
+}

@@ -1,0 +1,166 @@
+package graft.cdc
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** How a single event field is parsed and converted.
+  *
+  * `raw` is the type `from_json` should parse the payload with (the wire
+  * shape: epoch longs, base64 strings, ISO strings); `typed` is the target
+  * table type; `convert` builds the Column expression raw → typed. All
+  * conversions are native Catalyst expressions (codegen-friendly) — the one
+  * exception, precise-mode decimal bytes, lives in
+  * [[graft.functions.Conversions.decimalFromBase64]].
+  *
+  * Re-expresses the scalar conversion layer of the reference
+  * (SINK/converter/AbstractEventConverter.java:86-361,
+  * SINK/converter/JsonEventConverter.java:240-415) as Spark column
+  * expressions instead of per-record Java switch dispatch.
+  */
+final case class FieldSpec(
+    name: String,
+    raw: DataType,
+    typed: DataType,
+    optional: Boolean,
+    convert: Column => Column
+)
+
+/** Temporal precision handling mode
+  * (reference: SINK/DebeziumConfig.java:20-26,100-107). The logical-name
+  * annotations carry the precision in practice; the mode gates the fallback
+  * for unannotated int64 timestamp candidates.
+  */
+sealed trait TemporalMode
+object TemporalMode {
+  case object IsoString extends TemporalMode
+  case object Micro extends TemporalMode
+  case object Nano extends TemporalMode
+  case object Connect extends TemporalMode // millis
+}
+
+final case class SchemaMappingConfig(
+    temporalMode: TemporalMode = TemporalMode.IsoString,
+    nestedAsVariant: Boolean = false,
+    preserveRequired: Boolean = false,
+    excludedColumns: Set[String] = Set.empty
+)
+
+object SchemaMapping {
+  import LogicalNames._
+
+  /** Map a struct-typed connect schema to the ordered field specs of the
+    * corresponding Spark row. Excluded columns (R3,
+    * SINK/converter/JsonSchemaConverter.java:207-213) are dropped here so
+    * they never reach parsing.
+    */
+  def structFields(cs: ConnectSchema, cfg: SchemaMappingConfig): Seq[FieldSpec] =
+    cs.fields
+      .filter(f => f.fieldName.exists(n => !cfg.excludedColumns.contains(n)))
+      .map(f => fieldSpec(f.fieldName.get, f, cfg))
+
+  /** Raw wire-shape schema for `from_json`. */
+  def rawStructType(specs: Seq[FieldSpec]): StructType =
+    StructType(specs.map(s => StructField(s.name, s.raw, nullable = true)))
+
+  /** Target (table) schema. PK fields are forced non-null by the caller. */
+  def typedStructType(specs: Seq[FieldSpec]): StructType =
+    StructType(specs.map(s => StructField(s.name, s.typed, nullable = s.optional)))
+
+  def fieldSpec(name: String, cs: ConnectSchema, cfg: SchemaMappingConfig): FieldSpec = {
+    val logical = cs.logicalName.getOrElse("")
+    cs.`type` match {
+      // ---- integers (JsonSchemaConverter.java:287-325) ----
+      case "int8" | "int16" | "int32" =>
+        if (logical == DebeziumDate || logical == ConnectDate)
+          // epoch-days int → DateType (F5)
+          FieldSpec(name, IntegerType, DateType, cs.optional,
+            c => date_add(to_date(lit("1970-01-01")), c))
+        else if (timeTypes.contains(logical)) asIs(name, IntegerType, cs)
+        else asIs(name, IntegerType, cs)
+      case "int64" =>
+        if (CdcMeta.TsMsFields.contains(name))
+          // __ts_ms / __source_ts_ms always millis → timestamptz (F9)
+          FieldSpec(name, LongType, TimestampType, cs.optional, timestamp_millis)
+        else if (logical == MicroTimestamp)
+          FieldSpec(name, LongType, TimestampNTZType, cs.optional,
+            c => timestamp_micros(c).cast(TimestampNTZType))
+        else if (logical == NanoTimestamp)
+          FieldSpec(name, LongType, TimestampNTZType, cs.optional,
+            c => timestamp_micros((c / 1000L).cast(LongType)).cast(TimestampNTZType))
+        else if (logical == DebeziumTimestamp || logical == ConnectTimestamp)
+          FieldSpec(name, LongType, TimestampNTZType, cs.optional,
+            c => timestamp_millis(c).cast(TimestampNTZType))
+        else if (timeTypes.contains(logical))
+          asIs(name, LongType, cs) // TIME disabled — reference policy (§1.3)
+        else asIs(name, LongType, cs)
+      // ---- floats (JsonSchemaConverter.java:327-333) ----
+      case "float8" | "float16" | "float32" => asIs(name, FloatType, cs)
+      case "float64" | "double"             => asIs(name, DoubleType, cs)
+      case "boolean"                        => asIs(name, BooleanType, cs)
+      // ---- strings (JsonSchemaConverter.java:336-345) ----
+      case "string" =>
+        logical match {
+          case IsoDate => FieldSpec(name, StringType, DateType, cs.optional, to_date(_))
+          case IsoTimestamp =>
+            FieldSpec(name, StringType, TimestampNTZType, cs.optional, to_timestamp_ntz(_))
+          case ZonedTimestamp =>
+            FieldSpec(name, StringType, TimestampType, cs.optional, to_timestamp(_))
+          case _ => asIs(name, StringType, cs) // incl. Uuid/Json → string (§1.3)
+        }
+      case "uuid" => asIs(name, StringType, cs)
+      // ---- bytes (JsonSchemaConverter.java:349-385) ----
+      case "bytes" =>
+        if (logical == ConnectDecimal) {
+          val scale = cs.parameters.get("scale").map(_.toInt).getOrElse(10)
+          val precision = cs.parameters
+            .get("connect.decimal.precision").map(_.toInt)
+            .filter(p => p >= 1 && p <= 38 && p >= scale)
+            .getOrElse(38)
+          // precise mode: base64(unscaled big-endian) + scale (F2)
+          FieldSpec(name, StringType, DecimalType(precision, scale), cs.optional,
+            c => graft.functions.Conversions
+              .decimalFromBase64(c, precision, scale))
+        } else asIs(name, BinaryType, cs)
+      // ---- nested (JsonSchemaConverter.java:86-153) ----
+      case "struct" =>
+        if (cfg.nestedAsVariant)
+          // F12: nested struct → VariantType (Spark 4 parse_json). Raw is the
+          // payload JSON subtree kept as string via from_json's string coercion.
+          FieldSpec(name, StringType, VariantType, cs.optional, parse_json(_))
+        else {
+          val children = structFields(cs, cfg)
+          val rawT = rawStructType(children)
+          val typedT = typedStructType(children)
+          FieldSpec(name, rawT, typedT, cs.optional, c => {
+            val rebuilt = struct(children.map(ch => ch.convert(c.getField(ch.name)).as(ch.name)): _*)
+            when(c.isNull, lit(null).cast(typedT)).otherwise(rebuilt)
+          })
+        }
+      case "map" =>
+        val keySpec = fieldSpec("key", cs.keys.getOrElse(stringSchema), cfg)
+        val valSpec = fieldSpec("value", cs.values.getOrElse(stringSchema), cfg)
+        val rawT = MapType(keySpec.raw, valSpec.raw)
+        val typedT = MapType(keySpec.typed, valSpec.typed)
+        FieldSpec(name, rawT, typedT, cs.optional, c =>
+          if (identityConvert(keySpec) && identityConvert(valSpec)) c
+          else map_from_entries(transform(map_entries(c), e =>
+            struct(keySpec.convert(e.getField("key")).as("key"),
+              valSpec.convert(e.getField("value")).as("value")))))
+      case "array" =>
+        val elemSpec = fieldSpec("element", cs.items.getOrElse(stringSchema), cfg)
+        FieldSpec(name, ArrayType(elemSpec.raw), ArrayType(elemSpec.typed), cs.optional,
+          c => if (identityConvert(elemSpec)) c else transform(c, elemSpec.convert))
+      // ---- fallback (JsonSchemaConverter.java:386-392) ----
+      case _ => asIs(name, StringType, cs)
+    }
+  }
+
+  private def identityConvert(s: FieldSpec): Boolean = s.raw == s.typed
+
+  private def asIs(name: String, t: DataType, cs: ConnectSchema): FieldSpec =
+    FieldSpec(name, t, t, cs.optional, identity)
+
+  private val stringSchema =
+    ConnectSchema("string", None, optional = true, None, Map.empty, Seq.empty, None, None, None)
+}

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.{BeforeAndAfterAll, Suite}
+
+/** One SparkSession per JVM for all suites (Test / fork := true). */
+object SharedSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    .getOrCreate()
+}
+
+trait SharedSpark extends BeforeAndAfterAll { self: Suite =>
+  lazy val spark: SparkSession = {
+    val s = SharedSpark.spark
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}

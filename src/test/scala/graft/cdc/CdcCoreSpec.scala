@@ -1,0 +1,171 @@
+package graft.cdc
+
+import graft.SharedSpark
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CdcCoreSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private val cfg = SchemaMappingConfig()
+
+  test("schema inference: customers envelope → StructType with PK") {
+    val inf = EventDecoder.infer(Seq(EventFactory.customerValueSchema),
+      Some(EventFactory.customerKeySchema), cfg)
+    assert(inf.identifierFields == Seq("id"))
+    val t = inf.tableSchema
+    assert(t("id").dataType == IntegerType && !t("id").nullable)
+    assert(t("first_name").dataType == StringType && t("first_name").nullable)
+    assert(t("__source_ts_ns").dataType == LongType)
+    assert(t("__source_ts_ms").dataType == TimestampType) // F9 special-case
+    assert(t("__deleted").dataType == BooleanType)
+  }
+
+  test("decode: envelope json → typed row values") {
+    val (d, k, v) = EventFactory.event(1, "alice", "c", 1577840461000000001L)
+    val df = Seq((d, k, v)).toDF("destination", "key", "value")
+    val inf = EventDecoder.infer(Seq(EventFactory.customerValueSchema), Some(EventFactory.customerKeySchema), cfg)
+    val out = EventDecoder.decode(df, inf).collect().head
+    assert(out.getAs[Int]("id") == 1)
+    assert(out.getAs[String]("first_name") == "alice")
+    assert(out.getAs[String]("__op") == "c")
+    assert(out.getAs[Long]("__source_ts_ns") == 1577840461000000001L)
+    // __source_ts_ms is epoch millis → timestamptz: 2020-01-01 01:01:01 UTC
+    assert(out.getAs[java.sql.Timestamp]("__source_ts_ms").toInstant.toEpochMilli == 1577840461000L)
+  }
+
+  test("all-datatypes conversion matrix (§1.3)") {
+    val payload =
+      """{"c_id":7,"c_text":"t","c_date":18262,"c_iso_date":"2019-07-09",
+        |"c_ts_micro":1562639337123456,"c_ts_milli":1562639337123,
+        |"c_ts_zoned":"2019-07-09T02:28:57.123456Z",
+        |"c_float":1.5,"c_double":2.25,"c_bool":true,
+        |"c_uuid":"3f1e4a2e-7c56-4b54-a1b0-5f4f2f2f2f2f",
+        |"c_bytes":"aGVsbG8=",
+        |"c_decimal":"BNI=",
+        |"c_array":[1,2,3],"c_map":{"a":"x"},"c_struct":{"n":5,"s":"in"},
+        |"__op":"r","__source_ts_ms":1562639337123}""".stripMargin.replaceAll("\n", "")
+    val v = s"""{"schema":${EventFactory.dataTypesValueSchema},"payload":$payload}"""
+    val df = Seq(("d", "", v)).toDF("destination", "key", "value")
+    val inf = EventDecoder.infer(Seq(EventFactory.dataTypesValueSchema), None, cfg)
+    val t = inf.tableSchema
+    assert(t("c_date").dataType == DateType)
+    assert(t("c_iso_date").dataType == DateType)
+    assert(t("c_ts_micro").dataType == TimestampNTZType)
+    assert(t("c_ts_milli").dataType == TimestampNTZType)
+    assert(t("c_ts_zoned").dataType == TimestampType)
+    assert(t("c_decimal").dataType == DecimalType(18, 2))
+    assert(t("c_struct").dataType.isInstanceOf[StructType])
+
+    val r = EventDecoder.decode(df, inf).collect().head
+    assert(r.getAs[java.sql.Date]("c_date").toString == "2020-01-01")
+    assert(r.getAs[java.sql.Date]("c_iso_date").toString == "2019-07-09")
+    assert(r.getAs[java.time.LocalDateTime]("c_ts_micro").toString == "2019-07-09T02:28:57.123456")
+    assert(r.getAs[java.time.LocalDateTime]("c_ts_milli").toString == "2019-07-09T02:28:57.123")
+    assert(r.getAs[java.sql.Timestamp]("c_ts_zoned").toInstant.toString == "2019-07-09T02:28:57.123456Z")
+    assert(r.getAs[Float]("c_float") == 1.5f)
+    assert(new String(r.getAs[Array[Byte]]("c_bytes"), "UTF-8") == "hello")
+    // 0x04D2 = 1234 unscaled, scale 2 → 12.34
+    assert(r.getAs[java.math.BigDecimal]("c_decimal").toPlainString == "12.34")
+    assert(r.getAs[scala.collection.Seq[Int]]("c_array") == Seq(1, 2, 3))
+    assert(r.getAs[Map[String, String]]("c_map") == Map("a" -> "x"))
+    assert(r.getAs[org.apache.spark.sql.Row]("c_struct").getAs[Long]("n") == 5L)
+  }
+
+  test("schema merge: union-by-name with int→long, float→double promotion") {
+    val s1 = """{"type":"struct","fields":[{"field":"a","type":"int32"},{"field":"b","type":"float32"}]}"""
+    val s2 = """{"type":"struct","fields":[{"field":"a","type":"int64"},{"field":"b","type":"float64"},{"field":"c","type":"string"}]}"""
+    val inf = EventDecoder.infer(Seq(s1, s2), None, cfg)
+    val t = inf.tableSchema
+    assert(t("a").dataType == LongType)
+    assert(t("b").dataType == DoubleType)
+    assert(t("c").dataType == StringType)
+    assert(t.fieldNames.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("unflattened envelope refuses identifier fields") {
+    val s = """{"type":"struct","fields":[
+      |{"field":"before","type":"struct","fields":[{"field":"id","type":"int32"}],"optional":true},
+      |{"field":"after","type":"struct","fields":[{"field":"id","type":"int32"}],"optional":true},
+      |{"field":"source","type":"struct","fields":[{"field":"db","type":"string"}]},
+      |{"field":"op","type":"string"}]}""".stripMargin.replaceAll("\n", "")
+    val inf = EventDecoder.infer(Seq(s), Some(EventFactory.customerKeySchema), cfg)
+    assert(inf.isUnflattened && inf.identifierFields.isEmpty)
+  }
+
+  test("dedup C2: last-per-key by (ts desc, op priority desc, arrival asc)") {
+    val events = Seq(
+      EventFactory.event(1, "a1", "c", 100L),
+      EventFactory.event(1, "a2", "u", 200L), // wins for id=1 (later ts)
+      EventFactory.event(2, "b1", "c", 100L),
+      EventFactory.event(2, "b2", "d", 100L), // same ts: delete priority wins
+      EventFactory.event(3, "c1", "u", 100L), // same ts+prio tie:
+      EventFactory.event(3, "c2", "u", 100L)  //   earliest arrival (c1) wins
+    )
+    val df = events.toDF("destination", "key", "value")
+    val inf = EventDecoder.infer(Seq(EventFactory.customerValueSchema), Some(EventFactory.customerKeySchema), cfg)
+    val typed = Dedup.withArrivalIndex(EventDecoder.decode(df, inf))
+    val out = Dedup.deduplicate(typed, Seq("id"))
+      .select("id", "first_name", "__op").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set((1, "a2", "u"), (2, "b2", "d"), (3, "c1", "u")))
+  }
+
+  test("upsert C3/C4 soft delete: deleted row retained with __op='d'") {
+    val inf = EventDecoder.infer(Seq(EventFactory.customerValueSchema), Some(EventFactory.customerKeySchema), cfg)
+    val target = EventDecoder.decode(
+      Seq(EventFactory.event(1, "old", "c", 50L), EventFactory.event(9, "keep", "c", 50L))
+        .toDF("destination", "key", "value"), inf)
+    val batch = EventDecoder.decode(Seq(
+      EventFactory.event(1, "new", "u", 100L),
+      EventFactory.event(2, "gone", "d", 100L)
+    ).toDF("destination", "key", "value"), inf)
+    val out = CdcApply.upsert(target, batch, Seq("id"),
+      CdcApply.UpsertConfig(keepDeletes = true))
+      .select("id", "first_name", "__op").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set((1, "new", "u"), (2, "gone", "d"), (9, "keep", "c")))
+  }
+
+  test("upsert C5 hard delete: absent-key delete and insert-then-delete net to zero") {
+    val inf = EventDecoder.infer(Seq(EventFactory.customerValueSchema), Some(EventFactory.customerKeySchema), cfg)
+    val target = EventDecoder.decode(
+      Seq(EventFactory.event(1, "old", "c", 50L)).toDF("destination", "key", "value"), inf)
+    val batch = EventDecoder.decode(Seq(
+      EventFactory.event(1, "upd", "u", 100L),
+      EventFactory.event(4, null, "d", 100L),   // delete of never-present key
+      EventFactory.event(5, "tmp", "c", 100L),  // insert...
+      EventFactory.event(5, null, "d", 200L)    // ...then delete, same batch
+    ).toDF("destination", "key", "value"), inf)
+    val out = CdcApply.upsert(target, batch, Seq("id"),
+      CdcApply.UpsertConfig(keepDeletes = false))
+      .select("id", "first_name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "upd")))
+  }
+
+  test("append C6: no-PK events accumulate") {
+    val inf = EventDecoder.infer(Seq(EventFactory.customerValueSchema), None, cfg)
+    assert(inf.identifierFields.isEmpty)
+    val t0 = EventDecoder.decode(
+      Seq(EventFactory.event(1, "v1", "c", 1L)).toDF("destination", "key", "value"), inf)
+    val b = EventDecoder.decode(
+      Seq(EventFactory.event(1, "v2", "u", 2L)).toDF("destination", "key", "value"), inf)
+    assert(CdcApply.append(t0, b).count() == 2)
+  }
+
+  test("table mapper R6") {
+    val m = DefaultTableMapper(prefix = "dbz_", replaceRegex = Some(("^testc\\.", "")))
+    assert(m.map("testc.inventory.CUSTOMERS") == "dbz_inventory_customers")
+  }
+
+  test("conformTo R4: missing columns null-filled, extras dropped") {
+    val df = Seq((1, "x", 9.9)).toDF("id", "name", "extra")
+    val target = StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("added", DateType)))
+    val out = EventDecoder.conformTo(df, target)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "name", "added"))
+    assert(out.collect().head.isNullAt(2))
+  }
+}
