@@ -1,0 +1,163 @@
+package graft.streaming
+
+import graft.cdc._
+import graft.tables.ManagedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import java.util.concurrent.Executors
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+/** Pipeline configuration — the Spark rebuild of the reference's consumer
+  * config surface (SINK/IcebergConfig.java, SINK/DebeziumConfig.java):
+  * upsert vs append, keep-deletes, dedup column, heartbeat skip prefix,
+  * per-destination partition specs (`*` = default), excluded columns (via
+  * mapping config), bounded table-level parallelism, raw-event archive.
+  */
+final case class PipelineConfig(
+    warehouse: String,
+    upsert: Boolean = true,
+    keepDeletes: Boolean = true,
+    dedupColumn: String = Dedup.DefaultDedupColumn,
+    mapping: SchemaMappingConfig = SchemaMappingConfig(),
+    tableMapper: TableMapper = DefaultTableMapper(),
+    heartbeatPrefix: Option[String] = Some("__debezium-heartbeat"),
+    partitionBy: Map[String, Seq[String]] = Map.empty,
+    tableProperties: Map[String, String] = Map.empty,
+    concurrentTables: Int = 1,
+    archiveEvents: Boolean = false,
+    nullKeyPolicy: CdcApply.NullKeyPolicy = CdcApply.NullKeyPolicy.Fail
+) {
+  def partitionSpecFor(table: String): Seq[String] =
+    partitionBy.getOrElse(table, partitionBy.getOrElse("*", Seq.empty))
+}
+
+/** S1/T1–T4 + R1/R2 + W11 — the foreachBatch orchestrator.
+  *
+  * The reference's hot loop (IcebergChangeConsumer.handleBatch,
+  * SINK/IcebergChangeConsumer.java:134-175) becomes: one Structured
+  * Streaming micro-batch → group by destination (metadata-only collect of
+  * the distinct destinations; per-destination slices stay distributed) →
+  * infer/evolve schema → decode → dedup → merge/append into a ManagedTable.
+  *
+  * Offset semantics (T2/T3): the checkpoint directory commits offsets only
+  * after foreachBatch returns — any table failure rethrows and fails the
+  * whole batch, exactly the reference's all-tables-or-retry contract
+  * (SINK/IcebergChangeConsumer.java:258-300). Batch-size throttling (T1)
+  * maps to the trigger + source rate options.
+  */
+object CdcPipeline {
+
+  /** Envelope schema of the raw CDC stream: one JSON line per event. */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("destination", StringType, nullable = false),
+    StructField("key", StringType),
+    StructField("value", StringType)))
+
+  /** Process one micro-batch; returns rows written per destination table. */
+  def processBatch(spark: SparkSession, rawBatch: DataFrame, cfg: PipelineConfig): Map[String, Long] = {
+    // R2 — heartbeat destinations are skipped wholesale
+    val batch = cfg.heartbeatPrefix match {
+      case Some(p) => rawBatch.filter(!col("destination").startsWith(p))
+      case None    => rawBatch
+    }
+    batch.persist()
+    try {
+      if (cfg.archiveEvents) archive(spark, batch, cfg) // W9
+      // R1 — destinations in this batch (metadata-only collect: strings)
+      val dests = batch.select("destination").distinct().collect().map(_.getString(0))
+      val results = parallelize(dests.toSeq, cfg.concurrentTables) { dest =>
+        dest -> processDestination(spark, batch.filter(col("destination") === dest), dest, cfg)
+      }
+      results.toMap
+    } finally batch.unpersist()
+  }
+
+  private def processDestination(spark: SparkSession, slice: DataFrame,
+                                 dest: String, cfg: PipelineConfig): Long = {
+    // group-by-schema trick: distinct raw schema strings only (driver sees
+    // metadata, never data — IcebergTableOperator.java:177-182 analogue)
+    val schemas = slice.select(get_json_object(col("value"), "$.schema").as("s"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val keySchema = slice.select(get_json_object(col("key"), "$.schema").as("k"))
+      .filter(col("k").isNotNull).limit(1).collect().headOption.map(_.getString(0))
+
+    val inferred = EventDecoder.infer(schemas, keySchema, cfg.mapping)
+    val tableName = cfg.tableMapper.map(dest)
+    // C8 — schema-change events land in an append-only table without PK
+    val ids = if (inferred.isSchemaChangeEvent) Seq.empty else inferred.identifierFields
+
+    val table = ManagedTable.loadOrCreate(spark, cfg.warehouse, tableName,
+      inferred.tableSchema, ids, cfg.partitionSpecFor(tableName), cfg.tableProperties)
+    table.evolve(inferred.tableSchema, ids) // D6 (no-op guarded)
+
+    val typed = EventDecoder.decode(Dedup.withArrivalIndex(slice), inferred)
+    val typedWithArrival = typed // arrival order folded into dedup below
+
+    val upsertConfig = CdcApply.UpsertConfig(
+      keepDeletes = cfg.keepDeletes, dedupColumn = cfg.dedupColumn,
+      nullKeyPolicy = cfg.nullKeyPolicy)
+    if (cfg.upsert && table.meta.identifierFields.nonEmpty && !inferred.isSchemaChangeEvent)
+      table.merge(typedWithArrival, upsertConfig)
+    else
+      table.append(typedWithArrival)
+    typed.count()
+  }
+
+  /** W9 — raw-event archive: JSON blobs partitioned by destination + hour,
+    * the `debezium_events` table of SINK/IcebergEventsChangeConsumer.java:79-99.
+    */
+  private def archive(spark: SparkSession, batch: DataFrame, cfg: PipelineConfig): Unit = {
+    val schema = StructType(Seq(
+      StructField("event_destination", StringType),
+      StructField("event_key", StringType),
+      StructField("event_value", StringType),
+      StructField("event_sink_timestamptz", TimestampType)))
+    val t = ManagedTable.loadOrCreate(spark, cfg.warehouse, "debezium_events",
+      schema, Seq.empty, Seq("event_destination", "hour(event_sink_timestamptz)"))
+    t.append(batch.select(
+      col("destination").as("event_destination"),
+      col("key").as("event_key"),
+      col("value").as("event_value"),
+      current_timestamp().as("event_sink_timestamptz")))
+  }
+
+  /** W11 — bounded per-table parallelism; any failure fails the batch
+    * before offsets commit (at-least-once, like the reference).
+    */
+  private def parallelize[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
+    if (parallelism <= 1 || items.size <= 1) items.map(f)
+    else {
+      val pool = Executors.newFixedThreadPool(math.min(parallelism, items.size))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(items.map(i => Future(f(i)))), Duration.Inf)
+      finally pool.shutdown()
+    }
+
+  /** Start the streaming shell over a directory of JSON event files.
+    * `Trigger.AvailableNow` drains everything then stops (bench mode);
+    * `ProcessingTime` mirrors MaxBatchSizeWait-style throttling (T1).
+    */
+  def start(
+      spark: SparkSession,
+      sourceDir: String,
+      checkpointDir: String,
+      cfg: PipelineConfig,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None
+  ): StreamingQuery = {
+    val reader = spark.readStream.schema(envelopeSchema)
+    val stream = maxFilesPerTrigger
+      .map(n => reader.option("maxFilesPerTrigger", n)).getOrElse(reader)
+      .json(sourceDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        processBatch(spark, df, cfg); ()
+      }
+      .start()
+  }
+}

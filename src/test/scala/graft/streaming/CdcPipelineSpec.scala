@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SharedSpark
+import graft.cdc.EventFactory
+import graft.tables.ManagedTable
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def writeEvents(dir: String, file: String, events: Seq[(String, String, String)]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = events.map { case (d, k, v) =>
+      val n = mapper.createObjectNode()
+      n.put("destination", d); n.put("key", k); n.put("value", v)
+      mapper.writeValueAsString(n)
+    }
+    Files.write(java.nio.file.Paths.get(dir, file), lines.mkString("\n").getBytes)
+  }
+
+  test("end-to-end: two destinations, upsert + heartbeat skip, via streaming") {
+    val root = Files.createTempDirectory("graft-e2e").toString
+    val src = s"$root/events"; Files.createDirectories(java.nio.file.Paths.get(src))
+    val cfg = PipelineConfig(warehouse = s"$root/wh", keepDeletes = false, concurrentTables = 2)
+
+    writeEvents(src, "b1.json", Seq(
+      EventFactory.event(1, "alice", "c", 100L),
+      EventFactory.event(2, "bob", "c", 100L),
+      EventFactory.event(1, "alice2", "u", 200L),
+      EventFactory.event(7, "ord", "c", 100L, destination = "testc.inventory.orders"),
+      ("__debezium-heartbeat.x", "{}", "{}")
+    ))
+    val q = CdcPipeline.start(spark, src, s"$root/cp", cfg)
+    q.awaitTermination(120000)
+
+    val customers = ManagedTable.load(spark, cfg.warehouse, "testc_inventory_customers").get
+    val out = customers.read().orderBy("id")
+      .select("id", "first_name").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((1, "alice2"), (2, "bob")))
+    val orders = ManagedTable.load(spark, cfg.warehouse, "testc_inventory_orders").get
+    assert(orders.read().count() == 1)
+    assert(ManagedTable.load(spark, cfg.warehouse, "__debezium_heartbeat_x").isEmpty)
+
+    // second micro-batch: delete + schema evolution via a new field
+    val evolvedSchema = EventFactory.customerValueSchema.replace(
+      """{"field":"__deleted","type":"boolean","optional":true}""",
+      """{"field":"__deleted","type":"boolean","optional":true},{"field":"email","type":"string","optional":true}""")
+    val key3 = s"""{"schema":${EventFactory.customerKeySchema},"payload":{"id":3}}"""
+    val val3 = s"""{"schema":$evolvedSchema,"payload":{"id":3,"first_name":"carol","email":"c@x.io","__op":"c","__source_ts_ns":300,"__source_ts_ms":0,"__deleted":false}}"""
+    writeEvents(src, "b2.json", Seq(
+      ("testc.inventory.customers", key3, val3),
+      EventFactory.event(2, null, "d", 400L)
+    ))
+    val q2 = CdcPipeline.start(spark, src, s"$root/cp", cfg)
+    q2.awaitTermination(120000)
+
+    val after = ManagedTable.load(spark, cfg.warehouse, "testc_inventory_customers").get
+    val rows = after.read().orderBy("id")
+      .select("id", "first_name", "email").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq((1, "alice2", null), (3, "carol", "c@x.io")))
+  }
+
+  test("checkpoint makes batches exactly-once across restarts (T2/T3)") {
+    val root = Files.createTempDirectory("graft-ckpt").toString
+    val src = s"$root/events"; Files.createDirectories(java.nio.file.Paths.get(src))
+    val cfg = PipelineConfig(warehouse = s"$root/wh", upsert = false)
+    writeEvents(src, "b1.json", Seq(EventFactory.event(1, "a", "c", 1L)))
+    CdcPipeline.start(spark, src, s"$root/cp", cfg).awaitTermination(120000)
+    // restart with no new files: nothing re-applied (append mode would dup)
+    CdcPipeline.start(spark, src, s"$root/cp", cfg).awaitTermination(120000)
+    val t = ManagedTable.load(spark, cfg.warehouse, "testc_inventory_customers").get
+    assert(t.read().count() == 1)
+  }
+
+  test("archive mode W9 writes raw events partitioned by destination+hour") {
+    val root = Files.createTempDirectory("graft-arch").toString
+    val src = s"$root/events"; Files.createDirectories(java.nio.file.Paths.get(src))
+    val cfg = PipelineConfig(warehouse = s"$root/wh", archiveEvents = true)
+    writeEvents(src, "b1.json", Seq(
+      EventFactory.event(1, "a", "c", 1L), EventFactory.event(2, "b", "c", 1L)))
+    CdcPipeline.start(spark, src, s"$root/cp", cfg).awaitTermination(120000)
+    val arch = ManagedTable.load(spark, cfg.warehouse, "debezium_events").get
+    assert(arch.read().count() == 2)
+    val dirs = new java.io.File(s"${cfg.warehouse}/debezium_events/data").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("event_destination=")))
+  }
+}

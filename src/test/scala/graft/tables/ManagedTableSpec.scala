@@ -1,0 +1,158 @@
+package graft.tables
+
+import graft.SharedSpark
+import graft.cdc.CdcApply
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class ManagedTableSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def tmpWarehouse(): String =
+    Files.createTempDirectory("graft-wh").toString
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("name", StringType),
+    StructField("__op", StringType),
+    StructField("__source_ts_ns", LongType)))
+
+  private def rows(t: (Int, String, String, Long)*) =
+    t.toSeq.toDF("id", "name", "__op", "__source_ts_ns")
+
+  test("partition spec parser D4: transforms, both bucket arg orders, lenient skip") {
+    val cols = Set("ts", "id", "name")
+    val specs = PartitionSpecParser.parse(
+      Seq("name", "year(ts)", "month(ts)", "day(ts)", "hour(ts)",
+        "bucket(16,id)", "bucket(id,8)", "truncate(3,name)", "missing_col"), cols)
+    assert(specs.map(_.name) == Seq("name", "ts_year", "ts_month", "ts_day",
+      "ts_hour", "id_bucket", "id_bucket", "name_trunc"))
+    assertThrows[IllegalArgumentException] {
+      PartitionSpecParser.parse(Seq("missing_col"), cols, strict = true)
+    }
+    assertThrows[IllegalArgumentException] {
+      PartitionSpecParser.parse(Seq("wat(ts)"), cols)
+    }
+  }
+
+  test("create/load/append/read roundtrip (D3, D7, W1)") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "customers", schema, Seq("id"))
+    t.append(rows((1, "a", "c", 1L), (2, "b", "c", 1L)))
+    assert(t.read().count() == 2)
+    val re = ManagedTable.load(spark, wh, "customers").get
+    assert(re.meta.identifierFields == Seq("id"))
+    assert(re.read().orderBy("id").select("name").as[String].collect().toSeq == Seq("a", "b"))
+    assert(ManagedTable.load(spark, wh, "nope").isEmpty)
+  }
+
+  test("unpartitioned merge: upsert + hard delete + snapshot time travel (C3-C5, W6)") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "c2", schema, Seq("id"))
+    t.merge(rows((1, "a", "c", 1L), (2, "b", "c", 1L)))
+    t.merge(rows((1, "a2", "u", 2L), (3, "c", "c", 2L), (2, null, "d", 2L)),
+      CdcApply.UpsertConfig(keepDeletes = false))
+    val now = t.read().orderBy("id").select("id", "name").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(now.toSeq == Seq((1, "a2"), (3, "c")))
+    // previous snapshot still readable
+    val prev = t.readVersion(t.meta.currentVersion - 1)
+    assert(prev.count() == 2)
+  }
+
+  test("partitioned merge rewrites only touched partitions (partition-level COW)") {
+    val wh = tmpWarehouse()
+    val pschema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("day", StringType),
+      StructField("name", StringType),
+      StructField("__op", StringType),
+      StructField("__source_ts_ns", LongType)))
+    val t = ManagedTable.create(spark, wh, "pt", pschema, Seq("id"), partitionBy = Seq("day"))
+    def prows(t0: (Int, String, String, String, Long)*) =
+      t0.toSeq.toDF("id", "day", "name", "__op", "__source_ts_ns")
+    t.merge(prows((1, "d1", "a", "c", 1L), (2, "d2", "b", "c", 1L)))
+    val d1File = new java.io.File(s"$wh/pt/data/day=d1").listFiles().filter(_.getName.endsWith(".parquet")).head
+    val mtimeBefore = d1File.lastModified()
+    Thread.sleep(20)
+    t.merge(prows((2, "d2", "b2", "u", 2L), (3, "d2", "c", "c", 2L)))
+    // d1 partition untouched on disk
+    val d1After = new java.io.File(s"$wh/pt/data/day=d1").listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(d1After.lastModified() == mtimeBefore, "untouched partition was rewritten")
+    val out = t.read().orderBy("id").select("id", "name").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((1, "a"), (2, "b2"), (3, "c")))
+  }
+
+  test("partitioned merge: partition emptied by hard delete disappears") {
+    val wh = tmpWarehouse()
+    val pschema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("day", StringType),
+      StructField("__op", StringType),
+      StructField("__source_ts_ns", LongType)))
+    val t = ManagedTable.create(spark, wh, "pt2", pschema, Seq("id"), partitionBy = Seq("day"))
+    val mk = (l: Seq[(Int, String, String, Long)]) => l.toDF("id", "day", "__op", "__source_ts_ns")
+    t.merge(mk(Seq((1, "d1", "c", 1L), (2, "d2", "c", 1L))))
+    t.merge(mk(Seq((1, "d1", "d", 2L))), CdcApply.UpsertConfig(keepDeletes = false))
+    assert(t.read().select("id").as[Int].collect().toSeq == Seq(2))
+    assert(!new java.io.File(s"$wh/pt2/data/day=d1").exists())
+  }
+
+  test("derived transform partitioning: day(ts) prunes on read") {
+    val wh = tmpWarehouse()
+    val s = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("ts", TimestampType),
+      StructField("__op", StringType),
+      StructField("__source_ts_ns", LongType)))
+    val t = ManagedTable.create(spark, wh, "ev", s, Seq("id"), partitionBy = Seq("day(ts)"))
+    val df = Seq(
+      (1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "c", 1L),
+      (2, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "c", 1L)
+    ).toDF("id", "ts", "__op", "__source_ts_ns")
+    t.merge(df)
+    assert(new java.io.File(s"$wh/ev/data/ts_day=2024-01-01").exists())
+    val pruned = t.readPhysical().where(col("ts_day") === "2024-01-01")
+    assert(pruned.count() == 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || pruned.inputFiles.length == 1)
+  }
+
+  test("schema evolution D6: add column, old files read as null, no-op guarded") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "sv", schema, Seq("id"))
+    t.merge(rows((1, "a", "c", 1L)))
+    val evolved = StructType(schema.fields :+ StructField("email", StringType))
+    assert(t.evolve(evolved))
+    assert(!t.evolve(evolved), "no-op evolution must not commit")
+    assert(t.meta.schema.fieldNames.contains("email"))
+    val r = t.read().collect().head
+    assert(r.isNullAt(r.fieldIndex("email")))
+    // new batch with the new column merges fine
+    val b = Seq((1, "a2", "u", 2L, "a@x.io")).toDF("id", "name", "__op", "__source_ts_ns", "email")
+    t.merge(b)
+    assert(t.read().select("email").as[String].collect().toSeq == Seq("a@x.io"))
+  }
+
+  test("overwrite W7: single-row metadata table semantics") {
+    val wh = tmpWarehouse()
+    val s = StructType(Seq(StructField("id", StringType), StructField("offset_data", StringType)))
+    val t = ManagedTable.create(spark, wh, "offsets", s)
+    t.overwrite(Seq(("o1", "{}")).toDF("id", "offset_data"))
+    t.overwrite(Seq(("o1", """{"lsn":42}""")).toDF("id", "offset_data"))
+    val out = t.read().collect()
+    assert(out.length == 1 && out.head.getString(1).contains("42"))
+  }
+
+  test("int->long promotion during evolution keeps old data readable") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "promo",
+      StructType(Seq(StructField("id", IntegerType, false), StructField("v", IntegerType),
+        StructField("__op", StringType), StructField("__source_ts_ns", LongType))), Seq("id"))
+    t.merge(Seq((1, 5, "c", 1L)).toDF("id", "v", "__op", "__source_ts_ns"))
+    t.evolve(StructType(Seq(StructField("v", LongType))))
+    assert(t.meta.schema("v").dataType == LongType)
+    assert(t.read().select("v").as[Long].collect().toSeq == Seq(5L))
+  }
+}
