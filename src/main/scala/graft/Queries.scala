@@ -1,0 +1,617 @@
+package graft
+
+import graft.cdc._
+import graft.dedup._
+import graft.similarity.Knn
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-checked operator inventory: every entry pairs a Spark
+  * implementation (running through the graft library operators) with ANSI
+  * SQL the DuckDB oracle replays on the same parquet tables.
+  *
+  * Conventions that keep the hash-compare honest across engines:
+  *  - every aggregate / computed column is aliased identically on both sides
+  *  - money-ish double sums go through decimal(18,2/4) (exact, associative —
+  *    no float summation-order drift between engines)
+  *  - float math that must stay float (cosine) is rounded to 6 dp
+  *  - temporal outputs are formatted to fixed-width strings
+  *  - integer outputs are cast to BIGINT on both sides
+  */
+object Queries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  final case class Q(name: String, fn: QueryFn, oracle: Option[String])
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) — Spark reads it as a nanos
+    * long (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench/
+    * tests); truncate-divide to micros to match DuckDB's nanos handling.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  // ---------------------------------------------------------------- CDC ops
+
+  /** The events table viewed as a CDC changelog: key = user_id, op derived
+    * from event_type, dedup column = epoch-micros, arrival = event_id.
+    */
+  private def cdcEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("user_id"), col("event_id"),
+      when(col("event_type") === "signup", "c")
+        .when(col("event_type") === "error", "d")
+        .otherwise("u").as("__op"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("event_type"), col("value"),
+      (col("event_type") === "error").as("__deleted"),
+      col("event_id").as(Dedup.ArrivalCol))
+
+  private val cdcEventsSql =
+    """SELECT user_id, event_id,
+      |  CASE WHEN event_type='signup' THEN 'c' WHEN event_type='error' THEN 'd' ELSE 'u' END AS __op,
+      |  epoch_us(ts) AS ts_us, event_type, value,
+      |  (event_type='error') AS __deleted
+      |FROM events""".stripMargin
+
+  private val opPrioSql =
+    "CASE WHEN __op IN ('c','i') THEN 1 WHEN __op='r' THEN 2 WHEN __op='u' THEN 3 WHEN __op='d' THEN 4 ELSE 0 END"
+
+  private def cdcCols = Seq("user_id", "event_id", "__op", "ts_us", "event_type", "value", "__deleted")
+
+  private def emptyLike(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], df.schema)
+
+  val cdcDedup = Q("cdc_dedup_last_per_key",
+    (s, dir) => Dedup.deduplicate(cdcEvents(s, dir), Seq("user_id"), "ts_us")
+      .select(cdcCols.map(col): _*),
+    Some(s"""WITH e AS ($cdcEventsSql),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts_us DESC, $opPrioSql DESC, event_id ASC) AS rn FROM e)
+      |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
+      |FROM r WHERE rn = 1""".stripMargin))
+
+  val cdcUpsertHard = Q("cdc_upsert_hard_delete",
+    (s, dir) => {
+      val batch = cdcEvents(s, dir)
+      CdcApply.upsert(emptyLike(s, batch.drop(Dedup.ArrivalCol)), batch, Seq("user_id"),
+        CdcApply.UpsertConfig(keepDeletes = false, dedupColumn = "ts_us"))
+        .select(cdcCols.map(col): _*)
+    },
+    Some(s"""WITH e AS ($cdcEventsSql),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts_us DESC, $opPrioSql DESC, event_id ASC) AS rn FROM e)
+      |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
+      |FROM r WHERE rn = 1 AND __op <> 'd'""".stripMargin))
+
+  val cdcUpsertSoft = Q("cdc_upsert_soft_delete",
+    (s, dir) => {
+      val batch = cdcEvents(s, dir)
+      CdcApply.upsert(emptyLike(s, batch.drop(Dedup.ArrivalCol)), batch, Seq("user_id"),
+        CdcApply.UpsertConfig(keepDeletes = true, dedupColumn = "ts_us"))
+        .select(cdcCols.map(col): _*)
+    },
+    Some(s"""WITH e AS ($cdcEventsSql),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts_us DESC, $opPrioSql DESC, event_id ASC) AS rn FROM e)
+      |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
+      |FROM r WHERE rn = 1""".stripMargin))
+
+  /** S2/R4/F1 — envelope decode recovers the original rows: events are
+    * re-encoded as Debezium json envelopes, then decoded back through the
+    * full inference + from_json + conversion path. Oracle = the raw table.
+    */
+  val cdcDecode = Q("cdc_decode_envelope",
+    (s, dir) => {
+      val schemaJson =
+        """{"type":"struct","fields":[
+          |{"field":"event_id","type":"int64","optional":false},
+          |{"field":"user_id","type":"int64","optional":true},
+          |{"field":"event_type","type":"string","optional":true},
+          |{"field":"value","type":"float64","optional":true},
+          |{"field":"props","type":"string","optional":true}
+          |]}""".stripMargin.replaceAll("\n", "")
+      val env = events(s, dir).select(concat(
+        lit(s"""{"schema":$schemaJson,"payload":"""),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))),
+        lit("}")).as("value"))
+      val inferred = EventDecoder.infer(Seq(schemaJson),
+        Some("""{"type":"struct","fields":[{"field":"event_id","type":"int64"}]}"""))
+      EventDecoder.decode(env, inferred)
+    },
+    Some("SELECT event_id, user_id, event_type, value, props FROM events"))
+
+  val cdcOpMapping = Q("cdc_op_mapping",
+    (s, dir) => cdcEvents(s, dir).groupBy("__op")
+      .agg(count(lit(1)).as("n"),
+        sum(expr(Operation.prioritySql("__op"))).cast("long").as("prio_sum")),
+    Some(s"""WITH e AS ($cdcEventsSql)
+      |SELECT __op, count(*) AS n, sum($opPrioSql)::BIGINT AS prio_sum
+      |FROM e GROUP BY __op""".stripMargin))
+
+  // ------------------------------------------------- conversion functions
+
+  val fnTemporal = Q("fn_temporal",
+    (s, dir) => events(s, dir).select(
+      col("event_id"),
+      // F7/F8: epoch micros -> timestamp -> fixed-width string round trip
+      date_format(timestamp_micros(unix_micros(col("ts"))), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+      to_date(col("ts")).cast("string").as("d_str"),
+      year(col("ts")).cast("long").as("y"),
+      month(col("ts")).cast("long").as("m"),
+      dayofmonth(col("ts")).cast("long").as("d"),
+      hour(col("ts")).cast("long").as("h"),
+      date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("trunc_h"),
+      (unix_micros(col("ts")) / lit(1000L)).cast("long").as("ts_ms"),
+      // F5: epoch-days -> date (the Debezium Date logical path)
+      date_add(to_date(lit("1970-01-01")), datediff(to_date(col("ts")), to_date(lit("1970-01-01"))))
+        .cast("string").as("d_roundtrip")),
+    Some("""SELECT event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+      |  strftime(ts, '%Y-%m-%d') AS d_str,
+      |  year(ts)::BIGINT AS y, month(ts)::BIGINT AS m, day(ts)::BIGINT AS d,
+      |  hour(ts)::BIGINT AS h,
+      |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS trunc_h,
+      |  (epoch_us(ts) // 1000)::BIGINT AS ts_ms,
+      |  strftime(ts::DATE, '%Y-%m-%d') AS d_roundtrip
+      |FROM events""".stripMargin))
+
+  val fnJson = Q("fn_json_extract",
+    (s, dir) => events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k")),
+    Some("SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events"))
+
+  val fnString = Q("fn_string",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      upper(substring(col("text"), 1, 20)).as("head_upper"),
+      length(col("text")).cast("long").as("len"),
+      regexp_replace(col("text"), "[aeiou]", "_").substr(lit(1), lit(30)).as("devoweled"),
+      concat_ws(":", col("lang"), col("source")).as("tag"),
+      reverse(split(col("text"), " ")).getItem(0).as("last_word")),
+    Some("""SELECT doc_id,
+      |  upper(substr(text, 1, 20)) AS head_upper,
+      |  length(text)::BIGINT AS len,
+      |  substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 30) AS devoweled,
+      |  concat_ws(':', lang, source) AS tag,
+      |  list_reverse(string_split(text, ' '))[1] AS last_word
+      |FROM documents""".stripMargin))
+
+  val fnHash = Q("fn_hash",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      md5(col("text")).as("h_md5"),
+      sha2(col("text").cast("binary"), 256).as("h_sha256"),
+      base64(col("text").cast("binary")).substr(lit(1), lit(24)).as("b64_head"),
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("h_int"),
+      pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"), lit(16)).cast("long").as("h_bucket")),
+    Some("""SELECT doc_id,
+      |  md5(text) AS h_md5,
+      |  sha256(text) AS h_sha256,
+      |  substr(to_base64(encode(text)), 1, 24) AS b64_head,
+      |  ('0x'||substr(md5(text),1,8))::BIGINT AS h_int,
+      |  ('0x'||substr(md5(text),1,8))::BIGINT % 16 AS h_bucket
+      |FROM documents""".stripMargin))
+
+  // D4 partition transforms as data (what the table layer derives)
+  val partitionTransforms = Q("partition_transforms",
+    (s, dir) => events(s, dir).select(
+      col("event_id"),
+      year(col("ts")).cast("long").as("p_year"),
+      date_format(col("ts"), "yyyy-MM").as("p_month"),
+      date_format(col("ts"), "yyyy-MM-dd").as("p_day"),
+      date_format(col("ts"), "yyyy-MM-dd-HH").as("p_hour"),
+      pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long"), lit(8))
+        .cast("long").as("p_bucket"),
+      substring(col("event_type"), 1, 3).as("p_trunc")),
+    Some("""SELECT event_id,
+      |  year(ts)::BIGINT AS p_year,
+      |  strftime(ts, '%Y-%m') AS p_month,
+      |  strftime(ts, '%Y-%m-%d') AS p_day,
+      |  strftime(ts, '%Y-%m-%d-%H') AS p_hour,
+      |  ('0x'||substr(md5(user_id::VARCHAR),1,8))::BIGINT % 8 AS p_bucket,
+      |  substr(event_type, 1, 3) AS p_trunc
+      |FROM events""".stripMargin))
+
+  // ------------------------------------------------------ relational surface
+
+  val q1Agg = Q("q1_agg",
+    (s, dir) => t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1999-12-31"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)")).as("sum_disc_price"),
+        count(lit(1)).as("count_order")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
+      |  sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
+      |  sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4)) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= '1999-12-31'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+
+  val qJoinDims = Q("q_join_dims",
+    (s, dir) => t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_acctbal")),
+    Some("""SELECT r_name, n_name, count(*) AS customers,
+      |  sum(c_acctbal::DECIMAL(18,2)) AS sum_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin))
+
+  val qJoinFact = Q("q_join_fact",
+    (s, dir) => t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)")).as("revenue"),
+        count(lit(1)).as("n_items")),
+    Some("""SELECT o_orderpriority,
+      |  sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4)) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin))
+
+  val qTopkWindow = Q("q_topk_window",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk").cast("long").as("rk"),
+          col("o_orderkey"), col("o_totalprice"))
+    },
+    Some("""SELECT o_orderpriority, rk::BIGINT AS rk, o_orderkey, o_totalprice FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) t
+      |WHERE rk <= 3""".stripMargin))
+
+  val qAnalyticWindow = Q("q_analytic_window",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir).select(
+        col("event_id"), col("user_id"),
+        lag("value", 1).over(w).as("prev_value"),
+        round(avg("value").over(w.rowsBetween(-2, 0)), 6).as("mov_avg"),
+        row_number().over(w).cast("long").as("seq"))
+    },
+    Some("""SELECT event_id, user_id,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg,
+      |  row_number() OVER w::BIGINT AS seq
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin))
+
+  val qSortLimit = Q("q_sort_limit",
+    (s, dir) => t(s, dir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 100""".stripMargin))
+
+  val qSetOps = Q("q_set_ops",
+    (s, dir) => {
+      val withOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val negBal = t(s, dir, "customer").where(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey")).distinct()
+      withOrders.except(negBal).withColumn("cohort", lit("ordered_nonneg"))
+        .unionAll(withOrders.intersect(negBal).withColumn("cohort", lit("ordered_neg")))
+        .groupBy("cohort").agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH wo AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+      |nb AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal < 0),
+      |u AS (
+      |  SELECT custkey, 'ordered_nonneg' AS cohort FROM (SELECT custkey FROM wo EXCEPT SELECT custkey FROM nb)
+      |  UNION ALL
+      |  SELECT custkey, 'ordered_neg' AS cohort FROM (SELECT custkey FROM wo INTERSECT SELECT custkey FROM nb))
+      |SELECT cohort, count(*) AS n FROM u GROUP BY cohort""".stripMargin))
+
+  val qRollup = Q("q_rollup",
+    (s, dir) => t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        count(lit(1)).as("n")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity::DECIMAL(18,2)) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin))
+
+  val qDistinctAgg = Q("q_distinct_agg",
+    (s, dir) => t(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("nd_part"),
+        countDistinct("l_suppkey").as("nd_supp"),
+        count(lit(1)).as("n")),
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+      |  count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
+  val qSubquery = Q("q_subquery_above_avg",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val avgByPrio = o.groupBy("o_orderpriority")
+        .agg(avg(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("prio_avg"))
+      o.join(broadcast(avgByPrio), "o_orderpriority")
+        .where(col("o_totalprice").cast("decimal(18,2)") > col("prio_avg") * 2)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_big"), max("o_totalprice").as("max_price"))
+    },
+    Some("""WITH a AS (SELECT o_orderpriority, avg(o_totalprice::DECIMAL(18,2))::DECIMAL(18,2) AS prio_avg
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o.o_orderpriority, count(*) AS n_big, max(o_totalprice) AS max_price
+      |FROM orders o JOIN a ON o.o_orderpriority = a.o_orderpriority
+      |WHERE o.o_totalprice::DECIMAL(18,2) > prio_avg * 2
+      |GROUP BY o.o_orderpriority""".stripMargin))
+
+  val qSemiJoin = Q("q_semi_join",
+    (s, dir) => {
+      val err = events(s, dir).where(col("event_type") === "error")
+        .select(col("user_id")).distinct()
+      t(s, dir, "customer").join(err, col("c_custkey") === col("user_id"), "left_semi")
+        .agg(count(lit(1)).as("n_error_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("bal"))
+    },
+    Some("""SELECT count(*) AS n_error_customers, sum(c_acctbal::DECIMAL(18,2)) AS bal
+      |FROM customer WHERE c_custkey IN (SELECT user_id FROM events WHERE event_type='error')""".stripMargin))
+
+  val qSessionize = Q("q_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapped = events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_s", (unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w))) / lit(1000000L))
+        .withColumn("new_sess", when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+      val sess = gapped.withColumn("sess_id",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy("user_id", "sess_id")
+        .agg(count(lit(1)).as("events_in_session"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          max("events_in_session").cast("long").as("max_session_events"))
+    },
+    Some("""WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    (epoch_us(ts) - epoch_us(lag(ts,1) OVER w)) / 1000000 AS gap_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, event_id,
+      |    sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM g),
+      |c AS (SELECT user_id, sess_id, count(*) AS events_in_session FROM s GROUP BY user_id, sess_id)
+      |SELECT user_id, count(*)::BIGINT AS n_sessions, max(events_in_session)::BIGINT AS max_session_events
+      |FROM c GROUP BY user_id""".stripMargin))
+
+  // --------------------------------------------------------- text analysis
+
+  val textStats = Q("text_stats",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+      round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TextFunctions.meanWordLength(col("text")), 6).as("mean_word_len"),
+      TextFunctions.qualityScore(col("text")).as("quality")),
+    Some(s"""WITH toks AS (SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(tk)::BIGINT AS n_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_bpeish,
+      |  round(CASE WHEN length(text)=0 THEN 0
+      |    ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / length(text) END, 6) AS punct_ratio,
+      |  round(CASE WHEN len(tk)=0 THEN 0
+      |    ELSE list_sum(list_transform(tk, x -> len(x))) / len(tk) END, 6) AS mean_word_len,
+      |  round(
+      |    (CASE WHEN len(tk) BETWEEN 10 AND 5000 THEN 0.25 ELSE 0 END) +
+      |    (CASE WHEN (CASE WHEN len(tk)=0 THEN 0 ELSE len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) / len(tk) END) > 0.01 THEN 0.25 ELSE 0 END) +
+      |    (CASE WHEN (CASE WHEN length(text)=0 THEN 0 ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / length(text) END) < 0.2 THEN 0.25 ELSE 0 END) +
+      |    (CASE WHEN (CASE WHEN len(tk)=0 THEN 0 ELSE list_sum(list_transform(tk, x -> len(x))) / len(tk) END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END)
+      |  , 2)::DOUBLE AS quality
+      |FROM toks""".stripMargin))
+
+  val textLangId = Q("text_langid",
+    (s, dir) => t(s, dir, "documents")
+      .select(TextFunctions.langId(col("text")).as("lang_pred"))
+      .groupBy("lang_pred").agg(count(lit(1)).as("n")),
+    Some {
+      val langs = TextFunctions.stopwords.toSeq.sortBy(_._1)
+      val hitExprs = langs.map { case (l, ws) =>
+        s"len(list_filter(tk, x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS hits_$l"
+      }.mkString(", ")
+      // same left-fold argmax as the Spark side: later lang wins only on
+      // strictly greater hits
+      val fold = langs.map(_._1).foldLeft(("''", "-1")) { case ((langAcc, hitAcc), l) =>
+        (s"(CASE WHEN hits_$l > $hitAcc THEN '$l' ELSE $langAcc END)",
+          s"greatest(hits_$l, $hitAcc)")
+      }
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |h AS (SELECT doc_id, $hitExprs FROM toks),
+         |p AS (SELECT doc_id, CASE WHEN ${fold._2} = 0 THEN 'und' ELSE ${fold._1} END AS lang_pred FROM h)
+         |SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred""".stripMargin
+    })
+
+  val textFingerprint = Q("text_fingerprint",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.minShingleFingerprint(col("text"), 5).as("shingle_fp")),
+    Some("""WITH toks AS (SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents)
+      |SELECT doc_id,
+      |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+      |  CASE WHEN len(tk) < 5 THEN NULL ELSE
+      |    list_min(list_transform(
+      |      list_distinct([array_to_string(tk[i:i+4], ' ') for i in range(1, len(tk)-3)]),
+      |      s -> md5(s))) END AS shingle_fp
+      |FROM toks""".stripMargin))
+
+  // ----------------------------------------------------------- dedup family
+
+  val dedupExact = Q("dedup_exact",
+    (s, dir) => ExactDedup.groups(t(s, dir, "documents"), "text", "doc_id"),
+    Some("""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+      |  count(*) AS group_size, min(doc_id) AS canonical_id
+      |FROM documents GROUP BY 1""".stripMargin))
+
+  private val duckShingles3 =
+    """list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)])"""
+
+  val dedupMinhash = Q("dedup_minhash_signatures",
+    (s, dir) => MinHashLSH.signatures(t(s, dir, "documents"), "text", "doc_id", k = 8, shingleSize = 3),
+    Some {
+      val aggs = (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS sig_$i").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |sh AS (SELECT doc_id, unnest($duckShingles3) AS shingle FROM toks WHERE len(tk) >= 3)
+         |SELECT doc_id, $aggs FROM sh GROUP BY doc_id""".stripMargin
+    })
+
+  val dedupMinhashPairs = Q("dedup_minhash_pairs",
+    (s, dir) => MinHashLSH.candidatePairs(t(s, dir, "documents"), "text", "doc_id",
+      k = 8, bands = 8, shingleSize = 3),
+    Some {
+      val aggs = (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS sig_$i").mkString(", ")
+      val bandSelects = (0 until 8).map(i =>
+        s"SELECT doc_id, $i AS band_idx, md5(sig_$i) AS band_hash FROM sigs").mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |sh AS (SELECT doc_id, unnest($duckShingles3) AS shingle FROM toks WHERE len(tk) >= 3),
+         |sigs AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |WHERE a.doc_id < b.doc_id""".stripMargin
+    })
+
+  val dedupSimhash = Q("dedup_simhash",
+    (s, dir) => t(s, dir, "documents")
+      .where(TextFunctions.tokenCount(col("text")) > 0)
+      .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash")),
+    Some {
+      val bits = (1 to 32).map(i =>
+        s"CASE WHEN sum(CASE WHEN substr(h,$i,1) >= '8' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(unnest(tk)) AS h FROM toks WHERE len(tk) > 0)
+        |SELECT doc_id, """.stripMargin + bits + " AS simhash FROM h GROUP BY doc_id"
+    })
+
+  val dedupJaccard = Q("dedup_ngram_jaccard",
+    (s, dir) => NgramJaccard.pairs(t(s, dir, "documents"), "text", "doc_id",
+      n = 3, threshold = 0.35),
+    Some(s"""WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |sh AS (SELECT doc_id, len($duckShingles3) AS n_sh, unnest($duckShingles3) AS shingle
+      |  FROM toks WHERE len(tk) >= 3),
+      |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1,2,3,4)
+      |SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
+      |FROM j WHERE round(inter / (n_a + n_b - inter), 6) >= 0.35""".stripMargin))
+
+  // ------------------------------------------------------------- similarity
+
+  val knnBrute = Q("knn_brute_force",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Knn.bruteForceTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
+    },
+    Some("""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM d WHERE vec_id < 8),
+      |s AS (SELECT query_id, vec_id AS neighbor_id,
+      |    round(list_dot_product(qv, embedding) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(embedding, embedding))), 6) AS cosine
+      |  FROM q, d WHERE query_id <> vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+      |SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin))
+
+  val knnLsh = Q("knn_sign_lsh",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Knn.signLshTopK(emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5, planes = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
+    },
+    Some {
+      val bucket = (1 to 4).map(i =>
+        s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS embedding, $bucket AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 8),
+         |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+         |    round(list_dot_product(qv, c.embedding) /
+         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.embedding, c.embedding))), 6) AS cosine
+         |  FROM q JOIN b c USING (bucket) WHERE query_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+         |SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin
+    })
+
+  // ------------------------------------------------------------- multimodal
+
+  val multimodalMeta = Q("multimodal_binary_meta",
+    (s, dir) => graft.multimodal.Multimodal.binaryMeta(
+      t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("content")),
+      "content")
+      .select(col("doc_id"), col("byte_length").cast("long").as("byte_length"),
+        col("sha256"), col("magic")),
+    Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_length,
+      |  sha256(text) AS sha256, upper(hex(encode(substr(text, 1, 4)))) AS magic
+      |FROM documents""".stripMargin))
+
+  /** mapPartitions feature plumbing with the stub extractor — no SQL
+    * equivalent (deliberately: the kernel is the swappable part), so the
+    * driver records a rows-only check.
+    */
+  val multimodalFeatures = Q("multimodal_features",
+    (s, dir) => {
+      val assets = t(s, dir, "documents")
+        .select(col("doc_id").as("asset_id"), col("text").cast("binary").as("content"))
+      graft.multimodal.Multimodal.extractFeatures(s, assets, "content", "asset_id")
+        .select(col("asset_id"), round(element_at(col("features"), 1), 4).as("f0"),
+          round(element_at(col("features"), 8), 4).as("f7"))
+    },
+    None)
+
+  // ------------------------------------------------------------------ index
+
+  val all: Seq[Q] = Seq(
+    cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcDecode, cdcOpMapping,
+    fnTemporal, fnJson, fnString, fnHash, partitionTransforms,
+    q1Agg, qJoinDims, qJoinFact, qTopkWindow, qAnalyticWindow, qSortLimit,
+    qSetOps, qRollup, qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
+    textStats, textLangId, textFingerprint,
+    dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupJaccard,
+    knnBrute, knnLsh,
+    multimodalMeta, multimodalFeatures)
+
+  def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
+  def oracleSql: Map[String, String] = all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media as opaque `binary` columns with typed
+  * metadata, plus the Spark-side plumbing (schema, batch shape, partition
+  * strategy) for decode / feature-extraction stages.
+  *
+  * The decode kernels themselves (image/audio libs) are STUBBED — this
+  * container has no codecs — behind [[FeatureExtractor]]; the deterministic
+  * fake keeps the pipeline testable end to end. The real implementation
+  * swaps the function, nothing else: the `mapPartitions` boundary, the
+  * output schema, and the partitioning contract stay identical.
+  */
+object Multimodal {
+
+  /** Canonical media-asset schema: content + typed metadata, the pattern
+    * for storing images/audio/video alongside tabular columns.
+    */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType),   // image/png, audio/wav, ...
+    StructField("content", BinaryType),      // opaque payload
+    StructField("width", IntegerType),       // media metadata (nullable)
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Cheap binary metadata (native expressions, no decode): size, digest,
+    * magic-byte sniff. Works on any binary column at full scan speed.
+    */
+  def binaryMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("byte_length", octet_length(col(binCol)))
+      .withColumn("sha256", sha2(col(binCol), 256))
+      .withColumn("magic", hex(substring(col(binCol), 1, 4)))
+
+  /** The decode/feature kernel signature: bytes → fixed-width feature
+    * vector. Runs inside executors, one invocation per asset.
+    */
+  type FeatureExtractor = Array[Byte] => Array[Float]
+
+  /** STUB decode — deterministic fake standing in for a real image/audio
+    * decoder (none available in this environment). Produces a stable
+    * 8-dim "feature" from content bytes so downstream stages (ANN, dedup)
+    * are exercised with real plumbing.
+    */
+  val stubExtractor: FeatureExtractor = bytes => {
+    if (bytes == null) Array.fill(8)(0f)
+    else {
+      val out = new Array[Float](8)
+      var i = 0
+      while (i < bytes.length) { out(i % 8) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+      out
+    }
+  }
+
+  /** Feature extraction over binary assets via mapPartitions: batch-shaped
+    * like a Pandas-UDF/mapInPandas stage (per-partition setup cost paid
+    * once — a real decoder would initialize its codec here), repartitioned
+    * first so decode work spreads evenly regardless of upstream file
+    * layout (media blobs skew partition sizes badly otherwise).
+    */
+  def extractFeatures(spark: SparkSession, df: DataFrame, binCol: String, idCol: String,
+                      extractor: FeatureExtractor = stubExtractor,
+                      partitions: Option[Int] = None): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType))))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val prepared = partitions.map(df.repartition(_)).getOrElse(df)
+      .select(col(idCol).cast(LongType), col(binCol))
+    prepared.mapPartitions { rows =>
+      // per-partition init seam: real codecs open here, once
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        Row(id, extractor(bytes).toSeq)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate & exact nearest-neighbor search over an embedding column
+  * (`array<float>`), all native expressions.
+  *
+  * Two paths, one contract (query_id, rank, neighbor_id, cosine):
+  *  - [[bruteForceTopK]]: exact, O(|Q|·|C|). The *query set* is broadcast —
+  *    on a 1000-executor cluster each corpus partition scores locally and
+  *    only |Q|·k candidate rows shuffle to rank. Correct baseline.
+  *  - [[signLshTopK]]: sign-of-dimension LSH buckets (axis-aligned
+  *    hyperplanes). Corpus and queries bucket by the sign pattern of the
+  *    first `planes` dimensions; scoring joins on the bucket — the
+  *    Spark-shaped IVF: co-partitioned equi-join instead of a cross join,
+  *    1/2^planes of the corpus scanned per query in expectation.
+  *    Deterministic and oracle-checkable (no random hyperplanes needed for
+  *    the contract; swap in random projections at the same seam for better
+  *    recall-vs-speed tradeoffs).
+  */
+object Knn {
+
+  /** Cosine similarity of two float-array columns (double math, rounded to
+    * 6 dp so independent engines agree bit-for-bit on the output).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    round(dot / (na * nb), 6)
+  }
+
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    rank(q.crossJoin(c).where(col("query_id") =!= col("neighbor_id")), k)
+  }
+
+  /** Bucket = sign pattern of the first `planes` dimensions. */
+  def signBucket(vec: Column, planes: Int): Column =
+    concat((0 until planes).map(i =>
+      when(element_at(vec, i + 1) > 0f, "1").otherwise("0")): _*)
+
+  def signLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, planes: Int = 4): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      signBucket(col(vecCol), planes).as("bucket")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      signBucket(col(vecCol), planes).as("bucket"))
+    rank(q.join(c, "bucket").where(col("query_id") =!= col("neighbor_id")), k)
+  }
+
+  private def rank(scored: DataFrame, k: Int): DataFrame = {
+    val withCos = scored.withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    withCos.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  * All are pure native expressions (whole-stage codegen, no UDFs) and are
+  * deliberately DuckDB-expressible so every operator can be oracle-checked.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty string → empty array (not [""]).  */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish tokenization: letter runs, digit runs, single punctuation.
+    * The class-based pattern parses identically under Java regex (Spark)
+    * and RE2 (DuckDB).
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  def punctRatio(text: Column): Column = {
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    when(length(text) === 0, 0.0).otherwise(punct.cast("double") / length(text))
+  }
+
+  /** Small multilingual stopword markers used by both quality scoring and
+    * language ID (n-gram/stopword heuristic — a real model would plug in
+    * at the same column-function seam).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "est", "que", "pour", "dans"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这")
+  )
+
+  def stopwordCount(text: Column, lang: String = "en"): Column = {
+    val set = stopwords(lang)
+    size(filter(tokens(text), t => t.isInCollection(set)))
+  }
+
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val n = tokenCount(text)
+    when(n === 0, 0.0).otherwise(stopwordCount(text, lang).cast("double") / n)
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, 0.0)
+      .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence +
+    * punctuation sanity + word-length sanity. Deterministic, documented,
+    * and cheap — the shape of Gopher/C4-style quality filters.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lengthOk = when(n.between(10, 5000), 0.25).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) > 0.01, 0.25).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.2, 0.25).otherwise(0.0)
+    val wordOk = when(meanWordLength(text).between(2.0, 12.0), 0.25).otherwise(0.0)
+    round(lengthOk + stopOk + punctOk + wordOk, 2)
+  }
+
+  /** Language ID: argmax of per-language stopword hits, alphabetical
+    * tiebreak, 'und' (undetermined) when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, _) =>
+      struct(stopwordCount(text, lang).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs: lexicographic → max hits, then max
+    // lang; to get the ALPHABETICALLY FIRST lang on ties, order langs
+    // descending and negate... simpler: reduce with explicit comparison.
+    val best = scored.reduce { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (cross-engine stable). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Winnowing-style shingle fingerprint: lexicographic min of the md5s of
+    * the word n-shingles — robust to local edits, cross-engine stable.
+    */
+  def minShingleFingerprint(text: Column, n: Int = 5): Column =
+    array_min(transform(graft.dedup.Shingles.wordShingles(text, n), (s: Column) => md5(s)))
+}

@@ -1,0 +1,135 @@
+package graft.ops
+
+import graft.SharedSpark
+import graft.dedup._
+import graft.similarity.Knn
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmOpsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog"),   // near dup
+    (3L, "completely different text about spark engines and scale"),
+    (4L, "")                                               // degenerate
+  ).toDF("doc_id", "text")
+
+  test("tokens/counts/ratios handle empty strings") {
+    val r = docs.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.punctRatio(col("text")).as("p"),
+      TextFunctions.bpeishTokenCount(col("text")).as("b"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n") == 9)
+    assert(r(4).getAs[Int]("n") == 0 && r(4).getAs[Double]("p") == 0.0)
+    assert(r(3).getAs[Int]("b") == 8)
+  }
+
+  test("quality score rewards stopword-bearing prose") {
+    val r = docs.select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+      .orderBy("doc_id").collect()
+    assert(r(4).getAs[Double]("q") <= 0.5) // empty text fails length+stopword
+    assert(r(0).getAs[Double]("q") >= 0.5)
+  }
+
+  test("langId picks dominant stopword language, 'und' when none") {
+    val df = Seq(
+      ("the cat and the dog went to the market"),
+      ("el perro y la casa es que no se un"),
+      ("xyzzy qwerty")
+    ).toDF("text")
+    val out = df.select(TextFunctions.langId(col("text")).as("l")).as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("fingerprints: md5 stable, shingle fingerprint survives local edit") {
+    val r = docs.select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.minShingleFingerprint(col("text"), 3).as("sfp"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(1) == r(1).getString(1)) // exact dups same md5
+    assert(r(0).getString(1) != r(2).getString(1))
+    assert(r(4).isNullAt(2)) // no shingles in empty text
+  }
+
+  test("wordShingles: distinct n-grams, short text → empty") {
+    val r = Seq("a b c d", "a b").toDF("t")
+      .select(Shingles.wordShingles(col("t"), 3).as("s")).collect()
+    assert(r(0).getSeq[String](0).toSet == Set("a b c", "b c d"))
+    assert(r(1).getSeq[String](0).isEmpty)
+  }
+
+  test("exact dedup groups and drop") {
+    val g = ExactDedup.groups(docs, "text", "doc_id")
+    val dupGroup = g.where(col("group_size") === 2).collect()
+    assert(dupGroup.length == 1 && dupGroup.head.getAs[Long]("canonical_id") == 0L)
+    assert(ExactDedup.dropExactDuplicates(docs, "text", "doc_id").count() == 4)
+  }
+
+  test("minhash LSH finds near-dup candidates without all-pairs") {
+    // rows-per-band=1 (16 bands) for high recall at moderate Jaccard —
+    // doc 2 differs from doc 0 in one middle word (J = 4/10)
+    val pairs = MinHashLSH.candidatePairs(docs, "text", "doc_id", k = 16, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical docs always collide
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
+  }
+
+  test("ngram jaccard exact pairs with threshold") {
+    val pairs = NgramJaccard.pairs(docs, "text", "doc_id", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 1L).get
+    assert(exact._3 == 1.0)
+    // 3 of 7 shingles touched by the one-word edit: J = 4/10 exactly
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 2L && p._3 == 0.4))
+    // threshold excludes the unrelated doc
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical → distance 0, near-dup close, distinct far") {
+    val fp = docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), SimHash.simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) == fp(1L) && fp(0L).length == 32)
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(fp(0L), fp(2L)) < ham(fp(0L), fp(3L)))
+    // column-level hamming agrees with scala-side
+    val d = Seq((fp(0L), fp(2L))).toDF("a", "b")
+      .select(SimHash.hamming(col("a"), col("b"))).as[Int].collect().head
+    assert(d == ham(fp(0L), fp(2L)))
+  }
+
+  test("knn: brute-force exact and sign-LSH agree on same-bucket neighbors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.1f, 0.2f, 0.1f)),
+      (1L, Array(0.9f, 0.2f, 0.1f, 0.2f)),   // close to 0
+      (2L, Array(-1.0f, -0.1f, 0.3f, -0.2f)),
+      (3L, Array(0.8f, 0.15f, 0.25f, 0.05f)) // close to 0 too
+    ).toDF("vec_id", "embedding")
+    val bf = Knn.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0L), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(bf.map(_._2).toSet == Set(1L, 3L))
+    val lsh = Knn.signLshTopK(vecs, vecs.where(col("vec_id") === 0L), "vec_id", "embedding", 2, planes = 2)
+      .collect().map(r => r.getLong(2)).toSet
+    assert(lsh == Set(1L, 3L)) // 2 lives in the opposite sign bucket
+  }
+
+  test("multimodal: binary meta + stubbed feature extraction plumbing") {
+    val assets = Seq(
+      (1L, "image/png", "fakepngbytes".getBytes),
+      (2L, "audio/wav", "fakewav".getBytes)
+    ).toDF("asset_id", "media_type", "content")
+    val meta = graft.multimodal.Multimodal.binaryMeta(assets, "content")
+      .orderBy("asset_id").collect()
+    assert(meta(0).getAs[Int]("byte_length") == 12)
+    assert(meta(0).getAs[String]("sha256").length == 64)
+    val feats = graft.multimodal.Multimodal.extractFeatures(spark, assets, "content", "asset_id")
+      .orderBy("asset_id").collect()
+    assert(feats.length == 2 && feats(0).getSeq[Float](1).length == 8)
+    assert(feats(0).getSeq[Float](1).sum > 0f)
+  }
+}
