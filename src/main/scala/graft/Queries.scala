@@ -401,13 +401,16 @@ object Queries {
   // --------------------------------------------------------- text analysis
 
   val textStats = Q("text_stats",
-    (s, dir) => t(s, dir, "documents").select(
-      col("doc_id"),
-      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
-      TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
-      round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
-      round(TextFunctions.meanWordLength(col("text")), 6).as("mean_word_len"),
-      TextFunctions.qualityScore(col("text")).as("quality")),
+    (s, dir) => t(s, dir, "documents")
+      // tokenize ONCE into an attribute; every metric below reuses it
+      .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+        round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextFunctions.meanWordLengthFromTokens(col("tk")), 6).as("mean_word_len"),
+        TextFunctions.qualityScoreFromTokens(col("text"), col("tk")).as("quality")),
     Some(s"""WITH toks AS (SELECT doc_id, text,
       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
       |  FROM documents)
@@ -428,7 +431,8 @@ object Queries {
 
   val textLangId = Q("text_langid",
     (s, dir) => t(s, dir, "documents")
-      .select(TextFunctions.langId(col("text")).as("lang_pred"))
+      .select(TextFunctions.tokens(col("text")).as("tk"))
+      .select(TextFunctions.langIdFromTokens(col("tk")).as("lang_pred"))
       .groupBy("lang_pred").agg(count(lit(1)).as("n")),
     Some {
       val langs = TextFunctions.stopwords.toSeq.sortBy(_._1)
@@ -476,29 +480,34 @@ object Queries {
   private val duckShingles3 =
     """list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)])"""
 
+  private val duckBaseHash = "('0x'||substr(md5(shingle),1,8))::BIGINT"
+
+  private def duckSigAggs(k: Int): String =
+    MinHashLSH.hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % ${MinHashLSH.Prime}) AS sig_$i"
+    }.mkString(", ")
+
   val dedupMinhash = Q("dedup_minhash_signatures",
     (s, dir) => MinHashLSH.signatures(t(s, dir, "documents"), "text", "doc_id", k = 8, shingleSize = 3),
-    Some {
-      val aggs = (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS sig_$i").mkString(", ")
-      s"""WITH toks AS (SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
-         |  FROM documents),
-         |sh AS (SELECT doc_id, unnest($duckShingles3) AS shingle FROM toks WHERE len(tk) >= 3)
-         |SELECT doc_id, $aggs FROM sh GROUP BY doc_id""".stripMargin
-    })
+    Some(s"""WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest($duckShingles3) AS shingle FROM toks WHERE len(tk) >= 3),
+      |hs AS (SELECT doc_id, $duckBaseHash AS h FROM sh)
+      |SELECT doc_id, ${duckSigAggs(8)} FROM hs GROUP BY doc_id""".stripMargin))
 
   val dedupMinhashPairs = Q("dedup_minhash_pairs",
     (s, dir) => MinHashLSH.candidatePairs(t(s, dir, "documents"), "text", "doc_id",
       k = 8, bands = 8, shingleSize = 3),
     Some {
-      val aggs = (0 until 8).map(i => s"min(md5('$i:' || shingle)) AS sig_$i").mkString(", ")
       val bandSelects = (0 until 8).map(i =>
-        s"SELECT doc_id, $i AS band_idx, md5(sig_$i) AS band_hash FROM sigs").mkString(" UNION ALL ")
+        s"SELECT doc_id, $i AS band_idx, md5(sig_$i::VARCHAR) AS band_hash FROM sigs").mkString(" UNION ALL ")
       s"""WITH toks AS (SELECT doc_id,
          |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
          |  FROM documents),
          |sh AS (SELECT doc_id, unnest($duckShingles3) AS shingle FROM toks WHERE len(tk) >= 3),
-         |sigs AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id),
+         |hs AS (SELECT doc_id, $duckBaseHash AS h FROM sh),
+         |sigs AS (SELECT doc_id, ${duckSigAggs(8)} FROM hs GROUP BY doc_id),
          |bands AS ($bandSelects)
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -506,9 +515,9 @@ object Queries {
     })
 
   val dedupSimhash = Q("dedup_simhash",
-    (s, dir) => t(s, dir, "documents")
-      .where(TextFunctions.tokenCount(col("text")) > 0)
-      .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash")),
+    (s, dir) => SimHash.simhashed(
+      t(s, dir, "documents").where(TextFunctions.tokenCount(col("text")) > 0),
+      "text", "doc_id"),
     Some {
       val bits = (1 to 32).map(i =>
         s"CASE WHEN sum(CASE WHEN substr(h,$i,1) >= '8' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END")

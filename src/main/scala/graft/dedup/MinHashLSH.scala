@@ -1,15 +1,16 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MinHash + banded LSH near-duplicate detection.
   *
-  * Hash family: h_k(shingle) = md5(k || ':' || shingle), minimized
-  * lexicographically — md5 hex strings are identical across engines, which
-  * keeps every stage (signatures, bands, candidate pairs) DuckDB-oracle
-  * checkable with zero custom kernels. A k-index salt gives k independent
-  * permutation approximations (standard minwise-hashing construction).
+  * Hash family: each shingle is hashed ONCE to a 32-bit base value (the
+  * first 8 hex digits of its md5 — engine-agnostic, so every stage stays
+  * DuckDB-oracle checkable), then k affine permutations
+  * h_k(x) = (a_k·x + b_k) mod p (p prime > 2^32) approximate k independent
+  * min-wise permutations — the standard construction, at one digest + k
+  * multiply-adds per shingle instead of k digests.
   *
   * Scale shape (the point of LSH): signatures are one groupBy over exploded
   * shingles with k `min` partial aggregates — map-side combine collapses
@@ -21,12 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** Per-doc signature: columns (id, sig_0 .. sig_{k-1}). */
+  /** Prime modulus > 2^32; a·x + b stays well inside Long. */
+  val Prime = 4294967311L
+
+  /** Deterministic odd multipliers / offsets for the affine family. */
+  def hashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i => (2L * i + 1001L, 7L * i + 101L))
+
+  /** 32-bit base hash of a shingle, identical in Spark and DuckDB:
+    * Spark `conv(substring(md5(s),1,8),16,10)`,
+    * DuckDB `('0x'||substr(md5(s),1,8))::BIGINT`.
+    */
+  def baseHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 8), 16, 10).cast("long")
+
+  /** Per-doc signature: columns (id, sig_0 .. sig_{k-1}), each a Long. */
   def signatures(df: DataFrame, textCol: String, idCol: String,
                  k: Int = 16, shingleSize: Int = 3): DataFrame = {
     val shingled = df.select(col(idCol),
       explode(Shingles.wordShingles(col(textCol), shingleSize)).as("shingle"))
-    val aggs = (0 until k).map(i => min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
+      .select(col(idCol), baseHash(col("shingle")).as("h"))
+    val aggs = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(Prime))).as(s"sig_$i")
+    }
     shingled.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -39,7 +57,7 @@ object MinHashLSH {
     val rows = k / bands
     val sigs = signatures(df, textCol, idCol, k, shingleSize)
     val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rows).map(r => col(s"sig_${b * rows + r}"))
+      val parts = (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string"))
       struct(lit(b).as("band_idx"), md5(concat_ws("|", parts: _*)).as("band_hash"))
     }
     val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("band"))

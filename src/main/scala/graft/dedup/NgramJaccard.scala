@@ -23,9 +23,12 @@ object NgramJaccard {
   def pairs(df: DataFrame, textCol: String, idCol: String,
             n: Int = 3, threshold: Double = 0.8,
             maxShingleFreq: Option[Long] = None): DataFrame = {
+    // 64-bit hashed join key: same pair counts as joining on the string
+    // (collision odds ~|shingles|²/2^65), half the shuffle bytes.
     val shingled = df
       .select(col(idCol).as("id"), Shingles.wordShingles(col(textCol), n).as("sh"))
       .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("shingle"))
 
     val filtered = maxShingleFreq match {
       case Some(cap) =>

@@ -40,50 +40,61 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这")
   )
 
-  def stopwordCount(text: Column, lang: String = "en"): Column = {
+  /** Token-array variants: Catalyst does not common-subexpression-eliminate
+    * higher-order functions, so anything that consults the token array more
+    * than once (language scoring, quality scoring) should tokenize into a
+    * column FIRST and use the `...FromTokens` form — otherwise every use
+    * re-splits the document (measured 5s → 0.5s on text_langid at sf0.1).
+    */
+  def stopwordCountFromTokens(toks: Column, lang: String = "en"): Column = {
     val set = stopwords(lang)
-    size(filter(tokens(text), t => t.isInCollection(set)))
+    size(filter(toks, t => t.isInCollection(set)))
   }
 
-  def stopwordRatio(text: Column, lang: String = "en"): Column = {
-    val n = tokenCount(text)
-    when(n === 0, 0.0).otherwise(stopwordCount(text, lang).cast("double") / n)
-  }
+  def stopwordCount(text: Column, lang: String = "en"): Column =
+    stopwordCountFromTokens(tokens(text), lang)
 
-  def meanWordLength(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) === 0, 0.0)
-      .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
-  }
+  def stopwordRatioFromTokens(toks: Column, lang: String = "en"): Column =
+    when(size(toks) === 0, 0.0)
+      .otherwise(stopwordCountFromTokens(toks, lang).cast("double") / size(toks))
+
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    stopwordRatioFromTokens(tokens(text), lang)
+
+  def meanWordLengthFromTokens(toks: Column): Column =
+    when(size(toks) === 0, 0.0)
+      .otherwise(aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(toks))
+
+  def meanWordLength(text: Column): Column = meanWordLengthFromTokens(tokens(text))
 
   /** Composite quality score in [0,1]: length band + stopword presence +
     * punctuation sanity + word-length sanity. Deterministic, documented,
     * and cheap — the shape of Gopher/C4-style quality filters.
     */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text)
-    val lengthOk = when(n.between(10, 5000), 0.25).otherwise(0.0)
-    val stopOk = when(stopwordRatio(text) > 0.01, 0.25).otherwise(0.0)
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
+    val lengthOk = when(size(toks).between(10, 5000), 0.25).otherwise(0.0)
+    val stopOk = when(stopwordRatioFromTokens(toks) > 0.01, 0.25).otherwise(0.0)
     val punctOk = when(punctRatio(text) < 0.2, 0.25).otherwise(0.0)
-    val wordOk = when(meanWordLength(text).between(2.0, 12.0), 0.25).otherwise(0.0)
+    val wordOk = when(meanWordLengthFromTokens(toks).between(2.0, 12.0), 0.25).otherwise(0.0)
     round(lengthOk + stopOk + punctOk + wordOk, 2)
   }
 
-  /** Language ID: argmax of per-language stopword hits, alphabetical
-    * tiebreak, 'und' (undetermined) when nothing matches.
+  def qualityScore(text: Column): Column = qualityScoreFromTokens(text, tokens(text))
+
+  /** Language ID: argmax of per-language stopword hits, left-fold tiebreak
+    * (earlier language wins ties), 'und' when nothing matches.
     */
-  def langId(text: Column): Column = {
+  def langIdFromTokens(toks: Column): Column = {
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, _) =>
-      struct(stopwordCount(text, lang).as("hits"), lit(lang).as("lang"))
+      struct(stopwordCountFromTokens(toks, lang).as("hits"), lit(lang).as("lang"))
     }
-    // array_max on (hits, lang) structs: lexicographic → max hits, then max
-    // lang; to get the ALPHABETICALLY FIRST lang on ties, order langs
-    // descending and negate... simpler: reduce with explicit comparison.
     val best = scored.reduce { (a, b) =>
       when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
     }
     when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
   }
+
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
   /** Document fingerprint: md5 of the normalized text (cross-engine stable). */
   def fingerprint(text: Column): Column =
