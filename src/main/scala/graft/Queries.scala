@@ -2,6 +2,7 @@ package graft
 
 import graft.cdc._
 import graft.dedup._
+import graft.operators.AsOfJoin
 import graft.similarity.Knn
 import graft.text.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -609,15 +610,222 @@ object Queries {
     },
     None)
 
+  // ------------------------------------------------- as-of / temporal joins
+
+  /** Backward as-of join: each click/view event picks up the user's most
+    * recent purchase at-or-before its timestamp. Oracle is DuckDB's native
+    * ASOF JOIN — strongest possible check of the union-sort-carry plan.
+    */
+  val qAsofJoin = Q("q_asof_join",
+    (s, dir) => {
+      val e = events(s, dir)
+      val left = e.where(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // right side deduped per (user, ts) for determinism
+      val w = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val purchases = e.where(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.backward(left, purchases, Seq("user_id"), "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("lag_us"),
+          col("asof_value"))
+    },
+    Some("""WITH p0 AS (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+      |    ORDER BY event_id DESC) AS rn FROM events WHERE event_type='purchase'),
+      |p AS (SELECT user_id, ts, value FROM p0 WHERE rn = 1),
+      |l AS (SELECT event_id, user_id, ts FROM events WHERE event_type IN ('click','view'))
+      |SELECT l.event_id, l.user_id,
+      |  epoch_us(l.ts) - epoch_us(p.ts) AS lag_us, p.value AS asof_value
+      |FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts""".stripMargin))
+
+  // ---------------------------------------------- more relational coverage
+
+  val qAntiJoin = Q("q_anti_join",
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders").select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_no_orders"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).as("bal")),
+    Some("""SELECT count(*) AS n_no_orders, sum(c_acctbal::DECIMAL(18,2)) AS bal
+      |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin))
+
+  val qPivot = Q("q_pivot",
+    (s, dir) => events(s, dir).groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .select(col("user_id"), col("click").cast("long").as("click"),
+        col("error").cast("long").as("error"), col("purchase").cast("long").as("purchase"),
+        col("signup").cast("long").as("signup"), col("view").cast("long").as("view")),
+    Some("""SELECT user_id,
+      |  count(*) FILTER (event_type='click') AS click,
+      |  count(*) FILTER (event_type='error') AS error,
+      |  count(*) FILTER (event_type='purchase') AS purchase,
+      |  count(*) FILTER (event_type='signup') AS signup,
+      |  count(*) FILTER (event_type='view') AS view
+      |FROM events GROUP BY user_id""".stripMargin))
+
+  val qPercentile = Q("q_percentile",
+    (s, dir) => t(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_median")),
+    Some("""SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS qty_median
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
+  val qCube = Q("q_cube",
+    (s, dir) => t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        count(lit(1)).as("n")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity::DECIMAL(18,2)) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin))
+
+  // ------------------------------------------- more conversion / CDC surface
+
+  /** F12 — nested JSON as Spark 4 VariantType: parse once, typed extraction,
+    * missing paths null (the reference's variant mode read back through
+    * try_variant_get, TEST/IcebergChangeConsumerVariantTest.java:30,51,147).
+    */
+  val fnVariant = Q("fn_variant",
+    (s, dir) => events(s, dir).select(
+      col("event_id"),
+      expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"),
+      expr("try_variant_get(parse_json(props), '$.missing', 'bigint')").as("missing")),
+    Some("""SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k,
+      |  NULL::BIGINT AS missing FROM events""".stripMargin))
+
+  /** F2 — Debezium precise-mode decimal: unscaled big-endian
+    * two's-complement bytes (base64) + scale → DecimalType. The encode side
+    * is built natively (hex/lpad/unhex) so positive AND negative unscaled
+    * values round-trip through the two's-complement path.
+    */
+  val fnDecimalPrecise = Q("fn_decimal_precise",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def b64(unscaled: Column): Column = base64(unhex(lpad(hex(unscaled), 16, "0")))
+      val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.functions.Conversions.decimalFromBase64(b64(cents), 18, 2).as("dec_price"),
+        graft.functions.Conversions.decimalFromBase64(b64(cents - 1000000L), 18, 2).as("dec_shift"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      |  (round(l_extendedprice*100)::BIGINT / 100.0)::DECIMAL(18,2) AS dec_price,
+      |  ((round(l_extendedprice*100)::BIGINT - 1000000) / 100.0)::DECIMAL(18,2) AS dec_shift
+      |FROM lineitem""".stripMargin))
+
+  /** R2 + R6 — heartbeat filtering and destination→table-name mapping over
+    * a destination column, all codegen'd string expressions.
+    */
+  val cdcRouting = Q("cdc_routing",
+    (s, dir) => {
+      val mapper = DefaultTableMapper(prefix = "cdc_",
+        replaceRegex = Some(("^SrvA\\.", "")))
+      val withDest = events(s, dir).withColumn("destination",
+        when(col("event_type") === "view",
+          concat(lit("__debezium-heartbeat.src"), col("user_id") % 3))
+          .otherwise(concat(lit("SrvA.db-"), col("user_id") % 3, lit("."), col("event_type"))))
+      withDest
+        .where(!col("destination").startsWith("__debezium-heartbeat"))
+        .select(mapper.mapColumn(col("destination")).as("table_name"))
+        .groupBy("table_name").agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH d AS (SELECT CASE WHEN event_type='view'
+      |    THEN '__debezium-heartbeat.src' || (user_id % 3)
+      |    ELSE 'SrvA.db-' || (user_id % 3) || '.' || event_type END AS destination
+      |  FROM events),
+      |f AS (SELECT destination FROM d WHERE destination NOT LIKE '__debezium-heartbeat%'),
+      |m AS (SELECT lower('cdc_' || replace(replace(regexp_replace(destination, '^SrvA\.', ''), '.', '_'), '-', '_')) AS table_name FROM f)
+      |SELECT table_name, count(*) AS n FROM m GROUP BY table_name""".stripMargin))
+
+  /** R3 — excluded columns dropped at schema-inference time (never parsed). */
+  val cdcColumnExclusion = Q("cdc_column_exclusion",
+    (s, dir) => {
+      val schemaJson =
+        """{"type":"struct","fields":[
+          |{"field":"event_id","type":"int64","optional":false},
+          |{"field":"user_id","type":"int64","optional":true},
+          |{"field":"event_type","type":"string","optional":true},
+          |{"field":"value","type":"float64","optional":true},
+          |{"field":"props","type":"string","optional":true}
+          |]}""".stripMargin.replaceAll("\n", "")
+      val env = events(s, dir).select(concat(
+        lit(s"""{"schema":$schemaJson,"payload":"""),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))),
+        lit("}")).as("value"))
+      val inferred = EventDecoder.infer(Seq(schemaJson),
+        Some("""{"type":"struct","fields":[{"field":"event_id","type":"int64"}]}"""),
+        SchemaMappingConfig(excludedColumns = Set("props", "value")))
+      EventDecoder.decode(env, inferred)
+    },
+    Some("SELECT event_id, user_id, event_type FROM events"))
+
+  /** D6 — schema evolution across one batch: v1 events carry
+    * (event_id, user_id:int32), v2 adds `value` and widens user_id to
+    * int64. Inference union-by-names + promotes; v1 rows read back with a
+    * typed null for the added column.
+    */
+  val cdcSchemaEvolution = Q("cdc_schema_evolution",
+    (s, dir) => {
+      val v1 =
+        """{"type":"struct","fields":[{"field":"event_id","type":"int64","optional":false},{"field":"user_id","type":"int32","optional":true}]}"""
+      val v2 =
+        """{"type":"struct","fields":[{"field":"event_id","type":"int64","optional":false},{"field":"user_id","type":"int64","optional":true},{"field":"value","type":"float64","optional":true}]}"""
+      val e = events(s, dir)
+      val env = e.select(
+        when(col("event_id") % 2 === 0, concat(
+          lit(s"""{"schema":$v1,"payload":"""),
+          to_json(struct(col("event_id"), col("user_id"))), lit("}")))
+          .otherwise(concat(
+            lit(s"""{"schema":$v2,"payload":"""),
+            to_json(struct(col("event_id"), col("user_id"), col("value"))), lit("}")))
+          .as("value"))
+      val inferred = EventDecoder.infer(Seq(v1, v2),
+        Some("""{"type":"struct","fields":[{"field":"event_id","type":"int64"}]}"""))
+      EventDecoder.decode(env, inferred)
+    },
+    Some("""SELECT event_id, user_id,
+      |  CASE WHEN event_id % 2 = 1 THEN value END AS value FROM events""".stripMargin))
+
+  // --------------------------------------------- embedding near-dup (dedup)
+
+  val dedupEmbedding = Q("dedup_embedding_cosine",
+    (s, dir) => EmbeddingNearDup.pairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.3, planes = 4),
+    Some {
+      val bucket = (1 to 4).map(i =>
+        s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e, $bucket AS bucket FROM embeddings)
+         |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |  round(list_dot_product(a.e, c.e) /
+         |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+         |FROM b a JOIN b c USING (bucket)
+         |WHERE a.vec_id < c.vec_id
+         |  AND round(list_dot_product(a.e, c.e) /
+         |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) >= 0.3""".stripMargin
+    })
+
   // ------------------------------------------------------------------ index
 
   val all: Seq[Q] = Seq(
     cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcDecode, cdcOpMapping,
-    fnTemporal, fnJson, fnString, fnHash, partitionTransforms,
+    cdcRouting, cdcColumnExclusion, cdcSchemaEvolution,
+    fnTemporal, fnJson, fnString, fnHash, fnVariant, fnDecimalPrecise,
+    partitionTransforms,
     q1Agg, qJoinDims, qJoinFact, qTopkWindow, qAnalyticWindow, qSortLimit,
     qSetOps, qRollup, qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
+    qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupJaccard,
+    dedupEmbedding,
     knnBrute, knnLsh,
     multimodalMeta, multimodalFeatures)
 

@@ -24,4 +24,18 @@ final case class DefaultTableMapper(
     val flat = prefix + rewritten.replace(".", "_").replace("-", "_")
     if (lowercase) flat.toLowerCase else flat
   }
+
+  /** The same mapping as a native column expression — used when the
+    * destination is data (a column of a batch) rather than routing
+    * metadata; stays inside whole-stage codegen, no UDF.
+    */
+  def mapColumn(destination: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val rewritten = replaceRegex
+      .map { case (re, sub) => regexp_replace(destination, re, sub) }
+      .getOrElse(destination)
+    val flat = concat(lit(prefix),
+      translate(rewritten, ".-", "__"))
+    if (lowercase) lower(flat) else flat
+  }
 }

@@ -23,26 +23,40 @@ object NgramJaccard {
   def pairs(df: DataFrame, textCol: String, idCol: String,
             n: Int = 3, threshold: Double = 0.8,
             maxShingleFreq: Option[Long] = None): DataFrame = {
-    // 64-bit hashed join key: same pair counts as joining on the string
-    // (collision odds ~|shingles|²/2^65), half the shuffle bytes.
-    val shingled = df
-      .select(col(idCol).as("id"), Shingles.wordShingles(col(textCol), n).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-      .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("shingle"))
+    // 64-bit hashed shingles end to end: dedup on primitive longs (the
+    // string array_distinct path is O(k²) compares), same pair counts as
+    // strings modulo ~2⁻⁶⁴ collisions, half the shuffle bytes.
+    //
+    // CRITICAL plan shape: the exploded relation carries ONLY (id, shingle).
+    // Projecting size(sh) across the explode makes Catalyst re-derive the
+    // whole shingle pipeline PER EXPLODED ROW (a post-Generate Project over
+    // the retained text column — measured 480 s vs 3 s on the join at
+    // sf0.1). Per-doc set sizes are a separate cheap pass, attached to the
+    // ~|pairs| aggregate at the very end (AQE broadcasts the count table
+    // when small; plain shuffle join at 100 TB).
+    val sh = Shingles.hashedShingles(col(textCol), n)
+    val exploded = df.select(col(idCol).as("id"), explode(sh).as("shingle"))
+    val counts = df.select(col(idCol).as("id"), size(sh).as("n_sh"))
 
     val filtered = maxShingleFreq match {
       case Some(cap) =>
-        val hot = shingled.groupBy("shingle").count().where(col("count") > cap)
+        val hot = exploded.groupBy("shingle").count().where(col("count") > cap)
           .select("shingle")
-        shingled.join(broadcast(hot), Seq("shingle"), "left_anti")
-      case None => shingled
+        exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => exploded
     }
 
-    val l = filtered.select(col("shingle"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val r = filtered.select(col("shingle"), col("id").as("id_b"), col("n_sh").as("n_b"))
+    // shuffle_hash hints make both sides hash-exchange on `shingle` with
+    // identical canonical plans → ReuseExchange computes the shingle
+    // pipeline ONCE for both join inputs (broadcast would rebuild it per
+    // side). Same reuse fires for the two `counts` probes below.
+    val l = filtered.select(col("shingle"), col("id").as("id_a")).hint("shuffle_hash")
+    val r = filtered.select(col("shingle"), col("id").as("id_b")).hint("shuffle_hash")
     l.join(r, Seq("shingle")).where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")).hint("shuffle_hash"), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")).hint("shuffle_hash"), "id_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6))
       .where(col("jaccard") >= threshold)

@@ -9,14 +9,30 @@ import org.apache.spark.sql.functions._
   */
 object Shingles {
 
-  /** Distinct word n-shingles of the normalized text, joined by single
-    * spaces. DuckDB-expressible with list comprehension over string_split.
+  /** All word n-shingles (with duplicates) of the normalized text, joined
+    * by single spaces. Min/max-style consumers (MinHash, winnowing
+    * fingerprints) use this directly — a min over the multiset equals the
+    * min over the set, so paying for dedup first is pure waste.
     */
-  def wordShingles(text: Column, n: Int): Column = {
+  def rawWordShingles(text: Column, n: Int): Column = {
     val toks = graft.text.TextFunctions.tokens(text)
     // sequence(1, k) with k<1 would generate a DESCENDING [1,0] — guard it.
     when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-        array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        array_join(slice(toks, i, lit(n)), " ")))
   }
+
+  /** Distinct word n-shingles. NOTE: array_distinct over strings is
+    * O(k²) UTF8String compares — prefer [[hashedShingles]] (distinct over
+    * primitive longs) or [[rawWordShingles]] wherever the consumer allows.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(rawWordShingles(text, n))
+
+  /** Distinct shingles as 64-bit hashes: dedup happens on primitive longs
+    * (hash-set path, O(k)) instead of strings. Set cardinality and join
+    * equality match the string-shingle semantics modulo 2⁻⁶⁴ collisions.
+    */
+  def hashedShingles(text: Column, n: Int): Column =
+    array_distinct(transform(rawWordShingles(text, n), s => xxhash64(s)))
 }

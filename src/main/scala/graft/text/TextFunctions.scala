@@ -104,5 +104,7 @@ object TextFunctions {
     * the word n-shingles — robust to local edits, cross-engine stable.
     */
   def minShingleFingerprint(text: Column, n: Int = 5): Column =
-    array_min(transform(graft.dedup.Shingles.wordShingles(text, n), (s: Column) => md5(s)))
+    // raw (non-distinct) shingles: min over the multiset = min over the set,
+    // and skipping the O(k²) string array_distinct keeps this map-only cheap
+    array_min(transform(graft.dedup.Shingles.rawWordShingles(text, n), (s: Column) => md5(s)))
 }
