@@ -795,6 +795,44 @@ object Queries {
     Some("""SELECT event_id, user_id,
       |  CASE WHEN event_id % 2 = 1 THEN value END AS value FROM events""".stripMargin))
 
+  /** T5-adjacent — event-time tumbling-window aggregation with Spark's
+    * `window()` (the streaming-native construct, exercised here in batch:
+    * identical semantics, and the same column the streaming path would
+    * produce). Oracle: DuckDB `time_bucket`.
+    */
+  val qTumblingWindow = Q("q_tumbling_window",
+    (s, dir) => events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("n"), col("sum_value")),
+    Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+      |  event_type, count(*) AS n, sum(value::DECIMAL(18,2)) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin))
+
+  /** Range (band) join: values bucketed into literal bands via a non-equi
+    * broadcast join — the Spark-shaped way to join a fact to a small range
+    * dimension (BroadcastNestedLoopJoin on a 3-row build side; never a
+    * shuffle of the fact).
+    */
+  val qRangeJoin = Q("q_range_join",
+    (s, dir) => {
+      val bands = s.createDataFrame(Seq(
+        ("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 1e9)
+      )).toDF("band", "lo", "hi")
+      events(s, dir).join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+    },
+    Some("""WITH bands(band, lo, hi) AS (VALUES
+      |  ('low', 0.0, 50.0), ('mid', 50.0, 120.0), ('high', 120.0, 1e9))
+      |SELECT band, count(*) AS n, sum(value::DECIMAL(18,2)) AS sum_value
+      |FROM events JOIN bands ON value >= lo AND value < hi
+      |GROUP BY band""".stripMargin))
+
   // --------------------------------------------- embedding near-dup (dedup)
 
   val dedupEmbedding = Q("dedup_embedding_cosine",
@@ -823,6 +861,7 @@ object Queries {
     q1Agg, qJoinDims, qJoinFact, qTopkWindow, qAnalyticWindow, qSortLimit,
     qSetOps, qRollup, qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
+    qTumblingWindow, qRangeJoin,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupJaccard,
     dedupEmbedding,

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.{Queries, SharedSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions: correctness tests prove the small-SF answer;
+  * these prove the plan is the one we'd want at 100 TB — filters reaching
+  * the parquet scan, column pruning, broadcast where a side is small, and
+  * no accidental O(n²) join strategies in the dedup family.
+  */
+class PlanShapeSpec extends AnyFunSuite with SharedSpark {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: Queries.Q): String =
+    q.fn(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q1_agg: shipdate filter is pushed to the parquet scan") {
+    val p = plan(Queries.q1Agg)
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+  }
+
+  test("fn_string: scan reads only the referenced columns") {
+    val p = plan(Queries.fnString)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("n_chars"), s"n_chars not pruned: $read")
+  }
+
+  test("q_join_dims: dimension joins broadcast (no fact shuffle)") {
+    val p = plan(Queries.qJoinDims)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dedup family: no cartesian products") {
+    for (q <- Seq(Queries.dedupJaccard, Queries.dedupMinhashPairs, Queries.dedupEmbedding)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"${q.name} has a cartesian product")
+    }
+  }
+
+  test("knn brute force: the deliberate cross join broadcasts the query side") {
+    val p = plan(Queries.knnBrute)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_asof_join: single hash exchange on the key, no join explosion") {
+    val p = plan(Queries.qAsofJoin)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the as-of itself is window-based: expect a Window over (user_id)
+    assert(p.contains("Window"), p)
+  }
+
+  test("whole-stage codegen covers the scalar conversion path") {
+    val p = plan(Queries.fnTemporal)
+    assert(p.contains("WholeStageCodegen") || p.contains("codegen id"), p)
+  }
+}
