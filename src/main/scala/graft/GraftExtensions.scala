@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.DecimalFromBytes
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** SparkSessionExtensions entry point — the library's Catalyst seam.
+  *
+  * Usage: `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  * Registers the SQL surface for the library's custom expressions, e.g.
+  *
+  *   SELECT decimal_from_bytes(unbase64(v), 18, 2) FROM ...
+  *
+  * The reference exposes its extension points as CDI-injected strategy
+  * interfaces (SINK/IcebergUtil.java:76-89); the Spark-native analogue is
+  * exactly this class: native expressions injected into the session's
+  * function registry so they participate in whole-stage codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("decimal_from_bytes"),
+      DecimalFromBytes.info,
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "decimal_from_bytes(binary, precision, scale) takes 3 arguments")
+        val p = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"precision must be an int literal, got $other")
+        }
+        val s = args(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"scale must be an int literal, got $other")
+        }
+        DecimalFromBytes(args.head, p, s)
+      }))
+  }
+}

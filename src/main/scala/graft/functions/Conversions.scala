@@ -16,16 +16,17 @@ object Conversions {
     * (reference: SINK/converter/JsonEventConverter.java:256-292,
     * SINK/converter/AbstractEventConverter.java:86-104).
     *
-    * The only non-codegen scalar in the layer — a deliberate UDF fallback
-    * per SURVEY §7.3; it sits off the hot path (precise decimal columns
-    * only) and is a candidate for a custom Expression with doGenCode later.
+    * Backed by the native [[DecimalFromBytes]] Catalyst expression
+    * (doGenCode → stays inside whole-stage codegen; also exposed to SQL as
+    * `decimal_from_bytes` via [[graft.GraftExtensions]]).
     */
-  def decimalFromBase64(c: Column, precision: Int, scale: Int): Column = {
-    val dec = udf { (bytes: Array[Byte]) =>
-      if (bytes == null) null
-      else new java.math.BigDecimal(new java.math.BigInteger(bytes), scale)
-    }
-    dec(unbase64(c)).cast(DecimalType(precision, scale))
+  def decimalFromBase64(c: Column, precision: Int, scale: Int): Column =
+    decimalFromBytes(unbase64(c), precision, scale)
+
+  /** Same, over a binary column directly. */
+  def decimalFromBytes(c: Column, precision: Int, scale: Int): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(DecimalFromBytes(GraftBridge.expression(c), precision, scale))
   }
 
   /** Epoch nanos → timestamp (micros truncation, matching the reference's

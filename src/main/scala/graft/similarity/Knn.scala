@@ -54,6 +54,42 @@ object Knn {
     rank(q.join(c, "bucket").where(col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
+    * centroid ("list"); each query probes only the `nprobe` nearest lists.
+    * The Spark shape of FAISS-style IVF: assignment is a map-only pass
+    * (centroids broadcast), scoring is a co-partitioned equi-join on the
+    * list id — corpus shuffles once by list, queries fan out nprobe rows
+    * each. Expected scan fraction ≈ nprobe/nlist of the corpus.
+    *
+    * Centroids here are caller-provided (train them however you like —
+    * k-means offline, or pass a deterministic sample for reproducible
+    * tests). Recall is governed by nprobe/nlist exactly as in IVF indexes.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: Seq[Array[Float]],
+              idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.length)
+    val centArr = array(centroids.map(cv =>
+      array(cv.toIndexedSeq.map(x => lit(x)): _*)): _*)
+    // distances to every centroid; nearest = list assignment
+    def centroidDists(vec: Column): Column =
+      transform(centArr, cv => aggregate(
+        zip_with(vec, cv, (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+    def nearestLists(vec: Column, n: Int): Column = {
+      val d = centroidDists(vec)
+      // indices of the n smallest distances: sort (dist, idx) structs
+      val idxed = transform(sequence(lit(0), lit(centroids.length - 1)), i =>
+        struct(element_at(d, i + 1).as("d"), i.as("i")))
+      slice(transform(array_sort(idxed), s => s.getField("i")), 1, n)
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      element_at(nearestLists(col(vecCol), 1), 1).as("list_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(nearestLists(col(vecCol), nprobe)).as("list_id")))
+    rank(q.join(c, "list_id").where(col("query_id") =!= col("neighbor_id")), k)
+  }
+
   private def rank(scored: DataFrame, k: Int): DataFrame = {
     val withCos = scored.withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")

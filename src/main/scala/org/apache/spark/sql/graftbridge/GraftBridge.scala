@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. `ExpressionUtils` is `private[sql]` in
+  * Spark 4, so libraries that define native Catalyst expressions expose
+  * them through a shim in the `org.apache.spark.sql` package — the same
+  * approach Spark ecosystem libraries use. This object and the expressions
+  * behind it are the ONLY code outside `graft.*`.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

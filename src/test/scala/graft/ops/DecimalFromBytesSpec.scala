@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SharedSpark
+import graft.functions.Conversions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DecimalFromBytesSpec extends AnyFunSuite with SharedSpark {
+
+  private def b64(unscaled: BigInt): String =
+    java.util.Base64.getEncoder.encodeToString(unscaled.toByteArray)
+
+  test("positive, negative, and >long unscaled values decode exactly") {
+    import spark.implicits._
+    val rows = Seq(
+      (b64(BigInt(123456)), "1234.56"),
+      (b64(BigInt(-987654)), "-9876.54"),
+      (b64(BigInt("123456789012345678901234567890")),
+        "1234567890123456789012345678.90"),
+      (b64(BigInt(0)), "0.00"))
+    val out = rows.toDF("b", "expect")
+      .select(Conversions.decimalFromBase64(col("b"), 38, 2).cast("string").as("got"),
+        col("expect"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1), r))
+  }
+
+  test("null input → null output (null-intolerant expression)") {
+    import spark.implicits._
+    val out = Seq(Option.empty[String]).toDF("b")
+      .select(Conversions.decimalFromBase64(col("b"), 18, 2).as("d")).collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("codegen and interpreted paths agree") {
+    import spark.implicits._
+    val df = Seq(b64(BigInt(-1)), b64(BigInt(255)), b64(BigInt(-256))).toDF("b")
+      .select(Conversions.decimalFromBase64(col("b"), 10, 3).cast("string").as("d"))
+    val withCodegen = df.collect().map(_.getString(0)).toSeq
+    // interpreted fallback
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.collect().map(_.getString(0)).toSeq
+      assert(withCodegen == interp)
+      assert(withCodegen == Seq("-0.001", "0.255", "-0.256"))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("SQL surface via GraftExtensions: decimal_from_bytes") {
+    // extensions apply at session construction — build a sibling session on
+    // the same SparkContext rather than reusing the shared one
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+        .getOrCreate()
+      val r = s2.sql(
+        s"SELECT CAST(decimal_from_bytes(unbase64('${b64(BigInt(314159))}'), 18, 5) AS STRING) AS d")
+        .collect().head.getString(0)
+      assert(r == "3.14159")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SharedSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class EventTimeOpsSpec extends AnyFunSuite with SharedSpark {
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("batch: tumbling windows match a manual groupBy(window)") {
+    import spark.implicits._
+    val df = Seq((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(31), "a", 3.0), (ts(2), "b", 4.0))
+      .toDF("ts", "k", "v")
+    val out = EventTimeOps.tumbling(df, "ts", "30 minutes", "10 minutes",
+      Seq("k"), Seq(sum("v").as("sv"), count(lit(1)).as("n")))
+      .orderBy("k", "w_start").collect()
+    assert(out.map(r => (r.getAs[String]("k"), r.getAs[Double]("sv"), r.getAs[Long]("n"))).toSeq ==
+      Seq(("a", 3.0, 2L), ("a", 3.0, 1L), ("b", 4.0, 1L)))
+  }
+
+  test("batch: session windows merge rows within the gap") {
+    import spark.implicits._
+    val df = Seq((ts(1), "u"), (ts(3), "u"), (ts(30), "u"), (ts(1), "w"))
+      .toDF("ts", "k")
+    val out = EventTimeOps.sessionized(df, "ts", "10 minutes", "0 seconds",
+      Seq("k"), Seq(count(lit(1)).as("n")))
+      .orderBy("k", "s_start").collect()
+    // u: [1,3] merge into one session; 30 is its own; w: one session
+    assert(out.map(r => (r.getAs[String]("k"), r.getAs[Long]("n"))).toSeq ==
+      Seq(("u", 2L), ("u", 1L), ("w", 1L)))
+  }
+
+  test("streaming: watermark closes tumbling windows, late rows beyond it are dropped") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventTimeOps.tumbling(mem.toDF().toDF("ts", "k", "v"),
+      "ts", "10 minutes", "5 minutes", Seq("k"), Seq(sum("v").as("sv")))
+    val q = agg.writeStream.format("memory").queryName("etops")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0))
+      q.processAllAvailable()
+      // watermark still at 0 — nothing emitted yet in append mode
+      assert(spark.table("etops").count() == 0)
+      // advance event time well past window [10:00,10:10) + 5m lateness
+      mem.addData((ts(30), "a", 9.0))
+      q.processAllAvailable()
+      mem.addData((ts(45), "a", 1.0)) // push watermark past 10:30 window too? (10:45-5m=10:40 > 10:40? no)
+      q.processAllAvailable()
+      val closed = spark.table("etops").collect()
+        .map(r => (r.getAs[Timestamp]("w_start").toString, r.getAs[Double]("sv")))
+      assert(closed.contains(("2024-01-01 10:00:00.0", 3.0)), closed.mkString(","))
+      // a row older than the watermark is dropped, not re-emitted
+      mem.addData((ts(3), "a", 100.0))
+      q.processAllAvailable()
+      val after = spark.table("etops").collect()
+        .filter(_.getAs[Timestamp]("w_start").toString == "2024-01-01 10:00:00.0")
+      assert(after.map(_.getAs[Double]("sv")).toSeq == Seq(3.0))
+    } finally q.stop()
+  }
+}
