@@ -80,4 +80,79 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Content → content transform kernel (resize, transcode, re-encode):
+    * bytes in, bytes + updated metadata out.
+    */
+  type MediaTransform = Array[Byte] => (Array[Byte], Int, Int)
+
+  /** STUB resize — real impl decodes, scales to (w, h), re-encodes. The
+    * stub truncates deterministically so size-reduction and metadata
+    * update are observable in tests.
+    */
+  def stubResize(w: Int, h: Int): MediaTransform = bytes => {
+    if (bytes == null) (null, w, h)
+    else (bytes.take(math.max(4, bytes.length / 4)), w, h)
+  }
+
+  /** Resize stage: same mapPartitions shape as [[extractFeatures]] —
+    * output keeps the asset id, replaces content, stamps new dimensions.
+    */
+  def transformContent(spark: SparkSession, df: DataFrame, binCol: String, idCol: String,
+                       transform: MediaTransform,
+                       partitions: Option[Int] = None): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("content", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val prepared = partitions.map(df.repartition(_)).getOrElse(df)
+      .select(col(idCol).cast(LongType), col(binCol))
+    prepared.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val (out, w, h) = transform(bytes)
+        Row(r.getLong(0), out, w, h)
+      }
+    }(enc)
+  }
+
+  /** Frame-sampling kernel: video bytes → sampled frames. */
+  type FrameSampler = Array[Byte] => Seq[Array[Byte]]
+
+  /** STUB sampler — real impl seeks keyframes; the stub chunks the payload
+    * into `frameSize` slices and keeps every `everyN`-th.
+    */
+  def stubFrameSampler(frameSize: Int, everyN: Int): FrameSampler = bytes =>
+    if (bytes == null) Seq.empty
+    else bytes.grouped(frameSize).grandSampled(everyN)
+
+  private implicit class SampleOps(private val it: Iterator[Array[Byte]]) extends AnyVal {
+    def grandSampled(n: Int): Seq[Array[Byte]] =
+      it.zipWithIndex.collect { case (f, i) if i % n == 0 => f }.toSeq
+  }
+
+  /** Frame-sample stage: one input asset fans out to (asset_id, frame_idx,
+    * frame) rows — the explode-shaped media stage. Fan-out happens on the
+    * executors (iterator flatMap), so a 1 GB video never materializes all
+    * frames in one row.
+    */
+  def sampleFrames(spark: SparkSession, df: DataFrame, binCol: String, idCol: String,
+                   sampler: FrameSampler,
+                   partitions: Option[Int] = None): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val prepared = partitions.map(df.repartition(_)).getOrElse(df)
+      .select(col(idCol).cast(LongType), col(binCol))
+    prepared.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        sampler(bytes).iterator.zipWithIndex.map { case (f, i) => Row(r.getLong(0), i, f) }
+      }
+    }(enc)
+  }
 }

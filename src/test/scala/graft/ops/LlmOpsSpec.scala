@@ -132,4 +132,23 @@ class LlmOpsSpec extends AnyFunSuite with SharedSpark {
     assert(feats.length == 2 && feats(0).getSeq[Float](1).length == 8)
     assert(feats(0).getSeq[Float](1).sum > 0f)
   }
+
+  test("multimodal: resize and frame-sample stages keep ids, shrink/fan out content") {
+    val assets = Seq(
+      (1L, Array.fill[Byte](64)(7)), (2L, Array.fill[Byte](8)(3))
+    ).toDF("asset_id", "content")
+    val resized = graft.multimodal.Multimodal.transformContent(
+      spark, assets, "content", "asset_id",
+      graft.multimodal.Multimodal.stubResize(32, 32)).orderBy("asset_id").collect()
+    assert(resized(0).getAs[Array[Byte]]("content").length == 16)  // 64/4
+    assert(resized(0).getAs[Int]("width") == 32)
+
+    val frames = graft.multimodal.Multimodal.sampleFrames(
+      spark, assets, "content", "asset_id",
+      graft.multimodal.Multimodal.stubFrameSampler(frameSize = 8, everyN = 2))
+    val byAsset = frames.groupBy("asset_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // asset 1: 64/8 = 8 chunks, every 2nd → 4 frames; asset 2: 1 chunk → 1
+    assert(byAsset == Map(1L -> 4L, 2L -> 1L))
+  }
 }
