@@ -35,10 +35,51 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val eps = try cdcThroughput(spark, sfDir) catch {
+      case e: Throwable => System.err.println(s"[bench] cdc pipeline failed: ${e.getMessage}"); 0.0
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc_events_per_sec":$eps,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** BASELINE.md's rebuild bench definition: events/sec through the full
+    * decode → dedup → upsert-commit pipeline (Trigger.AvailableNow over the
+    * sf events table re-encoded as Debezium-style envelopes, two
+    * destinations, upsert mode — the reference's hot loop end to end).
+    */
+  private def cdcThroughput(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_cdc_bench").toString
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"field":"user_id","type":"int64","optional":false},
+        |{"field":"event_id","type":"int64","optional":true},
+        |{"field":"value","type":"float64","optional":true},
+        |{"field":"__op","type":"string","optional":true},
+        |{"field":"__source_ts_ms","type":"int64","optional":true}
+        |]}""".stripMargin.replaceAll("\n", "")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val n = events.count()
+    events.select(
+      concat(lit("bench.db.t"), col("user_id") % 2).as("destination"),
+      concat(lit("""{"schema":{"type":"struct","fields":[{"field":"user_id","type":"int64"}]},"payload":{"user_id":"""),
+        col("user_id"), lit("}}")).as("key"),
+      concat(lit(s"""{"schema":$schemaJson,"payload":"""),
+        to_json(struct(col("user_id"), col("event_id"), col("value"),
+          when(col("event_type") === "error", "d").otherwise("u").as("__op"),
+          // ts is a nanos long under nanosAsLong — truncate to millis
+          expr("ts div 1000000").as("__source_ts_ms"))),
+        lit("}")).as("value"))
+      .write.mode("overwrite").json(s"$work/in")
+    val cfg = graft.streaming.PipelineConfig(
+      warehouse = s"$work/wh", upsert = true, keepDeletes = false,
+      dedupColumn = "__source_ts_ms", concurrentTables = 2)
+    val t0 = System.nanoTime()
+    val q = graft.streaming.CdcPipeline.start(spark, s"$work/in", s"$work/ckpt", cfg)
+    q.awaitTermination()
+    n / ((System.nanoTime() - t0) / 1e9)
   }
 }

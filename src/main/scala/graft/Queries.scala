@@ -833,6 +833,25 @@ object Queries {
       |FROM events JOIN bands ON value >= lo AND value < hi
       |GROUP BY band""".stripMargin))
 
+  /** Sketch aggregates (HLL distinct-count, t-digest percentile): the
+    * mergeable-summary path for groups too big for exact aggregation.
+    * Oracle-checked via accuracy bounds: the booleans only match DuckDB's
+    * constant `true` if the sketch error really is within the bound —
+    * an exact hash-compare that still permits approximate internals.
+    */
+  val aggSketches = Q("agg_sketches",
+    (s, dir) => t(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_partkey").as("hll"),
+        countDistinct("l_partkey").as("exact_nd"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_sketch"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+      .select(col("l_returnflag"),
+        (abs(col("hll") - col("exact_nd")) / col("exact_nd") < 0.1).as("hll_ok"),
+        (abs(col("p50_sketch") - col("p50_exact")) / col("p50_exact") < 0.02).as("p50_ok")),
+    Some("""SELECT DISTINCT l_returnflag, true AS hll_ok, true AS p50_ok
+      |FROM lineitem""".stripMargin))
+
   // --------------------------------------------- embedding near-dup (dedup)
 
   val dedupEmbedding = Q("dedup_embedding_cosine",
@@ -861,7 +880,7 @@ object Queries {
     q1Agg, qJoinDims, qJoinFact, qTopkWindow, qAnalyticWindow, qSortLimit,
     qSetOps, qRollup, qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
-    qTumblingWindow, qRangeJoin,
+    qTumblingWindow, qRangeJoin, aggSketches,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupJaccard,
     dedupEmbedding,
