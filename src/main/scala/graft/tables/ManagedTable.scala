@@ -103,7 +103,7 @@ final class ManagedTable private (
       if (isPartitioned) withParts.repartition(partitionFields.map(pf => col(pf.name)): _*)
       else withParts
     val sorted = sortForWrite(distributed)
-    val w = sorted.write.mode("append")
+    val w = applyWriteProps(sorted.write.mode("append"))
     (if (isPartitioned) w.partitionBy(partitionFields.map(_.name): _*) else w)
       .parquet(dataDir.toString)
   }
@@ -145,7 +145,7 @@ final class ManagedTable private (
     val staging = new Path(tableDir, s".stage-${java.util.UUID.randomUUID()}")
     val stagedOut = sortForWrite(
       withPartitionCols(merged).repartition(pnames.map(col): _*))
-    stagedOut.write.mode("overwrite").partitionBy(pnames: _*).parquet(staging.toString)
+    applyWriteProps(stagedOut.write.mode("overwrite")).partitionBy(pnames: _*).parquet(staging.toString)
     try {
       touched.foreach { r =>
         val rel = pnames.zipWithIndex.map { case (n, i) =>
@@ -197,12 +197,25 @@ final class ManagedTable private (
     if (ids.isEmpty) df else df.sortWithinPartitions(ids.map(col): _*)
   }
 
+  /** W10 — rolling file size: honor the reference's
+    * `write.target-file-size-bytes` table property by translating it to
+    * Spark's maxRecordsPerFile using an estimated row width
+    * (`write.estimated-row-bytes`, default 256). Writers then roll files
+    * at ≈ the target size, like the reference's rolling writers
+    * (IcebergTableWriterFactory.java:42-46).
+    */
+  private def applyWriteProps(w: org.apache.spark.sql.DataFrameWriter[Row]): org.apache.spark.sql.DataFrameWriter[Row] =
+    _meta.properties.get("write.target-file-size-bytes").map { bytesStr =>
+      val rowBytes = _meta.properties.getOrElse("write.estimated-row-bytes", "256").toLong
+      w.option("maxRecordsPerFile", math.max(1L, bytesStr.toLong / math.max(1L, rowBytes)))
+    }.getOrElse(w)
+
   /** Unpartitioned snapshot commit: write v+1 fully, flip pointer, prune
     * old snapshots (keep 2 for time travel).
     */
   private def commitNewVersion(df: DataFrame): Unit = {
     val next = _meta.currentVersion + 1
-    df.write.mode("overwrite").parquet(new Path(tableDir, s"v=$next").toString)
+    applyWriteProps(df.write.mode("overwrite")).parquet(new Path(tableDir, s"v=$next").toString)
     _meta = _meta.copy(currentVersion = next)
     TableMeta.write(fs, tableDir, _meta)
     val stale = next - 2

@@ -135,6 +135,20 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(t.read().select("email").as[String].collect().toSeq == Seq("a@x.io"))
   }
 
+  test("rolling file size W10: target-file-size-bytes property splits output files") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_w10").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "name")
+    val t = ManagedTable.create(spark, wh, "rolled", df.schema, Seq("id"), Seq.empty,
+      // 100 rows/file: 25600 bytes target at 256 estimated row bytes
+      Map("write.target-file-size-bytes" -> "25600"))
+    t.append(df.coalesce(1)) // single partition input would be one file without W10
+    val files = new java.io.File(s"$wh/rolled/v=0").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files >= 10, s"expected >=10 rolled files, got $files")
+    assert(t.read().count() == 1000)
+  }
+
   test("overwrite W7: single-row metadata table semantics") {
     val wh = tmpWarehouse()
     val s = StructType(Seq(StructField("id", StringType), StructField("offset_data", StringType)))
