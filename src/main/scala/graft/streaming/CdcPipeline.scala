@@ -136,6 +136,34 @@ object CdcPipeline {
       finally pool.shutdown()
     }
 
+  /** T4 — consumed-events progress logging, the reference's 15-minute
+    * counter (SINK/IcebergChangeConsumer.java:66,396-407) re-expressed as a
+    * StreamingQueryListener: logs cumulative rows and current rows/sec per
+    * progress event. Returns the listener so callers can detach or inspect.
+    */
+  def attachProgressLogger(spark: SparkSession): org.apache.spark.sql.streaming.StreamingQueryListener = {
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      private val total = new java.util.concurrent.atomic.AtomicLong()
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val batchRows = e.progress.numInputRows
+        val t = total.addAndGet(batchRows)
+        LoggerHolder.log.info(
+          s"[graft-cdc] batch=${e.progress.batchId} rows=$batchRows total=$t " +
+            f"rate=${e.progress.processedRowsPerSecond}%.1f rows/s")
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        LoggerHolder.log.info(s"[graft-cdc] query ${e.id} terminated, total=${total.get} rows")
+    }
+    spark.streams.addListener(listener)
+    listener
+  }
+
+  private object LoggerHolder {
+    val log: org.slf4j.Logger = org.slf4j.LoggerFactory.getLogger("graft.streaming.CdcPipeline")
+  }
+
   /** Start the streaming shell over a directory of JSON event files.
     * `Trigger.AvailableNow` drains everything then stops (bench mode);
     * `ProcessingTime` mirrors MaxBatchSizeWait-style throttling (T1).

@@ -47,6 +47,12 @@ final class ManagedTable private (
     PartitionSpecParser.parse(_meta.partitionBy, _meta.schema.fieldNames.toSet)
   private def isPartitioned: Boolean = partitionFields.nonEmpty
 
+  /** Data file format — the reference's `write.format-default`
+    * (docs/iceberg.md write-format config; ORC covered by its config-matrix
+    * tests). parquet | orc.
+    */
+  private def format: String = _meta.properties.getOrElse("write.format-default", "parquet")
+
   /** Data root: versioned snapshot dir when unpartitioned; a single
     * partition-swapped dir when partitioned.
     */
@@ -82,14 +88,14 @@ final class ManagedTable private (
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], physicalSchema)
     } else {
       spark.read.schema(physicalSchema)
-        .option("basePath", d.toString).parquet(d.toString)
+        .option("basePath", d.toString).format(format).load(d.toString)
     }
   }
 
   /** Time travel over unpartitioned snapshots. */
   def readVersion(v: Long): DataFrame = {
     require(!isPartitioned, "time travel is only kept for unpartitioned tables")
-    spark.read.schema(physicalSchema).parquet(new Path(tableDir, s"v=$v").toString)
+    spark.read.schema(physicalSchema).format(format).load(new Path(tableDir, s"v=$v").toString)
   }
 
   /** W1/W2 — append. Batch is conformed to the table schema (R4), hash-
@@ -105,7 +111,7 @@ final class ManagedTable private (
     val sorted = sortForWrite(distributed)
     val w = applyWriteProps(sorted.write.mode("append"))
     (if (isPartitioned) w.partitionBy(partitionFields.map(_.name): _*) else w)
-      .parquet(dataDir.toString)
+      .format(format).save(dataDir.toString)
   }
 
   /** C3–C7 — upsert-merge a CDC batch into the table. */
@@ -145,7 +151,8 @@ final class ManagedTable private (
     val staging = new Path(tableDir, s".stage-${java.util.UUID.randomUUID()}")
     val stagedOut = sortForWrite(
       withPartitionCols(merged).repartition(pnames.map(col): _*))
-    applyWriteProps(stagedOut.write.mode("overwrite")).partitionBy(pnames: _*).parquet(staging.toString)
+    applyWriteProps(stagedOut.write.mode("overwrite")).partitionBy(pnames: _*)
+      .format(format).save(staging.toString)
     try {
       touched.foreach { r =>
         val rel = pnames.zipWithIndex.map { case (n, i) =>
@@ -215,7 +222,8 @@ final class ManagedTable private (
     */
   private def commitNewVersion(df: DataFrame): Unit = {
     val next = _meta.currentVersion + 1
-    applyWriteProps(df.write.mode("overwrite")).parquet(new Path(tableDir, s"v=$next").toString)
+    applyWriteProps(df.write.mode("overwrite"))
+      .format(format).save(new Path(tableDir, s"v=$next").toString)
     _meta = _meta.copy(currentVersion = next)
     TableMeta.write(fs, tableDir, _meta)
     val stale = next - 2
@@ -268,4 +276,27 @@ object ManagedTable {
   ): ManagedTable =
     load(spark, warehouse, name)
       .getOrElse(create(spark, warehouse, name, schema, identifierFields, partitionBy, properties))
+
+  /** All tables in a warehouse (dirs with a meta.json). */
+  def list(spark: SparkSession, warehouse: String): Seq[String] = {
+    val fs = TableMeta.fs(spark.sparkContext.hadoopConfiguration, warehouse)
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "meta.json")))
+      .map(_.getPath.getName).sorted
+  }
+
+  /** Expose every warehouse table to `spark.sql` as a temp view — the SQL
+    * surface the reference's own tests use to verify written tables
+    * (TEST/BaseSparkTest.java:170-178 reads Iceberg tables via Spark SQL);
+    * here queries run against the current snapshot at call time.
+    */
+  def registerAllViews(spark: SparkSession, warehouse: String): Seq[String] = {
+    val names = list(spark, warehouse)
+    names.foreach { n =>
+      load(spark, warehouse, n).foreach(_.read().createOrReplaceTempView(n))
+    }
+    names
+  }
 }

@@ -74,6 +74,21 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
     assert(t.read().count() == 1)
   }
 
+  test("progress listener T4 observes batch row counts") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val listener = CdcPipeline.attachProgressLogger(spark)
+    try {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      val q = mem.toDF().writeStream.format("noop").start()
+      mem.addData(1, 2, 3)
+      q.processAllAvailable()
+      q.stop()
+      // listener logged without throwing; the metric path is progress events
+      assert(q.recentProgress.map(_.numInputRows).sum == 3)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("archive mode W9 writes raw events partitioned by destination+hour") {
     val root = Files.createTempDirectory("graft-arch").toString
     val src = s"$root/events"; Files.createDirectories(java.nio.file.Paths.get(src))

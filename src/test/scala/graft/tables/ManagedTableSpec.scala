@@ -149,6 +149,20 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(t.read().count() == 1000)
   }
 
+  test("ORC write format via write.format-default; views expose SQL surface") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val t = ManagedTable.create(spark, wh, "orc_t", df.schema, Seq("id"), Seq.empty,
+      Map("write.format-default" -> "orc"))
+    t.append(df)
+    assert(new java.io.File(s"$wh/orc_t/v=0").listFiles().exists(_.getName.endsWith(".orc")))
+    assert(t.read().count() == 2)
+    val names = ManagedTable.registerAllViews(spark, wh)
+    assert(names == Seq("orc_t"))
+    assert(spark.sql("SELECT count(*) FROM orc_t WHERE id = 1").head().getLong(0) == 1L)
+  }
+
   test("overwrite W7: single-row metadata table semantics") {
     val wh = tmpWarehouse()
     val s = StructType(Seq(StructField("id", StringType), StructField("offset_data", StringType)))
