@@ -768,6 +768,50 @@ object Queries {
     },
     Some("SELECT event_id, user_id, event_type FROM events"))
 
+  /** F11 — recursive nested conversion: struct, array, and map fields
+    * decode through the same inference + from_json path; outputs extract
+    * from each nesting level so the oracle verifies the full round trip.
+    */
+  val cdcDecodeNested = Q("cdc_decode_nested",
+    (s, dir) => {
+      val schemaJson =
+        """{"type":"struct","fields":[
+          |{"field":"event_id","type":"int64","optional":false},
+          |{"field":"nested","type":"struct","optional":true,"fields":[
+          |  {"field":"k","type":"int64","optional":true},
+          |  {"field":"label","type":"string","optional":true}]},
+          |{"field":"tags","type":"array","optional":true,"items":{"type":"string","optional":true}},
+          |{"field":"attrs","type":"map","optional":true,
+          |  "keys":{"type":"string","optional":false},"values":{"type":"int64","optional":true}}
+          |]}""".stripMargin.replaceAll("\n", "")
+      val e = events(s, dir)
+      val env = e.select(concat(
+        lit(s"""{"schema":$schemaJson,"payload":"""),
+        to_json(struct(
+          col("event_id"),
+          struct(get_json_object(col("props"), "$.k").cast("long").as("k"),
+            col("event_type").as("label")).as("nested"),
+          array(col("event_type"), substring(col("event_type"), 1, 2)).as("tags"),
+          map(lit("uid"), col("user_id"), lit("eid"), col("event_id")).as("attrs"))),
+        lit("}")).as("value"))
+      val inferred = EventDecoder.infer(Seq(schemaJson),
+        Some("""{"type":"struct","fields":[{"field":"event_id","type":"int64"}]}"""))
+      EventDecoder.decode(env, inferred).select(
+        col("event_id"),
+        col("nested.k").as("nested_k"),
+        col("nested.label").as("nested_label"),
+        element_at(col("tags"), 2).as("tag2"),
+        size(col("tags")).cast("long").as("n_tags"),
+        element_at(col("attrs"), "uid").as("attr_uid"))
+    },
+    Some("""SELECT event_id,
+      |  json_extract_string(props, '$.k')::BIGINT AS nested_k,
+      |  event_type AS nested_label,
+      |  substr(event_type, 1, 2) AS tag2,
+      |  2::BIGINT AS n_tags,
+      |  user_id AS attr_uid
+      |FROM events""".stripMargin))
+
   /** D6 — schema evolution across one batch: v1 events carry
     * (event_id, user_id:int32), v2 adds `value` and widens user_id to
     * int64. Inference union-by-names + promotes; v1 rows read back with a
@@ -874,7 +918,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcDecode, cdcOpMapping,
-    cdcRouting, cdcColumnExclusion, cdcSchemaEvolution,
+    cdcRouting, cdcColumnExclusion, cdcSchemaEvolution, cdcDecodeNested,
     fnTemporal, fnJson, fnString, fnHash, fnVariant, fnDecimalPrecise,
     partitionTransforms,
     q1Agg, qJoinDims, qJoinFact, qTopkWindow, qAnalyticWindow, qSortLimit,
