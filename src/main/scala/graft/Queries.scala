@@ -877,6 +877,49 @@ object Queries {
       |FROM events JOIN bands ON value >= lo AND value < hi
       |GROUP BY band""".stripMargin))
 
+  /** Ordered string aggregation (listagg): collect_list is unordered by
+    * contract, so determinism comes from collecting (rank, value) structs
+    * and array_sort-ing before the join — the Spark-shaped `string_agg
+    * ... ORDER BY`.
+    */
+  val qStringAgg = Q("q_string_agg",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .groupBy("o_orderpriority")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("rk"), col("o_orderkey")))),
+            st => st.getField("o_orderkey").cast("string"))).as("top_keys"))
+    },
+    Some("""WITH r AS (SELECT o_orderpriority, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders)
+      |SELECT o_orderpriority, string_agg(o_orderkey::VARCHAR, ',' ORDER BY rk) AS top_keys
+      |FROM r WHERE rk <= 5 GROUP BY o_orderpriority""".stripMargin))
+
+  /** F3 — UUID handling: canonical 8-4-4-4-12 form + validity predicate
+    * (the reference stores UUIDs as strings on the Spark side, §1.3).
+    */
+  val fnUuid = Q("fn_uuid",
+    (s, dir) => {
+      val h = md5(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws("-", substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+          substring(h, 17, 4), substring(h, 21, 12)).as("uuid"),
+        regexp_like(
+          concat_ws("-", substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+            substring(h, 17, 4), substring(h, 21, 12)),
+          lit("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")).as("valid"))
+    },
+    Some("""SELECT doc_id,
+      |  substr(md5(text),1,8)||'-'||substr(md5(text),9,4)||'-'||substr(md5(text),13,4)||'-'||substr(md5(text),17,4)||'-'||substr(md5(text),21,12) AS uuid,
+      |  regexp_matches(substr(md5(text),1,8)||'-'||substr(md5(text),9,4)||'-'||substr(md5(text),13,4)||'-'||substr(md5(text),17,4)||'-'||substr(md5(text),21,12),
+      |    '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$') AS valid
+      |FROM documents""".stripMargin))
+
   /** Sketch aggregates (HLL distinct-count, t-digest percentile): the
     * mergeable-summary path for groups too big for exact aggregation.
     * Oracle-checked via accuracy bounds: the booleans only match DuckDB's
@@ -919,12 +962,12 @@ object Queries {
   val all: Seq[Q] = Seq(
     cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcDecode, cdcOpMapping,
     cdcRouting, cdcColumnExclusion, cdcSchemaEvolution, cdcDecodeNested,
-    fnTemporal, fnJson, fnString, fnHash, fnVariant, fnDecimalPrecise,
+    fnTemporal, fnJson, fnString, fnHash, fnVariant, fnDecimalPrecise, fnUuid,
     partitionTransforms,
     q1Agg, qJoinDims, qJoinFact, qTopkWindow, qAnalyticWindow, qSortLimit,
     qSetOps, qRollup, qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
-    qTumblingWindow, qRangeJoin, aggSketches,
+    qTumblingWindow, qRangeJoin, aggSketches, qStringAgg,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupJaccard,
     dedupEmbedding,
