@@ -64,6 +64,27 @@ class DedupPropertySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("null identifier field: Fail policy raises, Drop policy filters the row") {
+    import spark.implicits._
+    val batch = Seq(
+      (Some(1L), "c", 1L, 10), (Option.empty[Long], "c", 1L, 99)
+    ).toDF("user_key", "__op", "ts", "payload")
+    val empty = batch.limit(0)
+
+    val ex = intercept[Exception] {
+      CdcApply.upsert(empty, batch, Seq("user_key"),
+        CdcApply.UpsertConfig(dedupColumn = "ts",
+          nullKeyPolicy = CdcApply.NullKeyPolicy.Fail)).collect()
+    }
+    assert(ex.getMessage.contains("null identifier field") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null identifier field")), ex.getMessage)
+
+    val dropped = CdcApply.upsert(empty, batch, Seq("user_key"),
+      CdcApply.UpsertConfig(dedupColumn = "ts",
+        nullKeyPolicy = CdcApply.NullKeyPolicy.Drop))
+    assert(dropped.select("user_key").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("upsert hard-delete nets inserts+deletes to nothing") {
     import spark.implicits._
     val batch = Seq(
