@@ -481,7 +481,20 @@ object Queries {
   private val duckShingles3 =
     """list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)])"""
 
-  private val duckBaseHash = "('0x'||substr(md5(shingle),1,8))::BIGINT"
+  /** Rolling token-hash combine mirroring [[MinHashLSH.shingleHashes]]:
+    * per-token 32-bit md5 hash, trigram polynomial combine mod 2^32.
+    */
+  private val duckCombinedHashes3 =
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+       |  FROM documents),
+       |th AS (SELECT doc_id,
+       |    list_transform(tk, t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS th
+       |  FROM toks WHERE len(tk) >= 3),
+       |hs AS (SELECT doc_id,
+       |    unnest([((th[i]*${MinHashLSH.CombineK} + th[i+1])*${MinHashLSH.CombineK} + th[i+2]) % ${MinHashLSH.CombineMod}
+       |            for i in range(1, len(th)-1)]) AS h
+       |  FROM th)""".stripMargin
 
   private def duckSigAggs(k: Int): String =
     MinHashLSH.hashParams(k).zipWithIndex.map { case ((a, b), i) =>
@@ -490,11 +503,7 @@ object Queries {
 
   val dedupMinhash = Q("dedup_minhash_signatures",
     (s, dir) => MinHashLSH.signatures(t(s, dir, "documents"), "text", "doc_id", k = 8, shingleSize = 3),
-    Some(s"""WITH toks AS (SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
-      |  FROM documents),
-      |sh AS (SELECT doc_id, unnest($duckShingles3) AS shingle FROM toks WHERE len(tk) >= 3),
-      |hs AS (SELECT doc_id, $duckBaseHash AS h FROM sh)
+    Some(s"""$duckCombinedHashes3
       |SELECT doc_id, ${duckSigAggs(8)} FROM hs GROUP BY doc_id""".stripMargin))
 
   val dedupMinhashPairs = Q("dedup_minhash_pairs",
@@ -503,11 +512,7 @@ object Queries {
     Some {
       val bandSelects = (0 until 8).map(i =>
         s"SELECT doc_id, $i AS band_idx, md5(sig_$i::VARCHAR) AS band_hash FROM sigs").mkString(" UNION ALL ")
-      s"""WITH toks AS (SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
-         |  FROM documents),
-         |sh AS (SELECT doc_id, unnest($duckShingles3) AS shingle FROM toks WHERE len(tk) >= 3),
-         |hs AS (SELECT doc_id, $duckBaseHash AS h FROM sh),
+      s"""$duckCombinedHashes3,
          |sigs AS (SELECT doc_id, ${duckSigAggs(8)} FROM hs GROUP BY doc_id),
          |bands AS ($bandSelects)
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

@@ -29,12 +29,25 @@ object MinHashLSH {
   def hashParams(k: Int): Seq[(Long, Long)] =
     (0 until k).map(i => (2L * i + 1001L, 7L * i + 101L))
 
-  /** 32-bit base hash of a shingle, identical in Spark and DuckDB:
+  /** 32-bit base hash of a token/shingle, identical in Spark and DuckDB:
     * Spark `conv(substring(md5(s),1,8),16,10)`,
     * DuckDB `('0x'||substr(md5(s),1,8))::BIGINT`.
     */
   def baseHash(shingle: Column): Column =
     conv(substring(md5(shingle), 1, 8), 16, 10).cast("long")
+
+  /** Combine multiplier and final modulus of the token-hash rolling
+    * combine (see [[Shingles.combinedShingleHashes]]); the 2^32 modulus
+    * keeps shingle hashes inside the affine family's domain. Mirror in
+    * DuckDB as `((th[i]*1024 + th[i+1])*1024 + th[i+2]) % 4294967296`.
+    */
+  val CombineK = 1024L
+  val CombineMod = 4294967296L
+
+  /** Per-doc shingle-hash array from a materialized token attribute. */
+  def shingleHashes(toksAttr: Column, shingleSize: Int): Column =
+    Shingles.combinedShingleHashes(toksAttr, shingleSize, baseHash,
+      CombineK, Some(CombineMod))
 
   /** Per-doc signature: columns (id, sig_0 .. sig_{k-1}), each a Long.
     *
@@ -46,14 +59,15 @@ object MinHashLSH {
     */
   def signatures(df: DataFrame, textCol: String, idCol: String,
                  k: Int = 16, shingleSize: Int = 3): DataFrame = {
-    val hs = transform(Shingles.rawWordShingles(col(textCol), shingleSize),
-      s => baseHash(s))
-    // Filter on token count, NOT size(hs): a predicate on hs gets inlined
-    // through the projection and re-runs the whole md5 chain a second time
-    // per row (measured +3.5 s at sf0.1). Token re-split is pennies.
+    // Filter on token count, NOT size(hs): a predicate on a derived array
+    // gets inlined through the projection and re-runs the whole chain a
+    // second time per row (measured +3.5 s at sf0.1). Token re-split is
+    // pennies. Tokens then materialize as an attribute so the rolling
+    // combine reads them by index (see Shingles.combinedShingleHashes).
     val base = df
       .where(size(graft.text.TextFunctions.tokens(col(textCol))) >= shingleSize)
-      .select(col(idCol), hs.as("hs"))
+      .select(col(idCol), graft.text.TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), shingleHashes(col("tk"), shingleSize).as("hs"))
     val sigCols = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("hs"), h => pmod(h * a + b, lit(Prime)))).as(s"sig_$i")
     }

@@ -23,9 +23,11 @@ object NgramJaccard {
   def pairs(df: DataFrame, textCol: String, idCol: String,
             n: Int = 3, threshold: Double = 0.8,
             maxShingleFreq: Option[Long] = None): DataFrame = {
-    // 64-bit hashed shingles end to end: dedup on primitive longs (the
-    // string array_distinct path is O(k²) compares), same pair counts as
-    // strings modulo ~2⁻⁶⁴ collisions, half the shuffle bytes.
+    // Hashed shingles end to end, built WITHOUT shingle strings: a rolling
+    // polynomial combine of per-token hashes (Shingles.combinedShingleHashes
+    // — string building in interpreted lambdas was the dominant cost),
+    // deduped on primitive longs. Same pair counts as string shingles
+    // modulo ~2⁻²³ global collision odds in the ~2⁶² combine space.
     //
     // CRITICAL plan shape: the exploded relation carries ONLY (id, shingle).
     // Projecting size(sh) across the explode makes Catalyst re-derive the
@@ -34,9 +36,14 @@ object NgramJaccard {
     // sf0.1). Per-doc set sizes are a separate cheap pass, attached to the
     // ~|pairs| aggregate at the very end (AQE broadcasts the count table
     // when small; plain shuffle join at 100 TB).
-    val sh = Shingles.hashedShingles(col(textCol), n)
-    val exploded = df.select(col(idCol).as("id"), explode(sh).as("shingle"))
-    val counts = df.select(col(idCol).as("id"), size(sh).as("n_sh"))
+    val toked = df
+      .where(size(graft.text.TextFunctions.tokens(col(textCol))) >= n)
+      .select(col(idCol).as("id"),
+        graft.text.TextFunctions.tokens(col(textCol)).as("tk"))
+    val sh = array_distinct(Shingles.combinedShingleHashes(col("tk"), n,
+      t => pmod(xxhash64(t), lit(1L << 40)), k = 1L << 11))
+    val exploded = toked.select(col("id"), explode(sh).as("shingle"))
+    val counts = toked.select(col("id"), size(sh).as("n_sh"))
 
     val filtered = maxShingleFreq match {
       case Some(cap) =>

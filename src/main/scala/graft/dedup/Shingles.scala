@@ -35,4 +35,32 @@ object Shingles {
     */
   def hashedShingles(text: Column, n: Int): Column =
     array_distinct(transform(rawWordShingles(text, n), s => xxhash64(s)))
+
+  /** Shingle hashes WITHOUT building shingle strings: a rolling polynomial
+    * combine of per-token hashes, h(i) = fold(th[i..i+n-1], (acc,h) =>
+    * acc*K + h). Building ~290 joined strings per doc inside interpreted
+    * higher-order lambdas is the measured dominant cost of every shingle
+    * pipeline (≈3.1 s of a 4 s pass at sf0.1); arithmetic over token
+    * hashes removes it. Each token is hashed n× as the window slides —
+    * hashing is cheap, allocation was not.
+    *
+    * `toksAttr` MUST be a materialized attribute (select the token array
+    * into a column first): it is referenced n+1 times per element, which
+    * also keeps CollapseProject from inlining the tokenization.
+    *
+    * Bounds: with tokenHash < 2^32 and K ≤ 2^10, a trigram combine stays
+    * < 2^53 — no ANSI overflow; `finalMod` reduces to a fixed space when a
+    * downstream family needs it (MinHash's affine permutations).
+    */
+  def combinedShingleHashes(toksAttr: Column, n: Int,
+                            tokenHash: Column => Column,
+                            k: Long = 1024L,
+                            finalMod: Option[Long] = None): Column =
+    when(size(toksAttr) < n, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(1), size(toksAttr) - (n - 1)), i => {
+        val combined = (0 until n)
+          .map(j => tokenHash(element_at(toksAttr, i + lit(j))))
+          .reduceLeft((acc, h) => acc * k + h)
+        finalMod.map(m => pmod(combined, lit(m))).getOrElse(combined)
+      }))
 }
