@@ -455,20 +455,24 @@ object Queries {
     })
 
   val textFingerprint = Q("text_fingerprint",
-    (s, dir) => t(s, dir, "documents").select(
-      col("doc_id"),
-      TextFunctions.fingerprint(col("text")).as("fp"),
-      TextFunctions.minShingleFingerprint(col("text"), 5).as("shingle_fp")),
-    Some("""WITH toks AS (SELECT doc_id, text,
-      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
-      |  FROM documents)
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.minShingleFingerprintFromTokens(col("tk"), 5).as("shingle_fp")),
+    Some(s"""WITH toks AS (SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |th AS (SELECT doc_id, text, tk,
+      |    list_transform(tk, t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS th
+      |  FROM toks)
       |SELECT doc_id,
-      |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+      |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
       |  CASE WHEN len(tk) < 5 THEN NULL ELSE
-      |    list_min(list_transform(
-      |      list_distinct([array_to_string(tk[i:i+4], ' ') for i in range(1, len(tk)-3)]),
-      |      s -> md5(s))) END AS shingle_fp
-      |FROM toks""".stripMargin))
+      |    list_min([((((th[i]*${MinHashLSH.CombineK} + th[i+1]) % ${MinHashLSH.CombineMod} * ${MinHashLSH.CombineK} + th[i+2]) % ${MinHashLSH.CombineMod} * ${MinHashLSH.CombineK} + th[i+3]) % ${MinHashLSH.CombineMod} * ${MinHashLSH.CombineK} + th[i+4]) % ${MinHashLSH.CombineMod}
+      |              for i in range(1, len(th)-3)]) END AS shingle_fp
+      |FROM th""".stripMargin))
 
   // ----------------------------------------------------------- dedup family
 

@@ -48,9 +48,11 @@ object Shingles {
     * into a column first): it is referenced n+1 times per element, which
     * also keeps CollapseProject from inlining the tokenization.
     *
-    * Bounds: with tokenHash < 2^32 and K ≤ 2^10, a trigram combine stays
-    * < 2^53 — no ANSI overflow; `finalMod` reduces to a fixed space when a
-    * downstream family needs it (MinHash's affine permutations).
+    * Bounds: without `finalMod`, tokenHash·K^(n-1) must stay < 2^63 (ANSI
+    * overflow otherwise — e.g. 2^40-bit hashes with K=2^11 support n=3).
+    * With `finalMod` M the accumulator is reduced mod M before each
+    * multiply — congruent to the plain polynomial mod M, overflow-free for
+    * any n, and exactly mirrorable in integer SQL.
     */
   def combinedShingleHashes(toksAttr: Column, n: Int,
                             tokenHash: Column => Column,
@@ -58,9 +60,13 @@ object Shingles {
                             finalMod: Option[Long] = None): Column =
     when(size(toksAttr) < n, array().cast("array<long>"))
       .otherwise(transform(sequence(lit(1), size(toksAttr) - (n - 1)), i => {
+        val step: (Column, Column) => Column = finalMod match {
+          case Some(m) => (acc, h) => pmod(acc, lit(m)) * k + h
+          case None    => (acc, h) => acc * k + h
+        }
         val combined = (0 until n)
           .map(j => tokenHash(element_at(toksAttr, i + lit(j))))
-          .reduceLeft((acc, h) => acc * k + h)
+          .reduceLeft(step)
         finalMod.map(m => pmod(combined, lit(m))).getOrElse(combined)
       }))
 }

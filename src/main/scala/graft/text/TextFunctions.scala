@@ -100,11 +100,15 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
-  /** Winnowing-style shingle fingerprint: lexicographic min of the md5s of
-    * the word n-shingles — robust to local edits, cross-engine stable.
+  /** Winnowing-style shingle fingerprint: the minimum shingle hash over
+    * the document's word n-shingles — robust to local edits (one edit
+    * perturbs ≤ n shingles, the min usually survives), cross-engine
+    * stable via the md5-based rolling token-hash combine. Null when the
+    * text has fewer than n tokens.
+    *
+    * Takes a MATERIALIZED token-array attribute (tokenize into a column
+    * first) — see [[graft.dedup.Shingles.combinedShingleHashes]] for why.
     */
-  def minShingleFingerprint(text: Column, n: Int = 5): Column =
-    // raw (non-distinct) shingles: min over the multiset = min over the set,
-    // and skipping the O(k²) string array_distinct keeps this map-only cheap
-    array_min(transform(graft.dedup.Shingles.rawWordShingles(text, n), (s: Column) => md5(s)))
+  def minShingleFingerprintFromTokens(toksAttr: Column, n: Int = 5): Column =
+    array_min(graft.dedup.MinHashLSH.shingleHashes(toksAttr, n))
 }

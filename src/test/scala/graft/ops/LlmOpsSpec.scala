@@ -46,9 +46,11 @@ class LlmOpsSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("fingerprints: md5 stable, shingle fingerprint survives local edit") {
-    val r = docs.select(col("doc_id"),
-      TextFunctions.fingerprint(col("text")).as("fp"),
-      TextFunctions.minShingleFingerprint(col("text"), 3).as("sfp"))
+    val r = docs
+      .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.minShingleFingerprintFromTokens(col("tk"), 3).as("sfp"))
       .orderBy("doc_id").collect()
     assert(r(0).getString(1) == r(1).getString(1)) // exact dups same md5
     assert(r(0).getString(1) != r(2).getString(1))
