@@ -93,15 +93,14 @@ class LlmOpsSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("simhash: identical → distance 0, near-dup close, distinct far") {
-    val fp = docs.where(length(col("text")) > 0)
-      .select(col("doc_id"), SimHash.simhash(col("text")).as("h"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(fp(0L) == fp(1L) && fp(0L).length == 32)
-    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val fp = SimHash.simhashed(docs.where(length(col("text")) > 0), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(fp(0L), fp(2L)) < ham(fp(0L), fp(3L)))
     // column-level hamming agrees with scala-side
     val d = Seq((fp(0L), fp(2L))).toDF("a", "b")
-      .select(SimHash.hamming(col("a"), col("b"))).as[Int].collect().head
+      .select(SimHash.hamming(col("a"), col("b"))).as[Long].collect().head
     assert(d == ham(fp(0L), fp(2L)))
   }
 
