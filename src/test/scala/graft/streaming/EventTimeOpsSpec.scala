@@ -21,6 +21,19 @@ class EventTimeOpsSpec extends AnyFunSuite with SharedSpark {
       Seq(("a", 3.0, 2L), ("a", 3.0, 1L), ("b", 4.0, 1L)))
   }
 
+  test("batch: sliding windows assign each row to width/slide windows") {
+    import spark.implicits._
+    val df = Seq((ts(5), "a", 1.0)).toDF("ts", "k", "v")
+    val out = EventTimeOps.sliding(df, "ts", "30 minutes", "10 minutes", "0 seconds",
+      Seq("k"), Seq(sum("v").as("sv")))
+      .orderBy("w_start").collect()
+    // one row at 10:05 lands in windows starting 09:40, 09:50, 10:00
+    assert(out.length == 3)
+    assert(out.map(_.getAs[java.sql.Timestamp]("w_start").toString).toSeq ==
+      Seq("2024-01-01 09:40:00.0", "2024-01-01 09:50:00.0", "2024-01-01 10:00:00.0"))
+    assert(out.forall(_.getAs[Double]("sv") == 1.0))
+  }
+
   test("batch: session windows merge rows within the gap") {
     import spark.implicits._
     val df = Seq((ts(1), "u"), (ts(3), "u"), (ts(30), "u"), (ts(1), "w"))
