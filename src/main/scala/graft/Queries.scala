@@ -862,6 +862,23 @@ object Queries {
       |  event_type, count(*) AS n, sum(value::DECIMAL(18,2)) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin))
 
+  /** Sliding event-time windows (2h width, 1h slide) through
+    * [[graft.streaming.EventTimeOps.sliding]]: every event lands in
+    * width/slide = 2 windows. Oracle fans each row out to its two bucket
+    * starts explicitly.
+    */
+  val qSlidingWindow = Q("q_sliding_window",
+    (s, dir) => graft.streaming.EventTimeOps.sliding(
+      events(s, dir), "ts", "2 hours", "1 hour", "0 seconds", Seq.empty,
+      Seq(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("sum_value")))
+      .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("n"), col("sum_value")),
+    Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts) - i * INTERVAL '1 hour',
+      |    '%Y-%m-%d %H:%M:%S') AS w_start,
+      |  count(*) AS n, sum(value::DECIMAL(18,2)) AS sum_value
+      |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+      |GROUP BY 1""".stripMargin))
+
   /** Range (band) join: values bucketed into literal bands via a non-equi
     * broadcast join — the Spark-shaped way to join a fact to a small range
     * dimension (BroadcastNestedLoopJoin on a 3-row build side; never a
@@ -979,7 +996,7 @@ object Queries {
     q1Agg, qJoinDims, qJoinFact, qTopkWindow, qAnalyticWindow, qSortLimit,
     qSetOps, qRollup, qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
-    qTumblingWindow, qRangeJoin, aggSketches, qStringAgg,
+    qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
     textStats, textLangId, textFingerprint,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupJaccard,
     dedupEmbedding,

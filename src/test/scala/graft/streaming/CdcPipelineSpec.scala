@@ -74,6 +74,23 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
     assert(t.read().count() == 1)
   }
 
+  test("a failing destination fails the whole batch (offsets not committed)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-fail").toString
+    val cfg = PipelineConfig(warehouse = s"$root/wh", concurrentTables = 2)
+    // destination B carries only schema-less envelopes → inference throws →
+    // the batch must propagate the failure (reference: all-tables-or-retry,
+    // SINK/IcebergChangeConsumer.java:258-300)
+    val batch = Seq(
+      EventFactory.event(1, "ok", "c", 1L),
+      ("bad.dest", """{"schema":null,"payload":null}""", """{"schema":null,"payload":null}""")
+    ).map { case (d, k, v) => (d, k, v) }.toDF("destination", "key", "value")
+    val ex = intercept[Exception] {
+      CdcPipeline.processBatch(spark, batch, cfg)
+    }
+    assert(ex.getMessage.contains("no usable embedded value schema"), ex.getMessage)
+  }
+
   test("progress listener T4 observes batch row counts") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
