@@ -3,7 +3,8 @@ package graft
 import graft.functions.DecimalFromBytes
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.GraftBridge
 
 /** SparkSessionExtensions entry point — the library's Catalyst seam.
   *
@@ -36,5 +37,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         DecimalFromBytes(args.head, p, s)
       }))
+
+    // Composite column functions exposed to SQL: built from the same
+    // library expressions the DataFrame API uses, so SQL and Scala callers
+    // share one implementation (and its codegen behavior).
+    injectColumnFn(ext, "graft_cosine", 2)(args =>
+      graft.similarity.Knn.cosine(args(0), args(1)))
+    injectColumnFn(ext, "graft_hamming", 2)(args =>
+      graft.dedup.SimHash.hamming(args(0), args(1)))
+    injectColumnFn(ext, "graft_quality", 1)(args =>
+      graft.text.TextFunctions.qualityScore(args(0)))
+    injectColumnFn(ext, "graft_lang_id", 1)(args =>
+      graft.text.TextFunctions.langId(args(0)))
   }
+
+  private def injectColumnFn(ext: SparkSessionExtensions, name: String, arity: Int)(
+      build: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == arity, s"$name takes $arity argument(s)")
+        GraftBridge.convertedExpression(build(args.map(GraftBridge.column)))
+      }))
 }

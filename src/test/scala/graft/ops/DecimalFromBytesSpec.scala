@@ -66,6 +66,12 @@ class DecimalFromBytesSpec extends AnyFunSuite with SharedSpark {
         s"SELECT CAST(decimal_from_bytes(unbase64('${b64(BigInt(314159))}'), 18, 5) AS STRING) AS d")
         .collect().head.getString(0)
       assert(r == "3.14159")
+      val row = s2.sql(
+        """SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+          |  graft_hamming(5L, 6L) AS h,
+          |  graft_lang_id('the cat and the dog of the house') AS l""".stripMargin)
+        .collect().head
+      assert(row.getDouble(0) == 1.0 && row.getInt(1) == 2 && row.getString(2) == "en")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
