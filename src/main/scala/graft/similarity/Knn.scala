@@ -22,16 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
+  /** Sequential-order dot product via the codegen'd
+    * [[graft.functions.FloatVectorDot]] expression (the interpreted
+    * `aggregate(zip_with(...))` formulation pays per-element lambda +
+    * boxing costs on the hottest scalar of the family).
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(graft.functions.FloatVectorDot(
+      GraftBridge.convertedExpression(a), GraftBridge.convertedExpression(b)))
+  }
+
   /** Cosine similarity of two float-array columns (double math, rounded to
     * 6 dp so independent engines agree bit-for-bit on the output).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    round(dot / (na * nb), 6)
-  }
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
 
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
