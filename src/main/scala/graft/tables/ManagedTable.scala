@@ -217,6 +217,49 @@ final class ManagedTable private (
       w.option("maxRecordsPerFile", math.max(1L, bytesStr.toLong / math.max(1L, rowBytes)))
     }.getOrElse(w)
 
+  /** Maintenance: rewrite the table's data files at the target file size.
+    * The reference documents this operational need explicitly — upsert
+    * tables accumulate small files / delete artifacts and "periodic
+    * compaction" is required for read performance (docs/faq.md:3-7). Here
+    * a compaction coalesces each partition's (or the whole unpartitioned
+    * table's) many small files into ≈targetFileSize files via the normal
+    * snapshot/partition-swap commit path — readers never see a partial
+    * state. Returns (files before, files after).
+    */
+  def compact(): (Long, Long) = {
+    def countFiles(p: Path): Long =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).foldLeft(0L) { (acc, s) =>
+        if (s.isDirectory) acc + countFiles(s.getPath)
+        else if (s.getPath.getName.startsWith("_")) acc
+        else acc + 1
+      }
+    val before = countFiles(dataDir)
+    if (isPartitioned) {
+      val pnames = partitionFields.map(_.name)
+      val current = readPhysical()
+      val staging = new Path(tableDir, s".compact-${java.util.UUID.randomUUID()}")
+      applyWriteProps(sortForWrite(current.repartition(pnames.map(col): _*))
+        .write.mode("overwrite")).partitionBy(pnames: _*)
+        .format(format).save(staging.toString)
+      val old = dataDir
+      val tmpOld = new Path(tableDir, s".old-${java.util.UUID.randomUUID()}")
+      if (fs.exists(old) && !fs.rename(old, tmpOld))
+        throw new java.io.IOException("compaction swap failed")
+      if (!fs.rename(staging, old)) {
+        fs.rename(tmpOld, old) // roll back
+        throw new java.io.IOException("compaction swap failed")
+      }
+      fs.delete(tmpOld, true)
+      bumpVersion()
+    } else {
+      // snapshot tables: a fresh coalesced version is a plain commit
+      commitNewVersion(read().coalesce(
+        math.max(1, spark.sparkContext.defaultParallelism / 4)))
+    }
+    (before, countFiles(dataDir))
+  }
+
   /** Unpartitioned snapshot commit: write v+1 fully, flip pointer, prune
     * old snapshots (keep 2 for time travel).
     */

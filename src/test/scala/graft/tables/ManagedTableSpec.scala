@@ -163,6 +163,29 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(spark.sql("SELECT count(*) FROM orc_t WHERE id = 1").head().getLong(0) == 1L)
   }
 
+  test("compact() coalesces small files, preserves data, bumps snapshot") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val schema = Seq((1L, "a")).toDF("id", "name").schema
+
+    // unpartitioned: many small appends → many files
+    val t1 = ManagedTable.create(spark, wh, "small_files", schema, Seq("id"))
+    (1 to 8).foreach(i => t1.append(Seq((i.toLong, s"n$i")).toDF("id", "name")))
+    val (b1, a1) = t1.compact()
+    assert(b1 >= 8 && a1 < b1, s"$b1 -> $a1")
+    assert(t1.read().count() == 8)
+
+    // partitioned: compaction rewrites per partition via dir swap
+    val pdf = (1 to 40).map(i => (i.toLong, s"n$i", i % 2)).toDF("id", "name", "p")
+    val t2 = ManagedTable.create(spark, wh, "small_parts",
+      pdf.schema, Seq("id"), Seq("p"))
+    (0 until 4).foreach(_ => t2.append(pdf.limit(10)))
+    val (b2, a2) = t2.compact()
+    assert(b2 > a2, s"$b2 -> $a2")
+    assert(t2.read().count() == 40)
+    assert(t2.read().where(col("p") === 1).count() > 0)
+  }
+
   test("overwrite W7: single-row metadata table semantics") {
     val wh = tmpWarehouse()
     val s = StructType(Seq(StructField("id", StringType), StructField("offset_data", StringType)))
