@@ -149,28 +149,47 @@ final class ManagedTable private (
 
     // Stage the rewritten partitions, then swap directories in.
     val staging = new Path(tableDir, s".stage-${java.util.UUID.randomUUID()}")
-    val stagedOut = sortForWrite(
-      withPartitionCols(merged).repartition(pnames.map(col): _*))
-    applyWriteProps(stagedOut.write.mode("overwrite")).partitionBy(pnames: _*)
-      .format(format).save(staging.toString)
     try {
-      touched.foreach { r =>
-        val rel = pnames.zipWithIndex.map { case (n, i) =>
+      stagePartitionedWrite(merged, staging)
+      val rels = touched.map { r =>
+        pnames.zipWithIndex.map { case (n, i) =>
           val v = if (r.isNullAt(i)) null else r.get(i).toString
           ExternalCatalogUtils.getPartitionPathString(n, Option(v).getOrElse("__HIVE_DEFAULT_PARTITION__"))
         }.mkString("/")
-        val src = new Path(staging, rel)
-        val dst = new Path(dataDir, rel)
-        fs.delete(dst, true)
-        if (fs.exists(src)) {
-          fs.mkdirs(dst.getParent)
-          if (!fs.rename(src, dst))
-            throw new java.io.IOException(s"partition swap failed: $rel")
-        } // merge emptied this partition → stays deleted
       }
+      swapPartitions(staging, rels.toSeq)
       bumpVersion()
     } finally fs.delete(staging, true)
   }
+
+  /** Write a partitioned staging copy with the table's distribution, sort,
+    * and file-size properties (shared by merge and compaction).
+    */
+  private def stagePartitionedWrite(df: DataFrame, staging: Path): Unit = {
+    val pnames = partitionFields.map(_.name)
+    val stagedOut = sortForWrite(
+      withPartitionCols(df).repartition(pnames.map(col): _*))
+    applyWriteProps(stagedOut.write.mode("overwrite")).partitionBy(pnames: _*)
+      .format(format).save(staging.toString)
+  }
+
+  /** Swap the given partition dirs from `staging` into the live data dir.
+    * Each partition flips with one delete + one rename — a reader never
+    * sees a partially-written partition, and a crash mid-sequence leaves
+    * every partition complete (some swapped, some not). A partition with
+    * no staged replacement stays deleted (merge emptied it).
+    */
+  private def swapPartitions(staging: Path, rels: Seq[String]): Unit =
+    rels.foreach { rel =>
+      val src = new Path(staging, rel)
+      val dst = new Path(dataDir, rel)
+      fs.delete(dst, true)
+      if (fs.exists(src)) {
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"partition swap failed: $rel")
+      }
+    }
 
   /** W7 — atomically replace the whole table content (offset-store parity). */
   def overwrite(df: DataFrame): Unit = {
@@ -220,11 +239,13 @@ final class ManagedTable private (
   /** Maintenance: rewrite the table's data files at the target file size.
     * The reference documents this operational need explicitly — upsert
     * tables accumulate small files / delete artifacts and "periodic
-    * compaction" is required for read performance (docs/faq.md:3-7). Here
-    * a compaction coalesces each partition's (or the whole unpartitioned
-    * table's) many small files into ≈targetFileSize files via the normal
-    * snapshot/partition-swap commit path — readers never see a partial
-    * state. Returns (files before, files after).
+    * compaction" is required for read performance (docs/faq.md:3-7).
+    *
+    * Partitioned tables stage a full rewrite and swap PER PARTITION (same
+    * granularity and crash behavior as merge: every partition is complete
+    * at all times; a crash leaves a mix of compacted and uncompacted —
+    * both valid — partitions). Snapshot tables commit a coalesced new
+    * version through the pointer flip. Returns (files before, after).
     */
   def compact(): (Long, Long) = {
     def countFiles(p: Path): Long =
@@ -237,25 +258,25 @@ final class ManagedTable private (
     val before = countFiles(dataDir)
     if (isPartitioned) {
       val pnames = partitionFields.map(_.name)
-      val current = readPhysical()
       val staging = new Path(tableDir, s".compact-${java.util.UUID.randomUUID()}")
-      applyWriteProps(sortForWrite(current.repartition(pnames.map(col): _*))
-        .write.mode("overwrite")).partitionBy(pnames: _*)
-        .format(format).save(staging.toString)
-      val old = dataDir
-      val tmpOld = new Path(tableDir, s".old-${java.util.UUID.randomUUID()}")
-      if (fs.exists(old) && !fs.rename(old, tmpOld))
-        throw new java.io.IOException("compaction swap failed")
-      if (!fs.rename(staging, old)) {
-        fs.rename(tmpOld, old) // roll back
-        throw new java.io.IOException("compaction swap failed")
-      }
-      fs.delete(tmpOld, true)
-      bumpVersion()
+      try {
+        val current = readPhysical()
+          .select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+        val parts = readPhysical().select(pnames.map(col): _*).distinct().collect()
+        stagePartitionedWrite(current, staging)
+        val rels = parts.map { r =>
+          pnames.zipWithIndex.map { case (n, i) =>
+            val v = if (r.isNullAt(i)) null else r.get(i).toString
+            ExternalCatalogUtils.getPartitionPathString(n, Option(v).getOrElse("__HIVE_DEFAULT_PARTITION__"))
+          }.mkString("/")
+        }
+        swapPartitions(staging, rels.toSeq)
+        bumpVersion()
+      } finally fs.delete(staging, true)
     } else {
-      // snapshot tables: a fresh coalesced version is a plain commit
+      // full parallelism on read; maxRecordsPerFile (W10) re-splits files
       commitNewVersion(read().coalesce(
-        math.max(1, spark.sparkContext.defaultParallelism / 4)))
+        math.max(1, spark.sparkContext.defaultParallelism)))
     }
     (before, countFiles(dataDir))
   }
