@@ -227,11 +227,11 @@ object Queries {
       .where(col("l_shipdate") <= lit("1999-12-31"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
         sum((col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(28,4)")).as("sum_disc_price"),
+          .cast("decimal(28,4)")).cast("decimal(38,4)").as("sum_disc_price"),
         count(lit(1)).as("count_order")),
     Some("""SELECT l_returnflag, l_linestatus,
       |  sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
@@ -247,7 +247,7 @@ object Queries {
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("customers"),
-        sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_acctbal")),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_acctbal")),
     Some("""SELECT r_name, n_name, count(*) AS customers,
       |  sum(c_acctbal::DECIMAL(18,2)) AS sum_acctbal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -328,7 +328,7 @@ object Queries {
   val qRollup = Q("q_rollup",
     (s, dir) => t(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
         count(lit(1)).as("n")),
     Some("""SELECT l_returnflag, l_linestatus,
       |  sum(l_quantity::DECIMAL(18,2)) AS sum_qty, count(*) AS n
@@ -366,7 +366,7 @@ object Queries {
         .select(col("user_id")).distinct()
       t(s, dir, "customer").join(err, col("c_custkey") === col("user_id"), "left_semi")
         .agg(count(lit(1)).as("n_error_customers"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).as("bal"))
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("bal"))
     },
     Some("""SELECT count(*) AS n_error_customers, sum(c_acctbal::DECIMAL(18,2)) AS bal
       |FROM customer WHERE c_custkey IN (SELECT user_id FROM events WHERE event_type='error')""".stripMargin))
@@ -603,19 +603,30 @@ object Queries {
       |  sha256(text) AS sha256, upper(hex(encode(substr(text, 1, 4)))) AS magic
       |FROM documents""".stripMargin))
 
-  /** mapPartitions feature plumbing with the stub extractor — no SQL
-    * equivalent (deliberately: the kernel is the swappable part), so the
-    * driver records a rows-only check.
+  /** mapPartitions feature plumbing, oracle-checked: the kernel is the
+    * swappable part, so the query plugs in the integer-exact
+    * [[graft.multimodal.Multimodal.laneSumExtractor]] (per-lane byte sums,
+    * exactly representable in Float) and DuckDB recomputes the lanes from
+    * the UTF-8 bytes via hex extraction.
     */
   val multimodalFeatures = Q("multimodal_features",
     (s, dir) => {
       val assets = t(s, dir, "documents")
         .select(col("doc_id").as("asset_id"), col("text").cast("binary").as("content"))
-      graft.multimodal.Multimodal.extractFeatures(s, assets, "content", "asset_id")
-        .select(col("asset_id"), round(element_at(col("features"), 1), 4).as("f0"),
-          round(element_at(col("features"), 8), 4).as("f7"))
+      graft.multimodal.Multimodal.extractFeatures(s, assets, "content", "asset_id",
+          graft.multimodal.Multimodal.laneSumExtractor)
+        .select(col("asset_id"),
+          element_at(col("features"), 1).cast("long").as("f0"),
+          element_at(col("features"), 8).cast("long").as("f7"))
     },
-    None)
+    Some("""SELECT doc_id AS asset_id,
+      |  coalesce(list_sum(list_transform(
+      |    list_filter(generate_series(1, octet_length(encode(text))), i -> (i-1)%8 = 0),
+      |    i -> ('0x'||substr(hex(encode(text)), 2*i-1, 2))::INT)), 0)::BIGINT AS f0,
+      |  coalesce(list_sum(list_transform(
+      |    list_filter(generate_series(1, octet_length(encode(text))), i -> (i-1)%8 = 7),
+      |    i -> ('0x'||substr(hex(encode(text)), 2*i-1, 2))::INT)), 0)::BIGINT AS f7
+      |FROM documents""".stripMargin))
 
   // ------------------------------------------------- as-of / temporal joins
 
@@ -653,7 +664,7 @@ object Queries {
       .join(t(s, dir, "orders").select(col("o_custkey")).distinct(),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .agg(count(lit(1)).as("n_no_orders"),
-        sum(col("c_acctbal").cast("decimal(18,2)")).as("bal")),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("bal")),
     Some("""SELECT count(*) AS n_no_orders, sum(c_acctbal::DECIMAL(18,2)) AS bal
       |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin))
 
@@ -689,7 +700,7 @@ object Queries {
   val qCube = Q("q_cube",
     (s, dir) => t(s, dir, "lineitem")
       .cube("l_returnflag", "l_linestatus")
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
         count(lit(1)).as("n")),
     Some("""SELECT l_returnflag, l_linestatus,
       |  sum(l_quantity::DECIMAL(18,2)) AS sum_qty, count(*) AS n
@@ -719,14 +730,21 @@ object Queries {
       val li = t(s, dir, "lineitem")
       def b64(unscaled: Column): Column = base64(unhex(lpad(hex(unscaled), 16, "0")))
       val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      // Output compared as DOUBLE: the decode itself (two's-complement
+      // bytes → DecimalType) still runs through DecimalFromBytes; only the
+      // final comparison surface is widened, because the driver's hash is
+      // sensitive to decimal physical encoding even when DESCRIBE types and
+      // values agree exactly on both sides (round-1 finding).
       li.select(
         col("l_orderkey"), col("l_linenumber"),
-        graft.functions.Conversions.decimalFromBase64(b64(cents), 18, 2).as("dec_price"),
-        graft.functions.Conversions.decimalFromBase64(b64(cents - 1000000L), 18, 2).as("dec_shift"))
+        graft.functions.Conversions.decimalFromBase64(b64(cents), 18, 2)
+          .cast("double").as("dec_price"),
+        graft.functions.Conversions.decimalFromBase64(b64(cents - 1000000L), 18, 2)
+          .cast("double").as("dec_shift"))
     },
     Some("""SELECT l_orderkey, l_linenumber,
-      |  (round(l_extendedprice*100)::BIGINT / 100.0)::DECIMAL(18,2) AS dec_price,
-      |  ((round(l_extendedprice*100)::BIGINT - 1000000) / 100.0)::DECIMAL(18,2) AS dec_shift
+      |  (round(l_extendedprice*100)::BIGINT / 100.0)::DECIMAL(18,2)::DOUBLE AS dec_price,
+      |  ((round(l_extendedprice*100)::BIGINT - 1000000) / 100.0)::DECIMAL(18,2)::DOUBLE AS dec_shift
       |FROM lineitem""".stripMargin))
 
   /** R2 + R6 — heartbeat filtering and destination→table-name mapping over
@@ -855,7 +873,7 @@ object Queries {
     (s, dir) => events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"), col("sum_value")),
     Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
@@ -870,7 +888,8 @@ object Queries {
   val qSlidingWindow = Q("q_sliding_window",
     (s, dir) => graft.streaming.EventTimeOps.sliding(
       events(s, dir), "ts", "2 hours", "1 hour", "0 seconds", Seq.empty,
-      Seq(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("sum_value")))
+      Seq(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value")))
       .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("n"), col("sum_value")),
     Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts) - i * INTERVAL '1 hour',
@@ -893,7 +912,7 @@ object Queries {
         col("value") >= col("lo") && col("value") < col("hi"))
         .groupBy("band")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
     },
     Some("""WITH bands(band, lo, hi) AS (VALUES
       |  ('low', 0.0, 50.0), ('mid', 50.0, 120.0), ('high', 120.0, 1e9))

@@ -56,6 +56,22 @@ object Multimodal {
     }
   }
 
+  /** Integer-exact stub variant: per-lane byte sums, no normalization.
+    * Every output value is an integer exactly representable in Float, so an
+    * external SQL oracle can reproduce it bit-for-bit — used by the
+    * oracle-checked `multimodal_features` query. [[stubExtractor]] stays
+    * the normalized variant for ANN-shaped tests.
+    */
+  val laneSumExtractor: FeatureExtractor = bytes => {
+    if (bytes == null) Array.fill(8)(0f)
+    else {
+      val acc = new Array[Long](8)
+      var i = 0
+      while (i < bytes.length) { acc(i % 8) += (bytes(i) & 0xff); i += 1 }
+      acc.map(_.toFloat)
+    }
+  }
+
   /** Feature extraction over binary assets via mapPartitions: batch-shaped
     * like a Pandas-UDF/mapInPandas stage (per-partition setup cost paid
     * once — a real decoder would initialize its codec here), repartitioned

@@ -1,9 +1,13 @@
 #!/usr/bin/env python3
 """Local oracle cross-check: run graft.Verify output vs DuckDB on the same
 parquet tables, mimicking the driver's compare (columns sorted by name,
-row-order-independent, exact values)."""
+row-order-independent, exact values AND exact arrow types).
+
+Round-1 lesson: the driver's hash is type-strict — Spark sum(decimal(18,2))
+-> DECIMAL(28,2) vs DuckDB -> DECIMAL(38,2) flips hash_match false even when
+every value agrees. So this script compares arrow schema types verbatim and
+does NOT normalize decimals or round floats."""
 import duckdb, json, sys, glob, os
-from decimal import Decimal
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify_out"
@@ -18,19 +22,21 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 def norm(v):
     if v is None:
         return ("z_none", "")
-    if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
-    if isinstance(v, float):
-        return ("f", repr(round(v, 9)))
     if isinstance(v, bool):
         return ("b", str(v))
+    if isinstance(v, float):
+        return ("f", repr(v))
     if isinstance(v, int):
         return ("i", str(v))
-    return ("s", str(v))
+    # Decimal, str, date, datetime, bytes, lists... exact string form.
+    return (type(v).__name__, str(v))
 
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows), [cols[i] for i in order]
+def canon(tbl):
+    names = [f.name for f in tbl.schema]
+    types = {f.name: str(f.type) for f in tbl.schema}
+    order = sorted(names)
+    rows = tbl.to_pylist()
+    return sorted(tuple(norm(r[c]) for c in order) for r in rows), order, types
 
 fails = []
 for name in sorted(oracle):
@@ -38,17 +44,19 @@ for name in sorted(oracle):
     pq = f"{out_dir}/{name}"
     if not glob.glob(f"{pq}/*.parquet"):
         print(f"MISSING {name}"); fails.append(name); continue
-    sr = con.execute(f"SELECT * FROM '{pq}/*.parquet'")
-    scols = [d[0] for d in sr.description]; srows = sr.fetchall()
+    sa = con.execute(f"SELECT * FROM '{pq}/*.parquet'").arrow()
     try:
-        dr = con.execute(oracle[name])
-        dcols = [d[0] for d in dr.description]; drows = dr.fetchall()
+        da = con.execute(oracle[name]).arrow()
     except Exception as e:
         print(f"ORACLE-ERR {name}: {str(e).splitlines()[0][:150]}"); fails.append(name); continue
-    s, sc = canon(scols, srows)
-    d, dc = canon(dcols, drows)
+    s, sc, st = canon(sa)
+    d, dc, dt = canon(da)
     if sc != dc:
         print(f"COLS {name}: spark={sc} duck={dc}"); fails.append(name); continue
+    tdiff = {c: (st[c], dt[c]) for c in sc if st[c] != dt[c]}
+    if tdiff:
+        print(f"TYPE {name}: " + ", ".join(f"{c}: spark={a} duck={b}" for c, (a, b) in tdiff.items()))
+        fails.append(name); continue
     if s == d:
         print(f"OK   {name} ({len(s)} rows)")
     else:
