@@ -73,7 +73,7 @@ object Queries {
       .select(cdcCols.map(col): _*),
     Some(s"""WITH e AS ($cdcEventsSql),
       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-      |        ORDER BY ts_us DESC, $opPrioSql DESC, event_id ASC) AS rn FROM e)
+      |        ORDER BY ts_us DESC, $opPrioSql DESC, event_id DESC) AS rn FROM e)
       |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
       |FROM r WHERE rn = 1""".stripMargin))
 
@@ -86,7 +86,7 @@ object Queries {
     },
     Some(s"""WITH e AS ($cdcEventsSql),
       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-      |        ORDER BY ts_us DESC, $opPrioSql DESC, event_id ASC) AS rn FROM e)
+      |        ORDER BY ts_us DESC, $opPrioSql DESC, event_id DESC) AS rn FROM e)
       |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
       |FROM r WHERE rn = 1 AND __op <> 'd'""".stripMargin))
 
@@ -99,7 +99,7 @@ object Queries {
     },
     Some(s"""WITH e AS ($cdcEventsSql),
       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-      |        ORDER BY ts_us DESC, $opPrioSql DESC, event_id ASC) AS rn FROM e)
+      |        ORDER BY ts_us DESC, $opPrioSql DESC, event_id DESC) AS rn FROM e)
       |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
       |FROM r WHERE rn = 1""".stripMargin))
 

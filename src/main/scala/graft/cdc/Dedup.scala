@@ -2,14 +2,17 @@ package graft.cdc
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** C2 — batch deduplication: keep one event per primary key, the winner by
-  * (dedup column desc, op priority desc, arrival asc).
+  * (dedup column desc, op priority desc, arrival desc).
   *
   * Re-expresses SINK/tableoperator/IcebergTableOperator.java:58-92,108-125:
   * the reference folds the batch into a HashMap keyed by the key object and
-  * keeps the max by (`upsert-dedup-column` long, then op priority i<r<u<d),
-  * keeping the earlier event on full ties.
+  * keeps the max by (`upsert-dedup-column` long, then op priority i<r<u<d).
+  * On a full (ts, priority) tie the LAST-arriving event wins: the merge
+  * function returns newValue when compareByTsThenOp(old, new) <= 0
+  * (IcebergTableOperator.java:80-84), i.e. equality favors the replacement.
   *
   * Spark-first shape: `groupBy(pk).agg(max_by(struct(*), orderKey))` rather
   * than a window — max_by is a declarative aggregate, so Catalyst plans a
@@ -27,8 +30,8 @@ object Dedup {
     */
   val DefaultDedupColumn: String = CdcMeta.SourceTsNs
 
-  /** Stamp within-batch arrival order; call once at ingest so ties resolve
-    * to the earliest event like the reference's fold does.
+  /** Stamp within-batch arrival order; call once at ingest so full ties
+    * resolve to the latest event like the reference's fold does.
     */
   def withArrivalIndex(df: DataFrame): DataFrame =
     if (df.columns.contains(ArrivalCol)) df
@@ -50,10 +53,17 @@ object Dedup {
     require(cols.contains(dedupColumn),
       s"dedup column $dedupColumn not present in batch (have: ${cols.mkString(",")})")
 
+    // Timestamp-typed dedup columns order by epoch-micros: cast("long") on a
+    // timestamp yields whole SECONDS, which collapses sub-second ordering.
+    val dedupOrd = df.schema(dedupColumn).dataType match {
+      case _: TimestampType    => unix_micros(col(dedupColumn))
+      case _: TimestampNTZType => unix_micros(col(dedupColumn).cast("timestamp"))
+      case _                   => col(dedupColumn).cast("long")
+    }
     val orderKey = struct(
-      coalesce(col(dedupColumn).cast("long"), lit(Long.MinValue)).as("ts"),
+      coalesce(dedupOrd, lit(Long.MinValue)).as("ts"),
       expr(Operation.prioritySql(opColumn)).as("prio"),
-      (lit(Long.MaxValue) - col(ArrivalCol)).as("arrival") // earlier wins ties
+      col(ArrivalCol).as("arrival") // later arrival wins full ties
     )
     val all = struct(cols.map(col): _*)
     df.groupBy(pks.map(col): _*)

@@ -86,8 +86,9 @@ object SchemaMapping {
           FieldSpec(name, LongType, TimestampNTZType, cs.optional,
             c => timestamp_micros(c).cast(TimestampNTZType))
         else if (logical == NanoTimestamp)
+          // integral div: double division loses µs above 2^53 epoch-nanos
           FieldSpec(name, LongType, TimestampNTZType, cs.optional,
-            c => timestamp_micros((c / 1000L).cast(LongType)).cast(TimestampNTZType))
+            c => graft.functions.Conversions.timestampFromNanos(c).cast(TimestampNTZType))
         else if (logical == DebeziumTimestamp || logical == ConnectTimestamp)
           FieldSpec(name, LongType, TimestampNTZType, cs.optional,
             c => timestamp_millis(c).cast(TimestampNTZType))

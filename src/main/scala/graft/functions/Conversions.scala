@@ -29,9 +29,22 @@ object Conversions {
     GraftBridge.column(DecimalFromBytes(GraftBridge.expression(c), precision, scale))
   }
 
+  /** Epoch nanos → micros with integral division. `c / 1000` is DOUBLE
+    * division in Spark: epoch-nanos (~1.7e18) exceed double's 2^53 exact
+    * range, so the cast-back can be off by ±1µs, and double truncation
+    * differs from integer floor for pre-1970 values.
+    */
+  def nanosToMicros(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    GraftBridge.column(new IntegralDivide(
+      GraftBridge.expression(c.cast("long")),
+      GraftBridge.expression(lit(1000L))))
+  }
+
   /** Epoch nanos → timestamp (micros truncation, matching the reference's
     * DateTimeUtils nanos path: SINK/converter/DateTimeUtils.java:27-115).
     */
   def timestampFromNanos(c: Column): Column =
-    timestamp_micros((c / lit(1000L)).cast("long"))
+    timestamp_micros(nanosToMicros(c))
 }

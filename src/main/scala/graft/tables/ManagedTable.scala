@@ -174,22 +174,55 @@ final class ManagedTable private (
   }
 
   /** Swap the given partition dirs from `staging` into the live data dir.
-    * Each partition flips with one delete + one rename — a reader never
-    * sees a partially-written partition, and a crash mid-sequence leaves
-    * every partition complete (some swapped, some not). A partition with
-    * no staged replacement stays deleted (merge emptied it).
+    * Each partition flips rename-aside → rename-in → delete-aside: the live
+    * copy is never deleted before its replacement is in place, so a crash
+    * at any step leaves every partition either complete or recoverable from
+    * its `.…​.__old` sibling (dot-prefixed — invisible to Spark's reader —
+    * and restored by [[recoverPartitionSwaps]] at load). A partition with
+    * no staged replacement is removed (merge emptied it).
     */
   private def swapPartitions(staging: Path, rels: Seq[String]): Unit =
     rels.foreach { rel =>
       val src = new Path(staging, rel)
       val dst = new Path(dataDir, rel)
-      fs.delete(dst, true)
+      val old = asideFor(dst)
+      fs.delete(old, true) // leftover from an earlier completed swap
+      if (fs.exists(dst) && !fs.rename(dst, old))
+        throw new java.io.IOException(s"partition swap stage failed: $rel")
       if (fs.exists(src)) {
         fs.mkdirs(dst.getParent)
-        if (!fs.rename(src, dst))
+        if (!fs.rename(src, dst)) {
+          fs.rename(old, dst) // best-effort rollback
           throw new java.io.IOException(s"partition swap failed: $rel")
+        }
+      }
+      fs.delete(old, true)
+    }
+
+  private def asideFor(dst: Path): Path =
+    new Path(dst.getParent, s".${dst.getName}.__old")
+
+  /** Crash recovery for [[swapPartitions]]: restore any partition whose
+    * swap died between rename-aside and rename-in; drop asides whose live
+    * partition exists (the swap completed, only cleanup was lost). Called
+    * once per table open — a bounded walk of the partition tree.
+    */
+  private[tables] def recoverPartitionSwaps(): Unit = {
+    def walk(dir: Path): Unit = {
+      if (!fs.exists(dir)) return
+      fs.listStatus(dir).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory) {
+          if (n.startsWith(".") && n.endsWith(".__old")) {
+            val live = new Path(s.getPath.getParent, n.stripPrefix(".").stripSuffix(".__old"))
+            if (fs.exists(live)) fs.delete(s.getPath, true)
+            else fs.rename(s.getPath, live)
+          } else if (!n.startsWith(".") && !n.startsWith("_")) walk(s.getPath)
+        }
       }
     }
+    if (isPartitioned) walk(dataDir)
+  }
 
   /** W7 — atomically replace the whole table content (offset-store parity). */
   def overwrite(df: DataFrame): Unit = {
@@ -323,10 +356,16 @@ object ManagedTable {
     new ManagedTable(spark, warehouse, meta)
   }
 
-  /** D7 — load if present. */
+  /** D7 — load if present. Recovers any partition swap a crash left half
+    * done before handing the table out.
+    */
   def load(spark: SparkSession, warehouse: String, name: String): Option[ManagedTable] = {
     val fs = TableMeta.fs(spark.sparkContext.hadoopConfiguration, warehouse)
-    TableMeta.read(fs, new Path(warehouse, name)).map(new ManagedTable(spark, warehouse, _))
+    TableMeta.read(fs, new Path(warehouse, name)).map { m =>
+      val t = new ManagedTable(spark, warehouse, m)
+      t.recoverPartitionSwaps()
+      t
+    }
   }
 
   def loadOrCreate(

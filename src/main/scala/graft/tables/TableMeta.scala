@@ -51,19 +51,33 @@ object TableMeta {
     )
   }
 
-  /** Atomic-ish write: temp file + rename, like a catalog pointer swap. */
+  /** Atomic-ish write: temp file + rename-aside + rename-in, like a catalog
+    * pointer swap. The live pointer is never deleted before its replacement
+    * is in place: the current file is renamed aside first, so a crash at
+    * any point leaves either the old or the new pointer recoverable
+    * ([[read]] restores `.meta.json.__old` when `meta.json` is missing).
+    */
   def write(fs: FileSystem, tableDir: Path, m: TableMeta): Unit = {
     val tmp = new Path(tableDir, s".meta.json.tmp-${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(toJson(m).getBytes("UTF-8")) finally out.close()
     val dst = new Path(tableDir, "meta.json")
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
+    val old = new Path(tableDir, ".meta.json.__old")
+    fs.delete(old, false) // leftover from an earlier completed swap
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(s"failed to stage metadata swap for ${m.name}")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // best-effort rollback to the previous pointer
       throw new java.io.IOException(s"failed to commit metadata for ${m.name}")
+    }
+    fs.delete(old, false)
   }
 
   def read(fs: FileSystem, tableDir: Path): Option[TableMeta] = {
     val p = new Path(tableDir, "meta.json")
+    val old = new Path(tableDir, ".meta.json.__old")
+    // crash recovery: a write that died between rename-aside and rename-in
+    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)

@@ -93,22 +93,22 @@ class CdcCoreSpec extends AnyFunSuite with SharedSpark {
     assert(inf.isUnflattened && inf.identifierFields.isEmpty)
   }
 
-  test("dedup C2: last-per-key by (ts desc, op priority desc, arrival asc)") {
+  test("dedup C2: last-per-key by (ts desc, op priority desc, arrival desc)") {
     val events = Seq(
       EventFactory.event(1, "a1", "c", 100L),
       EventFactory.event(1, "a2", "u", 200L), // wins for id=1 (later ts)
       EventFactory.event(2, "b1", "c", 100L),
       EventFactory.event(2, "b2", "d", 100L), // same ts: delete priority wins
-      EventFactory.event(3, "c1", "u", 100L), // same ts+prio tie:
-      EventFactory.event(3, "c2", "u", 100L)  //   earliest arrival (c1) wins
-    )
+      EventFactory.event(3, "c1", "u", 100L), // same ts+prio tie: LATEST
+      EventFactory.event(3, "c2", "u", 100L)  //   arrival (c2) wins, like the
+    )                                         //   reference's merge fold
     val df = events.toDF("destination", "key", "value")
     val inf = EventDecoder.infer(Seq(EventFactory.customerValueSchema), Some(EventFactory.customerKeySchema), cfg)
     val typed = Dedup.withArrivalIndex(EventDecoder.decode(df, inf))
     val out = Dedup.deduplicate(typed, Seq("id"))
       .select("id", "first_name", "__op").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
-    assert(out == Set((1, "a2", "u"), (2, "b2", "d"), (3, "c1", "u")))
+    assert(out == Set((1, "a2", "u"), (2, "b2", "d"), (3, "c2", "u")))
   }
 
   test("upsert C3/C4 soft delete: deleted row retained with __op='d'") {

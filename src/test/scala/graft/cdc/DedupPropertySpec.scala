@@ -22,14 +22,15 @@ class DedupPropertySpec extends AnyFunSuite with SharedSpark {
       rnd.nextInt(4).toLong, rnd.nextInt(1000)))
   }
 
-  /** The reference semantics: fold in arrival order, replace the current
-    * winner only on strictly greater (ts, prio) — the earlier event wins
-    * full ties (IcebergTableOperator.java:58-92).
+  /** The reference semantics: fold in arrival order, keep the current
+    * winner only on strictly greater (ts, prio) — the LATER event wins
+    * full ties (compareByTsThenOp(old, new) <= 0 returns newValue,
+    * IcebergTableOperator.java:80-84).
     */
   private def referenceWinners(evs: List[Ev]): Map[Long, Ev] =
     evs.foldLeft(Map.empty[Long, Ev]) { (acc, e) =>
       acc.get(e.key) match {
-        case Some(w) if w.ts > e.ts || (w.ts == e.ts && prio(w.op) >= prio(e.op)) => acc
+        case Some(w) if w.ts > e.ts || (w.ts == e.ts && prio(w.op) > prio(e.op)) => acc
         case _ => acc.updated(e.key, e)
       }
     }
@@ -62,6 +63,28 @@ class DedupPropertySpec extends AnyFunSuite with SharedSpark {
       // the winner's (key, op-priority, ts) cannot
       assert(a == b, s"seed=$seed")
     }
+  }
+
+  test("full (ts, priority) tie keeps the LAST-arriving event, like the reference") {
+    import spark.implicits._
+    // identical key/ts/op — only arrival order differs (ArrivalCol explicit)
+    val df = Seq((1L, "u", 5L, 100, 0L), (1L, "u", 5L, 200, 1L), (1L, "u", 5L, 300, 2L))
+      .toDF("user_key", "__op", "ts", "payload", Dedup.ArrivalCol)
+    val out = Dedup.deduplicate(df, Seq("user_key"), "ts").collect()
+    assert(out.length == 1 && out.head.getAs[Int]("payload") == 300)
+  }
+
+  test("timestamp-typed dedup column preserves sub-second ordering") {
+    import spark.implicits._
+    // 10:00:00.000200 beats 10:00:00.000900 only if micros survive; a
+    // cast-to-seconds collapse would fall through to op-priority (d > u)
+    val df = Seq(
+      (1L, "d", java.sql.Timestamp.valueOf("2024-01-01 10:00:00.0002"), 1),
+      (1L, "u", java.sql.Timestamp.valueOf("2024-01-01 10:00:00.0009"), 2)
+    ).toDF("user_key", "__op", "ts", "payload")
+    val out = Dedup.deduplicate(df, Seq("user_key"), "ts").collect()
+    assert(out.length == 1 && out.head.getAs[Int]("payload") == 2,
+      "later sub-second timestamp must win over higher op priority")
   }
 
   test("null identifier field: Fail policy raises, Drop policy filters the row") {

@@ -196,6 +196,53 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(out.length == 1 && out.head.getString(1).contains("42"))
   }
 
+  test("meta.json swap crash windows recover on read") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "metarec", schema, Seq("id"))
+    t.append(rows((1, "a", "c", 1L)))
+    val dir = new java.io.File(s"$wh/metarec")
+    val meta = new java.io.File(dir, "meta.json")
+    val aside = new java.io.File(dir, ".meta.json.__old")
+    // crash between rename-aside and rename-in: only the aside exists
+    assert(meta.renameTo(aside))
+    val re = ManagedTable.load(spark, wh, "metarec")
+    assert(re.isDefined, "load must recover the renamed-aside pointer")
+    assert(re.get.read().count() == 1)
+    assert(meta.exists() && !aside.exists())
+    // leftover aside next to a live pointer is ignored (swap completed)
+    java.nio.file.Files.copy(meta.toPath, aside.toPath)
+    val re2 = ManagedTable.load(spark, wh, "metarec")
+    assert(re2.get.read().count() == 1)
+  }
+
+  test("partition swap crash windows recover on load; asides invisible to readers") {
+    val wh = tmpWarehouse()
+    val pschema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("day", StringType),
+      StructField("__op", StringType),
+      StructField("__source_ts_ns", LongType)))
+    val t = ManagedTable.create(spark, wh, "swaprec", pschema, Seq("id"), partitionBy = Seq("day"))
+    val mk = (l: Seq[(Int, String, String, Long)]) => l.toDF("id", "day", "__op", "__source_ts_ns")
+    t.merge(mk(Seq((1, "d1", "c", 1L), (2, "d2", "c", 1L))))
+    val data = new java.io.File(s"$wh/swaprec/data")
+    val live = new java.io.File(data, "day=d1")
+    val aside = new java.io.File(data, ".day=d1.__old")
+    // crash between rename-aside and rename-in: live partition missing
+    assert(live.renameTo(aside))
+    assert(ManagedTable.load(spark, wh, "swaprec").get.read().count() == 2,
+      "load must restore the renamed-aside partition")
+    assert(live.exists() && !aside.exists())
+    // crash after rename-in but before aside cleanup: aside is a stale copy
+    val staleAside = new java.io.File(data, ".day=d2.__old")
+    java.nio.file.Files.createDirectory(staleAside.toPath)
+    // a stale aside must not be visible to a plain reader...
+    assert(t.read().count() == 2)
+    // ...and load drops it because the live partition exists
+    assert(ManagedTable.load(spark, wh, "swaprec").get.read().count() == 2)
+    assert(!staleAside.exists())
+  }
+
   test("int->long promotion during evolution keeps old data readable") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "promo",
