@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   *    zero rows.
   *  - no PK (C6): append fallback.
   *
-  * Scale notes: the anti-join keys are the *deduped batch* keys — a CDC
-  * micro-batch is orders of magnitude smaller than the table, so with AQE
-  * on, the anti-join resolves to a broadcast hash join and the target never
-  * shuffles. Partition-level copy-on-write (only rewriting files whose
-  * partitions contain touched keys) is handled by the table layer.
+  * Scale notes: the anti-join keys are the *deduped batch* keys. The join
+  * strategy is deliberately left to AQE rather than a forced broadcast
+  * hint: a trickle micro-batch converts to a broadcast hash join at
+  * runtime (batch keys are tiny), while a snapshot-load backfill batch
+  * (`op='r'` first run — table-scale keys) keeps a shuffle join instead of
+  * OOMing the driver. Partition-level copy-on-write (only rewriting files
+  * whose partitions contain touched keys) is handled by the table layer.
   */
 object CdcApply {
 
@@ -74,8 +76,10 @@ object CdcApply {
     val survivors =
       if (cfg.keepDeletes) deduped
       else deduped.filter(col(cfg.opColumn) =!= Operation.Delete)
+    // No broadcast() hint: AQE picks broadcast for trickle batches from
+    // runtime stats and falls back to shuffle for table-scale backfills.
     val touchedKeys = deduped.select(pks.map(col): _*).distinct()
-    val kept = target.join(broadcast(touchedKeys), pks, "left_anti")
+    val kept = target.join(touchedKeys, pks, "left_anti")
     kept.unionByName(EventDecoder.conformTo(survivors, kept.schema))
   }
 

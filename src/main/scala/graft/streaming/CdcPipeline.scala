@@ -66,17 +66,23 @@ object CdcPipeline {
     batch.persist()
     try {
       if (cfg.archiveEvents) archive(spark, batch, cfg) // W9
-      // R1 — destinations in this batch (metadata-only collect: strings)
-      val dests = batch.select("destination").distinct().collect().map(_.getString(0))
-      val results = parallelize(dests.toSeq, cfg.concurrentTables) { dest =>
-        dest -> processDestination(spark, batch.filter(col("destination") === dest), dest, cfg)
+      // R1 — destinations + row counts in ONE metadata-scale aggregation
+      // over the cached raw batch. Decode is row-preserving, so these counts
+      // equal the decoded row counts — the decode pipeline itself runs
+      // exactly once per destination (the merge/append write), never a
+      // second time for counting.
+      val counts = batch.groupBy("destination").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val results = parallelize(counts.keys.toSeq.sorted, cfg.concurrentTables) { dest =>
+        processDestination(spark, batch.filter(col("destination") === dest), dest, cfg)
+        dest -> counts(dest)
       }
       results.toMap
     } finally batch.unpersist()
   }
 
   private def processDestination(spark: SparkSession, slice: DataFrame,
-                                 dest: String, cfg: PipelineConfig): Long = {
+                                 dest: String, cfg: PipelineConfig): Unit = {
     // group-by-schema trick: distinct raw schema strings only (driver sees
     // metadata, never data — IcebergTableOperator.java:177-182 analogue)
     val schemas = slice.select(get_json_object(col("value"), "$.schema").as("s"))
@@ -93,17 +99,18 @@ object CdcPipeline {
       inferred.tableSchema, ids, cfg.partitionSpecFor(tableName), cfg.tableProperties)
     table.evolve(inferred.tableSchema, ids) // D6 (no-op guarded)
 
+    // Single-pass decode: the from_json + conversion pipeline runs only in
+    // the write below; row counts come from the raw-batch aggregation in
+    // processBatch (decode is row-preserving).
     val typed = EventDecoder.decode(Dedup.withArrivalIndex(slice), inferred)
-    val typedWithArrival = typed // arrival order folded into dedup below
 
     val upsertConfig = CdcApply.UpsertConfig(
       keepDeletes = cfg.keepDeletes, dedupColumn = cfg.dedupColumn,
       nullKeyPolicy = cfg.nullKeyPolicy)
     if (cfg.upsert && table.meta.identifierFields.nonEmpty && !inferred.isSchemaChangeEvent)
-      table.merge(typedWithArrival, upsertConfig)
+      table.merge(typed, upsertConfig)
     else
-      table.append(typedWithArrival)
-    typed.count()
+      table.append(typed)
   }
 
   /** W9 — raw-event archive: JSON blobs partitioned by destination + hour,

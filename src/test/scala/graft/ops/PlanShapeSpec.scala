@@ -57,4 +57,30 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     val p = plan(Queries.fnTemporal)
     assert(p.contains("WholeStageCodegen") || p.contains("codegen id"), p)
   }
+
+  test("upsert anti-join: no forced broadcast hint; AQE still broadcasts trickle batches") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val target = spark.range(0, 50000)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"),
+        lit("c").as("__op"), lit(1L).as("__source_ts_ns"))
+    val batch = spark.range(0, 10)
+      .select(col("id"), concat(lit("u"), col("id")).as("name"),
+        lit("u").as("__op"), lit(2L).as("__source_ts_ns"))
+    val merged = graft.cdc.CdcApply.upsert(target, batch, Seq("id"),
+      graft.cdc.CdcApply.UpsertConfig(dedupColumn = "__source_ts_ns"))
+    // 1. the logical plan carries NO broadcast hint — a table-scale backfill
+    //    batch must be free to shuffle instead of OOMing the driver
+    val hinted = merged.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint != JoinHint.NONE => j
+    }
+    assert(hinted.isEmpty, s"forced join hint present: $hinted")
+    // 2. ...while AQE still turns the trickle-batch anti-join into a
+    //    broadcast at runtime from observed sizes
+    assert(merged.count() == 50000)
+    val executed = merged.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin") && executed.contains("LeftAnti"),
+      executed.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
 }

@@ -91,6 +91,38 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
     assert(ex.getMessage.contains("no usable embedded value schema"), ex.getMessage)
   }
 
+  test("decode runs once per destination per batch (observe, not recount)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-once").toString
+    val cfg = PipelineConfig(warehouse = s"$root/wh")
+    val decodes = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        if (qe.optimizedPlan.toString.contains("from_json")) decodes.incrementAndGet()
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val batch = Seq(
+        EventFactory.event(1, "a", "c", 1L),
+        EventFactory.event(2, "b", "c", 1L)
+      ).toDF("destination", "key", "value")
+      val written = CdcPipeline.processBatch(spark, batch, cfg)
+      assert(written.values.sum == 2)
+      // listener bus is async: give it a moment to drain, then require that
+      // the from_json pipeline executed exactly once (merge write), not a
+      // second time for the row count
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (decodes.get() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(decodes.get() == 1, s"expected exactly 1 decode execution, saw ${decodes.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("progress listener T4 observes batch row counts") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
