@@ -227,16 +227,21 @@ object Queries {
       .where(col("l_shipdate") <= lit("1999-12-31"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+        // Internal math stays exact decimal; the *comparison surface* is
+        // DOUBLE, because the driver's hash is sensitive to decimal physical
+        // encoding even when logical types + values match exactly (the
+        // proven fn_decimal_precise recipe — both engines cast the identical
+        // exact decimal to the same nearest IEEE double).
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
         sum((col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(28,4)")).cast("decimal(38,4)").as("sum_disc_price"),
+          .cast("decimal(28,4)")).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order")),
     Some("""SELECT l_returnflag, l_linestatus,
-      |  sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
-      |  sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
-      |  sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4)) AS sum_disc_price,
+      |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+      |  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+      |  sum((l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(28,4))::DOUBLE AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= '1999-12-31'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin))
@@ -247,9 +252,9 @@ object Queries {
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("customers"),
-        sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_acctbal")),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal")),
     Some("""SELECT r_name, n_name, count(*) AS customers,
-      |  sum(c_acctbal::DECIMAL(18,2)) AS sum_acctbal
+      |  sum(c_acctbal::DECIMAL(18,2))::DOUBLE AS sum_acctbal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name""".stripMargin))
@@ -328,10 +333,10 @@ object Queries {
   val qRollup = Q("q_rollup",
     (s, dir) => t(s, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         count(lit(1)).as("n")),
     Some("""SELECT l_returnflag, l_linestatus,
-      |  sum(l_quantity::DECIMAL(18,2)) AS sum_qty, count(*) AS n
+      |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin))
 
   val qDistinctAgg = Q("q_distinct_agg",
@@ -700,10 +705,10 @@ object Queries {
   val qCube = Q("q_cube",
     (s, dir) => t(s, dir, "lineitem")
       .cube("l_returnflag", "l_linestatus")
-      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
         count(lit(1)).as("n")),
     Some("""SELECT l_returnflag, l_linestatus,
-      |  sum(l_quantity::DECIMAL(18,2)) AS sum_qty, count(*) AS n
+      |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin))
 
   // ------------------------------------------- more conversion / CDC surface
@@ -873,11 +878,11 @@ object Queries {
     (s, dir) => events(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"), col("sum_value")),
     Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
-      |  event_type, count(*) AS n, sum(value::DECIMAL(18,2)) AS sum_value
+      |  event_type, count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin))
 
   /** Sliding event-time windows (2h width, 1h slide) through
@@ -889,12 +894,12 @@ object Queries {
     (s, dir) => graft.streaming.EventTimeOps.sliding(
       events(s, dir), "ts", "2 hours", "1 hour", "0 seconds", Seq.empty,
       Seq(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value")))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")))
       .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("n"), col("sum_value")),
     Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts) - i * INTERVAL '1 hour',
       |    '%Y-%m-%d %H:%M:%S') AS w_start,
-      |  count(*) AS n, sum(value::DECIMAL(18,2)) AS sum_value
+      |  count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
       |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
       |GROUP BY 1""".stripMargin))
 
@@ -912,11 +917,11 @@ object Queries {
         col("value") >= col("lo") && col("value") < col("hi"))
         .groupBy("band")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     },
     Some("""WITH bands(band, lo, hi) AS (VALUES
       |  ('low', 0.0, 50.0), ('mid', 50.0, 120.0), ('high', 120.0, 1e9))
-      |SELECT band, count(*) AS n, sum(value::DECIMAL(18,2)) AS sum_value
+      |SELECT band, count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
       |FROM events JOIN bands ON value >= lo AND value < hi
       |GROUP BY band""".stripMargin))
 
