@@ -51,13 +51,12 @@ object CdcApply {
       nullKeyPolicy: NullKeyPolicy = NullKeyPolicy.Fail
   )
 
-  /** Compute the post-batch state of an upsert table. `target` columns are
-    * the table schema; `batch` must be conformable to it.
+  /** Enforce the null-identifier contract on a batch (reference: "null key"
+    * error, TEST/tableoperator/IcebergTableOperatorTest.java:102-175).
     */
-  def upsert(target: DataFrame, batch: DataFrame, pks: Seq[String],
-             cfg: UpsertConfig = UpsertConfig()): DataFrame = {
-    require(pks.nonEmpty, "upsert requires identifier fields (use append)")
-    val checked = cfg.nullKeyPolicy match {
+  def guardKeys(batch: DataFrame, pks: Seq[String],
+                policy: NullKeyPolicy = NullKeyPolicy.Fail): DataFrame =
+    policy match {
       case NullKeyPolicy.Drop => batch.na.drop("any", pks)
       case NullKeyPolicy.Fail =>
         // In-line runtime assertion — no extra Spark job, rides the same scan.
@@ -70,12 +69,33 @@ object CdcApply {
         }
         batch.select(guarded.toSeq: _*)
     }
-    val deduped =
-      if (cfg.runDedup) Dedup.deduplicate(checked, pks, cfg.dedupColumn, cfg.opColumn)
-      else checked
-    val survivors =
-      if (cfg.keepDeletes) deduped
-      else deduped.filter(col(cfg.opColumn) =!= Operation.Delete)
+
+  /** The per-key winners of a batch after key-guarding and C2 dedup — the
+    * rows an upsert would write. Shared by the state-level [[upsert]] and
+    * the table layer's merge-on-read path (which turns exactly these rows
+    * into an equality-delete file + a data file, cf. the reference's
+    * delete+insert delta writer, BaseDeltaTaskWriter.java:52-72).
+    */
+  def batchWinners(batch: DataFrame, pks: Seq[String],
+                   cfg: UpsertConfig = UpsertConfig()): DataFrame = {
+    require(pks.nonEmpty, "upsert requires identifier fields (use append)")
+    val checked = guardKeys(batch, pks, cfg.nullKeyPolicy)
+    if (cfg.runDedup) Dedup.deduplicate(checked, pks, cfg.dedupColumn, cfg.opColumn)
+    else checked
+  }
+
+  /** Drop the rows a hard-delete config removes from the winner set. */
+  def filterSurvivors(winners: DataFrame, cfg: UpsertConfig): DataFrame =
+    if (cfg.keepDeletes) winners
+    else winners.filter(col(cfg.opColumn) =!= Operation.Delete)
+
+  /** Compute the post-batch state of an upsert table. `target` columns are
+    * the table schema; `batch` must be conformable to it.
+    */
+  def upsert(target: DataFrame, batch: DataFrame, pks: Seq[String],
+             cfg: UpsertConfig = UpsertConfig()): DataFrame = {
+    val deduped = batchWinners(batch, pks, cfg)
+    val survivors = filterSurvivors(deduped, cfg)
     // No broadcast() hint: AQE picks broadcast for trickle batches from
     // runtime stats and falls back to shuffle for table-scale backfills.
     val touchedKeys = deduped.select(pks.map(col): _*).distinct()

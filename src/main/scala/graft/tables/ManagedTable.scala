@@ -1,6 +1,6 @@
 package graft.tables
 
-import graft.cdc.{CdcApply, EventDecoder}
+import graft.cdc.{CdcApply, EventDecoder, Operation}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -18,11 +18,22 @@ import org.apache.spark.sql.types._
   *    pruning for free
   *  - append (W1/W2), upsert-merge (C3–C7, W3–W5), overwrite (W7),
   *    union-by-name schema evolution (D6), PK-ascending write sort (D5)
-  *  - snapshot versioning for unpartitioned tables (`v=N` dirs, read =
-  *    current pointer); partition-level copy-on-write for partitioned
-  *    tables: only partitions touched by a batch are rewritten and swapped
-  *    in — the scale analogue of the reference's partition-granularity
-  *    delete files (BaseDeltaTaskWriter.java:76)
+  *  - unpartitioned tables are MERGE-ON-READ: every commit writes only
+  *    immutable file groups (data files and equality-delete key files,
+  *    both stamped with the commit sequence number) plus a manifest
+  *    listing the live groups — the direct analogue of the reference's
+  *    RowDelta commits of equality-delete + data files
+  *    (SINK/tableoperator/BaseDeltaTaskWriter.java:52-72,
+  *    IcebergTableWriterFactory.java:98-99). A merge costs O(batch), not
+  *    O(table): the table is never read on the write path. Readers apply
+  *    deletes with an anti-join scoped by sequence number (a delete at seq
+  *    S hides data rows with seq < S); `compact()` folds delete files
+  *    away. Snapshot versioning = versioned manifests (previous manifest
+  *    retained for time travel).
+  *  - partitioned tables use partition-level copy-on-write: only
+  *    partitions touched by a batch are rewritten and swapped in — the
+  *    scale analogue of the reference's partition-granularity delete files
+  *    (BaseDeltaTaskWriter.java:76)
   *
   * Known shared limitation with the reference: upserting a row whose
   * partition value changed leaves the old row version in the old partition
@@ -37,6 +48,8 @@ final class ManagedTable private (
     val warehouse: String,
     @volatile private var _meta: TableMeta
 ) {
+  import ManagedTable.{DelSeqCol, SeqCol, TombstoneCol}
+
   def meta: TableMeta = _meta
   def name: String = _meta.name
 
@@ -53,12 +66,20 @@ final class ManagedTable private (
     */
   private def format: String = _meta.properties.getOrElse("write.format-default", "parquet")
 
-  /** Data root: versioned snapshot dir when unpartitioned; a single
-    * partition-swapped dir when partitioned.
+  /** Partitioned data root (partition-swapped dirs). Unpartitioned tables
+    * have no single data root — they are manifest-tracked file groups
+    * under `files/` (see [[morRead]]).
     */
-  private def dataDir: Path =
-    if (isPartitioned) new Path(tableDir, "data")
-    else new Path(tableDir, s"v=${_meta.currentVersion}")
+  private def dataDir: Path = {
+    require(isPartitioned, "dataDir is only defined for partitioned tables")
+    new Path(tableDir, "data")
+  }
+
+  private def manifestsDir = new Path(tableDir, "manifests")
+  private def filesDir = new Path(tableDir, "files")
+  private def manifestPath(v: Long) = new Path(manifestsDir, s"v=$v.json")
+  private def currentEntries: Seq[ManifestEntry] =
+    Manifest.read(fs, manifestPath(_meta.currentVersion)).getOrElse(Seq.empty)
 
   private def partitionColType(pf: PartitionField): DataType = pf.transform match {
     case "year" | "bucket" => IntegerType
@@ -81,21 +102,67 @@ final class ManagedTable private (
   def read(): DataFrame = readPhysical().select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*)
 
   /** Includes derived partition columns — internal + pruning-aware readers. */
-  def readPhysical(): DataFrame = {
-    val d = dataDir
-    val hasData = fs.exists(d) && fs.listStatus(d).nonEmpty
-    if (!hasData) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], physicalSchema)
-    } else {
-      spark.read.schema(physicalSchema)
-        .option("basePath", d.toString).format(format).load(d.toString)
+  def readPhysical(): DataFrame =
+    if (!isPartitioned) morRead(currentEntries)
+    else {
+      val d = dataDir
+      val hasData = fs.exists(d) && fs.listStatus(d).nonEmpty
+      if (!hasData) {
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], physicalSchema)
+      } else {
+        spark.read.schema(physicalSchema)
+          .option("basePath", d.toString).format(format).load(d.toString)
+      }
     }
-  }
 
-  /** Time travel over unpartitioned snapshots. */
+  /** Time travel over unpartitioned snapshots: resolve an older manifest
+    * (the previous one is retained) against the current schema.
+    */
   def readVersion(v: Long): DataFrame = {
     require(!isPartitioned, "time travel is only kept for unpartitioned tables")
-    spark.read.schema(physicalSchema).format(format).load(new Path(tableDir, s"v=$v").toString)
+    val entries = Manifest.read(fs, manifestPath(v))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no retained manifest for version $v of ${_meta.name}"))
+    morRead(entries)
+  }
+
+  /** Merge-on-read scan: one multi-path scan of every file group plus a
+    * single anti-join against the upsert groups' (identifier, seq) pairs —
+    * an upsert group at seq S hides rows of groups with seq < S (the
+    * reference's sequence-number-scoped equality deletes,
+    * IcebergTableOperator.java:205-249). The delete side is column-pruned
+    * to identifiers + seq, and upsert groups at the minimum live seq are
+    * skipped outright (nothing older exists for them to hide) — so after a
+    * compaction the delete side is only the trickle batches since, which
+    * AQE broadcasts: the main data scan is never shuffled. Tombstone rows
+    * (hard deletes) are filtered out last.
+    */
+  private def morRead(entries: Seq[ManifestEntry]): DataFrame = {
+    if (entries.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], physicalSchema)
+    val allPaths = entries.map(e => new Path(tableDir, e.path).toString)
+    val readSchema = StructType(physicalSchema.fields :+
+      StructField(SeqCol, LongType, nullable = false) :+
+      StructField(TombstoneCol, BooleanType, nullable = true))
+    val data = spark.read.schema(readSchema).format(format).load(allPaths: _*)
+    val ids = _meta.identifierFields
+    val minSeq = entries.map(_.seq).min
+    val delEntries = entries.filter(e => e.kind == Manifest.Upsert && e.seq > minSeq)
+    val applied =
+      if (delEntries.isEmpty || ids.isEmpty) data
+      else {
+        val pkSchema = StructType(
+          ids.map(n => _meta.schema(n).copy(nullable = false)) :+
+            StructField(SeqCol, LongType, nullable = false))
+        val dels = spark.read.schema(pkSchema).format(format)
+          .load(delEntries.map(e => new Path(tableDir, e.path).toString): _*)
+          .select(ids.map(n => col(n).as(s"__del_$n")) :+ col(SeqCol).as(DelSeqCol): _*)
+        val cond = ids.map(n => data(n) === dels(s"__del_$n")).reduce(_ && _) &&
+          dels(DelSeqCol) > data(SeqCol)
+        data.join(dels, cond, "left_anti")
+      }
+    applied.filter(!coalesce(col(TombstoneCol), lit(false)))
+      .drop(SeqCol, TombstoneCol)
   }
 
   /** W1/W2 — append. Batch is conformed to the table schema (R4), hash-
@@ -104,14 +171,21 @@ final class ManagedTable private (
     */
   def append(batch: DataFrame): Unit = {
     val conformed = EventDecoder.conformTo(batch, _meta.schema)
-    val withParts = withPartitionCols(conformed)
-    val distributed =
-      if (isPartitioned) withParts.repartition(partitionFields.map(pf => col(pf.name)): _*)
-      else withParts
-    val sorted = sortForWrite(distributed)
-    val w = applyWriteProps(sorted.write.mode("append"))
-    (if (isPartitioned) w.partitionBy(partitionFields.map(_.name): _*) else w)
-      .format(format).save(dataDir.toString)
+    if (!isPartitioned) {
+      // MoR: a new immutable data group + manifest commit — the live
+      // snapshot is never mutated (a failed append leaves an unreferenced
+      // group, invisible to readers and swept by the next commit's GC).
+      val seq = _meta.currentVersion + 1
+      val entry = writeGroup(sortForWrite(conformed), Manifest.Data, seq)
+      commitManifest(currentEntries ++ entry)
+    } else {
+      val withParts = withPartitionCols(conformed)
+      val distributed = withParts.repartition(partitionFields.map(pf => col(pf.name)): _*)
+      val sorted = sortForWrite(distributed)
+      applyWriteProps(sorted.write.mode("append"))
+        .partitionBy(partitionFields.map(_.name): _*)
+        .format(format).save(dataDir.toString)
+    }
   }
 
   /** C3–C7 — upsert-merge a CDC batch into the table. */
@@ -119,10 +193,67 @@ final class ManagedTable private (
     val ids = _meta.identifierFields
     if (ids.isEmpty) { append(batch); return } // C6 append fallback
     if (isPartitioned) mergePartitioned(batch, cfg)
-    else {
-      val merged = CdcApply.upsert(
-        read(), EventDecoder.conformTo(batch, _meta.schema), ids, cfg)
-      commitNewVersion(sortForWrite(merged))
+    else mergeOnRead(batch, cfg)
+  }
+
+  /** Unpartitioned merge = the reference's delete+insert delta commit
+    * (BaseDeltaTaskWriter.java:52-72) collapsed into ONE written file
+    * group: the batch's per-key winners, which double as the equality
+    * deletes for everything older (see [[Manifest]]). Hard deletes under
+    * keepDeletes=false become tombstone rows. The existing table is never
+    * read and a single Spark action runs — per-micro-batch cost is
+    * proportional to the batch, not the table.
+    */
+  private def mergeOnRead(batch: DataFrame, cfg: CdcApply.UpsertConfig): Unit = {
+    val ids = _meta.identifierFields
+    val conformed = EventDecoder.conformTo(batch, _meta.schema)
+    val winners = CdcApply.batchWinners(conformed, ids, cfg)
+    val flagged = winners.withColumn(TombstoneCol,
+      if (cfg.keepDeletes) lit(false)
+      else col(cfg.opColumn) === Operation.Delete)
+    val seq = _meta.currentVersion + 1
+    val entry = writeGroup(sortForWrite(flagged), Manifest.Upsert, seq)
+    commitManifest(currentEntries ++ entry)
+  }
+
+  /** Write an immutable file group stamped with its commit sequence
+    * number. Returns no entry for an empty group.
+    */
+  private def writeGroup(df: DataFrame, kind: String, seq: Long): Option[ManifestEntry] = {
+    val rel = s"files/$kind-$seq-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = new Path(tableDir, rel)
+    applyWriteProps(df.withColumn(SeqCol, lit(seq)).write.mode("overwrite"))
+      .format(format).save(dir.toString)
+    val hasFiles = fs.exists(dir) &&
+      fs.listStatus(dir).exists(s => !s.getPath.getName.startsWith("_"))
+    if (hasFiles) Some(ManifestEntry(rel, kind, seq))
+    else { fs.delete(dir, true); None }
+  }
+
+  /** Commit a new manifest version and flip the meta pointer, then GC:
+    * keep the previous manifest (time travel) and every file group either
+    * retained manifest references; drop the rest — which also sweeps
+    * orphaned groups from crashed commits. Groups are written before the
+    * manifest, the manifest before the pointer, so every crash window
+    * leaves readers on a complete older version.
+    */
+  private def commitManifest(entries: Seq[ManifestEntry]): Unit = {
+    val next = _meta.currentVersion + 1
+    fs.delete(manifestPath(next), false) // leftover from a crashed commit
+    Manifest.write(fs, manifestPath(next), entries)
+    _meta = _meta.copy(currentVersion = next)
+    TableMeta.write(fs, tableDir, _meta)
+    val retained = (Manifest.read(fs, manifestPath(next - 1)).getOrElse(Seq.empty) ++ entries)
+      .map(_.path).toSet
+    if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { s =>
+      if (!retained.contains(s"files/${s.getPath.getName}")) fs.delete(s.getPath, true)
+    }
+    if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("v=") && n.endsWith(".json")) {
+        val v = n.stripPrefix("v=").stripSuffix(".json").toLong
+        if (v < next - 1) fs.delete(s.getPath, false)
+      }
     }
   }
 
@@ -224,10 +355,15 @@ final class ManagedTable private (
     if (isPartitioned) walk(dataDir)
   }
 
-  /** W7 — atomically replace the whole table content (offset-store parity). */
+  /** W7 — atomically replace the whole table content (offset-store parity):
+    * one data group, a manifest referencing only it.
+    */
   def overwrite(df: DataFrame): Unit = {
     require(!isPartitioned, "overwrite is for unpartitioned metadata tables")
-    commitNewVersion(EventDecoder.conformTo(df, _meta.schema))
+    val seq = _meta.currentVersion + 1
+    val entry = writeGroup(
+      sortForWrite(EventDecoder.conformTo(df, _meta.schema)), Manifest.Data, seq)
+    commitManifest(entry.toSeq)
   }
 
   /** D6 — union-by-name evolution; commits metadata only on change. */
@@ -288,7 +424,11 @@ final class ManagedTable private (
         else if (s.getPath.getName.startsWith("_")) acc
         else acc + 1
       }
-    val before = countFiles(dataDir)
+    // Live files: the current manifest's groups (MoR) or the data dir.
+    def liveFiles(): Long =
+      if (isPartitioned) countFiles(dataDir)
+      else currentEntries.map(e => countFiles(new Path(tableDir, e.path))).sum
+    val before = liveFiles()
     if (isPartitioned) {
       val pnames = partitionFields.map(_.name)
       val staging = new Path(tableDir, s".compact-${java.util.UUID.randomUUID()}")
@@ -307,24 +447,26 @@ final class ManagedTable private (
         bumpVersion()
       } finally fs.delete(staging, true)
     } else {
-      // full parallelism on read; maxRecordsPerFile (W10) re-splits files
-      commitNewVersion(read().coalesce(
-        math.max(1, spark.sparkContext.defaultParallelism)))
+      // Fold the MoR view (deletes applied, tombstones dropped) into one
+      // fresh data group; the new manifest references only it, so upsert
+      // groups stop costing reads. Output file count is sized from the
+      // actual live bytes / target file size — not the cluster's
+      // parallelism — so small-file piles fold to few files and a 100 TB
+      // table still compacts to target-sized files in parallel.
+      val targetBytes = _meta.properties
+        .getOrElse("write.target-file-size-bytes", (512L * 1024 * 1024).toString).toLong
+      def dirBytes(p: Path): Long =
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p).map(s => if (s.isDirectory) dirBytes(s.getPath) else s.getLen).sum
+      val liveBytes = currentEntries.map(e => dirBytes(new Path(tableDir, e.path))).sum
+      val nFiles = math.max(1L, (liveBytes + targetBytes - 1) / targetBytes).toInt
+      // repartition (not coalesce) keeps the read side parallel
+      val folded = read().repartition(nFiles)
+      val seq = _meta.currentVersion + 1
+      val entry = writeGroup(sortForWrite(folded), Manifest.Data, seq)
+      commitManifest(entry.toSeq)
     }
-    (before, countFiles(dataDir))
-  }
-
-  /** Unpartitioned snapshot commit: write v+1 fully, flip pointer, prune
-    * old snapshots (keep 2 for time travel).
-    */
-  private def commitNewVersion(df: DataFrame): Unit = {
-    val next = _meta.currentVersion + 1
-    applyWriteProps(df.write.mode("overwrite"))
-      .format(format).save(new Path(tableDir, s"v=$next").toString)
-    _meta = _meta.copy(currentVersion = next)
-    TableMeta.write(fs, tableDir, _meta)
-    val stale = next - 2
-    if (stale > 0) fs.delete(new Path(tableDir, s"v=$stale"), true)
+    (before, liveFiles())
   }
 
   private def bumpVersion(): Unit = {
@@ -334,6 +476,18 @@ final class ManagedTable private (
 }
 
 object ManagedTable {
+
+  /** Commit-sequence-number column stamped into every MoR file group. */
+  val SeqCol = "__graft_seq"
+
+  /** Renamed seq column on the delete side of the MoR anti-join. */
+  val DelSeqCol = "__graft_del_seq"
+
+  /** Hard-delete marker rows inside upsert groups (keepDeletes=false):
+    * they delete older versions via the anti-join but are themselves
+    * invisible to readers and dropped by compaction.
+    */
+  val TombstoneCol = "__graft_tombstone"
 
   /** D3 — auto-create from an inferred schema. */
   def create(
@@ -352,6 +506,8 @@ object ManagedTable {
     PartitionSpecParser.parse(partitionBy, schema.fieldNames.toSet)
     fs.mkdirs(dir)
     val meta = TableMeta(name, schema, identifierFields, partitionBy, properties, 0L)
+    if (partitionBy.isEmpty) // MoR tables start from an empty manifest
+      Manifest.write(fs, new Path(new Path(dir, "manifests"), "v=0.json"), Seq.empty)
     TableMeta.write(fs, dir, meta)
     new ManagedTable(spark, warehouse, meta)
   }

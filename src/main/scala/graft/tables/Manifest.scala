@@ -5,13 +5,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import scala.jdk.CollectionConverters._
 
 /** One committed file group of an unpartitioned table snapshot: a directory
-  * of immutable data files (`kind=data`) or delete-key files
-  * (`kind=delete`), stamped with the commit sequence number. The graft
-  * analogue of an Iceberg manifest entry: data files + equality-delete
-  * files with sequence-number scoping (a delete applies to data files with
-  * strictly smaller seq — cf. the reference's RowDelta commits,
+  * of immutable data files, stamped with the commit sequence number. The
+  * graft analogue of an Iceberg manifest entry with sequence-number-scoped
+  * equality deletes (cf. the reference's RowDelta commits,
   * SINK/tableoperator/IcebergTableOperator.java:205-249, and its
-  * equality-delta writers, SINK/tableoperator/BaseDeltaTaskWriter.java:52-72).
+  * equality-delta writers, SINK/tableoperator/BaseDeltaTaskWriter.java:52-72):
+  *
+  *  - `kind=data` — plain rows (append / overwrite / compaction output);
+  *    asserts nothing about other groups.
+  *  - `kind=upsert` — a merge commit's per-key winners. The group doubles
+  *    as its own equality-delete file: its (identifier, seq) pairs hide
+  *    rows of any group with a strictly smaller seq, so an upsert batch is
+  *    ONE written file group, not a data + delete pair. Hard deletes ride
+  *    along as tombstone rows (filtered out by readers, dropped by
+  *    compaction).
   *
   * `path` is relative to the table directory.
   */
@@ -21,7 +28,7 @@ object Manifest {
   private val mapper = new ObjectMapper()
 
   val Data = "data"
-  val Delete = "delete"
+  val Upsert = "upsert"
 
   def toJson(entries: Seq[ManifestEntry]): String = {
     val root = mapper.createObjectNode()

@@ -83,4 +83,30 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(executed.contains("BroadcastHashJoin") && executed.contains("LeftAnti"),
       executed.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
+
+  test("MoR read: trickle upsert groups broadcast; base scan never shuffled; delete side column-pruned") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("graft_morplan").toString
+    val base = spark.range(0, 50000)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"),
+        lit("c").as("__op"), lit(1L).as("__source_ts_ns"))
+    val t = graft.tables.ManagedTable.create(spark, wh, "morplan", base.schema, Seq("id"))
+    t.merge(base)          // backfill: becomes the min-seq group (excluded from delete side)
+    t.merge(spark.range(0, 10)
+      .select(col("id"), concat(lit("u"), col("id")).as("name"),
+        lit("u").as("__op"), lit(2L).as("__source_ts_ns")))  // trickle
+    val df = t.read()
+    assert(df.count() == 50000)
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin") && executed.contains("LeftAnti"),
+      executed.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // broadcast anti-join means the 50k-row base scan side has no exchange
+    // other than the broadcast one
+    assert(!executed.contains("Exchange hashpartitioning"),
+      executed.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // the delete side reads only (id, seq) — schema-pruned scan
+    val delScan = executed.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("__graft_seq") && !l.contains("name"))
+    assert(delScan.nonEmpty, "delete side is not column-pruned to (id, __graft_seq)")
+  }
 }

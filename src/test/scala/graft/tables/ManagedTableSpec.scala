@@ -143,8 +143,8 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
       // 100 rows/file: 25600 bytes target at 256 estimated row bytes
       Map("write.target-file-size-bytes" -> "25600"))
     t.append(df.coalesce(1)) // single partition input would be one file without W10
-    val files = new java.io.File(s"$wh/rolled/v=0").listFiles()
-      .count(_.getName.endsWith(".parquet"))
+    val files = new java.io.File(s"$wh/rolled/files").listFiles()
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
     assert(files >= 10, s"expected >=10 rolled files, got $files")
     assert(t.read().count() == 1000)
   }
@@ -156,7 +156,8 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     val t = ManagedTable.create(spark, wh, "orc_t", df.schema, Seq("id"), Seq.empty,
       Map("write.format-default" -> "orc"))
     t.append(df)
-    assert(new java.io.File(s"$wh/orc_t/v=0").listFiles().exists(_.getName.endsWith(".orc")))
+    assert(new java.io.File(s"$wh/orc_t/files").listFiles()
+      .flatMap(_.listFiles()).exists(_.getName.endsWith(".orc")))
     assert(t.read().count() == 2)
     val names = ManagedTable.registerAllViews(spark, wh)
     assert(names == Seq("orc_t"))
@@ -241,6 +242,71 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     // ...and load drops it because the live partition exists
     assert(ManagedTable.load(spark, wh, "swaprec").get.read().count() == 2)
     assert(!staleAside.exists())
+  }
+
+  test("MoR: merge writes only new file groups — existing groups untouched (O(batch) writes)") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "mor1", schema, Seq("id"))
+    t.merge(rows((1, "a", "c", 1L), (2, "b", "c", 1L)))
+    val filesDir = new java.io.File(s"$wh/mor1/files")
+    val before = filesDir.listFiles().flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getPath -> f.lastModified()).toMap
+    Thread.sleep(20)
+    t.merge(rows((2, "b2", "u", 2L), (3, "c", "c", 2L)))
+    before.foreach { case (p, m) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && f.lastModified() == m, s"existing group file rewritten: $p")
+    }
+    val out = t.read().orderBy("id").select("id", "name").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((1, "a"), (2, "b2"), (3, "c")))
+    // merge batches land as upsert groups (self-delete-scoped) until compaction folds them
+    assert(filesDir.listFiles().exists(_.getName.startsWith("upsert-")))
+  }
+
+  test("MoR: readVersion(N) is byte-stable across a later append; unreferenced groups invisible") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "mor2", schema, Seq("id"))
+    t.append(rows((1, "a", "c", 1L)))
+    val v1 = t.meta.currentVersion
+    val v1Files = new java.io.File(s"$wh/mor2/files").listFiles().flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    t.append(rows((2, "b", "c", 2L)))
+    assert(t.readVersion(v1).count() == 1, "old version must still read 1 row")
+    v1Files.foreach { case (p, bytes) =>
+      assert(java.nio.file.Files.readAllBytes(new java.io.File(p).toPath).toSeq == bytes,
+        s"version-$v1 data file changed on append: $p")
+    }
+    // a crashed append's orphan group is invisible to readers and swept by the next commit
+    val orphan = new java.io.File(s"$wh/mor2/files/data-99-orphan")
+    orphan.mkdirs()
+    assert(t.read().count() == 2)
+    t.append(rows((3, "c", "c", 3L)))
+    assert(!orphan.exists(), "orphan group must be GC'd on commit")
+    assert(t.read().count() == 3)
+  }
+
+  test("MoR: compact folds upsert groups + tombstones away, preserves the merged view") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "mor3", schema, Seq("id"))
+    t.merge(rows((1, "a", "c", 1L), (2, "b", "c", 1L)))
+    t.merge(rows((1, "a2", "u", 2L), (2, null, "d", 2L)), CdcApply.UpsertConfig(keepDeletes = false))
+    t.merge(rows((3, "c", "c", 3L)))
+    val expect = t.read().orderBy("id").select("id", "name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(expect == Seq((1, "a2"), (3, "c")))
+    val (before, after) = t.compact()
+    assert(after < before, s"$before -> $after")
+    val filesDir = new java.io.File(s"$wh/mor3/files")
+    // current manifest is upsert-free: after one more commit cycle only data groups remain
+    t.append(rows((4, "d", "c", 4L)))
+    t.append(rows((5, "e", "c", 5L)))
+    assert(!filesDir.listFiles().exists(_.getName.startsWith("upsert-")),
+      "upsert groups must be gone after compaction + GC")
+    val out = t.read().orderBy("id").select("id", "name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq((1, "a2"), (3, "c"), (4, "d"), (5, "e")))
   }
 
   test("int->long promotion during evolution keeps old data readable") {
