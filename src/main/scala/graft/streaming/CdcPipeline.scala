@@ -28,7 +28,8 @@ final case class PipelineConfig(
     tableProperties: Map[String, String] = Map.empty,
     concurrentTables: Int = 1,
     archiveEvents: Boolean = false,
-    nullKeyPolicy: CdcApply.NullKeyPolicy = CdcApply.NullKeyPolicy.Fail
+    nullKeyPolicy: CdcApply.NullKeyPolicy = CdcApply.NullKeyPolicy.Fail,
+    tableOperationTimeout: Duration = Duration.Inf
 ) {
   def partitionSpecFor(table: String): Seq[String] =
     partitionBy.getOrElse(table, partitionBy.getOrElse("*", Seq.empty))
@@ -73,7 +74,8 @@ object CdcPipeline {
       // second time for counting.
       val counts = batch.groupBy("destination").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val results = parallelize(counts.keys.toSeq.sorted, cfg.concurrentTables) { dest =>
+      val results = parallelize(counts.keys.toSeq.sorted, cfg.concurrentTables,
+        cfg.tableOperationTimeout) { dest =>
         processDestination(spark, batch.filter(col("destination") === dest), dest, cfg)
         dest -> counts(dest)
       }
@@ -131,15 +133,26 @@ object CdcPipeline {
       current_timestamp().as("event_sink_timestamptz")))
   }
 
-  /** W11 — bounded per-table parallelism; any failure fails the batch
-    * before offsets commit (at-least-once, like the reference).
+  /** W11 — bounded per-table parallelism with a per-table timeout (the
+    * reference's per-upload `Await`, SINK/BatchConfig.java:31-38); any
+    * failure or timeout fails the batch before offsets commit
+    * (at-least-once, like the reference).
     */
-  private def parallelize[A, B](items: Seq[A], parallelism: Int)(f: A => B): Seq[B] =
+  private[streaming] def parallelize[A, B](
+      items: Seq[A], parallelism: Int,
+      timeout: Duration = Duration.Inf)(f: A => B): Seq[B] =
     if (parallelism <= 1 || items.size <= 1) items.map(f)
     else {
       val pool = Executors.newFixedThreadPool(math.min(parallelism, items.size))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(Future.sequence(items.map(i => Future(f(i)))), Duration.Inf)
+      try items.map(i => Future(f(i))).map { fut =>
+        try Await.result(fut, timeout)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            throw new java.util.concurrent.TimeoutException(
+              s"table operation exceeded $timeout — failing the batch before offset commit")
+        }
+      }
       finally pool.shutdown()
     }
 

@@ -430,22 +430,38 @@ final class ManagedTable private (
       else currentEntries.map(e => countFiles(new Path(tableDir, e.path))).sum
     val before = liveFiles()
     if (isPartitioned) {
+      // Targeted: only partitions at/above the small-file threshold are
+      // rewritten (`compact.min-input-files`, default 2 — cf. Iceberg's
+      // binpack min-input-files). At 100 TB a compaction pass must not
+      // rewrite the cold 99% of partitions a trickle stream never touches.
+      val minInput = _meta.properties.getOrElse("compact.min-input-files", "2").toInt
       val pnames = partitionFields.map(_.name)
-      val staging = new Path(tableDir, s".compact-${java.util.UUID.randomUUID()}")
-      try {
-        val current = readPhysical()
-          .select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*)
-        val parts = readPhysical().select(pnames.map(col): _*).distinct().collect()
-        stagePartitionedWrite(current, staging)
-        val rels = parts.map { r =>
-          pnames.zipWithIndex.map { case (n, i) =>
-            val v = if (r.isNullAt(i)) null else r.get(i).toString
-            ExternalCatalogUtils.getPartitionPathString(n, Option(v).getOrElse("__HIVE_DEFAULT_PARTITION__"))
-          }.mkString("/")
-        }
-        swapPartitions(staging, rels.toSeq)
-        bumpVersion()
-      } finally fs.delete(staging, true)
+      def leafParts(dir: Path, depth: Int, rel: String): Seq[(String, Long)] =
+        if (!fs.exists(dir)) Seq.empty
+        else if (depth == 0)
+          Seq(rel -> fs.listStatus(dir).count(s => !s.isDirectory &&
+            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")).toLong)
+        else fs.listStatus(dir).toSeq
+          .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
+            !s.getPath.getName.startsWith("_"))
+          .flatMap(s => leafParts(s.getPath, depth - 1,
+            if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}"))
+      val targets = leafParts(dataDir, pnames.size, "")
+        .collect { case (rel, n) if n >= minInput => rel }
+      if (targets.nonEmpty) {
+        val staging = new Path(tableDir, s".compact-${java.util.UUID.randomUUID()}")
+        try {
+          // basePath keeps the hive partition columns while loading only
+          // the targeted partition dirs
+          val current = spark.read.schema(physicalSchema)
+            .option("basePath", dataDir.toString).format(format)
+            .load(targets.map(rel => new Path(dataDir, rel).toString): _*)
+            .select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+          stagePartitionedWrite(current, staging)
+          swapPartitions(staging, targets)
+          bumpVersion()
+        } finally fs.delete(staging, true)
+      }
     } else {
       // Fold the MoR view (deletes applied, tombstones dropped) into one
       // fresh data group; the new manifest references only it, so upsert

@@ -150,4 +150,19 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
     val dirs = new java.io.File(s"${cfg.warehouse}/debezium_events/data").listFiles().map(_.getName)
     assert(dirs.exists(_.startsWith("event_destination=")))
   }
+
+  test("W11: per-table operation timeout fails the batch; fast tables still complete") {
+    import scala.concurrent.duration._
+    // under the timeout: completes
+    val ok = CdcPipeline.parallelize(Seq(1, 2), 2, 5.seconds)(i => i * 10)
+    assert(ok == Seq(10, 20))
+    // a hung table operation trips the per-table timeout (reference
+    // BatchConfig-style upload timeout) instead of blocking forever
+    val ex = intercept[java.util.concurrent.TimeoutException] {
+      CdcPipeline.parallelize(Seq(1, 2), 2, 200.millis) { i =>
+        if (i == 2) Thread.sleep(60000); i
+      }
+    }
+    assert(ex.getMessage.contains("failing the batch"))
+  }
 }

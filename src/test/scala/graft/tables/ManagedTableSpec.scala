@@ -309,6 +309,29 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(out == Seq((1, "a2"), (3, "c"), (4, "d"), (5, "e")))
   }
 
+  test("targeted compaction: partitions under the small-file threshold are not rewritten") {
+    import spark.implicits._
+    val wh = tmpWarehouse()
+    val pdf = Seq((1L, "a", "hot")).toDF("id", "name", "p")
+    val t = ManagedTable.create(spark, wh, "tc", pdf.schema, Seq("id"), Seq("p"))
+    // hot partition: 3 appends -> 3 files; cold partition: 1 append -> 1 file
+    (1 to 3).foreach(i => t.append(Seq((i.toLong, s"h$i", "hot")).toDF("id", "name", "p")))
+    t.append(Seq((10L, "c1", "cold")).toDF("id", "name", "p"))
+    val coldFile = new java.io.File(s"$wh/tc/data/p=cold").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val coldM = coldFile.lastModified()
+    Thread.sleep(20)
+    val (before, after) = t.compact()
+    assert(after < before, s"$before -> $after")
+    val coldAfter = new java.io.File(s"$wh/tc/data/p=cold").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(coldAfter.lastModified() == coldM, "cold partition was rewritten by compaction")
+    val hotFiles = new java.io.File(s"$wh/tc/data/p=hot").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(hotFiles == 1, s"hot partition should fold to 1 file, got $hotFiles")
+    assert(t.read().count() == 4)
+  }
+
   test("int->long promotion during evolution keeps old data readable") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "promo",
