@@ -162,6 +162,35 @@ object Queries {
       |  strftime(ts::DATE, '%Y-%m-%d') AS d_roundtrip
       |FROM events""".stripMargin))
 
+  /** F7/F8 temporal precision modes: the same unannotated epoch long
+    * conformed to timestamp columns under each
+    * `debezium.source.time.precision.mode` (isostring/micro default →
+    * micros for ntz, nanoseconds → integral nanos→micros, connect →
+    * millis; reference AbstractEventConverter.java:107-206 fallback arms).
+    * Output as fixed-width strings like fn_temporal to keep the comparison
+    * surface type-stable.
+    */
+  val fnTemporalModes = Q("fn_temporal_modes",
+    (s, dir) => {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val v = pmod(unix_micros(col("ts")), lit(1000000000000L))
+      def f(m: TemporalMode, dst: org.apache.spark.sql.types.DataType) =
+        date_format(SchemaMapping.coerceTo(v, LongType, dst, m),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      events(s, dir).select(
+        col("event_id"),
+        f(TemporalMode.IsoString, TimestampNTZType).as("iso_ntz"),
+        f(TemporalMode.Nano, TimestampNTZType).as("nano_ntz"),
+        f(TemporalMode.Connect, TimestampNTZType).as("connect_ntz"),
+        f(TemporalMode.Micro, TimestampType).as("micro_tz"))
+    },
+    Some("""SELECT event_id,
+      |  strftime(make_timestamp(epoch_us(ts) % 1000000000000), '%Y-%m-%d %H:%M:%S.%f') AS iso_ntz,
+      |  strftime(make_timestamp((epoch_us(ts) % 1000000000000) // 1000), '%Y-%m-%d %H:%M:%S.%f') AS nano_ntz,
+      |  strftime(make_timestamp((epoch_us(ts) % 1000000000000) * 1000), '%Y-%m-%d %H:%M:%S.%f') AS connect_ntz,
+      |  strftime(make_timestamp(epoch_us(ts) % 1000000000000), '%Y-%m-%d %H:%M:%S.%f') AS micro_tz
+      |FROM events""".stripMargin))
+
   val fnJson = Q("fn_json_extract",
     (s, dir) => events(s, dir).select(
       col("event_id"),
@@ -1015,7 +1044,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcDecode, cdcOpMapping,
     cdcRouting, cdcColumnExclusion, cdcSchemaEvolution, cdcDecodeNested,
-    fnTemporal, fnJson, fnString, fnHash, fnVariant, fnDecimalPrecise, fnUuid,
+    fnTemporal, fnTemporalModes, fnJson, fnString, fnHash, fnVariant, fnDecimalPrecise, fnUuid,
     partitionTransforms,
     q1Agg, qJoinDims, qJoinFact, qTopkWindow, qAnalyticWindow, qSortLimit,
     qSetOps, qRollup, qDistinctAgg, qSubquery, qSemiJoin, qSessionize,

@@ -9,17 +9,24 @@ final case class InferredEventSchema(
     specs: Seq[FieldSpec],
     identifierFields: Seq[String],
     isSchemaChangeEvent: Boolean,
-    isUnflattened: Boolean
+    isUnflattened: Boolean,
+    preserveRequired: Boolean = false
 ) {
   /** Wire-shape schema handed to from_json. */
   def rawSchema: StructType = SchemaMapping.rawStructType(specs)
 
-  /** Target table schema; identifier fields are forced required
-    * (reference: SINK/converter/JsonSchemaConverter.java:83-84,163).
+  /** Target table schema; identifier fields are forced required. By
+    * default every non-identifier field is optional regardless of the
+    * connect schema's flag; `preserve-required-property` keeps the
+    * source's required flags instead (reference:
+    * SINK/converter/JsonSchemaConverter.java:83-84,163,
+    * SINK/IcebergConfig.java:98-100).
     */
   def tableSchema: StructType = StructType(
     SchemaMapping.typedStructType(specs).map { f =>
-      if (identifierFields.contains(f.name)) f.copy(nullable = false) else f
+      if (identifierFields.contains(f.name)) f.copy(nullable = false)
+      else if (preserveRequired) f
+      else f.copy(nullable = true)
     })
 }
 
@@ -81,7 +88,8 @@ object EventDecoder {
         }
       }.getOrElse(Seq.empty).filter(names.contains)
 
-    InferredEventSchema(specs, ids, isSchemaChange, isUnflattened)
+    InferredEventSchema(specs, ids, isSchemaChange, isUnflattened,
+      preserveRequired = cfg.preserveRequired)
   }
 
   /** Union-by-name with safe promotion (int→long, float→double), mirroring
@@ -131,12 +139,16 @@ object EventDecoder {
     specs.map(s => s.convert(payload.getField(s.name)).as(s.name))
 
   /** Conform a typed DataFrame to a target table schema: missing columns →
-    * typed nulls, extra columns dropped, order normalized (R4).
+    * typed nulls, extra columns dropped, order normalized (R4). Type drift
+    * toward a timestamp column goes through the temporal-precision-mode
+    * fallback instead of a bare cast (see [[SchemaMapping.coerceTo]]).
     */
-  def conformTo(df: DataFrame, table: StructType): DataFrame = {
+  def conformTo(df: DataFrame, table: StructType,
+                mode: TemporalMode = TemporalMode.IsoString): DataFrame = {
     val present = df.columns.toSet
     df.select(table.fields.toSeq.map { f =>
-      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      if (present.contains(f.name))
+        SchemaMapping.coerceTo(col(f.name), df.schema(f.name).dataType, f.dataType, mode).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
   }

@@ -37,6 +37,24 @@ object TemporalMode {
   case object Micro extends TemporalMode
   case object Nano extends TemporalMode
   case object Connect extends TemporalMode // millis
+
+  /** Config-string round trip (reference mode names,
+    * SINK/DebeziumConfig.java:20-26).
+    */
+  def name(m: TemporalMode): String = m match {
+    case IsoString => "isostring"
+    case Micro     => "microseconds"
+    case Nano      => "nanoseconds"
+    case Connect   => "connect"
+  }
+
+  def fromString(s: String): TemporalMode = s.toLowerCase match {
+    case "isostring"            => IsoString
+    case "microseconds" | "micro" => Micro
+    case "nanoseconds" | "nano"   => Nano
+    case "connect"              => Connect
+    case other => throw new IllegalArgumentException(s"unknown temporal mode: $other")
+  }
 }
 
 final case class SchemaMappingConfig(
@@ -156,6 +174,33 @@ object SchemaMapping {
       case _ => asIs(name, StringType, cs)
     }
   }
+
+  /** Mode-gated coercion for a batch field whose type drifted from the
+    * table column's — the reference's unannotated-int64 fallback
+    * (SINK/converter/AbstractEventConverter.java:107-206, gated by
+    * `debezium.source.time.precision.mode`, SINK/DebeziumConfig.java:20-26):
+    * an integral value conforming to a timestamp column is epoch micros /
+    * nanos / millis depending on the mode, mirroring the reference's
+    * default arms (ntz defaults to micros, tz to millis). Everything else
+    * is a plain cast — notably a bare long→timestamp cast would read
+    * SECONDS, which no mode means.
+    */
+  def coerceTo(c: Column, src: DataType, dst: DataType, mode: TemporalMode): Column =
+    (src, dst) match {
+      case (IntegerType | LongType, TimestampNTZType) =>
+        (mode match {
+          case TemporalMode.Nano    => graft.functions.Conversions.timestampFromNanos(c)
+          case TemporalMode.Connect => timestamp_millis(c)
+          case _                    => timestamp_micros(c) // Micro | IsoString default
+        }).cast(TimestampNTZType)
+      case (IntegerType | LongType, TimestampType) =>
+        mode match {
+          case TemporalMode.Micro => timestamp_micros(c)
+          case TemporalMode.Nano  => graft.functions.Conversions.timestampFromNanos(c)
+          case _                  => timestamp_millis(c) // Connect | IsoString default
+        }
+      case _ => c.cast(dst)
+    }
 
   private def identityConvert(s: FieldSpec): Boolean = s.raw == s.typed
 

@@ -98,7 +98,8 @@ object CdcPipeline {
     val ids = if (inferred.isSchemaChangeEvent) Seq.empty else inferred.identifierFields
 
     val table = ManagedTable.loadOrCreate(spark, cfg.warehouse, tableName,
-      inferred.tableSchema, ids, cfg.partitionSpecFor(tableName), cfg.tableProperties)
+      inferred.tableSchema, ids, cfg.partitionSpecFor(tableName),
+      cfg.tableProperties + ("write.temporal-mode" -> TemporalMode.name(cfg.mapping.temporalMode)))
     table.evolve(inferred.tableSchema, ids) // D6 (no-op guarded)
 
     // Single-pass decode: the from_json + conversion pipeline runs only in

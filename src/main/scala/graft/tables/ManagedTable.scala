@@ -66,6 +66,14 @@ final class ManagedTable private (
     */
   private def format: String = _meta.properties.getOrElse("write.format-default", "parquet")
 
+  /** Temporal precision mode for batch→table type drift (`write.temporal-mode`
+    * property; reference `debezium.source.time.precision.mode`,
+    * SINK/DebeziumConfig.java:20-26). Gates [[graft.cdc.SchemaMapping.coerceTo]].
+    */
+  private def temporalMode: graft.cdc.TemporalMode =
+    graft.cdc.TemporalMode.fromString(
+      _meta.properties.getOrElse("write.temporal-mode", "isostring"))
+
   /** Partitioned data root (partition-swapped dirs). Unpartitioned tables
     * have no single data root — they are manifest-tracked file groups
     * under `files/` (see [[morRead]]).
@@ -170,7 +178,7 @@ final class ManagedTable private (
     * analogue) and sorted by identifier fields within files (D5).
     */
   def append(batch: DataFrame): Unit = {
-    val conformed = EventDecoder.conformTo(batch, _meta.schema)
+    val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
     if (!isPartitioned) {
       // MoR: a new immutable data group + manifest commit — the live
       // snapshot is never mutated (a failed append leaves an unreferenced
@@ -206,7 +214,7 @@ final class ManagedTable private (
     */
   private def mergeOnRead(batch: DataFrame, cfg: CdcApply.UpsertConfig): Unit = {
     val ids = _meta.identifierFields
-    val conformed = EventDecoder.conformTo(batch, _meta.schema)
+    val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
     val winners = CdcApply.batchWinners(conformed, ids, cfg)
     val flagged = winners.withColumn(TombstoneCol,
       if (cfg.keepDeletes) lit(false)
@@ -259,7 +267,7 @@ final class ManagedTable private (
 
   /** Partition-level COW: rewrite only partitions the batch touches. */
   private def mergePartitioned(batch: DataFrame, cfg: CdcApply.UpsertConfig): Unit = {
-    val conformed = EventDecoder.conformTo(batch, _meta.schema)
+    val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
     val batchParts = withPartitionCols(conformed)
     val pnames = partitionFields.map(_.name)
     val touched = batchParts.select(pnames.map(col): _*).distinct().collect()
@@ -362,7 +370,7 @@ final class ManagedTable private (
     require(!isPartitioned, "overwrite is for unpartitioned metadata tables")
     val seq = _meta.currentVersion + 1
     val entry = writeGroup(
-      sortForWrite(EventDecoder.conformTo(df, _meta.schema)), Manifest.Data, seq)
+      sortForWrite(EventDecoder.conformTo(df, _meta.schema, temporalMode)), Manifest.Data, seq)
     commitManifest(entry.toSeq)
   }
 

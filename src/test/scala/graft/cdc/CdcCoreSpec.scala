@@ -168,4 +168,58 @@ class CdcCoreSpec extends AnyFunSuite with SharedSpark {
     assert(out.schema.fieldNames.toSeq == Seq("id", "name", "added"))
     assert(out.collect().head.isNullAt(2))
   }
+
+  test("temporal precision modes F7/F8: unannotated long → timestamp per mode") {
+    import java.time.LocalDateTime
+    import org.apache.spark.sql.functions.{col, unix_micros, unix_millis}
+    // 2021-01-01T00:00:01.500 in epoch micros
+    val us = 1609459201500000L
+    val df = Seq(Tuple1(us)).toDF("t")
+    val ntz = StructType(Seq(StructField("t", TimestampNTZType)))
+    def conformed(m: TemporalMode): LocalDateTime =
+      EventDecoder.conformTo(df, ntz, m).collect().head
+        .getAs[LocalDateTime](0)
+    // isostring (reference default arm) + micro: value read as micros
+    assert(conformed(TemporalMode.IsoString) == LocalDateTime.parse("2021-01-01T00:00:01.500"))
+    assert(conformed(TemporalMode.Micro) == LocalDateTime.parse("2021-01-01T00:00:01.500"))
+    // nanoseconds: value read as nanos (integral division to micros)
+    assert(conformed(TemporalMode.Nano) == LocalDateTime.parse("1970-01-19T15:04:19.201500"))
+    // connect: value read as millis
+    assert(conformed(TemporalMode.Connect).getYear > 50000) // micros*1000 — far future
+    // tz target: connect/isostring read as millis, micro as micros
+    val tz = StructType(Seq(StructField("t", TimestampType)))
+    val millisIn = Seq(Tuple1(1609459201500L)).toDF("t") // same instant in millis
+    val viaConnect = EventDecoder.conformTo(millisIn, tz, TemporalMode.Connect)
+      .select(unix_millis(col("t"))).collect().head.getLong(0)
+    assert(viaConnect == 1609459201500L)
+    val viaIso = EventDecoder.conformTo(millisIn, tz, TemporalMode.IsoString)
+      .select(unix_millis(col("t"))).collect().head.getLong(0)
+    assert(viaIso == 1609459201500L)
+    val viaMicro = EventDecoder.conformTo(Seq(Tuple1(us)).toDF("t"), tz, TemporalMode.Micro)
+      .select(unix_micros(col("t"))).collect().head.getLong(0)
+    assert(viaMicro == us)
+    // config-string round trip
+    for (m <- Seq(TemporalMode.IsoString, TemporalMode.Micro, TemporalMode.Nano, TemporalMode.Connect))
+      assert(TemporalMode.fromString(TemporalMode.name(m)) == m)
+  }
+
+  test("preserve-required-property: default relaxes non-PK fields, true keeps source flags") {
+    // name is required (optional=false) in the envelope schema but is NOT a PK
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"type":"int32","optional":false,"field":"id"},
+        |{"type":"string","optional":false,"field":"name"},
+        |{"type":"string","optional":true,"field":"note"}]}""".stripMargin
+    val keyJson =
+      """{"type":"struct","fields":[{"type":"int32","optional":false,"field":"id"}]}"""
+    val relaxed = EventDecoder.infer(Seq(schemaJson), Some(keyJson))
+    assert(!relaxed.tableSchema("id").nullable, "PK stays required")
+    assert(relaxed.tableSchema("name").nullable,
+      "default mode must relax non-PK required fields (JsonSchemaConverter.java:84)")
+    val preserved = EventDecoder.infer(Seq(schemaJson), Some(keyJson),
+      SchemaMappingConfig(preserveRequired = true))
+    assert(!preserved.tableSchema("id").nullable)
+    assert(!preserved.tableSchema("name").nullable, "preserve-required keeps source flag")
+    assert(preserved.tableSchema("note").nullable)
+  }
 }
