@@ -203,6 +203,48 @@ class CdcCoreSpec extends AnyFunSuite with SharedSpark {
       assert(TemporalMode.fromString(TemporalMode.name(m)) == m)
   }
 
+  test("F12 nested-as-variant: unflattened envelope decodes before/after to VariantType") {
+    import org.apache.spark.sql.functions.{col, try_variant_get}
+    import org.apache.spark.sql.types.VariantType
+    // unflattened Debezium envelope: before/after/source structs + op
+    val rowFields =
+      """[{"field":"id","type":"int32","optional":false},
+        |{"field":"first_name","type":"string","optional":true}]""".stripMargin.replaceAll("\n", "")
+    val valueSchema =
+      s"""{"type":"struct","fields":[
+         |{"field":"before","type":"struct","optional":true,"fields":$rowFields},
+         |{"field":"after","type":"struct","optional":true,"fields":$rowFields},
+         |{"field":"source","type":"struct","optional":true,"fields":[
+         |  {"field":"ts_ms","type":"int64","optional":true}]},
+         |{"field":"op","type":"string","optional":false}
+         |]}""".stripMargin.replaceAll("\n", "")
+    def value(id: Int, name: String, op: String): String =
+      s"""{"schema":$valueSchema,"payload":{"before":null,"after":{"id":$id,"first_name":"$name"},"source":{"ts_ms":100},"op":"$op"}}"""
+    val df = Seq(
+      ("testc.inventory.customers", s"""{"schema":${EventFactory.customerKeySchema},"payload":{"id":1}}""", value(1, "alice", "c")),
+      ("testc.inventory.customers", s"""{"schema":${EventFactory.customerKeySchema},"payload":{"id":2}}""", value(2, "bob", "u"))
+    ).toDF("destination", "key", "value")
+
+    val inferred = EventDecoder.infer(Seq(valueSchema), Some(EventFactory.customerKeySchema),
+      SchemaMappingConfig(nestedAsVariant = true))
+    assert(inferred.isUnflattened, "before/after/source/op marks an unflattened envelope")
+    assert(inferred.identifierFields.isEmpty, "variant tables are append-only by design")
+    val decoded = EventDecoder.decode(df, inferred)
+    assert(decoded.schema("after").dataType == VariantType,
+      s"after must decode to VariantType, got ${decoded.schema("after").dataType}")
+    assert(decoded.schema("before").dataType == VariantType)
+    // the reference contract: try_variant_get reaches into the variant
+    // (TEST/IcebergChangeConsumerVariantTest.java:50-53)
+    val names = decoded
+      .select(try_variant_get(col("after"), "$.first_name", "string").as("n"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(names == Seq("alice", "bob"))
+    val ids = decoded
+      .select(try_variant_get(col("after"), "$.id", "int").as("i"))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(ids == Seq(1, 2))
+  }
+
   test("preserve-required-property: default relaxes non-PK fields, true keeps source flags") {
     // name is required (optional=false) in the envelope schema but is NOT a PK
     val schemaJson =

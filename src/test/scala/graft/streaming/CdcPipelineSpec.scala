@@ -151,6 +151,33 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
     assert(dirs.exists(_.startsWith("event_destination=")))
   }
 
+  test("F12 e2e: nested-as-variant pipeline writes VariantType columns readable from the table") {
+    import org.apache.spark.sql.functions.{col, try_variant_get}
+    import org.apache.spark.sql.types.VariantType
+    val root = Files.createTempDirectory("graft-variant").toString
+    val rowFields =
+      """[{"field":"id","type":"int32","optional":false},{"field":"first_name","type":"string","optional":true}]"""
+    val valueSchema =
+      s"""{"type":"struct","fields":[{"field":"before","type":"struct","optional":true,"fields":$rowFields},{"field":"after","type":"struct","optional":true,"fields":$rowFields},{"field":"source","type":"struct","optional":true,"fields":[{"field":"ts_ms","type":"int64","optional":true}]},{"field":"op","type":"string","optional":false}]}"""
+    def value(id: Int, name: String, op: String): String =
+      s"""{"schema":$valueSchema,"payload":{"before":null,"after":{"id":$id,"first_name":"$name"},"source":{"ts_ms":100},"op":"$op"}}"""
+    val batch = Seq(
+      ("testc.inventory.customers", s"""{"schema":${EventFactory.customerKeySchema},"payload":{"id":1}}""", value(1, "alice", "c")),
+      ("testc.inventory.customers", s"""{"schema":${EventFactory.customerKeySchema},"payload":{"id":2}}""", value(2, "bob", "c"))
+    ).toDF("destination", "key", "value")
+    val cfg = PipelineConfig(warehouse = s"$root/wh",
+      mapping = graft.cdc.SchemaMappingConfig(nestedAsVariant = true))
+    val written = CdcPipeline.processBatch(spark, batch, cfg)
+    assert(written.values.sum == 2)
+    val t = ManagedTable.load(spark, cfg.warehouse, "testc_inventory_customers").get
+    assert(t.meta.schema("after").dataType == VariantType,
+      "table schema must persist the variant column")
+    val names = t.read()
+      .select(try_variant_get(col("after"), "$.first_name", "string").as("n"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(names == Seq("alice", "bob"))
+  }
+
   test("W11: per-table operation timeout fails the batch; fast tables still complete") {
     import scala.concurrent.duration._
     // under the timeout: completes
