@@ -29,7 +29,8 @@ final case class PipelineConfig(
     concurrentTables: Int = 1,
     archiveEvents: Boolean = false,
     nullKeyPolicy: CdcApply.NullKeyPolicy = CdcApply.NullKeyPolicy.Fail,
-    tableOperationTimeout: Duration = Duration.Inf
+    tableOperationTimeout: Duration = Duration.Inf,
+    parityTables: Boolean = true
 ) {
   def partitionSpecFor(table: String): Seq[String] =
     partitionBy.getOrElse(table, partitionBy.getOrElse("*", Seq.empty))
@@ -100,7 +101,15 @@ object CdcPipeline {
     val table = ManagedTable.loadOrCreate(spark, cfg.warehouse, tableName,
       inferred.tableSchema, ids, cfg.partitionSpecFor(tableName),
       cfg.tableProperties + ("write.temporal-mode" -> TemporalMode.name(cfg.mapping.temporalMode)))
-    table.evolve(inferred.tableSchema, ids) // D6 (no-op guarded)
+    val evolved = table.evolve(inferred.tableSchema, ids) // D6 (no-op guarded)
+    if (evolved && cfg.parityTables) {
+      // queryable schema-history parity record (IcebergSchemaHistory.java:134-177)
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().createObjectNode()
+      n.put("table", tableName)
+      n.putRawValue("schema",
+        new com.fasterxml.jackson.databind.util.RawValue(table.meta.schema.json))
+      graft.tables.ParityStores.storeHistoryRecord(spark, cfg.warehouse, n.toString)
+    }
 
     // Single-pass decode: the from_json + conversion pipeline runs only in
     // the write below; row counts come from the raw-batch aggregation in
@@ -204,8 +213,17 @@ object CdcPipeline {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        processBatch(spark, df, cfg); ()
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        processBatch(spark, df, cfg)
+        // Queryable offset parity row (IcebergOffsetBackingStore.java:193-230).
+        // The checkpoint remains authoritative; this single-row overwrite
+        // commits strictly after every table write of the batch succeeded.
+        if (cfg.parityTables)
+          graft.tables.ParityStores.saveOffsets(spark, cfg.warehouse, Map(
+            "batchId" -> batchId.toString,
+            "source" -> sourceDir,
+            "checkpoint" -> checkpointDir))
+        ()
       }
       .start()
   }

@@ -55,6 +55,15 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
     val q2 = CdcPipeline.start(spark, src, s"$root/cp", cfg)
     q2.awaitTermination(120000)
 
+    // T2/T3 parity: the queryable offset row advanced with the second batch,
+    // and the evolution wrote a schema-history record
+    val offs = graft.tables.ParityStores.loadOffsets(spark, cfg.warehouse)
+    assert(offs.exists(_.get("batchId").contains("1")),
+      s"offset parity row should advance past batch 0 on the checkpoint-resumed query, got $offs")
+    val hist = graft.tables.ParityStores.recoverHistory(spark, cfg.warehouse)
+    assert(hist.exists(_.contains("email")),
+      s"schema evolution must append a history record, got $hist")
+
     val after = ManagedTable.load(spark, cfg.warehouse, "testc_inventory_customers").get
     val rows = after.read().orderBy("id")
       .select("id", "first_name", "email").collect()
