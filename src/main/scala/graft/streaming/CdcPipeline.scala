@@ -204,7 +204,8 @@ object CdcPipeline {
       checkpointDir: String,
       cfg: PipelineConfig,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = None
+      maxFilesPerTrigger: Option[Int] = None,
+      batchSizeWait: Option[BatchSizeWaitConfig] = None
   ): StreamingQuery = {
     val reader = spark.readStream.schema(envelopeSchema)
     val stream = maxFilesPerTrigger
@@ -214,6 +215,7 @@ object CdcPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val batchStartMs = System.currentTimeMillis()
         processBatch(spark, df, cfg)
         // Queryable offset parity row (IcebergOffsetBackingStore.java:193-230).
         // The checkpoint remains authoritative; this single-row overwrite
@@ -223,6 +225,12 @@ object CdcPipeline {
             "batchId" -> batchId.toString,
             "source" -> sourceDir,
             "checkpoint" -> checkpointDir))
+        // T1 — accumulate-until-full gate: delay the next trigger until a
+        // full batch is pending (MaxBatchSizeWait.java:27-70)
+        batchSizeWait.foreach { w =>
+          MaxBatchSizeWait.waitMs(
+            MaxBatchSizeWait.pendingFileEvents(sourceDir, batchStartMs), w)
+        }
         ()
       }
       .start()
