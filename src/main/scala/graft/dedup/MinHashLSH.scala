@@ -76,9 +76,19 @@ object MinHashLSH {
 
   /** Banded candidate pairs (a < b), `bands` bands of k/bands rows each:
     * docs agreeing on any full band are candidates.
+    *
+    * `maxBucketSize` caps the per-(band, hash) bucket before the
+    * self-join — the hot-band analogue of [[NgramJaccard]]'s df-cut. A
+    * pathological cluster of m near-identical docs otherwise lands in ONE
+    * bucket and emits m²/2 pairs per band; at 100 TB that single skewed
+    * bucket is the job. Recall note: pairs inside a dropped bucket are
+    * only lost if the docs agree on NO other (uncapped) band; exact
+    * mega-clusters are better handled by [[ExactDedup]] first, which is
+    * why the cap is safe operationally.
     */
   def candidatePairs(df: DataFrame, textCol: String, idCol: String,
-                     k: Int = 16, bands: Int = 8, shingleSize: Int = 3): DataFrame = {
+                     k: Int = 16, bands: Int = 8, shingleSize: Int = 3,
+                     maxBucketSize: Option[Int] = None): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     // Exchange barrier: [[signatures]] is a pure projection, so without it
@@ -93,8 +103,18 @@ object MinHashLSH {
       val parts = (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string"))
       struct(lit(b).as("band_idx"), md5(concat_ws("|", parts: _*)).as("band_hash"))
     }
-    val banded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+    val exploded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+    // Hot-bucket cap: one window count over the same (band, hash) shuffle
+    // key the join uses — no extra exchange — then drop oversized buckets.
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))
+        exploded.withColumn("__bucket_n", count(lit(1)).over(w))
+          .where(col("__bucket_n") <= cap).drop("__bucket_n")
+      case None => exploded
+    }
     val l = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
     val r = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
     l.join(r, Seq("band_idx", "band_hash"))

@@ -81,6 +81,31 @@ class LlmOpsSpec extends AnyFunSuite with SharedSpark {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
   }
 
+  test("minhash LSH hot-bucket cap: generous cap is pair-equivalent, tight cap kills the mega-cluster") {
+    import spark.implicits._
+    // a 6-doc identical mega-cluster + one near-dup pair
+    val mega = (10L to 15L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val near = Seq(
+      (20L, "completely different content about spark shuffles and partitions"),
+      (21L, "completely different content about spark shuffles and executors"))
+    val d = (mega ++ near).toDF("doc_id", "text")
+    val uncapped = MinHashLSH.candidatePairs(d, "text", "doc_id", k = 16, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap >= every bucket size: identical output (equivalence under the cap)
+    val generous = MinHashLSH.candidatePairs(d, "text", "doc_id", k = 16, bands = 16,
+      maxBucketSize = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(generous == uncapped)
+    // cap below the mega-cluster's bucket size: its 15 intra-pairs are
+    // suppressed, the small near-dup bucket survives
+    val tight = MinHashLSH.candidatePairs(d, "text", "doc_id", k = 16, bands = 16,
+      maxBucketSize = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.contains((20L, 21L)), "small buckets must survive the cap")
+    assert(!tight.exists(p => p._1 >= 10L && p._1 <= 15L && p._2 <= 15L),
+      s"mega-cluster pairs must be suppressed by the cap, got $tight")
+  }
+
   test("ngram jaccard exact pairs with threshold") {
     val pairs = NgramJaccard.pairs(docs, "text", "doc_id", n = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
