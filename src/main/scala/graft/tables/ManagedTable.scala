@@ -222,6 +222,15 @@ final class ManagedTable private (
     val seq = _meta.currentVersion + 1
     val entry = writeGroup(sortForWrite(flagged), Manifest.Upsert, seq)
     commitManifest(currentEntries ++ entry)
+    // Bounded read amplification: a trickle stream accumulates one upsert
+    // group per micro-batch; past the threshold the anti-join's delete side
+    // stops being "small" and reads degrade. Fold automatically every
+    // `write.mor.compact-after-upserts` upsert groups (0 disables; the
+    // reference leaves this to external periodic compaction, docs/faq.md).
+    val autoCompact = _meta.properties
+      .getOrElse("write.mor.compact-after-upserts", "32").toInt
+    if (autoCompact > 0 &&
+      currentEntries.count(_.kind == Manifest.Upsert) >= autoCompact) compact()
   }
 
   /** Write an immutable file group stamped with its commit sequence

@@ -309,6 +309,53 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(out == Seq((1, "a2"), (3, "c"), (4, "d"), (5, "e")))
   }
 
+  test("MoR: per-merge write cost stays O(batch) while the table grows") {
+    import spark.implicits._
+    val wh = tmpWarehouse()
+    // seed a comparatively large base, then trickle constant-size batches
+    val base = (1 to 20000).map(i => (i, s"name$i", "c", 1L)).toDF("id", "name", "__op", "__source_ts_ns")
+    val t = ManagedTable.create(spark, wh, "grow", base.schema, Seq("id"))
+    t.merge(base)
+    def groupBytes(dir: java.io.File): Long =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val written = (1 to 3).map { b =>
+      val batch = (1 to 50).map(i => (b * 100000 + i, s"n$i", "c", b.toLong))
+        .toDF("id", "name", "__op", "__source_ts_ns")
+      val before = new java.io.File(s"$wh/grow/files").listFiles().map(_.getName).toSet
+      t.merge(batch)
+      val newDirs = new java.io.File(s"$wh/grow/files").listFiles()
+        .filter(d => !before.contains(d.getName))
+      newDirs.map(groupBytes).sum
+    }
+    // each merge writes one batch-sized group: bytes are flat, not growing
+    // with the (much larger) table — the COW path would rewrite ~20k rows
+    assert(written.forall(_ > 0))
+    val spread = written.max.toDouble / written.min
+    assert(spread < 2.0, s"per-batch written bytes should be constant-ish, got $written")
+    val baseBytes = groupBytes(new java.io.File(s"$wh/grow/files").listFiles()
+      .filter(_.getName.contains("-1-")).head)
+    assert(written.max < baseBytes / 4,
+      s"trickle batches (${written.max}B) must not rewrite table-scale data (${baseBytes}B base)")
+  }
+
+  test("MoR: auto-compaction folds after the configured number of upsert groups") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "autoc", schema, Seq("id"),
+      properties = Map("write.mor.compact-after-upserts" -> "3"))
+    (1 to 4).foreach(i => t.merge(rows((i, s"n$i", "c", i.toLong))))
+    // 3rd merge crossed the threshold → compact folded everything; the 4th
+    // added one fresh upsert group on top of the folded base
+    val entries = new java.io.File(s"$wh/autoc/manifests").listFiles()
+      .map(_.getName).sorted
+    val t2 = ManagedTable.load(spark, wh, "autoc").get
+    assert(t2.read().count() == 4)
+    val live = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      s"$wh/autoc/manifests/v=${t2.meta.currentVersion}.json")))
+    val upserts = "\"kind\" : \"upsert\"".r.findAllIn(live).size
+    assert(upserts <= 1, s"auto-compact must bound upsert groups, manifest: $live")
+  }
+
   test("targeted compaction: partitions under the small-file threshold are not rewritten") {
     import spark.implicits._
     val wh = tmpWarehouse()
