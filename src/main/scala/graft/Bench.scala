@@ -57,10 +57,13 @@ object Bench {
     val eps = try cdcThroughput(spark, sfDir) catch {
       case e: Throwable => System.err.println(s"[bench] cdc pipeline failed: ${e.getMessage}"); 0.0
     }
+    val trickleEps = try cdcThroughput(spark, sfDir, trickleBatches = Some(12)) catch {
+      case e: Throwable => System.err.println(s"[bench] cdc trickle failed: ${e.getMessage}"); 0.0
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc_events_per_sec":$eps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc_events_per_sec":$eps,"cdc_trickle_events_per_sec":$trickleEps,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -68,8 +71,15 @@ object Bench {
     * decode → dedup → upsert-commit pipeline (Trigger.AvailableNow over the
     * sf events table re-encoded as Debezium-style envelopes, two
     * destinations, upsert mode — the reference's hot loop end to end).
+    *
+    * `trickleBatches = Some(n)` splits the input into n files consumed one
+    * per micro-batch (maxFilesPerTrigger=1) — the reference's actual
+    * regime of many small commits against a growing table. This is the
+    * number merge-on-read moved: per-batch commit cost is O(batch), where
+    * the round-2 copy-on-write path re-wrote the whole table every batch.
     */
-  private def cdcThroughput(spark: SparkSession, sfDir: String): Double = {
+  private def cdcThroughput(spark: SparkSession, sfDir: String,
+                            trickleBatches: Option[Int] = None): Double = {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("graft_cdc_bench").toString
     val schemaJson =
@@ -92,12 +102,14 @@ object Bench {
           // ts is a nanos long under nanosAsLong — truncate to millis
           expr("ts div 1000000").as("__source_ts_ms"))),
         lit("}")).as("value"))
+      .repartition(trickleBatches.getOrElse(1))
       .write.mode("overwrite").json(s"$work/in")
     val cfg = graft.streaming.PipelineConfig(
       warehouse = s"$work/wh", upsert = true, keepDeletes = false,
       dedupColumn = "__source_ts_ms", concurrentTables = 2)
     val t0 = System.nanoTime()
-    val q = graft.streaming.CdcPipeline.start(spark, s"$work/in", s"$work/ckpt", cfg)
+    val q = graft.streaming.CdcPipeline.start(spark, s"$work/in", s"$work/ckpt", cfg,
+      maxFilesPerTrigger = trickleBatches.map(_ => 1))
     q.awaitTermination()
     n / ((System.nanoTime() - t0) / 1e9)
   }

@@ -68,31 +68,37 @@ object CdcPipeline {
     batch.persist()
     try {
       if (cfg.archiveEvents) archive(spark, batch, cfg) // W9
-      // R1 — destinations + row counts in ONE metadata-scale aggregation
-      // over the cached raw batch. Decode is row-preserving, so these counts
-      // equal the decoded row counts — the decode pipeline itself runs
-      // exactly once per destination (the merge/append write), never a
-      // second time for counting.
-      val counts = batch.groupBy("destination").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val results = parallelize(counts.keys.toSeq.sorted, cfg.concurrentTables,
+      // R1 — destinations, row counts, distinct value-schema strings and a
+      // key-schema sample in ONE metadata-scale aggregation over the cached
+      // raw batch (driver sees metadata, never data —
+      // IcebergTableOperator.java:177-182 analogue). Collapsing the three
+      // former per-batch/per-destination metadata jobs into one matters in
+      // the trickle regime: scheduling round-trips, not data, dominate a
+      // small micro-batch. Decode is row-preserving, so these counts equal
+      // the decoded row counts — the decode pipeline itself runs exactly
+      // once per destination (the merge/append write), never a second time
+      // for counting.
+      val meta = batch.groupBy("destination").agg(
+        count(lit(1)).as("n"),
+        collect_set(get_json_object(col("value"), "$.schema")).as("schemas"),
+        first(get_json_object(col("key"), "$.schema"), ignoreNulls = true).as("key_schema"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getSeq[String](2), Option(r.getString(3)))).toMap
+      val results = parallelize(meta.keys.toSeq.sorted, cfg.concurrentTables,
         cfg.tableOperationTimeout) { dest =>
-        processDestination(spark, batch.filter(col("destination") === dest), dest, cfg)
-        dest -> counts(dest)
+        val (n, schemas, keySchema) = meta(dest)
+        processDestination(spark, batch.filter(col("destination") === dest),
+          dest, schemas, keySchema, cfg)
+        dest -> n
       }
       results.toMap
     } finally batch.unpersist()
   }
 
-  private def processDestination(spark: SparkSession, slice: DataFrame,
-                                 dest: String, cfg: PipelineConfig): Unit = {
-    // group-by-schema trick: distinct raw schema strings only (driver sees
-    // metadata, never data — IcebergTableOperator.java:177-182 analogue)
-    val schemas = slice.select(get_json_object(col("value"), "$.schema").as("s"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    val keySchema = slice.select(get_json_object(col("key"), "$.schema").as("k"))
-      .filter(col("k").isNotNull).limit(1).collect().headOption.map(_.getString(0))
-
+  private def processDestination(spark: SparkSession, slice: DataFrame, dest: String,
+                                 schemas: Seq[String], keySchema: Option[String],
+                                 cfg: PipelineConfig): Unit = {
     val inferred = EventDecoder.infer(schemas, keySchema, cfg.mapping)
     val tableName = cfg.tableMapper.map(dest)
     // C8 — schema-change events land in an append-only table without PK

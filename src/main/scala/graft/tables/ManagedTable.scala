@@ -247,6 +247,27 @@ final class ManagedTable private (
     else { fs.delete(dir, true); None }
   }
 
+  /** Driver-side commit for metadata-scale tables (`write.format-default`
+    * = json, unpartitioned): writes the given JSON-line rows as one file
+    * group with plain FS I/O — no Spark job — through the same
+    * group→manifest→pointer protocol. A single-row offset flush costs
+    * milliseconds instead of a scheduled job; the read path
+    * (explicit-schema json scan) is unchanged. `overwrite` replaces the
+    * table content, like [[overwrite]].
+    */
+  def commitLocalJson(lines: Seq[String], overwrite: Boolean): Unit = {
+    require(!isPartitioned && format == "json",
+      "commitLocalJson is for unpartitioned json metadata tables")
+    val seq = _meta.currentVersion + 1
+    val rel = s"files/${Manifest.Data}-$seq-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = new Path(tableDir, rel)
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, "part-00000.json"), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    val entry = ManifestEntry(rel, Manifest.Data, seq)
+    commitManifest(if (overwrite) Seq(entry) else currentEntries :+ entry)
+  }
+
   /** Commit a new manifest version and flip the meta pointer, then GC:
     * keep the previous manifest (time travel) and every file group either
     * retained manifest references; drop the rest — which also sweeps

@@ -35,14 +35,19 @@ object ParityStores {
     StructField("history_data", StringType),
     StructField("record_insert_ts", TimestampType)))
 
-  private def row(spark: SparkSession, schema: StructType, dataCol: String,
-                  json: String): DataFrame = {
-    import spark.implicits._
-    Seq((java.util.UUID.randomUUID().toString, json))
-      .toDF("id", dataCol)
-      .withColumn("record_insert_ts", current_timestamp())
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  /** One store row as a JSON line for the driver-side commit path (no
+    * Spark job — these tables hold single-digit rows; a scheduled job per
+    * offset flush would dominate trickle-batch latency).
+    */
+  private def jsonRow(dataCol: String, json: String): String = {
+    val n = mapper.createObjectNode()
+    n.put("id", java.util.UUID.randomUUID().toString)
+    n.put(dataCol, json)
+    n.put("record_insert_ts", java.time.Instant.now().toString)
+    mapper.writeValueAsString(n)
   }
+
+  private val jsonProps = Map("write.format-default" -> "json")
 
   /** Overwrite the single offset row with the given key→value map as JSON
     * (the reference's overwriteByRowFilter(alwaysTrue) commit).
@@ -51,8 +56,10 @@ object ParityStores {
                   data: Map[String, String], table: String = OffsetTable): Unit = this.synchronized {
     val node = mapper.createObjectNode()
     data.foreach { case (k, v) => node.put(k, v) }
-    val t = ManagedTable.loadOrCreate(spark, warehouse, table, storeSchema)
-    t.overwrite(row(spark, storeSchema, "offset_data", mapper.writeValueAsString(node)))
+    val t = ManagedTable.loadOrCreate(spark, warehouse, table, storeSchema,
+      properties = jsonProps)
+    t.commitLocalJson(
+      Seq(jsonRow("offset_data", mapper.writeValueAsString(node))), overwrite = true)
   }
 
   /** Latest committed offsets, or None before the first save. */
@@ -69,8 +76,9 @@ object ParityStores {
   /** Append one schema-history record (reference storeRecord). */
   def storeHistoryRecord(spark: SparkSession, warehouse: String,
                          historyData: String, table: String = HistoryTable): Unit = this.synchronized {
-    val t = ManagedTable.loadOrCreate(spark, warehouse, table, historySchema)
-    t.append(row(spark, historySchema, "history_data", historyData))
+    val t = ManagedTable.loadOrCreate(spark, warehouse, table, historySchema,
+      properties = jsonProps)
+    t.commitLocalJson(Seq(jsonRow("history_data", historyData)), overwrite = false)
   }
 
   /** All history records in insert order (reference recoverRecords reads
