@@ -379,6 +379,22 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(t.read().count() == 4)
   }
 
+  test("MoR: pk int->long promotion keeps old upsert groups' delete side readable") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "promo_pk", schema, Seq("id"))
+    t.merge(rows((1, "a", "c", 1L), (2, "b", "c", 1L)))
+    t.merge(rows((1, "a2", "u", 2L)))          // second upsert group = live delete side
+    t.evolve(StructType(Seq(StructField("id", LongType, nullable = false))))
+    assert(t.meta.schema("id").dataType == LongType)
+    // read now scans int32-keyed groups (data AND delete side) as long
+    val out = t.read().orderBy("id").select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a2"), (2L, "b")))
+    // and a post-evolution long-keyed merge still hides the int32-era row
+    t.merge(Seq((1L, "a3", "u", 3L)).toDF("id", "name", "__op", "__source_ts_ns"))
+    assert(t.read().where(col("id") === 1).select("name").as[String].collect().toSeq == Seq("a3"))
+  }
+
   test("int->long promotion during evolution keeps old data readable") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "promo",
