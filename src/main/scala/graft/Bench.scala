@@ -102,7 +102,10 @@ object Bench {
           // ts is a nanos long under nanosAsLong — truncate to millis
           expr("ts div 1000000").as("__source_ts_ms"))),
         lit("}")).as("value"))
-      .repartition(trickleBatches.getOrElse(1))
+      // only the trickle variant re-shapes the input (one file per batch);
+      // the headline number keeps the natural multi-file layout so its
+      // scan parallelism stays comparable across rounds
+      .transform(df => trickleBatches.map(df.repartition(_)).getOrElse(df))
       .write.mode("overwrite").json(s"$work/in")
     val cfg = graft.streaming.PipelineConfig(
       warehouse = s"$work/wh", upsert = true, keepDeletes = false,

@@ -157,14 +157,21 @@ object CdcPipeline {
   private[streaming] def parallelize[A, B](
       items: Seq[A], parallelism: Int,
       timeout: Duration = Duration.Inf)(f: A => B): Seq[B] =
-    if (parallelism <= 1 || items.size <= 1) items.map(f)
+    // the inline fast path must not silently drop a finite timeout — a
+    // single-destination batch is exactly where a hung writer would
+    // otherwise block the stream forever
+    if ((parallelism <= 1 || items.size <= 1) && !timeout.isFinite) items.map(f)
     else {
-      val pool = Executors.newFixedThreadPool(math.min(parallelism, items.size))
+      val pool = Executors.newFixedThreadPool(math.min(math.max(1, parallelism), items.size))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try items.map(i => Future(f(i))).map { fut =>
         try Await.result(fut, timeout)
         catch {
           case _: java.util.concurrent.TimeoutException =>
+            // interrupt the stuck worker before failing the batch: a zombie
+            // writer racing the replayed batch would violate ManagedTable's
+            // single-writer commit protocol
+            pool.shutdownNow()
             throw new java.util.concurrent.TimeoutException(
               s"table operation exceeded $timeout — failing the batch before offset commit")
         }
@@ -232,8 +239,11 @@ object CdcPipeline {
             "source" -> sourceDir,
             "checkpoint" -> checkpointDir))
         // T1 — accumulate-until-full gate: delay the next trigger until a
-        // full batch is pending (MaxBatchSizeWait.java:27-70)
-        batchSizeWait.foreach { w =>
+        // full batch is pending (MaxBatchSizeWait.java:27-70). Pointless
+        // under drain-and-stop triggers, which never pick up accumulated
+        // files — gating there would just stall termination by maxWaitMs.
+        val drainTrigger = trigger == Trigger.AvailableNow()
+        if (!drainTrigger) batchSizeWait.foreach { w =>
           MaxBatchSizeWait.waitMs(
             MaxBatchSizeWait.pendingFileEvents(sourceDir, batchStartMs), w)
         }

@@ -42,12 +42,22 @@ object MaxBatchSizeWait {
   }
 
   /** Pending gauge for a JSON-lines file source: events (lines) across
-    * files newer than `sinceMs` in `dir`. Driver-side metadata only.
+    * files newer than `sinceMs` in `dir`. Line counts are memoized by
+    * (path, length, mtime), so across the gate's polls each file is read
+    * once — subsequent ticks are pure directory-listing metadata.
     */
-  def pendingFileEvents(dir: String, sinceMs: Long): () => Long = () => {
-    val d = new java.io.File(dir)
-    val files = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.lastModified() >= sinceMs && !f.getName.startsWith("."))
-    files.map(f => scala.io.Source.fromFile(f).getLines().size.toLong).sum
+  def pendingFileEvents(dir: String, sinceMs: Long): () => Long = {
+    val memo = scala.collection.mutable.Map.empty[(String, Long, Long), Long]
+    () => {
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.lastModified() >= sinceMs && !f.getName.startsWith("."))
+        .map { f =>
+          memo.getOrElseUpdate((f.getPath, f.length(), f.lastModified()), {
+            val src = scala.io.Source.fromFile(f)
+            try src.getLines().size.toLong finally src.close()
+          })
+        }.sum
+    }
   }
 }

@@ -145,9 +145,20 @@ final class ManagedTable private (
     * AQE broadcasts: the main data scan is never shuffled. Tombstone rows
     * (hard deletes) are filtered out last.
     */
-  private def morRead(entries: Seq[ManifestEntry]): DataFrame = {
+  /** Unpartitioned read retaining the commit-sequence column
+    * ([[ManagedTable.SeqCol]]) — gives metadata readers a deterministic
+    * commit order (wall-clock columns tie under fast successive commits).
+    */
+  def readWithCommitSeq(): DataFrame = {
+    require(!isPartitioned, "commit seq is a MoR (unpartitioned) concept")
+    morRead(currentEntries, keepSeq = true)
+  }
+
+  private def morRead(entries: Seq[ManifestEntry], keepSeq: Boolean = false): DataFrame = {
     if (entries.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], physicalSchema)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        if (keepSeq) StructType(physicalSchema.fields :+ StructField(SeqCol, LongType))
+        else physicalSchema)
     val allPaths = entries.map(e => new Path(tableDir, e.path).toString)
     val readSchema = StructType(physicalSchema.fields :+
       StructField(SeqCol, LongType, nullable = false) :+
@@ -169,8 +180,8 @@ final class ManagedTable private (
           dels(DelSeqCol) > data(SeqCol)
         data.join(dels, cond, "left_anti")
       }
-    applied.filter(!coalesce(col(TombstoneCol), lit(false)))
-      .drop(SeqCol, TombstoneCol)
+    val visible = applied.filter(!coalesce(col(TombstoneCol), lit(false)))
+    if (keepSeq) visible.drop(TombstoneCol) else visible.drop(SeqCol, TombstoneCol)
   }
 
   /** W1/W2 — append. Batch is conformed to the table schema (R4), hash-
@@ -262,8 +273,16 @@ final class ManagedTable private (
     val rel = s"files/${Manifest.Data}-$seq-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = new Path(tableDir, rel)
     fs.mkdirs(dir)
+    // stamp the commit seq into each row, like writeGroup does for Spark
+    // writes, so readWithCommitSeq orders these commits too
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stamped = lines.map { l =>
+      val n = mapper.readTree(l).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      n.put(SeqCol, seq)
+      mapper.writeValueAsString(n)
+    }
     val out = fs.create(new Path(dir, "part-00000.json"), true)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    try out.write((stamped.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
     val entry = ManifestEntry(rel, Manifest.Data, seq)
     commitManifest(if (overwrite) Seq(entry) else currentEntries :+ entry)
   }

@@ -82,12 +82,15 @@ object ParityStores {
   }
 
   /** All history records in insert order (reference recoverRecords reads
-    * ordered by record_insert_ts).
+    * ordered by record_insert_ts; here the table's commit sequence is the
+    * primary key — wall-clock timestamps tie under same-tick commits and
+    * would replay DDL out of order).
     */
   def recoverHistory(spark: SparkSession, warehouse: String,
                      table: String = HistoryTable): Seq[String] =
     ManagedTable.load(spark, warehouse, table).map { t =>
-      t.read().orderBy(col("record_insert_ts"), col("id"))
+      t.readWithCommitSeq()
+        .orderBy(col(ManagedTable.SeqCol), col("record_insert_ts"))
         .select("history_data").collect().map(_.getString(0)).toSeq
     }.getOrElse(Seq.empty)
 }

@@ -200,5 +200,10 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
       }
     }
     assert(ex.getMessage.contains("failing the batch"))
+    // the timeout must also bite on the sequential fast path (parallelism=1
+    // and/or single destination) — the common one-table stream
+    intercept[java.util.concurrent.TimeoutException] {
+      CdcPipeline.parallelize(Seq(1), 1, 200.millis) { _ => Thread.sleep(60000); 1 }
+    }
   }
 }
