@@ -21,6 +21,7 @@ final case class PipelineConfig(
     upsert: Boolean = true,
     keepDeletes: Boolean = true,
     dedupColumn: String = Dedup.DefaultDedupColumn,
+    opColumn: String = CdcMeta.Op, // reference `upsert-op-field`
     mapping: SchemaMappingConfig = SchemaMappingConfig(),
     tableMapper: TableMapper = DefaultTableMapper(),
     heartbeatPrefix: Option[String] = Some("__debezium-heartbeat"),
@@ -124,7 +125,7 @@ object CdcPipeline {
 
     val upsertConfig = CdcApply.UpsertConfig(
       keepDeletes = cfg.keepDeletes, dedupColumn = cfg.dedupColumn,
-      nullKeyPolicy = cfg.nullKeyPolicy)
+      opColumn = cfg.opColumn, nullKeyPolicy = cfg.nullKeyPolicy)
     if (cfg.upsert && table.meta.identifierFields.nonEmpty && !inferred.isSchemaChangeEvent)
       table.merge(typed, upsertConfig)
     else
