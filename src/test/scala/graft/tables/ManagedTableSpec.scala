@@ -379,6 +379,25 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(t.read().count() == 4)
   }
 
+  test("MoR: a crashed commit's leftover manifest is overwritten by the next commit") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "crashm", schema, Seq("id"))
+    t.append(rows((1, "a", "c", 1L))) // v=1
+    // simulate a crash after the manifest write but before the pointer
+    // flip: an orphan v=2 manifest referencing a group that was GC'd
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$wh/crashm/manifests/v=2.json"),
+      """{"entries":[{"path":"files/data-2-dead","kind":"data","seq":2}]}""".getBytes)
+    // readers still see v=1 (pointer never flipped)
+    assert(t.read().count() == 1)
+    // the replayed commit takes over version 2 cleanly
+    t.append(rows((2, "b", "c", 2L)))
+    assert(t.meta.currentVersion == 2)
+    assert(t.read().count() == 2)
+    val re = ManagedTable.load(spark, wh, "crashm").get
+    assert(re.read().count() == 2)
+  }
+
   test("MoR: pk int->long promotion keeps old upsert groups' delete side readable") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "promo_pk", schema, Seq("id"))
