@@ -57,7 +57,10 @@ object Bench {
     val eps = try cdcThroughput(spark, sfDir) catch {
       case e: Throwable => System.err.println(s"[bench] cdc pipeline failed: ${e.getMessage}"); 0.0
     }
-    val trickleEps = try cdcThroughput(spark, sfDir, trickleBatches = Some(12)) catch {
+    // the reference's commit envelope: ~2048-event batches
+    // (BatchConfig.java:16-19), 24 consecutive commits
+    val trickleEps = try cdcThroughput(spark, sfDir, trickleBatches = Some(24),
+      trickleBatchSize = 2048) catch {
       case e: Throwable => System.err.println(s"[bench] cdc trickle failed: ${e.getMessage}"); 0.0
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -72,14 +75,16 @@ object Bench {
     * sf events table re-encoded as Debezium-style envelopes, two
     * destinations, upsert mode — the reference's hot loop end to end).
     *
-    * `trickleBatches = Some(n)` splits the input into n files consumed one
-    * per micro-batch (maxFilesPerTrigger=1) — the reference's actual
-    * regime of many small commits against a growing table. This is the
-    * number merge-on-read moved: per-batch commit cost is O(batch), where
-    * the round-2 copy-on-write path re-wrote the whole table every batch.
+    * `trickleBatches = Some(n)` feeds n files of ~`trickleBatchSize`
+    * events each, consumed one per micro-batch (maxFilesPerTrigger=1) —
+    * the reference's actual regime of ~2048-event commits against a
+    * growing table (BASELINE.md envelope). This is the number
+    * merge-on-read moved: per-batch commit cost is O(batch), where the
+    * round-2 copy-on-write path re-wrote the whole table every batch.
     */
   private def cdcThroughput(spark: SparkSession, sfDir: String,
-                            trickleBatches: Option[Int] = None): Double = {
+                            trickleBatches: Option[Int] = None,
+                            trickleBatchSize: Int = 2048): Double = {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("graft_cdc_bench").toString
     val schemaJson =
@@ -90,7 +95,11 @@ object Bench {
         |{"field":"__op","type":"string","optional":true},
         |{"field":"__source_ts_ms","type":"int64","optional":true}
         |]}""".stripMargin.replaceAll("\n", "")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val allEvents = spark.read.parquet(s"$sfDir/events.parquet")
+    // trickle mode: n batches of ~trickleBatchSize events (the reference's
+    // commit unit); headline mode: the whole table in one drain
+    val events = trickleBatches
+      .map(b => allEvents.limit(b * trickleBatchSize)).getOrElse(allEvents)
     val n = events.count()
     events.select(
       concat(lit("bench.db.t"), col("user_id") % 2).as("destination"),
