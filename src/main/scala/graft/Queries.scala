@@ -77,6 +77,19 @@ object Queries {
       |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
       |FROM r WHERE rn = 1""".stripMargin))
 
+  /** C7 — per key, was the first-arriving op an INSERT? (the reference's
+    * pre-delete skip flag, BaseDeltaTaskWriter.java:56-60). Arrival order
+    * is the deterministic event_id, so the flag is oracle-checkable.
+    */
+  val cdcNewKeyFlag = Q("cdc_new_key_flag",
+    (s, dir) => Dedup.withNewKeyFlag(cdcEvents(s, dir), Seq("user_id"))
+      .select(col("user_id"), col("__is_new_key")).distinct(),
+    Some("""WITH e AS (SELECT user_id, event_id,
+      |  CASE WHEN event_type='signup' THEN 'c' WHEN event_type='error' THEN 'd' ELSE 'u' END AS __op
+      |  FROM events)
+      |SELECT user_id, (min_by(__op, event_id) IN ('c','i')) AS __is_new_key
+      |FROM e GROUP BY user_id""".stripMargin))
+
   val cdcUpsertHard = Q("cdc_upsert_hard_delete",
     (s, dir) => {
       val batch = cdcEvents(s, dir)
@@ -604,6 +617,43 @@ object Queries {
       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
       |SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine FROM r WHERE rank <= 5""".stripMargin))
 
+  /** Skew-salted two-phase aggregation ≡ plain GROUP BY (exact decimal
+    * partials make the result addition-order-independent; DOUBLE surface).
+    */
+  val qSaltedAgg = Q("q_salted_agg",
+    (s, dir) => graft.operators.Salting.saltedSum(
+      events(s, dir).withColumn("value_dec", col("value").cast("decimal(18,2)")),
+      Seq("event_type"), "value_dec", saltFrom = Seq("event_id"),
+      buckets = 32, as = "sum_value")
+      .select(col("event_type"), col("sum_value").cast("double").as("sum_value")),
+    Some("""SELECT event_type, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin))
+
+  /** IVF ANN at full probe (nprobe = nlist) is exactly brute force — the
+    * recall-vs-cost contract pinned to the same DuckDB oracle as
+    * knn_brute_force (k=3 differentiates the result set).
+    */
+  val knnIvf = Q("knn_ivf_fullprobe",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val centroids = (0 until 4).map(j =>
+        Array.tabulate(dim)(i => if (i % 4 == j) 1f else 0f)).toSeq
+      Knn.ivfTopK(emb, emb.where(col("vec_id") < 8), centroids,
+        "vec_id", "embedding", k = 3, nprobe = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
+    },
+    Some("""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qv FROM d WHERE vec_id < 8),
+      |s AS (SELECT query_id, vec_id AS neighbor_id,
+      |    round(list_dot_product(qv, embedding) /
+      |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(embedding, embedding))), 6) AS cosine
+      |  FROM q, d WHERE query_id <> vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+      |SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine FROM r WHERE rank <= 3""".stripMargin))
+
   val knnLsh = Q("knn_sign_lsh",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1053,7 +1103,7 @@ object Queries {
     textStats, textLangId, textFingerprint,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupJaccard,
     dedupEmbedding,
-    knnBrute, knnLsh,
+    knnBrute, knnLsh, knnIvf, qSaltedAgg, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
