@@ -629,6 +629,20 @@ object Queries {
     Some("""SELECT event_type, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
       |FROM events GROUP BY event_type""".stripMargin))
 
+  /** Broadcast-salted skew join ≡ plain inner join (the salt only spreads
+    * the hot key across reducers; replicated right side covers every salt).
+    */
+  val qSaltedJoin = Q("q_salted_join",
+    (s, dir) => graft.operators.Salting.saltedJoin(
+      events(s, dir).select(col("event_id"), col("user_id"), col("event_type")),
+      t(s, dir, "customer").select(col("c_custkey").as("user_id"), col("c_name")),
+      "user_id", buckets = 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("nu")),
+    Some("""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS nu
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY event_type""".stripMargin))
+
   /** IVF ANN at full probe (nprobe = nlist) is exactly brute force — the
     * recall-vs-cost contract pinned to the same DuckDB oracle as
     * knn_brute_force (k=3 differentiates the result set).
@@ -1103,7 +1117,7 @@ object Queries {
     textStats, textLangId, textFingerprint,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupJaccard,
     dedupEmbedding,
-    knnBrute, knnLsh, knnIvf, qSaltedAgg, cdcNewKeyFlag,
+    knnBrute, knnLsh, knnIvf, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
