@@ -49,6 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.text.TextFunctions.qualityScore(args(0)))
     injectColumnFn(ext, "graft_lang_id", 1)(args =>
       graft.text.TextFunctions.langId(args(0)))
+    injectColumnFn(ext, "graft_tokens", 1)(args =>
+      graft.text.TextFunctions.tokens(args(0)))
+    injectColumnFn(ext, "graft_token_count", 1)(args =>
+      graft.text.TextFunctions.bpeishTokenCount(args(0)))
+    injectColumnFn(ext, "graft_fingerprint", 1)(args =>
+      graft.text.TextFunctions.fingerprint(args(0)))
   }
 
   private def injectColumnFn(ext: SparkSessionExtensions, name: String, arity: Int)(

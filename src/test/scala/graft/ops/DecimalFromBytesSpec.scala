@@ -72,6 +72,12 @@ class DecimalFromBytesSpec extends AnyFunSuite with SharedSpark {
           |  graft_lang_id('the cat and the dog of the house') AS l""".stripMargin)
         .collect().head
       assert(row.getDouble(0) == 1.0 && row.getInt(1) == 2 && row.getString(2) == "en")
+      val txt = s2.sql(
+        """SELECT size(graft_tokens('a b c')) AS nt,
+          |  graft_token_count('hello, world!') AS tc,
+          |  graft_fingerprint('x') = graft_fingerprint('x') AS same""".stripMargin)
+        .collect().head
+      assert(txt.getInt(0) == 3 && txt.getInt(1) > 0 && txt.getBoolean(2))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
