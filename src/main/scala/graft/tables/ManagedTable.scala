@@ -159,6 +159,16 @@ final class ManagedTable private (
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         if (keepSeq) StructType(physicalSchema.fields :+ StructField(SeqCol, LongType))
         else physicalSchema)
+    val visible = morResolve(entries).filter(!coalesce(col(TombstoneCol), lit(false)))
+    if (keepSeq) visible.drop(TombstoneCol) else visible.drop(SeqCol, TombstoneCol)
+  }
+
+  /** Seq-scoped delete resolution over a set of groups: rows of every
+    * group, minus rows hidden by a higher-seq upsert group's keys.
+    * Tombstone rows are KEPT (callers filter or re-write them). Columns:
+    * physical schema + seq + tombstone.
+    */
+  private def morResolve(entries: Seq[ManifestEntry]): DataFrame = {
     val allPaths = entries.map(e => new Path(tableDir, e.path).toString)
     val readSchema = StructType(physicalSchema.fields :+
       StructField(SeqCol, LongType, nullable = false) :+
@@ -167,21 +177,43 @@ final class ManagedTable private (
     val ids = _meta.identifierFields
     val minSeq = entries.map(_.seq).min
     val delEntries = entries.filter(e => e.kind == Manifest.Upsert && e.seq > minSeq)
-    val applied =
-      if (delEntries.isEmpty || ids.isEmpty) data
-      else {
-        val pkSchema = StructType(
-          ids.map(n => _meta.schema(n).copy(nullable = false)) :+
-            StructField(SeqCol, LongType, nullable = false))
-        val dels = spark.read.schema(pkSchema).format(format)
-          .load(delEntries.map(e => new Path(tableDir, e.path).toString): _*)
-          .select(ids.map(n => col(n).as(s"__del_$n")) :+ col(SeqCol).as(DelSeqCol): _*)
-        val cond = ids.map(n => data(n) === dels(s"__del_$n")).reduce(_ && _) &&
-          dels(DelSeqCol) > data(SeqCol)
-        data.join(dels, cond, "left_anti")
-      }
-    val visible = applied.filter(!coalesce(col(TombstoneCol), lit(false)))
-    if (keepSeq) visible.drop(TombstoneCol) else visible.drop(SeqCol, TombstoneCol)
+    if (delEntries.isEmpty || ids.isEmpty) data
+    else {
+      val pkSchema = StructType(
+        ids.map(n => _meta.schema(n).copy(nullable = false)) :+
+          StructField(SeqCol, LongType, nullable = false))
+      val dels = spark.read.schema(pkSchema).format(format)
+        .load(delEntries.map(e => new Path(tableDir, e.path).toString): _*)
+        .select(ids.map(n => col(n).as(s"__del_$n")) :+ col(SeqCol).as(DelSeqCol): _*)
+      val cond = ids.map(n => data(n) === dels(s"__del_$n")).reduce(_ && _) &&
+        dels(DelSeqCol) > data(SeqCol)
+      data.join(dels, cond, "left_anti")
+    }
+  }
+
+  /** Minor compaction: fold every upsert group ABOVE the minimum live
+    * sequence (the trickle suffix) into ONE upsert group at the highest
+    * folded seq, resolving their internal seq-scoped deletes and KEEPING
+    * tombstones — which must go on hiding base rows. The base (min-seq)
+    * groups are never read or rewritten, so the cost is O(accumulated
+    * trickle), not O(table): this is what the auto-compact threshold
+    * triggers on a 100 TB table, where a full fold per 32 batches would
+    * re-write terabytes. A full [[compact]] (which drops tombstones and
+    * delete scopes entirely) resets the accumulation. Returns (groups
+    * before, after) for the trickle set.
+    */
+  def compactMinor(): (Int, Int) = {
+    require(!isPartitioned, "minor compaction is a MoR (unpartitioned) operation")
+    val entries = currentEntries
+    if (entries.isEmpty) return (0, 0)
+    val minSeq = entries.map(_.seq).min
+    val trickles = entries.filter(e => e.kind == Manifest.Upsert && e.seq > minSeq)
+    if (trickles.size < 2) return (trickles.size, trickles.size)
+    val resolved = morResolve(trickles).drop(SeqCol) // writeGroup re-stamps
+    val maxSeq = trickles.map(_.seq).max
+    val entry = writeGroup(sortForWrite(resolved), Manifest.Upsert, maxSeq)
+    commitManifest(entries.filterNot(trickles.contains) ++ entry)
+    (trickles.size, entry.size)
   }
 
   /** W1/W2 — append. Batch is conformed to the table schema (R4), hash-
@@ -235,13 +267,16 @@ final class ManagedTable private (
     commitManifest(currentEntries ++ entry)
     // Bounded read amplification: a trickle stream accumulates one upsert
     // group per micro-batch; past the threshold the anti-join's delete side
-    // stops being "small" and reads degrade. Fold automatically every
-    // `write.mor.compact-after-upserts` upsert groups (0 disables; the
-    // reference leaves this to external periodic compaction, docs/faq.md).
+    // stops being "small" and reads degrade. Minor-compact automatically
+    // every `write.mor.compact-after-upserts` upsert groups (0 disables) —
+    // folds only the trickle suffix, never the base, so the amortized cost
+    // per batch is O(trickle). Periodic full compact() (the reference's
+    // external-maintenance stance, docs/faq.md) drops tombstones and
+    // resets the accumulation.
     val autoCompact = _meta.properties
       .getOrElse("write.mor.compact-after-upserts", "32").toInt
     if (autoCompact > 0 &&
-      currentEntries.count(_.kind == Manifest.Upsert) >= autoCompact) compact()
+      currentEntries.count(_.kind == Manifest.Upsert) >= autoCompact) compactMinor()
   }
 
   /** Write an immutable file group stamped with its commit sequence

@@ -339,21 +339,33 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
       s"trickle batches (${written.max}B) must not rewrite table-scale data (${baseBytes}B base)")
   }
 
-  test("MoR: auto-compaction folds after the configured number of upsert groups") {
+  test("MoR: auto minor-compaction bounds trickle groups without touching the base") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "autoc", schema, Seq("id"),
       properties = Map("write.mor.compact-after-upserts" -> "3"))
-    (1 to 4).foreach(i => t.merge(rows((i, s"n$i", "c", i.toLong))))
-    // 3rd merge crossed the threshold → compact folded everything; the 4th
-    // added one fresh upsert group on top of the folded base
-    val entries = new java.io.File(s"$wh/autoc/manifests").listFiles()
-      .map(_.getName).sorted
+    t.merge(rows((0, "base", "c", 0L))) // min-seq base group
+    val baseFile = new java.io.File(s"$wh/autoc/files").listFiles()
+      .filter(_.getName.startsWith("upsert-1-")).head.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val baseM = baseFile.lastModified()
+    Thread.sleep(20)
+    (1 to 5).foreach(i => t.merge(rows((i, s"n$i", "c", i.toLong))))
     val t2 = ManagedTable.load(spark, wh, "autoc").get
-    assert(t2.read().count() == 4)
+    assert(t2.read().count() == 6)
+    // trickle suffix keeps folding into one group: live upsert groups stay
+    // bounded (base + folded + at most threshold-1 fresh)
     val live = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       s"$wh/autoc/manifests/v=${t2.meta.currentVersion}.json")))
     val upserts = "\"kind\" : \"upsert\"".r.findAllIn(live).size
-    assert(upserts <= 1, s"auto-compact must bound upsert groups, manifest: $live")
+    assert(upserts <= 3, s"auto minor-compact must bound upsert groups, manifest: $live")
+    // O(trickle), not O(table): the base group is never rewritten
+    assert(baseFile.exists() && baseFile.lastModified() == baseM,
+      "minor compaction must not touch the min-seq base group")
+    // a hard delete folded through minor compaction still hides base rows
+    t2.merge(rows((0, null, "d", 99L)), CdcApply.UpsertConfig(keepDeletes = false))
+    (6 to 8).foreach(i => t2.merge(rows((i, s"n$i", "c", i.toLong))))
+    assert(!t2.read().select("id").collect().map(_.getInt(0)).contains(0),
+      "tombstone must survive minor folds and keep deleting the base row")
   }
 
   test("targeted compaction: partitions under the small-file threshold are not rewritten") {
