@@ -3,6 +3,7 @@ package graft
 import graft.cdc._
 import graft.dedup._
 import graft.operators.AsOfJoin
+import graft.sampling.Sampling
 import graft.similarity.Knn
 import graft.text.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
@@ -518,6 +519,70 @@ object Queries {
       |    list_min([((((th[i]*${MinHashLSH.CombineK} + th[i+1]) % ${MinHashLSH.CombineMod} * ${MinHashLSH.CombineK} + th[i+2]) % ${MinHashLSH.CombineMod} * ${MinHashLSH.CombineK} + th[i+3]) % ${MinHashLSH.CombineMod} * ${MinHashLSH.CombineK} + th[i+4]) % ${MinHashLSH.CombineMod}
       |              for i in range(1, len(th)-3)]) END AS shingle_fp
       |FROM th""".stripMargin))
+
+  // ----------------------------------------------------- sampling / splits
+
+  /** DuckDB replay of [[Sampling.bucket]]: first 8 md5 hex chars of
+    * seed||key as a 32-bit int, mod 10000.
+    */
+  private def duckBucket(seed: String, key: String) =
+    s"(('0x'||substr(md5('$seed'||$key::VARCHAR),1,8))::BIGINT % 10000)"
+
+  /** Deterministic Bernoulli sample (5%) — content-stable hashing, not
+    * rand(): the keep decision is reproducible across runs, engines, and
+    * repartitioning. Map-only at any scale.
+    */
+  val sampleHash = Q("sample_hash",
+    (s, dir) => Sampling.hashSample(t(s, dir, "documents"), "doc_id", 500, seed = "r3")
+      .select(col("doc_id"), col("lang"), col("n_chars")),
+    Some(s"""SELECT doc_id, lang, n_chars FROM documents
+      |WHERE ${duckBucket("r3", "doc_id")} < 500""".stripMargin))
+
+  /** Deterministic train/validation/test split: same key ⇒ same split
+    * forever (the anti-leakage property). Checked as per-split counts +
+    * an exact content sum, so a drifting assignment cannot hash-match.
+    */
+  val sampleSplit = Q("sample_split",
+    (s, dir) => Sampling.assignSplit(t(s, dir, "documents"), "doc_id",
+        Seq(("test", 1000), ("validation", 2000)), seed = "r3")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars")),
+    Some(s"""WITH b AS (SELECT n_chars, ${duckBucket("r3", "doc_id")} AS bk FROM documents)
+      |SELECT CASE WHEN bk < 1000 THEN 'test' WHEN bk < 2000 THEN 'validation'
+      |            ELSE 'train' END AS split,
+      |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      |FROM b GROUP BY 1""".stripMargin))
+
+  /** Fixed-size per-stratum sample (k=20 per language) — the deterministic
+    * analogue of per-group reservoir sampling: one shuffle on the stratum
+    * key, stable against any input order.
+    */
+  val sampleStratified = Q("sample_stratified",
+    (s, dir) => Sampling.stratifiedFixed(t(s, dir, "documents"),
+        Seq("lang"), "doc_id", k = 20, seed = "r3")
+      .select(col("lang"), col("doc_id")),
+    Some(s"""WITH r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+      |    ORDER BY ${duckBucket("r3", "doc_id")} ASC, doc_id ASC) AS rk
+      |  FROM documents)
+      |SELECT lang, doc_id FROM r WHERE rk <= 20""".stripMargin))
+
+  /** TF-IDF top-3 terms per document: explode → two partial-aggregated
+    * shuffles → broadcast corpus size → per-doc top-k window. Integer tf ×
+    * ln(exact-int ratio) is bit-identical across IEEE engines.
+    */
+  val textTfidf = Q("text_tfidf",
+    (s, dir) => TextFunctions.tfIdfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3),
+    Some("""WITH tok AS (SELECT doc_id, t AS term FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+      |    FROM documents) WHERE t <> ''),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM documents),
+      |scored AS (SELECT doc_id, tf.term, round(tf * ln(n.n_docs / dfreq), 6) AS tfidf
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
+      |SELECT doc_id, term, tfidf FROM r WHERE rk <= 3""".stripMargin))
 
   // ----------------------------------------------------------- dedup family
 
@@ -1114,7 +1179,8 @@ object Queries {
     qSetOps, qRollup, qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
-    textStats, textLangId, textFingerprint,
+    textStats, textLangId, textFingerprint, textTfidf,
+    sampleHash, sampleSplit, sampleStratified,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupJaccard,
     dedupEmbedding,
     knnBrute, knnLsh, knnIvf, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,

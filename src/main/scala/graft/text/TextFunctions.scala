@@ -124,6 +124,33 @@ object TextFunctions {
       .select(col(idCol), coalesce(col("lang_hit"), lit("und")).as("lang_pred"))
   }
 
+  /** TF-IDF top-k terms per document — the classic corpus-statistics kernel
+    * (keyword extraction, near-dup feature weighting, quality heuristics).
+    *
+    * Shape at scale: explode → two hash aggregations (term counts per doc,
+    * then document frequency per term — both with map-side partials) → one
+    * broadcast of the corpus size → per-doc top-k window. The widest
+    * intermediate is (doc, term, tf), bounded by total token count; nothing
+    * is ever per-corpus on a single node. Math is integer tf × ln(N/df) of
+    * exact integers — bit-identical in any IEEE engine, so the result is
+    * oracle-checkable after a fixed 6-dp round.
+    */
+  def tfIdfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dfreq"))
+    val corpus = df.agg(count_distinct(col(idCol)).cast("double").as("n_docs"))
+    val scored = tf.join(docFreq, "term")
+      .crossJoin(broadcast(corpus))
+      .select(col(idCol), col("term"),
+        round(col("tf") * log(col("n_docs") / col("dfreq")), 6).as("tfidf"))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
   /** Document fingerprint: md5 of the normalized text (cross-engine stable). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))

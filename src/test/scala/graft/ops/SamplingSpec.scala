@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SharedSpark
+import graft.sampling.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The properties that make hash sampling trustworthy in a pipeline:
+  * decisions are per-key deterministic (stable across runs, partitioning,
+  * and input order), splits partition the input exactly, independent seeds
+  * give independent samples, and stratified top-k is a true per-stratum
+  * fixed-size sample.
+  */
+class SamplingSpec extends AnyFunSuite with SharedSpark {
+
+  private def docs = {
+    import spark.implicits._
+    (1 to 2000).map(i => (i.toLong, s"doc $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "es"))
+      .toDF("id", "text", "lang")
+  }
+
+  test("hashSample is deterministic and partitioning-invariant") {
+    val a = Sampling.hashSample(docs, "id", 1000, "s").select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(13), "id", 1000, "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val c = Sampling.hashSample(docs.orderBy(desc("id")), "id", 1000, "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a == c)
+    // ~10% requested; md5 is uniform enough that 2000 keys land within ±50%
+    assert(a.size > 100 && a.size < 300, s"got ${a.size}")
+  }
+
+  test("different seeds give different (independent) samples") {
+    val a = Sampling.hashSample(docs, "id", 1000, "s1").select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs, "id", 1000, "s2").select("id").collect().map(_.getLong(0)).toSet
+    assert(a != b)
+    // independence: overlap ≈ 1% of keys, far below either sample's size
+    assert((a & b).size < math.min(a.size, b.size) / 2)
+  }
+
+  test("assignSplit partitions the input: every row exactly one label, stable per key") {
+    val s = Sampling.assignSplit(docs, "id", Seq(("test", 1000), ("validation", 2000)), seed = "s")
+    assert(s.count() == 2000)
+    val byLabel = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("test", "validation", "train"))
+    assert(byLabel.values.sum == 2000)
+    // the same key must always land in the same split (re-run equality)
+    val again = Sampling.assignSplit(docs.repartition(7), "id",
+      Seq(("test", 1000), ("validation", 2000)), seed = "s")
+    val j = s.select(col("id"), col("split").as("a"))
+      .join(again.select(col("id"), col("split").as("b")), "id")
+      .filter(col("a") =!= col("b")).count()
+    assert(j == 0)
+    // split ∩ sample consistency: the 'test' set IS hashSample at 1000bp
+    val testIds = s.filter(col("split") === "test").select("id").collect().map(_.getLong(0)).toSet
+    val sampled = Sampling.hashSample(docs, "id", 1000, "s").select("id").collect().map(_.getLong(0)).toSet
+    assert(testIds == sampled)
+  }
+
+  test("stratifiedFixed returns exactly k per stratum, order-invariant") {
+    val k = 15
+    val sel = Sampling.stratifiedFixed(docs, Seq("lang"), "id", k, "s")
+    val sizes = sel.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.values.toSet == Set(k.toLong), sizes.toString)
+    val shuffled = Sampling.stratifiedFixed(docs.orderBy(desc("id")).repartition(11),
+      Seq("lang"), "id", k, "s")
+    assert(sel.select("lang", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      shuffled.select("lang", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // strata smaller than k come back whole
+    val tiny = Sampling.stratifiedFixed(docs.filter(col("id") <= 5), Seq("lang"), "id", k, "s")
+    assert(tiny.count() == 5)
+  }
+}
