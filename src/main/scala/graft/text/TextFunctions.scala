@@ -138,12 +138,18 @@ object TextFunctions {
   def tfIdfTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Tokenize exactly ONCE: document frequency is a window over the
+    // already-aggregated (doc, term, tf) relation, not a second aggregation
+    // of the exploded tokens — Catalyst does not reuse the explode subtree
+    // across two groupBys (measured: the join formulation scanned the
+    // corpus twice). The corpus size comes from a separate scan pruned to
+    // the id column — O(rows), not O(tokens).
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-    val docFreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dfreq"))
+    val withDf = tf.withColumn("dfreq",
+      count(lit(1)).over(Window.partitionBy("term")).cast("double"))
     val corpus = df.agg(count_distinct(col(idCol)).cast("double").as("n_docs"))
-    val scored = tf.join(docFreq, "term")
-      .crossJoin(broadcast(corpus))
+    val scored = withDf.crossJoin(broadcast(corpus))
       .select(col(idCol), col("term"),
         round(col("tf") * log(col("n_docs") / col("dfreq")), 6).as("tfidf"))
     val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term").asc)
