@@ -322,12 +322,21 @@ final class ManagedTable private (
     commitManifest(if (overwrite) Seq(entry) else currentEntries :+ entry)
   }
 
+  /** How many PREVIOUS manifests stay readable for time travel
+    * (`write.versions-retained`, default 1 — the Iceberg
+    * `write.metadata.previous-versions-max` / snapshot-expiry analogue).
+    * Retention costs storage, not read speed: only the current manifest's
+    * groups are ever scanned by [[read]].
+    */
+  private def versionsRetained: Int =
+    _meta.properties.getOrElse("write.versions-retained", "1").toInt
+
   /** Commit a new manifest version and flip the meta pointer, then GC:
-    * keep the previous manifest (time travel) and every file group either
-    * retained manifest references; drop the rest — which also sweeps
-    * orphaned groups from crashed commits. Groups are written before the
-    * manifest, the manifest before the pointer, so every crash window
-    * leaves readers on a complete older version.
+    * keep the last `versionsRetained` previous manifests (time travel) and
+    * every file group any retained manifest references; drop the rest —
+    * which also sweeps orphaned groups from crashed commits. Groups are
+    * written before the manifest, the manifest before the pointer, so
+    * every crash window leaves readers on a complete older version.
     */
   private def commitManifest(entries: Seq[ManifestEntry]): Unit = {
     val next = _meta.currentVersion + 1
@@ -335,7 +344,9 @@ final class ManagedTable private (
     Manifest.write(fs, manifestPath(next), entries)
     _meta = _meta.copy(currentVersion = next)
     TableMeta.write(fs, tableDir, _meta)
-    val retained = (Manifest.read(fs, manifestPath(next - 1)).getOrElse(Seq.empty) ++ entries)
+    val keepFrom = next - versionsRetained
+    val retained = ((keepFrom until next)
+      .flatMap(v => Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty)) ++ entries)
       .map(_.path).toSet
     if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { s =>
       if (!retained.contains(s"files/${s.getPath.getName}")) fs.delete(s.getPath, true)
@@ -344,7 +355,7 @@ final class ManagedTable private (
       val n = s.getPath.getName
       if (n.startsWith("v=") && n.endsWith(".json")) {
         val v = n.stripPrefix("v=").stripSuffix(".json").toLong
-        if (v < next - 1) fs.delete(s.getPath, false)
+        if (v < keepFrom) fs.delete(s.getPath, false)
       }
     }
   }

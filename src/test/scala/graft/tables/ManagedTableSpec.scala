@@ -426,6 +426,33 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(t.read().where(col("id") === 1).select("name").as[String].collect().toSeq == Seq("a3"))
   }
 
+  test("MoR: write.versions-retained keeps N previous versions readable, expires older") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "ret", schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "3"))
+    t.append(rows((1, "a", "c", 1L)))
+    val v1 = t.meta.currentVersion
+    t.append(rows((2, "b", "c", 2L)))
+    t.append(rows((3, "c", "c", 3L)))
+    t.append(rows((4, "d", "c", 4L)))
+    // v1..v4 live: 3 previous + current
+    assert(t.readVersion(v1).count() == 1)
+    assert(t.readVersion(v1 + 2).count() == 3)
+    t.append(rows((5, "e", "c", 5L)))
+    // v1 expired now (4 previous would exceed retention=3)
+    intercept[IllegalArgumentException](t.readVersion(v1))
+    assert(t.readVersion(v1 + 1).count() == 2, "within-retention version must survive")
+    assert(t.read().count() == 5)
+    // default retention (1 previous) still supports single-step time travel
+    val d = ManagedTable.create(spark, wh, "ret_default", schema, Seq("id"))
+    d.append(rows((1, "a", "c", 1L)))
+    val dv = d.meta.currentVersion
+    d.append(rows((2, "b", "c", 2L)))
+    assert(d.readVersion(dv).count() == 1)
+    d.append(rows((3, "c", "c", 3L)))
+    intercept[IllegalArgumentException](d.readVersion(dv))
+  }
+
   test("int->long promotion during evolution keeps old data readable") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "promo",
