@@ -520,6 +520,43 @@ object Queries {
       |              for i in range(1, len(th)-3)]) END AS shingle_fp
       |FROM th""".stripMargin))
 
+  /** Gopher/C4-style repetition filter: per-document duplicate token /
+    * bigram / trigram fractions plus the keep decision. Map-only — the
+    * filter runs in the scan stage at any corpus size. Thresholds sit at
+    * ~p90 of this corpus so the flag genuinely splits the data.
+    */
+  val textRepetition = Q("text_repetition",
+    (s, dir) => {
+      val tk = TextFunctions.tokens(col("text")).as("tk")
+      t(s, dir, "documents").select(col("doc_id"), tk).select(
+        col("doc_id"),
+        TextFunctions.dupNgramFraction(col("tk"), 1).as("dup_token_frac"),
+        TextFunctions.dupNgramFraction(col("tk"), 2).as("dup_bigram_frac"),
+        TextFunctions.dupNgramFraction(col("tk"), 3).as("dup_trigram_frac"))
+      .withColumn("keep",
+        col("dup_bigram_frac") <= 0.05 && col("dup_trigram_frac") <= 0.01)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |g AS (SELECT doc_id, tk,
+      |    CASE WHEN len(tk) < 2 THEN [] ELSE
+      |      [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))] END AS bi,
+      |    CASE WHEN len(tk) < 3 THEN [] ELSE
+      |      [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)] END AS tri
+      |  FROM toks),
+      |f AS (SELECT doc_id,
+      |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+      |      round(1 - len(list_distinct(tk))::DOUBLE / len(tk), 6) END AS dup_token_frac,
+      |    CASE WHEN len(bi) = 0 THEN 0.0 ELSE
+      |      round(1 - len(list_distinct(bi))::DOUBLE / len(bi), 6) END AS dup_bigram_frac,
+      |    CASE WHEN len(tri) = 0 THEN 0.0 ELSE
+      |      round(1 - len(list_distinct(tri))::DOUBLE / len(tri), 6) END AS dup_trigram_frac
+      |  FROM g)
+      |SELECT doc_id, dup_token_frac, dup_bigram_frac, dup_trigram_frac,
+      |  (dup_bigram_frac <= 0.05 AND dup_trigram_frac <= 0.01) AS keep
+      |FROM f""".stripMargin))
+
   // ----------------------------------------------------- sampling / splits
 
   /** DuckDB replay of [[Sampling.bucket]]: first 8 md5 hex chars of
@@ -1179,7 +1216,7 @@ object Queries {
     qSetOps, qRollup, qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
-    textStats, textLangId, textFingerprint, textTfidf,
+    textStats, textLangId, textFingerprint, textTfidf, textRepetition,
     sampleHash, sampleSplit, sampleStratified,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupJaccard,
     dedupEmbedding,

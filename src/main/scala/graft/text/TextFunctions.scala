@@ -124,6 +124,29 @@ object TextFunctions {
       .select(col(idCol), coalesce(col("lang_hit"), lit("und")).as("lang_pred"))
   }
 
+  /** Word n-grams of a materialized token array, as separator-joined
+    * strings (exact — no hashing, so duplicate-counting never collides).
+    * Tokens are whitespace-split, so the space separator is unambiguous.
+    * The `size < n` guard matters: Spark's `sequence(1, 0)` counts DOWN,
+    * it is not empty.
+    */
+  def ngramStrings(toksAttr: Column, n: Int): Column =
+    when(size(toksAttr) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toksAttr) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toksAttr, i + lit(j))): _*)))
+
+  /** Gopher/C4-style repetition signal: the fraction of n-gram occurrences
+    * that are repeats of an earlier n-gram in the same document
+    * (1 − distinct/total). Pure per-row array math — map-only at any
+    * scale, no shuffle, no state.
+    */
+  def dupNgramFraction(toksAttr: Column, n: Int): Column = {
+    val grams = if (n == 1) toksAttr else ngramStrings(toksAttr, n)
+    when(size(grams) <= 0, 0.0)
+      .otherwise(round(lit(1.0) -
+        size(array_distinct(grams)).cast("double") / size(grams), 6))
+  }
+
   /** TF-IDF top-k terms per document — the classic corpus-statistics kernel
     * (keyword extraction, near-dup feature weighting, quality heuristics).
     *
