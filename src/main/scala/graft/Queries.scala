@@ -565,6 +565,58 @@ object Queries {
   private def duckBucket(seed: String, key: String) =
     s"(('0x'||substr(md5('$seed'||$key::VARCHAR),1,8))::BIGINT % 10000)"
 
+  /** DuckDB replay of [[TextFunctions.qualityScoreFromTokens]] over a CTE
+    * exposing (text, tk) — shared by text_stats and pipeline_curation.
+    */
+  private val duckQuality =
+    """round(
+      |    (CASE WHEN len(tk) BETWEEN 10 AND 5000 THEN 0.25 ELSE 0 END) +
+      |    (CASE WHEN (CASE WHEN len(tk)=0 THEN 0 ELSE len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) / len(tk) END) > 0.01 THEN 0.25 ELSE 0 END) +
+      |    (CASE WHEN (CASE WHEN length(text)=0 THEN 0 ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / length(text) END) < 0.2 THEN 0.25 ELSE 0 END) +
+      |    (CASE WHEN (CASE WHEN len(tk)=0 THEN 0 ELSE list_sum(list_transform(tk, x -> len(x))) / len(tk) END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END)
+      |  , 2)::DOUBLE""".stripMargin
+
+  /** The end-to-end corpus-curation flow a training-data pipeline actually
+    * runs, composed from the library's operators in ONE declarative plan:
+    * quality score + repetition filter (map-only, fused into the scan) →
+    * exact dedup to the canonical doc per content fingerprint (one shuffle)
+    * → deterministic 50% hash sample (map-only). Catalyst pushes the whole
+    * filter chain into the scan stage; the single exchange is the dedup
+    * window — the shape you want when this runs over 100 TB.
+    */
+  val pipelineCuration = Q("pipeline_curation",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextFunctions.tokens(col("text")).as("tk"))
+      val scored = docs.select(
+        col("doc_id"), col("lang"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        TextFunctions.qualityScoreFromTokens(col("text"), col("tk")).as("quality"),
+        TextFunctions.dupNgramFraction(col("tk"), 2).as("dup_bigram_frac"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      val filtered = scored.filter(col("quality") >= 0.5 && col("dup_bigram_frac") <= 0.05)
+      val canonical = filtered.withColumn("__rk",
+          row_number().over(Window.partitionBy("fp").orderBy(col("doc_id").asc)))
+        .filter(col("__rk") === 1)
+        .select("doc_id", "lang", "n_tokens", "quality")
+      Sampling.hashSample(canonical, "doc_id", 5000, seed = "cur")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, lang, text,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |scored AS (SELECT doc_id, lang, len(tk)::BIGINT AS n_tokens,
+      |    $duckQuality AS quality,
+      |    CASE WHEN len(tk) < 2 THEN 0.0 ELSE round(1 -
+      |      len(list_distinct([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]))::DOUBLE
+      |        / (len(tk) - 1), 6) END AS dup_bigram_frac,
+      |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      |  FROM toks),
+      |filtered AS (SELECT * FROM scored WHERE quality >= 0.5 AND dup_bigram_frac <= 0.05),
+      |canon AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM filtered)
+      |SELECT doc_id, lang, n_tokens, quality FROM canon
+      |WHERE rk = 1 AND ${duckBucket("cur", "doc_id")} < 5000""".stripMargin))
+
   /** Deterministic Bernoulli sample (5%) — content-stable hashing, not
     * rand(): the keep decision is reproducible across runs, engines, and
     * repartitioning. Map-only at any scale.
@@ -1217,7 +1269,7 @@ object Queries {
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
     textStats, textLangId, textFingerprint, textTfidf, textRepetition,
-    sampleHash, sampleSplit, sampleStratified,
+    sampleHash, sampleSplit, sampleStratified, pipelineCuration,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupJaccard,
     dedupEmbedding,
     knnBrute, knnLsh, knnIvf, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
