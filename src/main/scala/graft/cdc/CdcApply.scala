@@ -34,13 +34,16 @@ object CdcApply {
 
   /** What to do with a batch row whose identifier field is null (e.g. a
     * corrupt envelope parsed to a null row). The reference throws
-    * ("null key", TEST/tableoperator/IcebergTableOperatorTest.java:102-175);
-    * Drop is offered for dead-letter-style pipelines.
+    * ("null key", TEST/tableoperator/IcebergTableOperatorTest.java:102-175).
+    * Drop discards such rows; DeadLetter additionally quarantines the raw
+    * envelopes into a queryable table (pipeline level — see
+    * [[graft.streaming.CdcPipeline]]; at this level it guards like Drop).
     */
   sealed trait NullKeyPolicy
   object NullKeyPolicy {
     case object Fail extends NullKeyPolicy
     case object Drop extends NullKeyPolicy
+    case object DeadLetter extends NullKeyPolicy
   }
 
   final case class UpsertConfig(
@@ -57,7 +60,8 @@ object CdcApply {
   def guardKeys(batch: DataFrame, pks: Seq[String],
                 policy: NullKeyPolicy = NullKeyPolicy.Fail): DataFrame =
     policy match {
-      case NullKeyPolicy.Drop => batch.na.drop("any", pks)
+      case NullKeyPolicy.Drop | NullKeyPolicy.DeadLetter =>
+        batch.na.drop("any", pks)
       case NullKeyPolicy.Fail =>
         // In-line runtime assertion — no extra Spark job, rides the same scan.
         val guarded = batch.columns.map { c =>

@@ -31,7 +31,8 @@ final case class PipelineConfig(
     archiveEvents: Boolean = false,
     nullKeyPolicy: CdcApply.NullKeyPolicy = CdcApply.NullKeyPolicy.Fail,
     tableOperationTimeout: Duration = Duration.Inf,
-    parityTables: Boolean = true
+    parityTables: Boolean = true,
+    deadLetterTable: String = "dead_letters"
 ) {
   def partitionSpecFor(table: String): Seq[String] =
     partitionBy.getOrElse(table, partitionBy.getOrElse("*", Seq.empty))
@@ -52,6 +53,8 @@ final case class PipelineConfig(
   * maps to the trigger + source rate options.
   */
 object CdcPipeline {
+
+  private val dlqLock = new Object
 
   /** Envelope schema of the raw CDC stream: one JSON line per event. */
   val envelopeSchema: StructType = StructType(Seq(
@@ -122,6 +125,30 @@ object CdcPipeline {
     // the write below; row counts come from the raw-batch aggregation in
     // processBatch (decode is row-preserving).
     val typed = EventDecoder.decode(Dedup.withArrivalIndex(slice), inferred)
+
+    // Dead-letter routing: a corrupt envelope decodes to null identifier
+    // fields; under DeadLetter policy quarantine the RAW envelope (the
+    // evidence, replayable after a fix) into a queryable table and let the
+    // batch succeed with the clean rows — guardKeys then drops the same
+    // rows from the apply path. The extra job runs against the cached raw
+    // batch, and only when the policy asks for it.
+    if (cfg.nullKeyPolicy == CdcApply.NullKeyPolicy.DeadLetter && ids.nonEmpty) {
+      val keyed = EventDecoder.decodeKeeping(slice, inferred, keep = Seq("destination", "key", "value"))
+      val corrupt = keyed.filter(ids.map(col(_).isNull).reduce(_ || _))
+        .select(col("destination").as("event_destination"),
+          col("key").as("event_key"),
+          col("value").as("event_value"),
+          lit(s"null identifier field (${ids.mkString(",")})").as("error"),
+          current_timestamp().as("quarantined_at"))
+      // The DLQ is one table shared by every destination: serialize its
+      // commits (destinations may run in parallel, and ManagedTable's
+      // commit protocol is single-writer per table).
+      dlqLock.synchronized {
+        val dlq = ManagedTable.loadOrCreate(spark, cfg.warehouse, cfg.deadLetterTable,
+          corrupt.schema, Seq.empty, Seq.empty)
+        dlq.append(corrupt)
+      }
+    }
 
     val upsertConfig = CdcApply.UpsertConfig(
       keepDeletes = cfg.keepDeletes, dedupColumn = cfg.dedupColumn,

@@ -187,6 +187,43 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
     assert(names == Seq("alice", "bob"))
   }
 
+  test("dead-letter policy quarantines corrupt envelopes; clean rows still apply") {
+    val root = Files.createTempDirectory("graft-dlq").toString
+    val src = s"$root/events"; Files.createDirectories(java.nio.file.Paths.get(src))
+    val cfg = PipelineConfig(warehouse = s"$root/wh", keepDeletes = false,
+      nullKeyPolicy = graft.cdc.CdcApply.NullKeyPolicy.DeadLetter)
+    val nullIdVal =
+      s"""{"schema":${EventFactory.customerValueSchema},"payload":{"id":null,"first_name":"ghost","__op":"c","__source_ts_ns":5,"__source_ts_ms":0,"__deleted":false}}"""
+    val nullIdKey = s"""{"schema":${EventFactory.customerKeySchema},"payload":{"id":null}}"""
+    writeEvents(src, "b1.json", Seq(
+      EventFactory.event(1, "alice", "c", 100L),
+      ("testc.inventory.customers", nullIdKey, nullIdVal),
+      ("testc.inventory.customers", "garbage-key", "this is not an envelope")))
+    CdcPipeline.start(spark, src, s"$root/cp", cfg).awaitTermination(120000)
+
+    // the batch SUCCEEDED: the clean row is applied
+    val customers = ManagedTable.load(spark, cfg.warehouse, "testc_inventory_customers").get
+    assert(customers.read().select("id").collect().map(_.getInt(0)).toSeq == Seq(1))
+
+    // both corrupt envelopes are quarantined with their raw evidence
+    val dlq = ManagedTable.load(spark, cfg.warehouse, cfg.deadLetterTable).get.read()
+    assert(dlq.count() == 2, "both corrupt envelopes must be dead-lettered")
+    val values = dlq.select("event_value").collect().map(_.getString(0)).toSet
+    assert(values.exists(_.contains("ghost")) && values.contains("this is not an envelope"))
+    val errs = dlq.select("error").collect().map(_.getString(0)).toSet
+    assert(errs.forall(_.contains("null identifier field")))
+
+    // Fail policy on the same input fails the batch (reference contract)
+    val cfg2 = cfg.copy(warehouse = s"$root/wh2",
+      nullKeyPolicy = graft.cdc.CdcApply.NullKeyPolicy.Fail)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      CdcPipeline.start(spark, src, s"$root/cp2", cfg2).awaitTermination(120000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null identifier field")))
+  }
+
   test("W11: per-table operation timeout fails the batch; fast tables still complete") {
     import scala.concurrent.duration._
     // under the timeout: completes
