@@ -58,6 +58,23 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("WholeStageCodegen") || p.contains("codegen id"), p)
   }
 
+  test("sampling: hash sample and split are map-only (no exchange) with pruned scans") {
+    for (q <- Seq(Queries.sampleHash)) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"${q.name} should not shuffle:\n$p")
+      val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!read.contains("text"), s"text not pruned from ${q.name}: $read")
+    }
+  }
+
+  test("pipeline_curation: filters fuse into the scan stage; only the dedup window shuffles") {
+    val p = plan(Queries.pipelineCuration)
+    // count detail headers "(N) Exchange" — the tree section repeats nodes
+    val exchanges = p.linesIterator.count(_.matches("""^\(\d+\) Exchange\s*$"""))
+    assert(exchanges == 1, s"expected exactly the dedup-window exchange, got $exchanges:\n$p")
+    assert(p.contains("WindowGroupLimit"), "per-fingerprint top-1 should push a group limit")
+  }
+
   test("upsert anti-join: no forced broadcast hint; AQE still broadcasts trickle batches") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
     import org.apache.spark.sql.functions._
