@@ -154,6 +154,37 @@ final class ManagedTable private (
     morRead(currentEntries, keepSeq = true)
   }
 
+  /** Incremental changelog: the net per-key changes committed in versions
+    * (fromVersion, toVersion] — the Iceberg incremental-scan analogue that
+    * lets a downstream consumer (index updater, replica, cache) follow the
+    * table without rescanning it. Group sequence numbers ARE commit
+    * versions, so this is a manifest filter + the same seq-scoped resolve
+    * as [[read]], restricted to in-range groups: cost is O(changes), the
+    * base is never scanned. Output keeps [[ManagedTable.SeqCol]] (which
+    * commit) and [[ManagedTable.TombstoneCol]] (true = the key was hard-
+    * deleted).
+    *
+    * Delivery is at-least-once: a minor compaction folds trickle groups to
+    * their max seq, so a consumer whose `fromVersion` predates the fold
+    * may see already-consumed rows again (never misses one) — the same
+    * contract as the CDC stream feeding the table.
+    */
+  def readChangesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(!isPartitioned, "incremental reads are a MoR (unpartitioned) feature")
+    require(fromVersion <= toVersion, s"empty range: ($fromVersion, $toVersion]")
+    val entries = Manifest.read(fs, manifestPath(toVersion))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no retained manifest for version $toVersion of ${_meta.name}"))
+    val inRange = entries.filter(e => e.seq > fromVersion && e.seq <= toVersion)
+    val outSchema = StructType(physicalSchema.fields :+
+      StructField(SeqCol, LongType, nullable = false) :+
+      StructField(TombstoneCol, BooleanType, nullable = false))
+    if (inRange.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    else morResolve(inRange)
+      .withColumn(TombstoneCol, coalesce(col(TombstoneCol), lit(false)))
+  }
+
   private def morRead(entries: Seq[ManifestEntry], keepSeq: Boolean = false): DataFrame = {
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],

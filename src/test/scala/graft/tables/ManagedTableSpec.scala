@@ -453,6 +453,40 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException](d.readVersion(dv))
   }
 
+  test("MoR: readChangesBetween yields net per-key changes, at-least-once under compaction") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "chg", schema, Seq("id"),
+      properties = Map("write.mor.compact-after-upserts" -> "0")) // manual control
+    t.merge(rows((1, "a", "c", 1L), (2, "b", "c", 1L)))                 // v1
+    val v1 = t.meta.currentVersion
+    t.merge(rows((1, "a2", "u", 2L), (3, "c", "c", 2L)))                // v2
+    t.merge(rows((2, null, "d", 3L)), CdcApply.UpsertConfig(keepDeletes = false)) // v3
+    val v3 = t.meta.currentVersion
+
+    def changes(from: Long, to: Long) =
+      t.readChangesBetween(from, to)
+        .select(col("id"), col("name"), col(ManagedTable.TombstoneCol).as("del"))
+        .collect().map(r => (r.getInt(0), Option(r.getString(1)), r.getBoolean(2))).toSet
+
+    // (v1, v3]: id=1 latest update, id=3 insert, id=2 hard delete marker
+    assert(changes(v1, v3) == Set((1, Some("a2"), false), (3, Some("c"), false), (2, None, true)))
+    // (v2, v3]: only the delete
+    assert(changes(v1 + 1, v3) == Set((2, None, true)))
+    // empty range
+    assert(t.readChangesBetween(v3, v3).count() == 0)
+    // full-history read matches the table state plus delete notifications
+    val full = changes(0, v3)
+    assert(full.contains((1, Some("a2"), false)) && full.contains((2, None, true)))
+
+    // after a minor compaction, the same consumer position replays at least the same changes
+    t.merge(rows((4, "d", "c", 4L)))                                    // v4
+    val beforeFold = changes(v1, t.meta.currentVersion)
+    t.compactMinor()
+    val afterFold = changes(v1, t.meta.currentVersion)
+    assert(beforeFold.subsetOf(afterFold),
+      s"at-least-once violated: ${beforeFold.diff(afterFold)} lost by compaction")
+  }
+
   test("int->long promotion during evolution keeps old data readable") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "promo",
