@@ -185,6 +185,24 @@ final class ManagedTable private (
       .withColumn(TombstoneCol, coalesce(col(TombstoneCol), lit(false)))
   }
 
+  /** Stats-pruned key-range scan: only file groups whose manifest bounds
+    * intersect [lo, hi] on `idCol` are opened (groups without bounds are
+    * never pruned). Sound against MoR deletes: a group whose bounds
+    * exclude the range contains no in-range keys, so it can contribute
+    * neither rows nor equality deletes for them. With PK-sorted files the
+    * remaining scan also row-group-prunes inside parquet — a point lookup
+    * on a compacted 100 TB table touches one group and few pages instead
+    * of every file.
+    */
+  def readKeyRange(idCol: String, lo: Any, hi: Any): DataFrame = {
+    require(!isPartitioned, "key-range pruning is a MoR (unpartitioned) feature")
+    require(_meta.identifierFields.contains(idCol), s"$idCol is not an identifier field")
+    require(lo != null && hi != null, "range bounds must be non-null")
+    val pruned = currentEntries.filter(e =>
+      e.stats.get(idCol).forall(_.intersects(lo, hi)))
+    morRead(pruned).filter(col(idCol).between(lit(lo), lit(hi)))
+  }
+
   private def morRead(entries: Seq[ManifestEntry], keepSeq: Boolean = false): DataFrame = {
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -310,18 +328,51 @@ final class ManagedTable private (
       currentEntries.count(_.kind == Manifest.Upsert) >= autoCompact) compactMinor()
   }
 
+  /** Stats domain tag for a column type — integral / floating / string;
+    * None = no bounds collected (never pruned on).
+    */
+  private def statsTag(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("i")
+    case FloatType | DoubleType                        => Some("f")
+    case StringType                                    => Some("s")
+    case _                                             => None
+  }
+
   /** Write an immutable file group stamped with its commit sequence
     * number. Returns no entry for an empty group.
+    *
+    * Identifier-column min/max bounds ride along via `observe` — collected
+    * DURING the write action (zero extra job, Iceberg's manifest column
+    * bounds analogue) and recorded in the manifest entry for scan pruning.
     */
   private def writeGroup(df: DataFrame, kind: String, seq: Long): Option[ManifestEntry] = {
     val rel = s"files/$kind-$seq-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = new Path(tableDir, rel)
-    applyWriteProps(df.withColumn(SeqCol, lit(seq)).write.mode("overwrite"))
+    val statCols = _meta.identifierFields
+      .filter(df.columns.contains)
+      .flatMap(c => statsTag(df.schema(c).dataType).map(c -> _))
+    val (toWrite, obs) =
+      if (statCols.isEmpty) (df, None)
+      else {
+        val o = new org.apache.spark.sql.Observation(s"stats-$kind-$seq")
+        val aggs = statCols.flatMap { case (c, _) =>
+          Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) }
+        (df.observe(o, aggs.head, aggs.tail: _*), Some(o))
+      }
+    applyWriteProps(toWrite.withColumn(SeqCol, lit(seq)).write.mode("overwrite"))
       .format(format).save(dir.toString)
     val hasFiles = fs.exists(dir) &&
       fs.listStatus(dir).exists(s => !s.getPath.getName.startsWith("_"))
-    if (hasFiles) Some(ManifestEntry(rel, kind, seq))
-    else { fs.delete(dir, true); None }
+    if (hasFiles) {
+      val stats = obs.map { o =>
+        val row = o.get
+        statCols.collect { case (c, t)
+          if row(s"mn_$c") != null && row(s"mx_$c") != null =>
+          c -> ColBounds(t, row(s"mn_$c"), row(s"mx_$c"))
+        }.toMap
+      }.getOrElse(Map.empty[String, ColBounds])
+      Some(ManifestEntry(rel, kind, seq, stats))
+    } else { fs.delete(dir, true); None }
   }
 
   /** Driver-side commit for metadata-scale tables (`write.format-default`

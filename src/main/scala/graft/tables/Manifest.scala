@@ -4,6 +4,35 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 import scala.jdk.CollectionConverters._
 
+/** Per-column min/max of one file group, used for scan pruning (the graft
+  * analogue of Iceberg's manifest-entry column bounds). `t` tags the
+  * comparison domain: "i" integral, "f" floating, "s" string. Values are
+  * stored in their JSON-native form; comparison happens in the tagged
+  * domain, so pruning never mixes lexicographic and numeric order.
+  */
+final case class ColBounds(t: String, min: Any, max: Any) {
+  /** Does [lo, hi] (inclusive) intersect this group's [min, max]? Unknown
+    * domains or incomparable requests answer true (never prune on doubt).
+    */
+  def intersects(lo: Any, hi: Any): Boolean = {
+    def num(v: Any): Option[Double] = v match {
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _                   => None
+    }
+    t match {
+      case "i" | "f" =>
+        (for (l <- num(lo); h <- num(hi); mn <- num(min); mx <- num(max))
+          yield h >= mn && l <= mx).getOrElse(true)
+      case "s" =>
+        (lo, hi, min, max) match {
+          case (l: String, h: String, mn: String, mx: String) => h >= mn && l <= mx
+          case _                                              => true
+        }
+      case _ => true
+    }
+  }
+}
+
 /** One committed file group of an unpartitioned table snapshot: a directory
   * of immutable data files, stamped with the commit sequence number. The
   * graft analogue of an Iceberg manifest entry with sequence-number-scoped
@@ -20,9 +49,12 @@ import scala.jdk.CollectionConverters._
   *    along as tombstone rows (filtered out by readers, dropped by
   *    compaction).
   *
-  * `path` is relative to the table directory.
+  * `path` is relative to the table directory. `stats` are optional
+  * identifier-column bounds (absent on pre-stats manifests and non-stats
+  * types — readers treat absence as "cannot prune").
   */
-final case class ManifestEntry(path: String, kind: String, seq: Long)
+final case class ManifestEntry(path: String, kind: String, seq: Long,
+                               stats: Map[String, ColBounds] = Map.empty)
 
 object Manifest {
   private val mapper = new ObjectMapper()
@@ -36,13 +68,43 @@ object Manifest {
     entries.foreach { e =>
       val n = arr.addObject()
       n.put("path", e.path); n.put("kind", e.kind); n.put("seq", e.seq)
+      if (e.stats.nonEmpty) {
+        val st = n.putObject("stats")
+        e.stats.foreach { case (c, b) =>
+          val o = st.putObject(c)
+          o.put("t", b.t)
+          def put(field: String, v: Any): Unit = v match {
+            case x: java.lang.Long    => o.put(field, x.longValue())
+            case x: java.lang.Integer => o.put(field, x.longValue())
+            case x: java.lang.Short   => o.put(field, x.longValue())
+            case x: java.lang.Byte    => o.put(field, x.longValue())
+            case x: java.lang.Double  => o.put(field, x.doubleValue())
+            case x: java.lang.Float   => o.put(field, x.doubleValue())
+            case x: String            => o.put(field, x)
+            case other                => o.put(field, String.valueOf(other))
+          }
+          put("min", b.min); put("max", b.max)
+        }
+      }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
   def fromJson(json: String): Seq[ManifestEntry] =
     mapper.readTree(json).get("entries").elements().asScala.map { n =>
-      ManifestEntry(n.get("path").asText, n.get("kind").asText, n.get("seq").asLong)
+      val stats = Option(n.get("stats")).map { st =>
+        st.fields().asScala.map { e =>
+          val o = e.getValue
+          val t = o.get("t").asText
+          def v(f: String): Any = t match {
+            case "i" => java.lang.Long.valueOf(o.get(f).asLong)
+            case "f" => java.lang.Double.valueOf(o.get(f).asDouble)
+            case _   => o.get(f).asText
+          }
+          e.getKey -> ColBounds(t, v("min"), v("max"))
+        }.toMap
+      }.getOrElse(Map.empty[String, ColBounds])
+      ManifestEntry(n.get("path").asText, n.get("kind").asText, n.get("seq").asLong, stats)
     }.toSeq
 
   /** Manifests are immutable once written: temp + rename, never rewritten. */

@@ -487,6 +487,48 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
       s"at-least-once violated: ${beforeFold.diff(afterFold)} lost by compaction")
   }
 
+  test("MoR: manifest column bounds prune key-range scans to intersecting groups") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "stats", schema, Seq("id"),
+      properties = Map("write.mor.compact-after-upserts" -> "0"))
+    t.append(rows((1, "a", "c", 1L), (10, "b", "c", 1L)))     // bounds [1,10]
+    t.append(rows((100, "x", "c", 2L), (200, "y", "c", 2L)))  // bounds [100,200]
+    t.merge(rows((150, "y2", "u", 3L)))                        // bounds [150,150]
+
+    // full read sees everything; range read returns the filtered subset
+    assert(t.read().count() == 5)
+    val r = t.readKeyRange("id", 100, 250)
+    assert(r.select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(100, 150, 200))
+
+    // pruning: the [1,10] group's files are not even opened
+    val lowGroupFiles = t.readKeyRange("id", 1, 10).inputFiles.toSet
+    val highGroupFiles = r.inputFiles.toSet
+    assert(lowGroupFiles.nonEmpty && highGroupFiles.nonEmpty)
+    assert(lowGroupFiles.intersect(highGroupFiles).isEmpty,
+      s"disjoint ranges must scan disjoint groups:\n$lowGroupFiles\n$highGroupFiles")
+
+    // a range that misses every group scans nothing and returns nothing
+    val none = t.readKeyRange("id", 300, 400)
+    assert(none.count() == 0 && none.inputFiles.isEmpty)
+
+    // point lookup equals the unpruned read's answer (delete correctness:
+    // the merge at seq 3 must still hide the seq-2 version of id=150)
+    val point = t.readKeyRange("id", 150, 150).select("id", "name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(point == Seq((150, "y2")))
+
+    // pre-stats manifests (no bounds) are never pruned: simulate by
+    // stripping stats from the current manifest
+    val fs = TableMeta.fs(spark.sparkContext.hadoopConfiguration, wh)
+    val mPath = new org.apache.hadoop.fs.Path(s"$wh/stats/manifests/v=${t.meta.currentVersion}.json")
+    val stripped = Manifest.read(fs, mPath).get.map(_.copy(stats = Map.empty))
+    fs.delete(mPath, false)
+    Manifest.write(fs, mPath, stripped)
+    val t2 = ManagedTable.load(spark, wh, "stats").get
+    assert(t2.readKeyRange("id", 1, 10).select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 10))
+  }
+
   test("int->long promotion during evolution keeps old data readable") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "promo",
