@@ -55,6 +55,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.text.TextFunctions.bpeishTokenCount(args(0)))
     injectColumnFn(ext, "graft_fingerprint", 1)(args =>
       graft.text.TextFunctions.fingerprint(args(0)))
+    // deterministic sampling bucket in [0, 10000): WHERE graft_bucket(id) < 500
+    injectColumnFn(ext, "graft_bucket", 1)(args =>
+      graft.sampling.Sampling.bucket(args(0)))
+    injectColumnFn(ext, "graft_dup_bigram_frac", 1)(args =>
+      graft.text.TextFunctions.dupNgramFraction(
+        graft.text.TextFunctions.tokens(args(0)), 2))
   }
 
   private def injectColumnFn(ext: SparkSessionExtensions, name: String, arity: Int)(

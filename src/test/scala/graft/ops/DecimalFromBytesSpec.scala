@@ -78,6 +78,14 @@ class DecimalFromBytesSpec extends AnyFunSuite with SharedSpark {
           |  graft_fingerprint('x') = graft_fingerprint('x') AS same""".stripMargin)
         .collect().head
       assert(txt.getInt(0) == 3 && txt.getInt(1) > 0 && txt.getBoolean(2))
+      val sb = s2.sql(
+        """SELECT graft_bucket('42') AS b,
+          |  graft_dup_bigram_frac('a b a b a b') AS f""".stripMargin)
+        .collect().head
+      // md5('42') = a1d0c6e8... -> 0xa1d0c6e8 % 10000, stable forever
+      assert(sb.getLong(0) == 2714814184L % 10000)
+      // 5 bigrams, 2 distinct -> 0.6
+      assert(sb.getDouble(1) == 0.6)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
