@@ -529,6 +529,30 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
       == Seq(1, 10))
   }
 
+  test("ORC write format: MoR merge/read/time-travel work under write.format-default=orc") {
+    // the reference's config matrix covers ORC explicitly
+    // (TEST/IcebergChangeConsumerTest.java:549-559)
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "orc_t", schema, Seq("id"),
+      properties = Map("write.format-default" -> "orc"))
+    t.merge(rows((1, "a", "c", 1L), (2, "b", "c", 1L)))
+    val v1 = t.meta.currentVersion
+    t.merge(rows((1, "a2", "u", 2L), (2, null, "d", 2L)), CdcApply.UpsertConfig(keepDeletes = false))
+    val out = t.read().select("id", "name").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((1, "a2")))
+    assert(t.readVersion(v1).count() == 2)
+    val files = new java.io.File(s"$wh/orc_t/files").listFiles().flatMap(_.listFiles())
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".orc")),
+      files.map(_.getName).mkString(","))
+    // partitioned ORC append + pruning-capable layout
+    val p = ManagedTable.create(spark, wh, "orc_part", schema, Seq("id"),
+      partitionBy = Seq("bucket(4,id)"),
+      properties = Map("write.format-default" -> "orc"))
+    p.append(rows((1, "a", "c", 1L), (2, "b", "c", 1L), (3, "c", "c", 1L)))
+    assert(p.read().count() == 3)
+  }
+
   test("int->long promotion during evolution keeps old data readable") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "promo",
