@@ -447,6 +447,49 @@ object Queries {
       |SELECT user_id, count(*)::BIGINT AS n_sessions, max(events_in_session)::BIGINT AS max_session_events
       |FROM c GROUP BY user_id""".stripMargin))
 
+  /** Funnel analysis: per user, earliest signup → first click at/after it
+    * → first purchase at/after that, then stage-reach counts. Chained
+    * conditional-min windows all partition on user_id, so the whole funnel
+    * costs ONE hash shuffle regardless of stage count — the scalable shape
+    * for sequence analytics over an event log.
+    */
+  val qFunnel = Q("q_funnel",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+      events(s, dir)
+        .withColumn("t1", min(when(col("event_type") === "signup", col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" && col("ts") >= col("t1"), col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") >= col("t2"), col("ts"))).over(w))
+        .agg(
+          count_distinct(when(col("t1").isNotNull, col("user_id"))).as("reached_signup"),
+          count_distinct(when(col("t2").isNotNull, col("user_id"))).as("reached_click"),
+          count_distinct(when(col("t3").isNotNull, col("user_id"))).as("reached_purchase"))
+    },
+    Some("""WITH s1 AS (SELECT user_id, ts, event_type,
+      |    min(CASE WHEN event_type='signup' THEN ts END) OVER (PARTITION BY user_id) AS t1
+      |  FROM events),
+      |s2 AS (SELECT *, min(CASE WHEN event_type='click' AND ts >= t1 THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (SELECT *, min(CASE WHEN event_type='purchase' AND ts >= t2 THEN ts END)
+      |    OVER (PARTITION BY user_id) AS t3 FROM s2)
+      |SELECT count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS reached_signup,
+      |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS reached_click,
+      |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS reached_purchase
+      |FROM s3""".stripMargin))
+
+  /** Histogram: fixed-width value binning with per-bin counts and exact
+    * decimal sums — one partial-aggregated shuffle on the bin key.
+    */
+  val qHistogram = Q("q_histogram",
+    (s, dir) => events(s, dir)
+      .withColumn("bin", floor(col("value") / 50).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double").as("sum_value")),
+    Some("""SELECT floor(value / 50)::BIGINT AS bin, count(*) AS n,
+      |  (sum(value::DECIMAL(18,2))::DECIMAL(38,2))::DOUBLE AS sum_value
+      |FROM events GROUP BY 1""".stripMargin))
+
   // --------------------------------------------------------- text analysis
 
   val textStats = Q("text_stats",
@@ -1268,6 +1311,7 @@ object Queries {
     qSetOps, qRollup, qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
+    qFunnel, qHistogram,
     textStats, textLangId, textFingerprint, textTfidf, textRepetition,
     sampleHash, sampleSplit, sampleStratified, pipelineCuration,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupJaccard,
