@@ -477,6 +477,31 @@ object Queries {
       |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS reached_purchase
       |FROM s3""".stripMargin))
 
+  /** Stream-stream interval join run in batch mode (same code path the
+    * watermarked streaming spec drives): clicks paired with same-user
+    * purchases within the following hour, then attribution counts. The
+    * join condition is an equi-key plus a time band, so it hash-partitions
+    * on the key — never a cross product.
+    */
+  val qIntervalJoin = Q("q_interval_join",
+    (s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click").select("user_id", "ts", "event_id")
+      val buys = e.filter(col("event_type") === "purchase").select("user_id", "ts")
+      graft.streaming.EventTimeOps.intervalJoin(clicks, buys, "user_id", "ts", "ts",
+          before = "0 seconds", after = "1 hour", lateness = "0 seconds")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("event_id")).as("n_converted_clicks"))
+    },
+    Some("""WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type='click'),
+      |p AS (SELECT user_id, ts FROM events WHERE event_type='purchase')
+      |SELECT c.user_id, count(*) AS n_pairs,
+      |  count(DISTINCT c.event_id) AS n_converted_clicks
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |GROUP BY 1""".stripMargin))
+
   /** Histogram: fixed-width value binning with per-bin counts and exact
     * decimal sums — one partial-aggregated shuffle on the bin key.
     */
@@ -1311,7 +1336,7 @@ object Queries {
     qSetOps, qRollup, qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
-    qFunnel, qHistogram,
+    qFunnel, qHistogram, qIntervalJoin,
     textStats, textLangId, textFingerprint, textTfidf, textRepetition,
     sampleHash, sampleSplit, sampleStratified, pipelineCuration,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupJaccard,

@@ -51,4 +51,32 @@ object EventTimeOps {
                             agged: DataFrame): DataFrame =
     agged.select(col(s"$winCol.start").as(startAs) +: col(s"$winCol.end").as(endAs) +:
       agged.columns.filterNot(_ == winCol).map(col).toSeq: _*)
+
+  /** Watermarked stream-stream interval join: each left row pairs with
+    * right rows of the same key whose timestamp lies in
+    * [left.ts − before, left.ts + after]. Both sides carry watermarks, so
+    * Spark evicts join state once the watermark clears a row's interval —
+    * bounded state on unbounded streams, the enrichment shape (click ×
+    * purchase attribution, event × metric correlation) that the
+    * reference's single-table upsert model cannot express at all.
+    *
+    * Right columns are prefixed to avoid collisions. Works on batch
+    * frames too (watermarks ignored), so the semantics are unit-testable
+    * without a streaming harness and e2e-tested with one.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   before: String, after: String, lateness: String,
+                   rightPrefix: String = "r_"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r0 = right.withWatermark(rightTs, lateness)
+    val r = r0.columns.foldLeft(r0)((d, c) => d.withColumnRenamed(c, s"$rightPrefix$c"))
+    val rKey = col(s"$rightPrefix$key")
+    val rTs = col(s"$rightPrefix$rightTs")
+    l.join(r,
+      col(key) === rKey &&
+        rTs >= col(leftTs) - expr(s"INTERVAL $before") &&
+        rTs <= col(leftTs) + expr(s"INTERVAL $after"),
+      "inner")
+  }
 }

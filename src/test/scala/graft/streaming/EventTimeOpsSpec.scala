@@ -75,4 +75,52 @@ class EventTimeOpsSpec extends AnyFunSuite with SharedSpark {
       assert(after.map(_.getAs[Double]("sv")).toSeq == Seq(3.0))
     } finally q.stop()
   }
+
+  test("batch: interval join pairs same-key rows within [ts-before, ts+after]") {
+    import spark.implicits._
+    val clicks = Seq((ts(10), "u1", "c1"), (ts(40), "u1", "c2"), (ts(10), "u2", "c3"))
+      .toDF("ts", "uid", "click")
+    val buys = Seq((ts(15), "u1", "p1"), (ts(39), "u1", "p2"), (ts(30), "u2", "p3"))
+      .toDF("ts", "uid", "buy")
+    val j = EventTimeOps.intervalJoin(clicks, buys, "uid", "ts", "ts",
+      before = "0 minutes", after = "10 minutes", lateness = "0 seconds")
+    val pairs = j.select("click", "r_buy").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // c1@10:10 matches p1@10:15 (within +10m); c2@10:40 matches nothing
+    // after it; u2's buy at 10:30 is 20m after c3 — out of range
+    assert(pairs == Set(("c1", "p1")))
+    val sym = EventTimeOps.intervalJoin(clicks, buys, "uid", "ts", "ts",
+      before = "5 minutes", after = "5 minutes", lateness = "0 seconds")
+      .select("click", "r_buy").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sym == Set(("c1", "p1"), ("c2", "p2")))
+  }
+
+  test("streaming: interval join emits matches and bounds state by watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val lmem = MemoryStream[(Timestamp, String, String)]
+    val rmem = MemoryStream[(Timestamp, String, String)]
+    val j = EventTimeOps.intervalJoin(
+      lmem.toDF().toDF("ts", "uid", "click"),
+      rmem.toDF().toDF("ts", "uid", "buy"),
+      "uid", "ts", "ts", before = "0 minutes", after = "10 minutes",
+      lateness = "5 minutes")
+    val q = j.selectExpr("click", "r_buy").writeStream
+      .format("memory").queryName("ij").outputMode("append").start()
+    try {
+      lmem.addData((ts(10), "u1", "c1"))
+      rmem.addData((ts(15), "u1", "p1"))
+      q.processAllAvailable()
+      assert(spark.table("ij").collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+        Set(("c1", "p1")))
+      // a right row far outside every live interval joins nothing
+      rmem.addData((ts(55), "u1", "p9"))
+      q.processAllAvailable()
+      assert(spark.table("ij").count() == 1)
+      // state was bounded: metrics report watermark-driven removal keys
+      val progress = q.lastProgress
+      assert(progress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
 }
