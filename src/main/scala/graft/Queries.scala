@@ -517,6 +517,18 @@ object Queries {
 
   // --------------------------------------------------------- text analysis
 
+  /** DuckDB replay of [[TextFunctions.qualityScoreFromTokens]] over a CTE
+    * exposing (text, tk) — shared by text_stats and pipeline_curation so
+    * the two oracles cannot drift apart.
+    */
+  private val duckQuality =
+    """round(
+      |    (CASE WHEN len(tk) BETWEEN 10 AND 5000 THEN 0.25 ELSE 0 END) +
+      |    (CASE WHEN (CASE WHEN len(tk)=0 THEN 0 ELSE len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) / len(tk) END) > 0.01 THEN 0.25 ELSE 0 END) +
+      |    (CASE WHEN (CASE WHEN length(text)=0 THEN 0 ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / length(text) END) < 0.2 THEN 0.25 ELSE 0 END) +
+      |    (CASE WHEN (CASE WHEN len(tk)=0 THEN 0 ELSE list_sum(list_transform(tk, x -> len(x))) / len(tk) END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END)
+      |  , 2)::DOUBLE""".stripMargin
+
   val textStats = Q("text_stats",
     (s, dir) => t(s, dir, "documents")
       // tokenize ONCE into an attribute; every metric below reuses it
@@ -538,12 +550,7 @@ object Queries {
       |    ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / length(text) END, 6) AS punct_ratio,
       |  round(CASE WHEN len(tk)=0 THEN 0
       |    ELSE list_sum(list_transform(tk, x -> len(x))) / len(tk) END, 6) AS mean_word_len,
-      |  round(
-      |    (CASE WHEN len(tk) BETWEEN 10 AND 5000 THEN 0.25 ELSE 0 END) +
-      |    (CASE WHEN (CASE WHEN len(tk)=0 THEN 0 ELSE len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) / len(tk) END) > 0.01 THEN 0.25 ELSE 0 END) +
-      |    (CASE WHEN (CASE WHEN length(text)=0 THEN 0 ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / length(text) END) < 0.2 THEN 0.25 ELSE 0 END) +
-      |    (CASE WHEN (CASE WHEN len(tk)=0 THEN 0 ELSE list_sum(list_transform(tk, x -> len(x))) / len(tk) END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END)
-      |  , 2)::DOUBLE AS quality
+      |  $duckQuality AS quality
       |FROM toks""".stripMargin))
 
   val textLangId = Q("text_langid",
@@ -633,24 +640,20 @@ object Queries {
   private def duckBucket(seed: String, key: String) =
     s"(('0x'||substr(md5('$seed'||$key::VARCHAR),1,8))::BIGINT % 10000)"
 
-  /** DuckDB replay of [[TextFunctions.qualityScoreFromTokens]] over a CTE
-    * exposing (text, tk) — shared by text_stats and pipeline_curation.
-    */
-  private val duckQuality =
-    """round(
-      |    (CASE WHEN len(tk) BETWEEN 10 AND 5000 THEN 0.25 ELSE 0 END) +
-      |    (CASE WHEN (CASE WHEN len(tk)=0 THEN 0 ELSE len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) / len(tk) END) > 0.01 THEN 0.25 ELSE 0 END) +
-      |    (CASE WHEN (CASE WHEN length(text)=0 THEN 0 ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / length(text) END) < 0.2 THEN 0.25 ELSE 0 END) +
-      |    (CASE WHEN (CASE WHEN len(tk)=0 THEN 0 ELSE list_sum(list_transform(tk, x -> len(x))) / len(tk) END) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0 END)
-      |  , 2)::DOUBLE""".stripMargin
-
   /** The end-to-end corpus-curation flow a training-data pipeline actually
     * runs, composed from the library's operators in ONE declarative plan:
-    * quality score + repetition filter (map-only, fused into the scan) →
-    * exact dedup to the canonical doc per content fingerprint (one shuffle)
-    * → deterministic 50% hash sample (map-only). Catalyst pushes the whole
-    * filter chain into the scan stage; the single exchange is the dedup
-    * window — the shape you want when this runs over 100 TB.
+    * score every document (quality + repetition + fingerprint, one
+    * projection over one scan) → exact dedup to the canonical doc per
+    * content fingerprint (the single exchange) → quality/repetition
+    * filter → deterministic 50% hash sample.
+    *
+    * The filter deliberately sits ABOVE the dedup window: pushing it below
+    * would substitute the metric aliases into a scan-stage filter that
+    * re-derives the tokenize pipeline ~12× per row (FilterExec has no
+    * subexpression elimination — measured 22 s vs 2 s at sf0.1, the
+    * SCALING.md "inlined filter" cliff). A Window is a pushdown barrier
+    * for non-partition-key predicates, so each metric is computed exactly
+    * once; the oracle mirrors the same dedup-then-filter order.
     */
   val pipelineCuration = Q("pipeline_curation",
     (s, dir) => {
@@ -663,10 +666,10 @@ object Queries {
         TextFunctions.qualityScoreFromTokens(col("text"), col("tk")).as("quality"),
         TextFunctions.dupNgramFraction(col("tk"), 2).as("dup_bigram_frac"),
         TextFunctions.fingerprint(col("text")).as("fp"))
-      val filtered = scored.filter(col("quality") >= 0.5 && col("dup_bigram_frac") <= 0.05)
-      val canonical = filtered.withColumn("__rk",
+      val canonical = scored.withColumn("__rk",
           row_number().over(Window.partitionBy("fp").orderBy(col("doc_id").asc)))
-        .filter(col("__rk") === 1)
+        .filter(col("__rk") === 1 &&
+          col("quality") >= 0.5 && col("dup_bigram_frac") <= 0.05)
         .select("doc_id", "lang", "n_tokens", "quality")
       Sampling.hashSample(canonical, "doc_id", 5000, seed = "cur")
     },
@@ -680,10 +683,10 @@ object Queries {
       |        / (len(tk) - 1), 6) END AS dup_bigram_frac,
       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
       |  FROM toks),
-      |filtered AS (SELECT * FROM scored WHERE quality >= 0.5 AND dup_bigram_frac <= 0.05),
-      |canon AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM filtered)
+      |canon AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM scored)
       |SELECT doc_id, lang, n_tokens, quality FROM canon
-      |WHERE rk = 1 AND ${duckBucket("cur", "doc_id")} < 5000""".stripMargin))
+      |WHERE rk = 1 AND quality >= 0.5 AND dup_bigram_frac <= 0.05
+      |  AND ${duckBucket("cur", "doc_id")} < 5000""".stripMargin))
 
   /** Deterministic Bernoulli sample (5%) — content-stable hashing, not
     * rand(): the keep decision is reproducible across runs, engines, and

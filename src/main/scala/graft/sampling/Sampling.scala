@@ -21,8 +21,8 @@ import org.apache.spark.sql.functions._
   * sampling); its per-stratum top-k never materializes a stratum on one
   * executor beyond the window sort, and skewed strata spill like any sort.
   *
-  * The 16-bucket-per-key decision space uses the first 8 hex chars of md5
-  * (32 bits) reduced mod 10_000 — granular to 0.01%.
+  * The per-key decision space is the first 8 hex chars of md5 (32 bits)
+  * reduced mod 10_000 — basis-point granularity (0.01%).
   */
 object Sampling {
 

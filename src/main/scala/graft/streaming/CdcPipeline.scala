@@ -129,9 +129,11 @@ object CdcPipeline {
     // Dead-letter routing: a corrupt envelope decodes to null identifier
     // fields; under DeadLetter policy quarantine the RAW envelope (the
     // evidence, replayable after a fix) into a queryable table and let the
-    // batch succeed with the clean rows — guardKeys then drops the same
-    // rows from the apply path. The extra job runs against the cached raw
-    // batch, and only when the policy asks for it.
+    // batch succeed with the clean rows — the apply path below then drops
+    // the same rows. The extra decode pass over the cached raw batch runs
+    // only under this policy, and the healthy-batch fast path is one cheap
+    // first-corrupt probe: no DLQ table is created or committed until a
+    // corrupt envelope actually appears.
     if (cfg.nullKeyPolicy == CdcApply.NullKeyPolicy.DeadLetter && ids.nonEmpty) {
       val keyed = EventDecoder.decodeKeeping(slice, inferred, keep = Seq("destination", "key", "value"))
       val corrupt = keyed.filter(ids.map(col(_).isNull).reduce(_ || _))
@@ -140,13 +142,15 @@ object CdcPipeline {
           col("value").as("event_value"),
           lit(s"null identifier field (${ids.mkString(",")})").as("error"),
           current_timestamp().as("quarantined_at"))
-      // The DLQ is one table shared by every destination: serialize its
-      // commits (destinations may run in parallel, and ManagedTable's
-      // commit protocol is single-writer per table).
-      dlqLock.synchronized {
-        val dlq = ManagedTable.loadOrCreate(spark, cfg.warehouse, cfg.deadLetterTable,
-          corrupt.schema, Seq.empty, Seq.empty)
-        dlq.append(corrupt)
+      if (!corrupt.isEmpty) {
+        // The DLQ is one table shared by every destination: serialize its
+        // commits (destinations may run in parallel, and ManagedTable's
+        // commit protocol is single-writer per table).
+        dlqLock.synchronized {
+          val dlq = ManagedTable.loadOrCreate(spark, cfg.warehouse, cfg.deadLetterTable,
+            corrupt.schema, Seq.empty, Seq.empty)
+          dlq.append(corrupt)
+        }
       }
     }
 
@@ -155,8 +159,16 @@ object CdcPipeline {
       opColumn = cfg.opColumn, nullKeyPolicy = cfg.nullKeyPolicy)
     if (cfg.upsert && table.meta.identifierFields.nonEmpty && !inferred.isSchemaChangeEvent)
       table.merge(typed, upsertConfig)
-    else
-      table.append(typed)
+    else {
+      // The append path has no guardKeys stage, so Drop/DeadLetter must
+      // drop null-key rows here too — otherwise a quarantined envelope
+      // would ALSO land in the destination table in append mode.
+      val guarded =
+        if (ids.nonEmpty && cfg.nullKeyPolicy != CdcApply.NullKeyPolicy.Fail)
+          typed.na.drop("any", ids)
+        else typed
+      table.append(guarded)
+    }
   }
 
   /** W9 — raw-event archive: JSON blobs partitioned by destination + hour,

@@ -70,6 +70,11 @@ object EventTimeOps {
                    rightPrefix: String = "r_"): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r0 = right.withWatermark(rightTs, lateness)
+    val clash = left.columns.toSet
+      .intersect(right.columns.map(c => s"$rightPrefix$c").toSet)
+    require(clash.isEmpty,
+      s"left columns collide with prefixed right columns: ${clash.mkString(",")} " +
+        s"— pass a different rightPrefix")
     val r = r0.columns.foldLeft(r0)((d, c) => d.withColumnRenamed(c, s"$rightPrefix$c"))
     val rKey = col(s"$rightPrefix$key")
     val rTs = col(s"$rightPrefix$rightTs")

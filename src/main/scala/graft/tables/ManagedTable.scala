@@ -164,10 +164,14 @@ final class ManagedTable private (
     * commit) and [[ManagedTable.TombstoneCol]] (true = the key was hard-
     * deleted).
     *
-    * Delivery is at-least-once: a minor compaction folds trickle groups to
-    * their max seq, so a consumer whose `fromVersion` predates the fold
-    * may see already-consumed rows again (never misses one) — the same
-    * contract as the CDC stream feeding the table.
+    * Delivery is at-least-once across MINOR compaction: a fold moves
+    * trickle groups to their max seq, so a consumer whose `fromVersion`
+    * predates the fold may see already-consumed rows again, but never
+    * misses one — tombstones are preserved. A FULL [[compact]] is a
+    * history barrier: it folds the resolved view (tombstones dropped)
+    * into one data group, so delete notifications before it are gone.
+    * Advance consumers past the current version before a full compact,
+    * or use [[compactMinor]] while changelog consumers are active.
     */
   def readChangesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
     require(!isPartitioned, "incremental reads are a MoR (unpartitioned) feature")
@@ -410,8 +414,16 @@ final class ManagedTable private (
     * Retention costs storage, not read speed: only the current manifest's
     * groups are ever scanned by [[read]].
     */
-  private def versionsRetained: Int =
-    _meta.properties.getOrElse("write.versions-retained", "1").toInt
+  private def versionsRetained: Int = {
+    val raw = _meta.properties.getOrElse("write.versions-retained", "1")
+    val v = try raw.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"write.versions-retained must be a non-negative int, got '$raw'")
+    }
+    require(v >= 0, s"write.versions-retained must be >= 0, got $v")
+    v
+  }
 
   /** Commit a new manifest version and flip the meta pointer, then GC:
     * keep the last `versionsRetained` previous manifests (time travel) and
@@ -421,12 +433,13 @@ final class ManagedTable private (
     * every crash window leaves readers on a complete older version.
     */
   private def commitManifest(entries: Seq[ManifestEntry]): Unit = {
+    val retainPrev = versionsRetained // validate BEFORE any mutation
     val next = _meta.currentVersion + 1
     fs.delete(manifestPath(next), false) // leftover from a crashed commit
     Manifest.write(fs, manifestPath(next), entries)
     _meta = _meta.copy(currentVersion = next)
     TableMeta.write(fs, tableDir, _meta)
-    val keepFrom = next - versionsRetained
+    val keepFrom = next - retainPrev
     val retained = ((keepFrom until next)
       .flatMap(v => Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty)) ++ entries)
       .map(_.path).toSet
@@ -600,6 +613,10 @@ final class ManagedTable private (
     * at all times; a crash leaves a mix of compacted and uncompacted —
     * both valid — partitions). Snapshot tables commit a coalesced new
     * version through the pointer flip. Returns (files before, after).
+    *
+    * NOTE: on MoR tables this is a changelog history barrier — tombstones
+    * are dropped, so [[readChangesBetween]] ranges that start before the
+    * compacted version lose delete notifications (see its scaladoc).
     */
   def compact(): (Long, Long) = {
     def countFiles(p: Path): Long =

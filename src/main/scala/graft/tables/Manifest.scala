@@ -13,20 +13,31 @@ import scala.jdk.CollectionConverters._
 final case class ColBounds(t: String, min: Any, max: Any) {
   /** Does [lo, hi] (inclusive) intersect this group's [min, max]? Unknown
     * domains or incomparable requests answer true (never prune on doubt).
+    *
+    * String comparison uses UTF-8 BYTE order, not Java's UTF-16 `compareTo`:
+    * Spark's min/max (and `between`) order UTF8Strings by unsigned bytes,
+    * and the two orders disagree for code points in [U+E000, U+FFFF] vs
+    * supplementary-plane characters — a UTF-16 compare here could prune a
+    * group that actually holds in-range rows.
     */
   def intersects(lo: Any, hi: Any): Boolean = {
     def num(v: Any): Option[Double] = v match {
       case n: java.lang.Number => Some(n.doubleValue())
       case _                   => None
     }
+    def utf8Cmp(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     t match {
       case "i" | "f" =>
         (for (l <- num(lo); h <- num(hi); mn <- num(min); mx <- num(max))
           yield h >= mn && l <= mx).getOrElse(true)
       case "s" =>
         (lo, hi, min, max) match {
-          case (l: String, h: String, mn: String, mx: String) => h >= mn && l <= mx
-          case _                                              => true
+          case (l: String, h: String, mn: String, mx: String) =>
+            utf8Cmp(h, mn) >= 0 && utf8Cmp(l, mx) <= 0
+          case _ => true
         }
       case _ => true
     }

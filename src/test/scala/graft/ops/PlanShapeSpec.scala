@@ -65,6 +65,14 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
       assert(!read.contains("text"), s"text not pruned from ${q.name}: $read")
     }
+    // the split ASSIGNMENT itself (pre-aggregation — the sample_split query
+    // adds a groupBy on top) must also be a pure projection over the scan
+    val assignPlan = graft.sampling.Sampling.assignSplit(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id",
+      Seq(("test", 1000), ("validation", 2000)))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!assignPlan.contains("Exchange"), s"assignSplit should not shuffle:\n$assignPlan")
   }
 
   test("pipeline_curation: filters fuse into the scan stage; only the dedup window shuffles") {
