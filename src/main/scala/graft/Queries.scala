@@ -611,18 +611,23 @@ object Queries {
       .withColumn("keep",
         col("dup_bigram_frac") <= 0.05 && col("dup_trigram_frac") <= 0.01)
     },
-    Some("""WITH toks AS (SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+    Some(s"""WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
       |  FROM documents),
-      |g AS (SELECT doc_id, tk,
-      |    CASE WHEN len(tk) < 2 THEN [] ELSE
-      |      [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))] END AS bi,
-      |    CASE WHEN len(tk) < 3 THEN [] ELSE
-      |      [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)] END AS tri
+      |h AS (SELECT doc_id,
+      |    list_transform(tk, t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS th
       |  FROM toks),
+      |g AS (SELECT doc_id, th,
+      |    CASE WHEN len(th) < 2 THEN [] ELSE
+      |      [(th[i]*${MinHashLSH.CombineK} + th[i+1]) % ${MinHashLSH.CombineMod}
+      |       for i in range(1, len(th))] END AS bi,
+      |    CASE WHEN len(th) < 3 THEN [] ELSE
+      |      [((th[i]*${MinHashLSH.CombineK} + th[i+1]) % ${MinHashLSH.CombineMod} * ${MinHashLSH.CombineK} + th[i+2]) % ${MinHashLSH.CombineMod}
+      |       for i in range(1, len(th)-1)] END AS tri
+      |  FROM h),
       |f AS (SELECT doc_id,
-      |    CASE WHEN len(tk) = 0 THEN 0.0 ELSE
-      |      round(1 - len(list_distinct(tk))::DOUBLE / len(tk), 6) END AS dup_token_frac,
+      |    CASE WHEN len(th) = 0 THEN 0.0 ELSE
+      |      round(1 - len(list_distinct(th))::DOUBLE / len(th), 6) END AS dup_token_frac,
       |    CASE WHEN len(bi) = 0 THEN 0.0 ELSE
       |      round(1 - len(list_distinct(bi))::DOUBLE / len(bi), 6) END AS dup_bigram_frac,
       |    CASE WHEN len(tri) = 0 THEN 0.0 ELSE
@@ -676,13 +681,16 @@ object Queries {
     Some(s"""WITH toks AS (SELECT doc_id, lang, text,
       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
       |  FROM documents),
+      |th AS (SELECT *, list_transform(tk, t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS h
+      |  FROM toks),
       |scored AS (SELECT doc_id, lang, len(tk)::BIGINT AS n_tokens,
       |    $duckQuality AS quality,
-      |    CASE WHEN len(tk) < 2 THEN 0.0 ELSE round(1 -
-      |      len(list_distinct([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]))::DOUBLE
-      |        / (len(tk) - 1), 6) END AS dup_bigram_frac,
+      |    CASE WHEN len(h) < 2 THEN 0.0 ELSE round(1 -
+      |      len(list_distinct([(h[i]*${MinHashLSH.CombineK} + h[i+1]) % ${MinHashLSH.CombineMod}
+      |                         for i in range(1, len(h))]))::DOUBLE
+      |        / (len(h) - 1), 6) END AS dup_bigram_frac,
       |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
-      |  FROM toks),
+      |  FROM th),
       |canon AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM scored)
       |SELECT doc_id, lang, n_tokens, quality FROM canon
       |WHERE rk = 1 AND quality >= 0.5 AND dup_bigram_frac <= 0.05

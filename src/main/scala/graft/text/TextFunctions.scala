@@ -139,9 +139,20 @@ object TextFunctions {
     * that are repeats of an earlier n-gram in the same document
     * (1 − distinct/total). Pure per-row array math — map-only at any
     * scale, no shuffle, no state.
+    *
+    * Counts distinct n-grams over the 32-bit rolling token-hash combine
+    * ([[graft.dedup.MinHashLSH.shingleHashes]]), not shingle strings:
+    * `array_distinct` over primitive longs is the hash-set path, while
+    * over strings it is O(k²) UTF8String compares on top of per-position
+    * string building — the measured dominant cost (3.6 s → ~1 s at
+    * sf0.1). Hash collisions (~k²/2³³ per doc) shift a fraction by
+    * 1/k at worst and are replayed identically by the DuckDB oracle,
+    * which mirrors the same combine.
     */
   def dupNgramFraction(toksAttr: Column, n: Int): Column = {
-    val grams = if (n == 1) toksAttr else ngramStrings(toksAttr, n)
+    val grams =
+      if (n == 1) transform(toksAttr, t => graft.dedup.MinHashLSH.baseHash(t))
+      else graft.dedup.MinHashLSH.shingleHashes(toksAttr, n)
     when(size(grams) <= 0, 0.0)
       .otherwise(round(lit(1.0) -
         size(array_distinct(grams)).cast("double") / size(grams), 6))
