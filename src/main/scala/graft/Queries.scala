@@ -602,14 +602,18 @@ object Queries {
     */
   val textRepetition = Q("text_repetition",
     (s, dir) => {
-      val tk = TextFunctions.tokens(col("text")).as("tk")
-      t(s, dir, "documents").select(col("doc_id"), tk).select(
-        col("doc_id"),
-        TextFunctions.dupNgramFraction(col("tk"), 1).as("dup_token_frac"),
-        TextFunctions.dupNgramFraction(col("tk"), 2).as("dup_bigram_frac"),
-        TextFunctions.dupNgramFraction(col("tk"), 3).as("dup_trigram_frac"))
-      .withColumn("keep",
-        col("dup_bigram_frac") <= 0.05 && col("dup_trigram_frac") <= 0.01)
+      // tokenize once, hash once: th is a materialized attribute so the
+      // three n-gram combines index it instead of re-hashing per offset
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), TextFunctions.tokenHashes(col("tk")).as("th"))
+        .select(
+          col("doc_id"),
+          TextFunctions.dupNgramFractionFromHashes(col("th"), 1).as("dup_token_frac"),
+          TextFunctions.dupNgramFractionFromHashes(col("th"), 2).as("dup_bigram_frac"),
+          TextFunctions.dupNgramFractionFromHashes(col("th"), 3).as("dup_trigram_frac"))
+        .withColumn("keep",
+          col("dup_bigram_frac") <= 0.05 && col("dup_trigram_frac") <= 0.01)
     },
     Some(s"""WITH toks AS (SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
@@ -665,11 +669,12 @@ object Queries {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"),
           TextFunctions.tokens(col("text")).as("tk"))
+        .withColumn("th", TextFunctions.tokenHashes(col("tk")))
       val scored = docs.select(
         col("doc_id"), col("lang"),
         size(col("tk")).cast("long").as("n_tokens"),
         TextFunctions.qualityScoreFromTokens(col("text"), col("tk")).as("quality"),
-        TextFunctions.dupNgramFraction(col("tk"), 2).as("dup_bigram_frac"),
+        TextFunctions.dupNgramFractionFromHashes(col("th"), 2).as("dup_bigram_frac"),
         TextFunctions.fingerprint(col("text")).as("fp"))
       val canonical = scored.withColumn("__rk",
           row_number().over(Window.partitionBy("fp").orderBy(col("doc_id").asc)))
@@ -801,6 +806,26 @@ object Queries {
          |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |WHERE a.doc_id < b.doc_id""".stripMargin
     })
+
+  /** Duplicate clusters: connected components over the MinHash candidate
+    * pairs — each document labeled with its component's minimum doc_id.
+    * The oracle replays the same pair generation, then closes the graph
+    * with a recursive CTE and takes the per-node minimum reachable id
+    * (identical fixpoint by definition).
+    */
+  val dedupClusters = Q("dedup_clusters",
+    (s, dir) => ConnectedComponents
+      .components(dedupMinhashPairs.fn(s, dir), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id")),
+    Some(s"""WITH RECURSIVE pairs AS (SELECT * FROM (${dedupMinhashPairs.oracle.get})),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |walk(id, lbl) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b)
+      |SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id""".stripMargin))
 
   val dedupSimhash = Q("dedup_simhash",
     (s, dir) => SimHash.simhashed(
@@ -1350,8 +1375,8 @@ object Queries {
     qFunnel, qHistogram, qIntervalJoin,
     textStats, textLangId, textFingerprint, textTfidf, textRepetition,
     sampleHash, sampleSplit, sampleStratified, pipelineCuration,
-    dedupExact, dedupMinhash, dedupMinhashPairs, dedupSimhash, dedupJaccard,
-    dedupEmbedding,
+    dedupExact, dedupMinhash, dedupMinhashPairs, dedupClusters, dedupSimhash,
+    dedupJaccard, dedupEmbedding,
     knnBrute, knnLsh, knnIvf, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures)
 

@@ -153,10 +153,28 @@ object TextFunctions {
     val grams =
       if (n == 1) transform(toksAttr, t => graft.dedup.MinHashLSH.baseHash(t))
       else graft.dedup.MinHashLSH.shingleHashes(toksAttr, n)
+    dupFraction(grams)
+  }
+
+  /** 32-bit hash per token — materialize this ONCE into a column when
+    * computing several n-gram sizes, then use [[dupNgramFractionFromHashes]]:
+    * the combine then indexes the pre-hashed attribute instead of
+    * re-running md5 per (position, offset) for every n.
+    */
+  def tokenHashes(toksAttr: Column): Column =
+    transform(toksAttr, t => graft.dedup.MinHashLSH.baseHash(t))
+
+  /** [[dupNgramFraction]] over a MATERIALIZED token-hash array attribute. */
+  def dupNgramFractionFromHashes(thAttr: Column, n: Int): Column =
+    dupFraction(
+      if (n == 1) thAttr
+      else graft.dedup.Shingles.combinedShingleHashes(thAttr, n, identity,
+        graft.dedup.MinHashLSH.CombineK, Some(graft.dedup.MinHashLSH.CombineMod)))
+
+  private def dupFraction(grams: Column): Column =
     when(size(grams) <= 0, 0.0)
       .otherwise(round(lit(1.0) -
         size(array_distinct(grams)).cast("double") / size(grams), 6))
-  }
 
   /** TF-IDF top-k terms per document — the classic corpus-statistics kernel
     * (keyword extraction, near-dup feature weighting, quality heuristics).

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SharedSpark
+import graft.dedup.ConnectedComponents
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+class ConnectedComponentsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  /** Reference union-find over the collected edge list. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches union-find on random graphs") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      assert(run(edges) == unionFind(edges))
+    }
+  }
+
+  test("long chain needs multiple propagation rounds and still converges") {
+    // a path graph 0-1-2-...-19: diameter 19 forces many rounds
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    val got = run(chain)
+    assert(got.values.toSet == Set(0L), got.toString)
+    assert(got.keySet == (0L to 19L).toSet)
+  }
+
+  test("under-converged run throws instead of returning a wrong clustering") {
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.components(chain.toDF("a", "b"), "a", "b", maxIter = 2)
+    }
+  }
+}
