@@ -827,6 +827,35 @@ object Queries {
       |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b)
       |SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id""".stripMargin))
 
+  /** Apply the near-dup clustering to the corpus: keep each cluster's
+    * canonical document (the minimum doc_id — exactly the cluster label)
+    * plus every unclustered document. The cluster assignment is
+    * metadata-scale relative to the corpus, so AQE broadcasts it into the
+    * join and the corpus scan never shuffles — the dedup sweep over
+    * 100 TB is one broadcast-join pass.
+    */
+  val dedupApply = Q("dedup_apply",
+    (s, dir) => {
+      val clusters = ConnectedComponents
+        .components(dedupMinhashPairs.fn(s, dir), "id_a", "id_b")
+      val dropIds = clusters.filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      t(s, dir, "documents").join(dropIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+    Some(s"""WITH RECURSIVE pairs AS (SELECT * FROM (${dedupMinhashPairs.oracle.get})),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |walk(id, lbl) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b),
+      |clusters AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+      |drops AS (SELECT id FROM clusters WHERE id <> cluster_id)
+      |SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin))
+
   val dedupSimhash = Q("dedup_simhash",
     (s, dir) => SimHash.simhashed(
       t(s, dir, "documents").where(TextFunctions.tokenCount(col("text")) > 0),
@@ -1375,8 +1404,8 @@ object Queries {
     qFunnel, qHistogram, qIntervalJoin,
     textStats, textLangId, textFingerprint, textTfidf, textRepetition,
     sampleHash, sampleSplit, sampleStratified, pipelineCuration,
-    dedupExact, dedupMinhash, dedupMinhashPairs, dedupClusters, dedupSimhash,
-    dedupJaccard, dedupEmbedding,
+    dedupExact, dedupMinhash, dedupMinhashPairs, dedupClusters, dedupApply,
+    dedupSimhash, dedupJaccard, dedupEmbedding,
     knnBrute, knnLsh, knnIvf, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures)
 
