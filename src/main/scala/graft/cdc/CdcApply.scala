@@ -88,10 +88,18 @@ object CdcApply {
     else checked
   }
 
+  /** True iff the row is a delete event. NULL-safe: a null/absent op is
+    * NOT a delete (the row is kept) — and the MoR tombstone flag in
+    * [[graft.tables.ManagedTable]] uses the same predicate, so the
+    * relational fold and the table state can never diverge on null ops.
+    */
+  def isDelete(opColumn: String): org.apache.spark.sql.Column =
+    coalesce(col(opColumn) === Operation.Delete, lit(false))
+
   /** Drop the rows a hard-delete config removes from the winner set. */
   def filterSurvivors(winners: DataFrame, cfg: UpsertConfig): DataFrame =
     if (cfg.keepDeletes) winners
-    else winners.filter(col(cfg.opColumn) =!= Operation.Delete)
+    else winners.filter(!isDelete(cfg.opColumn))
 
   /** Compute the post-batch state of an upsert table. `target` columns are
     * the table schema; `batch` must be conformable to it.

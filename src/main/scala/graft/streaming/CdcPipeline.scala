@@ -282,7 +282,8 @@ object CdcPipeline {
         // full batch is pending (MaxBatchSizeWait.java:27-70). Pointless
         // under drain-and-stop triggers, which never pick up accumulated
         // files — gating there would just stall termination by maxWaitMs.
-        val drainTrigger = trigger == Trigger.AvailableNow()
+        val drainTrigger =
+          trigger == Trigger.AvailableNow() || trigger == Trigger.Once()
         if (!drainTrigger) batchSizeWait.foreach { w =>
           MaxBatchSizeWait.waitMs(
             MaxBatchSizeWait.pendingFileEvents(sourceDir, batchStartMs), w)

@@ -21,6 +21,9 @@ final case class BatchSizeWaitConfig(
 ) {
   require(waitIntervalMs <= maxWaitMs,
     "`wait-interval-ms` cannot be bigger than `max-wait-ms`") // MaxBatchSizeWait.initizalize
+  // a zero/negative interval would make waitMs spin forever (totalWaitMs
+  // never advances toward maxWaitMs)
+  require(waitIntervalMs > 0, "`wait-interval-ms` must be positive")
 }
 
 object MaxBatchSizeWait {

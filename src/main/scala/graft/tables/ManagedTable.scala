@@ -86,8 +86,17 @@ final class ManagedTable private (
   private def manifestsDir = new Path(tableDir, "manifests")
   private def filesDir = new Path(tableDir, "files")
   private def manifestPath(v: Long) = new Path(manifestsDir, s"v=$v.json")
+
+  /** The current version's manifest MUST exist (create() writes v=0): a
+    * missing file means an incompatible/corrupted table dir, and falling
+    * back to "empty table" would be silent data loss for readers and let
+    * a resumed stream merge against nothing.
+    */
   private def currentEntries: Seq[ManifestEntry] =
-    Manifest.read(fs, manifestPath(_meta.currentVersion)).getOrElse(Seq.empty)
+    Manifest.read(fs, manifestPath(_meta.currentVersion)).getOrElse(
+      throw new IllegalStateException(
+        s"table ${_meta.name}: manifest for current version ${_meta.currentVersion} is missing " +
+          s"(${manifestPath(_meta.currentVersion)}) — corrupted or incompatible table directory"))
 
   private def partitionColType(pf: PartitionField): DataType = pf.transform match {
     case "year" | "bucket" => IntegerType
@@ -262,7 +271,13 @@ final class ManagedTable private (
     val minSeq = entries.map(_.seq).min
     val trickles = entries.filter(e => e.kind == Manifest.Upsert && e.seq > minSeq)
     if (trickles.size < 2) return (trickles.size, trickles.size)
-    val resolved = morResolve(trickles).drop(SeqCol) // writeGroup re-stamps
+    // KEEP each row's original per-row seq: re-stamping the fold at maxSeq
+    // would widen every row's delete scope and hide data-group rows whose
+    // seq lies between the row's true upsert seq and maxSeq (delete
+    // resolution compares PER-ROW seqs — only the entry-level seq, used
+    // for manifest filtering, moves to maxSeq). A maintenance fold must
+    // never change the visible table state.
+    val resolved = morResolve(trickles)
     val maxSeq = trickles.map(_.seq).max
     val entry = writeGroup(sortForWrite(resolved), Manifest.Upsert, maxSeq)
     commitManifest(entries.filterNot(trickles.contains) ++ entry)
@@ -314,10 +329,11 @@ final class ManagedTable private (
     val winners = CdcApply.batchWinners(conformed, ids, cfg)
     val flagged = winners.withColumn(TombstoneCol,
       if (cfg.keepDeletes) lit(false)
-      else col(cfg.opColumn) === Operation.Delete)
+      else CdcApply.isDelete(cfg.opColumn)) // null-safe: same predicate as the relational fold
     val seq = _meta.currentVersion + 1
     val entry = writeGroup(sortForWrite(flagged), Manifest.Upsert, seq)
-    commitManifest(currentEntries ++ entry)
+    val committed = currentEntries ++ entry
+    commitManifest(committed)
     // Bounded read amplification: a trickle stream accumulates one upsert
     // group per micro-batch; past the threshold the anti-join's delete side
     // stops being "small" and reads degrade. Minor-compact automatically
@@ -325,11 +341,12 @@ final class ManagedTable private (
     // folds only the trickle suffix, never the base, so the amortized cost
     // per batch is O(trickle). Periodic full compact() (the reference's
     // external-maintenance stance, docs/faq.md) drops tombstones and
-    // resets the accumulation.
+    // resets the accumulation. Count from the entries just committed — no
+    // second manifest read on the per-batch hot path.
     val autoCompact = _meta.properties
       .getOrElse("write.mor.compact-after-upserts", "32").toInt
     if (autoCompact > 0 &&
-      currentEntries.count(_.kind == Manifest.Upsert) >= autoCompact) compactMinor()
+      committed.count(_.kind == Manifest.Upsert) >= autoCompact) compactMinor()
   }
 
   /** Stats domain tag for a column type — integral / floating / string;
@@ -349,8 +366,15 @@ final class ManagedTable private (
     * DURING the write action (zero extra job, Iceberg's manifest column
     * bounds analogue) and recorded in the manifest entry for scan pruning.
     */
+  /** Relative dir of a new file group — single source of the naming scheme
+    * shared by Spark-written groups and driver-side json commits (the GC
+    * retained-set match in [[commitManifest]] depends on it).
+    */
+  private def groupRel(kind: String, seq: Long): String =
+    s"files/$kind-$seq-${java.util.UUID.randomUUID().toString.take(8)}"
+
   private def writeGroup(df: DataFrame, kind: String, seq: Long): Option[ManifestEntry] = {
-    val rel = s"files/$kind-$seq-${java.util.UUID.randomUUID().toString.take(8)}"
+    val rel = groupRel(kind, seq)
     val dir = new Path(tableDir, rel)
     val statCols = _meta.identifierFields
       .filter(df.columns.contains)
@@ -363,7 +387,12 @@ final class ManagedTable private (
           Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) }
         (df.observe(o, aggs.head, aggs.tail: _*), Some(o))
       }
-    applyWriteProps(toWrite.withColumn(SeqCol, lit(seq)).write.mode("overwrite"))
+    // A df that already carries per-row seqs (compactMinor's fold) keeps
+    // them — stamping would rewrite delete scopes; fresh commits get `seq`.
+    val stamped =
+      if (toWrite.columns.contains(SeqCol)) toWrite
+      else toWrite.withColumn(SeqCol, lit(seq))
+    applyWriteProps(stamped.write.mode("overwrite"))
       .format(format).save(dir.toString)
     val hasFiles = fs.exists(dir) &&
       fs.listStatus(dir).exists(s => !s.getPath.getName.startsWith("_"))
@@ -391,12 +420,12 @@ final class ManagedTable private (
     require(!isPartitioned && format == "json",
       "commitLocalJson is for unpartitioned json metadata tables")
     val seq = _meta.currentVersion + 1
-    val rel = s"files/${Manifest.Data}-$seq-${java.util.UUID.randomUUID().toString.take(8)}"
+    val rel = groupRel(Manifest.Data, seq)
     val dir = new Path(tableDir, rel)
     fs.mkdirs(dir)
     // stamp the commit seq into each row, like writeGroup does for Spark
     // writes, so readWithCommitSeq orders these commits too
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mapper = ManagedTable.JsonMapper
     val stamped = lines.map { l =>
       val n = mapper.readTree(l).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       n.put(SeqCol, seq)
@@ -694,6 +723,8 @@ final class ManagedTable private (
 }
 
 object ManagedTable {
+
+  private[tables] val JsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** Commit-sequence-number column stamped into every MoR file group. */
   val SeqCol = "__graft_seq"

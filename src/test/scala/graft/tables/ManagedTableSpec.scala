@@ -529,6 +529,25 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
       == Seq(1, 10))
   }
 
+  test("MoR: minor compaction preserves per-row seqs — interleaved append rows stay visible") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "fold_seq", schema, Seq("id"),
+      properties = Map("write.mor.compact-after-upserts" -> "0"))
+    t.merge(rows((99, "x", "c", 1L)))   // v1 — base (min seq, never folded)
+    t.merge(rows((1, "m2", "u", 2L)))   // v2 — trickle upsert of key 1
+    t.append(rows((1, "a3", "c", 3L)))  // v3 — data group, SAME key, later seq
+    t.merge(rows((2, "b", "c", 4L)))    // v4 — trickle upsert
+    def visible = t.read().select("id", "name").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    val before = visible
+    assert(before == Set((99, "x"), (1, "m2"), (1, "a3"), (2, "b")), before.toString)
+    val (nBefore, nAfter) = t.compactMinor()
+    assert(nBefore == 2 && nAfter == 1)
+    // re-stamping the folded key-1 row at maxSeq=4 would wrongly hide the
+    // appended (1,"a3") row at seq 3 — the fold must not change the view
+    assert(visible == before, s"minor compaction changed the visible state: $visible")
+  }
+
   test("ORC write format: MoR merge/read/time-travel work under write.format-default=orc") {
     // the reference's config matrix covers ORC explicitly
     // (TEST/IcebergChangeConsumerTest.java:549-559)
