@@ -35,8 +35,13 @@ object ConnectedComponents {
     */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
                  maxIter: Int = 25): DataFrame = {
+    // Checkpoint the edge list ONCE before the loop: `edges` may be an
+    // expensive pipeline (the LSH candidate generation in dedup_clusters),
+    // and every propagation round joins against sym — without this the
+    // full upstream DAG re-executes once per round.
     val sym = edges.select(col(srcCol).as("id"), col(dstCol).as("nb"))
       .union(edges.select(col(dstCol).as("id"), col(srcCol).as("nb")))
+      .localCheckpoint(true)
     var labels = sym.select("id").distinct().withColumn("cluster", col("id"))
       .localCheckpoint(true)
     var converged = false

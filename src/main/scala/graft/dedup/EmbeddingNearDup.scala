@@ -28,14 +28,21 @@ object EmbeddingNearDup {
       threshold: Double,
       planes: Int = 8
   ): DataFrame = {
+    // norms precomputed per ROW (n of them), not per candidate pair
+    // (n²/2^planes of them): scoring a pair is one dot product
     val withBucket =
-      if (planes <= 0) df.select(col(idCol), col(vecCol), lit("").as("__bucket"))
-      else df.select(col(idCol), col(vecCol), Knn.signBucket(col(vecCol), planes).as("__bucket"))
-    val a = withBucket.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = withBucket.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+      if (planes <= 0) df.select(col(idCol), col(vecCol),
+        Knn.norm(col(vecCol)).as("__n"), lit("").as("__bucket"))
+      else df.select(col(idCol), col(vecCol), Knn.norm(col(vecCol)).as("__n"),
+        Knn.signBucket(col(vecCol), planes).as("__bucket"))
+    val a = withBucket.select(col("__bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"), col("__n").as("na"))
+    val b = withBucket.select(col("__bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), col("__n").as("nb"))
     a.join(b, "__bucket")
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", Knn.cosine(col("va"), col("vb")))
+      .withColumn("cosine",
+        round(Knn.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -19,9 +19,12 @@ object ExactDedup {
       .groupBy("content_hash")
       .agg(count(lit(1)).as("group_size"), min(idCol).as("canonical_id"))
 
-  /** Keep exactly one row (min id) per distinct normalized content. */
+  /** Keep exactly one row (min id) per distinct normalized content. A
+    * LEFT SEMI join, as the plan wants: emits each kept row at most once
+    * even if ids repeat upstream, and never materializes keep's columns.
+    */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val keep = groups(df, textCol, idCol).select(col("canonical_id").as(idCol))
-    df.join(keep, idCol) // broadcast-ineligible at scale; semi join on id
+    df.join(keep, Seq(idCol), "left_semi")
   }
 }

@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * sharing "the of and" meets there). For 100 TB runs, drop the top-p% most
   * frequent shingles before the join (`maxShingleFreq`) — standard df-cut —
   * which bounds per-key fan-out; near-dup pairs still meet on their rarer
-  * shingles. MinHashLSH is the probabilistic alternative when even the
+  * shingles, and J is then the exact Jaccard of the SURVIVING shingle sets
+  * (both |A∩B| and the set sizes come from the cut relation — consistent,
+  * not biased). MinHashLSH is the probabilistic alternative when even the
   * blocked join is too big.
   */
 object NgramJaccard {
@@ -40,10 +42,15 @@ object NgramJaccard {
       .where(size(graft.text.TextFunctions.tokens(col(textCol))) >= n)
       .select(col(idCol).as("id"),
         graft.text.TextFunctions.tokens(col(textCol)).as("tk"))
+    // The unreduced rolling combine overflows Long past n=3 (40-bit token
+    // hashes × K=2^11 → ~2^73 for n=4; ANSI mode makes that a job-killing
+    // ARITHMETIC_OVERFLOW). n≤3 keeps the historical unreduced hashes;
+    // larger n reduces mod 2^52 each step (2^52·2^11 < 2^63 — safe for
+    // any n, still a 52-bit collision space).
+    val finalMod = if (n <= 3) None else Some(1L << 52)
     val sh = array_distinct(Shingles.combinedShingleHashes(col("tk"), n,
-      t => pmod(xxhash64(t), lit(1L << 40)), k = 1L << 11))
+      t => pmod(xxhash64(t), lit(1L << 40)), k = 1L << 11, finalMod = finalMod))
     val exploded = toked.select(col("id"), explode(sh).as("shingle"))
-    val counts = toked.select(col("id"), size(sh).as("n_sh"))
 
     val filtered = maxShingleFreq match {
       case Some(cap) =>
@@ -52,6 +59,13 @@ object NgramJaccard {
         exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
       case None => exploded
     }
+    // Set sizes from the SAME df-cut relation as the intersection: with a
+    // cap, J is then the exact Jaccard of the surviving (rare-shingle)
+    // sets. Counting the unfiltered sets instead would divide a filtered
+    // intersection by unfiltered sizes — systematically underestimating
+    // similarity and dropping true near-dups whose overlap is on rare
+    // shingles. Without a cap this equals the per-doc distinct size.
+    val counts = filtered.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
     // shuffle_hash hints make both sides hash-exchange on `shingle` with
     // identical canonical plans → ReuseExchange computes the shingle

@@ -24,7 +24,15 @@ object SimHash {
 
   val Bits = 32
 
-  /** Per-doc simhash as a LONG from exploded (id, token-hash) rows. */
+  /** Per-doc simhash as a LONG from exploded (id, token-hash) rows.
+    *
+    * CONTRACT: documents with zero tokens (empty/whitespace-only text)
+    * produce NO output row — explode emits nothing for them, and a
+    * simhash of "no content" has no meaningful value. Filter or
+    * left-join accordingly (the oracle-checked query pre-filters on
+    * `tokenCount > 0`); an inner join back to the corpus silently drops
+    * such docs by design.
+    */
   def simhashed(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val th = transform(TextFunctions.tokens(col(textCol)),
       t => MinHashLSH.baseHash(t))

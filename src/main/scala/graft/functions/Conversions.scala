@@ -29,16 +29,21 @@ object Conversions {
     GraftBridge.column(DecimalFromBytes(GraftBridge.expression(c), precision, scale))
   }
 
-  /** Epoch nanos → micros with integral division. `c / 1000` is DOUBLE
-    * division in Spark: epoch-nanos (~1.7e18) exceed double's 2^53 exact
-    * range, so the cast-back can be off by ±1µs, and double truncation
-    * differs from integer floor for pre-1970 values.
+  /** Epoch nanos → micros with exact integer FLOOR division. `c / 1000`
+    * is DOUBLE division in Spark: epoch-nanos (~1.7e18) exceed double's
+    * 2^53 exact range, so the cast-back can be off by ±1µs. And
+    * `IntegralDivide` alone truncates toward zero, which for pre-1970
+    * instants with non-integral micros lands one microsecond late — the
+    * floor convention (Spark's own DateTimeUtils uses floorDiv) is
+    * `(c - pmod(c, 1000)) div 1000`: pmod's non-negative remainder makes
+    * the numerator exactly divisible, so the truncating divide IS floor.
     */
   def nanosToMicros(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    val asLong = c.cast("long")
     GraftBridge.column(new IntegralDivide(
-      GraftBridge.expression(c.cast("long")),
+      GraftBridge.expression(asLong - pmod(asLong, lit(1000L))),
       GraftBridge.expression(lit(1000L))))
   }
 

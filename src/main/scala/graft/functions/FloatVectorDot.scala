@@ -15,13 +15,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * sequential, matching DuckDB's `list_dot_product` bit-for-bit so
   * round(6) cosine outputs stay oracle-comparable.
   *
-  * Mismatched lengths score over the common prefix; null input → null
-  * (nullSafeEval semantics).
+  * Mismatched lengths score over the common prefix; null input array →
+  * null (nullSafeEval semantics); a null ELEMENT in the common prefix →
+  * null result, matching the `aggregate(zip_with(...))` formulation and
+  * DuckDB's `list_dot_product` (reading the slot as 0.0 would silently
+  * diverge from the oracle). The null scan is a separate primitive pass
+  * so the non-null fast path stays allocation-free.
   */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -38,12 +43,18 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    FloatVectorDot.dot(x, y)
+    if (FloatVectorDot.hasNullElement(x, y)) null
+    else java.lang.Double.valueOf(FloatVectorDot.dot(x, y))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = FloatVectorDot.getClass.getName.stripSuffix("$")
-    defineCodeGen(ctx, ev, (a, b) => s"$cls.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if ($cls.hasNullElement($a, $b)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $cls.dot($a, $b);
+         |}""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatVectorDot =
@@ -53,6 +64,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
 }
 
 object FloatVectorDot {
+  /** Any null element in the common prefix? (bit-test pass, no boxing) */
+  def hasNullElement(x: ArrayData, y: ArrayData): Boolean = {
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Shared by interpreted eval and generated code. */
   def dot(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())

@@ -29,8 +29,11 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param payload right-side columns to attach, emitted as `prefix+name`
-    * @param tolerance max allowed `left.ts - right.ts` in the ts column's
-    *        own unit; matches older than this are nulled out
+    * @param tolerance max allowed `left.ts - right.ts`; matches older than
+    *        this are nulled out. Unit: MICROSECONDS for timestamp ts
+    *        columns (`unix_micros`, full precision — a bare `cast("long")`
+    *        would floor to epoch seconds), the column's own unit for
+    *        numeric ts columns
     */
   def backward(
       left: DataFrame,
@@ -69,7 +72,15 @@ object AsOfJoin {
 
     val inRange = tolerance match {
       case Some(t) =>
-        when(col("__ats").cast("long") - col("__match.__rts").cast("long") <= t, col("__match"))
+        import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+        // timestamp cast("long") floors to epoch SECONDS — use micros
+        def asLong(c: org.apache.spark.sql.Column) =
+          left.schema(leftTs).dataType match {
+            case TimestampType    => unix_micros(c)
+            case TimestampNTZType => unix_micros(c.cast(TimestampType))
+            case _                => c.cast("long")
+          }
+        when(asLong(col("__ats")) - asLong(col("__match.__rts")) <= t, col("__match"))
       case None => col("__match")
     }
     carried

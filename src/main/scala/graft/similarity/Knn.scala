@@ -39,24 +39,37 @@ object Knn {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
 
+  /** L2 norm — precompute this per ROW before a candidate join: scoring a
+    * pair then costs one dot instead of three (each side's self-dot is
+    * computed once per vector, not once per candidate pair). Same double
+    * math as [[cosine]], so the rounded result is bit-identical.
+    */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     rank(q.crossJoin(c).where(col("query_id") =!= col("neighbor_id")), k)
   }
 
-  /** Bucket = sign pattern of the first `planes` dimensions. */
+  /** Bucket = sign pattern of the first `planes` dimensions. Dimensions
+    * beyond the vector's length bucket as '0' (`try_element_at`, not
+    * `element_at` — the latter is a runtime error under ANSI mode for a
+    * short or empty embedding row, killing the whole job).
+    */
   def signBucket(vec: Column, planes: Int): Column =
     concat((0 until planes).map(i =>
-      when(element_at(vec, i + 1) > 0f, "1").otherwise("0")): _*)
+      when(try_element_at(vec, lit(i + 1)) > 0f, "1").otherwise("0")): _*)
 
   def signLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, planes: Int = 4): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      signBucket(col(vecCol), planes).as("bucket")))
+      norm(col(vecCol)).as("qn"), signBucket(col(vecCol), planes).as("bucket")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      signBucket(col(vecCol), planes).as("bucket"))
+      norm(col(vecCol)).as("cn"), signBucket(col(vecCol), planes).as("bucket"))
     rank(q.join(c, "bucket").where(col("query_id") =!= col("neighbor_id")), k)
   }
 
@@ -90,14 +103,20 @@ object Knn {
       slice(transform(array_sort(idxed), s => s.getField("i")), 1, n)
     }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"),
       element_at(nearestLists(col(vecCol), 1), 1).as("list_id"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"),
       explode(nearestLists(col(vecCol), nprobe)).as("list_id")))
     rank(q.join(c, "list_id").where(col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** Expects per-side precomputed norms (`qn`, `cn`): the per-pair score
+    * is then ONE dot product.
+    */
   private def rank(scored: DataFrame, k: Int): DataFrame = {
-    val withCos = scored.withColumn("cosine", cosine(col("qv"), col("cv")))
+    val withCos = scored.withColumn("cosine",
+      round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     withCos.withColumn("rank", row_number().over(w))

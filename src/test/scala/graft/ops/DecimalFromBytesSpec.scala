@@ -51,6 +51,32 @@ class DecimalFromBytesSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("float_vector_dot: null elements yield null (both codegen paths), matching zip_with") {
+    import graft.similarity.Knn
+    val df = spark.sql(
+      """SELECT array(1.0F, CAST(NULL AS FLOAT), 2.0F) AS a,
+        |       array(1.0F, 1.0F, 1.0F) AS b,
+        |       array(3.0F, 4.0F) AS c""".stripMargin)
+    def run() = df.select(
+      Knn.dot(col("a"), col("b")).as("with_null"),
+      Knn.dot(col("c"), col("c")).as("clean"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("builtin_null")).collect().head
+    val r = run()
+    assert(r.isNullAt(0), "null element must produce null, not 0-contribution")
+    assert(r.isNullAt(2), "built-in formulation agrees")
+    assert(r.getDouble(1) == 25.0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val i = run()
+      assert(i.isNullAt(0) && i.getDouble(1) == 25.0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("SQL surface via GraftExtensions: decimal_from_bytes") {
     // extensions apply at session construction — build a sibling session on
     // the same SparkContext rather than reusing the shared one
