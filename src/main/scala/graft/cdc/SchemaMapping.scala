@@ -94,7 +94,9 @@ object SchemaMapping {
           // epoch-days int → DateType (F5)
           FieldSpec(name, IntegerType, DateType, cs.optional,
             c => date_add(to_date(lit("1970-01-01")), c))
-        else if (timeTypes.contains(logical)) asIs(name, IntegerType, cs)
+        // TIME logical types deliberately stay integers too — the
+        // reference disables TIME ("not supported by spark", §1.3), so no
+        // separate branch exists
         else asIs(name, IntegerType, cs)
       case "int64" =>
         if (CdcMeta.TsMsFields.contains(name))

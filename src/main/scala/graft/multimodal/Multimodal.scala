@@ -17,6 +17,16 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Guarded id read for the kernel stages: a null id (or a non-numeric
+    * string id nulled by the cast) would otherwise surface as an opaque
+    * executor NPE deep inside mapPartitions.
+    */
+  private[multimodal] def requireId(r: org.apache.spark.sql.Row): Long = {
+    require(!r.isNullAt(0),
+      "null (or non-castable) asset id in multimodal stage — validate/filter ids upstream")
+    r.getLong(0)
+  }
+
   /** Canonical media-asset schema: content + typed metadata, the pattern
     * for storing images/audio/video alongside tabular columns.
     */
@@ -90,7 +100,7 @@ object Multimodal {
     prepared.mapPartitions { rows =>
       // per-partition init seam: real codecs open here, once
       rows.map { r =>
-        val id = r.getLong(0)
+        val id = Multimodal.requireId(r)
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         Row(id, extractor(bytes).toSeq)
       }
@@ -129,7 +139,7 @@ object Multimodal {
       rows.map { r =>
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         val (out, w, h) = transform(bytes)
-        Row(r.getLong(0), out, w, h)
+        Row(Multimodal.requireId(r), out, w, h)
       }
     }(enc)
   }
@@ -167,7 +177,7 @@ object Multimodal {
     prepared.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        sampler(bytes).iterator.zipWithIndex.map { case (f, i) => Row(r.getLong(0), i, f) }
+        sampler(bytes).iterator.zipWithIndex.map { case (f, i) => Row(Multimodal.requireId(r), i, f) }
       }
     }(enc)
   }

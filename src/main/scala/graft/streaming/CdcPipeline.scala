@@ -103,7 +103,10 @@ object CdcPipeline {
   private def processDestination(spark: SparkSession, slice: DataFrame, dest: String,
                                  schemas: Seq[String], keySchema: Option[String],
                                  cfg: PipelineConfig): Unit = {
-    val inferred = EventDecoder.infer(schemas, keySchema, cfg.mapping)
+    // collect_set order is nondeterministic and mergeSpecs is
+    // first-writer-wins on incompatible types — sort so the inferred
+    // schema is identical across batch retries and re-runs
+    val inferred = EventDecoder.infer(schemas.sorted, keySchema, cfg.mapping)
     val tableName = cfg.tableMapper.map(dest)
     // C8 — schema-change events land in an append-only table without PK
     val ids = if (inferred.isSchemaChangeEvent) Seq.empty else inferred.identifierFields
@@ -123,8 +126,9 @@ object CdcPipeline {
 
     // Single-pass decode: the from_json + conversion pipeline runs only in
     // the write below; row counts come from the raw-batch aggregation in
-    // processBatch (decode is row-preserving).
-    val typed = EventDecoder.decode(Dedup.withArrivalIndex(slice), inferred)
+    // processBatch (decode is row-preserving). Dedup stamps its own
+    // arrival index post-decode (decode keeps only the spec columns).
+    val typed = EventDecoder.decode(slice, inferred)
 
     // Dead-letter routing: a corrupt envelope decodes to null identifier
     // fields; under DeadLetter policy quarantine the RAW envelope (the
@@ -135,11 +139,19 @@ object CdcPipeline {
     // first-corrupt probe: no DLQ table is created or committed until a
     // corrupt envelope actually appears.
     if (cfg.nullKeyPolicy == CdcApply.NullKeyPolicy.DeadLetter && ids.nonEmpty) {
-      val keyed = EventDecoder.decodeKeeping(slice, inferred, keep = Seq("destination", "key", "value"))
+      // the raw envelope columns ride along under reserved names: a source
+      // table whose PAYLOAD has a column named "value"/"key"/"destination"
+      // would otherwise make the post-decode references ambiguous
+      val raw = slice
+        .withColumn("__graft_raw_dest", col("destination"))
+        .withColumn("__graft_raw_key", col("key"))
+        .withColumn("__graft_raw_value", col("value"))
+      val keyed = EventDecoder.decodeKeeping(raw, inferred,
+        keep = Seq("__graft_raw_dest", "__graft_raw_key", "__graft_raw_value"))
       val corrupt = keyed.filter(ids.map(col(_).isNull).reduce(_ || _))
-        .select(col("destination").as("event_destination"),
-          col("key").as("event_key"),
-          col("value").as("event_value"),
+        .select(col("__graft_raw_dest").as("event_destination"),
+          col("__graft_raw_key").as("event_key"),
+          col("__graft_raw_value").as("event_value"),
           lit(s"null identifier field (${ids.mkString(",")})").as("error"),
           current_timestamp().as("quarantined_at"))
       if (!corrupt.isEmpty) {
@@ -197,25 +209,28 @@ object CdcPipeline {
   private[streaming] def parallelize[A, B](
       items: Seq[A], parallelism: Int,
       timeout: Duration = Duration.Inf)(f: A => B): Seq[B] =
+    if (items.isEmpty) Seq.empty // a heartbeat-only batch filters to nothing
     // the inline fast path must not silently drop a finite timeout — a
     // single-destination batch is exactly where a hung writer would
     // otherwise block the stream forever
-    if ((parallelism <= 1 || items.size <= 1) && !timeout.isFinite) items.map(f)
+    else if ((parallelism <= 1 || items.size <= 1) && !timeout.isFinite) items.map(f)
     else {
       val pool = Executors.newFixedThreadPool(math.min(math.max(1, parallelism), items.size))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // ANY failure interrupts the other in-flight workers before the batch
+      // fails: a zombie writer surviving into the replayed batch would race
+      // it on the same table, violating ManagedTable's single-writer commit
+      // protocol. (Interrupt is best-effort — Spark actions check it at
+      // task boundaries.)
       try items.map(i => Future(f(i))).map { fut =>
         try Await.result(fut, timeout)
         catch {
           case _: java.util.concurrent.TimeoutException =>
-            // interrupt the stuck worker before failing the batch: a zombie
-            // writer racing the replayed batch would violate ManagedTable's
-            // single-writer commit protocol
-            pool.shutdownNow()
             throw new java.util.concurrent.TimeoutException(
               s"table operation exceeded $timeout — failing the batch before offset commit")
         }
       }
+      catch { case e: Throwable => pool.shutdownNow(); throw e }
       finally pool.shutdown()
     }
 

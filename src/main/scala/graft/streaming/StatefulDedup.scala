@@ -43,13 +43,24 @@ object StatefulDedup {
     val keyIdx = schema.fieldIndex(keyCol)
     val tsIdx = schema.fieldIndex(dedupCol)
     val opIdx = schema.fieldIndex(opCol)
-    val prioOf: String => Int = {
-      case "c" | "i" => 1
-      case "r"       => 2
-      case "u"       => 3
-      case "d"       => 4
-      case _         => 0
-    }
+    // integral dedup column only — a TimestampType column would CCE in
+    // getLong; convert upstream (unix_micros) like the batch Dedup does
+    require(Seq("bigint", "int", "smallint", "tinyint")
+      .contains(schema(dedupCol).dataType.simpleString),
+      s"stateful dedup needs an integral dedup column, got " +
+        s"${schema(dedupCol).dataType.simpleString} — convert with unix_micros first")
+    // null-safe accessors: null ts orders first (same as batch Dedup's
+    // coalesce to Long.MinValue); null/unknown op gets priority 0
+    def tsOf(r: Row): Long = if (r.isNullAt(tsIdx)) Long.MinValue else r.getLong(tsIdx)
+    def prioOf(r: Row): Int =
+      if (r.isNullAt(opIdx)) 0
+      else r.getString(opIdx) match {
+        case "c" | "i" => 1
+        case "r"       => 2
+        case "u"       => 3
+        case "d"       => 4
+        case _         => 0
+      }
 
     val timeoutConf = ttl match {
       case Some(_) => GroupStateTimeout.ProcessingTimeTimeout()
@@ -61,9 +72,13 @@ object StatefulDedup {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val last = state.getOption.getOrElse((Long.MinValue, 0))
-            // batch winner first (same order key as Dedup), then compare to state
-            val winner = rows.maxBy(r => (r.getLong(tsIdx), prioOf(r.getString(opIdx))))
-            val cand = (winner.getLong(tsIdx), prioOf(winner.getString(opIdx)))
+            // batch winner first — SAME order key as batch Dedup including
+            // the tie-break: on a full (ts, prio) tie the LAST-arriving row
+            // wins (maxBy alone keeps the first), so both code paths write
+            // the same payload
+            val winner = rows.zipWithIndex
+              .maxBy { case (r, i) => (tsOf(r), prioOf(r), i) }._1
+            val cand = (tsOf(winner), prioOf(winner))
             val newer = cand._1 > last._1 || (cand._1 == last._1 && cand._2 > last._2)
             if (newer) {
               state.update(cand)

@@ -91,7 +91,11 @@ object TextFunctions {
     val best = scored.reduce { (a, b) =>
       when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
     }
-    when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
+    // null text → null hit counts → every comparison above is null: guard
+    // explicitly so null documents classify as "und" (like langIdByJoin),
+    // not as whichever language happened to be first in the reduce
+    when(toks.isNull || best.getField("hits") === 0, "und")
+      .otherwise(best.getField("lang"))
   }
 
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
