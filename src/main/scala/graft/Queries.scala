@@ -757,6 +757,128 @@ object Queries {
       |    ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
       |SELECT doc_id, term, tfidf FROM r WHERE rk <= 3""".stripMargin))
 
+  /** PII scrubbing over one scan: count then redact emails / IPv4s / phone
+    * numbers (map-only — the shape that has to survive 100 TB). The
+    * synthetic corpus carries no PII, so both engines inject the same
+    * deterministic contact block per doc before scrubbing; the redacted
+    * text is compared as md5 to keep the result compact.
+    */
+  val textPiiRedact = Q("text_pii_redact",
+    (s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or 10."),
+        pmod(col("doc_id"), lit(256)), lit(".0.1 or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("t"))
+        .select(
+          col("doc_id"),
+          TextFunctions.piiCount(col("t"), TextFunctions.EmailPattern).as("n_emails"),
+          TextFunctions.piiCount(col("t"), TextFunctions.Ipv4Pattern).as("n_ips"),
+          TextFunctions.piiCount(col("t"), TextFunctions.PhonePattern).as("n_phones"),
+          md5(TextFunctions.redactPii(col("t"))).as("redacted_fp"))
+    },
+    Some(s"""WITH aug AS (SELECT doc_id,
+      |    text || ' contact user' || doc_id::VARCHAR || '@example.com or 10.'
+      |         || (doc_id % 256)::VARCHAR || '.0.1 or +1-555-'
+      |         || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t, '${TextFunctions.EmailPattern}'))::BIGINT AS n_emails,
+      |  len(regexp_extract_all(t, '${TextFunctions.Ipv4Pattern}'))::BIGINT AS n_ips,
+      |  len(regexp_extract_all(t, '${TextFunctions.PhonePattern}'))::BIGINT AS n_phones,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      |    '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+      |    '${TextFunctions.Ipv4Pattern}', '<IP>', 'g'),
+      |    '${TextFunctions.PhonePattern}', '<PHONE>', 'g')) AS redacted_fp
+      |FROM aug""".stripMargin))
+
+  /** Quantile-threshold quality filter in scale-safe histogram form: keep
+    * the docs whose (discrete) quality score clears the highest threshold
+    * retaining ≥60% of the corpus — histogram aggregate + tiny cumulative
+    * window + broadcast threshold, never a global percent_rank sort.
+    */
+  val textQualityFilter = Q("text_quality_filter",
+    (s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          TextFunctions.qualityScoreFromTokens(col("text"), col("tk")).as("quality"))
+      Sampling.keepTopFraction(scored, "quality", 0.6)
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |scored AS (SELECT doc_id, $duckQuality AS quality FROM toks),
+      |hist AS (SELECT quality, count(*) AS n FROM scored GROUP BY 1),
+      |c AS (SELECT quality,
+      |    sum(n) OVER (ORDER BY quality DESC ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(n) OVER () AS tot
+      |  FROM hist),
+      |thr AS (SELECT max(quality) AS t FROM c WHERE cum >= ceil(tot * 0.6))
+      |SELECT doc_id, quality FROM scored, thr WHERE quality >= thr.t""".stripMargin))
+
+  /** Sequence packing: documents laid out in deterministic hash order per
+    * source, cut into 512-token context windows; a doc's bin is the
+    * window its first token lands in. One shuffle on the group key.
+    */
+  val pipelinePacking = Q("pipeline_packing",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.packBins(docs, "source", "doc_id", "n_tokens", capacity = 512, seed = "pk")
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("bin_tokens"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source,
+      |    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0))::BIGINT AS n_tokens
+      |  FROM documents),
+      |b AS (SELECT source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY ${duckBucket("pk", "doc_id")} ASC, doc_id ASC
+      |      ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
+      |  FROM d)
+      |SELECT source, floor(tok_before / 512)::BIGINT AS bin,
+      |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS bin_tokens
+      |FROM b GROUP BY 1, 2""".stripMargin))
+
+  /** DuckDB replay of [[graft.dedup.Shingles.combinedShingleHashes]] for
+    * arbitrary n: nested rolling polynomial combine over `th[i..i+n-1]`.
+    */
+  private def duckCombine(n: Int): String =
+    (1 until n).foldLeft("th[i]") { (acc, j) =>
+      s"($acc*${MinHashLSH.CombineK} + th[i+$j]) % ${MinHashLSH.CombineMod}"
+    }
+
+  /** Eval-set 5-gram decontamination: the benchmark-leakage guard. Eval =
+    * every 97th doc; each train doc is flagged iff it shares a word 5-gram
+    * with any eval doc. Exploded-gram semi-join against the (small,
+    * broadcastable) eval gram set — never all-pairs.
+    */
+  val pipelineDecontaminate = Q("pipeline_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.contaminationFlags(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 5)
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |    list_transform(tk, t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS th
+      |  FROM toks),
+      |g AS (SELECT doc_id, CASE WHEN len(th) < 5 THEN []
+      |    ELSE [${duckCombine(5)} for i in range(1, len(th)-3)] END AS grams
+      |  FROM h),
+      |ev AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 97 = 0),
+      |tr AS (SELECT doc_id, grams FROM g WHERE doc_id % 97 <> 0),
+      |hit AS (SELECT DISTINCT x.doc_id
+      |  FROM (SELECT doc_id, unnest(grams) AS gr FROM tr) x JOIN ev USING (gr))
+      |SELECT doc_id, (doc_id IN (SELECT doc_id FROM hit)) AS contaminated
+      |FROM tr""".stripMargin))
+
   // ----------------------------------------------------------- dedup family
 
   val dedupExact = Q("dedup_exact",
@@ -1415,7 +1537,9 @@ object Queries {
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
     qFunnel, qHistogram, qIntervalJoin,
     textStats, textLangId, textFingerprint, textTfidf, textRepetition,
+    textPiiRedact, textQualityFilter,
     sampleHash, sampleSplit, sampleStratified, pipelineCuration,
+    pipelinePacking, pipelineDecontaminate,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupClusters, dedupApply,
     dedupSimhash, dedupJaccard, dedupEmbedding,
     knnBrute, knnLsh, knnIvf, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,

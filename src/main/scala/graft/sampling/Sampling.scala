@@ -59,6 +59,56 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Sequence packing: assign documents to fixed-capacity context windows —
+    * the "pack short documents into 4k-token training sequences" step that
+    * precedes tokenizer sharding. Documents are laid out in deterministic
+    * hash order within each group (same content ⇒ same layout on re-runs,
+    * like everything in this module) and the stream of tokens is cut every
+    * `capacity`: a document's bin is the window its first token lands in,
+    * `floor(tokens_before / capacity)`.
+    *
+    * Shape at scale: one hash shuffle of `groupCol` + a running sum per
+    * group — the same cost as any per-group window. Packing is inherently
+    * sequential *within* a group (each doc's offset depends on every
+    * earlier doc), so parallelism comes from the grouping key — shard a
+    * huge corpus by (source, hash-prefix of the key) if single groups grow
+    * beyond one task's sort budget.
+    */
+  def packBins(df: DataFrame, groupCol: String, keyCol: String,
+               tokCol: String, capacity: Int, seed: String = ""): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(bucket(col(keyCol), seed).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("bin",
+      floor((sum(col(tokCol)).over(w) - col(tokCol)) / capacity).cast("long"))
+  }
+
+  /** Quantile-threshold filter in scale-safe form: keep the rows whose
+    * DISCRETE score clears the highest threshold that still retains at
+    * least `frac` of the corpus. A `percent_rank` over 100 TB would be a
+    * single-partition global sort; for a low-cardinality score (the
+    * quality score is 5 distinct values) the right plan is a histogram
+    * aggregate (map-side partials, output = #distinct scores rows), the
+    * cumulative-from-top threshold over that tiny relation, and one
+    * broadcast back onto the scan — two jobs, no global sort, no collect.
+    */
+  def keepTopFraction(df: DataFrame, scoreCol: String, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac out of range: $frac")
+    val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__n"))
+    val cumW = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val thr = hist
+      .withColumn("__cum", sum(col("__n")).over(cumW))
+      .withColumn("__tot", sum(col("__n")).over(totW))
+      .filter(col("__cum") >= ceil(col("__tot") * frac))
+      .agg(max(col(scoreCol)).as("__thr"))
+    df.crossJoin(broadcast(thr)).filter(col(scoreCol) >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Fixed-size per-stratum sample: the k rows of each stratum whose keys
     * hash lowest (ties broken by the key itself). One shuffle on the
     * strata columns; deterministic against any input order — the scalable

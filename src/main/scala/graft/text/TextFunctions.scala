@@ -213,6 +213,31 @@ object TextFunctions {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** PII scrubbing — the redaction pass every corpus release runs before
+    * training. Patterns are deliberately class-based (no lookaround, no
+    * backreferences) so they parse identically under Java regex (Spark)
+    * and RE2 (DuckDB), which keeps the operator oracle-checkable. A
+    * production pipeline swaps richer patterns in at the same seam; the
+    * plumbing (map-only projection, count-then-replace over one scan) is
+    * what has to survive 100 TB, and it does — no shuffle, no state.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Replace emails, then IPv4s, then phone numbers with typed tags.
+    * Email runs first: its local/domain parts may embed digit runs that
+    * the later patterns would otherwise clip mid-address.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
+
   /** Document fingerprint: md5 of the normalized text (cross-engine stable). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))

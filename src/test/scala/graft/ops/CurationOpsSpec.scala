@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.SharedSpark
+import graft.dedup.Decontaminate
+import graft.sampling.Sampling
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Targeted semantics for the corpus-curation additions: decontamination,
+  * PII redaction, sequence packing, histogram-threshold quality filter.
+  * (Every Queries entry additionally runs e2e in QueriesContractSpec and
+  * is oracle-checked by the driver.)
+  */
+class CurationOpsSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  // ------------------------------------------------------- decontamination
+
+  private val evalDocs = Seq(
+    (100L, "alpha beta gamma delta epsilon zeta")
+  ).toDF("doc_id", "text")
+
+  private val trainDocs = Seq(
+    // shares the 5-gram "beta gamma delta epsilon zeta"
+    (1L, "intro words beta gamma delta epsilon zeta trailing"),
+    // same words, different order — no shared 5-gram
+    (2L, "zeta epsilon delta gamma beta alpha"),
+    // clean
+    (3L, "one two three four five six seven"),
+    // shorter than 5 tokens — can never be contaminated
+    (4L, "alpha beta gamma")
+  ).toDF("doc_id", "text")
+
+  test("contaminationFlags: shared 5-gram flags, reorder/short/clean do not") {
+    val flags = Decontaminate.contaminationFlags(trainDocs, evalDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("decontaminate drops exactly the flagged docs") {
+    val clean = Decontaminate.decontaminate(trainDocs, evalDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean === Array(2L, 3L, 4L))
+  }
+
+  // ---------------------------------------------------------- PII redaction
+
+  test("redactPii tags emails, IPv4s and phones; counts agree") {
+    val df = Seq(
+      ("mail a.user+tag@sub.example.org then 192.168.0.1 then +1-555-0199 end"),
+      ("no pii here at all"),
+      ("two mails x@y.com and z@w.io, ip 10.0.0.255")
+    ).toDF("t").select(
+      TextFunctions.redactPii(col("t")).as("red"),
+      TextFunctions.piiCount(col("t"), TextFunctions.EmailPattern).as("ne"),
+      TextFunctions.piiCount(col("t"), TextFunctions.Ipv4Pattern).as("ni"),
+      TextFunctions.piiCount(col("t"), TextFunctions.PhonePattern).as("np"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) === "mail <EMAIL> then <IP> then <PHONE> end")
+    assert((rows(0).getLong(1), rows(0).getLong(2), rows(0).getLong(3)) === ((1L, 1L, 1L)))
+    assert(rows(1).getString(0) === "no pii here at all")
+    assert((rows(1).getLong(1), rows(1).getLong(2), rows(1).getLong(3)) === ((0L, 0L, 0L)))
+    assert(rows(2).getString(0) === "two mails <EMAIL> and <EMAIL>, ip <IP>")
+    assert((rows(2).getLong(1), rows(2).getLong(2), rows(2).getLong(3)) === ((2L, 1L, 0L)))
+  }
+
+  // -------------------------------------------------------- sequence packing
+
+  test("packBins: bins follow the deterministic hash layout exactly") {
+    val docs = (0L until 40L).map(i => (i, "g" + (i % 2), 300L + (i % 7) * 100L))
+      .toDF("doc_id", "grp", "n_tokens")
+    val got = Sampling.packBins(docs, "grp", "doc_id", "n_tokens", capacity = 1000, seed = "s")
+      .select("grp", "doc_id", "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // independently replay: order by (bucket, key) per group, cut at 1000
+    val order = docs
+      .select(col("grp"), col("doc_id"), col("n_tokens"),
+        Sampling.bucket(col("doc_id"), "s").as("bk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = order.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._2)).toSeq.map { r =>
+        val bin = cum / 1000; cum += r._3; (g, r._2) -> bin
+      }
+    }.toMap
+    assert(got === expected)
+    // sanity: multiple bins actually exist, and bins are dense from 0
+    assert(got.values.max > 0)
+    assert(got.filter(_._1._1 == "g0").values.toSeq.sorted.distinct ===
+      (0L to got.filter(_._1._1 == "g0").values.max).toSeq)
+  }
+
+  test("packBins is invariant to input row order and partitioning") {
+    val docs = (0L until 40L).map(i => (i, "g" + (i % 3), 100L + i))
+      .toDF("doc_id", "grp", "n_tokens")
+    val a = Sampling.packBins(docs, "grp", "doc_id", "n_tokens", 512, "s")
+      .select("doc_id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sampling.packBins(docs.orderBy(rand(7)).repartition(7), "grp", "doc_id",
+        "n_tokens", 512, "s")
+      .select("doc_id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  // --------------------------------------------- histogram threshold filter
+
+  test("keepTopFraction keeps the smallest top score set covering frac") {
+    val df = Seq((1L, 1.0), (2L, 1.0), (3L, 2.0), (4L, 2.0), (5L, 3.0))
+      .toDF("id", "score")
+    // target = ceil(5 * 0.4) = 2; cum from top: 3.0→1, 2.0→3 ≥ 2 ⇒ thr 2.0
+    val kept = Sampling.keepTopFraction(df, "score", 0.4)
+      .select("id").as[Long].collect().sorted
+    assert(kept === Array(3L, 4L, 5L))
+    // frac=1.0 keeps everything
+    assert(Sampling.keepTopFraction(df, "score", 1.0).count() === 5)
+    // a frac small enough that the top score alone covers it keeps just that
+    assert(Sampling.keepTopFraction(df, "score", 0.2)
+      .select("id").as[Long].collect().toSeq === Seq(5L))
+  }
+}
