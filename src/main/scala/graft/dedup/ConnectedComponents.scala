@@ -42,22 +42,30 @@ object ConnectedComponents {
     val sym = edges.select(col(srcCol).as("id"), col(dstCol).as("nb"))
       .union(edges.select(col(dstCol).as("id"), col(srcCol).as("nb")))
       .localCheckpoint(true)
-    var labels = sym.select("id").distinct().withColumn("cluster", col("id"))
+    // Seed with the 1-hop minimum (min of self and direct neighbors) —
+    // the first propagation round folded into the init aggregation.
+    var labels = sym
+      .groupBy("id").agg(least(min("nb"), col("id")).as("cluster"))
       .localCheckpoint(true)
+    val labelType = labels.schema("cluster").dataType
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val viaNeighbor = sym
         .join(labels.select(col("id").as("nb"), col("cluster")), "nb")
-        .select(col("id"), col("cluster"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("id").agg(min("cluster").as("cluster"))
+        .select(col("id"), col("cluster"), lit(null).cast(labelType).as("old"))
+      // Carry each node's previous label through the same aggregation
+      // (`old` is single-valued per id, so max() just recovers it): the
+      // convergence check becomes a scan of the checkpointed result
+      // instead of a second shuffle join per round.
+      val next = labels
+        .select(col("id"), col("cluster"), col("cluster").as("old"))
+        .union(viaNeighbor)
+        .groupBy("id")
+        .agg(min("cluster").as("cluster"), max("old").as("old"))
         .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.alias("o"), "id")
-        .where(col("n.cluster") =!= col("o.cluster"))
-        .isEmpty
-      labels = next
+      converged = next.where(col("cluster") =!= col("old")).isEmpty
+      labels = next.select("id", "cluster")
       i += 1
     }
     require(converged,
