@@ -1534,6 +1534,40 @@ object Queries {
          |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) >= 0.3""".stripMargin
     })
 
+  /** SQ8 scalar quantization of the embedding corpus (per-vector affine
+    * uint8 codes — the 4× storage cut for vector search at 100 TB), checked
+    * by exact integer code sums plus the max per-dimension reconstruction
+    * error (a max is float-reduction-order independent, unlike an MSE sum,
+    * so both engines agree bit-for-bit). Map-only at any scale.
+    */
+  val embeddingQuantize = Q("embedding_quantize",
+    (s, dir) => {
+      import graft.similarity.Quantize
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("mn", array_min(col("e")))
+        .withColumn("mx", array_max(col("e")))
+        .withColumn("codes", Quantize.sq8Encode(col("e"), col("mn"), col("mx")))
+        .withColumn("deq", Quantize.sq8Decode(col("codes"), col("mn"), col("mx")))
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          round(Quantize.maxAbsError(col("e"), col("deq")), 9).as("max_abs_err"))
+    },
+    Some("""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+      |    list_aggregate(embedding::DOUBLE[], 'min') AS mn,
+      |    list_aggregate(embedding::DOUBLE[], 'max') AS mx
+      |  FROM embeddings),
+      |c AS (SELECT vec_id, e, mn, mx,
+      |    list_transform(e, x -> CASE WHEN mx = mn THEN 0
+      |      ELSE round((x - mn) / (mx - mn) * 255)::INT END) AS codes
+      |  FROM b),
+      |d AS (SELECT vec_id, codes, e,
+      |    list_transform(codes, cc -> mn + (cc::DOUBLE * (mx - mn)) / 255.0) AS deq
+      |  FROM c)
+      |SELECT vec_id, list_sum(codes)::BIGINT AS code_sum,
+      |  round(list_max([abs(e[i] - deq[i]) for i in range(1, len(e)+1)]), 9) AS max_abs_err
+      |FROM d""".stripMargin))
+
   // ------------------------------------------------------------------ index
 
   val all: Seq[Q] = Seq(
@@ -1552,7 +1586,7 @@ object Queries {
     pipelinePacking, pipelineDecontaminate,
     dedupExact, dedupMinhash, dedupMinhashPairs, dedupClusters, dedupApply,
     dedupSimhash, dedupJaccard, dedupEmbedding,
-    knnBrute, knnLsh, knnIvf, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
+    knnBrute, knnLsh, knnIvf, embeddingQuantize, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
