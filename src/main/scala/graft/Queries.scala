@@ -887,6 +887,52 @@ object Queries {
       |  count(*) AS group_size, min(doc_id) AS canonical_id
       |FROM documents GROUP BY 1""".stripMargin))
 
+  /** Incremental ingestion dedup: a "new crawl" (every 3rd doc) swept
+    * against the persistent fingerprint set of the already-ingested
+    * corpus (the rest), then deduplicated within itself — anti-join on
+    * the fingerprints + the canonical-id semi-join. The corpus side is
+    * fingerprints only: the 100 TB of already-ingested text is never
+    * re-read. Fingerprint here is the winnowing-style min-shingle hash
+    * (edit-robust, so the near-dup structure of the corpus genuinely
+    * fires the drop branch; [[ExactDedup.incrementalSweep]] is the same
+    * shape keyed on exact content digests). Sub-5-token docs have no
+    * fingerprint and always pass through.
+    */
+  val dedupIncremental = Q("dedup_incremental",
+    (s, dir) => {
+      val fps = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          TextFunctions.minShingleFingerprintFromTokens(col("tk"), 5).as("msf"))
+      val corpus = fps.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .where(col("msf").isNotNull).select("msf").distinct()
+      val batch = fps.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val fresh = batch.join(corpus, Seq("msf"), "left_anti")
+      val canon = batch.where(col("msf").isNotNull)
+        .groupBy("msf").agg(min("doc_id").as("doc_id"))
+      fresh.where(col("msf").isNull)
+        .unionByName(fresh.join(canon.select("doc_id"), Seq("doc_id"), "left_semi"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, lang, n_chars,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |h AS (SELECT doc_id, lang, n_chars,
+      |    list_transform(tk, t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS th
+      |  FROM toks),
+      |f AS (SELECT doc_id, lang, n_chars, CASE WHEN len(th) < 5 THEN NULL ELSE
+      |    list_min([${duckCombine(5)} for i in range(1, len(th)-3)]) END AS msf
+      |  FROM h),
+      |corpus AS (SELECT DISTINCT msf FROM f WHERE doc_id % 3 <> 0 AND msf IS NOT NULL),
+      |batch AS (SELECT * FROM f WHERE doc_id % 3 = 0),
+      |fresh AS (SELECT * FROM batch
+      |  WHERE msf IS NULL OR msf NOT IN (SELECT msf FROM corpus)),
+      |canon AS (SELECT msf, min(doc_id) AS keep_id FROM batch
+      |  WHERE msf IS NOT NULL GROUP BY msf)
+      |SELECT doc_id, lang, n_chars FROM fresh
+      |WHERE msf IS NULL OR doc_id IN (SELECT keep_id FROM canon)""".stripMargin))
+
   private val duckShingles3 =
     """list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)])"""
 
@@ -1584,7 +1630,7 @@ object Queries {
     textPiiRedact, textQualityFilter,
     sampleHash, sampleSplit, sampleStratified, pipelineCuration,
     pipelinePacking, pipelineDecontaminate,
-    dedupExact, dedupMinhash, dedupMinhashPairs, dedupClusters, dedupApply,
+    dedupExact, dedupIncremental, dedupMinhash, dedupMinhashPairs, dedupClusters, dedupApply,
     dedupSimhash, dedupJaccard, dedupEmbedding,
     knnBrute, knnLsh, knnIvf, embeddingQuantize, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures)

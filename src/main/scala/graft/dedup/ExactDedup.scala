@@ -27,4 +27,23 @@ object ExactDedup {
     val keep = groups(df, textCol, idCol).select(col("canonical_id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Incremental sweep: drop batch rows whose content already exists in a
+    * previously-deduplicated corpus, then drop within-batch duplicates —
+    * the shape of per-crawl ingestion against a persistent fingerprint
+    * table (store `groups().select(content_hash)` once per corpus, join
+    * each new crawl against it instead of re-scanning 100 TB of text).
+    * The anti-join keys are 128-bit digests: uniform, skew-free, and tiny
+    * relative to the documents they stand for; a daily batch is usually
+    * the small side, so AQE broadcasts it against the fingerprint scan.
+    */
+  def incrementalSweep(batch: DataFrame, corpusHashes: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val hashed = batch.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+    hashed
+      .join(corpusHashes.select(col("content_hash").as("__fp")), Seq("__fp"), "left_anti")
+      .join(groups(batch, textCol, idCol).select(col("canonical_id").as(idCol)),
+        Seq(idCol), "left_semi")
+      .drop("__fp")
+  }
 }

@@ -44,6 +44,24 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     assert(clean === Array(2L, 3L, 4L))
   }
 
+  // ------------------------------------------------------ incremental dedup
+
+  test("incrementalSweep drops corpus-known content, keeps one per batch group") {
+    import graft.dedup.ExactDedup
+    val corpus = Seq((100L, "already ingested doc")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "already  INGESTED   doc"), // normalizes to corpus content → drop
+      (2L, "fresh pair"),
+      (3L, "FRESH pair"),              // within-batch dup of 2 → drop
+      (4L, "unique newcomer")
+    ).toDF("doc_id", "text")
+    val kept = ExactDedup.incrementalSweep(batch,
+        ExactDedup.groups(corpus, "text", "doc_id").select("content_hash"),
+        "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 4L))
+  }
+
   // ---------------------------------------------------------- PII redaction
 
   test("redactPii tags emails, IPv4s and phones; counts agree") {
