@@ -134,4 +134,42 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       .filter(l => l.contains("ReadSchema") && l.contains("__graft_seq") && !l.contains("name"))
     assert(delScan.nonEmpty, "delete side is not column-pruned to (id, __graft_seq)")
   }
+
+  test("pii redaction and sq8 quantization are map-only (no exchange)") {
+    for (q <- Seq(Queries.textPiiRedact, Queries.embeddingQuantize)) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"${q.name} should not shuffle:\n$p")
+    }
+  }
+
+  test("pipeline_packing: the group-key window is the only exchange before the final agg") {
+    val p = plan(Queries.pipelinePacking)
+    assert(!p.contains("CartesianProduct"), p)
+    // window partitioned by source — never a global (empty-key) sort
+    assert(p.contains("Window"), p)
+    assert(!p.linesIterator.exists(_.matches(""".*Exchange SinglePartition.*""")),
+      s"packing must not serialize to one partition:\n$p")
+  }
+
+  test("decontamination: eval gram set broadcasts at runtime; no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val flags = graft.dedup.Decontaminate.contaminationFlags(
+      docs.where(org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0),
+      docs.where(org.apache.spark.sql.functions.col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 5)
+    assert(flags.count() > 0)
+    val executed = flags.queryExecution.executedPlan.toString
+    assert(!executed.contains("CartesianProduct"), executed)
+    assert(executed.contains("BroadcastHashJoin"),
+      executed.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("text_quality_filter: threshold joins back by broadcast, never a global sort of docs") {
+    val p = plan(Queries.textQualityFilter)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // the only sorts allowed are inside the tiny histogram window, which
+    // AQE plans as a single partition of #distinct-scores rows — the
+    // document relation itself must not be globally sorted
+    assert(!p.contains("rangepartitioning"), s"global sort leaked into the doc path:\n$p")
+  }
 }
