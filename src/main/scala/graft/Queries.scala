@@ -757,6 +757,36 @@ object Queries {
       |    ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
       |SELECT doc_id, term, tfidf FROM r WHERE rk <= 3""".stripMargin))
 
+  /** Context-window chunking (64-token windows, 8-token overlap): one
+    * row per chunk with its index, length, and content fingerprint —
+    * the map-only explode that feeds embedding/pretraining ingestion.
+    */
+  val textChunk = Q("text_chunk",
+    (s, dir) => {
+      val step = 64 - 8
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 0)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokenChunks(col("tk"), 64, 8)).as("ch"))
+        .select(col("doc_id"),
+          ((col("ch.s") - 1) / step).cast("long").as("chunk_idx"),
+          size(col("ch.ctoks")).cast("long").as("chunk_tokens"),
+          md5(concat_ws(" ", col("ch.ctoks"))).as("chunk_fp"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |    [struct_pack(s := st, ctoks := tk[st:st+63])
+      |     for st in range(1, greatest(len(tk), 1) + 1, 56)] AS chunks
+      |  FROM toks WHERE len(tk) > 0),
+      |u AS (SELECT doc_id, unnest(chunks, recursive := true) FROM c)
+      |SELECT doc_id, ((s - 1) // 56)::BIGINT AS chunk_idx,
+      |  len(ctoks)::BIGINT AS chunk_tokens,
+      |  md5(array_to_string(ctoks, ' ')) AS chunk_fp
+      |FROM u""".stripMargin))
+
   /** PII scrubbing over one scan: count then redact emails / IPv4s / phone
     * numbers (map-only — the shape that has to survive 100 TB). The
     * synthetic corpus carries no PII, so both engines inject the same
@@ -1637,7 +1667,7 @@ object Queries {
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
     qFunnel, qHistogram, qIntervalJoin,
     textStats, textLangId, textFingerprint, textTfidf, textRepetition,
-    textPiiRedact, textQualityFilter,
+    textPiiRedact, textQualityFilter, textChunk,
     sampleHash, sampleSplit, sampleStratified, pipelineCuration,
     pipelinePacking, pipelineDecontaminate,
     dedupExact, dedupIncremental, dedupMinhash, dedupMinhashPairs, dedupClusters, dedupApply,

@@ -213,6 +213,23 @@ object TextFunctions {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** Sliding token chunks — the context-window chunker that precedes
+    * embedding/pretraining ingestion: windows of `size` tokens starting
+    * every `size − overlap` tokens, the last window short. Returns an
+    * array of structs `(s, ctoks)` (1-based start, token slice) from a
+    * MATERIALIZED token-array attribute; explode downstream. Map-only —
+    * at 100 TB the chunker lives in the scan stage, and the output
+    * relation carries (doc, chunk) rows whose total size is
+    * input·(1 + overlap/step).
+    */
+  def tokenChunks(toksAttr: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"bad chunk geometry: size=$size overlap=$overlap")
+    val step = size - overlap
+    transform(sequence(lit(1), greatest(org.apache.spark.sql.functions.size(toksAttr), lit(1)), lit(step)),
+      s => struct(s.as("s"), slice(toksAttr, s, lit(size)).as("ctoks")))
+  }
+
   /** PII scrubbing — the redaction pass every corpus release runs before
     * training. Patterns are deliberately class-based (no lookaround, no
     * backreferences) so they parse identically under Java regex (Spark)

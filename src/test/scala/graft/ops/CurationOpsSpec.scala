@@ -83,6 +83,34 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     assert((rows(2).getLong(1), rows(2).getLong(2), rows(2).getLong(3)) === ((2L, 1L, 0L)))
   }
 
+  // ------------------------------------------------------------- chunking
+
+  test("tokenChunks: geometry — starts every size-overlap, last chunk short") {
+    val df = Seq((1L, (1 to 130).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(TextFunctions.tokenChunks(col("tk"), 64, 8)).as("ch"))
+      .select(col("ch.s").as("s"), size(col("ch.ctoks")).as("n"),
+        element_at(col("ch.ctoks"), 1).as("first"))
+    val rows = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    // 130 tokens, window 64, step 56 → starts 1, 57, 113
+    assert(rows.map(_._1).toSeq === Seq(1, 57, 113))
+    assert(rows.map(_._2).toSeq === Seq(64, 64, 18))
+    assert(rows.map(_._3).toSeq === Seq("t1", "t57", "t113"))
+    // consecutive chunks overlap by exactly `overlap` tokens
+    assert(57 === 1 + (64 - 8) && 113 === 57 + (64 - 8))
+  }
+
+  test("tokenChunks: single short doc yields exactly one full-copy chunk") {
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select(TextFunctions.tokens(col("text")).as("tk"))
+      .select(explode(TextFunctions.tokenChunks(col("tk"), 64, 8)).as("ch"))
+      .select(col("ch.s"), col("ch.ctoks")).collect()
+    assert(one.length === 1)
+    assert(one.head.getInt(0) === 1)
+    assert(one.head.getSeq[String](1) === Seq("a", "b", "c"))
+  }
+
   // -------------------------------------------------------- sequence packing
 
   test("packBins: bins follow the deterministic hash layout exactly") {
