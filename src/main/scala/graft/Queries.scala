@@ -1620,6 +1620,43 @@ object Queries {
          |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) >= 0.3""".stripMargin
     })
 
+  /** Cluster-balanced sampling — the cross-family capstone: join text
+    * quality scores to embedding-space buckets (deterministic sign-LSH
+    * cells standing in for cluster ids) and keep each cell's top-10 by
+    * quality. One join + one per-bucket top-k window; WindowGroupLimit
+    * prunes to 10 rows per partition before the sort completes, so the
+    * pattern holds when a bucket spans terabytes.
+    */
+  val pipelineBalancedSample = Q("pipeline_balanced_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          TextFunctions.qualityScoreFromTokens(col("text"), col("tk")).as("quality"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          Knn.signBucket(col("embedding"), 4).as("bucket"))
+      val w = Window.partitionBy("bucket")
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      docs.join(emb, "doc_id")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("bucket"), col("doc_id"), col("quality"),
+          col("rk").cast("long").as("rk"))
+    },
+    Some {
+      val bucket = (1 to 4).map(i =>
+        s"(CASE WHEN embedding[$i] > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"""WITH toks AS (SELECT doc_id, text,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+         |  FROM documents),
+         |q AS (SELECT doc_id, $duckQuality AS quality FROM toks),
+         |b AS (SELECT vec_id AS doc_id, $bucket AS bucket FROM embeddings),
+         |r AS (SELECT q.doc_id, quality, bucket, row_number() OVER (
+         |    PARTITION BY bucket ORDER BY quality DESC, q.doc_id ASC) AS rk
+         |  FROM q JOIN b USING (doc_id))
+         |SELECT bucket, doc_id, quality, rk::BIGINT AS rk FROM r WHERE rk <= 10""".stripMargin
+    })
+
   /** SQ8 scalar quantization of the embedding corpus (per-vector affine
     * uint8 codes — the 4× storage cut for vector search at 100 TB), checked
     * by exact integer code sums plus the max per-dimension reconstruction
@@ -1669,7 +1706,7 @@ object Queries {
     textStats, textLangId, textFingerprint, textTfidf, textRepetition,
     textPiiRedact, textQualityFilter, textChunk,
     sampleHash, sampleSplit, sampleStratified, pipelineCuration,
-    pipelinePacking, pipelineDecontaminate,
+    pipelinePacking, pipelineDecontaminate, pipelineBalancedSample,
     dedupExact, dedupIncremental, dedupMinhash, dedupMinhashPairs, dedupClusters, dedupApply,
     dedupSimhash, dedupJaccard, dedupEmbedding,
     knnBrute, knnLsh, knnIvf, embeddingQuantize, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
