@@ -1064,6 +1064,34 @@ object Queries {
       |SELECT doc_id, lang, n_chars FROM documents
       |WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin))
 
+  /** Duplicate-span removal (exact-substring dedup on the aligned block
+    * grid) — documents are REWRITTEN with corpus-duplicated 20-token
+    * blocks dropped, not dropped wholesale. The oracle replays the same
+    * grid: DuckDB list-comprehension chunking, a window per block content
+    * for (count, canonical occurrence), ordered string_agg re-assembly.
+    */
+  val dedupSpans = Q("dedup_spans",
+    (s, dir) => SpanDedup.removeDuplicateSpans(
+      t(s, dir, "documents"), "doc_id", "text", blockTokens = 20),
+    Some("""WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |blocks AS (SELECT doc_id,
+      |    unnest([{'s': i, 'btext': array_to_string(tk[i:i+19], ' '), 'blen': len(tk[i:i+19])}
+      |            for i in range(1, greatest(len(tk), 1)+1, 20)], recursive := true)
+      |  FROM toks),
+      |w AS (SELECT doc_id, s, btext, blen,
+      |    count(*) OVER (PARTITION BY btext) AS cnt,
+      |    min({'d': doc_id, 's': s}) OVER (PARTITION BY btext) AS keeper
+      |  FROM blocks),
+      |k AS (SELECT doc_id, s, btext,
+      |    (blen < 20 OR cnt = 1 OR (keeper.d = doc_id AND keeper.s = s)) AS kept
+      |  FROM w)
+      |SELECT doc_id, count(*)::BIGINT AS n_blocks,
+      |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      |  coalesce(string_agg(CASE WHEN kept THEN btext END, ' ' ORDER BY s), '') AS dedup_text
+      |FROM k GROUP BY doc_id""".stripMargin))
+
   val dedupSimhash = Q("dedup_simhash",
     (s, dir) => SimHash.simhashed(
       t(s, dir, "documents").where(TextFunctions.tokenCount(col("text")) > 0),
@@ -1708,7 +1736,7 @@ object Queries {
     sampleHash, sampleSplit, sampleStratified, pipelineCuration,
     pipelinePacking, pipelineDecontaminate, pipelineBalancedSample,
     dedupExact, dedupIncremental, dedupMinhash, dedupMinhashPairs, dedupClusters, dedupApply,
-    dedupSimhash, dedupJaccard, dedupEmbedding,
+    dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans,
     knnBrute, knnLsh, knnIvf, embeddingQuantize, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures)
 

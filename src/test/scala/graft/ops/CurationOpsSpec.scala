@@ -164,4 +164,37 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     assert(Sampling.keepTopFraction(df, "score", 0.2)
       .select("id").as[Long].collect().toSeq === Seq(5L))
   }
+
+  // --------------------------------------------------- duplicate-span removal
+
+  private val spanDocs = Seq(
+    (1L, "w1 w2 w3 w4 x1 x2 x3 x4"),        // both blocks unique-or-canonical
+    (2L, "w1 w2 w3 w4 y1 y2"),              // block 1 duplicates doc 1's
+    (3L, "z1 z2 z3 z4 z1 z2 z3 z4 tail"),   // within-doc repeat + short tail
+    (4L, "t1 t2"),                          // short block, duplicated in 5
+    (5L, "t1 t2"),                          // short blocks never dedup
+    (6L, "")                                // empty doc passes through
+  ).toDF("doc_id", "text")
+
+  test("removeDuplicateSpans keeps canonical occurrence, rewrites the rest") {
+    import graft.dedup.SpanDedup
+    val got = SpanDedup.removeDuplicateSpans(spanDocs, "doc_id", "text", blockTokens = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 2L, "w1 w2 w3 w4 x1 x2 x3 x4")))
+    assert(got(2L) === ((2L, 1L, "y1 y2")))
+    assert(got(3L) === ((3L, 2L, "z1 z2 z3 z4 tail")))
+    assert(got(4L) === ((1L, 1L, "t1 t2")))
+    assert(got(5L) === ((1L, 1L, "t1 t2")))
+    assert(got(6L) === ((1L, 1L, "")))
+  }
+
+  test("removeDuplicateSpans is invariant to input order and partitioning") {
+    import graft.dedup.SpanDedup
+    val a = SpanDedup.removeDuplicateSpans(spanDocs, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val b = SpanDedup.removeDuplicateSpans(spanDocs.orderBy(rand(3)).repartition(7),
+        "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(a === b)
+  }
 }
