@@ -739,6 +739,20 @@ object Queries {
       |  FROM documents)
       |SELECT lang, doc_id FROM r WHERE rk <= 20""".stripMargin))
 
+  /** Global contiguous example numbering + derived export shards — a
+    * range exchange with per-partition offset zip, NEVER a
+    * single-partition `row_number() OVER (ORDER BY …)` (the oracle may
+    * plan that; 100 TB Spark must not). Shard = 64-row slices of the
+    * sequence, the training-export layout.
+    */
+  val sampleGlobalSeq = Q("sample_global_seq",
+    (s, dir) => graft.operators.GlobalOrder
+      .withGlobalSeq(t(s, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("shard", ((col("seq") - 1) / 64).cast("long")),
+    Some("""SELECT doc_id, source, row_number() OVER (ORDER BY doc_id) AS seq,
+      |  ((row_number() OVER (ORDER BY doc_id)) - 1) // 64 AS shard
+      |FROM documents""".stripMargin))
+
   /** TF-IDF top-3 terms per document: explode → two partial-aggregated
     * shuffles → broadcast corpus size → per-doc top-k window. Integer tf ×
     * ln(exact-int ratio) is bit-identical across IEEE engines.
@@ -1733,7 +1747,7 @@ object Queries {
     qFunnel, qHistogram, qIntervalJoin,
     textStats, textLangId, textFingerprint, textTfidf, textRepetition,
     textPiiRedact, textQualityFilter, textChunk,
-    sampleHash, sampleSplit, sampleStratified, pipelineCuration,
+    sampleHash, sampleSplit, sampleStratified, sampleGlobalSeq, pipelineCuration,
     pipelinePacking, pipelineDecontaminate, pipelineBalancedSample,
     dedupExact, dedupIncremental, dedupMinhash, dedupMinhashPairs, dedupClusters, dedupApply,
     dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans,

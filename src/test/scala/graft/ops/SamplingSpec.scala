@@ -71,4 +71,18 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     val tiny = Sampling.stratifiedFixed(docs.filter(col("id") <= 5), Seq("lang"), "id", k, "s")
     assert(tiny.count() == 5)
   }
+
+  test("withGlobalSeq numbers 1..N in key order across many partitions") {
+    import graft.operators.GlobalOrder
+    val got = GlobalOrder.withGlobalSeq(docs.repartition(11), "id", "seq", numPartitions = 7)
+      .select("id", "seq").collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // ids unique → sorting by id must yield seq exactly 1..N in order
+    assert(got.map(_._2).toSeq == (1L to got.length).toSeq, got.take(5).mkString(","))
+    // deterministic across partitioning layouts
+    val again = GlobalOrder.withGlobalSeq(docs.orderBy(rand(5)).repartition(3), "id", "seq")
+      .select("id", "seq").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (id, seq) => again(id) == seq })
+    // the work is spread over the requested partitions, not one
+    assert(GlobalOrder.withGlobalSeq(docs, "id", "seq", 7).rdd.getNumPartitions == 7)
+  }
 }
