@@ -208,12 +208,33 @@ final class ManagedTable private (
     * of every file.
     */
   def readKeyRange(idCol: String, lo: Any, hi: Any): DataFrame = {
-    require(!isPartitioned, "key-range pruning is a MoR (unpartitioned) feature")
     require(_meta.identifierFields.contains(idCol), s"$idCol is not an identifier field")
+    readColRange(idCol, lo, hi)
+  }
+
+  /** Stats-pruned range scan on ANY column with manifest bounds (the
+    * payoff of `write.cluster-by` z-order compaction, which records
+    * bounds for every clustered column on every file group).
+    *
+    * Soundness under MoR deletes differs by column role:
+    *  - identifier column: a group whose bounds exclude [lo, hi] holds
+    *    neither in-range rows nor equality deletes FOR in-range keys
+    *    (deletes target the same column) — prune every kind.
+    *  - non-identifier column: an out-of-bounds UPSERT group still
+    *    carries deletes for keys whose LIVE row is in range (the upsert
+    *    moved the column's value), so upsert groups are never pruned —
+    *    only data-kind groups are. After a clustered compaction the
+    *    table is data-kind groups plus a short trickle suffix, so this
+    *    prunes exactly where the bytes are.
+    */
+  def readColRange(c: String, lo: Any, hi: Any): DataFrame = {
+    require(!isPartitioned, "range pruning is a MoR (unpartitioned) feature")
     require(lo != null && hi != null, "range bounds must be non-null")
+    val isId = _meta.identifierFields.contains(c)
     val pruned = currentEntries.filter(e =>
-      e.stats.get(idCol).forall(_.intersects(lo, hi)))
-    morRead(pruned).filter(col(idCol).between(lit(lo), lit(hi)))
+      (!isId && e.kind == Manifest.Upsert) ||
+        e.stats.get(c).forall(_.intersects(lo, hi)))
+    morRead(pruned).filter(col(c).between(lit(lo), lit(hi)))
   }
 
   private def morRead(entries: Seq[ManifestEntry], keepSeq: Boolean = false): DataFrame = {
@@ -376,7 +397,7 @@ final class ManagedTable private (
   private def writeGroup(df: DataFrame, kind: String, seq: Long): Option[ManifestEntry] = {
     val rel = groupRel(kind, seq)
     val dir = new Path(tableDir, rel)
-    val statCols = _meta.identifierFields
+    val statCols = (_meta.identifierFields ++ clusterByCols).distinct
       .filter(df.columns.contains)
       .flatMap(c => statsTag(df.schema(c).dataType).map(c -> _))
     val (toWrite, obs) =
@@ -707,13 +728,82 @@ final class ManagedTable private (
         else fs.listStatus(p).map(s => if (s.isDirectory) dirBytes(s.getPath) else s.getLen).sum
       val liveBytes = currentEntries.map(e => dirBytes(new Path(tableDir, e.path))).sum
       val nFiles = math.max(1L, (liveBytes + targetBytes - 1) / targetBytes).toInt
-      // repartition (not coalesce) keeps the read side parallel
-      val folded = read().repartition(nFiles)
-      val seq = _meta.currentVersion + 1
-      val entry = writeGroup(sortForWrite(folded), Manifest.Data, seq)
-      commitManifest(entry.toSeq)
+      if (clusterByCols.nonEmpty) {
+        val explicit = _meta.properties.getOrElse("compact.cluster-groups", "0").toInt
+        compactClusteredMoR(if (explicit > 0) explicit else math.max(nFiles, 2))
+      } else {
+        // repartition (not coalesce) keeps the read side parallel
+        val folded = read().repartition(nFiles)
+        val seq = _meta.currentVersion + 1
+        val entry = writeGroup(sortForWrite(folded), Manifest.Data, seq)
+        commitManifest(entry.toSeq)
+      }
     }
     (before, liveFiles())
+  }
+
+  /** `write.cluster-by` columns (comma-separated) — when set, full MoR
+    * compaction lays the table out in z-order (see [[ZOrder]]).
+    */
+  private def clusterByCols: Seq[String] =
+    _meta.properties.get("write.cluster-by").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** Clustered full compaction: fold the MoR view, range-partition it by
+    * z-value over the cluster columns, and commit EACH range slice as its
+    * own data group — so every group's manifest bounds are narrow on
+    * every clustered column and [[readColRange]] prunes on any of them.
+    *
+    * Cost shape at 100 TB: the fold/write pass dominates (it is the same
+    * pass an unclustered compact runs); clustering adds one tiny min/max
+    * aggregate (2 columns, map-side partials), the range-partitioner's
+    * boundary sampling, and a bounds aggregate over the staged output
+    * that scans only the clustered + identifier columns (columnar).
+    * Groups land via directory rename — no second data copy.
+    */
+  private def compactClusteredMoR(groups: Int): Unit = {
+    val cols = clusterByCols
+    cols.foreach { c =>
+      require(_meta.schema.fieldNames.contains(c), s"cluster-by column $c not in schema")
+      require(statsTag(_meta.schema(c).dataType).exists(t => t == "i" || t == "f"),
+        s"cluster-by column $c is not numeric")
+    }
+    val seq = _meta.currentVersion + 1
+    val folded = read()
+    val staging = new Path(tableDir, s".zcompact-${java.util.UUID.randomUUID()}")
+    try {
+      val staged = folded
+        .withColumn("__zv", ZOrder.zValue(folded, cols))
+        .repartitionByRange(groups, col("__zv"))
+        .sortWithinPartitions("__zv")
+        .withColumn("__zb", spark_partition_id())
+        .withColumn(SeqCol, lit(seq))
+        .drop("__zv")
+      applyWriteProps(staged.write.mode("overwrite"))
+        .partitionBy("__zb").format(format).save(staging.toString)
+      val statCols = (cols ++ _meta.identifierFields).distinct
+        .flatMap(c => statsTag(_meta.schema(c).dataType).map(c -> _))
+      val aggs = statCols.flatMap { case (c, _) =>
+        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) }
+      val boundRows = spark.read.option("basePath", staging.toString).format(format)
+        .load(staging.toString)
+        .groupBy(col("__zb")).agg(aggs.head, aggs.tail: _*).collect()
+      val entries = boundRows.toSeq.map { row =>
+        val bucket = row.get(row.fieldIndex("__zb")).toString
+        val stats = statCols.collect { case (c, t)
+          if row.get(row.fieldIndex(s"mn_$c")) != null &&
+             row.get(row.fieldIndex(s"mx_$c")) != null =>
+          c -> ColBounds(t, row.get(row.fieldIndex(s"mn_$c")), row.get(row.fieldIndex(s"mx_$c")))
+        }.toMap
+        val rel = groupRel(Manifest.Data, seq)
+        val dst = new Path(tableDir, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(new Path(staging, s"__zb=$bucket"), dst))
+          throw new java.io.IOException(s"failed to stage clustered group $rel")
+        ManifestEntry(rel, Manifest.Data, seq, stats)
+      }
+      commitManifest(entries)
+    } finally fs.delete(staging, true)
   }
 
   private def bumpVersion(): Unit = {

@@ -529,6 +529,55 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
       == Seq(1, 10))
   }
 
+  test("z-order clustered compaction: bounds prune on EITHER clustered column, deletes stay sound") {
+    val wh = tmpWarehouse()
+    val zschema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("x", IntegerType), StructField("y", IntegerType),
+      StructField("__op", StringType),
+      StructField("__source_ts_ns", LongType)))
+    def zrows(t: (Int, Int, Int, String)*) =
+      t.toSeq.map(r => (r._1, r._2, r._3, r._4, 9L))
+        .toDF("id", "x", "y", "__op", "__source_ts_ns")
+    val t = ManagedTable.create(spark, wh, "zt", zschema, Seq("id"),
+      properties = Map("write.cluster-by" -> "x,y", "compact.cluster-groups" -> "8",
+        "write.mor.compact-after-upserts" -> "0"))
+    // a 16x16 grid in one unclustered append
+    t.append((0 until 256).map(i => (i, i % 16, i / 16, "c", 1L))
+      .toDF("id", "x", "y", "__op", "__source_ts_ns"))
+    t.compact()
+
+    val fs = TableMeta.fs(spark.sparkContext.hadoopConfiguration, wh)
+    val entries = Manifest.read(fs,
+      new org.apache.hadoop.fs.Path(s"$wh/zt/manifests/v=${t.meta.currentVersion}.json")).get
+    assert(entries.size == 8, s"expected 8 clustered groups, got ${entries.size}")
+    assert(entries.forall(e => e.stats.contains("x") && e.stats.contains("y") &&
+      e.stats.contains("id")), "every group must carry bounds on x, y, and id")
+
+    // narrow scans on either dimension prune files AND return exact answers
+    val full = t.read()
+    val xScan = t.readColRange("x", 0, 1)
+    assert(xScan.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      (0 until 256).filter(i => i % 16 <= 1).toSeq)
+    assert(xScan.inputFiles.length < full.inputFiles.length,
+      s"x-scan opened ${xScan.inputFiles.length}/${full.inputFiles.length} files — no pruning")
+    val yScan = t.readColRange("y", 14, 15)
+    assert(yScan.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      (0 until 256).filter(i => i / 16 >= 14).toSeq)
+    assert(yScan.inputFiles.length < full.inputFiles.length,
+      s"y-scan opened ${yScan.inputFiles.length}/${full.inputFiles.length} files — no pruning")
+
+    // non-identifier pruning stays sound under MoR deletes: an upsert
+    // moves id=5's x out of [5,5]; the old row must NOT resurrect even
+    // though the upsert group's x-bounds don't intersect the scan range
+    t.merge(zrows((5, 500, 0, "u")))
+    assert(t.readColRange("x", 5, 5).filter(col("id") === 5).count() == 0,
+      "stale row resurrected: upsert group's deletes were pruned away")
+    assert(t.readColRange("x", 500, 500).select("id").collect().map(_.getInt(0)).toSeq == Seq(5))
+    // identifier-column pruning still prunes every kind soundly
+    assert(t.readKeyRange("id", 5, 5).select("x").collect().map(_.getInt(0)).toSeq == Seq(500))
+  }
+
   test("MoR: minor compaction preserves per-row seqs — interleaved append rows stay visible") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "fold_seq", schema, Seq("id"),
