@@ -942,6 +942,33 @@ object Queries {
     * shape keyed on exact content digests). Sub-5-token docs have no
     * fingerprint and always pass through.
     */
+  /** The same crawl-vs-corpus sweep driven through the Bloom-sketch path
+    * ([[ExactDedup.bloomSweep]], exact-content fingerprints): the corpus
+    * fingerprint table is reduced to a broadcast sketch, the batch probes
+    * it map-side, and verified positives make the result bit-identical
+    * to the join formulation — which is why a plain SQL oracle applies
+    * to a probabilistic operator.
+    */
+  val dedupIncrementalBloom = Q("dedup_incremental_bloom",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      ExactDedup.bloomSweep(batch,
+          ExactDedup.groups(corpus, "text", "doc_id").select("content_hash"),
+          "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+    Some("""WITH f AS (SELECT doc_id, lang, n_chars,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 <> 0),
+      |batch AS (SELECT * FROM f WHERE doc_id % 3 = 0),
+      |canon AS (SELECT fp, min(doc_id) AS keep_id FROM batch GROUP BY fp)
+      |SELECT doc_id, lang, n_chars FROM batch
+      |WHERE fp NOT IN (SELECT fp FROM corpus)
+      |  AND doc_id IN (SELECT keep_id FROM canon)""".stripMargin))
+
   val dedupIncremental = Q("dedup_incremental",
     (s, dir) => {
       // Single pass over the shingle pipeline: forking the fingerprint
@@ -1749,7 +1776,8 @@ object Queries {
     textPiiRedact, textQualityFilter, textChunk,
     sampleHash, sampleSplit, sampleStratified, sampleGlobalSeq, pipelineCuration,
     pipelinePacking, pipelineDecontaminate, pipelineBalancedSample,
-    dedupExact, dedupIncremental, dedupMinhash, dedupMinhashPairs, dedupClusters, dedupApply,
+    dedupExact, dedupIncremental, dedupIncrementalBloom, dedupMinhash, dedupMinhashPairs,
+    dedupClusters, dedupApply,
     dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans,
     knnBrute, knnLsh, knnIvf, embeddingQuantize, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures)

@@ -46,4 +46,48 @@ object ExactDedup {
         Seq(idCol), "left_semi")
       .drop("__fp")
   }
+
+  /** [[incrementalSweep]] for a corpus whose fingerprint table is too big
+    * to sit on the join's build side: a Bloom sketch of the corpus
+    * fingerprints replaces the batch-vs-corpus join entirely.
+    *
+    * Shape at scale — ZERO shuffles touch the corpus:
+    *  1. one aggregate scan of the fingerprint column builds the sketch
+    *     (partial sketches merged, Spark's runtime-filter machinery);
+    *  2. the batch probes the broadcast sketch MAP-SIDE — rows the
+    *     sketch rejects are definitively fresh (no false negatives);
+    *  3. (`verify=true`) sketch-positives — a small, fpp-bounded slice —
+    *     are confirmed by STREAMING the fingerprint scan against their
+    *     broadcast set, so false positives never cause a wrong drop and
+    *     the result is bit-identical to [[incrementalSweep]];
+    *     `verify=false` skips scan 2 and accepts ≤fpp spurious drops
+    *     (the usual crawl-ingestion trade).
+    *
+    * Sketch sizing: `expectedItems` (or a count of `corpusHashes` when
+    * 0) at `fpp`, clamped to the session's runtime-bloom-filter caps —
+    * raise `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` for
+    * billion-document corpora (≈1.2 GB at 1e9 items / 1% fpp).
+    */
+  def bloomSweep(batch: DataFrame, corpusHashes: DataFrame,
+                 textCol: String, idCol: String,
+                 expectedItems: Long = 0L, fpp: Double = 0.01,
+                 verify: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    val n = if (expectedItems > 0) expectedItems else corpusHashes.count()
+    val bloom = corpusHashes
+      .select(GraftBridge.bloomFilterAgg(xxhash64(col("content_hash")), n, fpp).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val hashed = batch.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+    val positive = GraftBridge.bloomMightContain(bloom, xxhash64(col("__fp")))
+    val dupFps =
+      if (!verify) hashed.filter(positive).select(col("__fp")).distinct()
+      else corpusHashes.select(col("content_hash").as("__fp"))
+        .join(broadcast(hashed.filter(positive).select(col("__fp")).distinct()),
+          Seq("__fp"), "left_semi")
+    hashed
+      .join(broadcast(dupFps), Seq("__fp"), "left_anti")
+      .join(groups(batch, textCol, idCol).select(col("canonical_id").as(idCol)),
+        Seq(idCol), "left_semi")
+      .drop("__fp")
+  }
 }

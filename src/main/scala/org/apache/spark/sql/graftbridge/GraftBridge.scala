@@ -1,8 +1,10 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionUtils}
+import org.apache.spark.sql.types.BinaryType
 
 /** Column ⇄ Expression bridge. `ExpressionUtils` is `private[sql]` in
   * Spark 4, so libraries that define native Catalyst expressions expose
@@ -25,4 +27,31 @@ object GraftBridge {
     */
   def convertedExpression(c: Column): Expression =
     ColumnNodeToExpressionConverter(c.node)
+
+  /** Distributed Bloom-filter build over a LONG column (pre-hash with
+    * `xxhash64`): executors fill partial sketches, the driver merges —
+    * the same machinery Spark's runtime row-filtering injects. Sizing is
+    * clamped to the session's runtime-bloom-filter caps
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits`) because the aggregate's own type check enforces
+    * them; raise those confs for corpus-scale sketches.
+    */
+  def bloomFilterAgg(hashed: Column, numItems: Long, fpp: Double): Column = {
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val maxItems = conf.getConf(org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    val maxBits = conf.getConf(org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    val n = math.max(1L, math.min(numItems, maxItems))
+    val optimalBits = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bits = math.max(64L, math.min(optimalBits, maxBits))
+    ExpressionUtils.column(
+      new BloomFilterAggregate(convertedExpression(hashed), Literal(n), Literal(bits))
+        .toAggregateExpression())
+  }
+
+  /** Map-side membership probe against a built sketch (value pre-hashed
+    * with the same `xxhash64`).
+    */
+  def bloomMightContain(bloom: Array[Byte], hashedValue: Column): Column =
+    ExpressionUtils.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), convertedExpression(hashedValue)))
 }

@@ -62,6 +62,33 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     assert(kept === Array(2L, 4L))
   }
 
+  test("bloomSweep (verified) is exactly incrementalSweep; unverified never misses a true dup") {
+    import graft.dedup.ExactDedup
+    val corpus = (0L until 200L).map(i => (i, s"corpus doc number $i")).toDF("doc_id", "text")
+    val corpusFps = ExactDedup.groups(corpus, "text", "doc_id").select("content_hash")
+    val batch = (
+      (0L until 50L).map(i => (1000L + i, s"corpus doc number ${i * 4}")) ++ // known → drop
+      (0L until 50L).map(i => (2000L + i, s"brand new doc $i")) ++           // fresh → keep
+      Seq((3000L, "brand new doc 0"))                                        // batch dup → drop
+    ).toDF("doc_id", "text")
+    val exact = ExactDedup.incrementalSweep(batch, corpusFps, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    val bloomed = ExactDedup.bloomSweep(batch, corpusFps, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(bloomed === exact)
+    assert(exact === (2000L until 2050L).toArray)
+    // unverified mode: no false negatives (every corpus-known row still
+    // dropped) and kept set is a subset of the verified answer
+    val fast = ExactDedup.bloomSweep(batch, corpusFps, "text", "doc_id", verify = false)
+      .select("doc_id").as[Long].collect().sorted
+    assert(fast.toSet.subsetOf(exact.toSet))
+    assert(fast.forall(_ >= 2000L))
+    // empty corpus degrades to pure within-batch dedup
+    val none = ExactDedup.bloomSweep(batch, corpusFps.limit(0), "text", "doc_id")
+      .select("doc_id").as[Long].collect()
+    assert(none.length === 100)
+  }
+
   // ---------------------------------------------------------- PII redaction
 
   test("redactPii tags emails, IPv4s and phones; counts agree") {
