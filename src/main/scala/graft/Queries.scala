@@ -1133,6 +1133,32 @@ object Queries {
       |  coalesce(string_agg(CASE WHEN kept THEN btext END, ' ' ORDER BY s), '') AS dedup_text
       |FROM k GROUP BY doc_id""".stripMargin))
 
+  /** SemDeDup over the embedding corpus: a fixed 8-centroid codebook
+    * (the first 8 vectors — deterministic, so the oracle replays it),
+    * per-cell near-identical pairs at cosine ≥ 0.3, lower id survives.
+    */
+  val dedupSemantic = Q("dedup_semantic",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SemanticDedup.keep(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 8), "vec_id", "embedding", tau = 0.3)
+    },
+    Some("""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM d WHERE vec_id < 8),
+      |sc AS (SELECT d.vec_id, c.cid,
+      |    round(list_dot_product(v, cv) /
+      |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+      |  FROM d CROSS JOIN c),
+      |best AS (SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+      |    FROM sc) WHERE rk = 1),
+      |m AS (SELECT b.vec_id, b.cell, d.v, sqrt(list_dot_product(d.v, d.v)) AS n
+      |  FROM best b JOIN d ON b.vec_id = d.vec_id),
+      |drops AS (SELECT DISTINCT b2.vec_id AS dropped
+      |  FROM m b1 JOIN m b2 ON b1.cell = b2.cell AND b1.vec_id < b2.vec_id
+      |  WHERE round(list_dot_product(b1.v, b2.v) / (b1.n * b2.n), 6) >= 0.3)
+      |SELECT vec_id, cell FROM best WHERE vec_id NOT IN (SELECT dropped FROM drops)""".stripMargin))
+
   val dedupSimhash = Q("dedup_simhash",
     (s, dir) => SimHash.simhashed(
       t(s, dir, "documents").where(TextFunctions.tokenCount(col("text")) > 0),
@@ -1778,7 +1804,7 @@ object Queries {
     pipelinePacking, pipelineDecontaminate, pipelineBalancedSample,
     dedupExact, dedupIncremental, dedupIncrementalBloom, dedupMinhash, dedupMinhashPairs,
     dedupClusters, dedupApply,
-    dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans,
+    dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans, dedupSemantic,
     knnBrute, knnLsh, knnIvf, embeddingQuantize, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures)
 

@@ -36,4 +36,27 @@ class EmbeddingNearDupSpec extends AnyFunSuite with SharedSpark {
       .collect()
     assert(out.isEmpty)
   }
+
+  test("SemanticDedup: within-cell near-dups drop (lower id wins), cross-cell survive") {
+    import graft.dedup.SemanticDedup
+    val spark2 = spark
+    import spark2.implicits._
+    // two tight direction groups (+x-ish and -x-ish); ids 1,2 colinear
+    // dups; 3 also +x-but-orthogonal-ish; 10,11 colinear dups in -x
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(2.0f, 0.2f)), (3L, Array(0.1f, 1.0f)),
+      (10L, Array(-1.0f, -0.1f)), (11L, Array(-3.0f, -0.3f))
+    ).toDF("id", "vec")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.0f))).toDF("cid", "cv")
+    val kept = SemanticDedup.keep(emb, "id", "vec", cents, "cid", "cv", tau = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 dropped (dup of 1 in cell 0); 11 dropped (dup of 10 in cell 1);
+    // 3 kept (same cell as 1 but far below tau)
+    assert(kept === Map(1L -> 0L, 3L -> 0L, 10L -> 1L))
+    // a lax tau inside a cell never reaches across cells: with tau low
+    // enough to pair anything, 1 and 10 both survive (different cells)
+    val lax = SemanticDedup.keep(emb, "id", "vec", cents, "cid", "cv", tau = -1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(lax.contains(1L) && lax.contains(10L))
+  }
 }
