@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.tables.ManagedTable
+import graft.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Continuous corpus ingestion: the streaming composition of the curation
+  * operators — documents arrive as files, are quality-gated and
+  * fingerprint-deduplicated ACROSS micro-batches, and land in a
+  * [[ManagedTable]] under the same all-or-retry offset contract as the
+  * CDC path. This is the "always-on crawl intake" shape: the batch
+  * curation queries (`pipeline_curation` etc.) re-run over a frozen
+  * corpus; this pipeline keeps a growing corpus clean as it arrives.
+  *
+  * Per micro-batch: map-only quality scoring + fingerprinting in the scan
+  * stage, one state shuffle keyed by the 64-bit fingerprint hash
+  * ([[StatefulDedup]] with a constant version column = emit exactly the
+  * FIRST arrival of each content, forever), then a MoR append (O(batch)
+  * writes). State is hash-partitioned across executors and bounded by
+  * the optional TTL — the same trade a Kafka-compaction consumer makes.
+  *
+  * Rejected rows are not lost silently: callers that keep a quarantine
+  * audit run [[rejects]] over the same input in batch mode (the scoring
+  * is deterministic, so the split is exact).
+  */
+object CorpusIngest {
+
+  /** Document schema of the intake stream (JSON lines per file). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
+  final case class Config(
+      warehouse: String,
+      tableName: String = "corpus",
+      minQuality: Double = 0.5,
+      dedupTtl: Option[String] = None)
+
+  /** Start the intake stream over a directory of JSON-line document
+    * files. The managed table auto-creates on first batch (append-only,
+    * no identifier fields — content identity is the fingerprint state's
+    * job, not the table's).
+    */
+  def start(spark: SparkSession, inputDir: String, checkpointDir: String,
+            cfg: Config, maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val raw = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inputDir)
+    val scored = raw
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("fingerprint", TextFunctions.fingerprint(col("text")))
+    val keep = scored.filter(col("quality") >= cfg.minQuality)
+      // emit-once-per-content: constant version ⇒ only a key's first
+      // arrival is ever strictly newer than state
+      .withColumn("__fpk", xxhash64(col("fingerprint")))
+      .withColumn("__ver", lit(0L))
+      .withColumn("__op", lit("c"))
+    val deduped = StatefulDedup.dropStaleVersions(keep, "__fpk", "__ver", "__op",
+        ttl = cfg.dedupTtl)
+      .drop("__fpk", "__ver", "__op")
+    deduped.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spk = batch.sparkSession
+        val table = ManagedTable.load(spk, cfg.warehouse, cfg.tableName).getOrElse {
+          ManagedTable.create(spk, cfg.warehouse, cfg.tableName, batch.schema)
+        }
+        table.append(batch)
+      }
+      .start()
+  }
+
+  /** Batch-mode quality quarantine: the rows of `df` below the threshold,
+    * scored — written by callers that keep a reject audit table.
+    */
+  def rejects(df: DataFrame, minQuality: Double): DataFrame =
+    df.withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") < minQuality)
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SharedSpark
+import graft.tables.ManagedTable
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end continuous corpus intake: quality gate + cross-batch
+  * content dedup + managed-table landing, with state surviving stream
+  * restarts via the checkpoint.
+  */
+class CorpusIngestSpec extends AnyFunSuite with SharedSpark {
+
+  private def writeDocs(dir: String, name: String, docs: Seq[(Long, String)]): Unit = {
+    val lines = docs.map { case (id, text) =>
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"crawl"}"""
+    }
+    Files.write(java.nio.file.Paths.get(dir, name),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private val good1 = "the quick brown fox jumps over the lazy dog again and again"
+  private val good2 = "a steady stream of documents arrives and the pipeline keeps it clean"
+  private val good3 = "it is a truth universally acknowledged that corpora need curation"
+
+  test("quality gate + cross-batch dedup + table landing, state survives restart") {
+    val in = Files.createTempDirectory("ingest-in").toString
+    val ckpt = Files.createTempDirectory("ingest-ckpt").toString
+    val wh = Files.createTempDirectory("ingest-wh").toString
+    val cfg = CorpusIngest.Config(warehouse = wh, minQuality = 0.5)
+
+    // wave 1: two good docs, one junk doc
+    writeDocs(in, "wave1.json", Seq(1L -> good1, 2L -> "x", 3L -> good2))
+    val q1 = CorpusIngest.start(spark, in, ckpt, cfg)
+    q1.awaitTermination()
+    val t = ManagedTable.load(spark, wh, "corpus").get
+    val after1 = t.read().select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(after1.toSeq == Seq(1L, 3L), "junk doc must be gated out")
+
+    // wave 2 (NEW query, same checkpoint): an exact replay of doc 1's
+    // content under a new id, plus a fresh good doc
+    writeDocs(in, "wave2.json", Seq(4L -> good1, 5L -> good3))
+    val q2 = CorpusIngest.start(spark, in, ckpt, cfg)
+    q2.awaitTermination()
+    val after2 = ManagedTable.load(spark, wh, "corpus").get
+      .read().select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(after2.toSeq == Seq(1L, 3L, 5L),
+      "cross-batch duplicate content must not land twice")
+
+    // quality + fingerprint columns ride along on landed rows
+    val row = ManagedTable.load(spark, wh, "corpus").get.read()
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L).collect().head
+    assert(row.getAs[Double]("quality") >= 0.5)
+    assert(row.getAs[String]("fingerprint").length == 32)
+  }
+
+  test("rejects() is the exact complement of the gate") {
+    import spark.implicits._
+    val df = Seq((1L, good1), (2L, "x"), (3L, good2)).toDF("doc_id", "text")
+    val r = CorpusIngest.rejects(df, 0.5).select("doc_id").as[Long].collect()
+    assert(r.toSeq == Seq(2L))
+  }
+}
