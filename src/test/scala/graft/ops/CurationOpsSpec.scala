@@ -215,6 +215,39 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
     assert(got(6L) === ((1L, 1L, "")))
   }
 
+  test("removeDuplicateSpans conserves content: kept text is a sub-sequence, every block content survives once") {
+    import graft.dedup.SpanDedup
+    // deterministic pseudo-random corpus with heavy block sharing
+    val rnd = new scala.util.Random(42)
+    val blocks = (0 until 6).map(_ => (0 until 4).map(_ => s"w${rnd.nextInt(30)}").mkString(" "))
+    val docs = (0L until 40L).map { i =>
+      val nb = 1 + rnd.nextInt(4)
+      (i, (0 until nb).map(_ => blocks(rnd.nextInt(blocks.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", blockTokens = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, nb, nk, text) =>
+      assert(nk <= nb)
+      // kept text tokens appear in the original in order (sub-sequence)
+      val kept = text.split(" ").filter(_.nonEmpty)
+      val src = orig(id).split(" ").filter(_.nonEmpty)
+      var j = 0
+      kept.foreach { tok => j = src.indexOf(tok, j); assert(j >= 0, s"$tok lost order in doc $id"); j += 1 }
+    }
+    // every distinct full-block content survives exactly once corpus-wide
+    val survivors = out.flatMap { case (_, _, _, text) =>
+      text.split(" ").filter(_.nonEmpty).grouped(4).filter(_.size == 4).map(_.mkString(" ")) }
+    // count occurrences of contents that were duplicated in the input
+    val inputBlocks = orig.values.flatMap(t =>
+      t.split(" ").filter(_.nonEmpty).grouped(4).filter(_.size == 4).map(_.mkString(" "))).toSeq
+    val dupContents = inputBlocks.groupBy(identity).collect { case (k, v) if v.size > 1 => k }.toSet
+    val survivorCounts = survivors.groupBy(identity).map { case (k, v) => k -> v.size }
+    dupContents.foreach { c =>
+      assert(survivorCounts.getOrElse(c, 0) >= 1, s"block '$c' vanished entirely")
+    }
+  }
+
   test("removeDuplicateSpans is invariant to input order and partitioning") {
     import graft.dedup.SpanDedup
     val a = SpanDedup.removeDuplicateSpans(spanDocs, "doc_id", "text", 4)

@@ -85,4 +85,19 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     // the work is spread over the requested partitions, not one
     assert(GlobalOrder.withGlobalSeq(docs, "id", "seq", 7).rdd.getNumPartitions == 7)
   }
+
+  test("withGlobalSeq with duplicate keys: still a contiguous permutation, grouped by key") {
+    import graft.operators.GlobalOrder
+    import spark.implicits._
+    val dups = (0L until 60L).map(i => (i % 5, i)).toDF("k", "payload")
+    val got = GlobalOrder.withGlobalSeq(dups, "k", "seq", 6)
+      .select("k", "seq").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.map(_._2).sorted.toSeq == (1L to 60L).toSeq, "seq must be a contiguous 1..N permutation")
+    // all rows of one key occupy a contiguous seq interval (range partitioning
+    // + in-partition sort keep equal keys adjacent)
+    got.groupBy(_._1).foreach { case (k, rows) =>
+      val seqs = rows.map(_._2).sorted
+      assert(seqs.last - seqs.head + 1 == seqs.length, s"key $k seqs not contiguous: ${seqs.toSeq}")
+    }
+  }
 }
