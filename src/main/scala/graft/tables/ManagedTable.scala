@@ -482,7 +482,25 @@ final class ManagedTable private (
     * written before the manifest, the manifest before the pointer, so
     * every crash window leaves readers on a complete older version.
     */
+  /** Optimistic-concurrency guard on every version flip: a commit from a
+    * handle whose cached version no longer matches the on-disk pointer
+    * fails (another writer committed since this handle loaded) instead
+    * of silently clobbering that writer's snapshot. This detects every
+    * STALE-handle commit; two writers racing the same version window
+    * need an external coordinator (the Iceberg-catalog atomic-swap role
+    * — out of scope for a filesystem-only catalog, and the reference
+    * likewise assumes one consumer per table).
+    */
+  private def requireCurrentPointer(): Unit =
+    TableMeta.read(fs, tableDir).foreach { onDisk =>
+      if (onDisk.currentVersion != _meta.currentVersion)
+        throw new java.util.ConcurrentModificationException(
+          s"table ${_meta.name}: version moved ${_meta.currentVersion} -> " +
+            s"${onDisk.currentVersion} since this handle loaded; reload and retry")
+    }
+
   private def commitManifest(entries: Seq[ManifestEntry]): Unit = {
+    requireCurrentPointer()
     val retainPrev = versionsRetained // validate BEFORE any mutation
     val next = _meta.currentVersion + 1
     fs.delete(manifestPath(next), false) // leftover from a crashed commit
@@ -807,6 +825,7 @@ final class ManagedTable private (
   }
 
   private def bumpVersion(): Unit = {
+    requireCurrentPointer()
     _meta = _meta.copy(currentVersion = _meta.currentVersion + 1)
     TableMeta.write(fs, tableDir, _meta)
   }

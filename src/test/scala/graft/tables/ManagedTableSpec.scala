@@ -529,6 +529,26 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
       == Seq(1, 10))
   }
 
+  test("stale-handle commits are rejected, not silently clobbered (optimistic concurrency)") {
+    val wh = tmpWarehouse()
+    ManagedTable.create(spark, wh, "occ", schema, Seq("id"))
+    val h1 = ManagedTable.load(spark, wh, "occ").get
+    val h2 = ManagedTable.load(spark, wh, "occ").get
+    h1.append(rows((1, "a", "c", 1L)))
+    // h2 still believes version 0 — its commit must fail on any path
+    assertThrows[java.util.ConcurrentModificationException] {
+      h2.append(rows((2, "b", "c", 1L)))
+    }
+    assertThrows[java.util.ConcurrentModificationException] {
+      h2.merge(rows((2, "b", "u", 2L)))
+    }
+    // h1's snapshot is intact and a RELOADED handle commits fine
+    assert(ManagedTable.load(spark, wh, "occ").get.read().count() == 1)
+    val h3 = ManagedTable.load(spark, wh, "occ").get
+    h3.append(rows((2, "b", "c", 1L)))
+    assert(ManagedTable.load(spark, wh, "occ").get.read().count() == 2)
+  }
+
   test("z-order clustered compaction: bounds prune on EITHER clustered column, deletes stay sound") {
     val wh = tmpWarehouse()
     val zschema = StructType(Seq(
