@@ -529,6 +529,37 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
       == Seq(1, 10))
   }
 
+  test("incremental aggregate maintenance: chained O(changes) refreshes equal full recompute") {
+    val wh = tmpWarehouse()
+    val s = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("grp", StringType), StructField("v", IntegerType),
+      StructField("__op", StringType), StructField("__source_ts_ns", LongType)))
+    def gr(t: (Int, String, Int, String, Long)*) = t.toSeq.toDF("id", "grp", "v", "__op", "__source_ts_ns")
+    val t = ManagedTable.create(spark, wh, "iagg", s, Seq("id"),
+      properties = Map("write.versions-retained" -> "10", "write.mor.compact-after-upserts" -> "0"))
+    t.append(gr((1, "a", 10, "c", 1L), (2, "a", 20, "c", 1L), (3, "b", 30, "c", 1L)))
+    val v1 = t.meta.currentVersion
+    val agg1 = IncrementalAgg.fullAgg(t, Seq("grp"), Seq("v"))
+
+    // update 1 (a→b, value change), hard-delete 2, insert 4 in group c
+    t.merge(gr((1, "b", 11, "u", 2L), (2, "a", 0, "d", 2L), (4, "c", 40, "c", 2L)),
+      graft.cdc.CdcApply.UpsertConfig(keepDeletes = false))
+    val v2 = t.meta.currentVersion
+    val agg2 = IncrementalAgg.maintain(t, v1, v2, agg1, Seq("grp"), Seq("v"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(canon(agg2) == canon(IncrementalAgg.fullAgg(t, Seq("grp"), Seq("v"))))
+    // group "a" vanished entirely (1 moved out, 2 deleted)
+    assert(!canon(agg2).exists(_._1 == "a"))
+
+    // chain a second refresh window on top of the maintained state
+    t.merge(gr((3, "b", 300, "u", 3L), (5, "a", 5, "c", 3L)))
+    val v3 = t.meta.currentVersion
+    val agg3 = IncrementalAgg.maintain(t, v2, v3, agg2, Seq("grp"), Seq("v"))
+    assert(canon(agg3) == canon(IncrementalAgg.fullAgg(t, Seq("grp"), Seq("v"))))
+  }
+
   test("stale-handle commits are rejected, not silently clobbered (optimistic concurrency)") {
     val wh = tmpWarehouse()
     ManagedTable.create(spark, wh, "occ", schema, Seq("id"))
