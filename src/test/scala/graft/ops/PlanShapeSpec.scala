@@ -172,4 +172,45 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     // document relation itself must not be globally sorted
     assert(!p.contains("rangepartitioning"), s"global sort leaked into the doc path:\n$p")
   }
+
+  test("dedup_spans: exactly two exchanges (block hash, doc reassembly), no join") {
+    val p = plan(Queries.dedupSpans)
+    val exchanges = p.linesIterator.count(_.matches("""\s*\(\d+\) Exchange\s*"""))
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), "span dedup must be window+agg, not a self-join")
+    // the decision window partitions by the block hash — never unpartitioned
+    assert(!p.contains("SinglePartition"), s"a single-partition stage leaked in:\n$p")
+  }
+
+  test("dedup_semantic: codebook broadcasts; no cartesian pair scan across cells") {
+    val p = plan(Queries.dedupSemantic)
+    assert(p.contains("BroadcastExchange"), "codebook must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("dedup_incremental_bloom: batch probe is map-side; dup set broadcasts back") {
+    val q = Queries.dedupIncrementalBloom
+    val df = q.fn(spark, sf)
+    val executed = { df.collect(); df.queryExecution.executedPlan.toString }
+    // the bloom probe must appear as a plain filter predicate...
+    assert(executed.contains("might_contain"), "bloom probe missing from the plan")
+    // ...and the confirmed-duplicate set joins back by broadcast, so the
+    // batch relation is never shuffled for the corpus comparison
+    assert(executed.contains("BroadcastHashJoin"),
+      executed.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("sample_global_seq: numbering comes from the partition-offset seam, not a global window") {
+    val df = Queries.sampleGlobalSeq.fn(spark, sf)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the outer plan is the per-partition zip seam (an RDD scan) — a
+    // row_number rewrite would surface as a Window over SinglePartition
+    assert(p.contains("ExistingRDD"), s"offset-zip seam missing:\n$p")
+    assert(!p.contains("Window"), s"global-window numbering leaked in:\n$p")
+    // explicit partition counts spread the seam (SamplingSpec asserts 7);
+    // with the default count AQE may legitimately coalesce tiny inputs
+  }
 }
