@@ -66,14 +66,28 @@ object CorpusIngest {
     deduped.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spk = batch.sparkSession
-        val table = ManagedTable.load(spk, cfg.warehouse, cfg.tableName).getOrElse {
-          ManagedTable.create(spk, cfg.warehouse, cfg.tableName, batch.schema)
-        }
-        table.append(batch)
-      }
+      .foreachBatch { (batch: DataFrame, batchId: Long) => landBatch(cfg, batch, batchId) }
       .start()
+  }
+
+  /** Idempotent batch landing: the batch id is stamped into the table
+    * meta ATOMICALLY with the manifest commit (one pointer flip), so a
+    * replayed micro-batch — crash after the table committed but before
+    * the checkpoint did — is detected and skipped instead of landing
+    * twice. The foreachBatch contract is at-least-once; this marker
+    * makes the table's view of it exactly-once (Iceberg sinks dedup
+    * replayed commits via snapshot summaries the same way).
+    */
+  private[streaming] val BatchIdProp = "ingest.last-batch-id"
+
+  private[streaming] def landBatch(cfg: Config, batch: DataFrame, batchId: Long): Unit = {
+    val spk = batch.sparkSession
+    val table = ManagedTable.load(spk, cfg.warehouse, cfg.tableName).getOrElse {
+      ManagedTable.create(spk, cfg.warehouse, cfg.tableName, batch.schema)
+    }
+    val last = table.meta.properties.get(BatchIdProp).map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) return // replay of an already-landed batch
+    table.append(batch, Map(BatchIdProp -> batchId.toString))
   }
 
   /** Batch-mode quality quarantine: the rows of `df` below the threshold,

@@ -309,7 +309,20 @@ final class ManagedTable private (
     * distributed by partition expression (write.distribution-mode=hash
     * analogue) and sorted by identifier fields within files (D5).
     */
-  def append(batch: DataFrame): Unit = {
+  def append(batch: DataFrame): Unit = append(batch, Map.empty)
+
+  /** Append with `commitProperties` folded into the SAME commit's pointer
+    * flip — the idempotent-replay marker pattern: a streaming sink stamps
+    * its batch id into the commit it lands, so a replayed `foreachBatch`
+    * (crash between table commit and checkpoint commit) can detect the
+    * batch already landed and skip it. MoR only: the partitioned append
+    * path has no atomic pointer flip to ride.
+    */
+  def append(batch: DataFrame, commitProperties: Map[String, String]): Unit = {
+    require(commitProperties.isEmpty || !isPartitioned,
+      "commit properties need the MoR pointer flip (unpartitioned tables)")
+    if (commitProperties.nonEmpty)
+      _meta = _meta.copy(properties = _meta.properties ++ commitProperties)
     val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
     if (!isPartitioned) {
       // MoR: a new immutable data group + manifest commit — the live

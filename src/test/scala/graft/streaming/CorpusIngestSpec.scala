@@ -54,6 +54,23 @@ class CorpusIngestSpec extends AnyFunSuite with SharedSpark {
     assert(row.getAs[String]("fingerprint").length == 32)
   }
 
+  test("a replayed micro-batch lands exactly once (batch-id marker rides the commit)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("replay-wh").toString
+    val cfg = CorpusIngest.Config(warehouse = wh)
+    val batch = Seq((1L, good1, "en", "c")).toDF("doc_id", "text", "lang", "source")
+    CorpusIngest.landBatch(cfg, batch, batchId = 0L)
+    // the at-least-once replay: same batch id arrives again
+    CorpusIngest.landBatch(cfg, batch, batchId = 0L)
+    val t = ManagedTable.load(spark, wh, "corpus").get
+    assert(t.read().count() == 1, "replayed batch landed twice")
+    assert(t.meta.properties(CorpusIngest.BatchIdProp) == "0")
+    // the next genuine batch still lands
+    CorpusIngest.landBatch(cfg,
+      Seq((2L, good3, "en", "c")).toDF("doc_id", "text", "lang", "source"), batchId = 1L)
+    assert(ManagedTable.load(spark, wh, "corpus").get.read().count() == 2)
+  }
+
   test("rejects() is the exact complement of the gate") {
     import spark.implicits._
     val df = Seq((1L, good1), (2L, "x"), (3L, good2)).toDF("doc_id", "text")
