@@ -63,7 +63,8 @@ object CdcPipeline {
     StructField("value", StringType)))
 
   /** Process one micro-batch; returns rows written per destination table. */
-  def processBatch(spark: SparkSession, rawBatch: DataFrame, cfg: PipelineConfig): Map[String, Long] = {
+  def processBatch(spark: SparkSession, rawBatch: DataFrame, cfg: PipelineConfig,
+                   batchId: Long = -1L): Map[String, Long] = {
     // R2 — heartbeat destinations are skipped wholesale
     val batch = cfg.heartbeatPrefix match {
       case Some(p) => rawBatch.filter(!col("destination").startsWith(p))
@@ -93,7 +94,7 @@ object CdcPipeline {
         cfg.tableOperationTimeout) { dest =>
         val (n, schemas, keySchema) = meta(dest)
         processDestination(spark, batch.filter(col("destination") === dest),
-          dest, schemas, keySchema, cfg)
+          dest, schemas, keySchema, cfg, batchId)
         dest -> n
       }
       results.toMap
@@ -102,7 +103,7 @@ object CdcPipeline {
 
   private def processDestination(spark: SparkSession, slice: DataFrame, dest: String,
                                  schemas: Seq[String], keySchema: Option[String],
-                                 cfg: PipelineConfig): Unit = {
+                                 cfg: PipelineConfig, batchId: Long = -1L): Unit = {
     // collect_set order is nondeterministic and mergeSpecs is
     // first-writer-wins on incompatible types — sort so the inferred
     // schema is identical across batch retries and re-runs
@@ -179,9 +180,21 @@ object CdcPipeline {
         if (ids.nonEmpty && cfg.nullKeyPolicy != CdcApply.NullKeyPolicy.Fail)
           typed.na.drop("any", ids)
         else typed
-      table.append(guarded)
+      // Append is not naturally idempotent (merge is): on the MoR path a
+      // batch-id marker rides the manifest commit, so the replay of a
+      // batch whose table commit landed but whose checkpoint didn't is
+      // skipped instead of duplicated. Partitioned destinations have no
+      // atomic pointer flip and stay at-least-once (reference parity).
+      if (batchId >= 0 && table.meta.partitionBy.isEmpty) {
+        val last = table.meta.properties.get(CdcBatchIdProp).map(_.toLong).getOrElse(-1L)
+        if (batchId > last)
+          table.append(guarded, Map(CdcBatchIdProp -> batchId.toString))
+      } else table.append(guarded)
     }
   }
+
+  /** Per-table replay marker for append-mode destinations. */
+  val CdcBatchIdProp = "cdc.last-batch-id"
 
   /** W9 — raw-event archive: JSON blobs partitioned by destination + hour,
     * the `debezium_events` table of SINK/IcebergEventsChangeConsumer.java:79-99.
@@ -284,7 +297,7 @@ object CdcPipeline {
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val batchStartMs = System.currentTimeMillis()
-        processBatch(spark, df, cfg)
+        processBatch(spark, df, cfg, batchId)
         // Queryable offset parity row (IcebergOffsetBackingStore.java:193-230).
         // The checkpoint remains authoritative; this single-row overwrite
         // commits strictly after every table write of the batch succeeded.

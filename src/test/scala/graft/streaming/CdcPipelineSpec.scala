@@ -83,6 +83,28 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
     assert(t.read().count() == 1)
   }
 
+  test("append mode: a replayed batch id lands exactly once on MoR destinations") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-replay").toString
+    val cfg = PipelineConfig(warehouse = s"$root/wh", upsert = false)
+    val batch = Seq(
+      EventFactory.event(1, "a", "c", 1L),
+      EventFactory.event(2, "b", "c", 1L)
+    ).toDF("destination", "key", "value")
+    CdcPipeline.processBatch(spark, batch, cfg, batchId = 0L)
+    // the crash-window replay: same batch id re-delivered
+    CdcPipeline.processBatch(spark, batch, cfg, batchId = 0L)
+    val t = ManagedTable.load(spark, cfg.warehouse, "testc_inventory_customers").get
+    assert(t.read().count() == 2, "replayed append batch landed twice")
+    assert(t.meta.properties(CdcPipeline.CdcBatchIdProp) == "0")
+    // the next batch id still lands
+    CdcPipeline.processBatch(spark,
+      Seq(EventFactory.event(3, "c", "c", 2L)).toDF("destination", "key", "value"),
+      cfg, batchId = 1L)
+    assert(ManagedTable.load(spark, cfg.warehouse, "testc_inventory_customers").get
+      .read().count() == 3)
+  }
+
   test("a failing destination fails the whole batch (offsets not committed)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-fail").toString
