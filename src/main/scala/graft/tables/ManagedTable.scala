@@ -612,6 +612,20 @@ final class ManagedTable private (
   private def asideFor(dst: Path): Path =
     new Path(dst.getParent, s".${dst.getName}.__old")
 
+  /** Load-time sweep of staging directories a hard crash orphaned (the
+    * `finally` cleanup never ran): merge/compact/cluster staging is only
+    * referenced by the in-flight operation that created it, so at open
+    * time — single-writer model — any survivor is invisible-to-readers
+    * disk leak, never live data.
+    */
+  private[tables] def sweepOrphanStaging(): Unit =
+    if (fs.exists(tableDir)) fs.listStatus(tableDir).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && (n.startsWith(".stage-") || n.startsWith(".compact-") ||
+          n.startsWith(".zcompact-")))
+        fs.delete(s.getPath, true)
+    }
+
   /** Crash recovery for [[swapPartitions]]: restore any partition whose
     * swap died between rename-aside and rename-in; drop asides whose live
     * partition exists (the swap completed, only cleanup was lost). Called
@@ -891,6 +905,7 @@ object ManagedTable {
     TableMeta.read(fs, new Path(warehouse, name)).map { m =>
       val t = new ManagedTable(spark, warehouse, m)
       t.recoverPartitionSwaps()
+      t.sweepOrphanStaging()
       t
     }
   }

@@ -529,6 +529,21 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
       == Seq(1, 10))
   }
 
+  test("load sweeps staging dirs a hard crash orphaned; live data untouched") {
+    val wh = tmpWarehouse()
+    val t0 = ManagedTable.create(spark, wh, "sweep", schema, Seq("id"))
+    t0.append(rows((1, "a", "c", 1L)))
+    val fs = TableMeta.fs(spark.sparkContext.hadoopConfiguration, wh)
+    Seq(".stage-dead", ".compact-dead", ".zcompact-dead").foreach { d =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$wh/sweep/$d/part"))
+    }
+    val t = ManagedTable.load(spark, wh, "sweep").get
+    Seq(".stage-dead", ".compact-dead", ".zcompact-dead").foreach { d =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$wh/sweep/$d")), s"$d not swept")
+    }
+    assert(t.read().count() == 1)
+  }
+
   test("incremental aggregate maintenance: chained O(changes) refreshes equal full recompute") {
     val wh = tmpWarehouse()
     val s = StructType(Seq(
