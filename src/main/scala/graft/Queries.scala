@@ -739,6 +739,25 @@ object Queries {
       |  FROM documents)
       |SELECT lang, doc_id FROM r WHERE rk <= 20""".stripMargin))
 
+  /** Pretraining source mixture: per-source keep rates (the data-mixing
+    * weights step), deterministic by content hash. The oracle replays the
+    * same CASE-threshold + bucket formula.
+    */
+  val sampleMixture = Q("sample_mixture", {
+    val rates = (0 until 20).map(i => s"src$i" ->
+      (if (i < 5) 10000 else if (i < 10) 5000 else if (i < 15) 2500 else 1000)).toMap
+    (s, dir) => Sampling.sampleByRates(t(s, dir, "documents"),
+        "source", "doc_id", rates, defaultBp = 0, seed = "mix")
+      .select(col("doc_id"), col("source"), col("lang"))
+  },
+    Some {
+      val cases = (0 until 20).map(i => s"WHEN source = 'src$i' THEN " +
+        (if (i < 5) 10000 else if (i < 10) 5000 else if (i < 15) 2500 else 1000))
+        .mkString(" ")
+      s"""SELECT doc_id, source, lang FROM documents
+         |WHERE ${duckBucket("mix", "doc_id")} < (CASE $cases ELSE 0 END)""".stripMargin
+    })
+
   /** Global contiguous example numbering + derived export shards — a
     * range exchange with per-partition offset zip, NEVER a
     * single-partition `row_number() OVER (ORDER BY …)` (the oracle may
@@ -1800,7 +1819,8 @@ object Queries {
     qFunnel, qHistogram, qIntervalJoin,
     textStats, textLangId, textFingerprint, textTfidf, textRepetition,
     textPiiRedact, textQualityFilter, textChunk,
-    sampleHash, sampleSplit, sampleStratified, sampleGlobalSeq, pipelineCuration,
+    sampleHash, sampleSplit, sampleStratified, sampleGlobalSeq, sampleMixture,
+    pipelineCuration,
     pipelinePacking, pipelineDecontaminate, pipelineBalancedSample,
     dedupExact, dedupIncremental, dedupIncrementalBloom, dedupMinhash, dedupMinhashPairs,
     dedupClusters, dedupApply,

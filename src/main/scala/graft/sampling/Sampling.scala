@@ -59,6 +59,44 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Pretraining data-mixture sampling: per-source deterministic keep
+    * rates in basis points — the "source mixing weights" step of corpus
+    * assembly (a Pile/LLaMA-style mixture re-weights crawl vs books vs
+    * code by downsampling the over-represented sources). Map-only: the
+    * threshold is a literal when-chain on the group column and the keep
+    * decision reuses the content-stable bucket hash, so the mixture is
+    * reproducible across runs, engines, and partitionings like every
+    * sampler here. Unlisted groups fall back to `defaultBp`.
+    */
+  def sampleByRates(df: DataFrame, groupCol: String, keyCol: String,
+                    ratesBp: Map[String, Int], defaultBp: Int = 10000,
+                    seed: String = ""): DataFrame = {
+    require((ratesBp.values.toSeq :+ defaultBp).forall(r => r >= 0 && r <= 10000),
+      s"rates out of basis-point range: $ratesBp default=$defaultBp")
+    val thr = ratesBp.toSeq.sortBy(_._1).foldLeft(lit(defaultBp): Column) {
+      case (acc, (g, r)) => when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket(col(keyCol), seed) < thr)
+  }
+
+  /** Temperature-flattened mixture rates from the observed source counts
+    * (the multilingual-pretraining recipe: sampling share ∝ countᵀ, so
+    * T=1 keeps the natural distribution and T→0 flattens toward
+    * uniform). Keep rate per source ∝ count^(T−1), normalized so the
+    * rarest source keeps everything (10000 bp) and larger sources scale
+    * down. One metadata-scale count aggregate (#sources rows) feeds
+    * [[sampleByRates]].
+    */
+  def temperatureRatesBp(df: DataFrame, groupCol: String,
+                         temperature: Double): Map[String, Int] = {
+    require(temperature > 0 && temperature <= 1, s"temperature out of (0,1]: $temperature")
+    val counts = df.groupBy(col(groupCol)).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val raw = counts.map { case (g, c) => g -> math.pow(c.toDouble, temperature - 1.0) }
+    val mx = raw.values.max
+    raw.map { case (g, v) => g -> math.round(v / mx * 10000).toInt }
+  }
+
   /** Sequence packing: assign documents to fixed-capacity context windows —
     * the "pack short documents into 4k-token training sequences" step that
     * precedes tokenizer sharding. Documents are laid out in deterministic

@@ -86,6 +86,32 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     assert(GlobalOrder.withGlobalSeq(docs, "id", "seq", 7).rdd.getNumPartitions == 7)
   }
 
+  test("sampleByRates: per-group thresholds exact; temperature rates flatten the mixture") {
+    import spark.implicits._
+    val mixed = (1 to 3000).map(i =>
+      (i.toLong, if (i <= 2400) "big" else "small")).toDF("id", "src")
+    val kept = Sampling.sampleByRates(mixed, "src", "id",
+      Map("big" -> 2500), defaultBp = 10000, seed = "m")
+    // exact: kept set equals the manual bucket filter per group
+    val expect = mixed.filter(
+      (col("src") === "big" && Sampling.bucket(col("id"), "m") < 2500) ||
+      (col("src") =!= "big" && Sampling.bucket(col("id"), "m") < 10000))
+    assert(kept.select("id").as[Long].collect().sorted.toSeq ==
+      expect.select("id").as[Long].collect().sorted.toSeq)
+    // the small source is untouched; the big one is near its 25% rate
+    val bySrc = kept.groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("small") == 600L)
+    assert(bySrc("big") > 450 && bySrc("big") < 750, bySrc.toString)
+
+    // temperature flattening: rarest source anchors at 10000 bp, larger
+    // sources scale as count^(T-1); T=1 keeps the natural distribution
+    val flat = Sampling.temperatureRatesBp(mixed, "src", 0.5)
+    assert(flat("small") == 10000)
+    assert(flat("big") == math.round(math.pow(2400.0, -0.5) / math.pow(600.0, -0.5) * 10000).toInt)
+    val natural = Sampling.temperatureRatesBp(mixed, "src", 1.0)
+    assert(natural.values.forall(_ == 10000))
+  }
+
   test("withGlobalSeq with duplicate keys: still a contiguous permutation, grouped by key") {
     import graft.operators.GlobalOrder
     import spark.implicits._
