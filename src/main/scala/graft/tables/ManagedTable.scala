@@ -321,8 +321,17 @@ final class ManagedTable private (
   def append(batch: DataFrame, commitProperties: Map[String, String]): Unit = {
     require(commitProperties.isEmpty || !isPartitioned,
       "commit properties need the MoR pointer flip (unpartitioned tables)")
+    // stage the properties into the handle only for the duration of this
+    // commit attempt: a failed write must not leak them into a LATER
+    // commit (they'd claim a batch landed that never did)
+    val prevMeta = _meta
     if (commitProperties.nonEmpty)
       _meta = _meta.copy(properties = _meta.properties ++ commitProperties)
+    try appendStaged(batch)
+    catch { case t: Throwable => _meta = prevMeta; throw t }
+  }
+
+  private def appendStaged(batch: DataFrame): Unit = {
     val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
     if (!isPartitioned) {
       // MoR: a new immutable data group + manifest commit — the live
