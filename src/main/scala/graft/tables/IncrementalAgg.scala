@@ -53,8 +53,11 @@ object IncrementalAgg {
     val delta = before.unionByName(after)
       .groupBy(groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
-    val merged = oldAgg.join(delta, groupCols, "full_outer")
-      .select(groupCols.map(col) ++
+    // null-safe group equality: a NULL group key must merge its old and
+    // delta sides like any other group, not split into two partial rows
+    val joinCond = groupCols.map(c => oldAgg(c) <=> delta(c)).reduce(_ && _)
+    val merged = oldAgg.join(delta, joinCond, "full_outer")
+      .select(groupCols.map(c => coalesce(oldAgg(c), delta(c)).as(c)) ++
         sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0)) +
           coalesce(col(s"__d_sum_$c"), lit(0))).as(s"sum_$c")) :+
         (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__d_n"), lit(0L))).as("n_rows"): _*)

@@ -568,11 +568,22 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     // group "a" vanished entirely (1 moved out, 2 deleted)
     assert(!canon(agg2).exists(_._1 == "a"))
 
-    // chain a second refresh window on top of the maintained state
+    // chain a second refresh window on top of the maintained state,
+    // including a NULL group key (must merge, not split into two rows)
     t.merge(gr((3, "b", 300, "u", 3L), (5, "a", 5, "c", 3L)))
+    t.merge(Seq((6, Option.empty[String], 7, "c", 3L), (7, Option.empty[String], 8, "c", 3L))
+      .toDF("id", "grp", "v", "__op", "__source_ts_ns"))
     val v3 = t.meta.currentVersion
     val agg3 = IncrementalAgg.maintain(t, v2, v3, agg2, Seq("grp"), Seq("v"))
-    assert(canon(agg3) == canon(IncrementalAgg.fullAgg(t, Seq("grp"), Seq("v"))))
+    def canonN(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(canonN(agg3) == canonN(IncrementalAgg.fullAgg(t, Seq("grp"), Seq("v"))))
+    assert(canonN(agg3).count(_._1.isEmpty) == 1, "null group must be one merged row")
+    // and a further window that UPDATES inside the null group still merges
+    t.merge(gr((6, "c", 70, "u", 4L)))
+    val v4 = t.meta.currentVersion
+    val agg4 = IncrementalAgg.maintain(t, v3, v4, agg3, Seq("grp"), Seq("v"))
+    assert(canonN(agg4) == canonN(IncrementalAgg.fullAgg(t, Seq("grp"), Seq("v"))))
   }
 
   test("stale-handle commits are rejected, not silently clobbered (optimistic concurrency)") {
