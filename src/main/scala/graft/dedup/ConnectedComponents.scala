@@ -73,4 +73,57 @@ object ConnectedComponents {
         "graph diameter exceeds the bound; raise maxIter or use star-contraction")
     labels
   }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", 2014) — the
+    * O(log n)-round alternative for graphs whose DIAMETER defeats plain
+    * propagation (long chains of pairwise near-dups, adversarial link
+    * structures). Per round, each node re-attaches its larger neighbors
+    * (large-star) or its smaller-or-equal neighbors (small-star) to the
+    * minimum of its closed neighborhood; at fixpoint every node points
+    * at its component minimum — the same labels [[components]] yields.
+    *
+    * Each half-round is one partial-aggregated groupBy (per-node min —
+    * no neighbor lists are ever collected) plus one re-join of the edge
+    * relation, checkpointed to keep lineage flat. Star graphs hash-skew
+    * onto their hub's reducer only for the min aggregation, which
+    * map-side combines — the edge relation itself stays (src, dst) pairs.
+    */
+  def componentsByStarContraction(edges: DataFrame, srcCol: String, dstCol: String,
+                                  maxIter: Int = 50): DataFrame = {
+    val nodes = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id"))).distinct().localCheckpoint(true)
+    // canonical direction u > v: every node points at a smaller neighbor
+    var e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .where(col("u") > col("v")).distinct().localCheckpoint(true)
+    var stable = false
+    var i = 0
+    while (!stable && i < maxIter) {
+      // large-star: attach each node's LARGER neighbors to its closed-
+      // neighborhood minimum. Neighborhood here is both directions.
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min("v"), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .where(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint(true)
+      // small-star: attach each node's smaller-or-equal neighbors (and
+      // itself) to the minimum of its incoming smaller neighborhood.
+      val minsS = large.groupBy("u").agg(least(min("v"), col("u")).as("m"))
+      val small = large.join(minsS, "u")
+        .select(col("v").as("n"), col("m"))
+        .union(large.join(minsS, "u").select(col("u").as("n"), col("m")))
+        .where(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint(true)
+      stable = small.count() == e.count() &&
+        small.except(e).isEmpty
+      e = small
+      i += 1
+    }
+    require(stable, s"star contraction did not stabilize within $maxIter rounds")
+    nodes.join(e.select(col("u").as("id"), col("v").as("cluster")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
 }

@@ -50,4 +50,30 @@ class ConnectedComponentsSpec extends AnyFunSuite with SharedSpark {
       ConnectedComponents.components(chain.toDF("a", "b"), "a", "b", maxIter = 2)
     }
   }
+
+  private def runStar(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] =
+    ConnectedComponents.componentsByStarContraction(edges.toDF("a", "b"), "a", "b", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star contraction matches union-find and plain propagation on random graphs") {
+    val rnd = new Random(11)
+    for (_ <- 1 to 3) {
+      val n = 50
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      assert(runStar(edges) == unionFind(edges))
+    }
+  }
+
+  test("star contraction closes a chain whose diameter defeats bounded propagation") {
+    // a 60-node path: propagation at maxIter=5 must refuse; star
+    // contraction closes it in O(log n) rounds
+    val chain = (0L until 59L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.components(chain.toDF("a", "b"), "a", "b", maxIter = 5)
+    }
+    val got = runStar(chain, maxIter = 15)
+    assert(got.values.toSet == Set(0L), got.filter(_._2 != 0L).toString)
+    assert(got.keySet == (0L to 59L).toSet)
+  }
 }
