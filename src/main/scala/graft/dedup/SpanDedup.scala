@@ -30,34 +30,38 @@ import org.apache.spark.sql.functions._
   * agg+join round trip); ONE shuffle back on doc id to re-assemble.
   * Rows carry the block text through the first exchange so re-assembly
   * needs no second scan; at extreme skew (a boilerplate block repeated
-  * billions of times) the decision pass can instead ship only
-  * (doc, pos, hash) and re-derive text map-side — same semantics, one
-  * more exchange, noted here as the narrow variant.
+  * billions of times) `carryText = false` ships only (doc, pos, hash)
+  * through the decision exchange and re-derives text map-side — same
+  * semantics, one more exchange, uniform shuffle keys throughout.
   */
 object SpanDedup {
 
   /** Per document: block counts and the text with duplicated spans
     * removed. Output columns: idCol, n_blocks, n_kept, dedup_text.
+    *
+    * `carryText = true` (default) ships the block text through the
+    * content-hash exchange — one scan, two shuffles. `carryText = false`
+    * is the SKEW-SAFE path: the decision relation is (id, pos, hash)
+    * only, so a boilerplate block repeated a billion times concentrates
+    * 24-byte rows — not documents — on its reducer; the kept flags then
+    * join a re-derived (map-side) block relation shuffled by the UNIFORM
+    * (id, pos) key. Same semantics, one extra scan+exchange.
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                           blockTokens: Int = 20): DataFrame = {
+                           blockTokens: Int = 20,
+                           carryText: Boolean = true): DataFrame = {
     require(blockTokens > 0, s"blockTokens must be positive: $blockTokens")
-    val tk = graft.text.TextFunctions.tokens(coalesce(col(textCol), lit("")))
-    val blocks = df
-      .select(col(idCol), explode(
-        graft.text.TextFunctions.tokenChunks(tk, blockTokens, 0)).as("__ch"))
-      .select(col(idCol), col("__ch.s").as("__s"),
-        concat_ws(" ", col("__ch.ctoks")).as("__btext"),
-        size(col("__ch.ctoks")).as("__blen"))
-      .withColumn("__h", md5(col("__btext")))
-    val byContent = Window.partitionBy("__h")
-    val decided = blocks
-      .withColumn("__cnt", count(lit(1)).over(byContent))
-      .withColumn("__keeper",
-        min(struct(col(idCol), col("__s"))).over(byContent))
-      .withColumn("__kept",
-        col("__blen") < blockTokens || col("__cnt") === 1 ||
-          struct(col(idCol), col("__s")) === col("__keeper"))
+    val blocks = blockRelation(df, idCol, textCol, blockTokens)
+    val decided =
+      if (carryText) decideKept(blocks, idCol, blockTokens)
+      else {
+        val flags = decideKept(
+          blocks.select(col(idCol), col("__s"), col("__blen"), col("__h")),
+          idCol, blockTokens)
+          .select(col(idCol), col("__s"), col("__kept"))
+        blockRelation(df, idCol, textCol, blockTokens)
+          .join(flags, Seq(idCol, "__s"))
+      }
     decided.groupBy(idCol)
       .agg(
         count(lit(1)).as("n_blocks"),
@@ -66,5 +70,30 @@ object SpanDedup {
           array_sort(collect_list(when(col("__kept"),
             struct(col("__s"), col("__btext"))))),
           b => b.getField("__btext"))).as("dedup_text"))
+  }
+
+  /** (id, pos, text, len, 128-bit hash) — map-only in the scan stage. */
+  private def blockRelation(df: DataFrame, idCol: String, textCol: String,
+                            blockTokens: Int): DataFrame = {
+    val tk = graft.text.TextFunctions.tokens(coalesce(col(textCol), lit("")))
+    df.select(col(idCol), explode(
+        graft.text.TextFunctions.tokenChunks(tk, blockTokens, 0)).as("__ch"))
+      .select(col(idCol), col("__ch.s").as("__s"),
+        concat_ws(" ", col("__ch.ctoks")).as("__btext"),
+        size(col("__ch.ctoks")).as("__blen"))
+      .withColumn("__h", md5(col("__btext")))
+  }
+
+  /** Canonical-occurrence decision: one window shuffle on the hash. */
+  private def decideKept(blocks: DataFrame, idCol: String,
+                         blockTokens: Int): DataFrame = {
+    val byContent = Window.partitionBy("__h")
+    blocks
+      .withColumn("__cnt", count(lit(1)).over(byContent))
+      .withColumn("__keeper",
+        min(struct(col(idCol), col("__s"))).over(byContent))
+      .withColumn("__kept",
+        col("__blen") < blockTokens || col("__cnt") === 1 ||
+          struct(col(idCol), col("__s")) === col("__keeper"))
   }
 }

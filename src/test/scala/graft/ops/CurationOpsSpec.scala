@@ -257,4 +257,12 @@ class CurationOpsSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(a === b)
   }
+
+  test("narrow (skew-safe) span dedup is equivalent to the carry variant") {
+    import graft.dedup.SpanDedup
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(canon(SpanDedup.removeDuplicateSpans(spanDocs, "doc_id", "text", 4, carryText = false))
+      === canon(SpanDedup.removeDuplicateSpans(spanDocs, "doc_id", "text", 4)))
+  }
 }
