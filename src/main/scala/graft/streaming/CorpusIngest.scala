@@ -39,7 +39,8 @@ object CorpusIngest {
       warehouse: String,
       tableName: String = "corpus",
       minQuality: Double = 0.5,
-      dedupTtl: Option[String] = None)
+      dedupTtl: Option[String] = None,
+      redactPii: Boolean = false)
 
   /** Start the intake stream over a directory of JSON-line document
     * files. The managed table auto-creates on first batch (append-only,
@@ -51,7 +52,12 @@ object CorpusIngest {
     val raw = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inputDir)
-    val scored = raw
+    // redaction runs BEFORE fingerprinting: two documents differing only
+    // in the concrete PII they leak are the same document after release
+    val redacted =
+      if (cfg.redactPii) raw.withColumn("text", TextFunctions.redactPii(col("text")))
+      else raw
+    val scored = redacted
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .withColumn("fingerprint", TextFunctions.fingerprint(col("text")))
     val keep = scored.filter(col("quality") >= cfg.minQuality)

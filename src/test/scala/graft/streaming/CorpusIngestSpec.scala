@@ -71,6 +71,24 @@ class CorpusIngestSpec extends AnyFunSuite with SharedSpark {
     assert(ManagedTable.load(spark, wh, "corpus").get.read().count() == 2)
   }
 
+  test("redaction stage: PII is scrubbed before landing, and redaction-equal docs dedup") {
+    val in = Files.createTempDirectory("pii-in").toString
+    val ckpt = Files.createTempDirectory("pii-ckpt").toString
+    val wh = Files.createTempDirectory("pii-wh").toString
+    val cfg = CorpusIngest.Config(warehouse = wh, redactPii = true)
+    // two docs identical except for the concrete email they leak — after
+    // redaction they are the same content and must land once
+    val t1 = s"$good1 contact alice@example.com for details"
+    val t2 = s"$good1 contact bob@other.org for details"
+    writeDocs(in, "w1.json", Seq(1L -> t1, 2L -> t2))
+    CorpusIngest.start(spark, in, ckpt, cfg).awaitTermination()
+    val rows = graft.tables.ManagedTable.load(spark, wh, "corpus").get.read()
+      .select("doc_id", "text").collect()
+    assert(rows.length == 1, "redaction-equal documents must dedup to one")
+    assert(rows.head.getString(1).contains("<EMAIL>"))
+    assert(!rows.head.getString(1).contains("example.com"))
+  }
+
   test("rejects() is the exact complement of the gate") {
     import spark.implicits._
     val df = Seq((1L, good1), (2L, "x"), (3L, good2)).toDF("doc_id", "text")
