@@ -1095,6 +1095,17 @@ object Queries {
       |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b)
       |SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id""".stripMargin))
 
+  /** The same clustering through the O(log n) star-contraction algorithm
+    * (the high-diameter alternative): identical labels by construction,
+    * so it shares [[dedupClusters]]'s recursive-CTE oracle — a
+    * driver-checked proof the two algorithms agree on real data.
+    */
+  val dedupClustersStar = Q("dedup_clusters_star",
+    (s, dir) => ConnectedComponents
+      .componentsByStarContraction(dedupMinhashPairs.fn(s, dir), "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id")),
+    dedupClusters.oracle)
+
   /** Apply the near-dup clustering to the corpus: keep each cluster's
     * canonical document (the minimum doc_id — exactly the cluster label)
     * plus every unclustered document. The cluster assignment is
@@ -1823,7 +1834,7 @@ object Queries {
     pipelineCuration,
     pipelinePacking, pipelineDecontaminate, pipelineBalancedSample,
     dedupExact, dedupIncremental, dedupIncrementalBloom, dedupMinhash, dedupMinhashPairs,
-    dedupClusters, dedupApply,
+    dedupClusters, dedupClustersStar, dedupApply,
     dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans, dedupSemantic,
     knnBrute, knnLsh, knnIvf, embeddingQuantize, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures)

@@ -97,6 +97,18 @@ object ConnectedComponents {
     var e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
       .where(col("u") > col("v")).distinct().localCheckpoint(true)
+    // convergence signature: (edge count, order-independent hash sum) —
+    // one tiny aggregate per round instead of a full set-difference join.
+    // A signature collision on unequal edge sets (≈2⁻⁶⁴ per round) would
+    // only stop one round early on a graph that was one rename from
+    // fixpoint; the star-shape invariant keeps labels consistent.
+    def signature(df: DataFrame): (Long, BigDecimal) = {
+      // decimal sum: exact and overflow-free under ANSI mode at any count
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    var sig = signature(e)
     var stable = false
     var i = 0
     while (!stable && i < maxIter) {
@@ -109,16 +121,17 @@ object ConnectedComponents {
         .select(col("v").as("u"), col("m").as("v"))
         .distinct().localCheckpoint(true)
       // small-star: attach each node's smaller-or-equal neighbors (and
-      // itself) to the minimum of its incoming smaller neighborhood.
+      // itself) to the minimum of its incoming smaller neighborhood —
+      // both emissions from ONE join pass via an exploded pair array.
       val minsS = large.groupBy("u").agg(least(min("v"), col("u")).as("m"))
       val small = large.join(minsS, "u")
-        .select(col("v").as("n"), col("m"))
-        .union(large.join(minsS, "u").select(col("u").as("n"), col("m")))
+        .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
         .where(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
         .distinct().localCheckpoint(true)
-      stable = small.count() == e.count() &&
-        small.except(e).isEmpty
+      val nextSig = signature(small)
+      stable = nextSig == sig
+      sig = nextSig
       e = small
       i += 1
     }
