@@ -117,6 +117,26 @@ object Queries {
       |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
       |FROM r WHERE rn = 1""".stripMargin))
 
+  /** SCD2 — full validity-interval history from the changelog: every
+    * non-delete version becomes a `[valid_from, valid_to)` row, closed by
+    * the key's next event in (ts, op-priority, arrival) order; deletes
+    * close their predecessor and emit nothing. One window shuffle on the
+    * key — see [[graft.operators.Scd2]].
+    */
+  val cdcScd2 = Q("cdc_scd2_history",
+    (s, dir) => graft.operators.Scd2.history(
+      cdcEvents(s, dir), Seq("user_id"), "ts_us", col("event_id"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("valid_from"), col("valid_to"), col("is_current")),
+    Some(s"""WITH e AS ($cdcEventsSql),
+      |h AS (SELECT *, ts_us AS valid_from,
+      |        lead(ts_us) OVER (PARTITION BY user_id
+      |          ORDER BY ts_us, $opPrioSql, event_id) AS valid_to
+      |      FROM e)
+      |SELECT user_id, event_id, event_type, value, valid_from, valid_to,
+      |       (valid_to IS NULL) AS is_current
+      |FROM h WHERE __op <> 'd'""".stripMargin))
+
   /** S2/R4/F1 — envelope decode recovers the original rows: events are
     * re-encoded as Debezium json envelopes, then decoded back through the
     * full inference + from_json + conversion path. Oracle = the raw table.
@@ -1819,7 +1839,7 @@ object Queries {
   // ------------------------------------------------------------------ index
 
   val all: Seq[Q] = Seq(
-    cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcDecode, cdcOpMapping,
+    cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcScd2, cdcDecode, cdcOpMapping,
     cdcRouting, cdcColumnExclusion, cdcSchemaEvolution, cdcDecodeNested,
     fnTemporal, fnTemporalModes, fnJson, fnString, fnHash, fnVariant, fnDecimalPrecise, fnUuid,
     partitionTransforms,

@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * The changelog yields the CHANGED KEYS between two versions
   * ([[ManagedTable.readChangesBetween]], manifest-filtered — O(changes)).
   * Retractions need those keys' PRIOR rows, so the refresh reads the old
-  * and new snapshots semi-joined to the changed-key set (broadcast —
-  * a refresh window's key set is batch-sized next to the table, and
+  * and new snapshots semi-joined to the changed-key set (no forced
+  * broadcast: a trickle refresh's key set is batch-sized and AQE turns
+  * the semi-join into a broadcast at runtime, while a backfill-sized
+  * window falls back to a shuffled join instead of OOMing the driver;
   * manifest bounds prune the snapshot scans of a compacted table).
   * Before-rows contribute with sign −1, after-rows with +1; one partial
   * -aggregated shuffle of the signed union produces the per-group delta,
@@ -43,7 +45,7 @@ object IncrementalAgg {
     val changedKeys = table.readChangesBetween(fromVersion, toVersion)
       .select(ids.map(col): _*).distinct()
     val sign = (df: DataFrame, s: Int) => df
-      .join(broadcast(changedKeys), ids, "left_semi")
+      .join(changedKeys, ids, "left_semi")
       .select((groupCols.map(col) ++ sumCols.map(col)) :+ lit(s).as("__sign"): _*)
     val before = sign(table.readVersion(fromVersion), -1)
     val after = sign(table.readVersion(toVersion), 1)
