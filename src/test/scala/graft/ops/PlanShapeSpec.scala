@@ -53,6 +53,15 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("Window"), p)
   }
 
+  test("cdc_scd2_history: one key exchange feeds the interval window, no join") {
+    val p = plan(Queries.cdcScd2)
+    assert(!p.contains("Join"), p)
+    val exchanges = p.linesIterator.count(_.matches("""^\(\d+\) Exchange\s*$"""))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("whole-stage codegen covers the scalar conversion path") {
     val p = plan(Queries.fnTemporal)
     assert(p.contains("WholeStageCodegen") || p.contains("codegen id"), p)
