@@ -21,6 +21,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // 80+ distinct queries generate far more codegen classes than the
+      // default 100-entry compiled-class cache holds; eviction makes the
+      // decode-heavy queries pay janino recompilation inside their timed
+      // window. Static conf, so it must be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

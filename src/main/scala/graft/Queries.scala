@@ -137,6 +137,24 @@ object Queries {
       |       (valid_to IS NULL) AS is_current
       |FROM h WHERE __op <> 'd'""".stripMargin))
 
+  /** Point-in-time reconstruction — the state a changelog consumer had
+    * observed at the pinned mid-range instant (2024-01-15T00:00:00Z in
+    * epoch-micros; the synthetic events span January 2024): last event
+    * per key at-or-before the instant, delete-terminated keys absent.
+    * See [[graft.operators.Scd2.snapshotAt]].
+    */
+  val cdcSnapshotAsOf = Q("cdc_snapshot_as_of",
+    (s, dir) => graft.operators.Scd2.snapshotAt(
+      cdcEvents(s, dir), Seq("user_id"), "ts_us", col("event_id"),
+      lit(1705276800000000L))
+      .select(cdcCols.map(col): _*),
+    Some(s"""WITH e AS ($cdcEventsSql),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts_us DESC, $opPrioSql DESC, event_id DESC) AS rn
+      |      FROM e WHERE ts_us <= 1705276800000000)
+      |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
+      |FROM r WHERE rn = 1 AND __op <> 'd'""".stripMargin))
+
   /** S2/R4/F1 — envelope decode recovers the original rows: events are
     * re-encoded as Debezium json envelopes, then decoded back through the
     * full inference + from_json + conversion path. Oracle = the raw table.
@@ -1839,7 +1857,7 @@ object Queries {
   // ------------------------------------------------------------------ index
 
   val all: Seq[Q] = Seq(
-    cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcScd2, cdcDecode, cdcOpMapping,
+    cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcScd2, cdcSnapshotAsOf, cdcDecode, cdcOpMapping,
     cdcRouting, cdcColumnExclusion, cdcSchemaEvolution, cdcDecodeNested,
     fnTemporal, fnTemporalModes, fnJson, fnString, fnHash, fnVariant, fnDecimalPrecise, fnUuid,
     partitionTransforms,

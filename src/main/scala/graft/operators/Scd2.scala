@@ -53,4 +53,31 @@ object Scd2 {
       .filter(!CdcApply.isDelete(opCol))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Point-in-time reconstruction: the table state a consumer replaying
+    * the changelog would have observed at sequence value `asOf` — the
+    * last event per key with `seqCol <= asOf` under the same
+    * (seq, op-priority, arrival) total order, minus keys whose last
+    * event is a delete. Equivalent to filtering [[history]]'s intervals
+    * to `valid_from <= asOf < valid_to`, but computed as a `max_by`
+    * aggregate rather than a window: Catalyst plans a map-side partial
+    * aggregation, so the shuffle carries one candidate per key per input
+    * partition instead of every raw event — the
+    * [[graft.cdc.Dedup.deduplicate]] scale shape.
+    */
+  def snapshotAt(changelog: DataFrame, pks: Seq[String], seqCol: String,
+                 arrival: Column, asOf: Column,
+                 opCol: String = CdcMeta.Op): DataFrame = {
+    require(pks.nonEmpty, "snapshot reconstruction requires identifier fields")
+    val filtered = changelog.filter(col(seqCol) <= asOf)
+    val cols = changelog.columns.toSeq
+    val orderKey = struct(
+      col(seqCol).as("seq"),
+      expr(Operation.prioritySql(opCol)).as("prio"),
+      arrival.as("arrival"))
+    filtered.groupBy(pks.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*), orderKey).as("__winner"))
+      .select(cols.map(c => col(s"__winner.$c").as(c)): _*)
+      .filter(!CdcApply.isDelete(opCol))
+  }
 }

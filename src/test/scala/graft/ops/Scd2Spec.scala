@@ -68,6 +68,50 @@ class Scd2Spec extends AnyFunSuite with SharedSpark {
     assert(scd2Current == upserted)
   }
 
+  test("snapshotAt reconstructs the state at each instant of a known timeline") {
+    import org.apache.spark.sql.functions.lit
+    val log = changelog(
+      (1L, 10L, "c", "a", 1L),
+      (1L, 20L, "u", "b", 2L),
+      (1L, 30L, "d", "b", 3L),
+      (1L, 40L, "c", "c", 4L), // re-insert after delete
+      (2L, 15L, "c", "x", 5L)
+    )
+    def snap(t: Long) = Scd2.snapshotAt(log, Seq("id"), "ts_us", col("ev"), lit(t))
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snap(5L) == Set.empty)                         // before everything
+    assert(snap(10L) == Set((1L, "a")))                   // first insert visible
+    assert(snap(25L) == Set((1L, "b"), (2L, "x")))        // after update
+    assert(snap(35L) == Set((2L, "x")))                   // key 1 deleted
+    assert(snap(99L) == Set((1L, "c"), (2L, "x")))        // re-inserted
+  }
+
+  test("snapshotAt agrees with history's interval containment on a random changelog") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val rnd = new scala.util.Random(11)
+    val ops = Array("c", "u", "u", "d", "r")
+    val log = (1 to 400).map { i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(50).toLong * 10, ops(rnd.nextInt(ops.length)),
+        s"v$i", i.toLong)
+    }.toDF("id", "ts_us", "__op", "v", "ev")
+    for (t <- Seq(0L, 120L, 250L, 490L)) {
+      val viaSnapshot = Scd2.snapshotAt(log, Seq("id"), "ts_us", col("ev"), lit(t))
+        .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // history equivalent: the interval containing t — last-opened at or
+      // before t that is still open or closes after t. Because intervals
+      // chain on the same (seq, prio, arrival) order, that is exactly
+      // valid_from <= t < coalesce(valid_to, ∞)... except equal-seq tie
+      // groups, where only the LAST row of the tie group is the state (the
+      // earlier tie rows have valid_from = valid_to = t, an empty interval).
+      val viaHistory = Scd2.history(log, Seq("id"), "ts_us", col("ev"))
+        .filter(col("valid_from") <= t &&
+          (col("valid_to").isNull || col("valid_to") > t))
+        .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(viaSnapshot == viaHistory, s"asOf=$t")
+    }
+  }
+
   test("null op is not a delete: the row still opens an interval") {
     val log = changelog((1L, 10L, "c", "a", 1L))
       .union(changelog((1L, 20L, "c", "b", 2L)).withColumn("__op",
