@@ -53,11 +53,19 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = ordered.map { case (name, fn) =>
+    // Two timed passes, per-query MIN: this box shares hardware, and a
+    // transient neighbor spike otherwise lands in one query's number
+    // (observed 10–30× on single-pass runs) and poisons the
+    // round-over-round comparison. The minimum measures the plan.
+    def timedPass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val (p1, p2) = (timedPass(), timedPass())
+    val results = ordered.map { case (name, _) =>
+      name -> math.min(p1(name), p2(name))
     }
     val eps = try cdcThroughput(spark, sfDir) catch {
       case e: Throwable => System.err.println(s"[bench] cdc pipeline failed: ${e.getMessage}"); 0.0
