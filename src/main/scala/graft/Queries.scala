@@ -155,6 +155,46 @@ object Queries {
       |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
       |FROM r WHERE rn = 1 AND __op <> 'd'""".stripMargin))
 
+  /** Replica audit — reconcile the changelog's final state against its
+    * mid-range point-in-time state: keys created after the instant are
+    * `missing_in_target`, keys deleted after it `extra_in_target`, keys
+    * updated after it `mismatch`; untouched keys are absent. One
+    * full-outer key join of two diff-sized relations — see
+    * [[graft.operators.Reconcile]].
+    */
+  val cdcReconcile = Q("cdc_reconcile_states",
+    (s, dir) => {
+      val log = cdcEvents(s, dir)
+      val current = graft.operators.Scd2.snapshotAt(
+        log, Seq("user_id"), "ts_us", col("event_id"), lit(Long.MaxValue))
+      val asOf = graft.operators.Scd2.snapshotAt(
+        log, Seq("user_id"), "ts_us", col("event_id"), lit(1705276800000000L))
+      graft.operators.Reconcile.diff(
+        current.select(cdcCols.map(col): _*), asOf.select(cdcCols.map(col): _*),
+        Seq("user_id"))
+    },
+    Some(s"""WITH e AS ($cdcEventsSql),
+      |cur AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts_us DESC, $opPrioSql DESC, event_id DESC) AS rn FROM e) t
+      |        WHERE rn = 1 AND __op <> 'd'),
+      |snap AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts_us DESC, $opPrioSql DESC, event_id DESC) AS rn
+      |          FROM e WHERE ts_us <= 1705276800000000) t
+      |        WHERE rn = 1 AND __op <> 'd')
+      |SELECT user_id, status FROM (
+      |  SELECT coalesce(c.user_id, a.user_id) AS user_id,
+      |    CASE WHEN a.user_id IS NULL THEN 'missing_in_target'
+      |         WHEN c.user_id IS NULL THEN 'extra_in_target'
+      |         WHEN NOT (c.event_id IS NOT DISTINCT FROM a.event_id
+      |               AND c.__op IS NOT DISTINCT FROM a.__op
+      |               AND c.ts_us IS NOT DISTINCT FROM a.ts_us
+      |               AND c.event_type IS NOT DISTINCT FROM a.event_type
+      |               AND c.value IS NOT DISTINCT FROM a.value
+      |               AND c.__deleted IS NOT DISTINCT FROM a.__deleted)
+      |         THEN 'mismatch' END AS status
+      |  FROM cur c FULL OUTER JOIN snap a ON c.user_id = a.user_id) d
+      |WHERE status IS NOT NULL""".stripMargin))
+
   /** S2/R4/F1 — envelope decode recovers the original rows: events are
     * re-encoded as Debezium json envelopes, then decoded back through the
     * full inference + from_json + conversion path. Oracle = the raw table.
@@ -1857,7 +1897,8 @@ object Queries {
   // ------------------------------------------------------------------ index
 
   val all: Seq[Q] = Seq(
-    cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcScd2, cdcSnapshotAsOf, cdcDecode, cdcOpMapping,
+    cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcScd2, cdcSnapshotAsOf, cdcReconcile,
+    cdcDecode, cdcOpMapping,
     cdcRouting, cdcColumnExclusion, cdcSchemaEvolution, cdcDecodeNested,
     fnTemporal, fnTemporalModes, fnJson, fnString, fnHash, fnVariant, fnDecimalPrecise, fnUuid,
     partitionTransforms,

@@ -143,6 +143,36 @@ final class ManagedTable private (
     morRead(entries)
   }
 
+  /** Retained snapshot versions with their commit wall-clocks, ascending —
+    * the graft analogue of Iceberg's snapshot log. Metadata-only: one
+    * directory listing plus one manifest-header read per retained version
+    * (bounded by `write.versions-retained`, never by table size).
+    */
+  def versions(): Seq[(Long, Long)] = {
+    if (!fs.exists(manifestsDir)) Seq.empty
+    else fs.listStatus(manifestsDir).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v=") && n.endsWith(".json"))
+      .map(_.stripPrefix("v=").stripSuffix(".json").toLong)
+      .sorted
+      .flatMap(v => Manifest.commitTimeMs(fs, manifestPath(v)).map(v -> _))
+  }
+
+  /** Timestamp time travel (Iceberg's `FOR TIMESTAMP AS OF`): read the
+    * last snapshot committed at or before `tsMs`. Throws if every retained
+    * snapshot is newer — succeeding with a later state would silently
+    * violate the as-of contract.
+    */
+  def readAsOf(tsMs: Long): DataFrame = {
+    require(!isPartitioned, "time travel is only kept for unpartitioned tables")
+    val vs = versions()
+    val at = vs.filter(_._2 <= tsMs)
+    require(at.nonEmpty,
+      s"no retained snapshot of ${_meta.name} at or before $tsMs " +
+        s"(earliest retained: ${vs.headOption.map(_._2).getOrElse("none")})")
+    readVersion(at.last._1)
+  }
+
   /** Merge-on-read scan: one multi-path scan of every file group plus a
     * single anti-join against the upsert groups' (identifier, seq) pairs —
     * an upsert group at seq S hides rows of groups with seq < S (the
@@ -526,7 +556,7 @@ final class ManagedTable private (
     val retainPrev = versionsRetained // validate BEFORE any mutation
     val next = _meta.currentVersion + 1
     fs.delete(manifestPath(next), false) // leftover from a crashed commit
-    Manifest.write(fs, manifestPath(next), entries)
+    Manifest.write(fs, manifestPath(next), entries, Some(System.currentTimeMillis()))
     _meta = _meta.copy(currentVersion = next)
     TableMeta.write(fs, tableDir, _meta)
     val keepFrom = next - retainPrev

@@ -73,8 +73,11 @@ object Manifest {
   val Data = "data"
   val Upsert = "upsert"
 
-  def toJson(entries: Seq[ManifestEntry]): String = {
+  def toJson(entries: Seq[ManifestEntry]): String = toJson(entries, None)
+
+  def toJson(entries: Seq[ManifestEntry], commitTimeMs: Option[Long]): String = {
     val root = mapper.createObjectNode()
+    commitTimeMs.foreach(root.put("commitTimeMs", _))
     val arr = root.putArray("entries")
     entries.foreach { e =>
       val n = arr.addObject()
@@ -119,14 +122,30 @@ object Manifest {
     }.toSeq
 
   /** Manifests are immutable once written: temp + rename, never rewritten. */
-  def write(fs: FileSystem, path: Path, entries: Seq[ManifestEntry]): Unit = {
+  def write(fs: FileSystem, path: Path, entries: Seq[ManifestEntry]): Unit =
+    write(fs, path, entries, None)
+
+  def write(fs: FileSystem, path: Path, entries: Seq[ManifestEntry],
+            commitTimeMs: Option[Long]): Unit = {
     fs.mkdirs(path.getParent)
     val tmp = new Path(path.getParent, s".${path.getName}.tmp-${System.nanoTime()}")
     val out = fs.create(tmp, true)
-    try out.write(toJson(entries).getBytes("UTF-8")) finally out.close()
+    try out.write(toJson(entries, commitTimeMs).getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, path))
       throw new java.io.IOException(s"failed to write manifest $path")
   }
+
+  /** Commit wall-clock of a manifest: the recorded header, or the file's
+    * modification time for manifests written before the header existed.
+    */
+  def commitTimeMs(fs: FileSystem, path: Path): Option[Long] =
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Option(mapper.readTree(json).get("commitTimeMs")).map(_.asLong)
+        .orElse(Some(fs.getFileStatus(path).getModificationTime))
+    }
 
   def read(fs: FileSystem, path: Path): Option[Seq[ManifestEntry]] =
     if (!fs.exists(path)) None

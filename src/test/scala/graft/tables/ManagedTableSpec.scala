@@ -453,6 +453,34 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException](d.readVersion(dv))
   }
 
+  test("timestamp time travel: readAsOf resolves the last snapshot at-or-before the instant") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "asof", schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "5"))
+    t.append(rows((1, "a", "c", 1L)))
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(15) // commit clocks must be distinguishable
+    t.merge(rows((1, "a2", "u", 2L), (2, "b", "c", 2L)))
+    val afterV2 = System.currentTimeMillis()
+    Thread.sleep(15)
+    t.merge(rows((2, null, "d", 3L)))
+
+    // snapshot log is ascending and spans every retained version
+    val vs = t.versions()
+    assert(vs.map(_._1) == vs.map(_._1).sorted && vs.size >= 4) // v0..v3
+    assert(vs.map(_._2) == vs.map(_._2).sorted)
+
+    assert(t.readAsOf(afterV1).select("name").as[String].collect().toSeq == Seq("a"))
+    assert(t.readAsOf(afterV2).orderBy("id").select("name").as[String]
+      .collect().toSeq == Seq("a2", "b"))
+    // default merge keeps the delete row (soft delete): key 2 survives as
+    // an __op='d' marker with null payload
+    assert(t.readAsOf(System.currentTimeMillis()).orderBy("id")
+      .select("name").as[String].collect().toSeq == Seq("a2", null))
+    // before the table existed: refuse rather than answer with later state
+    intercept[IllegalArgumentException](t.readAsOf(afterV1 - 1000000L))
+  }
+
   test("MoR: readChangesBetween yields net per-key changes, at-least-once under compaction") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "chg", schema, Seq("id"),
