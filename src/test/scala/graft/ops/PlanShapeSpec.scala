@@ -62,6 +62,20 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(p.contains("Window"), p)
   }
 
+  test("cdc_snapshot_as_of: partial-aggregated max_by, no window, no join") {
+    val p = plan(Queries.cdcSnapshotAsOf)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // map-side partial before the key exchange: two aggregate nodes
+    val aggs = p.linesIterator.count(_.matches("""^\(\d+\) (Hash|ObjectHash|Sort)Aggregate\s*$"""))
+    assert(aggs == 2, s"expected partial+final aggregate, got $aggs:\n$p")
+  }
+
+  test("cdc_reconcile_states: full-outer merge join, no cartesian, diff-sized output") {
+    val p = plan(Queries.cdcReconcile)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FullOuter"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("whole-stage codegen covers the scalar conversion path") {
     val p = plan(Queries.fnTemporal)
     assert(p.contains("WholeStageCodegen") || p.contains("codegen id"), p)
