@@ -868,6 +868,37 @@ object Queries {
       |    ORDER BY tfidf DESC, term ASC) AS rk FROM scored)
       |SELECT doc_id, term, tfidf FROM r WHERE rk <= 3""".stripMargin))
 
+  /** BM25 corpus search for a fixed 3-term query, top-25 — per-term
+    * contributions rounded then summed as exact DECIMAL so score and
+    * ranking are bit-deterministic in both engines (double summation
+    * order is not). See [[graft.text.TextFunctions.bm25Rank]].
+    */
+  val textBm25 = Q("text_bm25",
+    (s, dir) => TextFunctions.bm25Rank(t(s, dir, "documents"), "doc_id", "text",
+      Seq("spark", "merge", "window"), topK = 25)
+      .select(col("doc_id"), col("score"), col("rank")),
+    Some("""WITH tok AS (SELECT doc_id, t AS term FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+      |    FROM documents) WHERE t IN ('spark','merge','window')),
+      |dl AS (SELECT doc_id, len(list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+      |    x -> len(x) > 0)) AS dl FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*)::DOUBLE AS dfreq FROM tf GROUP BY 1),
+      |st AS (SELECT count(*)::DOUBLE AS n_docs,
+      |    avg(len(list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+      |      x -> len(x) > 0))) AS avgdl FROM documents),
+      |contrib AS (SELECT tf.doc_id,
+      |    round(ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+      |      6)::DECIMAL(18,6) AS c
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term
+      |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+      |scored AS (SELECT doc_id, sum(c)::DECIMAL(28,6) AS score
+      |  FROM contrib GROUP BY doc_id),
+      |r AS (SELECT doc_id, score, row_number() OVER (
+      |    ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
+      |SELECT doc_id, score::DOUBLE AS score, rank FROM r WHERE rank <= 25""".stripMargin))
+
   /** Context-window chunking (64-token windows, 8-token overlap): one
     * row per chunk with its index, length, and content fingerprint —
     * the map-only explode that feeds embedding/pretraining ingestion.
@@ -1907,7 +1938,7 @@ object Queries {
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
     qFunnel, qHistogram, qIntervalJoin,
-    textStats, textLangId, textFingerprint, textTfidf, textRepetition,
+    textStats, textLangId, textFingerprint, textTfidf, textBm25, textRepetition,
     textPiiRedact, textQualityFilter, textChunk,
     sampleHash, sampleSplit, sampleStratified, sampleGlobalSeq, sampleMixture,
     pipelineCuration,

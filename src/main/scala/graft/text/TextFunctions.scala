@@ -213,6 +213,59 @@ object TextFunctions {
       .filter(col("__rk") <= k).drop("__rk")
   }
 
+  /** BM25 document ranking for a term query — the corpus-search kernel
+    * (retrieval-based decontamination, targeted corpus slicing, nearest
+    * exemplar lookup by keyword). Uses the Lucene-shaped positive IDF
+    * `ln((N − df + 0.5)/(df + 0.5) + 1)`.
+    *
+    * Shape at scale: document length and per-(doc, query-term) tf come
+    * from ONE tokenize pass with the term filter applied at the explode —
+    * the corpus-wide term dictionary is never built, only the |q| query
+    * terms survive the map side. df/N/avgdl reduce to a |q|-row and a
+    * 1-row aggregate, broadcast back. Per-term contributions are rounded
+    * to 6 dp and summed as exact DECIMAL — double-summation order across
+    * terms can differ between engines/partitionings, decimal addition
+    * cannot — so scores (and the top-k cut) are bit-deterministic.
+    */
+  def bm25Rank(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, query: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(query.nonEmpty, "BM25 needs at least one query term")
+    val q = query.map(_.toLowerCase).distinct
+    // null text reads as zero tokens (size(NULL) is -1, which would
+    // poison avgdl and silently skew every score)
+    val safeText = coalesce(col(textCol), lit(""))
+    val toks = df.select(col(idCol), tokens(safeText).as("__tk"))
+      .select(col(idCol), size(col("__tk")).as("__dl"),
+        explode(filter(col("__tk"),
+          t => q.map(t === lit(_)).reduce(_ || _))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dfreq"))
+    val stats = df.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(tokenCount(safeText)).as("avgdl"))
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(
+          log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0) *
+            (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("avgdl"))),
+          6).cast("decimal(18,6)").as("__c"))
+    val scored = contrib.groupBy(idCol)
+      .agg(sum(col("__c")).cast("decimal(28,6)").as("score"))
+    // top-k via orderBy+limit: Spark plans TakeOrderedAndProject — each
+    // partition keeps its local k, the driver merges k·p rows — never a
+    // single-partition global sort of the matching docs. The rank window
+    // then runs over exactly k rows.
+    val top = scored.orderBy(col("score").desc, col(idCol).asc).limit(topK)
+    val w = Window.orderBy(col("score").desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("score", col("score").cast("double"))
+  }
+
   /** Sliding token chunks — the context-window chunker that precedes
     * embedding/pretraining ingestion: windows of `size` tokens starting
     * every `size − overlap` tokens, the last window short. Returns an

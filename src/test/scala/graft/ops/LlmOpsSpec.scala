@@ -144,6 +144,43 @@ class LlmOpsSpec extends AnyFunSuite with SharedSpark {
     assert(lsh == Set(1L, 3L)) // 2 lives in the opposite sign bucket
   }
 
+  test("bm25: hand-computed score on a tiny corpus; rarity and length behave") {
+    val corpus = Seq(
+      (1L, "spark spark spark"),        // tf=3, dl=3
+      (2L, "spark engine"),             // tf=1, dl=2
+      (3L, "engine room"),              // no match
+      (4L, "a b c d e f g h")           // no match, long
+    ).toDF("doc_id", "text")
+    val r = TextFunctions.bm25Rank(corpus, "doc_id", "text", Seq("spark"), topK = 10)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2)))
+    // only matching docs appear, ranked
+    assert(r.map(_._1).toSet == Set(1L, 2L))
+    assert(r.find(_._1 == 1L).get._3 == 1L, "higher-tf doc ranks first")
+    // hand computation: N=4, df=2, idf=ln((4-2+0.5)/(2+0.5)+1)=ln(2)
+    // avgdl=(3+2+2+8)/4=3.75
+    // doc1: 3*2.2/(3+1.2*(0.25+0.75*3/3.75))*ln2 -> round 6dp
+    val idf = math.log(2.0)
+    def s(tf: Int, dl: Int) = BigDecimal(
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.75)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.find(_._1 == 1L).get._2 == s(3, 3))
+    assert(r.find(_._1 == 2L).get._2 == s(1, 2))
+  }
+
+  test("bm25: null/empty text scores nothing and does not poison avgdl") {
+    val corpus = Seq(
+      (1L, Some("spark x")), (2L, None), (3L, Some(""))
+    ).toDF("doc_id", "text")
+    val r = TextFunctions.bm25Rank(corpus, "doc_id", "text", Seq("spark"), topK = 5)
+    val rows = r.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+    // N=3, df=1, avgdl=(2+0+0)/3: null text must count as 0, not -1
+    val expected = BigDecimal(
+      math.log((3 - 1 + 0.5) / 1.5 + 1.0) * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / (2.0 / 3))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.head.getDouble(1) == expected)
+  }
+
   test("multimodal: binary meta + stubbed feature extraction plumbing") {
     val assets = Seq(
       (1L, "image/png", "fakepngbytes".getBytes),
