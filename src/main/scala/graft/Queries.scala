@@ -804,6 +804,39 @@ object Queries {
       |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
       |FROM b GROUP BY 1""".stripMargin))
 
+  /** Leakage-safe split: hash the near-duplicate CLUSTER so members never
+    * straddle train/test (per-doc hashing lets a test doc's near-dup train
+    * the model). Same per-split aggregate surface as [[sampleSplit]] —
+    * any doc re-assigned relative to cluster hashing breaks the sums.
+    * See [[graft.sampling.Sampling.assignSplitByCluster]].
+    */
+  lazy val sampleLeakageSafeSplit = Q("sample_leakage_safe_split", // lazy: refers to dedupMinhashPairs below
+    (s, dir) => {
+      val clusters = ConnectedComponents
+        .components(dedupMinhashPairs.fn(s, dir), "id_a", "id_b")
+      Sampling.assignSplitByCluster(t(s, dir, "documents"), "doc_id",
+          clusters, "id", "cluster",
+          Seq(("test", 1000), ("validation", 2000)), seed = "r3")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
+    },
+    Some(s"""WITH RECURSIVE pairs AS (SELECT * FROM (${dedupMinhashPairs.oracle.get})),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |walk(id, lbl) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b),
+      |clusters AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+      |g AS (SELECT d.n_chars, coalesce(c.cluster_id, d.doc_id) AS grp
+      |      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id),
+      |b AS (SELECT n_chars, ${duckBucket("r3", "grp")} AS bk FROM g)
+      |SELECT CASE WHEN bk < 1000 THEN 'test' WHEN bk < 2000 THEN 'validation'
+      |            ELSE 'train' END AS split,
+      |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+      |FROM b GROUP BY 1""".stripMargin))
+
   /** Fixed-size per-stratum sample (k=20 per language) — the deterministic
     * analogue of per-group reservoir sampling: one shuffle on the stratum
     * key, stable against any input order.
@@ -1940,7 +1973,7 @@ object Queries {
     qFunnel, qHistogram, qIntervalJoin,
     textStats, textLangId, textFingerprint, textTfidf, textBm25, textRepetition,
     textPiiRedact, textQualityFilter, textChunk,
-    sampleHash, sampleSplit, sampleStratified, sampleGlobalSeq, sampleMixture,
+    sampleHash, sampleSplit, sampleLeakageSafeSplit, sampleStratified, sampleGlobalSeq, sampleMixture,
     pipelineCuration,
     pipelinePacking, pipelineDecontaminate, pipelineBalancedSample,
     dedupExact, dedupIncremental, dedupIncrementalBloom, dedupMinhash, dedupMinhashPairs,

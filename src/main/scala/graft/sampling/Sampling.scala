@@ -59,6 +59,28 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-safe split: hash the near-duplicate CLUSTER, not the
+    * document, so a cluster's members always land in the same split —
+    * per-document hashing lets a test doc's near-duplicate train the
+    * model, which silently inflates eval (the classic contamination bug
+    * dedup clustering exists to prevent).
+    *
+    * `clusters` is the (`idCol`, `clusterCol`) assignment from
+    * [[graft.dedup.ConnectedComponents]] — diff-sized (only documents
+    * that HAVE a near-dup appear), so the left join broadcasts under AQE
+    * and the corpus scan never shuffles. Unclustered documents hash
+    * their own id — identical to [[assignSplit]] for them.
+    */
+  def assignSplitByCluster(df: DataFrame, idCol: String,
+                           clusters: DataFrame, clusterIdCol: String, clusterCol: String,
+                           cuts: Seq[(String, Int)], trainLabel: String = "train",
+                           seed: String = ""): DataFrame = {
+    val c = clusters.select(col(clusterIdCol).as(idCol), col(clusterCol).as("__grp"))
+    val grouped = df.join(c, Seq(idCol), "left")
+      .withColumn("__grp", coalesce(col("__grp"), col(idCol)))
+    assignSplit(grouped, "__grp", cuts, trainLabel, seed).drop("__grp")
+  }
+
   /** Pretraining data-mixture sampling: per-source deterministic keep
     * rates in basis points — the "source mixing weights" step of corpus
     * assembly (a Pile/LLaMA-style mixture re-weights crawl vs books vs

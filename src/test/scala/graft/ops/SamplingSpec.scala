@@ -58,6 +58,32 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     assert(testIds == sampled)
   }
 
+  test("assignSplitByCluster: cluster members never straddle splits; unclustered ≡ assignSplit") {
+    import spark.implicits._
+    val docs = spark.range(0, 2000).toDF("doc_id")
+    // clusters pair doc k with doc k+1000 for k < 300 (canonical = k)
+    val clusters = spark.range(0, 300)
+      .select(col("id"), col("id").as("cluster"))
+      .union(spark.range(0, 300).select((col("id") + 1000).as("id"), col("id").as("cluster")))
+    val cuts = Seq(("test", 3000), ("validation", 5000))
+    val out = Sampling.assignSplitByCluster(docs, "doc_id", clusters, "id", "cluster", cuts, seed = "s")
+    // 1. members of the same cluster share a split
+    val straddling = out
+      .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id")
+      .groupBy("cluster").agg(countDistinct("split").as("n"))
+      .where(col("n") > 1).count()
+    assert(straddling == 0)
+    // 2. an unclustered doc gets exactly its assignSplit label
+    val plain = Sampling.assignSplit(docs.where(col("doc_id").between(300, 999)),
+      "doc_id", cuts, seed = "s")
+    val joined = out.where(col("doc_id").between(300, 999))
+      .withColumnRenamed("split", "split_c")
+      .join(plain, "doc_id")
+    assert(joined.where(col("split_c") =!= col("split")).count() == 0)
+    // 3. every row labeled
+    assert(out.count() == 2000 && out.where(col("split").isNull).count() == 0)
+  }
+
   test("stratifiedFixed returns exactly k per stratum, order-invariant") {
     val k = 15
     val sel = Sampling.stratifiedFixed(docs, Seq("lang"), "id", k, "s")
