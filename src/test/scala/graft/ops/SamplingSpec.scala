@@ -84,6 +84,36 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     assert(out.count() == 2000 && out.where(col("split").isNull).count() == 0)
   }
 
+  test("takeByBudget equals the cumsum-window definition on random data, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 5000L).map(i => (i, rnd.nextInt(100).toLong, rnd.nextInt(50) + 1L))
+    for (budget <- Seq(0L, 1L, 7000L, 1000000L); parts <- Seq(1, 7)) {
+      val df = rows.toDF("id", "score", "cost").repartition(parts)
+      val got = Sampling.takeByBudget(df, "score", "cost", budget, "id")
+        .select("id", "cum_cost").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Window.orderBy(col("score").desc, col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df.withColumn("cum", sum("cost").over(w))
+        .where(col("cum") <= budget)
+        .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"budget=$budget parts=$parts: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("takeByBudget: empty input, and partitions past the budget emit nothing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("id", "score", "cost")
+    assert(Sampling.takeByBudget(empty, "score", "cost", 100L, "id").count() == 0)
+    // many range partitions, tiny budget: only the top partition contributes
+    val big = spark.range(0, 100000)
+      .select(col("id"), (lit(1000000L) - col("id")).as("score"), lit(10L).as("cost"))
+    val out = Sampling.takeByBudget(big, "score", "cost", 55L, "id", numPartitions = 16)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(0L, 1L, 2L, 3L, 4L)) // 5 rows of cost 10 fit in 55
+  }
+
   test("stratifiedFixed returns exactly k per stratum, order-invariant") {
     val k = 15
     val sel = Sampling.stratifiedFixed(docs, Seq("lang"), "id", k, "s")
