@@ -112,6 +112,43 @@ class Scd2Spec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("incremental materialization: batch replay ≡ full-log rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val rnd = new scala.util.Random(17)
+    val ops = Array("c", "u", "u", "d", "r")
+    val log = (1 to 600).map { i =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(100).toLong * 10, ops(rnd.nextInt(ops.length)),
+        s"v$i", i.toLong)
+    }.toDF("id", "ts_us", "__op", "v", "ev")
+    // per-key seq must not regress across batches: split by seq ranges
+    val cutsAt = Seq(0L, 300L, 700L, 1001L)
+    val batches = cutsAt.sliding(2).map { case Seq(lo, hi) =>
+      log.where(col("ts_us") >= lo && col("ts_us") < hi)
+    }.toSeq
+    val wh = java.nio.file.Files.createTempDirectory("graft_scd2m").toString
+
+    val table = Scd2.materialize(spark, wh, "hist", batches.head,
+      Seq("id"), "ts_us", "ev")
+    batches.tail.foreach(b => Scd2.applyBatch(table, b, Seq("id"), "ts_us", "ev"))
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "v", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSet
+
+    val incremental = canon(table.read())
+    val rebuild = canon(Scd2.history(log, Seq("id"), "ts_us", col("ev")))
+    assert(incremental == rebuild,
+      s"extra=${(incremental -- rebuild).take(5)} missing=${(rebuild -- incremental).take(5)}")
+    // and the maintained table's current rows equal the upsert fold
+    val current = table.read().filter(col("is_current"))
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val folded = Scd2.snapshotAt(log, Seq("id"), "ts_us", col("ev"), lit(Long.MaxValue))
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(current == folded)
+  }
+
   test("null op is not a delete: the row still opens an interval") {
     val log = changelog((1L, 10L, "c", "a", 1L))
       .union(changelog((1L, 20L, "c", "b", 2L)).withColumn("__op",
