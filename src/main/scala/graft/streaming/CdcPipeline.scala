@@ -28,6 +28,7 @@ final case class PipelineConfig(
     partitionBy: Map[String, Seq[String]] = Map.empty,
     tableProperties: Map[String, String] = Map.empty,
     concurrentTables: Int = 1,
+    scd2History: Boolean = false,
     archiveEvents: Boolean = false,
     nullKeyPolicy: CdcApply.NullKeyPolicy = CdcApply.NullKeyPolicy.Fail,
     tableOperationTimeout: Duration = Duration.Inf,
@@ -190,6 +191,26 @@ object CdcPipeline {
         if (batchId > last)
           table.append(guarded, Map(CdcBatchIdProp -> batchId.toString))
       } else table.append(guarded)
+    }
+
+    // SCD2 history sidecar: every version of every key survives as a
+    // validity interval in `<table>_history`, maintained incrementally
+    // (Scd2.applyBatch — O(batch + touched open intervals), never a
+    // rebuild). Within-batch (key, seq) ties collapse to the fold winner
+    // FIRST so the history key (pk, valid_from) is deterministic across
+    // batch replays; the upsert-shaped applyBatch then makes the sidecar
+    // as idempotent under retries as the main table.
+    if (cfg.scd2History && ids.nonEmpty && !inferred.isSchemaChangeEvent &&
+        typed.columns.contains(cfg.dedupColumn)) {
+      val seqc = cfg.dedupColumn
+      val versions = Dedup.deduplicate(typed, ids :+ seqc, seqc, cfg.opColumn)
+      val histKey = ids ++ Seq("valid_from", seqc)
+      val histSchema = graft.operators.Scd2.history(
+        versions.limit(0), ids, seqc, col(seqc), cfg.opColumn).schema
+      val hist = ManagedTable.loadOrCreate(spark, cfg.warehouse,
+        tableName + "_history", histSchema, histKey)
+      hist.evolve(histSchema, histKey)
+      graft.operators.Scd2.applyBatch(hist, versions, ids, seqc, seqc, cfg.opColumn)
     }
   }
 

@@ -71,6 +71,40 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
     assert(rows.toSeq == Seq((1, "alice2", null), (3, "carol", "c@x.io")))
   }
 
+  test("scd2History sidecar: streamed batches maintain the validity-interval history table") {
+    val root = Files.createTempDirectory("graft-scd2").toString
+    val src = s"$root/events"; Files.createDirectories(java.nio.file.Paths.get(src))
+    val cfg = PipelineConfig(warehouse = s"$root/wh", keepDeletes = false,
+      scd2History = true)
+
+    writeEvents(src, "b1.json", Seq(
+      EventFactory.event(1, "alice", "c", 100L),
+      EventFactory.event(1, "alice2", "u", 200L),
+      EventFactory.event(2, "bob", "c", 100L)))
+    CdcPipeline.start(spark, src, s"$root/cp", cfg).awaitTermination(120000)
+    writeEvents(src, "b2.json", Seq(
+      EventFactory.event(1, "alice3", "u", 300L),
+      EventFactory.event(2, null, "d", 400L)))
+    CdcPipeline.start(spark, src, s"$root/cp", cfg).awaitTermination(120000)
+
+    // main table still the latest state
+    val main = ManagedTable.load(spark, cfg.warehouse, "testc_inventory_customers").get
+    assert(main.read().orderBy("id").select("first_name").collect()
+      .map(_.getString(0)).toSeq == Seq("alice3"))
+
+    // sidecar: every version as an interval; delete closed bob, emitted nothing
+    val hist = ManagedTable.load(spark, cfg.warehouse, "testc_inventory_customers_history").get
+    val rows = hist.read()
+      .select("id", "first_name", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSet
+    assert(rows == Set(
+      (1, "alice", 100L, Some(200L), false),
+      (1, "alice2", 200L, Some(300L), false),
+      (1, "alice3", 300L, None, true),
+      (2, "bob", 100L, Some(400L), false)), rows)
+  }
+
   test("checkpoint makes batches exactly-once across restarts (T2/T3)") {
     val root = Files.createTempDirectory("graft-ckpt").toString
     val src = s"$root/events"; Files.createDirectories(java.nio.file.Paths.get(src))
