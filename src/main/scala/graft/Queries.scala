@@ -460,6 +460,51 @@ object Queries {
       |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin))
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * two chosen groupings in one pass plus grouping_id to disambiguate
+    * the null-as-total rows from genuine null keys.
+    */
+  val qGroupingSets = Q("q_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))""".stripMargin)
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      |  grouping_id(l_returnflag, l_linestatus)::BIGINT AS gid,
+      |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))""".stripMargin))
+
+  /** RANGE-frame window (value-based, not row-based): per return flag,
+    * the count and quantity sum of all line items priced within ±100.00
+    * of the current row — the "peer band" analytic shape. The order key
+    * is exact integer CENTS (decimal×100→long) so the band edges are
+    * bit-identical in both engines.
+    */
+  val qRangeFrameWindow = Q("q_range_frame_window",
+    (s, dir) => {
+      val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+      val w = Window.partitionBy("l_returnflag").orderBy(cents)
+        .rangeBetween(-10000L, 10000L)
+      t(s, dir, "lineitem")
+        .where(col("l_orderkey") % 31 === 0) // keep the output compact
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          count(lit(1)).over(w).as("n_band"),
+          sum(col("l_quantity").cast("decimal(18,2)")).over(w)
+            .cast("double").as("qty_band"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+      |  count(*) OVER w AS n_band,
+      |  (sum(l_quantity::DECIMAL(18,2)) OVER w)::DOUBLE AS qty_band
+      |FROM lineitem WHERE l_orderkey % 31 = 0
+      |WINDOW w AS (PARTITION BY l_returnflag
+      |  ORDER BY (l_extendedprice::DECIMAL(18,2) * 100)::BIGINT
+      |  RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)""".stripMargin))
+
   val qDistinctAgg = Q("q_distinct_agg",
     (s, dir) => t(s, dir, "lineitem").groupBy("l_returnflag")
       .agg(countDistinct("l_partkey").as("nd_part"),
@@ -1985,7 +2030,7 @@ object Queries {
     fnTemporal, fnTemporalModes, fnJson, fnString, fnHash, fnVariant, fnDecimalPrecise, fnUuid,
     partitionTransforms,
     q1Agg, qJoinDims, qJoinFact, qTopkWindow, qAnalyticWindow, qSortLimit,
-    qSetOps, qRollup, qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
+    qSetOps, qRollup, qGroupingSets, qRangeFrameWindow, qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
     qFunnel, qHistogram, qIntervalJoin,
