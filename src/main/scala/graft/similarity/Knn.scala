@@ -87,28 +87,43 @@ object Knn {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: Seq[Array[Float]],
               idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
     require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.length)
-    val centArr = array(centroids.map(cv =>
-      array(cv.toIndexedSeq.map(x => lit(x)): _*)): _*)
-    // distances to every centroid; nearest = list assignment
-    def centroidDists(vec: Column): Column =
-      transform(centArr, cv => aggregate(
-        zip_with(vec, cv, (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, v) => acc + v))
-    def nearestLists(vec: Column, n: Int): Column = {
-      val d = centroidDists(vec)
-      // indices of the n smallest distances: sort (dist, idx) structs
-      val idxed = transform(sequence(lit(0), lit(centroids.length - 1)), i =>
-        struct(element_at(d, i + 1).as("d"), i.as("i")))
-      slice(transform(array_sort(idxed), s => s.getField("i")), 1, n)
-    }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"),
-      element_at(nearestLists(col(vecCol), 1), 1).as("list_id"))
+      element_at(nearestLists(col(vecCol), centroids, 1), 1).as("list_id"))
+    ivfTopKAssigned(c, queries, centroids, idCol, vecCol, k, nprobe)
+  }
+
+  /** [[ivfTopK]] over a corpus that ALREADY carries its list assignment
+    * (`neighbor_id`, `cv`, `cn`, `list_id`) — the query path of a
+    * persisted [[IvfIndex]], where assignment happened at write time and
+    * the scan is partition-pruned to the probed lists.
+    */
+  def ivfTopKAssigned(corpusAssigned: DataFrame, queries: DataFrame,
+                      centroids: Seq[Array[Float]], idCol: String, vecCol: String,
+                      k: Int, nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.length)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"),
-      explode(nearestLists(col(vecCol), nprobe)).as("list_id")))
-    rank(q.join(c, "list_id").where(col("query_id") =!= col("neighbor_id")), k)
+      explode(nearestLists(col(vecCol), centroids, nprobe)).as("list_id")))
+    rank(q.join(corpusAssigned, "list_id")
+      .where(col("query_id") =!= col("neighbor_id")), k)
+  }
+
+  /** The `n` nearest centroid indices (0-based) of `vec` by squared L2 —
+    * the IVF list-probe rule, shared by assignment and query sides.
+    */
+  private[similarity] def nearestLists(vec: Column, centroids: Seq[Array[Float]],
+                                       n: Int): Column = {
+    val centArr = array(centroids.map(cv =>
+      array(cv.toIndexedSeq.map(x => lit(x)): _*)): _*)
+    val d = transform(centArr, cv => aggregate(
+      zip_with(vec, cv, (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v))
+    // indices of the n smallest distances: sort (dist, idx) structs
+    val idxed = transform(sequence(lit(0), lit(centroids.length - 1)), i =>
+      struct(element_at(d, i + 1).as("d"), i.as("i")))
+    slice(transform(array_sort(idxed), s => s.getField("i")), 1, n)
   }
 
   /** Expects per-side precomputed norms (`qn`, `cn`): the per-pair score

@@ -25,6 +25,58 @@ class IvfKnnSpec extends AnyFunSuite with SharedSpark {
     assert(ivf == brute)
   }
 
+  test("persisted IvfIndex: full-probe search ≡ brute force; scan prunes to probed partitions") {
+    import graft.similarity.IvfIndex
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val idx = IvfIndex.build(spark, wh, "emb", emb, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    val queries = emb.where(col("vec_id") < 5)
+
+    // full probe over the persisted index = brute force
+    val brute = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaIndex = idx.search(queries, "vec_id", "embedding", k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaIndex == brute)
+
+    // a 1-probe search's scan carries a partition filter on list_id — the
+    // probed directories are pruned at planning, before any file is read
+    val scan = idx.probedScan(queries, "embedding", nprobe = 1)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"),
+      plan.linesIterator.filter(_.contains("Partition")).mkString("\n"))
+    // ...and the probe covers a strict subset of the corpus
+    assert(scan.count() > 0 && scan.count() < emb.count())
+
+    // reload from disk finds the same index
+    assert(IvfIndex.load(spark, wh, "emb").isDefined)
+    assert(IvfIndex.load(spark, wh, "missing").isEmpty)
+  }
+
+  test("persisted IvfIndex: addBatch vectors are immediately searchable") {
+    import graft.similarity.IvfIndex
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf2").toString
+    val idx = IvfIndex.build(spark, wh, "emb", emb, "vec_id", "embedding",
+      nlist = 4, iters = 1)
+    // a new vector equal to vec 0's embedding, under a fresh id
+    val v0 = emb.where(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val batch = Seq((90001L, v0)).toDF("vec_id", "embedding")
+    idx.addBatch(batch, "vec_id", "embedding")
+    // searching WITH that vector: its identical twin (vec 0) must be the
+    // rank-1 neighbor at cosine 1.0 (self is excluded by query_id)
+    val res = idx.search(batch, "vec_id", "embedding", k = 3, nprobe = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(res.nonEmpty && res.head._1 == 1 && res.head._2 == 0L && res.head._3 == 1.0,
+      s"twin not found at rank 1: ${res.mkString(",")}")
+    // and searching FROM an original vector finds the added twin
+    val back = idx.search(emb.where(col("vec_id") === 0), "vec_id", "embedding",
+      k = 3, nprobe = 4).collect().map(_.getLong(2))
+    assert(back.contains(90001L), s"added vector not searchable: ${back.mkString(",")}")
+  }
+
   test("partial probe keeps decent recall at a fraction of the scan") {
     val queries = emb.where(col("vec_id") < 20)
     val brute = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
