@@ -68,10 +68,13 @@ object Bench {
       name -> math.min(p1(name), p2(name))
     }
     // best-of-two for the headline throughput too — a single streaming run
-    // absorbs any transient host contention directly into events/sec
-    val eps = try math.max(cdcThroughput(spark, sfDir), cdcThroughput(spark, sfDir)) catch {
+    // absorbs any transient host contention directly into events/sec. Each
+    // run fails independently so one bad run cannot discard the other's
+    // valid measurement.
+    def oneEps(): Double = try cdcThroughput(spark, sfDir) catch {
       case e: Throwable => System.err.println(s"[bench] cdc pipeline failed: ${e.getMessage}"); 0.0
     }
+    val eps = math.max(oneEps(), oneEps())
     // the reference's commit envelope: ~2048-event batches
     // (BatchConfig.java:16-19), 24 consecutive commits
     val trickleEps = try cdcThroughput(spark, sfDir, trickleBatches = Some(24),

@@ -114,25 +114,33 @@ object ConnectedComponents {
     while (!stable && i < maxIter) {
       // large-star: attach each node's LARGER neighbors to its closed-
       // neighborhood minimum. Neighborhood here is both directions.
+      // `large` is consumed twice below (the min aggregation and the
+      // re-join) — persist() lets the single small-star checkpoint job
+      // compute it once and reuse the cached blocks across its stages,
+      // without paying a SECOND eager materialization job per round the
+      // way checkpointing it here would. Lineage still truncates every
+      // round at `small`'s checkpoint, so plan depth stays bounded.
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(least(min("v"), col("u")).as("m"))
       val large = sym.join(mins, "u")
         .where(col("v") > col("u") && col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint(true)
-      // small-star: attach each node's smaller-or-equal neighbors (and
-      // itself) to the minimum of its incoming smaller neighborhood —
-      // both emissions from ONE join pass via an exploded pair array.
-      val minsS = large.groupBy("u").agg(least(min("v"), col("u")).as("m"))
-      val small = large.join(minsS, "u")
-        .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
-        .where(col("n") =!= col("m"))
-        .select(col("n").as("u"), col("m").as("v"))
-        .distinct().localCheckpoint(true)
-      val nextSig = signature(small)
-      stable = nextSig == sig
-      sig = nextSig
-      e = small
+        .distinct().persist()
+      try {
+        // small-star: attach each node's smaller-or-equal neighbors (and
+        // itself) to the minimum of its incoming smaller neighborhood —
+        // both emissions from ONE join pass via an exploded pair array.
+        val minsS = large.groupBy("u").agg(least(min("v"), col("u")).as("m"))
+        val small = large.join(minsS, "u")
+          .select(explode(array(col("v"), col("u"))).as("n"), col("m"))
+          .where(col("n") =!= col("m"))
+          .select(col("n").as("u"), col("m").as("v"))
+          .distinct().localCheckpoint(true)
+        val nextSig = signature(small)
+        stable = nextSig == sig
+        sig = nextSig
+        e = small
+      } finally large.unpersist(false)
       i += 1
     }
     require(stable, s"star contraction did not stabilize within $maxIter rounds")

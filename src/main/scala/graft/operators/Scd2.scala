@@ -54,17 +54,6 @@ object Scd2 {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
-  /** Point-in-time reconstruction: the table state a consumer replaying
-    * the changelog would have observed at sequence value `asOf` — the
-    * last event per key with `seqCol <= asOf` under the same
-    * (seq, op-priority, arrival) total order, minus keys whose last
-    * event is a delete. Equivalent to filtering [[history]]'s intervals
-    * to `valid_from <= asOf < valid_to`, but computed as a `max_by`
-    * aggregate rather than a window: Catalyst plans a map-side partial
-    * aggregation, so the shuffle carries one candidate per key per input
-    * partition instead of every raw event — the
-    * [[graft.cdc.Dedup.deduplicate]] scale shape.
-    */
   /** Incremental SCD2 materialization: fold one changelog batch into a
     * [[graft.tables.ManagedTable]] holding the history, so the SCD2 view
     * is MAINTAINED batch-over-batch instead of rebuilt from the full log.
@@ -120,6 +109,17 @@ object Scd2 {
     table
   }
 
+  /** Point-in-time reconstruction: the table state a consumer replaying
+    * the changelog would have observed at sequence value `asOf` — the
+    * last event per key with `seqCol <= asOf` under the same
+    * (seq, op-priority, arrival) total order, minus keys whose last
+    * event is a delete. Equivalent to filtering [[history]]'s intervals
+    * to `valid_from <= asOf < valid_to`, but computed as a `max_by`
+    * aggregate rather than a window: Catalyst plans a map-side partial
+    * aggregation, so the shuffle carries one candidate per key per input
+    * partition instead of every raw event — the
+    * [[graft.cdc.Dedup.deduplicate]] scale shape.
+    */
   def snapshotAt(changelog: DataFrame, pks: Seq[String], seqCol: String,
                  arrival: Column, asOf: Column,
                  opCol: String = CdcMeta.Op): DataFrame = {

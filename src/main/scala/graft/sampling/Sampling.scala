@@ -202,8 +202,15 @@ object Sampling {
         .sortWithinPartitions(ordered: _*)
     val costIdx = ranged.schema.fieldIndex(costCol)
     def costOf(r: Row): Long = r.get(costIdx) match {
-      case null            => 0L
-      case n: java.lang.Number => n.longValue()
+      case null => 0L
+      case n: java.lang.Number =>
+        val c = n.longValue()
+        // the early-stop and the offset-based partition skip both assume a
+        // monotone running sum — a negative cost would silently diverge
+        // from the cumsum-window definition instead of erroring
+        if (c < 0) throw new IllegalArgumentException(
+          s"cost column $costCol must be non-negative, found $c")
+        c
       case other => throw new IllegalArgumentException(
         s"cost column $costCol must be numeric, found ${other.getClass}")
     }

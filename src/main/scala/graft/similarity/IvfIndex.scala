@@ -33,47 +33,39 @@ final class IvfIndex private (spark: SparkSession, warehouse: String,
   private def vectorsTable = ManagedTable.load(spark, warehouse, s"${name}_vectors")
     .getOrElse(throw new IllegalStateException(s"IVF index $name has no vectors table"))
 
-  /** The coarse quantizer, list order — nlist·dim floats to the driver. */
-  def centroids: Seq[Array[Float]] =
+  /** The coarse quantizer, list order — nlist·dim floats, read and
+    * collected once per handle (centroids are immutable after build; a
+    * rebuild returns a fresh handle via [[IvfIndex.build]]/`load`).
+    */
+  lazy val centroids: Seq[Array[Float]] =
     centroidsTable.read().orderBy("list_id").select("centroid")
       .collect().map(_.getSeq[Float](0).toArray).toSeq
 
   def nlist: Int = centroids.size
 
   /** Assign new vectors against the stored centroids and append. */
-  def addBatch(vectors: DataFrame, idCol: String, vecCol: String): Unit = {
-    val cents = centroids
+  def addBatch(vectors: DataFrame, idCol: String, vecCol: String): Unit =
     vectorsTable.append(vectors.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       Knn.norm(col(vecCol)).as("cn"),
-      element_at(Knn.nearestLists(col(vecCol), cents, 1), 1).as("list_id")))
-  }
+      element_at(Knn.nearestLists(col(vecCol), centroids, 1), 1).as("list_id")))
 
-  /** Top-k cosine neighbors per query over the probed lists only. The
-    * probed list set (≤ queries·nprobe ints) is resolved driver-side so
-    * the `list_id` filter statically prunes the partition scan — queries
-    * are broadcast-scale by contract, like every kNN query side here.
-    */
+  /** Top-k cosine neighbors per query over the probed lists only. */
   def search(queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, nprobe: Int = 2): DataFrame = {
-    val cents = centroids
-    val probed = queries
-      .select(explode(Knn.nearestLists(col(vecCol), cents, nprobe)).as("list_id"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val corpus = vectorsTable.readPhysical()
-      .where(col("list_id").isin(probed: _*))
-      .select("neighbor_id", "cv", "cn", "list_id")
-    Knn.ivfTopKAssigned(corpus, queries, cents, idCol, vecCol, k, nprobe)
-  }
+             k: Int, nprobe: Int = 2): DataFrame =
+    Knn.ivfTopKAssigned(
+      probedScan(queries, vecCol, nprobe).select("neighbor_id", "cv", "cn", "list_id"),
+      queries, centroids, idCol, vecCol, k, nprobe)
 
-  /** The pruned scan a `search` at `nprobe` would run over the vectors
-    * table — for tests (assert `PartitionFilters` prune the probed
-    * `list_id` directories) and capacity planning.
+  /** The pruned corpus scan a `search` at `nprobe` runs: the probed list
+    * set (≤ queries·nprobe ints) is resolved driver-side so the `list_id`
+    * filter statically prunes the partition scan — queries are
+    * broadcast-scale by contract, like every kNN query side here. Also
+    * the test/capacity-planning surface (assert `PartitionFilters`).
     */
   def probedScan(queries: DataFrame, vecCol: String, nprobe: Int): DataFrame = {
-    val cents = centroids
     val probed = queries
-      .select(explode(Knn.nearestLists(col(vecCol), cents, nprobe)).as("list_id"))
+      .select(explode(Knn.nearestLists(col(vecCol), centroids, nprobe)).as("list_id"))
       .distinct().collect().map(_.getInt(0)).toSeq
     vectorsTable.readPhysical().where(col("list_id").isin(probed: _*))
   }
@@ -106,6 +98,13 @@ object IvfIndex {
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       Knn.norm(col(vecCol)).as("cn"),
       element_at(Knn.nearestLists(col(vecCol), cents, 1), 1).as("list_id"))
+    // REPLACE, never append: a rebuild (the drift remedy) must drop the
+    // old assignments — appending would leave every vector duplicated
+    // under list ids the new quantizer never probes for them. Rebuilds
+    // are offline maintenance (like FAISS retrains), not atomic swaps.
+    val fs = graft.tables.TableMeta.fs(
+      spark.sparkContext.hadoopConfiguration, warehouse)
+    fs.delete(new org.apache.hadoop.fs.Path(warehouse, s"${name}_vectors"), true)
     ManagedTable.loadOrCreate(spark, warehouse, s"${name}_vectors",
       assigned.schema, Seq.empty, partitionBy = Seq("list_id"))
       .append(assigned)

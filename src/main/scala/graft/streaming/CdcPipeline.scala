@@ -197,22 +197,38 @@ object CdcPipeline {
     // validity interval in `<table>_history`, maintained incrementally
     // (Scd2.applyBatch — O(batch + touched open intervals), never a
     // rebuild). Within-batch (key, seq) ties collapse to the fold winner
-    // FIRST so the history key (pk, valid_from) is deterministic across
-    // batch replays; the upsert-shaped applyBatch then makes the sidecar
-    // as idempotent under retries as the main table.
+    // FIRST so the history key is deterministic across batch replays;
+    // the ARRIVAL component of the key is the batch id (stored with the
+    // row), so a cross-batch event at the SAME (key, seq) — not a seq
+    // regression, so within contract — deterministically supersedes the
+    // earlier batch's row instead of colliding with it, and a replay of
+    // the same batch (same id) stays idempotent.
     if (cfg.scd2History && ids.nonEmpty && !inferred.isSchemaChangeEvent &&
         typed.columns.contains(cfg.dedupColumn)) {
       val seqc = cfg.dedupColumn
-      val versions = Dedup.deduplicate(typed, ids :+ seqc, seqc, cfg.opColumn)
-      val histKey = ids ++ Seq("valid_from", seqc)
+      // mirror the main path's null-key policy: under Drop/DeadLetter the
+      // main table drops/quarantines null-key rows — the sidecar must not
+      // re-raise on them (Fail raises in the main merge first)
+      val clean =
+        if (cfg.nullKeyPolicy != CdcApply.NullKeyPolicy.Fail) typed.na.drop("any", ids)
+        else typed
+      val versions = Dedup.deduplicate(clean, ids :+ seqc, seqc, cfg.opColumn)
+        .withColumn(Scd2BatchArrivalCol, lit(batchId))
+      val histKey = ids ++ Seq("valid_from", Scd2BatchArrivalCol)
       val histSchema = graft.operators.Scd2.history(
-        versions.limit(0), ids, seqc, col(seqc), cfg.opColumn).schema
+        versions.limit(0), ids, seqc, col(Scd2BatchArrivalCol), cfg.opColumn).schema
       val hist = ManagedTable.loadOrCreate(spark, cfg.warehouse,
         tableName + "_history", histSchema, histKey)
       hist.evolve(histSchema, histKey)
-      graft.operators.Scd2.applyBatch(hist, versions, ids, seqc, seqc, cfg.opColumn)
+      graft.operators.Scd2.applyBatch(hist, versions, ids, seqc,
+        Scd2BatchArrivalCol, cfg.opColumn)
     }
   }
+
+  /** Arrival column of the SCD2 sidecar: the micro-batch id, persisted
+    * with every interval row as the cross-batch tiebreak.
+    */
+  val Scd2BatchArrivalCol = "__graft_batch_id"
 
   /** Per-table replay marker for append-mode destinations. */
   val CdcBatchIdProp = "cdc.last-batch-id"

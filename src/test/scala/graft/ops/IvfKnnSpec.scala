@@ -51,6 +51,14 @@ class IvfKnnSpec extends AnyFunSuite with SharedSpark {
     // reload from disk finds the same index
     assert(IvfIndex.load(spark, wh, "emb").isDefined)
     assert(IvfIndex.load(spark, wh, "missing").isEmpty)
+
+    // REBUILD replaces assignments (no duplicate vectors under stale lists)
+    val total = emb.count()
+    val rebuilt = IvfIndex.build(spark, wh, "emb", emb, "vec_id", "embedding",
+      nlist = 4, iters = 1)
+    assert(rebuilt.probedScan(queries, "embedding", nprobe = 4).count() == total,
+      "rebuild must replace, not append")
+    assert(rebuilt.nlist == 4)
   }
 
   test("persisted IvfIndex: addBatch vectors are immediately searchable") {

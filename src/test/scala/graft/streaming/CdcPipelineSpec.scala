@@ -103,6 +103,22 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
       (1, "alice2", 200L, Some(300L), false),
       (1, "alice3", 300L, None, true),
       (2, "bob", 100L, Some(400L), false)), rows)
+
+    // a LATER batch carrying the same (key, seq) — within the no-regression
+    // contract — must supersede the open row deterministically, not collide
+    // with it on the history key or lose a version
+    writeEvents(src, "b3.json", Seq(EventFactory.event(1, "alice3b", "u", 300L)))
+    CdcPipeline.start(spark, src, s"$root/cp", cfg).awaitTermination(120000)
+    // fresh handle: the earlier one pins the pre-b3 snapshot pointer
+    val after = ManagedTable
+      .load(spark, cfg.warehouse, "testc_inventory_customers_history").get.read()
+      .select("id", "first_name", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4))).toSet
+    assert(after.contains((1, "alice3b", 300L, None, true)),
+      s"later batch at equal seq must win: $after")
+    assert(after.contains((1, "alice3", 300L, Some(300L), false)),
+      s"superseded row must close as an empty interval, not vanish: $after")
   }
 
   test("checkpoint makes batches exactly-once across restarts (T2/T3)") {
