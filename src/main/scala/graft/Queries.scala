@@ -505,6 +505,36 @@ object Queries {
       |  ORDER BY (l_extendedprice::DECIMAL(18,2) * 100)::BIGINT
       |  RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)""".stripMargin))
 
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    * top-N-per-group shape written the SQL-native way (Catalyst
+    * decorrelates it; DuckDB runs the same text modulo join syntax).
+    */
+  val qLateralTopk = Q("q_lateral_topk",
+    (s, dir) => {
+      t(s, dir, "region").createOrReplaceTempView("region_lv")
+      t(s, dir, "nation").createOrReplaceTempView("nation_lv")
+      t(s, dir, "customer").createOrReplaceTempView("customer_lv")
+      s.sql("""SELECT r.r_name, t.n_name, t.n_customers
+        |FROM region_lv r
+        |JOIN LATERAL (
+        |  SELECT n_name, count(*) AS n_customers
+        |  FROM nation_lv n JOIN customer_lv c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n_name
+        |  ORDER BY n_customers DESC, n_name ASC
+        |  LIMIT 2
+        |) t""".stripMargin)
+    },
+    Some("""SELECT r.r_name, t.n_name, t.n_customers
+      |FROM region r, LATERAL (
+      |  SELECT n_name, count(*) AS n_customers
+      |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  GROUP BY n_name
+      |  ORDER BY n_customers DESC, n_name ASC
+      |  LIMIT 2
+      |) t""".stripMargin))
+
   val qDistinctAgg = Q("q_distinct_agg",
     (s, dir) => t(s, dir, "lineitem").groupBy("l_returnflag")
       .agg(countDistinct("l_partkey").as("nd_part"),
@@ -2030,7 +2060,8 @@ object Queries {
     fnTemporal, fnTemporalModes, fnJson, fnString, fnHash, fnVariant, fnDecimalPrecise, fnUuid,
     partitionTransforms,
     q1Agg, qJoinDims, qJoinFact, qTopkWindow, qAnalyticWindow, qSortLimit,
-    qSetOps, qRollup, qGroupingSets, qRangeFrameWindow, qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
+    qSetOps, qRollup, qGroupingSets, qRangeFrameWindow, qLateralTopk,
+    qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
     qFunnel, qHistogram, qIntervalJoin,
