@@ -181,12 +181,12 @@ object CdcPipeline {
         if (ids.nonEmpty && cfg.nullKeyPolicy != CdcApply.NullKeyPolicy.Fail)
           typed.na.drop("any", ids)
         else typed
-      // Append is not naturally idempotent (merge is): on the MoR path a
-      // batch-id marker rides the manifest commit, so the replay of a
+      // Append is not naturally idempotent (merge is): a batch-id marker
+      // rides the manifest commit's pointer flip, so the replay of a
       // batch whose table commit landed but whose checkpoint didn't is
-      // skipped instead of duplicated. Partitioned destinations have no
-      // atomic pointer flip and stay at-least-once (reference parity).
-      if (batchId >= 0 && table.meta.partitionBy.isEmpty) {
+      // skipped instead of duplicated — exactly-once on partitioned and
+      // unpartitioned destinations alike (every commit is a snapshot).
+      if (batchId >= 0) {
         val last = table.meta.properties.get(CdcBatchIdProp).map(_.toLong).getOrElse(-1L)
         if (batchId > last)
           table.append(guarded, Map(CdcBatchIdProp -> batchId.toString))

@@ -18,11 +18,11 @@ import org.apache.spark.sql.types._
   *    pruning for free
   *  - append (W1/W2), upsert-merge (C3–C7, W3–W5), overwrite (W7),
   *    union-by-name schema evolution (D6), PK-ascending write sort (D5)
-  *  - unpartitioned tables are MERGE-ON-READ: every commit writes only
-  *    immutable file groups (data files and equality-delete key files,
-  *    both stamped with the commit sequence number) plus a manifest
-  *    listing the live groups — the direct analogue of the reference's
-  *    RowDelta commits of equality-delete + data files
+  *  - ALL tables are MERGE-ON-READ: every commit writes only immutable
+  *    file groups (data files and equality-delete key files, both stamped
+  *    with the commit sequence number) plus a manifest listing the live
+  *    groups — the direct analogue of the reference's RowDelta commits of
+  *    equality-delete + data files
   *    (SINK/tableoperator/BaseDeltaTaskWriter.java:52-72,
   *    IcebergTableWriterFactory.java:98-99). A merge costs O(batch), not
   *    O(table): the table is never read on the write path. Readers apply
@@ -30,10 +30,15 @@ import org.apache.spark.sql.types._
   *    S hides data rows with seq < S); `compact()` folds delete files
   *    away. Snapshot versioning = versioned manifests (previous manifest
   *    retained for time travel).
-  *  - partitioned tables use partition-level copy-on-write: only
-  *    partitions touched by a batch are rewritten and swapped in — the
-  *    scale analogue of the reference's partition-granularity delete files
-  *    (BaseDeltaTaskWriter.java:76)
+  *  - partitioned tables split each commit into one file group PER
+  *    TOUCHED PARTITION, the manifest entry carrying the group's partition
+  *    tuple — the Iceberg model, where partition pruning is a
+  *    planning-time manifest filter ([[readPartitions]]) rather than a
+  *    directory listing, and the scale analogue of the reference's
+  *    partition-granularity delete files
+  *    (SINK/tableoperator/PartitionedDeltaWriter.java:19-78). Equality
+  *    deletes are partition-SCOPED: an upsert in partition P only hides
+  *    older rows of P, so partition-pruned reads and full reads agree.
   *
   * Known shared limitation with the reference: upserting a row whose
   * partition value changed leaves the old row version in the old partition
@@ -74,15 +79,6 @@ final class ManagedTable private (
     graft.cdc.TemporalMode.fromString(
       _meta.properties.getOrElse("write.temporal-mode", "isostring"))
 
-  /** Partitioned data root (partition-swapped dirs). Unpartitioned tables
-    * have no single data root — they are manifest-tracked file groups
-    * under `files/` (see [[morRead]]).
-    */
-  private def dataDir: Path = {
-    require(isPartitioned, "dataDir is only defined for partitioned tables")
-    new Path(tableDir, "data")
-  }
-
   private def manifestsDir = new Path(tableDir, "manifests")
   private def filesDir = new Path(tableDir, "files")
   private def manifestPath(v: Long) = new Path(manifestsDir, s"v=$v.json")
@@ -119,24 +115,33 @@ final class ManagedTable private (
   def read(): DataFrame = readPhysical().select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*)
 
   /** Includes derived partition columns — internal + pruning-aware readers. */
-  def readPhysical(): DataFrame =
-    if (!isPartitioned) morRead(currentEntries)
-    else {
-      val d = dataDir
-      val hasData = fs.exists(d) && fs.listStatus(d).nonEmpty
-      if (!hasData) {
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], physicalSchema)
-      } else {
-        spark.read.schema(physicalSchema)
-          .option("basePath", d.toString).format(format).load(d.toString)
-      }
-    }
+  def readPhysical(): DataFrame = morRead(currentEntries)
 
-  /** Time travel over unpartitioned snapshots: resolve an older manifest
-    * (the previous one is retained) against the current schema.
+  /** Manifest-level partition pruning — the Iceberg planning-time
+    * partition filter. `pred` sees each file group's partition tuple in
+    * canonical string form (null partition values appear as the Hive
+    * default-partition sentinel). Only groups whose tuple passes are ever
+    * listed or opened: at 100 TB a one-partition read plans against one
+    * group list, not a table listing. Sound under MoR deletes because
+    * delete scopes are partition-local (an upsert group in partition P
+    * only hides older rows of P), so a pruned read and a full read agree
+    * on every surviving partition.
+    */
+  def readPartitions(pred: Map[String, String] => Boolean): DataFrame = {
+    require(isPartitioned, "readPartitions needs a partitioned table")
+    morRead(currentEntries.filter(e => pred(e.partition)))
+  }
+
+  /** Live partition tuples (SHOW PARTITIONS analogue) — metadata-only:
+    * one manifest read, no data scan.
+    */
+  def partitions(): Seq[Map[String, String]] =
+    currentEntries.map(_.partition).distinct
+
+  /** Time travel: resolve an older manifest (previous versions are
+    * retained per `write.versions-retained`) against the current schema.
     */
   def readVersion(v: Long): DataFrame = {
-    require(!isPartitioned, "time travel is only kept for unpartitioned tables")
     val entries = Manifest.read(fs, manifestPath(v))
       .getOrElse(throw new IllegalArgumentException(
         s"no retained manifest for version $v of ${_meta.name}"))
@@ -164,7 +169,6 @@ final class ManagedTable private (
     * violate the as-of contract.
     */
   def readAsOf(tsMs: Long): DataFrame = {
-    require(!isPartitioned, "time travel is only kept for unpartitioned tables")
     val vs = versions()
     val at = vs.filter(_._2 <= tsMs)
     require(at.nonEmpty,
@@ -184,14 +188,11 @@ final class ManagedTable private (
     * AQE broadcasts: the main data scan is never shuffled. Tombstone rows
     * (hard deletes) are filtered out last.
     */
-  /** Unpartitioned read retaining the commit-sequence column
+  /** Read retaining the commit-sequence column
     * ([[ManagedTable.SeqCol]]) — gives metadata readers a deterministic
     * commit order (wall-clock columns tie under fast successive commits).
     */
-  def readWithCommitSeq(): DataFrame = {
-    require(!isPartitioned, "commit seq is a MoR (unpartitioned) concept")
-    morRead(currentEntries, keepSeq = true)
-  }
+  def readWithCommitSeq(): DataFrame = morRead(currentEntries, keepSeq = true)
 
   /** Incremental changelog: the net per-key changes committed in versions
     * (fromVersion, toVersion] — the Iceberg incremental-scan analogue that
@@ -213,7 +214,6 @@ final class ManagedTable private (
     * or use [[compactMinor]] while changelog consumers are active.
     */
   def readChangesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
-    require(!isPartitioned, "incremental reads are a MoR (unpartitioned) feature")
     require(fromVersion <= toVersion, s"empty range: ($fromVersion, $toVersion]")
     val entries = Manifest.read(fs, manifestPath(toVersion))
       .getOrElse(throw new IllegalArgumentException(
@@ -258,12 +258,21 @@ final class ManagedTable private (
     *    prunes exactly where the bytes are.
     */
   def readColRange(c: String, lo: Any, hi: Any): DataFrame = {
-    require(!isPartitioned, "range pruning is a MoR (unpartitioned) feature")
     require(lo != null && hi != null, "range bounds must be non-null")
+    val entries = currentEntries
     val isId = _meta.identifierFields.contains(c)
-    val pruned = currentEntries.filter(e =>
-      (!isId && e.kind == Manifest.Upsert) ||
-        e.stats.get(c).forall(_.intersects(lo, hi)))
+    val passing = entries.filter(_.stats.get(c).forall(_.intersects(lo, hi)))
+    val pruned =
+      if (isId) passing
+      else {
+        // Non-identifier scan: an out-of-bounds UPSERT group may still
+        // carry deletes for keys whose live row is in range — but only
+        // within its own partition tuple, so keep upsert groups only for
+        // tuples that still have a bounds-passing group to hide rows in.
+        val keptTuples = passing.map(_.partition).toSet
+        entries.filter(e => e.stats.get(c).forall(_.intersects(lo, hi)) ||
+          (e.kind == Manifest.Upsert && keptTuples.contains(e.partition)))
+      }
     morRead(pruned).filter(col(c).between(lit(lo), lit(hi)))
   }
 
@@ -278,8 +287,14 @@ final class ManagedTable private (
 
   /** Seq-scoped delete resolution over a set of groups: rows of every
     * group, minus rows hidden by a higher-seq upsert group's keys.
-    * Tombstone rows are KEPT (callers filter or re-write them). Columns:
-    * physical schema + seq + tombstone.
+    * Delete scopes are PARTITION-LOCAL: the anti-join matches partition
+    * columns null-safely alongside the identifiers, so an upsert group
+    * only hides older rows of its own partition tuple (reference parity —
+    * partition-granularity delta files) and partition-pruned reads stay
+    * consistent with full reads. Upsert groups at the minimum live seq OF
+    * THEIR TUPLE are skipped outright (nothing older exists in-tuple for
+    * them to hide). Tombstone rows are KEPT (callers filter or re-write
+    * them). Columns: physical schema + seq + tombstone.
     */
   private def morResolve(entries: Seq[ManifestEntry]): DataFrame = {
     val allPaths = entries.map(e => new Path(tableDir, e.path).toString)
@@ -288,17 +303,22 @@ final class ManagedTable private (
       StructField(TombstoneCol, BooleanType, nullable = true))
     val data = spark.read.schema(readSchema).format(format).load(allPaths: _*)
     val ids = _meta.identifierFields
-    val minSeq = entries.map(_.seq).min
-    val delEntries = entries.filter(e => e.kind == Manifest.Upsert && e.seq > minSeq)
+    val minSeqByTuple = entries.groupBy(_.partition)
+      .map { case (p, es) => p -> es.map(_.seq).min }
+    val delEntries = entries.filter(e =>
+      e.kind == Manifest.Upsert && e.seq > minSeqByTuple(e.partition))
     if (delEntries.isEmpty || ids.isEmpty) data
     else {
+      val pcols = partitionFields.map(_.name).filterNot(ids.contains)
+      val delCols = ids ++ pcols
       val pkSchema = StructType(
-        ids.map(n => _meta.schema(n).copy(nullable = false)) :+
+        delCols.map(n => physicalSchema(n).copy(nullable = !ids.contains(n))) :+
           StructField(SeqCol, LongType, nullable = false))
       val dels = spark.read.schema(pkSchema).format(format)
         .load(delEntries.map(e => new Path(tableDir, e.path).toString): _*)
-        .select(ids.map(n => col(n).as(s"__del_$n")) :+ col(SeqCol).as(DelSeqCol): _*)
-      val cond = ids.map(n => data(n) === dels(s"__del_$n")).reduce(_ && _) &&
+        .select(delCols.map(n => col(n).as(s"__del_$n")) :+ col(SeqCol).as(DelSeqCol): _*)
+      val cond = (ids.map(n => data(n) === dels(s"__del_$n")) ++
+        pcols.map(n => data(n) <=> dels(s"__del_$n"))).reduce(_ && _) &&
         dels(DelSeqCol) > data(SeqCol)
       data.join(dels, cond, "left_anti")
     }
@@ -316,23 +336,34 @@ final class ManagedTable private (
     * before, after) for the trickle set.
     */
   def compactMinor(): (Int, Int) = {
-    require(!isPartitioned, "minor compaction is a MoR (unpartitioned) operation")
     val entries = currentEntries
     if (entries.isEmpty) return (0, 0)
-    val minSeq = entries.map(_.seq).min
-    val trickles = entries.filter(e => e.kind == Manifest.Upsert && e.seq > minSeq)
-    if (trickles.size < 2) return (trickles.size, trickles.size)
+    val minSeqByTuple = entries.groupBy(_.partition)
+      .map { case (p, es) => p -> es.map(_.seq).min }
+    val allTrickles = entries.filter(e =>
+      e.kind == Manifest.Upsert && e.seq > minSeqByTuple(e.partition))
+    // fold only tuples with >= 2 trickle groups (a 1-group tuple fold
+    // would be a pure rewrite with no read-amplification payoff)
+    val foldable = allTrickles.groupBy(_.partition).filter(_._2.size >= 2)
+    if (foldable.isEmpty) return (allTrickles.size, allTrickles.size)
+    val folded = foldable.values.flatten.toSeq
     // KEEP each row's original per-row seq: re-stamping the fold at maxSeq
     // would widen every row's delete scope and hide data-group rows whose
     // seq lies between the row's true upsert seq and maxSeq (delete
     // resolution compares PER-ROW seqs — only the entry-level seq, used
     // for manifest filtering, moves to maxSeq). A maintenance fold must
     // never change the visible table state.
-    val resolved = morResolve(trickles)
-    val maxSeq = trickles.map(_.seq).max
-    val entry = writeGroup(sortForWrite(resolved), Manifest.Upsert, maxSeq)
-    commitManifest(entries.filterNot(trickles.contains) ++ entry)
-    (trickles.size, entry.size)
+    val resolved = morResolve(folded)
+    val newEntries =
+      if (isPartitioned) {
+        val maxByTuple = foldable.map { case (p, es) => p -> es.map(_.seq).max }
+        val fallback = folded.map(_.seq).max
+        splitWriteGroups(resolved, Manifest.Upsert,
+          t => maxByTuple.getOrElse(t, fallback), fallback)
+      } else
+        writeGroup(sortForWrite(resolved), Manifest.Upsert, folded.map(_.seq).max).toSeq
+    commitManifest(entries.filterNot(folded.contains) ++ newEntries)
+    (allTrickles.size, allTrickles.size - folded.size + newEntries.size)
   }
 
   /** W1/W2 — append. Batch is conformed to the table schema (R4), hash-
@@ -345,12 +376,10 @@ final class ManagedTable private (
     * flip — the idempotent-replay marker pattern: a streaming sink stamps
     * its batch id into the commit it lands, so a replayed `foreachBatch`
     * (crash between table commit and checkpoint commit) can detect the
-    * batch already landed and skip it. MoR only: the partitioned append
-    * path has no atomic pointer flip to ride.
+    * batch already landed and skip it. Works on every table — partitioned
+    * commits go through the same manifest + pointer-flip protocol.
     */
   def append(batch: DataFrame, commitProperties: Map[String, String]): Unit = {
-    require(commitProperties.isEmpty || !isPartitioned,
-      "commit properties need the MoR pointer flip (unpartitioned tables)")
     // stage the properties into the handle only for the duration of this
     // commit attempt: a failed write must not leak them into a LATER
     // commit (they'd claim a batch landed that never did)
@@ -362,39 +391,33 @@ final class ManagedTable private (
   }
 
   private def appendStaged(batch: DataFrame): Unit = {
+    // MoR: new immutable data group(s) + manifest commit — the live
+    // snapshot is never mutated (a failed append leaves unreferenced
+    // groups, invisible to readers and swept by the next commit's GC).
     val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
-    if (!isPartitioned) {
-      // MoR: a new immutable data group + manifest commit — the live
-      // snapshot is never mutated (a failed append leaves an unreferenced
-      // group, invisible to readers and swept by the next commit's GC).
-      val seq = _meta.currentVersion + 1
-      val entry = writeGroup(sortForWrite(conformed), Manifest.Data, seq)
-      commitManifest(currentEntries ++ entry)
-    } else {
-      val withParts = withPartitionCols(conformed)
-      val distributed = withParts.repartition(partitionFields.map(pf => col(pf.name)): _*)
-      val sorted = sortForWrite(distributed)
-      applyWriteProps(sorted.write.mode("append"))
-        .partitionBy(partitionFields.map(_.name): _*)
-        .format(format).save(dataDir.toString)
-    }
+    val seq = _meta.currentVersion + 1
+    val entries =
+      if (isPartitioned)
+        splitWriteGroups(withPartitionCols(conformed), Manifest.Data, _ => seq, seq)
+      else writeGroup(sortForWrite(conformed), Manifest.Data, seq).toSeq
+    commitManifest(currentEntries ++ entries)
   }
 
   /** C3–C7 — upsert-merge a CDC batch into the table. */
   def merge(batch: DataFrame, cfg: CdcApply.UpsertConfig = CdcApply.UpsertConfig()): Unit = {
     val ids = _meta.identifierFields
     if (ids.isEmpty) { append(batch); return } // C6 append fallback
-    if (isPartitioned) mergePartitioned(batch, cfg)
-    else mergeOnRead(batch, cfg)
+    mergeOnRead(batch, cfg)
   }
 
-  /** Unpartitioned merge = the reference's delete+insert delta commit
+  /** Merge = the reference's delete+insert delta commit
     * (BaseDeltaTaskWriter.java:52-72) collapsed into ONE written file
-    * group: the batch's per-key winners, which double as the equality
-    * deletes for everything older (see [[Manifest]]). Hard deletes under
-    * keepDeletes=false become tombstone rows. The existing table is never
-    * read and a single Spark action runs — per-micro-batch cost is
-    * proportional to the batch, not the table.
+    * group per touched partition: the batch's per-key winners, which
+    * double as the (partition-scoped) equality deletes for everything
+    * older (see [[Manifest]]). Hard deletes under keepDeletes=false become
+    * tombstone rows. The existing table is never read and a single Spark
+    * write job runs — per-micro-batch cost is proportional to the batch,
+    * not the table, on partitioned and unpartitioned tables alike.
     */
   private def mergeOnRead(batch: DataFrame, cfg: CdcApply.UpsertConfig): Unit = {
     val ids = _meta.identifierFields
@@ -404,8 +427,11 @@ final class ManagedTable private (
       if (cfg.keepDeletes) lit(false)
       else CdcApply.isDelete(cfg.opColumn)) // null-safe: same predicate as the relational fold
     val seq = _meta.currentVersion + 1
-    val entry = writeGroup(sortForWrite(flagged), Manifest.Upsert, seq)
-    val committed = currentEntries ++ entry
+    val entries =
+      if (isPartitioned)
+        splitWriteGroups(withPartitionCols(flagged), Manifest.Upsert, _ => seq, seq)
+      else writeGroup(sortForWrite(flagged), Manifest.Upsert, seq).toSeq
+    val committed = currentEntries ++ entries
     commitManifest(committed)
     // Bounded read amplification: a trickle stream accumulates one upsert
     // group per micro-batch; past the threshold the anti-join's delete side
@@ -418,8 +444,12 @@ final class ManagedTable private (
     // second manifest read on the per-batch hot path.
     val autoCompact = _meta.properties
       .getOrElse("write.mor.compact-after-upserts", "32").toInt
+    // count upsert COMMITS (distinct seqs), not groups: a partitioned
+    // merge lands one group per touched partition, and the read cost the
+    // threshold bounds (delete-side breadth per tuple) grows per commit
     if (autoCompact > 0 &&
-      committed.count(_.kind == Manifest.Upsert) >= autoCompact) compactMinor()
+      committed.filter(_.kind == Manifest.Upsert).map(_.seq).distinct.size >= autoCompact)
+      compactMinor()
   }
 
   /** Stats domain tag for a column type — integral / floating / string;
@@ -575,81 +605,85 @@ final class ManagedTable private (
     }
   }
 
-  /** Partition-level COW: rewrite only partitions the batch touches. */
-  private def mergePartitioned(batch: DataFrame, cfg: CdcApply.UpsertConfig): Unit = {
-    val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
-    val batchParts = withPartitionCols(conformed)
+  /** Partitioned analogue of [[writeGroup]]: split one batch into one
+    * immutable file group PER TOUCHED PARTITION in a single Spark write
+    * job — a hive-layout staging write keyed on duplicated string
+    * partition columns, then one directory rename per touched partition —
+    * recording each group's partition tuple and column bounds in its
+    * manifest entry. This is the Iceberg model: partition pruning is a
+    * MANIFEST operation ([[readPartitions]]), not a directory listing.
+    * The real partition columns stay INSIDE the data files (the staging
+    * dir name is an artifact), so group files read exactly like
+    * unpartitioned MoR groups. Mirrors the reference's
+    * partition-granularity delta files
+    * (SINK/tableoperator/PartitionedDeltaWriter.java:19-78).
+    *
+    * `seqOf` maps a partition tuple to the entry's sequence number —
+    * constant for fresh commits; per-tuple max for [[compactMinor]] folds
+    * (whose rows keep their original per-row seqs).
+    *
+    * Cost: the write job (batch-sized) plus one columnar stats/tuple
+    * aggregate over the staged batch and a rename per touched partition.
+    */
+  private def splitWriteGroups(df: DataFrame, kind: String,
+                               seqOf: Map[String, String] => Long,
+                               defaultSeq: Long): Seq[ManifestEntry] = {
     val pnames = partitionFields.map(_.name)
-    val touched = batchParts.select(pnames.map(col): _*).distinct().collect()
-    if (touched.isEmpty) return
-
-    // Pruned read of only the touched partitions of the current state.
-    val touchedFilter = touched.map { r =>
-      pnames.zipWithIndex.map { case (n, i) =>
-        if (r.isNullAt(i)) col(n).isNull else col(n) === lit(r.get(i))
-      }.reduce(_ && _)
-    }.reduce(_ || _)
-    val currentTouched = readPhysical().where(touchedFilter)
-      .select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*)
-
-    val merged = CdcApply.upsert(currentTouched,
-      conformed.select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*),
-      _meta.identifierFields, cfg)
-
-    // Stage the rewritten partitions, then swap directories in.
+    // staging key columns must NOT start with '_' — hive dirs named
+    // `_...=v` are treated as hidden by Spark's readers (and ours)
+    val ptCols = pnames.map(n => s"graftpt_$n")
+    ptCols.foreach(c => require(!df.columns.contains(c),
+      s"column $c collides with the staging partition key"))
+    val dup = pnames.zip(ptCols).foldLeft(df) { case (d, (n, c)) =>
+      d.withColumn(c, col(n).cast(StringType))
+    }
+    val sorted = sortForWrite(dup.repartition(ptCols.map(col): _*))
+    val stamped =
+      if (sorted.columns.contains(SeqCol)) sorted
+      else sorted.withColumn(SeqCol, lit(defaultSeq))
     val staging = new Path(tableDir, s".stage-${java.util.UUID.randomUUID()}")
     try {
-      stagePartitionedWrite(merged, staging)
-      val rels = touched.map { r =>
-        pnames.zipWithIndex.map { case (n, i) =>
-          val v = if (r.isNullAt(i)) null else r.get(i).toString
-          ExternalCatalogUtils.getPartitionPathString(n, Option(v).getOrElse("__HIVE_DEFAULT_PARTITION__"))
-        }.mkString("/")
+      applyWriteProps(stamped.write.mode("overwrite"))
+        .partitionBy(ptCols: _*).format(format).save(staging.toString)
+      val hasDirs = fs.exists(staging) && fs.listStatus(staging).exists(s =>
+        s.isDirectory && !s.getPath.getName.startsWith("_"))
+      if (!hasDirs) return Seq.empty
+      // one columnar read-back of the staged batch: per-partition tuples +
+      // min/max bounds in a single small aggregate (the Observation API is
+      // global-only, so bounds-per-partition need this pass)
+      val fileFields = stamped.schema.fields.filterNot(f => ptCols.contains(f.name))
+      val readBack = StructType(fileFields ++
+        ptCols.map(StructField(_, StringType, nullable = true)))
+      val staged = spark.read.schema(readBack).option("basePath", staging.toString)
+        .format(format).load(staging.toString)
+      val statCols = (_meta.identifierFields ++ clusterByCols).distinct
+        .filter(n => fileFields.exists(_.name == n))
+        .flatMap(c => statsTag(readBack(c).dataType).map(c -> _))
+      val aggs = count(lit(1)).as("__n") +: statCols.flatMap { case (c, _) =>
+        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
       }
-      swapPartitions(staging, rels.toSeq)
-      bumpVersion()
+      val perPart = staged.groupBy(ptCols.map(col): _*).agg(aggs.head, aggs.tail: _*).collect()
+      perPart.toSeq.map { row =>
+        def ptVal(c: String): String =
+          Option(row.get(row.fieldIndex(c))).map(_.toString)
+            .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+        val tuple = pnames.zip(ptCols).map { case (n, c) => n -> ptVal(c) }.toMap
+        val stats = statCols.collect { case (c, tg)
+          if row.get(row.fieldIndex(s"mn_$c")) != null &&
+             row.get(row.fieldIndex(s"mx_$c")) != null =>
+          c -> ColBounds(tg, row.get(row.fieldIndex(s"mn_$c")), row.get(row.fieldIndex(s"mx_$c")))
+        }.toMap
+        val srcRel = ptCols.map(c =>
+          ExternalCatalogUtils.getPartitionPathString(c, ptVal(c))).mkString("/")
+        val rel = groupRel(kind, seqOf(tuple))
+        val dst = new Path(tableDir, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(new Path(staging, srcRel), dst))
+          throw new java.io.IOException(s"failed to stage partition group $rel")
+        ManifestEntry(rel, kind, seqOf(tuple), stats, tuple)
+      }
     } finally fs.delete(staging, true)
   }
-
-  /** Write a partitioned staging copy with the table's distribution, sort,
-    * and file-size properties (shared by merge and compaction).
-    */
-  private def stagePartitionedWrite(df: DataFrame, staging: Path): Unit = {
-    val pnames = partitionFields.map(_.name)
-    val stagedOut = sortForWrite(
-      withPartitionCols(df).repartition(pnames.map(col): _*))
-    applyWriteProps(stagedOut.write.mode("overwrite")).partitionBy(pnames: _*)
-      .format(format).save(staging.toString)
-  }
-
-  /** Swap the given partition dirs from `staging` into the live data dir.
-    * Each partition flips rename-aside → rename-in → delete-aside: the live
-    * copy is never deleted before its replacement is in place, so a crash
-    * at any step leaves every partition either complete or recoverable from
-    * its `.…​.__old` sibling (dot-prefixed — invisible to Spark's reader —
-    * and restored by [[recoverPartitionSwaps]] at load). A partition with
-    * no staged replacement is removed (merge emptied it).
-    */
-  private def swapPartitions(staging: Path, rels: Seq[String]): Unit =
-    rels.foreach { rel =>
-      val src = new Path(staging, rel)
-      val dst = new Path(dataDir, rel)
-      val old = asideFor(dst)
-      fs.delete(old, true) // leftover from an earlier completed swap
-      if (fs.exists(dst) && !fs.rename(dst, old))
-        throw new java.io.IOException(s"partition swap stage failed: $rel")
-      if (fs.exists(src)) {
-        fs.mkdirs(dst.getParent)
-        if (!fs.rename(src, dst)) {
-          fs.rename(old, dst) // best-effort rollback
-          throw new java.io.IOException(s"partition swap failed: $rel")
-        }
-      }
-      fs.delete(old, true)
-    }
-
-  private def asideFor(dst: Path): Path =
-    new Path(dst.getParent, s".${dst.getName}.__old")
 
   /** Load-time sweep of staging directories a hard crash orphaned (the
     * `finally` cleanup never ran): merge/compact/cluster staging is only
@@ -665,52 +699,39 @@ final class ManagedTable private (
         fs.delete(s.getPath, true)
     }
 
-  /** Crash recovery for [[swapPartitions]]: restore any partition whose
-    * swap died between rename-aside and rename-in; drop asides whose live
-    * partition exists (the swap completed, only cleanup was lost). Called
-    * once per table open — a bounded walk of the partition tree.
-    */
-  private[tables] def recoverPartitionSwaps(): Unit = {
-    def walk(dir: Path): Unit = {
-      if (!fs.exists(dir)) return
-      fs.listStatus(dir).foreach { s =>
-        val n = s.getPath.getName
-        if (s.isDirectory) {
-          if (n.startsWith(".") && n.endsWith(".__old")) {
-            val live = new Path(s.getPath.getParent, n.stripPrefix(".").stripSuffix(".__old"))
-            if (fs.exists(live)) fs.delete(s.getPath, true)
-            else fs.rename(s.getPath, live)
-          } else if (!n.startsWith(".") && !n.startsWith("_")) walk(s.getPath)
-        }
-      }
-    }
-    if (isPartitioned) walk(dataDir)
-  }
-
   /** W7 — atomically replace the whole table content (offset-store parity):
     * one data group, a manifest referencing only it.
     */
   def overwrite(df: DataFrame): Unit = {
-    require(!isPartitioned, "overwrite is for unpartitioned metadata tables")
     val seq = _meta.currentVersion + 1
-    val entry = writeGroup(
-      sortForWrite(EventDecoder.conformTo(df, _meta.schema, temporalMode)), Manifest.Data, seq)
-    commitManifest(entry.toSeq)
+    val conformed = EventDecoder.conformTo(df, _meta.schema, temporalMode)
+    val entries =
+      if (isPartitioned)
+        splitWriteGroups(withPartitionCols(conformed), Manifest.Data, _ => seq, seq)
+      else writeGroup(sortForWrite(conformed), Manifest.Data, seq).toSeq
+    commitManifest(entries)
   }
 
-  /** D6 — union-by-name evolution; commits metadata only on change. */
+  /** D6 — union-by-name evolution; commits metadata only on change.
+    * Guarded like every data commit: a stale handle (another writer
+    * committed since this one loaded) is rejected instead of silently
+    * clobbering that writer's snapshot pointer with an old one.
+    */
   def evolve(incoming: StructType, identifierFields: Seq[String] = Seq.empty): Boolean = {
     val merged = SchemaEvolution.union(_meta.schema, incoming)
     val ids = if (identifierFields.nonEmpty) identifierFields else _meta.identifierFields
     if (!SchemaEvolution.changed(_meta.schema, merged) && ids == _meta.identifierFields) false
     else {
+      requireCurrentPointer()
       _meta = _meta.copy(schema = merged, identifierFields = ids)
       TableMeta.write(fs, tableDir, _meta)
       true
     }
   }
 
+  /** Same optimistic-concurrency guard as the data path (see [[evolve]]). */
   def setProperties(props: Map[String, String]): Unit = {
+    requireCurrentPointer()
     _meta = _meta.copy(properties = _meta.properties ++ props)
     TableMeta.write(fs, tableDir, _meta)
   }
@@ -742,11 +763,10 @@ final class ManagedTable private (
     * tables accumulate small files / delete artifacts and "periodic
     * compaction" is required for read performance (docs/faq.md:3-7).
     *
-    * Partitioned tables stage a full rewrite and swap PER PARTITION (same
-    * granularity and crash behavior as merge: every partition is complete
-    * at all times; a crash leaves a mix of compacted and uncompacted —
-    * both valid — partitions). Snapshot tables commit a coalesced new
-    * version through the pointer flip. Returns (files before, after).
+    * Partitioned tables fold PER PARTITION TUPLE through the same
+    * manifest commit as every other write (targeted: only tuples at/above
+    * the small-group threshold are rewritten). Unpartitioned tables
+    * commit a coalesced new version. Returns (files before, after).
     *
     * NOTE: on MoR tables this is a changelog history barrier — tombstones
     * are dropped, so [[readChangesBetween]] ranges that start before the
@@ -760,43 +780,26 @@ final class ManagedTable private (
         else if (s.getPath.getName.startsWith("_")) acc
         else acc + 1
       }
-    // Live files: the current manifest's groups (MoR) or the data dir.
+    // Live files: the current manifest's groups.
     def liveFiles(): Long =
-      if (isPartitioned) countFiles(dataDir)
-      else currentEntries.map(e => countFiles(new Path(tableDir, e.path))).sum
+      currentEntries.map(e => countFiles(new Path(tableDir, e.path))).sum
     val before = liveFiles()
     if (isPartitioned) {
-      // Targeted: only partitions at/above the small-file threshold are
+      // Targeted: only partitions at/above the small-group threshold are
       // rewritten (`compact.min-input-files`, default 2 — cf. Iceberg's
       // binpack min-input-files). At 100 TB a compaction pass must not
-      // rewrite the cold 99% of partitions a trickle stream never touches.
+      // rewrite the cold 99% of partitions a trickle stream never
+      // touches. Folding whole tuples is delete-sound: delete scopes are
+      // partition-local, so a tuple's full fold leaves nothing its
+      // remaining deletes could hide, and untouched tuples keep theirs.
       val minInput = _meta.properties.getOrElse("compact.min-input-files", "2").toInt
-      val pnames = partitionFields.map(_.name)
-      def leafParts(dir: Path, depth: Int, rel: String): Seq[(String, Long)] =
-        if (!fs.exists(dir)) Seq.empty
-        else if (depth == 0)
-          Seq(rel -> fs.listStatus(dir).count(s => !s.isDirectory &&
-            !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")).toLong)
-        else fs.listStatus(dir).toSeq
-          .filter(s => s.isDirectory && !s.getPath.getName.startsWith(".") &&
-            !s.getPath.getName.startsWith("_"))
-          .flatMap(s => leafParts(s.getPath, depth - 1,
-            if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}"))
-      val targets = leafParts(dataDir, pnames.size, "")
-        .collect { case (rel, n) if n >= minInput => rel }
+      val targets = currentEntries.groupBy(_.partition)
+        .collect { case (_, es) if es.size >= minInput => es }.flatten.toSeq
       if (targets.nonEmpty) {
-        val staging = new Path(tableDir, s".compact-${java.util.UUID.randomUUID()}")
-        try {
-          // basePath keeps the hive partition columns while loading only
-          // the targeted partition dirs
-          val current = spark.read.schema(physicalSchema)
-            .option("basePath", dataDir.toString).format(format)
-            .load(targets.map(rel => new Path(dataDir, rel).toString): _*)
-            .select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*)
-          stagePartitionedWrite(current, staging)
-          swapPartitions(staging, targets)
-          bumpVersion()
-        } finally fs.delete(staging, true)
+        val folded = morRead(targets) // tombstones dropped, deletes applied
+        val seq = _meta.currentVersion + 1
+        val newEntries = splitWriteGroups(folded, Manifest.Data, _ => seq, seq)
+        commitManifest(currentEntries.filterNot(targets.contains) ++ newEntries)
       }
     } else {
       // Fold the MoR view (deletes applied, tombstones dropped) into one
@@ -890,11 +893,6 @@ final class ManagedTable private (
     } finally fs.delete(staging, true)
   }
 
-  private def bumpVersion(): Unit = {
-    requireCurrentPointer()
-    _meta = _meta.copy(currentVersion = _meta.currentVersion + 1)
-    TableMeta.write(fs, tableDir, _meta)
-  }
 }
 
 object ManagedTable {
@@ -930,20 +928,19 @@ object ManagedTable {
     PartitionSpecParser.parse(partitionBy, schema.fieldNames.toSet)
     fs.mkdirs(dir)
     val meta = TableMeta(name, schema, identifierFields, partitionBy, properties, 0L)
-    if (partitionBy.isEmpty) // MoR tables start from an empty manifest
-      Manifest.write(fs, new Path(new Path(dir, "manifests"), "v=0.json"), Seq.empty)
+    // every table starts from an empty manifest (all tables are MoR)
+    Manifest.write(fs, new Path(new Path(dir, "manifests"), "v=0.json"), Seq.empty)
     TableMeta.write(fs, dir, meta)
     new ManagedTable(spark, warehouse, meta)
   }
 
-  /** D7 — load if present. Recovers any partition swap a crash left half
-    * done before handing the table out.
+  /** D7 — load if present. Sweeps any staging debris a crash left behind
+    * before handing the table out.
     */
   def load(spark: SparkSession, warehouse: String, name: String): Option[ManagedTable] = {
     val fs = TableMeta.fs(spark.sparkContext.hadoopConfiguration, warehouse)
     TableMeta.read(fs, new Path(warehouse, name)).map { m =>
       val t = new ManagedTable(spark, warehouse, m)
-      t.recoverPartitionSwaps()
       t.sweepOrphanStaging()
       t
     }

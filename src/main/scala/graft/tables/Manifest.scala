@@ -44,10 +44,10 @@ final case class ColBounds(t: String, min: Any, max: Any) {
   }
 }
 
-/** One committed file group of an unpartitioned table snapshot: a directory
-  * of immutable data files, stamped with the commit sequence number. The
-  * graft analogue of an Iceberg manifest entry with sequence-number-scoped
-  * equality deletes (cf. the reference's RowDelta commits,
+/** One committed file group of a table snapshot: a directory of immutable
+  * data files, stamped with the commit sequence number. The graft analogue
+  * of an Iceberg manifest entry with sequence-number-scoped equality
+  * deletes (cf. the reference's RowDelta commits,
   * SINK/tableoperator/IcebergTableOperator.java:205-249, and its
   * equality-delta writers, SINK/tableoperator/BaseDeltaTaskWriter.java:52-72):
   *
@@ -63,9 +63,18 @@ final case class ColBounds(t: String, min: Any, max: Any) {
   * `path` is relative to the table directory. `stats` are optional
   * identifier-column bounds (absent on pre-stats manifests and non-stats
   * types — readers treat absence as "cannot prune").
+  *
+  * `partition` is the group's partition tuple in canonical string form
+  * (empty for unpartitioned tables; null values are recorded as the Hive
+  * default-partition sentinel). All rows of a group share one tuple — the
+  * Iceberg model, where partition pruning is a planning-time manifest
+  * filter, not a directory listing, and equality-delete scopes are
+  * partition-local (reference partition-granularity delta files,
+  * SINK/tableoperator/PartitionedDeltaWriter.java:19-78).
   */
 final case class ManifestEntry(path: String, kind: String, seq: Long,
-                               stats: Map[String, ColBounds] = Map.empty)
+                               stats: Map[String, ColBounds] = Map.empty,
+                               partition: Map[String, String] = Map.empty)
 
 object Manifest {
   private val mapper = new ObjectMapper()
@@ -82,6 +91,10 @@ object Manifest {
     entries.foreach { e =>
       val n = arr.addObject()
       n.put("path", e.path); n.put("kind", e.kind); n.put("seq", e.seq)
+      if (e.partition.nonEmpty) {
+        val p = n.putObject("partition")
+        e.partition.foreach { case (k, v) => p.put(k, v) }
+      }
       if (e.stats.nonEmpty) {
         val st = n.putObject("stats")
         e.stats.foreach { case (c, b) =>
@@ -118,7 +131,11 @@ object Manifest {
           e.getKey -> ColBounds(t, v("min"), v("max"))
         }.toMap
       }.getOrElse(Map.empty[String, ColBounds])
-      ManifestEntry(n.get("path").asText, n.get("kind").asText, n.get("seq").asLong, stats)
+      val partition = Option(n.get("partition")).map { p =>
+        p.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+      }.getOrElse(Map.empty[String, String])
+      ManifestEntry(n.get("path").asText, n.get("kind").asText, n.get("seq").asLong,
+        stats, partition)
     }.toSeq
 
   /** Manifests are immutable once written: temp + rename, never rewritten. */

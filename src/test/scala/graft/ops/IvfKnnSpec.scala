@@ -39,12 +39,15 @@ class IvfKnnSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(viaIndex == brute)
 
-    // a 1-probe search's scan carries a partition filter on list_id — the
-    // probed directories are pruned at planning, before any file is read
+    // a 1-probe search's scan is pruned at the MANIFEST level — only the
+    // probed lists' file groups are opened, before any file is read
     val scan = idx.probedScan(queries, "embedding", nprobe = 1)
-    val plan = scan.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [list_id"),
-      plan.linesIterator.filter(_.contains("Partition")).mkString("\n"))
+    val vectors = graft.tables.ManagedTable.load(spark, wh, "emb_vectors").get
+    val fullFiles = vectors.readPhysical().inputFiles.toSet
+    val scanFiles = scan.inputFiles.toSet
+    assert(scanFiles.nonEmpty && scanFiles.size < fullFiles.size,
+      s"probe opened ${scanFiles.size}/${fullFiles.size} groups — no manifest pruning")
+    assert(scanFiles.subsetOf(fullFiles))
     // ...and the probe covers a strict subset of the corpus
     assert(scan.count() > 0 && scan.count() < emb.count())
 
@@ -83,6 +86,48 @@ class IvfKnnSpec extends AnyFunSuite with SharedSpark {
     val back = idx.search(emb.where(col("vec_id") === 0), "vec_id", "embedding",
       k = 3, nprobe = 4).collect().map(_.getLong(2))
     assert(back.contains(90001L), s"added vector not searchable: ${back.mkString(",")}")
+  }
+
+  test("persisted IvfIndex: wrong-dimension vectors fail fast, not silently misindexed") {
+    import graft.similarity.IvfIndex
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf3").toString
+    val idx = IvfIndex.build(spark, wh, "emb", emb, "vec_id", "embedding",
+      nlist = 4, iters = 1)
+    val before = idx.probedScan(emb.limit(1), "embedding", nprobe = 4).count()
+    val bad = Seq((91L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception](idx.addBatch(bad, "vec_id", "embedding"))
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | "))
+    assert(rootMsg(ex).contains("does not match index dimension"), rootMsg(ex))
+    // the failed batch left no partial state behind (append never committed)
+    assert(IvfIndex.load(spark, wh, "emb").get
+      .probedScan(emb.limit(1), "embedding", nprobe = 4).count() == before)
+  }
+
+  test("persisted IvfIndex: crashed rebuild windows recover — old or new, never missing") {
+    import graft.similarity.IvfIndex
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivf4").toString
+    IvfIndex.build(spark, wh, "emb", emb, "vec_id", "embedding", nlist = 4, iters = 1)
+    val total = emb.count()
+    val live = new java.io.File(s"$wh/emb_vectors")
+    // window 1: crash between rename-aside and rename-in (live missing,
+    // aside present) → load rolls the OLD index back
+    assert(live.renameTo(new java.io.File(s"$wh/emb_vectors__old")))
+    val rolled = IvfIndex.load(spark, wh, "emb")
+    assert(rolled.isDefined, "load must roll back the aside vectors table")
+    assert(rolled.get.probedScan(emb.limit(1), "embedding", nprobe = 4).count() == total)
+    assert(live.exists() && !new java.io.File(s"$wh/emb_vectors__old").exists())
+    // window 2: crash with a COMPLETE staged table and live set aside →
+    // load finishes the swap to the staged (new) assignments
+    assert(live.renameTo(new java.io.File(s"$wh/emb_vectors__new")))
+    val finished = IvfIndex.load(spark, wh, "emb")
+    assert(finished.isDefined, "load must finish the staged swap")
+    assert(finished.get.probedScan(emb.limit(1), "embedding", nprobe = 4).count() == total)
+    // window 3: abandoned staged sibling next to a live index is debris
+    new java.io.File(s"$wh/emb_vectors__new").mkdirs()
+    assert(IvfIndex.load(spark, wh, "emb").isDefined)
+    assert(!new java.io.File(s"$wh/emb_vectors__new").exists(), "stale staged dir not swept")
   }
 
   test("partial probe keeps decent recall at a fraction of the scan") {

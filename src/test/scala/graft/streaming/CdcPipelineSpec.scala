@@ -133,10 +133,13 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
     assert(t.read().count() == 1)
   }
 
-  test("append mode: a replayed batch id lands exactly once on MoR destinations") {
+  test("append mode: a replayed batch id lands exactly once — including partitioned destinations") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-replay").toString
-    val cfg = PipelineConfig(warehouse = s"$root/wh", upsert = false)
+    // partition the destination: replay markers must ride the partitioned
+    // manifest commit too (every commit is a snapshot now)
+    val cfg = PipelineConfig(warehouse = s"$root/wh", upsert = false,
+      partitionBy = Map("*" -> Seq("bucket(2,id)")))
     val batch = Seq(
       EventFactory.event(1, "a", "c", 1L),
       EventFactory.event(2, "b", "c", 1L)
@@ -228,8 +231,10 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
     CdcPipeline.start(spark, src, s"$root/cp", cfg).awaitTermination(120000)
     val arch = ManagedTable.load(spark, cfg.warehouse, "debezium_events").get
     assert(arch.read().count() == 2)
-    val dirs = new java.io.File(s"${cfg.warehouse}/debezium_events/data").listFiles().map(_.getName)
-    assert(dirs.exists(_.startsWith("event_destination=")))
+    // partitioned by destination + hour: tuples recorded in the manifest
+    val tuples = arch.partitions()
+    assert(tuples.nonEmpty && tuples.forall(t =>
+      t.contains("event_destination") && t.contains("event_sink_timestamptz_hour")), tuples.toString)
   }
 
   test("F12 e2e: nested-as-variant pipeline writes VariantType columns readable from the table") {

@@ -61,7 +61,7 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(prev.count() == 2)
   }
 
-  test("partitioned merge rewrites only touched partitions (partition-level COW)") {
+  test("partitioned merge is MoR: O(batch) commits, existing groups untouched") {
     val wh = tmpWarehouse()
     val pschema = StructType(Seq(
       StructField("id", IntegerType, nullable = false),
@@ -73,18 +73,23 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     def prows(t0: (Int, String, String, String, Long)*) =
       t0.toSeq.toDF("id", "day", "name", "__op", "__source_ts_ns")
     t.merge(prows((1, "d1", "a", "c", 1L), (2, "d2", "b", "c", 1L)))
-    val d1File = new java.io.File(s"$wh/pt/data/day=d1").listFiles().filter(_.getName.endsWith(".parquet")).head
-    val mtimeBefore = d1File.lastModified()
+    // one group per touched partition, tuple recorded in the manifest
+    assert(t.partitions().toSet == Set(Map("day" -> "d1"), Map("day" -> "d2")))
+    val files = new java.io.File(s"$wh/pt/files")
+    val before = files.listFiles().flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getPath -> f.lastModified()).toMap
     Thread.sleep(20)
     t.merge(prows((2, "d2", "b2", "u", 2L), (3, "d2", "c", "c", 2L)))
-    // d1 partition untouched on disk
-    val d1After = new java.io.File(s"$wh/pt/data/day=d1").listFiles().filter(_.getName.endsWith(".parquet")).head
-    assert(d1After.lastModified() == mtimeBefore, "untouched partition was rewritten")
+    // NO existing group is rewritten — not even the touched partition's
+    before.foreach { case (p, m) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && f.lastModified() == m, s"existing group rewritten: $p")
+    }
     val out = t.read().orderBy("id").select("id", "name").collect().map(r => (r.getInt(0), r.getString(1)))
     assert(out.toSeq == Seq((1, "a"), (2, "b2"), (3, "c")))
   }
 
-  test("partitioned merge: partition emptied by hard delete disappears") {
+  test("partitioned merge: partition emptied by hard delete vanishes after compaction") {
     val wh = tmpWarehouse()
     val pschema = StructType(Seq(
       StructField("id", IntegerType, nullable = false),
@@ -96,10 +101,13 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     t.merge(mk(Seq((1, "d1", "c", 1L), (2, "d2", "c", 1L))))
     t.merge(mk(Seq((1, "d1", "d", 2L))), CdcApply.UpsertConfig(keepDeletes = false))
     assert(t.read().select("id").as[Int].collect().toSeq == Seq(2))
-    assert(!new java.io.File(s"$wh/pt2/data/day=d1").exists())
+    t.compact()
+    assert(t.read().select("id").as[Int].collect().toSeq == Seq(2))
+    // the emptied tuple has no surviving group in the manifest
+    assert(t.partitions().toSet == Set(Map("day" -> "d2")))
   }
 
-  test("derived transform partitioning: day(ts) prunes on read") {
+  test("derived transform partitioning: day(ts) prunes at the manifest level") {
     val wh = tmpWarehouse()
     val s = StructType(Seq(
       StructField("id", IntegerType, nullable = false),
@@ -112,11 +120,16 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
       (2, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "c", 1L)
     ).toDF("id", "ts", "__op", "__source_ts_ns")
     t.merge(df)
-    assert(new java.io.File(s"$wh/ev/data/ts_day=2024-01-01").exists())
-    val pruned = t.readPhysical().where(col("ts_day") === "2024-01-01")
+    assert(t.partitions().toSet ==
+      Set(Map("ts_day" -> "2024-01-01"), Map("ts_day" -> "2024-01-02")))
+    val pruned = t.readPartitions(_("ts_day") == "2024-01-01")
     assert(pruned.count() == 1)
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || pruned.inputFiles.length == 1)
+    // manifest pruning: only the selected tuple's group is even opened
+    val full = t.readPhysical()
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.inputFiles.toSet.subsetOf(full.inputFiles.toSet))
+    // derived partition column rides in the data files
+    assert(pruned.select("ts_day").as[String].collect().toSeq == Seq("2024-01-01"))
   }
 
   test("schema evolution D6: add column, old files read as null, no-op guarded") {
@@ -216,32 +229,83 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(re2.get.read().count() == 1)
   }
 
-  test("partition swap crash windows recover on load; asides invisible to readers") {
+  test("partitioned commits are atomic: time travel, crashed-append invisibility, replay markers") {
     val wh = tmpWarehouse()
     val pschema = StructType(Seq(
       StructField("id", IntegerType, nullable = false),
       StructField("day", StringType),
       StructField("__op", StringType),
       StructField("__source_ts_ns", LongType)))
-    val t = ManagedTable.create(spark, wh, "swaprec", pschema, Seq("id"), partitionBy = Seq("day"))
+    val t = ManagedTable.create(spark, wh, "patom", pschema, Seq("id"),
+      partitionBy = Seq("day"), properties = Map("write.versions-retained" -> "5"))
     val mk = (l: Seq[(Int, String, String, Long)]) => l.toDF("id", "day", "__op", "__source_ts_ns")
-    t.merge(mk(Seq((1, "d1", "c", 1L), (2, "d2", "c", 1L))))
-    val data = new java.io.File(s"$wh/swaprec/data")
-    val live = new java.io.File(data, "day=d1")
-    val aside = new java.io.File(data, ".day=d1.__old")
-    // crash between rename-aside and rename-in: live partition missing
-    assert(live.renameTo(aside))
-    assert(ManagedTable.load(spark, wh, "swaprec").get.read().count() == 2,
-      "load must restore the renamed-aside partition")
-    assert(live.exists() && !aside.exists())
-    // crash after rename-in but before aside cleanup: aside is a stale copy
-    val staleAside = new java.io.File(data, ".day=d2.__old")
-    java.nio.file.Files.createDirectory(staleAside.toPath)
-    // a stale aside must not be visible to a plain reader...
+    t.append(mk(Seq((1, "d1", "c", 1L))))
+    val v1 = t.meta.currentVersion
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    t.merge(mk(Seq((1, "d1", "u", 2L), (2, "d2", "c", 2L))))
+    // snapshot log + version time travel work on partitioned tables
+    val vs = t.versions()
+    assert(vs.map(_._1).sorted == vs.map(_._1) && vs.size >= 3)
+    assert(t.readVersion(v1).count() == 1)
+    assert(t.readAsOf(afterV1).count() == 1)
     assert(t.read().count() == 2)
-    // ...and load drops it because the live partition exists
-    assert(ManagedTable.load(spark, wh, "swaprec").get.read().count() == 2)
-    assert(!staleAside.exists())
+    // a crashed commit's orphan group is invisible and swept at next commit
+    val orphan = new java.io.File(s"$wh/patom/files/data-99-orphan")
+    orphan.mkdirs()
+    assert(t.read().count() == 2)
+    t.append(mk(Seq((3, "d3", "c", 3L))))
+    assert(!orphan.exists(), "orphan group must be GC'd on commit")
+    // commit properties ride the partitioned pointer flip (replay markers)
+    t.append(mk(Seq((4, "d1", "c", 4L))), Map("cdc.last-batch-id" -> "7"))
+    assert(ManagedTable.load(spark, wh, "patom").get
+      .meta.properties.get("cdc.last-batch-id").contains("7"))
+  }
+
+  test("partition-scoped deletes: a key whose partition value changes keeps the old-partition row") {
+    // documented shared limitation with the reference: equality deletes
+    // are partition-granular, so an upsert never reaches across tuples —
+    // and pruned reads agree with full reads on every partition
+    val wh = tmpWarehouse()
+    val pschema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("day", StringType),
+      StructField("__op", StringType),
+      StructField("__source_ts_ns", LongType)))
+    val t = ManagedTable.create(spark, wh, "pmove", pschema, Seq("id"), partitionBy = Seq("day"))
+    val mk = (l: Seq[(Int, String, String, Long)]) => l.toDF("id", "day", "__op", "__source_ts_ns")
+    t.merge(mk(Seq((1, "d1", "c", 1L))))
+    t.merge(mk(Seq((1, "d2", "u", 2L)))) // same key, new partition value
+    val rows = t.read().select("id", "day").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == Set((1, "d1"), (1, "d2")), s"partition-scoped delete semantics changed: $rows")
+    // pruned read of d1 matches the full read's d1 slice
+    assert(t.readPartitions(_("day") == "d1").count() == 1)
+    // within a tuple the delete still applies
+    t.merge(mk(Seq((1, "d2", "u", 3L))))
+    assert(t.readPartitions(_("day") == "d2").count() == 1)
+  }
+
+  test("stale-handle evolve()/setProperties() are rejected; reloaded handle succeeds") {
+    val wh = tmpWarehouse()
+    ManagedTable.create(spark, wh, "occ_meta", schema, Seq("id"))
+    val h1 = ManagedTable.load(spark, wh, "occ_meta").get
+    val h2 = ManagedTable.load(spark, wh, "occ_meta").get
+    h1.append(rows((1, "a", "c", 1L)))
+    val evolved = StructType(schema.fields :+ StructField("email", StringType))
+    assertThrows[java.util.ConcurrentModificationException](h2.evolve(evolved))
+    assertThrows[java.util.ConcurrentModificationException](
+      h2.setProperties(Map("k" -> "v")))
+    // the stale handle's failure must not have clobbered anything
+    val re = ManagedTable.load(spark, wh, "occ_meta").get
+    assert(!re.meta.schema.fieldNames.contains("email"))
+    assert(!re.meta.properties.contains("k"))
+    // a no-op evolve on a stale handle stays a quiet no-op (no commit)
+    assert(!h2.evolve(schema))
+    // reloaded handle evolves fine
+    assert(re.evolve(evolved))
+    re.setProperties(Map("k" -> "v"))
+    val re2 = ManagedTable.load(spark, wh, "occ_meta").get
+    assert(re2.meta.schema.fieldNames.contains("email") && re2.meta.properties("k") == "v")
   }
 
   test("MoR: merge writes only new file groups — existing groups untouched (O(batch) writes)") {
@@ -368,26 +432,32 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
       "tombstone must survive minor folds and keep deleting the base row")
   }
 
-  test("targeted compaction: partitions under the small-file threshold are not rewritten") {
+  test("targeted compaction: partitions under the small-group threshold are not rewritten") {
     import spark.implicits._
     val wh = tmpWarehouse()
     val pdf = Seq((1L, "a", "hot")).toDF("id", "name", "p")
     val t = ManagedTable.create(spark, wh, "tc", pdf.schema, Seq("id"), Seq("p"))
-    // hot partition: 3 appends -> 3 files; cold partition: 1 append -> 1 file
+    // hot partition: 3 appends -> 3 groups; cold partition: 1 group
     (1 to 3).foreach(i => t.append(Seq((i.toLong, s"h$i", "hot")).toDF("id", "name", "p")))
     t.append(Seq((10L, "c1", "cold")).toDF("id", "name", "p"))
-    val coldFile = new java.io.File(s"$wh/tc/data/p=cold").listFiles()
+    val fs = TableMeta.fs(spark.sparkContext.hadoopConfiguration, wh)
+    def entries = Manifest.read(fs,
+      new org.apache.hadoop.fs.Path(s"$wh/tc/manifests/v=${
+        ManagedTable.load(spark, wh, "tc").get.meta.currentVersion}.json")).get
+    val coldGroup = entries.filter(_.partition == Map("p" -> "cold"))
+    assert(coldGroup.size == 1)
+    val coldFile = new java.io.File(s"$wh/tc/${coldGroup.head.path}").listFiles()
       .filter(_.getName.endsWith(".parquet")).head
     val coldM = coldFile.lastModified()
     Thread.sleep(20)
     val (before, after) = t.compact()
     assert(after < before, s"$before -> $after")
-    val coldAfter = new java.io.File(s"$wh/tc/data/p=cold").listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
-    assert(coldAfter.lastModified() == coldM, "cold partition was rewritten by compaction")
-    val hotFiles = new java.io.File(s"$wh/tc/data/p=hot").listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    assert(hotFiles == 1, s"hot partition should fold to 1 file, got $hotFiles")
+    // cold tuple kept its exact group (not rewritten)
+    assert(entries.filter(_.partition == Map("p" -> "cold")) == coldGroup)
+    assert(coldFile.exists() && coldFile.lastModified() == coldM,
+      "cold partition was rewritten by compaction")
+    // hot tuple folded to one group
+    assert(entries.count(_.partition == Map("p" -> "hot")) == 1)
     assert(t.read().count() == 4)
   }
 

@@ -28,13 +28,17 @@ class MorEquivalenceSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
 
-  for (keepDeletes <- Seq(true, false)) {
-    test(s"MoR ≡ CdcApply.upsert fold over random batches (keepDeletes=$keepDeletes)") {
+  for (keepDeletes <- Seq(true, false); partitioned <- Seq(false, true)) {
+    test(s"MoR ≡ CdcApply.upsert fold over random batches " +
+        s"(keepDeletes=$keepDeletes, partitioned=$partitioned)") {
       val rnd = new Random(42 + (if (keepDeletes) 1 else 0))
       val cfg = CdcApply.UpsertConfig(keepDeletes = keepDeletes)
       val wh = java.nio.file.Files.createTempDirectory("graft-moreq").toString
       val schema = randomBatch(rnd, 1).schema
+      // the partitioned variant buckets on the KEY, so partition-scoped
+      // deletes coincide with the global relational fold semantics
       val t = ManagedTable.create(spark, wh, s"eq_$keepDeletes", schema, Seq("id"),
+        partitionBy = if (partitioned) Seq("bucket(2,id)") else Seq.empty,
         // exercise the auto-compact path mid-sequence too
         properties = Map("write.mor.compact-after-upserts" -> "4"))
       var folded = t.read() // empty
