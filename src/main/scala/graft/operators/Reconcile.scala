@@ -29,6 +29,16 @@ object Reconcile {
   /** Diff `target` against `source` on `pks`, comparing `compareCols`
     * (default: every shared non-key column, in source column order).
     * Returns the key columns plus a `status` column; equal rows absent.
+    *
+    * Keys need not be unique and may contain nulls — each side is first
+    * collapsed to one row per key carrying the sorted MULTISET of its
+    * packed payloads (a healthy replica has exactly one, so the list is
+    * almost always a singleton), and the join is null-safe on every key
+    * column. Duplicate-cardinality drift and payload drift both surface
+    * as `mismatch`; an all-null key on both sides reconciles as one key
+    * rather than double-reporting as missing+extra. The pre-aggregation
+    * hash-partitions each side on `pks`, the exact distribution the join
+    * needs, so Catalyst reuses the exchange — still one shuffle per side.
     */
   def diff(source: DataFrame, target: DataFrame, pks: Seq[String],
            compareCols: Seq[String] = Seq.empty): DataFrame = {
@@ -39,17 +49,27 @@ object Reconcile {
     val missing = (pks ++ cmp).filterNot(shared.toSet)
     require(missing.isEmpty,
       s"columns not present on both sides: ${missing.mkString(",")}")
-    // key-only relations still reconcile on presence: a constant non-null
-    // payload makes the outer-join null checks below well-defined
+    // key-only relations still reconcile on presence (and cardinality):
+    // a constant non-null payload makes the outer-join null checks below
+    // well-defined
     def pack = if (cmp.isEmpty) lit(true) else struct(cmp.map(col): _*)
-    val s = source.select(pks.map(col) :+ pack.as("__src"): _*)
-    val t = target.select(pks.map(col) :+ pack.as("__tgt"): _*)
-    s.join(t, pks, "full_outer")
+    def packed(side: DataFrame, as: String) = side
+      .groupBy(pks.map(col): _*)
+      .agg(sort_array(collect_list(pack)).as(as))
+    // explicit aliases: reconciling a relation against itself (the
+    // degenerate healthy-replica case) is a self-join, and unqualified
+    // key references would be ambiguous
+    val s = packed(source, "__src").alias("__recon_s")
+    val t = packed(target, "__tgt").alias("__recon_t")
+    def sk(k: String) = col(s"__recon_s.$k")
+    def tk(k: String) = col(s"__recon_t.$k")
+    val keyEq = pks.map(k => sk(k) <=> tk(k)).reduce(_ && _)
+    s.join(t, keyEq, "full_outer")
       .withColumn("status",
         when(col("__tgt").isNull, lit("missing_in_target"))
           .when(col("__src").isNull, lit("extra_in_target"))
           .when(!(col("__src") <=> col("__tgt")), lit("mismatch")))
       .where(col("status").isNotNull)
-      .select(pks.map(col) :+ col("status"): _*)
+      .select(pks.map(k => coalesce(sk(k), tk(k)).as(k)) :+ col("status"): _*)
   }
 }

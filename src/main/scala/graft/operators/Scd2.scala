@@ -91,7 +91,8 @@ object Scd2 {
     val replacement = history(
       openAsEvents.unionByName(batch), pks, seqCol, col(arrivalCol), opCol)
     table.merge(replacement,
-      CdcApply.UpsertConfig(dedupColumn = "valid_from", runDedup = true))
+      CdcApply.UpsertConfig(dedupColumn = "valid_from", runDedup = true,
+        opColumn = opCol))
   }
 
   /** [[applyBatch]] with create-on-first-batch: the history table keyed by

@@ -67,4 +67,28 @@ class ReconcileSpec extends AnyFunSuite with SharedSpark {
         (col("id") % 7).cast("double").as("v"))
     assert(Reconcile.diff(t, t, Seq("id")).isEmpty)
   }
+
+  test("duplicate keys compare as multisets, not a fanned-out join") {
+    // same key twice with the same payloads in a different physical order:
+    // equal; a cardinality drift (one side has an extra copy): mismatch,
+    // reported ONCE per key, never as a 2x2 join fan-out
+    val source = Seq((1L, "a"), (1L, "b"), (2L, "x"), (2L, "x")).toDF("id", "name")
+    val eq = Seq((1L, "b"), (1L, "a"), (2L, "x"), (2L, "x")).toDF("id", "name")
+    assert(Reconcile.diff(source, eq, Seq("id")).isEmpty)
+    val drift = Seq((1L, "a"), (1L, "b"), (2L, "x")).toDF("id", "name")
+    assert(statuses(Reconcile.diff(source, drift, Seq("id"))) ==
+      Set((2L, "mismatch")))
+  }
+
+  test("null key values reconcile as one key instead of missing+extra") {
+    val source = Seq((Option.empty[java.lang.Long], "a"), (Some(1L: java.lang.Long), "b"))
+      .toDF("id", "name")
+    val same = Seq((Option.empty[java.lang.Long], "a"), (Some(1L: java.lang.Long), "b"))
+      .toDF("id", "name")
+    assert(Reconcile.diff(source, same, Seq("id")).isEmpty)
+    val changed = Seq((Option.empty[java.lang.Long], "A"), (Some(1L: java.lang.Long), "b"))
+      .toDF("id", "name")
+    val d = Reconcile.diff(source, changed, Seq("id")).collect()
+    assert(d.length == 1 && d.head.isNullAt(0) && d.head.getString(1) == "mismatch")
+  }
 }

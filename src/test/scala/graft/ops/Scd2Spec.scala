@@ -149,6 +149,24 @@ class Scd2Spec extends AnyFunSuite with SharedSpark {
     assert(current == folded)
   }
 
+  test("materialization works with a non-default op column") {
+    // regression: applyBatch must forward opCol into the table merge —
+    // with the default left in place the merge's internal dedup would
+    // reference a nonexistent "__op" column and fail analysis
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_scd2op").toString
+    val b1 = Seq((1L, 10L, "c", "a", 1L), (2L, 10L, "c", "x", 2L))
+      .toDF("id", "ts_us", "operation", "v", "ev")
+    val b2 = Seq((1L, 20L, "u", "b", 3L), (2L, 20L, "d", "x", 4L))
+      .toDF("id", "ts_us", "operation", "v", "ev")
+    val table = Scd2.materialize(spark, wh, "hist_op", b1,
+      Seq("id"), "ts_us", "ev", opCol = "operation")
+    Scd2.applyBatch(table, b2, Seq("id"), "ts_us", "ev", opCol = "operation")
+    val current = table.read().filter(col("is_current"))
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(current == Set((1L, "b"))) // key 2 deleted: no current row
+  }
+
   test("null op is not a delete: the row still opens an interval") {
     val log = changelog((1L, 10L, "c", "a", 1L))
       .union(changelog((1L, 20L, "c", "b", 2L)).withColumn("__op",
