@@ -568,10 +568,8 @@ final class ManagedTable private (
     * handle whose cached version no longer matches the on-disk pointer
     * fails (another writer committed since this handle loaded) instead
     * of silently clobbering that writer's snapshot. This detects every
-    * STALE-handle commit; two writers racing the same version window
-    * need an external coordinator (the Iceberg-catalog atomic-swap role
-    * — out of scope for a filesystem-only catalog, and the reference
-    * likewise assumes one consumer per table).
+    * STALE-handle commit; two writers racing the SAME version window are
+    * serialized by [[claimVersion]]'s create-exclusive claim file.
     */
   private def requireCurrentPointer(): Unit =
     TableMeta.read(fs, tableDir).foreach { onDisk =>
@@ -581,14 +579,95 @@ final class ManagedTable private (
             s"${onDisk.currentVersion} since this handle loaded; reload and retry")
     }
 
+  private def lockPath(v: Long) = new Path(manifestsDir, s"v=$v.lock")
+
+  /** Compare-and-swap on the version window: exactly one writer may create
+    * `manifests/v=N.lock` (create-exclusive — the filesystem's atomic
+    * claim primitive, the role an Iceberg catalog's atomic pointer swap
+    * plays for the reference). Two handles that BOTH passed
+    * [[requireCurrentPointer]] at version N−1 serialize here: the loser
+    * gets the same reload-and-retry signal as a stale handle.
+    *
+    * A claim left by a writer that crashed before its pointer flip would
+    * otherwise block the version forever, so claims carry a lease: once a
+    * claim is older than `commit.lock-grace-ms` (default 5 min) with the
+    * pointer still un-flipped, the commit is rolled back (pointer = commit
+    * point, consistent with crash recovery everywhere else) and the claim
+    * retaken. A commit that fails after claiming releases its claim so
+    * fast-failing writers don't hold the lease.
+    */
+  private def claimVersion(next: Long): Unit = {
+    // Hadoop's LOCAL filesystems implement create(overwrite=false) as an
+    // exists-check-then-create — not atomic, so two racers can both
+    // "succeed". Use the POSIX O_CREAT|O_EXCL primitive there; on real
+    // DFS implementations (HDFS et al.) the namenode serializes creates.
+    def tryCreate(): Boolean = fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(lockPath(next).toUri.getPath)); true
+        } catch { case _: java.io.IOException => false }
+      case _ =>
+        try { fs.create(lockPath(next), false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
+    fs.mkdirs(manifestsDir)
+    if (tryCreate()) return
+    val onDisk = TableMeta.read(fs, tableDir).map(_.currentVersion)
+      .getOrElse(_meta.currentVersion)
+    if (onDisk != _meta.currentVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"table ${_meta.name}: lost the commit race for version $next " +
+          s"(pointer moved to $onDisk); reload and retry")
+    val graceMs = _meta.properties.getOrElse("commit.lock-grace-ms", "300000").toLong
+    val ageMs = try
+      System.currentTimeMillis() - fs.getFileStatus(lockPath(next)).getModificationTime
+    catch { // claim vanished between create-fail and stat: owner finished or released
+      case _: java.io.FileNotFoundException =>
+        throw new java.util.ConcurrentModificationException(
+          s"table ${_meta.name}: commit claim for version $next changed hands; reload and retry")
+    }
+    if (ageMs < graceMs)
+      throw new java.util.ConcurrentModificationException(
+        s"table ${_meta.name}: another writer holds the commit claim for version $next " +
+          s"(age ${ageMs}ms < grace ${graceMs}ms); reload and retry")
+    // lease expired with the pointer un-flipped: a crashed commit — roll
+    // back its leftovers (never committed: the pointer is the commit
+    // point) and retake the claim
+    fs.delete(manifestPath(next), false)
+    fs.delete(lockPath(next), false)
+    if (!tryCreate())
+      throw new java.util.ConcurrentModificationException(
+        s"table ${_meta.name}: commit claim for version $next retaken by another writer; " +
+          "reload and retry")
+  }
+
   private def commitManifest(entries: Seq[ManifestEntry]): Unit = {
     requireCurrentPointer()
     val retainPrev = versionsRetained // validate BEFORE any mutation
+    val prevMeta = _meta
     val next = _meta.currentVersion + 1
-    fs.delete(manifestPath(next), false) // leftover from a crashed commit
-    Manifest.write(fs, manifestPath(next), entries, Some(System.currentTimeMillis()))
-    _meta = _meta.copy(currentVersion = next)
-    TableMeta.write(fs, tableDir, _meta)
+    claimVersion(next)
+    try {
+      // holding the claim, any manifest already at `next` is a dead
+      // leftover (its writer never flipped the pointer) — clear it so the
+      // rename-in below can't collide with it
+      fs.delete(manifestPath(next), false)
+      Manifest.write(fs, manifestPath(next), entries, Some(System.currentTimeMillis()))
+      _meta = _meta.copy(currentVersion = next)
+      TableMeta.write(fs, tableDir, _meta)
+    } catch {
+      case t: Throwable =>
+        // Roll back ONLY if the pointer flip didn't land (a failure in the
+        // flip's own crash-recovery window may still have committed).
+        val onDisk = TableMeta.read(fs, tableDir).map(_.currentVersion).getOrElse(-1L)
+        if (onDisk < next) {
+          _meta = prevMeta
+          fs.delete(manifestPath(next), false)
+          fs.delete(lockPath(next), false) // release the claim
+        }
+        throw t
+    }
     val keepFrom = next - retainPrev
     val retained = ((keepFrom until next)
       .flatMap(v => Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty)) ++ entries)
@@ -598,8 +677,9 @@ final class ManagedTable private (
     }
     if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).foreach { s =>
       val n = s.getPath.getName
-      if (n.startsWith("v=") && n.endsWith(".json")) {
-        val v = n.stripPrefix("v=").stripSuffix(".json").toLong
+      val ext = Seq(".json", ".lock").find(n.endsWith)
+      if (n.startsWith("v=") && ext.isDefined) {
+        val v = n.stripPrefix("v=").stripSuffix(ext.get).toLong
         if (v < keepFrom) fs.delete(s.getPath, false)
       }
     }

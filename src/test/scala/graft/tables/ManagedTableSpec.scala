@@ -704,6 +704,46 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(ManagedTable.load(spark, wh, "occ").get.read().count() == 2)
   }
 
+  test("commit CAS: two writers racing the same version window — exactly one wins") {
+    val wh = tmpWarehouse()
+    ManagedTable.create(spark, wh, "cas", schema, Seq("id"))
+    val h1 = ManagedTable.load(spark, wh, "cas").get
+    val h2 = ManagedTable.load(spark, wh, "cas").get
+    // both handles believe version 0; race the commits on two threads —
+    // the create-exclusive claim (or the pointer check, depending on
+    // interleaving) must let exactly one through
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = Seq((h1, rows((1, "a", "c", 1L))), (h2, rows((2, "b", "c", 1L))))
+    val outcomes = Await.result(Future.sequence(attempts.map { case (h, df) =>
+      Future(try { h.append(df); Right(()) }
+      catch { case e: java.util.ConcurrentModificationException => Left(e) })
+    }), 2.minutes)
+    assert(outcomes.count(_.isRight) == 1, s"expected exactly one winner, got $outcomes")
+    assert(ManagedTable.load(spark, wh, "cas").get.read().count() == 1)
+  }
+
+  test("commit CAS: an unexpired claim blocks the window; an expired claim is rolled back") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "lease", schema, Seq("id"))
+    val fs = TableMeta.fs(spark.sparkContext.hadoopConfiguration, wh)
+    // simulate another writer that claimed version 1 (passed the pointer
+    // check) but hasn't flipped the pointer yet: a fresh claim within the
+    // grace lease must be refused with the reload-retry signal
+    val lock = new org.apache.hadoop.fs.Path(s"$wh/lease/manifests/v=1.lock")
+    fs.create(lock, false).close()
+    assertThrows[java.util.ConcurrentModificationException] {
+      t.append(rows((1, "a", "c", 1L)))
+    }
+    assert(t.read().count() == 0) // nothing committed
+    // once the lease expires (grace 0 = every existing claim is stale) the
+    // crashed commit is rolled back and the claim retaken
+    t.setProperties(Map("commit.lock-grace-ms" -> "0"))
+    t.append(rows((1, "a", "c", 1L)))
+    assert(ManagedTable.load(spark, wh, "lease").get.read().count() == 1)
+  }
+
   test("z-order clustered compaction: bounds prune on EITHER clustered column, deletes stay sound") {
     val wh = tmpWarehouse()
     val zschema = StructType(Seq(
