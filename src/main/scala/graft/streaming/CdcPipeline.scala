@@ -33,7 +33,9 @@ final case class PipelineConfig(
     nullKeyPolicy: CdcApply.NullKeyPolicy = CdcApply.NullKeyPolicy.Fail,
     tableOperationTimeout: Duration = Duration.Inf,
     parityTables: Boolean = true,
-    deadLetterTable: String = "dead_letters"
+    deadLetterTable: String = "dead_letters",
+    smallBatchMaxRows: Int = 20000,
+    smallBatchMaxBytes: Long = 8L << 20
 ) {
   def partitionSpecFor(table: String): Seq[String] =
     partitionBy.getOrElse(table, partitionBy.getOrElse("*", Seq.empty))
@@ -57,6 +59,12 @@ object CdcPipeline {
 
   private val dlqLock = new Object
 
+  /** One AQE-off, single-shuffle-partition clone per parent session for
+    * small-batch local slices (sessions are cheap but not free to build).
+    */
+  private val tunedLocalSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
   /** Envelope schema of the raw CDC stream: one JSON line per event. */
   val envelopeSchema: StructType = StructType(Seq(
     StructField("destination", StringType, nullable = false),
@@ -70,6 +78,20 @@ object CdcPipeline {
     val batch = cfg.heartbeatPrefix match {
       case Some(p) => rawBatch.filter(!col("destination").startsWith(p))
       case None    => rawBatch
+    }
+    // Trickle fast path: per-batch SCHEDULING, not data, dominates a small
+    // micro-batch (the reference's regime is ~2048-event commits,
+    // SINK/BatchConfig.java:16-19). Probe with limit(N+1).collect() —
+    // CollectLimit reads only as many partitions as the limit needs, so
+    // the probe is cheap even on a huge batch. If the whole batch fits,
+    // it is already in hand: destination grouping + schema extraction run
+    // driver-side and each destination feeds the UNCHANGED decode → dedup
+    // → merge Catalyst pipeline as a local relation — identical
+    // semantics, a fraction of the job round-trips. 0 disables.
+    if (cfg.smallBatchMaxRows > 0) {
+      val probe = batch.limit(cfg.smallBatchMaxRows + 1).collect()
+      if (probe.length <= cfg.smallBatchMaxRows)
+        return processBatchCollected(spark, probe, cfg, batchId)
     }
     batch.persist()
     try {
@@ -100,6 +122,76 @@ object CdcPipeline {
       }
       results.toMap
     } finally batch.unpersist()
+  }
+
+  /** Entry for rows the driver read itself ([[EnvelopeLog]]): applies the
+    * heartbeat filter (the probe path filters it on the DataFrame) and
+    * runs the small-batch pipeline.
+    */
+  private[streaming] def processBatchRows(spark: SparkSession,
+                                          rows: Array[org.apache.spark.sql.Row],
+                                          cfg: PipelineConfig, batchId: Long): Map[String, Long] = {
+    val kept = cfg.heartbeatPrefix match {
+      case Some(p) => rows.filter(r => r.getString(0) == null || !r.getString(0).startsWith(p))
+      case None    => rows
+    }
+    processBatchCollected(spark, kept, cfg, batchId)
+  }
+
+  /** The small-batch path: the probe's collected rows, then the
+    * driver-side analogues of the metadata aggregation (destination
+    * grouping, distinct value-schema subtrees, first key-schema sample —
+    * jackson instead of get_json_object, the same JSON subtrees). Each
+    * destination then runs the UNCHANGED [[processDestination]] pipeline
+    * over a local relation.
+    */
+  private def processBatchCollected(spark: SparkSession, rows: Array[org.apache.spark.sql.Row],
+                                    cfg: PipelineConfig, batchId: Long): Map[String, Long] = {
+    if (rows.isEmpty) return Map.empty
+    // A small local slice gains nothing from adaptive re-planning or wide
+    // shuffles — run it in a cloned session (shared SparkContext, shared
+    // extensions) tuned to a single shuffle partition with AQE off, so a
+    // destination's whole decode → dedup → write collapses into ONE tiny
+    // job instead of a job per adaptive query stage. SCD2's sidecar joins
+    // a table read from the parent session, so it keeps the parent.
+    val exec =
+      if (cfg.scd2History) spark
+      else tunedLocalSessions.computeIfAbsent(spark, { (s: SparkSession) =>
+        val t = s.newSession()
+        t.conf.set("spark.sql.adaptive.enabled", "false")
+        t.conf.set("spark.sql.shuffle.partitions", "1")
+        t
+      })
+    // coalesce(1): a local relation otherwise fans out into
+    // defaultParallelism single-digit-row tasks — task launch overhead,
+    // not parallelism, for a slice this small
+    def localDf(rs: Array[org.apache.spark.sql.Row]): DataFrame =
+      exec.createDataFrame(java.util.Arrays.asList(rs: _*), envelopeSchema).coalesce(1)
+    if (cfg.archiveEvents) archive(spark, localDf(rows), cfg) // W9
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // get_json_object('$.schema') analogue: the subtree re-serialized, null
+    // for missing/invalid — EventDecoder.infer re-parses it either way
+    def schemaOf(json: String): Option[String] =
+      Option(json).flatMap { s =>
+        // filterNot(isNull): get_json_object('$.schema') yields SQL NULL for
+        // an explicit JSON null — a schema-less envelope must stay
+        // schema-less on this path too (it drives the inference error)
+        try Option(mapper.readTree(s).get("schema")).filterNot(_.isNull).map(_.toString)
+        catch { case _: Exception => None }
+      }
+    val byDest = rows.groupBy(_.getString(0))
+    val meta = byDest.map { case (dest, rs) =>
+      dest -> (rs.length.toLong,
+        rs.flatMap(r => schemaOf(r.getString(2))).distinct.toSeq,
+        rs.iterator.flatMap(r => schemaOf(r.getString(1))).nextOption())
+    }
+    parallelize(meta.keys.toSeq.sorted, cfg.concurrentTables,
+      cfg.tableOperationTimeout) { dest =>
+      val (n, schemas, keySchema) = meta(dest)
+      processDestination(spark, localDf(byDest(dest)), dest, schemas, keySchema,
+        cfg, batchId)
+      dest -> n
+    }.toMap
   }
 
   private def processDestination(spark: SparkSession, slice: DataFrame, dest: String,
@@ -334,7 +426,20 @@ object CdcPipeline {
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val batchStartMs = System.currentTimeMillis()
-        processBatch(spark, df, cfg, batchId)
+        // A small batch's files are known from the source's checkpoint log
+        // before any job runs — read them driver-side and skip even the
+        // probe job; anything unexpected falls back to the general path.
+        val driverRows =
+          if (cfg.smallBatchMaxBytes > 0)
+            EnvelopeLog.readBatch(spark, checkpointDir, batchId, cfg.smallBatchMaxBytes)
+          else EnvelopeLog.Unknown
+        driverRows match {
+          case EnvelopeLog.Rows(rows) => processBatchRows(spark, rows, cfg, batchId)
+          // certainly large: the general path needn't re-probe for smallness
+          case EnvelopeLog.TooLarge =>
+            processBatch(spark, df, cfg.copy(smallBatchMaxRows = 0), batchId)
+          case EnvelopeLog.Unknown => processBatch(spark, df, cfg, batchId)
+        }
         // Queryable offset parity row (IcebergOffsetBackingStore.java:193-230).
         // The checkpoint remains authoritative; this single-row overwrite
         // commits strictly after every table write of the batch succeeded.

@@ -399,7 +399,7 @@ final class ManagedTable private (
     val entries =
       if (isPartitioned)
         splitWriteGroups(withPartitionCols(conformed), Manifest.Data, _ => seq, seq)
-      else writeGroup(sortForWrite(conformed), Manifest.Data, seq).toSeq
+      else writeGroupAuto(sortForWrite(conformed), Manifest.Data, seq).toSeq
     commitManifest(currentEntries ++ entries)
   }
 
@@ -430,7 +430,7 @@ final class ManagedTable private (
     val entries =
       if (isPartitioned)
         splitWriteGroups(withPartitionCols(flagged), Manifest.Upsert, _ => seq, seq)
-      else writeGroup(sortForWrite(flagged), Manifest.Upsert, seq).toSeq
+      else writeGroupAuto(sortForWrite(flagged), Manifest.Upsert, seq).toSeq
     val committed = currentEntries ++ entries
     commitManifest(committed)
     // Bounded read amplification: a trickle stream accumulates one upsert
@@ -475,6 +475,60 @@ final class ManagedTable private (
     */
   private def groupRel(kind: String, seq: Long): String =
     s"files/$kind-$seq-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Route a group write: a SMALL batch whose plan is rooted only in local
+    * relations (the pipeline's trickle fast path ships micro-batches as
+    * local relations) is executed with collect() and written driver-side
+    * by [[LocalCommit]] — one narrow job instead of the distributed write
+    * machinery, whose fixed cost dominates a few-thousand-row file. Big
+    * batches, partitioned tables, non-parquet formats and
+    * non-driver-convertible types keep the distributed write.
+    * `write.local-commit-max-rows` (0 disables) caps the driver
+    * materialization.
+    */
+  private def writeGroupAuto(df: DataFrame, kind: String, seq: Long): Option[ManifestEntry] = {
+    val maxRows = _meta.properties.getOrElse("write.local-commit-max-rows", "20000").toInt
+    val small = maxRows > 0 && format == "parquet" && !isPartitioned && {
+      val leaves = df.queryExecution.logical.collectLeaves()
+      leaves.nonEmpty && leaves.forall {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          l.data.length <= maxRows
+        case _ => false
+      }
+    } && LocalCommit.writableSchema(df.schema)
+    if (small) writeGroupDriver(df, kind, seq) else writeGroup(df, kind, seq)
+  }
+
+  private def writeGroupDriver(df: DataFrame, kind: String, seq: Long): Option[ManifestEntry] = {
+    // Stamp the commit seq AFTER the collect, driver-side: withColumn(lit
+    // (seq)) would inline a DIFFERENT compile-time constant into the
+    // generated code every commit — a janino cache miss per micro-batch,
+    // which in the trickle regime costs more than the batch itself.
+    val hasSeq = df.columns.contains(SeqCol)
+    val collected = df.collect()
+    if (collected.isEmpty) return None
+    val (rows, schema) =
+      if (hasSeq) (collected.toSeq, df.schema)
+      else (collected.toSeq.map(r => Row.fromSeq(r.toSeq :+ seq)),
+        StructType(df.schema.fields :+ StructField(SeqCol, LongType, nullable = false)))
+    val rel = groupRel(kind, seq)
+    val dir = new Path(tableDir, rel)
+    fs.mkdirs(dir)
+    // W10 parity: honor the rolling-file-size property like the
+    // distributed writer's maxRecordsPerFile translation
+    val rollAt = _meta.properties.get("write.target-file-size-bytes").map { bytesStr =>
+      val rowBytes = _meta.properties.getOrElse("write.estimated-row-bytes", "256").toLong
+      math.max(1L, bytesStr.toLong / math.max(1L, rowBytes)).toInt
+    }.getOrElse(Int.MaxValue)
+    rows.grouped(rollAt).zipWithIndex.foreach { case (chunk, i) =>
+      LocalCommit.writeParquet(spark,
+        new Path(dir, f"part-$i%05d.parquet"), schema, chunk)
+    }
+    val statCols = (_meta.identifierFields ++ clusterByCols).distinct
+      .filter(df.columns.contains)
+      .flatMap(c => statsTag(df.schema(c).dataType).map(c -> _))
+    Some(ManifestEntry(rel, kind, seq, LocalCommit.bounds(rows, schema, statCols)))
+  }
 
   private def writeGroup(df: DataFrame, kind: String, seq: Long): Option[ManifestEntry] = {
     val rel = groupRel(kind, seq)

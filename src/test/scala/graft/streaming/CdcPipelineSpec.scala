@@ -178,7 +178,10 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
   test("decode runs once per destination per batch (observe, not recount)") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-once").toString
-    val cfg = PipelineConfig(warehouse = s"$root/wh")
+    // pin to the DISTRIBUTED path: this test guards its no-recount
+    // invariant (the small-batch path executes on a tuned clone session
+    // this listener doesn't observe)
+    val cfg = PipelineConfig(warehouse = s"$root/wh", smallBatchMaxRows = 0)
     val decodes = new java.util.concurrent.atomic.AtomicInteger()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -318,6 +321,43 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
     // and/or single destination) — the common one-table stream
     intercept[java.util.concurrent.TimeoutException] {
       CdcPipeline.parallelize(Seq(1), 1, 200.millis) { _ => Thread.sleep(60000); 1 }
+    }
+  }
+
+  test("trickle fast path ≡ distributed path: same events, same table state") {
+    // The same event stream — dupes, a delete, a second batch with schema
+    // evolution — through the driver-side small-batch pipeline and through
+    // the distributed one (both small-batch knobs zeroed). The destination
+    // tables must be byte-equal in content.
+    val events1 = Seq(
+      EventFactory.event(1, "alice", "c", 100L),
+      EventFactory.event(1, "alice2", "u", 200L),
+      EventFactory.event(2, "bob", "c", 100L),
+      EventFactory.event(9, "x", "c", 100L, destination = "testc.inventory.orders"),
+      ("__debezium-heartbeat.x", "{}", "{}"))
+    val events2 = Seq(
+      EventFactory.event(2, null, "d", 300L),
+      EventFactory.event(3, "carol", "c", 300L))
+    def run(cfg: PipelineConfig, root: String): Unit = {
+      val src = s"$root/events"; Files.createDirectories(java.nio.file.Paths.get(src))
+      writeEvents(src, "b1.json", events1)
+      CdcPipeline.start(spark, src, s"$root/cp", cfg).awaitTermination(120000)
+      writeEvents(src, "b2.json", events2)
+      CdcPipeline.start(spark, src, s"$root/cp", cfg).awaitTermination(120000)
+    }
+    val rootF = Files.createTempDirectory("graft-fastpath").toString
+    val rootS = Files.createTempDirectory("graft-slowpath").toString
+    run(PipelineConfig(warehouse = s"$rootF/wh", keepDeletes = false,
+      concurrentTables = 2), rootF)
+    run(PipelineConfig(warehouse = s"$rootS/wh", keepDeletes = false,
+      concurrentTables = 2, smallBatchMaxRows = 0, smallBatchMaxBytes = 0), rootS)
+    for (t <- Seq("testc_inventory_customers", "testc_inventory_orders")) {
+      val fast = ManagedTable.load(spark, s"$rootF/wh", t).get.read()
+      val slow = ManagedTable.load(spark, s"$rootS/wh", t).get.read()
+      assert(fast.schema == slow.schema, s"$t schema diverged")
+      val f = fast.orderBy("id").collect().map(_.toSeq).toSeq
+      val s = slow.orderBy("id").collect().map(_.toSeq).toSeq
+      assert(f == s, s"$t content diverged: fast=$f slow=$s")
     }
   }
 }

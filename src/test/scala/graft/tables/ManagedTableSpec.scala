@@ -704,6 +704,56 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(ManagedTable.load(spark, wh, "occ").get.read().count() == 2)
   }
 
+  test("driver-side local commit ≡ distributed write across rich types") {
+    // Same merges into two tables, one with the driver-side small-group
+    // writer (default for local-relation batches), one forced onto the
+    // distributed write path — contents must match across decimals,
+    // timestamps (tz and ntz), dates, binary, arrays, maps and structs.
+    val rich = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("dec", DecimalType(20, 4)),
+      StructField("ts", TimestampType),
+      StructField("tsntz", TimestampNTZType),
+      StructField("dt", DateType),
+      StructField("bin", BinaryType),
+      StructField("arr", ArrayType(LongType)),
+      StructField("m", MapType(StringType, DoubleType)),
+      StructField("st", StructType(Seq(StructField("a", StringType), StructField("b", IntegerType)))),
+      StructField("__op", StringType),
+      StructField("__source_ts_ns", LongType)))
+    def batch(op: String, ts: Long, tag: String) = {
+      import org.apache.spark.sql.Row
+      val rows: Seq[Row] = (1 to 50).map { i =>
+        Row(i, BigDecimal(s"$i.25"), java.sql.Timestamp.valueOf(s"2024-01-0${i % 9 + 1} 10:00:00"),
+          java.time.LocalDateTime.of(2024, 1, i % 28 + 1, 3, 4, 5),
+          java.sql.Date.valueOf(s"2024-02-0${i % 9 + 1}"),
+          Array[Byte](i.toByte, (i + 1).toByte), Seq(i.toLong, i * 2L),
+          Map(s"k$i" -> i * 1.5), Row(s"$tag$i", i),
+          if (i % 10 == 0) op else "u", ts)
+      }
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), rich)
+    }
+    val wh = tmpWarehouse()
+    val local = ManagedTable.create(spark, wh, "rich_local", rich, Seq("id"))
+    val dist = ManagedTable.create(spark, wh, "rich_dist", rich, Seq("id"),
+      properties = Map("write.local-commit-max-rows" -> "0"))
+    for (t <- Seq(local, dist)) {
+      t.merge(batch("c", 1L, "a"))
+      t.merge(batch("d", 2L, "b")) // every 10th id hard-deletes on replay
+    }
+    val l = local.read().orderBy("id").collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq; case x => x }).toSeq
+    val d = dist.read().orderBy("id").collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq; case x => x }).toSeq
+    assert(l == d, "driver-side and distributed writes diverged")
+    assert(l.size == 50)
+    // and the driver-written group carries usable identifier bounds
+    val fs = TableMeta.fs(spark.sparkContext.hadoopConfiguration, wh)
+    val entries = Manifest.read(fs,
+      new org.apache.hadoop.fs.Path(s"$wh/rich_local/manifests/v=${local.meta.currentVersion}.json")).get
+    assert(entries.forall(_.stats.contains("id")), "driver-side stats missing")
+  }
+
   test("commit CAS: two writers racing the same version window — exactly one wins") {
     val wh = tmpWarehouse()
     ManagedTable.create(spark, wh, "cas", schema, Seq("id"))
