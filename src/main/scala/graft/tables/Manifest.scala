@@ -82,6 +82,15 @@ object Manifest {
   val Data = "data"
   val Upsert = "upsert"
 
+  /** Positional-delete sidecar: `(file, pos)` pairs naming rows hidden by
+    * every equality-delete scope at or below the entry's `seq`
+    * (`appliedUpTo`). Readers anti-join the sidecar instead of re-deriving
+    * those scopes — the graft analogue of Iceberg's deletion vectors /
+    * rewritten position deletes (reference default on format v3,
+    * SINK/tableoperator/IcebergTableWriterFactory.java:98-99).
+    */
+  val PosDel = "posdel"
+
   def toJson(entries: Seq[ManifestEntry]): String = toJson(entries, None)
 
   def toJson(entries: Seq[ManifestEntry], commitTimeMs: Option[Long]): String = {

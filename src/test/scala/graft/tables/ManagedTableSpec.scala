@@ -754,6 +754,53 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(entries.forall(_.stats.contains("id")), "driver-side stats missing")
   }
 
+  test("posdel sidecar: materialization preserves the view; equality side resets; survives folds") {
+    val wh = tmpWarehouse()
+    // control table: identical merges, never materialized
+    def mkTable(name: String) = ManagedTable.create(spark, wh, name, schema, Seq("id"),
+      properties = Map("write.mor.compact-after-upserts" -> "0",
+        "write.versions-retained" -> "50"))
+    val t = mkTable("pd"); val control = mkTable("pd_ctl")
+    def mergeBoth(rows_ : org.apache.spark.sql.DataFrame): Unit = { t.merge(rows_); control.merge(rows_) }
+    def state(x: ManagedTable) = x.read().orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    mergeBoth(rows((1, "a", "c", 1L), (2, "b", "c", 1L), (3, "c", "c", 1L)))
+    mergeBoth(rows((1, "a2", "u", 2L), (4, "d", "c", 2L)))
+    mergeBoth(rows((2, "b2", "u", 3L), (3, null, "d", 3L)))
+
+    val before = state(t)
+    val n = t.materializePositionalDeletes()
+    assert(n > 0, "expected hidden rows to materialize")
+    assert(state(t) == before, "materialization changed the visible table")
+    assert(state(t) == state(control))
+    // the manifest carries the sidecar and readers drop the absorbed scopes
+    val fs = TableMeta.fs(spark.sparkContext.hadoopConfiguration, wh)
+    def entries(x: ManagedTable) = Manifest.read(fs, new org.apache.hadoop.fs.Path(
+      s"$wh/${x.name}/manifests/v=${x.meta.currentVersion}.json")).get
+    assert(entries(t).count(_.kind == Manifest.PosDel) == 1)
+
+    // merges after materialization: equality path handles the new scopes
+    mergeBoth(rows((4, "d2", "u", 4L), (1, null, "d", 4L)))
+    assert(state(t) == state(control))
+    // second materialization folds the old sidecar into the new one
+    assert(t.materializePositionalDeletes() > 0)
+    assert(entries(t).count(_.kind == Manifest.PosDel) == 1)
+    assert(state(t) == state(control))
+    // time travel to a pre-materialization version still resolves
+    assert(t.readVersion(2).count() == 4) // ids 1(a2),2,3,4 before batch 3
+
+    // minor compaction after more trickle: folds only upsert groups,
+    // dangling pairs for rewritten files are harmless
+    mergeBoth(rows((5, "e", "c", 5L)))
+    mergeBoth(rows((5, "e2", "u", 6L), (2, "b3", "u", 6L)))
+    t.compactMinor();
+    assert(state(t) == state(control))
+    // a full compact drops the sidecar entirely
+    t.compact()
+    assert(entries(t).count(_.kind == Manifest.PosDel) == 0)
+    assert(state(t) == state(control))
+  }
+
   test("commit CAS: two writers racing the same version window — exactly one wins") {
     val wh = tmpWarehouse()
     ManagedTable.create(spark, wh, "cas", schema, Seq("id"))
