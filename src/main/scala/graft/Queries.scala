@@ -1313,6 +1313,35 @@ object Queries {
       MinHashLSH.candidatePairs(t(s, dir, "documents"), "text", "doc_id",
         k = 8, bands = 8, shingleSize = 3).localCheckpoint(eager = true))
 
+  /** Incremental near-dup detection against a PERSISTED signature index
+    * ([[MinHashIndex]]): the corpus (doc_id % 3 != 0) is signed once into
+    * a managed table; the batch (doc_id % 3 == 0) is signed batch-side
+    * only and its band hashes probe the stored corpus bands — at 100 TB
+    * the corpus is never re-signed and never self-joined per batch. The
+    * oracle replays the one-shot band join and keeps exactly the pairs
+    * that touch a batch document — the set the incremental probe must
+    * reproduce from stored state.
+    */
+  val dedupMinhashIncremental = Q("dedup_minhash_incremental",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+      val docs = t(s, dir, "documents")
+      val isBatch = pmod(col("doc_id"), lit(3)) === 0
+      val idx = MinHashIndex.create(s, wh, "mh", k = 8, bands = 8, shingleSize = 3)
+      idx.addBatch(docs.where(!isBatch))
+      idx.candidatePairs(docs.where(isBatch))
+    },
+    Some {
+      val bandSelects = (0 until 8).map(i =>
+        s"SELECT doc_id, $i AS band_idx, md5(sig_$i::VARCHAR) AS band_hash FROM sigs").mkString(" UNION ALL ")
+      s"""$duckCombinedHashes3,
+         |sigs AS (SELECT doc_id, ${duckSigAggs(8)} FROM hs GROUP BY doc_id),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |WHERE a.doc_id < b.doc_id AND (a.doc_id % 3 = 0 OR b.doc_id % 3 = 0)""".stripMargin
+    })
+
   val dedupMinhashPairs = Q("dedup_minhash_pairs",
     (s, dir) => minhashPairs(s, dir),
     Some {
@@ -2088,6 +2117,7 @@ object Queries {
     pipelineCuration,
     pipelinePacking, pipelineDecontaminate, pipelineBalancedSample,
     dedupExact, dedupIncremental, dedupIncrementalBloom, dedupMinhash, dedupMinhashPairs,
+    dedupMinhashIncremental,
     dedupClusters, dedupClustersStar, dedupApply,
     dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans, dedupSemantic,
     knnBrute, knnLsh, knnIvf, embeddingQuantize, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,

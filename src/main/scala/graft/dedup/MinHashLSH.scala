@@ -86,11 +86,27 @@ object MinHashLSH {
     * mega-clusters are better handled by [[ExactDedup]] first, which is
     * why the cap is safe operationally.
     */
+  /** Exploded banded hashes of a signature table: one row per (doc,
+    * band), `band_hash` = md5 of the band's '|'-joined signature slots —
+    * the single definition shared by the one-shot [[candidatePairs]] and
+    * the persisted [[MinHashIndex]], so stored and fresh signatures can
+    * never band differently (DuckDB mirror:
+    * `md5(sig_i::VARCHAR)` per single-slot band).
+    */
+  def bandHashes(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string"))
+      struct(lit(b).as("band_idx"), md5(concat_ws("|", parts: _*)).as("band_hash"))
+    }
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
   def candidatePairs(df: DataFrame, textCol: String, idCol: String,
                      k: Int = 16, bands: Int = 8, shingleSize: Int = 3,
                      maxBucketSize: Option[Int] = None): DataFrame = {
-    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val rows = k / bands
     // Exchange barrier: [[signatures]] is a pure projection, so without it
     // the band explode inlines the whole shingle+md5 pipeline into every
     // band column (k× recompute per doc — measured 8 s vs 5 s at sf0.1).
@@ -99,12 +115,7 @@ object MinHashLSH {
     // the band fan-out at 100 TB.
     val sigs = signatures(df, textCol, idCol, k, shingleSize)
       .repartition(col(idCol))
-    val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rows).map(r => col(s"sig_${b * rows + r}").cast("string"))
-      struct(lit(b).as("band_idx"), md5(concat_ws("|", parts: _*)).as("band_hash"))
-    }
-    val exploded = sigs.select(col(idCol), explode(array(bandCols: _*)).as("band"))
-      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+    val exploded = bandHashes(sigs, idCol, k, bands)
     // Hot-bucket cap: one window count over the same (band, hash) shuffle
     // key the join uses — no extra exchange — then drop oversized buckets.
     val banded = maxBucketSize match {

@@ -18,6 +18,52 @@ class LlmOpsSpec extends AnyFunSuite with SharedSpark {
     (4L, "")                                               // degenerate
   ).toDF("doc_id", "text")
 
+  test("MinHashIndex: incremental probe equals the one-shot pair set restricted to the batch") {
+    val wh = java.nio.file.Files.createTempDirectory("mh_idx_spec").toString
+    val corpusDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox leaps over the lazy dog today"),
+      (4L, "completely different text about spark engines and scale"),
+      (6L, "yet another unrelated document describing manifest commits")
+    ).toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),  // dup of 0/2
+      (3L, "completely different text about spark engines and scale"), // dup of 4
+      (5L, "a brand new document with no duplicates whatsoever"),
+      (7L, "a brand new document with zero duplicates whatsoever")  // near-dup of 5
+    ).toDF("doc_id", "text")
+    val idx = MinHashIndex.create(spark, wh, "mh", k = 16, bands = 16, shingleSize = 3)
+    assert(idx.addBatch(corpusDocs) == 4)
+    // re-adding the same docs is a no-op
+    assert(idx.addBatch(corpusDocs) == 0)
+    assert(idx.signatures.count() == 4)
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incremental = pairSet(idx.candidatePairs(batchDocs))
+    // oracle: one-shot pairs over the union, restricted to pairs touching a batch doc
+    val batchIds = Set(1L, 3L, 5L, 7L)
+    val oneShot = pairSet(MinHashLSH.candidatePairs(
+      corpusDocs.unionByName(batchDocs), "text", "doc_id", k = 16, bands = 16))
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(incremental == oneShot, s"incremental=$incremental oneShot=$oneShot")
+    assert(incremental.nonEmpty)
+
+    // second wave: after adding the first batch, a later batch probes
+    // the grown index and still equals the one-shot restriction
+    idx.addBatch(batchDocs)
+    val wave2 = Seq((9L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val inc2 = pairSet(idx.candidatePairs(wave2))
+    val one2 = pairSet(MinHashLSH.candidatePairs(
+      corpusDocs.unionByName(batchDocs).unionByName(wave2), "text", "doc_id",
+      k = 16, bands = 16)).filter(p => p._1 == 9L || p._2 == 9L)
+    assert(inc2 == one2)
+    // load() round-trips the parameters
+    val reloaded = MinHashIndex.load(spark, wh, "mh").get
+    assert(reloaded.k == 16 && reloaded.bands == 16 && reloaded.shingleSize == 3)
+  }
+
   test("tokens/counts/ratios handle empty strings") {
     val r = docs.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"),
       TextFunctions.punctRatio(col("text")).as("p"),
