@@ -25,6 +25,11 @@ import org.apache.spark.sql.types._
   * Rejected rows are not lost silently: callers that keep a quarantine
   * audit run [[rejects]] over the same input in batch mode (the scoring
   * is deterministic, so the split is exact).
+  *
+  * With `nearDupIndex` set, batches additionally probe a persisted
+  * [[graft.dedup.MinHashIndex]]: near-duplicates of anything already
+  * landed (or of a smaller-id batch mate) are gated out, and survivors
+  * extend the index — the corpus is never re-signed per batch.
   */
 object CorpusIngest {
 
@@ -40,7 +45,11 @@ object CorpusIngest {
       tableName: String = "corpus",
       minQuality: Double = 0.5,
       dedupTtl: Option[String] = None,
-      redactPii: Boolean = false)
+      redactPii: Boolean = false,
+      nearDupIndex: Option[String] = None,
+      nearDupK: Int = 16,
+      nearDupBands: Int = 8,
+      nearDupShingleSize: Int = 3)
 
   /** Start the intake stream over a directory of JSON-line document
     * files. The managed table auto-creates on first batch (append-only,
@@ -92,8 +101,46 @@ object CorpusIngest {
       ManagedTable.create(spk, cfg.warehouse, cfg.tableName, batch.schema)
     }
     val last = table.meta.properties.get(BatchIdProp).map(_.toLong).getOrElse(-1L)
-    if (batchId <= last) return // replay of an already-landed batch
-    table.append(batch, Map(BatchIdProp -> batchId.toString))
+    val alreadyLanded = batchId <= last
+    cfg.nearDupIndex match {
+      case None =>
+        if (!alreadyLanded) table.append(batch, Map(BatchIdProp -> batchId.toString))
+      case Some(idxName) =>
+        // NEAR-dup gate on top of the exact-fingerprint state: the batch
+        // probes the persisted MinHash index ([[graft.dedup.MinHashIndex]])
+        // and survivors are what both the corpus and the index gain.
+        // Ordering is corpus-append (with the batch-id marker) BEFORE
+        // index-add: on a replay the gate recomputes against an index the
+        // crashed attempt never advanced, so the survivor set is
+        // identical, the marker skips the second append, and addBatch's
+        // id anti-join makes the index catch-up idempotent.
+        val idx = graft.dedup.MinHashIndex.load(spk, cfg.warehouse, idxName)
+          .getOrElse(graft.dedup.MinHashIndex.create(spk, cfg.warehouse, idxName,
+            cfg.nearDupK, cfg.nearDupBands, cfg.nearDupShingleSize))
+        val pairs = idx.candidatePairs(batch, "text", "doc_id")
+        // drop the batch side of a batch-vs-indexed pair (the corpus copy
+        // wins); for an in-batch pair keep the smaller doc_id — greedy,
+        // deterministic, replay-stable
+        val bid = batch.select(col("doc_id")).distinct()
+        val f = pairs
+          .join(bid.select(col("doc_id").as("id_a")).withColumn("__ain", lit(true)),
+            Seq("id_a"), "left")
+          .join(bid.select(col("doc_id").as("id_b")).withColumn("__bin", lit(true)),
+            Seq("id_b"), "left")
+          .select(col("id_a"), col("id_b"),
+            coalesce(col("__ain"), lit(false)).as("a_in"),
+            coalesce(col("__bin"), lit(false)).as("b_in"))
+        val rejectIds = f.select(
+          when(col("a_in") && !col("b_in"), col("id_a"))
+            .when(col("b_in") && !col("a_in"), col("id_b"))
+            .otherwise(greatest(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct()
+        val survivors = batch.join(rejectIds, Seq("doc_id"), "left_anti")
+          .localCheckpoint(eager = true) // one computation feeds both commits
+        if (!alreadyLanded)
+          table.append(survivors, Map(BatchIdProp -> batchId.toString))
+        idx.addBatch(survivors, "text", "doc_id")
+    }
   }
 
   /** Batch-mode quality quarantine: the rows of `df` below the threshold,

@@ -54,6 +54,47 @@ class CorpusIngestSpec extends AnyFunSuite with SharedSpark {
     assert(row.getAs[String]("fingerprint").length == 32)
   }
 
+  test("near-dup gate: batches probe the persisted MinHash index; survivors extend it") {
+    val in = Files.createTempDirectory("nd-in").toString
+    val ckpt = Files.createTempDirectory("nd-ckpt").toString
+    val wh = Files.createTempDirectory("nd-wh").toString
+    val cfg = CorpusIngest.Config(warehouse = wh, minQuality = 0.3,
+      nearDupIndex = Some("corpus_minhash"), nearDupK = 16, nearDupBands = 16)
+
+    writeDocs(in, "wave1.json", Seq(10L -> good1, 11L -> good2))
+    CorpusIngest.start(spark, in, ckpt, cfg).awaitTermination()
+    val t = ManagedTable.load(spark, wh, "corpus").get
+    assert(t.read().count() == 2)
+
+    // wave 2: a near-dup of doc 10 (one word changed), a fresh doc, and
+    // an in-batch near-dup pair (keep the smaller id)
+    val nearDup10 = good1.replace("jumps", "leaps")
+    val freshA = "some entirely novel passage about catalyst expression trees"
+    val freshB = "some entirely novel passage about catalyst projection trees"
+    writeDocs(in, "wave2.json", Seq(20L -> nearDup10, 21L -> freshA, 22L -> freshB))
+    CorpusIngest.start(spark, in, ckpt, cfg).awaitTermination()
+    // reload: the pre-wave-2 handle pins the older snapshot version
+    val t2 = ManagedTable.load(spark, wh, "corpus").get
+    val ids = t2.read().select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(10L, 11L, 21L),
+      s"near-dup of an indexed doc and the larger in-batch twin must be gated, got $ids")
+    // the index grew by exactly the survivors
+    val idx = graft.dedup.MinHashIndex.load(spark, wh, "corpus_minhash").get
+    assert(idx.signatures.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(10L, 11L, 21L))
+    // replaying the landed batch (marker present) is a no-op for both tables
+    import spark.implicits._
+    CorpusIngest.landBatch(cfg,
+      Seq((20L, nearDup10, "en", "crawl"), (21L, freshA, "en", "crawl"),
+        (22L, freshB, "en", "crawl")).toDF("doc_id", "text", "lang", "source")
+        .withColumn("quality", org.apache.spark.sql.functions.lit(1.0))
+        .withColumn("fingerprint", org.apache.spark.sql.functions.lit("f")),
+      batchId = 1L)
+    assert(ManagedTable.load(spark, wh, "corpus").get.read().count() == 3)
+    assert(graft.dedup.MinHashIndex.load(spark, wh, "corpus_minhash").get
+      .signatures.count() == 3)
+  }
+
   test("a replayed micro-batch lands exactly once (batch-id marker rides the commit)") {
     import spark.implicits._
     val wh = Files.createTempDirectory("replay-wh").toString
