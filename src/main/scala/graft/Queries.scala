@@ -104,6 +104,40 @@ object Queries {
       |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
       |FROM r WHERE rn = 1 AND __op <> 'd'""".stripMargin))
 
+  /** W3–W5/D4/W6 through the driver's oracle: the changelog folded into a
+    * BUCKET-PARTITIONED merge-on-read table — three ts-range batches merged
+    * sequentially (per-touched-partition seq-stamped upsert groups through
+    * the manifest pointer-flip commit), then read back through the MoR
+    * resolve. MoR merge semantics are "incoming batch replaces the key"
+    * (the reference's delete+insert, BaseDeltaTaskWriter.java:52-72), so
+    * the batches are sliced on the dedup column itself: a key's later
+    * events always land in later batches, which makes the sequential fold
+    * provably equal to the one-shot relational fold the oracle runs. Each
+    * slice is pre-deduped WITH the deterministic arrival column so
+    * within-batch full ties resolve by event_id exactly like the oracle's
+    * `event_id DESC`.
+    */
+  val cdcUpsertPartitioned = Q("cdc_upsert_partitioned",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_part_mor").toString
+      val log = cdcEvents(s, dir)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "events_state",
+        log.drop(Dedup.ArrivalCol).schema, Seq("user_id"),
+        partitionBy = Seq("bucket(4,user_id)"))
+      val cfg = CdcApply.UpsertConfig(keepDeletes = false, dedupColumn = "ts_us")
+      val cuts = Seq(Long.MinValue, 1705276800000000L, 1706227200000000L, Long.MaxValue)
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        val slice = log.where(col("ts_us") >= lo && col("ts_us") < hi)
+        tbl.merge(Dedup.deduplicate(slice, Seq("user_id"), "ts_us"), cfg)
+      }
+      tbl.read().select(cdcCols.map(col): _*)
+    },
+    Some(s"""WITH e AS ($cdcEventsSql),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts_us DESC, $opPrioSql DESC, event_id DESC) AS rn FROM e)
+      |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
+      |FROM r WHERE rn = 1 AND __op <> 'd'""".stripMargin))
+
   val cdcUpsertSoft = Q("cdc_upsert_soft_delete",
     (s, dir) => {
       val batch = cdcEvents(s, dir)
@@ -2099,7 +2133,8 @@ object Queries {
   // ------------------------------------------------------------------ index
 
   val all: Seq[Q] = Seq(
-    cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcScd2, cdcSnapshotAsOf, cdcReconcile,
+    cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcUpsertPartitioned,
+    cdcScd2, cdcSnapshotAsOf, cdcReconcile,
     cdcDecode, cdcOpMapping,
     cdcRouting, cdcColumnExclusion, cdcSchemaEvolution, cdcDecodeNested,
     fnTemporal, fnTemporalModes, fnJson, fnString, fnHash, fnVariant, fnDecimalPrecise, fnUuid,
