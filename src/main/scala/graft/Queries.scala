@@ -1059,6 +1059,46 @@ object Queries {
       |    ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
       |SELECT doc_id, score::DOUBLE AS score, rank FROM r WHERE rank <= 25""".stripMargin))
 
+  /** CCNet-style trigram LM quality scoring: odd doc_ids are the "clean
+    * reference" half that trains the counts model, even doc_ids get
+    * scored. The oracle replays the exact count tables, smoothing
+    * arithmetic, and decimal summation — see
+    * [[TextFunctions.trigramLmScore]] for the broadcast-only plan shape.
+    */
+  val textLmScore = Q("text_lm_score",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val half = pmod(col("doc_id"), lit(2)) === 1
+      TextFunctions.trigramLmScore(docs.where(half), docs.where(!half),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"), col("log_prob"), col("avg_logp"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |mt AS (SELECT tk FROM toks WHERE doc_id % 2 = 1),
+      |c3 AS (SELECT g, count(*) AS c3 FROM (
+      |    SELECT unnest([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS g
+      |    FROM mt WHERE len(tk) >= 3) GROUP BY g),
+      |c2 AS (SELECT p, count(*) AS c2 FROM (
+      |    SELECT unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS p
+      |    FROM mt WHERE len(tk) >= 2) GROUP BY p),
+      |v AS (SELECT count(DISTINCT t)::DOUBLE AS v FROM (SELECT unnest(tk) AS t FROM mt)),
+      |sg AS (SELECT doc_id,
+      |    unnest([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS g
+      |  FROM toks WHERE doc_id % 2 = 0 AND len(tk) >= 3),
+      |lp AS (SELECT doc_id,
+      |    round(ln((coalesce(c3.c3, 0) + 0.5) /
+      |      (coalesce(c2.c2, 0) + 0.5 * v.v)), 6)::DECIMAL(18,6) AS lpv
+      |  FROM sg
+      |  LEFT JOIN c3 USING (g)
+      |  LEFT JOIN c2 ON c2.p = array_to_string(string_split(g, ' ')[1:2], ' ')
+      |  CROSS JOIN v)
+      |SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+      |  sum(lpv)::DECIMAL(28,6) AS log_prob,
+      |  round(sum(lpv)::DOUBLE / count(*), 6) AS avg_logp
+      |FROM lp GROUP BY doc_id""".stripMargin))
+
   /** Context-window chunking (64-token windows, 8-token overlap): one
     * row per chunk with its index, length, and content fingerprint —
     * the map-only explode that feeds embedding/pretraining ingestion.
@@ -2146,7 +2186,7 @@ object Queries {
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
     qFunnel, qHistogram, qIntervalJoin,
     textStats, textLangId, textFingerprint, textTfidf, textBm25, textRepetition,
-    textPiiRedact, textQualityFilter, textChunk,
+    textPiiRedact, textQualityFilter, textChunk, textLmScore,
     sampleHash, sampleSplit, sampleLeakageSafeSplit, sampleTokenBudget,
     sampleStratified, sampleGlobalSeq, sampleMixture,
     pipelineCuration,

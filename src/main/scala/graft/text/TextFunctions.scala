@@ -323,4 +323,56 @@ object TextFunctions {
     */
   def minShingleFingerprintFromTokens(toksAttr: Column, n: Int = 5): Column =
     array_min(graft.dedup.MinHashLSH.shingleHashes(toksAttr, n))
+
+  /** Add-k smoothed word-trigram language-model scorer — the CCNet-style
+    * corpus-quality signal: score each document by its trigram
+    * log-likelihood under a counts model built from a reference corpus (in
+    * CCNet a clean Wikipedia slice; here any DataFrame with the same text
+    * column). `P(w₃ | w₁w₂) = (C₃(g) + k) / (C₂(prefix) + k·V)` with `V`
+    * the model's distinct-token vocabulary size; unseen trigrams and
+    * prefixes fall back to the smoothing mass via `coalesce(count, 0)`.
+    * Output: `(id, n_trigrams, log_prob, avg_logp)` — documents with
+    * fewer than three tokens produce no trigrams and are absent, the
+    * same contract as the shingle family.
+    *
+    * Shape at scale: the model reduces to trigram/bigram count tables and
+    * a 1-row vocab aggregate whose sizes are bounded by the LANGUAGE
+    * (observed n-gram vocabulary), not by corpus bytes — all three are
+    * hash aggregations with map-side partials, then broadcast. Scoring is
+    * one explode + two broadcast joins + one per-doc hash aggregation:
+    * the scored corpus itself never shuffles. Per-trigram log-probs are
+    * rounded to 6 dp and summed as exact DECIMAL (the BM25 treatment:
+    * double summation order differs across engines and partitionings,
+    * decimal addition cannot), so scores are bit-deterministic.
+    */
+  def trigramLmScore(model: org.apache.spark.sql.DataFrame,
+                     scored: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String,
+                     k: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.Shingles
+    val c3 = model.select(explode(Shingles.rawWordShingles(col(textCol), 3)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c3"))
+    val c2 = model.select(explode(Shingles.rawWordShingles(col(textCol), 2)).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("c2"))
+    val vocab = model.select(explode(tokens(col(textCol))).as("t"))
+      .agg(count_distinct(col("t")).cast("double").as("__v"))
+    val grams = scored
+      .select(col(idCol), explode(Shingles.rawWordShingles(col(textCol), 3)).as("g"))
+      // tokens contain no whitespace (split on \s+), so the trigram's
+      // bigram prefix is exactly its first two space-joined parts
+      .withColumn("p", substring_index(col("g"), " ", 2))
+    val lp = grams
+      .join(broadcast(c3), Seq("g"), "left")
+      .join(broadcast(c2), Seq("p"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        round(log((coalesce(col("c3"), lit(0L)) + lit(k)) /
+          (coalesce(col("c2"), lit(0L)) + lit(k) * col("__v"))), 6)
+          .cast("decimal(18,6)").as("__lp"))
+    lp.groupBy(idCol).agg(
+      count(lit(1)).cast("long").as("n_trigrams"),
+      sum(col("__lp")).cast("decimal(28,6)").as("log_prob"))
+      .withColumn("avg_logp",
+        round(col("log_prob").cast("double") / col("n_trigrams"), 6))
+  }
 }
