@@ -1059,6 +1059,23 @@ object Queries {
       |    ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
       |SELECT doc_id, score::DOUBLE AS score, rank FROM r WHERE rank <= 25""".stripMargin))
 
+  /** Per-source corpus cap — at most 20 documents per source, best first
+    * by (n_chars desc, doc_id asc): the crawl-curation "domain cap" that
+    * stops one hot site from dominating the training mix. Runs the
+    * skew-safe two-phase selection ([[graft.operators.TopKPerKey]]); the
+    * oracle is the naive single window, which the two-phase plan must
+    * equal exactly (rank key is total, so the cut is deterministic).
+    */
+  val pipelineSourceCap = Q("pipeline_source_cap",
+    (s, dir) => graft.operators.TopKPerKey.topK(
+      t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      Seq("source"), struct((-col("n_chars")).as("negc"), col("doc_id").as("id")), 20),
+    Some("""SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars, row_number() OVER (
+      |    PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 20""".stripMargin))
+
   /** CCNet-style trigram LM quality scoring: odd doc_ids are the "clean
     * reference" half that trains the counts model, even doc_ids get
     * scored. The oracle replays the exact count tables, smoothing
@@ -2190,7 +2207,7 @@ object Queries {
     sampleHash, sampleSplit, sampleLeakageSafeSplit, sampleTokenBudget,
     sampleStratified, sampleGlobalSeq, sampleMixture,
     pipelineCuration,
-    pipelinePacking, pipelineDecontaminate, pipelineBalancedSample,
+    pipelinePacking, pipelineDecontaminate, pipelineBalancedSample, pipelineSourceCap,
     dedupExact, dedupIncremental, dedupIncrementalBloom, dedupMinhash, dedupMinhashPairs,
     dedupMinhashIncremental,
     dedupClusters, dedupClustersStar, dedupApply,
