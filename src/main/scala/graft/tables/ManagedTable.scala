@@ -177,6 +177,55 @@ final class ManagedTable private (
     readVersion(at.last._1)
   }
 
+  /** Snapshot tags — named, immutable refs to snapshot versions (the
+    * Iceberg tag analogue: an audit label like `eod-2026-08-13` or a
+    * reproducibility pin for a training run). Stored as reserved
+    * `ref.tag.<name>` table properties, so they ride the same guarded
+    * metadata commit as everything else. A tagged version's manifest AND
+    * every file group it references are protected from commit-time GC
+    * regardless of `write.versions-retained` — compaction can rewrite the
+    * live table while a months-old tagged snapshot stays byte-stable —
+    * until [[dropTag]] releases them (the next commit sweeps).
+    *
+    * Tagging is metadata-only: no data is copied, a tag costs one pointer
+    * write no matter the table size.
+    */
+  def tag(name: String, version: Long): Unit = {
+    require(name.nonEmpty && !name.contains('/') && !name.contains('='),
+      s"invalid tag name '$name'")
+    require(fs.exists(manifestPath(version)),
+      s"cannot tag version $version of ${_meta.name}: no retained manifest " +
+        "(tags must point at a still-retained snapshot)")
+    setProperties(Map(ManagedTable.TagPrefix + name -> version.toString))
+  }
+
+  /** Tag the current snapshot. */
+  def tag(name: String): Unit = tag(name, _meta.currentVersion)
+
+  /** Live tags: name → snapshot version. */
+  def tags(): Map[String, Long] =
+    _meta.properties.collect {
+      case (k, v) if k.startsWith(ManagedTable.TagPrefix) =>
+        k.stripPrefix(ManagedTable.TagPrefix) -> v.toLong
+    }
+
+  /** Read the snapshot a tag pins (time travel by name). */
+  def readTag(name: String): DataFrame =
+    readVersion(tags().getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' on ${_meta.name}")))
+
+  /** Drop a tag; the version it pinned becomes GC-eligible at the next
+    * commit (unless still inside the retention window). Same optimistic-
+    * concurrency guard as every metadata commit.
+    */
+  def dropTag(name: String): Unit = {
+    val key = ManagedTable.TagPrefix + name
+    require(_meta.properties.contains(key), s"no tag '$name' on ${_meta.name}")
+    requireCurrentPointer()
+    _meta = _meta.copy(properties = _meta.properties - key)
+    TableMeta.write(fs, tableDir, _meta)
+  }
+
   /** Merge-on-read scan: one multi-path scan of every file group plus a
     * single anti-join against the upsert groups' (identifier, seq) pairs —
     * an upsert group at seq S hides rows of groups with seq < S (the
@@ -828,7 +877,14 @@ final class ManagedTable private (
         throw t
     }
     val keepFrom = next - retainPrev
-    val retained = ((keepFrom until next)
+    // Tagged snapshots are GC-protected outside the retention window: both
+    // their manifest files and every file group those manifests reference
+    // survive until the tag is dropped (see [[tag]]).
+    val taggedVs = _meta.properties.collect {
+      case (k, v) if k.startsWith(ManagedTable.TagPrefix) => v.toLong
+    }.toSet
+    val protectedVs = ((keepFrom until next) ++ taggedVs.filter(_ < keepFrom)).distinct
+    val retained = (protectedVs
       .flatMap(v => Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty)) ++ entries)
       .map(_.path).toSet
     if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { s =>
@@ -839,7 +895,8 @@ final class ManagedTable private (
       val ext = Seq(".json", ".lock").find(n.endsWith)
       if (n.startsWith("v=") && ext.isDefined) {
         val v = n.stripPrefix("v=").stripSuffix(ext.get).toLong
-        if (v < keepFrom) fs.delete(s.getPath, false)
+        if (v < keepFrom && !(ext.get == ".json" && taggedVs.contains(v)))
+          fs.delete(s.getPath, false)
       }
     }
   }
@@ -1137,6 +1194,9 @@ final class ManagedTable private (
 object ManagedTable {
 
   private[tables] val JsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Reserved property prefix for snapshot tags ([[ManagedTable.tag]]). */
+  val TagPrefix = "ref.tag."
 
   /** Commit-sequence-number column stamped into every MoR file group. */
   val SeqCol = "__graft_seq"

@@ -933,6 +933,41 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(p.read().count() == 3)
   }
 
+  test("snapshot tags: pinned version survives GC past retention; dropTag releases it") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "tagged", schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "1",
+        "write.mor.compact-after-upserts" -> "0"))
+    t.merge(rows((1, "a", "c", 1L)))
+    val v1 = t.meta.currentVersion
+    t.tag("baseline")
+    assert(t.tags() == Map("baseline" -> v1))
+    // push v1 well outside the retention window, through a full compact
+    // (which rewrites the live data files the pinned manifest references)
+    t.merge(rows((2, "b", "c", 2L)))
+    t.merge(rows((1, "a2", "u", 3L)))
+    t.compact()
+    t.merge(rows((3, "c", "c", 4L)))
+    // untagged out-of-window versions are expired...
+    intercept[IllegalArgumentException](t.readVersion(v1 + 1))
+    // ...but the tagged snapshot still reads its original content
+    val pinned = t.readTag("baseline").select("id", "name").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(pinned.toSeq == Seq((1, "a")))
+    // tags are table metadata, not handle state: a fresh load sees them
+    val re = ManagedTable.load(spark, wh, "tagged").get
+    assert(re.tags() == Map("baseline" -> v1))
+    assert(re.readTag("baseline").count() == 1)
+    // dropTag + the next commit sweeps the pinned manifest and its groups
+    t.dropTag("baseline")
+    t.merge(rows((4, "d", "c", 5L)))
+    intercept[IllegalArgumentException](t.readVersion(v1))
+    intercept[IllegalArgumentException](t.readTag("baseline"))
+    // tagging an expired version is refused up front
+    intercept[IllegalArgumentException](t.tag("gone", v1))
+    assert(t.read().count() == 4)
+  }
+
   test("int->long promotion during evolution keeps old data readable") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "promo",
