@@ -2187,6 +2187,141 @@ object Queries {
       |  round(list_max([abs(e[i] - deq[i]) for i in range(1, len(e)+1)]), 9) AS max_abs_err
       |FROM d""".stripMargin))
 
+  // ------------------------------------------- profiling / entity resolution
+
+  /** ANALYZE-style table profile: one row per profiled column with row /
+    * null / exact-distinct counts and numeric min/max — the stats a query
+    * planner or data-quality gate reads before touching 100 TB. ONE scan:
+    * all per-column aggregates ride a single aggregation (map-side
+    * partials), and the row-per-column shape is an explode of the single
+    * aggregate row, not a re-scan per column.
+    */
+  val tableStats = Q("table_stats",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      def numeric(c: String) = li.schema(c).dataType != org.apache.spark.sql.types.StringType
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        Seq(sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+          count_distinct(col(c)).as(s"ndv_$c")) ++
+          (if (numeric(c))
+            Seq(min(col(c)).cast("double").as(s"mn_$c"),
+              max(col(c)).cast("double").as(s"mx_$c"))
+          else Seq.empty)
+      }
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map { c =>
+          struct(lit(c).as("column"), col("n_rows"),
+            col(s"nn_$c").as("n_nulls"), col(s"ndv_$c").as("ndv"),
+            (if (numeric(c)) col(s"mn_$c") else lit(null).cast("double")).as("min_num"),
+            (if (numeric(c)) col(s"mx_$c") else lit(null).cast("double")).as("max_num"))
+        }: _*)).as("s"))
+        .select("s.*")
+    },
+    Some("""WITH a AS (SELECT count(*) AS n_rows,
+      |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_ok,
+      |  count(DISTINCT l_orderkey) AS ndv_ok,
+      |  min(l_orderkey)::DOUBLE AS mn_ok, max(l_orderkey)::DOUBLE AS mx_ok,
+      |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_q,
+      |  count(DISTINCT l_quantity) AS ndv_q,
+      |  min(l_quantity)::DOUBLE AS mn_q, max(l_quantity)::DOUBLE AS mx_q,
+      |  sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_p,
+      |  count(DISTINCT l_extendedprice) AS ndv_p,
+      |  min(l_extendedprice)::DOUBLE AS mn_p, max(l_extendedprice)::DOUBLE AS mx_p,
+      |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_r,
+      |  count(DISTINCT l_returnflag) AS ndv_r
+      |  FROM lineitem)
+      |SELECT 'l_orderkey' AS "column", n_rows, nn_ok AS n_nulls, ndv_ok AS ndv,
+      |  mn_ok AS min_num, mx_ok AS max_num FROM a
+      |UNION ALL SELECT 'l_quantity', n_rows, nn_q, ndv_q, mn_q, mx_q FROM a
+      |UNION ALL SELECT 'l_extendedprice', n_rows, nn_p, ndv_p, mn_p, mx_p FROM a
+      |UNION ALL SELECT 'l_returnflag', n_rows, nn_r, ndv_r, NULL::DOUBLE, NULL::DOUBLE FROM a""".stripMargin))
+
+  /** Entity-resolution candidate pairs: block on coarse attributes
+    * (nation, market segment), generate within-block pairs, keep pairs
+    * whose names are within edit distance 2 — the classic blocking →
+    * pairwise-compare → threshold pattern (record linkage). The
+    * all-pairs comparison never happens: the join key IS the blocking
+    * key, so comparisons are confined to blocks (shuffle on the block
+    * key, quadratic only in block size — the knob that keeps ER feasible
+    * at corpus scale). `levenshtein` is codegen'd on both engines.
+    */
+  val erBlockedPairs = Q("er_blocked_pairs",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+      val a = c.select(col("c_custkey").as("a_custkey"), col("c_name").as("a_name"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
+      val b = c.select(col("c_custkey").as("b_custkey"), col("c_name").as("b_name"),
+        col("c_nationkey").as("b_nat"), col("c_mktsegment").as("b_seg"))
+      a.join(b, col("nat") === col("b_nat") && col("seg") === col("b_seg") &&
+          col("a_custkey") < col("b_custkey"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("dist") <= 2)
+        .select(col("a_custkey"), col("b_custkey"), col("dist").cast("long").as("dist"))
+    },
+    Some("""SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+      |  levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+      |  AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin))
+
+  /** Corpus vocabulary with document frequency: tokenize once, explode,
+    * count term/document frequencies, min-df cut, rank. The ranking
+    * window runs AFTER the min-df cut, over vocabulary-scale rows
+    * (thousands), not corpus-scale — the same metadata-after-aggregation
+    * shape as the other top-k queries.
+    */
+  val textVocab = Q("text_vocab",
+    (s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), explode(col("tk")).as("term"))
+      val counts = terms.groupBy("term")
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 5)
+      counts.withColumn("rk",
+          row_number().over(Window.orderBy(col("tf").desc, col("term").asc)).cast("long"))
+        .filter(col("rk") <= 200)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+      |c AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM e GROUP BY term),
+      |f AS (SELECT * FROM c WHERE df >= 5),
+      |r AS (SELECT term, tf, df, row_number() OVER (ORDER BY tf DESC, term ASC) AS rk FROM f)
+      |SELECT term, tf, df, rk::BIGINT AS rk FROM r WHERE rk <= 200""".stripMargin))
+
+  /** Adjacent-token-pair counts — the merge-candidate scan of one BPE
+    * training iteration (count all symbol pairs, pick the most frequent).
+    * Pair construction is a map-only array transform over the tokenized
+    * attribute; the count is one map-side-combined shuffle; the top-k is
+    * rank-after-aggregation over pair-vocabulary-scale rows.
+    */
+  val textBpePairs = Q("text_bpe_pairs",
+    (s, dir) => {
+      val pairs = t(s, dir, "documents")
+        .select(TextFunctions.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(slice(tk, 1, size(tk)-1), (x, i) -> concat(x, ' ', tk[i+1]))")).as("pair"))
+      pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("n").desc, col("pair").asc)).cast("long"))
+        .filter(col("rk") <= 100)
+    },
+    Some("""WITH toks AS (SELECT
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |p AS (SELECT [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))] AS pairs
+      |  FROM toks WHERE len(tk) >= 2),
+      |e AS (SELECT unnest(pairs) AS pair FROM p),
+      |c AS (SELECT pair, count(*) AS n FROM e GROUP BY pair),
+      |r AS (SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rk FROM c)
+      |SELECT pair, n, rk::BIGINT AS rk FROM r WHERE rk <= 100""".stripMargin))
+
   // ------------------------------------------------------------------ index
 
   val all: Seq[Q] = Seq(
@@ -2213,7 +2348,8 @@ object Queries {
     dedupClusters, dedupClustersStar, dedupApply,
     dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans, dedupSemantic,
     knnBrute, knnLsh, knnIvf, embeddingQuantize, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
-    multimodalMeta, multimodalFeatures)
+    multimodalMeta, multimodalFeatures,
+    tableStats, erBlockedPairs, textVocab, textBpePairs)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
   def oracleSql: Map[String, String] = all.flatMap(q => q.oracle.map(q.name -> _)).toMap
