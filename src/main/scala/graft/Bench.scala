@@ -118,7 +118,13 @@ object Bench {
         |{"field":"__op","type":"string","optional":true},
         |{"field":"__source_ts_ms","type":"int64","optional":true}
         |]}""".stripMargin.replaceAll("\n", "")
-    val allEvents = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // ts: nanos LONG on Spark builds honoring nanosAsLong, TIMESTAMP_NTZ
+    // on builds that ignore it (see Queries.events) — normalize to millis
+    val allEvents = raw.withColumn("ts_ms", raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts").cast("timestamp"))
+    })
     // trickle mode: n batches of ~trickleBatchSize events (the reference's
     // commit unit); headline mode: the whole table in one drain
     val events = trickleBatches
@@ -131,8 +137,7 @@ object Bench {
       concat(lit(s"""{"schema":$schemaJson,"payload":"""),
         to_json(struct(col("user_id"), col("event_id"), col("value"),
           when(col("event_type") === "error", "d").otherwise("u").as("__op"),
-          // ts is a nanos long under nanosAsLong — truncate to millis
-          expr("ts div 1000000").as("__source_ts_ms"))),
+          col("ts_ms").as("__source_ts_ms"))),
         lit("}")).as("value"))
       // only the trickle variant re-shapes the input (one file per batch);
       // the headline number keeps the natural multi-file layout so its

@@ -31,12 +31,22 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) — Spark reads it as a nanos
-    * long (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench/
-    * tests); truncate-divide to micros to match DuckDB's nanos handling.
+  /** events.parquet carries TIMESTAMP(NANOS). Depending on the Spark
+    * build, that infers either as a nanos LONG (older releases honoring
+    * spark.sql.legacy.parquet.nanosAsLong=true, which Verify/Bench/tests
+    * still set) or natively as TIMESTAMP_NTZ truncated to micros (current
+    * builds ignore the legacy conf). Both roads end at the same
+    * micros-precision TIMESTAMP — truncate-divide for the long form, an
+    * ntz→tz cast (identity instant under the UTC session tz) for the
+    * native form — matching DuckDB's epoch_us(ts) truncation exactly.
     */
-  private def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.withColumn("ts", raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _                                   => col("ts").cast("timestamp")
+    })
+  }
 
   // ---------------------------------------------------------------- CDC ops
 

@@ -84,10 +84,17 @@ class DecimalFromBytesSpec extends AnyFunSuite with SharedSpark {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
-      val s2 = SparkSession.builder()
+      // While this session exists it is the JVM's DEFAULT session: suites
+      // running concurrently on threads with no active session resolve
+      // SQLConf.get against it. Copy the shared session's runtime conf so
+      // that fallback is behavior-identical (a bare builder here made
+      // events.parquet's nanos ts infer as TIMESTAMP_NTZ mid-window and
+      // failed every concurrently-running events-table suite).
+      val b = SparkSession.builder()
         .master(base.sparkContext.master)
         .withExtensions(new graft.GraftExtensions().apply(_))
-        .getOrCreate()
+      base.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
       val r = s2.sql(
         s"SELECT CAST(decimal_from_bytes(unbase64('${b64(BigInt(314159))}'), 18, 5) AS STRING) AS d")
         .collect().head.getString(0)
