@@ -1669,6 +1669,32 @@ object Queries {
       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
       |SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine FROM r WHERE rank <= 3""".stripMargin))
 
+  /** kNN graph over the whole embedding corpus (top-3 neighbors of EVERY
+    * vector) via the IVF-blocked knn JOIN at full probe — exact, so the
+    * DuckDB self-cross-join oracle replicates it, while the Spark plan is
+    * the scale shape: both sides shuffle on the list id only, no
+    * broadcast, no n² cross join.
+    */
+  val knnJoinGraph = Q("knn_join_graph",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val centroids = (0 until 4).map(j =>
+        Array.tabulate(dim)(i => if (i % 4 == j) 1f else 0f)).toSeq
+      Knn.knnJoin(emb, centroids, "vec_id", "embedding", k = 3, nprobe = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
+    },
+    Some("""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+      |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    round(list_dot_product(a.embedding, b.embedding) /
+      |      (sqrt(list_dot_product(a.embedding, a.embedding)) *
+      |       sqrt(list_dot_product(b.embedding, b.embedding))), 6) AS cosine
+      |  FROM d a, d b WHERE a.vec_id <> b.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+      |SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine FROM r WHERE rank <= 3""".stripMargin))
+
   val knnLsh = Q("knn_sign_lsh",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2357,7 +2383,8 @@ object Queries {
     dedupMinhashIncremental,
     dedupClusters, dedupClustersStar, dedupApply,
     dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans, dedupSemantic,
-    knnBrute, knnLsh, knnIvf, embeddingQuantize, qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
+    knnBrute, knnLsh, knnIvf, knnJoinGraph, embeddingQuantize,
+    qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures,
     tableStats, erBlockedPairs, textVocab, textBpePairs)
 

@@ -109,6 +109,35 @@ object Knn {
       .where(col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** K-nearest-neighbor JOIN: the top-k neighbors of EVERY vector — the
+    * all-pairs building block of kNN-graph construction (SemDeDup cluster
+    * seeding, graph-based dedup, embedding-space diagnostics). Unlike
+    * [[ivfTopKAssigned]] the "query" side is the whole corpus, so nothing
+    * is broadcast: both sides hash-shuffle on the IVF list id and the join
+    * is co-partitioned — each vector scores only against the `nprobe`
+    * nearest lists' members, never the full corpus. Expected pair count ≈
+    * nprobe/nlist · n², vs n² for the naive self-cross-join; at 100 TB the
+    * list id is the ONLY shuffle key and no single task sees more than its
+    * lists' vectors (size lists via the k-means trainer so the largest
+    * list fits one task).
+    *
+    * `nprobe = centroids.length` makes it EXACT (every (q,c) pair meets on
+    * c's one assigned list exactly once) — the differential-testing seam:
+    * full-probe ≡ brute force, oracle-checkable; recall-vs-cost at scale
+    * is the usual IVF nprobe knob.
+    */
+  def knnJoin(vectors: DataFrame, centroids: Seq[Array[Float]], idCol: String,
+              vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.length)
+    val c = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"),
+      element_at(nearestLists(col(vecCol), centroids, 1), 1).as("list_id"))
+    val q = vectors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"),
+      explode(nearestLists(col(vecCol), centroids, nprobe)).as("list_id"))
+    rank(q.join(c, "list_id").where(col("query_id") =!= col("neighbor_id")), k)
+  }
+
   /** The `n` nearest centroid indices (0-based) of `vec` by squared L2 —
     * the IVF list-probe rule, shared by assignment and query sides.
     */

@@ -25,6 +25,40 @@ class IvfKnnSpec extends AnyFunSuite with SharedSpark {
     assert(ivf == brute)
   }
 
+  test("knnJoin at full probe ≡ per-vector brute force; no broadcast of the corpus side") {
+    val cs = centroids(8)
+    val graph = Knn.knnJoin(emb, cs, "vec_id", "embedding", k = 3, nprobe = 8)
+    val got = graph.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Knn.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == brute)
+    // every vector has exactly k ranked neighbors
+    val n = emb.count()
+    assert(graph.groupBy("query_id").count().where(col("count") =!= 3).count() == 0)
+    assert(graph.count() == 3 * n)
+    // the join must be EQUI on the list id — never a cross join: blocking
+    // is what caps the pair scan at nprobe/nlist · n². (AQE may still
+    // broadcast one side at toy scale; at corpus scale both sides shuffle
+    // on list_id, which a hash/sort-merge equi-join does and a nested-loop
+    // join cannot.)
+    val plan = graph.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"kNN join degenerated to an unblocked cross join:\n$plan")
+    assert(plan.contains("list_id"), s"join not keyed on the IVF list id:\n$plan")
+  }
+
+  test("knnJoin partial probe: recall degrades gracefully, pair scan shrinks") {
+    val cs = centroids(8)
+    val exact = Knn.knnJoin(emb, cs, "vec_id", "embedding", k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Knn.knnJoin(emb, cs, "vec_id", "embedding", k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // approximate results are a plausible subset-quality answer: same
+    // cardinality shape (≤ k per query) and decent overlap with exact
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.5, s"full-vs-partial probe recall $recall")
+  }
+
   test("persisted IvfIndex: full-probe search ≡ brute force; scan prunes to probed partitions") {
     import graft.similarity.IvfIndex
     val wh = java.nio.file.Files.createTempDirectory("graft_ivf").toString
