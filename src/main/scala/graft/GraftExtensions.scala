@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types.StringType
 
 /** SparkSessionExtensions entry point — the library's Catalyst seam.
   *
@@ -36,6 +37,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(s"scale must be an int literal, got $other")
         }
         DecimalFromBytes(args.head, p, s)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      graft.functions.TextNormalize.info,
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_normalize(string, form) takes 2 arguments (form: 'NFC'|'NFD'|'NFKC'|'NFKD'|'STRIP_ACCENTS')")
+        val form = args(1) match {
+          case Literal(v, StringType) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"form must be a string literal, got $other")
+        }
+        graft.functions.TextNormalize(args.head, form)
       }))
 
     // Composite column functions exposed to SQL: built from the same

@@ -1126,6 +1126,33 @@ object Queries {
       |  round(sum(lpv)::DOUBLE / count(*), 6) AS avg_logp
       |FROM lp GROUP BY doc_id""".stripMargin))
 
+  /** Unicode canonicalization ([[graft.functions.TextNormalize]] — native
+    * codegen expression; Spark has no built-in): decompose each 'a' into
+    * 'a' + U+0301 (combining acute), then (1) NFC re-composes to 'á' and
+    * (2) STRIP_ACCENTS recovers the original text — the round-trip every
+    * dedup pipeline runs before hashing, checked against DuckDB's
+    * `nfc_normalize`/`strip_accents` (identical utf8proc/JDK semantics).
+    * Map-only; the ASCII fast path makes it ~free on web-corpus data.
+    */
+  val textNormalize = Q("text_normalize",
+    (s, dir) => {
+      val dec = regexp_replace(col("text"), "a", "a\u0301") // decomposed: a + combining acute
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          substring(TextFunctions.normalize(dec, "NFC"), 1, 50).as("nfc_prefix"),
+          length(TextFunctions.normalize(dec, "NFC")).cast("long").as("nfc_len"),
+          length(dec).cast("long").as("dec_len"),
+          (TextFunctions.normalize(dec, "STRIP_ACCENTS") === col("text")).as("roundtrip"))
+    },
+    Some("""WITH d AS (SELECT doc_id, text,
+      |    replace(text, 'a', 'a' || chr(769)) AS dec FROM documents)
+      |SELECT doc_id,
+      |  substr(nfc_normalize(dec), 1, 50) AS nfc_prefix,
+      |  length(nfc_normalize(dec))::BIGINT AS nfc_len,
+      |  length(dec)::BIGINT AS dec_len,
+      |  (strip_accents(dec) = text) AS roundtrip
+      |FROM d""".stripMargin))
+
   /** Context-window chunking (64-token windows, 8-token overlap): one
     * row per chunk with its index, length, and content fingerprint —
     * the map-only explode that feeds embedding/pretraining ingestion.
@@ -2374,7 +2401,7 @@ object Queries {
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
     qFunnel, qHistogram, qIntervalJoin,
     textStats, textLangId, textFingerprint, textTfidf, textBm25, textRepetition,
-    textPiiRedact, textQualityFilter, textChunk, textLmScore,
+    textPiiRedact, textQualityFilter, textChunk, textLmScore, textNormalize,
     sampleHash, sampleSplit, sampleLeakageSafeSplit, sampleTokenBudget,
     sampleStratified, sampleGlobalSeq, sampleMixture,
     pipelineCuration,

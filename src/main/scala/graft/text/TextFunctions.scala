@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Unicode normalization ([[graft.functions.TextNormalize]]): `form` ∈
+    * NFC | NFD | NFKC | NFKD | STRIP_ACCENTS. Canonicalize BEFORE hashing/
+    * fingerprinting — byte-different encodings of the same text must
+    * collapse to one dedup key.
+    */
+  def normalize(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(graft.functions.TextNormalize(
+      GraftBridge.convertedExpression(text), form))
+  }
+
   /** Whitespace tokenization; empty string → empty array (not [""]).  */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
