@@ -138,6 +138,28 @@ final class ManagedTable private (
   def partitions(): Seq[Map[String, String]] =
     currentEntries.map(_.partition).distinct
 
+  /** Metadata-only row count, when the manifest can answer it exactly:
+    * every live group is plain data (`kind=data`) with a recorded row
+    * count — no equality-delete scopes or tombstones can hide rows, so
+    * the count is the sum of entry counts, one manifest read, ZERO data
+    * scan (Iceberg's `snapshot.summary.total-records` answer to
+    * `SELECT count(*)`; at 100 TB the difference between milliseconds and
+    * a full-table job). `None` when any group is an upsert/posdel (visible
+    * rows ≠ written rows until a full [[compact]]) or predates row-count
+    * recording — callers fall back to [[rowCount]].
+    */
+  def fastRowCount: Option[Long] = {
+    val entries = currentEntries
+    if (entries.forall(e => e.kind == Manifest.Data && e.rows >= 0L))
+      Some(entries.map(_.rows).sum)
+    else None
+  }
+
+  /** Exact visible-row count: the manifest answer when available, else one
+    * scan. Appends/overwrites/compacted tables stay metadata-only.
+    */
+  def rowCount(): Long = fastRowCount.getOrElse(read().count())
+
   /** Time travel: resolve an older manifest (previous versions are
     * retained per `write.versions-retained`) against the current schema.
     */
@@ -516,7 +538,7 @@ final class ManagedTable private (
     val rel = s"files/${Manifest.PosDel}-$sNew-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = new Path(tableDir, rel)
     allPairs.repartition(1).write.mode("overwrite").format(format).save(dir.toString)
-    commitManifest(dataEntries :+ ManifestEntry(rel, Manifest.PosDel, sNew))
+    commitManifest(dataEntries :+ ManifestEntry(rel, Manifest.PosDel, sNew, rows = n))
     n
   }
 
@@ -681,7 +703,8 @@ final class ManagedTable private (
     val statCols = (_meta.identifierFields ++ clusterByCols).distinct
       .filter(df.columns.contains)
       .flatMap(c => statsTag(df.schema(c).dataType).map(c -> _))
-    Some(ManifestEntry(rel, kind, seq, LocalCommit.bounds(rows, schema, statCols)))
+    Some(ManifestEntry(rel, kind, seq, LocalCommit.bounds(rows, schema, statCols),
+      rows = rows.length.toLong))
   }
 
   private def writeGroup(df: DataFrame, kind: String, seq: Long): Option[ManifestEntry] = {
@@ -690,14 +713,12 @@ final class ManagedTable private (
     val statCols = (_meta.identifierFields ++ clusterByCols).distinct
       .filter(df.columns.contains)
       .flatMap(c => statsTag(df.schema(c).dataType).map(c -> _))
-    val (toWrite, obs) =
-      if (statCols.isEmpty) (df, None)
-      else {
-        val o = new org.apache.spark.sql.Observation(s"stats-$kind-$seq")
-        val aggs = statCols.flatMap { case (c, _) =>
-          Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) }
-        (df.observe(o, aggs.head, aggs.tail: _*), Some(o))
-      }
+    // Row count + column bounds ride the write action via observe — zero
+    // extra job; the count feeds metadata-only counts ([[fastRowCount]]).
+    val o = new org.apache.spark.sql.Observation(s"stats-$kind-$seq")
+    val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { case (c, _) =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) }
+    val toWrite = df.observe(o, aggs.head, aggs.tail: _*)
     // A df that already carries per-row seqs (compactMinor's fold) keeps
     // them — stamping would rewrite delete scopes; fresh commits get `seq`.
     val stamped =
@@ -708,14 +729,13 @@ final class ManagedTable private (
     val hasFiles = fs.exists(dir) &&
       fs.listStatus(dir).exists(s => !s.getPath.getName.startsWith("_"))
     if (hasFiles) {
-      val stats = obs.map { o =>
-        val row = o.get
-        statCols.collect { case (c, t)
-          if row(s"mn_$c") != null && row(s"mx_$c") != null =>
-          c -> ColBounds(t, row(s"mn_$c"), row(s"mx_$c"))
-        }.toMap
-      }.getOrElse(Map.empty[String, ColBounds])
-      Some(ManifestEntry(rel, kind, seq, stats))
+      val row = o.get
+      val stats = statCols.collect { case (c, t)
+        if row(s"mn_$c") != null && row(s"mx_$c") != null =>
+        c -> ColBounds(t, row(s"mn_$c"), row(s"mx_$c"))
+      }.toMap
+      Some(ManifestEntry(rel, kind, seq, stats,
+        rows = row("__rows").asInstanceOf[Long]))
     } else { fs.delete(dir, true); None }
   }
 
@@ -744,7 +764,7 @@ final class ManagedTable private (
     }
     val out = fs.create(new Path(dir, "part-00000.json"), true)
     try out.write((stamped.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
-    val entry = ManifestEntry(rel, Manifest.Data, seq)
+    val entry = ManifestEntry(rel, Manifest.Data, seq, rows = lines.length.toLong)
     commitManifest(if (overwrite) Seq(entry) else currentEntries :+ entry)
   }
 
@@ -976,7 +996,8 @@ final class ManagedTable private (
         fs.mkdirs(dst.getParent)
         if (!fs.rename(new Path(staging, srcRel), dst))
           throw new java.io.IOException(s"failed to stage partition group $rel")
-        ManifestEntry(rel, kind, seqOf(tuple), stats, tuple)
+        ManifestEntry(rel, kind, seqOf(tuple), stats, tuple,
+          rows = row.getAs[Long]("__n"))
       }
     } finally fs.delete(staging, true)
   }

@@ -74,7 +74,8 @@ final case class ColBounds(t: String, min: Any, max: Any) {
   */
 final case class ManifestEntry(path: String, kind: String, seq: Long,
                                stats: Map[String, ColBounds] = Map.empty,
-                               partition: Map[String, String] = Map.empty)
+                               partition: Map[String, String] = Map.empty,
+                               rows: Long = -1L)
 
 object Manifest {
   private val mapper = new ObjectMapper()
@@ -100,6 +101,7 @@ object Manifest {
     entries.foreach { e =>
       val n = arr.addObject()
       n.put("path", e.path); n.put("kind", e.kind); n.put("seq", e.seq)
+      if (e.rows >= 0L) n.put("rows", e.rows)
       if (e.partition.nonEmpty) {
         val p = n.putObject("partition")
         e.partition.foreach { case (k, v) => p.put(k, v) }
@@ -144,7 +146,8 @@ object Manifest {
         p.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
       }.getOrElse(Map.empty[String, String])
       ManifestEntry(n.get("path").asText, n.get("kind").asText, n.get("seq").asLong,
-        stats, partition)
+        stats, partition,
+        Option(n.get("rows")).map(_.asLong).getOrElse(-1L))
     }.toSeq
 
   /** Manifests are immutable once written: temp + rename, never rewritten. */
