@@ -248,6 +248,133 @@ final class ManagedTable private (
     TableMeta.write(fs, tableDir, _meta)
   }
 
+  // ------------------------------------------------------- WAP branches
+
+  private def branchManifestPath(name: String) =
+    new Path(manifestsDir, s"branch=$name.json")
+
+  /** All file groups any live WAP branch references — GC-protected like
+    * tagged snapshots until the branch publishes or is abandoned.
+    */
+  private def liveBranchEntries: Seq[ManifestEntry] =
+    _meta.properties.keys.toSeq
+      .filter(_.startsWith(ManagedTable.BranchPrefix))
+      .map(_.stripPrefix(ManagedTable.BranchPrefix))
+      .flatMap(n => Manifest.read(fs, branchManifestPath(n)).getOrElse(Seq.empty))
+
+  /** Write-audit-publish, step 1: stage an append on a named branch. The
+    * batch's file groups are written through the normal write path but
+    * referenced only by a BRANCH manifest — the live table is untouched
+    * and ordinary readers see nothing. The Iceberg WAP pattern
+    * (`spark.wap.branch` / audit-branch + fast-forward): land risky data,
+    * audit it, then [[publishBranch]] atomically or [[abandonBranch]]
+    * for free. Staging costs exactly one batch write; publish is a
+    * metadata-only commit — no data is rewritten at any point, at any
+    * table size.
+    *
+    * Staged rows carry the stage-time sequence number: relative to
+    * upsert commits that land BETWEEN stage and publish, they order as of
+    * staging (documented single-writer model makes this a non-issue in
+    * practice).
+    */
+  def stageAppend(batch: DataFrame, branch: String): Unit = {
+    require(branch.nonEmpty && !branch.contains('/') && !branch.contains('='),
+      s"invalid branch name '$branch'")
+    val key = ManagedTable.BranchPrefix + branch
+    require(!_meta.properties.contains(key), s"branch '$branch' already exists")
+    val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
+    val seq = _meta.currentVersion + 1
+    val entries =
+      if (isPartitioned)
+        splitWriteGroups(withPartitionCols(conformed), Manifest.Data, _ => seq, seq)
+      else writeGroupAuto(sortForWrite(conformed), Manifest.Data, seq).toSeq
+    Manifest.write(fs, branchManifestPath(branch), entries,
+      Some(System.currentTimeMillis()))
+    // the property is the branch's commit point (same guarded metadata
+    // write as tags); a crash before it leaves only swept-at-load debris
+    setProperties(Map(key -> seq.toString))
+  }
+
+  /** WAP step 2 (audit): the table AS IT WOULD BE after publishing —
+    * current snapshot plus the branch's staged groups. Run validation
+    * queries against this.
+    */
+  def readBranch(branch: String): DataFrame = {
+    require(_meta.properties.contains(ManagedTable.BranchPrefix + branch),
+      s"no branch '$branch' on ${_meta.name}")
+    val staged = Manifest.read(fs, branchManifestPath(branch)).getOrElse(Seq.empty)
+    morRead(currentEntries ++ staged)
+      .select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Live branch names. */
+  def branches(): Seq[String] =
+    _meta.properties.keys.toSeq
+      .filter(_.startsWith(ManagedTable.BranchPrefix))
+      .map(_.stripPrefix(ManagedTable.BranchPrefix)).sorted
+
+  /** WAP step 3a: fold the branch's staged groups into the live table as
+    * one atomic commit (the fast-forward) and drop the branch. Metadata
+    * only — the staged files are adopted in place, never rewritten or
+    * copied. Entries are re-stamped to the publish version so incremental
+    * changelog consumers ([[readChangesBetween]]) see them at the version
+    * where they became visible.
+    */
+  def publishBranch(branch: String): Unit = {
+    val key = ManagedTable.BranchPrefix + branch
+    require(_meta.properties.contains(key), s"no branch '$branch' on ${_meta.name}")
+    val staged = Manifest.read(fs, branchManifestPath(branch)).getOrElse(
+      throw new IllegalStateException(
+        s"branch '$branch' of ${_meta.name} has no manifest — corrupted branch"))
+    val prevMeta = _meta
+    _meta = _meta.copy(properties = _meta.properties - key)
+    try {
+      val publishSeq = _meta.currentVersion + 1
+      commitManifest(currentEntries ++ staged.map(_.copy(seq = publishSeq)))
+    } catch { case t: Throwable => _meta = prevMeta; throw t }
+    fs.delete(branchManifestPath(branch), false)
+  }
+
+  /** WAP step 3b: drop the branch; its staged groups become GC-eligible
+    * at the next commit. The live table never saw them.
+    */
+  def abandonBranch(branch: String): Unit = {
+    val key = ManagedTable.BranchPrefix + branch
+    require(_meta.properties.contains(key), s"no branch '$branch' on ${_meta.name}")
+    requireCurrentPointer()
+    _meta = _meta.copy(properties = _meta.properties - key)
+    TableMeta.write(fs, tableDir, _meta)
+    fs.delete(branchManifestPath(branch), false)
+  }
+
+  /** Expire retained snapshots committed at or before `olderThanMs`
+    * (Iceberg's `expire_snapshots(older_than)`): their manifests are
+    * dropped and any file group no surviving manifest or branch
+    * references is deleted. The current version and tagged versions are
+    * always kept. Complements count-based `write.versions-retained`
+    * (enforced at commit time) with the age-based policy a compliance
+    * window wants. Metadata-scale cost: one manifest read per retained
+    * version plus one files-dir listing — no data scan.
+    */
+  def expireSnapshots(olderThanMs: Long): Int = {
+    requireCurrentPointer()
+    val taggedVs = tags().values.toSet
+    val candidates = versions().filter { case (v, t) =>
+      v != _meta.currentVersion && t <= olderThanMs && !taggedVs.contains(v)
+    }
+    candidates.foreach { case (v, _) => fs.delete(manifestPath(v), false) }
+    val survivors =
+      if (!fs.exists(manifestsDir)) Seq.empty
+      else fs.listStatus(manifestsDir).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("v=") && p.getName.endsWith(".json"))
+    val retained = (survivors.flatMap(p => Manifest.read(fs, p).getOrElse(Seq.empty)) ++
+      liveBranchEntries).map(_.path).toSet
+    if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { s =>
+      if (!retained.contains(s"files/${s.getPath.getName}")) fs.delete(s.getPath, true)
+    }
+    candidates.size
+  }
+
   /** Merge-on-read scan: one multi-path scan of every file group plus a
     * single anti-join against the upsert groups' (identifier, seq) pairs —
     * an upsert group at seq S hides rows of groups with seq < S (the
@@ -905,7 +1032,8 @@ final class ManagedTable private (
     }.toSet
     val protectedVs = ((keepFrom until next) ++ taggedVs.filter(_ < keepFrom)).distinct
     val retained = (protectedVs
-      .flatMap(v => Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty)) ++ entries)
+      .flatMap(v => Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty)) ++ entries ++
+      liveBranchEntries) // WAP-staged groups: protected until publish/abandon
       .map(_.path).toSet
     if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { s =>
       if (!retained.contains(s"files/${s.getPath.getName}")) fs.delete(s.getPath, true)
@@ -1008,13 +1136,24 @@ final class ManagedTable private (
     * time — single-writer model — any survivor is invisible-to-readers
     * disk leak, never live data.
     */
-  private[tables] def sweepOrphanStaging(): Unit =
+  private[tables] def sweepOrphanStaging(): Unit = {
     if (fs.exists(tableDir)) fs.listStatus(tableDir).foreach { s =>
       val n = s.getPath.getName
       if (s.isDirectory && (n.startsWith(".stage-") || n.startsWith(".compact-") ||
           n.startsWith(".zcompact-")))
         fs.delete(s.getPath, true)
     }
+    // branch manifests whose property commit never landed (crash between
+    // manifest write and property set): the branch was never created
+    if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("branch=") && n.endsWith(".json")) {
+        val branch = n.stripPrefix("branch=").stripSuffix(".json")
+        if (!_meta.properties.contains(ManagedTable.BranchPrefix + branch))
+          fs.delete(s.getPath, false)
+      }
+    }
+  }
 
   /** W7 — atomically replace the whole table content (offset-store parity):
     * one data group, a manifest referencing only it.
@@ -1218,6 +1357,9 @@ object ManagedTable {
 
   /** Reserved property prefix for snapshot tags ([[ManagedTable.tag]]). */
   val TagPrefix = "ref.tag."
+
+  /** Reserved property prefix for WAP branches ([[ManagedTable.stageAppend]]). */
+  val BranchPrefix = "ref.branch."
 
   /** Commit-sequence-number column stamped into every MoR file group. */
   val SeqCol = "__graft_seq"

@@ -968,6 +968,102 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(t.read().count() == 4)
   }
 
+  test("fastRowCount: metadata-only when exact, None when deletes could hide rows") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "frc", schema, Seq("id"))
+    assert(t.fastRowCount.contains(0L))
+    t.append(rows((1, "a", "c", 1L), (2, "b", "c", 1L)))
+    t.append(rows((3, "c", "c", 2L)))
+    assert(t.fastRowCount.contains(3L))
+    assert(t.rowCount() == 3L)
+    // an upsert commit carries equality-delete scope → manifest can no
+    // longer answer exactly; the scan fallback still can
+    t.merge(rows((2, "b2", "u", 3L), (4, "d", "c", 3L)))
+    assert(t.fastRowCount.isEmpty)
+    assert(t.rowCount() == 4L)
+    assert(t.rowCount() == t.read().count())
+    // full compaction folds everything back to plain data groups:
+    // metadata-only again, and it agrees with the scan
+    t.compact()
+    assert(t.fastRowCount.contains(4L))
+    assert(t.rowCount() == t.read().count())
+
+    // partitioned tables: per-partition groups sum the same way
+    val pschema = StructType(schema.fields :+ StructField("day", StringType))
+    val pt = ManagedTable.create(spark, wh, "frcp", pschema, Seq("id"),
+      partitionBy = Seq("day"))
+    pt.append(rows((1, "a", "c", 1L), (2, "b", "c", 1L))
+      .withColumn("day", when(col("id") === 1, "d1").otherwise("d2")))
+    assert(pt.fastRowCount.contains(2L))
+  }
+
+  test("WAP branch: stage is invisible, audit sees would-be table, publish is atomic, abandon frees") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "wap", schema, Seq("id"))
+    t.append(rows((1, "a", "c", 1L)))
+
+    // stage: live table unchanged, audit view = live + staged
+    t.stageAppend(rows((2, "b", "c", 2L), (3, "c", "c", 2L)), "audit1")
+    assert(t.branches() == Seq("audit1"))
+    assert(t.read().count() == 1)
+    assert(t.readBranch("audit1").count() == 3)
+
+    // staged groups survive an unrelated commit's GC sweep
+    t.append(rows((10, "j", "c", 3L)))
+    assert(t.readBranch("audit1").count() == 4)
+
+    // publish: atomic fold, rows visible, branch gone; nothing rewritten
+    val vBefore = t.meta.currentVersion
+    t.publishBranch("audit1")
+    assert(t.meta.currentVersion == vBefore + 1)
+    assert(t.read().count() == 4)
+    assert(t.branches().isEmpty)
+    // changelog shows the published rows at the publish version
+    val changes = t.readChangesBetween(vBefore, t.meta.currentVersion)
+    assert(changes.select("id").collect().map(_.getInt(0)).toSet == Set(2, 3))
+
+    // abandon: staged rows never land and their groups are swept
+    t.stageAppend(rows((9, "z", "c", 9L)), "bad")
+    assert(t.readBranch("bad").count() == 5)
+    t.abandonBranch("bad")
+    assert(t.read().count() == 4)
+    assertThrows[IllegalArgumentException] { t.readBranch("bad") }
+    t.append(rows((11, "k", "c", 4L))) // next commit GCs the orphaned group
+    assert(t.read().count() == 5)
+
+    // reload: a crash-orphaned branch manifest (no property) is swept
+    val reloaded = ManagedTable.load(spark, wh, "wap").get
+    assert(reloaded.branches().isEmpty)
+    assert(reloaded.read().count() == 5)
+  }
+
+  test("expireSnapshots: age-based expiry keeps current + tagged, sweeps unreferenced groups") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "exp", schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "10"))
+    t.append(rows((1, "a", "c", 1L)))
+    val v1 = t.meta.currentVersion
+    Thread.sleep(5)
+    t.append(rows((2, "b", "c", 2L)))
+    t.tag("keep", t.meta.currentVersion)
+    val vTagged = t.meta.currentVersion
+    Thread.sleep(5)
+    t.overwrite(rows((3, "c", "c", 3L))) // orphans v1/v2's groups from the live view
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.append(rows((4, "d", "c", 4L)))
+
+    val expired = t.expireSnapshots(cutoff)
+    assert(expired >= 1)
+    // v1 is gone; the tagged version and current survive
+    assertThrows[IllegalArgumentException] { t.readVersion(v1) }
+    assert(t.readTag("keep").count() == 2)
+    assert(t.readVersion(vTagged).count() == 2)
+    assert(t.read().count() == 2) // {3, 4}
+    // time travel to expired instants now refuses
+    assertThrows[IllegalArgumentException] { t.readAsOf(0L) }
+  }
+
   test("int->long promotion during evolution keeps old data readable") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "promo",
