@@ -1722,6 +1722,32 @@ object Queries {
       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
       |SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine FROM r WHERE rank <= 3""".stripMargin))
 
+  /** PQ encoding ([[ProductQuantizer]]) with deterministic one-hot
+    * codebooks (m=4 subspaces, k=4 centroids = unit vectors at positions
+    * 0..3 of each subspace): against one-hot centroids the nearest-
+    * centroid rule reduces to argmax over the subvector's first four
+    * dimensions, which DuckDB replicates with list_max/list_position —
+    * first-occurrence tie-break on both engines. Exercises the real
+    * distance-based encoder on the Spark side.
+    */
+  val embeddingPqCode = Q("embedding_pq_code",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val m = 4; val w = dim / m
+      val codebooks = (0 until m).map(_ =>
+        (0 until 4).map(c => Array.tabulate(w)(i => if (i == c) 1f else 0f)).toSeq)
+      graft.similarity.ProductQuantizer.encode(emb, "embedding", codebooks)
+        .select(col("vec_id"), concat_ws("-", col("pq_code")).as("code"))
+    },
+    Some("""WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+      |    len(embedding) // 4 AS w FROM embeddings),
+      |s AS (SELECT vec_id,
+      |    [list_position(e[(j-1)*w+1 : (j-1)*w+4], list_max(e[(j-1)*w+1 : (j-1)*w+4])) - 1
+      |     for j in range(1, 5)] AS codes
+      |  FROM d)
+      |SELECT vec_id, array_to_string(codes, '-') AS code FROM s""".stripMargin))
+
   val knnLsh = Q("knn_sign_lsh",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2410,7 +2436,7 @@ object Queries {
     dedupMinhashIncremental,
     dedupClusters, dedupClustersStar, dedupApply,
     dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans, dedupSemantic,
-    knnBrute, knnLsh, knnIvf, knnJoinGraph, embeddingQuantize,
+    knnBrute, knnLsh, knnIvf, knnJoinGraph, embeddingQuantize, embeddingPqCode,
     qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures,
     tableStats, erBlockedPairs, textVocab, textBpePairs)
