@@ -426,6 +426,42 @@ final class ManagedTable private (
       .withColumn(TombstoneCol, coalesce(col(TombstoneCol), lit(false)))
   }
 
+  /** Follow this table as a Structured Streaming source: every file group
+    * a future commit writes arrives as a micro-batch of raw change rows
+    * (physical schema + [[ManagedTable.SeqCol]] commit sequence +
+    * [[ManagedTable.TombstoneCol]] hard-delete marker) — the streaming
+    * face of [[readChangesBetween]], feeding downstream indexes/replicas/
+    * caches without rescanning the table. Built on the parquet file
+    * source (new files under `files/` are discovered by the standard
+    * checkpointed listing — offsets, recovery and exactly-once file
+    * delivery come from Spark, zero custom source code); consumers apply
+    * rows in `SeqCol` order per key, exactly like the batch changelog.
+    *
+    * Delivery contract (file-level, looser than the batch changelog):
+    *  - at-least-once per row version — a compaction/minor-fold REWRITES
+    *    live rows into new files, which re-deliver; filter replays with
+    *    the seq column or pause maintenance while a follower is active;
+    *  - files become visible at WRITE time, not commit time: a follower
+    *    can see a group milliseconds before its pointer flip, and in the
+    *    crash window a never-committed group's rows may deliver once
+    *    (they are swept at the next commit/load). Followers needing
+    *    commit-exact delivery should poll [[readChangesBetween]] against
+    *    [[versions]] instead. Don't follow tables using WAP staging —
+    *    staged groups deliver at stage time.
+    * Parquet tables only (posdel sidecars are excluded by the path
+    * glob's kind prefix).
+    */
+  def readChangeStream(): DataFrame = {
+    require(format == "parquet", "readChangeStream follows parquet tables")
+    val readSchema = StructType(physicalSchema.fields :+
+      StructField(SeqCol, LongType, nullable = false) :+
+      StructField(TombstoneCol, BooleanType, nullable = true))
+    spark.readStream
+      .schema(readSchema)
+      .parquet(s"${new Path(tableDir, "files")}/{${Manifest.Data},${Manifest.Upsert}}-*")
+      .withColumn(TombstoneCol, coalesce(col(TombstoneCol), lit(false)))
+  }
+
   /** Stats-pruned key-range scan: only file groups whose manifest bounds
     * intersect [lo, hi] on `idCol` are opened (groups without bounds are
     * never pruned). Sound against MoR deletes: a group whose bounds

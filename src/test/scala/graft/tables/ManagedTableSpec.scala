@@ -1064,6 +1064,42 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assertThrows[IllegalArgumentException] { t.readAsOf(0L) }
   }
 
+  test("readChangeStream: commits arrive as micro-batches with seq + tombstone") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "follow", schema, Seq("id"))
+    t.append(rows((1, "a", "c", 1L)))
+    val got = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Boolean)]()
+    val q = t.readChangeStream().writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.select(col("id"), col("name"),
+            col(ManagedTable.SeqCol), col(ManagedTable.TombstoneCol))
+            .collect()
+            .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+        }
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("follow-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(got.synchronized(got.toSet) == Set((1, "a", 1L, false)))
+      // an upsert with a hard delete: winners + tombstone stream through
+      t.merge(rows((2, "b", "c", 2L), (1, "x", "d", 2L)),
+        graft.cdc.CdcApply.UpsertConfig(dedupColumn = "__source_ts_ns",
+          keepDeletes = false))
+      q.processAllAvailable()
+      val after = got.synchronized(got.toSet)
+      assert(after.contains((2, "b", 2L, false)), s"missing insert: $after")
+      assert(after.exists { case (id, _, seq, tomb) => id == 1 && seq == 2L && tomb },
+        s"missing tombstone: $after")
+      // followers see exactly the committed row versions (no phantoms here)
+      assert(after.size == 3)
+    } finally q.stop()
+  }
+
   test("int->long promotion during evolution keeps old data readable") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "promo",
