@@ -530,6 +530,65 @@ final class ManagedTable private (
     * them to hide). Tombstone rows are KEPT (callers filter or re-write
     * them). Columns: physical schema + seq + tombstone.
     */
+  /** Rename lineage from `schema.renamed.<current>` properties: current
+    * column name → the prior names old file groups may carry.
+    */
+  private def renameAliases: Map[String, Seq[String]] =
+    _meta.properties.collect {
+      case (k, v) if k.startsWith(ManagedTable.RenamedPrefix) =>
+        k.stripPrefix(ManagedTable.RenamedPrefix) ->
+          v.split(",").toSeq.filter(_.nonEmpty)
+    }.filter { case (n, _) => _meta.schema.fieldNames.contains(n) }
+
+  /** Initial defaults from `schema.default.<name>` = "<version>:<literal>":
+    * applied at read to rows written BEFORE the column existed (per-row
+    * seq <= the add-time version) — Iceberg's initial-default semantics.
+    */
+  private def columnDefaults: Map[String, (Long, String)] =
+    _meta.properties.collect {
+      case (k, v) if k.startsWith(ManagedTable.DefaultPrefix) =>
+        val i = v.indexOf(':')
+        k.stripPrefix(ManagedTable.DefaultPrefix) -> (v.take(i).toLong, v.drop(i + 1))
+    }.filter { case (n, _) => _meta.schema.fieldNames.contains(n) }
+
+  /** Scan a set of file groups under the CURRENT schema, resolving rename
+    * lineage and initial defaults without rewriting a byte: the read
+    * schema carries each renamed column's prior names as extra nullable
+    * fields (parquet by-name projection fills whichever the file has),
+    * and the returned projection folds them with coalesce and applies
+    * seq-gated defaults. Returns the raw scan (metadata columns intact
+    * for the posdel anti-join) plus the projection to apply after.
+    */
+  private def scanGroups(paths: Seq[String]): (DataFrame, DataFrame => DataFrame) = {
+    // lineage names shadowed by a live column are unreadable as aliases
+    // (one field name, one slot in the read schema) — [[addColumn]]
+    // refuses creating that state; filtering here keeps stale metadata
+    // from breaking the scan regardless
+    val live = physicalSchema.fieldNames.toSet
+    val aliases = renameAliases
+      .map { case (n, olds) => n -> olds.filterNot(live.contains) }
+      .filter(_._2.nonEmpty)
+    val defaults = columnDefaults
+    val aliasFields = aliases.toSeq.flatMap { case (n, olds) =>
+      olds.map(o => StructField(o, physicalSchema(n).dataType, nullable = true)) }
+    val readSchema = StructType(physicalSchema.fields ++ aliasFields :+
+      StructField(SeqCol, LongType, nullable = false) :+
+      StructField(TombstoneCol, BooleanType, nullable = true))
+    val scanned = spark.read.schema(readSchema).format(format).load(paths: _*)
+    val project = (df: DataFrame) => {
+      val folded = aliases.foldLeft(df) { case (d, (n, olds)) =>
+        d.withColumn(n, coalesce((col(n) +: olds.map(col)): _*)).drop(olds: _*)
+      }
+      val defaulted = defaults.foldLeft(folded) { case (d, (n, (v, s))) =>
+        d.withColumn(n, when(col(SeqCol) <= v && col(n).isNull,
+          lit(s).cast(physicalSchema(n).dataType)).otherwise(col(n)))
+      }
+      defaulted.select((physicalSchema.fieldNames :+ SeqCol :+ TombstoneCol)
+        .map(col).toIndexedSeq: _*)
+    }
+    (scanned, project)
+  }
+
   private def morResolve(entries: Seq[ManifestEntry]): DataFrame = {
     // A posdel sidecar at seq S has already materialized every equality
     // scope <= S into (file, pos) pairs: apply it as one fixed-width
@@ -542,11 +601,8 @@ final class ManagedTable private (
     val dataEntries = entries.filterNot(_.kind == Manifest.PosDel)
     val appliedUpTo = if (posdels.isEmpty) Long.MinValue else posdels.map(_.seq).max
     val allPaths = dataEntries.map(e => new Path(tableDir, e.path).toString)
-    val readSchema = StructType(physicalSchema.fields :+
-      StructField(SeqCol, LongType, nullable = false) :+
-      StructField(TombstoneCol, BooleanType, nullable = true))
-    val scanned = spark.read.schema(readSchema).format(format).load(allPaths: _*)
-    val data =
+    val (scanned, evolveProjection) = scanGroups(allPaths)
+    val data0 =
       if (posdels.isEmpty) scanned
       else {
         val withMeta = scanned
@@ -558,6 +614,9 @@ final class ManagedTable private (
           withMeta(PosFileCol) === pairs("file") && withMeta(PosIdxCol) === pairs("pos"),
           "left_anti").drop(PosFileCol, PosIdxCol)
       }
+    // rename aliases folded + version-gated defaults applied, AFTER the
+    // positional anti-join (which needs the raw scan's metadata columns)
+    val data = evolveProjection(data0)
     val ids = _meta.identifierFields
     val minSeqByTuple = dataEntries.groupBy(_.partition)
       .map { case (p, es) => p -> es.map(_.seq).min }
@@ -1221,6 +1280,93 @@ final class ManagedTable private (
     }
   }
 
+  /** ALTER TABLE RENAME COLUMN — metadata-only, no file rewritten: the
+    * old name joins the column's rename lineage (`schema.renamed.<new>`)
+    * and reads fold prior-name values in with coalesce ([[scanGroups]]).
+    * Identifier fields and partition source columns are immutable (their
+    * names are baked into delete scopes and partition tuples).
+    */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    require(_meta.schema.fieldNames.contains(oldName), s"no column '$oldName'")
+    require(!_meta.schema.fieldNames.contains(newName), s"column '$newName' already exists")
+    require(!_meta.identifierFields.contains(oldName), "cannot rename an identifier field")
+    require(!partitionFields.map(_.sourceColumn).contains(oldName),
+      "cannot rename a partition source column")
+    require(newName.nonEmpty && !newName.startsWith("__"), s"invalid column name '$newName'")
+    requireCurrentPointer()
+    val lineage = renameAliases.getOrElse(oldName, Seq.empty) :+ oldName
+    val carried = Map(ManagedTable.RenamedPrefix + newName -> lineage.mkString(",")) ++
+      _meta.properties.get(ManagedTable.DefaultPrefix + oldName)
+        .map(ManagedTable.DefaultPrefix + newName -> _)
+    _meta = _meta.copy(
+      schema = StructType(_meta.schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f)),
+      properties = _meta.properties -
+        (ManagedTable.RenamedPrefix + oldName) -
+        (ManagedTable.DefaultPrefix + oldName) ++ carried)
+    TableMeta.write(fs, tableDir, _meta)
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only: old files keep the physical
+    * column, the explicit-schema projection stops reading it. The name is
+    * recorded as dropped: re-adding it would silently RESURFACE stale
+    * values from pre-drop files (the classic by-name hazard field-id
+    * formats avoid), so [[addColumn]] refuses reuse unless the table sets
+    * `schema.allow-reused-names=true`.
+    */
+  def dropColumn(name: String): Unit = {
+    require(_meta.schema.fieldNames.contains(name), s"no column '$name'")
+    require(!_meta.identifierFields.contains(name), "cannot drop an identifier field")
+    require(!partitionFields.map(_.sourceColumn).contains(name),
+      "cannot drop a partition source column")
+    require(_meta.schema.fields.length > 1, "cannot drop the last column")
+    requireCurrentPointer()
+    _meta = _meta.copy(
+      schema = StructType(_meta.schema.fields.filterNot(_.name == name)),
+      properties = _meta.properties -
+        (ManagedTable.RenamedPrefix + name) -
+        (ManagedTable.DefaultPrefix + name) +
+        (ManagedTable.DroppedPrefix + name -> _meta.currentVersion.toString))
+    TableMeta.write(fs, tableDir, _meta)
+  }
+
+  /** ALTER TABLE ADD COLUMN, optionally with an initial default — the
+    * Iceberg v3 initial-default: rows written BEFORE the add (per-row seq
+    * at or below the add-time version) read the default where null; rows
+    * written after keep their stored values, including intentional nulls.
+    * Atomic types only (the literal round-trips through a string cast).
+    */
+  def addColumn(field: StructField, default: Option[String] = None): Unit = {
+    require(!_meta.schema.fieldNames.contains(field.name),
+      s"column '${field.name}' already exists")
+    require(!field.name.startsWith("__"), s"invalid column name '${field.name}'")
+    require(!renameAliases.values.flatten.toSet.contains(field.name),
+      s"column '${field.name}' is prior-name lineage of a renamed column; " +
+        "reusing it would shadow the lineage in old files")
+    if (_meta.properties.contains(ManagedTable.DroppedPrefix + field.name) &&
+        !_meta.properties.get("schema.allow-reused-names").contains("true"))
+      throw new IllegalArgumentException(
+        s"column '${field.name}' was previously dropped; pre-drop files still hold its " +
+          "values, which would resurface under by-name projection. Set table property " +
+          "schema.allow-reused-names=true to accept that, or pick a fresh name.")
+    default.foreach { _ =>
+      val atomic = field.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | _: BinaryType => false
+        case _                                                         => true
+      }
+      require(atomic,
+        s"defaults are supported for atomic types only, got ${field.dataType.catalogString}")
+    }
+    requireCurrentPointer()
+    _meta = _meta.copy(
+      schema = StructType(_meta.schema.fields :+ field.copy(nullable = true)),
+      properties = _meta.properties -
+        (ManagedTable.DroppedPrefix + field.name) ++
+        default.map(d =>
+          ManagedTable.DefaultPrefix + field.name -> s"${_meta.currentVersion}:$d"))
+    TableMeta.write(fs, tableDir, _meta)
+  }
+
   /** Same optimistic-concurrency guard as the data path (see [[evolve]]). */
   def setProperties(props: Map[String, String]): Unit = {
     requireCurrentPointer()
@@ -1396,6 +1542,15 @@ object ManagedTable {
 
   /** Reserved property prefix for WAP branches ([[ManagedTable.stageAppend]]). */
   val BranchPrefix = "ref.branch."
+
+  /** Rename lineage: `schema.renamed.<current>` = comma-joined prior names. */
+  val RenamedPrefix = "schema.renamed."
+
+  /** Initial defaults: `schema.default.<name>` = "<addVersion>:<literal>". */
+  val DefaultPrefix = "schema.default."
+
+  /** Dropped-name registry: `schema.dropped.<name>` = version at drop. */
+  val DroppedPrefix = "schema.dropped."
 
   /** Commit-sequence-number column stamped into every MoR file group. */
   val SeqCol = "__graft_seq"

@@ -1100,6 +1100,77 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("renameColumn: old files readable under the new name, chains, no rewrite") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "rn", schema, Seq("id"))
+    t.append(rows((1, "alice", "c", 1L)))
+    val filesBefore = t.read().inputFiles.toSet
+    t.renameColumn("name", "full_name")
+    assert(t.meta.schema.fieldNames.contains("full_name"))
+    // pre-rename file reads under the new name; nothing rewritten
+    assert(t.read().select("full_name").collect().map(_.getString(0)).toSeq == Seq("alice"))
+    assert(t.read().inputFiles.toSet == filesBefore)
+    // post-rename writes mix with pre-rename files transparently
+    t.merge(Seq((2, "bob", "c", 2L)).toDF("id", "full_name", "__op", "__source_ts_ns"),
+      graft.cdc.CdcApply.UpsertConfig(dedupColumn = "__source_ts_ns"))
+    assert(t.read().select("full_name").collect().map(_.getString(0)).toSet ==
+      Set("alice", "bob"))
+    // chain: rename again; both generations of files still readable
+    t.renameColumn("full_name", "display_name")
+    assert(t.read().select("display_name").collect().map(_.getString(0)).toSet ==
+      Set("alice", "bob"))
+    // compaction materializes the current name and drops the lineage need
+    t.compact()
+    assert(t.read().select("display_name").collect().map(_.getString(0)).toSet ==
+      Set("alice", "bob"))
+    // immutable columns refuse
+    assertThrows[IllegalArgumentException] { t.renameColumn("id", "id2") }
+    assertThrows[IllegalArgumentException] { t.renameColumn("missing", "x") }
+    // reload from disk keeps the lineage
+    val r = ManagedTable.load(spark, wh, "rn").get
+    assert(r.read().select("display_name").count() == 2)
+  }
+
+  test("dropColumn hides data; re-adding a dropped name is refused (stale resurface)") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "dc", schema, Seq("id"))
+    t.append(rows((1, "secret", "c", 1L)))
+    t.dropColumn("name")
+    assert(!t.read().columns.contains("name"))
+    assertThrows[IllegalArgumentException] {
+      t.addColumn(StructField("name", StringType))
+    }
+    // fresh names are fine; reuse is allowed only by explicit opt-in
+    t.addColumn(StructField("label", StringType))
+    t.setProperties(Map("schema.allow-reused-names" -> "true"))
+    t.addColumn(StructField("name", StringType))
+    // ...and then the stale value DOES resurface — exactly the documented hazard
+    assert(t.read().select("name").collect().head.getString(0) == "secret")
+    assertThrows[IllegalArgumentException] { t.dropColumn("id") }
+  }
+
+  test("addColumn with initial default: pre-add rows read it, post-add nulls stay null") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "ad", schema, Seq("id"))
+    t.append(rows((1, "a", "c", 1L)))
+    t.addColumn(StructField("score", IntegerType), default = Some("7"))
+    // pre-add row sees the default
+    assert(t.read().select("score").collect().head.getInt(0) == 7)
+    // a post-add row with an explicit null KEEPS the null
+    val withScore = Seq((2, "b", "c", 2L, null.asInstanceOf[Integer]))
+      .toDF("id", "name", "__op", "__source_ts_ns", "score")
+    t.append(withScore)
+    val got = t.read().select("id", "score").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got(1).contains(7))
+    assert(got(2).isEmpty, s"post-add explicit null was defaulted: $got")
+    // compaction materializes the default for pre-add rows, result unchanged
+    t.compact()
+    val got2 = t.read().select("id", "score").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got2 == got)
+  }
+
   test("int->long promotion during evolution keeps old data readable") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "promo",
