@@ -1006,6 +1006,49 @@ object Queries {
          |WHERE ${duckBucket("mix", "doc_id")} < (CASE $cases ELSE 0 END)""".stripMargin
     })
 
+  /** Quality-WEIGHTED deterministic sampling: keep probability scales
+    * with a per-row weight (here derived from document length) — the
+    * "keep more of the good stuff" retention map. Same content-hash
+    * bucket seam as sample_hash, weight applied to the threshold; pure
+    * map, no RNG state.
+    */
+  val sampleWeighted = Q("sample_weighted",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("w", least(lit(2.0), col("n_chars").cast("double") / 250.0))
+      Sampling.weightedSample(docs, "doc_id", "w", baseBp = 2000, seed = "wt")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+    Some(s"""SELECT doc_id, source, n_chars FROM documents
+      |WHERE ${duckBucket("wt", "doc_id")} <
+      |  least(10000.0, greatest(0.0, least(2.0, n_chars::DOUBLE / 250.0) * 2000))""".stripMargin))
+
+  /** Mixture with UPSAMPLING (epochs per source — the other half of the
+    * recipe next to sample_mixture's downsampling): sources repeat by a
+    * fractional factor, the fractional epoch resolved per key by the
+    * same deterministic bucket; epoch indexes ride along for downstream
+    * shuffling. Map-side explode; oracle replays it with
+    * range-unnest + the bucket formula.
+    */
+  val sampleUpsampled = Q("sample_upsampled", {
+    val factors = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 3.0)
+    (s, dir) => Sampling.upsampleByFactors(t(s, dir, "documents"),
+        "source", "doc_id", factors, defaultFactor = 0.0, seed = "up")
+      .select(col("doc_id"), col("source"), col("__epoch").cast("long").as("epoch"))
+  },
+    Some {
+      val fCase = "CASE WHEN source='src0' THEN 2.5 WHEN source='src1' THEN 1.0 " +
+        "WHEN source='src2' THEN 0.5 WHEN source='src3' THEN 3.0 ELSE 0.0 END"
+      s"""WITH d AS (SELECT doc_id, source,
+         |    ($fCase) AS f,
+         |    ${duckBucket("up", "doc_id")} AS b FROM documents),
+         |r AS (SELECT doc_id, source,
+         |    (floor(f)::INT + (CASE WHEN b < (f - floor(f)) * 10000 THEN 1 ELSE 0 END)) AS reps
+         |  FROM d)
+         |SELECT doc_id, source, unnest(range(1, reps + 1))::BIGINT AS epoch
+         |FROM r WHERE reps >= 1""".stripMargin
+    })
+
   /** Global contiguous example numbering + derived export shards — a
     * range exchange with per-partition offset zip, NEVER a
     * single-partition `row_number() OVER (ORDER BY …)` (the oracle may
@@ -2429,7 +2472,7 @@ object Queries {
     textStats, textLangId, textFingerprint, textTfidf, textBm25, textRepetition,
     textPiiRedact, textQualityFilter, textChunk, textLmScore, textNormalize,
     sampleHash, sampleSplit, sampleLeakageSafeSplit, sampleTokenBudget,
-    sampleStratified, sampleGlobalSeq, sampleMixture,
+    sampleStratified, sampleGlobalSeq, sampleMixture, sampleWeighted, sampleUpsampled,
     pipelineCuration,
     pipelinePacking, pipelineDecontaminate, pipelineBalancedSample, pipelineSourceCap,
     dedupExact, dedupIncremental, dedupIncrementalBloom, dedupMinhash, dedupMinhashPairs,

@@ -101,6 +101,47 @@ object Sampling {
     df.filter(bucket(col(keyCol), seed) < thr)
   }
 
+  /** Deterministic WEIGHTED sampling: each row's keep probability scales
+    * with its weight — `keep iff bucket(key) < weight · baseBp`, capped at
+    * certainty. The quality-weighted retention step of a curation recipe
+    * (keep 5% of junk, 100% of gold) as a pure map: same content ⇒ same
+    * verdict on every re-run, no RNG state, no shuffle, any scale.
+    * Weights are clamped at 0; weight 1 ≡ [[hashSample]] at `baseBp`.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     baseBp: Int, seed: String = ""): DataFrame = {
+    require(baseBp >= 0 && baseBp <= 10000, s"baseBp out of range: $baseBp")
+    val thr = least(lit(10000.0), greatest(lit(0.0),
+      col(weightCol).cast("double") * baseBp))
+    df.filter(bucket(col(keyCol), seed) < thr)
+  }
+
+  /** Mixture with UPSAMPLING — the "epochs per source" half of a data
+    * recipe ([[sampleByRates]] is the downsampling half): each source's
+    * rows repeat `factor` times, the fractional epoch resolved
+    * deterministically per key (`bucket < frac·10000`), with the epoch
+    * index exposed for downstream global shuffling. A pure map-side
+    * `explode(sequence(...))` — output size is the only cost, there is no
+    * shuffle and no RNG state at any corpus size.
+    */
+  def upsampleByFactors(df: DataFrame, groupCol: String, keyCol: String,
+                        factors: Map[String, Double], defaultFactor: Double = 1.0,
+                        seed: String = "", epochCol: String = "__epoch"): DataFrame = {
+    require((factors.values.toSeq :+ defaultFactor).forall(f => f >= 0 && f <= 100),
+      s"factors out of [0,100]: $factors default=$defaultFactor")
+    val f = factors.toSeq.sortBy(_._1).foldLeft(lit(defaultFactor): Column) {
+      case (acc, (g, v)) => when(col(groupCol) === g, lit(v)).otherwise(acc)
+    }
+    val whole = floor(f).cast("int")
+    val extra = (bucket(col(keyCol), seed) < (f - floor(f)) * 10000).cast("int")
+    val repeats = (whole + extra).cast("int")
+    // sequence(1, 0) would COUNT DOWN ([1,0]) — an explicit empty array
+    // drops zero-repeat rows instead (explode of [] emits nothing)
+    val epochs = when(repeats >= 1, sequence(lit(1), repeats))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn(epochCol, explode(epochs))
+  }
+
   /** Temperature-flattened mixture rates from the observed source counts
     * (the multilingual-pretraining recipe: sampling share ∝ countᵀ, so
     * T=1 keeps the natural distribution and T→0 flattens toward

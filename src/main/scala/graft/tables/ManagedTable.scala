@@ -375,6 +375,54 @@ final class ManagedTable private (
     candidates.size
   }
 
+  // --------------------------------------------------- metadata tables
+
+  /** The `files` metadata table (Iceberg's `SELECT * FROM t.files`
+    * analogue): one row per live file group with kind, commit seq, row
+    * count, partition tuple and column bounds — manifest-only, no data
+    * scan. Feed it to SQL for maintenance decisions ("which partitions
+    * have how many trickle groups", "how many rows landed per commit").
+    */
+  def filesMetadata(): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("seq", LongType, nullable = false),
+      StructField("row_count", LongType, nullable = true),
+      StructField("partition", MapType(StringType, StringType), nullable = false),
+      StructField("bounds", MapType(StringType, StringType), nullable = false)))
+    val rows = currentEntries.map { e =>
+      Row(e.path, e.kind, e.seq,
+        if (e.rows >= 0) java.lang.Long.valueOf(e.rows) else null,
+        e.partition,
+        e.stats.map { case (c, b) => c -> s"[${b.min}, ${b.max}]" })
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** The `snapshots` metadata table: retained versions with commit
+    * wall-clocks and the current marker — [[versions]] as a DataFrame.
+    */
+  def snapshotsMetadata(): DataFrame = {
+    import spark.implicits._
+    versions().map { case (v, ts) =>
+      (v, new java.sql.Timestamp(ts), v == _meta.currentVersion)
+    }.toDF("version", "committed_at", "is_current")
+  }
+
+  /** The `refs` metadata table: tags and WAP branches with their pinned
+    * version / staged sequence.
+    */
+  def refsMetadata(): DataFrame = {
+    import spark.implicits._
+    val tagRows = tags().toSeq.map { case (n, v) => (n, "tag", v) }
+    val branchRows = _meta.properties.collect {
+      case (k, v) if k.startsWith(ManagedTable.BranchPrefix) =>
+        (k.stripPrefix(ManagedTable.BranchPrefix), "branch", v.toLong)
+    }.toSeq
+    (tagRows ++ branchRows).toDF("name", "type", "version")
+  }
+
   /** Merge-on-read scan: one multi-path scan of every file group plus a
     * single anti-join against the upsert groups' (identifier, seq) pairs —
     * an upsert group at seq S hides rows of groups with seq < S (the

@@ -38,6 +38,51 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     assert((a & b).size < math.min(a.size, b.size) / 2)
   }
 
+  test("weightedSample: keep rate scales with weight; w=1 ≡ hashSample; clamps hold") {
+    import spark.implicits._
+    val weighted = docs.withColumn("w",
+      when(col("lang") === "en", 2.0).when(col("lang") === "de", 1.0).otherwise(0.0))
+    val kept = Sampling.weightedSample(weighted, "id", "w", baseBp = 1000, seed = "s")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // es has weight 0 -> nothing; en keeps ~2x de's rate
+    assert(!kept.contains("es"))
+    assert(kept("en").toDouble / kept("de") > 1.4, s"rates not weight-scaled: $kept")
+    // weight 1 everywhere reduces to hashSample at the same seed/rate
+    val w1 = Sampling.weightedSample(docs.withColumn("w", lit(1.0)), "id", "w", 1000, "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val hs = Sampling.hashSample(docs, "id", 1000, "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(w1 == hs)
+    // weight big enough saturates at keep-everything
+    val all = Sampling.weightedSample(docs.withColumn("w", lit(100.0)), "id", "w", 1000, "s")
+    assert(all.count() == docs.count())
+  }
+
+  test("upsampleByFactors: integer epochs exact, fractional epochs deterministic, zero drops") {
+    import spark.implicits._
+    val byLang = Sampling.upsampleByFactors(docs, "lang", "id",
+      Map("en" -> 2.0, "de" -> 1.5, "es" -> 0.0), seed = "up")
+    val counts = byLang.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") == base("en") * 2)                 // exact integer factor
+    assert(!counts.contains("es"))                         // factor 0 drops
+    val ratio = counts("de").toDouble / base("de")         // ~1.5 ± hash noise
+    assert(ratio > 1.3 && ratio < 1.7, s"de ratio $ratio")
+    // epoch indexes are 1..reps per key
+    val epochs = byLang.where(col("lang") === "en").groupBy("id")
+      .agg(collect_set("__epoch").as("e")).collect()
+    assert(epochs.forall(_.getSeq[Int](1).toSet == Set(1, 2)))
+    // determinism: same seed, same layout, any partitioning
+    val again = Sampling.upsampleByFactors(docs.repartition(17), "lang", "id",
+      Map("en" -> 2.0, "de" -> 1.5, "es" -> 0.0), seed = "up")
+      .select("id", "__epoch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val first = byLang.select("id", "__epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again == first)
+  }
+
   test("assignSplit partitions the input: every row exactly one label, stable per key") {
     val s = Sampling.assignSplit(docs, "id", Seq(("test", 1000), ("validation", 2000)), seed = "s")
     assert(s.count() == 2000)

@@ -1171,6 +1171,29 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(got2 == got)
   }
 
+  test("metadata tables: files / snapshots / refs answer from manifests only") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "md", schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "5"))
+    t.append(rows((1, "a", "c", 1L)))
+    t.merge(rows((2, "b", "u", 2L)))
+    t.tag("pin")
+    t.stageAppend(rows((3, "c", "c", 3L)), "wip")
+
+    val files = t.filesMetadata().collect()
+    assert(files.length == 2) // one data group, one upsert group (branch excluded)
+    assert(files.map(_.getString(1)).toSet == Set("data", "upsert"))
+    assert(files.forall(r => !r.isNullAt(3) && r.getLong(3) == 1L)) // row counts recorded
+    val snaps = t.snapshotsMetadata().collect()
+    assert(snaps.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    assert(snaps.count(_.getBoolean(2)) == 1)
+    val refs = t.refsMetadata().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(refs == Set(("pin", "tag", 2L), ("wip", "branch", 3L)))
+    t.abandonBranch("wip")
+    assert(t.refsMetadata().where(col("type") === "branch").count() == 0)
+  }
+
   test("int->long promotion during evolution keeps old data readable") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "promo",
