@@ -22,6 +22,11 @@ import org.apache.spark.sql.types.StringType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL identity for managed tables: SELECT * FROM graft.<table>
+    // (+ $files/$snapshots/$refs/$changes/$v<N> suffixes) against
+    // spark.graft.warehouse — see [[graft.plans.ResolveGraftTables]].
+    ext.injectResolutionRule(session => new graft.plans.ResolveGraftTables(session))
+
     ext.injectFunction((
       FunctionIdentifier("decimal_from_bytes"),
       DecimalFromBytes.info,

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SharedSpark
+import graft.tables.ManagedTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-first access to managed tables via the injected resolution rule:
+  * `SELECT * FROM graft.<table>` and the $-suffixed metadata/time-travel
+  * identifiers, with no view registration.
+  */
+class GraftSqlSpec extends AnyFunSuite with SharedSpark {
+
+  test("graft.<table> SQL resolution: current snapshot, time travel, metadata, changes") {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // conf-copied sibling session (see DecimalFromBytesSpec: while this
+      // exists it is the JVM default session for conf fallback)
+      val b = SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+      base.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
+      import s2.implicits._
+
+      val wh = java.nio.file.Files.createTempDirectory("graft-sql-wh").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+      val schema = StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("name", StringType),
+        StructField("__op", StringType),
+        StructField("__ts", LongType)))
+      val t = ManagedTable.create(s2, wh, "users", schema, Seq("id"))
+      t.append(Seq((1, "a", "c", 1L), (2, "b", "c", 1L)).toDF("id", "name", "__op", "__ts"))
+      val v1 = t.meta.currentVersion
+      t.merge(Seq((2, "b2", "u", 2L)).toDF("id", "name", "__op", "__ts"),
+        graft.cdc.CdcApply.UpsertConfig(dedupColumn = "__ts"))
+
+      // current snapshot, predicate pushdown and aggregation through SQL
+      val cur = s2.sql("SELECT name FROM graft.users WHERE id = 2").collect()
+      assert(cur.map(_.getString(0)).toSeq == Seq("b2"))
+      assert(s2.sql("SELECT count(*) AS n FROM graft.users").collect().head.getLong(0) == 2)
+      // joins between graft relations work like any other
+      val joined = s2.sql(
+        """SELECT a.id FROM graft.users a JOIN graft.users b ON a.id = b.id""").count()
+      assert(joined == 2)
+
+      // time travel by version identifier
+      s2.conf.set("spark.sql.ansi.enabled", s2.conf.get("spark.sql.ansi.enabled", "true"))
+      val old = s2.sql(s"SELECT name FROM graft.`users$$v$v1` WHERE id = 2").collect()
+      assert(old.map(_.getString(0)).toSeq == Seq("b"))
+
+      // metadata tables
+      val kinds = s2.sql("SELECT kind FROM graft.`users$files`").collect()
+        .map(_.getString(0)).toSet
+      assert(kinds == Set("data", "upsert"))
+      assert(s2.sql("SELECT count(*) FROM graft.`users$snapshots`")
+        .collect().head.getLong(0) >= 2)
+      t.tag("pin")
+      assert(s2.sql("SELECT name FROM graft.`users$refs` WHERE type = 'tag'")
+        .collect().map(_.getString(0)).toSeq == Seq("pin"))
+      // changelog: NET per-key changes over (0, current] with seq column —
+      // the upsert's winner supersedes the append's id=2 row in-range
+      val changes = s2.sql(
+        s"SELECT id, name, ${ManagedTable.SeqCol} AS seq FROM graft.`users$$changes`")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+      assert(changes == Set((1, "a", 1L), (2, "b2", 2L)), s"changelog: $changes")
+
+      // unknown table falls through to Spark's normal error
+      val err = intercept[Exception] { s2.sql("SELECT * FROM graft.nope").collect() }
+      assert(err.getMessage.toLowerCase.contains("table or view not found") ||
+        err.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
