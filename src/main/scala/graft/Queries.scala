@@ -1348,6 +1348,69 @@ object Queries {
       |SELECT doc_id, (doc_id IN (SELECT doc_id FROM hit)) AS contaminated
       |FROM tr""".stripMargin))
 
+  /** The triage view behind the decontamination flag: distinct shared
+    * 5-grams per contaminated train doc — what a curator reads to pick
+    * thresholds and eyeball worst offenders. Same broadcastable eval-gram
+    * join as pipeline_decontaminate, one extra distinct+count.
+    */
+  val pipelineContaminationReport = Q("pipeline_contamination_report",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.contaminationReport(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 5)
+    },
+    Some(s"""WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |    list_transform(tk, t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS th
+      |  FROM toks),
+      |g AS (SELECT doc_id, CASE WHEN len(th) < 5 THEN []
+      |    ELSE [${duckCombine(5)} for i in range(1, len(th)-3)] END AS grams
+      |  FROM h),
+      |ev AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 97 = 0),
+      |tr AS (SELECT DISTINCT doc_id, unnest(grams) AS gr FROM g WHERE doc_id % 97 <> 0)
+      |SELECT tr.doc_id, count(*) AS shared_ngrams
+      |FROM tr JOIN ev USING (gr) GROUP BY tr.doc_id""".stripMargin))
+
+  /** Vocabulary coverage: per-doc out-of-vocabulary token fraction
+    * against the corpus' own top-200 vocabulary (text_vocab's cut) — the
+    * tokenizer-fit signal a data pipeline reports per source/shard. The
+    * vocabulary is vocabulary-scale and broadcasts; the corpus-side work
+    * is the tokenize-explode it already shares with the tf-idf family.
+    */
+  val textOovRate = Q("text_oov_rate",
+    (s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      val vocab = terms.groupBy("term")
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 5)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("tf").desc, col("term").asc)))
+        .filter(col("rk") <= 200)
+        .select(col("term"), lit(true).as("__in_vocab"))
+      terms.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+      |c AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM e GROUP BY term),
+      |v AS (SELECT term FROM (SELECT term, row_number() OVER
+      |    (ORDER BY tf DESC, term ASC) AS rk FROM c WHERE df >= 5) WHERE rk <= 200)
+      |SELECT e.doc_id, count(*) AS n_tokens,
+      |  sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+      |  round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS oov_rate
+      |FROM e LEFT JOIN v ON e.term = v.term GROUP BY e.doc_id""".stripMargin))
+
   // ----------------------------------------------------------- dedup family
 
   val dedupExact = Q("dedup_exact",
@@ -1556,6 +1619,23 @@ object Queries {
       .componentsByStarContraction(minhashPairs(s, dir), "id_a", "id_b")
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id")),
     dedupClusters.oracle)
+
+  /** Dedup diagnostics: near-dup cluster SIZE distribution (how many
+    * clusters of 2, of 3, …) — the shape every dedup report leads with,
+    * because it distinguishes a pairwise-noise corpus from template
+    * explosion. Two metadata-scale aggregations over the cluster
+    * assignment; the corpus itself is never touched.
+    */
+  val dedupClusterSizes = Q("dedup_cluster_sizes",
+    (s, dir) => ConnectedComponents
+      .components(minhashPairs(s, dir), "id_a", "id_b")
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size")),
+    Some(s"""WITH clusters AS (SELECT * FROM (${dedupClusters.oracle.get})),
+      |sizes AS (SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id)
+      |SELECT sz AS cluster_size, count(*) AS n_clusters FROM sizes
+      |GROUP BY sz ORDER BY sz""".stripMargin))
 
   /** Apply the near-dup clustering to the corpus: keep each cluster's
     * canonical document (the minimum doc_id — exactly the cluster label)
@@ -2474,10 +2554,11 @@ object Queries {
     sampleHash, sampleSplit, sampleLeakageSafeSplit, sampleTokenBudget,
     sampleStratified, sampleGlobalSeq, sampleMixture, sampleWeighted, sampleUpsampled,
     pipelineCuration,
-    pipelinePacking, pipelineDecontaminate, pipelineBalancedSample, pipelineSourceCap,
+    pipelinePacking, pipelineDecontaminate, pipelineContaminationReport,
+    pipelineBalancedSample, pipelineSourceCap, textOovRate,
     dedupExact, dedupIncremental, dedupIncrementalBloom, dedupMinhash, dedupMinhashPairs,
     dedupMinhashIncremental,
-    dedupClusters, dedupClustersStar, dedupApply,
+    dedupClusters, dedupClustersStar, dedupClusterSizes, dedupApply,
     dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans, dedupSemantic,
     knnBrute, knnLsh, knnIvf, knnJoinGraph, embeddingQuantize, embeddingPqCode,
     qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,

@@ -35,6 +35,23 @@ object Decontaminate {
         .withColumn("__hit", lit(true)), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__hit"), lit(false)).as("contaminated"))
 
+  /** Per-doc contamination REPORT: how many distinct n-grams each train
+    * doc shares with the eval set — the triage view behind the boolean
+    * flag (threshold choices, worst-offender review). Same exploded-gram
+    * equi-join as the flags; one extra distinct + count, still never
+    * all-pairs. Only contaminated docs appear.
+    */
+  def contaminationReport(train: DataFrame, eval: DataFrame, idCol: String,
+                          textCol: String, n: Int = 5): DataFrame = {
+    val evalGrams = gramHashes(eval, idCol, textCol, n)
+      .select(col("__gram")).distinct()
+    gramHashes(train, idCol, textCol, n)
+      .select(col(idCol), col("__gram")).distinct()
+      .join(evalGrams, "__gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
   /** Keep only the rows of `train` that share no n-gram with `eval`. */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, n: Int = 5): DataFrame =
