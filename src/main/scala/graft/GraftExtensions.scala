@@ -51,9 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           "graft_normalize(string, form) takes 2 arguments (form: 'NFC'|'NFD'|'NFKC'|'NFKD'|'STRIP_ACCENTS')")
         val form = args(1) match {
-          case Literal(v, StringType) => v.toString
+          case Literal(v, StringType) if v != null => v.toString
           case other => throw new IllegalArgumentException(
-            s"form must be a string literal, got $other")
+            s"form must be a non-null string literal, got $other")
         }
         graft.functions.TextNormalize(args.head, form)
       }))

@@ -49,7 +49,12 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         case Some("snapshots") => Some(t.snapshotsMetadata())
         case Some("refs")      => Some(t.refsMetadata())
         case Some("changes")   => Some(t.readChangesBetween(0L, t.meta.currentVersion))
-        case Some(v) if v.startsWith("v") && v.drop(1).forall(_.isDigit) =>
+        case Some(v) if v.length > 1 && v.length <= 18 &&
+            v.startsWith("v") && v.drop(1).forall(_.isDigit) =>
+          // non-empty + length-bounded digits keep toLong total; a
+          // RETAINED-version miss still raises readVersion's informative
+          // error, while malformed suffixes fall through to Spark's
+          // normal unresolved-relation error
           Some(t.readVersion(v.drop(1).toLong))
         case _ => None
       }

@@ -326,13 +326,35 @@ final class ManagedTable private (
     val staged = Manifest.read(fs, branchManifestPath(branch)).getOrElse(
       throw new IllegalStateException(
         s"branch '$branch' of ${_meta.name} has no manifest — corrupted branch"))
+    val publishSeq = _meta.currentVersion + 1
+    // Per-ROW seqs inside the staged files carry the stage-time sequence.
+    // If no commit intervened since staging, that IS the publish sequence
+    // and the groups adopt in place — the metadata-only fast path. If
+    // commits DID intervene, adopting would emit changelog rows whose seq
+    // collides with another commit's; re-stamp the rows into fresh groups
+    // at the publish sequence (costs one write of the staged batch, keeps
+    // the "seq == commit version" invariant exact in all cases).
+    val adoptInPlace = staged.forall(_.seq == publishSeq)
+    val published =
+      if (adoptInPlace) staged
+      else {
+        val (scanned, project) = scanGroups(
+          staged.map(e => new Path(tableDir, e.path).toString))
+        // same shape a fresh append writes: no seq/tombstone columns, the
+        // writer stamps publishSeq (staged files already carry derived
+        // partition columns, so no withPartitionCols here)
+        val rows = project(scanned).drop(SeqCol, TombstoneCol)
+        if (isPartitioned)
+          splitWriteGroups(rows, Manifest.Data, _ => publishSeq, publishSeq)
+        else writeGroupAuto(sortForWrite(rows), Manifest.Data, publishSeq).toSeq
+      }
     val prevMeta = _meta
     _meta = _meta.copy(properties = _meta.properties - key)
-    try {
-      val publishSeq = _meta.currentVersion + 1
-      commitManifest(currentEntries ++ staged.map(_.copy(seq = publishSeq)))
-    } catch { case t: Throwable => _meta = prevMeta; throw t }
+    try commitManifest(currentEntries ++ published)
+    catch { case t: Throwable => _meta = prevMeta; throw t }
     fs.delete(branchManifestPath(branch), false)
+    // re-stamped path: the original staged groups are no longer referenced
+    // anywhere; the commit above already swept them from files/
   }
 
   /** WAP step 3b: drop the branch; its staged groups become GC-eligible
@@ -1287,12 +1309,17 @@ final class ManagedTable private (
         fs.delete(s.getPath, true)
     }
     // branch manifests whose property commit never landed (crash between
-    // manifest write and property set): the branch was never created
+    // manifest write and property set): the branch was never created.
+    // Lease-guarded like commit claims — a LIVE writer may be in exactly
+    // that window right now (this sweep runs on every load, including
+    // pure readers), so only debris older than the grace period goes.
+    val graceMs = _meta.properties.getOrElse("commit.lock-grace-ms", "300000").toLong
     if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).foreach { s =>
       val n = s.getPath.getName
       if (n.startsWith("branch=") && n.endsWith(".json")) {
         val branch = n.stripPrefix("branch=").stripSuffix(".json")
-        if (!_meta.properties.contains(ManagedTable.BranchPrefix + branch))
+        if (!_meta.properties.contains(ManagedTable.BranchPrefix + branch) &&
+            System.currentTimeMillis() - s.getModificationTime > graceMs)
           fs.delete(s.getPath, false)
       }
     }
@@ -1336,11 +1363,10 @@ final class ManagedTable private (
     */
   def renameColumn(oldName: String, newName: String): Unit = {
     require(_meta.schema.fieldNames.contains(oldName), s"no column '$oldName'")
-    require(!_meta.schema.fieldNames.contains(newName), s"column '$newName' already exists")
     require(!_meta.identifierFields.contains(oldName), "cannot rename an identifier field")
     require(!partitionFields.map(_.sourceColumn).contains(oldName),
       "cannot rename a partition source column")
-    require(newName.nonEmpty && !newName.startsWith("__"), s"invalid column name '$newName'")
+    requireFreshName(newName)
     requireCurrentPointer()
     val lineage = renameAliases.getOrElse(oldName, Seq.empty) :+ oldName
     val carried = Map(ManagedTable.RenamedPrefix + newName -> lineage.mkString(",")) ++
@@ -1369,12 +1395,16 @@ final class ManagedTable private (
       "cannot drop a partition source column")
     require(_meta.schema.fields.length > 1, "cannot drop the last column")
     requireCurrentPointer()
+    // the column's whole rename lineage becomes dropped too: pre-rename
+    // files hold its values under the prior names, and re-adding ANY of
+    // them would resurface those values exactly like reusing `name`
+    val dropped = (renameAliases.getOrElse(name, Seq.empty) :+ name)
+      .map(n => ManagedTable.DroppedPrefix + n -> _meta.currentVersion.toString)
     _meta = _meta.copy(
       schema = StructType(_meta.schema.fields.filterNot(_.name == name)),
       properties = _meta.properties -
         (ManagedTable.RenamedPrefix + name) -
-        (ManagedTable.DefaultPrefix + name) +
-        (ManagedTable.DroppedPrefix + name -> _meta.currentVersion.toString))
+        (ManagedTable.DefaultPrefix + name) ++ dropped)
     TableMeta.write(fs, tableDir, _meta)
   }
 
@@ -1384,19 +1414,31 @@ final class ManagedTable private (
     * written after keep their stored values, including intentional nulls.
     * Atomic types only (the literal round-trips through a string cast).
     */
-  def addColumn(field: StructField, default: Option[String] = None): Unit = {
-    require(!_meta.schema.fieldNames.contains(field.name),
-      s"column '${field.name}' already exists")
-    require(!field.name.startsWith("__"), s"invalid column name '${field.name}'")
-    require(!renameAliases.values.flatten.toSet.contains(field.name),
-      s"column '${field.name}' is prior-name lineage of a renamed column; " +
+  /** Shared new-name guard for [[addColumn]]/[[renameColumn]]: the name
+    * must be genuinely fresh — not a live logical column, not a DERIVED
+    * partition column (physicalSchema would hold two fields and every
+    * read would fail on the duplicate), not prior-name lineage of a
+    * renamed column (old files' values for the lineage would be read into
+    * the new column), and not a previously-dropped name unless the table
+    * explicitly opted into stale-value resurfacing.
+    */
+  private def requireFreshName(name: String): Unit = {
+    require(name.nonEmpty && !name.startsWith("__"), s"invalid column name '$name'")
+    require(!physicalSchema.fieldNames.contains(name),
+      s"column '$name' already exists (or is a derived partition column)")
+    require(!renameAliases.values.flatten.toSet.contains(name),
+      s"column '$name' is prior-name lineage of a renamed column; " +
         "reusing it would shadow the lineage in old files")
-    if (_meta.properties.contains(ManagedTable.DroppedPrefix + field.name) &&
+    if (_meta.properties.contains(ManagedTable.DroppedPrefix + name) &&
         !_meta.properties.get("schema.allow-reused-names").contains("true"))
       throw new IllegalArgumentException(
-        s"column '${field.name}' was previously dropped; pre-drop files still hold its " +
+        s"column '$name' was previously dropped; pre-drop files still hold its " +
           "values, which would resurface under by-name projection. Set table property " +
           "schema.allow-reused-names=true to accept that, or pick a fresh name.")
+  }
+
+  def addColumn(field: StructField, default: Option[String] = None): Unit = {
+    requireFreshName(field.name)
     default.foreach { _ =>
       val atomic = field.dataType match {
         case _: ArrayType | _: MapType | _: StructType | _: BinaryType => false
@@ -1556,7 +1598,7 @@ final class ManagedTable private (
         .partitionBy("__zb").format(format).save(staging.toString)
       val statCols = (cols ++ _meta.identifierFields).distinct
         .flatMap(c => statsTag(_meta.schema(c).dataType).map(c -> _))
-      val aggs = statCols.flatMap { case (c, _) =>
+      val aggs = count(lit(1)).as("__n") +: statCols.flatMap { case (c, _) =>
         Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) }
       val boundRows = spark.read.option("basePath", staging.toString).format(format)
         .load(staging.toString)
@@ -1573,7 +1615,8 @@ final class ManagedTable private (
         fs.mkdirs(dst.getParent)
         if (!fs.rename(new Path(staging, s"__zb=$bucket"), dst))
           throw new java.io.IOException(s"failed to stage clustered group $rel")
-        ManifestEntry(rel, Manifest.Data, seq, stats)
+        ManifestEntry(rel, Manifest.Data, seq, stats,
+          rows = row.getAs[Long]("__n"))
       }
       commitManifest(entries)
     } finally fs.delete(staging, true)

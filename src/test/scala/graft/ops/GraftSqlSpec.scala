@@ -50,7 +50,6 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
       assert(joined == 2)
 
       // time travel by version identifier
-      s2.conf.set("spark.sql.ansi.enabled", s2.conf.get("spark.sql.ansi.enabled", "true"))
       val old = s2.sql(s"SELECT name FROM graft.`users$$v$v1` WHERE id = 2").collect()
       assert(old.map(_.getString(0)).toSeq == Seq("b"))
 

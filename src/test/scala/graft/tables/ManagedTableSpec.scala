@@ -1018,9 +1018,14 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(t.meta.currentVersion == vBefore + 1)
     assert(t.read().count() == 4)
     assert(t.branches().isEmpty)
-    // changelog shows the published rows at the publish version
+    // changelog shows the published rows at the publish version — and the
+    // PER-ROW seq matches the commit version even though a commit
+    // intervened between stage and publish (the re-stamp path)
     val changes = t.readChangesBetween(vBefore, t.meta.currentVersion)
     assert(changes.select("id").collect().map(_.getInt(0)).toSet == Set(2, 3))
+    assert(changes.select(ManagedTable.SeqCol).collect()
+      .forall(_.getLong(0) == t.meta.currentVersion),
+      "published rows must carry the publish version as their per-row seq")
 
     // abandon: staged rows never land and their groups are swept
     t.stageAppend(rows((9, "z", "c", 9L)), "bad")
@@ -1147,6 +1152,23 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     // ...and then the stale value DOES resurface — exactly the documented hazard
     assert(t.read().select("name").collect().head.getString(0) == "secret")
     assertThrows[IllegalArgumentException] { t.dropColumn("id") }
+
+    // dropping a RENAMED column marks its whole lineage dropped: re-adding
+    // a pre-rename name is refused too (its values live in old files)
+    val t2 = ManagedTable.create(spark, tmpWarehouse(), "dc2", schema, Seq("id"))
+    t2.append(rows((1, "sec2", "c", 1L)))
+    t2.renameColumn("name", "title")
+    t2.dropColumn("title")
+    assertThrows[IllegalArgumentException] { t2.addColumn(StructField("name", StringType)) }
+    assertThrows[IllegalArgumentException] { t2.addColumn(StructField("title", StringType)) }
+    // renaming ONTO lineage or a derived partition column is refused
+    val pschema = StructType(schema.fields :+ StructField("ts", LongType))
+    val t3 = ManagedTable.create(spark, tmpWarehouse(), "dc3", pschema, Seq("id"),
+      partitionBy = Seq("day(ts)"))
+    assertThrows[IllegalArgumentException] { t3.renameColumn("name", "ts_day") }
+    assertThrows[IllegalArgumentException] { t3.addColumn(StructField("ts_day", StringType)) }
+    t3.renameColumn("name", "label")
+    assertThrows[IllegalArgumentException] { t3.renameColumn("__op", "name") }
   }
 
   test("addColumn with initial default: pre-add rows read it, post-add nulls stay null") {
