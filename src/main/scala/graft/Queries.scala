@@ -2466,8 +2466,13 @@ object Queries {
         col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"))
       val b = c.select(col("c_custkey").as("b_custkey"), col("c_name").as("b_name"),
         col("c_nationkey").as("b_nat"), col("c_mktsegment").as("b_seg"))
+      // length-difference prefilter: levenshtein >= |len(a) - len(b)|, so
+      // pairs differing by >2 chars can't pass the threshold — the cheap
+      // comparison runs inside the join before the O(len²) edit distance,
+      // cutting the expensive compares without changing a single result
       a.join(b, col("nat") === col("b_nat") && col("seg") === col("b_seg") &&
-          col("a_custkey") < col("b_custkey"))
+          col("a_custkey") < col("b_custkey") &&
+          abs(length(col("a_name")) - length(col("b_name"))) <= 2)
         .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
         .filter(col("dist") <= 2)
         .select(col("a_custkey"), col("b_custkey"), col("dist").cast("long").as("dist"))

@@ -236,4 +236,19 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     // explicit partition counts spread the seam (SamplingSpec asserts 7);
     // with the default count AQE may legitimately coalesce tiny inputs
   }
+
+  test("text_oov_rate: the vocabulary broadcasts; the corpus side never cartesians") {
+    val p = plan(Queries.textOovRate)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"vocab not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"corpus-side shuffle/cartesian crept into the vocab join:\n$p")
+  }
+
+  test("embedding_pq_code / sampling maps: single-stage map-only plans, no exchange") {
+    for (q <- Seq(Queries.embeddingPqCode, Queries.sampleWeighted, Queries.textNormalize)) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"${q.name} shuffled a map-only transform:\n$p")
+    }
+  }
 }
