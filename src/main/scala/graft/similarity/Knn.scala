@@ -138,6 +138,54 @@ object Knn {
     rank(q.join(c, "list_id").where(col("query_id") =!= col("neighbor_id")), k)
   }
 
+  /** O(batch) kNN-graph MAINTENANCE: fold a batch of new vectors into an
+    * existing [[knnJoin]] graph without rescanning corpus × corpus — the
+    * similarity-family analogue of the table layer's incremental
+    * aggregates and the MinHash index's incremental probe. Two
+    * batch-proportional blocked joins:
+    *
+    *  1. the new vectors query the combined corpus for their own top-k;
+    *  2. existing nodes gain candidates FROM THE BATCH ONLY (the reverse
+    *     blocked join), merged with their current top-k and re-cut at k —
+    *     sound because a node's updated top-k can only contain its old
+    *     top-k or a new arrival; pre-existing non-neighbors can never
+    *     re-enter.
+    *
+    * At full probe the result is EXACTLY [[knnJoin]] over corpus ∪ batch
+    * (the differential spec); at partial probe it inherits the same
+    * nprobe recall contract. Ids must be disjoint between corpus and
+    * batch (same contract as any append).
+    */
+  def knnJoinIncremental(graph: DataFrame, corpus: DataFrame, batch: DataFrame,
+                         centroids: Seq[Array[Float]], idCol: String, vecCol: String,
+                         k: Int, nprobe: Int): DataFrame = {
+    require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.length)
+    def assigned(df: DataFrame) = df.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("cn"),
+      element_at(nearestLists(col(vecCol), centroids, 1), 1).as("list_id"))
+    def probing(df: DataFrame) = df.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), norm(col(vecCol)).as("qn"),
+      explode(nearestLists(col(vecCol), centroids, nprobe)).as("list_id"))
+    // 1. new nodes vs (corpus ∪ batch)
+    val allAssigned = assigned(corpus.select(idCol, vecCol)
+      .unionByName(batch.select(idCol, vecCol)))
+    val newEdges = rank(probing(batch).join(allAssigned, "list_id")
+      .where(col("query_id") =!= col("neighbor_id")), k)
+    // 2. existing nodes vs batch only, merged with their current edges
+    val candidates = probing(corpus).join(assigned(batch), "list_id")
+      .withColumn("cosine",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .select("query_id", "neighbor_id", "cosine")
+    val merged = graph.select("query_id", "neighbor_id", "cosine")
+      .unionByName(candidates)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val updated = merged.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+    updated.unionByName(newEdges)
+  }
+
   /** The `n` nearest centroid indices (0-based) of `vec` by squared L2 —
     * the IVF list-probe rule, shared by assignment and query sides.
     */

@@ -47,6 +47,21 @@ class IvfKnnSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("list_id"), s"join not keyed on the IVF list id:\n$plan")
   }
 
+  test("knnJoinIncremental: folding a batch reproduces the full-recompute graph exactly") {
+    val cs = centroids(8)
+    val corpus = emb.where(col("vec_id") < 80)
+    val batch = emb.where(col("vec_id") >= 80 && col("vec_id") < 100)
+    val graph = Knn.knnJoin(corpus, cs, "vec_id", "embedding", k = 3, nprobe = 8)
+    val incr = Knn.knnJoinIncremental(graph, corpus, batch, cs,
+      "vec_id", "embedding", k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = Knn.knnJoin(emb.where(col("vec_id") < 100), cs,
+      "vec_id", "embedding", k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(incr == full,
+      s"incremental != recompute: only-incr=${(incr -- full).take(5)} only-full=${(full -- incr).take(5)}")
+  }
+
   test("knnJoin partial probe: recall degrades gracefully, pair scan shrinks") {
     val cs = centroids(8)
     val exact = Knn.knnJoin(emb, cs, "vec_id", "embedding", k = 3, nprobe = 8)
