@@ -47,9 +47,24 @@ final class MinHashIndex private (val table: ManagedTable) {
     * newly indexed documents.
     */
   def addBatch(docs: DataFrame, textCol: String = "text",
-               idCol: String = "doc_id"): Long = {
-    val sigs = MinHashLSH.signatures(docs, textCol, idCol, k, shingleSize)
+               idCol: String = "doc_id"): Long =
+    addBatchSigned(signBatch(docs, textCol, idCol))
+
+  /** Sign a batch ONCE for both [[candidatePairsSigned]] and
+    * [[addBatchSigned]] — the probe-then-add ingest gate should not pay
+    * the shingle+md5 pipeline twice. The repartition is the same exchange
+    * barrier the one-shot path uses: without it the band explode inlines
+    * the whole signature pipeline into every band column (bands× the
+    * signing cost per document).
+    */
+  def signBatch(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame =
+    MinHashLSH.signatures(docs, textCol, idCol, k, shingleSize)
       .withColumnRenamed(idCol, "doc_id")
+      .repartition(col("doc_id"))
+
+  /** Append already-signed rows ([[signBatch]] output) for unseen ids. */
+  def addBatchSigned(sigs: DataFrame): Long = {
     val fresh = sigs.join(table.read().select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(eager = true) // sever the self-reference before the append
     table.append(fresh)
@@ -64,9 +79,14 @@ final class MinHashIndex private (val table: ManagedTable) {
     */
   def candidatePairs(newDocs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id",
-                     maxBucketSize: Option[Int] = None): DataFrame = {
-    val newSigs = MinHashLSH.signatures(newDocs, textCol, idCol, k, shingleSize)
-      .withColumnRenamed(idCol, "doc_id")
+                     maxBucketSize: Option[Int] = None): DataFrame =
+    candidatePairsSigned(signBatch(newDocs, textCol, idCol), maxBucketSize)
+
+  /** [[candidatePairs]] over pre-signed rows ([[signBatch]]) — the ingest
+    * gate signs once and shares the signatures with [[addBatchSigned]].
+    */
+  def candidatePairsSigned(newSigs: DataFrame,
+                           maxBucketSize: Option[Int] = None): DataFrame = {
     val probe = MinHashLSH.bandHashes(newSigs, "doc_id", k, bands)
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("__probe_id"))
     val corpusBands = MinHashLSH.bandHashes(table.read(), "doc_id", k, bands)

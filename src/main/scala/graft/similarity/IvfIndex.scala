@@ -106,23 +106,33 @@ object IvfIndex {
     new Path(warehouse, s"${name}_vectors$suffix")
 
   /** Repair any crash window of the staged rebuild swap (see [[build]]):
-    *  - live missing, aside + staged present → the crash hit between the
-    *    two renames; the staged table is complete (renames only start
-    *    after the build), so finish the swap.
+    *  - live missing, COMPLETE staged present → the crash hit between the
+    *    two renames; finish the swap. Completeness is the re-pointed
+    *    meta.name marker build() writes strictly after the staging append
+    *    — a crash MID-STAGING leaves the marker un-pointed and the
+    *    half-built table is never promoted (it is dropped instead).
     *  - live missing, only aside present → roll the old index back.
-    *  - live present → any leftover aside/staged sibling is debris from a
-    *    completed or abandoned rebuild; drop it.
+    *  - live present → leftover aside/staged siblings are debris from a
+    *    completed or abandoned rebuild.
+    *
+    * Debris deletion runs only with `sweepDebris = true` — build(), the
+    * single writer, passes it; [[load]] does not, so a READER loading the
+    * index mid-rebuild can never delete the staging directory out from
+    * under the writer's running append.
     */
-  private def recoverVectorsSwap(spark: SparkSession, warehouse: String, name: String): Unit = {
+  private def recoverVectorsSwap(spark: SparkSession, warehouse: String, name: String,
+                                 sweepDebris: Boolean): Unit = {
     val fs = graft.tables.TableMeta.fs(spark.sparkContext.hadoopConfiguration, warehouse)
     val live = vectorsPath(warehouse, name)
     val aside = vectorsPath(warehouse, name, "__old")
     val staged = vectorsPath(warehouse, name, "__new")
+    def stagedComplete: Boolean =
+      graft.tables.TableMeta.read(fs, staged).exists(_.name == s"${name}_vectors")
     if (!fs.exists(live)) {
-      if (fs.exists(staged)) fs.rename(staged, live)
+      if (fs.exists(staged) && stagedComplete) fs.rename(staged, live)
       else if (fs.exists(aside)) fs.rename(aside, live)
     }
-    if (fs.exists(live)) { // re-check: the renames above may have run
+    if (sweepDebris && fs.exists(live)) { // re-check: the renames may have run
       fs.delete(aside, true)
       fs.delete(staged, true)
     }
@@ -140,7 +150,7 @@ object IvfIndex {
   def build(spark: SparkSession, warehouse: String, name: String,
             corpus: DataFrame, idCol: String, vecCol: String,
             nlist: Int, iters: Int = 5): IvfIndex = {
-    recoverVectorsSwap(spark, warehouse, name) // sweep prior debris first
+    recoverVectorsSwap(spark, warehouse, name, sweepDebris = true) // single writer
     val cents = KMeans.train(corpus, idCol, vecCol, nlist, iters)
     val dim = cents.headOption.map(_.length).getOrElse(0)
     val centRows = cents.zipWithIndex.map { case (c, i) =>
@@ -190,7 +200,7 @@ object IvfIndex {
   }
 
   def load(spark: SparkSession, warehouse: String, name: String): Option[IvfIndex] = {
-    recoverVectorsSwap(spark, warehouse, name)
+    recoverVectorsSwap(spark, warehouse, name, sweepDebris = false)
     ManagedTable.load(spark, warehouse, s"${name}_centroids")
       .flatMap(_ => ManagedTable.load(spark, warehouse, s"${name}_vectors"))
       .map(_ => new IvfIndex(spark, warehouse, name))

@@ -89,9 +89,20 @@ object CdcPipeline {
     // → merge Catalyst pipeline as a local relation — identical
     // semantics, a fraction of the job round-trips. 0 disables.
     if (cfg.smallBatchMaxRows > 0) {
-      val probe = batch.limit(cfg.smallBatchMaxRows + 1).collect()
-      if (probe.length <= cfg.smallBatchMaxRows)
-        return processBatchCollected(spark, probe, cfg, batchId)
+      // Two cheap jobs instead of one unbounded collect: a batch can be
+      // few-row but huge-payload (full-row JSON images), and collecting
+      // it would materialize gigabytes on the driver. The aggregate probe
+      // returns one metadata row (count + payload bytes); only a batch
+      // inside BOTH bounds is then collected. (The primary streaming path
+      // knows sizes from the checkpoint log and skips both jobs.)
+      val limited = batch.limit(cfg.smallBatchMaxRows + 1)
+      val m = limited.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(length(col("value")) + length(coalesce(col("key"), lit("")))),
+          lit(0L)).as("bytes")).collect().head
+      if (m.getLong(0) <= cfg.smallBatchMaxRows &&
+          m.getLong(1) <= cfg.smallBatchMaxBytes)
+        return processBatchCollected(spark, limited.collect(), cfg, batchId)
     }
     batch.persist()
     try {
@@ -431,8 +442,11 @@ object CdcPipeline {
         // A small batch's files are known from the source's checkpoint log
         // before any job runs — read them driver-side and skip even the
         // probe job; anything unexpected falls back to the general path.
+        // BOTH knobs gate the driver-side path: smallBatchMaxRows = 0 must
+        // disable driver-side processing entirely (the documented escape
+        // hatch to the distributed pipeline), not just the probe job
         val driverRows =
-          if (cfg.smallBatchMaxBytes > 0)
+          if (cfg.smallBatchMaxBytes > 0 && cfg.smallBatchMaxRows > 0)
             EnvelopeLog.readBatch(spark, checkpointDir, batchId, cfg.smallBatchMaxBytes)
           else EnvelopeLog.Unknown
         driverRows match {

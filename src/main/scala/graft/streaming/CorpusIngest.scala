@@ -117,7 +117,10 @@ object CorpusIngest {
         val idx = graft.dedup.MinHashIndex.load(spk, cfg.warehouse, idxName)
           .getOrElse(graft.dedup.MinHashIndex.create(spk, cfg.warehouse, idxName,
             cfg.nearDupK, cfg.nearDupBands, cfg.nearDupShingleSize))
-        val pairs = idx.candidatePairs(batch, "text", "doc_id")
+        // sign ONCE; the same signatures feed the probe and the index add
+        val sigs = idx.signBatch(batch, "text", "doc_id")
+          .localCheckpoint(eager = true)
+        val pairs = idx.candidatePairsSigned(sigs)
         // drop the batch side of a batch-vs-indexed pair (the corpus copy
         // wins); for an in-batch pair keep the smaller doc_id — greedy,
         // deterministic, replay-stable
@@ -139,7 +142,8 @@ object CorpusIngest {
           .localCheckpoint(eager = true) // one computation feeds both commits
         if (!alreadyLanded)
           table.append(survivors, Map(BatchIdProp -> batchId.toString))
-        idx.addBatch(survivors, "text", "doc_id")
+        idx.addBatchSigned(
+          sigs.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"))
     }
   }
 

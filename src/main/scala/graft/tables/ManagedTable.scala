@@ -245,7 +245,7 @@ final class ManagedTable private (
     require(_meta.properties.contains(key), s"no tag '$name' on ${_meta.name}")
     requireCurrentPointer()
     _meta = _meta.copy(properties = _meta.properties - key)
-    TableMeta.write(fs, tableDir, _meta)
+    writeMeta()
   }
 
   // ------------------------------------------------------- WAP branches
@@ -365,7 +365,7 @@ final class ManagedTable private (
     require(_meta.properties.contains(key), s"no branch '$branch' on ${_meta.name}")
     requireCurrentPointer()
     _meta = _meta.copy(properties = _meta.properties - key)
-    TableMeta.write(fs, tableDir, _meta)
+    writeMeta()
     fs.delete(branchManifestPath(branch), false)
   }
 
@@ -1097,7 +1097,25 @@ final class ManagedTable private (
         throw new java.util.ConcurrentModificationException(
           s"table ${_meta.name}: version moved ${_meta.currentVersion} -> " +
             s"${onDisk.currentVersion} since this handle loaded; reload and retry")
+      // metadata-only commits (tags/properties/evolution) bump metaGen
+      // without moving the version — a stale handle would otherwise write
+      // its cached pre-commit meta over them (and the GC would then sweep
+      // a tag-pinned snapshot it no longer sees)
+      if (onDisk.metaGen != _meta.metaGen)
+        throw new java.util.ConcurrentModificationException(
+          s"table ${_meta.name}: metadata generation moved ${_meta.metaGen} -> " +
+            s"${onDisk.metaGen} since this handle loaded (concurrent tag/" +
+            "properties/schema commit); reload and retry")
     }
+
+  /** Every handle meta write goes through here: bump the metadata
+    * generation so OTHER handles' [[requireCurrentPointer]] detects the
+    * commit even when `currentVersion` did not move.
+    */
+  private def writeMeta(): Unit = {
+    _meta = _meta.copy(metaGen = _meta.metaGen + 1)
+    TableMeta.write(fs, tableDir, _meta)
+  }
 
   private def lockPath(v: Long) = new Path(manifestsDir, s"v=$v.lock")
 
@@ -1116,7 +1134,16 @@ final class ManagedTable private (
     * retaken. A commit that fails after claiming releases its claim so
     * fast-failing writers don't hold the lease.
     */
-  private def claimVersion(next: Long): Unit = {
+  /** The claim file carries a FENCE TOKEN (one UUID per commit attempt):
+    * a lease-breaking writer retakes the claim with ITS token, and the
+    * original claimant re-validates the token before every destructive
+    * step — a live-but-slow writer that resumes after its lease expired
+    * aborts instead of overwriting the lease-breaker's acknowledged
+    * commit. Returns the token this commit attempt holds.
+    */
+  private def claimVersion(next: Long): String = {
+    val token = java.util.UUID.randomUUID().toString
+    val bytes = token.getBytes("UTF-8")
     // Hadoop's LOCAL filesystems implement create(overwrite=false) as an
     // exists-check-then-create — not atomic, so two racers can both
     // "succeed". Use the POSIX O_CREAT|O_EXCL primitive there; on real
@@ -1124,15 +1151,20 @@ final class ManagedTable private (
     def tryCreate(): Boolean = fs match {
       case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
         try {
-          java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(lockPath(next).toUri.getPath)); true
+          val p = java.nio.file.Paths.get(lockPath(next).toUri.getPath)
+          java.nio.file.Files.createFile(p)
+          java.nio.file.Files.write(p, bytes)
+          true
         } catch { case _: java.io.IOException => false }
       case _ =>
-        try { fs.create(lockPath(next), false).close(); true }
-        catch { case _: java.io.IOException => false }
+        try {
+          val out = fs.create(lockPath(next), false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
     }
     fs.mkdirs(manifestsDir)
-    if (tryCreate()) return
+    if (tryCreate()) return token
     val onDisk = TableMeta.read(fs, tableDir).map(_.currentVersion)
       .getOrElse(_meta.currentVersion)
     if (onDisk != _meta.currentVersion)
@@ -1153,38 +1185,69 @@ final class ManagedTable private (
           s"(age ${ageMs}ms < grace ${graceMs}ms); reload and retry")
     // lease expired with the pointer un-flipped: a crashed commit — roll
     // back its leftovers (never committed: the pointer is the commit
-    // point) and retake the claim
+    // point) and retake the claim under OUR token, fencing the original
+    // claimant out if it was merely slow rather than dead
     fs.delete(manifestPath(next), false)
     fs.delete(lockPath(next), false)
     if (!tryCreate())
       throw new java.util.ConcurrentModificationException(
         s"table ${_meta.name}: commit claim for version $next retaken by another writer; " +
           "reload and retry")
+    token
   }
+
+  /** Does the claim for `v` still carry OUR fence token? */
+  private def claimHeld(v: Long, token: String): Boolean =
+    try {
+      val in = fs.open(lockPath(v))
+      val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      content == token
+    } catch { case _: java.io.IOException => false }
+
+  private def requireClaim(v: Long, token: String): Unit =
+    if (!claimHeld(v, token))
+      throw new java.util.ConcurrentModificationException(
+        s"table ${_meta.name}: commit claim for version $v was fenced " +
+          "(lease expired and another writer took over); reload and retry")
 
   private def commitManifest(entries: Seq[ManifestEntry]): Unit = {
     requireCurrentPointer()
     val retainPrev = versionsRetained // validate BEFORE any mutation
     val prevMeta = _meta
     val next = _meta.currentVersion + 1
-    claimVersion(next)
+    val fence = claimVersion(next)
     try {
+      // fence check before touching the manifest slot: a writer resuming
+      // from a long stall must not clobber a lease-breaker's manifest
+      // (the residual race is the instant between this check and the
+      // write — minutes shrunk to microseconds; an external catalog's
+      // atomic swap is the full answer, as for the reference)
+      requireClaim(next, fence)
       // holding the claim, any manifest already at `next` is a dead
       // leftover (its writer never flipped the pointer) — clear it so the
       // rename-in below can't collide with it
       fs.delete(manifestPath(next), false)
       Manifest.write(fs, manifestPath(next), entries, Some(System.currentTimeMillis()))
+      // fence check strictly before the pointer flip: if our lease expired
+      // and another writer retook the claim (and possibly committed its
+      // own v=next), flipping now would overwrite an acknowledged commit.
+      // The manifest written above is then debris the new owner already
+      // cleared or will clear; never touch it again from this handle.
+      requireClaim(next, fence)
       _meta = _meta.copy(currentVersion = next)
-      TableMeta.write(fs, tableDir, _meta)
+      writeMeta()
     } catch {
       case t: Throwable =>
-        // Roll back ONLY if the pointer flip didn't land (a failure in the
-        // flip's own crash-recovery window may still have committed).
+        // Roll back ONLY if the pointer flip didn't land AND we still own
+        // the claim (a fenced handle must not delete the new owner's
+        // manifest or claim file).
         val onDisk = TableMeta.read(fs, tableDir).map(_.currentVersion).getOrElse(-1L)
         if (onDisk < next) {
           _meta = prevMeta
-          fs.delete(manifestPath(next), false)
-          fs.delete(lockPath(next), false) // release the claim
+          if (claimHeld(next, fence)) {
+            fs.delete(manifestPath(next), false)
+            fs.delete(lockPath(next), false) // release the claim
+          }
         }
         throw t
     }
@@ -1350,7 +1413,7 @@ final class ManagedTable private (
     else {
       requireCurrentPointer()
       _meta = _meta.copy(schema = merged, identifierFields = ids)
-      TableMeta.write(fs, tableDir, _meta)
+      writeMeta()
       true
     }
   }
@@ -1378,7 +1441,7 @@ final class ManagedTable private (
       properties = _meta.properties -
         (ManagedTable.RenamedPrefix + oldName) -
         (ManagedTable.DefaultPrefix + oldName) ++ carried)
-    TableMeta.write(fs, tableDir, _meta)
+    writeMeta()
   }
 
   /** ALTER TABLE DROP COLUMN — metadata-only: old files keep the physical
@@ -1405,7 +1468,7 @@ final class ManagedTable private (
       properties = _meta.properties -
         (ManagedTable.RenamedPrefix + name) -
         (ManagedTable.DefaultPrefix + name) ++ dropped)
-    TableMeta.write(fs, tableDir, _meta)
+    writeMeta()
   }
 
   /** ALTER TABLE ADD COLUMN, optionally with an initial default — the
@@ -1454,14 +1517,14 @@ final class ManagedTable private (
         (ManagedTable.DroppedPrefix + field.name) ++
         default.map(d =>
           ManagedTable.DefaultPrefix + field.name -> s"${_meta.currentVersion}:$d"))
-    TableMeta.write(fs, tableDir, _meta)
+    writeMeta()
   }
 
   /** Same optimistic-concurrency guard as the data path (see [[evolve]]). */
   def setProperties(props: Map[String, String]): Unit = {
     requireCurrentPointer()
     _meta = _meta.copy(properties = _meta.properties ++ props)
-    TableMeta.write(fs, tableDir, _meta)
+    writeMeta()
   }
 
   private def withPartitionCols(df: DataFrame): DataFrame =

@@ -19,7 +19,14 @@ final case class TableMeta(
     identifierFields: Seq[String],
     partitionBy: Seq[String],
     properties: Map[String, String],
-    currentVersion: Long
+    currentVersion: Long,
+    /** Bumped on EVERY meta write, including metadata-only commits (tags,
+      * properties, schema evolution) that leave `currentVersion` alone —
+      * the optimistic-concurrency check compares both, so a stale handle's
+      * data commit cannot silently erase a concurrent metadata commit
+      * (e.g. clobber a tag and then GC the snapshot it pinned).
+      */
+    metaGen: Long = 0L
 )
 
 object TableMeta {
@@ -34,6 +41,7 @@ object TableMeta {
     val props = root.putObject("properties")
     m.properties.foreach { case (k, v) => props.put(k, v) }
     root.put("currentVersion", m.currentVersion)
+    root.put("metaGen", m.metaGen)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -47,7 +55,8 @@ object TableMeta {
       properties = Option(n.get("properties"))
         .map(p => p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
         .getOrElse(Map.empty),
-      currentVersion = n.get("currentVersion").asLong
+      currentVersion = n.get("currentVersion").asLong,
+      metaGen = Option(n.get("metaGen")).map(_.asLong).getOrElse(0L)
     )
   }
 

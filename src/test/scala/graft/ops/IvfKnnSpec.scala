@@ -173,10 +173,25 @@ class IvfKnnSpec extends AnyFunSuite with SharedSpark {
     val finished = IvfIndex.load(spark, wh, "emb")
     assert(finished.isDefined, "load must finish the staged swap")
     assert(finished.get.probedScan(emb.limit(1), "embedding", nprobe = 4).count() == total)
-    // window 3: abandoned staged sibling next to a live index is debris
+    // window 3: an abandoned staged sibling next to a live index is
+    // debris — but READERS must not sweep it (a load during a concurrent
+    // rebuild would otherwise delete the writer's staging mid-append);
+    // only the next build(), the single writer, cleans it up
     new java.io.File(s"$wh/emb_vectors__new").mkdirs()
     assert(IvfIndex.load(spark, wh, "emb").isDefined)
-    assert(!new java.io.File(s"$wh/emb_vectors__new").exists(), "stale staged dir not swept")
+    assert(new java.io.File(s"$wh/emb_vectors__new").exists(),
+      "reader load must not delete staging debris")
+    IvfIndex.build(spark, wh, "emb", emb, "vec_id", "embedding", nlist = 4, iters = 1)
+    assert(!new java.io.File(s"$wh/emb_vectors__new").exists(),
+      "build must sweep stale staging debris")
+    // window 4: a HALF-BUILT staged table (no re-pointed meta marker) with
+    // no live index is never promoted — a crashed FIRST build yields "no
+    // index", not a corrupt one
+    val wh2 = java.nio.file.Files.createTempDirectory("graft_ivf5").toString
+    graft.tables.ManagedTable.create(spark, wh2, "emb_vectors__new",
+      emb.schema, Seq.empty) // staged, never re-pointed: incomplete
+    assert(IvfIndex.load(spark, wh2, "emb").isEmpty,
+      "half-built staging must not be promoted to a live index")
   }
 
   test("partial probe keeps decent recall at a fraction of the scan") {

@@ -841,6 +841,47 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(ManagedTable.load(spark, wh, "lease").get.read().count() == 1)
   }
 
+  test("metadata OCC: a stale handle's data commit cannot erase a concurrent tag") {
+    val wh = tmpWarehouse()
+    val a = ManagedTable.create(spark, wh, "mgen", schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "1"))
+    a.append(rows((1, "x", "c", 1L)))
+    val b = ManagedTable.load(spark, wh, "mgen").get
+    // b commits metadata only: version unchanged, generation bumped
+    b.tag("baseline")
+    // a's cached meta has no tag — its data commit must refuse, not
+    // silently clobber the tag and then GC the pinned snapshot
+    assertThrows[java.util.ConcurrentModificationException] {
+      a.merge(rows((2, "y", "c", 2L)))
+    }
+    // reload-retry works, and the tag (plus its pinned snapshot) survives
+    val a2 = ManagedTable.load(spark, wh, "mgen").get
+    a2.merge(rows((2, "y", "c", 2L)))
+    a2.merge(rows((3, "z", "c", 3L)))
+    assert(a2.tags().contains("baseline"))
+    assert(a2.readTag("baseline").count() == 1)
+  }
+
+  test("commit CAS: a fenced writer resuming after lease break cannot clobber the new commit") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "fence", schema, Seq("id"))
+    val fs = TableMeta.fs(spark.sparkContext.hadoopConfiguration, wh)
+    // a "slow" writer's claim for v=1 with a foreign fence token
+    val lock = new org.apache.hadoop.fs.Path(s"$wh/fence/manifests/v=1.lock")
+    val out = fs.create(lock, false); out.write("slow-writer-token".getBytes("UTF-8")); out.close()
+    // lease expired: this writer breaks it, retakes under its own token,
+    // and commits; the slow writer's token no longer matches the claim
+    val t2 = ManagedTable.load(spark, wh, "fence").get
+    t2.setProperties(Map("commit.lock-grace-ms" -> "0"))
+    t2.append(rows((1, "a", "c", 1L)))
+    assert(t2.read().count() == 1)
+    // the claim file was released by the successful commit's GC sweep —
+    // the slow writer's token is gone, so its fence check would fail
+    assert(!fs.exists(lock) ||
+      !new String({ val in = fs.open(lock); try in.readAllBytes() finally in.close() },
+        "UTF-8").contains("slow-writer-token"))
+  }
+
   test("z-order clustered compaction: bounds prune on EITHER clustered column, deletes stay sound") {
     val wh = tmpWarehouse()
     val zschema = StructType(Seq(
