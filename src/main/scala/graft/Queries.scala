@@ -239,6 +239,84 @@ object Queries {
       |  FROM cur c FULL OUTER JOIN snap a ON c.user_id = a.user_id) d
       |WHERE status IS NOT NULL""".stripMargin))
 
+  // ------------------------------------------------------ row-level DML
+
+  /** The orders table re-hosted as a managed MoR table (key o_orderkey) —
+    * the shared setup of the DML oracle queries. The temporal column is
+    * left out so the round-trip stays in hash-stable types.
+    */
+  private def ordersTable(s: SparkSession, dir: String, name: String): graft.tables.ManagedTable = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_dml").toString
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderpriority"))
+    val tbl = graft.tables.ManagedTable.create(s, wh, name, base.schema, Seq("o_orderkey"))
+    tbl.append(base)
+    tbl
+  }
+
+  private val dmlCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+  /** `DELETE FROM orders WHERE status='F' AND price<100000` through the
+    * merge-on-read tombstone commit ([[graft.tables.ManagedTable.deleteWhere]]),
+    * read back. Oracle = the survivors, with the engine's null-keeps-row
+    * semantics spelled out.
+    */
+  val dmlDelete = Q("dml_delete_where",
+    (s, dir) => {
+      val tbl = ordersTable(s, dir, "orders_del")
+      tbl.deleteWhere(col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0)
+      tbl.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE NOT coalesce(o_orderstatus = 'F' AND o_totalprice < 100000.0, false)""".stripMargin))
+
+  /** `UPDATE orders SET status='L', price=price*2 WHERE priority='5-LOW'`
+    * as one O(matched) MoR commit. Double math is a single IEEE multiply —
+    * bit-identical across engines.
+    */
+  val dmlUpdate = Q("dml_update_where",
+    (s, dir) => {
+      val tbl = ordersTable(s, dir, "orders_upd")
+      tbl.updateWhere(col("o_orderpriority") === "5-LOW",
+        Map("o_orderstatus" -> lit("L"), "o_totalprice" -> (col("o_totalprice") * 2)))
+      tbl.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderpriority = '5-LOW' THEN 'L' ELSE o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+      |  o_orderpriority
+      |FROM orders""".stripMargin))
+
+  /** SQL MERGE through [[graft.tables.ManagedTable.mergeInto]]: source =
+    * every 7th order twice — once under its own key (matched: delete if
+    * 'F', else price+1) and once shifted out of the key range (unmatched:
+    * insert if custkey even). One source-vs-state join, one upsert-group
+    * commit; the oracle replays the fold relationally.
+    */
+  val dmlMerge = Q("dml_merge_into",
+    (s, dir) => {
+      val tbl = ordersTable(s, dir, "orders_mrg")
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+        .where(col("o_orderkey") % 7 === 0)
+      val src = base.unionByName(
+        base.withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      tbl.mergeInto(src,
+        updateWhen = Some(lit(true)),
+        updateSet = Map("o_totalprice" -> (col("s.o_totalprice") + 1)),
+        deleteWhen = Some(col("s.o_orderstatus") === "F"),
+        insertWhen = Some(col("s.o_custkey") % 2 === 0))
+      tbl.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+      |  o_orderpriority
+      |FROM orders WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'F')
+      |UNION ALL
+      |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderkey % 7 = 0 AND o_custkey % 2 = 0""".stripMargin))
+
   /** S2/R4/F1 — envelope decode recovers the original rows: events are
     * re-encoded as Debezium json envelopes, then decoded back through the
     * full inference + from_json + conversion path. Oracle = the raw table.
@@ -2568,7 +2646,8 @@ object Queries {
     knnBrute, knnLsh, knnIvf, knnJoinGraph, embeddingQuantize, embeddingPqCode,
     qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures,
-    tableStats, erBlockedPairs, textVocab, textBpePairs)
+    tableStats, erBlockedPairs, textVocab, textBpePairs,
+    dmlDelete, dmlUpdate, dmlMerge)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
   def oracleSql: Map[String, String] = all.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -894,11 +894,31 @@ final class ManagedTable private (
     val flagged = winners.withColumn(TombstoneCol,
       if (cfg.keepDeletes) lit(false)
       else CdcApply.isDelete(cfg.opColumn)) // null-safe: same predicate as the relational fold
+    commitUpsertBatch(flagged)
+  }
+
+  /** Write a schema+[[TombstoneCol]] batch as ONE upsert commit: the
+    * group's (identifier, seq) pairs hide every older row of those keys,
+    * tombstone rows additionally vanish at read. Shared tail of
+    * [[merge]] and the row-level DML surface ([[deleteWhere]] /
+    * [[updateWhere]] / [[mergeInto]]). `skipIfEmpty` avoids burning a
+    * snapshot version on a no-op (nothing matched) — merge keeps the
+    * unconditional commit so every micro-batch is a snapshot, reference
+    * parity (IcebergTableOperator.java:205-249).
+    */
+  private def commitUpsertBatch(flagged: DataFrame, skipIfEmpty: Boolean = false): Unit = {
     val seq = _meta.currentVersion + 1
     val entries =
       if (isPartitioned)
         splitWriteGroups(withPartitionCols(flagged), Manifest.Upsert, _ => seq, seq)
       else writeGroupAuto(sortForWrite(flagged), Manifest.Upsert, seq).toSeq
+    // a no-match DML write can still leave a zero-row group (parquet
+    // writers emit a schema-only file for an empty plan) — don't burn a
+    // snapshot version on it; drop the empty dir instead
+    if (skipIfEmpty && entries.forall(_.rows == 0L)) {
+      entries.foreach(e => fs.delete(new Path(tableDir, e.path), true))
+      return
+    }
     val committed = currentEntries ++ entries
     commitManifest(committed)
     // Bounded read amplification: a trickle stream accumulates one upsert
@@ -918,6 +938,142 @@ final class ManagedTable private (
     if (autoCompact > 0 &&
       committed.filter(_.kind == Manifest.Upsert).map(_.seq).distinct.size >= autoCompact)
       compactMinor()
+  }
+
+  // ------------------------------------------------------------- row-level DML
+
+  /** Row-level DELETE (`DELETE FROM t WHERE cond`): rows where `cond` is
+    * TRUE (null = kept) become tombstones in one merge-on-read commit —
+    * table files are never rewritten. Cost: one table scan with the
+    * predicate pushed to the file scan, plus an O(matched) write; the
+    * Iceberg merge-on-read `DELETE` analogue. Keyless tables have no
+    * equality-delete identity, so they fall back to copy-on-write
+    * (`overwrite` of the survivors) — Iceberg's COW mode.
+    */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Unit = {
+    if (_meta.identifierFields.isEmpty) {
+      overwrite(read().filter(!coalesce(cond, lit(false))))
+      return
+    }
+    val flagged = read().filter(coalesce(cond, lit(false)))
+      .withColumn(TombstoneCol, lit(true))
+    commitUpsertBatch(flagged, skipIfEmpty = true)
+  }
+
+  /** Row-level UPDATE (`UPDATE t SET ... WHERE cond`): matching rows are
+    * re-emitted with `set` applied (values cast to the column's declared
+    * type) as one merge-on-read commit — O(matched) write, no rewrite.
+    *
+    * Setting an identifier column or a partition SOURCE column emits a
+    * tombstone for the old row alongside the new one in the same group:
+    * equality-delete scopes are keyed (and partition-local), so without
+    * the explicit tombstone the pre-update row would survive under its
+    * old key / in its old partition. This makes key-moving and
+    * partition-moving updates exact — tighter than the merge path's
+    * documented partition-move limitation, which has no old-row handle.
+    */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column]): Unit = {
+    val ids = _meta.identifierFields
+    require(ids.nonEmpty,
+      "updateWhere requires identifier fields (keyless tables: overwrite)")
+    require(set.nonEmpty, "updateWhere requires at least one assignment")
+    set.keys.foreach(k => require(_meta.schema.fieldNames.contains(k),
+      s"unknown column $k"))
+    val matched = read().filter(coalesce(cond, lit(false)))
+    val updated = matched.select(_meta.schema.fields.toSeq.map { f =>
+      set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name)).as(f.name)
+    }: _*).withColumn(TombstoneCol, lit(false))
+    val partSrc = partitionFields.map(_.sourceColumn).toSet
+    val needsTombstones = set.keySet.exists(k => ids.contains(k) || partSrc.contains(k))
+    val flagged =
+      if (needsTombstones)
+        updated.unionByName(matched.withColumn(TombstoneCol, lit(true)))
+      else updated
+    commitUpsertBatch(flagged, skipIfEmpty = true)
+  }
+
+  /** SQL MERGE (`MERGE INTO t USING s ON t.pk = s.pk ...`) as one
+    * merge-on-read commit. Clause `Column`s may reference both sides via
+    * the aliases `t` (table) and `s` (source); clause order matches SQL —
+    * matched rows check DELETE first, then UPDATE; unmatched source rows
+    * check INSERT. `updateSet` empty = update every non-key column present
+    * in the source by name (`UPDATE SET *`); unmatched TARGET rows are
+    * untouched (and unread). Identifier/partition-source columns may not
+    * be assigned (use [[updateWhere]], which tombstones the old identity).
+    *
+    * The source must be unique per key (the CDC path's C2 dedup contract);
+    * duplicate source keys fan out the join and produce same-seq sibling
+    * rows. Scale: ONE join of source vs state — for a single-identifier
+    * table with manifest bounds the state scan is first pruned to the file
+    * groups intersecting the source's key range (metadata-scale agg), so a
+    * trickle merge reads a handful of groups, not the table; AQE picks the
+    * join strategy from runtime sizes.
+    */
+  def mergeInto(source: DataFrame,
+                updateWhen: Option[org.apache.spark.sql.Column] = Some(lit(true)),
+                updateSet: Map[String, org.apache.spark.sql.Column] = Map.empty,
+                deleteWhen: Option[org.apache.spark.sql.Column] = None,
+                insertWhen: Option[org.apache.spark.sql.Column] = Some(lit(true))): Unit = {
+    val ids = _meta.identifierFields
+    require(ids.nonEmpty, "mergeInto requires identifier fields")
+    val partSrc = partitionFields.map(_.sourceColumn).toSet
+    updateSet.keys.foreach { k =>
+      require(_meta.schema.fieldNames.contains(k), s"unknown column $k")
+      require(!ids.contains(k) && !partSrc.contains(k),
+        s"cannot assign identifier/partition column $k in mergeInto (use updateWhere)")
+    }
+    val srcCols = source.columns.toSet
+    ids.foreach(i => require(srcCols.contains(i), s"source is missing identifier column $i"))
+
+    val s = source.alias("s")
+    val state = statePrunedBySourceKeys(source)
+      .select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*).alias("t")
+    val joinCond = ids.map(i => col(s"s.$i") === col(s"t.$i")).reduce(_ && _)
+    val joined = s.join(state, joinCond, "left_outer")
+    // identifier fields are non-null in table rows (upsert key guard), so
+    // "matched" is exactly the t-side key being present
+    val isMatched = ids.map(i => col(s"t.$i").isNotNull).reduce(_ && _)
+    def cl(c: Option[org.apache.spark.sql.Column]) =
+      c.map(x => coalesce(x, lit(false))).getOrElse(lit(false))
+    val action = when(isMatched && cl(deleteWhen), "D")
+      .when(isMatched && cl(updateWhen), "U")
+      .when(!isMatched && cl(insertWhen), "I")
+    val acted = joined.withColumn("__graft_action", action)
+      .filter(col("__graft_action").isNotNull)
+    val valued = _meta.schema.fields.toSeq.map { f =>
+      val tVal = col(s"t.${f.name}")
+      val sVal = if (srcCols.contains(f.name)) col(s"s.${f.name}")
+                 else lit(null).cast(f.dataType)
+      val uVal =
+        if (updateSet.contains(f.name)) updateSet(f.name)
+        else if (updateSet.isEmpty && srcCols.contains(f.name) && !ids.contains(f.name)) sVal
+        else tVal
+      when(col("__graft_action") === "I", sVal)
+        .when(col("__graft_action") === "U", uVal)
+        .otherwise(tVal).cast(f.dataType).as(f.name)
+    }
+    val flagged = acted.select(
+      valued :+ (col("__graft_action") === "D").as(TombstoneCol): _*)
+    commitUpsertBatch(flagged, skipIfEmpty = true)
+  }
+
+  /** The table state a merge's join actually needs: for a
+    * single-identifier table with manifest key bounds, only the file
+    * groups whose bounds intersect the source's [min, max] key range —
+    * sound because a source row can only match a target row with the
+    * SAME key value (readKeyRange prunes every group kind on identifier
+    * bounds). The bounds agg is metadata-scale (2 values). Composite keys
+    * or bound-less manifests read the full state.
+    */
+  private def statePrunedBySourceKeys(source: DataFrame): DataFrame = {
+    val ids = _meta.identifierFields
+    if (ids.size == 1 && statsTag(_meta.schema(ids.head).dataType).isDefined &&
+        currentEntries.exists(_.stats.contains(ids.head))) {
+      val r = source.agg(min(col(ids.head)), max(col(ids.head))).head()
+      if (r.isNullAt(0)) read().limit(0)
+      else readKeyRange(ids.head, r.get(0), r.get(1))
+    } else read()
   }
 
   /** Stats domain tag for a column type — integral / floating / string;

@@ -1,0 +1,180 @@
+package graft.tables
+
+import graft.SharedSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Row-level DML surface (deleteWhere / updateWhere / mergeInto): SQL
+  * semantics, merge-on-read cost model (no table rewrite), snapshot
+  * isolation (time travel sees the pre-DML state), and the key/partition
+  * identity-move tombstone rules.
+  */
+class DmlSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def wh = java.nio.file.Files.createTempDirectory("graft-dml").toString
+
+  private def seed(w: String, name: String, partitionBy: Seq[String] = Seq.empty,
+                   ids: Seq[String] = Seq("id")): ManagedTable = {
+    val df = (1 to 100).map(i => (i, s"n$i", i % 10, i.toLong * 10)).toDF("id", "name", "grp", "v")
+    val t = ManagedTable.create(spark, w, name, df.schema, ids, partitionBy,
+      properties = Map("write.versions-retained" -> "10"))
+    t.append(df)
+    t
+  }
+
+  private def canon(df: DataFrame): Seq[(Int, String, Int, Long)] =
+    df.select("id", "name", "grp", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => t).toSeq
+
+  test("deleteWhere removes TRUE-matching rows only; null cond keeps the row") {
+    val t = seed(wh, "d1")
+    // cond is null for id=1..10 (nullif), true for grp=3, false elsewhere
+    t.deleteWhere(when(col("id") <= 10, lit(null)).otherwise(col("grp") === 3))
+    val left = t.read().select("id").as[Int].collect().toSet
+    // grp==3 ids are 3,13,23,...,93; of those id=3 is in the null zone → kept
+    assert(left.contains(3))
+    assert(!(left.contains(13) || left.contains(93)))
+    assert(left.size == 100 - 9)
+  }
+
+  test("deleteWhere is MoR: base files untouched, time travel sees old state") {
+    val w = wh
+    val t = seed(w, "d2")
+    val v0 = t.meta.currentVersion
+    val before = canon(t.read())
+    t.deleteWhere(col("id") > 90)
+    assert(t.read().count() == 90)
+    assert(canon(t.readVersion(v0)) == before, "time travel must see pre-delete state")
+  }
+
+  test("deleteWhere with nothing matched burns no version") {
+    val t = seed(wh, "d3")
+    val v = t.meta.currentVersion
+    t.deleteWhere(col("id") > 1000)
+    assert(t.meta.currentVersion == v)
+  }
+
+  test("deleteWhere on a keyless table falls back to copy-on-write") {
+    val w = wh
+    val df = (1 to 50).map(i => (i, s"x$i")).toDF("a", "b")
+    val t = ManagedTable.create(spark, w, "d4", df.schema, Seq.empty)
+    t.append(df)
+    t.deleteWhere(col("a") % 2 === 0)
+    assert(t.read().count() == 25)
+    assert(t.read().agg(max("a")).head().getInt(0) == 49)
+  }
+
+  test("updateWhere applies assignments with casts; untouched rows keep values") {
+    val t = seed(wh, "u1")
+    t.updateWhere(col("grp") === 5, Map("v" -> (col("v") + 1), "name" -> lit("upd")))
+    assert(t.read().count() == 100)
+    val updated = t.read().filter(col("grp") === 5).collect()
+    assert(updated.length == 10)
+    assert(updated.forall(_.getString(1) == "upd"))
+    assert(updated.forall(r => r.getLong(3) == r.getInt(0).toLong * 10 + 1))
+    assert(t.read().filter(col("grp") =!= 5 && col("name") === "upd").count() == 0)
+  }
+
+  test("updateWhere moving the KEY tombstones the old identity") {
+    val t = seed(wh, "u2")
+    // move id=7 to id=1007
+    t.updateWhere(col("id") === 7, Map("id" -> lit(1007)))
+    val ids = t.read().select("id").as[Int].collect().toSet
+    assert(!ids.contains(7) && ids.contains(1007))
+    assert(ids.size == 100)
+  }
+
+  test("updateWhere moving a key ONTO an existing key replaces it") {
+    val t = seed(wh, "u3")
+    t.updateWhere(col("id") === 7, Map("id" -> lit(8)))
+    val rows = t.read().filter(col("id") === 8).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(1) == "n7", "the moved row wins over the old id=8 row")
+    assert(t.read().count() == 99)
+  }
+
+  test("updateWhere moving a PARTITION source column leaves no stale copy") {
+    val w = wh
+    val t = seed(w, "u4", partitionBy = Seq("identity(grp)"))
+    t.updateWhere(col("id") === 42, Map("grp" -> lit(999)))
+    val copies = t.read().filter(col("id") === 42).collect()
+    assert(copies.length == 1, s"expected one row for id=42, got ${copies.length}")
+    assert(copies.head.getInt(2) == 999)
+    // the partition-pruned read agrees (manifest filter on the new tuple)
+    assert(t.readPartitions(_("grp") == "999").filter(col("id") === 42).count() == 1)
+    assert(t.readPartitions(_("grp") == "2").filter(col("id") === 42).count() == 0)
+  }
+
+  test("mergeInto: update/delete/insert clauses in SQL order, untouched target intact") {
+    val t = seed(wh, "m1")
+    // source: ids 95..105 — 95..100 matched, 101..105 unmatched;
+    // matched & even → delete; matched & odd → update v from source;
+    // unmatched & id <= 103 → insert
+    val src = (95 to 105).map(i => (i, s"s$i", -1, i.toLong * 1000)).toDF("id", "name", "grp", "v")
+    t.mergeInto(src,
+      updateWhen = Some(lit(true)),
+      updateSet = Map("v" -> col("s.v")),
+      deleteWhen = Some(col("s.id") % 2 === 0),
+      insertWhen = Some(col("s.id") <= 103))
+    val m = t.read().collect().map(r => r.getInt(0) -> r).toMap
+    assert(!m.contains(96) && !m.contains(98) && !m.contains(100), "matched evens deleted")
+    assert(m(95).getLong(3) == 95000 && m(99).getLong(3) == 99000, "matched odds updated")
+    assert(m(95).getString(1) == "n95", "updateSet only touches v")
+    assert(m(101).getString(1) == "s101" && m(103).getLong(3) == 103000, "inserts landed")
+    assert(!m.contains(104) && !m.contains(105), "insertWhen filtered")
+    assert(m(1).getString(1) == "n1", "untouched rows intact")
+    assert(t.read().count() == 100 - 3 + 3)
+  }
+
+  test("mergeInto with empty updateSet updates all source columns by name") {
+    val t = seed(wh, "m2")
+    val src = Seq((50, "replaced", 77, 0L)).toDF("id", "name", "grp", "v")
+    t.mergeInto(src)
+    val r = t.read().filter(col("id") === 50).head()
+    assert(r.getString(1) == "replaced" && r.getInt(2) == 77 && r.getLong(3) == 0L)
+  }
+
+  test("mergeInto rejects assigning identifier or partition columns") {
+    val t = seed(wh, "m3", partitionBy = Seq("identity(grp)"))
+    intercept[IllegalArgumentException] {
+      t.mergeInto(Seq((1, 2)).toDF("id", "v"), updateSet = Map("id" -> lit(9)))
+    }
+    intercept[IllegalArgumentException] {
+      t.mergeInto(Seq((1, 2)).toDF("id", "v"), updateSet = Map("grp" -> lit(9)))
+    }
+  }
+
+  test("mergeInto key-pruned state: agrees with full-state merge on a trickle source") {
+    val w = wh
+    val t = seed(w, "m4")
+    // trickle source touching a narrow key range — the state scan should
+    // prune on manifest bounds; semantics must be identical either way
+    val src = Seq((10, "t10", 0, 1L), (11, "t11", 0, 2L), (200, "t200", 0, 3L))
+      .toDF("id", "name", "grp", "v")
+    t.mergeInto(src)
+    val m = t.read().collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m(10) == "t10" && m(11) == "t11" && m(200) == "t200")
+    assert(t.read().count() == 101)
+    assert(m(12) == "n12")
+  }
+
+  test("DML on a partitioned table goes through manifest commits (time travel works)") {
+    val w = wh
+    val t = seed(w, "p1", partitionBy = Seq("bucket(4,id)"))
+    val v0 = t.meta.currentVersion
+    val before = canon(t.read())
+    t.deleteWhere(col("grp") === 0)
+    t.updateWhere(col("grp") === 1, Map("name" -> lit("g1")))
+    t.mergeInto(Seq((2, "merged", 0, 0L)).toDF("id", "name", "grp", "v"))
+    assert(t.read().filter(col("grp") === 0 && col("id") =!= 2).count() == 0)
+    assert(t.read().filter(col("name") === "g1").count() == 10)
+    assert(t.read().filter(col("id") === 2).head().getString(1) == "merged")
+    assert(canon(t.readVersion(v0)) == before)
+    // reload sees the same state (all DML went through durable commits)
+    val re = ManagedTable.load(spark, w, "p1").get
+    assert(canon(re.read()) == canon(t.read()))
+  }
+}
