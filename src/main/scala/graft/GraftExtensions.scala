@@ -58,6 +58,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.TextNormalize(args.head, form)
       }))
 
+    ext.injectFunction((
+      FunctionIdentifier("edit_distance_within"),
+      new ExpressionInfo(getClass.getName, "edit_distance_within"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "edit_distance_within(a, b, threshold) takes 3 arguments")
+        val k = args(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"threshold must be an int literal, got $other")
+        }
+        graft.functions.EditDistanceWithin(args(0), args(1), k)
+      }))
+
     // Composite column functions exposed to SQL: built from the same
     // library expressions the DataFrame API uses, so SQL and Scala callers
     // share one implementation (and its codegen behavior).

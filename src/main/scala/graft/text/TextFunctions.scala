@@ -20,6 +20,18 @@ object TextFunctions {
       GraftBridge.convertedExpression(text), form))
   }
 
+  /** Thresholded edit distance ([[graft.functions.EditDistanceWithin]]):
+    * exact `levenshtein(a, b)` when ≤ `threshold`, else -1 — so
+    * `editDistanceWithin(a, b, k) >= 0` ≡ `levenshtein(a, b) <= k` at a
+    * fraction of the cost (prefix/suffix strip + banded DP + early exit).
+    * The ER comparator: run it INSIDE a blocked candidate join.
+    */
+  def editDistanceWithin(a: Column, b: Column, threshold: Int): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(graft.functions.EditDistanceWithin(
+      GraftBridge.convertedExpression(a), GraftBridge.convertedExpression(b), threshold))
+  }
+
   /** Whitespace tokenization; empty string → empty array (not [""]).  */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
