@@ -15,11 +15,12 @@ object Shingles {
     * min over the set, so paying for dedup first is pure waste.
     */
   def rawWordShingles(text: Column, n: Int): Column = {
-    val toks = graft.text.TextFunctions.tokens(text)
-    // sequence(1, k) with k<1 would generate a DESCENDING [1,0] — guard it.
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-        array_join(slice(toks, i, lit(n)), " ")))
+    // native one-pass tokenize + n-gram join ([[graft.functions.GraftTokens]]
+    // / [[graft.functions.WordNgrams]]): the former interpreted
+    // transform(sequence)/array_join(slice) chain paid ~20µs per shingle
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(graft.functions.WordNgrams(
+      GraftBridge.convertedExpression(graft.text.TextFunctions.tokens(text)), n))
   }
 
   /** Distinct word n-shingles. NOTE: array_distinct over strings is
