@@ -74,7 +74,10 @@ object Decontaminate {
     df.select(col(idCol),
         graft.text.TextFunctions.tokens(col(textCol)).as("__tk"))
       .select(col(idCol), graft.text.TextFunctions.tokenHashes(col("__tk")).as("__th"))
-      .select(col(idCol),
-        explode(Shingles.combinedShingleHashes(col("__th"), n, identity,
-          MinHashLSH.CombineK, Some(MinHashLSH.CombineMod))).as("__gram"))
+      .select(col(idCol), {
+        import org.apache.spark.sql.graftbridge.GraftBridge
+        explode(GraftBridge.column(graft.functions.RollingHashNgrams(
+          GraftBridge.convertedExpression(col("__th")), n,
+          MinHashLSH.CombineK, MinHashLSH.CombineMod))).as("__gram")
+      })
 }

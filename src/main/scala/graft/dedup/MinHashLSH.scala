@@ -44,10 +44,19 @@ object MinHashLSH {
   val CombineK = 1024L
   val CombineMod = 4294967296L
 
-  /** Per-doc shingle-hash array from a materialized token attribute. */
-  def shingleHashes(toksAttr: Column, shingleSize: Int): Column =
-    Shingles.combinedShingleHashes(toksAttr, shingleSize, baseHash,
-      CombineK, Some(CombineMod))
+  /** Per-doc shingle-hash array from a materialized token attribute —
+    * native: one md5 per token ([[graft.functions.TokenHashes32]]; the
+    * interpreted combine re-hashed each token n times) + the codegen'd
+    * rolling combine ([[graft.functions.RollingHashNgrams]]). Bit-equal to
+    * `Shingles.combinedShingleHashes(toks, n, baseHash, CombineK,
+    * Some(CombineMod))` (MinHashExprsSpec).
+    */
+  def shingleHashes(toksAttr: Column, shingleSize: Int): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(graft.functions.RollingHashNgrams(
+      graft.functions.TokenHashes32(GraftBridge.convertedExpression(toksAttr)),
+      shingleSize, CombineK, CombineMod))
+  }
 
   /** Per-doc signature: columns (id, sig_0 .. sig_{k-1}), each a Long.
     *
@@ -68,10 +77,18 @@ object MinHashLSH {
       .where(size(graft.text.TextFunctions.tokens(col(textCol))) >= shingleSize)
       .select(col(idCol), graft.text.TextFunctions.tokens(col(textCol)).as("tk"))
       .select(col(idCol), shingleHashes(col("tk"), shingleSize).as("hs"))
-    val sigCols = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("hs"), h => pmod(h * a + b, lit(Prime)))).as(s"sig_$i")
+    // all k affine mins in ONE native pass over hs
+    // ([[graft.functions.MinHashSigs]]), then fanned out to the sig_i
+    // column contract (codegen subexpression elimination keeps the array
+    // computed once per row); bit-equal to the k-array_min formulation
+    val sigsArr = {
+      import org.apache.spark.sql.graftbridge.GraftBridge
+      GraftBridge.column(graft.functions.MinHashSigs(
+        GraftBridge.convertedExpression(col("hs")), k))
     }
-    base.select(col(idCol) +: sigCols: _*)
+    base.select(col(idCol), sigsArr.as("__sigs"))
+      .select(col(idCol) +:
+        (0 until k).map(i => element_at(col("__sigs"), i + 1).as(s"sig_$i")): _*)
   }
 
   /** Banded candidate pairs (a < b), `bands` bands of k/bands rows each:

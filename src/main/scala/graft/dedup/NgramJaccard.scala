@@ -47,9 +47,13 @@ object NgramJaccard {
     // ARITHMETIC_OVERFLOW). n≤3 keeps the historical unreduced hashes;
     // larger n reduces mod 2^52 each step (2^52·2^11 < 2^63 — safe for
     // any n, still a 52-bit collision space).
-    val finalMod = if (n <= 3) None else Some(1L << 52)
-    val sh = array_distinct(Shingles.combinedShingleHashes(col("tk"), n,
-      t => pmod(xxhash64(t), lit(1L << 40)), k = 1L << 11, finalMod = finalMod))
+    val finalMod = if (n <= 3) 0L else 1L << 52
+    val sh = {
+      import org.apache.spark.sql.graftbridge.GraftBridge
+      array_distinct(GraftBridge.column(graft.functions.RollingHashNgrams(
+        graft.functions.TokenHashesXx40(GraftBridge.convertedExpression(col("tk"))),
+        n, 1L << 11, finalMod)))
+    }
     val exploded = toked.select(col("id"), explode(sh).as("shingle"))
 
     val filtered = maxShingleFreq match {

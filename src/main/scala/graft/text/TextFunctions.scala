@@ -187,7 +187,7 @@ object TextFunctions {
     */
   def dupNgramFraction(toksAttr: Column, n: Int): Column = {
     val grams =
-      if (n == 1) transform(toksAttr, t => graft.dedup.MinHashLSH.baseHash(t))
+      if (n == 1) tokenHashes(toksAttr)
       else graft.dedup.MinHashLSH.shingleHashes(toksAttr, n)
     dupFraction(grams)
   }
@@ -197,15 +197,22 @@ object TextFunctions {
     * the combine then indexes the pre-hashed attribute instead of
     * re-running md5 per (position, offset) for every n.
     */
-  def tokenHashes(toksAttr: Column): Column =
-    transform(toksAttr, t => graft.dedup.MinHashLSH.baseHash(t))
+  def tokenHashes(toksAttr: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.column(graft.functions.TokenHashes32(
+      GraftBridge.convertedExpression(toksAttr)))
+  }
 
   /** [[dupNgramFraction]] over a MATERIALIZED token-hash array attribute. */
   def dupNgramFractionFromHashes(thAttr: Column, n: Int): Column =
     dupFraction(
       if (n == 1) thAttr
-      else graft.dedup.Shingles.combinedShingleHashes(thAttr, n, identity,
-        graft.dedup.MinHashLSH.CombineK, Some(graft.dedup.MinHashLSH.CombineMod)))
+      else {
+        import org.apache.spark.sql.graftbridge.GraftBridge
+        GraftBridge.column(graft.functions.RollingHashNgrams(
+          GraftBridge.convertedExpression(thAttr), n,
+          graft.dedup.MinHashLSH.CombineK, graft.dedup.MinHashLSH.CombineMod))
+      })
 
   private def dupFraction(grams: Column): Column =
     when(size(grams) <= 0, 0.0)
