@@ -129,7 +129,20 @@ object Knn {
   def knnJoin(vectors: DataFrame, centroids: Seq[Array[Float]], idCol: String,
               vecCol: String, k: Int, nprobe: Int): DataFrame = {
     require(centroids.nonEmpty && nprobe >= 1 && nprobe <= centroids.length)
-    val c = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    // The corpus side STREAMS the blocked join (q broadcasts), so join
+    // parallelism = its scan partitioning. A small-file corpus (one
+    // parquet file = one partition) would push every blocked pair
+    // through a single task — measured 8.7 s vs 1.7 s at sf0.1 — so
+    // rebalance only when the scan has fewer splits than the session's
+    // parallelism. At real scale the input is thousands of splits and the
+    // exchange is skipped.
+    val spread = vectors.rdd.getNumPartitions <
+      vectors.sparkSession.sparkContext.defaultParallelism
+    val base =
+      if (spread) vectors.repartition(
+        vectors.sparkSession.sessionState.conf.numShufflePartitions)
+      else vectors
+    val c = base.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"),
       element_at(nearestLists(col(vecCol), centroids, 1), 1).as("list_id"))
     val q = vectors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
