@@ -199,6 +199,25 @@ final class ManagedTable private (
     readVersion(at.last._1)
   }
 
+  /** Roll the table back to a retained snapshot (Iceberg's
+    * `rollback_to_snapshot`): version v's manifest entries are
+    * re-committed as a NEW version through the normal claim + pointer
+    * protocol — metadata-only, no data rewrite, readers flip atomically.
+    * History is preserved: the rolled-past versions stay retained (time
+    * travel still reaches them) until retention/expiry GC ages them out,
+    * and their file groups survive as long as any retained manifest
+    * references them. Works on a tag too: `rollbackTo(tags()("name"))`.
+    */
+  def rollbackTo(v: Long): Unit = {
+    require(v != _meta.currentVersion,
+      s"table ${_meta.name} is already at version $v")
+    val entries = Manifest.read(fs, manifestPath(v)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no retained manifest for version $v of ${_meta.name} — " +
+          "rollback targets must be retained snapshots"))
+    commitManifest(entries)
+  }
+
   /** Snapshot tags — named, immutable refs to snapshot versions (the
     * Iceberg tag analogue: an audit label like `eod-2026-08-13` or a
     * reproducibility pin for a training run). Stored as reserved
