@@ -63,10 +63,19 @@ final class IvfIndex private (spark: SparkSession, warehouse: String,
     */
   def addBatch(vectors: DataFrame, idCol: String, vecCol: String): Unit = {
     val v = IvfIndex.requireDim(col(vecCol), dim, name)
-    vectorsTable.append(vectors.select(
+    val assigned = vectors.select(
       col(idCol).as("neighbor_id"), v.as("cv"),
       Knn.norm(v).as("cn"),
-      element_at(Knn.nearestLists(v, centroids, 1), 1).as("list_id")))
+      element_at(Knn.nearestLists(v, centroids, 1), 1).as("list_id"))
+    // a PQ-layered index encodes new vectors with the STORED codebooks —
+    // appending un-coded rows would give them null ADC distances
+    val cbs = pqCodebooks
+    vectorsTable.append(
+      if (cbs.isEmpty) assigned
+      else ProductQuantizer.encode(
+          assigned.withColumn("__unit", unit(col("cv"), col("cn"))),
+          "__unit", cbs, "pq_code")
+        .drop("__unit"))
   }
 
   /** Top-k cosine neighbors per query over the probed lists only. */
@@ -75,6 +84,110 @@ final class IvfIndex private (spark: SparkSession, warehouse: String,
     Knn.ivfTopKAssigned(
       probedScan(queries, vecCol, nprobe).select("neighbor_id", "cv", "cn", "list_id"),
       queries, centroids, idCol, vecCol, k, nprobe)
+
+  // ------------------------------------------------------------ PQ layer
+
+  private def pqTable = ManagedTable.load(spark, warehouse, s"${name}_pq")
+
+  /** Stored per-subspace PQ codebooks (empty if [[buildPq]] never ran). */
+  def pqCodebooks: Seq[Seq[Array[Float]]] =
+    pqTable.map { t =>
+      t.read().orderBy("sub_idx", "cent_idx")
+        .select("sub_idx", "centroid").collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.map(_.getSeq[Float](1).toArray).toSeq)
+    }.getOrElse(Seq.empty)
+
+  /** Attach a PQ compression layer to the index (FAISS IVFPQ): train `m`
+    * per-subspace codebooks of `kPerSub` centroids on the indexed corpus,
+    * store them, and rewrite the vectors table with a `pq_code` column
+    * (`m` small ints per vector). One corpus rewrite — the same cost
+    * class as the IVF build itself; incremental [[addBatch]] afterwards
+    * encodes with the stored codebooks.
+    */
+  /** Unit-normalized copy of a vector column — PQ codes store DIRECTION:
+    * the search contract ranks by cosine, and for unit vectors L2 order
+    * IS cosine order (‖a−b‖² = 2−2·cos), so the ADC shortlist agrees
+    * with the exact re-rank metric instead of being skewed by norms.
+    */
+  private def unit(vec: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+    transform(vec, x => (x / n).cast("float"))
+
+  def buildPq(m: Int, kPerSub: Int, iters: Int = 5): Unit = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val normed = vectorsTable.read()
+      .withColumn("__unit", unit(col("cv"), col("cn")))
+    val cbs = ProductQuantizer.train(normed, "neighbor_id", "__unit",
+      m, kPerSub, iters, dim)
+    val rows = for ((subs, j) <- cbs.zipWithIndex; (c, i) <- subs.zipWithIndex)
+      yield org.apache.spark.sql.Row(j, i, c.toSeq)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub_idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cent_idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    ManagedTable.loadOrCreate(spark, warehouse, s"${name}_pq",
+      schema, Seq("sub_idx", "cent_idx"))
+      .overwrite(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schema))
+    val encoded = ProductQuantizer.encode(
+        vectorsTable.read().withColumn("__unit", unit(col("cv"), col("cn"))),
+        "__unit", cbs, "pq_code")
+      .drop("__unit")
+    val vt = vectorsTable
+    vt.evolve(encoded.schema)
+    vt.overwrite(encoded)
+  }
+
+  /** IVFPQ search with exact re-rank: probe `nprobe` lists (manifest-
+    * pruned scan), score candidates by asymmetric distance reading ONLY
+    * the code column (at 100 TB the parquet scan never touches corpus
+    * floats — m bytes-ish per candidate instead of dim·4), shortlist
+    * `refine·k` per query, then re-rank the shortlist by exact cosine
+    * against the fetched vectors. Output contract = [[search]]:
+    * (query_id, rank, neighbor_id, cosine). Recall is governed by nprobe
+    * (IVF) × codebook fidelity × refine (PQ shortlist), the standard
+    * IVFPQ+refine knobs; full probe + refine ≥ list sizes reproduces
+    * [[search]] exactly (spec seam).
+    */
+  def searchPq(queries: DataFrame, idCol: String, vecCol: String,
+               k: Int, nprobe: Int = 2, refine: Int = 4): DataFrame = {
+    val cbs = pqCodebooks
+    require(cbs.nonEmpty, s"IVF index $name has no PQ layer (run buildPq)")
+    val m = cbs.length
+    val scan = probedScan(queries, vecCol, nprobe)
+    // ADC stage: (neighbor_id, pq_code, list_id) only — column pruning
+    // keeps corpus floats out of the scan
+    val cands = scan.select("neighbor_id", "pq_code", "list_id")
+    val qv = IvfIndex.requireDim(col(vecCol), dim, name)
+    val qn = Knn.norm(qv)
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), qv.as("qv"), qn.as("qn"),
+      // ADC table over the UNIT query, matching the unit-encoded corpus
+      ProductQuantizer.adcDistTable(unit(qv, qn), cbs).as("__tbl"),
+      explode(Knn.nearestLists(qv, centroids, nprobe)).as("list_id")))
+    val scored = q.join(cands, "list_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", ProductQuantizer.adcFold(col("__tbl"), col("pq_code"), m))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val shortlist = scored.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= refine * k)
+      .select("query_id", "qv", "qn", "neighbor_id")
+    // refine stage: exact cosine on the shortlist only (shortlist is
+    // |Q|·refine·k — broadcast side of the fetch join)
+    val vecs = scan.select(col("neighbor_id"), col("cv"), col("cn"))
+    val exact = shortlist.join(vecs, "neighbor_id")
+      .withColumn("cosine",
+        round(Knn.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(wf))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
 
   /** The pruned corpus scan a `search` at `nprobe` runs: the probed list
     * set (≤ queries·nprobe ints) is resolved driver-side and pruned at
@@ -196,6 +309,10 @@ object IvfIndex {
       throw new java.io.IOException(s"IVF rebuild: failed to swap in $live")
     }
     fs.delete(aside, true)
+    // a rebuild invalidates any PQ layer: the new quantizer re-assigned
+    // every vector and the rebuilt table carries no codes — a stale
+    // codebook table would otherwise make searchPq score null codes
+    fs.delete(new Path(warehouse, s"${name}_pq"), true)
     new IvfIndex(spark, warehouse, name)
   }
 

@@ -77,17 +77,10 @@ object ProductQuantizer {
               idCol: String, vecCol: String, k: Int,
               codeCol: String = "pq_code"): DataFrame = {
     val m = codebooks.length
-    val w = subWidth(codebooks)
-    val table = array(codebooks.zipWithIndex.map { case (cents, j) =>
-      val qsub = slice(col(vecCol), j * w + 1, w)
-      array(cents.map(cArr => sqDist(qsub, cArr)): _*)
-    }: _*)
+    val table = adcDistTable(col(vecCol), codebooks)
     val q = broadcast(queries.select(col(idCol).as("query_id"), table.as("__tbl")))
     val c = encoded.select(col(idCol).as("neighbor_id"), col(codeCol).as("__code"))
-    val adist = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, j) => acc +
-        element_at(element_at(col("__tbl"), j + 1),
-          element_at(col("__code"), j + 1) + 1))
+    val adist = adcFold(col("__tbl"), col("__code"), m)
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", round(adist, 6))
@@ -97,6 +90,27 @@ object ProductQuantizer {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "adist")
   }
+
+  /** The query-side [m][k] ADC distance table: exact squared L2 from each
+    * query subvector to every centroid of its subspace — computed once
+    * per query row, broadcast with it, then each candidate costs `m`
+    * array lookups ([[adcFold]]). The building block [[adcTopK]] and the
+    * IVF-blocked [[IvfIndex.searchPq]] share.
+    */
+  def adcDistTable(vec: Column, codebooks: Seq[Seq[Array[Float]]]): Column = {
+    val w = subWidth(codebooks)
+    array(codebooks.zipWithIndex.map { case (cents, j) =>
+      val qsub = slice(vec, j * w + 1, w)
+      array(cents.map(cArr => sqDist(qsub, cArr)): _*)
+    }: _*)
+  }
+
+  /** Fold a candidate's code over the query's ADC table: m lookups. */
+  def adcFold(tableCol: Column, codeCol: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc +
+        element_at(element_at(tableCol, j + 1),
+          element_at(codeCol, j + 1) + 1))
 
   /** Train per-subspace codebooks with [[KMeans]] on a sample: m
     * independent small k-means problems over subvector slices. Driver
