@@ -148,6 +148,37 @@ object Queries {
       |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
       |FROM r WHERE rn = 1 AND __op <> 'd'""".stripMargin))
 
+  /** Partition-spec evolution under CDC load: the table starts
+    * bucket(4,user_id), evolves to bucket(8,user_id) after the first
+    * slice and to unpartitioned after the second — nothing is rewritten
+    * at either boundary ([[graft.tables.ManagedTable.updatePartitionSpec]]),
+    * and the final state must still equal the relational CDC fold: old
+    * groups stay delete-scoped under the spec they were written with,
+    * cross-epoch upsert scopes apply globally on the key.
+    */
+  val partitionEvolution = Q("partition_evolution",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_pevo").toString
+      val log = cdcEvents(s, dir)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "events_state",
+        log.drop(Dedup.ArrivalCol).schema, Seq("user_id"),
+        partitionBy = Seq("bucket(4,user_id)"))
+      val cfg = CdcApply.UpsertConfig(keepDeletes = false, dedupColumn = "ts_us")
+      val cuts = Seq(Long.MinValue, 1705276800000000L, 1706227200000000L, Long.MaxValue)
+      val specs = Seq(None, Some(Seq("bucket(8,user_id)")), Some(Seq.empty[String]))
+      cuts.sliding(2).zip(specs.iterator).foreach { case (Seq(lo, hi), spec) =>
+        spec.foreach(tbl.updatePartitionSpec)
+        val slice = log.where(col("ts_us") >= lo && col("ts_us") < hi)
+        tbl.merge(Dedup.deduplicate(slice, Seq("user_id"), "ts_us"), cfg)
+      }
+      tbl.read().select(cdcCols.map(col): _*)
+    },
+    Some(s"""WITH e AS ($cdcEventsSql),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts_us DESC, $opPrioSql DESC, event_id DESC) AS rn FROM e)
+      |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
+      |FROM r WHERE rn = 1 AND __op <> 'd'""".stripMargin))
+
   val cdcUpsertSoft = Q("cdc_upsert_soft_delete",
     (s, dir) => {
       val batch = cdcEvents(s, dir)
@@ -2623,7 +2654,7 @@ object Queries {
   // ------------------------------------------------------------------ index
 
   val all: Seq[Q] = Seq(
-    cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcUpsertPartitioned,
+    cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcUpsertPartitioned, partitionEvolution,
     cdcScd2, cdcSnapshotAsOf, cdcReconcile,
     cdcDecode, cdcOpMapping,
     cdcRouting, cdcColumnExclusion, cdcSchemaEvolution, cdcDecodeNested,

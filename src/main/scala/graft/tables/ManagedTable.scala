@@ -65,6 +65,118 @@ final class ManagedTable private (
     PartitionSpecParser.parse(_meta.partitionBy, _meta.schema.fieldNames.toSet)
   private def isPartitioned: Boolean = partitionFields.nonEmpty
 
+  // ------------------------------------------- partition-spec evolution
+  //
+  // [[updatePartitionSpec]] changes HOW FUTURE WRITES are partitioned
+  // without rewriting a byte of existing data — Iceberg's partition
+  // evolution (spec-id-per-manifest-entry; the reference's tables inherit
+  // it from the format, docs/iceberg.md partitioning config). The graft
+  // encoding: prior specs live in the `partition.spec.history` property as
+  // `(boundaryVersion, spec)` epochs; a file group (and each of its rows,
+  // via the per-row commit seq) belongs to the epoch its seq falls in, so
+  // manifests need no new field and old snapshots read unchanged.
+  //
+  // Delete semantics across epochs: within one epoch, upsert scopes stay
+  // partition-local exactly as before (reference parity). ACROSS epochs a
+  // scope is GLOBAL on the identifier fields — the old partition tuple is
+  // meaningless under the new spec, and global matching is the stronger,
+  // correct semantic (it even fixes the documented partition-move
+  // limitation for rows that changed partition value across an evolution).
+
+  /** Prior partition-spec epochs, ascending: (boundaryVersion, spec) —
+    * groups/rows with seq <= boundaryVersion were written under `spec`.
+    */
+  private def specHistory: Seq[(Long, Seq[String])] =
+    _meta.properties.get(ManagedTable.SpecHistoryKey).toSeq.flatMap { raw =>
+      raw.split(";").toSeq.filter(_.nonEmpty).map { epoch =>
+        val i = epoch.indexOf(':')
+        val spec = epoch.drop(i + 1).split('|').toSeq.map(_.trim).filter(_.nonEmpty)
+        epoch.take(i).toLong -> spec
+      }
+    }.sortBy(_._1)
+
+  private def specBoundaries: Seq[Long] = specHistory.map(_._1)
+
+  /** Epoch index of a commit sequence: #boundaries strictly below it. */
+  private def entryEpoch(seq: Long): Int = specBoundaries.count(seq > _)
+
+  private def currentEpoch: Int = specBoundaries.length
+
+  /** Per-epoch specs, index-aligned with [[entryEpoch]] (last = current). */
+  private def epochSpecs: Seq[Seq[String]] = specHistory.map(_._2) :+ _meta.partitionBy
+
+  private def epochPartitionFields(i: Int): Seq[PartitionField] =
+    PartitionSpecParser.parse(epochSpecs(i), _meta.schema.fieldNames.toSet)
+
+  /** Partition fields of EVERY epoch, first-occurrence order, deduped by
+    * name ([[updatePartitionSpec]] guarantees a reused name means the
+    * identical transform). The read schema must carry all of them: old
+    * file groups hold old epochs' derived columns.
+    */
+  private def allEpochPartitionFields: Seq[PartitionField] =
+    epochSpecs.flatMap(s => PartitionSpecParser.parse(s, _meta.schema.fieldNames.toSet))
+      .distinctBy(_.name)
+
+  /** Change the partition spec for future writes — metadata-only, nothing
+    * is rewritten (Iceberg partition evolution). Existing file groups keep
+    * their tuples and stay pruned/delete-scoped under the spec they were
+    * written with; a full [[compact]] later normalizes the whole table to
+    * the current spec. Unpartitioned→partitioned and back are both legal.
+    *
+    * A derived column name shared with any earlier epoch must denote the
+    * very same transform of the same source column (otherwise one physical
+    * column would hold values from two formulas — refused). Tables with
+    * live WAP branches can't evolve (a stage-then-publish straddling the
+    * boundary would misclassify the staged groups' epoch).
+    */
+  def updatePartitionSpec(newSpec: Seq[String]): Unit = {
+    newSpec.foreach(s => require(!s.exists(";|:".contains(_)),
+      s"invalid partition spec '$s'"))
+    val parsed = PartitionSpecParser.parse(newSpec, _meta.schema.fieldNames.toSet,
+      strict = true)
+    require(parsed.map(_.name).distinct.size == parsed.size,
+      "duplicate derived column names in partition spec")
+    if (parsed.map(p => (p.name, p.transform, p.sourceColumn)) ==
+        partitionFields.map(p => (p.name, p.transform, p.sourceColumn)) &&
+        newSpec.map(_.trim).filter(_.nonEmpty) == _meta.partitionBy.map(_.trim).filter(_.nonEmpty))
+      return // no-op: identical spec
+    require(branches().isEmpty,
+      "cannot evolve the partition spec while WAP branches are staged " +
+        "(publish or abandon them first)")
+    val prior = epochSpecs.flatMap(s =>
+      PartitionSpecParser.parse(s, _meta.schema.fieldNames.toSet))
+    parsed.foreach { pf =>
+      prior.find(_.name == pf.name).foreach { e =>
+        // Same source + transform with a different parameter (rebucket,
+        // re-truncate) is FINE: the physical column stores each epoch's
+        // formula value and every consumer — scope matching, tuple
+        // pruning — is epoch-local, so interpretations never mix. Only a
+        // different source/transform under one name is refused (one
+        // column, two meanings).
+        require(e.sourceColumn == pf.sourceColumn && e.transform == pf.transform,
+          s"derived partition column '${pf.name}' already exists in an earlier " +
+            s"epoch as ${e.transform}(${e.sourceColumn}); two different " +
+            "transforms cannot share one physical column")
+      }
+      if (pf.transform != "identity")
+        require(!_meta.schema.fieldNames.contains(pf.name),
+          s"derived partition column '${pf.name}' collides with a schema column")
+    }
+    requireCurrentPointer()
+    // a never-committed table just swaps the spec in place — no epoch
+    // machinery for data that doesn't exist
+    if (_meta.currentVersion == 0 && currentEntries.isEmpty) {
+      _meta = _meta.copy(partitionBy = newSpec)
+      writeMeta()
+      return
+    }
+    val hist = specHistory :+ (_meta.currentVersion -> _meta.partitionBy)
+    val enc = hist.map { case (v, s) => s"$v:${s.mkString("|")}" }.mkString(";")
+    _meta = _meta.copy(partitionBy = newSpec,
+      properties = _meta.properties + (ManagedTable.SpecHistoryKey -> enc))
+    writeMeta()
+  }
+
   /** Data file format — the reference's `write.format-default`
     * (docs/iceberg.md write-format config; ORC covered by its config-matrix
     * tests). parquet | orc.
@@ -101,10 +213,12 @@ final class ManagedTable private (
   }
 
   /** Physical schema = table schema + non-identity derived partition cols
-    * (identity partitions relocate the source column into the dir path).
+    * of EVERY spec epoch (identity partitions relocate the source column
+    * into the dir path; old epochs' derived columns live only in old
+    * files and read as null elsewhere).
     */
   private def physicalSchema: StructType = {
-    val derived = partitionFields.filter(_.transform != "identity")
+    val derived = allEpochPartitionFields.filter(_.transform != "identity")
       .map(pf => StructField(pf.name, partitionColType(pf), nullable = true))
     StructType(_meta.schema.fields ++ derived)
   }
@@ -128,8 +242,24 @@ final class ManagedTable private (
     * on every surviving partition.
     */
   def readPartitions(pred: Map[String, String] => Boolean): DataFrame = {
-    require(isPartitioned, "readPartitions needs a partitioned table")
-    morRead(currentEntries.filter(e => pred(e.partition)))
+    require(isPartitioned || specHistory.exists(_._2.nonEmpty),
+      "readPartitions needs a partitioned table")
+    val entries = currentEntries
+    val kept = entries.filter(e => pred(e.partition))
+    // Multi-epoch tables: an upsert group from a LATER epoch than any kept
+    // group carries GLOBAL cross-epoch delete scopes that may hide kept
+    // rows — it must feed the delete side even when its own tuple fails
+    // `pred` (its rows stay invisible; see morResolve's deleteCarriers).
+    // `pred` sees each group's tuple under the spec it was written with.
+    val carriers =
+      if (specBoundaries.isEmpty) Seq.empty
+      else {
+        val minKept = kept.map(e => entryEpoch(e.seq)).minOption.getOrElse(Int.MaxValue)
+        val keptSet = kept.toSet
+        entries.filter(e => e.kind == Manifest.Upsert && !keptSet.contains(e) &&
+          entryEpoch(e.seq) > minKept)
+      }
+    morRead(kept, deleteCarriers = carriers)
   }
 
   /** Live partition tuples (SHOW PARTITIONS analogue) — metadata-only:
@@ -592,19 +722,25 @@ final class ManagedTable private (
         // carry deletes for keys whose live row is in range — but only
         // within its own partition tuple, so keep upsert groups only for
         // tuples that still have a bounds-passing group to hide rows in.
+        // Across spec epochs scopes are GLOBAL, so a later-epoch upsert
+        // group is kept whenever any earlier-epoch group survives.
         val keptTuples = passing.map(_.partition).toSet
+        val minKeptEpoch = passing.map(e => entryEpoch(e.seq)).minOption.getOrElse(Int.MaxValue)
         entries.filter(e => e.stats.get(c).forall(_.intersects(lo, hi)) ||
-          (e.kind == Manifest.Upsert && keptTuples.contains(e.partition)))
+          (e.kind == Manifest.Upsert && (keptTuples.contains(e.partition) ||
+            entryEpoch(e.seq) > minKeptEpoch)))
       }
     morRead(pruned).filter(col(c).between(lit(lo), lit(hi)))
   }
 
-  private def morRead(entries: Seq[ManifestEntry], keepSeq: Boolean = false): DataFrame = {
+  private def morRead(entries: Seq[ManifestEntry], keepSeq: Boolean = false,
+                      deleteCarriers: Seq[ManifestEntry] = Seq.empty): DataFrame = {
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         if (keepSeq) StructType(physicalSchema.fields :+ StructField(SeqCol, LongType))
         else physicalSchema)
-    val visible = morResolve(entries).filter(!coalesce(col(TombstoneCol), lit(false)))
+    val visible = morResolve(entries, deleteCarriers)
+      .filter(!coalesce(col(TombstoneCol), lit(false)))
     if (keepSeq) visible.drop(TombstoneCol) else visible.drop(SeqCol, TombstoneCol)
   }
 
@@ -678,7 +814,14 @@ final class ManagedTable private (
     (scanned, project)
   }
 
-  private def morResolve(entries: Seq[ManifestEntry]): DataFrame = {
+  /** `deleteCarriers`: upsert entries whose ROWS are not part of the scan
+    * but whose files still feed the delete side — pruned reads on
+    * multi-epoch tables keep later-epoch upsert groups this way (their
+    * global cross-epoch scopes may hide kept rows) without surfacing
+    * their rows. Not combined with posdel sidecars (unpartitioned-only).
+    */
+  private def morResolve(entries: Seq[ManifestEntry],
+                         deleteCarriers: Seq[ManifestEntry] = Seq.empty): DataFrame = {
     // A posdel sidecar at seq S has already materialized every equality
     // scope <= S into (file, pos) pairs: apply it as one fixed-width
     // anti-join and keep only the scopes ABOVE it on the equality path.
@@ -707,25 +850,54 @@ final class ManagedTable private (
     // positional anti-join (which needs the raw scan's metadata columns)
     val data = evolveProjection(data0)
     val ids = _meta.identifierFields
-    val minSeqByTuple = dataEntries.groupBy(_.partition)
-      .map { case (p, es) => p -> es.map(_.seq).min }
-    val delEntries = dataEntries.filter(e =>
-      e.kind == Manifest.Upsert && e.seq > minSeqByTuple(e.partition) &&
-        e.seq > appliedUpTo)
+    // Delete-carrier selection, epoch-aware: a group can be skipped only
+    // if NOTHING older exists for it to hide — no smaller-seq entry of the
+    // same (tuple, epoch), and no entry from an earlier spec epoch at all
+    // (cross-epoch scopes are global). Single-epoch tables reduce to the
+    // original per-tuple min-seq skip.
+    val minSeqByTE = dataEntries.groupBy(e => (e.partition, entryEpoch(e.seq)))
+      .map { case (k, es) => k -> es.map(_.seq).min }
+    val minEpochPresent = dataEntries.map(e => entryEpoch(e.seq)).min
+    val delEntries = dataEntries.filter { e =>
+      e.kind == Manifest.Upsert && e.seq > appliedUpTo && {
+        val ep = entryEpoch(e.seq)
+        e.seq > minSeqByTE((e.partition, ep)) || ep > minEpochPresent
+      }
+    } ++ deleteCarriers
     if (delEntries.isEmpty || ids.isEmpty) data
     else {
-      val pcols = partitionFields.map(_.name).filterNot(ids.contains)
-      val delCols = ids ++ pcols
+      val pcolsAll = allEpochPartitionFields.map(_.name).filterNot(ids.contains)
+      val delCols = ids ++ pcolsAll
       val pkSchema = StructType(
         delCols.map(n => physicalSchema(n).copy(nullable = !ids.contains(n))) :+
           StructField(SeqCol, LongType, nullable = false))
       val dels = spark.read.schema(pkSchema).format(format)
         .load(delEntries.map(e => new Path(tableDir, e.path).toString): _*)
         .select(delCols.map(n => col(n).as(s"__del_$n")) :+ col(SeqCol).as(DelSeqCol): _*)
-      val cond = (ids.map(n => data(n) === dels(s"__del_$n")) ++
-        pcols.map(n => data(n) <=> dels(s"__del_$n"))).reduce(_ && _) &&
+      val idCond = ids.map(n => data(n) === dels(s"__del_$n")).reduce(_ && _) &&
         dels(DelSeqCol) > data(SeqCol)
-      data.join(dels, cond, "left_anti")
+      // Partition scope: same-epoch pairs match on THAT epoch's partition
+      // columns (other epochs' derived cols are null on both sides and
+      // identity cols must not leak in — hence per-epoch column sets);
+      // cross-epoch pairs skip the partition test (global scope).
+      val scope =
+        if (specBoundaries.isEmpty) {
+          val pc = pcolsAll.map(n => data(n) <=> dels(s"__del_$n"))
+          if (pc.isEmpty) lit(true) else pc.reduce(_ && _)
+        } else {
+          def epochE(c: org.apache.spark.sql.Column) =
+            specBoundaries.foldLeft(lit(0))((a, b) =>
+              a + when(c > b, 1).otherwise(lit(0)))
+          val de = epochE(dels(DelSeqCol))
+          val re = epochE(data(SeqCol))
+          epochSpecs.indices.foldRight(lit(true)) { (i, acc) =>
+            val pc = epochPartitionFields(i).map(_.name).filterNot(ids.contains)
+              .map(n => data(n) <=> dels(s"__del_$n"))
+            val m = if (pc.isEmpty) lit(true) else pc.reduce(_ && _)
+            when(de === i && re === i, m).otherwise(acc)
+          }
+        }
+      data.join(dels, idCond && scope, "left_anti")
     }
   }
 
@@ -743,13 +915,22 @@ final class ManagedTable private (
   def compactMinor(): (Int, Int) = {
     val entries = currentEntries
     if (entries.isEmpty) return (0, 0)
-    val minSeqByTuple = entries.groupBy(_.partition)
-      .map { case (p, es) => p -> es.map(_.seq).min }
+    val minSeqByTuple = entries.groupBy(e => (e.partition, entryEpoch(e.seq)))
+      .map { case (k, es) => k -> es.map(_.seq).min }
+    val minEpochPresent = entries.map(e => entryEpoch(e.seq)).min
     val allTrickles = entries.filter(e =>
-      e.kind == Manifest.Upsert && e.seq > minSeqByTuple(e.partition))
+      e.kind == Manifest.Upsert &&
+        (e.seq > minSeqByTuple((e.partition, entryEpoch(e.seq))) ||
+          entryEpoch(e.seq) > minEpochPresent))
     // fold only tuples with >= 2 trickle groups (a 1-group tuple fold
-    // would be a pure rewrite with no read-amplification payoff)
-    val foldable = allTrickles.groupBy(_.partition).filter(_._2.size >= 2)
+    // would be a pure rewrite with no read-amplification payoff).
+    // Multi-epoch tables fold only CURRENT-epoch groups: writing an
+    // old-epoch fold under the current spec would mislabel its tuple
+    // (old-epoch trickle is frozen anyway — no new commits land there —
+    // and a full compact() normalizes everything to the current spec).
+    val foldable = allTrickles
+      .filter(e => entryEpoch(e.seq) == currentEpoch)
+      .groupBy(_.partition).filter(_._2.size >= 2)
     if (foldable.isEmpty) return (allTrickles.size, allTrickles.size)
     val folded = foldable.values.flatten.toSeq
     // KEEP each row's original per-row seq: re-stamping the fold at maxSeq
@@ -798,6 +979,10 @@ final class ManagedTable private (
   def materializePositionalDeletes(): Long = {
     require(!isPartitioned,
       "positional-delete sidecars are for unpartitioned tables")
+    require(allEpochPartitionFields.isEmpty,
+      "positional-delete sidecars need a never-partitioned table: prior " +
+        "spec epochs leave partition-scoped equality deletes the sidecar's " +
+        "id-only materialization would over-apply (run compact() first)")
     val ids = _meta.identifierFields
     val entries = currentEntries
     val posdels = entries.filter(_.kind == Manifest.PosDel)
@@ -1602,8 +1787,8 @@ final class ManagedTable private (
   def renameColumn(oldName: String, newName: String): Unit = {
     require(_meta.schema.fieldNames.contains(oldName), s"no column '$oldName'")
     require(!_meta.identifierFields.contains(oldName), "cannot rename an identifier field")
-    require(!partitionFields.map(_.sourceColumn).contains(oldName),
-      "cannot rename a partition source column")
+    require(!allEpochPartitionFields.map(_.sourceColumn).contains(oldName),
+      "cannot rename a partition source column (of any spec epoch)")
     requireFreshName(newName)
     requireCurrentPointer()
     val lineage = renameAliases.getOrElse(oldName, Seq.empty) :+ oldName
@@ -1629,8 +1814,8 @@ final class ManagedTable private (
   def dropColumn(name: String): Unit = {
     require(_meta.schema.fieldNames.contains(name), s"no column '$name'")
     require(!_meta.identifierFields.contains(name), "cannot drop an identifier field")
-    require(!partitionFields.map(_.sourceColumn).contains(name),
-      "cannot drop a partition source column")
+    require(!allEpochPartitionFields.map(_.sourceColumn).contains(name),
+      "cannot drop a partition source column (of any spec epoch)")
     require(_meta.schema.fields.length > 1, "cannot drop the last column")
     requireCurrentPointer()
     // the column's whole rename lineage becomes dropped too: pre-rename
@@ -1759,8 +1944,15 @@ final class ManagedTable private (
       // partition-local, so a tuple's full fold leaves nothing its
       // remaining deletes could hide, and untouched tuples keep theirs.
       val minInput = _meta.properties.getOrElse("compact.min-input-files", "2").toInt
-      val targets = currentEntries.groupBy(_.partition)
-        .collect { case (_, es) if es.size >= minInput => es }.flatten.toSeq
+      // A table holding old-epoch groups is fully rewritten (normalizing
+      // every row to the current spec — the Iceberg "rewrite to latest
+      // spec" maintenance step): targeted per-tuple folding would drop a
+      // later epoch's GLOBAL delete scopes over the untouched tuples.
+      val multiEpoch = currentEntries.exists(e => entryEpoch(e.seq) < currentEpoch)
+      val targets =
+        if (multiEpoch) currentEntries
+        else currentEntries.groupBy(_.partition)
+          .collect { case (_, es) if es.size >= minInput => es }.flatten.toSeq
       if (targets.nonEmpty) {
         val folded = morRead(targets) // tombstones dropped, deletes applied
         val seq = _meta.currentVersion + 1
@@ -1880,6 +2072,12 @@ object ManagedTable {
 
   /** Dropped-name registry: `schema.dropped.<name>` = version at drop. */
   val DroppedPrefix = "schema.dropped."
+
+  /** Partition-spec evolution history ([[ManagedTable.updatePartitionSpec]]):
+    * `;`-joined epochs of `<boundaryVersion>:<spec1>|<spec2>|...` — groups
+    * with seq <= boundaryVersion were written under that spec.
+    */
+  val SpecHistoryKey = "partition.spec.history"
 
   /** Commit-sequence-number column stamped into every MoR file group. */
   val SeqCol = "__graft_seq"
