@@ -811,6 +811,55 @@ object Queries {
   /** Histogram: fixed-width value binning with per-bin counts and exact
     * decimal sums — one partial-aggregated shuffle on the bin key.
     */
+  /** Retention cohorts — the classic product-analytics rollup: users are
+    * cohorted by the epoch-week of their first event; each later active
+    * week counts them at `week_offset = weeks since cohort`. Two hash
+    * aggregations (distinct user-weeks, then the cohort rollup); the
+    * week index is integer `epoch_us div (7 days)`, so the whole plan is
+    * codegen'd integer work with no calendar functions in the hot path.
+    */
+  val qRetentionCohort = Q("q_retention_cohort",
+    (s, dir) => {
+      // `div`, not `/`: Column `/` on longs is DOUBLE division, and a
+      // correctly-rounded quotient can floor across an integer boundary;
+      // integer div matches DuckDB's `//` exactly
+      val wk = expr("unix_micros(ts) div 604800000000").cast("long")
+      val m = events(s, dir).select(col("user_id"), wk.as("wk")).distinct()
+      val first = m.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      m.join(first, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    },
+    Some("""WITH m AS (SELECT DISTINCT user_id,
+      |    (epoch_us(ts) // 604800000000) AS wk FROM events),
+      |f AS (SELECT user_id, min(wk) AS cohort_wk FROM m GROUP BY user_id)
+      |SELECT cohort_wk, (wk - cohort_wk) AS week_offset,
+      |       count(DISTINCT m.user_id) AS n_users
+      |FROM m JOIN f USING (user_id)
+      |GROUP BY cohort_wk, week_offset""".stripMargin))
+
+  /** Event-transition matrix — per-user next-event pairs via lead(), the
+    * Markov-chain / behavior-modeling primitive. One key-partitioned
+    * window (ties broken by event_id for determinism) feeding a hash
+    * aggregation over the tiny (type, next) domain — the corpus-scale
+    * work is the single user shuffle.
+    */
+  val qEventTransitions = Q("q_event_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+    },
+    Some("""WITH nx AS (SELECT event_type,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type, next_type, count(*) AS n
+      |FROM nx WHERE next_type IS NOT NULL
+      |GROUP BY event_type, next_type""".stripMargin))
+
   val qHistogram = Q("q_histogram",
     (s, dir) => events(s, dir)
       .withColumn("bin", floor(col("value") / 50).cast("long"))
@@ -1157,6 +1206,29 @@ object Queries {
          |SELECT doc_id, source, unnest(range(1, reps + 1))::BIGINT AS epoch
          |FROM r WHERE reps >= 1""".stripMargin
     })
+
+  /** Temperature (T=0.5) upsampling with DATA-DERIVED factors
+    * ([[Sampling.temperatureUpsample]]): every source upsampled toward
+    * the largest by sqrt(count_max/count) — the UniMax-style recipe with
+    * no hand-written rate table. Factors flow through a broadcast join
+    * (no driver collect); sqrt is IEEE-correctly-rounded, so the oracle's
+    * recomputation is bit-identical — the reason this variant is exactly
+    * checkable while pow-based temperatures are not.
+    */
+  val sampleTemperature = Q("sample_temperature",
+    (s, dir) => Sampling.temperatureUpsample(t(s, dir, "documents"),
+        "lang", "doc_id", seed = "temp")
+      .select(col("doc_id"), col("lang"), col("__epoch").cast("long").as("epoch")),
+    Some(s"""WITH c AS (SELECT lang, count(*) AS gn FROM documents GROUP BY lang),
+      |m AS (SELECT max(gn) AS gmax FROM c),
+      |f AS (SELECT lang, least(100.0, sqrt(gmax::DOUBLE / gn::DOUBLE)) AS gf FROM c, m),
+      |d AS (SELECT doc_id, documents.lang AS lang, gf,
+      |    floor(gf)::INT AS whole,
+      |    (CASE WHEN ${duckBucket("temp", "doc_id")} < floor((gf - floor(gf)) * 10000)
+      |       THEN 1 ELSE 0 END) AS extra
+      |  FROM documents JOIN f ON documents.lang = f.lang)
+      |SELECT doc_id, lang, unnest(range(1, whole + extra + 1))::BIGINT AS epoch
+      |FROM d WHERE whole + extra >= 1""".stripMargin))
 
   /** Global contiguous example numbering + derived export shards — a
     * range exchange with per-partition offset zip, NEVER a
@@ -1521,6 +1593,65 @@ object Queries {
       |FROM e LEFT JOIN v ON e.term = v.term GROUP BY e.doc_id""".stripMargin))
 
   // ----------------------------------------------------------- dedup family
+
+  /** URL-level dedup behind [[graft.text.UrlOps.canonicalize]]: messy
+    * spellings of one page (case drift, default ports, utm tracking
+    * params, fragments, trailing slashes) collapse to one canonical key,
+    * then a hash groupBy keeps the first sighting and counts the rest —
+    * the standard crawl-frontier dedup. The synthetic URL is built
+    * deterministically from event columns so the oracle can rebuild the
+    * identical input; canonicalization itself is the operator under test
+    * (a codegen'd regexp chain, map-only at any scale).
+    */
+  val dedupUrl = Q("dedup_url",
+    (s, dir) => {
+      val url = concat(
+        lit("HTTPS://Shop-"), (col("user_id") % 10).cast("string"),
+        lit(".Example.COM:443/items/"), (col("event_id") % 200).cast("string"),
+        lit("/?utm_source=feed&utm_campaign=c"), (col("event_id") % 7).cast("string"),
+        lit("&ref="), col("event_type"),
+        lit("#sec-"), (col("event_id") % 3).cast("string"))
+      events(s, dir).withColumn("url", url)
+        .withColumn("curl", graft.text.UrlOps.canonicalize(col("url")))
+        .groupBy("curl")
+        .agg(min("event_id").as("first_event_id"), count(lit(1)).as("n_dups"))
+    },
+    Some("""WITH u AS (SELECT event_id,
+      |  'HTTPS://Shop-' || (user_id % 10)::VARCHAR || '.Example.COM:443/items/' ||
+      |  (event_id % 200)::VARCHAR || '/?utm_source=feed&utm_campaign=c' ||
+      |  (event_id % 7)::VARCHAR || '&ref=' || event_type || '#sec-' ||
+      |  (event_id % 3)::VARCHAR AS url FROM events),
+      |c1 AS (SELECT event_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+      |c2 AS (SELECT event_id,
+      |        lower(regexp_extract(nofrag, '^([^/?#]*//[^/?#]*)', 1)) AS pre,
+      |        regexp_replace(nofrag, '^[^/?#]*//[^/?#]*', '') AS rest FROM c1),
+      |c3 AS (SELECT event_id, regexp_replace(pre, ':(443|80)$', '') AS pre2,
+      |        regexp_replace(rest, '([?&])(utm_[^&=]*|gclid|fbclid)=[^&]*', '\1', 'g') AS r1
+      |       FROM c2),
+      |c4 AS (SELECT event_id, pre2,
+      |        regexp_replace(regexp_replace(r1, '\?&+', '?'), '&&+', '&', 'g') AS r2 FROM c3),
+      |c5 AS (SELECT event_id, pre2 ||
+      |        regexp_replace(regexp_replace(regexp_replace(r2, '/+\?', '?'),
+      |          '/+$', ''), '[?&]+$', '') AS curl FROM c4)
+      |SELECT curl, min(event_id) AS first_event_id, count(*) AS n_dups
+      |FROM c5 GROUP BY curl""".stripMargin))
+
+  /** Truncation-duplicate sweep ([[ExactDedup.dropPrefixDuplicates]]):
+    * one survivor per distinct first-20-token prefix — catches the same
+    * page captured at different cut lengths, which full-content hashing
+    * misses. Same single-hash-shuffle shape as dedup_exact.
+    */
+  val dedupPrefix = Q("dedup_prefix",
+    (s, dir) => ExactDedup.dropPrefixDuplicates(
+      t(s, dir, "documents"), "text", "doc_id", prefixTokens = 20)
+      .select(col("doc_id"), col("source"), col("n_chars")),
+    Some("""WITH p AS (SELECT doc_id, source, n_chars,
+      |  md5(array_to_string(list_slice(
+      |    string_split_regex(trim(lower(text)), '\s+'), 1, 20), ' ')) AS pfp
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars, min(doc_id) OVER (PARTITION BY pfp) AS keep
+      |  FROM p) WHERE doc_id = keep""".stripMargin))
 
   val dedupExact = Q("dedup_exact",
     (s, dir) => ExactDedup.groups(t(s, dir, "documents"), "text", "doc_id"),
@@ -2665,15 +2796,17 @@ object Queries {
     qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
-    qFunnel, qHistogram, qIntervalJoin,
+    qFunnel, qHistogram, qIntervalJoin, qRetentionCohort, qEventTransitions,
     textStats, textLangId, textFingerprint, textTfidf, textBm25, textRepetition,
     textPiiRedact, textQualityFilter, textChunk, textLmScore, textNormalize,
     sampleHash, sampleSplit, sampleLeakageSafeSplit, sampleTokenBudget,
     sampleStratified, sampleGlobalSeq, sampleMixture, sampleWeighted, sampleUpsampled,
+    sampleTemperature,
     pipelineCuration,
     pipelinePacking, pipelineDecontaminate, pipelineContaminationReport,
     pipelineBalancedSample, pipelineSourceCap, textOovRate,
-    dedupExact, dedupIncremental, dedupIncrementalBloom, dedupMinhash, dedupMinhashPairs,
+    dedupExact, dedupUrl, dedupPrefix, dedupIncremental, dedupIncrementalBloom,
+    dedupMinhash, dedupMinhashPairs,
     dedupMinhashIncremental,
     dedupClusters, dedupClustersStar, dedupClusterSizes, dedupApply,
     dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans, dedupSemantic,

@@ -28,6 +28,26 @@ object ExactDedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Truncation-duplicate sweep: keep one row (min id) per distinct
+    * FIRST-k-TOKEN prefix — the crawl-pipeline answer to the same page
+    * captured at different truncation lengths (pagination tails, byte
+    * caps, "read more" cuts), which exact full-content dedup misses
+    * because the tails differ. Same scale shape as
+    * [[dropExactDuplicates]]: fingerprint the normalized prefix, one
+    * hash groupBy on the digest, one semi-join back — no windows, no
+    * pairwise comparisons, shuffle rows are (hash, id) pairs.
+    */
+  def dropPrefixDuplicates(df: DataFrame, textCol: String, idCol: String,
+                           prefixTokens: Int = 20): DataFrame = {
+    require(prefixTokens > 0, s"prefixTokens must be positive: $prefixTokens")
+    val prefix = array_join(
+      slice(split(trim(lower(col(textCol))), "\\s+"), 1, prefixTokens), " ")
+    val keep = df.select(md5(prefix).as("__pfp"), col(idCol))
+      .groupBy("__pfp").agg(min(idCol).as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Incremental sweep: drop batch rows whose content already exists in a
     * previously-deduplicated corpus, then drop within-batch duplicates —
     * the shape of per-crawl ingestion against a persistent fingerprint

@@ -160,6 +160,39 @@ object Sampling {
     raw.map { case (g, v) => g -> math.round(v / mx * 10000).toInt }
   }
 
+  /** Square-root temperature upsampling with DATA-DERIVED factors — the
+    * UniMax-flavored mixture step: every source is upsampled toward the
+    * LARGEST source by `factor = sqrt(count_max / count_s)` (T = 0.5 in
+    * share ∝ countᵀ terms), so rare sources gain representation without
+    * any hand-written rate table. Factors come from one metadata-scale
+    * count aggregate broadcast-joined back (no driver collect, unlike
+    * [[temperatureRatesBp]]); the fractional epoch resolves per key with
+    * the deterministic bucket, exactly like [[upsampleByFactors]].
+    *
+    * sqrt (not pow) on purpose: IEEE-754 specifies sqrt as correctly
+    * rounded, so an external system recomputing the factors —
+    * the DuckDB oracle does — lands on bit-identical doubles; pow
+    * carries no such guarantee across libm implementations.
+    */
+  def temperatureUpsample(df: DataFrame, groupCol: String, keyCol: String,
+                          seed: String = "", epochCol: String = "__epoch",
+                          factorCap: Double = 100.0): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__gn"))
+    val cmax = counts.agg(max("__gn").as("__gmax"))
+    val factors = counts.crossJoin(broadcast(cmax))
+      .withColumn("__gf", least(lit(factorCap),
+        sqrt(col("__gmax").cast("double") / col("__gn").cast("double"))))
+      .select(col(groupCol), col("__gf"))
+    val joined = df.join(broadcast(factors), Seq(groupCol))
+    val whole = floor(col("__gf")).cast("int")
+    val extra = (bucket(col(keyCol), seed) <
+      floor((col("__gf") - floor(col("__gf"))) * 10000)).cast("int")
+    val repeats = (whole + extra).cast("int")
+    val epochs = when(repeats >= 1, sequence(lit(1), repeats))
+      .otherwise(array().cast("array<int>"))
+    joined.withColumn(epochCol, explode(epochs)).drop("__gf")
+  }
+
   /** Sequence packing: assign documents to fixed-capacity context windows —
     * the "pack short documents into 4k-token training sequences" step that
     * precedes tokenizer sharding. Documents are laid out in deterministic
