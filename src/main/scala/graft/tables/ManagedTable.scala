@@ -1110,7 +1110,25 @@ final class ManagedTable private (
     * unconditional commit so every micro-batch is a snapshot, reference
     * parity (IcebergTableOperator.java:205-249).
     */
-  private def commitUpsertBatch(flagged: DataFrame, skipIfEmpty: Boolean = false): Unit = {
+  private def commitUpsertBatch(flagged: DataFrame, skipIfEmpty: Boolean = false,
+                                commitProperties: Map[String, String] = Map.empty): Unit = {
+    // same staging discipline as append(commitProperties): the properties
+    // ride THIS commit's pointer flip or not at all (a skipped empty
+    // commit rolls them back too — they must never leak into a LATER
+    // commit that doesn't contain this batch)
+    if (commitProperties.nonEmpty) {
+      val prevMeta = _meta
+      _meta = _meta.copy(properties = _meta.properties ++ commitProperties)
+      val committed =
+        try commitUpsertStaged(flagged, skipIfEmpty)
+        catch { case t: Throwable => _meta = prevMeta; throw t }
+      if (!committed) _meta = prevMeta
+    } else commitUpsertStaged(flagged, skipIfEmpty)
+  }
+
+  /** Returns false iff the commit was skipped (empty batch under
+    * `skipIfEmpty`). */
+  private def commitUpsertStaged(flagged: DataFrame, skipIfEmpty: Boolean): Boolean = {
     val seq = _meta.currentVersion + 1
     val entries =
       if (isPartitioned)
@@ -1121,7 +1139,7 @@ final class ManagedTable private (
     // snapshot version on it; drop the empty dir instead
     if (skipIfEmpty && entries.forall(_.rows == 0L)) {
       entries.foreach(e => fs.delete(new Path(tableDir, e.path), true))
-      return
+      return false
     }
     val committed = currentEntries ++ entries
     commitManifest(committed)
@@ -1142,6 +1160,7 @@ final class ManagedTable private (
     if (autoCompact > 0 &&
       committed.filter(_.kind == Manifest.Upsert).map(_.seq).distinct.size >= autoCompact)
       compactMinor()
+    true
   }
 
   // ------------------------------------------------------------- row-level DML
@@ -1218,7 +1237,8 @@ final class ManagedTable private (
                 updateWhen: Option[org.apache.spark.sql.Column] = Some(lit(true)),
                 updateSet: Map[String, org.apache.spark.sql.Column] = Map.empty,
                 deleteWhen: Option[org.apache.spark.sql.Column] = None,
-                insertWhen: Option[org.apache.spark.sql.Column] = Some(lit(true))): Unit = {
+                insertWhen: Option[org.apache.spark.sql.Column] = Some(lit(true)),
+                commitProperties: Map[String, String] = Map.empty): Unit = {
     val ids = _meta.identifierFields
     require(ids.nonEmpty, "mergeInto requires identifier fields")
     val partSrc = partitionFields.map(_.sourceColumn).toSet
@@ -1259,7 +1279,7 @@ final class ManagedTable private (
     }
     val flagged = acted.select(
       valued :+ (col("__graft_action") === "D").as(TombstoneCol): _*)
-    commitUpsertBatch(flagged, skipIfEmpty = true)
+    commitUpsertBatch(flagged, skipIfEmpty = true, commitProperties = commitProperties)
   }
 
   /** The table state a merge's join actually needs: for a

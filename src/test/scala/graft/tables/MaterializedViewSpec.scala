@@ -1,0 +1,106 @@
+package graft.tables
+
+import graft.SharedSpark
+import graft.cdc.CdcApply
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** [[MaterializedView]] — persisted incremental aggregate maintenance:
+  * after every refresh the summary table must equal a full re-aggregation
+  * of the source's current state, across inserts, updates (including
+  * group-moving ones), hard deletes that empty whole groups, empty
+  * refreshes, and a reload.
+  */
+class MaterializedViewSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private val ops = Vector("c", "u", "u", "u", "d")
+
+  private def randomBatch(rnd: Random, n: Int): DataFrame =
+    List.fill(n)((rnd.nextInt(40), s"g${rnd.nextInt(5)}", rnd.nextInt(100).toLong,
+      ops(rnd.nextInt(5)), rnd.nextInt(5).toLong))
+      .toDF("id", "grp", "v", "__op", "__source_ts_ns")
+
+  private def canonAgg(df: DataFrame): Seq[(String, Long, Long)] =
+    df.select(col("grp"), col("sum_v").cast("long"), col("n_rows")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+
+  private def expected(t: ManagedTable): Seq[(String, Long, Long)] =
+    canonAgg(t.read().groupBy("grp")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n_rows")))
+
+  test("refresh ≡ full recompute over random CDC batches; exactly-once marker") {
+    val rnd = new Random(11)
+    val wh = java.nio.file.Files.createTempDirectory("graft-mv").toString
+    val cfg = CdcApply.UpsertConfig(keepDeletes = false)
+    val schema = randomBatch(rnd, 1).schema
+    val src = ManagedTable.create(spark, wh, "facts", schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "10"))
+    src.merge(randomBatch(rnd, 30), cfg)
+    val mv = MaterializedView.create(spark, wh, "facts_by_grp", src,
+      Seq("grp"), Seq("v"))
+    assert(canonAgg(mv.read()) == expected(src), "seed aggregate wrong")
+    assert(mv.refreshedVersion == src.meta.currentVersion)
+
+    for (i <- 1 to 5) {
+      src.merge(randomBatch(rnd, 25), cfg)
+      if (i % 2 == 0) src.merge(randomBatch(rnd, 25), cfg) // multi-commit lag
+      mv.refresh()
+      assert(canonAgg(mv.read()) == expected(src), s"diverged after refresh $i")
+      assert(mv.refreshedVersion == src.meta.currentVersion)
+    }
+
+    // no-change refresh: summary version must not burn a snapshot
+    val sumV = mv.summary.meta.currentVersion
+    mv.refresh()
+    assert(mv.summary.meta.currentVersion == sumV, "no-op refresh burned a version")
+
+    // reload path reconstructs the definition from properties
+    val re = MaterializedView.load(spark, wh, "facts_by_grp", src).get
+    assert(canonAgg(re.read()) == expected(src))
+    assert(re.refreshedVersion == src.meta.currentVersion)
+  }
+
+  test("a group emptied by deletes leaves the summary; group-moving update migrates counts") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mv2").toString
+    val cfg = CdcApply.UpsertConfig(keepDeletes = false)
+    val b0 = Seq((1, "a", 10L, "c", 0L), (2, "a", 20L, "c", 0L), (3, "b", 5L, "c", 0L))
+      .toDF("id", "grp", "v", "__op", "__source_ts_ns")
+    val src = ManagedTable.create(spark, wh, "f2", b0.schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "10"))
+    src.merge(b0, cfg)
+    val mv = MaterializedView.create(spark, wh, "f2_by_grp", src, Seq("grp"), Seq("v"))
+    assert(canonAgg(mv.read()) == Seq(("a", 30L, 2L), ("b", 5L, 1L)))
+
+    // key 3 moves from b to a; b empties and must DROP from the summary
+    src.merge(Seq((3, "a", 7L, "u", 1L)).toDF("id", "grp", "v", "__op", "__source_ts_ns"), cfg)
+    mv.refresh()
+    assert(canonAgg(mv.read()) == Seq(("a", 37L, 3L)))
+
+    // delete everything: the summary empties entirely
+    src.merge(Seq((1, "a", 0L, "d", 2L), (2, "a", 0L, "d", 2L), (3, "a", 0L, "d", 2L))
+      .toDF("id", "grp", "v", "__op", "__source_ts_ns"), cfg)
+    mv.refresh()
+    assert(mv.read().count() == 0L)
+    assert(canonAgg(mv.read()) == expected(src))
+  }
+
+  test("metadata-only source commits advance the marker without touching data") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mv3").toString
+    val cfg = CdcApply.UpsertConfig(keepDeletes = false)
+    val b0 = Seq((1, "a", 10L, "c", 0L)).toDF("id", "grp", "v", "__op", "__source_ts_ns")
+    val src = ManagedTable.create(spark, wh, "f3", b0.schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "10"))
+    src.merge(b0, cfg)
+    val mv = MaterializedView.create(spark, wh, "f3_by_grp", src, Seq("grp"), Seq("v"))
+    // a data-free commit (rollback to the same state via re-commit):
+    src.merge(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      b0.schema), cfg)
+    assert(src.meta.currentVersion > mv.refreshedVersion)
+    mv.refresh()
+    assert(mv.refreshedVersion == src.meta.currentVersion)
+    assert(canonAgg(mv.read()) == expected(src))
+  }
+}
