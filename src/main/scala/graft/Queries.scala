@@ -179,6 +179,41 @@ object Queries {
       |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
       |FROM r WHERE rn = 1 AND __op <> 'd'""".stripMargin))
 
+  /** Incremental materialized-view maintenance end to end
+    * ([[graft.tables.MaterializedView]]): the CDC slices merge into a
+    * keyed source table and the summary (`group by event_type`) is rolled
+    * forward by ONE refresh per slice — O(changed keys) each, never
+    * re-aggregating — yet must equal the oracle's full aggregate of the
+    * final fold state. Integer sum column so the hash is
+    * order-independent.
+    */
+  val mvIncremental = Q("mv_incremental",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_mv").toString
+      val log = cdcEvents(s, dir)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "events_state",
+        log.drop(Dedup.ArrivalCol).schema, Seq("user_id"),
+        properties = Map("write.versions-retained" -> "10"))
+      val cfg = CdcApply.UpsertConfig(keepDeletes = false, dedupColumn = "ts_us")
+      val cuts = Seq(Long.MinValue, 1705276800000000L, 1706227200000000L, Long.MaxValue)
+      var mv: graft.tables.MaterializedView = null
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        val slice = log.where(col("ts_us") >= lo && col("ts_us") < hi)
+        tbl.merge(Dedup.deduplicate(slice, Seq("user_id"), "ts_us"), cfg)
+        if (mv == null)
+          mv = graft.tables.MaterializedView.create(s, wh, "by_type", tbl,
+            Seq("event_type"), Seq("ts_us"))
+        else mv.refresh()
+      }
+      mv.read()
+    },
+    Some(s"""WITH e AS ($cdcEventsSql),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts_us DESC, $opPrioSql DESC, event_id DESC) AS rn FROM e)
+      |SELECT event_type, sum(ts_us)::BIGINT AS sum_ts_us, count(*) AS n_rows
+      |FROM r WHERE rn = 1 AND __op <> 'd'
+      |GROUP BY event_type""".stripMargin))
+
   val cdcUpsertSoft = Q("cdc_upsert_soft_delete",
     (s, dir) => {
       val batch = cdcEvents(s, dir)
@@ -2786,6 +2821,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcUpsertPartitioned, partitionEvolution,
+    mvIncremental,
     cdcScd2, cdcSnapshotAsOf, cdcReconcile,
     cdcDecode, cdcOpMapping,
     cdcRouting, cdcColumnExclusion, cdcSchemaEvolution, cdcDecodeNested,
