@@ -1328,6 +1328,24 @@ object Queries {
       |    ORDER BY score DESC, doc_id ASC) AS rank FROM scored)
       |SELECT doc_id, score::DOUBLE AS score, rank FROM r WHERE rank <= 25""".stripMargin))
 
+  /** The same BM25 search answered from a PERSISTED inverted index
+    * ([[graft.text.SearchIndex]]): the corpus is tokenized once into a
+    * bucket-partitioned postings table in two incremental waves, then the
+    * query plans against only its terms' buckets — and must reproduce
+    * text_bm25's scan-everything scores bit for bit (same oracle).
+    */
+  val textBm25Indexed = Q("text_bm25_indexed",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+      val docs = t(s, dir, "documents")
+      val idx = graft.text.SearchIndex.create(s, wh, "corpus", termBuckets = 8)
+      idx.addBatch(docs.filter(col("doc_id") % 2 === 0))
+      idx.addBatch(docs.filter(col("doc_id") % 2 === 1))
+      idx.search(Seq("spark", "merge", "window"), topK = 25)
+        .select(col("doc_id"), col("score"), col("rank"))
+    },
+    textBm25.oracle)
+
   /** Per-source corpus cap — at most 20 documents per source, best first
     * by (n_chars desc, doc_id asc): the crawl-curation "domain cap" that
     * stops one hot site from dominating the training mix. Runs the
@@ -2833,7 +2851,8 @@ object Queries {
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
     qFunnel, qHistogram, qIntervalJoin, qRetentionCohort, qEventTransitions,
-    textStats, textLangId, textFingerprint, textTfidf, textBm25, textRepetition,
+    textStats, textLangId, textFingerprint, textTfidf, textBm25, textBm25Indexed,
+    textRepetition,
     textPiiRedact, textQualityFilter, textChunk, textLmScore, textNormalize,
     sampleHash, sampleSplit, sampleLeakageSafeSplit, sampleTokenBudget,
     sampleStratified, sampleGlobalSeq, sampleMixture, sampleWeighted, sampleUpsampled,

@@ -67,6 +67,26 @@ final class MaterializedView private (
     v0
   }
 
+  /** Keep the summary continuously current: follow the source's change
+    * stream ([[ManagedTable.readChangeStream]]) and run [[refresh]] once
+    * per micro-batch. The streamed rows are only the WAKE-UP signal —
+    * refresh reads exact committed versions itself, so the file-level
+    * at-least-once delivery (and the visible-before-commit crash window)
+    * of the change stream cannot affect correctness; a spurious wake-up
+    * is a no-op and exactly-once still comes from the marker riding the
+    * delta commit. Parquet sources only (the change stream's contract).
+    */
+  def follow(checkpointDir: String,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    source.readChangeStream()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) => refresh(); () }
+      .trigger(trigger)
+      .start()
+
   /** Roll the summary forward to the source's current version. Returns
     * the version now reflected. No-op when already current.
     */

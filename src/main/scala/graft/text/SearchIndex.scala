@@ -1,0 +1,142 @@
+package graft.text
+
+import graft.tables.ManagedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, incrementally-maintained inverted text index with BM25
+  * search — the corpus-search analogue of [[graft.dedup.MinHashIndex]]:
+  * [[TextFunctions.bm25Rank]] re-tokenizes the WHOLE corpus per query,
+  * which at 100 TB must happen once, at ingest, not per search.
+  *
+  * Layout (two [[ManagedTable]]s, all the table machinery — snapshots,
+  * time travel, MoR deletes — for free):
+  *  - `<name>_postings` (term, doc_id, tf), identifier (term, doc_id),
+  *    PARTITIONED BY bucket(term): a query prunes to its terms' buckets
+  *    at the manifest level before any file is opened, and PK-ascending
+  *    file sort gives parquet row-group pruning inside each bucket.
+  *  - `<name>_docs` (doc_id, dl): per-document token lengths; corpus
+  *    stats (n_docs, avgdl) are one aggregate over this O(docs) sidecar,
+  *    never over text.
+  *
+  * [[addBatch]] tokenizes ONLY the incoming batch (immutable-doc
+  * contract: ids already indexed are skipped via an id anti-join, like
+  * MinHashIndex.addBatch); [[removeDocs]] retracts a document with MoR
+  * tombstones — O(matched postings), no rewrite. [[search]] reproduces
+  * `bm25Rank`'s arithmetic bit-for-bit (same rounding, same decimal
+  * summation), so an index search equals the scan-everything formulation
+  * exactly — which is what the spec and the driver oracle assert.
+  */
+final class SearchIndex private (val postings: ManagedTable, val docs: ManagedTable) {
+
+  private def spark = postings.spark
+  def termBuckets: Int = postings.meta.properties("search.term-buckets").toInt
+
+  /** Tokenize and index new documents; ids already indexed are skipped.
+    * Returns the number of newly indexed documents.
+    */
+  def addBatch(batch: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): Long = {
+    val safe = coalesce(col(textCol), lit(""))
+    val toks = batch.select(col(idCol).as("doc_id"), TextFunctions.tokens(safe).as("__tk"))
+    // one id anti-join against the pruned doc_id column decides freshness;
+    // localCheckpoint severs the self-reference before the appends below
+    val fresh = toks
+      .join(docs.read().select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true)
+    val post = fresh
+      .select(col("doc_id"), explode(col("__tk")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    postings.append(post)
+    docs.append(fresh.select(col("doc_id"), size(col("__tk")).cast("long").as("dl")))
+    fresh.count()
+  }
+
+  /** Retract documents: tombstone their postings and length rows —
+    * O(matched) MoR commits, nothing rewritten.
+    */
+  def removeDocs(ids: Seq[Any]): Unit = {
+    postings.deleteWhere(col("doc_id").isin(ids: _*))
+    docs.deleteWhere(col("doc_id").isin(ids: _*))
+  }
+
+  /** The postings file groups a query actually reads: manifest-level
+    * bucket pruning (the terms' bucket tuples) — at scale a 3-term query
+    * plans against ≤3 of `termBuckets` partitions.
+    */
+  private def prunedPostings(terms: Seq[String]): DataFrame = {
+    // the same bucket formula PartitionSpecParser stamps into the layout
+    val bucketOf = spark.range(1).select(
+      terms.map(t => pmod(hash(lit(t)), lit(termBuckets)).cast("string").as(t)): _*)
+      .head()
+    val wanted = terms.indices.map(i => bucketOf.getString(i)).toSet
+    postings.readPartitions(p => p.get("term_bucket").exists(wanted.contains))
+  }
+
+  /** BM25 top-k over the index — [[TextFunctions.bm25Rank]]'s exact
+    * arithmetic, with tokenization already paid at ingest and the scan
+    * pruned to the query terms' buckets.
+    */
+  def search(query: Seq[String], topK: Int,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(query.nonEmpty, "BM25 needs at least one query term")
+    val q = query.map(_.toLowerCase).distinct
+    val tf = prunedPostings(q)
+      .filter(col("term").isin(q: _*))
+      .join(docs.read(), "doc_id") // dl rides in; doc-keyed broadcast-or-shuffle by size
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dfreq"))
+    val stats = docs.read().agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(
+          log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0) *
+            (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+          6).cast("decimal(18,6)").as("__c"))
+    val scored = contrib.groupBy("doc_id")
+      .agg(sum(col("__c")).cast("decimal(28,6)").as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(topK)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("score", col("score").cast("double"))
+  }
+}
+
+object SearchIndex {
+
+  import org.apache.spark.sql.types._
+
+  /** Create `<name>_postings` + `<name>_docs`. `termBuckets` fixes the
+    * postings layout for the index's lifetime (it is the pruning unit —
+    * size it so one bucket's postings are a few file groups at target
+    * corpus scale).
+    */
+  def create(spark: SparkSession, warehouse: String, name: String,
+             idType: DataType = LongType, termBuckets: Int = 16): SearchIndex = {
+    require(termBuckets > 0, s"termBuckets must be positive: $termBuckets")
+    val postSchema = StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("doc_id", idType, nullable = false),
+      StructField("tf", LongType, nullable = true)))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", idType, nullable = false),
+      StructField("dl", LongType, nullable = true)))
+    val postings = ManagedTable.create(spark, warehouse, s"${name}_postings",
+      postSchema, identifierFields = Seq("term", "doc_id"),
+      partitionBy = Seq(s"bucket($termBuckets,term)"),
+      properties = Map("search.term-buckets" -> termBuckets.toString))
+    val docs = ManagedTable.create(spark, warehouse, s"${name}_docs",
+      docSchema, identifierFields = Seq("doc_id"))
+    new SearchIndex(postings, docs)
+  }
+
+  def load(spark: SparkSession, warehouse: String, name: String): Option[SearchIndex] =
+    for {
+      p <- ManagedTable.load(spark, warehouse, s"${name}_postings")
+      d <- ManagedTable.load(spark, warehouse, s"${name}_docs")
+    } yield new SearchIndex(p, d)
+}

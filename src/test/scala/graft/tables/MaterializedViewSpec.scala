@@ -87,6 +87,31 @@ class MaterializedViewSpec extends AnyFunSuite with SharedSpark {
     assert(canonAgg(mv.read()) == expected(src))
   }
 
+  test("follow() keeps the summary current across streamed source commits") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mvf").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-mvf-ck").toString
+    val cfg = CdcApply.UpsertConfig(keepDeletes = false)
+    val b0 = Seq((1, "a", 10L, "c", 0L), (2, "b", 20L, "c", 0L))
+      .toDF("id", "grp", "v", "__op", "__source_ts_ns")
+    val src = ManagedTable.create(spark, wh, "ff", b0.schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "10"))
+    src.merge(b0, cfg)
+    val mv = MaterializedView.create(spark, wh, "ff_by_grp", src, Seq("grp"), Seq("v"))
+
+    src.merge(Seq((3, "a", 5L, "c", 1L), (2, "b", 0L, "d", 1L))
+      .toDF("id", "grp", "v", "__op", "__source_ts_ns"), cfg)
+    val q1 = mv.follow(ck)
+    q1.awaitTermination(60000)
+    assert(canonAgg(mv.read()) == expected(src), "follow pass 1 diverged")
+    assert(mv.refreshedVersion == src.meta.currentVersion)
+
+    // more commits, second AvailableNow pass resumes from the checkpoint
+    src.merge(Seq((1, "c", 7L, "u", 2L)).toDF("id", "grp", "v", "__op", "__source_ts_ns"), cfg)
+    val q2 = mv.follow(ck)
+    q2.awaitTermination(60000)
+    assert(canonAgg(mv.read()) == expected(src), "follow pass 2 diverged")
+  }
+
   test("metadata-only source commits advance the marker without touching data") {
     val wh = java.nio.file.Files.createTempDirectory("graft-mv3").toString
     val cfg = CdcApply.UpsertConfig(keepDeletes = false)
