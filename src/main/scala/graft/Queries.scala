@@ -166,10 +166,12 @@ object Queries {
       val cfg = CdcApply.UpsertConfig(keepDeletes = false, dedupColumn = "ts_us")
       val cuts = Seq(Long.MinValue, 1705276800000000L, 1706227200000000L, Long.MaxValue)
       val specs = Seq(None, Some(Seq("bucket(8,user_id)")), Some(Seq.empty[String]))
-      cuts.sliding(2).zip(specs.iterator).foreach { case (Seq(lo, hi), spec) =>
-        spec.foreach(tbl.updatePartitionSpec)
-        val slice = log.where(col("ts_us") >= lo && col("ts_us") < hi)
-        tbl.merge(Dedup.deduplicate(slice, Seq("user_id"), "ts_us"), cfg)
+      cuts.sliding(2).zip(specs.iterator).foreach {
+        case (Seq(lo, hi), spec) =>
+          spec.foreach(tbl.updatePartitionSpec)
+          val slice = log.where(col("ts_us") >= lo && col("ts_us") < hi)
+          tbl.merge(Dedup.deduplicate(slice, Seq("user_id"), "ts_us"), cfg)
+        case _ => ()
       }
       tbl.read().select(cdcCols.map(col): _*)
     },

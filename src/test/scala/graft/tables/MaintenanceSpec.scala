@@ -1,0 +1,81 @@
+package graft.tables
+
+import graft.SharedSpark
+import graft.cdc.CdcApply
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Maintenance]] — the policy ladder must pick the cheapest sufficient
+  * tier from manifest metadata alone, never change the visible state,
+  * and terminate on tables whose steady state exceeds a threshold.
+  */
+class MaintenanceSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def mkTable(wh: String, name: String): ManagedTable = {
+    val schema = Seq((1, "a", "c", 0L)).toDF("id", "v", "__op", "__source_ts_ns").schema
+    ManagedTable.create(spark, wh, name, schema, Seq("id"),
+      properties = Map(
+        "write.mor.compact-after-upserts" -> "0", // manual maintenance only
+        "write.versions-retained" -> "50"))
+  }
+
+  private def trickle(t: ManagedTable, n: Int): Unit =
+    (1 to n).foreach { i =>
+      t.merge(Seq((i % 7, s"v$i", "u", i.toLong)).toDF("id", "v", "__op", "__source_ts_ns"),
+        CdcApply.UpsertConfig(keepDeletes = false))
+    }
+
+  private def state(t: ManagedTable): Seq[(Int, String)] =
+    t.read().select("id", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+
+  test("plan escalates through the tiers; run executes them without changing state") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val t = mkTable(wh, "m1")
+    trickle(t, 12)
+    val before = state(t)
+
+    val p0 = Maintenance.plan(t, Maintenance.Policy(maxTrickleGroups = 4))
+    assert(p0.exists(_.kind == "compactMinor"), s"expected minor tier, got $p0")
+
+    val ran = Maintenance.run(t,
+      Maintenance.Policy(maxTrickleGroups = 4, maxDeleteScopes = 1))
+    assert(ran.map(_.kind).contains("compactMinor"), s"ran: $ran")
+    // after the minor fold the (base + fold) scopes still exceed 1, so
+    // the posdel tier fires next
+    assert(ran.map(_.kind).contains("materializePositionalDeletes"), s"ran: $ran")
+    assert(state(t) == before, "maintenance changed the visible state")
+
+    // a healthy table plans nothing
+    assert(Maintenance.plan(t,
+      Maintenance.Policy(maxTrickleGroups = 4, maxDeleteScopes = 16)).isEmpty)
+  }
+
+  test("live-file tier compacts once and terminates even if the threshold stays exceeded") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-maint2").toString
+    val t = mkTable(wh, "m2")
+    trickle(t, 6)
+    val before = state(t)
+    val ran = Maintenance.run(t, Maintenance.Policy(
+      maxTrickleGroups = 100, maxDeleteScopes = 100, maxLiveFiles = 2))
+    assert(ran.map(_.kind) == Seq("compact"), s"ran: $ran")
+    assert(state(t) == before)
+    // compact folded everything into one data group — now healthy
+    assert(Maintenance.plan(t, Maintenance.Policy(maxLiveFiles = 2)).isEmpty)
+  }
+
+  test("expiry runs when requested, alone or after data tiers") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-maint3").toString
+    val t = mkTable(wh, "m3")
+    trickle(t, 4)
+    val vs = t.versions()
+    assert(vs.size > 2)
+    val cutoff = vs(vs.size - 2)._2 // keep only the last two snapshots
+    val ran = Maintenance.run(t, Maintenance.Policy(
+      maxTrickleGroups = 100, maxDeleteScopes = 100, maxLiveFiles = 1000,
+      expireOlderThanMs = Some(cutoff)))
+    assert(ran.map(_.kind) == Seq("expireSnapshots"), s"ran: $ran")
+    assert(t.versions().size < vs.size)
+  }
+}
