@@ -1974,7 +1974,14 @@ final class ManagedTable private (
         else currentEntries.groupBy(_.partition)
           .collect { case (_, es) if es.size >= minInput => es }.flatten.toSeq
       if (targets.nonEmpty) {
-        val folded = morRead(targets) // tombstones dropped, deletes applied
+        // tombstones dropped, deletes applied — then derived partition
+        // columns RECOMPUTED under the current spec (withColumn replaces):
+        // the fold stamps rows at the new commit seq, i.e. the CURRENT
+        // epoch, and a current-epoch row carrying an older epoch's
+        // formula values would evade later same-epoch delete scopes
+        // (chaos-differential regression)
+        val folded = withPartitionCols(
+          morRead(targets).select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*))
         val seq = _meta.currentVersion + 1
         val newEntries = splitWriteGroups(folded, Manifest.Data, _ => seq, seq)
         commitManifest(currentEntries.filterNot(targets.contains) ++ newEntries)

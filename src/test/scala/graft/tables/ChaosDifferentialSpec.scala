@@ -1,0 +1,94 @@
+package graft.tables
+
+import graft.SharedSpark
+import graft.cdc.CdcApply
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Chaos soak: a long random interleaving of merges, partition-spec
+  * evolutions, maintenance tiers (minor fold / posdel / full compact /
+  * policy driver), and reloads must ALWAYS leave the visible table state
+  * equal to the pure relational CDC fold. This is the differential net
+  * under every table feature added this round at once — each operation
+  * is either state-preserving (maintenance, reload, evolution) or folds
+  * identically on both sides (merge).
+  *
+  * Specs are key-derived (bucket on the identifier), so within-epoch
+  * partition scoping coincides with the fold's global-by-key semantics
+  * and every interleaving stays comparable.
+  */
+class ChaosDifferentialSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private val ops = Vector("c", "i", "r", "u", "d")
+
+  private def randomBatch(rnd: Random, n: Int): DataFrame =
+    List.fill(n)((rnd.nextInt(12), s"p${rnd.nextInt(1000)}", ops(rnd.nextInt(5)),
+      rnd.nextInt(5).toLong))
+      .toDF("id", "name", "__op", "__source_ts_ns")
+
+  private def canon(df: DataFrame): Seq[(Int, String, String, Long)] =
+    df.select("id", "name", "__op", "__source_ts_ns").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
+
+  for (seed <- Seq(101, 202)) {
+    test(s"random merge/evolve/maintain/reload interleaving ≡ relational fold (seed $seed)") {
+      val rnd = new Random(seed)
+      val cfg = CdcApply.UpsertConfig(keepDeletes = false)
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-chaos$seed").toString
+      val schema = randomBatch(rnd, 1).schema
+      var t = ManagedTable.create(spark, wh, "chaos", schema, Seq("id"),
+        partitionBy = Seq("bucket(2,id)"),
+        properties = Map("write.mor.compact-after-upserts" -> "0",
+          "write.versions-retained" -> "3"))
+      var folded = t.read()
+      val specs = Vector(Seq("bucket(2,id)"), Seq("bucket(4,id)"),
+        Seq("bucket(3,id)"), Seq.empty[String])
+      var mergesSinceCheck = 0
+      for (step <- 1 to 30) {
+        rnd.nextInt(8) match {
+          case 0 =>
+            val sp = specs(rnd.nextInt(specs.size))
+            info(s"step $step: evolve -> ${sp.mkString("|")}")
+            t.updatePartitionSpec(sp)
+          case 1 => info(s"step $step: compactMinor"); t.compactMinor()
+          case 2 =>
+            // posdel only applies to never-partitioned tables; exercise the
+            // guard path as part of the chaos (must throw, never corrupt)
+            info(s"step $step: posdel")
+            try t.materializePositionalDeletes()
+            catch { case _: IllegalArgumentException => () }
+          case 3 => info(s"step $step: compact"); t.compact()
+          case 4 =>
+            val mx = 2 + rnd.nextInt(4)
+            info(s"step $step: maintenance max=$mx")
+            Maintenance.run(t, Maintenance.Policy(maxTrickleGroups = mx))
+          case 5 =>
+            info(s"step $step: reload")
+            t = ManagedTable.load(spark, wh, "chaos").get
+          case _ =>
+            info(s"step $step: merge")
+            val batch = randomBatch(rnd, 20)
+            t.merge(batch, cfg)
+            folded = CdcApply.upsert(folded, batch, Seq("id"), cfg).persist()
+            mergesSinceCheck += 1
+        }
+        // checking every step would be O(steps²) plan growth; check after
+        // every mutation cluster instead
+        if (mergesSinceCheck > 0 && step % 3 == 0) {
+          assert(canon(t.read()) == canon(folded), s"diverged at step $step")
+          mergesSinceCheck = 0
+        }
+      }
+      assert(canon(t.read()) == canon(folded), "diverged at end")
+      // final full compact normalizes everything and must not change state
+      t.compact()
+      assert(canon(t.read()) == canon(folded), "final compact changed state")
+      val re = ManagedTable.load(spark, wh, "chaos").get
+      assert(canon(re.read()) == canon(folded), "reload diverged")
+    }
+  }
+}
