@@ -897,6 +897,32 @@ object Queries {
       |FROM nx WHERE next_type IS NOT NULL
       |GROUP BY event_type, next_type""".stripMargin))
 
+  /** Large-scale interval-overlap join via time-bin quantization
+    * ([[graft.operators.IntervalJoin.binnedOverlap]]): derived closed
+    * intervals on two halves of the events table, equi-joined on
+    * (key, bin) with canonical-bin dedup — the plan is a shuffled
+    * equi-join; the oracle is the naive overlap predicate DuckDB can
+    * brute-force at this SF.
+    */
+  val qOverlapJoinBinned = Q("q_overlap_join_binned",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("event_id"),
+        (col("user_id") % 50).as("k"),
+        unix_micros(col("ts")).as("s"))
+        .withColumn("e", col("s") + (col("event_id") % 900 + 100) * 1000000L)
+      val left = ev.filter(col("event_id") % 2 === 0).drop("user_id")
+      val right = ev.filter(col("event_id") % 2 === 1).drop("user_id")
+      graft.operators.IntervalJoin.binnedOverlap(left, right, Seq("k"), "s", "e",
+        binWidth = 1000000000L)
+        .select(col("l_event_id"), col("r_event_id"), col("l_k").as("k"))
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id % 50 AS k, epoch_us(ts) AS s,
+      |    epoch_us(ts) + (event_id % 900 + 100) * 1000000 AS e FROM events),
+      |l AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+      |r AS (SELECT * FROM ev WHERE event_id % 2 = 1)
+      |SELECT l.event_id AS l_event_id, r.event_id AS r_event_id, l.k AS k
+      |FROM l JOIN r ON l.k = r.k AND l.s <= r.e AND r.s <= l.e""".stripMargin))
+
   val qHistogram = Q("q_histogram",
     (s, dir) => events(s, dir)
       .withColumn("bin", floor(col("value") / 50).cast("long"))
@@ -2853,6 +2879,7 @@ object Queries {
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
     qFunnel, qHistogram, qIntervalJoin, qRetentionCohort, qEventTransitions,
+    qOverlapJoinBinned,
     textStats, textLangId, textFingerprint, textTfidf, textBm25, textBm25Indexed,
     textRepetition,
     textPiiRedact, textQualityFilter, textChunk, textLmScore, textNormalize,

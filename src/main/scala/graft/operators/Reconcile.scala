@@ -72,4 +72,42 @@ object Reconcile {
       .where(col("status").isNotNull)
       .select(pks.map(k => coalesce(sk(k), tk(k)).as(k)) :+ col("status"): _*)
   }
+
+  /** Anti-entropy repair: make a [[graft.tables.ManagedTable]] replica
+    * converge to `source` by applying ONE merge built from the diff —
+    * source rows for missing/mismatched keys upsert, extra keys
+    * tombstone. Cost is diff-sized on the write side (the healthy 100 TB
+    * replica's repair writes nothing but the diff), plus the one diff
+    * pass; [[diff]] run again afterwards is empty — the spec's contract.
+    *
+    * `source` must be unique and non-null per key (the CDC upsert
+    * contract — repair goes through the same merge machinery). The diff
+    * keys are pinned with a localCheckpoint before the merge so the fix
+    * is computed against the PRE-repair state, not re-planned mid-write.
+    * Returns (upserted, deleted) key counts.
+    */
+  def repair(table: graft.tables.ManagedTable, source: DataFrame): (Long, Long) = {
+    val pks = table.meta.identifierFields
+    require(pks.nonEmpty, "repair requires a keyed table")
+    val d = diff(source, table.read(), pks).localCheckpoint(true)
+    val upsertKeys = d.filter(col("status") =!= "extra_in_target")
+      .select(pks.map(col): _*)
+    val extraKeys = d.filter(col("status") === "extra_in_target")
+      .select(pks.map(col): _*)
+    val nUp = upsertKeys.count()
+    val nDel = extraKeys.count()
+    if (nUp + nDel == 0) return (0L, 0L)
+    val upserts = source.join(upsertKeys, pks, "left_semi")
+      .withColumn("__repair_del", lit(false))
+    // delete markers carry only the key; payload columns ride as nulls
+    // (the D branch never reads them)
+    val delRows = extraKeys
+      .select(source.columns.toIndexedSeq.map(c =>
+        if (pks.contains(c)) col(c) else lit(null).cast(source.schema(c).dataType).as(c)): _*)
+      .withColumn("__repair_del", lit(true))
+    table.mergeInto(upserts.unionByName(delRows),
+      deleteWhen = Some(col("s.__repair_del")),
+      insertWhen = Some(!col("s.__repair_del")))
+    (nUp, nDel)
+  }
 }

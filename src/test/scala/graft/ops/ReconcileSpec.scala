@@ -91,4 +91,26 @@ class ReconcileSpec extends AnyFunSuite with SharedSpark {
     val d = Reconcile.diff(source, changed, Seq("id")).collect()
     assert(d.length == 1 && d.head.isNullAt(0) && d.head.getString(1) == "mismatch")
   }
+
+  test("repair converges a drifted replica: post-repair diff is empty") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-repair").toString
+    val source = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (5L, "e", 50))
+      .toDF("id", "name", "qty")
+    // replica drifted: 2 mismatched, 3 missing, 4 extra
+    val drifted = Seq((1L, "a", 10), (2L, "B", 99), (4L, "d", 40))
+      .toDF("id", "name", "qty")
+    val t = graft.tables.ManagedTable.create(spark, wh, "replica",
+      source.schema, Seq("id"))
+    t.append(drifted)
+    val (up, del) = Reconcile.repair(t, source)
+    assert(up == 3L && del == 1L, s"counts: up=$up del=$del") // 2,3,5 upsert; 4 deleted
+    assert(Reconcile.diff(source, t.read(), Seq("id")).isEmpty, "replica still drifted")
+    val rows = t.read().collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (5L, "e", 50)))
+    // healthy replica: repair is a no-op and burns no snapshot version
+    val v = t.meta.currentVersion
+    assert(Reconcile.repair(t, source) == ((0L, 0L)))
+    assert(t.meta.currentVersion == v)
+  }
 }
