@@ -112,6 +112,38 @@ class MaterializedViewSpec extends AnyFunSuite with SharedSpark {
     assert(canonAgg(mv.read()) == expected(src), "follow pass 2 diverged")
   }
 
+  test("MV over MV: a (day, month) → month rollup chain refreshes through both levels") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mvchain").toString
+    val cfg = CdcApply.UpsertConfig(keepDeletes = false)
+    val b0 = Seq((1, "d01", "m1", 10L, "c", 0L), (2, "d02", "m1", 20L, "c", 0L),
+      (3, "d03", "m2", 5L, "c", 0L))
+      .toDF("id", "day", "month", "v", "__op", "__source_ts_ns")
+    val src = ManagedTable.create(spark, wh, "fx", b0.schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "10"))
+    src.merge(b0, cfg)
+    // level 1: per-(day, month); its summary is itself a keyed ManagedTable,
+    // so level 2 stacks on top with zero new machinery
+    val daily = MaterializedView.create(spark, wh, "fx_daily", src,
+      Seq("day", "month"), Seq("v"))
+    val monthly = MaterializedView.create(spark, wh, "fx_monthly", daily.summary,
+      Seq("month"), Seq("sum_v"))
+    def monthState() = monthly.read().select("month", "sum_sum_v", "n_rows")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(monthState() == Seq(("m1", 30L, 2L), ("m2", 5L, 1L)))
+
+    // a delete that empties a day, an update, an insert into a new month
+    src.merge(Seq((2, "d02", "m1", 0L, "d", 1L), (1, "d01", "m1", 15L, "u", 1L),
+      (4, "d09", "m3", 9L, "c", 1L))
+      .toDF("id", "day", "month", "v", "__op", "__source_ts_ns"), cfg)
+    daily.refresh()
+    monthly.refresh()
+    assert(monthState() == Seq(("m1", 15L, 1L), ("m2", 5L, 1L), ("m3", 9L, 1L)))
+    // chain equals full recompute from the base facts
+    val full = src.read().groupBy("month").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(monthState().map(t => (t._1, t._2)) == full.map(t => (t._1, t._2)))
+  }
+
   test("metadata-only source commits advance the marker without touching data") {
     val wh = java.nio.file.Files.createTempDirectory("graft-mv3").toString
     val cfg = CdcApply.UpsertConfig(keepDeletes = false)
