@@ -329,6 +329,23 @@ final class ManagedTable private (
     readVersion(at.last._1)
   }
 
+  /** Classified row-level diff between two retained snapshots — "what
+    * changed between v1 and v2" as keys + status (`added` / `removed` /
+    * `changed`), built on [[graft.operators.Reconcile.diff]]'s diff-sized
+    * full-outer join of the two snapshot scans. Complements
+    * [[readChangesBetween]] (the raw per-commit changelog) with the NET
+    * answer auditors actually ask for.
+    */
+  def diffVersions(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(_meta.identifierFields.nonEmpty, "diffVersions needs a keyed table")
+    graft.operators.Reconcile
+      .diff(readVersion(toVersion), readVersion(fromVersion), _meta.identifierFields)
+      .withColumn("status",
+        when(col("status") === "missing_in_target", "added")
+          .when(col("status") === "extra_in_target", "removed")
+          .otherwise("changed"))
+  }
+
   /** Roll the table back to a retained snapshot (Iceberg's
     * `rollback_to_snapshot`): version v's manifest entries are
     * re-committed as a NEW version through the normal claim + pointer

@@ -16,6 +16,29 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     q.fn(spark, sf).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  test("q_overlap_join_binned: equi-join on (key, bin), never a nested loop") {
+    val p = plan(Queries.qOverlapJoinBinned)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("sample_temperature: data-derived factors broadcast back to the corpus") {
+    val p = plan(Queries.sampleTemperature)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dedup_url: canonicalize is map-side into one hash aggregation, no join") {
+    val p = plan(Queries.dedupUrl)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("cohort/transition queries: aggregation plans, no cartesian") {
+    for (q <- Seq(Queries.qRetentionCohort, Queries.qEventTransitions)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), s"${q.name}:\n$p")
+    }
+  }
+
   test("q1_agg: shipdate filter is pushed to the parquet scan") {
     val p = plan(Queries.q1Agg)
     assert(p.contains("PushedFilters"), p)

@@ -76,4 +76,22 @@ class RollbackSpec extends AnyFunSuite with SharedSpark {
     t.rollbackTo(t.tags()("good"))
     assert(t.read().collect().map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
   }
+
+  test("diffVersions classifies added/removed/changed between snapshots") {
+    val w = wh
+    val df = Seq((1, "a", "c", 0L), (2, "b", "c", 0L), (3, "x", "c", 0L))
+      .toDF("id", "v", "__op", "__source_ts_ns")
+    val t = ManagedTable.create(spark, w, "dv", df.schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "10"))
+    t.merge(df, graft.cdc.CdcApply.UpsertConfig(keepDeletes = false))
+    val v1 = t.meta.currentVersion
+    t.merge(Seq((2, "B", "u", 1L), (3, "x", "d", 1L), (4, "d", "c", 1L))
+      .toDF("id", "v", "__op", "__source_ts_ns"),
+      graft.cdc.CdcApply.UpsertConfig(keepDeletes = false))
+    val d = t.diffVersions(v1, t.meta.currentVersion).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(d == Seq((2, "changed"), (3, "removed"), (4, "added")), s"diff: $d")
+    // identical snapshots diff to nothing
+    assert(t.diffVersions(t.meta.currentVersion, t.meta.currentVersion).isEmpty)
+  }
 }
