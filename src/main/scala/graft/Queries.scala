@@ -479,6 +479,34 @@ object Queries {
       get_json_object(col("props"), "$.k").cast("long").as("k")),
     Some("SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events"))
 
+  /** Array-function family over a deterministic integer list per
+    * document: sort, distinct-count, membership, max, and a fold sum —
+    * the collection-expression surface (F11's scalar cousin). The array
+    * itself exports as a joined string so the driver hash stays on
+    * scalar columns.
+    */
+  val fnArray = Q("fn_array",
+    (s, dir) => {
+      val a = array(col("n_chars") % 7, col("n_chars") % 5,
+        col("n_chars") % 3, col("doc_id") % 11)
+      t(s, dir, "documents").select(col("doc_id"), a.as("a"))
+        .select(col("doc_id"),
+          array_join(sort_array(col("a")), ",").as("sorted_str"),
+          size(array_distinct(col("a"))).cast("long").as("n_distinct"),
+          array_contains(col("a"), 3L).as("has3"),
+          array_max(col("a")).as("amax"),
+          aggregate(col("a"), lit(0L), (acc, x) => acc + x).as("asum"))
+    },
+    Some("""WITH d AS (SELECT doc_id,
+      |  [n_chars % 7, n_chars % 5, n_chars % 3, doc_id % 11] AS a FROM documents)
+      |SELECT doc_id,
+      |  array_to_string(list_sort(a), ',') AS sorted_str,
+      |  len(list_distinct(a))::BIGINT AS n_distinct,
+      |  list_contains(a, 3) AS has3,
+      |  list_max(a) AS amax,
+      |  list_sum(a)::BIGINT AS asum
+      |FROM d""".stripMargin))
+
   val fnString = Q("fn_string",
     (s, dir) => t(s, dir, "documents").select(
       col("doc_id"),
@@ -922,6 +950,29 @@ object Queries {
       |r AS (SELECT * FROM ev WHERE event_id % 2 = 1)
       |SELECT l.event_id AS l_event_id, r.event_id AS r_event_id, l.k AS k
       |FROM l JOIN r ON l.k = r.k AND l.s <= r.e AND r.s <= l.e""".stripMargin))
+
+  /** Ranking-function family over a per-user event ordering: dense_rank,
+    * ntile quartiles, percent_rank, cume_dist — integer-position
+    * arithmetic on a tie-free ordering, so both engines agree exactly
+    * (percent_rank/cume_dist are single exact divisions).
+    */
+  val qRankFunctions = Q("q_rank_functions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir).select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("rnk", dense_rank().over(w).cast("long"))
+        .withColumn("q4", ntile(4).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .drop("ts")
+    },
+    Some("""SELECT user_id, event_id,
+      |  dense_rank() OVER w AS rnk,
+      |  ntile(4) OVER w AS q4,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin))
 
   val qHistogram = Q("q_histogram",
     (s, dir) => events(s, dir)
@@ -2871,7 +2922,7 @@ object Queries {
     cdcScd2, cdcSnapshotAsOf, cdcReconcile,
     cdcDecode, cdcOpMapping,
     cdcRouting, cdcColumnExclusion, cdcSchemaEvolution, cdcDecodeNested,
-    fnTemporal, fnTemporalModes, fnJson, fnString, fnHash, fnVariant, fnDecimalPrecise, fnUuid,
+    fnTemporal, fnTemporalModes, fnJson, fnString, fnArray, fnHash, fnVariant, fnDecimalPrecise, fnUuid,
     partitionTransforms,
     q1Agg, qJoinDims, qJoinFact, qTopkWindow, qAnalyticWindow, qSortLimit,
     qSetOps, qRollup, qGroupingSets, qRangeFrameWindow, qLateralTopk,
@@ -2879,7 +2930,7 @@ object Queries {
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
     qFunnel, qHistogram, qIntervalJoin, qRetentionCohort, qEventTransitions,
-    qOverlapJoinBinned,
+    qOverlapJoinBinned, qRankFunctions,
     textStats, textLangId, textFingerprint, textTfidf, textBm25, textBm25Indexed,
     textRepetition,
     textPiiRedact, textQualityFilter, textChunk, textLmScore, textNormalize,

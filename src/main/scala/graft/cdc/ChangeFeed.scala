@@ -46,7 +46,8 @@ object ChangeFeed {
   }
 
   private def fieldNode(mapper: com.fasterxml.jackson.databind.ObjectMapper,
-                        name: String, dt: DataType, optional: Boolean)
+                        name: String, dt: DataType, optional: Boolean,
+                        nested: Boolean = false)
       : com.fasterxml.jackson.databind.node.ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("field", name)
@@ -55,13 +56,25 @@ object ChangeFeed {
       case s: StructType =>
         n.put("type", "struct")
         val fs = n.putArray("fields")
-        s.fields.foreach(f => fs.add(fieldNode(mapper, f.name, f.dataType, f.nullable)))
+        s.fields.foreach(f =>
+          fs.add(fieldNode(mapper, f.name, f.dataType, f.nullable, nested = true)))
       case a: ArrayType =>
         n.put("type", "array")
-        val item = fieldNode(mapper, "item", a.elementType, a.containsNull)
+        val item = fieldNode(mapper, "item", a.elementType, a.containsNull, nested = true)
         item.remove("field")
         n.set[com.fasterxml.jackson.databind.JsonNode]("items", item)
       case other =>
+        // payload conversion (epoch days/micros, decimal-as-string) only
+        // runs on TOP-LEVEL columns; a nested temporal/decimal would
+        // export as to_json's ISO text while the schema promises the
+        // converted form — refuse instead of emitting a lying schema
+        if (nested) other match {
+          case DateType | _: TimestampType | _: TimestampNTZType | _: DecimalType =>
+            throw new IllegalArgumentException(
+              s"unsupported nested export type ${other.catalogString} in '$name' " +
+                "(dates/timestamps/decimals are supported at the top level only)")
+          case _ => ()
+        }
         val (t, logical) = connectType(other)
         n.put("type", t)
         logical.foreach(n.put("name", _))

@@ -68,6 +68,36 @@ class ChangeFeedSpec extends AnyFunSuite with SharedSpark {
     assert(!replica.select("id").as[Long].collect().contains(2L))
   }
 
+  test("array and struct columns round-trip; nested temporals are refused") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-feed3").toString
+    val b = Seq((1L, Seq(1, 2, 3), ("x", 9L), "c", 0L))
+      .toDF("id", "nums", "meta", "__op", "__source_ts_ns")
+    val t = ManagedTable.create(spark, wh, "nested", b.schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "10"))
+    t.merge(b, CdcApply.UpsertConfig(keepDeletes = false))
+    val env = ChangeFeed.envelopes(t, 0L, t.meta.currentVersion, "g.db.n")
+      .localCheckpoint(true)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows = env.collect()
+    val inferred = EventDecoder.infer(
+      rows.map(r => mapper.readTree(r.getString(2)).get("schema").toString).distinct.toSeq,
+      Some(mapper.readTree(rows.head.getString(1)).get("schema").toString))
+    val typed = EventDecoder.decode(env, inferred)
+    val got = typed.select("id", "nums", "meta._1", "meta._2").collect().head
+    assert(got.getLong(0) == 1L)
+    assert(got.getSeq[Int](1) == Seq(1, 2, 3))
+    assert(got.getString(2) == "x" && got.getLong(3) == 9L)
+
+    // nested timestamp refused with a clear error, not a lying schema
+    val b2 = Seq((1L, Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")), "c", 0L))
+      .toDF("id", "times", "__op", "__source_ts_ns")
+    val t2 = ManagedTable.create(spark, wh, "badnested", b2.schema, Seq("id"))
+    t2.merge(b2, CdcApply.UpsertConfig(keepDeletes = false))
+    val e = intercept[IllegalArgumentException](
+      ChangeFeed.envelopes(t2, 0L, t2.meta.currentVersion, "g.db.b"))
+    assert(e.getMessage.contains("nested"))
+  }
+
   test("incremental feed: a consumer following (v, v'] windows converges identically") {
     val wh = java.nio.file.Files.createTempDirectory("graft-feed2").toString
     val t = mkSource(wh)
