@@ -34,6 +34,71 @@ class ChaosDifferentialSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
 
+  for (seed <- Seq(7, 23)) {
+    test(s"model-based chaos: DML + rollback + WAP + maintenance ≡ tracked model (seed $seed)") {
+      val rnd = new Random(seed)
+      val cfg = CdcApply.UpsertConfig(keepDeletes = false)
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-mchaos$seed").toString
+      val schema = randomBatch(rnd, 1).schema
+      var t = ManagedTable.create(spark, wh, "mchaos", schema, Seq("id"),
+        partitionBy = Seq("bucket(2,id)"),
+        properties = Map("write.mor.compact-after-upserts" -> "0",
+          "write.versions-retained" -> "8"))
+      var model = t.read()
+      // model snapshot per committed version — the rollback oracle
+      val byVersion = scala.collection.mutable.Map(t.meta.currentVersion -> model)
+      def record(): Unit = byVersion(t.meta.currentVersion) = model
+      for (step <- 1 to 40) {
+        rnd.nextInt(10) match {
+          case 0 =>
+            t.updatePartitionSpec(
+              Vector(Seq("bucket(2,id)"), Seq("bucket(4,id)"), Seq.empty[String])(rnd.nextInt(3)))
+          case 1 => t.compactMinor(); record()
+          case 2 => t.compact(); record()
+          case 3 =>
+            Maintenance.run(t, Maintenance.Policy(maxTrickleGroups = 2 + rnd.nextInt(3)))
+            record()
+          case 4 => t = ManagedTable.load(spark, wh, "mchaos").get
+          case 5 => // row-level DELETE mirrored on the model
+            val cut = s"p${rnd.nextInt(1000)}"
+            t.deleteWhere(col("name") < cut)
+            model = model.filter(!(col("name") < cut)).persist()
+            record()
+          case 6 => // row-level UPDATE (non-key, non-partition column)
+            val cut = s"p${rnd.nextInt(1000)}"
+            t.updateWhere(col("name") >= cut,
+              Map("__op" -> concat(col("__op"), lit("x"))))
+            model = model.withColumn("__op",
+              when(col("name") >= cut, concat(col("__op"), lit("x")))
+                .otherwise(col("__op"))).persist()
+            record()
+          case 7 => // rollback to a retained, tracked version
+            val retained = t.versions().map(_._1).filter(v =>
+              byVersion.contains(v) && v != t.meta.currentVersion)
+            if (retained.nonEmpty) {
+              val v = retained(rnd.nextInt(retained.size))
+              t.rollbackTo(v)
+              model = byVersion(v)
+              record()
+            }
+          case 8 => // WAP stage + abandon: must be invisible end to end
+            t.stageAppend(randomBatch(rnd, 5), s"wip$step")
+            t.abandonBranch(s"wip$step")
+          case _ =>
+            val batch = randomBatch(rnd, 15)
+            t.merge(batch, cfg)
+            model = CdcApply.upsert(model, batch, Seq("id"), cfg).persist()
+            record()
+        }
+        if (step % 4 == 0)
+          assert(canon(t.read()) == canon(model), s"diverged at step $step")
+      }
+      assert(canon(t.read()) == canon(model), "diverged at end")
+      val re = ManagedTable.load(spark, wh, "mchaos").get
+      assert(canon(re.read()) == canon(model), "reload diverged")
+    }
+  }
+
   for (seed <- Seq(101, 202)) {
     test(s"random merge/evolve/maintain/reload interleaving ≡ relational fold (seed $seed)") {
       val rnd = new Random(seed)
