@@ -938,8 +938,8 @@ object Queries {
         (col("user_id") % 50).as("k"),
         unix_micros(col("ts")).as("s"))
         .withColumn("e", col("s") + (col("event_id") % 900 + 100) * 1000000L)
-      val left = ev.filter(col("event_id") % 2 === 0).drop("user_id")
-      val right = ev.filter(col("event_id") % 2 === 1).drop("user_id")
+      val left = ev.filter(col("event_id") % 2 === 0)
+      val right = ev.filter(col("event_id") % 2 === 1)
       graft.operators.IntervalJoin.binnedOverlap(left, right, Seq("k"), "s", "e",
         binWidth = 1000000000L)
         .select(col("l_event_id"), col("r_event_id"), col("l_k").as("k"))
@@ -1757,14 +1757,17 @@ object Queries {
       |c2 AS (SELECT event_id,
       |        lower(regexp_extract(nofrag, '^([^/?#]*//[^/?#]*)', 1)) AS pre,
       |        regexp_replace(nofrag, '^[^/?#]*//[^/?#]*', '') AS rest FROM c1),
-      |c3 AS (SELECT event_id, regexp_replace(pre, ':(443|80)$', '') AS pre2,
+      |c3 AS (SELECT event_id,
+      |        regexp_replace(regexp_replace(pre, '^(https://[^/?#:]*):443$', '\1'),
+      |          '^(http://[^/?#:]*):80$', '\1') AS pre2,
       |        regexp_replace(rest, '([?&])(utm_[^&=]*|gclid|fbclid)=[^&]*', '\1', 'g') AS r1
       |       FROM c2),
       |c4 AS (SELECT event_id, pre2,
       |        regexp_replace(regexp_replace(r1, '\?&+', '?'), '&&+', '&', 'g') AS r2 FROM c3),
+      |c4b AS (SELECT event_id, pre2, regexp_replace(r2, '/+\?', '?') AS r3 FROM c4),
       |c5 AS (SELECT event_id, pre2 ||
-      |        regexp_replace(regexp_replace(regexp_replace(r2, '/+\?', '?'),
-      |          '/+$', ''), '[?&]+$', '') AS curl FROM c4)
+      |        regexp_replace(CASE WHEN strpos(r3, '?') > 0 THEN r3
+      |          ELSE regexp_replace(r3, '/+$', '') END, '[?&]+$', '') AS curl FROM c4b)
       |SELECT curl, min(event_id) AS first_event_id, count(*) AS n_dups
       |FROM c5 GROUP BY curl""".stripMargin))
 

@@ -182,8 +182,11 @@ object Sampling {
     val factors = counts.crossJoin(broadcast(cmax))
       .withColumn("__gf", least(lit(factorCap),
         sqrt(col("__gmax").cast("double") / col("__gn").cast("double"))))
-      .select(col(groupCol), col("__gf"))
-    val joined = df.join(broadcast(factors), Seq(groupCol))
+      .select(col(groupCol).as("__tg"), col("__gf"))
+    // null-safe group match: a NULL group is a real group with a real
+    // count/factor (an inner equi-join would silently drop its rows)
+    val joined = df.join(broadcast(factors), col(groupCol) <=> col("__tg"))
+      .drop("__tg")
     val whole = floor(col("__gf")).cast("int")
     val extra = (bucket(col(keyCol), seed) <
       floor((col("__gf") - floor(col("__gf"))) * 10000)).cast("int")

@@ -45,23 +45,35 @@ object Maintenance {
     val byKind = files.groupBy(_.getString(1))
     val upserts = byKind.getOrElse(Manifest.Upsert, Array.empty)
     val actions = Seq.newBuilder[Action]
+    // A tuple's lowest-seq entry is the base readers never anti-join
+    // against (nothing older exists for it to hide) — exclude it from
+    // both read-amplification metrics, matching morResolve's skip.
+    val minSeqByTuple = files.groupBy(_.getAs[Map[String, String]]("partition"))
+      .map { case (p, es) => p -> es.map(_.getLong(2)).min }
+    def isBase(r: org.apache.spark.sql.Row) =
+      r.getLong(2) == minSeqByTuple(r.getAs[Map[String, String]]("partition"))
     // tier 2: trickle depth per partition tuple (distinct upsert commits
     // above the tuple's base — the delete-side breadth a read pays)
     val trickleDepth =
       if (upserts.isEmpty) 0
       else upserts.groupBy(_.getAs[Map[String, String]]("partition"))
-        .map(_._2.map(_.getLong(2)).distinct.size).max
+        .map(_._2.filterNot(isBase).map(_.getLong(2)).distinct.size).max
     if (trickleDepth > policy.maxTrickleGroups)
       actions += Action("compactMinor",
         s"trickle depth $trickleDepth > ${policy.maxTrickleGroups}")
-    // tier 3: equality scopes a read must still anti-join — scopes at or
-    // below the newest posdel sidecar's seq are already absorbed
-    // (unpartitioned tables only; partitioned scopes are per-tuple and
-    // bounded by tier 2)
+    // tier 3: equality scopes a read must still anti-join — the base and
+    // scopes at or below the newest posdel sidecar's seq are already
+    // skipped/absorbed. Never-partitioned tables only: prior spec epochs
+    // leave partition-scoped deletes the sidecar cannot express (the
+    // epoch history clears at the first full compact once old snapshots
+    // age out).
     val appliedUpTo = byKind.getOrElse(Manifest.PosDel, Array.empty)
       .map(_.getLong(2)).maxOption.getOrElse(Long.MinValue)
-    val scopes = upserts.map(_.getLong(2)).distinct.count(_ > appliedUpTo)
-    if (table.meta.partitionBy.isEmpty && scopes > policy.maxDeleteScopes)
+    val scopes = upserts.filterNot(isBase).map(_.getLong(2)).distinct
+      .count(_ > appliedUpTo)
+    val neverPartitioned = table.meta.partitionBy.isEmpty &&
+      !table.meta.properties.contains(ManagedTable.SpecHistoryKey)
+    if (neverPartitioned && scopes > policy.maxDeleteScopes)
       actions += Action("materializePositionalDeletes",
         s"$scopes live delete scopes > ${policy.maxDeleteScopes}")
     // tier 4: live file-group count (manifest entries stand in for file

@@ -362,7 +362,7 @@ final class ManagedTable private (
       throw new IllegalArgumentException(
         s"no retained manifest for version $v of ${_meta.name} — " +
           "rollback targets must be retained snapshots"))
-    commitManifest(entries)
+    commitManifestWithProps(entries, barrierProp)
   }
 
   /** Snapshot tags — named, immutable refs to snapshot versions (the
@@ -1607,6 +1607,45 @@ final class ManagedTable private (
         s"table ${_meta.name}: commit claim for version $v was fenced " +
           "(lease expired and another writer took over); reload and retry")
 
+  /** Commit with metadata properties riding the SAME pointer flip (or
+    * rolled back with it) — the changelog-barrier stamp and similar
+    * markers must never outlive a failed commit in the handle.
+    */
+  private def commitManifestWithProps(entries: Seq[ManifestEntry],
+                                      props: Map[String, String]): Unit = {
+    val prev = _meta
+    _meta = _meta.copy(properties = _meta.properties ++ props)
+    try commitManifest(entries)
+    catch { case t: Throwable => _meta = prev; throw t }
+  }
+
+  /** Stamp for non-incremental state rewrites (full compact, overwrite,
+    * rollback): changelog consumers whose `fromVersion` predates the
+    * barrier cannot reconstruct deltas from [[readChangesBetween]] and
+    * must rebuild (see [[MaterializedView.refresh]]).
+    */
+  private def barrierProp: Map[String, String] =
+    Map(ManagedTable.BarrierKey -> (_meta.currentVersion + 1).toString)
+
+  /** Drop the partition-spec epoch history once NOTHING retained still
+    * references an old-epoch file group — every retained manifest's and
+    * branch's entries are current-epoch (a full compact normalizes the
+    * live snapshot; retention/expiry ages out the rest). After this,
+    * reads stop paying the epoch CASE, the physical schema sheds dead
+    * derived columns, and positional-delete sidecars become legal again.
+    */
+  private def maybeClearSpecHistory(): Unit = {
+    if (specHistory.isEmpty) return
+    val allEntries = versions().flatMap { case (v, _) =>
+      Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty)
+    } ++ liveBranchEntries
+    if (allEntries.forall(e => entryEpoch(e.seq) == currentEpoch)) {
+      requireCurrentPointer()
+      _meta = _meta.copy(properties = _meta.properties - ManagedTable.SpecHistoryKey)
+      writeMeta()
+    }
+  }
+
   private def commitManifest(entries: Seq[ManifestEntry]): Unit = {
     requireCurrentPointer()
     val retainPrev = versionsRetained // validate BEFORE any mutation
@@ -1795,7 +1834,7 @@ final class ManagedTable private (
       if (isPartitioned)
         splitWriteGroups(withPartitionCols(conformed), Manifest.Data, _ => seq, seq)
       else writeGroup(sortForWrite(conformed), Manifest.Data, seq).toSeq
-    commitManifest(entries)
+    commitManifestWithProps(entries, barrierProp)
   }
 
   /** D6 — union-by-name evolution; commits metadata only on change.
@@ -2001,7 +2040,8 @@ final class ManagedTable private (
           morRead(targets).select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*))
         val seq = _meta.currentVersion + 1
         val newEntries = splitWriteGroups(folded, Manifest.Data, _ => seq, seq)
-        commitManifest(currentEntries.filterNot(targets.contains) ++ newEntries)
+        commitManifestWithProps(
+          currentEntries.filterNot(targets.contains) ++ newEntries, barrierProp)
       }
     } else {
       // Fold the MoR view (deletes applied, tombstones dropped) into one
@@ -2025,9 +2065,10 @@ final class ManagedTable private (
         val folded = read().repartition(nFiles)
         val seq = _meta.currentVersion + 1
         val entry = writeGroup(sortForWrite(folded), Manifest.Data, seq)
-        commitManifest(entry.toSeq)
+        commitManifestWithProps(entry.toSeq, barrierProp)
       }
     }
+    maybeClearSpecHistory()
     (before, liveFiles())
   }
 
@@ -2092,7 +2133,7 @@ final class ManagedTable private (
         ManifestEntry(rel, Manifest.Data, seq, stats,
           rows = row.getAs[Long]("__n"))
       }
-      commitManifest(entries)
+      commitManifestWithProps(entries, barrierProp)
     } finally fs.delete(staging, true)
   }
 
@@ -2122,6 +2163,13 @@ object ManagedTable {
     * with seq <= boundaryVersion were written under that spec.
     */
   val SpecHistoryKey = "partition.spec.history"
+
+  /** Version of the last NON-INCREMENTAL state rewrite (full compact /
+    * overwrite / rollback) — the changelog history barrier: incremental
+    * consumers whose `fromVersion` predates it must rebuild instead of
+    * reading deltas.
+    */
+  val BarrierKey = "changelog.barrier-version"
 
   /** Commit-sequence-number column stamped into every MoR file group. */
   val SeqCol = "__graft_seq"

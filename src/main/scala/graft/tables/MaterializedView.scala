@@ -48,8 +48,13 @@ final class MaterializedView private (
   /** The maintained aggregate (a plain table read — no source work). */
   def read(): DataFrame = summary.read()
 
+  // NULL sum inputs count as 0 in BOTH the seed aggregate and the delta
+  // (sum_<c> is "total of coalesced values"): plain SQL SUM would go NULL
+  // for an all-NULL group while the incremental add cannot distinguish
+  // "no non-null values ever" without extra per-column state — coalescing
+  // consistently keeps reseed() and refresh() exactly equivalent.
   private def aggOf(df: DataFrame): DataFrame = {
-    val aggs = sumCols.map(c => sum(col(c)).as(s"sum_$c")) :+
+    val aggs = sumCols.map(c => sum(coalesce(col(c), lit(0))).as(s"sum_$c")) :+
       count(lit(1)).as("n_rows")
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -95,22 +100,37 @@ final class MaterializedView private (
     val to = source.meta.currentVersion
     if (from < 0) return reseed()
     if (to == from) return to
+    // Changelog barriers: a full compact / overwrite / rollback inside
+    // (from, to] rewrites state NON-incrementally (tombstones dropped,
+    // old seqs re-committed), so the per-commit delta below would miss
+    // retractions. The table stamps `changelog.barrier-version` at those
+    // commits; crossing one falls back to a full reseed.
+    val barrier = source.meta.properties
+      .get(ManagedTable.BarrierKey).map(_.toLong).getOrElse(Long.MinValue)
+    if (barrier > from) return reseed()
     val ids = source.meta.identifierFields
-    val changedKeys = source.readChangesBetween(from, to)
-      .select(ids.map(col): _*).distinct()
-    val sign = (df: DataFrame, s: Int) => df
-      .join(changedKeys, ids, "left_semi")
-      .select((groupCols.map(col) ++ sumCols.map(col)) :+ lit(s).as("__sign"): _*)
-    val deltaAggs = sumCols.map(c =>
-      sum(col(c) * col("__sign")).as(s"sum_$c")) :+
-      sum(col("__sign")).as("n_rows")
-    // delta rows wear the SUMMARY schema's names: for an unmatched group
-    // the delta IS the new absolute value (insert), for a matched group
-    // mergeInto's updateSet adds it onto the current row
-    val delta = sign(source.readVersion(from), -1)
-      .unionByName(sign(source.readVersion(to), 1))
-      .groupBy(groupCols.map(col): _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val delta =
+      try {
+        val changedKeys = source.readChangesBetween(from, to)
+          .select(ids.map(col): _*).distinct()
+        val sign = (df: DataFrame, s: Int) => df
+          .join(changedKeys, ids, "left_semi")
+          .select((groupCols.map(col) ++ sumCols.map(col)) :+ lit(s).as("__sign"): _*)
+        val deltaAggs = sumCols.map(c =>
+          sum(coalesce(col(c), lit(0)) * col("__sign")).as(s"sum_$c")) :+
+          sum(col("__sign")).as("n_rows")
+        // delta rows wear the SUMMARY schema's names: for an unmatched group
+        // the delta IS the new absolute value (insert), for a matched group
+        // mergeInto's updateSet adds it onto the current row
+        sign(source.readVersion(from), -1)
+          .unionByName(sign(source.readVersion(to), 1))
+          .groupBy(groupCols.map(col): _*)
+          .agg(deltaAggs.head, deltaAggs.tail: _*)
+      } catch {
+        // retention lost the from-version manifest (refresh lag exceeded
+        // write.versions-retained): the documented fallback is a rebuild
+        case _: IllegalArgumentException => return reseed()
+      }
     if (delta.isEmpty) {
       // nothing changed in (from, to] (metadata-only commits): advance the
       // marker alone — with no delta there is nothing a replay could
@@ -119,7 +139,8 @@ final class MaterializedView private (
       return to
     }
     val updates = sumCols.map(c =>
-      s"sum_$c" -> (coalesce(col(s"t.sum_$c"), lit(0)) + col(s"s.sum_$c"))).toMap +
+      s"sum_$c" -> (coalesce(col(s"t.sum_$c"), lit(0)) +
+        coalesce(col(s"s.sum_$c"), lit(0)))).toMap +
       ("n_rows" -> (coalesce(col("t.n_rows"), lit(0L)) + col("s.n_rows")))
     summary.mergeInto(delta,
       updateSet = updates,

@@ -32,23 +32,33 @@ final class SearchIndex private (val postings: ManagedTable, val docs: ManagedTa
   private def spark = postings.spark
   def termBuckets: Int = postings.meta.properties("search.term-buckets").toInt
 
-  /** Tokenize and index new documents; ids already indexed are skipped.
-    * Returns the number of newly indexed documents.
+  /** Tokenize and index new documents; ids already indexed (and duplicate
+    * ids WITHIN the batch) are skipped. Returns the number of newly
+    * indexed documents.
+    *
+    * Crash-idempotent: both writes are keyed MERGES (replace-by-key), and
+    * postings land BEFORE the docs row that marks the id as indexed — a
+    * retry after any crash re-merges identical rows instead of appending
+    * duplicates, so tf/dfreq/n_docs can never double.
     */
   def addBatch(batch: DataFrame, textCol: String = "text",
                idCol: String = "doc_id"): Long = {
     val safe = coalesce(col(textCol), lit(""))
     val toks = batch.select(col(idCol).as("doc_id"), TextFunctions.tokens(safe).as("__tk"))
+      .dropDuplicates("doc_id")
     // one id anti-join against the pruned doc_id column decides freshness;
-    // localCheckpoint severs the self-reference before the appends below
+    // localCheckpoint severs the self-reference before the merges below
     val fresh = toks
       .join(docs.read().select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(eager = true)
     val post = fresh
       .select(col("doc_id"), explode(col("__tk")).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-    postings.append(post)
-    docs.append(fresh.select(col("doc_id"), size(col("__tk")).cast("long").as("dl")))
+    // keepDeletes=true + runDedup=false = plain replace-by-key upsert
+    // with no __op column required
+    val cfg = graft.cdc.CdcApply.UpsertConfig(keepDeletes = true, runDedup = false)
+    postings.merge(post, cfg)
+    docs.merge(fresh.select(col("doc_id"), size(col("__tk")).cast("long").as("dl")), cfg)
     fresh.count()
   }
 

@@ -31,12 +31,21 @@ object UrlOps {
     // scheme://authority prefix, lowercased; rest untouched
     val prefix = lower(regexp_extract(noFrag, "^([^/?#]*//[^/?#]*)", 1))
     val rest = regexp_replace(noFrag, "^[^/?#]*//[^/?#]*", "")
-    val noPort = regexp_replace(prefix, ":(443|80)$", "")
+    // default ports are SCHEME-SPECIFIC: http://h:443 is a real
+    // non-default port and must survive
+    val noPort = regexp_replace(
+      regexp_replace(prefix, "^(https://[^/?#:]*):443$", "$1"),
+      "^(http://[^/?#:]*):80$", "$1")
     // tracking params: each match is replaced by its leading separator,
     // then ?&…/&&… runs collapse and trailing separators drop
     val noTrack = regexp_replace(rest, "([?&])(utm_[^&=]*|gclid|fbclid)=[^&]*", "$1")
     val collapsed = regexp_replace(regexp_replace(noTrack, "\\?&+", "?"), "&&+", "&")
-    val noSlash = regexp_replace(regexp_replace(collapsed, "/+\\?", "?"), "/+$", "")
+    // trailing-slash normalization is a PATH rule: fold `/?` into `?`,
+    // and strip a trailing slash only when no query follows (a slash at
+    // the end of a query VALUE is part of the value)
+    val slashQ = regexp_replace(collapsed, "/+\\?", "?")
+    val noSlash = when(instr(slashQ, "?") > 0, slashQ)
+      .otherwise(regexp_replace(slashQ, "/+$", ""))
     val clean = regexp_replace(noSlash, "[?&]+$", "")
     concat(noPort, clean)
   }

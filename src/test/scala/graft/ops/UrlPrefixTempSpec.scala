@@ -33,6 +33,11 @@ class UrlPrefixTempSpec extends AnyFunSuite with SharedSpark {
     // root URL with trailing slash
     assert(canon("https://x.y/") == "https://x.y")
     assert(canon("https://x.y/#top") == "https://x.y")
+    // default ports are scheme-specific: http on 443 is NOT default
+    assert(canon("http://h:443/x") == "http://h:443/x")
+    assert(canon("https://h:80/x") == "https://h:80/x")
+    // a trailing slash inside a query VALUE is part of the value
+    assert(canon("https://x.y/p?next=/home/") == "https://x.y/p?next=/home/")
   }
 
   test("UrlOps.host extracts the lowercased host") {

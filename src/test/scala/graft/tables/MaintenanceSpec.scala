@@ -40,10 +40,10 @@ class MaintenanceSpec extends AnyFunSuite with SharedSpark {
     assert(p0.exists(_.kind == "compactMinor"), s"expected minor tier, got $p0")
 
     val ran = Maintenance.run(t,
-      Maintenance.Policy(maxTrickleGroups = 4, maxDeleteScopes = 1))
+      Maintenance.Policy(maxTrickleGroups = 4, maxDeleteScopes = 0))
     assert(ran.map(_.kind).contains("compactMinor"), s"ran: $ran")
-    // after the minor fold the (base + fold) scopes still exceed 1, so
-    // the posdel tier fires next
+    // after the minor fold one non-base scope (the fold itself) remains,
+    // exceeding maxDeleteScopes=0 — the posdel tier fires next
     assert(ran.map(_.kind).contains("materializePositionalDeletes"), s"ran: $ran")
     assert(state(t) == before, "maintenance changed the visible state")
 

@@ -144,6 +144,47 @@ class MaterializedViewSpec extends AnyFunSuite with SharedSpark {
     assert(monthState().map(t => (t._1, t._2)) == full.map(t => (t._1, t._2)))
   }
 
+  test("null sums count as zero; compact barrier and retention loss trigger reseed") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mvfix").toString
+    val cfg = CdcApply.UpsertConfig(keepDeletes = false)
+    val b0 = Seq((1, "a", Option(10L), "c", 0L), (2, "a", Option.empty[Long], "c", 0L))
+      .toDF("id", "grp", "v", "__op", "__source_ts_ns")
+    val src = ManagedTable.create(spark, wh, "fnull", b0.schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "10"))
+    src.merge(b0, cfg)
+    val mv = MaterializedView.create(spark, wh, "fnull_by_grp", src, Seq("grp"), Seq("v"))
+    def recompute() = canonAgg(src.read().groupBy("grp")
+      .agg(sum(coalesce(col("v"), lit(0))).as("sum_v"), count(lit(1)).as("n_rows")))
+    assert(canonAgg(mv.read()) == recompute())
+    assert(canonAgg(mv.read()) == Seq(("a", 10L, 2L))) // null counted as 0
+
+    // an all-NULL delta for the group must not null the accumulated sum
+    src.merge(Seq((3, "a", Option.empty[Long], "c", 1L))
+      .toDF("id", "grp", "v", "__op", "__source_ts_ns"), cfg)
+    mv.refresh()
+    assert(canonAgg(mv.read()) == Seq(("a", 10L, 3L)), s"got ${canonAgg(mv.read())}")
+
+    // deletion + full compact BETWEEN refreshes: the barrier must force a
+    // reseed (the compacted changelog can no longer express the retraction)
+    src.merge(Seq((1, "a", Option(10L), "d", 2L))
+      .toDF("id", "grp", "v", "__op", "__source_ts_ns"), cfg)
+    src.compact()
+    mv.refresh()
+    assert(canonAgg(mv.read()) == recompute(), "barrier reseed diverged")
+    assert(canonAgg(mv.read()) == Seq(("a", 0L, 2L)))
+
+    // retention loss: two commits beyond a 1-version window falls back
+    val src2 = ManagedTable.create(spark, wh, "ret1", b0.schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "1"))
+    src2.merge(b0, cfg)
+    val mv2 = MaterializedView.create(spark, wh, "ret1_by_grp", src2, Seq("grp"), Seq("v"))
+    src2.merge(Seq((4, "b", Option(7L), "c", 1L)).toDF("id", "grp", "v", "__op", "__source_ts_ns"), cfg)
+    src2.merge(Seq((5, "b", Option(8L), "c", 2L)).toDF("id", "grp", "v", "__op", "__source_ts_ns"), cfg)
+    mv2.refresh() // from-version manifest GC'd -> reseed, not a crash
+    assert(canonAgg(mv2.read()) == canonAgg(src2.read().groupBy("grp")
+      .agg(sum(coalesce(col("v"), lit(0))).as("sum_v"), count(lit(1)).as("n_rows"))))
+  }
+
   test("metadata-only source commits advance the marker without touching data") {
     val wh = java.nio.file.Files.createTempDirectory("graft-mv3").toString
     val cfg = CdcApply.UpsertConfig(keepDeletes = false)
