@@ -925,6 +925,54 @@ object Queries {
       |FROM nx WHERE next_type IS NOT NULL
       |GROUP BY event_type, next_type""".stripMargin))
 
+  /** Time-series regularization ([[graft.operators.TimeSeries
+    * .resampleWithFill]]): the irregular event log resampled to a dense
+    * per-user daily grid — silent days appear with zero counts and the
+    * last observed day-max carried forward. One pass over the raw events
+    * (the grain aggregation); grid generation and forward fill run on the
+    * aggregated series, bounded by users × calendar span. Aggregates are
+    * chosen engine-exact (count, max) — no float summation-order drift.
+    */
+  val tsGapFill = Q("ts_gap_fill",
+    (s, dir) => {
+      graft.operators.TimeSeries.resampleWithFill(
+        events(s, dir), "user_id", "ts", "day",
+        aggs = Seq(count(lit(1)).cast("long").as("n"), max("value").as("vmax")),
+        fillCols = Seq("vmax"))
+        .select(col("user_id"), to_date(col("bucket")).as("day"),
+          coalesce(col("n"), lit(0L)).as("n"), col("observed"),
+          col("vmax_ffill"))
+    },
+    Some("""WITH b AS (SELECT user_id, date_trunc('day', ts) AS bucket,
+      |    count(*)::BIGINT AS n, max(value) AS vmax
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+      |g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket FROM s)
+      |SELECT g.user_id, g.bucket::DATE AS day,
+      |  coalesce(b.n, 0)::BIGINT AS n,
+      |  b.bucket IS NOT NULL AS observed,
+      |  last_value(b.vmax IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vmax_ffill
+      |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket""".stripMargin))
+
+  /** Gaps-and-islands ([[graft.operators.TimeSeries.activityIslands]]):
+    * each user's consecutive active days collapsed into maximal runs via
+    * the ordinal-minus-row-number grouping key — streak/churn detection
+    * over an event log in two key-local shuffles, the raw scan aggregated
+    * away in the first.
+    */
+  val qGapIslands = Q("q_gap_islands",
+    (s, dir) => graft.operators.TimeSeries
+      .activityIslands(events(s, dir), "user_id", "ts"),
+    Some("""WITH a AS (SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS day FROM events),
+      |r AS (SELECT user_id, day,
+      |      date_diff('day', DATE '1970-01-01', day)
+      |        - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |      FROM a)
+      |SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+      |  count(*)::BIGINT AS days
+      |FROM r GROUP BY user_id, grp""".stripMargin))
+
   /** Large-scale interval-overlap join via time-bin quantization
     * ([[graft.operators.IntervalJoin.binnedOverlap]]): derived closed
     * intervals on two halves of the events table, equi-joined on
@@ -2933,7 +2981,7 @@ object Queries {
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
     qFunnel, qHistogram, qIntervalJoin, qRetentionCohort, qEventTransitions,
-    qOverlapJoinBinned, qRankFunctions,
+    qOverlapJoinBinned, qRankFunctions, tsGapFill, qGapIslands,
     textStats, textLangId, textFingerprint, textTfidf, textBm25, textBm25Indexed,
     textRepetition,
     textPiiRedact, textQualityFilter, textChunk, textLmScore, textNormalize,
