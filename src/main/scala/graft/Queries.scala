@@ -307,6 +307,42 @@ object Queries {
       |  FROM cur c FULL OUTER JOIN snap a ON c.user_id = a.user_id) d
       |WHERE status IS NOT NULL""".stripMargin))
 
+  /** Temporal (as-of validity) join ([[graft.operators.Scd2.enrichAsOf]]):
+    * the even-event-id half of the changelog becomes a versioned SCD2
+    * dimension; every odd-event-id row is a fact enriched with the
+    * dimension version valid AT ITS OWN INSTANT. Facts inside a deletion
+    * gap or before a key's first version surface with null dimension
+    * columns — the semantics a plain as-of join gets wrong (it would
+    * carry the last pre-delete version across the gap). Plan: one
+    * key-local equi-join; validity is a join-time filter.
+    */
+  val qScd2TemporalJoin = Q("q_scd2_temporal_join",
+    (s, dir) => {
+      val log = cdcEvents(s, dir)
+      val hist = graft.operators.Scd2.history(
+        log.filter(col("event_id") % 2 === 0), Seq("user_id"), "ts_us", col("event_id"))
+        .select(col("user_id"), col("event_id").as("dim_version"),
+          col("value").as("dim_value"), col("valid_from"), col("valid_to"))
+      val facts = log.filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("event_id").as("fact_id"), col("ts_us").as("fact_ts"))
+      graft.operators.Scd2.enrichAsOf(facts, hist, Seq("user_id"), "fact_ts")
+        .select("user_id", "fact_id", "fact_ts", "dim_version", "dim_value")
+    },
+    Some(s"""WITH e AS ($cdcEventsSql),
+      |dim AS (SELECT * FROM e WHERE event_id % 2 = 0),
+      |h AS (SELECT user_id, event_id AS dim_version, value AS dim_value,
+      |        ts_us AS valid_from,
+      |        lead(ts_us) OVER (PARTITION BY user_id
+      |          ORDER BY ts_us, $opPrioSql, event_id) AS valid_to, __op
+      |      FROM dim),
+      |hist AS (SELECT * FROM h WHERE __op <> 'd'),
+      |f AS (SELECT user_id, event_id AS fact_id, ts_us AS fact_ts
+      |      FROM e WHERE event_id % 2 = 1)
+      |SELECT f.user_id, f.fact_id, f.fact_ts, h.dim_version, h.dim_value
+      |FROM f LEFT JOIN hist h ON f.user_id = h.user_id
+      |  AND h.valid_from <= f.fact_ts
+      |  AND (h.valid_to IS NULL OR f.fact_ts < h.valid_to)""".stripMargin))
+
   // ------------------------------------------------------ row-level DML
 
   /** The orders table re-hosted as a managed MoR table (key o_orderkey) —
@@ -2970,7 +3006,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcUpsertPartitioned, partitionEvolution,
     mvIncremental,
-    cdcScd2, cdcSnapshotAsOf, cdcReconcile,
+    cdcScd2, cdcSnapshotAsOf, cdcReconcile, qScd2TemporalJoin,
     cdcDecode, cdcOpMapping,
     cdcRouting, cdcColumnExclusion, cdcSchemaEvolution, cdcDecodeNested,
     fnTemporal, fnTemporalModes, fnJson, fnString, fnArray, fnHash, fnVariant, fnDecimalPrecise, fnUuid,

@@ -54,6 +54,36 @@ object Scd2 {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Temporal (as-of validity) join: enrich each fact row with the
+    * dimension version that was valid at the fact's own instant —
+    * `valid_from <= fact_ts < valid_to` against a [[history]]-shaped
+    * dimension (open intervals have null `valid_to`). Facts inside a
+    * deletion gap (or before the key's first version) match nothing —
+    * which is why this is NOT a plain as-of join: as-of would carry the
+    * last pre-delete version forward across the gap. Intervals from
+    * [[history]] are disjoint per key, so each fact matches at most one
+    * version.
+    *
+    * Plan shape at scale: an equi-join on the keys (both sides hash-
+    * shuffled key-local; the validity range is a post-join filter Spark
+    * evaluates inside the join), never a broadcast-nested-loop. Dimension
+    * version counts per key are history depth, not fact volume; hot fact
+    * keys are AQE skew-split.
+    *
+    * The dimension's key columns are matched then dropped; other name
+    * collisions between fact and dimension are the caller's to resolve
+    * (rename before joining).
+    */
+  def enrichAsOf(facts: DataFrame, history: DataFrame, pks: Seq[String],
+                 factTsCol: String, joinType: String = "left"): DataFrame = {
+    require(pks.nonEmpty, "temporal join requires key columns")
+    val dim = pks.foldLeft(history)((d, k) => d.withColumnRenamed(k, s"__dim_$k"))
+    val cond = pks.map(k => facts(k) === dim(s"__dim_$k")).reduce(_ && _) &&
+      dim("valid_from") <= facts(factTsCol) &&
+      (dim("valid_to").isNull || facts(factTsCol) < dim("valid_to"))
+    facts.join(dim, cond, joinType).drop(pks.map(k => s"__dim_$k"): _*)
+  }
+
   /** Incremental SCD2 materialization: fold one changelog batch into a
     * [[graft.tables.ManagedTable]] holding the history, so the SCD2 view
     * is MAINTAINED batch-over-batch instead of rebuilt from the full log.

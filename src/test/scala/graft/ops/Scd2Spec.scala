@@ -175,4 +175,35 @@ class Scd2Spec extends AnyFunSuite with SharedSpark {
     assert(h.count() == 2)
     assert(h.filter(col("is_current")).select("v").collect().map(_.getString(0)).toSeq == Seq("b"))
   }
+
+  test("enrichAsOf picks the version valid at the fact instant; deletion gaps yield nulls") {
+    import spark.implicits._
+    val log = changelog(
+      (1L, 10L, "c", "v1", 1L),
+      (1L, 20L, "u", "v2", 2L),
+      (1L, 30L, "d", "v2", 3L),  // gap [30, 40)
+      (1L, 40L, "c", "v3", 4L))
+    val hist = Scd2.history(log, Seq("id"), "ts_us", col("ev"))
+      .select(col("id"), col("v").as("dim_v"), col("valid_from"), col("valid_to"))
+    val facts = Seq(
+      (1L, 5L),   // before first version → null
+      (1L, 10L),  // inclusive lower bound → v1
+      (1L, 19L),  // still v1
+      (1L, 20L),  // exclusive upper bound → v2
+      (1L, 35L),  // inside the deletion gap → null
+      (1L, 99L),  // open current interval → v3
+      (2L, 50L)   // unknown key → null
+    ).toDF("id", "fts")
+    val out = Scd2.enrichAsOf(facts, hist, Seq("id"), "fts")
+      .select("id", "fts", "dim_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out === Set(
+      (1L, 5L, None), (1L, 10L, Some("v1")), (1L, 19L, Some("v1")),
+      (1L, 20L, Some("v2")), (1L, 35L, None), (1L, 99L, Some("v3")),
+      (2L, 50L, None)))
+    // inner join drops the unmatched facts instead
+    assert(Scd2.enrichAsOf(facts, hist, Seq("id"), "fts", "inner").count() === 4)
+    // disjoint intervals ⇒ the join never fans a fact out
+    assert(Scd2.enrichAsOf(facts, hist, Seq("id"), "fts").count() === facts.count())
+  }
 }
