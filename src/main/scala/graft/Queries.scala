@@ -345,6 +345,38 @@ object Queries {
 
   // ------------------------------------------------------ row-level DML
 
+  /** Rewrite-free lake migration ([[graft.tables.ManagedTable.addFiles]]):
+    * the raw lineitem parquet is ADOPTED into a managed table (copy mode —
+    * the shared testdata must survive; production migrations use the
+    * metadata-only move), columns outside the declared table schema
+    * invisible by construction; a row-level DELETE then lands as one MoR
+    * tombstone commit against the adopted files. Oracle replays both steps
+    * relationally. Zero data rows are ever rewritten on the Spark side —
+    * the migration story at 100 TB.
+    */
+  val tableAddFiles = Q("table_add_files",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_adopt").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("o_orderpriority", org.apache.spark.sql.types.StringType)))
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_adopted", schema,
+        Seq("o_orderkey"))
+      tbl.addFiles(Seq(s"$dir/orders.parquet"), copy = true)
+      tbl.deleteWhere(col("o_orderstatus") === "F" && col("o_totalprice") < 50000.0)
+      tbl.read().groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+      |  sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS sum_price
+      |FROM orders
+      |WHERE NOT coalesce(o_orderstatus = 'F' AND o_totalprice < 50000.0, false)
+      |GROUP BY o_orderpriority""".stripMargin))
+
   /** The orders table re-hosted as a managed MoR table (key o_orderkey) —
     * the shared setup of the DML oracle queries. The temporal column is
     * left out so the round-trip stays in hash-stable types.
@@ -3036,7 +3068,7 @@ object Queries {
     qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlUpdate, dmlMerge)
+    dmlDelete, dmlUpdate, dmlMerge, tableAddFiles)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
   def oracleSql: Map[String, String] = all.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -59,6 +59,55 @@ object StreamingAgg {
       .start()
   }
 
+  /** Start maintaining `table` as the SESSION-window aggregate of
+    * `events`: gap-based sessions (a session extends while events arrive
+    * within `gap` of the last one) per group key. Output mode is APPEND —
+    * a session row is emitted exactly once, when the watermark passes its
+    * close (Spark has merged any late extensions by then), so the serving
+    * table is append-only and needs no key: every row is a FINAL session.
+    * Contrast [[tumblingIntoTable]]'s update-mode merge: session windows
+    * can merge/extend while open, so serving interim sessions would need
+    * retractions append mode never has to express.
+    *
+    * Exactly-once: append is not idempotent, so the micro-batch id rides
+    * the manifest commit as a replay marker (same protocol as the CDC
+    * pipeline's append destinations) — a crash-replayed batch whose
+    * commit landed is skipped, not duplicated.
+    *
+    * Scale: state is per-OPEN-session (bounded by active keys × gap, not
+    * history); each batch appends only the sessions the watermark just
+    * closed — O(closed sessions) per batch at any stream length.
+    */
+  def sessionIntoTable(events: DataFrame, table: ManagedTable,
+                       tsCol: String, gap: String, lateness: String,
+                       groupCols: Seq[String], aggs: Seq[Column],
+                       checkpointDir: String,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val windowed = events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap) +: groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("session_window.start").as("session_start") +:
+        col("session_window.end").as("session_end") +:
+        groupCols.map(col) ++: aggs.map(a => col(extractName(a))): _*)
+    windowed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val last = table.meta.properties.get(BatchIdProp).map(_.toLong).getOrElse(-1L)
+          if (batchId > last)
+            table.append(batch, Map(BatchIdProp -> batchId.toString))
+        }
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Replay marker for the append-mode session sink. */
+  val BatchIdProp = "streaming-agg.last-batch-id"
+
   private def extractName(c: Column): String = {
     // named aggregates only: `sum(v) AS sum_v`
     val s = c.toString

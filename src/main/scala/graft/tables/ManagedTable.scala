@@ -816,7 +816,17 @@ final class ManagedTable private (
     val readSchema = StructType(physicalSchema.fields ++ aliasFields :+
       StructField(SeqCol, LongType, nullable = false) :+
       StructField(TombstoneCol, BooleanType, nullable = true))
+    // Adopted file groups ([[addFiles]]) carry no per-row seq column — the
+    // commit sequence is recovered from the group DIRECTORY name (encoded
+    // by [[groupRel]]) via the file-path metadata column. Native groups
+    // always carry the column, so the regex evaluates only for adopted
+    // rows (coalesce short-circuits in codegen). Metadata columns resolve
+    // through the projection stack, so the posdel anti-join's later
+    // `_metadata` references are unaffected.
     val scanned = spark.read.schema(readSchema).format(format).load(paths: _*)
+      .withColumn(SeqCol, coalesce(col(SeqCol),
+        regexp_extract(col("_metadata.file_path"),
+          ManagedTable.GroupSeqPattern, 2).cast(LongType)))
     val project = (df: DataFrame) => {
       val folded = aliases.foldLeft(df) { case (d, (n, olds)) =>
         d.withColumn(n, coalesce((col(n) +: olds.map(col)): _*)).drop(olds: _*)
@@ -1016,7 +1026,11 @@ final class ManagedTable private (
     val scan = spark.read.schema(readSchema).format(format)
       .load(dataEntries.map(e => new Path(tableDir, e.path).toString): _*)
       .select(Seq(col("_metadata.file_path").as("file"),
-        col("_metadata.row_index").as("pos")) ++ ids.map(col) :+ col(SeqCol): _*)
+        col("_metadata.row_index").as("pos")) ++ ids.map(col) :+
+        // adopted groups: per-row seq recovered from the dir name, exactly
+        // as the main scan does ([[scanGroups]])
+        coalesce(col(SeqCol), regexp_extract(col("_metadata.file_path"),
+          ManagedTable.GroupSeqPattern, 2).cast(LongType)).as(SeqCol): _*)
     // rows hidden by the not-yet-absorbed equality scopes: the SEMI twin
     // of morResolve's anti-join
     val newHidden =
@@ -1090,6 +1104,102 @@ final class ManagedTable private (
         splitWriteGroups(withPartitionCols(conformed), Manifest.Data, _ => seq, seq)
       else writeGroupAuto(sortForWrite(conformed), Manifest.Data, seq).toSeq
     commitManifest(currentEntries ++ entries)
+  }
+
+  /** Adopt existing parquet files into this table as ONE data commit —
+    * WITHOUT rewriting a byte of data (the Iceberg `add_files` migration
+    * path: at 100 TB, re-hosting an existing parquet lake as managed
+    * tables must be a metadata operation, not a multi-day rewrite). The
+    * files are MOVED into the table's file-group layout (a same-FS rename
+    * per file — metadata-only; set `copy = true` to leave the sources
+    * untouched at the cost of one byte copy), registered as a normal
+    * data-kind group through the group → manifest → pointer protocol, and
+    * from then on participate in every table mechanism: snapshots, time
+    * travel, GC, retention, compaction, upsert hiding, bounds pruning.
+    *
+    * Adopted files carry no per-row commit-seq column; readers recover
+    * the sequence from the group directory name (see `GroupSeqPattern`),
+    * so adopted rows order exactly as rows appended at this commit — an
+    * upsert in a LATER commit hides matching adopted keys, earlier
+    * history is untouched.
+    *
+    * Semantics = [[append]]: the adopted rows assert nothing about
+    * existing keys (adopting a key that already exists leaves both rows
+    * visible — merge or dedup afterwards if key spaces overlap).
+    *
+    * Requirements: unpartitioned parquet table (no partition-spec epochs);
+    * adopted columns present in the table schema must match its types
+    * exactly (extra file columns are legal but invisible; missing table
+    * columns read as null); identifier fields must be present. On commit
+    * failure the moves are rolled back. NOTE: in move mode a hard CRASH
+    * between the move and the commit leaves the sources inside an
+    * unreferenced group dir, swept by the next commit's GC — use
+    * `copy = true` when the sources must survive any failure.
+    *
+    * One Spark job total: a columnar count/bounds aggregate over the
+    * adopted group (identifier + cluster columns only). Returns the
+    * adopted row count.
+    */
+  def addFiles(paths: Seq[String], copy: Boolean = false): Long = {
+    require(!isPartitioned && allEpochPartitionFields.isEmpty,
+      "addFiles adopts into unpartitioned, never-partitioned tables")
+    require(format == "parquet", "addFiles adopts parquet files")
+    require(paths.nonEmpty, "no files to adopt")
+    val srcs = paths.map(new Path(_))
+    srcs.foreach(p => require(fs.exists(p) && fs.getFileStatus(p).isFile,
+      s"not an adoptable file: $p"))
+    val incoming = spark.read.option("mergeSchema", "true").parquet(paths: _*).schema
+    Seq(SeqCol, TombstoneCol, PosFileCol, PosIdxCol).foreach(r =>
+      require(!incoming.fieldNames.contains(r),
+        s"adopted files may not carry reserved column $r"))
+    _meta.identifierFields.foreach(i => require(incoming.fieldNames.contains(i),
+      s"adopted files are missing identifier column $i"))
+    incoming.fields.foreach { f =>
+      _meta.schema.fields.find(_.name == f.name).foreach { tf =>
+        require(tf.dataType == f.dataType,
+          s"column ${f.name}: adopted type ${f.dataType} != table type ${tf.dataType}")
+      }
+    }
+    val seq = _meta.currentVersion + 1
+    val rel = groupRel(Manifest.Data, seq)
+    val dir = new Path(tableDir, rel)
+    fs.mkdirs(dir)
+    val placed = srcs.zipWithIndex.map { case (src, i) =>
+      val dst = new Path(dir, f"adopt-$i%05d-${src.getName}")
+      val moved = !copy && fs.rename(src, dst)
+      if (!moved)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+          /* deleteSource = */ !copy, spark.sparkContext.hadoopConfiguration)
+      src -> dst
+    }
+    def rollback(): Unit = {
+      if (!copy) placed.foreach { case (src, dst) =>
+        if (fs.exists(dst) && !fs.exists(src)) fs.rename(dst, src)
+      }
+      fs.delete(dir, true)
+    }
+    try {
+      val statCols = (_meta.identifierFields ++ clusterByCols).distinct
+        .filter(incoming.fieldNames.contains)
+        .flatMap(c => statsTag(incoming(c).dataType).map(c -> _))
+      val adopted = spark.read
+        .schema(StructType(incoming.fields.filter(f =>
+          statCols.exists(_._1 == f.name))))
+        .parquet(dir.toString)
+      val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { case (c, _) =>
+        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) }
+      val row = adopted.agg(aggs.head, aggs.tail: _*).head()
+      val stats = statCols.collect { case (c, tg)
+        if row.get(row.fieldIndex(s"mn_$c")) != null &&
+           row.get(row.fieldIndex(s"mx_$c")) != null =>
+        c -> ColBounds(tg, row.get(row.fieldIndex(s"mn_$c")),
+          row.get(row.fieldIndex(s"mx_$c")))
+      }.toMap
+      val n = row.getAs[Long]("__rows")
+      commitManifest(currentEntries :+
+        ManifestEntry(rel, Manifest.Data, seq, stats, rows = n))
+      n
+    } catch { case t: Throwable => rollback(); throw t }
   }
 
   /** C3–C7 — upsert-merge a CDC batch into the table. */
@@ -2173,6 +2283,13 @@ object ManagedTable {
 
   /** Commit-sequence-number column stamped into every MoR file group. */
   val SeqCol = "__graft_seq"
+
+  /** Recovers the commit seq from a group file's path for ADOPTED files
+    * (no per-row seq column, see [[ManagedTable.addFiles]]): group dirs
+    * are named `<kind>-<seq>-<8-hex-uuid>` by `groupRel`. Capture group 2
+    * is the seq.
+    */
+  private[tables] val GroupSeqPattern = "/(data|upsert)-([0-9]+)-[0-9a-f]{8}/"
 
   /** Renamed seq column on the delete side of the MoR anti-join. */
   val DelSeqCol = "__graft_del_seq"

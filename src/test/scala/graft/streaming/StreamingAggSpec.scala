@@ -73,4 +73,52 @@ class StreamingAggSpec extends AnyFunSuite with SharedSpark {
     // the serving table is a full table-layer citizen: snapshots exist
     assert(table.versions().nonEmpty)
   }
+
+  test("session windows append FINAL sessions once the watermark closes them; replay-safe") {
+    val in = java.nio.file.Files.createTempDirectory("graft-sess-in").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-sess-ck").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft-sess-wh").toString
+    val tblSchema = StructType(Seq(
+      StructField("session_start", TimestampType), StructField("session_end", TimestampType),
+      StructField("k", StringType), StructField("n", LongType),
+      StructField("sum_v", LongType)))
+    val table = ManagedTable.create(spark, wh, "sess_agg", tblSchema,
+      identifierFields = Seq.empty) // append-only: every row is a final session
+
+    def runPass(): Unit = {
+      val events = spark.readStream.schema(schema).json(in)
+      val q = StreamingAgg.sessionIntoTable(events, table,
+        "ts", "1 minute", "5 minutes", Seq("k"),
+        Seq(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum("v").as("sum_v")), ck)
+      q.awaitTermination(120000)
+    }
+    def state(): Seq[(String, String, String, Long, Long)] =
+      table.read().collect().map(r => (r.getTimestamp(0).toString,
+        r.getTimestamp(1).toString, r.getString(2), r.getLong(3), r.getLong(4)))
+        .sortBy(t => (t._3, t._1)).toSeq
+
+    // two sessions for 'a': a 2-event run (gap-extended) and a lone event
+    writeWave(in, "w1.json", Seq(
+      ("2024-01-01 10:00:00", "a", 1L),
+      ("2024-01-01 10:00:30", "a", 2L),
+      ("2024-01-01 10:30:00", "a", 4L)))
+    runPass()
+    // a much later wave advances the watermark past both sessions
+    writeWave(in, "w2.json", Seq(("2024-01-01 11:00:00", "b", 9L)))
+    runPass()
+    val afterClose = state()
+    assert(afterClose == Seq(
+      ("2024-01-01 10:00:00.0", "2024-01-01 10:01:30.0", "a", 2L, 3L),
+      ("2024-01-01 10:30:00.0", "2024-01-01 10:31:00.0", "a", 1L, 4L)),
+      s"closed sessions: $afterClose")
+    // b's session is still open (watermark has not passed it) — not served
+    assert(!afterClose.exists(_._3 == "b"))
+    // replay safety: re-running with the same checkpoint adds nothing
+    runPass()
+    assert(state() == afterClose)
+    // the replay marker rode the append commits
+    assert(table.meta.properties.contains(StreamingAgg.BatchIdProp))
+  }
 }
