@@ -274,4 +274,25 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       assert(!p.contains("Exchange"), s"${q.name} shuffled a map-only transform:\n$p")
     }
   }
+
+  test("ts_gap_fill / q_gap_islands: key-local plans — no cartesian, no global window") {
+    for (q <- Seq(Queries.tsGapFill, Queries.qGapIslands)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"${q.name}:\n$p")
+      // every window partitions on the key — a partition-less window would
+      // single-thread the fill at scale
+      assert(!p.linesIterator.exists(l => l.contains("Window") && l.contains("PartitionSpec: []")),
+        s"${q.name} planned a global window:\n$p")
+    }
+  }
+
+  test("q_scd2_temporal_join: validity join is a key equi-join, never a nested loop") {
+    val p = plan(Queries.qScd2TemporalJoin)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p)
+    // the range condition must ride the equi-join, not a post-join filter
+    // of a cartesian: some hash/merge join on user_id must exist
+    assert(p.contains("Join") && p.contains("user_id"), p)
+  }
 }
