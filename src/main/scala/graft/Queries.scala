@@ -345,6 +345,24 @@ object Queries {
 
   // ------------------------------------------------------ row-level DML
 
+  /** BPE tokenizer training ([[graft.text.BpeTrainer]]): 40 merge rules
+    * learned from the documents corpus — ONE corpus-scale word-count
+    * exchange, then the bounded-vocabulary merge loop (driver-side, like
+    * the k-means trainer's centroid state). Iterative argmax has no SQL
+    * oracle; the rows-only check pins determinism (ties break
+    * lexicographically) and the first-pair agreement with the oracle-
+    * checked `text_bpe_pairs`.
+    */
+  val textBpeTrain = Q("text_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      graft.text.BpeTrainer.train(t(s, dir, "documents"), "text", 40)
+        .zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "left", "right")
+    },
+    None)
+
   /** Rewrite-free lake migration ([[graft.tables.ManagedTable.addFiles]]):
     * the raw lineitem parquet is ADOPTED into a managed table (copy mode —
     * the shared testdata must survive; production migrations use the
@@ -3068,7 +3086,7 @@ object Queries {
     qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlUpdate, dmlMerge, tableAddFiles)
+    dmlDelete, dmlUpdate, dmlMerge, tableAddFiles, textBpeTrain)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
   def oracleSql: Map[String, String] = all.flatMap(q => q.oracle.map(q.name -> _)).toMap
