@@ -345,6 +345,35 @@ object Queries {
 
   // ------------------------------------------------------ row-level DML
 
+  /** Data-quality expectations ([[graft.operators.Expectations]]): three
+    * named constraints over orders evaluated in ONE conditional-sum
+    * aggregation (never a job per rule); nulls fail closed (quarantine on
+    * doubt). Oracle replays the counts with the same null semantics.
+    */
+  val qualityExpectations = Q("quality_expectations",
+    (s, dir) => {
+      import graft.operators.Expectations
+      Expectations.metrics(t(s, dir, "orders"), Seq(
+        Expectations.Rule("price_positive", col("o_totalprice") > 0.0),
+        Expectations.Rule("status_known", col("o_orderstatus").isin("O", "F", "P")),
+        Expectations.Rule("priority_prefixed", col("o_orderpriority").rlike("^[1-5]-"))))
+    },
+    Some("""SELECT rule, n_pass, n_fail FROM (
+      |  SELECT 'price_positive' AS rule,
+      |    sum(CASE WHEN coalesce(o_totalprice > 0.0, false) THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+      |    sum(CASE WHEN coalesce(o_totalprice > 0.0, false) THEN 0 ELSE 1 END)::BIGINT AS n_fail
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'status_known',
+      |    sum(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), false) THEN 1 ELSE 0 END)::BIGINT,
+      |    sum(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), false) THEN 0 ELSE 1 END)::BIGINT
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'priority_prefixed',
+      |    sum(CASE WHEN coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), false) THEN 1 ELSE 0 END)::BIGINT,
+      |    sum(CASE WHEN coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), false) THEN 0 ELSE 1 END)::BIGINT
+      |  FROM orders) t""".stripMargin))
+
   /** BPE tokenizer training ([[graft.text.BpeTrainer]]): 40 merge rules
     * learned from the documents corpus — ONE corpus-scale word-count
     * exchange, then the bounded-vocabulary merge loop (driver-side, like
@@ -3086,7 +3115,8 @@ object Queries {
     qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlUpdate, dmlMerge, tableAddFiles, textBpeTrain)
+    dmlDelete, dmlUpdate, dmlMerge, tableAddFiles, textBpeTrain,
+    qualityExpectations)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
   def oracleSql: Map[String, String] = all.flatMap(q => q.oracle.map(q.name -> _)).toMap
