@@ -156,4 +156,58 @@ class ChaosDifferentialSpec extends AnyFunSuite with SharedSpark {
       assert(canon(re.read()) == canon(folded), "reload diverged")
     }
   }
+
+  /** Adoption chaos: [[ManagedTable.addFiles]] interleaved with merges,
+    * DML, maintenance tiers and reloads on an unpartitioned table. An
+    * adoption models as an APPEND of the same rows (data-kind group,
+    * asserts nothing about existing keys); everything downstream — later
+    * upserts hiding adopted keys, posdel materialization, compaction,
+    * deleteWhere — must treat adopted rows exactly like written ones,
+    * including the dir-name seq recovery every read exercises.
+    */
+  for (seed <- Seq(31, 57)) {
+    test(s"adoption chaos: addFiles + merge/DML/maintenance ≡ fold (seed $seed)") {
+      val rnd = new Random(seed)
+      val cfg = CdcApply.UpsertConfig(keepDeletes = false)
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-achaos$seed").toString
+      val schema = randomBatch(rnd, 1).schema
+      var t = ManagedTable.create(spark, wh, "achaos", schema, Seq("id"),
+        properties = Map("write.mor.compact-after-upserts" -> "0"))
+      var folded = t.read()
+      for (step <- 1 to 24) {
+        rnd.nextInt(8) match {
+          case 0 => // adopt a standalone parquet batch (unique fresh keys
+            // per step so the append model needs no dedup assumption)
+            val batch = List.fill(6)((1000 + step * 10 + rnd.nextInt(10),
+              s"a${rnd.nextInt(100)}", "c", rnd.nextInt(5).toLong))
+              .toDF("id", "name", "__op", "__source_ts_ns").distinct()
+            val ext = java.nio.file.Files.createTempDirectory(s"graft-aext$step").toString
+            batch.coalesce(1).write.mode("overwrite").parquet(ext)
+            val files = new java.io.File(ext).listFiles()
+              .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+            t.addFiles(files)
+            folded = folded.unionByName(batch).persist()
+          case 1 => t.compactMinor()
+          case 2 => try t.materializePositionalDeletes()
+            catch { case _: IllegalArgumentException => () }
+          case 3 => t.compact()
+          case 4 => t = ManagedTable.load(spark, wh, "achaos").get
+          case 5 =>
+            val cut = s"p${rnd.nextInt(1000)}"
+            t.deleteWhere(col("name") < cut)
+            folded = folded.filter(!(col("name") < cut)).persist()
+          case _ =>
+            val batch = randomBatch(rnd, 12)
+            t.merge(batch, cfg)
+            folded = CdcApply.upsert(folded, batch, Seq("id"), cfg).persist()
+        }
+        if (step % 4 == 0)
+          assert(canon(t.read()) == canon(folded), s"diverged at step $step")
+      }
+      t.compact()
+      assert(canon(t.read()) == canon(folded), "final compact diverged")
+      val re = ManagedTable.load(spark, wh, "achaos").get
+      assert(canon(re.read()) == canon(folded), "reload diverged")
+    }
+  }
 }
