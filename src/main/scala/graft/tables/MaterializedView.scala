@@ -30,16 +30,38 @@ import org.apache.spark.sql.functions._
   *
   * Group columns are the summary's identifier fields and must be
   * NON-NULL in the source (coalesce a sentinel upstream if a group key
-  * can be null). Sum/count only — self-decomposable under retraction;
-  * min/max would need per-group recompute and are out of scope, like
-  * [[IncrementalAgg]].
+  * can be null).
+  *
+  * Two aggregate classes, maintained differently per refresh:
+  *  - `sumCols` (plus the implicit `n_rows`): self-decomposable under
+  *    retraction — maintained from the signed key-level delta alone,
+  *    never touching unchanged rows.
+  *  - `maxCols` / `minCols` / `distinctCols` (`max_<c>`, `min_<c>`,
+  *    exact `nd_<c>`): NOT retractable (a deleted max can't be
+  *    subtracted), so they recompute per CHANGED GROUP from the target
+  *    snapshot — the standard IVM fallback. Cost stays O(rows of changed
+  *    groups): the recompute scan is semi-joined to the changed group
+  *    set (runtime-broadcast, filtered map-side), the same scan envelope
+  *    as the signed delta; unchanged groups are never touched.
   */
 final class MaterializedView private (
     val source: ManagedTable,
     val summary: ManagedTable,
     val groupCols: Seq[String],
-    val sumCols: Seq[String]
+    val sumCols: Seq[String],
+    val maxCols: Seq[String] = Seq.empty,
+    val minCols: Seq[String] = Seq.empty,
+    val distinctCols: Seq[String] = Seq.empty
 ) {
+
+  private def recomputeCols: Seq[String] =
+    maxCols.map(c => s"max_$c") ++ minCols.map(c => s"min_$c") ++
+      distinctCols.map(c => s"nd_$c")
+
+  private def recomputeAggs: Seq[org.apache.spark.sql.Column] =
+    maxCols.map(c => max(col(c)).as(s"max_$c")) ++
+      minCols.map(c => min(col(c)).as(s"min_$c")) ++
+      distinctCols.map(c => count_distinct(col(c)).as(s"nd_$c"))
 
   /** Source version the summary currently reflects (−1 = seed pending). */
   def refreshedVersion: Long =
@@ -54,8 +76,8 @@ final class MaterializedView private (
   // "no non-null values ever" without extra per-column state — coalescing
   // consistently keeps reseed() and refresh() exactly equivalent.
   private def aggOf(df: DataFrame): DataFrame = {
-    val aggs = sumCols.map(c => sum(coalesce(col(c), lit(0))).as(s"sum_$c")) :+
-      count(lit(1)).as("n_rows")
+    val aggs = (sumCols.map(c => sum(coalesce(col(c), lit(0))).as(s"sum_$c")) :+
+      count(lit(1)).as("n_rows")) ++ recomputeAggs
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -122,10 +144,25 @@ final class MaterializedView private (
         // delta rows wear the SUMMARY schema's names: for an unmatched group
         // the delta IS the new absolute value (insert), for a matched group
         // mergeInto's updateSet adds it onto the current row
-        sign(source.readVersion(from), -1)
+        val signedDelta = sign(source.readVersion(from), -1)
           .unionByName(sign(source.readVersion(to), 1))
           .groupBy(groupCols.map(col): _*)
           .agg(deltaAggs.head, deltaAggs.tail: _*)
+        if (recomputeCols.isEmpty) signedDelta
+        else {
+          // non-retractable aggregates: recompute per CHANGED GROUP from
+          // the target snapshot. The delta's groups ARE the changed group
+          // set (every group a changed key's row touched at either
+          // version), so the recompute scan semi-joins to it — filtered
+          // map-side, unchanged groups untouched. A vanished group gets
+          // nulls here and is deleted by the n_rows condition anyway.
+          val changedGroups = signedDelta.select(groupCols.map(col): _*)
+          val recomputed = source.readVersion(to)
+            .join(changedGroups, groupCols, "left_semi")
+            .groupBy(groupCols.map(col): _*)
+            .agg(recomputeAggs.head, recomputeAggs.tail: _*)
+          signedDelta.join(recomputed, groupCols, "left")
+        }
       } catch {
         // retention lost the from-version manifest (refresh lag exceeded
         // write.versions-retained): the documented fallback is a rebuild
@@ -141,7 +178,9 @@ final class MaterializedView private (
     val updates = sumCols.map(c =>
       s"sum_$c" -> (coalesce(col(s"t.sum_$c"), lit(0)) +
         coalesce(col(s"s.sum_$c"), lit(0)))).toMap +
-      ("n_rows" -> (coalesce(col("t.n_rows"), lit(0L)) + col("s.n_rows")))
+      ("n_rows" -> (coalesce(col("t.n_rows"), lit(0L)) + col("s.n_rows"))) ++
+      // recomputed columns REPLACE (absolute values, not deltas)
+      recomputeCols.map(c => c -> col(s"s.$c")).toMap
     summary.mergeInto(delta,
       updateSet = updates,
       deleteWhen = Some(coalesce(col("t.n_rows"), lit(0L)) + col("s.n_rows") === 0L),
@@ -157,21 +196,31 @@ object MaterializedView {
   val VersionKey = "mv.refreshed-version"
   private val GroupKey = "mv.group-cols"
   private val SumKey = "mv.sum-cols"
+  private val MaxKey = "mv.max-cols"
+  private val MinKey = "mv.min-cols"
+  private val NdKey = "mv.distinct-cols"
   private val SourceKey = "mv.source-table"
 
   /** Create `<name>` as a materialized `SELECT groupCols, sum(sumCols…),
-    * count(*) FROM source GROUP BY groupCols` and seed it from the
+    * count(*), max(maxCols…), min(minCols…), count(distinct
+    * distinctCols…) FROM source GROUP BY groupCols` and seed it from the
     * source's current snapshot.
     */
   def create(spark: SparkSession, warehouse: String, name: String,
              source: ManagedTable, groupCols: Seq[String],
-             sumCols: Seq[String]): MaterializedView = {
+             sumCols: Seq[String],
+             maxCols: Seq[String] = Seq.empty,
+             minCols: Seq[String] = Seq.empty,
+             distinctCols: Seq[String] = Seq.empty): MaterializedView = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(source.meta.identifierFields.nonEmpty,
       "materialized views need a keyed (upsert) source table")
     val schemaProbe = {
-      val aggs = sumCols.map(c => sum(col(c)).as(s"sum_$c")) :+
-        count(lit(1)).as("n_rows")
+      val aggs = (sumCols.map(c => sum(col(c)).as(s"sum_$c")) :+
+        count(lit(1)).as("n_rows")) ++
+        maxCols.map(c => max(col(c)).as(s"max_$c")) ++
+        minCols.map(c => min(col(c)).as(s"min_$c")) ++
+        distinctCols.map(c => count_distinct(col(c)).as(s"nd_$c"))
       source.read().groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
     val summary = ManagedTable.create(spark, warehouse, name,
@@ -179,8 +228,12 @@ object MaterializedView {
       properties = Map(
         GroupKey -> groupCols.mkString(","),
         SumKey -> sumCols.mkString(","),
+        MaxKey -> maxCols.mkString(","),
+        MinKey -> minCols.mkString(","),
+        NdKey -> distinctCols.mkString(","),
         SourceKey -> source.name))
-    val mv = new MaterializedView(source, summary, groupCols, sumCols)
+    val mv = new MaterializedView(source, summary, groupCols, sumCols,
+      maxCols, minCols, distinctCols)
     mv.reseed()
     mv
   }
@@ -195,8 +248,9 @@ object MaterializedView {
       require(p.get(SourceKey).contains(source.name),
         s"view $name was defined over table '${p.getOrElse(SourceKey, "?")}', " +
           s"not '${source.name}'")
+      def cols(k: String) =
+        p.getOrElse(k, "").split(',').toSeq.filter(_.nonEmpty)
       new MaterializedView(source, summary,
-        p(GroupKey).split(',').toSeq.filter(_.nonEmpty),
-        p(SumKey).split(',').toSeq.filter(_.nonEmpty))
+        cols(GroupKey), cols(SumKey), cols(MaxKey), cols(MinKey), cols(NdKey))
     }
 }

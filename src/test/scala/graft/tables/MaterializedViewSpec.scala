@@ -201,4 +201,45 @@ class MaterializedViewSpec extends AnyFunSuite with SharedSpark {
     assert(mv.refreshedVersion == src.meta.currentVersion)
     assert(canonAgg(mv.read()) == expected(src))
   }
+
+  test("non-retractable aggregates (max/min/distinct) via per-changed-group recompute") {
+    val rnd = new Random(43)
+    val wh = java.nio.file.Files.createTempDirectory("graft-mv4").toString
+    val cfg = CdcApply.UpsertConfig(keepDeletes = false)
+    val schema = randomBatch(rnd, 1).schema
+    val src = ManagedTable.create(spark, wh, "f4", schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "10"))
+    src.merge(randomBatch(rnd, 30), cfg)
+    val mv = MaterializedView.create(spark, wh, "f4_by_grp", src,
+      Seq("grp"), Seq("v"), maxCols = Seq("v"), minCols = Seq("v"),
+      distinctCols = Seq("v"))
+    def canonFull(df: DataFrame): Seq[(String, Long, Long, Long, Long, Long)] =
+      df.select(col("grp"), col("sum_v").cast("long"), col("n_rows"),
+        col("max_v").cast("long"), col("min_v").cast("long"), col("nd_v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    def want(): Seq[(String, Long, Long, Long, Long, Long)] =
+      canonFull(src.read().groupBy("grp").agg(
+        sum("v").as("sum_v"), count(lit(1)).as("n_rows"),
+        max("v").as("max_v"), min("v").as("min_v"),
+        count_distinct(col("v")).as("nd_v")))
+    assert(canonFull(mv.read()) == want(), "seed wrong")
+    for (i <- 1 to 5) {
+      src.merge(randomBatch(rnd, 25), cfg) // deletes shrink maxes — the
+      mv.refresh()                         // case a signed delta can't do
+      assert(canonFull(mv.read()) == want(), s"diverged after refresh $i")
+    }
+    // the max-DECREASING path explicitly: delete the max holder of one group
+    val holder = src.read().orderBy(col("grp"), col("v").desc).limit(1).collect()(0)
+    src.merge(Seq((holder.getInt(0), holder.getString(1), holder.getLong(2), "d", 99L))
+      .toDF("id", "grp", "v", "__op", "__source_ts_ns"), cfg)
+    mv.refresh()
+    assert(canonFull(mv.read()) == want(), "max not lowered after holder delete")
+    // reload restores the recompute definition from properties
+    val re = MaterializedView.load(spark, wh, "f4_by_grp", src).get
+    assert(re.maxCols == Seq("v") && re.distinctCols == Seq("v"))
+    src.merge(randomBatch(rnd, 20), cfg)
+    re.refresh()
+    assert(canonFull(re.read()) == want(), "reloaded view diverged")
+  }
 }
