@@ -216,6 +216,44 @@ object Queries {
       |FROM r WHERE rn = 1 AND __op <> 'd'
       |GROUP BY event_type""".stripMargin))
 
+  /** Incremental MV with NON-RETRACTABLE aggregates: same three-slice
+    * CDC replay as `mv_incremental`, but the view also maintains
+    * max/min/exact-distinct per group — refreshed by per-changed-group
+    * recompute (a deleted max holder must LOWER the max, which no signed
+    * delta can express). Oracle = the full aggregate over the final
+    * folded state.
+    */
+  val mvIncrementalMinmax = Q("mv_incremental_minmax",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_mvmm").toString
+      val log = cdcEvents(s, dir)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "events_state",
+        log.drop(Dedup.ArrivalCol).schema, Seq("user_id"),
+        properties = Map("write.versions-retained" -> "10"))
+      val cfg = CdcApply.UpsertConfig(keepDeletes = false, dedupColumn = "ts_us")
+      val cuts = Seq(Long.MinValue, 1705276800000000L, 1706227200000000L, Long.MaxValue)
+      var mv: graft.tables.MaterializedView = null
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        val slice = log.where(col("ts_us") >= lo && col("ts_us") < hi)
+        tbl.merge(Dedup.deduplicate(slice, Seq("user_id"), "ts_us"), cfg)
+        if (mv == null)
+          mv = graft.tables.MaterializedView.create(s, wh, "by_type_mm", tbl,
+            Seq("event_type"), Seq("ts_us"),
+            maxCols = Seq("ts_us"), minCols = Seq("ts_us"),
+            distinctCols = Seq("event_id"))
+        else mv.refresh()
+      }
+      mv.read()
+    },
+    Some(s"""WITH e AS ($cdcEventsSql),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts_us DESC, $opPrioSql DESC, event_id DESC) AS rn FROM e)
+      |SELECT event_type, sum(ts_us)::BIGINT AS sum_ts_us, count(*) AS n_rows,
+      |  max(ts_us) AS max_ts_us, min(ts_us) AS min_ts_us,
+      |  count(DISTINCT event_id) AS nd_event_id
+      |FROM r WHERE rn = 1 AND __op <> 'd'
+      |GROUP BY event_type""".stripMargin))
+
   val cdcUpsertSoft = Q("cdc_upsert_soft_delete",
     (s, dir) => {
       val batch = cdcEvents(s, dir)
@@ -3084,7 +3122,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcUpsertPartitioned, partitionEvolution,
-    mvIncremental,
+    mvIncremental, mvIncrementalMinmax,
     cdcScd2, cdcSnapshotAsOf, cdcReconcile, qScd2TemporalJoin,
     cdcDecode, cdcOpMapping,
     cdcRouting, cdcColumnExclusion, cdcSchemaEvolution, cdcDecodeNested,
