@@ -412,6 +412,26 @@ object Queries {
       |    sum(CASE WHEN coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), false) THEN 0 ELSE 1 END)::BIGINT
       |  FROM orders) t""".stripMargin))
 
+  /** Manifest Bloom filters ([[graft.tables.ManagedTable.buildBlooms]] /
+    * `readWhereEq`): orders re-hosted as three file groups, filters built
+    * over the UNSORTED o_custkey column in one columnar pass, then a
+    * point lookup that plans against the filters (groups that can't hold
+    * the key are never opened). Oracle = the plain equality scan.
+    */
+  val tableBloomLookup = Q("table_bloom_lookup",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_bloom",
+        base.schema, Seq("o_orderkey"))
+      // three commits → three groups, custkeys interleaved (unsorted)
+      (0 until 3).foreach(i => tbl.append(base.where(col("o_orderkey") % 3 === i)))
+      tbl.buildBlooms(Seq("o_custkey"))
+      tbl.readWhereEq("o_custkey", 613L).select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_custkey = 613""".stripMargin))
+
   /** BPE tokenizer training ([[graft.text.BpeTrainer]]): 40 merge rules
     * learned from the documents corpus — ONE corpus-scale word-count
     * exchange, then the bounded-vocabulary merge loop (driver-side, like
@@ -3154,7 +3174,7 @@ object Queries {
     multimodalMeta, multimodalFeatures,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
     dmlDelete, dmlUpdate, dmlMerge, tableAddFiles, textBpeTrain,
-    qualityExpectations)
+    qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
   def oracleSql: Map[String, String] = all.flatMap(q => q.oracle.map(q.name -> _)).toMap

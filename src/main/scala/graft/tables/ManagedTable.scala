@@ -750,6 +750,119 @@ final class ManagedTable private (
     morRead(pruned).filter(col(c).between(lit(lo), lit(hi)))
   }
 
+  /** Attach per-group Bloom filters for `cols` to the current snapshot's
+    * manifest — equality pruning for columns with NO usable sort order
+    * (bounds on an unsorted column span everything; a Bloom still answers
+    * "definitely absent"). The Iceberg `write.parquet.bloom-filter-enabled`
+    * analogue lifted to the manifest, where pruning happens at PLANNING
+    * time: a [[readWhereEq]] point lookup on a 100 TB table opens only
+    * the groups whose filter might contain the value.
+    *
+    * ONE columnar scan of the live data/upsert groups builds every
+    * (group, column) filter: k probe positions per value fold into 64-bit
+    * words DISTRIBUTIVELY (explode → word-indexed bit_or), so the driver
+    * collects ≤ groups × cols × m/64 longs — metadata-scale, never raw
+    * positions. Committed as a metadata-only manifest version; entries
+    * written by later commits simply have no filter (kept, not pruned)
+    * until the next build; rewritten groups (compaction) drop their
+    * filters with their entries — staleness is impossible by
+    * construction. Returns the number of entries carrying filters.
+    *
+    * Sizing: `bits` per group per column (power of two). With k=4 probes
+    * a group of n distinct values gets fpp ≈ (1-e^(-4n/m))^4 — the
+    * default 32 Ki bits holds ~5k distinct values at ~4% fpp for 4 KiB
+    * of manifest weight.
+    */
+  def buildBlooms(cols: Seq[String], bits: Int = 1 << 15, hashes: Int = 4): Int = {
+    require(cols.nonEmpty, "no columns")
+    require(Integer.bitCount(bits) == 1 && bits >= 64,
+      s"bits must be a power of two >= 64, got $bits")
+    require(hashes >= 1 && hashes <= 16, s"hashes out of range: $hashes")
+    val colsD = cols.distinct
+    colsD.foreach(c => require(physicalSchema.fieldNames.contains(c),
+      s"unknown column $c"))
+    requireCurrentPointer()
+    val entries = currentEntries
+    val target = entries.filter(e =>
+      e.kind == Manifest.Data || e.kind == Manifest.Upsert)
+    if (target.isEmpty) return 0
+    val readSchema = StructType(colsD.map(c => physicalSchema(c)))
+    val scan = spark.read.schema(readSchema).format(format)
+      .load(target.map(e => new Path(tableDir, e.path).toString): _*)
+      .withColumn("__grp", regexp_extract(col("_metadata.file_path"),
+        "(files/(?:data|upsert)-[0-9]+-[0-9a-f]{8})/", 1))
+    val perCol = colsD.map { c =>
+      scan.select(col("__grp"), lit(c).as("__c"),
+        explode(array((0 until hashes).map(i =>
+          pmod(xxhash64(lit(i), col(c)), lit(bits.toLong))): _*)).as("__pos"))
+    }
+    val words = perCol.reduce(_ unionByName _)
+      .select(col("__grp"), col("__c"), expr("cast(__pos div 64 as int)").as("__w"),
+        expr("shiftleft(1L, cast(__pos % 64 as int))").as("__b"))
+      .groupBy("__grp", "__c", "__w").agg(expr("bit_or(__b)").as("__bits"))
+      .collect()
+    val byGroupCol = words.groupBy(r => (r.getString(0), r.getString(1)))
+    val updated = entries.map { e =>
+      val bl = colsD.flatMap { c =>
+        byGroupCol.get((e.path, c)).map { rows =>
+          val arr = new Array[Long](bits / 64)
+          rows.foreach(r => arr(r.getInt(2)) |= r.getLong(3))
+          val buf = java.nio.ByteBuffer.allocate(arr.length * 8)
+          arr.foreach(buf.putLong)
+          c -> BloomMeta(bits, hashes,
+            java.util.Base64.getEncoder.encodeToString(buf.array()))
+        }
+      }.toMap
+      if (bl.isEmpty) e else e.copy(blooms = e.blooms ++ bl)
+    }
+    commitManifest(updated)
+    updated.count(_.blooms.nonEmpty)
+  }
+
+  /** Probe positions of `v` for column `c` — the driver-side twin of
+    * [[buildBlooms]]'s write expression (`xxhash64(probeIndex, value)`
+    * mod m), evaluated through the same Catalyst expression so the two
+    * agree bit-for-bit. `v` must be the column's external Scala type.
+    */
+  private def bloomPositions(c: String, v: Any, m: Int, k: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val dt = physicalSchema(c).dataType
+    (0 until k).map { i =>
+      // seed 42 = the SQL xxhash64 function's fixed seed
+      val h = XxHash64(Seq(Literal(i), Literal.create(v, dt)), 42L)
+        .eval(null).asInstanceOf[Long]
+      (((h % m) + m) % m).toInt
+    }
+  }
+
+  /** Equality point-read: open only the file groups whose column bounds
+    * intersect `v` AND whose Bloom filter (if built) might contain it.
+    * Sound under MoR deletes by the same rules as [[readColRange]]:
+    * identifier columns prune every kind; non-identifier columns keep
+    * upsert groups of surviving tuples as delete carriers. Posdel
+    * sidecars carry neither stats nor filters and are always kept.
+    */
+  def readWhereEq(c: String, v: Any): DataFrame = {
+    require(v != null, "probe value must be non-null (IS NULL can't be bloom-pruned)")
+    val entries = currentEntries
+    val isId = _meta.identifierFields.contains(c)
+    def pass(e: ManifestEntry): Boolean =
+      e.stats.get(c).forall(_.intersects(v, v)) &&
+        e.blooms.get(c).forall(b => b.mightContain(bloomPositions(c, v, b.m, b.k)))
+    val passing = entries.filter(pass)
+    val pruned =
+      if (isId) passing
+      else {
+        val keptTuples = passing.map(_.partition).toSet
+        val minKeptEpoch = passing.map(e => entryEpoch(e.seq)).minOption
+          .getOrElse(Int.MaxValue)
+        entries.filter(e => pass(e) ||
+          (e.kind == Manifest.Upsert && (keptTuples.contains(e.partition) ||
+            entryEpoch(e.seq) > minKeptEpoch)))
+      }
+    morRead(pruned).filter(col(c) === lit(v))
+  }
+
   private def morRead(entries: Seq[ManifestEntry], keepSeq: Boolean = false,
                       deleteCarriers: Seq[ManifestEntry] = Seq.empty): DataFrame = {
     if (entries.isEmpty)

@@ -72,10 +72,30 @@ final case class ColBounds(t: String, min: Any, max: Any) {
   * partition-local (reference partition-granularity delta files,
   * SINK/tableoperator/PartitionedDeltaWriter.java:19-78).
   */
+/** A per-column Bloom filter over one file group's values — equality
+  * pruning for columns with no sort order (manifest bounds cannot help
+  * an unsorted column; a Bloom answers "definitely not in this group"
+  * regardless of layout). `m` bits, `k` hash probes, bitset base64-coded.
+  * The hash is Spark's xxHash64 seeded per probe index, so the write-side
+  * column scan and the driver-side probe agree bit-for-bit.
+  */
+final case class BloomMeta(m: Int, k: Int, bits: String) {
+  private lazy val words: Array[Long] = {
+    val raw = java.util.Base64.getDecoder.decode(bits)
+    val buf = java.nio.ByteBuffer.wrap(raw)
+    Array.fill(raw.length / 8)(buf.getLong)
+  }
+  /** Might the group contain a value hashing to these probe positions? */
+  def mightContain(positions: Seq[Int]): Boolean = positions.forall { p =>
+    (words(p >>> 6) & (1L << (p & 63))) != 0L
+  }
+}
+
 final case class ManifestEntry(path: String, kind: String, seq: Long,
                                stats: Map[String, ColBounds] = Map.empty,
                                partition: Map[String, String] = Map.empty,
-                               rows: Long = -1L)
+                               rows: Long = -1L,
+                               blooms: Map[String, BloomMeta] = Map.empty)
 
 object Manifest {
   private val mapper = new ObjectMapper()
@@ -105,6 +125,13 @@ object Manifest {
       if (e.partition.nonEmpty) {
         val p = n.putObject("partition")
         e.partition.foreach { case (k, v) => p.put(k, v) }
+      }
+      if (e.blooms.nonEmpty) {
+        val bl = n.putObject("blooms")
+        e.blooms.foreach { case (c, b) =>
+          val o = bl.putObject(c)
+          o.put("m", b.m); o.put("k", b.k); o.put("bits", b.bits)
+        }
       }
       if (e.stats.nonEmpty) {
         val st = n.putObject("stats")
@@ -145,9 +172,17 @@ object Manifest {
       val partition = Option(n.get("partition")).map { p =>
         p.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
       }.getOrElse(Map.empty[String, String])
+      val blooms = Option(n.get("blooms")).map { bl =>
+        bl.fields().asScala.map { e =>
+          val o = e.getValue
+          e.getKey -> BloomMeta(o.get("m").asInt, o.get("k").asInt,
+            o.get("bits").asText)
+        }.toMap
+      }.getOrElse(Map.empty[String, BloomMeta])
       ManifestEntry(n.get("path").asText, n.get("kind").asText, n.get("seq").asLong,
         stats, partition,
-        Option(n.get("rows")).map(_.asLong).getOrElse(-1L))
+        Option(n.get("rows")).map(_.asLong).getOrElse(-1L),
+        blooms)
     }.toSeq
 
   /** Manifests are immutable once written: temp + rename, never rewritten. */
