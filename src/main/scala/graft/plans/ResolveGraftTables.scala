@@ -2,8 +2,10 @@ package graft.plans
 
 import graft.tables.ManagedTable
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Analyzer rule giving managed tables a first-class SQL identity:
@@ -29,10 +31,68 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
-        u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+  // top-down: the Filter case must see its still-unresolved child before
+  // the bare-relation case rewrites it
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    // `WHERE c = <lit>` directly over a graft relation: resolve to the
+    // MANIFEST-PRUNED scan (column bounds + Bloom filters,
+    // [[ManagedTable.readWhereEq]]) instead of the full scan — the filter
+    // is kept on top (pruning opens a superset of the matching groups),
+    // so semantics are identical and the win is groups never opened. The
+    // planning-time analogue of parquet row-group bloom pruning, one
+    // level up.
+    case f @ Filter(cond, u: UnresolvedRelation) if isGraft(u) &&
+        !u.multipartIdentifier(1).contains('$') =>
+      resolvePruned(u.multipartIdentifier(1), cond)
+        .orElse(resolve(u.multipartIdentifier(1)))
+        .map(child => Filter(cond, child)).getOrElse(f)
+    case u: UnresolvedRelation if isGraft(u) =>
       resolve(u.multipartIdentifier(1)).getOrElse(u)
+  }
+
+  private def isGraft(u: UnresolvedRelation): Boolean =
+    u.multipartIdentifier.length == 2 &&
+      u.multipartIdentifier.head.equalsIgnoreCase("graft")
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** The pruned scan for the first `col = literal` conjunct naming a
+    * table column (qualified or bare). None = nothing to prune on.
+    */
+  private def resolvePruned(name: String, cond: Expression): Option[LogicalPlan] = {
+    val wh = session.conf.getOption("spark.graft.warehouse")
+    if (wh.isEmpty) return None
+    ManagedTable.load(session, wh.get, name).flatMap { t =>
+      val eq = conjuncts(cond).collectFirst(Function.unlift {
+        case EqualTo(a: UnresolvedAttribute, l: Literal) if l.value != null =>
+          Some((a.nameParts.last, l))
+        case EqualTo(l: Literal, a: UnresolvedAttribute) if l.value != null =>
+          Some((a.nameParts.last, l))
+        case _ => None
+      })
+      eq.flatMap { case (colName, l) =>
+        t.meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).flatMap { fld =>
+          // cast the literal into the column's type, then to its external
+          // form — readWhereEq hashes with the column's exact type
+          val casted = try Cast(l, fld.dataType, Some(conf.sessionLocalTimeZone))
+            .eval(null) catch { case _: Exception => null }
+          if (casted == null) None
+          else {
+            val ext = CatalystTypeConverters.convertToScala(casted, fld.dataType)
+            // project to the LOGICAL schema: readWhereEq returns the
+            // physical one (derived partition columns included), but the
+            // SQL surface must look exactly like `graft.<t>`
+            val pruned = t.readWhereEq(fld.name, ext)
+              .select(t.meta.schema.fieldNames.toIndexedSeq.map(
+                org.apache.spark.sql.functions.col): _*)
+            Some(pruned.queryExecution.analyzed)
+          }
+        }
+      }
+    }
   }
 
   private def resolve(ident: String): Option[LogicalPlan] = {

@@ -78,4 +78,46 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("WHERE col = literal over graft.<t> plans the manifest-pruned scan") {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val b = SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+      base.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
+      import s2.implicits._
+
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqlb-wh").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+      val schema = StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("tag", StringType),
+        StructField("v", LongType)))
+      val t = ManagedTable.create(s2, wh, "bl", schema, Seq("id"))
+      t.append((1 to 40).map(i => (i, s"x$i", i.toLong)).toDF("id", "tag", "v"))
+      t.append((41 to 80).map(i => (i, s"y$i", i.toLong)).toDF("id", "tag", "v"))
+      t.buildBlooms(Seq("tag"))
+
+      val all = s2.sql("SELECT * FROM graft.bl").inputFiles.length
+      val q = s2.sql("SELECT id FROM graft.bl WHERE tag = 'y55' AND v > 0")
+      assert(q.collect().map(_.getInt(0)).toSeq == Seq(55))
+      assert(q.inputFiles.length < all,
+        s"no pruning through SQL: ${q.inputFiles.length} vs $all")
+      // literal-on-left and cross-type literal both prune and stay correct
+      assert(s2.sql("SELECT id FROM graft.bl WHERE 'x7' = tag").collect()
+        .map(_.getInt(0)).toSeq == Seq(7))
+      val byV = s2.sql("SELECT id FROM graft.bl WHERE v = 63") // int lit, long col
+      assert(byV.collect().map(_.getInt(0)).toSeq == Seq(63))
+      // no-equality predicates fall back to the plain scan, same results
+      assert(s2.sql("SELECT count(*) FROM graft.bl WHERE tag LIKE 'x%'")
+        .collect().head.getLong(0) == 40)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }
