@@ -49,7 +49,15 @@ object CorpusIngest {
       nearDupIndex: Option[String] = None,
       nearDupK: Int = 16,
       nearDupBands: Int = 8,
-      nearDupShingleSize: Int = 3)
+      nearDupShingleSize: Int = 3,
+      /** Declarative row constraints ([[graft.operators.Expectations]])
+        * gating intake ALONGSIDE the quality threshold — evaluated
+        * map-only before the dedup state, so a rejected row never burns
+        * fingerprint state. Nulls fail closed. The scoring is
+        * deterministic, so [[rejects]] reproduces the quarantined rows
+        * (with their violation lists) exactly in batch mode.
+        */
+      expectations: Seq[graft.operators.Expectations.Rule] = Seq.empty)
 
   /** Start the intake stream over a directory of JSON-line document
     * files. The managed table auto-creates on first batch (append-only,
@@ -69,7 +77,11 @@ object CorpusIngest {
     val scored = redacted
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .withColumn("fingerprint", TextFunctions.fingerprint(col("text")))
-    val keep = scored.filter(col("quality") >= cfg.minQuality)
+    val gated =
+      if (cfg.expectations.isEmpty) scored
+      else graft.operators.Expectations.annotate(scored, cfg.expectations)
+        .filter(size(col("__violations")) === 0).drop("__violations")
+    val keep = gated.filter(col("quality") >= cfg.minQuality)
       // emit-once-per-content: constant version ⇒ only a key's first
       // arrival is ever strictly newer than state
       .withColumn("__fpk", xxhash64(col("fingerprint")))
@@ -153,4 +165,19 @@ object CorpusIngest {
   def rejects(df: DataFrame, minQuality: Double): DataFrame =
     df.withColumn("quality", TextFunctions.qualityScore(col("text")))
       .filter(col("quality") < minQuality)
+
+  /** Quarantine audit with expectation rules: every row the intake gate
+    * drops — quality-threshold failures AND rule violations — with its
+    * full violation list (the threshold surfaces as the synthetic rule
+    * `min_quality`). Deterministic, so this is exactly the complement of
+    * what [[start]] lands for a duplicate-free input.
+    */
+  def rejects(df: DataFrame, minQuality: Double,
+              rules: Seq[graft.operators.Expectations.Rule]): DataFrame = {
+    val scored = df.withColumn("quality", TextFunctions.qualityScore(col("text")))
+    val all = rules :+ graft.operators.Expectations.Rule("min_quality",
+      col("quality") >= minQuality)
+    graft.operators.Expectations.annotate(scored, all)
+      .filter(size(col("__violations")) > 0)
+  }
 }

@@ -136,4 +136,35 @@ class CorpusIngestSpec extends AnyFunSuite with SharedSpark {
     val r = CorpusIngest.rejects(df, 0.5).select("doc_id").as[Long].collect()
     assert(r.toSeq == Seq(2L))
   }
+
+  test("expectation rules gate intake before dedup state; rejects() names the violations") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = Files.createTempDirectory("ingest-exp-in").toString
+    val ckpt = Files.createTempDirectory("ingest-exp-ckpt").toString
+    val wh = Files.createTempDirectory("ingest-exp-wh").toString
+    val rules = Seq(
+      graft.operators.Expectations.Rule("lang_known", col("lang").isin("en", "de")),
+      graft.operators.Expectations.Rule("source_present", col("source").isNotNull))
+    val cfg = CorpusIngest.Config(warehouse = wh, tableName = "corpus_exp",
+      minQuality = 0.5, expectations = rules)
+    // doc 2 violates lang_known (fr), doc 3 is junk-quality
+    val lines = Seq(
+      s"""{"doc_id":1,"text":"$good1","lang":"en","source":"crawl"}""",
+      s"""{"doc_id":2,"text":"$good2","lang":"fr","source":"crawl"}""",
+      s"""{"doc_id":3,"text":"x","lang":"en","source":"crawl"}""")
+    Files.write(java.nio.file.Paths.get(in, "w.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    CorpusIngest.start(spark, in, ckpt, cfg).awaitTermination()
+    val landed = ManagedTable.load(spark, wh, "corpus_exp").get
+      .read().select("doc_id").as[Long].collect().sorted
+    assert(landed.toSeq == Seq(1L), s"landed: ${landed.toSeq}")
+    // batch audit reproduces the quarantine with reasons
+    val df = Seq((1L, good1, "en", "crawl"), (2L, good2, "fr", "crawl"),
+      (3L, "x", "en", "crawl")).toDF("doc_id", "text", "lang", "source")
+    val audit = CorpusIngest.rejects(df, 0.5, rules)
+      .select(col("doc_id"), col("__violations"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(audit == Map(2L -> List("lang_known"), 3L -> List("min_quality")))
+  }
 }
