@@ -31,7 +31,16 @@ object Maintenance {
       maxTrickleGroups: Int = 8,
       maxDeleteScopes: Int = 16,
       maxLiveFiles: Int = 256,
-      expireOlderThanMs: Option[Long] = None
+      expireOlderThanMs: Option[Long] = None,
+      /** Keep manifest Bloom filters ([[ManagedTable.buildBlooms]]) on
+        * these columns: tier 5 rebuilds when more than
+        * `maxBloomlessGroups` live groups lack one — fresh commits and
+        * compaction outputs arrive filter-less, so this tier restores
+        * point-lookup pruning after the cheaper tiers reshuffle the
+        * groups (it runs LAST for exactly that reason).
+        */
+      bloomCols: Seq[String] = Seq.empty,
+      maxBloomlessGroups: Int = 8
   )
 
   /** One maintenance action taken (or recommended), human-readable. */
@@ -80,6 +89,14 @@ object Maintenance {
     // counts at plan time; compact() recounts exactly)
     if (files.length > policy.maxLiveFiles)
       actions += Action("compact", s"${files.length} live groups > ${policy.maxLiveFiles}")
+    // tier 5: bloom coverage — after the rewrite tiers, since compaction
+    // outputs are filter-less by construction
+    if (policy.bloomCols.nonEmpty) {
+      val (have, total) = table.bloomCoverage(policy.bloomCols)
+      if (total - have > policy.maxBloomlessGroups)
+        actions += Action("buildBlooms",
+          s"${total - have} groups without filters > ${policy.maxBloomlessGroups}")
+    }
     policy.expireOlderThanMs.foreach(ts =>
       actions += Action("expireSnapshots", s"older than $ts"))
     actions.result()
@@ -112,6 +129,9 @@ object Maintenance {
             case "compact" =>
               val (before, after) = table.compact()
               done += a.copy(detail = s"${a.detail}; files $before -> $after")
+            case "buildBlooms" =>
+              val n = table.buildBlooms(policy.bloomCols)
+              done += a.copy(detail = s"${a.detail}; $n entries filtered")
           }
       }
     }

@@ -819,6 +819,16 @@ final class ManagedTable private (
     updated.count(_.blooms.nonEmpty)
   }
 
+  /** Bloom coverage for `cols`: (groups carrying filters for ALL of
+    * them, total data/upsert groups) — one manifest read, the
+    * [[Maintenance]] bloom tier's decision input.
+    */
+  def bloomCoverage(cols: Seq[String]): (Int, Int) = {
+    val es = currentEntries.filter(e =>
+      e.kind == Manifest.Data || e.kind == Manifest.Upsert)
+    (es.count(e => cols.forall(e.blooms.contains)), es.size)
+  }
+
   /** Probe positions of `v` for column `c` — the driver-side twin of
     * [[buildBlooms]]'s write expression (`xxhash64(probeIndex, value)`
     * mod m), evaluated through the same Catalyst expression so the two

@@ -78,4 +78,26 @@ class MaintenanceSpec extends AnyFunSuite with SharedSpark {
     assert(ran.map(_.kind) == Seq("expireSnapshots"), s"ran: $ran")
     assert(t.versions().size < vs.size)
   }
+
+  test("bloom tier: rebuilds coverage last, after the rewrite tiers reshuffle groups") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-maint4").toString
+    val t = mkTable(wh, "m4")
+    trickle(t, 6)
+    val pol = Maintenance.Policy(maxTrickleGroups = 2, maxDeleteScopes = 100,
+      maxLiveFiles = 1000, bloomCols = Seq("v"), maxBloomlessGroups = 0)
+    // plan: both the minor fold AND the bloom tier fire; fold is ranked first
+    val p = Maintenance.plan(t, pol)
+    assert(p.map(_.kind).containsSlice(Seq("compactMinor", "buildBlooms")), s"plan: $p")
+    val before = state(t)
+    val ran = Maintenance.run(t, pol)
+    assert(ran.map(_.kind).last == "buildBlooms", s"ran: $ran")
+    assert(state(t) == before, "maintenance changed visible state")
+    val (have, total) = t.bloomCoverage(Seq("v"))
+    assert(have == total && total > 0, s"coverage $have/$total")
+    // healthy now: a second run does nothing
+    assert(Maintenance.run(t, pol).isEmpty)
+    // point lookup through the rebuilt filters
+    val probe = t.read().limit(1).collect()(0).getString(1)
+    assert(t.readWhereEq("v", probe).count() >= 1)
+  }
 }
