@@ -427,10 +427,10 @@ object Queries {
       // three commits → three groups, custkeys interleaved (unsorted)
       (0 until 3).foreach(i => tbl.append(base.where(col("o_orderkey") % 3 === i)))
       tbl.buildBlooms(Seq("o_custkey"))
-      tbl.readWhereEq("o_custkey", 613L).select(dmlCols.map(col): _*)
+      tbl.readWhereEq("o_custkey", 61L).select(dmlCols.map(col): _*)
     },
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
-      |FROM orders WHERE o_custkey = 613""".stripMargin))
+      |FROM orders WHERE o_custkey = 61""".stripMargin))
 
   /** BPE tokenizer training ([[graft.text.BpeTrainer]]): 40 merge rules
     * learned from the documents corpus — ONE corpus-scale word-count
