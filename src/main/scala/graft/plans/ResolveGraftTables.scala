@@ -4,7 +4,7 @@ import graft.tables.ManagedTable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -59,13 +59,66 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     case other     => Seq(other)
   }
 
-  /** The pruned scan for the first `col = literal` conjunct naming a
-    * table column (qualified or bare). None = nothing to prune on.
+  /** The pruned scan for the first prunable conjunct: a RANGE (or
+    * equality) on a monotone partition source column tuple-prunes via
+    * [[ManagedTable.readSourceRange]]; otherwise a `col = literal`
+    * conjunct group-prunes via bounds + Bloom ([[ManagedTable
+    * .readWhereEq]]). The caller keeps the original filter on top, so
+    * pruning only ever opens a superset of the matching groups.
     */
   private def resolvePruned(name: String, cond: Expression): Option[LogicalPlan] = {
     val wh = session.conf.getOption("spark.graft.warehouse")
     if (wh.isEmpty) return None
     ManagedTable.load(session, wh.get, name).flatMap { t =>
+      // (column, isLower, inclusive?, literal) per range conjunct;
+      // equality contributes both bounds
+      val ranges = conjuncts(cond).flatMap {
+        case EqualTo(a: UnresolvedAttribute, l: Literal) if l.value != null =>
+          Seq((a.nameParts.last, true, l), (a.nameParts.last, false, l))
+        case EqualTo(l: Literal, a: UnresolvedAttribute) if l.value != null =>
+          Seq((a.nameParts.last, true, l), (a.nameParts.last, false, l))
+        case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) if l.value != null =>
+          Seq((a.nameParts.last, true, l))
+        case GreaterThan(a: UnresolvedAttribute, l: Literal) if l.value != null =>
+          Seq((a.nameParts.last, true, l))
+        case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) if l.value != null =>
+          Seq((a.nameParts.last, false, l))
+        case LessThan(a: UnresolvedAttribute, l: Literal) if l.value != null =>
+          Seq((a.nameParts.last, false, l))
+        case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) if l.value != null =>
+          Seq((a.nameParts.last, false, l))
+        case GreaterThan(l: Literal, a: UnresolvedAttribute) if l.value != null =>
+          Seq((a.nameParts.last, false, l))
+        case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) if l.value != null =>
+          Seq((a.nameParts.last, true, l))
+        case LessThan(l: Literal, a: UnresolvedAttribute) if l.value != null =>
+          Seq((a.nameParts.last, true, l))
+        case _ => Seq.empty
+      }
+      def extValue(fld: org.apache.spark.sql.types.StructField, l: Literal): Option[Any] = {
+        val casted = try Cast(l, fld.dataType, Some(conf.sessionLocalTimeZone))
+          .eval(null) catch { case _: Exception => null }
+        Option(casted).map(CatalystTypeConverters.convertToScala(_, fld.dataType))
+      }
+      def logical(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+        df.select(t.meta.schema.fieldNames.toIndexedSeq.map(
+          org.apache.spark.sql.functions.col): _*).queryExecution.analyzed
+      // 1. partition-source tuple pruning — the strongest cut at scale
+      val partitionPruned = ranges.groupBy(_._1).view
+        .flatMap { case (colName, bs) =>
+          t.meta.schema.fields.find(_.name.equalsIgnoreCase(colName))
+            .filter(f => t.isMonotonePartitionSource(f.name))
+            .flatMap { fld =>
+              val lo = bs.collectFirst { case (_, true, l) => l }
+                .flatMap(extValue(fld, _))
+              val hi = bs.collectFirst { case (_, false, l) => l }
+                .flatMap(extValue(fld, _))
+              if (lo.isEmpty && hi.isEmpty) None
+              else Some(logical(t.readSourceRange(fld.name, lo, hi)))
+            }
+        }.headOption
+      if (partitionPruned.isDefined) return partitionPruned
+      // 2. bounds + Bloom group pruning on an equality conjunct
       val eq = conjuncts(cond).collectFirst(Function.unlift {
         case EqualTo(a: UnresolvedAttribute, l: Literal) if l.value != null =>
           Some((a.nameParts.last, l))
@@ -75,20 +128,8 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       })
       eq.flatMap { case (colName, l) =>
         t.meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).flatMap { fld =>
-          // cast the literal into the column's type, then to its external
-          // form — readWhereEq hashes with the column's exact type
-          val casted = try Cast(l, fld.dataType, Some(conf.sessionLocalTimeZone))
-            .eval(null) catch { case _: Exception => null }
-          if (casted == null) None
-          else {
-            val ext = CatalystTypeConverters.convertToScala(casted, fld.dataType)
-            // project to the LOGICAL schema: readWhereEq returns the
-            // physical one (derived partition columns included), but the
-            // SQL surface must look exactly like `graft.<t>`
-            val pruned = t.readWhereEq(fld.name, ext)
-              .select(t.meta.schema.fieldNames.toIndexedSeq.map(
-                org.apache.spark.sql.functions.col): _*)
-            Some(pruned.queryExecution.analyzed)
+          extValue(fld, l).map { ext =>
+            logical(t.readWhereEq(fld.name, ext))
           }
         }
       }

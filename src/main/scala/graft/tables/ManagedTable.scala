@@ -262,6 +262,82 @@ final class ManagedTable private (
     morRead(kept, deleteCarriers = carriers)
   }
 
+  /** Monotone partition transforms: a source-column range maps to a
+    * contiguous range in the derived domain, so tuples outside it cannot
+    * hold in-range rows. Bucket is the one non-monotone transform.
+    */
+  private def monotoneFieldsOf(c: String): Seq[PartitionField] =
+    allEpochPartitionFields.filter(pf => pf.sourceColumn == c &&
+      (pf.transform match {
+        case "identity" | "year" | "month" | "day" | "hour" => true
+        case "truncate" => _meta.schema(c).dataType == StringType
+        case _ => false
+      }))
+
+  /** The canonical TUPLE string a bound maps to under a transform —
+    * evaluated through the very Catalyst expression the write path uses
+    * ([[PartitionSpecParser]] + the tuple's string cast), on a local
+    * one-row relation: no file I/O, bit-exact agreement with stored
+    * tuples at any session time zone.
+    */
+  private def transformBound(pf: PartitionField, v: Any): String = {
+    val dt = _meta.schema(pf.sourceColumn).dataType
+    spark.range(1)
+      .select(lit(v).cast(dt).as(pf.sourceColumn))
+      .select(pf.expr.cast(StringType).as("b"))
+      .head().getString(0)
+  }
+
+  /** Can a range on `c` tuple-prune this table? (SQL rule's dispatch.) */
+  def isMonotonePartitionSource(c: String): Boolean =
+    _meta.schema.fieldNames.contains(c) && monotoneFieldsOf(c).nonEmpty
+
+  /** Range read on a partition SOURCE column (`WHERE ts >= lo AND
+    * ts < hi` over a `day(ts)`-partitioned table): file groups whose
+    * partition tuple cannot intersect the transformed range are pruned at
+    * the MANIFEST — a time-window query on a 100 TB log plans against
+    * the touched days' group lists, opening nothing else. Monotone
+    * transforms only (identity / year / month / day / hour / truncate-on-
+    * string); bucket tuples and entries from epochs without a matching
+    * derived column are never pruned. Open bounds allowed. Built on
+    * [[readPartitions]], so MoR delete-carrier handling is inherited.
+    */
+  def readSourceRange(c: String, lo: Option[Any], hi: Option[Any]): DataFrame = {
+    require(_meta.schema.fieldNames.contains(c), s"unknown column $c")
+    require(lo.isDefined || hi.isDefined, "at least one bound")
+    val fields = monotoneFieldsOf(c)
+    require(fields.nonEmpty,
+      s"$c is not a monotone partition source column of any spec epoch")
+    // per-field transformed bounds; year compares numerically (tuple ints
+    // are not zero-padded), the string transforms lexicographically
+    // (fixed-width formats), identity in the column's natural domain
+    val bounds = fields.map { pf =>
+      pf -> (lo.map(transformBound(pf, _)), hi.map(transformBound(pf, _)))
+    }
+    val numeric = (pf: PartitionField) => pf.transform == "year" ||
+      (pf.transform == "identity" && (_meta.schema(c).dataType match {
+        case _: NumericType => true
+        case _ => false
+      }))
+    def cmp(pf: PartitionField, a: String, b: String): Int =
+      if (numeric(pf)) java.lang.Double.compare(a.toDouble, b.toDouble)
+      else a.compareTo(b)
+    val fltr = readPartitions { tuple =>
+      bounds.forall { case (pf, (l, h)) =>
+        tuple.get(pf.name) match {
+          case None => true // different epoch's tuple: cannot prune
+          case Some(v) if v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME =>
+            false // null source value is outside any non-null range
+          case Some(v) =>
+            l.forall(lv => cmp(pf, v, lv) >= 0) && h.forall(hv => cmp(pf, v, hv) <= 0)
+        }
+      }
+    }
+    val base = fltr.select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val withLo = lo.map(v => base.filter(col(c) >= lit(v))).getOrElse(base)
+    hi.map(v => withLo.filter(col(c) <= lit(v))).getOrElse(withLo)
+  }
+
   /** Live partition tuples (SHOW PARTITIONS analogue) — metadata-only:
     * one manifest read, no data scan.
     */
