@@ -51,10 +51,12 @@ object Expectations {
         sum(when(coalesce(r.constraint, lit(false)), 0L).otherwise(1L)).as(s"f_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = rules.zipWithIndex.map { case (r, i) =>
-      s"'${r.name.replace("'", "''")}', p_$i, f_$i"
-    }.mkString(", ")
-    one.select(expr(
-      s"stack(${rules.size}, $stacked) AS (rule, n_pass, n_fail)"))
+    // names bound as literal COLUMNS, never spliced into SQL text — any
+    // rule name (quotes, backslashes) survives verbatim
+    val rows = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"p_$i").as("n_pass"),
+        col(s"f_$i").as("n_fail"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 }

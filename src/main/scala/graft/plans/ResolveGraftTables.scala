@@ -95,10 +95,35 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
           Seq((a.nameParts.last, true, l))
         case _ => Seq.empty
       }
-      def extValue(fld: org.apache.spark.sql.types.StructField, l: Literal): Option[Any] = {
+      // Pruning rewrites the comparison into the COLUMN's domain, which
+      // is only Spark-equivalent when Spark itself would compare there.
+      // A numeric literal against a STRING column coerces the COLUMN
+      // (s = 5 matches "05"); pruning on the string "5" would drop "05".
+      // So: same type, string=string, or integral literal into an
+      // integral column with exact value round-trip. Everything else
+      // falls back to the unpruned scan.
+      import org.apache.spark.sql.types._
+      def comparableInColumnDomain(fld: StructField, l: Literal): Boolean = {
+        def integral(dt: DataType) = dt match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        fld.dataType == l.dataType ||
+          (integral(fld.dataType) && integral(l.dataType))
+      }
+      def extValue(fld: StructField, l: Literal): Option[Any] = {
+        if (!comparableInColumnDomain(fld, l)) return None
         val casted = try Cast(l, fld.dataType, Some(conf.sessionLocalTimeZone))
           .eval(null) catch { case _: Exception => null }
-        Option(casted).map(CatalystTypeConverters.convertToScala(_, fld.dataType))
+        // integral narrowing must round-trip exactly (1e10 into an INT
+        // column must not prune on the truncated value)
+        val roundTrips = casted != null && (fld.dataType == l.dataType || {
+          val back = try Cast(Literal.create(casted, fld.dataType), l.dataType,
+            Some(conf.sessionLocalTimeZone)).eval(null) catch { case _: Exception => null }
+          back == l.value
+        })
+        if (!roundTrips) None
+        else Some(CatalystTypeConverters.convertToScala(casted, fld.dataType))
       }
       def logical(df: org.apache.spark.sql.DataFrame): LogicalPlan =
         df.select(t.meta.schema.fieldNames.toIndexedSeq.map(

@@ -169,8 +169,9 @@ object CorpusIngest {
   /** Quarantine audit with expectation rules: every row the intake gate
     * drops — quality-threshold failures AND rule violations — with its
     * full violation list (the threshold surfaces as the synthetic rule
-    * `min_quality`). Deterministic, so this is exactly the complement of
-    * what [[start]] lands for a duplicate-free input.
+    * `min_quality`). Evaluates on RAW text; exact gate complement only
+    * when redaction is off — use the `rejects(df, cfg)` overload for the
+    * redaction-aware audit.
     */
   def rejects(df: DataFrame, minQuality: Double,
               rules: Seq[graft.operators.Expectations.Rule]): DataFrame = {
@@ -179,5 +180,17 @@ object CorpusIngest {
       col("quality") >= minQuality)
     graft.operators.Expectations.annotate(scored, all)
       .filter(size(col("__violations")) > 0)
+  }
+
+  /** Config-exact quarantine audit: applies the SAME preprocessing as
+    * [[start]] — PII redaction included when configured — before scoring
+    * and rules, so for a duplicate-free input this is exactly the
+    * complement of what the stream lands.
+    */
+  def rejects(df: DataFrame, cfg: Config): DataFrame = {
+    val pre =
+      if (cfg.redactPii) df.withColumn("text", TextFunctions.redactPii(col("text")))
+      else df
+    rejects(pre, cfg.minQuality, cfg.expectations)
   }
 }

@@ -282,21 +282,32 @@ final class ManagedTable private (
     */
   private def transformBound(pf: PartitionField, v: Any): String = {
     val dt = _meta.schema(pf.sourceColumn).dataType
-    spark.range(1)
+    val b = try spark.range(1)
       .select(lit(v).cast(dt).as(pf.sourceColumn))
       .select(pf.expr.cast(StringType).as("b"))
       .head().getString(0)
+    catch { // ANSI mode surfaces a malformed bound as a cast error
+      case e: org.apache.spark.SparkThrowable =>
+        throw new IllegalArgumentException(
+          s"range bound '$v' does not cast to ${pf.sourceColumn}'s type $dt",
+          e.asInstanceOf[Throwable])
+    }
+    require(b != null,
+      s"range bound '$v' does not cast to ${pf.sourceColumn}'s type $dt")
+    b
   }
 
   /** Can a range on `c` tuple-prune this table? (SQL rule's dispatch.) */
   def isMonotonePartitionSource(c: String): Boolean =
     _meta.schema.fieldNames.contains(c) && monotoneFieldsOf(c).nonEmpty
 
-  /** Range read on a partition SOURCE column (`WHERE ts >= lo AND
-    * ts < hi` over a `day(ts)`-partitioned table): file groups whose
-    * partition tuple cannot intersect the transformed range are pruned at
-    * the MANIFEST — a time-window query on a 100 TB log plans against
-    * the touched days' group lists, opening nothing else. Monotone
+  /** Range read on a partition SOURCE column — BOTH bounds INCLUSIVE
+    * (`lo <= c AND c <= hi`; half-open windows: pass `hi` just below the
+    * boundary, or post-filter — the SQL rule keeps the exact predicate on
+    * top and uses this as a superset scan). File groups whose partition
+    * tuple cannot intersect the transformed range are pruned at the
+    * MANIFEST — a time-window query on a 100 TB log plans against the
+    * touched days' group lists, opening nothing else. Monotone
     * transforms only (identity / year / month / day / hour / truncate-on-
     * string); bucket tuples and entries from epochs without a matching
     * derived column are never pruned. Open bounds allowed. Built on
@@ -319,9 +330,15 @@ final class ManagedTable private (
         case _: NumericType => true
         case _ => false
       }))
+    // String comparison in UTF-8 BYTE order, matching Spark's UTF8String
+    // ordering (and the write-path tuple values) — Java's UTF-16
+    // compareTo diverges for supplementary-plane characters and could
+    // wrongly prune a group (same lesson as [[ColBounds.intersects]]).
     def cmp(pf: PartitionField, a: String, b: String): Int =
       if (numeric(pf)) java.lang.Double.compare(a.toDouble, b.toDouble)
-      else a.compareTo(b)
+      else java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val fltr = readPartitions { tuple =>
       bounds.forall { case (pf, (l, h)) =>
         tuple.get(pf.name) match {
@@ -771,6 +788,11 @@ final class ManagedTable private (
     spark.readStream
       .schema(readSchema)
       .parquet(s"${new Path(tableDir, "files")}/{${Manifest.Data},${Manifest.Upsert}}-*")
+      // adopted groups ([[addFiles]]) carry no per-row seq column — same
+      // dir-name recovery as the batch scan ([[scanGroups]])
+      .withColumn(SeqCol, coalesce(col(SeqCol),
+        regexp_extract(col("_metadata.file_path"),
+          ManagedTable.GroupSeqPattern, 2).cast(LongType)))
       .withColumn(TombstoneCol, coalesce(col(TombstoneCol), lit(false)))
   }
 
@@ -2488,7 +2510,8 @@ object ManagedTable {
     * are named `<kind>-<seq>-<8-hex-uuid>` by `groupRel`. Capture group 2
     * is the seq.
     */
-  private[tables] val GroupSeqPattern = "/(data|upsert)-([0-9]+)-[0-9a-f]{8}/"
+  private[tables] val GroupSeqPattern =
+    "/files/(data|upsert)-([0-9]+)-[0-9a-f]{8}/[^/]+$"
 
   /** Renamed seq column on the delete side of the MoR anti-join. */
   val DelSeqCol = "__graft_del_seq"

@@ -53,11 +53,21 @@ object BpeTrainer {
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             maxVocabWords: Int = 50000): Seq[(String, String)] = {
-    require(numMerges > 0 && maxVocabWords > 0, "numMerges/maxVocabWords must be positive")
-    val top = wordCounts(docs, textCol)
+    require(numMerges > 0, "numMerges must be positive")
+    trainFromCounts(topWords(docs, textCol, maxVocabWords), numMerges)
+  }
+
+  /** The capped training vocabulary, count-descending — collect it once
+    * and feed BOTH [[trainFromCounts]] and [[segmentWords]]'s
+    * `dictionary` so the corpus word-count exchange runs a single time
+    * across the train-then-segment flow.
+    */
+  def topWords(docs: DataFrame, textCol: String,
+               maxVocabWords: Int = 50000): Seq[(String, Long)] = {
+    require(maxVocabWords > 0, "maxVocabWords must be positive")
+    wordCounts(docs, textCol)
       .orderBy(col("n").desc, col("word").asc).limit(maxVocabWords)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    trainFromCounts(top.toSeq, numMerges)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
   }
 
   /** The merge loop on a bounded (word, count) vocabulary — exposed for
@@ -119,12 +129,19 @@ object BpeTrainer {
     */
   def segmentWords(docs: DataFrame, idCol: String, textCol: String,
                    merges: Seq[(String, String)],
-                   maxVocabWords: Int = 50000): DataFrame = {
+                   maxVocabWords: Int = 50000,
+                   dictionary: Option[Seq[String]] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val dictWords = wordCounts(docs, textCol)
-      .orderBy(col("n").desc, col("word").asc).limit(maxVocabWords)
-      .select("word").as[String].collect()
+    // `dictionary`: reuse a word list the caller already has (e.g. from
+    // the training pass) instead of re-running the corpus-scale
+    // word-count exchange — the train-then-segment flow then touches the
+    // corpus once per phase, not twice
+    val dictWords = dictionary.map(_.toArray).getOrElse {
+      wordCounts(docs, textCol)
+        .orderBy(col("n").desc, col("word").asc).limit(maxVocabWords)
+        .select("word").as[String].collect()
+    }
     val dict = dictWords.toSeq.map(w => (w, segmentWord(w, merges)))
       .toDF("word", "subwords")
     val words = docs.select(col(idCol),

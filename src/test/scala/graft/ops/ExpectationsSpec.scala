@@ -47,9 +47,11 @@ class ExpectationsSpec extends AnyFunSuite with SharedSpark {
     assert(!p.contains("Join"), p)
   }
 
-  test("rule-name quoting survives apostrophes in the stack unpivot") {
-    val m = Expectations.metrics(df, Seq(Rule("it's fine", col("v").isNotNull)))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    assert(m.toSeq == Seq(("it's fine", 3L, 1L)))
+  test("rule names survive verbatim: apostrophes, backslashes, unicode") {
+    for (name <- Seq("it's fine", "path\\with\\backslashes", "règle–✓")) {
+      val m = Expectations.metrics(df, Seq(Rule(name, col("v").isNotNull)))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(m.toSeq == Seq((name, 3L, 1L)), s"name '$name' corrupted")
+    }
   }
 }

@@ -115,6 +115,17 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
       // no-equality predicates fall back to the plain scan, same results
       assert(s2.sql("SELECT count(*) FROM graft.bl WHERE tag LIKE 'x%'")
         .collect().head.getLong(0) == 40)
+      // COERCION GUARD: a numeric literal against a STRING column makes
+      // Spark cast the COLUMN ("05" matches 5) — pruning on the string
+      // "5" would wrongly drop "05". The rule must fall back to the
+      // unpruned scan and keep Spark's own semantics.
+      val tc = ManagedTable.create(s2, wh, "blc", schema, Seq("id"))
+      tc.append(Seq((1, "05", 1L), (2, "7", 2L)).toDF("id", "tag", "v"))
+      tc.append(Seq((3, "5", 3L)).toDF("id", "tag", "v"))
+      tc.buildBlooms(Seq("tag"))
+      val coerced = s2.sql("SELECT id FROM graft.blc WHERE tag = 5")
+      assert(coerced.collect().map(_.getInt(0)).toSet == Set(1, 3),
+        "numeric-literal-vs-string-column must keep Spark's coercion semantics")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

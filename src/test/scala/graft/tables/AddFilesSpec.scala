@@ -80,6 +80,24 @@ class AddFilesSpec extends AnyFunSuite with SharedSpark {
     assert(t.fastRowCount.contains(2L))
   }
 
+  test("the change stream recovers adopted rows' commit seq from the dir name") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "adoptcs", schema, Seq("id"))
+    t.addFiles(externalParquet(rows((1, "a", "c", 1L), (2, "b", "c", 1L)), parts = 1))
+    val adoptSeq = t.meta.currentVersion
+    val out = java.nio.file.Files.createTempDirectory("adoptcs-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("adoptcs-ck").toString
+    val q = t.readChangeStream().writeStream
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out).start()
+    q.awaitTermination(120000)
+    val seqs = spark.read.parquet(out)
+      .select(ManagedTable.SeqCol).collect().map(r => Option(r.get(0))).toSeq
+    assert(seqs.size == 2 && seqs.forall(_.contains(adoptSeq)),
+      s"adopted rows streamed with seqs $seqs, expected $adoptSeq")
+  }
+
   test("copy mode leaves sources in place") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "adopt4", schema, Seq("id"))

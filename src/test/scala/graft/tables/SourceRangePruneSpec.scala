@@ -43,6 +43,10 @@ class SourceRangePruneSpec extends AnyFunSuite with SharedSpark {
     assertThrows[IllegalArgumentException] {
       t.readSourceRange("v", Some(1.0), None)
     }
+    // an uncastable bound fails fast, not deep in the tuple comparator
+    assertThrows[IllegalArgumentException] {
+      t.readSourceRange("ts", Some("not-a-date"), None).count()
+    }
   }
 
   test("SQL time-window over graft.<t> plans the tuple-pruned scan") {
