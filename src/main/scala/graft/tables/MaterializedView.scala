@@ -144,12 +144,17 @@ final class MaterializedView private (
         // delta rows wear the SUMMARY schema's names: for an unmatched group
         // the delta IS the new absolute value (insert), for a matched group
         // mergeInto's updateSet adds it onto the current row
-        val signedDelta = sign(source.readVersion(from), -1)
+        val signedDelta0 = sign(source.readVersion(from), -1)
           .unionByName(sign(source.readVersion(to), 1))
           .groupBy(groupCols.map(col): _*)
           .agg(deltaAggs.head, deltaAggs.tail: _*)
-        if (recomputeCols.isEmpty) signedDelta
+        if (recomputeCols.isEmpty) signedDelta0
         else {
+          // the delta (changed-group-sized) feeds three consumers below —
+          // the recompute's group semi-join, the outer join, and the
+          // merge source; materialize it once instead of re-running the
+          // two-snapshot scan per consumer
+          val signedDelta = signedDelta0.localCheckpoint(true)
           // non-retractable aggregates: recompute per CHANGED GROUP from
           // the target snapshot. The delta's groups ARE the changed group
           // set (every group a changed key's row touched at either
