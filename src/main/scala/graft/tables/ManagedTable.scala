@@ -1348,22 +1348,31 @@ final class ManagedTable private (
     * existing keys (adopting a key that already exists leaves both rows
     * visible — merge or dedup afterwards if key spaces overlap).
     *
-    * Requirements: unpartitioned parquet table (no partition-spec epochs);
-    * adopted columns present in the table schema must match its types
-    * exactly (extra file columns are legal but invisible; missing table
-    * columns read as null); identifier fields must be present. On commit
-    * failure the moves are rolled back. NOTE: in move mode a hard CRASH
-    * between the move and the commit leaves the sources inside an
-    * unreferenced group dir, swept by the next commit's GC — use
+    * Requirements: parquet table, unpartitioned OR identity-partitioned
+    * (every spec epoch; derived transforms — bucket/day/… — would need
+    * per-row derived columns only a rewrite can produce). Adopted columns
+    * present in the table schema must match its types exactly (extra file
+    * columns are legal but invisible; missing table columns read as
+    * null); identifier fields AND partition source columns must be
+    * present. On an identity-partitioned table each FILE must hold
+    * exactly one partition tuple (the layout every hive-partitioned lake
+    * already has) — files land as one group PER TUPLE with the tuple in
+    * the manifest, so partition pruning covers adopted data immediately.
+    * On commit failure the moves are rolled back. NOTE: in move mode a
+    * hard CRASH between the move and the commit leaves the sources inside
+    * unreferenced group dirs, swept by the next commit's GC — use
     * `copy = true` when the sources must survive any failure.
     *
-    * One Spark job total: a columnar count/bounds aggregate over the
-    * adopted group (identifier + cluster columns only). Returns the
-    * adopted row count.
+    * One Spark job total — a per-file columnar count/bounds/tuple
+    * aggregate over the SOURCE files (identifier + cluster + partition
+    * columns only), run BEFORE anything moves, so a validation failure
+    * never touches the sources. Returns the adopted row count; zero-row
+    * source files are skipped (nothing to adopt).
     */
   def addFiles(paths: Seq[String], copy: Boolean = false): Long = {
-    require(!isPartitioned && allEpochPartitionFields.isEmpty,
-      "addFiles adopts into unpartitioned, never-partitioned tables")
+    require(allEpochPartitionFields.forall(_.transform == "identity"),
+      "addFiles supports unpartitioned or identity-partitioned tables " +
+        "(derived partition transforms require rewriting rows)")
     require(format == "parquet", "addFiles adopts parquet files")
     require(paths.nonEmpty, "no files to adopt")
     val srcs = paths.map(new Path(_))
@@ -1375,18 +1384,56 @@ final class ManagedTable private (
         s"adopted files may not carry reserved column $r"))
     _meta.identifierFields.foreach(i => require(incoming.fieldNames.contains(i),
       s"adopted files are missing identifier column $i"))
+    val pcols = partitionFields.map(_.sourceColumn)
+    pcols.foreach(c => require(incoming.fieldNames.contains(c),
+      s"adopted files are missing partition column $c (hive-layout lakes " +
+        "must materialize dir-encoded partition values into the files first)"))
     incoming.fields.foreach { f =>
       _meta.schema.fields.find(_.name == f.name).foreach { tf =>
         require(tf.dataType == f.dataType,
           s"column ${f.name}: adopted type ${f.dataType} != table type ${tf.dataType}")
       }
     }
+    // one pass over the SOURCES: per-(file, tuple) counts and bounds —
+    // nothing has moved yet, so every validation failure is free
+    val statCols = (_meta.identifierFields ++ clusterByCols).distinct
+      .filter(incoming.fieldNames.contains)
+      .flatMap(c => statsTag(incoming(c).dataType).map(c -> _))
+    val readCols = (statCols.map(_._1) ++ pcols).distinct
+    val scan = spark.read
+      .schema(StructType(incoming.fields.filter(f => readCols.contains(f.name))))
+      .parquet(paths: _*)
+      .withColumn("__file", col("_metadata.file_path"))
+    val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { case (c, _) =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) }
+    // tuple strings via Spark's OWN string cast — byte-identical to the
+    // write path's staging-key canonicalization (java toString differs
+    // for timestamps), so adopted and written groups of one logical
+    // partition share one tuple in the manifest
+    val perFile = scan.groupBy(col("__file") +:
+        pcols.map(c => col(c).cast(StringType).as(s"__pt_$c")): _*)
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val tupleOfRow = (r: Row) => pcols.map(c =>
+      c -> Option(r.get(r.fieldIndex(s"__pt_$c"))).map(_.toString)
+        .getOrElse(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)).toMap
+    val byFile = perFile.groupBy(r =>
+      new Path(r.getString(r.fieldIndex("__file"))).toUri.getPath)
+    byFile.foreach { case (f, rows) => require(rows.length == 1,
+      s"file $f spans ${rows.length} partition tuples — split by partition " +
+        "before adopting") }
+    val fileTuple: Map[String, Map[String, String]] =
+      byFile.map { case (f, rows) => f -> tupleOfRow(rows.head) }
     val seq = _meta.currentVersion + 1
-    val rel = groupRel(Manifest.Data, seq)
-    val dir = new Path(tableDir, rel)
-    fs.mkdirs(dir)
-    val placed = srcs.zipWithIndex.map { case (src, i) =>
-      val dst = new Path(dir, f"adopt-$i%05d-${src.getName}")
+    // one group dir per distinct tuple (unpartitioned: the single empty
+    // tuple); zero-row files appear in no aggregate row and are skipped
+    val adoptable = srcs.filter(s => fileTuple.contains(
+      fs.makeQualified(s).toUri.getPath))
+    val relOfTuple = fileTuple.values.toSeq.distinct
+      .map(t => t -> groupRel(Manifest.Data, seq)).toMap
+    relOfTuple.values.foreach(rel => fs.mkdirs(new Path(tableDir, rel)))
+    val placed = adoptable.zipWithIndex.map { case (src, i) =>
+      val rel = relOfTuple(fileTuple(fs.makeQualified(src).toUri.getPath))
+      val dst = new Path(new Path(tableDir, rel), f"adopt-$i%05d-${src.getName}")
       val moved = !copy && fs.rename(src, dst)
       if (!moved)
         org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
@@ -1397,30 +1444,39 @@ final class ManagedTable private (
       if (!copy) placed.foreach { case (src, dst) =>
         if (fs.exists(dst) && !fs.exists(src)) fs.rename(dst, src)
       }
-      fs.delete(dir, true)
+      relOfTuple.values.foreach(rel => fs.delete(new Path(tableDir, rel), true))
     }
     try {
-      val statCols = (_meta.identifierFields ++ clusterByCols).distinct
-        .filter(incoming.fieldNames.contains)
-        .flatMap(c => statsTag(incoming(c).dataType).map(c -> _))
-      val adopted = spark.read
-        .schema(StructType(incoming.fields.filter(f =>
-          statCols.exists(_._1 == f.name))))
-        .parquet(dir.toString)
-      val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { case (c, _) =>
-        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) }
-      val row = adopted.agg(aggs.head, aggs.tail: _*).head()
-      val stats = statCols.collect { case (c, tg)
-        if row.get(row.fieldIndex(s"mn_$c")) != null &&
-           row.get(row.fieldIndex(s"mx_$c")) != null =>
-        c -> ColBounds(tg, row.get(row.fieldIndex(s"mn_$c")),
-          row.get(row.fieldIndex(s"mx_$c")))
-      }.toMap
-      val n = row.getAs[Long]("__rows")
-      commitManifest(currentEntries :+
-        ManifestEntry(rel, Manifest.Data, seq, stats, rows = n))
-      n
+      val entries = relOfTuple.toSeq.map { case (tuple, rel) =>
+        val rows = perFile.filter(r => tupleOfRow(r) == tuple)
+        val stats = statCols.collect(Function.unlift { case (c, tg) =>
+          val mns = rows.map(_.get(rows.head.fieldIndex(s"mn_$c"))).filter(_ != null)
+          val mxs = rows.map(_.get(rows.head.fieldIndex(s"mx_$c"))).filter(_ != null)
+          if (mns.length == rows.length && mxs.length == rows.length)
+            Some(c -> ColBounds(tg,
+              mns.minBy(v => SortKey(tg, v)), mxs.maxBy(v => SortKey(tg, v))))
+          else None
+        }).toMap
+        ManifestEntry(rel, Manifest.Data, seq, stats, tuple,
+          rows = rows.map(_.getAs[Long]("__rows")).sum)
+      }
+      commitManifest(currentEntries ++ entries)
+      entries.map(_.rows).sum
     } catch { case t: Throwable => rollback(); throw t }
+  }
+
+  /** Orders stat values inside one tagged domain — addFiles' per-tuple
+    * bound rollup (numeric vs UTF-8-byte string order, matching
+    * [[ColBounds.intersects]]).
+    */
+  private case class SortKey(tag: String, v: Any) extends Ordered[SortKey] {
+    override def compare(that: SortKey): Int = tag match {
+      case "i" | "f" => java.lang.Double.compare(
+        v.asInstanceOf[Number].doubleValue(), that.v.asInstanceOf[Number].doubleValue())
+      case _ => java.util.Arrays.compareUnsigned(
+        String.valueOf(v).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        String.valueOf(that.v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
   }
 
   /** C3–C7 — upsert-merge a CDC batch into the table. */

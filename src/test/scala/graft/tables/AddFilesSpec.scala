@@ -140,11 +140,43 @@ class AddFilesSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("partitioned tables refuse adoption") {
+  test("derived-transform partitioned tables refuse adoption") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "adopt7", schema, Seq("id"), Seq("bucket(4,id)"))
     assertThrows[IllegalArgumentException] {
       t.addFiles(externalParquet(rows((1, "a", "c", 1L)), parts = 1))
     }
+  }
+
+  test("identity-partitioned adoption: one group per tuple, pruning + scoped deletes work") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "adopt8", schema, Seq("id"), Seq("name"))
+    // two single-tuple files (the hive-layout shape) — each becomes its
+    // own group with the tuple in the manifest
+    val fa = externalParquet(rows((1, "a", "c", 1L), (2, "a", "c", 1L)), parts = 1)
+    val fb = externalParquet(rows((3, "b", "c", 1L)), parts = 1)
+    assert(t.addFiles(fa ++ fb) == 3)
+    assert(t.read().count() == 3)
+    assert(t.partitions().toSet == Set(Map("name" -> "a"), Map("name" -> "b")))
+    // manifest tuple pruning reaches adopted data immediately
+    val onlyA = t.readPartitions(_.get("name").contains("a"))
+    assert(onlyA.select("id").as[Int].collect().toSet == Set(1, 2))
+    assert(onlyA.inputFiles.length < t.read().inputFiles.length)
+    // a later upsert hides the adopted key in its partition
+    t.merge(rows((1, "a", "u", 2L)))
+    assert(t.read().count() == 3)
+    assert(t.read().filter(col("id") === 1).select("__op").as[String]
+      .collect().toSeq == Seq("u"))
+    // written and adopted groups of one logical tuple share the tuple string
+    assert(t.partitions().toSet == Set(Map("name" -> "a"), Map("name" -> "b")))
+  }
+
+  test("a multi-tuple file is refused BEFORE anything moves") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "adopt9", schema, Seq("id"), Seq("name"))
+    val mixed = externalParquet(rows((1, "a", "c", 1L), (2, "b", "c", 1L)), parts = 1)
+    assertThrows[IllegalArgumentException] { t.addFiles(mixed) }
+    assert(mixed.forall(p => new java.io.File(p).exists()), "sources touched on refusal")
+    assert(t.read().count() == 0)
   }
 }
