@@ -34,6 +34,14 @@ final case class PipelineConfig(
     tableOperationTimeout: Duration = Duration.Inf,
     parityTables: Boolean = true,
     deadLetterTable: String = "dead_letters",
+    /** Declarative row constraints ([[graft.operators.Expectations]])
+      * over the DECODED event columns: violating rows are quarantined
+      * into `deadLetterTable` (decoded row as JSON, violated rule names
+      * as the error) and the destination receives only clean rows — the
+      * generalization of the null-key DeadLetter policy to arbitrary
+      * business rules. Nulls fail closed. Evaluated map-only per batch.
+      */
+    expectations: Seq[graft.operators.Expectations.Rule] = Seq.empty,
     smallBatchMaxRows: Int = 20000,
     smallBatchMaxBytes: Long = 8L << 20
 ) {
@@ -273,19 +281,45 @@ object CdcPipeline {
       }
     }
 
+    // Expectation gate on the DECODED rows: violations quarantine (rule
+    // names as the error, decoded row as JSON evidence), clean rows
+    // proceed. Schema-change events bypass the gate — their columns are
+    // not the business schema the rules were written against.
+    val gated =
+      if (cfg.expectations.isEmpty || inferred.isSchemaChangeEvent) typed
+      else {
+        val annotated = graft.operators.Expectations
+          .annotate(typed, cfg.expectations)
+        val bad = annotated.filter(size(col("__violations")) > 0)
+        if (!bad.isEmpty) {
+          val q = bad.select(
+            lit(tableName).as("event_destination"),
+            lit(null: String).as("event_key"),
+            to_json(struct(typed.columns.map(col).toIndexedSeq: _*)).as("event_value"),
+            concat_ws(",", col("__violations")).as("error"),
+            current_timestamp().as("quarantined_at"))
+          dlqLock.synchronized {
+            val dlq = ManagedTable.loadOrCreate(spark, cfg.warehouse,
+              cfg.deadLetterTable, q.schema, Seq.empty, Seq.empty)
+            dlq.append(q)
+          }
+        }
+        annotated.filter(size(col("__violations")) === 0).drop("__violations")
+      }
+
     val upsertConfig = CdcApply.UpsertConfig(
       keepDeletes = cfg.keepDeletes, dedupColumn = cfg.dedupColumn,
       opColumn = cfg.opColumn, nullKeyPolicy = cfg.nullKeyPolicy)
     if (cfg.upsert && table.meta.identifierFields.nonEmpty && !inferred.isSchemaChangeEvent)
-      table.merge(typed, upsertConfig)
+      table.merge(gated, upsertConfig)
     else {
       // The append path has no guardKeys stage, so Drop/DeadLetter must
       // drop null-key rows here too — otherwise a quarantined envelope
       // would ALSO land in the destination table in append mode.
       val guarded =
         if (ids.nonEmpty && cfg.nullKeyPolicy != CdcApply.NullKeyPolicy.Fail)
-          typed.na.drop("any", ids)
-        else typed
+          gated.na.drop("any", ids)
+        else gated
       // Append is not naturally idempotent (merge is): a batch-id marker
       // rides the manifest commit's pointer flip, so the replay of a
       // batch whose table commit landed but whose checkpoint didn't is

@@ -304,6 +304,30 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
     assert(messages(ex).exists(_.contains("null identifier field")))
   }
 
+  test("expectation rules quarantine decoded rows to the DLQ; clean rows apply") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-exp-dlq").toString
+    val src = s"$root/events"; Files.createDirectories(java.nio.file.Paths.get(src))
+    val cfg = PipelineConfig(warehouse = s"$root/wh", keepDeletes = false,
+      expectations = Seq(
+        graft.operators.Expectations.Rule("name_present", col("first_name").isNotNull),
+        graft.operators.Expectations.Rule("name_not_evil",
+          col("first_name") =!= "evil")))
+    writeEvents(src, "b1.json", Seq(
+      EventFactory.event(1, "alice", "c", 100L),
+      EventFactory.event(2, "evil", "c", 101L),  // violates name_not_evil
+      EventFactory.event(3, "bob", "c", 102L)))
+    CdcPipeline.start(spark, src, s"$root/cp", cfg).awaitTermination(120000)
+    val customers = ManagedTable.load(spark, cfg.warehouse, "testc_inventory_customers").get
+    assert(customers.read().select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    val dlq = ManagedTable.load(spark, cfg.warehouse, cfg.deadLetterTable).get.read()
+    assert(dlq.count() == 1)
+    val r = dlq.collect()(0)
+    assert(r.getAs[String]("error") == "name_not_evil")
+    assert(r.getAs[String]("event_value").contains("\"evil\""))
+    assert(r.getAs[String]("event_destination") == "testc_inventory_customers")
+  }
+
   test("W11: per-table operation timeout fails the batch; fast tables still complete") {
     import scala.concurrent.duration._
     // under the timeout: completes
