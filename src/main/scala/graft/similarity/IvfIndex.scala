@@ -78,6 +78,18 @@ final class IvfIndex private (spark: SparkSession, warehouse: String,
         .drop("__unit"))
   }
 
+  /** Remove indexed vectors matching `cond` (e.g.
+    * `col("neighbor_id").isin(ids: _*)` or a predicate over `cv`) — a
+    * merge-on-read tombstone commit on the keyed vectors table:
+    * O(matched) write, no rewrite, and every search path (plain, PQ,
+    * probed) excludes the removed vectors immediately through the MoR
+    * read. The tombstone carries the vector's own `list_id` partition, so
+    * deletion scope stays list-local like everything else in the layout.
+    * Re-adding an id later via [[addBatch]] works — the new row's higher
+    * commit seq wins over the tombstone.
+    */
+  def removeVectors(cond: Column): Unit = vectorsTable.deleteWhere(cond)
+
   /** Top-k cosine neighbors per query over the probed lists only. */
   def search(queries: DataFrame, idCol: String, vecCol: String,
              k: Int, nprobe: Int = 2): DataFrame =
@@ -291,8 +303,11 @@ object IvfIndex {
     val stageName = s"${name}_vectors__new"
     val stageDir = vectorsPath(warehouse, name, "__new")
     fs.delete(stageDir, true)
+    // keyed on neighbor_id so [[IvfIndex.removeVectors]] is an O(matched)
+    // merge-on-read tombstone, never a table rewrite; ingestion stays a
+    // plain append (duplicate ids coexist, as before)
     ManagedTable.create(spark, warehouse, stageName,
-      assigned.schema, Seq.empty, partitionBy = Seq("list_id"))
+      assigned.schema, Seq("neighbor_id"), partitionBy = Seq("list_id"))
       .append(assigned)
     // the staged table is complete: re-point its metadata at the FINAL
     // name before any rename (ManagedTable resolves its directory from

@@ -137,6 +137,32 @@ class IvfKnnSpec extends AnyFunSuite with SharedSpark {
     assert(back.contains(90001L), s"added vector not searchable: ${back.mkString(",")}")
   }
 
+  test("persisted IvfIndex: removeVectors tombstones without rewrite; re-add wins") {
+    import graft.similarity.IvfIndex
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_ivfrm").toString
+    val idx = IvfIndex.build(spark, wh, "emb", emb, "vec_id", "embedding",
+      nlist = 4, iters = 1)
+    val q = emb.where(col("vec_id") === 0)
+    val before = idx.search(q, "vec_id", "embedding", k = 5, nprobe = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(before.nonEmpty)
+    val victim = before.head
+    idx.removeVectors(col("neighbor_id") === victim)
+    val after = idx.search(q, "vec_id", "embedding", k = 5, nprobe = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(!after.contains(victim), s"removed vector $victim still returned")
+    // removal never rewrote the base: full probe still serves everything else
+    assert(idx.probedScan(q, "embedding", nprobe = 4).count() == emb.count() - 1 + 0)
+    // re-adding the id makes it searchable again (new seq beats tombstone)
+    val vVec = emb.where(col("vec_id") === victim).select("embedding")
+      .collect().head.getSeq[Float](0)
+    idx.addBatch(Seq((victim, vVec)).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val again = idx.search(q, "vec_id", "embedding", k = 5, nprobe = 4)
+      .collect().map(_.getLong(2)).toSet
+    assert(again.contains(victim), "re-added vector not searchable")
+  }
+
   test("persisted IvfIndex: wrong-dimension vectors fail fast, not silently misindexed") {
     import graft.similarity.IvfIndex
     import spark.implicits._
