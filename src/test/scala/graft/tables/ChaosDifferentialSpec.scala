@@ -175,7 +175,11 @@ class ChaosDifferentialSpec extends AnyFunSuite with SharedSpark {
         properties = Map("write.mor.compact-after-upserts" -> "0"))
       var folded = t.read()
       for (step <- 1 to 24) {
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
+          case 8 => // keep bloom filters on `name` current — the pruned
+            // equality read is then asserted against the model every
+            // checkpoint below, under every interleaving
+            t.buildBlooms(Seq("name"))
           case 0 => // adopt a standalone parquet batch (unique fresh keys
             // per step so the append model needs no dedup assumption)
             val batch = List.fill(6)((1000 + step * 10 + rnd.nextInt(10),
@@ -201,8 +205,16 @@ class ChaosDifferentialSpec extends AnyFunSuite with SharedSpark {
             t.merge(batch, cfg)
             folded = CdcApply.upsert(folded, batch, Seq("id"), cfg).persist()
         }
-        if (step % 4 == 0)
+        if (step % 4 == 0) {
           assert(canon(t.read()) == canon(folded), s"diverged at step $step")
+          // bloom/bounds-pruned equality read ≡ plain filter on the model,
+          // whatever mix of adoption/merge/DML/maintenance came before
+          val probe = s"a${rnd.nextInt(100)}"
+          assert(canon(t.readWhereEq("name", probe)
+              .select("id", "name", "__op", "__source_ts_ns")) ==
+            canon(folded.filter(col("name") === probe)),
+            s"pruned equality read diverged at step $step (probe $probe)")
+        }
       }
       t.compact()
       assert(canon(t.read()) == canon(folded), "final compact diverged")
