@@ -1128,6 +1128,42 @@ object Queries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vmax_ffill
       |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket""".stripMargin))
 
+  /** Rolling 7-day window OVER THE GAP-FILLED GRID — the composition the
+    * dense time axis exists for: a ROWS-frame over calendar days is only
+    * a true 7-DAY window when silent days are present as zero rows
+    * (on the raw irregular events the same frame would span whatever 7
+    * rows happen to exist). Engine-exact aggregates (counts, max).
+    */
+  val tsRolling7d = Q("ts_rolling_7d",
+    (s, dir) => {
+      val grid = graft.operators.TimeSeries.resampleWithFill(
+        events(s, dir), "user_id", "ts", "day",
+        aggs = Seq(count(lit(1)).cast("long").as("n"), max("value").as("vmax")),
+        fillCols = Seq.empty)
+        .select(col("user_id"), to_date(col("bucket")).as("day"),
+          coalesce(col("n"), lit(0L)).as("n"), col("vmax"))
+      val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+      grid.select(col("user_id"), col("day"),
+        sum("n").over(w).as("n_7d"),
+        max("vmax").over(w).as("vmax_7d"),
+        count(lit(1)).over(w).cast("long").as("days_in_frame"))
+    },
+    Some("""WITH b AS (SELECT user_id, date_trunc('day', ts) AS bucket,
+      |    count(*)::BIGINT AS n, max(value) AS vmax
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY 1),
+      |g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket FROM s),
+      |grid AS (SELECT g.user_id, g.bucket::DATE AS day,
+      |    coalesce(b.n, 0)::BIGINT AS n, b.vmax
+      |  FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket)
+      |SELECT user_id, day,
+      |  (sum(n) OVER w)::BIGINT AS n_7d,
+      |  max(vmax) OVER w AS vmax_7d,
+      |  count(*) OVER w AS days_in_frame
+      |FROM grid
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin))
+
   /** Gaps-and-islands ([[graft.operators.TimeSeries.activityIslands]]):
     * each user's consecutive active days collapsed into maximal runs via
     * the ordinal-minus-row-number grouping key — streak/churn detection
@@ -3154,7 +3190,7 @@ object Queries {
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
     qFunnel, qHistogram, qIntervalJoin, qRetentionCohort, qEventTransitions,
-    qOverlapJoinBinned, qRankFunctions, tsGapFill, qGapIslands,
+    qOverlapJoinBinned, qRankFunctions, tsGapFill, qGapIslands, tsRolling7d,
     textStats, textLangId, textFingerprint, textTfidf, textBm25, textBm25Indexed,
     textRepetition,
     textPiiRedact, textQualityFilter, textChunk, textLmScore, textNormalize,
