@@ -1128,6 +1128,30 @@ object Queries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vmax_ffill
       |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket""".stripMargin))
 
+  /** Event debounce — the stream-hygiene filter a metrics pipeline runs
+    * before sessionization: per (user, event_type), drop events arriving
+    * within 60 s of the previous one (duplicate clicks, retry storms).
+    * One key-local window shuffle; the survivors keep their original
+    * columns. Tie order pinned by event_id, like every event-log query.
+    */
+  val qDebounce = Q("q_debounce",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("__gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+        .filter(col("__gap_us").isNull || col("__gap_us") >= 60000000L)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"))
+    },
+    Some("""WITH g AS (SELECT user_id, event_id, event_type, value,
+      |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap_us
+      |  FROM events)
+      |SELECT user_id, event_id, event_type, value
+      |FROM g WHERE gap_us IS NULL OR gap_us >= 60000000""".stripMargin))
+
   /** Rolling 7-day window OVER THE GAP-FILLED GRID — the composition the
     * dense time axis exists for: a ROWS-frame over calendar days is only
     * a true 7-DAY window when silent days are present as zero rows
@@ -3190,7 +3214,7 @@ object Queries {
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
     qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
     qFunnel, qHistogram, qIntervalJoin, qRetentionCohort, qEventTransitions,
-    qOverlapJoinBinned, qRankFunctions, tsGapFill, qGapIslands, tsRolling7d,
+    qOverlapJoinBinned, qRankFunctions, tsGapFill, qGapIslands, tsRolling7d, qDebounce,
     textStats, textLangId, textFingerprint, textTfidf, textBm25, textBm25Indexed,
     textRepetition,
     textPiiRedact, textQualityFilter, textChunk, textLmScore, textNormalize,
