@@ -1747,21 +1747,25 @@ object Queries {
       |c2 AS (SELECT p, count(*) AS c2 FROM (
       |    SELECT unnest([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]) AS p
       |    FROM mt WHERE len(tk) >= 2) GROUP BY p),
-      |v AS (SELECT count(DISTINCT t)::DOUBLE AS v FROM (SELECT unnest(tk) AS t FROM mt)),
+      |v AS (SELECT count(DISTINCT t)::BIGINT AS v FROM (SELECT unnest(tk) AS t FROM mt)),
       |sg AS (SELECT doc_id,
       |    unnest([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS g
       |  FROM toks WHERE doc_id % 2 = 0 AND len(tk) >= 3),
       |lp AS (SELECT doc_id,
-      |    round(ln((coalesce(c3.c3, 0) + 0.5) /
-      |      (coalesce(c2.c2, 0) + 0.5 * v.v)), 6)::DECIMAL(18,6) AS lpv
+      |    round(ln((2 * coalesce(c3.c3, 0) + 1)::DOUBLE /
+      |      (2 * coalesce(c2.c2, 0) + v.v)::DOUBLE), 6)::DECIMAL(18,6) AS lpv
       |  FROM sg
       |  LEFT JOIN c3 USING (g)
       |  LEFT JOIN c2 ON c2.p = array_to_string(string_split(g, ' ')[1:2], ' ')
-      |  CROSS JOIN v)
-      |SELECT doc_id, count(*)::BIGINT AS n_trigrams,
-      |  sum(lpv)::DECIMAL(28,6) AS log_prob,
-      |  round(sum(lpv)::DOUBLE / count(*), 6) AS avg_logp
-      |FROM lp GROUP BY doc_id""".stripMargin))
+      |  CROSS JOIN v),
+      |agg AS (SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+      |    sum(lpv)::DECIMAL(28,6) AS log_prob
+      |  FROM lp GROUP BY doc_id),
+      |micro AS (SELECT *, (log_prob * 1000000)::BIGINT AS l6 FROM agg)
+      |SELECT doc_id, n_trigrams, log_prob,
+      |  CAST(CAST(-((((-l6) * 2) + n_trigrams) // (2 * n_trigrams)) AS DECIMAL(18,6))
+      |    * CAST(0.000001 AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS avg_logp
+      |FROM micro""".stripMargin))
 
   /** Unicode canonicalization ([[graft.functions.TextNormalize]] — native
     * codegen expression; Spark has no built-in): decompose each 'a' into

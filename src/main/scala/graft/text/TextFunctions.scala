@@ -379,39 +379,56 @@ object TextFunctions {
     * (observed n-gram vocabulary), not by corpus bytes — all three are
     * hash aggregations with map-side partials, then broadcast. Scoring is
     * one explode + two broadcast joins + one per-doc hash aggregation:
-    * the scored corpus itself never shuffles. Per-trigram log-probs are
-    * rounded to 6 dp and summed as exact DECIMAL (the BM25 treatment:
-    * double summation order differs across engines and partitionings,
-    * decimal addition cannot), so scores are bit-deterministic.
+    * the scored corpus itself never shuffles.
+    *
+    * Engine-stable output contract: every emitted column is DECIMAL or
+    * BIGINT, and every double that feeds them is bit-identical across
+    * engines. The smoothing constant is the rational `kNum/kDen`
+    * (default 1/2), so the smoothed ratio is a single IEEE division of
+    * two exact integers `(kDen·C₃ + kNum) / (kDen·C₂ + kNum·V)` —
+    * correctly rounded, hence bit-identical in any IEEE engine. Per-
+    * trigram log-probs are rounded to 6 dp and summed as exact DECIMAL
+    * (the BM25 treatment: double summation order differs across engines
+    * and partitionings, decimal addition cannot). `avg_logp` is derived
+    * from the exact `log_prob` by INTEGER micro-arithmetic (scale by 10⁶,
+    * integral `div`, half-away-from-zero) and rebuilt into DECIMAL(18,6)
+    * by multiplication only — no engine-specific decimal-division or
+    * double-rounding semantics anywhere in the hashed surface.
     */
   def trigramLmScore(model: org.apache.spark.sql.DataFrame,
                      scored: org.apache.spark.sql.DataFrame,
                      idCol: String, textCol: String,
-                     k: Double = 0.5): org.apache.spark.sql.DataFrame = {
+                     kNum: Long = 1L, kDen: Long = 2L): org.apache.spark.sql.DataFrame = {
     import graft.dedup.Shingles
+    require(kNum > 0 && kDen > 0, "smoothing constant must be a positive rational")
     val c3 = model.select(explode(Shingles.rawWordShingles(col(textCol), 3)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("c3"))
     val c2 = model.select(explode(Shingles.rawWordShingles(col(textCol), 2)).as("p"))
       .groupBy("p").agg(count(lit(1)).as("c2"))
     val vocab = model.select(explode(tokens(col(textCol))).as("t"))
-      .agg(count_distinct(col("t")).cast("double").as("__v"))
+      .agg(count_distinct(col("t")).as("__v"))
     val grams = scored
       .select(col(idCol), explode(Shingles.rawWordShingles(col(textCol), 3)).as("g"))
       // tokens contain no whitespace (split on \s+), so the trigram's
       // bigram prefix is exactly its first two space-joined parts
       .withColumn("p", substring_index(col("g"), " ", 2))
+    val num = (lit(kDen) * coalesce(col("c3"), lit(0L)) + lit(kNum)).cast("double")
+    val den = (lit(kDen) * coalesce(col("c2"), lit(0L)) + lit(kNum) * col("__v")).cast("double")
     val lp = grams
       .join(broadcast(c3), Seq("g"), "left")
       .join(broadcast(c2), Seq("p"), "left")
       .crossJoin(broadcast(vocab))
       .select(col(idCol),
-        round(log((coalesce(col("c3"), lit(0L)) + lit(k)) /
-          (coalesce(col("c2"), lit(0L)) + lit(k) * col("__v"))), 6)
-          .cast("decimal(18,6)").as("__lp"))
+        round(log(num / den), 6).cast("decimal(18,6)").as("__lp"))
     lp.groupBy(idCol).agg(
       count(lit(1)).cast("long").as("n_trigrams"),
       sum(col("__lp")).cast("decimal(28,6)").as("log_prob"))
+      // log_prob ≤ 0 (ratio ≤ 1 whenever V ≥ kDen·… — C₃ ≤ C₂ and kNum·V ≥ kNum),
+      // so |micros| = -micros; `div` on non-negative operands floors.
+      .withColumn("__L", (col("log_prob") * lit(1000000L)).cast("long"))
+      .withColumn("__am", expr("(((-__L) * 2) + n_trigrams) div (2 * n_trigrams)"))
       .withColumn("avg_logp",
-        round(col("log_prob").cast("double") / col("n_trigrams"), 6))
+        expr("CAST(CAST(-__am AS DECIMAL(18,6)) * CAST(0.000001 AS DECIMAL(18,6)) AS DECIMAL(18,6))"))
+      .drop("__L", "__am")
   }
 }
