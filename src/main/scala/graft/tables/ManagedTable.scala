@@ -241,11 +241,23 @@ final class ManagedTable private (
     * only hides older rows of P), so a pruned read and a full read agree
     * on every surviving partition.
     */
-  def readPartitions(pred: Map[String, String] => Boolean): DataFrame = {
+  def readPartitions(pred: Map[String, String] => Boolean): DataFrame =
+    readPartitionsEpochAware((_, tuple) => pred(tuple))
+
+  /** [[readPartitions]] whose predicate also sees the SPEC EPOCH each
+    * group was written under. Required whenever the predicate's meaning
+    * depends on the transform's PARAMETER (truncate width, bucket count):
+    * [[updatePartitionSpec]] allows re-parameterizing a transform under
+    * the same derived name, so one tuple key can hold values of different
+    * formulas across epochs — a bound computed under one epoch's formula
+    * must never be compared against another epoch's tuples.
+    */
+  private def readPartitionsEpochAware(
+      pred: (Int, Map[String, String]) => Boolean): DataFrame = {
     require(isPartitioned || specHistory.exists(_._2.nonEmpty),
       "readPartitions needs a partitioned table")
     val entries = currentEntries
-    val kept = entries.filter(e => pred(e.partition))
+    val kept = entries.filter(e => pred(entryEpoch(e.seq), e.partition))
     // Multi-epoch tables: an upsert group from a LATER epoch than any kept
     // group carries GLOBAL cross-epoch delete scopes that may hide kept
     // rows — it must feed the delete side even when its own tuple fails
@@ -266,13 +278,15 @@ final class ManagedTable private (
     * contiguous range in the derived domain, so tuples outside it cannot
     * hold in-range rows. Bucket is the one non-monotone transform.
     */
+  private def isMonotoneTransform(pf: PartitionField): Boolean =
+    pf.transform match {
+      case "identity" | "year" | "month" | "day" | "hour" => true
+      case "truncate" => _meta.schema(pf.sourceColumn).dataType == StringType
+      case _ => false
+    }
+
   private def monotoneFieldsOf(c: String): Seq[PartitionField] =
-    allEpochPartitionFields.filter(pf => pf.sourceColumn == c &&
-      (pf.transform match {
-        case "identity" | "year" | "month" | "day" | "hour" => true
-        case "truncate" => _meta.schema(c).dataType == StringType
-        case _ => false
-      }))
+    allEpochPartitionFields.filter(pf => pf.sourceColumn == c && isMonotoneTransform(pf))
 
   /** The canonical TUPLE string a bound maps to under a transform —
     * evaluated through the very Catalyst expression the write path uses
@@ -316,15 +330,24 @@ final class ManagedTable private (
   def readSourceRange(c: String, lo: Option[Any], hi: Option[Any]): DataFrame = {
     require(_meta.schema.fieldNames.contains(c), s"unknown column $c")
     require(lo.isDefined || hi.isDefined, "at least one bound")
-    val fields = monotoneFieldsOf(c)
-    require(fields.nonEmpty,
+    require(monotoneFieldsOf(c).nonEmpty,
       s"$c is not a monotone partition source column of any spec epoch")
-    // per-field transformed bounds; year compares numerically (tuple ints
-    // are not zero-padded), the string transforms lexicographically
-    // (fixed-width formats), identity in the column's natural domain
-    val bounds = fields.map { pf =>
-      pf -> (lo.map(transformBound(pf, _)), hi.map(transformBound(pf, _)))
-    }
+    // Bounds are transformed PER EPOCH through that epoch's own Catalyst
+    // expression: updatePartitionSpec allows re-parameterizing a transform
+    // (truncate(c,4) -> truncate(c,8)) under one derived name, so a bound
+    // computed at one width must never be compared against another
+    // epoch's tuples — e.g. hi='apricot' truncates to 'apri' at width 4,
+    // which would wrongly prune a width-8 group whose tuple is 'apric'
+    // even though its rows satisfy c <= 'apricot'.
+    // Year compares numerically (tuple ints are not zero-padded), the
+    // string transforms lexicographically (fixed-width formats), identity
+    // in the column's natural domain.
+    val perEpochBounds: IndexedSeq[Seq[(PartitionField, (Option[String], Option[String]))]] =
+      (0 to currentEpoch).map { i =>
+        epochPartitionFields(i)
+          .filter(pf => pf.sourceColumn == c && isMonotoneTransform(pf))
+          .map(pf => pf -> (lo.map(transformBound(pf, _)), hi.map(transformBound(pf, _))))
+      }
     val numeric = (pf: PartitionField) => pf.transform == "year" ||
       (pf.transform == "identity" && (_meta.schema(c).dataType match {
         case _: NumericType => true
@@ -339,10 +362,10 @@ final class ManagedTable private (
       else java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val fltr = readPartitions { tuple =>
-      bounds.forall { case (pf, (l, h)) =>
+    val fltr = readPartitionsEpochAware { (epoch, tuple) =>
+      perEpochBounds(epoch).forall { case (pf, (l, h)) =>
         tuple.get(pf.name) match {
-          case None => true // different epoch's tuple: cannot prune
+          case None => true // tuple lacks the column: cannot prune
           case Some(v) if v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME =>
             false // null source value is outside any non-null range
           case Some(v) =>

@@ -49,6 +49,42 @@ class SourceRangePruneSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("re-widthed truncate epochs: bounds are transformed per epoch, never cross-applied") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-srp-rw").toString
+    val df0 = Seq((1L, "apple"), (2L, "apricot"), (3L, "zebra")).toDF("id", "name")
+    val t = ManagedTable.create(spark, wh, "fruits", df0.schema, Seq("id"),
+      partitionBy = Seq("truncate(name,4)"))
+    t.append(df0) // epoch 0: width-4 tuples appl/apri/zebr
+    t.updatePartitionSpec(Seq("truncate(name,8)"))
+    // epoch 1: width-8 tuples. 'apric' satisfies name <= 'apricot' but its
+    // tuple 'apric' > the WIDTH-4 bound 'apri' — the cross-epoch bug
+    // wrongly pruned this group (silent missing rows).
+    t.append(Seq((4L, "apric"), (5L, "apricorn"), (6L, "zucchini")).toDF("id", "name"))
+    def ids(lo: Option[String], hi: Option[String]): Set[Long] =
+      t.readSourceRange("name", lo, hi).select("id").as[Long].collect().toSet
+    def want(lo: Option[String], hi: Option[String]): Set[Long] = {
+      var d = t.read()
+      lo.foreach(v => d = d.filter(col("name") >= lit(v)))
+      hi.foreach(v => d = d.filter(col("name") <= lit(v)))
+      d.select("id").as[Long].collect().toSet
+    }
+    for ((lo, hi) <- Seq(
+        (None, Some("apricot")), (Some("apricot"), None),
+        (Some("app"), Some("apricorn")), (None, Some("apric")),
+        (Some("z"), None), (None, Some("a")))) {
+      assert(ids(lo, hi) == want(lo, hi), s"range [$lo, $hi]")
+    }
+    // still actually prunes: a window touching only the ap* families must
+    // not open either epoch's z* group
+    val pruned = t.readSourceRange("name", Some("a"), Some("b"))
+    assert(pruned.inputFiles.length < t.read().inputFiles.length)
+    // narrowing evolution too (8 -> 3): third epoch, same invariant
+    t.updatePartitionSpec(Seq("truncate(name,3)"))
+    t.append(Seq((7L, "apr"), (8L, "applesauce")).toDF("id", "name"))
+    for ((lo, hi) <- Seq((None, Some("apricot")), (Some("appl"), Some("apz"))))
+      assert(ids(lo, hi) == want(lo, hi), s"post-narrow range [$lo, $hi]")
+  }
+
   test("SQL time-window over graft.<t> plans the tuple-pruned scan") {
     val base = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
