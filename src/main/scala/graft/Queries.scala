@@ -31,6 +31,53 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Rounds replayed by the unrolled DuckDB BPE oracle (each round is one
+    * CTE trio; 20 pins the trainer's argmax/tie-break/apply semantics
+    * without ballooning the oracle plan).
+    */
+  private val BpeMergeRounds = 20
+
+  /** Generates the unrolled-round DuckDB replay of the BPE merge loop —
+    * see [[textBpeMerges]] for the encoding argument.
+    */
+  private def bpeMergesOracle(rounds: Int): String = {
+    val S = "chr(31)"           // symbol separator, absent from the corpus
+    val SS = s"$S||$S"          // double separator between symbols
+    val header =
+      s"""WITH toks AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+         |    x -> len(x) > 0) AS tk FROM documents),
+         |wc AS (SELECT w AS word, count(*)::BIGINT AS n
+         |  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+         |topw AS (SELECT word, n FROM wc ORDER BY n DESC, word LIMIT 50000),
+         |v0 AS MATERIALIZED (SELECT syms, n FROM (
+         |    SELECT (cs[:len(cs)-1] || [cs[len(cs)] || '</w>']) AS syms, n
+         |    FROM (SELECT string_split(word, '') AS cs, n FROM topw))
+         |  WHERE len(syms) > 1)""".stripMargin
+    val roundCtes = (0 until rounds).map { r =>
+      val next =
+        if (r == rounds - 1) "" // last round needs no rewritten vocabulary
+        else s""",
+           |v${r + 1} AS MATERIALIZED (SELECT syms, n FROM (
+           |    SELECT list_filter(string_split(replace(
+           |        $SS || array_to_string(syms, $SS) || $SS,
+           |        $S || b.a || $SS || b.b || $S,
+           |        $S || b.a || b.b || $S), chr(31)), x -> len(x) > 0) AS syms, n
+           |    FROM v$r CROSS JOIN b$r b)
+           |  WHERE len(syms) > 1)""".stripMargin
+      s""",
+         |p$r AS MATERIALIZED (SELECT a, b, sum(n)::BIGINT AS cnt FROM (
+         |    SELECT pr[1] AS a, pr[2] AS b, n FROM (
+         |      SELECT unnest([[syms[i], syms[i+1]] for i in range(1, len(syms))]) AS pr, n
+         |      FROM v$r))
+         |  GROUP BY a, b),
+         |b$r AS MATERIALIZED (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin + next
+    }.mkString
+    val union = (0 until rounds).map { r =>
+      s"SELECT ${r + 1}::BIGINT AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count FROM b$r"
+    }.mkString("\n", "\nUNION ALL ", "")
+    header + roundCtes + union
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS). Depending on the Spark
     * build, that infers either as a nanos LONG (older releases honoring
     * spark.sql.legacy.parquet.nanosAsLong=true, which Verify/Bench/tests
@@ -449,6 +496,31 @@ object Queries {
         .toDF("rank", "left", "right")
     },
     None)
+
+  /** The BPE merge loop itself under the hash oracle: the first
+    * `BpeMergeRounds` learned merges with their winning pair counts,
+    * replayed in DuckDB by UNROLLING the rounds — each round is one
+    * pair-count aggregation over the current symbol table, one argmax
+    * (count desc, then UTF-8 lexicographic on both symbols — DuckDB's
+    * binary collation, which [[graft.text.BpeTrainer.trainDetailed]]
+    * matches byte-for-byte), and one greedy left-to-right merge
+    * application. The SQL merge application is a single `replace()` over
+    * a double-separator encoding (two U+001F between symbols): a pair
+    * match consumes exactly the two INNER separators, so adjacent
+    * matches still see their own boundary and plain non-overlapping
+    * `replace` IS the BPE greedy scan. Counts are integers throughout —
+    * every hashed cell is engine-exact.
+    */
+  val textBpeMerges = Q("text_bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      val top = graft.text.BpeTrainer.topWords(t(s, dir, "documents"), "text", 50000)
+      graft.text.BpeTrainer.trainDetailed(top, BpeMergeRounds)
+        .zipWithIndex
+        .map { case ((a, b, n), i) => (i + 1L, a, b, n) }
+        .toDF("merge_rank", "lhs", "rhs", "pair_count")
+    },
+    Some(bpeMergesOracle(BpeMergeRounds)))
 
   /** Rewrite-free lake migration ([[graft.tables.ManagedTable.addFiles]]):
     * the raw lineitem parquet is ADOPTED into a managed table (copy mode —
@@ -3237,7 +3309,7 @@ object Queries {
     qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlUpdate, dmlMerge, tableAddFiles, textBpeTrain,
+    dmlDelete, dmlUpdate, dmlMerge, tableAddFiles, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

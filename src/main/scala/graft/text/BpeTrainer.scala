@@ -39,13 +39,28 @@ object BpeTrainer {
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
 
-  /** A word as its current symbol sequence (chars, last one carrying the
-    * end-of-word marker), updated as merges apply.
+  /** A word as its current symbol sequence (CODE POINTS, last one carrying
+    * the end-of-word marker), updated as merges apply. Code points — not
+    * UTF-16 code units — so a supplementary-plane word segments the same
+    * whether it reaches the driver-side dictionary or [[segmentWords]]'s
+    * SQL fallback (Spark's `split(word, '')` is code-point-based).
     */
   private def toSymbols(word: String): Vector[String] = {
-    val cs = word.toCharArray.map(_.toString).toVector
+    val cs = word.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toVector
     if (cs.isEmpty) cs else cs.init :+ (cs.last + Eow)
   }
+
+  /** UTF-8 byte order for merge tie-breaks — matches both Spark's
+    * UTF8String ordering and DuckDB/parquet binary collation, so the
+    * learned merge table is bit-identical across engines even for
+    * supplementary-plane symbols (Java's UTF-16 compareTo diverges there —
+    * the same lesson as the manifest ColBounds comparator).
+    */
+  private val utf8Order: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Learn `numMerges` merge rules, most-frequent pair first. Ties break
     * lexicographically (deterministic across runs and partitionings).
@@ -73,9 +88,22 @@ object BpeTrainer {
   /** The merge loop on a bounded (word, count) vocabulary — exposed for
     * differential testing against reference implementations.
     */
-  def trainFromCounts(vocab: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+  def trainFromCounts(vocab: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] =
+    trainDetailed(vocab, numMerges).map { case (a, b, _) => (a, b) }
+
+  /** [[trainFromCounts]] that also reports each chosen merge's pair count
+    * — the oracle-checkable surface: (left, right, count) per round in
+    * merge order, every value deterministic (UTF-8 tie-breaks) and
+    * integer-exact, so an external engine replaying N rounds must
+    * reproduce the table bit-for-bit.
+    */
+  def trainDetailed(vocab: Seq[(String, Long)],
+                    numMerges: Int): Seq[(String, String, Long)] = {
     var words = vocab.map { case (w, n) => (toSymbols(w), n) }.filter(_._1.length > 1)
-    val merges = Vector.newBuilder[(String, String)]
+    val merges = Vector.newBuilder[(String, String, Long)]
+    val pairOrder: Ordering[((String, String), Long)] = Ordering.by[((String, String), Long), Long](-_._2)
+      .orElse(Ordering.by[((String, String), Long), String](_._1._1)(utf8Order))
+      .orElse(Ordering.by[((String, String), Long), String](_._1._2)(utf8Order))
     var i = 0
     while (i < numMerges) {
       val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -88,9 +116,9 @@ object BpeTrainer {
         }
       }
       if (pairCounts.isEmpty) return merges.result()
-      val best = pairCounts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
-      merges += best
-      words = words.map { case (syms, n) => (applyMerge(syms, best), n) }
+      val ((a, b), n) = pairCounts.toSeq.min(pairOrder)
+      merges += ((a, b, n))
+      words = words.map { case (syms, cnt) => (applyMerge(syms, (a, b)), cnt) }
         .filter(_._1.length > 1)
       i += 1
     }

@@ -47,6 +47,30 @@ class BpeTrainerSpec extends AnyFunSuite with SharedSpark {
       Seq("lo", "w", "est" + BpeTrainer.Eow))
   }
 
+  test("trainDetailed reports the winning pair counts alongside the merges") {
+    val det = BpeTrainer.trainDetailed(sennrich, 4)
+    assert(det.map { case (a, b, _) => (a, b) } ==
+      BpeTrainer.trainFromCounts(sennrich, 4))
+    assert(det.map(_._3) == Seq(9L, 9L, 7L, 6L))
+  }
+
+  test("astral-plane words segment identically through the dictionary and the OOV fallback") {
+    // U+1D400 MATHEMATICAL BOLD CAPITAL A — two UTF-16 code units. The
+    // dictionary path (driver-side toSymbols) and the SQL fallback
+    // (split(word,'') = code points) must agree symbol-for-symbol.
+    val w = new String(Character.toChars(0x1D400)) + "b" +
+      new String(Character.toChars(0x1D401))
+    val docs = Seq((1L, w)).toDF("id", "text")
+    val viaDict = BpeTrainer.segmentWords(docs, "id", "text", Nil)
+      .collect().head.getSeq[String](3).toList
+    val viaFallback = BpeTrainer.segmentWords(docs, "id", "text", Nil,
+      maxVocabWords = 1, dictionary = Some(Seq("unrelated")))
+      .collect().head.getSeq[String](3).toList
+    assert(viaDict == viaFallback, s"dict=$viaDict fallback=$viaFallback")
+    assert(viaDict.length == 3, "three code points, three symbols")
+    assert(viaDict.last.endsWith(BpeTrainer.Eow))
+  }
+
   test("segmentWords: dictionary join ≡ segmentWord; cap overflow falls back to chars") {
     val docs = Seq(
       (1L, "low lower newest"),
