@@ -1091,6 +1091,32 @@ final class ManagedTable private (
     * global cross-epoch scopes may hide kept rows) without surfacing
     * their rows. Not combined with posdel sidecars (unpartitioned-only).
     */
+  /** One [[graft.functions.PosDelIndex]] broadcast per distinct sidecar
+    * set: repeated reads of the same snapshot (and every query stage of
+    * one read) reuse the built index instead of re-collecting the pair
+    * files. Keyed by the sorted sidecar paths, so time travel and
+    * changelog subsets get their own entries and a new commit naturally
+    * misses.
+    */
+  @transient private var posdelIndexCache
+      : (Seq[String], org.apache.spark.broadcast.Broadcast[graft.functions.PosDelIndex]) = null
+
+  private def posdelIndexFor(posdels: Seq[ManifestEntry])
+      : org.apache.spark.broadcast.Broadcast[graft.functions.PosDelIndex] = synchronized {
+    val key = posdels.map(_.path).sorted
+    if (posdelIndexCache != null && posdelIndexCache._1 == key) posdelIndexCache._2
+    else {
+      val rows = spark.read.schema(ManagedTable.PosDelSchema).format(format)
+        .load(posdels.map(e => new Path(tableDir, e.path).toString): _*)
+        .collect()
+      val idx = graft.functions.PosDelIndex.build(
+        rows.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq)
+      val bc = spark.sparkContext.broadcast(idx)
+      posdelIndexCache = (key, bc)
+      bc
+    }
+  }
+
   private def morResolve(entries: Seq[ManifestEntry],
                          deleteCarriers: Seq[ManifestEntry] = Seq.empty): DataFrame = {
     // A posdel sidecar at seq S has already materialized every equality
@@ -1105,9 +1131,26 @@ final class ManagedTable private (
     val appliedUpTo = if (posdels.isEmpty) Long.MinValue else posdels.map(_.seq).max
     val allPaths = dataEntries.map(e => new Path(tableDir, e.path).toString)
     val (scanned, evolveProjection) = scanGroups(allPaths)
+    val knownPairRows =
+      if (posdels.forall(_.rows >= 0L)) Some(posdels.map(_.rows).sum) else None
+    val inlineMax = _meta.properties
+      .getOrElse("read.posdel.inline-max-rows", "1000000").toLong
     val data0 =
-      if (posdels.isEmpty) scanned
-      else {
+      if (posdels.isEmpty || knownPairRows.contains(0L)) scanned
+      else if (knownPairRows.exists(_ <= inlineMax)) {
+        // In-scan application (the Iceberg DV reader's shape): the pairs
+        // are PROVEN metadata-scale by the manifest's per-sidecar row
+        // counts, so they collapse into one broadcast per-file position
+        // index and each scan task filters rows with a codegen probe —
+        // per-split cursor warm-up, then a primitive binary search per
+        // row. An anti-join here pays a per-row string-keyed hash probe
+        // that costs more than the trickle deletes it applies.
+        import org.apache.spark.sql.graftbridge.GraftBridge
+        val bc = posdelIndexFor(posdels)
+        scanned.where(!GraftBridge.column(graft.functions.PositionHidden(
+          GraftBridge.expression(col("_metadata.file_path")),
+          GraftBridge.expression(col("_metadata.row_index")), bc)))
+      } else {
         val withMeta = scanned
           .withColumn(PosFileCol, col("_metadata.file_path"))
           .withColumn(PosIdxCol, col("_metadata.row_index"))
@@ -1568,7 +1611,9 @@ final class ManagedTable private (
       entries.foreach(e => fs.delete(new Path(tableDir, e.path), true))
       return false
     }
-    val committed = currentEntries ++ entries
+    val prior = currentEntries
+    val dv = posdelOnCommit(flagged, prior, seq)
+    val committed = prior ++ entries ++ dv
     commitManifest(committed)
     // Bounded read amplification: a trickle stream accumulates one upsert
     // group per micro-batch; past the threshold the anti-join's delete side
@@ -1588,6 +1633,124 @@ final class ManagedTable private (
       committed.filter(_.kind == Manifest.Upsert).map(_.seq).distinct.size >= autoCompact)
       compactMinor()
     true
+  }
+
+  /** Deletion-vector-at-commit: materialize THIS upsert batch's equality
+    * scope into a `(file, pos)` posdel sidecar inside the very same
+    * commit, instead of leaving it to the maintenance materializer — the
+    * reference's format-v3 default of writing deletion vectors at write
+    * time (IcebergTableWriterFactory.java:98-99). Reads between
+    * maintenance runs then anti-join the fixed-width sidecars instead of
+    * evaluating the accumulated equality scopes.
+    *
+    * Opt-in via `write.mor.posdel-on-commit` = `auto` | `always` (default
+    * `off`). The batch's distinct keys (capped by `…posdel-on-commit
+    * .max-keys`, default 10000 — above it the equality path is the right
+    * plan anyway) are resolved to candidate file groups through the
+    * manifest's column bounds and Bloom filters; in `auto` mode the
+    * sidecar is only built when candidates stay under
+    * `…posdel-on-commit.max-file-fraction` (default 0.25) of the live
+    * groups — a batch touching most files gains nothing from position
+    * pairs. The scan reads ONLY candidate groups with the keys pushed
+    * down as `isin` prefilters, so the per-commit cost is proportional to
+    * the matched file set, not the table.
+    *
+    * Soundness: [[morResolve]] treats the max posdel seq as "every
+    * equality scope ≤ S is materialized", so a per-batch sidecar at this
+    * commit's seq is only legal when no OLDER scope is still
+    * unmaterialized — each commit's sidecar covers exactly its own scope
+    * and the chain covers every prefix. When the chain is broken (mode
+    * was just enabled on a table with live scopes, a batch exceeded the
+    * caps, a WAP publish landed scopes out of band) this returns None and
+    * every later commit does too, degrading to the status quo until
+    * [[materializePositionalDeletes]] catches the table up and restarts
+    * the chain. Never-partitioned tables only, like the materializer.
+    */
+  private def posdelOnCommit(flagged: DataFrame, prior: Seq[ManifestEntry],
+                             seq: Long): Option[ManifestEntry] = {
+    val mode = _meta.properties.getOrElse("write.mor.posdel-on-commit", "off")
+    if (mode != "auto" && mode != "always") return None
+    if (isPartitioned || allEpochPartitionFields.nonEmpty) return None
+    val ids = _meta.identifierFields
+    if (ids.isEmpty) return None
+    val posdels = prior.filter(_.kind == Manifest.PosDel)
+    val appliedUpTo = if (posdels.isEmpty) Long.MinValue else posdels.map(_.seq).max
+    val dataPrior = prior.filterNot(_.kind == Manifest.PosDel)
+    val minSeq = dataPrior.map(_.seq).minOption.getOrElse(Long.MinValue)
+    // chain invariant: an older scope neither materialized nor trivially
+    // inert (min-seq groups hide nothing) forbids a higher-seq sidecar
+    if (dataPrior.exists(e =>
+        e.kind == Manifest.Upsert && e.seq > appliedUpTo && e.seq > minSeq))
+      return None
+    val maxKeys = _meta.properties
+      .getOrElse("write.mor.posdel-on-commit.max-keys", "10000").toInt
+    val keyRows = flagged.select(ids.map(col).toIndexedSeq: _*)
+      .distinct().limit(maxKeys + 1).collect()
+    if (keyRows.length > maxKeys) return None
+    val keys = keyRows.filterNot(_.anyNull) // null ids never match `===` scopes
+    val targets = dataPrior.filter(e =>
+      e.kind == Manifest.Data || e.kind == Manifest.Upsert)
+    val candidates = targets.filter { e =>
+      keys.exists { kr =>
+        ids.zipWithIndex.forall { case (c, i) =>
+          e.stats.get(c).forall(_.intersects(kr.get(i), kr.get(i))) &&
+            e.blooms.get(c).forall(b =>
+              b.mightContain(bloomPositions(c, kr.get(i), b.m, b.k)))
+        }
+      }
+    }
+    if (mode == "auto") {
+      val frac = _meta.properties
+        .getOrElse("write.mor.posdel-on-commit.max-file-fraction", "0.25").toDouble
+      if (candidates.size > math.max(1.0, frac * targets.size)) return None
+    }
+    val rel = s"files/${Manifest.PosDel}-$seq-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = new Path(tableDir, rel)
+    // an empty sidecar (pure-insert batch, or no candidates) is still
+    // committed: the chain invariant needs every scope ≤ S accounted for
+    val pairRows: Either[Array[Row], DataFrame] =
+      if (candidates.isEmpty || keys.isEmpty) Left(Array.empty[Row])
+      else {
+        val readSchema = StructType(physicalSchema.fields :+
+          StructField(SeqCol, LongType, nullable = false) :+
+          StructField(TombstoneCol, BooleanType, nullable = true))
+        val scan0 = spark.read.schema(readSchema).format(format)
+          .load(candidates.map(e => new Path(tableDir, e.path).toString): _*)
+        // per-column isin prefilters push to the parquet scan (row-group
+        // stats pruning); the broadcast semi-join makes the tuple exact
+        val prefilter = ids.zipWithIndex.map { case (c, i) =>
+          col(c).isin(keys.map(_.get(i)).distinct.toIndexedSeq: _*)
+        }.reduce(_ && _)
+        val keysDf = spark.createDataFrame(
+          java.util.Arrays.asList(keys: _*),
+          StructType(ids.map(n => physicalSchema(n).copy(nullable = false))))
+        val pairs = scan0.filter(prefilter)
+          .select(Seq(col("_metadata.file_path").as("file"),
+            col("_metadata.row_index").as("pos")) ++ ids.map(col) :+
+            coalesce(col(SeqCol), regexp_extract(col("_metadata.file_path"),
+              ManagedTable.GroupSeqPattern, 2).cast(LongType)).as(SeqCol): _*)
+          .filter(col(SeqCol) < lit(seq))
+          .join(broadcast(keysDf), ids, "left_semi")
+          .select(col("file"), col("pos"))
+        val maxLocal = 100000
+        val collected = pairs.limit(maxLocal + 1).collect()
+        if (collected.length <= maxLocal) Left(collected) else Right(pairs)
+      }
+    pairRows match {
+      case Left(rows) if format == "parquet" =>
+        fs.mkdirs(dir)
+        LocalCommit.writeParquet(spark, new Path(dir, "part-00000.parquet"),
+          ManagedTable.PosDelSchema, rows.toSeq)
+        Some(ManifestEntry(rel, Manifest.PosDel, seq, rows = rows.length.toLong))
+      case Left(rows) =>
+        val df = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), ManagedTable.PosDelSchema)
+        df.repartition(1).write.mode("overwrite").format(format).save(dir.toString)
+        Some(ManifestEntry(rel, Manifest.PosDel, seq, rows = rows.length.toLong))
+      case Right(pairs) =>
+        pairs.repartition(1).write.mode("overwrite").format(format).save(dir.toString)
+        Some(ManifestEntry(rel, Manifest.PosDel, seq))
+    }
   }
 
   // ------------------------------------------------------------- row-level DML

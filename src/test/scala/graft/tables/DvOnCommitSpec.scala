@@ -1,0 +1,109 @@
+package graft.tables
+
+import graft.SharedSpark
+import graft.cdc.CdcApply
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Deletion-vector-at-commit ([[ManagedTable]] `write.mor.posdel-on-commit`):
+  * every upsert commit materializes its own equality scope into a posdel
+  * sidecar in the SAME commit, so reads between maintenance runs anti-join
+  * fixed-width (file, pos) pairs instead of the accumulated equality
+  * scopes — the reference's format-v3 write-time deletion vectors
+  * (IcebergTableWriterFactory.java:98-99).
+  */
+class DvOnCommitSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private val ops = Vector("c", "i", "r", "u", "d")
+
+  private def randomBatch(rnd: Random, n: Int): DataFrame =
+    List.fill(n)((rnd.nextInt(8), s"p${rnd.nextInt(1000)}", ops(rnd.nextInt(5)),
+      rnd.nextInt(5).toLong))
+      .toDF("id", "name", "__op", "__source_ts_ns")
+
+  private def canon(df: DataFrame): Seq[(Int, String, String, Long)] =
+    df.select("id", "name", "__op", "__source_ts_ns").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
+
+  private def posdelSeqs(t: ManagedTable): Seq[Long] =
+    t.filesMetadata().where(col("kind") === Manifest.PosDel)
+      .select("seq").as[Long].collect().toSeq.sorted
+
+  for (keepDeletes <- Seq(true, false)) {
+    test(s"DV-at-commit ≡ relational fold; one sidecar per commit (keepDeletes=$keepDeletes)") {
+      val rnd = new Random(7 + (if (keepDeletes) 1 else 0))
+      val cfg = CdcApply.UpsertConfig(keepDeletes = keepDeletes)
+      val wh = java.nio.file.Files.createTempDirectory("graft-dv").toString
+      val schema = randomBatch(rnd, 1).schema
+      val t = ManagedTable.create(spark, wh, s"dv_$keepDeletes", schema, Seq("id"),
+        properties = Map(
+          "write.mor.posdel-on-commit" -> "always",
+          "write.mor.compact-after-upserts" -> "4"))
+      var folded = t.read()
+      for (i <- 1 to 6) {
+        val batch = randomBatch(rnd, 40)
+        t.merge(batch, cfg)
+        folded = CdcApply.upsert(folded, batch, Seq("id"), cfg).persist()
+        assert(canon(t.read()) == canon(folded), s"diverged at batch $i")
+        // the chain is intact: the newest sidecar covers the newest upsert
+        // scope (auto minor-compaction may bump the version past the
+        // merge commit — the folded group keeps the merge's seq)
+        val maxUpsert = t.filesMetadata().where(col("kind") === Manifest.Upsert)
+          .agg(max("seq")).as[Long].head()
+        assert(posdelSeqs(t).lastOption.contains(maxUpsert),
+          s"no sidecar covering upsert seq $maxUpsert")
+      }
+      t.compact()
+      assert(canon(t.read()) == canon(folded), "compaction changed the visible state")
+      val re = ManagedTable.load(spark, wh, s"dv_$keepDeletes").get
+      assert(canon(re.read()) == canon(folded))
+    }
+  }
+
+  test("broken chain degrades to equality scopes; the maintenance materializer restarts it") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-dv-chain").toString
+    def batch(ids: Range): DataFrame =
+      ids.map(i => (i, s"v$i", "u", 1L)).toDF("id", "name", "__op", "__source_ts_ns")
+    val t = ManagedTable.create(spark, wh, "chain", batch(0 to 0).schema, Seq("id"))
+    t.merge(batch(0 until 50))
+    t.merge(batch(10 until 30)) // live scope at seq 2, never materialized
+    t.setProperties(Map("write.mor.posdel-on-commit" -> "always"))
+    t.merge(batch(20 until 40))
+    // a per-commit sidecar here would illegally cover the seq-2 scope
+    assert(posdelSeqs(t).isEmpty, "sidecar written over an unmaterialized older scope")
+    val caught = t.materializePositionalDeletes()
+    assert(caught > 0)
+    t.merge(batch(0 until 5))
+    assert(posdelSeqs(t).lastOption.contains(t.meta.currentVersion),
+      "chain did not restart after catch-up")
+    assert(canon(t.read()) ==
+      (0 until 50).map(i => (i, s"v$i", "u", 1L)))
+  }
+
+  test("sidecar pairs touch only bounds/bloom-candidate groups") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-dv-cand").toString
+    def batch(ids: Range): DataFrame =
+      ids.map(i => (i, s"v$i", "u", 1L)).toDF("id", "name", "__op", "__source_ts_ns")
+    val t = ManagedTable.create(spark, wh, "cand", batch(0 to 0).schema, Seq("id"),
+      properties = Map("write.mor.posdel-on-commit" -> "always"))
+    t.merge(batch(0 until 100))    // seq 1: ids 0..99
+    t.merge(batch(100 until 200))  // seq 2: ids 100..199
+    t.merge(batch(100 until 106))  // seq 3: hides 6 rows, all in the seq-2 group
+    val sidecar = t.filesMetadata()
+      .where(col("kind") === Manifest.PosDel && col("seq") === 3)
+      .select("path").as[String].collect()
+    assert(sidecar.length == 1)
+    val pairFiles = spark.read.schema(ManagedTable.PosDelSchema)
+      .parquet(s"$wh/cand/${sidecar.head}")
+      .select("file").distinct().as[String].collect()
+    assert(pairFiles.nonEmpty)
+    assert(pairFiles.forall(_.contains("upsert-2-")),
+      s"pairs leaked outside the candidate group: ${pairFiles.mkString(",")}")
+    // and the visible state is the fold
+    assert(t.read().count() == 200)
+  }
+}
