@@ -2661,6 +2661,38 @@ object Queries {
       |    i -> ('0x'||substr(hex(encode(text)), 2*i-1, 2))::INT)), 0)::BIGINT AS f7
       |FROM documents""".stripMargin))
 
+  /** REAL image decode under the hash oracle ([[graft.multimodal
+    * .ImageKernels]], JDK `javax.imageio` codecs): each doc_id becomes a
+    * closed-form two-tone PNG (id-derived dims and half colors), the
+    * kernel PNG-encodes it, decodes it back, and walks every pixel for
+    * per-band sums — and DuckDB reproduces width/height/band/sum
+    * arithmetic from the id alone. A wrong decode, band order, or pixel
+    * traversal shifts a sum and fails the hash; all values are exact
+    * integers.
+    */
+  val multimodalPixelStats = Q("multimodal_pixel_stats",
+    (s, dir) => {
+      val assets = graft.multimodal.ImageKernels.synthesizePngs(s,
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.extractFeatures(s, assets, "content", "asset_id",
+          graft.multimodal.ImageKernels.pixelStatsExtractor)
+        .select(col("asset_id"),
+          element_at(col("features"), 1).cast("int").as("width"),
+          element_at(col("features"), 2).cast("int").as("height"),
+          element_at(col("features"), 3).cast("int").as("bands"),
+          element_at(col("features"), 4).cast("long").as("sum_r"),
+          element_at(col("features"), 5).cast("long").as("sum_g"),
+          element_at(col("features"), 6).cast("long").as("sum_b"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+      |    (16 + doc_id % 16)::BIGINT AS w, (8 + doc_id % 8)::BIGINT AS h
+      |  FROM documents)
+      |SELECT doc_id AS asset_id, w::INT AS width, h::INT AS height, 3::INT AS bands,
+      |  (h * ((w // 2) * (doc_id * 3 % 256) + (w - w // 2) * (doc_id * 11 % 256)))::BIGINT AS sum_r,
+      |  (h * ((w // 2) * (doc_id * 5 % 256) + (w - w // 2) * (doc_id * 13 % 256)))::BIGINT AS sum_g,
+      |  (h * ((w // 2) * (doc_id * 7 % 256) + (w - w // 2) * (doc_id * 17 % 256)))::BIGINT AS sum_b
+      |FROM p""".stripMargin))
+
   // ------------------------------------------------- as-of / temporal joins
 
   /** Backward as-of join: each click/view event picks up the user's most
@@ -3307,7 +3339,7 @@ object Queries {
     dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans, dedupSemantic,
     knnBrute, knnLsh, knnIvf, knnJoinGraph, embeddingQuantize, embeddingPqCode,
     qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
-    multimodalMeta, multimodalFeatures,
+    multimodalMeta, multimodalFeatures, multimodalPixelStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
     dmlDelete, dmlUpdate, dmlMerge, tableAddFiles, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)

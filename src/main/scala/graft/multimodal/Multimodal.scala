@@ -9,11 +9,15 @@ import org.apache.spark.sql.types._
   * metadata, plus the Spark-side plumbing (schema, batch shape, partition
   * strategy) for decode / feature-extraction stages.
   *
-  * The decode kernels themselves (image/audio libs) are STUBBED — this
-  * container has no codecs — behind [[FeatureExtractor]]; the deterministic
-  * fake keeps the pipeline testable end to end. The real implementation
-  * swaps the function, nothing else: the `mapPartitions` boundary, the
-  * output schema, and the partitioning contract stay identical.
+  * IMAGE kernels are REAL — [[ImageKernels]] decodes/resizes/encodes
+  * through the JDK's own `javax.imageio` codecs (PNG/JPEG/BMP/GIF) inside
+  * this plumbing. Audio/video kernels stay STUBBED behind
+  * [[FeatureExtractor]]/[[FrameSampler]] (the JDK carries no codecs for
+  * those; this container has no external media libraries): the
+  * deterministic fakes keep those pipelines testable end to end, and a
+  * real implementation swaps the function, nothing else — the
+  * `mapPartitions` boundary, the output schema, and the partitioning
+  * contract stay identical.
   */
 object Multimodal {
 
