@@ -21,6 +21,29 @@ class CdcCoreSpec extends AnyFunSuite with SharedSpark {
     assert(t("__deleted").dataType == BooleanType)
   }
 
+  test("map/array identifier fields are refused (JsonSchemaConverter.java:110-141 parity)") {
+    // the reference rejects key-schema fields of MAP/ARRAY type outright —
+    // such a key has no stable equality for upsert identity
+    val mapKey =
+      """{"type":"struct","fields":[{"field":"attrs","type":"map",
+        |"keys":{"type":"string","optional":false},
+        |"values":{"type":"string","optional":true},"optional":false}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val arrKey =
+      """{"type":"struct","fields":[{"field":"ids","type":"array",
+        |"items":{"type":"int32","optional":false},"optional":false}]}"""
+        .stripMargin.replaceAll("\n", "")
+    for (bad <- Seq(mapKey, arrKey)) {
+      val e = intercept[IllegalArgumentException] {
+        EventDecoder.infer(Seq(EventFactory.customerValueSchema), Some(bad), cfg)
+      }
+      assert(e.getMessage.contains("may not be a map/array"), e.getMessage)
+    }
+    // a scalar key field rides along untouched next to the same value schema
+    assert(EventDecoder.infer(Seq(EventFactory.customerValueSchema),
+      Some(EventFactory.customerKeySchema), cfg).identifierFields == Seq("id"))
+  }
+
   test("decode: envelope json → typed row values") {
     val (d, k, v) = EventFactory.event(1, "alice", "c", 1577840461000000001L)
     val df = Seq((d, k, v)).toDF("destination", "key", "value")
