@@ -1957,6 +1957,36 @@ object Queries {
       |thr AS (SELECT max(quality) AS t FROM c WHERE cum >= ceil(tot * 0.6))
       |SELECT doc_id, quality FROM scored, thr WHERE quality >= thr.t""".stripMargin))
 
+  /** [[Sampling.keepTopFractionBinned]] under the oracle: a CONTINUOUS
+    * score (distinct per doc) would make the exact histogram corpus-sized
+    * and its cumulative window a single-reducer corpus sort — the binned
+    * variant quantizes into 256 fixed-width buckets first, so histogram
+    * and window stay bounded at any corpus size. DuckDB replays the
+    * min/max, quantization, cumulative-from-top threshold and filter;
+    * every float op is a single IEEE expression on identical inputs, so
+    * the kept set and scores hash-match exactly.
+    */
+  val sampleTopFracBinned = Q("sample_top_frac_binned",
+    (s, dir) => {
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        (col("n_chars").cast("double") / (pmod(col("doc_id"), lit(97)) + lit(1))).as("score"))
+      Sampling.keepTopFractionBinned(scored, "score", 0.3, bins = 256)
+    },
+    Some("""WITH scored AS (SELECT doc_id,
+      |    n_chars::DOUBLE / (doc_id % 97 + 1) AS score FROM documents),
+      |mm AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
+      |b AS (SELECT doc_id, score,
+      |    CASE WHEN mx = mn THEN 0
+      |      ELSE least(255, floor((score - mn) / ((mx - mn) / 256))::INT) END AS bin
+      |  FROM scored, mm),
+      |hist AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+      |c AS (SELECT bin,
+      |    sum(n) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(n) OVER () AS tot
+      |  FROM hist),
+      |thr AS (SELECT max(bin) AS t FROM c WHERE cum >= ceil(tot * 0.3))
+      |SELECT doc_id, score FROM b, thr WHERE bin >= thr.t""".stripMargin))
+
   /** Sequence packing: documents laid out in deterministic hash order per
     * source, cut into 512-token context windows; a doc's bin is the
     * window its first token lands in. One shuffle on the group key.
@@ -3326,7 +3356,7 @@ object Queries {
     textStats, textLangId, textFingerprint, textTfidf, textBm25, textBm25Indexed,
     textRepetition,
     textPiiRedact, textQualityFilter, textChunk, textLmScore, textNormalize,
-    sampleHash, sampleSplit, sampleLeakageSafeSplit, sampleTokenBudget,
+    sampleHash, sampleSplit, sampleLeakageSafeSplit, sampleTokenBudget, sampleTopFracBinned,
     sampleStratified, sampleGlobalSeq, sampleMixture, sampleWeighted, sampleUpsampled,
     sampleTemperature,
     pipelineCuration,

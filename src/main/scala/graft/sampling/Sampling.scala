@@ -229,6 +229,10 @@ object Sampling {
     * aggregate (map-side partials, output = #distinct scores rows), the
     * cumulative-from-top threshold over that tiny relation, and one
     * broadcast back onto the scan — two jobs, no global sort, no collect.
+    * CONTRACT: the score must be low-cardinality — the histogram (and its
+    * unpartitioned window) is the distinct-value set. For continuous
+    * scores use [[keepTopFractionBinned]], which bounds both by a fixed
+    * bin count.
     */
   def keepTopFraction(df: DataFrame, scoreCol: String, frac: Double): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac out of range: $frac")
@@ -244,6 +248,48 @@ object Sampling {
       .agg(max(col(scoreCol)).as("__thr"))
     df.crossJoin(broadcast(thr)).filter(col(scoreCol) >= col("__thr"))
       .drop("__thr")
+  }
+
+  /** [[keepTopFraction]] for CONTINUOUS scores. The exact variant's
+    * histogram is the score's distinct-value set — on a continuous score
+    * (a perplexity, an embedding-based quality model) that relation is
+    * corpus-sized and its unpartitioned cumulative window becomes a
+    * single-reducer sort of the whole corpus. Here the score is first
+    * quantized into `bins` fixed-width buckets between its observed min
+    * and max (one map-side-partial aggregate), so the histogram and its
+    * window are bounded by `bins` regardless of corpus size; the kept set
+    * is every row at or above the highest bin whose from-the-top
+    * cumulative count still reaches `frac`. Retention is therefore
+    * ≥ `frac`, overshooting by at most one bin's mass (≈ N/bins on a
+    * smooth score) — the documented trade for never sorting the corpus.
+    * Null scores are dropped, like rows below the exact variant's
+    * threshold.
+    */
+  def keepTopFractionBinned(df: DataFrame, scoreCol: String, frac: Double,
+                            bins: Int = 8192): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac out of range: $frac")
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val mm = df.agg(min(col(scoreCol)).cast("double").as("__mn"),
+      max(col(scoreCol)).cast("double").as("__mx"))
+    // constant scores (or a single row) degenerate to bin 0 = keep all
+    val binned = df.crossJoin(broadcast(mm))
+      .withColumn("__bin",
+        when(col("__mx") === col("__mn"), lit(0))
+          .otherwise(least(lit(bins - 1),
+            floor((col(scoreCol).cast("double") - col("__mn")) /
+              ((col("__mx") - col("__mn")) / bins)).cast("int"))))
+    val hist = binned.groupBy(col("__bin")).agg(count(lit(1)).as("__n"))
+    val cumW = Window.orderBy(col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val thr = hist
+      .withColumn("__cum", sum(col("__n")).over(cumW))
+      .withColumn("__tot", sum(col("__n")).over(totW))
+      .filter(col("__cum") >= ceil(col("__tot") * frac))
+      .agg(max(col("__bin")).as("__thr"))
+    binned.crossJoin(broadcast(thr)).filter(col("__bin") >= col("__thr"))
+      .drop("__bin", "__mn", "__mx", "__thr")
   }
 
   /** Budget-bounded greedy selection — "take the best documents until the

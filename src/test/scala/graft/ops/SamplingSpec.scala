@@ -129,6 +129,38 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     assert(out.count() == 2000 && out.where(col("split").isNull).count() == 0)
   }
 
+  test("keepTopFractionBinned: continuous score, bounded histogram, ≈frac retention") {
+    import spark.implicits._
+    val n = 20000
+    // continuous score — every value distinct, so the EXACT variant's
+    // histogram would be corpus-sized; the binned one must stay at `bins`
+    val rnd = new scala.util.Random(11)
+    val scored = (1 to n).map(i => (i.toLong, rnd.nextDouble() * 100.0))
+      .toDF("id", "score").repartition(13)
+    val bins = 512
+    val kept = Sampling.keepTopFractionBinned(scored, "score", 0.25, bins)
+    val k = kept.count()
+    // retention ≥ frac, overshoot bounded by one bin's mass (uniform score
+    // → ≈ n/bins ≈ 39; allow generous slack for density wiggle)
+    assert(k >= n / 4, s"under-retained: $k")
+    assert(k <= n / 4 + 4 * n / bins, s"over-retained: $k")
+    // the kept set is exactly a top slice by score (threshold semantics)
+    val minKept = kept.agg(min("score")).head().getDouble(0)
+    assert(scored.where(col("score") > minKept).count() <= k)
+    assert(scored.where(col("score") >= minKept).count() == k)
+    // constant scores keep everything (degenerate width)
+    val const = (1 to 100).map(i => (i.toLong, 7.5)).toDF("id", "score")
+    assert(Sampling.keepTopFractionBinned(const, "score", 0.5).count() == 100)
+    // discrete scores: binned agrees with the exact variant when bins
+    // outnumber the distinct values and bin edges can't split a value
+    val disc = (1 to 1000).map(i => (i.toLong, (i % 4).toDouble)).toDF("id", "score")
+    val exact = Sampling.keepTopFraction(disc, "score", 0.5)
+      .select("id").as[Long].collect().toSet
+    val binned = Sampling.keepTopFractionBinned(disc, "score", 0.5, 16)
+      .select("id").as[Long].collect().toSet
+    assert(binned == exact)
+  }
+
   test("takeByBudget equals the cumsum-window definition on random data, any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
