@@ -301,7 +301,17 @@ object CdcPipeline {
           dlqLock.synchronized {
             val dlq = ManagedTable.loadOrCreate(spark, cfg.warehouse,
               cfg.deadLetterTable, q.schema, Seq.empty, Seq.empty)
-            dlq.append(q)
+            // Exactly-once on crash replay, like append-mode destinations:
+            // the micro-batch id rides the DLQ commit's pointer flip, so a
+            // replayed batch (commit landed, checkpoint didn't) skips its
+            // already-quarantined rows. The DLQ is shared across
+            // destinations, so the marker is scoped per source table —
+            // batch N legitimately appends once per violating destination.
+            val markerKey = s"$CdcBatchIdProp.$tableName"
+            val last = dlq.meta.properties.get(markerKey).map(_.toLong).getOrElse(-1L)
+            if (batchId < 0) dlq.append(q)
+            else if (batchId > last)
+              dlq.append(q, Map(markerKey -> batchId.toString))
           }
         }
         annotated.filter(size(col("__violations")) === 0).drop("__violations")

@@ -411,7 +411,7 @@ final class ManagedTable private (
     */
   def readVersion(v: Long): DataFrame = {
     val entries = Manifest.read(fs, manifestPath(v))
-      .getOrElse(throw new IllegalArgumentException(
+      .getOrElse(throw new ManagedTable.RetentionLostException(
         s"no retained manifest for version $v of ${_meta.name}"))
     morRead(entries)
   }
@@ -2743,6 +2743,14 @@ object ManagedTable {
     * reading deltas.
     */
   val BarrierKey = "changelog.barrier-version"
+
+  /** Thrown by [[ManagedTable.readVersion]] when the requested snapshot's
+    * manifest has been expired by retention — the one RECOVERABLE
+    * time-travel failure, so incremental consumers
+    * ([[MaterializedView.refresh]]) can match it precisely and fall back
+    * to a rebuild without swallowing unrelated argument errors.
+    */
+  final class RetentionLostException(msg: String) extends IllegalArgumentException(msg)
 
   /** Commit-sequence-number column stamped into every MoR file group. */
   val SeqCol = "__graft_seq"

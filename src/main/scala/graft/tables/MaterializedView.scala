@@ -170,8 +170,11 @@ final class MaterializedView private (
         }
       } catch {
         // retention lost the from-version manifest (refresh lag exceeded
-        // write.versions-retained): the documented fallback is a rebuild
-        case _: IllegalArgumentException => return reseed()
+        // write.versions-retained): the documented fallback is a rebuild.
+        // ONLY that precise condition — an unrelated IllegalArgumentException
+        // (bad column after a source schema change, say) must propagate,
+        // not silently degrade every refresh into an O(source) reseed.
+        case _: ManagedTable.RetentionLostException => return reseed()
       }
     if (delta.isEmpty) {
       // nothing changed in (from, to] (metadata-only commits): advance the

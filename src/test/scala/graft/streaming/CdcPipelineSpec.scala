@@ -328,6 +328,32 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
     assert(r.getAs[String]("event_destination") == "testc_inventory_customers")
   }
 
+  test("DLQ appends are exactly-once under crash replay (per-destination batch marker)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dlq-replay").toString
+    val cfg = PipelineConfig(warehouse = s"$root/wh", keepDeletes = false,
+      expectations = Seq(
+        graft.operators.Expectations.Rule("name_not_evil", col("first_name") =!= "evil")))
+    val batch = Seq(
+      EventFactory.event(1, "alice", "c", 100L),
+      EventFactory.event(2, "evil", "c", 101L))
+      .toDF("destination", "key", "value")
+    CdcPipeline.processBatch(spark, batch, cfg, batchId = 7L)
+    def dlqCount = ManagedTable.load(spark, cfg.warehouse, cfg.deadLetterTable)
+      .get.read().count()
+    assert(dlqCount == 1)
+    // crash replay: destination commit + checkpoint raced — the SAME batch
+    // id arrives again; quarantine rows must not double
+    CdcPipeline.processBatch(spark, batch, cfg, batchId = 7L)
+    assert(dlqCount == 1, "replayed batch duplicated DLQ rows")
+    // a genuinely new violating batch still lands
+    val batch2 = Seq(EventFactory.event(3, "evil", "c", 102L))
+      .toDF("destination", "key", "value")
+    CdcPipeline.processBatch(spark, batch2, cfg, batchId = 8L)
+    assert(dlqCount == 2)
+  }
+
   test("W11: per-table operation timeout fails the batch; fast tables still complete") {
     import scala.concurrent.duration._
     // under the timeout: completes
