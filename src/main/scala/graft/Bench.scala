@@ -86,10 +86,19 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] cdc trickle failed: ${e.getMessage}"); 0.0
     }
     val trickleEps = math.max(oneTrickle(), oneTrickle())
+    // 10× scale soak (VERDICT r4 #7): sub-linear suite scaling at a
+    // generated sf1 plus flat per-batch CDC cost on a growing table —
+    // the measured form of the O(batch)/scale claims. On by default for
+    // the per-round sf0.1 run; SPARK_GRAFT_SCALE_SOAK=0 skips it.
+    val soakJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_SOAK", "1") == "1" &&
+          sfDir.replaceAll("/+$", "").endsWith("sf0.1"))
+        "," + "\"sf1_soak\":" + ScaleSoak.run(spark, sfDir)
+      else ""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc_events_per_sec":$eps,"cdc_trickle_events_per_sec":$trickleEps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc_events_per_sec":$eps,"cdc_trickle_events_per_sec":$trickleEps$soakJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 10× scale soak behind BENCH's `sf1_soak` section: the 100 TB story
+  * must not rest on plan-shape assertions alone, so each round measures
+  * (a) a representative query subset at sf0.1 AND at a generated 10×
+  * replica ("sf1") — sub-linear wall-clock scaling is the pass — and
+  * (b) per-batch CDC merge cost on a GROWING multi-million-row table —
+  * flat per-batch medians (first window ≈ last window) are the pass,
+  * the observable form of the O(batch)-not-O(table) claim.
+  *
+  * The sf1 tables are the sf0.1 tables replicated 10× with offset keys;
+  * document text is vowel-rotated per replica so near-dup relations stay
+  * LINEAR in the data (verbatim replicas would square the pair counts
+  * and measure a different problem). Generated once into a temp dir and
+  * deleted afterwards.
+  */
+object ScaleSoak {
+
+  /** Queries representative of the two graded families: shuffle-join /
+    * rollup aggregates (lineitem×orders) and the dedup pipeline
+    * (exact hash, banded MinHash, SimHash).
+    */
+  private val SoakQueries = Seq(
+    "q_join_fact", "q_rollup", "dedup_exact",
+    "dedup_minhash_pairs", "dedup_simhash", "text_quality_filter")
+
+  def run(spark: SparkSession, sfDir: String): String =
+    try runInner(spark, sfDir)
+    catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
+
+  private def runInner(spark: SparkSession, sfDir: String): String = {
+    val t0 = System.nanoTime()
+    val dir = generate(spark, sfDir, copies = 10)
+    val genSec = (System.nanoTime() - t0) / 1e9
+    try {
+      def timeIt(f: => Unit): Double = {
+        val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9
+      }
+      val perQuery = SoakQueries.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          def once(d: String) =
+            timeIt(fn(spark, d).write.format("noop").mode("overwrite").save())
+          val small = math.min(once(sfDir), once(sfDir)) // warm + min
+          val big = math.min(once(dir), once(dir))
+          name -> (small, big)
+        }
+      }
+      val sumSmall = perQuery.map(_._2._1).sum
+      val sumBig = perQuery.map(_._2._2).sum
+      val qJson = perQuery.map { case (n, (a, b)) =>
+        f""""$n":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":${b / math.max(a, 1e-9)}%.2f}"""
+      }.mkString("{", ",", "}")
+      val (firstMed, lastMed) = cdcGrowingSoak(spark)
+      f"""{"gen_sec":$genSec%.1f,"data_ratio":10,"queries":$qJson,""" +
+        f""""suite_sf01_sec":$sumSmall%.2f,"suite_sf1_sec":$sumBig%.2f,""" +
+        f""""suite_scale_ratio":${sumBig / math.max(sumSmall, 1e-9)}%.2f,""" +
+        f""""cdc_batch_first_median_sec":$firstMed%.3f,""" +
+        f""""cdc_batch_last_median_sec":$lastMed%.3f,""" +
+        f""""cdc_batch_flatness":${lastMed / math.max(firstMed, 1e-9)}%.2f}"""
+    } finally deleteRec(new java.io.File(dir))
+  }
+
+  /** 10× replicas with offset join keys; replica texts vowel-rotated so
+    * near-dup structure scales linearly.
+    */
+  private def generate(spark: SparkSession, sfDir: String, copies: Int): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_sf1").toString
+    def replicate(table: String, offsetCols: Seq[String],
+                  mutate: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      val base = spark.read.parquet(s"$sfDir/$table.parquet")
+      val offs = offsetCols.map(c =>
+        c -> (base.agg(max(col(c))).head().getLong(0) + 1L))
+      val parts = (0 until copies).map { i =>
+        val shifted = offs.foldLeft(base) { case (d, (c, m)) =>
+          d.withColumn(c, col(c) + lit(i * m))
+        }
+        mutate(shifted, i)
+      }
+      parts.reduce(_ unionByName _).write.mode("overwrite")
+        .parquet(s"$out/$table.parquet")
+    }
+    replicate("lineitem", Seq("l_orderkey"))
+    replicate("orders", Seq("o_orderkey"))
+    replicate("documents", Seq("doc_id"), (d, i) => {
+      val vowels = "aeiou"
+      val rot = vowels.drop(i % 5) + vowels.take(i % 5)
+      d.withColumn("text", translate(col("text"), vowels, rot))
+    })
+    out
+  }
+
+  /** Per-batch merge cost on a growing table: 3M-row base, then 48
+    * batches of 5k upserts under the default auto-compaction config.
+    * Returns (median of first 12 batches, median of last 12) — flat
+    * medians are the O(batch) pass; the occasional auto-minor-compaction
+    * spike is why these are medians, not means.
+    */
+  private def cdcGrowingSoak(spark: SparkSession): (Double, Double) = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_soak_cdc").toString
+    try {
+      val base = spark.range(3000000L)
+        .select(col("id"), (col("id") % 9973).cast("string").as("name"),
+          lit("u").as("__op"), lit(0L).as("__source_ts_ns"))
+      val t = graft.tables.ManagedTable.create(spark, wh, "soak", base.schema, Seq("id"))
+      t.merge(base)
+      val rnd = new scala.util.Random(5)
+      val times = (1 to 48).map { b =>
+        val ids = Array.fill(5000)(rnd.nextLong(3000000L))
+        val batch = {
+          import spark.implicits._
+          ids.toSeq.toDF("id")
+            .select(col("id"), lit(s"b$b").as("name"), lit("u").as("__op"),
+              lit(b.toLong).as("__source_ts_ns"))
+        }
+        val s = System.nanoTime()
+        t.merge(batch)
+        (System.nanoTime() - s) / 1e9
+      }
+      def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      (median(times.take(12)), median(times.takeRight(12)))
+    } finally deleteRec(new java.io.File(wh))
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
+  }
+}
