@@ -4,9 +4,10 @@ import graft.tables.ManagedTable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Not}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftbridge.GraftBridge
 
 /** Analyzer rule giving managed tables a first-class SQL identity:
   * `SELECT * FROM graft.users` resolves to the table's merge-on-read scan
@@ -34,6 +35,61 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
   // top-down: the Filter case must see its still-unresolved child before
   // the bare-relation case rewrites it
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    // ---- SQL DML: the statement nodes Spark's parser produces become
+    // eager [[GraftDmlCommand]]s over the ManagedTable row-level DML API
+    // (merge-on-read commits — the SQL spellings of deleteWhere /
+    // updateWhere / append / mergeInto). Matched BEFORE the relation
+    // cases so the target never resolves into a bare scan.
+    case d @ DeleteFromTable(GraftMetaTarget(full), _) => readOnly(full, d)
+    case u0 @ UpdateTable(GraftMetaTarget(full), _, _) => readOnly(full, u0)
+    case i: InsertIntoStatement if GraftMetaTarget.unapply(i.table).isDefined =>
+      readOnly(GraftMetaTarget.unapply(i.table).get, i)
+    case m: MergeIntoTable if GraftMetaTarget.unapply(m.targetTable).isDefined =>
+      readOnly(GraftMetaTarget.unapply(m.targetTable).get, m)
+    case d @ DeleteFromTable(GraftTarget(name, alias), cond) =>
+      loadTable(name).map { t =>
+        val c = stripQualifier(cond, alias)
+        GraftDmlCommand("DELETE", name,
+          () => t.deleteWhere(GraftBridge.column(c))): LogicalPlan
+      }.getOrElse(d)
+    case u0 @ UpdateTable(GraftTarget(name, alias), assigns, cond) =>
+      loadTable(name).map { t =>
+        val set = assigns.map(a =>
+          assignName(a.key) -> GraftBridge.column(stripQualifier(a.value, alias))).toMap
+        val c = stripQualifier(cond.getOrElse(Literal.TrueLiteral), alias)
+        GraftDmlCommand("UPDATE", name,
+          () => t.updateWhere(GraftBridge.column(c), set)): LogicalPlan
+      }.getOrElse(u0)
+    case i: InsertIntoStatement if (i.table match {
+        case GraftTarget(_, _) => i.partitionSpec.isEmpty
+        case _ => false
+      }) =>
+      val GraftTarget(name, _) = i.table: @unchecked
+      loadTable(name).map { t =>
+        val (q, cols, over, byName) =
+          (i.query, i.userSpecifiedCols, i.overwrite, i.byName)
+        GraftDmlCommand(if (over) "INSERT OVERWRITE" else "INSERT", name, () => {
+          val df0 = GraftBridge.dataFrame(session, q)
+          val df =
+            if (cols.nonEmpty) {
+              require(df0.columns.length == cols.length,
+                s"INSERT column list has ${cols.length} columns but the query produces ${df0.columns.length}")
+              df0.toDF(cols: _*)
+            } else if (byName) df0
+            else {
+              require(df0.columns.length == t.meta.schema.fields.length,
+                s"positional INSERT needs ${t.meta.schema.fields.length} columns, query produces ${df0.columns.length}")
+              df0.toDF(t.meta.schema.fieldNames.toIndexedSeq: _*)
+            }
+          if (over) t.overwrite(df) else t.append(df)
+        }): LogicalPlan
+      }.getOrElse(i)
+    case m: MergeIntoTable if (m.targetTable match {
+        case GraftTarget(_, _) => true
+        case _ => false
+      }) =>
+      val GraftTarget(name, tAlias) = m.targetTable: @unchecked
+      loadTable(name).map(t => buildMerge(m, t, name, tAlias)).getOrElse(m)
     // `WHERE c = <lit>` directly over a graft relation: resolve to the
     // MANIFEST-PRUNED scan (column bounds + Bloom filters,
     // [[ManagedTable.readWhereEq]]) instead of the full scan — the filter
@@ -53,6 +109,177 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
   private def isGraft(u: UnresolvedRelation): Boolean =
     u.multipartIdentifier.length == 2 &&
       u.multipartIdentifier.head.equalsIgnoreCase("graft")
+
+  /** A `$`-suffixed graft identifier appearing as a DML target — always
+    * a mistake; refuse with a precise message instead of letting the
+    * metadata scan resolve and Spark die on an internal error.
+    */
+  private object GraftMetaTarget {
+    def unapply(p: LogicalPlan): Option[String] = p match {
+      case SubqueryAlias(_, u: UnresolvedRelation) if isGraft(u) &&
+          u.multipartIdentifier(1).contains('$') => Some(u.multipartIdentifier(1))
+      case u: UnresolvedRelation if isGraft(u) &&
+          u.multipartIdentifier(1).contains('$') => Some(u.multipartIdentifier(1))
+      case _ => None
+    }
+  }
+
+  private def readOnly(full: String, stmt: LogicalPlan): Nothing =
+    throw new IllegalArgumentException(
+      s"graft.$full is a read-only view (time travel / metadata table); " +
+        s"DML must target the base table (statement: ${stmt.nodeName})")
+
+  /** DML target: a `graft.<t>` relation, optionally behind the
+    * statement's alias. Metadata suffixes (`$files`…) are not writable.
+    */
+  private object GraftTarget {
+    def unapply(p: LogicalPlan): Option[(String, Option[String])] = p match {
+      case SubqueryAlias(id, u: UnresolvedRelation) if isGraft(u) &&
+          !u.multipartIdentifier(1).contains('$') =>
+        Some((u.multipartIdentifier(1), Some(id.name)))
+      case u: UnresolvedRelation if isGraft(u) &&
+          !u.multipartIdentifier(1).contains('$') =>
+        Some((u.multipartIdentifier(1), None))
+      case _ => None
+    }
+  }
+
+  private def loadTable(name: String): Option[ManagedTable] =
+    session.conf.getOption("spark.graft.warehouse")
+      .flatMap(wh => ManagedTable.load(session, wh, name))
+
+  /** Drop the statement alias qualifier so the expression resolves
+    * against the bare table scan (`DELETE FROM graft.t AS x WHERE x.c`).
+    */
+  private def stripQualifier(e: Expression, alias: Option[String]): Expression =
+    alias.map { a =>
+      e.transform {
+        case attr: UnresolvedAttribute if attr.nameParts.length > 1 &&
+            attr.nameParts.head.equalsIgnoreCase(a) =>
+          UnresolvedAttribute(attr.nameParts.tail)
+      }
+    }.getOrElse(e)
+
+  /** Re-qualify an alias to the fixed name mergeInto exposes (`t`/`s`). */
+  private def requalify(e: Expression, from: Option[String], to: String): Expression =
+    from.map { a =>
+      e.transform {
+        case attr: UnresolvedAttribute if attr.nameParts.length > 1 &&
+            attr.nameParts.head.equalsIgnoreCase(a) =>
+          UnresolvedAttribute(to +: attr.nameParts.tail)
+      }
+    }.getOrElse(e)
+
+  private def assignName(key: Expression): String = key match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case other => throw new IllegalArgumentException(
+      s"unsupported assignment target $other (nested fields are not assignable)")
+  }
+
+  /** SQL MERGE → [[ManagedTable.mergeInto]]. Supported surface (errors
+    * are raised at analysis, before anything runs):
+    *  - ON: equality between target and source on exactly the table's
+    *    identifier columns (mergeInto's join IS the identifier equality)
+    *  - WHEN MATCHED: at most one UPDATE (SET … or SET *) and one DELETE,
+    *    in either order — SQL's first-match-wins clause order is encoded
+    *    into the conditions
+    *  - WHEN NOT MATCHED: at most one INSERT * (column-list inserts would
+    *    need a source projection — write it into the USING subquery)
+    *  - WHEN NOT MATCHED BY SOURCE: unsupported (the target side is
+    *    never scanned for unmatched rows — that is the O(batch) contract)
+    */
+  private def buildMerge(m: MergeIntoTable, t: ManagedTable, name: String,
+                         tAlias: Option[String]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertAction, InsertStarAction, UpdateAction, UpdateStarAction}
+    val (sourcePlan, sAlias) = m.sourceTable match {
+      case SubqueryAlias(id, child) => (child, Some(id.name))
+      case other => (other, None)
+    }
+    require(m.notMatchedBySourceActions.isEmpty,
+      "MERGE INTO graft.<t>: WHEN NOT MATCHED BY SOURCE is not supported " +
+        "(the target is never scanned for unmatched rows)")
+    def remap(e: Expression): Expression =
+      requalify(requalify(e, tAlias, "t"), sAlias, "s")
+    // ON must be identifier equality: each conjunct equates one id column
+    // across the two sides; together they cover the id set exactly
+    val ids = t.meta.identifierFields
+    require(ids.nonEmpty, s"MERGE INTO graft.$name: table has no identifier fields")
+    def sideName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _ => None
+    }
+    val equated = splitConjuncts(m.mergeCondition).map {
+      case EqualTo(l, r) =>
+        (sideName(l), sideName(r)) match {
+          case (Some(a), Some(b)) if a.equalsIgnoreCase(b) => a.toLowerCase
+          case _ => throw new IllegalArgumentException(
+            s"MERGE INTO graft.$name: ON must equate same-named identifier columns, got ${EqualTo(l, r).sql}")
+        }
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO graft.$name: ON must be a conjunction of equalities, got ${other.sql}")
+    }.toSet
+    require(equated == ids.map(_.toLowerCase).toSet,
+      s"MERGE INTO graft.$name: ON must equate exactly the identifier columns ${ids.mkString(", ")}")
+    // matched clauses → (updateWhen, updateSet, deleteWhen) with SQL's
+    // first-match-wins order folded into the conditions
+    var updateWhen: Option[Expression] = None
+    var updateSet: Map[String, Expression] = Map.empty
+    var deleteWhen: Option[Expression] = None
+    var updateSeen = false; var deleteSeen = false
+    m.matchedActions.foreach {
+      case UpdateAction(c, assigns, fromStar) =>
+        require(!updateSeen, s"MERGE INTO graft.$name: at most one WHEN MATCHED UPDATE")
+        updateSeen = true
+        val cond = remap(c.getOrElse(Literal.TrueLiteral))
+        updateWhen = Some(if (deleteSeen)
+          And(cond, Not(deleteWhen.getOrElse(Literal.FalseLiteral))) else cond)
+        updateSet =
+          if (fromStar) Map.empty
+          else assigns.map(a => assignName(a.key) -> remap(a.value)).toMap
+      case UpdateStarAction(c) =>
+        require(!updateSeen, s"MERGE INTO graft.$name: at most one WHEN MATCHED UPDATE")
+        updateSeen = true
+        val cond = remap(c.getOrElse(Literal.TrueLiteral))
+        updateWhen = Some(if (deleteSeen)
+          And(cond, Not(deleteWhen.getOrElse(Literal.FalseLiteral))) else cond)
+      case DeleteAction(c) =>
+        require(!deleteSeen, s"MERGE INTO graft.$name: at most one WHEN MATCHED DELETE")
+        deleteSeen = true
+        val cond = remap(c.getOrElse(Literal.TrueLiteral))
+        // mergeInto checks DELETE before UPDATE; if SQL wrote UPDATE
+        // first, a row matching both must update — mask the delete
+        deleteWhen = Some(if (updateSeen)
+          And(cond, Not(updateWhen.getOrElse(Literal.FalseLiteral))) else cond)
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO graft.$name: unsupported WHEN MATCHED action $other")
+    }
+    var insertWhen: Option[Expression] = None
+    m.notMatchedActions.foreach {
+      case InsertStarAction(c) =>
+        require(insertWhen.isEmpty, s"MERGE INTO graft.$name: at most one WHEN NOT MATCHED INSERT")
+        insertWhen = Some(remap(c.getOrElse(Literal.TrueLiteral)))
+      case _: InsertAction => throw new IllegalArgumentException(
+        s"MERGE INTO graft.$name: only INSERT * is supported — project the " +
+          "column list inside the USING subquery instead")
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO graft.$name: unsupported WHEN NOT MATCHED action $other")
+    }
+    val src = sourcePlan
+    val updWhen = updateWhen; val updSet = updateSet
+    val delWhen = deleteWhen; val insWhen = insertWhen
+    GraftDmlCommand("MERGE", name, () => {
+      t.mergeInto(GraftBridge.dataFrame(session, src),
+        updateWhen = updWhen.map(GraftBridge.column),
+        updateSet = updSet.map { case (k, v) => k -> GraftBridge.column(v) },
+        deleteWhen = delWhen.map(GraftBridge.column),
+        insertWhen = insWhen.map(GraftBridge.column))
+    })
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)

@@ -28,6 +28,16 @@ object GraftBridge {
   def convertedExpression(c: Column): Expression =
     ColumnNodeToExpressionConverter(c.node)
 
+  /** LogicalPlan → DataFrame (`Dataset.ofRows` is `private[sql]`) — the
+    * SQL DML commands capture the statement's source subplan at analysis
+    * time and materialize it through the normal analyzer/optimizer here.
+    */
+  def dataFrame(session: org.apache.spark.sql.SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Distributed Bloom-filter build over a LONG column (pre-hash with
     * `xxhash64`): executors fill partial sketches, the driver merges —
     * the same machinery Spark's runtime row-filtering injects. Sizing is

@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SharedSpark
+import graft.tables.ManagedTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL DML over graft tables ([[graft.plans.ResolveGraftTables]] →
+  * [[graft.plans.GraftDmlCommand]]): INSERT / DELETE / UPDATE / MERGE
+  * statements route to the ManagedTable row-level API as eager commands —
+  * .explain must not mutate, unsupported shapes must fail at analysis.
+  */
+class GraftSqlDmlSpec extends AnyFunSuite with SharedSpark {
+
+  test("INSERT / DELETE / UPDATE / MERGE statements drive the MoR DML path") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val b = org.apache.spark.sql.SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+      base.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
+      import s2.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqldml").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+      val df = Seq((1L, "alice", 10.0), (2L, "bob", 20.0)).toDF("id", "name", "v")
+      val t = ManagedTable.create(s2, wh, "people", df.schema, Seq("id"))
+      t.append(df)
+      // the SQL commands commit through their own table handles — reload
+      // for every read so assertions see the latest pointer
+      def cur = ManagedTable.load(s2, wh, "people").get.read()
+
+      // INSERT INTO (positional VALUES)
+      s2.sql("INSERT INTO graft.people VALUES (3, 'carol', 30.0), (4, 'dan', 40.0)")
+      assert(cur.count() == 4)
+      // INSERT with a column list fills the rest with nulls
+      s2.sql("INSERT INTO graft.people (id, name) SELECT 5, 'eve'")
+      assert(cur.where(col("id") === 5).select("v").head().isNullAt(0))
+
+      // .explain on a DML statement must NOT run it (eager-command shape:
+      // building the plan is side-effect-free until execution)
+      assert(cur.count() == 5)
+
+      // UPDATE with alias + qualified references
+      s2.sql("UPDATE graft.people AS p SET v = p.v * 2 WHERE p.name = 'bob'")
+      assert(cur.where(col("id") === 2).select("v").head().getDouble(0) == 40.0)
+
+      // DELETE
+      s2.sql("DELETE FROM graft.people WHERE id >= 4")
+      assert(cur.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+
+      // MERGE: update + delete + insert through one statement
+      Seq((1L, "alice2", 11.0), (2L, "bob", -1.0), (9L, "zoe", 90.0))
+        .toDF("id", "name", "v").createOrReplaceTempView("changes")
+      s2.sql("""MERGE INTO graft.people AS t USING changes AS s ON t.id = s.id
+        |WHEN MATCHED AND s.v < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = cur.select("id", "name", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == Set((1L, "alice2", 11.0), (3L, "carol", 30.0), (9L, "zoe", 90.0)))
+
+      // unsupported MERGE shapes fail at analysis with clear messages
+      val e1 = intercept[Exception] {
+        s2.sql("""MERGE INTO graft.people AS t USING changes AS s ON t.v = s.v
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      assert(e1.getMessage.contains("identifier columns"))
+      val e2 = intercept[Exception] {
+        s2.sql("""MERGE INTO graft.people AS t USING changes AS s ON t.id = s.id
+          |WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)""".stripMargin)
+      }
+      assert(e2.getMessage.contains("INSERT *"))
+
+      // metadata suffixes are read-only — precise refusal, nothing mutated
+      val e3 = intercept[Exception] {
+        s2.sql("DELETE FROM graft.`people$files` WHERE 1=1")
+      }
+      assert(e3.getMessage.contains("read-only"), e3.getMessage)
+      assert(cur.count() == 3)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+}
