@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (+ $files/$snapshots/$refs/$changes/$v<N> suffixes) against
     // spark.graft.warehouse — see [[graft.plans.ResolveGraftTables]].
     ext.injectResolutionRule(session => new graft.plans.ResolveGraftTables(session))
+    // SQL DDL: CREATE/DROP TABLE graft.<t>, ALTER TABLE graft.<t>
+    // ADD/DROP/RENAME COLUMN(S) + SET TBLPROPERTIES — rewritten at the
+    // parser seam (built-in catalog resolution would reject the
+    // statements before a resolution rule could claim them); see
+    // [[graft.plans.GraftSqlParser]] / [[graft.plans.ResolveGraftDdl]].
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
 
     ext.injectFunction((
       FunctionIdentifier("decimal_from_bytes"),

@@ -1,0 +1,155 @@
+package graft.plans
+
+import graft.tables.ManagedTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedTable}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** SQL DDL over graft tables — the statements that complete the SQL
+  * lakehouse surface next to [[ResolveGraftTables]]' reads and DML:
+  *
+  *   CREATE TABLE graft.t (id BIGINT, …) PARTITIONED BY (day(ts), bucket(4, id))
+  *     TBLPROPERTIES ('graft.identifier-fields'='id', …)
+  *   DROP TABLE [IF EXISTS] graft.t
+  *   ALTER TABLE graft.t ADD COLUMNS (c TYPE, …)     — schema evolution D6
+  *   ALTER TABLE graft.t DROP COLUMN c / RENAME COLUMN a TO b
+  *   ALTER TABLE graft.t SET TBLPROPERTIES (…)
+  *
+  * Identifier fields ride the `graft.identifier-fields` table property
+  * (Spark's DDL grammar has no key-constraint clause to carry them).
+  * Partition transforms map 1:1 onto the spec grammar the reference
+  * parses (`SINK/IcebergUtil.java:214-305`): identity, years/months/
+  * days/hours, bucket, truncate. Everything executes as an eager
+  * command, like the DML surface.
+  */
+class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private val IdsProp = "graft.identifier-fields"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case c @ CreateTable(UnresolvedIdentifier(Seq(g, name), _), columns,
+        partitioning, spec: UnresolvedTableSpec, ifNotExists)
+        if g.equalsIgnoreCase("graft") =>
+      val wh = warehouse(name)
+      val schema = StructType(columns.map(cd =>
+        StructField(cd.name, cd.dataType, cd.nullable)))
+      val props = spec.properties
+      val ids = props.get(IdsProp).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      ids.foreach(i => require(schema.fieldNames.contains(i),
+        s"CREATE TABLE graft.$name: identifier field '$i' is not a declared column"))
+      val partitionBy = partitioning.map(transformToSpec(name, _))
+      GraftDmlCommand("CREATE TABLE", name, () => {
+        if (!(ifNotExists && ManagedTable.load(session, wh, name).isDefined))
+          ManagedTable.create(session, wh, name, schema, ids, partitionBy,
+            props - IdsProp): Unit
+      })
+    case d @ DropTable(UnresolvedIdentifier(Seq(g, name), _), ifExists, _)
+        if g.equalsIgnoreCase("graft") =>
+      val wh = warehouse(name)
+      GraftDmlCommand("DROP TABLE", name, () => {
+        val exists = ManagedTable.load(session, wh, name).isDefined
+        require(exists || ifExists, s"table graft.$name does not exist")
+        if (exists) {
+          val fs = graft.tables.TableMeta.fs(
+            session.sparkContext.hadoopConfiguration, wh)
+          fs.delete(new org.apache.hadoop.fs.Path(wh, name), true): Unit
+        }
+      })
+    case a @ AddColumns(GraftAlterTarget(name), cols) =>
+      withTable(a, name) { t =>
+        val fields = cols.map { qc =>
+          require(qc.path.isEmpty,
+            s"ALTER TABLE graft.$name: nested ADD COLUMNS is not supported")
+          require(qc.position.isEmpty,
+            s"ALTER TABLE graft.$name: column positions are not supported (columns append)")
+          StructField(qc.colName, qc.dataType, nullable = true)
+        }
+        GraftDmlCommand("ALTER ADD COLUMNS", name,
+          () => { t.evolve(StructType(fields)): Unit })
+      }
+    case d @ DropColumns(GraftAlterTarget(name), fields, ifExists) =>
+      withTable(d, name) { t =>
+        val names = fields.map(_.name.last)
+        GraftDmlCommand("ALTER DROP COLUMNS", name, () => names.foreach { n =>
+          if (!ifExists || t.meta.schema.fieldNames.contains(n)) t.dropColumn(n)
+        })
+      }
+    case r @ RenameColumn(GraftAlterTarget(name), field, newName) =>
+      withTable(r, name) { t =>
+        GraftDmlCommand("ALTER RENAME COLUMN", name,
+          () => t.renameColumn(field.name.last, newName))
+      }
+    case s @ SetTableProperties(GraftAlterTarget(name), props) =>
+      withTable(s, name) { t =>
+        require(!props.contains(IdsProp),
+          s"ALTER TABLE graft.$name: identifier fields are fixed at CREATE")
+        GraftDmlCommand("ALTER SET TBLPROPERTIES", name,
+          () => t.setProperties(props))
+      }
+  }
+
+  private object GraftAlterTarget {
+    def unapply(p: LogicalPlan): Option[String] = p match {
+      case ut: UnresolvedTable if ut.multipartIdentifier.length == 2 &&
+          ut.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+          !ut.multipartIdentifier(1).contains('$') =>
+        Some(ut.multipartIdentifier(1))
+      case _ => None
+    }
+  }
+
+  /** ALTERs need the table to exist at analysis; unknown tables keep the
+    * original node so Spark raises its normal error.
+    */
+  private def withTable(orig: LogicalPlan, name: String)(
+      f: ManagedTable => LogicalPlan): LogicalPlan =
+    session.conf.getOption("spark.graft.warehouse")
+      .flatMap(wh => ManagedTable.load(session, wh, name))
+      .map(f).getOrElse(orig)
+
+  private def warehouse(name: String): String =
+    session.conf.getOption("spark.graft.warehouse").getOrElse(
+      throw new IllegalArgumentException(
+        s"graft.$name: set spark.graft.warehouse before DDL"))
+
+  private def ref(r: NamedReference, name: String): String = {
+    require(r.fieldNames.length == 1,
+      s"graft.$name: nested partition source ${r.describe} is not supported")
+    r.fieldNames.head
+  }
+
+  /** V2 transform → the spec grammar string the strict parser validates.
+    * Matched through the public `Transform` interface (the case classes
+    * are `private[sql]`).
+    */
+  private def transformToSpec(name: String, t: Transform): String = {
+    val refs = t.references.toSeq.map(ref(_, name))
+    val lits = t.arguments.toSeq.collect {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        String.valueOf(l.value)
+    }
+    t.name.toLowerCase match {
+      case "identity" =>
+        require(refs.length == 1, s"graft.$name: identity takes one column")
+        refs.head
+      case "years" | "year"   => s"year(${refs.head})"
+      case "months" | "month" => s"month(${refs.head})"
+      case "days" | "day"     => s"day(${refs.head})"
+      case "hours" | "hour"   => s"hour(${refs.head})"
+      case "bucket" =>
+        require(refs.length == 1 && lits.length == 1,
+          s"graft.$name: bucket takes (N, column)")
+        s"bucket(${refs.head},${lits.head})"
+      case "truncate" =>
+        require(refs.length == 1 && lits.length == 1,
+          s"graft.$name: truncate takes (W, column)")
+        s"truncate(${refs.head},${lits.head})"
+      case other => throw new IllegalArgumentException(
+        s"graft.$name: unsupported partition transform '$other'")
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SharedSpark
+import graft.tables.ManagedTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL DDL over graft tables ([[graft.plans.ResolveGraftDdl]]): CREATE /
+  * DROP TABLE and the ALTER family route to the ManagedTable metadata
+  * operations as eager commands.
+  */
+class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
+
+  test("CREATE / ALTER / DROP statements drive the table metadata API") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val b = org.apache.spark.sql.SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+      base.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
+      import s2.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqlddl").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+
+      s2.sql("""CREATE TABLE graft.logs (id BIGINT, ts TIMESTAMP, msg STRING)
+        |PARTITIONED BY (day(ts), bucket(4, id))
+        |TBLPROPERTIES ('graft.identifier-fields'='id', 'write.mor.compact-after-upserts'='8')"""
+        .stripMargin)
+      val t = ManagedTable.load(s2, wh, "logs").get
+      assert(t.meta.identifierFields == Seq("id"))
+      assert(t.meta.partitionBy == Seq("day(ts)", "bucket(id,4)"))
+      assert(t.meta.properties("write.mor.compact-after-upserts") == "8")
+      assert(!t.meta.properties.contains("graft.identifier-fields"))
+
+      // round-trip through DML + read on the created table
+      s2.sql("INSERT INTO graft.logs VALUES (1, TIMESTAMP '2024-01-02 03:04:05', 'hello')")
+      assert(s2.sql("SELECT msg FROM graft.logs WHERE id = 1").head().getString(0) == "hello")
+
+      // IF NOT EXISTS is a no-op on an existing table; a bare CREATE fails
+      s2.sql("CREATE TABLE IF NOT EXISTS graft.logs (x INT)")
+      assert(ManagedTable.load(s2, wh, "logs").get.meta.schema.fieldNames.length == 3)
+      intercept[Exception] { s2.sql("CREATE TABLE graft.logs (x INT)") }
+
+      // ALTER family
+      s2.sql("ALTER TABLE graft.logs ADD COLUMNS (sev INT, origin STRING)")
+      assert(ManagedTable.load(s2, wh, "logs").get.meta.schema.fieldNames.toSeq ==
+        Seq("id", "ts", "msg", "sev", "origin"))
+      s2.sql("ALTER TABLE graft.logs RENAME COLUMN origin TO source")
+      s2.sql("ALTER TABLE graft.logs DROP COLUMN sev")
+      assert(ManagedTable.load(s2, wh, "logs").get.meta.schema.fieldNames.toSeq ==
+        Seq("id", "ts", "msg", "source"))
+      s2.sql("ALTER TABLE graft.logs SET TBLPROPERTIES ('write.cluster-by'='id')")
+      assert(ManagedTable.load(s2, wh, "logs").get
+        .meta.properties("write.cluster-by") == "id")
+      // evolved schema reads back with nulls for pre-evolution rows
+      assert(s2.sql("SELECT source FROM graft.logs WHERE id = 1").head().isNullAt(0))
+
+      // identifier fields are fixed at CREATE
+      val e = intercept[Exception] {
+        s2.sql("ALTER TABLE graft.logs SET TBLPROPERTIES ('graft.identifier-fields'='msg')")
+      }
+      assert(e.getMessage.contains("fixed at CREATE"))
+
+      // unknown identifier column fails the CREATE up front
+      val e2 = intercept[Exception] {
+        s2.sql("CREATE TABLE graft.bad (a INT) TBLPROPERTIES ('graft.identifier-fields'='nope')")
+      }
+      assert(e2.getMessage.contains("not a declared column"))
+
+      // DROP TABLE
+      s2.sql("DROP TABLE graft.logs")
+      assert(ManagedTable.load(s2, wh, "logs").isEmpty)
+      s2.sql("DROP TABLE IF EXISTS graft.logs") // no-op
+      intercept[Exception] { s2.sql("DROP TABLE graft.logs") }
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+}
