@@ -30,6 +30,8 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
   private val IdsProp = "graft.identifier-fields"
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+      timeTravel(tt).getOrElse(tt)
     case c @ CreateTable(UnresolvedIdentifier(Seq(g, name), _), columns,
         partitioning, spec: UnresolvedTableSpec, ifNotExists)
         if g.equalsIgnoreCase("graft") =>
@@ -46,6 +48,24 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         if (!(ifNotExists && ManagedTable.load(session, wh, name).isDefined))
           ManagedTable.create(session, wh, name, schema, ids, partitionBy,
             props - IdsProp): Unit
+      })
+    case c @ CreateTableAsSelect(UnresolvedIdentifier(Seq(g, name), _),
+        partitioning, query, spec: UnresolvedTableSpec, _, ifNotExists, _)
+        if g.equalsIgnoreCase("graft") =>
+      val wh = warehouse(name)
+      val props = spec.properties
+      val ids = props.get(IdsProp).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      val partitionBy = partitioning.map(transformToSpec(name, _))
+      GraftDmlCommand("CREATE TABLE AS SELECT", name, () => {
+        if (!(ifNotExists && ManagedTable.load(session, wh, name).isDefined)) {
+          val df = org.apache.spark.sql.graftbridge.GraftBridge.dataFrame(session, query)
+          ids.foreach(i => require(df.schema.fieldNames.contains(i),
+            s"CREATE TABLE graft.$name: identifier field '$i' is not produced by the query"))
+          val t = ManagedTable.create(session, wh, name, df.schema, ids,
+            partitionBy, props - IdsProp)
+          t.append(df)
+        }
       })
     case d @ DropTable(UnresolvedIdentifier(Seq(g, name), _), ifExists, _)
         if g.equalsIgnoreCase("graft") =>
@@ -90,6 +110,36 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         GraftDmlCommand("ALTER SET TBLPROPERTIES", name,
           () => t.setProperties(props))
       }
+  }
+
+  /** SQL time travel — the grammar-level spelling of the `graft.t$v<N>`
+    * identifier suffix and [[ManagedTable.readAsOf]]. Handled at the
+    * parser seam like the DDL: built-in relation resolution fails hard on
+    * a time-travel over an uncataloged identifier before extension rules
+    * would see it.
+    */
+  private def timeTravel(tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel)
+      : Option[LogicalPlan] = tt.relation match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+          !u.multipartIdentifier(1).contains('$') =>
+      session.conf.getOption("spark.graft.warehouse")
+        .flatMap(wh => ManagedTable.load(session, wh, u.multipartIdentifier(1)))
+        .flatMap { t =>
+          val df = (tt.version, tt.timestamp) match {
+            case (Some(v), _) if v.nonEmpty && v.forall(_.isDigit) =>
+              Some(t.readVersion(v.toLong))
+            case (None, Some(e)) if e.foldable =>
+              val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+                e, org.apache.spark.sql.types.TimestampType,
+                Some(session.sessionState.conf.sessionLocalTimeZone)).eval(null)
+              Option(micros).map(m => t.readAsOf(m.asInstanceOf[Long] / 1000L))
+            case _ => None
+          }
+          df.map(_.queryExecution.analyzed)
+        }
+    case _ => None
   }
 
   private object GraftAlterTarget {

@@ -70,7 +70,19 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       }
       assert(e2.getMessage.contains("not a declared column"))
 
+      // CTAS + SQL time travel
+      s2.sql("""CREATE TABLE graft.top_logs
+        |TBLPROPERTIES ('graft.identifier-fields'='id')
+        |AS SELECT id, msg FROM graft.logs""".stripMargin)
+      assert(s2.sql("SELECT * FROM graft.top_logs").count() == 1)
+      val v1 = ManagedTable.load(s2, wh, "top_logs").get.meta.currentVersion
+      s2.sql("INSERT INTO graft.top_logs VALUES (7, 'later')")
+      assert(s2.sql("SELECT * FROM graft.top_logs").count() == 2)
+      assert(s2.sql(s"SELECT * FROM graft.top_logs VERSION AS OF $v1").count() == 1)
+      assert(s2.sql("SELECT * FROM graft.top_logs TIMESTAMP AS OF '2999-01-01'").count() == 2)
+
       // DROP TABLE
+      s2.sql("DROP TABLE graft.top_logs")
       s2.sql("DROP TABLE graft.logs")
       assert(ManagedTable.load(s2, wh, "logs").isEmpty)
       s2.sql("DROP TABLE IF EXISTS graft.logs") // no-op
