@@ -1839,6 +1839,39 @@ object Queries {
       |    * CAST(0.000001 AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS avg_logp
       |FROM micro""".stripMargin))
 
+  /** Hashing-trick linear classifier scoring (FineWeb-Edu / DCLM model-
+    * based filtering) under the oracle: weights are the closed-form
+    * integer-valued vector w[j] = (j·7 mod 41) − 20 over 4096 buckets,
+    * so DuckDB reproduces the bucket weights arithmetically from the
+    * same md5 feature hashes, the weight sum is integer-exact, and the
+    * sigmoid's input is a single IEEE division of exact values (the
+    * text_lm_score treatment of transcendentals).
+    */
+  val textClassifierScore = Q("text_classifier_score",
+    (s, dir) => {
+      val w = Array.tabulate(4096)(j => ((j * 7) % 41 - 20).toDouble)
+      TextFunctions.hashedClassifierScore(
+        t(s, dir, "documents"), "doc_id", "text", w, bias = 0.125)
+        .select(col("doc_id"), col("n_feats"), col("w_sum"), col("score"))
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
+      |  FROM documents),
+      |feats AS (SELECT doc_id,
+      |    list_transform(tk, t -> ('0x'||substr(md5(t),1,8))::BIGINT) ||
+      |    list_transform([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))],
+      |      t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS fh
+      |  FROM toks),
+      |agg AS (SELECT doc_id, len(fh)::BIGINT AS n_feats,
+      |    coalesce(list_sum(list_transform(fh,
+      |      h -> ((h % 4096) * 7) % 41 - 20)), 0)::DOUBLE AS w_sum
+      |  FROM feats)
+      |SELECT doc_id, n_feats, w_sum,
+      |  CASE WHEN n_feats > 0 THEN
+      |    round(1.0 / (1.0 + exp(-(0.125 + w_sum / n_feats))), 6)::DECIMAL(9,6)
+      |  END AS score
+      |FROM agg""".stripMargin))
+
   /** Unicode canonicalization ([[graft.functions.TextNormalize]] — native
     * codegen expression; Spark has no built-in): decompose each 'a' into
     * 'a' + U+0301 (combining acute), then (1) NFC re-composes to 'á' and
@@ -3355,7 +3388,7 @@ object Queries {
     qOverlapJoinBinned, qRankFunctions, tsGapFill, qGapIslands, tsRolling7d, qDebounce,
     textStats, textLangId, textFingerprint, textTfidf, textBm25, textBm25Indexed,
     textRepetition,
-    textPiiRedact, textQualityFilter, textChunk, textLmScore, textNormalize,
+    textPiiRedact, textQualityFilter, textChunk, textLmScore, textClassifierScore, textNormalize,
     sampleHash, sampleSplit, sampleLeakageSafeSplit, sampleTokenBudget, sampleTopFracBinned,
     sampleStratified, sampleGlobalSeq, sampleMixture, sampleWeighted, sampleUpsampled,
     sampleTemperature,

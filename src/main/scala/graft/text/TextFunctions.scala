@@ -395,6 +395,46 @@ object TextFunctions {
     * by multiplication only — no engine-specific decimal-division or
     * double-rounding semantics anywhere in the hashed surface.
     */
+  /** Model-based quality scoring via a hashing-trick linear classifier —
+    * the FineWeb-Edu / DCLM pattern: an offline-trained text classifier
+    * reduces to a weight vector over hashed n-gram features, and scoring
+    * a 100 TB corpus is then MAP-ONLY. Per document: tokenize, hash
+    * unigram + bigram features (one md5 per feature — the shared
+    * [[graft.functions.TokenHashes32]] codegen kernel), fold the
+    * bucketed weights (`bucket = hash mod weights.length`), sigmoid. The
+    * weight vector rides the plan as an array literal; no shuffle, no
+    * join, no UDF.
+    *
+    * Output: `(id, n_feats, w_sum, score)` — `w_sum` is the raw weight
+    * sum (engine-exact when the weights are integer-valued, which is how
+    * the oracle configures it; real trained float weights sum in array
+    * order), `score = sigmoid(bias + w_sum/n_feats)` rounded to 6 dp.
+    * Documents with no tokens have no features: `n_feats = 0`,
+    * `score` NULL.
+    */
+  def hashedClassifierScore(docs: org.apache.spark.sql.DataFrame,
+                            idCol: String, textCol: String,
+                            weights: Array[Double],
+                            bias: Double = 0.0): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.Shingles
+    val d = weights.length
+    require(d > 0, "empty weight vector")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__tk"),
+        Shingles.rawWordShingles(col(textCol), 2).as("__bg"))
+      .select(col(idCol),
+        concat(tokenHashes(col("__tk")), tokenHashes(col("__bg"))).as("__fh"))
+      .select(col(idCol),
+        size(col("__fh")).cast("long").as("n_feats"),
+        aggregate(col("__fh"), lit(0.0), (acc, h) =>
+          acc + element_at(lit(weights), pmod(h, lit(d.toLong)).cast("int") + 1))
+          .as("w_sum"))
+      .withColumn("score", when(col("n_feats") > 0,
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(lit(bias) + col("w_sum") / col("n_feats")))), 6)
+          .cast("decimal(9,6)")))
+  }
+
   def trigramLmScore(model: org.apache.spark.sql.DataFrame,
                      scored: org.apache.spark.sql.DataFrame,
                      idCol: String, textCol: String,
