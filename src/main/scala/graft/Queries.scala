@@ -1839,6 +1839,44 @@ object Queries {
       |    * CAST(0.000001 AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS avg_logp
       |FROM micro""".stripMargin))
 
+  /** C4/RefinedWeb line-level boilerplate removal ([[graft.dedup
+    * .LineDedup]]): documents are augmented with per-source menu/footer
+    * lines (each source spans many docs, so those lines cross the
+    * document-frequency threshold), then every line appearing in ≥3
+    * distinct docs is dropped from ALL of them — no canonical survivor,
+    * unlike span dedup. Empty lines are structural and survive. The
+    * oracle replays the explode → distinct-doc frequency → threshold →
+    * re-assembly pipeline line-for-line.
+    */
+  val dedupLines = Q("dedup_lines",
+    (s, dir) => {
+      val ml = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("Menu Home About "), col("source")),
+          col("text"),
+          lit(""),
+          concat(lit("(c) 2024 "), col("source"))).as("ml"))
+      graft.dedup.LineDedup.removeBoilerplateLines(ml, "doc_id", "ml", minDocs = 3)
+    },
+    Some("""WITH ml AS (SELECT doc_id,
+      |    concat_ws(chr(10), 'Menu Home About ' || source, text, '',
+      |      '(c) 2024 ' || source) AS ml FROM documents),
+      |lines AS (SELECT doc_id,
+      |    unnest([struct_pack(pos := i-1, line := l[i])
+      |            for i in range(1, len(l)+1)], recursive := true)
+      |  FROM (SELECT doc_id, string_split(ml, chr(10)) AS l FROM ml)),
+      |keyed AS (SELECT doc_id, pos, line, trim(line) AS key FROM lines),
+      |boiler AS (SELECT key FROM keyed WHERE len(key) > 0
+      |  GROUP BY key HAVING count(DISTINCT doc_id) >= 3),
+      |flagged AS (SELECT k.doc_id, k.pos, k.line, b.key IS NULL AS keep
+      |  FROM keyed k LEFT JOIN boiler b ON k.key = b.key)
+      |SELECT doc_id, count(*)::BIGINT AS n_lines,
+      |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      |  coalesce(array_to_string(list_transform(
+      |    list_sort(list(struct_pack(pos := pos, line := line)) FILTER (WHERE keep)),
+      |    x -> x.line), chr(10)), '') AS clean_text
+      |FROM flagged GROUP BY doc_id""".stripMargin))
+
   /** Hashing-trick linear classifier scoring (FineWeb-Edu / DCLM model-
     * based filtering) under the oracle: weights are the closed-form
     * integer-valued vector w[j] = (j·7 mod 41) − 20 over 4096 buckets,
@@ -3399,7 +3437,7 @@ object Queries {
     dedupMinhash, dedupMinhashPairs,
     dedupMinhashIncremental,
     dedupClusters, dedupClustersStar, dedupClusterSizes, dedupApply,
-    dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans, dedupSemantic,
+    dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans, dedupLines, dedupSemantic,
     knnBrute, knnLsh, knnIvf, knnJoinGraph, embeddingQuantize, embeddingPqCode,
     qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures, multimodalPixelStats,
