@@ -1839,6 +1839,53 @@ object Queries {
       |    * CAST(0.000001 AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS avg_logp
       |FROM micro""".stripMargin))
 
+  /** Shared HTML page template for [[textHtmlExtract]] — the Spark and
+    * DuckDB sides wrap each document's text in the same markup (scripts,
+    * styles, comments, entities incl. a double-encoded one, block
+    * structure), so the oracle checks the full extraction chain
+    * character-for-character.
+    */
+  private val HtmlPagePrefix = "<html><head><title>Ignore Me</title>" +
+    "<style>p { color: #333; }</style></head><body>" +
+    "<script type=\"text/javascript\">if (1<2) { go(\"x&y\"); }</script>" +
+    "<div id=\"nav\">Home &amp;&nbsp;More&nbsp;&amp;lt;escaped&amp;gt;</div><h1>Doc </h1><p>"
+  private val HtmlPageSuffix = "</p><!-- hidden comment --><ul><li>One</li>" +
+    "<li>Two</li></ul><p>&quot;q&quot; &lt;b&gt; &#39;s&#39;</p><br>" +
+    "<table><tr><td>cell</td></tr></table></body></html>"
+
+  private def htmlExtractOracleExpr(input: String): String = {
+    def esc(s: String) = s.replace("'", "''")
+    TextFunctions.HtmlExtractSteps.foldLeft(input) { case (acc, (p, r)) =>
+      val rep = r match {
+        case "\n"   => "chr(10)"
+        case "\n\n" => "chr(10)||chr(10)"
+        case other  => s"'${esc(other)}'"
+      }
+      s"regexp_replace($acc, '${esc(p)}', $rep, 'g')"
+    }
+  }
+
+  /** HTML → text extraction ([[TextFunctions.htmlToText]]) — the
+    * crawl-to-corpus step: scripts/styles/comments die with their
+    * payloads, block boundaries become newlines, tags strip, entities
+    * decode (&amp; last — double-encoding survives encoded), whitespace
+    * normalizes. One RE2-portable regexp chain, map-only; DuckDB replays
+    * the very same step list via [[TextFunctions.HtmlExtractSteps]].
+    */
+  val textHtmlExtract = Q("text_html_extract",
+    (s, dir) => {
+      val page = concat(lit(HtmlPagePrefix), col("text"), lit(HtmlPageSuffix))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.htmlToText(page).as("body_text"))
+        .withColumn("n_chars_out", length(col("body_text")).cast("long"))
+    },
+    Some(s"""SELECT doc_id,
+      |  ${htmlExtractOracleExpr(
+             s"'${HtmlPagePrefix.replace("'", "''")}' || text || '${HtmlPageSuffix.replace("'", "''")}'")} AS body_text,
+      |  length(${htmlExtractOracleExpr(
+             s"'${HtmlPagePrefix.replace("'", "''")}' || text || '${HtmlPageSuffix.replace("'", "''")}'")})::BIGINT AS n_chars_out
+      |FROM documents""".stripMargin))
+
   /** C4/RefinedWeb line-level boilerplate removal ([[graft.dedup
     * .LineDedup]]): documents are augmented with per-source menu/footer
     * lines (each source spans many docs, so those lines cross the
@@ -3426,7 +3473,7 @@ object Queries {
     qOverlapJoinBinned, qRankFunctions, tsGapFill, qGapIslands, tsRolling7d, qDebounce,
     textStats, textLangId, textFingerprint, textTfidf, textBm25, textBm25Indexed,
     textRepetition,
-    textPiiRedact, textQualityFilter, textChunk, textLmScore, textClassifierScore, textNormalize,
+    textPiiRedact, textQualityFilter, textChunk, textLmScore, textClassifierScore, textHtmlExtract, textNormalize,
     sampleHash, sampleSplit, sampleLeakageSafeSplit, sampleTokenBudget, sampleTopFracBinned,
     sampleStratified, sampleGlobalSeq, sampleMixture, sampleWeighted, sampleUpsampled,
     sampleTemperature,

@@ -347,6 +347,51 @@ object TextFunctions {
     regexp_replace(noIp, PhonePattern, "<PHONE>")
   }
 
+  /** HTML → text extraction — the crawl-to-corpus step (trafilatura-lite):
+    * drop non-content subtrees (`script`/`style`/`head`/`noscript` with
+    * their payloads, plus comments), turn the block-level boundaries the
+    * layout implies (`</p>`, `</div>`, headings, `<br>`, list items, table
+    * rows) into newlines, strip every remaining tag, decode the common
+    * entities, and normalize whitespace (spaces collapse within lines,
+    * ≥2 newlines collapse to a paragraph break, lines trim). Map-only —
+    * one regexp_replace chain in the scan stage at any corpus size — and
+    * every pattern is class-based (no lookaround/backreferences), so the
+    * chain parses identically under Java regex and RE2: the operator
+    * stays oracle-checkable, like the PII patterns above. A production
+    * pipeline swaps a DOM parser in at the same seam; the plumbing is
+    * what must survive 100 TB.
+    */
+  /** The extraction chain as (pattern, replacement) steps, applied in
+    * order — public so the DuckDB oracle replays the IDENTICAL chain.
+    * `&amp;` decodes LAST among entities: decoding it earlier would turn
+    * double-encoded `&amp;lt;` into a spurious `<`.
+    */
+  val HtmlExtractSteps: Seq[(String, String)] = Seq(
+    "(?is)<script\\b[^>]*>.*?</script\\s*>" -> " ",
+    "(?is)<style\\b[^>]*>.*?</style\\s*>" -> " ",
+    "(?is)<head\\b[^>]*>.*?</head\\s*>" -> " ",
+    "(?is)<noscript\\b[^>]*>.*?</noscript\\s*>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "(?i)<(/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table|/blockquote|br\\s*/?|/br)\\s*>" -> "\n",
+    "(?s)<[^>]*>" -> " ",
+    "&nbsp;" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&apos;" -> "'",
+    "&amp;" -> "&",
+    // within-line space runs → one space; trim around line breaks; ≥2
+    // breaks → one paragraph break; outer trim (regex, not trim():
+    // trailing NEWLINES must go too, identically in both engines)
+    "[ \\t\\x0B\\f\\r]+" -> " ",
+    " ?\\n ?" -> "\n",
+    "\\n{2,}" -> "\n\n",
+    "^\\s+|\\s+$" -> "")
+
+  def htmlToText(html: Column): Column =
+    HtmlExtractSteps.foldLeft(html) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
   /** Document fingerprint: md5 of the normalized text (cross-engine stable). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
