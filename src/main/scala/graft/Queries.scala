@@ -602,6 +602,59 @@ object Queries {
       |  o_orderpriority
       |FROM orders""".stripMargin))
 
+  /** Filter-scoped overwrite ([[graft.tables.ManagedTable
+    * .overwriteWhere]], the Delta replaceWhere / Iceberg
+    * overwrite-by-filter backfill): the 'F & cheap' region is atomically
+    * replaced with its own rows re-priced — ONE O(matched+batch) MoR
+    * commit, tombstones and replacements in the same group. Oracle =
+    * untouched rows ∪ transformed region.
+    */
+  val dmlOverwriteWhere = Q("dml_overwrite_where",
+    (s, dir) => {
+      val tbl = ordersTable(s, dir, "orders_ow")
+      val region = col("o_orderstatus") === "F" && col("o_totalprice") < 100000.0
+      val backfill = t(s, dir, "orders").select(dmlCols.map(col): _*)
+        .where(region)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderpriority", lit("BACKFILLED"))
+      tbl.overwriteWhere(
+        col("o_orderstatus") === "F" && col("o_totalprice") < 200000.0, backfill)
+      tbl.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE NOT coalesce(o_orderstatus = 'F' AND o_totalprice < 200000.0, false)
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  o_totalprice + 1000.0 AS o_totalprice, 'BACKFILLED' AS o_orderpriority
+      |FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0""".stripMargin))
+
+  /** Dynamic partition overwrite ([[graft.tables.ManagedTable
+    * .overwritePartitions]]): a priority-partitioned orders table gets
+    * one partition's recomputation — only that partition's groups are
+    * replaced, nothing else is read or rewritten (the manifest diff IS
+    * the commit). Oracle = other partitions ∪ the new batch.
+    */
+  val tableOverwritePartitions = Q("table_overwrite_partitions",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_dpo",
+        base.schema, Seq.empty, partitionBy = Seq("o_orderpriority"))
+      tbl.append(base)
+      val batch = base.where(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+      tbl.overwritePartitions(batch)
+      tbl.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderpriority <> '1-URGENT'
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  o_totalprice * 0.5 AS o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin))
+
   /** SQL MERGE through [[graft.tables.ManagedTable.mergeInto]]: source =
     * every 7th order twice — once under its own key (matched: delete if
     * 'F', else price+1) and once shifted out of the key range (unmatched:
@@ -3489,7 +3542,7 @@ object Queries {
     qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures, multimodalPixelStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlUpdate, dmlMerge, tableAddFiles, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlUpdate, dmlMerge, dmlOverwriteWhere, tableOverwritePartitions, tableAddFiles, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

@@ -81,7 +81,16 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
                 s"positional INSERT needs ${t.meta.schema.fields.length} columns, query produces ${df0.columns.length}")
               df0.toDF(t.meta.schema.fieldNames.toIndexedSeq: _*)
             }
-          if (over) t.overwrite(df) else t.append(df)
+          if (over) {
+            // honor Spark's dynamic partition-overwrite mode: replace
+            // only the batch's partitions on partitioned tables
+            val dynamic = session.conf
+              .get("spark.sql.sources.partitionOverwriteMode", "static")
+              .equalsIgnoreCase("dynamic")
+            if (dynamic && t.meta.partitionBy.exists(_.trim.nonEmpty))
+              t.overwritePartitions(df)
+            else t.overwrite(df)
+          } else t.append(df)
         }): LogicalPlan
       }.getOrElse(i)
     case m: MergeIntoTable if (m.targetTable match {

@@ -2410,6 +2410,66 @@ final class ManagedTable private (
     commitManifestWithProps(entries, barrierProp)
   }
 
+  /** Filter-scoped overwrite (Iceberg overwrite-by-filter / Delta
+    * `replaceWhere`): atomically replace exactly the rows matching
+    * `cond` with `batch` — the backfill primitive ("recompute March").
+    * Keyed tables commit ONE merge-on-read group holding tombstones for
+    * every matched row plus the new rows — O(matched + batch), nothing
+    * rewritten; same-seq tombstone/insert siblings resolve exactly like
+    * [[updateWhere]]'s identity changes. Keyless tables have no row
+    * identity to tombstone, so they fall back to copy-on-write of
+    * survivors ∪ batch (partitioned keyless backfills should use
+    * [[overwritePartitions]], which is rewrite-free).
+    *
+    * The replaceWhere contract: every batch row must satisfy `cond` —
+    * a row landing outside the replaced region would silently survive
+    * the NEXT backfill of that region's complement. Violations throw
+    * before anything commits.
+    */
+  def overwriteWhere(cond: org.apache.spark.sql.Column, batch: DataFrame): Unit = {
+    val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
+    val outside = conformed.filter(!coalesce(cond, lit(false))).limit(1).count()
+    require(outside == 0L,
+      "overwriteWhere: batch rows must satisfy the replace condition " +
+        "(a row outside the region would evade the next backfill)")
+    if (_meta.identifierFields.isEmpty) {
+      overwrite(read().filter(!coalesce(cond, lit(false))).unionByName(conformed))
+      return
+    }
+    val tombstones = read().filter(coalesce(cond, lit(false)))
+      .withColumn(TombstoneCol, lit(true))
+    commitUpsertBatch(
+      conformed.withColumn(TombstoneCol, lit(false)).unionByName(tombstones))
+  }
+
+  /** Dynamic partition overwrite (Iceberg `replacePartitions`, Spark's
+    * `partitionOverwriteMode=dynamic`): atomically replace exactly the
+    * partitions PRESENT in the batch — untouched partitions' groups are
+    * never read, rewritten, or listed; one write of the batch plus one
+    * manifest commit, the zero-rewrite backfill for partitioned tables.
+    *
+    * Single-spec-epoch tables only: after a partition evolution, old-
+    * epoch groups carry a different tuple formula, so "the partitions in
+    * the batch" cannot name the old-epoch groups covering the same rows
+    * — run [[compact]] (which normalizes every group to the current
+    * spec) first. Within one epoch, MoR delete scopes are partition-
+    * local, so dropping a tuple's groups wholesale is delete-sound.
+    */
+  def overwritePartitions(batch: DataFrame): Unit = {
+    require(isPartitioned, "overwritePartitions needs a partitioned table")
+    val entries = currentEntries
+    require(entries.forall(e => entryEpoch(e.seq) == currentEpoch),
+      "overwritePartitions needs a single-spec-epoch table " +
+        "(run compact() after a partition evolution first)")
+    val seq = _meta.currentVersion + 1
+    val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
+    val newEntries = splitWriteGroups(withPartitionCols(conformed),
+      Manifest.Data, _ => seq, seq)
+    if (newEntries.isEmpty) return // empty batch: no partitions to replace
+    val replaced = newEntries.map(_.partition).toSet
+    commitManifest(entries.filterNot(e => replaced.contains(e.partition)) ++ newEntries)
+  }
+
   /** D6 — union-by-name evolution; commits metadata only on change.
     * Guarded like every data commit: a stale handle (another writer
     * committed since this one loaded) is rejected instead of silently

@@ -74,6 +74,19 @@ class GraftSqlDmlSpec extends AnyFunSuite with SharedSpark {
       }
       assert(e2.getMessage.contains("INSERT *"))
 
+      // INSERT OVERWRITE honors Spark's partition-overwrite mode
+      val pdf = Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "name", "g")
+      val pt = ManagedTable.create(s2, wh, "pt", pdf.schema, Seq.empty, Seq("g"))
+      pt.append(pdf)
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s2.sql("INSERT OVERWRITE graft.pt VALUES (9, 'z', 2)")
+      def curPt = ManagedTable.load(s2, wh, "pt").get.read()
+      assert(curPt.where(col("g") === 1).count() == 1, "untouched partition lost")
+      assert(curPt.where(col("g") === 2).select("name").head().getString(0) == "z")
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      s2.sql("INSERT OVERWRITE graft.pt VALUES (5, 'w', 3)")
+      assert(curPt.count() == 1, "static mode must replace the whole table")
+
       // metadata suffixes are read-only — precise refusal, nothing mutated
       val e3 = intercept[Exception] {
         s2.sql("DELETE FROM graft.`people$files` WHERE 1=1")

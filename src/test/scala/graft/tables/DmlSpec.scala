@@ -177,4 +177,50 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
     val re = ManagedTable.load(spark, w, "p1").get
     assert(canon(re.read()) == canon(t.read()))
   }
+
+  test("overwriteWhere atomically replaces the region; contract violations throw first") {
+    val w = wh
+    val t = seed(w, "ow1")
+    val v0 = t.meta.currentVersion
+    val batch = (1 to 5).map(i => (i, "re", 0, 999L)).toDF("id", "name", "grp", "v")
+    // a batch row outside the region refuses BEFORE anything commits
+    intercept[IllegalArgumentException] {
+      t.overwriteWhere(col("id") > 50, batch)
+    }
+    assert(t.meta.currentVersion == v0, "failed overwriteWhere must not commit")
+    t.overwriteWhere(col("id") <= 10, batch)
+    // ids 1..10 gone, replaced by the 5 backfill rows; 11..100 untouched
+    assert(t.read().count() == 95)
+    assert(t.read().filter(col("id") <= 10).count() == 5)
+    assert(t.read().filter(col("id") <= 10).select("v").distinct().head().getLong(0) == 999L)
+    assert(t.read().filter(col("id") === 50).head().getString(1) == "n50")
+    // MoR: the old snapshot is intact
+    assert(t.readVersion(v0).count() == 100)
+  }
+
+  test("overwritePartitions replaces only the batch's partitions, zero rewrite") {
+    val w = wh
+    val t = seed(w, "dpo1", partitionBy = Seq("grp"), ids = Seq.empty)
+    val before = t.filesMetadata().select("path").as[String].collect().toSet
+    // recompute partitions grp=3 and grp=7
+    val batch = Seq((1001, "x", 3, 1L), (1002, "y", 7, 2L))
+      .toDF("id", "name", "grp", "v")
+    t.overwritePartitions(batch)
+    val after = t.filesMetadata().select("path", "partition").collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1).get("grp").orNull)
+    // untouched partitions keep their EXACT old groups (no rewrite)
+    val untouched = after.filter { case (_, g) => g != "3" && g != "7" }.map(_._1).toSet
+    assert(untouched.subsetOf(before) && untouched.nonEmpty)
+    // replaced partitions hold exactly the batch rows
+    assert(t.read().filter(col("grp") === 3).count() == 1)
+    assert(t.read().filter(col("grp") === 7).select("name").head().getString(0) == "y")
+    assert(t.read().count() == 80 + 2)
+    // empty batch is a no-op (no burned version)
+    val v = t.meta.currentVersion
+    t.overwritePartitions(batch.limit(0))
+    assert(t.meta.currentVersion == v)
+    // multi-epoch tables refuse until compacted
+    t.updatePartitionSpec(Seq("bucket(2,id)"))
+    intercept[IllegalArgumentException] { t.overwritePartitions(batch) }
+  }
 }
