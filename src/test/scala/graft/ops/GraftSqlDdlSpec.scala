@@ -70,6 +70,21 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       }
       assert(e2.getMessage.contains("not a declared column"))
 
+      // count(*) answered from the manifest when exact (no scan planned)
+      s2.sql("INSERT INTO graft.logs VALUES (2, TIMESTAMP '2024-01-03 00:00:00', 'bye', 'x')")
+      val fast = s2.sql("SELECT count(*) FROM graft.logs")
+      assert(fast.head().getLong(0) == 2)
+      assert(fast.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        fast.queryExecution.optimizedPlan.toString)
+      // MoR state (hidden rows possible) falls back to the real plan
+      ManagedTable.load(s2, wh, "logs").get
+        .deleteWhere(org.apache.spark.sql.functions.col("id") === 2L)
+      val slow = s2.sql("SELECT count(*) FROM graft.logs")
+      assert(slow.head().getLong(0) == 1)
+      assert(!slow.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+
       // CTAS + SQL time travel
       s2.sql("""CREATE TABLE graft.top_logs
         |TBLPROPERTIES ('graft.identifier-fields'='id')
