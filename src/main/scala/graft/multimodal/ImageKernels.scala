@@ -76,8 +76,11 @@ object ImageKernels {
   private def decode(bytes: Array[Byte]): BufferedImage =
     if (bytes == null || bytes.isEmpty) null
     else
+      // the JDK decoders throw RUNTIME exceptions on malformed headers
+      // (AIOOBE/NegativeArraySize/IAE), not just IOException — fail-soft
+      // must cover them all or one corrupt blob kills the scan stage
       try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case _: Exception => null }
 
   def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

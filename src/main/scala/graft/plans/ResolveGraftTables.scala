@@ -213,16 +213,25 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     // across the two sides; together they cover the id set exactly
     val ids = t.meta.identifierFields
     require(ids.nonEmpty, s"MERGE INTO graft.$name: table has no identifier fields")
-    def sideName(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute => Some(a.nameParts.last)
+    def sideName(e: Expression): Option[(Option[String], String)] = e match {
+      case a: UnresolvedAttribute =>
+        val qual = if (a.nameParts.length > 1)
+          Some(a.nameParts.head.toLowerCase) else None
+        Some((qual, a.nameParts.last))
       case _ => None
     }
-    val equated = splitConjuncts(m.mergeCondition).map {
-      case EqualTo(l, r) =>
+    val equated = splitConjuncts(remap(m.mergeCondition)).map {
+      case eq @ EqualTo(l, r) =>
         (sideName(l), sideName(r)) match {
-          case (Some(a), Some(b)) if a.equalsIgnoreCase(b) => a.toLowerCase
+          case (Some((ql, a)), Some((qr, b))) if a.equalsIgnoreCase(b) =>
+            // both sides carrying the SAME qualifier (t.id = t.id /
+            // s.id = s.id) is a cross-side equality in name only — it
+            // would silently execute as the identifier join
+            require(ql.isEmpty || qr.isEmpty || ql != qr,
+              s"MERGE INTO graft.$name: ON conjunct ${eq.sql} references one side twice")
+            a.toLowerCase
           case _ => throw new IllegalArgumentException(
-            s"MERGE INTO graft.$name: ON must equate same-named identifier columns, got ${EqualTo(l, r).sql}")
+            s"MERGE INTO graft.$name: ON must equate same-named identifier columns, got ${eq.sql}")
         }
       case other => throw new IllegalArgumentException(
         s"MERGE INTO graft.$name: ON must be a conjunction of equalities, got ${other.sql}")
@@ -241,7 +250,7 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         updateSeen = true
         val cond = remap(c.getOrElse(Literal.TrueLiteral))
         updateWhen = Some(if (deleteSeen)
-          And(cond, Not(deleteWhen.getOrElse(Literal.FalseLiteral))) else cond)
+          And(cond, notTrue(deleteWhen.getOrElse(Literal.FalseLiteral))) else cond)
         updateSet =
           if (fromStar) Map.empty
           else assigns.map(a => assignName(a.key) -> remap(a.value)).toMap
@@ -250,7 +259,7 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         updateSeen = true
         val cond = remap(c.getOrElse(Literal.TrueLiteral))
         updateWhen = Some(if (deleteSeen)
-          And(cond, Not(deleteWhen.getOrElse(Literal.FalseLiteral))) else cond)
+          And(cond, notTrue(deleteWhen.getOrElse(Literal.FalseLiteral))) else cond)
       case DeleteAction(c) =>
         require(!deleteSeen, s"MERGE INTO graft.$name: at most one WHEN MATCHED DELETE")
         deleteSeen = true
@@ -258,7 +267,7 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         // mergeInto checks DELETE before UPDATE; if SQL wrote UPDATE
         // first, a row matching both must update — mask the delete
         deleteWhen = Some(if (updateSeen)
-          And(cond, Not(updateWhen.getOrElse(Literal.FalseLiteral))) else cond)
+          And(cond, notTrue(updateWhen.getOrElse(Literal.FalseLiteral))) else cond)
       case other => throw new IllegalArgumentException(
         s"MERGE INTO graft.$name: unsupported WHEN MATCHED action $other")
     }
@@ -284,6 +293,16 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         insertWhen = insWhen.map(GraftBridge.column))
     })
   }
+
+  /** NOT(cond is true) — the clause-order mask. A bare `Not(cond)` is
+    * NULL when `cond` is NULL and mergeInto coalesces NULL clause
+    * conditions to false, which would skip the later clause for rows
+    * where the earlier clause's condition was merely UNKNOWN — breaking
+    * SQL's first-match-wins fall-through.
+    */
+  private def notTrue(cond: Expression): Expression =
+    Not(org.apache.spark.sql.catalyst.expressions.Coalesce(
+      Seq(cond, Literal.FalseLiteral)))
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)

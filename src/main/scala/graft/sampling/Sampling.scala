@@ -269,10 +269,15 @@ object Sampling {
                             bins: Int = 8192): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac out of range: $frac")
     require(bins >= 2, s"bins must be >= 2: $bins")
-    val mm = df.agg(min(col(scoreCol)).cast("double").as("__mn"),
+    // drop null scores up front (the exact variant's `score >= thr` drops
+    // them implicitly) — left in, `least` would skip the NULL bin expr
+    // and park them in the TOP bin: retained forever AND inflating the
+    // top bin's mass against the threshold
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val mm = scored.agg(min(col(scoreCol)).cast("double").as("__mn"),
       max(col(scoreCol)).cast("double").as("__mx"))
     // constant scores (or a single row) degenerate to bin 0 = keep all
-    val binned = df.crossJoin(broadcast(mm))
+    val binned = scored.crossJoin(broadcast(mm))
       .withColumn("__bin",
         when(col("__mx") === col("__mn"), lit(0))
           .otherwise(least(lit(bins - 1),

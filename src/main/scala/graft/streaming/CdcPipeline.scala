@@ -272,11 +272,18 @@ object CdcPipeline {
       if (!corrupt.isEmpty) {
         // The DLQ is one table shared by every destination: serialize its
         // commits (destinations may run in parallel, and ManagedTable's
-        // commit protocol is single-writer per table).
+        // commit protocol is single-writer per table). Same exactly-once
+        // replay marker as the expectations quarantine below — scoped per
+        // PRODUCER as well as per destination, since both producers may
+        // legitimately append for one (batch, destination).
         dlqLock.synchronized {
           val dlq = ManagedTable.loadOrCreate(spark, cfg.warehouse, cfg.deadLetterTable,
             corrupt.schema, Seq.empty, Seq.empty)
-          dlq.append(corrupt)
+          val markerKey = s"$CdcBatchIdProp.nullkey.$tableName"
+          val last = dlq.meta.properties.get(markerKey).map(_.toLong).getOrElse(-1L)
+          if (batchId < 0) dlq.append(corrupt)
+          else if (batchId > last)
+            dlq.append(corrupt, Map(markerKey -> batchId.toString))
         }
       }
     }
@@ -294,7 +301,10 @@ object CdcPipeline {
         if (!bad.isEmpty) {
           val q = bad.select(
             lit(tableName).as("event_destination"),
-            lit(null: String).as("event_key"),
+            // typed null — a bare lit(null) is VOID and would freeze the
+            // shared DLQ's schema so the null-key producer (string keys)
+            // could never append
+            lit(null).cast("string").as("event_key"),
             to_json(struct(typed.columns.map(col).toIndexedSeq: _*)).as("event_value"),
             concat_ws(",", col("__violations")).as("error"),
             current_timestamp().as("quarantined_at"))
@@ -305,9 +315,11 @@ object CdcPipeline {
             // the micro-batch id rides the DLQ commit's pointer flip, so a
             // replayed batch (commit landed, checkpoint didn't) skips its
             // already-quarantined rows. The DLQ is shared across
-            // destinations, so the marker is scoped per source table —
-            // batch N legitimately appends once per violating destination.
-            val markerKey = s"$CdcBatchIdProp.$tableName"
+            // destinations AND producers (null-key quarantine above), so
+            // the marker is scoped per (producer, source table) — batch N
+            // legitimately appends once per violating destination per
+            // producer.
+            val markerKey = s"$CdcBatchIdProp.expect.$tableName"
             val last = dlq.meta.properties.get(markerKey).map(_.toLong).getOrElse(-1L)
             if (batchId < 0) dlq.append(q)
             else if (batchId > last)

@@ -62,6 +62,24 @@ class GraftSqlDmlSpec extends AnyFunSuite with SharedSpark {
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
       assert(got == Set((1L, "alice2", 11.0), (3L, "carol", 30.0), (9L, "zoe", 90.0)))
 
+      // first-match-wins holds when an earlier clause's condition is
+      // UNKNOWN: a NULL s.v must fall through DELETE into UPDATE
+      Seq((1L, "nullv", null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "name", "v").createOrReplaceTempView("nullchg")
+      s2.sql("""MERGE INTO graft.people AS t USING nullchg AS s ON t.id = s.id
+        |WHEN MATCHED AND s.v < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.name = s.name""".stripMargin)
+      assert(cur.where(col("id") === 1).select("name").head().getString(0) == "nullv",
+        "NULL delete-condition must fall through to UPDATE, not mask it")
+
+      // a one-sided ON equality (t.id = t.id) is refused, not silently
+      // executed as the identifier join
+      val e0 = intercept[Exception] {
+        s2.sql("""MERGE INTO graft.people AS t USING changes AS s ON t.id = t.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      assert(e0.getMessage.contains("references one side twice"), e0.getMessage)
+
       // unsupported MERGE shapes fail at analysis with clear messages
       val e1 = intercept[Exception] {
         s2.sql("""MERGE INTO graft.people AS t USING changes AS s ON t.v = s.v

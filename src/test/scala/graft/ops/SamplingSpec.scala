@@ -151,6 +151,14 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     // constant scores keep everything (degenerate width)
     val const = (1 to 100).map(i => (i.toLong, 7.5)).toDF("id", "score")
     assert(Sampling.keepTopFractionBinned(const, "score", 0.5).count() == 100)
+    // null scores are dropped (the exact variant's contract) — not parked
+    // in the top bin by least()'s null-skipping
+    val withNulls = ((1 to 100).map(i => (i.toLong, java.lang.Double.valueOf(i.toDouble))) ++
+      (101 to 140).map(i => (i.toLong, null.asInstanceOf[java.lang.Double])))
+      .toDF("id", "score")
+    val keptN = Sampling.keepTopFractionBinned(withNulls, "score", 0.25, 50)
+    assert(keptN.where(col("score").isNull).count() == 0, "null scores retained")
+    assert(keptN.count() >= 25 && keptN.count() <= 29, s"got ${keptN.count()}")
     // discrete scores: binned agrees with the exact variant when bins
     // outnumber the distinct values and bin edges can't split a value
     val disc = (1 to 1000).map(i => (i.toLong, (i % 4).toDouble)).toDF("id", "score")

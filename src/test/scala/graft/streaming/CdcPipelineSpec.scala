@@ -352,6 +352,19 @@ class CdcPipelineSpec extends AnyFunSuite with SharedSpark {
       .toDF("destination", "key", "value")
     CdcPipeline.processBatch(spark, batch2, cfg, batchId = 8L)
     assert(dlqCount == 2)
+    // the null-key quarantine producer is replay-exactly-once too, with
+    // its own marker scope (both producers may fire for one batch)
+    val cfg2 = cfg.copy(nullKeyPolicy = graft.cdc.CdcApply.NullKeyPolicy.DeadLetter)
+    val nullKeyEv = ("testc.inventory.customers",
+      s"""{"schema":${EventFactory.customerKeySchema},"payload":{"id":null}}""",
+      EventFactory.event(9, "evil", "c", 103L)._3
+        .replace(""""id":9""", """"id":null"""))
+    val batch3 = Seq(nullKeyEv).toDF("destination", "key", "value")
+    CdcPipeline.processBatch(spark, batch3, cfg2, batchId = 9L)
+    val afterFirst = dlqCount
+    assert(afterFirst >= 3, s"null-key + expectation quarantines expected, got $afterFirst")
+    CdcPipeline.processBatch(spark, batch3, cfg2, batchId = 9L)
+    assert(dlqCount == afterFirst, "replayed null-key batch duplicated DLQ rows")
   }
 
   test("W11: per-table operation timeout fails the batch; fast tables still complete") {
