@@ -32,6 +32,8 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
     case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
       timeTravel(tt).getOrElse(tt)
+    case st: org.apache.spark.sql.catalyst.plans.logical.ShowTables =>
+      showTables(st).getOrElse(st)
     // `SELECT count(*) FROM graft.t` answered from the MANIFEST when it
     // can be exact (all-data-kind groups with recorded row counts) —
     // Iceberg's snapshot-summary count: milliseconds instead of a
@@ -128,6 +130,39 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         GraftDmlCommand("ALTER SET TBLPROPERTIES", name,
           () => t.setProperties(props))
       }
+  }
+
+  /** `SHOW TABLES IN graft` — list the warehouse's managed tables
+    * (directories holding a `meta.json`), optionally LIKE-filtered with
+    * the usual `*`/`|` glob. Answered at the parser seam as a local
+    * relation shaped by the statement's own output attributes.
+    */
+  private def showTables(st: org.apache.spark.sql.catalyst.plans.logical.ShowTables)
+      : Option[LogicalPlan] = st.namespace match {
+    case org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace(Seq(g), _)
+        if g.equalsIgnoreCase("graft") =>
+      session.conf.getOption("spark.graft.warehouse").map { wh =>
+        val fs = graft.tables.TableMeta.fs(session.sparkContext.hadoopConfiguration, wh)
+        val base = new org.apache.hadoop.fs.Path(wh)
+        val names =
+          if (!fs.exists(base)) Seq.empty[String]
+          else fs.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+            .filter(n => fs.exists(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh, n), "meta.json")))
+            .sorted
+        val kept = st.pattern match {
+          case Some(p) =>
+            val rx = p.split('|').map(alt =>
+              java.util.regex.Pattern.quote(alt).replace("*", "\\E.*\\Q")).mkString("|")
+            names.filter(_.matches(rx))
+          case None => names
+        }
+        import org.apache.spark.unsafe.types.UTF8String
+        LocalRelation(st.output.map(_.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.AttributeReference]),
+          kept.map(n => org.apache.spark.sql.catalyst.InternalRow(
+            UTF8String.fromString("graft"), UTF8String.fromString(n), false)))
+      }
+    case _ => None
   }
 
   /** The output name for a sole `count(*)`/`count(1)` projection, or

@@ -426,9 +426,10 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     ManagedTable.load(session, wh.get, name).flatMap { t =>
       val df = suffix match {
         case None              => Some(t.read())
-        case Some("files")     => Some(t.filesMetadata())
-        case Some("snapshots") => Some(t.snapshotsMetadata())
-        case Some("refs")      => Some(t.refsMetadata())
+        case Some("files")      => Some(t.filesMetadata())
+        case Some("snapshots")  => Some(t.snapshotsMetadata())
+        case Some("refs")       => Some(t.refsMetadata())
+        case Some("partitions") => Some(t.partitionsMetadata())
         case Some("changes")   => Some(t.readChangesBetween(0L, t.meta.currentVersion))
         case Some(v) if v.length > 1 && v.length <= 18 &&
             v.startsWith("v") && v.drop(1).forall(_.isDigit) =>

@@ -704,6 +704,29 @@ final class ManagedTable private (
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** The `partitions` metadata table (Iceberg's `SELECT * FROM
+    * t.partitions`): one row per live partition tuple with group count,
+    * commit-seq range, and the exact row count when the manifest can
+    * answer it (all groups plain data with recorded counts — upsert
+    * groups may hide rows, so those tuples report null). Manifest-only.
+    */
+  def partitionsMetadata(): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("partition", MapType(StringType, StringType), nullable = false),
+      StructField("n_groups", IntegerType, nullable = false),
+      StructField("n_rows", LongType, nullable = true),
+      StructField("min_seq", LongType, nullable = false),
+      StructField("max_seq", LongType, nullable = false)))
+    val rows = currentEntries.filterNot(_.kind == Manifest.PosDel)
+      .groupBy(_.partition).toSeq.map { case (tuple, es) =>
+        val exact = es.forall(e => e.kind == Manifest.Data && e.rows >= 0L)
+        Row(tuple, es.size,
+          if (exact) java.lang.Long.valueOf(es.map(_.rows).sum) else null,
+          es.map(_.seq).min, es.map(_.seq).max)
+      }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** The `snapshots` metadata table: retained versions with commit
     * wall-clocks and the current marker — [[versions]] as a DataFrame.
     */

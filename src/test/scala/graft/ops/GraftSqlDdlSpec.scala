@@ -96,6 +96,16 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       assert(s2.sql(s"SELECT * FROM graft.top_logs VERSION AS OF $v1").count() == 1)
       assert(s2.sql("SELECT * FROM graft.top_logs TIMESTAMP AS OF '2999-01-01'").count() == 2)
 
+      // SHOW TABLES + $partitions metadata
+      val shown = s2.sql("SHOW TABLES IN graft").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(shown == Set(("graft", "logs"), ("graft", "top_logs")), shown)
+      assert(s2.sql("SHOW TABLES IN graft LIKE 'top*'").count() == 1)
+      val parts = s2.sql("SELECT * FROM graft.`logs$partitions`")
+      assert(parts.columns.toSeq ==
+        Seq("partition", "n_groups", "n_rows", "min_seq", "max_seq"))
+      assert(parts.count() >= 1)
+
       // DROP TABLE
       s2.sql("DROP TABLE graft.top_logs")
       s2.sql("DROP TABLE graft.logs")
