@@ -34,24 +34,21 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       timeTravel(tt).getOrElse(tt)
     case st: org.apache.spark.sql.catalyst.plans.logical.ShowTables =>
       showTables(st).getOrElse(st)
-    // `SELECT count(*) FROM graft.t` answered from the MANIFEST when it
-    // can be exact (all-data-kind groups with recorded row counts) —
-    // Iceberg's snapshot-summary count: milliseconds instead of a
-    // 100 TB scan. MoR tables (hidden rows) fall through to the real plan.
+    case d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation =>
+      describeTable(d).getOrElse(d)
+    // `SELECT count(*)/min(c)/max(c) FROM graft.t` answered from the
+    // MANIFEST when exact (all-data-kind groups with recorded row counts
+    // / column bounds) — Iceberg's snapshot-summary / manifest-bounds
+    // answers: milliseconds instead of a 100 TB scan. MoR tables (hidden
+    // rows) and bound-less columns fall through to the real plan.
     case p @ Project(Seq(proj), u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation)
         if u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
-          !u.multipartIdentifier(1).contains('$') && countStarName(proj).isDefined =>
+          !u.multipartIdentifier(1).contains('$') && manifestAggOf(proj).isDefined =>
       session.conf.getOption("spark.graft.warehouse")
         .flatMap(wh => ManagedTable.load(session, wh, u.multipartIdentifier(1)))
-        .flatMap(_.fastRowCount)
-        .map[LogicalPlan] { n =>
-          LocalRelation(
-            Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
-              countStarName(proj).get, org.apache.spark.sql.types.LongType,
-              nullable = false)()),
-            Seq(org.apache.spark.sql.catalyst.InternalRow(n)))
-        }.getOrElse(p)
+        .flatMap(manifestAnswer(_, manifestAggOf(proj).get))
+        .getOrElse(p)
     case c @ CreateTable(UnresolvedIdentifier(Seq(g, name), _), columns,
         partitioning, spec: UnresolvedTableSpec, ifNotExists)
         if g.equalsIgnoreCase("graft") =>
@@ -165,26 +162,100 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The output name for a sole `count(*)`/`count(1)` projection, or
-    * None when the projection is anything else.
+  /** `DESCRIBE [EXTENDED] graft.t` — columns, partitioning, and (under
+    * EXTENDED) identifier fields + table properties, shaped by the
+    * statement's own output attributes.
     */
-  private def countStarName(proj: org.apache.spark.sql.catalyst.expressions.NamedExpression)
-      : Option[String] = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedStar}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
-    def isCountStar(e: Expression): Boolean = e match {
-      case UnresolvedFunction(Seq(fn), args, false, None, false, Nil, false)
-          if fn.equalsIgnoreCase("count") =>
-        args match {
-          case Seq(Literal(1, _))        => true
-          case Seq(_: UnresolvedStar)    => true
-          case _                         => false
+  private def describeTable(d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation)
+      : Option[LogicalPlan] = d.relation match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+          !u.multipartIdentifier(1).contains('$') =>
+      session.conf.getOption("spark.graft.warehouse")
+        .flatMap(wh => ManagedTable.load(session, wh, u.multipartIdentifier(1)))
+        .map { t =>
+          import org.apache.spark.unsafe.types.UTF8String
+          def row(a: String, b: String, c: String) =
+            org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(a), UTF8String.fromString(b),
+              if (c == null) null else UTF8String.fromString(c))
+          val cols = t.meta.schema.fields.toSeq.map(f =>
+            row(f.name, f.dataType.simpleString, null))
+          val parts =
+            if (t.meta.partitionBy.forall(_.trim.isEmpty)) Seq.empty
+            else row("# Partitioning", "", null) +:
+              t.meta.partitionBy.zipWithIndex.map { case (p, i) =>
+                row(s"Part $i", p, null)
+              }
+          val detail =
+            if (!d.isExtended) Seq.empty
+            else row("# Detailed Table Information", "", null) +:
+              (row("Identifier Fields", t.meta.identifierFields.mkString(", "), null) +:
+                t.meta.properties.toSeq.sortBy(_._1).map { case (k, v) =>
+                  row(k, v, null)
+                })
+          LocalRelation(d.output.map(_.asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.AttributeReference]),
+            cols ++ parts ++ detail)
         }
-      case _ => false
+    case _ => None
+  }
+
+  /** A manifest-answerable single aggregate: count(*), min(col), or
+    * max(col). (kind, column, output name). */
+  private def manifestAggOf(proj: org.apache.spark.sql.catalyst.expressions.NamedExpression)
+      : Option[(String, Option[String], String)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+    def parse(e: Expression): Option[(String, Option[String], String)] = e match {
+      case UnresolvedFunction(Seq(fn), args, false, None, false, Nil, false) =>
+        (fn.toLowerCase, args) match {
+          case ("count", Seq(Literal(1, _)))     => Some(("count", None, "count(1)"))
+          case ("count", Seq(_: UnresolvedStar)) => Some(("count", None, "count(1)"))
+          case ("min", Seq(a: UnresolvedAttribute)) if a.nameParts.length == 1 =>
+            Some(("min", Some(a.nameParts.head), s"min(${a.nameParts.head})"))
+          case ("max", Seq(a: UnresolvedAttribute)) if a.nameParts.length == 1 =>
+            Some(("max", Some(a.nameParts.head), s"max(${a.nameParts.head})"))
+          case _ => None
+        }
+      case _ => None
     }
     proj match {
-      case a @ Alias(child, _) if isCountStar(child) => Some(a.name)
-      case UnresolvedAlias(child, _) if isCountStar(child) => Some("count(1)")
+      case a @ Alias(child, _)       => parse(child).map { case (k, c, _) => (k, c, a.name) }
+      case UnresolvedAlias(child, _) => parse(child)
+      case _                         => None
+    }
+  }
+
+  private def manifestAnswer(t: ManagedTable,
+                             agg: (String, Option[String], String)): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Literal}
+    agg match {
+      case ("count", _, name) => t.fastRowCount.map { n =>
+        LocalRelation(
+          Seq(AttributeReference(name, org.apache.spark.sql.types.LongType,
+            nullable = false)()),
+          Seq(InternalRow(n)))
+      }
+      case (kind, Some(colName), name) =>
+        t.meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).flatMap { fld =>
+          t.manifestColExtreme(fld.name, wantMin = kind == "min").map { raw =>
+            // stats domain → the column's type through Catalyst's own cast
+            val normalized = raw match {
+              case n: Number if !raw.isInstanceOf[java.lang.Double] &&
+                !raw.isInstanceOf[java.lang.Float] => Literal(n.longValue())
+              case n: Number => Literal(n.doubleValue())
+              case other     => Literal(String.valueOf(other))
+            }
+            val v = Cast(normalized, fld.dataType,
+              Some(session.sessionState.conf.sessionLocalTimeZone)).eval(null)
+            LocalRelation(
+              Seq(AttributeReference(name, fld.dataType, nullable = true)()),
+              Seq(InternalRow(v)))
+          }
+        }
       case _ => None
     }
   }

@@ -406,6 +406,27 @@ final class ManagedTable private (
     */
   def rowCount(): Long = fastRowCount.getOrElse(read().count())
 
+  /** Exact table-level MIN/MAX of `c` from manifest column bounds, when
+    * the manifest can answer it: every live group is plain data and
+    * carries bounds for `c` (bounds cover the group's non-null values —
+    * exactly SQL min/max semantics; a group whose `c` is all null has no
+    * bounds and forces the scan fallback, as do upsert groups, whose
+    * hidden rows could hold the recorded extreme). The raw stored value
+    * is returned in the stats domain (i→Long, f→Double, s→String);
+    * callers cast to the column type.
+    */
+  def manifestColExtreme(c: String, wantMin: Boolean): Option[Any] = {
+    val entries = currentEntries
+    if (entries.isEmpty) return None
+    if (!entries.forall(e => e.kind == Manifest.Data && e.stats.contains(c)))
+      return None
+    val tag = entries.head.stats(c).t
+    if (!entries.forall(_.stats(c).t == tag)) return None
+    val vs = entries.map(e => if (wantMin) e.stats(c).min else e.stats(c).max)
+    val keyed = vs.map(v => SortKey(tag, v) -> v)
+    Some((if (wantMin) keyed.minBy(_._1) else keyed.maxBy(_._1))._2)
+  }
+
   /** Time travel: resolve an older manifest (previous versions are
     * retained per `write.versions-retained`) against the current schema.
     */

@@ -96,6 +96,35 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       assert(s2.sql(s"SELECT * FROM graft.top_logs VERSION AS OF $v1").count() == 1)
       assert(s2.sql("SELECT * FROM graft.top_logs TIMESTAMP AS OF '2999-01-01'").count() == 2)
 
+      // DESCRIBE + manifest-answered min/max
+      val desc = s2.sql("DESCRIBE TABLE graft.logs").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(desc.take(4).map(_._1).toSeq == Seq("id", "ts", "msg", "source"))
+      assert(desc.exists(_ == ("Part 0", "day(ts)")))
+      val descX = s2.sql("DESCRIBE EXTENDED graft.logs").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(descX.exists(_ == ("Identifier Fields", "id")))
+      assert(descX.exists(_._1 == "write.mor.compact-after-upserts"))
+      // min/max over an all-data table answers from identifier bounds,
+      // no scan (top_logs: two appends, ids {1, 7})
+      val mx = s2.sql("SELECT max(id) FROM graft.top_logs")
+      assert(mx.head().getLong(0) == 7L)
+      assert(mx.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        mx.queryExecution.optimizedPlan.toString)
+      assert(s2.sql("SELECT min(id) FROM graft.top_logs").head().getLong(0) == 1L)
+      // a bound-less column (msg carries no stats) falls back to the real
+      // plan and is still correct; MoR tables (logs has a tombstone
+      // group) fall back even on the identifier
+      val mm = s2.sql("SELECT max(msg) FROM graft.top_logs")
+      assert(mm.head().getString(0) == "later")
+      assert(!mm.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+      val mor = s2.sql("SELECT max(id) FROM graft.logs")
+      assert(mor.head().getLong(0) == 1L)
+      assert(!mor.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+
       // SHOW TABLES + $partitions metadata
       val shown = s2.sql("SHOW TABLES IN graft").collect()
         .map(r => (r.getString(0), r.getString(1))).toSet
