@@ -200,11 +200,28 @@ final class ManagedTable private (
     * back to "empty table" would be silent data loss for readers and let
     * a resumed stream merge against nothing.
     */
-  private def currentEntries: Seq[ManifestEntry] =
-    Manifest.read(fs, manifestPath(_meta.currentVersion)).getOrElse(
-      throw new IllegalStateException(
-        s"table ${_meta.name}: manifest for current version ${_meta.currentVersion} is missing " +
-          s"(${manifestPath(_meta.currentVersion)}) — corrupted or incompatible table directory"))
+  /** Committed manifests are IMMUTABLE (every commit — including
+    * rollback and WAP publish — writes a NEW version file), so the
+    * current entry list is cached per version: the trickle hot path
+    * calls this several times per micro-batch commit and re-parsing the
+    * manifest JSON each time is pure fixed cost. A benign race (two
+    * threads fill the cache for one version) computes identical values.
+    */
+  @transient private var entriesCache: (Long, Seq[ManifestEntry]) = null
+
+  private def currentEntries: Seq[ManifestEntry] = {
+    val v = _meta.currentVersion
+    val cached = entriesCache
+    if (cached != null && cached._1 == v) cached._2
+    else {
+      val e = Manifest.read(fs, manifestPath(v)).getOrElse(
+        throw new IllegalStateException(
+          s"table ${_meta.name}: manifest for current version $v is missing " +
+            s"(${manifestPath(v)}) — corrupted or incompatible table directory"))
+      entriesCache = (v, e)
+      e
+    }
+  }
 
   private def partitionColType(pf: PartitionField): DataType = pf.transform match {
     case "year" | "bucket" => IntegerType
@@ -2289,6 +2306,9 @@ final class ManagedTable private (
       requireClaim(next, fence)
       _meta = _meta.copy(currentVersion = next)
       writeMeta()
+      // prime the per-version cache with what was just written — the
+      // next read (often in the same micro-batch) skips a JSON re-parse
+      entriesCache = (next, entries)
     } catch {
       case t: Throwable =>
         // Roll back ONLY if the pointer flip didn't land AND we still own
