@@ -655,6 +655,83 @@ object Queries {
       |  o_totalprice * 0.5 AS o_totalprice, o_orderpriority
       |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin))
 
+  /** Z-order clustered layout under the oracle ([[graft.tables.ZOrder]] /
+    * `write.cluster-by` compaction): orders re-hosted, clustered on
+    * (o_custkey, o_totalprice), then range-read on the SECOND cluster
+    * column — per-slice groups carry tight multi-column bounds, so the
+    * read opens a fraction of the groups (pruning asserted at file level
+    * in ManagedTableSpec; the driver hash proves the pruned read is
+    * EXACT). Oracle = the plain BETWEEN scan.
+    */
+  val tableZorderRead = Q("table_zorder_read",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_z",
+        base.schema, Seq.empty,
+        properties = Map("write.cluster-by" -> "o_custkey,o_totalprice",
+          "compact.cluster-groups" -> "8"))
+      tbl.append(base)
+      tbl.compact() // z-order layout materializes here
+      tbl.readColRange("o_totalprice", 50000.0, 100000.0)
+        .select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 100000.0""".stripMargin))
+
+  /** Snapshot tags + rollback under the oracle: tag the half-loaded
+    * table, keep loading, then ROLL BACK to the tag — the read after
+    * rollback must be exactly the tagged state (rollback is a NEW
+    * version re-committing the old manifest, so history is preserved;
+    * RollbackSpec covers that part). Oracle = the first half.
+    */
+  val tableRollbackTag = Q("table_rollback_tag",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_rbtag").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_rb",
+        base.schema, Seq("o_orderkey"))
+      tbl.append(base.where(col("o_orderkey") % 2 === 0))
+      tbl.tag("halfway")
+      tbl.append(base.where(col("o_orderkey") % 2 === 1))
+      tbl.rollbackTo(tbl.tags()("halfway"))
+      tbl.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin))
+
+  /** Write-audit-publish under the oracle: the staged branch is
+    * invisible to readers ('staged' phase = the base half only), the
+    * audit view sees base + staged, and publish folds the staged groups
+    * in atomically ('published' = everything). One labeled union output
+    * pins all three visibility states in a single hash.
+    */
+  val tableWapPublish = Q("table_wap_publish",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_wap").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_wap",
+        base.schema, Seq("o_orderkey"))
+      tbl.append(base.where(col("o_orderkey") % 2 === 0))
+      tbl.stageAppend(base.where(col("o_orderkey") % 2 === 1), "audit")
+      val staged = tbl.read().select(dmlCols.map(col): _*)
+        .withColumn("phase", lit("staged"))
+      val audited = tbl.readBranch("audit").select(dmlCols.map(col): _*)
+        .withColumn("phase", lit("audit"))
+      tbl.publishBranch("audit")
+      val published = tbl.read().select(dmlCols.map(col): _*)
+        .withColumn("phase", lit("published"))
+      staged.unionByName(audited).unionByName(published)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+      |  'staged' AS phase FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+      |  'audit' AS phase FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+      |  'published' AS phase FROM orders""".stripMargin))
+
   /** SQL MERGE through [[graft.tables.ManagedTable.mergeInto]]: source =
     * every 7th order twice — once under its own key (matched: delete if
     * 'F', else price+1) and once shifted out of the key range (unmatched:
@@ -3542,7 +3619,7 @@ object Queries {
     qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures, multimodalPixelStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlUpdate, dmlMerge, dmlOverwriteWhere, tableOverwritePartitions, tableAddFiles, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlUpdate, dmlMerge, dmlOverwriteWhere, tableOverwritePartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
