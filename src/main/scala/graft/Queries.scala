@@ -732,6 +732,36 @@ object Queries {
       |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
       |  'published' AS phase FROM orders""".stripMargin))
 
+  /** Incremental changelog under the oracle
+    * ([[graft.tables.ManagedTable.readChangesBetween]]): v1 loads evens,
+    * v2 UPDATEs the %4==0 slice, v3 DELETEs the (disjoint) %4==2 slice;
+    * the changelog over (v1, v3] must be exactly the re-emitted update
+    * rows (seq 2, live) plus the tombstoned delete rows carrying their
+    * pre-delete values (seq 3) — commit seqs ARE versions, so every cell
+    * is deterministic and DuckDB replays the log relationally.
+    */
+  val tableChangelog = Q("table_changelog",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_chlog").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_log",
+        base.schema, Seq("o_orderkey"))
+      tbl.append(base.where(col("o_orderkey") % 2 === 0)) // v1
+      tbl.updateWhere(col("o_orderkey") % 4 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") + 1))) // v2
+      tbl.deleteWhere(col("o_orderkey") % 4 === 2)        // v3
+      tbl.readChangesBetween(1L, 3L)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col(graft.tables.ManagedTable.SeqCol).as("commit_seq"),
+          col(graft.tables.ManagedTable.TombstoneCol).as("deleted"))
+    },
+    Some("""SELECT o_orderkey, o_totalprice + 1 AS o_totalprice,
+      |  2::BIGINT AS commit_seq, false AS deleted
+      |FROM orders WHERE o_orderkey % 4 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 3::BIGINT AS commit_seq, true AS deleted
+      |FROM orders WHERE o_orderkey % 4 = 2""".stripMargin))
+
   /** SQL MERGE through [[graft.tables.ManagedTable.mergeInto]]: source =
     * every 7th order twice — once under its own key (matched: delete if
     * 'F', else price+1) and once shifted out of the key range (unmatched:
@@ -3619,7 +3649,7 @@ object Queries {
     qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures, multimodalPixelStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlUpdate, dmlMerge, dmlOverwriteWhere, tableOverwritePartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlUpdate, dmlMerge, dmlOverwriteWhere, tableOverwritePartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
