@@ -148,7 +148,8 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
             .sorted
         val kept = st.pattern match {
           case Some(p) =>
-            val rx = p.split('|').map(alt =>
+            // Spark's SHOW TABLES LIKE is case-insensitive glob
+            val rx = "(?i)" + p.split('|').map(alt =>
               java.util.regex.Pattern.quote(alt).replace("*", "\\E.*\\Q")).mkString("|")
             names.filter(_.matches(rx))
           case None => names
@@ -175,6 +176,9 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       session.conf.getOption("spark.graft.warehouse")
         .flatMap(wh => ManagedTable.load(session, wh, u.multipartIdentifier(1)))
         .map { t =>
+          require(d.partitionSpec.isEmpty,
+            s"DESCRIBE ... PARTITION is not supported for graft tables " +
+              s"(query graft.${u.multipartIdentifier(1)}$$partitions instead)")
           import org.apache.spark.unsafe.types.UTF8String
           def row(a: String, b: String, c: String) =
             org.apache.spark.sql.catalyst.InternalRow(

@@ -169,16 +169,6 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       }
     }.getOrElse(e)
 
-  /** Re-qualify an alias to the fixed name mergeInto exposes (`t`/`s`). */
-  private def requalify(e: Expression, from: Option[String], to: String): Expression =
-    from.map { a =>
-      e.transform {
-        case attr: UnresolvedAttribute if attr.nameParts.length > 1 &&
-            attr.nameParts.head.equalsIgnoreCase(a) =>
-          UnresolvedAttribute(to +: attr.nameParts.tail)
-      }
-    }.getOrElse(e)
-
   private def assignName(key: Expression): String = key match {
     case a: UnresolvedAttribute => a.nameParts.last
     case other => throw new IllegalArgumentException(
@@ -207,8 +197,19 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     require(m.notMatchedBySourceActions.isEmpty,
       "MERGE INTO graft.<t>: WHEN NOT MATCHED BY SOURCE is not supported " +
         "(the target is never scanned for unmatched rows)")
-    def remap(e: Expression): Expression =
-      requalify(requalify(e, tAlias, "t"), sAlias, "s")
+    // ONE pass over the attributes: sequential requalification would
+    // capture when the user's aliases collide with the fixed names
+    // (target AS p USING ... AS t: p→t then t→s corrupts the target
+    // side) or are swapped. Target alias wins if both name one qualifier.
+    def remap(e: Expression): Expression = e.transform {
+      case attr: UnresolvedAttribute if attr.nameParts.length > 1 =>
+        val q = attr.nameParts.head
+        if (tAlias.exists(q.equalsIgnoreCase))
+          UnresolvedAttribute("t" +: attr.nameParts.tail)
+        else if (sAlias.exists(q.equalsIgnoreCase))
+          UnresolvedAttribute("s" +: attr.nameParts.tail)
+        else attr
+    }
     // ON must be identifier equality: each conjunct equates one id column
     // across the two sides; together they cover the id set exactly
     val ids = t.meta.identifierFields

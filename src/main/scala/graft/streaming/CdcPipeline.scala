@@ -320,7 +320,12 @@ object CdcPipeline {
             // legitimately appends once per violating destination per
             // producer.
             val markerKey = s"$CdcBatchIdProp.expect.$tableName"
-            val last = dlq.meta.properties.get(markerKey).map(_.toLong).getOrElse(-1L)
+            // honor markers persisted under the pre-producer-scoped key
+            // too: a DLQ written by the previous release must not replay
+            // its last batch once after upgrade
+            val last = (dlq.meta.properties.get(markerKey) ++
+              dlq.meta.properties.get(s"$CdcBatchIdProp.$tableName"))
+              .map(_.toLong).maxOption.getOrElse(-1L)
             if (batchId < 0) dlq.append(q)
             else if (batchId > last)
               dlq.append(q, Map(markerKey -> batchId.toString))

@@ -440,8 +440,17 @@ final class ManagedTable private (
     val tag = entries.head.stats(c).t
     if (!entries.forall(_.stats(c).t == tag)) return None
     val vs = entries.map(e => if (wantMin) e.stats(c).min else e.stats(c).max)
-    val keyed = vs.map(v => SortKey(tag, v) -> v)
-    Some((if (wantMin) keyed.minBy(_._1) else keyed.maxBy(_._1))._2)
+    // exact-domain comparisons: SortKey's double-compare is fine for
+    // conservative pruning but this value is claimed EXACT — a 64-bit id
+    // past 2^53 must not tie with its double-rounded neighbor
+    val ord: Ordering[Any] = tag match {
+      case "i" => Ordering.by((v: Any) => v.asInstanceOf[Number].longValue())
+      case "f" => Ordering.by((v: Any) => v.asInstanceOf[Number].doubleValue())
+      case _ => (a: Any, b: Any) => java.util.Arrays.compareUnsigned(
+        String.valueOf(a).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        String.valueOf(b).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    Some(if (wantMin) vs.min(ord) else vs.max(ord))
   }
 
   /** Time travel: resolve an older manifest (previous versions are
@@ -755,13 +764,17 @@ final class ManagedTable private (
       StructField("n_rows", LongType, nullable = true),
       StructField("min_seq", LongType, nullable = false),
       StructField("max_seq", LongType, nullable = false)))
-    val rows = currentEntries.filterNot(_.kind == Manifest.PosDel)
-      .groupBy(_.partition).toSeq.map { case (tuple, es) =>
-        val exact = es.forall(e => e.kind == Manifest.Data && e.rows >= 0L)
+    val rows = currentEntries
+      .groupBy(_.partition).toSeq.map { case (tuple, all) =>
+        val es = all.filterNot(_.kind == Manifest.PosDel)
+        // exactness over ALL entries of the tuple — a posdel sidecar
+        // hides rows in data files, so its presence forfeits the exact
+        // count (the same rule fastRowCount applies)
+        val exact = all.forall(e => e.kind == Manifest.Data && e.rows >= 0L)
         Row(tuple, es.size,
           if (exact) java.lang.Long.valueOf(es.map(_.rows).sum) else null,
           es.map(_.seq).min, es.map(_.seq).max)
-      }
+      }.filter(_.getInt(1) > 0)
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 

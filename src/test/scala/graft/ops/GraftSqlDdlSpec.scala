@@ -130,6 +130,12 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
         .map(r => (r.getString(0), r.getString(1))).toSet
       assert(shown == Set(("graft", "logs"), ("graft", "top_logs")), shown)
       assert(s2.sql("SHOW TABLES IN graft LIKE 'top*'").count() == 1)
+      assert(s2.sql("SHOW TABLES IN graft LIKE 'TOP*'").count() == 1,
+        "LIKE globbing must be case-insensitive (Spark semantics)")
+      val eDesc = intercept[Exception] {
+        s2.sql("DESCRIBE TABLE graft.logs PARTITION (ts='x')")
+      }
+      assert(eDesc.getMessage.contains("PARTITION is not supported"), eDesc.getMessage)
       val parts = s2.sql("SELECT * FROM graft.`logs$partitions`")
       assert(parts.columns.toSeq ==
         Seq("partition", "n_groups", "n_rows", "min_seq", "max_seq"))

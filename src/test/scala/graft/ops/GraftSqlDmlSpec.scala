@@ -72,6 +72,15 @@ class GraftSqlDmlSpec extends AnyFunSuite with SharedSpark {
       assert(cur.where(col("id") === 1).select("name").head().getString(0) == "nullv",
         "NULL delete-condition must fall through to UPDATE, not mask it")
 
+      // alias names colliding with the fixed t/s qualifiers (or swapped)
+      // must remap capture-free: target AS s, source AS t
+      Seq((3L, "carol3", 33.0)).toDF("id", "name", "v")
+        .createOrReplaceTempView("swapchg")
+      s2.sql("""MERGE INTO graft.people AS s USING swapchg AS t ON s.id = t.id
+        |WHEN MATCHED THEN UPDATE SET s.name = t.name""".stripMargin)
+      assert(cur.where(col("id") === 3).select("name").head().getString(0) == "carol3",
+        "swapped t/s aliases corrupted the remap")
+
       // a one-sided ON equality (t.id = t.id) is refused, not silently
       // executed as the identifier join
       val e0 = intercept[Exception] {
