@@ -655,6 +655,31 @@ object Queries {
       |  o_totalprice * 0.5 AS o_totalprice, o_orderpriority
       |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin))
 
+  /** Mergeable HLL sketch rollup ([[graft.operators.SketchRollup]],
+    * Spark's Datasketches functions): per-day distinct-user sketches
+    * built once from raw events — every later range/rollup question
+    * unions stored sketches, never rescanning events. The oracle checks
+    * the exact per-day counts AND pins the estimate's error: the
+    * `est_within_5pct` column is computed from the (deterministic,
+    * order-insensitive) sketch on the Spark side and claimed `true` by
+    * DuckDB — an estimate drifting past 5 % flips the cell and fails
+    * the hash.
+    */
+  val aggSketchRollup = Q("agg_sketch_rollup",
+    (s, dir) => {
+      val daily = graft.operators.SketchRollup.build(
+        events(s, dir).withColumn("day", to_date(col("ts"))),
+        Seq("day"), "user_id")
+      daily.select(col("day").cast("string").as("day"),
+        col("n_rows"), col("exact_nd"),
+        (abs(hll_sketch_estimate(col("sketch")) - col("exact_nd")) <=
+          col("exact_nd") * 0.05).as("est_within_5pct"))
+    },
+    Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |  count(*) AS n_rows, count(DISTINCT user_id) AS exact_nd,
+      |  true AS est_within_5pct
+      |FROM events GROUP BY 1""".stripMargin))
+
   /** Z-order clustered layout under the oracle ([[graft.tables.ZOrder]] /
     * `write.cluster-by` compaction): orders re-hosted, clustered on
     * (o_custkey, o_totalprice), then range-read on the SECOND cluster
@@ -3628,7 +3653,7 @@ object Queries {
     qSetOps, qRollup, qGroupingSets, qRangeFrameWindow, qLateralTopk,
     qDistinctAgg, qSubquery, qSemiJoin, qSessionize,
     qAsofJoin, qAntiJoin, qPivot, qPercentile, qCube,
-    qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, qStringAgg,
+    qTumblingWindow, qSlidingWindow, qRangeJoin, aggSketches, aggSketchRollup, qStringAgg,
     qFunnel, qHistogram, qIntervalJoin, qRetentionCohort, qEventTransitions,
     qOverlapJoinBinned, qRankFunctions, tsGapFill, qGapIslands, tsRolling7d, qDebounce,
     textStats, textLangId, textFingerprint, textTfidf, textBm25, textBm25Indexed,
