@@ -295,4 +295,45 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     // of a cartesian: some hash/merge join on user_id must exist
     assert(p.contains("Join") && p.contains("user_id"), p)
   }
+
+  // ---- round-5 operators
+
+  test("text_classifier_score: map-only — the weight fold never shuffles or joins") {
+    val p = plan(Queries.textClassifierScore)
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"classifier scoring must live in the scan stage:\n$p")
+  }
+
+  test("text_html_extract: map-only regexp chain in the scan stage") {
+    val p = plan(Queries.textHtmlExtract)
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
+
+  test("dedup_lines: frequency agg + threshold join + one reassembly exchange, no cartesian") {
+    val p = plan(Queries.dedupLines)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the boilerplate set joins back; the line relation must never
+    // cross-join it
+    assert(p.contains("Join"), p)
+  }
+
+  test("sample_top_frac_binned: bounded histogram plan — 1-row broadcasts, no corpus window") {
+    val p = plan(Queries.sampleTopFracBinned)
+    // the two cross joins are DELIBERATE 1-row broadcasts (min/max
+    // bounds, threshold); the cumulative window runs over the ≤bins-row
+    // histogram aggregate, never the corpus — so the plan must contain
+    // the window + hash aggregates and no join besides the broadcast
+    // 1-row cross shapes
+    assert(p.contains("Window") && p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("agg_sketch_rollup: aggregation-only plan (sketch partials + the distinct audit), no join") {
+    val p = plan(Queries.aggSketchRollup)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    // one exchange for the sketch/count aggregation, one more for the
+    // exact-distinct audit column's two-phase distinct — never a third
+    val exchanges = p.linesIterator.count(_.matches("""^\(\d+\) Exchange\s*$"""))
+    assert(exchanges <= 2, s"expected ≤2 aggregation exchanges, got $exchanges:\n$p")
+  }
 }
