@@ -120,6 +120,11 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         GraftDmlCommand("ALTER RENAME COLUMN", name,
           () => t.renameColumn(field.name.last, newName))
       }
+    case tr @ org.apache.spark.sql.catalyst.plans.logical.TruncateTable(
+        GraftAlterTarget(name)) =>
+      withTable(tr, name) { t =>
+        GraftDmlCommand("TRUNCATE", name, () => t.truncate())
+      }
     case s @ SetTableProperties(GraftAlterTarget(name), props) =>
       withTable(s, name) { t =>
         require(!props.contains(IdsProp),

@@ -2477,6 +2477,14 @@ final class ManagedTable private (
   /** W7 — atomically replace the whole table content (offset-store parity):
     * one data group, a manifest referencing only it.
     */
+  /** TRUNCATE TABLE: one metadata-only commit referencing no groups —
+    * nothing is scanned or rewritten at any table size; old snapshots
+    * stay time-travelable under retention, and the changelog barrier is
+    * stamped (incremental consumers must reseed across a truncate, like
+    * an overwrite).
+    */
+  def truncate(): Unit = commitManifestWithProps(Seq.empty, barrierProp)
+
   def overwrite(df: DataFrame): Unit = {
     val seq = _meta.currentVersion + 1
     val conformed = EventDecoder.conformTo(df, _meta.schema, temporalMode)

@@ -141,6 +141,14 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
         Seq("partition", "n_groups", "n_rows", "min_seq", "max_seq"))
       assert(parts.count() >= 1)
 
+      // TRUNCATE: metadata-only empty commit; old snapshot still travels
+      val vPre = ManagedTable.load(s2, wh, "top_logs").get.meta.currentVersion
+      s2.sql("TRUNCATE TABLE graft.top_logs")
+      assert(s2.sql("SELECT * FROM graft.top_logs").count() == 0)
+      assert(s2.sql(s"SELECT * FROM graft.top_logs VERSION AS OF $vPre").count() == 2)
+      s2.sql("INSERT INTO graft.top_logs VALUES (8, 'fresh')")
+      assert(s2.sql("SELECT * FROM graft.top_logs").count() == 1)
+
       // DROP TABLE
       s2.sql("DROP TABLE graft.top_logs")
       s2.sql("DROP TABLE graft.logs")
