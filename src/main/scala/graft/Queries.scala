@@ -1982,9 +1982,15 @@ object Queries {
 
   /** CCNet-style trigram LM quality scoring: odd doc_ids are the "clean
     * reference" half that trains the counts model, even doc_ids get
-    * scored. The oracle replays the exact count tables, smoothing
-    * arithmetic, and decimal summation — see
-    * [[TextFunctions.trigramLmScore]] for the broadcast-only plan shape.
+    * scored. The HASHED surface is transcendental-free: `sum_num` /
+    * `sum_den` are the per-doc sums of the exact-integer smoothing
+    * ratios (kDen·C₃+kNum / kDen·C₂+kNum·V) — they pin the count
+    * tables, the joins, and the smoothing arithmetic bit-for-bit.
+    * `log_prob`/`avg_logp` (the `ln`-derived columns) are deliberately
+    * NOT selected here: `ln` is not correctly-rounded in either engine,
+    * so a row landing ulps from a 6-dp rounding boundary flips the hash
+    * (observed twice); the monotone log map itself is spec-asserted with
+    * tolerance in TextOpsSpec — the agg_sketch_rollup pattern.
     */
   val textLmScore = Q("text_lm_score",
     (s, dir) => {
@@ -1992,7 +1998,7 @@ object Queries {
       val half = pmod(col("doc_id"), lit(2)) === 1
       TextFunctions.trigramLmScore(docs.where(half), docs.where(!half),
         "doc_id", "text")
-        .select(col("doc_id"), col("n_trigrams"), col("log_prob"), col("avg_logp"))
+        .select(col("doc_id"), col("n_trigrams"), col("sum_num"), col("sum_den"))
     },
     Some("""WITH toks AS (SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
@@ -2009,20 +2015,15 @@ object Queries {
       |    unnest([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS g
       |  FROM toks WHERE doc_id % 2 = 0 AND len(tk) >= 3),
       |lp AS (SELECT doc_id,
-      |    round(ln((2 * coalesce(c3.c3, 0) + 1)::DOUBLE /
-      |      (2 * coalesce(c2.c2, 0) + v.v)::DOUBLE), 6)::DECIMAL(18,6) AS lpv
+      |    (2 * coalesce(c3.c3, 0) + 1)::BIGINT AS nm,
+      |    (2 * coalesce(c2.c2, 0) + v.v)::BIGINT AS dn
       |  FROM sg
       |  LEFT JOIN c3 USING (g)
       |  LEFT JOIN c2 ON c2.p = array_to_string(string_split(g, ' ')[1:2], ' ')
-      |  CROSS JOIN v),
-      |agg AS (SELECT doc_id, count(*)::BIGINT AS n_trigrams,
-      |    sum(lpv)::DECIMAL(28,6) AS log_prob
-      |  FROM lp GROUP BY doc_id),
-      |micro AS (SELECT *, (log_prob * 1000000)::BIGINT AS l6 FROM agg)
-      |SELECT doc_id, n_trigrams, log_prob,
-      |  CAST(CAST(-((((-l6) * 2) + n_trigrams) // (2 * n_trigrams)) AS DECIMAL(18,6))
-      |    * CAST(0.000001 AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS avg_logp
-      |FROM micro""".stripMargin))
+      |  CROSS JOIN v)
+      |SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+      |  sum(nm)::BIGINT AS sum_num, sum(dn)::BIGINT AS sum_den
+      |FROM lp GROUP BY doc_id""".stripMargin))
 
   /** Shared HTML page template for [[textHtmlExtract]] — the Spark and
     * DuckDB sides wrap each document's text in the same markup (scripts,
@@ -2114,15 +2115,21 @@ object Queries {
     * integer-valued vector w[j] = (j·7 mod 41) − 20 over 4096 buckets,
     * so DuckDB reproduces the bucket weights arithmetically from the
     * same md5 feature hashes, the weight sum is integer-exact, and the
-    * sigmoid's input is a single IEEE division of exact values (the
-    * text_lm_score treatment of transcendentals).
+    * sigmoid's input is a single IEEE division of exact values. The
+    * HASHED surface is `(n_feats, w_sum)` only — the full feature
+    * pipeline (tokenize, bigrams, md5 bucketing, weight fold) is pinned
+    * bit-for-bit by `w_sum`; the sigmoid `score` is deliberately NOT
+    * selected: `exp` is not correctly-rounded in either engine and a
+    * pre-rounding value ulps from a 6-dp boundary flips the hash
+    * (observed round 5). The monotone sigmoid map is spec-asserted with
+    * tolerance — the agg_sketch_rollup pattern.
     */
   val textClassifierScore = Q("text_classifier_score",
     (s, dir) => {
       val w = Array.tabulate(4096)(j => ((j * 7) % 41 - 20).toDouble)
       TextFunctions.hashedClassifierScore(
         t(s, dir, "documents"), "doc_id", "text", w, bias = 0.125)
-        .select(col("doc_id"), col("n_feats"), col("w_sum"), col("score"))
+        .select(col("doc_id"), col("n_feats"), col("w_sum").cast("long").as("w_sum"))
     },
     Some("""WITH toks AS (SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tk
@@ -2131,16 +2138,11 @@ object Queries {
       |    list_transform(tk, t -> ('0x'||substr(md5(t),1,8))::BIGINT) ||
       |    list_transform([array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))],
       |      t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS fh
-      |  FROM toks),
-      |agg AS (SELECT doc_id, len(fh)::BIGINT AS n_feats,
-      |    coalesce(list_sum(list_transform(fh,
-      |      h -> ((h % 4096) * 7) % 41 - 20)), 0)::DOUBLE AS w_sum
-      |  FROM feats)
-      |SELECT doc_id, n_feats, w_sum,
-      |  CASE WHEN n_feats > 0 THEN
-      |    round(1.0 / (1.0 + exp(-(0.125 + w_sum / n_feats))), 6)::DECIMAL(9,6)
-      |  END AS score
-      |FROM agg""".stripMargin))
+      |  FROM toks)
+      |SELECT doc_id, len(fh)::BIGINT AS n_feats,
+      |  coalesce(list_sum(list_transform(fh,
+      |    h -> ((h % 4096) * 7) % 41 - 20)), 0)::BIGINT AS w_sum
+      |FROM feats""".stripMargin))
 
   /** Unicode canonicalization ([[graft.functions.TextNormalize]] — native
     * codegen expression; Spark has no built-in): decompose each 'a' into

@@ -497,16 +497,26 @@ object TextFunctions {
       // tokens contain no whitespace (split on \s+), so the trigram's
       // bigram prefix is exactly its first two space-joined parts
       .withColumn("p", substring_index(col("g"), " ", 2))
-    val num = (lit(kDen) * coalesce(col("c3"), lit(0L)) + lit(kNum)).cast("double")
-    val den = (lit(kDen) * coalesce(col("c2"), lit(0L)) + lit(kNum) * col("__v")).cast("double")
+    // Exact-integer smoothing ratio per trigram: num = kDen·C₃ + kNum,
+    // den = kDen·C₂ + kNum·V. The LONG forms are carried through to the
+    // output (`sum_num`/`sum_den`) as the ENGINE-EXACT scoring surface —
+    // `ln` is not correctly-rounded in any engine, so cross-engine
+    // equality can only be asserted on the pre-transcendental integers;
+    // `log_prob`/`avg_logp` are derived, informational columns.
+    val numL = lit(kDen) * coalesce(col("c3"), lit(0L)) + lit(kNum)
+    val denL = lit(kDen) * coalesce(col("c2"), lit(0L)) + lit(kNum) * col("__v")
     val lp = grams
       .join(broadcast(c3), Seq("g"), "left")
       .join(broadcast(c2), Seq("p"), "left")
       .crossJoin(broadcast(vocab))
       .select(col(idCol),
-        round(log(num / den), 6).cast("decimal(18,6)").as("__lp"))
+        numL.cast("long").as("__num"), denL.cast("long").as("__den"),
+        round(log(numL.cast("double") / denL.cast("double")), 6)
+          .cast("decimal(18,6)").as("__lp"))
     lp.groupBy(idCol).agg(
       count(lit(1)).cast("long").as("n_trigrams"),
+      sum(col("__num")).cast("long").as("sum_num"),
+      sum(col("__den")).cast("long").as("sum_den"),
       sum(col("__lp")).cast("decimal(28,6)").as("log_prob"))
       // log_prob ≤ 0 (ratio ≤ 1 whenever V ≥ kDen·… — C₃ ≤ C₂ and kNum·V ≥ kNum),
       // so |micros| = -micros; `div` on non-negative operands floors.

@@ -260,4 +260,47 @@ class LlmOpsSpec extends AnyFunSuite with SharedSpark {
     // asset 1: 64/8 = 8 chunks, every 2nd → 4 frames; asset 2: 1 chunk → 1
     assert(byAsset == Map(1L -> 4L, 2L -> 1L))
   }
+
+  // The driver-hashed surfaces of text_lm_score / text_classifier_score
+  // are transcendental-free (exact integer sums); the ln/exp-derived
+  // columns are checked HERE, with tolerance, against closed-form values.
+  test("trigramLmScore: exact integer sums hand-checked; avg_logp matches closed form within 1e-5") {
+    val model = Seq((1L, "a b c a b c"), (3L, "a b d")).toDF("doc_id", "text")
+    val scored = Seq((0L, "a b c d"), (2L, "x y z")).toDF("doc_id", "text")
+    val r = TextFunctions.trigramLmScore(model, scored, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // model: trigrams {a b c:2, b c a:1, c a b:1, a b d:1}; bigrams
+    // {a b:3, b c:2, c a:1, b d:1}; V=4.
+    // doc 0 grams: "a b c" (c3=2, c2[a b]=3) → num=5, den=10;
+    //              "b c d" (c3=0, c2[b c]=2) → num=1, den=8
+    val d0 = r(0)
+    assert(d0.getAs[Long]("n_trigrams") == 2L)
+    assert(d0.getAs[Long]("sum_num") == 6L)
+    assert(d0.getAs[Long]("sum_den") == 18L)
+    val expected0 = (math.log(5.0 / 10.0) + math.log(1.0 / 8.0)) / 2.0
+    assert(math.abs(d0.getAs[java.math.BigDecimal]("avg_logp").doubleValue() - expected0) < 1e-5)
+    // doc 2 grams: "x y z" unseen everywhere → num=1, den=0+V=4
+    val d2 = r(1)
+    assert(d2.getAs[Long]("n_trigrams") == 1L)
+    assert(d2.getAs[Long]("sum_num") == 1L && d2.getAs[Long]("sum_den") == 4L)
+    assert(math.abs(d2.getAs[java.math.BigDecimal]("avg_logp").doubleValue() - math.log(0.25)) < 1e-5)
+  }
+
+  test("hashedClassifierScore: w_sum integer-exact and score equals sigmoid(bias + w_sum/n_feats) within 1e-5") {
+    val w = Array.tabulate(64)(j => ((j * 7) % 41 - 20).toDouble)
+    val r = TextFunctions.hashedClassifierScore(docs, "doc_id", "text", w, bias = 0.125)
+      .orderBy("doc_id").collect()
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_feats")
+      if (n == 0) assert(row.isNullAt(row.fieldIndex("score")))
+      else {
+        val ws = row.getAs[Double]("w_sum")
+        assert(ws == math.rint(ws), s"integer weights must sum exactly, got $ws")
+        val exp = 1.0 / (1.0 + math.exp(-(0.125 + ws / n)))
+        assert(math.abs(row.getAs[java.math.BigDecimal]("score").doubleValue() - exp) < 1e-5)
+      }
+    }
+    // 9 unigrams + 8 bigrams for doc 0
+    assert(r(0).getAs[Long]("n_feats") == 17L)
+  }
 }
