@@ -41,6 +41,13 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     // / column bounds) — Iceberg's snapshot-summary / manifest-bounds
     // answers: milliseconds instead of a 100 TB scan. MoR tables (hidden
     // rows) and bound-less columns fall through to the real plan.
+    // Snapshot-at-statement semantics, BY DESIGN: the value is pinned
+    // when the statement is planned, exactly like every `graft.t`
+    // relation ([[ResolveGraftTables]] resolves to `t.read()`'s analyzed
+    // plan, whose manifest was read at resolution — the Iceberg scan-
+    // plans-pin-a-snapshot model). A retained DataFrame re-collected
+    // after later commits returns the planned snapshot on BOTH paths;
+    // re-issue `spark.sql(...)` to observe new commits.
     case p @ Project(Seq(proj), u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation)
         if u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("graft") &&

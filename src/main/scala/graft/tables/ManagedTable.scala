@@ -764,13 +764,21 @@ final class ManagedTable private (
       StructField("n_rows", LongType, nullable = true),
       StructField("min_seq", LongType, nullable = false),
       StructField("max_seq", LongType, nullable = false)))
+    // Upsert groups' delete scopes are partition-local WITHIN a spec
+    // epoch but global-on-ids ACROSS epochs — so an upsert committed in
+    // another tuple at a later epoch can still hide this tuple's rows,
+    // and its mere existence forfeits this tuple's exact count.
+    val upserts = currentEntries.filter(_.kind == Manifest.Upsert)
     val rows = currentEntries
       .groupBy(_.partition).toSeq.map { case (tuple, all) =>
         val es = all.filterNot(_.kind == Manifest.PosDel)
         // exactness over ALL entries of the tuple — a posdel sidecar
         // hides rows in data files, so its presence forfeits the exact
         // count (the same rule fastRowCount applies)
-        val exact = all.forall(e => e.kind == Manifest.Data && e.rows >= 0L)
+        val crossEpochHider = upserts.exists(u =>
+          all.exists(e => entryEpoch(u.seq) != entryEpoch(e.seq) && u.seq > e.seq))
+        val exact = all.forall(e => e.kind == Manifest.Data && e.rows >= 0L) &&
+          !crossEpochHider
         Row(tuple, es.size,
           if (exact) java.lang.Long.valueOf(es.map(_.rows).sum) else null,
           es.map(_.seq).min, es.map(_.seq).max)
@@ -1186,6 +1194,12 @@ final class ManagedTable private (
       val idx = graft.functions.PosDelIndex.build(
         rows.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq)
       val bc = spark.sparkContext.broadcast(idx)
+      // Release the superseded index's executor copies — a long-running
+      // trickle reader with posdel-on-commit would otherwise leak one
+      // broadcast per commit. unpersist (not destroy): a retained
+      // DataFrame from an older read may still lazily evaluate against
+      // the old broadcast, which re-fetches from the driver on demand.
+      if (posdelIndexCache != null) posdelIndexCache._2.unpersist(false)
       posdelIndexCache = (key, bc)
       bc
     }
@@ -2552,7 +2566,12 @@ final class ManagedTable private (
       Manifest.Data, _ => seq, seq)
     if (newEntries.isEmpty) return // empty batch: no partitions to replace
     val replaced = newEntries.map(_.partition).toSet
-    commitManifest(entries.filterNot(e => replaced.contains(e.partition)) ++ newEntries)
+    // Barrier-stamped like overwrite()/truncate(): replaced partitions'
+    // rows vanish without tombstones, so changelog consumers ($changes,
+    // readChangesBetween, MV refresh) must reseed across this commit —
+    // a plain commit would silently keep the replaced rows downstream.
+    commitManifestWithProps(
+      entries.filterNot(e => replaced.contains(e.partition)) ++ newEntries, barrierProp)
   }
 
   /** D6 — union-by-name evolution; commits metadata only on change.

@@ -125,6 +125,20 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       assert(!mor.queryExecution.optimizedPlan.collectLeaves().forall(
         _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
 
+      // snapshot-at-statement, CONSISTENT on both paths: a retained
+      // DataFrame keeps its planned snapshot across later commits
+      // whether it was manifest-answered or scan-resolved; only a fresh
+      // statement observes new commits
+      val pinnedFast = s2.sql("SELECT max(id) FROM graft.top_logs")
+      val pinnedScan = s2.sql("SELECT id FROM graft.top_logs")
+      assert(pinnedFast.head().getLong(0) == 7L && pinnedScan.count() == 2)
+      s2.sql("INSERT INTO graft.top_logs VALUES (99, 'newest')")
+      assert(pinnedFast.head().getLong(0) == 7L,
+        "manifest-answered aggregate must keep its planned snapshot")
+      assert(pinnedScan.count() == 2,
+        "scan-resolved relation must keep its planned snapshot")
+      assert(s2.sql("SELECT max(id) FROM graft.top_logs").head().getLong(0) == 99L)
+
       // SHOW TABLES + $partitions metadata
       val shown = s2.sql("SHOW TABLES IN graft").collect()
         .map(r => (r.getString(0), r.getString(1))).toSet
@@ -145,7 +159,7 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       val vPre = ManagedTable.load(s2, wh, "top_logs").get.meta.currentVersion
       s2.sql("TRUNCATE TABLE graft.top_logs")
       assert(s2.sql("SELECT * FROM graft.top_logs").count() == 0)
-      assert(s2.sql(s"SELECT * FROM graft.top_logs VERSION AS OF $vPre").count() == 2)
+      assert(s2.sql(s"SELECT * FROM graft.top_logs VERSION AS OF $vPre").count() == 3)
       s2.sql("INSERT INTO graft.top_logs VALUES (8, 'fresh')")
       assert(s2.sql("SELECT * FROM graft.top_logs").count() == 1)
 

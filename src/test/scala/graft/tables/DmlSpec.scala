@@ -223,4 +223,25 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
     t.updatePartitionSpec(Seq("bucket(2,id)"))
     intercept[IllegalArgumentException] { t.overwritePartitions(batch) }
   }
+
+  test("overwritePartitions stamps the changelog barrier: incremental consumers reseed") {
+    val w = wh
+    val t = seed(w, "dpo2", partitionBy = Seq("grp"))
+    val mv = MaterializedView.create(spark, w, "dpo2_by_grp", t, Seq("grp"), Seq("v"))
+    // replace partition grp=3 (10 rows) with a single row — rows vanish
+    // WITHOUT tombstones, so a changelog-incremental refresh would keep
+    // them; the barrier must force the MV to rebuild instead
+    t.overwritePartitions(Seq((1001, "x", 3, 7L)).toDF("id", "name", "grp", "v"))
+    assert(t.meta.properties(ManagedTable.BarrierKey).toLong == t.meta.currentVersion,
+      "dynamic partition overwrite must stamp the changelog barrier")
+    mv.refresh()
+    def canonAgg(df: DataFrame) =
+      df.select(col("grp").cast("string"), col("sum_v").cast("long"), col("n_rows").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(x => x).toSeq
+    val recompute = t.read().groupBy("grp")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n_rows"))
+    assert(canonAgg(mv.read()) == canonAgg(recompute),
+      "MV diverged across overwritePartitions — replaced rows leaked through the changelog")
+    assert(canonAgg(mv.read()).exists { case (g, s, n) => g == "3" && s == 7L && n == 1L })
+  }
 }

@@ -100,6 +100,29 @@ class PartitionEvolutionSpec extends AnyFunSuite with SharedSpark {
     assert(rows(t.readPartitions(_ => true)) == rows(t.read()))
   }
 
+  test("partitionsMetadata forfeits exact n_rows when a later-epoch upsert can hide the tuple's rows") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-pevo7").toString
+    val df0 = Seq((1, "A", 1, "c", 0L), (2, "A", 2, "c", 0L), (3, "B", 3, "c", 0L))
+      .toDF("id", "cat", "v", "__op", "__source_ts_ns")
+    val t = ManagedTable.create(spark, wh, "pmeta", df0.schema, Seq("id"),
+      partitionBy = Seq("cat"))
+    t.append(df0) // plain Data groups: counts exact
+    def nRows(cat: String): Option[Long] = t.partitionsMetadata()
+      .collect().find(_.getMap[String, String](0).get("cat").contains(cat))
+      .map(r => if (r.isNullAt(2)) -1L else r.getLong(2))
+    assert(nRows("A").contains(2L) && nRows("B").contains(1L))
+    // evolve to unpartitioned, then hard-delete id=1 via a cross-epoch
+    // upsert: its delete scope is GLOBAL on ids, so it hides a row inside
+    // the cat=A tuple even though that tuple's own entries are all Data —
+    // reporting 2 as exact would over-count (the visible count is 1)
+    t.updatePartitionSpec(Seq.empty)
+    t.merge(Seq((1, "A", 1, "d", 1L)).toDF("id", "cat", "v", "__op", "__source_ts_ns"),
+      CdcApply.UpsertConfig(keepDeletes = false))
+    assert(t.read().filter(org.apache.spark.sql.functions.col("cat") === "A").count() == 1L)
+    assert(nRows("A").contains(-1L), "cross-epoch-hidden tuple must report n_rows null")
+    assert(nRows("B").contains(-1L))
+  }
+
   test("time travel across the evolution boundary; compact normalizes tuples") {
     val wh = java.nio.file.Files.createTempDirectory("graft-pevo4").toString
     val df0 = Seq((1, "A", 1, "c", 0L), (2, "B", 2, "c", 0L))
