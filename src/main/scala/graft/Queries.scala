@@ -2238,9 +2238,15 @@ object Queries {
       |FROM aug""".stripMargin))
 
   /** Quantile-threshold quality filter in scale-safe histogram form: keep
-    * the docs whose (discrete) quality score clears the highest threshold
-    * retaining ≥60% of the corpus — histogram aggregate + tiny cumulative
-    * window + broadcast threshold, never a global percent_rank sort.
+    * the docs whose quality score clears the highest threshold retaining
+    * ≥60% of the corpus — histogram aggregate + tiny cumulative window +
+    * broadcast threshold, never a global percent_rank sort. Routed
+    * through [[Sampling.keepTopFractionAuto]]: an NDV probe keeps the
+    * exact histogram while the score stays discrete (it is here — the
+    * oracle replays that path) and switches to the bin-bounded variant
+    * when a corpus makes the score near-continuous, where the exact
+    * variant's distinct-value window would become a corpus-sized
+    * single-reducer sort (the measured 10×-soak frailty).
     */
   val textQualityFilter = Q("text_quality_filter",
     (s, dir) => {
@@ -2248,7 +2254,7 @@ object Queries {
         .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("tk"))
         .select(col("doc_id"),
           TextFunctions.qualityScoreFromTokens(col("text"), col("tk")).as("quality"))
-      Sampling.keepTopFraction(scored, "quality", 0.6)
+      Sampling.keepTopFractionAuto(scored, "quality", 0.6, bins = 4096)
     },
     Some(s"""WITH toks AS (SELECT doc_id, text,
       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk

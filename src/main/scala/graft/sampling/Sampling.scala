@@ -265,19 +265,75 @@ object Sampling {
     * Null scores are dropped, like rows below the exact variant's
     * threshold.
     */
+  /** [[keepTopFraction]] with the discrete/continuous routing decided by
+    * the DATA, not the caller: one `approx_count_distinct` probe (a
+    * map-side-partial aggregate, the cheapest whole-column statistic)
+    * picks the exact histogram path while the score's NDV fits the bin
+    * budget and the quantized [[keepTopFractionBinned]] path beyond it.
+    * This is the safe default for scores whose cardinality the caller
+    * can't bound up front (a ratio-valued quality score is discrete on
+    * one corpus and near-continuous on another): the exact variant's
+    * histogram is the distinct-value set, and its unpartitioned
+    * cumulative window degrades toward a corpus-sized single-reducer
+    * sort exactly when NDV grows — the one plan shape that cannot
+    * survive a 100× scale-up. The probe costs one extra scan of the
+    * score column; callers that already know the score is discrete
+    * (enums, small int grades) can call [[keepTopFraction]] directly
+    * and skip it.
+    */
+  def keepTopFractionAuto(df: DataFrame, scoreCol: String, frac: Double,
+                          bins: Int = 8192): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac out of range: $frac")
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    // One stats pass serves both routes: the NDV decides the path, and
+    // min/max feed the binned variant directly so it skips its own
+    // bounds pass — either way the total is stats + histogram + filter,
+    // three scans, the same count as calling binned directly.
+    val stats = df.agg(approx_count_distinct(col(scoreCol)).as("__ndv"),
+      min(col(scoreCol)).cast("double").as("__mn"),
+      max(col(scoreCol)).cast("double").as("__mx")).head()
+    if (stats.isNullAt(0) || stats.getLong(0) <= bins)
+      keepTopFraction(df, scoreCol, frac)
+    else keepTopFractionBinnedWithBounds(df, scoreCol, frac, bins,
+      stats.getDouble(1), stats.getDouble(2))
+  }
+
   def keepTopFractionBinned(df: DataFrame, scoreCol: String, frac: Double,
                             bins: Int = 8192): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac out of range: $frac")
     require(bins >= 2, s"bins must be >= 2: $bins")
+    keepTopFractionBinnedCore(df, scoreCol, frac, bins, bounds = None)
+  }
+
+  /** [[keepTopFractionBinned]] with the score bounds already known (the
+    * [[keepTopFractionAuto]] seam: its routing stats pass computes exact
+    * min/max anyway, so the binned route must not re-scan for them).
+    */
+  private[graft] def keepTopFractionBinnedWithBounds(
+      df: DataFrame, scoreCol: String, frac: Double, bins: Int,
+      mn: Double, mx: Double): DataFrame =
+    keepTopFractionBinnedCore(df, scoreCol, frac, bins, bounds = Some((mn, mx)))
+
+  private def keepTopFractionBinnedCore(
+      df: DataFrame, scoreCol: String, frac: Double, bins: Int,
+      bounds: Option[(Double, Double)]): DataFrame = {
     // drop null scores up front (the exact variant's `score >= thr` drops
     // them implicitly) — left in, `least` would skip the NULL bin expr
     // and park them in the TOP bin: retained forever AND inflating the
     // top bin's mass against the threshold
     val scored = df.filter(col(scoreCol).isNotNull)
-    val mm = scored.agg(min(col(scoreCol)).cast("double").as("__mn"),
-      max(col(scoreCol)).cast("double").as("__mx"))
+    // bounds as plan literals when precomputed, else a broadcast 1-row
+    // relation — identical bin arithmetic either way (min/max are exact)
+    val withMm = bounds match {
+      case Some((mn, mx)) =>
+        scored.withColumn("__mn", lit(mn)).withColumn("__mx", lit(mx))
+      case None =>
+        scored.crossJoin(broadcast(
+          scored.agg(min(col(scoreCol)).cast("double").as("__mn"),
+            max(col(scoreCol)).cast("double").as("__mx"))))
+    }
     // constant scores (or a single row) degenerate to bin 0 = keep all
-    val binned = scored.crossJoin(broadcast(mm))
+    val binned = withMm
       .withColumn("__bin",
         when(col("__mx") === col("__mn"), lit(0))
           .otherwise(least(lit(bins - 1),

@@ -169,6 +169,45 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     assert(binned == exact)
   }
 
+  test("keepTopFractionAuto routes by NDV: exact for discrete, binned for continuous") {
+    import spark.implicits._
+    // discrete (4 values, bins=64): auto must take the exact path
+    val disc = (1 to 1000).map(i => (i.toLong, (i % 4).toDouble)).toDF("id", "score")
+    val exact = Sampling.keepTopFraction(disc, "score", 0.5)
+      .select("id").as[Long].collect().toSet
+    val autoD = Sampling.keepTopFractionAuto(disc, "score", 0.5, bins = 64)
+      .select("id").as[Long].collect().toSet
+    assert(autoD == exact, "auto on a discrete score must equal the exact variant")
+    // continuous (every value distinct, NDV >> bins): auto must take the
+    // binned path — identical kept set to calling binned directly, and
+    // the plan's histogram/window input is the quantized __bin column
+    // (bounded by `bins`), never the raw score's distinct-value set
+    val rnd = new scala.util.Random(7)
+    val cont = (1 to 5000).map(i => (i.toLong, rnd.nextDouble() * 10)).toDF("id", "score")
+    val autoC = Sampling.keepTopFractionAuto(cont, "score", 0.25, bins = 64)
+    val binnedC = Sampling.keepTopFractionBinned(cont, "score", 0.25, bins = 64)
+      .select("id").as[Long].collect().toSet
+    assert(autoC.select("id").as[Long].collect().toSet == binnedC,
+      "auto on a continuous score must equal the binned variant")
+    val windowAggs = autoC.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windowAggs.nonEmpty)
+    assert(windowAggs.forall(_.collectLeaves().nonEmpty))
+    // the unpartitioned cumulative window must consume the bounded bin
+    // histogram: its child aggregate groups by the __bin quantization,
+    // not the raw continuous score
+    val windowChildAggs = autoC.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+            a.groupingExpressions.map(_.references.map(_.name).mkString(","))
+        }
+    }.flatten.flatten
+    assert(windowChildAggs.exists(_.contains("__bin")),
+      s"window must aggregate over __bin, saw: $windowChildAggs")
+  }
+
   test("takeByBudget equals the cumsum-window definition on random data, any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
