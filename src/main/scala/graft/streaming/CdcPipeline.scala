@@ -226,9 +226,14 @@ object CdcPipeline {
     // C8 — schema-change events land in an append-only table without PK
     val ids = if (inferred.isSchemaChangeEvent) Seq.empty else inferred.identifierFields
 
+    // DVs-at-commit default ON for pipeline-managed tables (the
+    // reference's format-v3 default, IcebergTableWriterFactory.java:98-99)
+    // in `auto` mode — it bails per commit when the batch touches too many
+    // files to profit; user tableProperties override.
     val table = ManagedTable.loadOrCreate(spark, cfg.warehouse, tableName,
       inferred.tableSchema, ids, cfg.partitionSpecFor(tableName),
-      cfg.tableProperties + ("write.temporal-mode" -> TemporalMode.name(cfg.mapping.temporalMode)))
+      Map("write.mor.posdel-on-commit" -> "auto") ++
+        cfg.tableProperties + ("write.temporal-mode" -> TemporalMode.name(cfg.mapping.temporalMode)))
     val evolved = table.evolve(inferred.tableSchema, ids) // D6 (no-op guarded)
     if (evolved && cfg.parityTables) {
       // queryable schema-history parity record (IcebergSchemaHistory.java:134-177)

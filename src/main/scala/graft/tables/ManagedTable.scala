@@ -1216,7 +1216,16 @@ final class ManagedTable private (
     // sidecar replaces are exactly the in-subset scopes <= S.
     val posdels = entries.filter(_.kind == Manifest.PosDel)
     val dataEntries = entries.filterNot(_.kind == Manifest.PosDel)
-    val appliedUpTo = if (posdels.isEmpty) Long.MinValue else posdels.map(_.seq).max
+    // Chain coverage is PER PARTITION TUPLE (partitioned sidecars, round
+    // 6): a sidecar with tuple T at seq S asserts every equality scope of
+    // tuple T at seq ≤ S is materialized — scopes are partition-local on
+    // the single-epoch tables sidecars are restricted to, so tuples'
+    // chains advance independently. Unpartitioned tables degenerate to
+    // the original global rule (every entry carries the empty tuple).
+    val appliedByTuple = posdels.groupBy(_.partition)
+      .map { case (t, es) => t -> es.map(_.seq).max }
+    def appliedFor(t: Map[String, String]): Long =
+      appliedByTuple.getOrElse(t, Long.MinValue)
     val allPaths = dataEntries.map(e => new Path(tableDir, e.path).toString)
     val (scanned, evolveProjection) = scanGroups(allPaths)
     val knownPairRows =
@@ -1261,7 +1270,7 @@ final class ManagedTable private (
       .map { case (k, es) => k -> es.map(_.seq).min }
     val minEpochPresent = dataEntries.map(e => entryEpoch(e.seq)).min
     val delEntries = dataEntries.filter { e =>
-      e.kind == Manifest.Upsert && e.seq > appliedUpTo && {
+      e.kind == Manifest.Upsert && e.seq > appliedFor(e.partition) && {
         val ep = entryEpoch(e.seq)
         e.seq > minSeqByTE((e.partition, ep)) || ep > minEpochPresent
       }
@@ -1700,7 +1709,7 @@ final class ManagedTable private (
       return false
     }
     val prior = currentEntries
-    val dv = posdelOnCommit(flagged, prior, seq)
+    val dv = posdelOnCommit(prior, seq, entries)
     val committed = prior ++ entries ++ dv
     commitManifest(committed)
     // Bounded read amplification: a trickle stream accumulates one upsert
@@ -1743,102 +1752,147 @@ final class ManagedTable private (
     * down as `isin` prefilters, so the per-commit cost is proportional to
     * the matched file set, not the table.
     *
-    * Soundness: [[morResolve]] treats the max posdel seq as "every
-    * equality scope ≤ S is materialized", so a per-batch sidecar at this
-    * commit's seq is only legal when no OLDER scope is still
-    * unmaterialized — each commit's sidecar covers exactly its own scope
-    * and the chain covers every prefix. When the chain is broken (mode
-    * was just enabled on a table with live scopes, a batch exceeded the
-    * caps, a WAP publish landed scopes out of band) this returns None and
-    * every later commit does too, degrading to the status quo until
-    * [[materializePositionalDeletes]] catches the table up and restarts
-    * the chain. Never-partitioned tables only, like the materializer.
+    * Soundness: [[morResolve]] treats a tuple's max posdel seq as "every
+    * equality scope of that tuple ≤ S is materialized", so a per-batch
+    * sidecar at this commit's seq is only legal when no OLDER scope of
+    * the same tuple is still unmaterialized — each commit's sidecar
+    * covers exactly its own scope and the chain covers every prefix.
+    * When a tuple's chain is broken (mode was just enabled on a table
+    * with live scopes, a batch exceeded the caps, a WAP publish landed
+    * scopes out of band) that tuple degrades to the equality status quo;
+    * unpartitioned tables restart via [[materializePositionalDeletes]],
+    * partitioned tuples via [[compact]] (which clears scopes outright).
+    *
+    * Partitioned tables (round 6, reference parity — the reference
+    * writes DVs per data file on every commit): one sidecar PER TOUCHED
+    * PARTITION, carrying its tuple in the manifest entry so pruned reads
+    * keep pairs with their groups and [[morResolve]] advances each
+    * tuple's chain independently. Equality scopes are partition-local
+    * within a spec epoch, so a tuple's pairs can only name rows of that
+    * tuple's files; SINGLE-epoch tables only — after a partition
+    * evolution, cross-epoch scopes are global-on-ids and a tuple-scoped
+    * sidecar could not account for them (run [[compact]] to normalize,
+    * which also clears the scopes).
     */
-  private def posdelOnCommit(flagged: DataFrame, prior: Seq[ManifestEntry],
-                             seq: Long): Option[ManifestEntry] = {
+  private def posdelOnCommit(prior: Seq[ManifestEntry], seq: Long,
+                             newEntries: Seq[ManifestEntry]): Seq[ManifestEntry] = {
     val mode = _meta.properties.getOrElse("write.mor.posdel-on-commit", "off")
-    if (mode != "auto" && mode != "always") return None
-    if (isPartitioned || allEpochPartitionFields.nonEmpty) return None
+    if (mode != "auto" && mode != "always") return Seq.empty
+    if (specBoundaries.nonEmpty) return Seq.empty // multi-epoch: global scopes
+    if (!isPartitioned && allEpochPartitionFields.nonEmpty) return Seq.empty
     val ids = _meta.identifierFields
-    if (ids.isEmpty) return None
+    if (ids.isEmpty) return Seq.empty
     val posdels = prior.filter(_.kind == Manifest.PosDel)
-    val appliedUpTo = if (posdels.isEmpty) Long.MinValue else posdels.map(_.seq).max
     val dataPrior = prior.filterNot(_.kind == Manifest.PosDel)
-    val minSeq = dataPrior.map(_.seq).minOption.getOrElse(Long.MinValue)
-    // chain invariant: an older scope neither materialized nor trivially
-    // inert (min-seq groups hide nothing) forbids a higher-seq sidecar
-    if (dataPrior.exists(e =>
-        e.kind == Manifest.Upsert && e.seq > appliedUpTo && e.seq > minSeq))
-      return None
     val maxKeys = _meta.properties
       .getOrElse("write.mor.posdel-on-commit.max-keys", "10000").toInt
-    val keyRows = flagged.select(ids.map(col).toIndexedSeq: _*)
-      .distinct().limit(maxKeys + 1).collect()
-    if (keyRows.length > maxKeys) return None
-    val keys = keyRows.filterNot(_.anyNull) // null ids never match `===` scopes
-    val targets = dataPrior.filter(e =>
-      e.kind == Manifest.Data || e.kind == Manifest.Upsert)
-    val candidates = targets.filter { e =>
-      keys.exists { kr =>
-        ids.zipWithIndex.forall { case (c, i) =>
-          e.stats.get(c).forall(_.intersects(kr.get(i), kr.get(i))) &&
-            e.blooms.get(c).forall(b =>
-              b.mightContain(bloomPositions(c, kr.get(i), b.m, b.k)))
+    val frac = _meta.properties
+      .getOrElse("write.mor.posdel-on-commit.max-file-fraction", "0.25").toDouble
+
+    /** One tuple's sidecar: `tPrior` = the tuple's live groups, `keys` =
+      * the batch's identifier tuples landing in it. None = this tuple
+      * degrades to equality scopes (chain broken or caps exceeded).
+      */
+    def sidecarFor(tuple: Map[String, String], tPrior: Seq[ManifestEntry],
+                   keyRows: Array[Row]): Option[ManifestEntry] = {
+      val tApplied = posdels.filter(_.partition == tuple)
+        .map(_.seq).maxOption.getOrElse(Long.MinValue)
+      val tMin = tPrior.map(_.seq).minOption.getOrElse(Long.MinValue)
+      // chain invariant: an older scope of THIS tuple neither materialized
+      // nor trivially inert (min-seq groups hide nothing) forbids a
+      // higher-seq sidecar
+      if (tPrior.exists(e =>
+          e.kind == Manifest.Upsert && e.seq > tApplied && e.seq > tMin))
+        return None
+      if (keyRows.length > maxKeys) return None
+      val keys = keyRows.filterNot(_.anyNull) // null ids never match `===` scopes
+      val candidates = tPrior.filter { e =>
+        keys.exists { kr =>
+          ids.zipWithIndex.forall { case (c, i) =>
+            e.stats.get(c).forall(_.intersects(kr.get(i), kr.get(i))) &&
+              e.blooms.get(c).forall(b =>
+                b.mightContain(bloomPositions(c, kr.get(i), b.m, b.k)))
+          }
         }
       }
+      if (mode == "auto" && candidates.size > math.max(1.0, frac * tPrior.size))
+        return None
+      val rel = s"files/${Manifest.PosDel}-$seq-${java.util.UUID.randomUUID().toString.take(8)}"
+      val dir = new Path(tableDir, rel)
+      // an empty sidecar (pure-insert batch, or no candidates) is still
+      // committed: the chain invariant needs every scope ≤ S accounted for
+      val pairRows: Either[Array[Row], DataFrame] =
+        if (candidates.isEmpty || keys.isEmpty) Left(Array.empty[Row])
+        else {
+          val readSchema = StructType(physicalSchema.fields :+
+            StructField(SeqCol, LongType, nullable = false) :+
+            StructField(TombstoneCol, BooleanType, nullable = true))
+          val scan0 = spark.read.schema(readSchema).format(format)
+            .load(candidates.map(e => new Path(tableDir, e.path).toString): _*)
+          // per-column isin prefilters push to the parquet scan (row-group
+          // stats pruning); the broadcast semi-join makes the tuple exact
+          val prefilter = ids.zipWithIndex.map { case (c, i) =>
+            col(c).isin(keys.map(_.get(i)).distinct.toIndexedSeq: _*)
+          }.reduce(_ && _)
+          val keysDf = spark.createDataFrame(
+            java.util.Arrays.asList(keys: _*),
+            StructType(ids.map(n => physicalSchema(n).copy(nullable = false))))
+          val pairs = scan0.filter(prefilter)
+            .select(Seq(col("_metadata.file_path").as("file"),
+              col("_metadata.row_index").as("pos")) ++ ids.map(col) :+
+              coalesce(col(SeqCol), regexp_extract(col("_metadata.file_path"),
+                ManagedTable.GroupSeqPattern, 2).cast(LongType)).as(SeqCol): _*)
+            .filter(col(SeqCol) < lit(seq))
+            .join(broadcast(keysDf), ids, "left_semi")
+            .select(col("file"), col("pos"))
+          val maxLocal = 100000
+          val collected = pairs.limit(maxLocal + 1).collect()
+          if (collected.length <= maxLocal) Left(collected) else Right(pairs)
+        }
+      Some(pairRows match {
+        case Left(rows) if format == "parquet" =>
+          fs.mkdirs(dir)
+          LocalCommit.writeParquet(spark, new Path(dir, "part-00000.parquet"),
+            ManagedTable.PosDelSchema, rows.toSeq)
+          ManifestEntry(rel, Manifest.PosDel, seq, partition = tuple,
+            rows = rows.length.toLong)
+        case Left(rows) =>
+          val df = spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), ManagedTable.PosDelSchema)
+          df.repartition(1).write.mode("overwrite").format(format).save(dir.toString)
+          ManifestEntry(rel, Manifest.PosDel, seq, partition = tuple,
+            rows = rows.length.toLong)
+        case Right(pairs) =>
+          pairs.repartition(1).write.mode("overwrite").format(format).save(dir.toString)
+          ManifestEntry(rel, Manifest.PosDel, seq, partition = tuple)
+      })
     }
-    if (mode == "auto") {
-      val frac = _meta.properties
-        .getOrElse("write.mor.posdel-on-commit.max-file-fraction", "0.25").toDouble
-      if (candidates.size > math.max(1.0, frac * targets.size)) return None
-    }
-    val rel = s"files/${Manifest.PosDel}-$seq-${java.util.UUID.randomUUID().toString.take(8)}"
-    val dir = new Path(tableDir, rel)
-    // an empty sidecar (pure-insert batch, or no candidates) is still
-    // committed: the chain invariant needs every scope ≤ S accounted for
-    val pairRows: Either[Array[Row], DataFrame] =
-      if (candidates.isEmpty || keys.isEmpty) Left(Array.empty[Row])
+
+    // Keys come from the just-written group files, never from `flagged`:
+    // re-evaluating the batch DataFrame would re-run its whole upstream
+    // plan (a CDC batch's decode pipeline — the pipeline spec asserts
+    // decode-once), while the staged files are a cheap column-pruned
+    // local read AND the canonical record of which tuple each row landed
+    // in. A tuple with no prior groups needs no sidecar: its scope is the
+    // tuple minimum, which hides nothing and never breaks the chain.
+    def keysOf(groups: Seq[ManifestEntry]): Array[Row] =
+      if (groups.isEmpty) Array.empty
       else {
-        val readSchema = StructType(physicalSchema.fields :+
-          StructField(SeqCol, LongType, nullable = false) :+
-          StructField(TombstoneCol, BooleanType, nullable = true))
-        val scan0 = spark.read.schema(readSchema).format(format)
-          .load(candidates.map(e => new Path(tableDir, e.path).toString): _*)
-        // per-column isin prefilters push to the parquet scan (row-group
-        // stats pruning); the broadcast semi-join makes the tuple exact
-        val prefilter = ids.zipWithIndex.map { case (c, i) =>
-          col(c).isin(keys.map(_.get(i)).distinct.toIndexedSeq: _*)
-        }.reduce(_ && _)
-        val keysDf = spark.createDataFrame(
-          java.util.Arrays.asList(keys: _*),
-          StructType(ids.map(n => physicalSchema(n).copy(nullable = false))))
-        val pairs = scan0.filter(prefilter)
-          .select(Seq(col("_metadata.file_path").as("file"),
-            col("_metadata.row_index").as("pos")) ++ ids.map(col) :+
-            coalesce(col(SeqCol), regexp_extract(col("_metadata.file_path"),
-              ManagedTable.GroupSeqPattern, 2).cast(LongType)).as(SeqCol): _*)
-          .filter(col(SeqCol) < lit(seq))
-          .join(broadcast(keysDf), ids, "left_semi")
-          .select(col("file"), col("pos"))
-        val maxLocal = 100000
-        val collected = pairs.limit(maxLocal + 1).collect()
-        if (collected.length <= maxLocal) Left(collected) else Right(pairs)
+        val keySchema = StructType(ids.map(n => physicalSchema(n)))
+        spark.read.schema(keySchema).format(format)
+          .load(groups.map(e => new Path(tableDir, e.path).toString): _*)
+          .distinct().limit(maxKeys + 1).collect()
       }
-    pairRows match {
-      case Left(rows) if format == "parquet" =>
-        fs.mkdirs(dir)
-        LocalCommit.writeParquet(spark, new Path(dir, "part-00000.parquet"),
-          ManagedTable.PosDelSchema, rows.toSeq)
-        Some(ManifestEntry(rel, Manifest.PosDel, seq, rows = rows.length.toLong))
-      case Left(rows) =>
-        val df = spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), ManagedTable.PosDelSchema)
-        df.repartition(1).write.mode("overwrite").format(format).save(dir.toString)
-        Some(ManifestEntry(rel, Manifest.PosDel, seq, rows = rows.length.toLong))
-      case Right(pairs) =>
-        pairs.repartition(1).write.mode("overwrite").format(format).save(dir.toString)
-        Some(ManifestEntry(rel, Manifest.PosDel, seq))
-    }
+    val written = newEntries.filter(e => e.kind == Manifest.Upsert && e.rows != 0L)
+    if (!isPartitioned)
+      sidecarFor(Map.empty, dataPrior, keysOf(written)).toSeq
+    else
+      written.groupBy(_.partition).toSeq.sortBy(_._1.toString).flatMap {
+        case (tuple, groups) =>
+          val tPrior = dataPrior.filter(_.partition == tuple)
+          if (tPrior.isEmpty) None
+          else sidecarFor(tuple, tPrior, keysOf(groups))
+      }
   }
 
   // ------------------------------------------------------------- row-level DML

@@ -208,6 +208,59 @@ class ChaosDifferentialSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  for (seed <- Seq(17)) {
+    test(s"partitioned DV-at-commit chaos: per-tuple sidecar chains ≡ model (seed $seed)") {
+      val rnd = new Random(seed)
+      val cfg = CdcApply.UpsertConfig(keepDeletes = false)
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-dvpchaos$seed").toString
+      val schema = randomBatch(rnd, 1).schema
+      var t = ManagedTable.create(spark, wh, "dvpchaos", schema, Seq("id"),
+        partitionBy = Seq("bucket(2,id)"),
+        properties = Map(
+          "write.mor.posdel-on-commit" -> "always",
+          "write.mor.compact-after-upserts" -> "3",
+          "write.versions-retained" -> "8"))
+      var model = t.read()
+      for (step <- 1 to 30) {
+        rnd.nextInt(8) match {
+          case 0 => t.compactMinor()
+          case 1 => t.compact()
+          // (no materializePositionalDeletes branch: it is unpartitioned-
+          // only; partitioned tuple chains restart via compact())
+          case 2 => Maintenance.run(t,
+            Maintenance.Policy(maxTrickleGroups = 2 + rnd.nextInt(3))): Unit
+          case 3 => t = ManagedTable.load(spark, wh, "dvpchaos").get
+          case 4 =>
+            val cut = s"p${rnd.nextInt(1000)}"
+            t.deleteWhere(col("name") < cut)
+            model = model.filter(!(col("name") < cut)).persist()
+          case 5 =>
+            val cut = s"p${rnd.nextInt(1000)}"
+            t.updateWhere(col("name") >= cut,
+              Map("__op" -> concat(col("__op"), lit("y"))))
+            model = model.withColumn("__op",
+              when(col("name") >= cut, concat(col("__op"), lit("y")))
+                .otherwise(col("__op"))).persist()
+          case 6 =>
+            val batch = List.fill(6)((rnd.nextInt(6), s"bf${rnd.nextInt(100)}",
+              ops(rnd.nextInt(5)), rnd.nextInt(5).toLong))
+              .toDF("id", "name", "__op", "__source_ts_ns")
+            t.overwriteWhere(col("id") < 6, batch)
+            model = model.filter(col("id") >= 6).unionByName(batch).persist()
+          case _ =>
+            val batch = randomBatch(rnd, 15)
+            t.merge(batch, cfg)
+            model = CdcApply.upsert(model, batch, Seq("id"), cfg).persist()
+        }
+        if (step % 4 == 0)
+          assert(canon(t.read()) == canon(model), s"diverged at step $step")
+      }
+      assert(canon(t.read()) == canon(model), "diverged at end")
+      val re = ManagedTable.load(spark, wh, "dvpchaos").get
+      assert(canon(re.read()) == canon(model), "reload diverged")
+    }
+  }
+
   /** Adoption chaos: [[ManagedTable.addFiles]] interleaved with merges,
     * DML, maintenance tiers and reloads on an unpartitioned table. An
     * adoption models as an APPEND of the same rows (data-kind group,

@@ -64,6 +64,73 @@ class DvOnCommitSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("partitioned DV-at-commit ≡ relational fold; per-tuple sidecars; pruned reads apply pairs") {
+    val rnd = new Random(21)
+    val cfg = CdcApply.UpsertConfig(keepDeletes = false)
+    val wh = java.nio.file.Files.createTempDirectory("graft-dvp").toString
+    val schema = randomBatch(rnd, 1).schema
+    val t = ManagedTable.create(spark, wh, "dvp", schema, Seq("id"),
+      partitionBy = Seq("bucket(2,id)"),
+      properties = Map(
+        "write.mor.posdel-on-commit" -> "always",
+        "write.mor.compact-after-upserts" -> "4"))
+    var folded = t.read()
+    for (i <- 1 to 6) {
+      val batch = randomBatch(rnd, 40)
+      t.merge(batch, cfg)
+      folded = CdcApply.upsert(folded, batch, Seq("id"), cfg).persist()
+      assert(canon(t.read()) == canon(folded), s"diverged at batch $i")
+    }
+    // sidecars exist, one chain per tuple, each carrying its tuple in the
+    // manifest so pruned reads keep pairs with their groups
+    val meta = t.filesMetadata().select("kind", "seq", "partition").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getMap[String, String](2).get("id_bucket").orNull))
+    val pd = meta.filter(_._1 == Manifest.PosDel)
+    assert(pd.nonEmpty && pd.forall(_._3 != null), s"sidecars missing tuples: ${pd.toSeq}")
+    // per-tuple chain coverage: the newest sidecar of every tuple covers
+    // that tuple's newest upsert scope (min-seq scopes are inert)
+    val upMax = meta.filter(_._1 == Manifest.Upsert).groupBy(_._3)
+      .map { case (b, es) => b -> es.map(_._2).max }
+    val tupleMin = meta.filter(t => t._1 != Manifest.PosDel).groupBy(_._3)
+      .map { case (b, es) => b -> es.map(_._2).min }
+    val pdMax = pd.groupBy(_._3).map { case (b, es) => b -> es.map(_._2).max }
+    upMax.foreach { case (b, s) =>
+      if (s > tupleMin(b))
+        assert(pdMax.get(b).contains(s), s"tuple $b: newest scope $s uncovered ($pdMax)")
+    }
+    // pruned per-tuple reads (pairs applied in-prune) reassemble the table
+    val full = canon(t.read())
+    val parts = Seq("0", "1").map(b =>
+      canon(t.readPartitions(p => p.get("id_bucket").contains(b))))
+    assert(parts.forall(_.nonEmpty))
+    assert(parts.flatten.sortBy(x => x) == full, "pruned reads diverge from the full read")
+    t.compact()
+    assert(canon(t.read()) == canon(folded), "compaction changed the visible state")
+    val re = ManagedTable.load(spark, wh, "dvp").get
+    assert(canon(re.read()) == canon(folded))
+  }
+
+  test("partitioned mid-life enable: broken tuple chains degrade to equality; compact restarts them") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-dvp-chain").toString
+    def batch(ids: Range): DataFrame =
+      ids.map(i => (i, s"v$i", "u", 1L)).toDF("id", "name", "__op", "__source_ts_ns")
+    val t = ManagedTable.create(spark, wh, "pchain", batch(0 to 0).schema, Seq("id"),
+      partitionBy = Seq("bucket(2,id)"))
+    t.merge(batch(0 until 40))
+    t.merge(batch(10 until 30)) // live per-tuple scopes, never materialized
+    t.setProperties(Map("write.mor.posdel-on-commit" -> "always"))
+    t.merge(batch(20 until 35))
+    // a sidecar would illegally cover the older unmaterialized scopes
+    assert(posdelSeqs(t).isEmpty, "sidecar written over an unmaterialized older scope")
+    assert(t.read().count() == 40)
+    t.compact() // clears equality scopes outright → chains restart clean
+    t.merge(batch(0 until 5))
+    assert(posdelSeqs(t).nonEmpty, "chain did not restart after compact")
+    assert(t.read().count() == 40)
+    assert(t.read().where(col("id") === 2).select("name").head().getString(0) == "v2")
+  }
+
   test("broken chain degrades to equality scopes; the maintenance materializer restarts it") {
     val wh = java.nio.file.Files.createTempDirectory("graft-dv-chain").toString
     def batch(ids: Range): DataFrame =
