@@ -3034,6 +3034,42 @@ object Queries {
       |  (h * ((w // 2) * (doc_id * 7 % 256) + (w - w // 2) * (doc_id * 17 % 256)))::BIGINT AS sum_b
       |FROM p""".stripMargin))
 
+  /** REAL audio decode under the hash oracle ([[graft.multimodal
+    * .AudioKernels]], JDK `javax.sound.sampled` WAV codec): each doc_id
+    * becomes a closed-form PCM16 WAV (id-derived channel count, frame
+    * count, and integer samples), the kernel decodes it back through
+    * AudioSystem and computes duration / per-channel sum+peak — and
+    * DuckDB reproduces every value arithmetically from the id alone. A
+    * wrong header parse, endianness, channel de-interleave, or sample
+    * decode shifts a sum and fails the hash; all values are exact
+    * integers.
+    */
+  val multimodalAudioStats = Q("multimodal_audio_stats",
+    (s, dir) => {
+      val assets = graft.multimodal.AudioKernels.synthesizeWavs(s,
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.extractFeatures(s, assets, "content", "asset_id",
+          graft.multimodal.AudioKernels.audioStatsExtractor)
+        .select(col("asset_id"),
+          element_at(col("features"), 1).cast("int").as("channels"),
+          element_at(col("features"), 2).cast("int").as("sample_rate"),
+          element_at(col("features"), 3).cast("long").as("n_frames"),
+          element_at(col("features"), 4).cast("long").as("duration_ms"),
+          element_at(col("features"), 5).cast("long").as("sum0"),
+          element_at(col("features"), 6).cast("long").as("sum1"),
+          element_at(col("features"), 7).cast("long").as("peak0"),
+          element_at(col("features"), 8).cast("long").as("peak1"))
+    },
+    Some("""WITH p AS (SELECT doc_id, (1 + doc_id % 2)::BIGINT AS ch,
+      |    (64 + doc_id % 64)::BIGINT AS n FROM documents)
+      |SELECT doc_id AS asset_id, ch::INT AS channels, 8000::INT AS sample_rate,
+      |  n AS n_frames, (n * 1000 // 8000)::BIGINT AS duration_ms,
+      |  list_sum([(doc_id*3 + 7*i) % 4096 - 2048 for i in range(0, n)])::BIGINT AS sum0,
+      |  (CASE WHEN ch = 2 THEN list_sum([(doc_id*5 + 7*i) % 4096 - 2048 for i in range(0, n)]) ELSE 0 END)::BIGINT AS sum1,
+      |  list_max([abs((doc_id*3 + 7*i) % 4096 - 2048) for i in range(0, n)])::BIGINT AS peak0,
+      |  (CASE WHEN ch = 2 THEN list_max([abs((doc_id*5 + 7*i) % 4096 - 2048) for i in range(0, n)]) ELSE 0 END)::BIGINT AS peak1
+      |FROM p""".stripMargin))
+
   // ------------------------------------------------- as-of / temporal joins
 
   /** Backward as-of join: each click/view event picks up the user's most
@@ -3680,7 +3716,7 @@ object Queries {
     dedupSimhash, dedupJaccard, dedupEmbedding, dedupSpans, dedupLines, dedupSemantic,
     knnBrute, knnLsh, knnIvf, knnJoinGraph, embeddingQuantize, embeddingPqCode,
     qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
-    multimodalMeta, multimodalFeatures, multimodalPixelStats,
+    multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
     dmlDelete, dmlUpdate, dmlMerge, dmlOverwriteWhere, tableOverwritePartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)

@@ -12,8 +12,9 @@ import org.apache.spark.sql.types._
 /** REAL image kernels over the [[Multimodal]] plumbing, built on the
   * JDK's own codecs (`javax.imageio` ships PNG/JPEG/BMP/GIF readers — no
   * external libraries): decode, pixel statistics, resize, PNG encode.
-  * Audio/video kernels stay behind the stub seam ([[Multimodal]]) — the
-  * JDK carries no codecs for those.
+  * Audio has its own real kernels ([[AudioKernels]], `javax.sound
+  * .sampled`); only video stays behind the stub seam ([[Multimodal]]) —
+  * the JDK carries no video codec.
   *
   * Everything runs inside the [[Multimodal.extractFeatures]] /
   * [[Multimodal.transformContent]] mapPartitions boundary, so the

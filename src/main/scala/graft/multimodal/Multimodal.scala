@@ -11,13 +11,14 @@ import org.apache.spark.sql.types._
   *
   * IMAGE kernels are REAL — [[ImageKernels]] decodes/resizes/encodes
   * through the JDK's own `javax.imageio` codecs (PNG/JPEG/BMP/GIF) inside
-  * this plumbing. Audio/video kernels stay STUBBED behind
-  * [[FeatureExtractor]]/[[FrameSampler]] (the JDK carries no codecs for
-  * those; this container has no external media libraries): the
-  * deterministic fakes keep those pipelines testable end to end, and a
-  * real implementation swaps the function, nothing else — the
-  * `mapPartitions` boundary, the output schema, and the partitioning
-  * contract stay identical.
+  * this plumbing. AUDIO kernels are REAL too — [[AudioKernels]] decodes
+  * WAV/AIFF/AU PCM through `javax.sound.sampled.AudioSystem`, also
+  * JDK-native and headless. Only VIDEO stays STUBBED behind
+  * [[FrameSampler]] (the JDK genuinely carries no video codec; this
+  * container has no external media libraries): the deterministic fake
+  * keeps that pipeline testable end to end, and a real implementation
+  * swaps the function, nothing else — the `mapPartitions` boundary, the
+  * output schema, and the partitioning contract stay identical.
   */
 object Multimodal {
 
@@ -55,10 +56,10 @@ object Multimodal {
     */
   type FeatureExtractor = Array[Byte] => Array[Float]
 
-  /** STUB decode — deterministic fake standing in for a real image/audio
-    * decoder (none available in this environment). Produces a stable
-    * 8-dim "feature" from content bytes so downstream stages (ANN, dedup)
-    * are exercised with real plumbing.
+  /** STUB decode — deterministic fake standing in for a real decoder
+    * (see [[ImageKernels]]/[[AudioKernels]] for the real ones). Produces
+    * a stable 8-dim "feature" from content bytes so downstream stages
+    * (ANN, dedup) are exercised with real plumbing.
     */
   val stubExtractor: FeatureExtractor = bytes => {
     if (bytes == null) Array.fill(8)(0f)
