@@ -655,6 +655,58 @@ object Queries {
       |  o_totalprice * 0.5 AS o_totalprice, o_orderpriority
       |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin))
 
+  /** Manifest-answered SQL aggregates under the oracle
+    * ([[graft.plans.ResolveGraftDdl]]): `count(*)` / `min` / `max` over
+    * an all-data graft table answer from the manifest's row counts and
+    * column bounds — LocalRelation plans, ZERO file scans (the
+    * Iceberg snapshot-summary answer: milliseconds instead of a 100 TB
+    * scan). The query function REQUIRES the scan-free plan shape at
+    * runtime, so this row fails if the rewrite ever stops firing, and
+    * the DuckDB oracle pins the VALUES against the raw parquet.
+    */
+  val sqlManifestAgg = Q("sql_manifest_agg",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_sqlma").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_ma",
+        base.schema, Seq("o_orderkey"))
+      tbl.append(base)
+      val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+      val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      try {
+        val b = org.apache.spark.sql.SparkSession.builder()
+          .master(s.sparkContext.master)
+          .withExtensions(new graft.GraftExtensions().apply(_))
+        s.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+        val s2 = b.getOrCreate()
+        s2.conf.set("spark.graft.warehouse", wh)
+        // the rewrite fires on bare single-aggregate projects only (the
+        // guard that keeps WHERE/GROUP BY off the metadata path), so the
+        // three aggregates are three statements combined locally
+        val parts = Seq(
+          s2.sql("SELECT count(*) AS n_rows FROM graft.orders_ma"),
+          s2.sql("SELECT min(o_orderkey) AS min_key FROM graft.orders_ma"),
+          s2.sql("SELECT max(o_orderkey) AS max_key FROM graft.orders_ma"))
+        parts.foreach { d =>
+          require(d.queryExecution.optimizedPlan.collectLeaves().forall(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+            "manifest-answered aggregate did not produce a scan-free plan:\n" +
+              d.queryExecution.optimizedPlan)
+        }
+        parts.reduce(_ crossJoin _)
+      } finally {
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        org.apache.spark.sql.SparkSession.clearDefaultSession()
+        prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+        prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      }
+    },
+    Some("""SELECT count(*)::BIGINT AS n_rows,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders""".stripMargin))
+
   /** Mergeable HLL sketch rollup ([[graft.operators.SketchRollup]],
     * Spark's Datasketches functions): per-day distinct-user sketches
     * built once from raw events — every later range/rollup question
@@ -3718,7 +3770,7 @@ object Queries {
     qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlUpdate, dmlMerge, dmlOverwriteWhere, tableOverwritePartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlUpdate, dmlMerge, dmlOverwriteWhere, tableOverwritePartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
