@@ -99,7 +99,49 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc_events_per_sec":$eps,"cdc_trickle_events_per_sec":$trickleEps$soakJson,"sf":"$sfDir"}""")
+    // The artifact keeps only the LAST ~2000 chars of output, which with
+    // 145 queries truncates the full line above mid-map. Print a compact
+    // digest LAST — totals, per-family rollups (count/sum/max), the ten
+    // slowest queries, and >1.5× regressions vs the newest parseable
+    // BENCH_r*.json — sized to survive the tail whole.
+    println(digestLine(results, total, eps, trickleEps, soakJson))
     spark.stop()
+  }
+
+  private def digestLine(results: Seq[(String, Double)], total: Double,
+                         eps: Double, trickleEps: Double, soakJson: String): String = {
+    def f3(d: Double) = f"$d%.3f"
+    val families = results.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
+      .map { case (fam, qs) =>
+        s""""$fam":{"n":${qs.size},"sum":${f3(qs.map(_._2).sum)},"max":${f3(qs.map(_._2).max)}}"""
+      }.mkString("{", ",", "}")
+    val top = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    // regressions vs the previous round's artifact, best-effort (the old
+    // artifact may itself be tail-truncated → unparseable → omit)
+    val regr = try {
+      val files = new java.io.File(".").listFiles()
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      files.lastOption.map { f =>
+        val txt = scala.io.Source.fromFile(f).mkString
+        val m = """"(\w+)":([0-9.]+)""".r
+        val prev = m.findAllMatchIn(txt)
+          .map(x => x.group(1) -> x.group(2).toDouble).toMap
+        results.flatMap { case (k, v) =>
+          prev.get(k).filter(p => p > 0.05 && v / p > 1.5)
+            .map(p => "\"" + k + "\":" + f"${v / p}%.2f")
+        }.mkString("{", ",", "}")
+      }.getOrElse("{}")
+    } catch { case _: Throwable => "{}" }
+    // soak ratios only (the full soak JSON already printed above)
+    val soakRatio = """"suite_scale_ratio":([0-9.]+)""".r
+      .findFirstMatchIn(soakJson).map(_.group(1)).getOrElse("null")
+    val flat = """"cdc_batch_flatness":([0-9.]+)""".r
+      .findFirstMatchIn(soakJson).map(_.group(1)).getOrElse("null")
+    s"""{"digest":1,"n_queries":${results.size},"total_sec":${f3(total)},""" +
+      s""""cdc_events_per_sec":${f3(eps)},"cdc_trickle_events_per_sec":${f3(trickleEps)},""" +
+      s""""soak_scale_ratio":$soakRatio,"cdc_batch_flatness":$flat,""" +
+      s""""families":$families,"slowest":$top,"regressions_vs_prev":$regr}"""
   }
 
   /** BASELINE.md's rebuild bench definition: events/sec through the full
