@@ -1661,11 +1661,104 @@ final class ManagedTable private (
   private def mergeOnRead(batch: DataFrame, cfg: CdcApply.UpsertConfig): Unit = {
     val ids = _meta.identifierFields
     val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
-    val winners = CdcApply.batchWinners(conformed, ids, cfg)
-    val flagged = winners.withColumn(TombstoneCol,
-      if (cfg.keepDeletes) lit(false)
-      else CdcApply.isDelete(cfg.opColumn)) // null-safe: same predicate as the relational fold
-    commitUpsertBatch(flagged)
+    localWinners(conformed, ids, cfg) match {
+      case Some(flagged) => commitUpsertBatch(flagged)
+      case None =>
+        val winners = CdcApply.batchWinners(conformed, ids, cfg)
+        val flagged = winners.withColumn(TombstoneCol,
+          if (cfg.keepDeletes) lit(false)
+          else CdcApply.isDelete(cfg.opColumn)) // null-safe: same predicate as the relational fold
+        commitUpsertBatch(flagged)
+    }
+  }
+
+  /** Driver-side C2 dedup for trickle micro-batches — the merge twin of
+    * [[LocalCommit]]: a few-thousand-row batch rooted in a LocalRelation
+    * pays ~120 ms of Spark machinery (a 32-partition `max_by` shuffle
+    * under AQE) to dedup rows that fit in one array, which at the
+    * reference's 2048-event commit unit is most of the per-batch cost.
+    * This replays the EXACT winner semantics in driver code — the
+    * reference's own HashMap fold (IcebergTableOperator.java:58-92):
+    * per key keep the max by (dedup column long, op priority), equality
+    * favoring the later arrival — and hands [[commitUpsertBatch]] a
+    * LocalRelation, so the whole merge runs without a shuffle job.
+    *
+    * Returns None (distributed path) whenever exactness could be at
+    * risk: non-local/large plans, timestamp-typed or non-integral dedup
+    * columns (their cast semantics live in [[graft.cdc.Dedup]]), binary
+    * identifier columns (driver equality would compare references),
+    * missing dedup/op columns (the distributed path raises the canonical
+    * errors), or a null identifier under the Fail policy (Spark raises
+    * the canonical USER_RAISED_EXCEPTION). The differential safety net is
+    * the existing battery: MorEquivalenceSpec / chaos folds compute their
+    * models through the DISTRIBUTED [[CdcApply.upsert]], so every run
+    * checks this path against it.
+    */
+  private def localWinners(conformed: DataFrame, ids: Seq[String],
+                           cfg: CdcApply.UpsertConfig): Option[DataFrame] = {
+    import graft.cdc.Operation
+    val maxRows = _meta.properties.getOrElse("write.local-commit-max-rows", "20000").toInt
+    val leaves = conformed.queryExecution.logical.collectLeaves()
+    val smallLocal = maxRows > 0 && leaves.nonEmpty && leaves.forall {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.length <= maxRows
+      case _ => false
+    } && LocalCommit.writableSchema(conformed.schema)
+    if (!smallLocal) return None
+    val schema = conformed.schema
+    val cols = schema.fieldNames
+    if (!cols.contains(cfg.opColumn)) return None
+    if (ids.exists(c => schema(c).dataType == BinaryType)) return None
+    val dedupIdx: Option[Int] =
+      if (!cfg.runDedup) None
+      else if (!cols.contains(cfg.dedupColumn)) return None
+      else schema(cfg.dedupColumn).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(schema.fieldIndex(cfg.dedupColumn))
+        case _ => return None
+      }
+    val rows = conformed.collect()
+    val pkIdx = ids.map(schema.fieldIndex)
+    val guarded = cfg.nullKeyPolicy match {
+      case CdcApply.NullKeyPolicy.Fail =>
+        if (rows.exists(r => pkIdx.exists(r.isNullAt))) return None
+        rows
+      case _ => rows.filterNot(r => pkIdx.exists(r.isNullAt))
+    }
+    val opIdx = schema.fieldIndex(cfg.opColumn)
+    def prio(r: Row): Int = r.get(opIdx) match {
+      case s: String => Operation.priority.getOrElse(s, 0)
+      case _         => 0
+    }
+    val winners: Seq[Row] = dedupIdx match {
+      case None => guarded.toSeq
+      case Some(di) =>
+        def ts(r: Row): Long = r.get(di) match {
+          case null                 => Long.MinValue
+          case n: java.lang.Number  => n.longValue()
+          case _                    => Long.MinValue // unreachable (type-gated)
+        }
+        val m = new java.util.LinkedHashMap[Seq[Any], Row]()
+        guarded.foreach { r =>
+          val k = pkIdx.map(r.get)
+          val prev = m.get(k)
+          // replace when new >= old on (ts, prio) — the reference fold's
+          // compare(old,new) <= 0: equality favors the later arrival
+          if (prev == null || ts(r) > ts(prev) ||
+              (ts(r) == ts(prev) && prio(r) >= prio(prev)))
+            m.put(k, r)
+        }
+        import scala.jdk.CollectionConverters._
+        m.values.asScala.toSeq
+    }
+    val tomb: Row => Boolean =
+      if (cfg.keepDeletes) _ => false
+      else r => r.get(opIdx) == Operation.Delete
+    val outSchema = StructType(schema.fields :+
+      StructField(TombstoneCol, BooleanType, nullable = false))
+    val out = winners.map(r => Row.fromSeq(r.toSeq :+ tomb(r)))
+    import scala.jdk.CollectionConverters._
+    Some(spark.createDataFrame(out.asJava, outSchema))
   }
 
   /** Write a schema+[[TombstoneCol]] batch as ONE upsert commit: the
@@ -1794,16 +1887,19 @@ final class ManagedTable private (
       * degrades to equality scopes (chain broken or caps exceeded).
       */
     def sidecarFor(tuple: Map[String, String], tPrior: Seq[ManifestEntry],
-                   keyRows: Array[Row]): Option[ManifestEntry] = {
+                   keyRowsLazy: => Array[Row]): Option[ManifestEntry] = {
       val tApplied = posdels.filter(_.partition == tuple)
         .map(_.seq).maxOption.getOrElse(Long.MinValue)
       val tMin = tPrior.map(_.seq).minOption.getOrElse(Long.MinValue)
       // chain invariant: an older scope of THIS tuple neither materialized
       // nor trivially inert (min-seq groups hide nothing) forbids a
-      // higher-seq sidecar
+      // higher-seq sidecar. Checked BEFORE the key read-back (by-name
+      // param): once a chain is broken, every later commit bails here and
+      // must not pay a per-batch Spark job just to discover that.
       if (tPrior.exists(e =>
           e.kind == Manifest.Upsert && e.seq > tApplied && e.seq > tMin))
         return None
+      val keyRows = keyRowsLazy
       if (keyRows.length > maxKeys) return None
       val keys = keyRows.filterNot(_.anyNull) // null ids never match `===` scopes
       val candidates = tPrior.filter { e =>
