@@ -121,12 +121,23 @@ object Bench {
     // artifact may itself be tail-truncated → unparseable → omit)
     val regr = try {
       val files = new java.io.File(".").listFiles()
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt) // r9 < r10
       files.lastOption.map { f =>
-        val txt = scala.io.Source.fromFile(f).mkString
+        val full = scala.io.Source.fromFile(f).mkString
+        // never read baselines out of a previous digest's OWN regressions
+        // map — those values are ratios, not seconds
+        val txt = full.indexOf("regressions_vs_prev") match {
+          case -1 => full
+          case i  => full.take(i)
+        }
         val m = """"(\w+)":([0-9.]+)""".r
+        // first match per key: the full queries map precedes any digest
         val prev = m.findAllMatchIn(txt)
-          .map(x => x.group(1) -> x.group(2).toDouble).toMap
+          .map(x => x.group(1) -> x.group(2).toDouble).toSeq
+          .foldLeft(Map.empty[String, Double]) { case (acc, (k, v)) =>
+            if (acc.contains(k)) acc else acc + (k -> v)
+          }
         results.flatMap { case (k, v) =>
           prev.get(k).filter(p => p > 0.05 && v / p > 1.5)
             .map(p => "\"" + k + "\":" + f"${v / p}%.2f")

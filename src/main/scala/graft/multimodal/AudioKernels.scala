@@ -92,7 +92,8 @@ object AudioKernels {
     ids.select(col(idCol).cast(LongType)).mapPartitions { rows =>
       rows.map { r =>
         val id = Multimodal.requireId(r)
-        Row(id, "audio/wav", encodeWav(syntheticPcm(id), 1 + (id % 2).toInt, SynthRate))
+        Row(id, "audio/wav",
+          encodeWav(syntheticPcm(id), 1 + Math.floorMod(id, 2).toInt, SynthRate))
       }
     }(enc)
   }
@@ -103,14 +104,19 @@ object AudioKernels {
     * so specs can check the generator itself.
     */
   def syntheticPcm(id: Long): Array[Short] = {
-    val ch = 1 + (id % 2).toInt
-    val n = 64 + (id % 64).toInt
+    // floorMod everywhere: Scala's sign-preserving % would make a negative
+    // id produce 0 channels / <64 frames / shifted samples (the synthetic
+    // tables only carry non-negative ids, where floorMod ≡ %, but the
+    // generator must not silently degenerate on other inputs)
+    val ch = 1 + Math.floorMod(id, 2).toInt
+    val n = 64 + Math.floorMod(id, 64).toInt
     val out = new Array[Short](n * ch)
     var i = 0
     while (i < n) {
       var c = 0
       while (c < ch) {
-        out(i * ch + c) = (((id * (3 + 2 * c) + 7L * i) % 4096) - 2048).toShort
+        out(i * ch + c) =
+          (Math.floorMod(id * (3 + 2 * c) + 7L * i, 4096) - 2048).toShort
         c += 1
       }
       i += 1

@@ -1708,7 +1708,17 @@ final class ManagedTable private (
     val schema = conformed.schema
     val cols = schema.fieldNames
     if (!cols.contains(cfg.opColumn)) return None
-    if (ids.exists(c => schema(c).dataType == BinaryType)) return None
+    // identifier types whose DRIVER JVM equality matches Spark SQL
+    // grouping equality. Excluded: Float/Double (SQL grouping normalizes
+    // -0.0 == 0.0; java.lang.Double.equals does not), Binary (reference
+    // equality), and all non-atomic types
+    def safeKeyType(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           BooleanType | DateType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true // fixed column scale ⇒ scale-stable equals
+      case _ => false
+    }
+    if (!ids.forall(c => safeKeyType(schema(c).dataType))) return None
     val dedupIdx: Option[Int] =
       if (!cfg.runDedup) None
       else if (!cols.contains(cfg.dedupColumn)) return None

@@ -14,9 +14,9 @@ class AudioKernelsSpec extends AnyFunSuite with SharedSpark {
   import spark.implicits._
 
   test("WAV encode → AudioSystem decode round-trips the exact PCM samples") {
-    for (id <- Seq(0L, 1L, 7L, 63L, 64L)) {
+    for (id <- Seq(0L, 1L, 7L, 63L, 64L, -1L, -63L)) {
       val pcm = AudioKernels.syntheticPcm(id)
-      val ch = 1 + (id % 2).toInt
+      val ch = 1 + Math.floorMod(id, 2).toInt
       val wav = AudioKernels.encodeWav(pcm, ch, AudioKernels.SynthRate)
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(wav))

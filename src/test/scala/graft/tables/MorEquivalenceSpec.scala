@@ -57,4 +57,19 @@ class MorEquivalenceSpec extends AnyFunSuite with SharedSpark {
       assert(canon(re.read()) == canon(folded))
     }
   }
+
+  test("double-typed identifier: -0.0 and 0.0 dedup as ONE SQL key on the trickle path") {
+    import spark.implicits._
+    // SQL grouping normalizes -0.0 == 0.0; a driver-side fold keyed on
+    // java.lang.Double would split them — such key types must route to
+    // the distributed dedup (and either way the table must hold one row)
+    val wh = java.nio.file.Files.createTempDirectory("graft-negzero").toString
+    val batch = Seq((0.0, "first", "u", 1L), (-0.0, "second", "u", 2L))
+      .toDF("k", "name", "__op", "__source_ts_ns")
+    val t = ManagedTable.create(spark, wh, "nz", batch.schema, Seq("k"))
+    t.merge(batch)
+    val rows = t.read().select("name").collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("second"),
+      s"-0.0/0.0 must collapse to one key with the ts=2 winner, got ${rows.toSeq}")
+  }
 }
