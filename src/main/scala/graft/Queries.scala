@@ -3086,6 +3086,45 @@ object Queries {
       |  (h * ((w // 2) * (doc_id * 7 % 256) + (w - w // 2) * (doc_id * 17 % 256)))::BIGINT AS sum_b
       |FROM p""".stripMargin))
 
+  /** REAL video-container demux under the hash oracle ([[graft.multimodal
+    * .VideoKernels]]): each doc_id becomes a valid RIFF/AVI whose frames
+    * are closed-form PNGs (frame i = the pixel-stats image of id+i), the
+    * kernel walks the container ('movi' list, word-aligned '00dc'
+    * chunks), decodes every frame through `javax.imageio`, and totals
+    * dims + per-band pixel sums — DuckDB reproduces all of it
+    * arithmetically from the id. A wrong chunk walk, alignment slip,
+    * dropped frame, or decode fault shifts a sum and fails the hash.
+    * (The JDK has no inter-frame codec — H.264 stays stubbed — but
+    * MJPEG-family intra-frame video is demux + picture decode, both
+    * JDK-real here.)
+    */
+  val multimodalVideoStats = Q("multimodal_video_stats",
+    (s, dir) => {
+      val assets = graft.multimodal.VideoKernels.synthesizeAvis(s,
+        t(s, dir, "documents").select("doc_id"), "doc_id")
+      graft.multimodal.Multimodal.extractFeatures(s, assets, "content", "asset_id",
+          graft.multimodal.VideoKernels.videoStatsExtractor)
+        .select(col("asset_id"),
+          element_at(col("features"), 1).cast("long").as("n_frames"),
+          element_at(col("features"), 2).cast("long").as("sum_w"),
+          element_at(col("features"), 3).cast("long").as("sum_h"),
+          element_at(col("features"), 4).cast("long").as("sum_r"),
+          element_at(col("features"), 5).cast("long").as("sum_g"),
+          element_at(col("features"), 6).cast("long").as("sum_b"))
+    },
+    Some("""WITH p AS (SELECT doc_id, (2 + doc_id % 4)::BIGINT AS nf FROM documents),
+      |f AS (SELECT doc_id, nf, unnest(range(0, nf)) AS i FROM p),
+      |d AS (SELECT doc_id, nf, doc_id + i AS fid,
+      |    (16 + (doc_id + i) % 16)::BIGINT AS w,
+      |    (8 + (doc_id + i) % 8)::BIGINT AS h
+      |  FROM f)
+      |SELECT doc_id AS asset_id, any_value(nf) AS n_frames,
+      |  sum(w)::BIGINT AS sum_w, sum(h)::BIGINT AS sum_h,
+      |  sum(h * ((w // 2) * (fid * 3 % 256) + (w - w // 2) * (fid * 11 % 256)))::BIGINT AS sum_r,
+      |  sum(h * ((w // 2) * (fid * 5 % 256) + (w - w // 2) * (fid * 13 % 256)))::BIGINT AS sum_g,
+      |  sum(h * ((w // 2) * (fid * 7 % 256) + (w - w // 2) * (fid * 17 % 256)))::BIGINT AS sum_b
+      |FROM d GROUP BY doc_id""".stripMargin))
+
   /** REAL audio decode under the hash oracle ([[graft.multimodal
     * .AudioKernels]], JDK `javax.sound.sampled` WAV codec): each doc_id
     * becomes a closed-form PCM16 WAV (id-derived channel count, frame
@@ -3769,6 +3808,7 @@ object Queries {
     knnBrute, knnLsh, knnIvf, knnJoinGraph, embeddingQuantize, embeddingPqCode,
     qSaltedAgg, qSaltedJoin, cdcNewKeyFlag,
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
+    multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
     dmlDelete, dmlUpdate, dmlMerge, dmlOverwriteWhere, tableOverwritePartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)

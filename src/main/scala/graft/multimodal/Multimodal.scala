@@ -13,12 +13,15 @@ import org.apache.spark.sql.types._
   * through the JDK's own `javax.imageio` codecs (PNG/JPEG/BMP/GIF) inside
   * this plumbing. AUDIO kernels are REAL too — [[AudioKernels]] decodes
   * WAV/AIFF/AU PCM through `javax.sound.sampled.AudioSystem`, also
-  * JDK-native and headless. Only VIDEO stays STUBBED behind
-  * [[FrameSampler]] (the JDK genuinely carries no video codec; this
-  * container has no external media libraries): the deterministic fake
-  * keeps that pipeline testable end to end, and a real implementation
-  * swaps the function, nothing else — the `mapPartitions` boundary, the
-  * output schema, and the partitioning contract stay identical.
+  * JDK-native and headless. VIDEO is real for the intra-frame family —
+  * [[VideoKernels]] demuxes RIFF/AVI containers (pure byte walking) and
+  * decodes MJPEG/PNG frames through the image codecs; only INTER-frame
+  * codecs (H.264/VP9) stay behind the [[FrameSampler]] stub seam (the
+  * JDK genuinely carries none, and this container has no external media
+  * libraries): the deterministic fake keeps that pipeline testable end
+  * to end, and a real implementation swaps the function, nothing else —
+  * the `mapPartitions` boundary, the output schema, and the partitioning
+  * contract stay identical.
   */
 object Multimodal {
 
