@@ -18,3 +18,18 @@ case class GraftDmlCommand(operation: String, table: String,
   override def simpleString(maxFields: Int): String =
     s"GraftDmlCommand $operation graft.$table"
 }
+
+/** [[GraftDmlCommand]] with a result relation — the maintenance-procedure
+  * surface (`CALL graft.system.compact('t')`, the Iceberg stored-procedure
+  * analogue): eager like the DML commands (explain does not run the
+  * procedure), but the run returns informational rows (files rewritten,
+  * snapshots expired, …) like Iceberg's procedures do.
+  */
+case class GraftCallCommand(
+    operation: String, table: String,
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+    body: () => Seq[Row]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = body()
+  override def simpleString(maxFields: Int): String =
+    s"GraftCallCommand $operation graft.$table"
+}

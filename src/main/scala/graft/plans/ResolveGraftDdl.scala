@@ -139,6 +139,87 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         GraftDmlCommand("ALTER SET TBLPROPERTIES", name,
           () => t.setProperties(props))
       }
+    // `CALL graft.system.<proc>(…)` — the Iceberg stored-procedure
+    // analogue over the maintenance ladder: compact / compact_minor /
+    // materialize_position_deletes / expire_snapshots /
+    // rollback_to_version / maintenance. Eager commands returning
+    // informational rows, like Iceberg's procedures.
+    case org.apache.spark.sql.catalyst.plans.logical.Call(
+        up: org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure, args, _)
+        if up.nameParts.length == 3 &&
+          up.nameParts.head.equalsIgnoreCase("graft") &&
+          up.nameParts(1).equalsIgnoreCase("system") =>
+      procedureCommand(up.nameParts(2).toLowerCase(java.util.Locale.ROOT), args)
+  }
+
+  private def procedureCommand(
+      proc: String,
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Literal}
+    import org.apache.spark.sql.types.{DataType, LongType, StringType}
+    import org.apache.spark.sql.Row
+    def lit(i: Int): Any = args.lift(i) match {
+      case Some(l: Literal) =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType)
+      case Some(other) => throw new IllegalArgumentException(
+        s"CALL graft.system.$proc: arguments must be literals, got $other")
+      case None => throw new IllegalArgumentException(
+        s"CALL graft.system.$proc: missing argument ${i + 1}")
+    }
+    def str(i: Int): String = String.valueOf(lit(i))
+    def lng(i: Int): Long = lit(i) match {
+      case n: java.lang.Number      => n.longValue()
+      case t: java.sql.Timestamp    => t.getTime
+      case t: java.time.Instant     => t.toEpochMilli
+      case other => throw new IllegalArgumentException(
+        s"CALL graft.system.$proc: expected a numeric or timestamp argument, got $other")
+    }
+    def attrs(pairs: (String, DataType)*): Seq[Attribute] =
+      pairs.map { case (n, t) => AttributeReference(n, t, nullable = false)() }
+    def table(name: String): ManagedTable =
+      ManagedTable.load(session, warehouse(name), name).getOrElse(
+        throw new IllegalArgumentException(s"table graft.$name does not exist"))
+    proc match {
+      case "compact" =>
+        val name = str(0)
+        GraftCallCommand("CALL compact", name,
+          attrs("files_before" -> LongType, "files_after" -> LongType), () => {
+            val (b, a) = table(name).compact(); Seq(Row(b, a))
+          })
+      case "compact_minor" =>
+        val name = str(0)
+        GraftCallCommand("CALL compact_minor", name,
+          attrs("trickle_groups_before" -> LongType, "trickle_groups_after" -> LongType),
+          () => {
+            val (b, a) = table(name).compactMinor(); Seq(Row(b.toLong, a.toLong))
+          })
+      case "materialize_position_deletes" =>
+        val name = str(0)
+        GraftCallCommand("CALL materialize_position_deletes", name,
+          attrs("pairs" -> LongType),
+          () => Seq(Row(table(name).materializePositionalDeletes())))
+      case "expire_snapshots" =>
+        val name = str(0); val olderThan = lng(1)
+        GraftCallCommand("CALL expire_snapshots", name,
+          attrs("expired" -> LongType),
+          () => Seq(Row(table(name).expireSnapshots(olderThan).toLong)))
+      case "rollback_to_version" =>
+        val name = str(0); val v = lng(1)
+        GraftCallCommand("CALL rollback_to_version", name,
+          attrs("current_version" -> LongType), () => {
+            val t = table(name); t.rollbackTo(v); Seq(Row(t.meta.currentVersion))
+          })
+      case "maintenance" =>
+        val name = str(0)
+        GraftCallCommand("CALL maintenance", name,
+          attrs("action" -> StringType, "detail" -> StringType),
+          () => graft.tables.Maintenance.run(table(name))
+            .map(a => Row(a.kind, a.detail)))
+      case other => throw new IllegalArgumentException(
+        s"CALL graft.system.$other: unknown procedure (have: compact, compact_minor, " +
+          "materialize_position_deletes, expire_snapshots, rollback_to_version, maintenance)")
+    }
   }
 
   /** `SHOW TABLES IN graft` — list the warehouse's managed tables

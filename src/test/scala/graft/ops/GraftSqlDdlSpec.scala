@@ -163,7 +163,40 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       s2.sql("INSERT INTO graft.top_logs VALUES (8, 'fresh')")
       assert(s2.sql("SELECT * FROM graft.top_logs").count() == 1)
 
+      // CALL maintenance procedures (Iceberg stored-procedure analogue)
+      s2.sql("""CREATE TABLE graft.mt (id BIGINT, v STRING)
+        |TBLPROPERTIES ('graft.identifier-fields'='id',
+        |  'write.mor.compact-after-upserts'='0',
+        |  'write.versions-retained'='10')""".stripMargin)
+      s2.sql("INSERT INTO graft.mt VALUES (1, 'a'), (2, 'b')")
+      val vKeep = ManagedTable.load(s2, wh, "mt").get.meta.currentVersion
+      s2.sql("UPDATE graft.mt SET v = 'a2' WHERE id = 1")
+      s2.sql("UPDATE graft.mt SET v = 'b2' WHERE id = 2")
+      // materialize_position_deletes returns the absorbed pair count
+      val pd = s2.sql("CALL graft.system.materialize_position_deletes('mt')")
+      assert(pd.columns.toSeq == Seq("pairs") && pd.head().getLong(0) >= 1L)
+      // compact_minor folds the trickle suffix; compact reports file counts
+      val cm = s2.sql("CALL graft.system.compact_minor('mt')").head()
+      assert(cm.getLong(0) >= cm.getLong(1))
+      val cp = s2.sql("CALL graft.system.compact('mt')").head()
+      assert(cp.getLong(1) >= 1L)
+      assert(s2.sql("SELECT v FROM graft.mt WHERE id = 1").head().getString(0) == "a2")
+      // rollback_to_version restores the pre-update state
+      val rb = s2.sql(s"CALL graft.system.rollback_to_version('mt', $vKeep)").head()
+      assert(rb.getLong(0) > vKeep) // rollback commits a NEW version
+      assert(s2.sql("SELECT v FROM graft.mt WHERE id = 1").head().getString(0) == "a")
+      // expire_snapshots with a future cutoff keeps current + tagged only
+      val ex = s2.sql("CALL graft.system.expire_snapshots('mt', 9999999999999)").head()
+      assert(ex.getLong(0) >= 1L)
+      assert(s2.sql("SELECT count(*) FROM graft.mt").head().getLong(0) == 2L)
+      // maintenance runs the policy ladder and reports its actions
+      val mrows = s2.sql("CALL graft.system.maintenance('mt')")
+      assert(mrows.columns.toSeq == Seq("action", "detail"))
+      val eProc = intercept[Exception] { s2.sql("CALL graft.system.nope('mt')") }
+      assert(eProc.getMessage.contains("unknown procedure"), eProc.getMessage)
+
       // DROP TABLE
+      s2.sql("DROP TABLE graft.mt")
       s2.sql("DROP TABLE graft.top_logs")
       s2.sql("DROP TABLE graft.logs")
       assert(ManagedTable.load(s2, wh, "logs").isEmpty)
