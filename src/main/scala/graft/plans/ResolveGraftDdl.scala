@@ -36,6 +36,8 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       showTables(st).getOrElse(st)
     case d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation =>
       describeTable(d).getOrElse(d)
+    case sc: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable =>
+      showCreateTable(sc).getOrElse(sc)
     // `SELECT count(*)/min(c)/max(c) FROM graft.t` answered from the
     // MANIFEST when exact (all-data-kind groups with recorded row counts
     // / column bounds) — Iceberg's snapshot-summary / manifest-bounds
@@ -255,6 +257,65 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       }
     case _ => None
   }
+
+  /** `SHOW CREATE TABLE graft.t` — a statement that, re-executed against
+    * an empty warehouse, recreates an equivalent table (schema,
+    * partition spec, identifier fields, user properties). Internal
+    * bookkeeping properties (rename lineage, spec history, barriers,
+    * branch pins) are excluded: they describe table HISTORY, not its
+    * definition, and replaying them onto a fresh table would corrupt it.
+    */
+  private def showCreateTable(sc: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable)
+      : Option[LogicalPlan] = sc.child match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+          !u.multipartIdentifier(1).contains('$') =>
+      session.conf.getOption("spark.graft.warehouse")
+        .flatMap(wh => ManagedTable.load(session, wh, u.multipartIdentifier(1)))
+        .map { t =>
+          val name = u.multipartIdentifier(1)
+          val m = t.meta
+          val cols = m.schema.fields
+            .map(f => s"  ${quoteIfNeeded(f.name)} ${f.dataType.sql}")
+            .mkString(",\n")
+          // stored spec grammar is `bucket(col,N)`/`truncate(col,W)`;
+          // Spark's DDL transform grammar requires the parameter FIRST
+          val ParamTransform = """(bucket|truncate)\((\w+),(\d+)\)""".r
+          val ddlSpec = m.partitionBy.map {
+            case ParamTransform(fn, c, n) => s"$fn($n, $c)"
+            case other                    => other
+          }
+          val partClause =
+            if (ddlSpec.isEmpty) ""
+            else s"\nPARTITIONED BY (${ddlSpec.mkString(", ")})"
+          val internalPrefixes = Seq(
+            ManagedTable.TagPrefix, ManagedTable.BranchPrefix,
+            ManagedTable.RenamedPrefix, ManagedTable.DefaultPrefix,
+            ManagedTable.DroppedPrefix, ManagedTable.SpecHistoryKey,
+            ManagedTable.BarrierKey, "cdc.last-batch-id.")
+          val userProps = m.properties.filterNot { case (k, _) =>
+            internalPrefixes.exists(k.startsWith)
+          }
+          val props = (if (m.identifierFields.nonEmpty)
+            Seq(IdsProp -> m.identifierFields.mkString(",")) else Seq.empty) ++
+            userProps.toSeq.sortBy(_._1)
+          val propClause =
+            if (props.isEmpty) ""
+            else "\nTBLPROPERTIES (" + props.map { case (k, v) =>
+              s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
+            }.mkString(",\n  ") + ")"
+          val stmt = s"CREATE TABLE graft.$name (\n$cols)$partClause$propClause\n"
+          import org.apache.spark.unsafe.types.UTF8String
+          LocalRelation(sc.output.map(_.asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.AttributeReference]),
+            Seq(org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(stmt))))
+        }
+    case _ => None
+  }
+
+  private def quoteIfNeeded(n: String): String =
+    if (n.matches("[a-zA-Z_][a-zA-Z0-9_]*")) n else s"`${n.replace("`", "``")}`"
 
   /** `DESCRIBE [EXTENDED] graft.t` — columns, partitioning, and (under
     * EXTENDED) identifier fields + table properties, shaped by the

@@ -163,6 +163,24 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       s2.sql("INSERT INTO graft.top_logs VALUES (8, 'fresh')")
       assert(s2.sql("SELECT * FROM graft.top_logs").count() == 1)
 
+      // SHOW CREATE TABLE round-trips: the emitted statement recreates an
+      // equivalent table (schema, spec, ids, user props) in a fresh warehouse
+      val stmt = s2.sql("SHOW CREATE TABLE graft.logs").head().getString(0)
+      assert(stmt.contains("PARTITIONED BY") && stmt.contains("graft.identifier-fields"))
+      val wh2 = java.nio.file.Files.createTempDirectory("graft-sqlddl2").toString
+      s2.conf.set("spark.graft.warehouse", wh2)
+      try {
+        s2.sql(stmt)
+        val orig = ManagedTable.load(s2, wh, "logs").get.meta
+        val re = ManagedTable.load(s2, wh2, "logs").get.meta
+        assert(re.schema == orig.schema, s"schema drifted:\n${re.schema}\n${orig.schema}")
+        assert(re.partitionBy == orig.partitionBy)
+        assert(re.identifierFields == orig.identifierFields)
+        assert(re.properties.get("write.cluster-by") == orig.properties.get("write.cluster-by"))
+        // internal history/bookkeeping props must NOT round-trip
+        assert(!stmt.contains("schema.renamed") && !stmt.contains("changelog."))
+      } finally s2.conf.set("spark.graft.warehouse", wh)
+
       // CALL maintenance procedures (Iceberg stored-procedure analogue)
       s2.sql("""CREATE TABLE graft.mt (id BIGINT, v STRING)
         |TBLPROPERTIES ('graft.identifier-fields'='id',
