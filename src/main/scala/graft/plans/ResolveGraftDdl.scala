@@ -154,20 +154,49 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       procedureCommand(up.nameParts(2).toLowerCase(java.util.Locale.ROOT), args)
   }
 
+  /** Declared parameter names per procedure — positional and Iceberg-style
+    * named arguments (`older_than => TIMESTAMP '…'`) both resolve onto
+    * this order.
+    */
+  private val ProcedureParams: Map[String, Seq[String]] = Map(
+    "compact" -> Seq("table"),
+    "compact_minor" -> Seq("table"),
+    "materialize_position_deletes" -> Seq("table"),
+    "expire_snapshots" -> Seq("table", "older_than"),
+    "rollback_to_version" -> Seq("table", "version"),
+    "maintenance" -> Seq("table"))
+
   private def procedureCommand(
       proc: String,
-      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): LogicalPlan = {
-    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Literal}
+      rawArgs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Literal, NamedArgumentExpression}
     import org.apache.spark.sql.types.{DataType, LongType, StringType}
     import org.apache.spark.sql.Row
+    // fold named arguments onto the declared positional slots
+    val params = ProcedureParams.getOrElse(proc, Seq.empty)
+    val args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+      val slots = new Array[org.apache.spark.sql.catalyst.expressions.Expression](
+        math.max(params.length, rawArgs.length))
+      var pos = 0
+      rawArgs.foreach {
+        case NamedArgumentExpression(key, value) =>
+          val i = params.indexWhere(_.equalsIgnoreCase(key))
+          require(i >= 0, s"CALL graft.system.$proc: unknown argument '$key' " +
+            s"(have: ${params.mkString(", ")})")
+          slots(i) = value
+        case e => slots(pos) = e; pos += 1
+      }
+      slots.toSeq
+    }
     def lit(i: Int): Any = args.lift(i) match {
       case Some(l: Literal) =>
         org.apache.spark.sql.catalyst.CatalystTypeConverters
           .convertToScala(l.value, l.dataType)
+      case Some(null) | None => throw new IllegalArgumentException(
+        s"CALL graft.system.$proc: missing argument " +
+          params.lift(i).map(n => s"'$n'").getOrElse(s"${i + 1}"))
       case Some(other) => throw new IllegalArgumentException(
         s"CALL graft.system.$proc: arguments must be literals, got $other")
-      case None => throw new IllegalArgumentException(
-        s"CALL graft.system.$proc: missing argument ${i + 1}")
     }
     def str(i: Int): String = String.valueOf(lit(i))
     def lng(i: Int): Long = lit(i) match {

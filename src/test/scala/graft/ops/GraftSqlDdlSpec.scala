@@ -210,6 +210,14 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       // maintenance runs the policy ladder and reports its actions
       val mrows = s2.sql("CALL graft.system.maintenance('mt')")
       assert(mrows.columns.toSeq == Seq("action", "detail"))
+      // Iceberg-style named arguments resolve onto the declared slots
+      val exN = s2.sql(
+        "CALL graft.system.expire_snapshots(older_than => 9999999999999, table => 'mt')")
+      assert(exN.head().getLong(0) >= 0L)
+      val eArg = intercept[Exception] {
+        s2.sql("CALL graft.system.compact(nope => 'mt')")
+      }
+      assert(eArg.getMessage.contains("unknown argument"), eArg.getMessage)
       val eProc = intercept[Exception] { s2.sql("CALL graft.system.nope('mt')") }
       assert(eProc.getMessage.contains("unknown procedure"), eProc.getMessage)
 

@@ -336,4 +336,23 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     val exchanges = p.linesIterator.count(_.matches("""^\(\d+\) Exchange\s*$"""))
     assert(exchanges <= 2, s"expected ≤2 aggregation exchanges, got $exchanges:\n$p")
   }
+
+  // ---- round-6 operators
+
+  test("multimodal audio/video stats: map-only kernel pipelines — no shuffle, no join") {
+    for (q <- Seq(Queries.multimodalAudioStats, Queries.multimodalVideoStats)) {
+      val p = plan(q)
+      assert(!p.contains("Exchange") && !p.contains("Join"),
+        s"${q.name}: decode kernels must stay in one map stage:\n$p")
+    }
+  }
+
+  test("text_quality_filter (auto-routed): histogram aggregate + broadcast threshold, no corpus sort") {
+    val p = plan(Queries.textQualityFilter)
+    // the exact path at this NDV: hash-aggregate histogram, 1-row window,
+    // broadcast nested loop to attach the threshold — never a global Sort
+    // of the corpus feeding a window
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
