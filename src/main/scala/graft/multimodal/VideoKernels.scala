@@ -46,7 +46,7 @@ object VideoKernels {
     val avih = { // MainAVIHeader (56 bytes)
       val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       b.putInt(1000000 / fps)          // dwMicroSecPerFrame
-        .putInt(0).putInt(0).putInt(0x10) // maxBytesPerSec, padding, flags (HASINDEX off, interleaved)
+        .putInt(0).putInt(0).putInt(0x10) // maxBytesPerSec, padding, flags = AVIF_HASINDEX (idx1 IS written below)
         .putInt(frames.length)          // dwTotalFrames
         .putInt(0).putInt(1)            // initialFrames, streams
         .putInt(0)                      // suggestedBufferSize
@@ -139,16 +139,24 @@ object VideoKernels {
     * `everyN`-th frame — the keyframe-sampling stage of a video corpus
     * pipeline, on real container bytes.
     */
-  def aviFrameSampler(everyN: Int): Multimodal.FrameSampler = bytes =>
-    extractFrames(bytes).zipWithIndex.collect {
-      case (f, i) if i % everyN == 0 => f
-    }
+  def aviFrameSampler(everyN: Int): Multimodal.FrameSampler = {
+    require(everyN > 0, s"everyN must be positive: $everyN")
+    bytes =>
+      extractFrames(bytes).zipWithIndex.collect {
+        case (f, i) if i % everyN == 0 => f
+      }
+  }
 
   /** Demux + per-frame decode + aggregate pixel statistics:
     * `[n_frames, sum_w, sum_h, sum_r, sum_g, sum_b]` — widths/heights and
-    * per-band pixel sums totalled across frames, exact integers (same
-    * contract as [[ImageKernels.pixelStatsExtractor]]). Frames that fail
-    * to decode contribute zeros; a non-AVI payload yields all zeros.
+    * per-band pixel sums totalled across frames. The Float feature lanes
+    * are exact only while a TOTAL stays below 2^24 (the fixtures do by
+    * construction; a single 1080p frame's band sum already does not) —
+    * for large real videos, run [[aviFrameSampler]] through
+    * [[Multimodal.sampleFrames]] and apply
+    * [[ImageKernels.pixelStatsExtractor]] PER FRAME instead of totalling
+    * here. Frames that fail to decode contribute zeros; a non-AVI
+    * payload yields all zeros.
     */
   val videoStatsExtractor: Multimodal.FeatureExtractor = bytes => {
     val frames = extractFrames(bytes)
@@ -181,11 +189,12 @@ object VideoKernels {
         val n = 2 + Math.floorMod(id, 4).toInt
         val frames = (0 until n).map(i =>
           ImageKernels.encodePng(ImageKernels.syntheticImage(id + i)))
-        // header dims advertise frame 0 (per-frame dims may differ; the
-        // demuxer never trusts the header for them)
-        val img0 = ImageKernels.syntheticImage(id)
+        // header dims advertise frame 0 — closed-form, matching
+        // syntheticImage (per-frame dims may differ; the demuxer never
+        // trusts the header for them)
         Row(id, "video/x-msvideo",
-          encodeAvi(frames, img0.getWidth, img0.getHeight, fourccCodec = "png "))
+          encodeAvi(frames, 16 + Math.floorMod(id, 16).toInt,
+            8 + Math.floorMod(id, 8).toInt, fourccCodec = "png "))
       }
     }(enc)
   }

@@ -172,19 +172,33 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Literal, NamedArgumentExpression}
     import org.apache.spark.sql.types.{DataType, LongType, StringType}
     import org.apache.spark.sql.Row
-    // fold named arguments onto the declared positional slots
+    // fold named arguments onto the declared positional slots — with the
+    // standard procedure-call rules: no positional after named, no
+    // duplicate/unknown names, no extra arguments
     val params = ProcedureParams.getOrElse(proc, Seq.empty)
     val args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+      require(params.isEmpty || rawArgs.length <= params.length,
+        s"CALL graft.system.$proc: too many arguments " +
+          s"(${rawArgs.length} given, takes ${params.mkString(", ")})")
       val slots = new Array[org.apache.spark.sql.catalyst.expressions.Expression](
         math.max(params.length, rawArgs.length))
       var pos = 0
+      var sawNamed = false
       rawArgs.foreach {
         case NamedArgumentExpression(key, value) =>
+          sawNamed = true
           val i = params.indexWhere(_.equalsIgnoreCase(key))
           require(i >= 0, s"CALL graft.system.$proc: unknown argument '$key' " +
             s"(have: ${params.mkString(", ")})")
+          require(slots(i) == null,
+            s"CALL graft.system.$proc: argument '$key' given twice")
           slots(i) = value
-        case e => slots(pos) = e; pos += 1
+        case e =>
+          require(!sawNamed,
+            s"CALL graft.system.$proc: positional argument after a named one")
+          require(slots(pos) == null,
+            s"CALL graft.system.$proc: argument ${pos + 1} given twice")
+          slots(pos) = e; pos += 1
       }
       slots.toSeq
     }
@@ -306,14 +320,18 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
           val name = u.multipartIdentifier(1)
           val m = t.meta
           val cols = m.schema.fields
-            .map(f => s"  ${quoteIfNeeded(f.name)} ${f.dataType.sql}")
+            .map(f => s"  ${quoteIfNeeded(f.name)} ${f.dataType.sql}" +
+              (if (f.nullable) "" else " NOT NULL"))
             .mkString(",\n")
           // stored spec grammar is `bucket(col,N)`/`truncate(col,W)`;
-          // Spark's DDL transform grammar requires the parameter FIRST
-          val ParamTransform = """(bucket|truncate)\((\w+),(\d+)\)""".r
+          // Spark's DDL transform grammar requires the parameter FIRST,
+          // and column identifiers must re-quote
+          val ParamTransform = """(bucket|truncate)\((.+),(\d+)\)""".r
+          val TimeTransform = """(year|month|day|hour)\((.+)\)""".r
           val ddlSpec = m.partitionBy.map {
-            case ParamTransform(fn, c, n) => s"$fn($n, $c)"
-            case other                    => other
+            case ParamTransform(fn, c, n) => s"$fn($n, ${quoteIfNeeded(c)})"
+            case TimeTransform(fn, c)     => s"$fn(${quoteIfNeeded(c)})"
+            case identityCol              => quoteIfNeeded(identityCol)
           }
           val partClause =
             if (ddlSpec.isEmpty) ""
@@ -322,7 +340,9 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
             ManagedTable.TagPrefix, ManagedTable.BranchPrefix,
             ManagedTable.RenamedPrefix, ManagedTable.DefaultPrefix,
             ManagedTable.DroppedPrefix, ManagedTable.SpecHistoryKey,
-            ManagedTable.BarrierKey, "cdc.last-batch-id.")
+            ManagedTable.BarrierKey,
+            // bare key AND dot-suffixed variants (nullkey/expect/per-table)
+            graft.streaming.CdcPipeline.CdcBatchIdProp)
           val userProps = m.properties.filterNot { case (k, _) =>
             internalPrefixes.exists(k.startsWith)
           }

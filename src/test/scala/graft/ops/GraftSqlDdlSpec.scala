@@ -167,18 +167,27 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       // equivalent table (schema, spec, ids, user props) in a fresh warehouse
       val stmt = s2.sql("SHOW CREATE TABLE graft.logs").head().getString(0)
       assert(stmt.contains("PARTITIONED BY") && stmt.contains("graft.identifier-fields"))
+      // non-nullable columns must survive the round trip
+      s2.sql("CREATE TABLE graft.nn (id BIGINT NOT NULL, v STRING) " +
+        "TBLPROPERTIES ('graft.identifier-fields'='id')")
+      val nnStmt = s2.sql("SHOW CREATE TABLE graft.nn").head().getString(0)
+      assert(nnStmt.contains("id BIGINT NOT NULL"), nnStmt)
       val wh2 = java.nio.file.Files.createTempDirectory("graft-sqlddl2").toString
       s2.conf.set("spark.graft.warehouse", wh2)
       try {
         s2.sql(stmt)
+        s2.sql(nnStmt)
         val orig = ManagedTable.load(s2, wh, "logs").get.meta
         val re = ManagedTable.load(s2, wh2, "logs").get.meta
         assert(re.schema == orig.schema, s"schema drifted:\n${re.schema}\n${orig.schema}")
         assert(re.partitionBy == orig.partitionBy)
         assert(re.identifierFields == orig.identifierFields)
         assert(re.properties.get("write.cluster-by") == orig.properties.get("write.cluster-by"))
+        assert(ManagedTable.load(s2, wh2, "nn").get.meta.schema ==
+          ManagedTable.load(s2, wh, "nn").get.meta.schema, "NOT NULL dropped")
         // internal history/bookkeeping props must NOT round-trip
         assert(!stmt.contains("schema.renamed") && !stmt.contains("changelog."))
+        assert(!stmt.contains("cdc.last-batch-id"))
       } finally s2.conf.set("spark.graft.warehouse", wh)
 
       // CALL maintenance procedures (Iceberg stored-procedure analogue)
@@ -218,6 +227,16 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
         s2.sql("CALL graft.system.compact(nope => 'mt')")
       }
       assert(eArg.getMessage.contains("unknown argument"), eArg.getMessage)
+      // standard procedure-call rules: arity, order, duplicates
+      assert(intercept[Exception] {
+        s2.sql("CALL graft.system.compact('mt', 'junk')")
+      }.getMessage.contains("too many arguments"))
+      assert(intercept[Exception] {
+        s2.sql("CALL graft.system.expire_snapshots(table => 'mt', 9999999999999)")
+      }.getMessage.contains("positional argument after a named one"))
+      assert(intercept[Exception] {
+        s2.sql("CALL graft.system.expire_snapshots('mt', table => 'x')")
+      }.getMessage.contains("given twice"))
       val eProc = intercept[Exception] { s2.sql("CALL graft.system.nope('mt')") }
       assert(eProc.getMessage.contains("unknown procedure"), eProc.getMessage)
 
