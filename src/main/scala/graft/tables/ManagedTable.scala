@@ -944,8 +944,13 @@ final class ManagedTable private (
         // tuples that still have a bounds-passing group to hide rows in.
         // Across spec epochs scopes are GLOBAL, so a later-epoch upsert
         // group is kept whenever any earlier-epoch group survives.
-        val keptTuples = passing.map(_.partition).toSet
-        val minKeptEpoch = passing.map(e => entryEpoch(e.seq)).minOption.getOrElse(Int.MaxValue)
+        // Tuple membership counts DATA-BEARING passers only: posdel
+        // sidecars carry no column stats so they always pass the bounds
+        // filter, and counting them would re-admit every tuple's upsert
+        // carriers on tables with per-tuple DV chains.
+        val dataPassing = passing.filterNot(_.kind == Manifest.PosDel)
+        val keptTuples = dataPassing.map(_.partition).toSet
+        val minKeptEpoch = dataPassing.map(e => entryEpoch(e.seq)).minOption.getOrElse(Int.MaxValue)
         entries.filter(e => e.stats.get(c).forall(_.intersects(lo, hi)) ||
           (e.kind == Manifest.Upsert && (keptTuples.contains(e.partition) ||
             entryEpoch(e.seq) > minKeptEpoch)))
