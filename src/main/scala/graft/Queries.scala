@@ -314,6 +314,28 @@ object Queries {
       |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
       |FROM r WHERE rn = 1""".stripMargin))
 
+  /** C6 — append fallback under the oracle: a destination WITHOUT
+    * identifier fields keeps every event VERSION as its own row
+    * (the reference's append mode,
+    * TEST/IcebergChangeConsumerUpsertTest.java:171-210) — merge() routes
+    * to append, nothing is deduped or hidden, and replaying the
+    * changelog in two slices yields exactly the full event set.
+    */
+  val cdcAppendFallback = Q("cdc_append_fallback",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_c6").toString
+      val log = cdcEvents(s, dir).drop(Dedup.ArrivalCol)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "events_log",
+        log.schema, identifierFields = Seq.empty)
+      val cut = 1705276800000000L
+      tbl.merge(log.where(col("ts_us") < cut))   // C6: append, no PK
+      tbl.merge(log.where(col("ts_us") >= cut))
+      tbl.read().select(cdcCols.map(col): _*)
+    },
+    Some(s"""WITH e AS ($cdcEventsSql)
+      |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
+      |FROM e""".stripMargin))
+
   /** SCD2 — full validity-interval history from the changelog: every
     * non-delete version becomes a `[valid_from, valid_to)` row, closed by
     * the key's next event in (ts, op-priority, arrival) order; deletes
@@ -3777,7 +3799,7 @@ object Queries {
   // ------------------------------------------------------------------ index
 
   val all: Seq[Q] = Seq(
-    cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcUpsertPartitioned, partitionEvolution,
+    cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcUpsertPartitioned, cdcAppendFallback, partitionEvolution,
     mvIncremental, mvIncrementalMinmax,
     cdcScd2, cdcSnapshotAsOf, cdcReconcile, qScd2TemporalJoin,
     cdcDecode, cdcOpMapping,
