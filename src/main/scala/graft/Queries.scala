@@ -889,6 +889,41 @@ object Queries {
       |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
       |FROM orders WHERE o_orderkey % 7 = 0 AND o_custkey % 2 = 0""".stripMargin))
 
+  /** MERGE with BY SOURCE clauses — the full-sync/re-snapshot shape: the
+    * source re-states every 3rd order (matched: delete 'F', else price+1)
+    * plus shifted new keys (unmatched: insert if even custkey); target rows
+    * ABSENT from the source delete if 'O', else flag priority STALE above
+    * 100k. One matched join + one key anti-join (broadcast when the source
+    * is small), diff-sized write; DuckDB replays all five clauses.
+    */
+  val dmlMergeBySource = Q("dml_merge_by_source",
+    (s, dir) => {
+      val tbl = ordersTable(s, dir, "orders_mbs")
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+        .where(col("o_orderkey") % 3 === 0)
+      val src = base.unionByName(
+        base.withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      tbl.mergeInto(src,
+        updateWhen = Some(lit(true)),
+        updateSet = Map("o_totalprice" -> (col("s.o_totalprice") + 1)),
+        deleteWhen = Some(col("s.o_orderstatus") === "F"),
+        insertWhen = Some(col("s.o_custkey") % 2 === 0),
+        deleteBySourceWhen = Some(col("t.o_orderstatus") === "O"),
+        updateBySourceWhen = Some(col("t.o_totalprice") > lit(100000.0)),
+        updateBySourceSet = Map("o_orderpriority" -> lit("STALE")))
+      tbl.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  o_totalprice + 1 AS o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'F'
+      |UNION ALL
+      |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderkey % 3 = 0 AND o_custkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  CASE WHEN o_totalprice > 100000 THEN 'STALE' ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderstatus <> 'O'""".stripMargin))
+
   /** S2/R4/F1 — envelope decode recovers the original rows: events are
     * re-encoded as Debezium json envelopes, then decoded back through the
     * full inference + from_json + conversion path. Oracle = the raw table.
@@ -3832,7 +3867,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlUpdate, dmlMerge, dmlOverwriteWhere, tableOverwritePartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlUpdate, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

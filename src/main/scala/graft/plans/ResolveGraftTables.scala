@@ -184,8 +184,13 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     *    into the conditions
     *  - WHEN NOT MATCHED: at most one INSERT * (column-list inserts would
     *    need a source projection — write it into the USING subquery)
-    *  - WHEN NOT MATCHED BY SOURCE: unsupported (the target side is
-    *    never scanned for unmatched rows — that is the O(batch) contract)
+    *  - WHEN NOT MATCHED BY SOURCE: at most one UPDATE SET … and one
+    *    DELETE, either order (first-match-wins folded into conditions,
+    *    like the matched branch); clauses may reference only the target —
+    *    a source reference is rejected here with a precise error. This is
+    *    the full-sync/re-snapshot shape: it pays one full target pass (a
+    *    key anti-join, broadcast when the source is small) on top of the
+    *    O(batch) matched branch; the write stays diff-sized.
     */
   private def buildMerge(m: MergeIntoTable, t: ManagedTable, name: String,
                          tAlias: Option[String]): LogicalPlan = {
@@ -194,9 +199,6 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       case SubqueryAlias(id, child) => (child, Some(id.name))
       case other => (other, None)
     }
-    require(m.notMatchedBySourceActions.isEmpty,
-      "MERGE INTO graft.<t>: WHEN NOT MATCHED BY SOURCE is not supported " +
-        "(the target is never scanned for unmatched rows)")
     // ONE pass over the attributes: sequential requalification would
     // capture when the user's aliases collide with the fixed names
     // (target AS p USING ... AS t: p→t then t→s corrupts the target
@@ -272,6 +274,49 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       case other => throw new IllegalArgumentException(
         s"MERGE INTO graft.$name: unsupported WHEN MATCHED action $other")
     }
+    // BY SOURCE clauses act on target rows with no source row at all, so
+    // any source reference is meaningless; catch the remapped s-qualifier
+    // here with a precise error instead of letting resolution fail on a
+    // missing attribute deep in the anti-join plan
+    def remapTargetOnly(e: Expression): Expression = {
+      val r = remap(e)
+      r.foreach {
+        case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+            a.nameParts.head.equalsIgnoreCase("s") =>
+          throw new IllegalArgumentException(
+            s"MERGE INTO graft.$name: WHEN NOT MATCHED BY SOURCE clauses " +
+              s"cannot reference the source (${a.sql} — no source row exists)")
+        case _ =>
+      }
+      r
+    }
+    var updateBsWhen: Option[Expression] = None
+    var updateBsSet: Map[String, Expression] = Map.empty
+    var deleteBsWhen: Option[Expression] = None
+    var updateBsSeen = false; var deleteBsSeen = false
+    m.notMatchedBySourceActions.foreach {
+      case UpdateAction(c, assigns, fromStar) =>
+        require(!fromStar,
+          s"MERGE INTO graft.$name: WHEN NOT MATCHED BY SOURCE UPDATE SET * " +
+            "is meaningless (no source row exists) — write an explicit SET list")
+        require(!updateBsSeen,
+          s"MERGE INTO graft.$name: at most one WHEN NOT MATCHED BY SOURCE UPDATE")
+        updateBsSeen = true
+        val cond = remapTargetOnly(c.getOrElse(Literal.TrueLiteral))
+        updateBsWhen = Some(if (deleteBsSeen)
+          And(cond, notTrue(deleteBsWhen.getOrElse(Literal.FalseLiteral))) else cond)
+        updateBsSet = assigns.map(a =>
+          assignName(a.key) -> remapTargetOnly(a.value)).toMap
+      case DeleteAction(c) =>
+        require(!deleteBsSeen,
+          s"MERGE INTO graft.$name: at most one WHEN NOT MATCHED BY SOURCE DELETE")
+        deleteBsSeen = true
+        val cond = remapTargetOnly(c.getOrElse(Literal.TrueLiteral))
+        deleteBsWhen = Some(if (updateBsSeen)
+          And(cond, notTrue(updateBsWhen.getOrElse(Literal.FalseLiteral))) else cond)
+      case other => throw new IllegalArgumentException(
+        s"MERGE INTO graft.$name: unsupported WHEN NOT MATCHED BY SOURCE action $other")
+    }
     var insertWhen: Option[Expression] = None
     m.notMatchedActions.foreach {
       case InsertStarAction(c) =>
@@ -286,12 +331,17 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     val src = sourcePlan
     val updWhen = updateWhen; val updSet = updateSet
     val delWhen = deleteWhen; val insWhen = insertWhen
+    val updBsWhen = updateBsWhen; val updBsSet = updateBsSet
+    val delBsWhen = deleteBsWhen
     GraftDmlCommand("MERGE", name, () => {
       t.mergeInto(GraftBridge.dataFrame(session, src),
         updateWhen = updWhen.map(GraftBridge.column),
         updateSet = updSet.map { case (k, v) => k -> GraftBridge.column(v) },
         deleteWhen = delWhen.map(GraftBridge.column),
-        insertWhen = insWhen.map(GraftBridge.column))
+        insertWhen = insWhen.map(GraftBridge.column),
+        deleteBySourceWhen = delBsWhen.map(GraftBridge.column),
+        updateBySourceWhen = updBsWhen.map(GraftBridge.column),
+        updateBySourceSet = updBsSet.map { case (k, v) => k -> GraftBridge.column(v) })
     })
   }
 

@@ -2075,21 +2075,43 @@ final class ManagedTable private (
     * groups intersecting the source's key range (metadata-scale agg), so a
     * trickle merge reads a handful of groups, not the table; AQE picks the
     * join strategy from runtime sizes.
+    *
+    * BY SOURCE clauses (SQL `WHEN NOT MATCHED BY SOURCE` — the full-sync /
+    * re-snapshot reconciliation shape: act on TARGET rows whose key is
+    * absent from the source): `deleteBySourceWhen` tombstones them,
+    * `updateBySourceWhen` + `updateBySourceSet` rewrites them in place
+    * (there is no source row, so SET * is meaningless — an explicit set is
+    * required, and clause `Column`s may reference only the `t` alias).
+    * DELETE is checked before UPDATE, mirroring the matched branch.
+    * Scale: the unmatched set inherently needs one full pass over the
+    * target (no key-range prune can bound "absent from source"), executed
+    * as a key anti-join — AQE broadcasts the source key projection when it
+    * is small, making the pass a map-only scan; the WRITE stays diff-sized
+    * (only rows an action fires on are rewritten, the reconcile contract of
+    * [[graft.operators.Reconcile.repair]]).
     */
   def mergeInto(source: DataFrame,
                 updateWhen: Option[org.apache.spark.sql.Column] = Some(lit(true)),
                 updateSet: Map[String, org.apache.spark.sql.Column] = Map.empty,
                 deleteWhen: Option[org.apache.spark.sql.Column] = None,
                 insertWhen: Option[org.apache.spark.sql.Column] = Some(lit(true)),
+                deleteBySourceWhen: Option[org.apache.spark.sql.Column] = None,
+                updateBySourceWhen: Option[org.apache.spark.sql.Column] = None,
+                updateBySourceSet: Map[String, org.apache.spark.sql.Column] = Map.empty,
                 commitProperties: Map[String, String] = Map.empty): Unit = {
     val ids = _meta.identifierFields
     require(ids.nonEmpty, "mergeInto requires identifier fields")
     val partSrc = partitionFields.map(_.sourceColumn).toSet
-    updateSet.keys.foreach { k =>
+    (updateSet.keys ++ updateBySourceSet.keys).foreach { k =>
       require(_meta.schema.fieldNames.contains(k), s"unknown column $k")
       require(!ids.contains(k) && !partSrc.contains(k),
         s"cannot assign identifier/partition column $k in mergeInto (use updateWhere)")
     }
+    require(updateBySourceWhen.isEmpty || updateBySourceSet.nonEmpty,
+      "updateBySourceWhen requires an explicit updateBySourceSet " +
+        "(no source row exists to SET * from)")
+    require(updateBySourceSet.isEmpty || updateBySourceWhen.isDefined,
+      "updateBySourceSet without updateBySourceWhen would never apply")
     val srcCols = source.columns.toSet
     ids.foreach(i => require(srcCols.contains(i), s"source is missing identifier column $i"))
 
@@ -2122,7 +2144,35 @@ final class ManagedTable private (
     }
     val flagged = acted.select(
       valued :+ (col("__graft_action") === "D").as(TombstoneCol): _*)
-    commitUpsertBatch(flagged, skipIfEmpty = true, commitProperties = commitProperties)
+    val withBySource =
+      if (deleteBySourceWhen.isEmpty && updateBySourceWhen.isEmpty) flagged
+      else {
+        // Target rows whose key is absent from the source: a key anti-join
+        // (broadcast when the source key projection is small), evaluated
+        // against the SAME snapshot as the matched branch (both plans read
+        // currentEntries of one version; the commit happens once, below).
+        // Disjoint from the matched branch by construction — matched rows
+        // have a source key, these provably do not — so the union stays
+        // unique per key (the commitUpsertBatch contract).
+        val tgt = read()
+          .select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*).alias("t")
+        val sKeys = source.select(ids.map(col).toIndexedSeq: _*).alias("s")
+        val antiCond = ids.map(i => col(s"s.$i") === col(s"t.$i")).reduce(_ && _)
+        val unmatched = tgt.join(sKeys, antiCond, "left_anti")
+        val bsAction = when(cl(deleteBySourceWhen), "D")
+          .when(cl(updateBySourceWhen), "U")
+        val bsActed = unmatched.withColumn("__graft_action", bsAction)
+          .filter(col("__graft_action").isNotNull)
+        val bsValued = _meta.schema.fields.toSeq.map { f =>
+          val tVal = col(s"t.${f.name}")
+          val uVal = updateBySourceSet.getOrElse(f.name, tVal)
+          when(col("__graft_action") === "U", uVal)
+            .otherwise(tVal).cast(f.dataType).as(f.name)
+        }
+        flagged.unionByName(bsActed.select(
+          bsValued :+ (col("__graft_action") === "D").as(TombstoneCol): _*))
+      }
+    commitUpsertBatch(withBySource, skipIfEmpty = true, commitProperties = commitProperties)
   }
 
   /** The table state a merge's join actually needs: for a

@@ -125,4 +125,91 @@ class GraftSqlDmlSpec extends AnyFunSuite with SharedSpark {
       org.apache.spark.sql.SparkSession.setActiveSession(base)
     }
   }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: full-sync clauses, order folding, refusals") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val b = org.apache.spark.sql.SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+      base.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
+      import s2.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqlmbs").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+      def mk(name: String): ManagedTable = {
+        val df = (1 to 20).map(i => (i.toLong, s"n$i", i * 10.0)).toDF("id", "name", "v")
+        val t = ManagedTable.create(s2, wh, name, df.schema, Seq("id"))
+        t.append(df); t
+      }
+      def cur(name: String) = ManagedTable.load(s2, wh, name).get.read()
+
+      // all five clause kinds in one statement: source = ids 1..10 (keep)
+      // + 31..33 (insert); targets 11..20 unmatched by source
+      mk("sync")
+      (1L to 10L).map(i => (i, s"s$i", i * 100.0))
+        .union(Seq((31L, "new31", 1.0), (32L, "new32", 2.0), (33L, "new33", 3.0)))
+        .toDF("id", "name", "v").createOrReplaceTempView("snap")
+      s2.sql("""MERGE INTO graft.sync AS t USING snap AS s ON t.id = s.id
+        |WHEN MATCHED AND s.v > 900 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED AND s.id < 33 THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.id >= 18 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.v > 140 THEN UPDATE SET t.name = 'stale'
+        |""".stripMargin)
+      val got = cur("sync").select("id", "name", "v").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+      assert(!got.contains(10L), "matched s.v>900 deleted")
+      assert(got(5L) == ("n5", 500.0), "matched updated v only")
+      assert(got(31L) == ("new31", 1.0) && got(32L) == ("new32", 2.0))
+      assert(!got.contains(33L), "insert condition filtered")
+      assert(!got.contains(18L) && !got.contains(19L) && !got.contains(20L),
+        "by-source delete fired on unmatched ids >= 18")
+      assert(got(15L) == ("stale", 150.0) && got(17L) == ("stale", 170.0),
+        "by-source update flagged v>140 survivors")
+      assert(got(11L) == ("n11", 110.0), "unmatched row hit by no clause untouched")
+
+      // clause order folds first-match-wins: UPDATE written BEFORE DELETE
+      // with overlapping conditions — rows matching both must UPDATE
+      mk("ordtest")
+      Seq((1L, "x", 0.0)).toDF("id", "name", "v").createOrReplaceTempView("one")
+      s2.sql("""MERGE INTO graft.ordtest AS t USING one AS s ON t.id = s.id
+        |WHEN NOT MATCHED BY SOURCE AND t.v > 100 THEN UPDATE SET t.name = 'kept'
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val ord = cur("ordtest").select("id", "name").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(ord.keySet == (Set(1L) ++ (11L to 20L)), "v<=100 unmatched rows deleted")
+      assert((11L to 20L).forall(ord(_) == "kept"), "earlier UPDATE masks DELETE")
+      assert(ord(1L) == "n1", "matched row untouched by by-source clauses")
+
+      // a NULL earlier-clause condition must fall through (not mask):
+      // DELETE cond UNKNOWN → row falls to UPDATE
+      mk("nullbs")
+      Seq((99L, "x", 0.0)).toDF("id", "name", "v").createOrReplaceTempView("none")
+      s2.sql("""MERGE INTO graft.nullbs AS t USING none AS s ON t.id = s.id
+        |WHEN NOT MATCHED BY SOURCE AND nullif(t.v, t.v) > 0 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.name = 'fell'""".stripMargin)
+      assert(cur("nullbs").count() == 20, "UNKNOWN delete cond must not delete")
+      assert(cur("nullbs").where(col("name") === "fell").count() == 20)
+
+      // refusals: source reference in a BY SOURCE clause; duplicate clause
+      val e1 = intercept[Exception] {
+        s2.sql("""MERGE INTO graft.sync AS t USING snap AS s ON t.id = s.id
+          |WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE""".stripMargin)
+      }
+      assert(e1.getMessage.contains("cannot reference the source"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        s2.sql("""MERGE INTO graft.sync AS t USING snap AS s ON t.id = s.id
+          |WHEN NOT MATCHED BY SOURCE AND t.v > 0 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      }
+      assert(e2.getMessage.contains("at most one WHEN NOT MATCHED BY SOURCE DELETE"),
+        e2.getMessage)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
 }

@@ -147,6 +147,66 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("mergeInto BY SOURCE: delete/update act only on target rows absent from source") {
+    val t = seed(wh, "mbs1")
+    // source covers ids 1..50 (matched: v from source); unmatched targets
+    // 51..100: grp==0 → delete, grp==1 → flag name, rest untouched
+    val src = (1 to 50).map(i => (i, s"s$i", -1, i.toLong * 1000)).toDF("id", "name", "grp", "v")
+    t.mergeInto(src,
+      updateWhen = Some(lit(true)),
+      updateSet = Map("v" -> col("s.v")),
+      deleteWhen = None,
+      insertWhen = None,
+      deleteBySourceWhen = Some(col("t.grp") === 0),
+      updateBySourceWhen = Some(col("t.grp") === 1),
+      updateBySourceSet = Map("name" -> lit("stale")))
+    val m = t.read().collect().map(r => r.getInt(0) -> r).toMap
+    Seq(60, 70, 80, 90, 100).foreach(i => assert(!m.contains(i), s"id=$i should be deleted"))
+    Seq(51, 61, 71, 81, 91).foreach(i => assert(m(i).getString(1) == "stale"))
+    assert(m(52).getString(1) == "n52", "unmatched rows hit by no clause stay untouched")
+    assert(m(10).getLong(3) == 10000L, "matched branch still updates")
+    assert(m(10).getString(1) == "n10", "matched rows are NOT in the by-source scope")
+    assert(t.read().count() == 95)
+  }
+
+  test("mergeInto BY SOURCE: delete checked before update; validation guards") {
+    val t = seed(wh, "mbs2")
+    val src = (1 to 50).map(i => (i, s"s$i", -1, i.toLong)).toDF("id", "name", "grp", "v")
+    // overlapping conditions: grp==2 rows satisfy both → DELETE wins (the
+    // primitive's fixed order; SQL clause order is folded by the resolver)
+    t.mergeInto(src,
+      updateWhen = None, insertWhen = None,
+      deleteBySourceWhen = Some(col("t.grp") === 2),
+      updateBySourceWhen = Some(col("t.grp") === 2 || col("t.grp") === 3),
+      updateBySourceSet = Map("name" -> lit("stale")))
+    val m = t.read().collect().map(r => r.getInt(0) -> r).toMap
+    Seq(52, 62, 72, 82, 92).foreach(i => assert(!m.contains(i), s"id=$i delete wins"))
+    Seq(53, 63, 73, 83, 93).foreach(i => assert(m(i).getString(1) == "stale"))
+    intercept[IllegalArgumentException] { // SET without WHEN never applies
+      t.mergeInto(src, updateBySourceSet = Map("name" -> lit("x")))
+    }
+    intercept[IllegalArgumentException] { // WHEN without SET: nothing to assign
+      t.mergeInto(src, updateBySourceWhen = Some(lit(true)))
+    }
+    intercept[IllegalArgumentException] { // identifier assignment refused
+      t.mergeInto(src, updateBySourceWhen = Some(lit(true)),
+        updateBySourceSet = Map("id" -> lit(9)))
+    }
+  }
+
+  test("mergeInto BY SOURCE on a partitioned table tombstones across partitions") {
+    val w = wh
+    val t = seed(w, "mbs3", partitionBy = Seq("identity(grp)"))
+    val src = (1 to 20).map(i => (i, s"s$i", -1, 0L)).toDF("id", "name", "grp", "v")
+    t.mergeInto(src, updateWhen = None, insertWhen = None,
+      deleteBySourceWhen = Some(lit(true)))
+    // full sync: only the 20 source-matched rows survive (their values
+    // untouched — no matched action fired)
+    assert(t.read().count() == 20)
+    assert(t.read().select("id").as[Int].collect().toSet == (1 to 20).toSet)
+    assert(t.read().filter(col("id") === 5).head().getString(1) == "n5")
+  }
+
   test("mergeInto key-pruned state: agrees with full-state merge on a trickle source") {
     val w = wh
     val t = seed(w, "m4")
