@@ -11,10 +11,11 @@ package graft.tables
   *  2. [[ManagedTable.compactMinor]] — the trickle suffix of upsert
   *     groups exceeds `maxTrickleGroups` (per partition tuple for
   *     partitioned tables): fold it, never touching the base;
-  *  3. [[ManagedTable.materializePositionalDeletes]] — unpartitioned
-  *     tables whose equality-delete scopes exceed `maxDeleteScopes`
-  *     AFTER minor folding: reset the delete side for one scan, writing
-  *     only (file, pos) pairs;
+  *  3. [[ManagedTable.materializePositionalDeletes]] — single-epoch
+  *     tables where some partition tuple's equality-delete scopes exceed
+  *     `maxDeleteScopes` AFTER minor folding: reset that delete side for
+  *     one scan, writing only (file, pos) pairs (per touched tuple on
+  *     partitioned tables);
   *  4. [[ManagedTable.compact]] — the live-file count still exceeds
   *     `maxLiveFiles` (small-file accumulation compaction tiers can't
   *     fold away), or old partition-spec epochs linger: full rewrite at
@@ -71,20 +72,26 @@ object Maintenance {
       actions += Action("compactMinor",
         s"trickle depth $trickleDepth > ${policy.maxTrickleGroups}")
     // tier 3: equality scopes a read must still anti-join — the base and
-    // scopes at or below the newest posdel sidecar's seq are already
-    // skipped/absorbed. Never-partitioned tables only: prior spec epochs
-    // leave partition-scoped deletes the sidecar cannot express (the
-    // epoch history clears at the first full compact once old snapshots
-    // age out).
-    val appliedUpTo = byKind.getOrElse(Manifest.PosDel, Array.empty)
-      .map(_.getLong(2)).maxOption.getOrElse(Long.MinValue)
-    val scopes = upserts.filterNot(isBase).map(_.getLong(2)).distinct
-      .count(_ > appliedUpTo)
-    val neverPartitioned = table.meta.partitionBy.isEmpty &&
-      !table.meta.properties.contains(ManagedTable.SpecHistoryKey)
-    if (neverPartitioned && scopes > policy.maxDeleteScopes)
+    // scopes at or below the tuple's newest posdel sidecar seq are already
+    // skipped/absorbed; counted PER PARTITION TUPLE (unpartitioned tables
+    // have the one empty tuple), since that is the per-read breadth and
+    // the unit the per-tuple materializer recovers. Single-epoch tables
+    // only: prior spec epochs leave cross-epoch deletes the sidecar
+    // cannot express (the epoch history clears at the first full compact
+    // once old snapshots age out).
+    val appliedByTuple = byKind.getOrElse(Manifest.PosDel, Array.empty)
+      .groupBy(_.getAs[Map[String, String]]("partition"))
+      .map { case (p, es) => p -> es.map(_.getLong(2)).max }
+    val scopes = upserts.filterNot(isBase)
+      .groupBy(_.getAs[Map[String, String]]("partition"))
+      .map { case (p, es) =>
+        val applied = appliedByTuple.getOrElse(p, Long.MinValue)
+        es.map(_.getLong(2)).distinct.count(_ > applied)
+      }.maxOption.getOrElse(0)
+    val singleEpoch = !table.meta.properties.contains(ManagedTable.SpecHistoryKey)
+    if (singleEpoch && scopes > policy.maxDeleteScopes)
       actions += Action("materializePositionalDeletes",
-        s"$scopes live delete scopes > ${policy.maxDeleteScopes}")
+        s"$scopes live delete scopes in a tuple > ${policy.maxDeleteScopes}")
     // tier 4: live file-group count (manifest entries stand in for file
     // counts at plan time; compact() recounts exactly)
     if (files.length > policy.maxLiveFiles)

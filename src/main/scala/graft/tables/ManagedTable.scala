@@ -1388,27 +1388,113 @@ final class ManagedTable private (
     * is the constraint, and [[compactMinor]] when narrow integer keys
     * make the folded equality probe cheapest. Re-running folds the old
     * sidecar into the new one (pairs whose files a fold rewrote match
-    * nothing and are dropped). Unpartitioned tables only — partitioned
-    * delete scopes are per-tuple and already bounded per-tuple.
+    * nothing and are dropped).
+    *
+    * Partitioned tables (round 7): per-tuple scopes on a SINGLE-epoch
+    * table are partition-local — exactly the precondition the
+    * unpartitioned algorithm exploits — so the materialization runs once
+    * PER TOUCHED TUPLE (a tuple with an unabsorbed live scope), each pass
+    * reading only that tuple's groups and writing a tuple-carrying
+    * sidecar. This is the recovery path for a broken per-tuple DV chain
+    * (mode enabled mid-life, caps exceeded): cost ∝ the touched tuples'
+    * sidecar data, not a [[compact]]-scale table rewrite. A possibly-empty
+    * sidecar is always committed for a touched tuple — the chain invariant
+    * needs every scope ≤ S accounted for before [[posdelOnCommit]] may
+    * resume. Multi-epoch tables still require [[compact]] (cross-epoch
+    * scopes are global-on-ids; a tuple-scoped sidecar cannot cover them).
     * Returns the number of materialized pairs.
     */
   def materializePositionalDeletes(): Long = {
-    require(!isPartitioned,
-      "positional-delete sidecars are for unpartitioned tables")
-    require(allEpochPartitionFields.isEmpty,
-      "positional-delete sidecars need a never-partitioned table: prior " +
-        "spec epochs leave partition-scoped equality deletes the sidecar's " +
-        "id-only materialization would over-apply (run compact() first)")
     val ids = _meta.identifierFields
-    val entries = currentEntries
-    val posdels = entries.filter(_.kind == Manifest.PosDel)
-    val dataEntries = entries.filterNot(_.kind == Manifest.PosDel)
-    val sOld = if (posdels.isEmpty) Long.MinValue else posdels.map(_.seq).max
-    val minSeq = dataEntries.map(_.seq).minOption.getOrElse(Long.MinValue)
-    val scopes = dataEntries.filter(e =>
-      e.kind == Manifest.Upsert && e.seq > minSeq && e.seq > sOld)
-    if ((scopes.isEmpty && posdels.isEmpty) || ids.isEmpty) return 0L
-    val sNew = (scopes.map(_.seq) :+ sOld).max
+    if (!isPartitioned) {
+      require(allEpochPartitionFields.isEmpty,
+        "positional-delete sidecars need a never-partitioned table: prior " +
+          "spec epochs leave partition-scoped equality deletes the sidecar's " +
+          "id-only materialization would over-apply (run compact() first)")
+      val entries = currentEntries
+      val posdels = entries.filter(_.kind == Manifest.PosDel)
+      val dataEntries = entries.filterNot(_.kind == Manifest.PosDel)
+      val sOld = if (posdels.isEmpty) Long.MinValue else posdels.map(_.seq).max
+      val minSeq = dataEntries.map(_.seq).minOption.getOrElse(Long.MinValue)
+      val scopes = dataEntries.filter(e =>
+        e.kind == Manifest.Upsert && e.seq > minSeq && e.seq > sOld)
+      if ((scopes.isEmpty && posdels.isEmpty) || ids.isEmpty) return 0L
+      val sNew = (scopes.map(_.seq) :+ sOld).max
+      val allPairs = hiddenPairs(dataEntries, posdels, scopes)
+      val n = allPairs.count()
+      if (n == 0) { commitManifest(dataEntries); return 0L }
+      val rel = s"files/${Manifest.PosDel}-$sNew-${java.util.UUID.randomUUID().toString.take(8)}"
+      allPairs.repartition(1).write.mode("overwrite").format(format)
+        .save(new Path(tableDir, rel).toString)
+      commitManifest(dataEntries :+ ManifestEntry(rel, Manifest.PosDel, sNew, rows = n))
+      n
+    } else {
+      require(specBoundaries.isEmpty,
+        "partitioned positional-delete materialization needs a single-epoch " +
+          "table: cross-epoch scopes are global-on-ids and a tuple-scoped " +
+          "sidecar cannot cover them (run compact() to normalize)")
+      if (ids.isEmpty) return 0L
+      val entries = currentEntries
+      val posdels = entries.filter(_.kind == Manifest.PosDel)
+      val dataEntries = entries.filterNot(_.kind == Manifest.PosDel)
+      // touched = tuples with at least one live scope above their applied
+      // watermark; untouched tuples keep their sidecars (and their chains)
+      val touched = dataEntries.groupBy(_.partition).toSeq
+        .sortBy(_._1.toString).flatMap { case (tuple, tEntries) =>
+          val tApplied = posdels.filter(_.partition == tuple)
+            .map(_.seq).maxOption.getOrElse(Long.MinValue)
+          val tMin = tEntries.map(_.seq).minOption.getOrElse(Long.MinValue)
+          val scopes = tEntries.filter(e =>
+            e.kind == Manifest.Upsert && e.seq > tMin && e.seq > tApplied)
+          if (scopes.isEmpty) None else Some((tuple, tEntries, scopes, tApplied))
+        }
+      if (touched.isEmpty) return 0L
+      var total = 0L
+      val maxLocal = 100000
+      val newSidecars = touched.map { case (tuple, tEntries, scopes, tApplied) =>
+        val sNew = (scopes.map(_.seq) :+ tApplied).max
+        val pairs = hiddenPairs(tEntries, posdels.filter(_.partition == tuple), scopes)
+        val rel = s"files/${Manifest.PosDel}-$sNew-${java.util.UUID.randomUUID().toString.take(8)}"
+        val dir = new Path(tableDir, rel)
+        // small sidecars (the common case: one tuple's hidden rows) are
+        // collected once and written driver-side — one job per tuple, no
+        // separate count + write
+        val collected = pairs.limit(maxLocal + 1).collect()
+        if (collected.length <= maxLocal && format == "parquet") {
+          fs.mkdirs(dir)
+          LocalCommit.writeParquet(spark, new Path(dir, "part-00000.parquet"),
+            ManagedTable.PosDelSchema, collected.toSeq)
+          total += collected.length
+          ManifestEntry(rel, Manifest.PosDel, sNew, partition = tuple,
+            rows = collected.length.toLong)
+        } else {
+          pairs.repartition(1).write.mode("overwrite").format(format).save(dir.toString)
+          total += pairs.count()
+          ManifestEntry(rel, Manifest.PosDel, sNew, partition = tuple)
+        }
+      }
+      val touchedTuples = touched.map(_._1).toSet
+      commitManifest(entries.filterNot(e =>
+        e.kind == Manifest.PosDel && touchedTuples(e.partition)) ++ newSidecars)
+      total
+    }
+  }
+
+  /** The shared core of both materializer paths: the `(file, pos)` pairs
+    * of rows in `dataEntries` hidden by the equality `scopes` (the SEMI
+    * twin of [[morResolve]]'s anti-join — callers guarantee the scopes are
+    * id-resolvable against exactly these groups: globally for a
+    * never-partitioned table, per-tuple for a single-epoch partitioned
+    * one), unioned with the still-live pairs of `oldPosdels`. Liveness is
+    * an equi-join against the current scan's distinct file paths — both
+    * sides are `_metadata.file_path` strings, so the comparison can never
+    * suffer a path-qualification format drift; pairs for files a
+    * compaction rewrote match nothing and drop out.
+    */
+  private def hiddenPairs(dataEntries: Seq[ManifestEntry],
+                          oldPosdels: Seq[ManifestEntry],
+                          scopes: Seq[ManifestEntry]): DataFrame = {
+    val ids = _meta.identifierFields
     val readSchema = StructType(physicalSchema.fields :+
       StructField(SeqCol, LongType, nullable = false) :+
       StructField(TombstoneCol, BooleanType, nullable = true))
@@ -1420,8 +1506,6 @@ final class ManagedTable private (
         // as the main scan does ([[scanGroups]])
         coalesce(col(SeqCol), regexp_extract(col("_metadata.file_path"),
           ManagedTable.GroupSeqPattern, 2).cast(LongType)).as(SeqCol): _*)
-    // rows hidden by the not-yet-absorbed equality scopes: the SEMI twin
-    // of morResolve's anti-join
     val newHidden =
       if (scopes.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         ManagedTable.PosDelSchema)
@@ -1436,26 +1520,14 @@ final class ManagedTable private (
           dels(DelSeqCol) > s(SeqCol)
         s.join(dels, cond, "left_semi").select(col("file"), col("pos"))
       }
-    // fold in the old sidecar's still-live pairs. Liveness is an equi-join
-    // against the CURRENT scan's distinct file paths — both sides are
-    // _metadata.file_path strings, so the comparison can never suffer a
-    // path-qualification format drift; pairs for files a compaction
-    // rewrote match nothing and drop out here.
     val oldPairs =
-      if (posdels.isEmpty) newHidden.limit(0)
+      if (oldPosdels.isEmpty) newHidden.limit(0)
       else {
         val pairs = spark.read.schema(ManagedTable.PosDelSchema).format(format)
-          .load(posdels.map(e => new Path(tableDir, e.path).toString): _*)
+          .load(oldPosdels.map(e => new Path(tableDir, e.path).toString): _*)
         pairs.join(scan.select("file").distinct(), Seq("file"), "left_semi")
       }
-    val allPairs = newHidden.unionByName(oldPairs).distinct()
-    val n = allPairs.count()
-    if (n == 0) { commitManifest(dataEntries); return 0L }
-    val rel = s"files/${Manifest.PosDel}-$sNew-${java.util.UUID.randomUUID().toString.take(8)}"
-    val dir = new Path(tableDir, rel)
-    allPairs.repartition(1).write.mode("overwrite").format(format).save(dir.toString)
-    commitManifest(dataEntries :+ ManifestEntry(rel, Manifest.PosDel, sNew, rows = n))
-    n
+    newHidden.unionByName(oldPairs).distinct()
   }
 
   /** W1/W2 — append. Batch is conformed to the table schema (R4), hash-
@@ -1856,7 +1928,11 @@ final class ManagedTable private (
     * sidecar is only built when candidates stay under
     * `…posdel-on-commit.max-file-fraction` (default 0.25) of the live
     * groups — a batch touching most files gains nothing from position
-    * pairs. The scan reads ONLY candidate groups with the keys pushed
+    * pairs. The probe itself is budgeted in `auto` (round 7):
+    * `…posdel-on-commit.probe-budget` (default 2e6) caps the
+    * groups × keys product up front, and the candidate count bails
+    * mid-loop at the fraction threshold — a commit that would discard
+    * the probe result never pays for the full probe. The scan reads ONLY candidate groups with the keys pushed
     * down as `isin` prefilters, so the per-commit cost is proportional to
     * the matched file set, not the table.
     *
@@ -1868,8 +1944,9 @@ final class ManagedTable private (
     * When a tuple's chain is broken (mode was just enabled on a table
     * with live scopes, a batch exceeded the caps, a WAP publish landed
     * scopes out of band) that tuple degrades to the equality status quo;
-    * unpartitioned tables restart via [[materializePositionalDeletes]],
-    * partitioned tuples via [[compact]] (which clears scopes outright).
+    * [[materializePositionalDeletes]] restarts it — per touched tuple on
+    * partitioned single-epoch tables (round 7), at O(sidecar) cost —
+    * and [[compact]] clears scopes outright on multi-epoch tables.
     *
     * Partitioned tables (round 6, reference parity — the reference
     * writes DVs per data file on every commit): one sidecar PER TOUCHED
@@ -1917,17 +1994,38 @@ final class ManagedTable private (
       val keyRows = keyRowsLazy
       if (keyRows.length > maxKeys) return None
       val keys = keyRows.filterNot(_.anyNull) // null ids never match `===` scopes
-      val candidates = tPrior.filter { e =>
-        keys.exists { kr =>
+      // the candidate probe is O(live groups × batch keys) single-threaded
+      // bounds+bloom work; in auto mode, pre-bail when that product blows
+      // the budget (a hot tuple with thousands of live groups must not pay
+      // ~1e7 probe iterations per commit just to DISCARD the result), and
+      // count candidates incrementally, stopping at the fraction threshold
+      // mid-loop instead of after the full pass
+      val probeBudget = _meta.properties
+        .getOrElse("write.mor.posdel-on-commit.probe-budget", "2000000").toLong
+      if (mode == "auto" && tPrior.size.toLong * keys.length > probeBudget)
+        return None
+      val maxCand =
+        if (mode == "auto") math.max(1.0, frac * tPrior.size) else Double.MaxValue
+      val candB = Seq.newBuilder[ManifestEntry]
+      var nCand = 0
+      val probeIt = tPrior.iterator
+      while (probeIt.hasNext && nCand >= 0) {
+        val e = probeIt.next()
+        val isCand = keys.exists { kr =>
           ids.zipWithIndex.forall { case (c, i) =>
             e.stats.get(c).forall(_.intersects(kr.get(i), kr.get(i))) &&
               e.blooms.get(c).forall(b =>
                 b.mightContain(bloomPositions(c, kr.get(i), b.m, b.k)))
           }
         }
+        if (isCand) {
+          nCand += 1
+          if (nCand > maxCand) nCand = -1 // threshold crossed: stop probing
+          else candB += e
+        }
       }
-      if (mode == "auto" && candidates.size > math.max(1.0, frac * tPrior.size))
-        return None
+      if (nCand < 0) return None
+      val candidates = candB.result()
       val rel = s"files/${Manifest.PosDel}-$seq-${java.util.UUID.randomUUID().toString.take(8)}"
       val dir = new Path(tableDir, rel)
       // an empty sidecar (pure-insert batch, or no candidates) is still

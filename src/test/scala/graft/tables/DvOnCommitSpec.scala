@@ -131,6 +131,96 @@ class DvOnCommitSpec extends AnyFunSuite with SharedSpark {
     assert(t.read().where(col("id") === 2).select("name").head().getString(0) == "v2")
   }
 
+  test("partitioned broken chain recovers via the per-tuple materializer, no data rewrite") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-dvp-mat").toString
+    def batch(ids: Range): DataFrame =
+      ids.map(i => (i, s"v$i", "u", 1L)).toDF("id", "name", "__op", "__source_ts_ns")
+    val t = ManagedTable.create(spark, wh, "pmat", batch(0 to 0).schema, Seq("id"),
+      partitionBy = Seq("bucket(2,id)"))
+    t.merge(batch(0 until 40))
+    t.merge(batch(10 until 30)) // live per-tuple scopes, never materialized
+    t.setProperties(Map("write.mor.posdel-on-commit" -> "always"))
+    t.merge(batch(20 until 35))
+    assert(posdelSeqs(t).isEmpty, "chain should be broken before recovery")
+    val dataBefore = t.filesMetadata()
+      .where(col("kind") =!= Manifest.PosDel).select("path").as[String].collect().toSet
+    val before = canon(t.read())
+    // recovery: per-tuple sidecars absorb every live scope — both tuples
+    // get one, carrying their tuple, and NO data group is rewritten
+    val n = t.materializePositionalDeletes()
+    assert(n > 0, "expected hidden pairs on both tuples")
+    val metaAfter = t.filesMetadata().select("kind", "path", "partition").collect()
+    val dataAfter = metaAfter.filter(_.getString(0) != Manifest.PosDel)
+      .map(_.getString(1)).toSet
+    assert(dataAfter == dataBefore, "recovery must not rewrite data groups")
+    val pd = metaAfter.filter(_.getString(0) == Manifest.PosDel)
+    assert(pd.length == 2 &&
+      pd.forall(_.getMap[String, String](2).contains("id_bucket")),
+      s"expected one tuple-carrying sidecar per touched tuple: ${pd.toSeq}")
+    assert(canon(t.read()) == before, "recovery changed the visible state")
+    // the chain is repaired: the NEXT commit writes per-commit sidecars
+    t.merge(batch(0 until 5))
+    assert(posdelSeqs(t).lastOption.contains(t.meta.currentVersion),
+      "chain did not resume after per-tuple recovery")
+    assert(t.read().count() == 40)
+    // idempotent: nothing left to absorb
+    assert(ManagedTable.load(spark, wh, "pmat").get.read().count() == 40)
+  }
+
+  test("multi-epoch partitioned table refuses the materializer (compact is the recovery)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-dvp-epoch").toString
+    def batch(ids: Range): DataFrame =
+      ids.map(i => (i, s"v$i", "u", 1L)).toDF("id", "name", "__op", "__source_ts_ns")
+    val t = ManagedTable.create(spark, wh, "pepoch", batch(0 to 0).schema, Seq("id"),
+      partitionBy = Seq("bucket(2,id)"))
+    t.merge(batch(0 until 20))
+    t.merge(batch(5 until 10))
+    t.updatePartitionSpec(Seq("bucket(4,id)"))
+    t.merge(batch(0 until 3))
+    val e = intercept[IllegalArgumentException] { t.materializePositionalDeletes() }
+    assert(e.getMessage.contains("single-epoch"), e.getMessage)
+  }
+
+  test("auto mode: probe budget and mid-loop candidate bail degrade gracefully") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-dv-budget").toString
+    def batch(ids: Range): DataFrame =
+      ids.map(i => (i, s"v$i", "u", 1L)).toDF("id", "name", "__op", "__source_ts_ns")
+    // budget 1: any probe (groups × keys >= 1 … > 1) bails up front in auto
+    val t = ManagedTable.create(spark, wh, "budget", batch(0 to 0).schema, Seq("id"),
+      properties = Map(
+        "write.mor.posdel-on-commit" -> "auto",
+        "write.mor.posdel-on-commit.probe-budget" -> "1"))
+    t.merge(batch(0 until 50))
+    t.merge(batch(10 until 20))
+    // the empty-table first commit writes its (empty) sidecar before any
+    // prior groups exist (0 × keys never blows the budget); the SECOND
+    // commit's probe (1 group × 10 keys > 1) must bail
+    assert(posdelSeqs(t) == Seq(1L), "budgeted probe must bail, not build a sidecar")
+    assert(t.read().count() == 50, "equality fallback must stay correct")
+    assert(t.read().where(col("id") === 15).count() == 1)
+    // raising the budget turns sidecars back on for later commits once the
+    // chain restarts (materializer absorbs the skipped scope)
+    t.setProperties(Map("write.mor.posdel-on-commit.probe-budget" -> "2000000"))
+    t.materializePositionalDeletes()
+    t.merge(batch(20 until 25))
+    assert(posdelSeqs(t).lastOption.contains(t.meta.currentVersion),
+      "sidecars did not resume after the budget was raised")
+    // mid-loop bail: a batch touching every group exceeds max-file-fraction
+    val w2 = java.nio.file.Files.createTempDirectory("graft-dv-frac").toString
+    val t2 = ManagedTable.create(spark, w2, "frac", batch(0 to 0).schema, Seq("id"),
+      properties = Map("write.mor.posdel-on-commit" -> "auto",
+        "write.mor.posdel-on-commit.max-file-fraction" -> "0.25"))
+    t2.merge(batch(0 until 30))
+    t2.merge(batch(30 until 60))
+    t2.merge(batch(60 until 90))
+    t2.merge(batch(90 until 120))
+    val pdBefore = posdelSeqs(t2).size
+    t2.merge(batch(0 until 120)) // candidates = every group > 25%
+    assert(posdelSeqs(t2).size == pdBefore,
+      "a batch touching every group must skip the sidecar in auto mode")
+    assert(t2.read().count() == 120)
+  }
+
   test("broken chain degrades to equality scopes; the maintenance materializer restarts it") {
     val wh = java.nio.file.Files.createTempDirectory("graft-dv-chain").toString
     def batch(ids: Range): DataFrame =

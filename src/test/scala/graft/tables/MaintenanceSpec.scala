@@ -52,6 +52,29 @@ class MaintenanceSpec extends AnyFunSuite with SharedSpark {
       Maintenance.Policy(maxTrickleGroups = 4, maxDeleteScopes = 16)).isEmpty)
   }
 
+  test("partitioned single-epoch tables get the per-tuple materializer tier") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-maintp").toString
+    val schema = Seq((1, "a", "c", 0L)).toDF("id", "v", "__op", "__source_ts_ns").schema
+    val t = ManagedTable.create(spark, wh, "mp", schema, Seq("id"),
+      partitionBy = Seq("bucket(2,id)"),
+      properties = Map(
+        "write.mor.compact-after-upserts" -> "0",
+        "write.versions-retained" -> "50"))
+    trickle(t, 12)
+    val before = state(t)
+    val plan = Maintenance.plan(t, Maintenance.Policy(
+      maxTrickleGroups = 100, maxDeleteScopes = 2, maxLiveFiles = 1000))
+    assert(plan.exists(_.kind == "materializePositionalDeletes"),
+      s"partitioned tier-3 missing: $plan")
+    val ran = Maintenance.run(t, Maintenance.Policy(
+      maxTrickleGroups = 100, maxDeleteScopes = 2, maxLiveFiles = 1000))
+    assert(ran.map(_.kind).contains("materializePositionalDeletes"), s"ran: $ran")
+    assert(state(t) == before, "maintenance changed the visible state")
+    // the tuples' scopes are absorbed: re-planning is quiet at the same policy
+    assert(Maintenance.plan(t, Maintenance.Policy(
+      maxTrickleGroups = 100, maxDeleteScopes = 2, maxLiveFiles = 1000)).isEmpty)
+  }
+
   test("live-file tier compacts once and terminates even if the threshold stays exceeded") {
     val wh = java.nio.file.Files.createTempDirectory("graft-maint2").toString
     val t = mkTable(wh, "m2")
