@@ -71,6 +71,8 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         s"CREATE TABLE graft.$name: identifier field '$i' is not a declared column"))
       val partitionBy = partitioning.map(transformToSpec(name, _))
       GraftDmlCommand("CREATE TABLE", name, () => {
+        require(graft.tables.ViewStore.load(session, wh, name).isEmpty,
+          s"CREATE TABLE graft.$name: a view with this name exists")
         if (!(ifNotExists && ManagedTable.load(session, wh, name).isDefined))
           ManagedTable.create(session, wh, name, schema, ids, partitionBy,
             props - IdsProp): Unit
@@ -84,6 +86,8 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
       val partitionBy = partitioning.map(transformToSpec(name, _))
       GraftDmlCommand("CREATE TABLE AS SELECT", name, () => {
+        require(graft.tables.ViewStore.load(session, wh, name).isEmpty,
+          s"CREATE TABLE graft.$name: a view with this name exists")
         if (!(ifNotExists && ManagedTable.load(session, wh, name).isDefined)) {
           val df = org.apache.spark.sql.graftbridge.GraftBridge.dataFrame(session, query)
           ids.foreach(i => require(df.schema.fieldNames.contains(i),
@@ -98,12 +102,58 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       val wh = warehouse(name)
       GraftDmlCommand("DROP TABLE", name, () => {
         val exists = ManagedTable.load(session, wh, name).isDefined
+        if (!exists && graft.tables.ViewStore.load(session, wh, name).isDefined)
+          throw new IllegalArgumentException(
+            s"graft.$name is a view (use DROP VIEW)")
         require(exists || ifExists, s"table graft.$name does not exist")
         if (exists) {
           val fs = graft.tables.TableMeta.fs(
             session.sparkContext.hadoopConfiguration, wh)
           fs.delete(new org.apache.hadoop.fs.Path(wh, name), true): Unit
         }
+      })
+    // CREATE [OR REPLACE] VIEW graft.v AS <query> — the definition is the
+    // body's ORIGINAL SQL TEXT, stored warehouse-adjacent
+    // ([[graft.tables.ViewStore]]) and re-resolved at every reference
+    // (standard view semantics: the view sees the tables' CURRENT state
+    // and schema — Spark's SCHEMA EVOLUTION view mode). Time travel,
+    // metadata suffixes and nested views all work inside the body because
+    // expansion re-enters the full parser + rule stack. The body is
+    // analyzed eagerly here so a broken definition fails at CREATE, not
+    // at first use. TEMP views need nothing: Spark's session-local temp
+    // view machinery already resolves graft relations in the body.
+    case cv @ CreateView(UnresolvedIdentifier(Seq(g, name), _), userCols,
+        _, _, _, originalText, _, allowExisting, replace, _)
+        if g.equalsIgnoreCase("graft") =>
+      val wh = warehouse(name)
+      require(userCols.isEmpty,
+        s"CREATE VIEW graft.$name: a column list is not supported — alias " +
+          "the columns in the view body instead")
+      val sql = originalText.getOrElse(throw new IllegalArgumentException(
+        s"CREATE VIEW graft.$name: the view body must come from SQL text"))
+      val (allowExist, repl) = (allowExisting, replace)
+      GraftDmlCommand("CREATE VIEW", name, () => {
+        require(ManagedTable.load(session, wh, name).isEmpty,
+          s"CREATE VIEW graft.$name: a managed table with this name exists")
+        val exists = graft.tables.ViewStore.load(session, wh, name).isDefined
+        if (exists && !repl && !allowExist) throw new IllegalArgumentException(
+          s"view graft.$name already exists (use CREATE OR REPLACE VIEW)")
+        if (!exists || repl) {
+          // fail fast on a body that does not analyze
+          org.apache.spark.sql.graftbridge.GraftBridge.dataFrame(session,
+            session.sessionState.sqlParser.parsePlan(sql)).queryExecution.analyzed
+          graft.tables.ViewStore.create(session, wh, name, sql, repl)
+        }
+      })
+    case dv @ DropView(UnresolvedIdentifier(Seq(g, name), _), ifExists)
+        if g.equalsIgnoreCase("graft") =>
+      val wh = warehouse(name)
+      GraftDmlCommand("DROP VIEW", name, () => {
+        val dropped = graft.tables.ViewStore.drop(session, wh, name)
+        if (!dropped && ManagedTable.load(session, wh, name).isDefined)
+          throw new IllegalArgumentException(
+            s"graft.$name is a managed table (use DROP TABLE)")
+        require(dropped || ifExists, s"view graft.$name does not exist")
       })
     case a @ AddColumns(GraftAlterTarget(name), cols) =>
       withTable(a, name) { t =>
@@ -280,10 +330,10 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         val fs = graft.tables.TableMeta.fs(session.sparkContext.hadoopConfiguration, wh)
         val base = new org.apache.hadoop.fs.Path(wh)
         val names =
-          if (!fs.exists(base)) Seq.empty[String]
-          else fs.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath.getName)
-            .filter(n => fs.exists(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh, n), "meta.json")))
-            .sorted
+          (if (!fs.exists(base)) Seq.empty[String]
+           else fs.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+             .filter(n => fs.exists(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh, n), "meta.json")))
+          ).++(graft.tables.ViewStore.list(session, wh)).sorted
         val kept = st.pattern match {
           case Some(p) =>
             // Spark's SHOW TABLES LIKE is case-insensitive glob

@@ -51,7 +51,7 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         val c = stripQualifier(cond, alias)
         GraftDmlCommand("DELETE", name,
           () => t.deleteWhere(GraftBridge.column(c))): LogicalPlan
-      }.getOrElse(d)
+      }.getOrElse(refuseIfView(name, "DELETE", d))
     case u0 @ UpdateTable(GraftTarget(name, alias), assigns, cond) =>
       loadTable(name).map { t =>
         val set = assigns.map(a =>
@@ -59,7 +59,7 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         val c = stripQualifier(cond.getOrElse(Literal.TrueLiteral), alias)
         GraftDmlCommand("UPDATE", name,
           () => t.updateWhere(GraftBridge.column(c), set)): LogicalPlan
-      }.getOrElse(u0)
+      }.getOrElse(refuseIfView(name, "UPDATE", u0))
     case i: InsertIntoStatement if (i.table match {
         case GraftTarget(_, _) => i.partitionSpec.isEmpty
         case _ => false
@@ -92,13 +92,14 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
             else t.overwrite(df)
           } else t.append(df)
         }): LogicalPlan
-      }.getOrElse(i)
+      }.getOrElse(refuseIfView(name, "INSERT", i))
     case m: MergeIntoTable if (m.targetTable match {
         case GraftTarget(_, _) => true
         case _ => false
       }) =>
       val GraftTarget(name, tAlias) = m.targetTable: @unchecked
-      loadTable(name).map(t => buildMerge(m, t, name, tAlias)).getOrElse(m)
+      loadTable(name).map(t => buildMerge(m, t, name, tAlias))
+        .getOrElse(refuseIfView(name, "MERGE", m))
     // `WHERE c = <lit>` directly over a graft relation: resolve to the
     // MANIFEST-PRUNED scan (column bounds + Bloom filters,
     // [[ManagedTable.readWhereEq]]) instead of the full scan — the filter
@@ -156,6 +157,20 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
   private def loadTable(name: String): Option[ManagedTable] =
     session.conf.getOption("spark.graft.warehouse")
       .flatMap(wh => ManagedTable.load(session, wh, name))
+
+  /** DML whose graft target is a persisted VIEW: a precise refusal
+    * instead of letting the relation case resolve the view body into a
+    * scan and Spark die on an unwritable-relation internal error.
+    */
+  private def refuseIfView(name: String, stmt: String,
+                           fallback: LogicalPlan): LogicalPlan =
+    session.conf.getOption("spark.graft.warehouse") match {
+      case Some(wh) if graft.tables.ViewStore.load(session, wh, name).isDefined =>
+        throw new IllegalArgumentException(
+          s"graft.$name is a view: $stmt must target a managed table " +
+            "(views are read-only)")
+      case _ => fallback
+    }
 
   /** Drop the statement alias qualifier so the expression resolves
     * against the bare table scan (`DELETE FROM graft.t AS x WHERE x.c`).
@@ -474,24 +489,57 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       case -1 => (ident, None)
       case i  => (ident.take(i), Some(ident.drop(i + 1)))
     }
-    ManagedTable.load(session, wh.get, name).flatMap { t =>
-      val df = suffix match {
-        case None              => Some(t.read())
-        case Some("files")      => Some(t.filesMetadata())
-        case Some("snapshots")  => Some(t.snapshotsMetadata())
-        case Some("refs")       => Some(t.refsMetadata())
-        case Some("partitions") => Some(t.partitionsMetadata())
-        case Some("changes")   => Some(t.readChangesBetween(0L, t.meta.currentVersion))
-        case Some(v) if v.length > 1 && v.length <= 18 &&
-            v.startsWith("v") && v.drop(1).forall(_.isDigit) =>
-          // non-empty + length-bounded digits keep toLong total; a
-          // RETAINED-version miss still raises readVersion's informative
-          // error, while malformed suffixes fall through to Spark's
-          // normal unresolved-relation error
-          Some(t.readVersion(v.drop(1).toLong))
-        case _ => None
-      }
-      df.map(_.queryExecution.analyzed)
+    ManagedTable.load(session, wh.get, name) match {
+      case Some(t) =>
+        val df = suffix match {
+          case None              => Some(t.read())
+          case Some("files")      => Some(t.filesMetadata())
+          case Some("snapshots")  => Some(t.snapshotsMetadata())
+          case Some("refs")       => Some(t.refsMetadata())
+          case Some("partitions") => Some(t.partitionsMetadata())
+          case Some("changes")   => Some(t.readChangesBetween(0L, t.meta.currentVersion))
+          case Some(v) if v.length > 1 && v.length <= 18 &&
+              v.startsWith("v") && v.drop(1).forall(_.isDigit) =>
+            // non-empty + length-bounded digits keep toLong total; a
+            // RETAINED-version miss still raises readVersion's informative
+            // error, while malformed suffixes fall through to Spark's
+            // normal unresolved-relation error
+            Some(t.readVersion(v.drop(1).toLong))
+          case _ => None
+        }
+        df.map(_.queryExecution.analyzed)
+      case None if suffix.isEmpty => expandView(wh.get, name)
+      case None => None
     }
   }
+
+  /** Thread-local stack of views currently being expanded — expansion is
+    * EAGER (the body is parsed and fully analyzed inside this call, so
+    * nested views expand within the same stack), which makes a cyclic
+    * definition a precise error instead of an analyzer max-iterations
+    * blowup.
+    */
+  private val viewStack = new ThreadLocal[List[String]] {
+    override def initialValue(): List[String] = Nil
+  }
+
+  /** `graft.<name>` where no managed table exists: a persisted VIEW
+    * ([[graft.tables.ViewStore]]) expands to its body's re-parsed,
+    * re-analyzed plan — through the full parser seam, so time travel,
+    * metadata suffixes and nested views inside the body all work, and
+    * the view always sees the tables' current state and schema.
+    */
+  private def expandView(wh: String, name: String): Option[LogicalPlan] =
+    graft.tables.ViewStore.load(session, wh, name).map { sql =>
+      val stack = viewStack.get()
+      if (stack.exists(_.equalsIgnoreCase(name)))
+        throw new IllegalArgumentException(
+          s"cyclic view reference: ${(name :: stack).reverse.mkString(" -> ")}")
+      viewStack.set(name :: stack)
+      try {
+        val parsed = session.sessionState.sqlParser.parsePlan(sql)
+        SubqueryAlias(name,
+          GraftBridge.dataFrame(session, parsed).queryExecution.analyzed)
+      } finally viewStack.set(stack)
+    }
 }

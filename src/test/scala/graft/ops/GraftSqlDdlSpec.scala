@@ -252,4 +252,102 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       org.apache.spark.sql.SparkSession.setActiveSession(base)
     }
   }
+
+  test("CREATE [TEMP] VIEW over graft SQL: create/query/drop, time travel, refusals") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val b = org.apache.spark.sql.SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+      base.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
+      import s2.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqlview").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+
+      val df = (1 to 20).map(i => (i.toLong, s"n$i", i * 10.0)).toDF("id", "name", "v")
+      val t = ManagedTable.create(s2, wh, "vt", df.schema, Seq("id"),
+        properties = Map("write.versions-retained" -> "10"))
+      t.append(df) // v1
+      t.updateWhere(col("id") === 1, Map("v" -> lit(999.0))) // v2
+
+      // persisted view over graft SQL; re-resolves per reference
+      s2.sql("CREATE VIEW graft.big AS SELECT id, v FROM graft.vt WHERE v > 100")
+      assert(s2.sql("SELECT count(*) AS n FROM graft.big").head().getLong(0) == 11,
+        "ids 11..20 plus the updated id=1 at 999")
+      s2.sql("DELETE FROM graft.vt WHERE id = 15")
+      assert(s2.sql("SELECT count(*) AS n FROM graft.big").head().getLong(0) == 10,
+        "the view must see the CURRENT table state, not a frozen plan")
+
+      // time travel INSIDE a view body pins the version the body names
+      s2.sql("CREATE VIEW graft.big_v1 AS SELECT id, v FROM graft.`vt$v1` WHERE v > 100")
+      assert(s2.sql("SELECT count(*) AS n FROM graft.big_v1").head().getLong(0) == 10,
+        "v1 has ids 11..20 above 100 (no id=1 update yet)")
+
+      // nested views expand recursively
+      s2.sql("CREATE VIEW graft.big2 AS SELECT id FROM graft.big WHERE id > 12")
+      assert(s2.sql("SELECT count(*) AS n FROM graft.big2").head().getLong(0) == 7,
+        "13,14,16..20 (15 deleted)")
+
+      // OR REPLACE changes the definition; plain CREATE on existing fails
+      val eDup = intercept[Exception] {
+        s2.sql("CREATE VIEW graft.big AS SELECT id FROM graft.vt") }
+      assert(eDup.getMessage.contains("already exists"), eDup.getMessage)
+      s2.sql("CREATE OR REPLACE VIEW graft.big AS SELECT id, v FROM graft.vt WHERE v > 150")
+      assert(s2.sql("SELECT count(*) AS n FROM graft.big").head().getLong(0) == 6,
+        "replaced body: ids 16..20 plus id=1 at 999 (15 deleted)")
+
+      // TEMP views ride Spark's session machinery over graft relations
+      s2.sql("CREATE TEMP VIEW tmp_big AS SELECT id FROM graft.vt WHERE v > 150")
+      assert(s2.sql("SELECT count(*) AS n FROM tmp_big").head().getLong(0) ==
+        s2.sql("SELECT count(*) AS n FROM graft.big").head().getLong(0))
+
+      // DML through a view is refused with a precise error, nothing mutated
+      for (stmt <- Seq(
+        "DELETE FROM graft.big WHERE id = 16",
+        "UPDATE graft.big SET v = 0 WHERE id = 16",
+        "INSERT INTO graft.big VALUES (99, 0.0)",
+        "MERGE INTO graft.big AS t USING graft.vt AS s ON t.id = s.id WHEN MATCHED THEN DELETE")) {
+        val e = intercept[Exception] { s2.sql(stmt) }
+        assert(e.getMessage.contains("is a view"), s"$stmt → ${e.getMessage}")
+      }
+      assert(s2.sql("SELECT count(*) AS n FROM graft.vt").head().getLong(0) == 19)
+
+      // a broken body fails at CREATE, not first use
+      intercept[Exception] {
+        s2.sql("CREATE VIEW graft.broken AS SELECT nope FROM graft.vt") }
+      assert(s2.sql("SHOW TABLES IN graft").collect()
+        .map(_.getString(1)).toSet == Set("vt", "big", "big_v1", "big2"),
+        "SHOW TABLES lists tables and persisted views, not the failed one")
+
+      // cyclic definitions are a precise error (created via OR REPLACE —
+      // creation-time analysis sees the old self-free body)
+      s2.sql("CREATE VIEW graft.cyc AS SELECT id FROM graft.vt")
+      s2.sql("CREATE OR REPLACE VIEW graft.cyc AS SELECT id FROM graft.cyc")
+      val eCyc = intercept[Exception] { s2.sql("SELECT * FROM graft.cyc") }
+      assert(eCyc.getMessage.contains("cyclic view reference"), eCyc.getMessage)
+
+      // name collisions both ways; DROP picks the right namespace
+      val eTbl = intercept[Exception] {
+        s2.sql("CREATE VIEW graft.vt AS SELECT 1 AS x") }
+      assert(eTbl.getMessage.contains("managed table with this name"), eTbl.getMessage)
+      val eCt = intercept[Exception] {
+        s2.sql("CREATE TABLE graft.big (x INT)") }
+      assert(eCt.getMessage.contains("a view with this name exists"), eCt.getMessage)
+      val eDropT = intercept[Exception] { s2.sql("DROP TABLE graft.big") }
+      assert(eDropT.getMessage.contains("use DROP VIEW"), eDropT.getMessage)
+      val eDropV = intercept[Exception] { s2.sql("DROP VIEW graft.vt") }
+      assert(eDropV.getMessage.contains("use DROP TABLE"), eDropV.getMessage)
+
+      s2.sql("DROP VIEW graft.big2")
+      s2.sql("DROP VIEW IF EXISTS graft.big2") // no-op
+      intercept[Exception] { s2.sql("DROP VIEW graft.big2") }
+      intercept[Exception] { s2.sql("SELECT * FROM graft.big2") }
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
 }
