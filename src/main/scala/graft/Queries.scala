@@ -504,10 +504,12 @@ object Queries {
   /** BPE tokenizer training ([[graft.text.BpeTrainer]]): 40 merge rules
     * learned from the documents corpus — ONE corpus-scale word-count
     * exchange, then the bounded-vocabulary merge loop (driver-side, like
-    * the k-means trainer's centroid state). Iterative argmax has no SQL
-    * oracle; the rows-only check pins determinism (ties break
-    * lexicographically) and the first-pair agreement with the oracle-
-    * checked `text_bpe_pairs`.
+    * the k-means trainer's centroid state). The trained artifact IS the
+    * ordered merge list, and every cell is engine-exact strings/ints —
+    * so the full 40-round loop goes under the hash oracle by unrolling
+    * the rounds in DuckDB (same CTE the `text_bpe_merges` oracle builds,
+    * at double the depth; see [[bpeMergesOracle]] for the encoding
+    * argument).
     */
   val textBpeTrain = Q("text_bpe_train",
     (s, dir) => {
@@ -517,7 +519,8 @@ object Queries {
         .map { case ((a, b), i) => (i.toLong, a, b) }
         .toDF("rank", "left", "right")
     },
-    None)
+    Some(s"""SELECT merge_rank - 1 AS rank, lhs AS "left", rhs AS "right"
+      |FROM (${bpeMergesOracle(40)})""".stripMargin))
 
   /** The BPE merge loop itself under the hash oracle: the first
     * `BpeMergeRounds` learned merges with their winning pair counts,
