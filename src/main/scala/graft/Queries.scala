@@ -3186,18 +3186,21 @@ object Queries {
       |FROM d GROUP BY doc_id""".stripMargin))
 
   /** REAL audio decode under the hash oracle ([[graft.multimodal
-    * .AudioKernels]], JDK `javax.sound.sampled` WAV codec): each doc_id
-    * becomes a closed-form PCM16 WAV (id-derived channel count, frame
-    * count, and integer samples), the kernel decodes it back through
+    * .AudioKernels]], JDK `javax.sound.sampled` codec family): each
+    * doc_id becomes a closed-form clip whose CONTAINER AND BIT DEPTH
+    * rotate on `id % 4` — WAV PCM16-LE, AU PCM24-BE, AU PCM8, AIFF
+    * PCM16-BE — with id-derived channel count, frame count, and integer
+    * samples over the depth's range; the kernel decodes through
     * AudioSystem and computes duration / per-channel sum+peak — and
-    * DuckDB reproduces every value arithmetically from the id alone. A
-    * wrong header parse, endianness, channel de-interleave, or sample
-    * decode shifts a sum and fails the hash; all values are exact
-    * integers.
+    * DuckDB reproduces every value arithmetically from the id and the
+    * rotation alone. A wrong header parse, endianness, channel
+    * de-interleave, or the 24-bit sign extension (negative samples in
+    * the AU24 slice decode to huge positives without it) shifts a sum
+    * and fails the hash; all values are exact integers.
     */
   val multimodalAudioStats = Q("multimodal_audio_stats",
     (s, dir) => {
-      val assets = graft.multimodal.AudioKernels.synthesizeWavs(s,
+      val assets = graft.multimodal.AudioKernels.synthesizeMixed(s,
         t(s, dir, "documents").select("doc_id"), "doc_id")
       graft.multimodal.Multimodal.extractFeatures(s, assets, "content", "asset_id",
           graft.multimodal.AudioKernels.audioStatsExtractor)
@@ -3209,16 +3212,21 @@ object Queries {
           element_at(col("features"), 5).cast("long").as("sum0"),
           element_at(col("features"), 6).cast("long").as("sum1"),
           element_at(col("features"), 7).cast("long").as("peak0"),
-          element_at(col("features"), 8).cast("long").as("peak1"))
+          element_at(col("features"), 8).cast("long").as("peak1"),
+          element_at(col("features"), 9).cast("int").as("bits"))
     },
     Some("""WITH p AS (SELECT doc_id, (1 + doc_id % 2)::BIGINT AS ch,
-      |    (64 + doc_id % 64)::BIGINT AS n FROM documents)
+      |    (64 + doc_id % 64)::BIGINT AS n,
+      |    (CASE doc_id % 4 WHEN 1 THEN 65536 WHEN 2 THEN 256 ELSE 4096 END)::BIGINT AS r,
+      |    (CASE doc_id % 4 WHEN 1 THEN 24 WHEN 2 THEN 8 ELSE 16 END)::INT AS bits
+      |  FROM documents)
       |SELECT doc_id AS asset_id, ch::INT AS channels, 8000::INT AS sample_rate,
       |  n AS n_frames, (n * 1000 // 8000)::BIGINT AS duration_ms,
-      |  list_sum([(doc_id*3 + 7*i) % 4096 - 2048 for i in range(0, n)])::BIGINT AS sum0,
-      |  (CASE WHEN ch = 2 THEN list_sum([(doc_id*5 + 7*i) % 4096 - 2048 for i in range(0, n)]) ELSE 0 END)::BIGINT AS sum1,
-      |  list_max([abs((doc_id*3 + 7*i) % 4096 - 2048) for i in range(0, n)])::BIGINT AS peak0,
-      |  (CASE WHEN ch = 2 THEN list_max([abs((doc_id*5 + 7*i) % 4096 - 2048) for i in range(0, n)]) ELSE 0 END)::BIGINT AS peak1
+      |  list_sum([(doc_id*3 + 7*i) % r - r//2 for i in range(0, n)])::BIGINT AS sum0,
+      |  (CASE WHEN ch = 2 THEN list_sum([(doc_id*5 + 7*i) % r - r//2 for i in range(0, n)]) ELSE 0 END)::BIGINT AS sum1,
+      |  list_max([abs((doc_id*3 + 7*i) % r - r//2) for i in range(0, n)])::BIGINT AS peak0,
+      |  (CASE WHEN ch = 2 THEN list_max([abs((doc_id*5 + 7*i) % r - r//2) for i in range(0, n)]) ELSE 0 END)::BIGINT AS peak1,
+      |  bits
       |FROM p""".stripMargin))
 
   // ------------------------------------------------- as-of / temporal joins

@@ -65,4 +65,60 @@ class AudioKernelsSpec extends AnyFunSuite with SharedSpark {
     assert(stats.map(r => (r.getInt(1), r.getLong(2))).toSeq ==
       Seq((1, 74L), (2, 75L), (1, 76L)))
   }
+
+  test("AU 8/24-bit and AIFF decode: hand-computed stats, 24-bit sign extension") {
+    // id=5 → stereo, 69 frames; the 24-bit range produces negative samples
+    // whose top byte is 0xFF — a decoder missing the sign extension turns
+    // them into ~16M positives and every assertion below explodes
+    for ((bits, range) <- Seq((8, 256), (24, 65536))) {
+      val id = 5L
+      val ch = 2; val n = 69
+      val au = AudioKernels.encodeAu(AudioKernels.syntheticSamples(id, range), ch, 8000, bits)
+      val f = AudioKernels.audioStatsExtractor(au).map(_.toLong)
+      def s(c: Int, i: Int): Long = (id * (3 + 2 * c) + 7L * i) % range - range / 2
+      assert(f(0) == ch && f(1) == 8000 && f(2) == n && f(8) == bits)
+      assert(f(4) == (0 until n).map(s(0, _)).sum, s"$bits-bit sum0")
+      assert(f(5) == (0 until n).map(s(1, _)).sum, s"$bits-bit sum1")
+      assert(f(6) == (0 until n).map(i => math.abs(s(0, i))).max, s"$bits-bit peak0")
+    }
+    // AIFF PCM16-BE: same stats as the WAV encoding of the same samples
+    val id = 7L
+    val aiff = AudioKernels.encodeAiff(AudioKernels.syntheticSamples(id, 4096), 2, 8000)
+    val wav = AudioKernels.encodeWav(AudioKernels.syntheticPcm(id), 2, 8000)
+    val fa = AudioKernels.audioStatsExtractor(aiff)
+    val fw = AudioKernels.audioStatsExtractor(wav)
+    assert(fa.toSeq == fw.toSeq, s"AIFF ${fa.toSeq} != WAV ${fw.toSeq}")
+    assert(fa(1) == 8000f, "extended-float sample rate decoded wrong")
+  }
+
+  test("8-bit WAV is PCM_UNSIGNED: recentred to signed, not read raw") {
+    // hand-rolled 8-bit WAV (format tag 1, 8 bits/sample, unsigned bytes):
+    // samples 0,64,128,192,255 centre to -128,-64,0,64,127
+    val raw = Array(0, 64, 128, 192, 255).map(_.toByte)
+    val buf = java.nio.ByteBuffer.allocate(44 + raw.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + raw.length).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .put("data".getBytes).putInt(raw.length).put(raw)
+    val f = AudioKernels.audioStatsExtractor(buf.array()).map(_.toLong)
+    assert(f(8) == 8 && f(2) == 5)
+    assert(f(4) == -128L - 64 + 0 + 64 + 127, s"recentred sum wrong: ${f(4)}")
+    assert(f(6) == 128, s"recentred peak wrong: ${f(6)}")
+  }
+
+  test("synthesizeMixed rotates container and depth on id % 4, all decode") {
+    val ids = (20L to 27L).toDF("doc_id")
+    val assets = AudioKernels.synthesizeMixed(spark, ids, "doc_id")
+    assert(assets.select("media_type").distinct().collect().map(_.getString(0)).toSet ==
+      Set("audio/wav", "audio/basic", "audio/aiff"))
+    val stats = Multimodal.extractFeatures(spark, assets, "content", "asset_id",
+      AudioKernels.audioStatsExtractor)
+      .select(col("asset_id"), element_at(col("features"), 9).cast("int").as("bits"),
+        element_at(col("features"), 3).cast("long").as("n"))
+      .orderBy("asset_id").collect()
+    assert(stats.map(_.getInt(1)).toSeq == Seq(16, 24, 8, 16, 16, 24, 8, 16))
+    assert(stats.map(_.getLong(2)).toSeq == (20L to 27L).map(64L + _ % 64),
+      "every container variant must decode (zeros would show here)")
+  }
 }
