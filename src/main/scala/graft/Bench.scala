@@ -125,14 +125,25 @@ object Bench {
         .sortBy(f => f.getName.replaceAll("\\D", "").toInt) // r9 < r10
       files.lastOption.map { f =>
         val full = scala.io.Source.fromFile(f).mkString
-        // never read baselines out of a previous digest's OWN regressions
-        // map — those values are ratios, not seconds
-        val txt = full.indexOf("regressions_vs_prev") match {
-          case -1 => full
-          case i  => full.take(i)
+        // the artifact keeps only the LAST ~2000 chars, so the big queries
+        // map is clipped at the FRONT — a number cut mid-digits there
+        // (1.234 → 1.2) parses cleanly and silently skews a ratio. Trust
+        // only the digest object (printed last, survives whole): scan from
+        // the LAST '"digest":1' marker. Artifacts without a digest fall
+        // back to the clipped text minus its first fragment (anything cut
+        // mid-value lives before the first comma).
+        val txt0 = full.lastIndexOf("\"digest\":1") match {
+          case -1 => full.dropWhile(_ != ',')
+          case i  => full.drop(i)
+        }
+        // never read baselines out of a digest's OWN regressions map —
+        // those values are ratios, not seconds
+        val txt = txt0.indexOf("regressions_vs_prev") match {
+          case -1 => txt0
+          case i  => txt0.take(i)
         }
         val m = """"(\w+)":([0-9.]+)""".r
-        // first match per key: the full queries map precedes any digest
+        // first match per key (the digest's slowest-queries map)
         val prev = m.findAllMatchIn(txt)
           .map(x => x.group(1) -> x.group(2).toDouble).toSeq
           .foldLeft(Map.empty[String, Double]) { case (acc, (k, v)) =>

@@ -292,8 +292,22 @@ object Sampling {
     val stats = df.agg(approx_count_distinct(col(scoreCol)).as("__ndv"),
       min(col(scoreCol)).cast("double").as("__mn"),
       max(col(scoreCol)).cast("double").as("__mx")).head()
-    if (stats.isNullAt(0) || stats.getLong(0) <= bins)
-      keepTopFraction(df, scoreCol, frac)
+    // routing must be DETERMINISTIC per dataset: the two variants keep
+    // different row sets, so an HLL estimate flapping across the boundary
+    // (default rsd ≈ 2–5%) would flip results between runs on a corpus
+    // whose true NDV sits near `bins`. Clear calls route on the estimate;
+    // inside the estimate's error band the tie-break is ONE exact
+    // distinct-count scan — paid only in the narrow band where the
+    // estimate cannot be trusted.
+    val ndvSmall =
+      if (stats.isNullAt(0)) true
+      else {
+        val approx = stats.getLong(0)
+        if (approx <= (bins * 0.92).toLong) true
+        else if (approx > (bins * 1.08).toLong) false
+        else df.agg(count_distinct(col(scoreCol))).head().getLong(0) <= bins
+      }
+    if (ndvSmall) keepTopFraction(df, scoreCol, frac)
     else keepTopFractionBinnedWithBounds(df, scoreCol, frac, bins,
       stats.getDouble(1), stats.getDouble(2))
   }

@@ -770,19 +770,25 @@ final class ManagedTable private (
     // and its mere existence forfeits this tuple's exact count.
     val upserts = currentEntries.filter(_.kind == Manifest.Upsert)
     val rows = currentEntries
-      .groupBy(_.partition).toSeq.map { case (tuple, all) =>
+      .groupBy(_.partition).toSeq.flatMap { case (tuple, all) =>
         val es = all.filterNot(_.kind == Manifest.PosDel)
-        // exactness over ALL entries of the tuple — a posdel sidecar
-        // hides rows in data files, so its presence forfeits the exact
-        // count (the same rule fastRowCount applies)
-        val crossEpochHider = upserts.exists(u =>
-          all.exists(e => entryEpoch(u.seq) != entryEpoch(e.seq) && u.seq > e.seq))
-        val exact = all.forall(e => e.kind == Manifest.Data && e.rows >= 0L) &&
-          !crossEpochHider
-        Row(tuple, es.size,
-          if (exact) java.lang.Long.valueOf(es.map(_.rows).sum) else null,
-          es.map(_.seq).min, es.map(_.seq).max)
-      }.filter(_.getInt(1) > 0)
+        // a posdel-only tuple (its data groups dropped, sidecar retained)
+        // has no data to report — and .min over the empty seq list would
+        // throw before any row filter could run
+        if (es.isEmpty) None
+        else {
+          // exactness over ALL entries of the tuple — a posdel sidecar
+          // hides rows in data files, so its presence forfeits the exact
+          // count (the same rule fastRowCount applies)
+          val crossEpochHider = upserts.exists(u =>
+            all.exists(e => entryEpoch(u.seq) != entryEpoch(e.seq) && u.seq > e.seq))
+          val exact = all.forall(e => e.kind == Manifest.Data && e.rows >= 0L) &&
+            !crossEpochHider
+          Some(Row(tuple, es.size,
+            if (exact) java.lang.Long.valueOf(es.map(_.rows).sum) else null,
+            es.map(_.seq).min, es.map(_.seq).max))
+        }
+      }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
@@ -1776,11 +1782,15 @@ final class ManagedTable private (
     import graft.cdc.Operation
     val maxRows = _meta.properties.getOrElse("write.local-commit-max-rows", "20000").toInt
     val leaves = conformed.queryExecution.logical.collectLeaves()
-    val smallLocal = maxRows > 0 && leaves.nonEmpty && leaves.forall {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        l.data.length <= maxRows
-      case _ => false
-    } && LocalCommit.writableSchema(conformed.schema)
+    // the cap bounds the DRIVER-side materialization, so it must gate the
+    // SUM across leaves: a union of N small LocalRelations would otherwise
+    // pass per-leaf and collect N × maxRows rows
+    val smallLocal = maxRows > 0 && leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) &&
+      leaves.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          l.data.length.toLong
+      }.sum <= maxRows && LocalCommit.writableSchema(conformed.schema)
     if (!smallLocal) return None
     val schema = conformed.schema
     val cols = schema.fieldNames
@@ -2329,11 +2339,13 @@ final class ManagedTable private (
     val maxRows = _meta.properties.getOrElse("write.local-commit-max-rows", "20000").toInt
     val small = maxRows > 0 && format == "parquet" && !isPartitioned && {
       val leaves = df.queryExecution.logical.collectLeaves()
-      leaves.nonEmpty && leaves.forall {
-        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-          l.data.length <= maxRows
-        case _ => false
-      }
+      // summed across leaves — see localWinners' gate
+      leaves.nonEmpty && leaves.forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) &&
+        leaves.collect {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            l.data.length.toLong
+        }.sum <= maxRows
     } && LocalCommit.writableSchema(df.schema)
     if (small) writeGroupDriver(df, kind, seq) else writeGroup(df, kind, seq)
   }
