@@ -1887,10 +1887,13 @@ final class ManagedTable private (
     * `skipIfEmpty`). */
   private def commitUpsertStaged(flagged: DataFrame, skipIfEmpty: Boolean): Boolean = {
     val seq = _meta.currentVersion + 1
-    val entries =
+    val (entries, localRows) =
       if (isPartitioned)
-        splitWriteGroups(withPartitionCols(flagged), Manifest.Upsert, _ => seq, seq)
-      else writeGroupAuto(sortForWrite(flagged), Manifest.Upsert, seq).toSeq
+        (splitWriteGroups(withPartitionCols(flagged), Manifest.Upsert, _ => seq, seq), None)
+      else {
+        val (e, lr) = writeGroupAutoLocal(sortForWrite(flagged), Manifest.Upsert, seq)
+        (e.toSeq, lr)
+      }
     // a no-match DML write can still leave a zero-row group (parquet
     // writers emit a schema-only file for an empty plan) — don't burn a
     // snapshot version on it; drop the empty dir instead
@@ -1899,7 +1902,7 @@ final class ManagedTable private (
       return false
     }
     val prior = currentEntries
-    val dv = posdelOnCommit(prior, seq, entries)
+    val dv = posdelOnCommit(prior, seq, entries, localRows)
     val committed = prior ++ entries ++ dv
     commitManifest(committed)
     // Bounded read amplification: a trickle stream accumulates one upsert
@@ -1970,13 +1973,34 @@ final class ManagedTable private (
     * which also clears the scopes).
     */
   private def posdelOnCommit(prior: Seq[ManifestEntry], seq: Long,
-                             newEntries: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+                             newEntries: Seq[ManifestEntry],
+                             localRows: Option[(Seq[Row], StructType)] = None): Seq[ManifestEntry] = {
     val mode = _meta.properties.getOrElse("write.mor.posdel-on-commit", "off")
     if (mode != "auto" && mode != "always") return Seq.empty
     if (specBoundaries.nonEmpty) return Seq.empty // multi-epoch: global scopes
     if (!isPartitioned && allEpochPartitionFields.nonEmpty) return Seq.empty
     val ids = _meta.identifierFields
     if (ids.isEmpty) return Seq.empty
+    // Driver-side value normalization that makes JVM equality coincide
+    // with Spark SQL equality for the gated type set: -0.0/0.0 collapse
+    // (SQL grouping + EqualTo), byte arrays by value (SQL binary
+    // equality), NaN==NaN holds on both sides (java equals AND Spark's
+    // EqualTo). Decimals share the column's fixed scale on both inputs,
+    // so BigDecimal.equals' scale-sensitivity can't bite.
+    def normEq(v: Any): Any = v match {
+      case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+      case f: java.lang.Float if f.floatValue() == 0f    => java.lang.Float.valueOf(0f)
+      case b: Array[Byte]                                => b.toSeq
+      case other                                         => other
+    }
+    def driverEqSafe(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           BooleanType | DateType | TimestampType | TimestampNTZType |
+           FloatType | DoubleType | BinaryType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    val idsDriverSafe = ids.forall(c => driverEqSafe(physicalSchema(c).dataType))
     val posdels = prior.filter(_.kind == Manifest.PosDel)
     val dataPrior = prior.filterNot(_.kind == Manifest.PosDel)
     val maxKeys = _meta.properties
@@ -2049,24 +2073,43 @@ final class ManagedTable private (
           val scan0 = spark.read.schema(readSchema).format(format)
             .load(candidates.map(e => new Path(tableDir, e.path).toString): _*)
           // per-column isin prefilters push to the parquet scan (row-group
-          // stats pruning); the broadcast semi-join makes the tuple exact
+          // stats pruning); the exact per-tuple match happens below
           val prefilter = ids.zipWithIndex.map { case (c, i) =>
             col(c).isin(keys.map(_.get(i)).distinct.toIndexedSeq: _*)
           }.reduce(_ && _)
-          val keysDf = spark.createDataFrame(
-            java.util.Arrays.asList(keys: _*),
-            StructType(ids.map(n => physicalSchema(n).copy(nullable = false))))
-          val pairs = scan0.filter(prefilter)
+          val base = scan0.filter(prefilter)
             .select(Seq(col("_metadata.file_path").as("file"),
               col("_metadata.row_index").as("pos")) ++ ids.map(col) :+
               coalesce(col(SeqCol), regexp_extract(col("_metadata.file_path"),
                 ManagedTable.GroupSeqPattern, 2).cast(LongType)).as(SeqCol): _*)
             .filter(col(SeqCol) < lit(seq))
-            .join(broadcast(keysDf), ids, "left_semi")
-            .select(col("file"), col("pos"))
           val maxLocal = 100000
-          val collected = pairs.limit(maxLocal + 1).collect()
-          if (collected.length <= maxLocal) Left(collected) else Right(pairs)
+          // exact tuple membership: for driver-safe id types the collected
+          // prefiltered rows are filtered against the key set in the
+          // driver (trickle regime: one scan job, no broadcast exchange,
+          // no join); otherwise — or past the local cap — the broadcast
+          // semi-join path, identical semantics
+          def joined = {
+            val keysDf = spark.createDataFrame(
+              java.util.Arrays.asList(keys: _*),
+              StructType(ids.map(n => physicalSchema(n).copy(nullable = false))))
+            base.join(broadcast(keysDf), ids, "left_semi")
+              .select(col("file"), col("pos"))
+          }
+          if (idsDriverSafe) {
+            val collected = base.limit(maxLocal + 1).collect()
+            if (collected.length <= maxLocal) {
+              val keySet = keys.map(kr =>
+                ids.indices.map(i => normEq(kr.get(i))).toVector).toSet
+              Left(collected.iterator
+                .filter(r => keySet.contains(
+                  ids.indices.map(i => normEq(r.get(2 + i))).toVector))
+                .map(r => Row(r.get(0), r.get(1))).toArray)
+            } else Right(joined)
+          } else {
+            val collected = joined.limit(maxLocal + 1).collect()
+            if (collected.length <= maxLocal) Left(collected) else Right(joined)
+          }
         }
       Some(pairRows match {
         case Left(rows) if format == "parquet" =>
@@ -2102,9 +2145,29 @@ final class ManagedTable private (
           .load(groups.map(e => new Path(tableDir, e.path).toString): _*)
           .distinct().limit(maxKeys + 1).collect()
       }
+    // Trickle fast path: the LocalCommit write already holds the EXACT
+    // rows the group file contains, so the key projection + distinct run
+    // driver-side with zero jobs — same decode-once contract (these rows
+    // ARE the written file's content), same SQL-distinct semantics
+    // (normEq), gated on the same id-type set as the pair filter.
+    def keysLocal(rows: Seq[Row], schema: StructType): Array[Row] = {
+      val idx = ids.map(schema.fieldIndex)
+      val seen = scala.collection.mutable.LinkedHashMap.empty[Vector[Any], Row]
+      val it = rows.iterator
+      while (it.hasNext && seen.size <= maxKeys) {
+        val r = it.next()
+        val k = idx.map(i => normEq(r.get(i))).toVector
+        if (!seen.contains(k)) seen.put(k, Row.fromSeq(idx.map(r.get)))
+      }
+      seen.values.toArray
+    }
     val written = newEntries.filter(e => e.kind == Manifest.Upsert && e.rows != 0L)
     if (!isPartitioned)
-      sidecarFor(Map.empty, dataPrior, keysOf(written)).toSeq
+      sidecarFor(Map.empty, dataPrior, localRows match {
+        case Some((rows, schema)) if idsDriverSafe && written.nonEmpty =>
+          keysLocal(rows, schema)
+        case _ => keysOf(written)
+      }).toSeq
     else
       written.groupBy(_.partition).toSeq.sortBy(_._1.toString).flatMap {
         case (tuple, groups) =>
@@ -2335,7 +2398,17 @@ final class ManagedTable private (
     * `write.local-commit-max-rows` (0 disables) caps the driver
     * materialization.
     */
-  private def writeGroupAuto(df: DataFrame, kind: String, seq: Long): Option[ManifestEntry] = {
+  private def writeGroupAuto(df: DataFrame, kind: String, seq: Long): Option[ManifestEntry] =
+    writeGroupAutoLocal(df, kind, seq)._1
+
+  /** As [[writeGroupAuto]], additionally returning the driver-collected,
+    * seq-stamped rows + schema when the LocalCommit path fired — they are
+    * byte-for-byte the just-written file's content, so [[posdelOnCommit]]
+    * may read the batch's keys from them with ZERO extra jobs while still
+    * honoring the decode-once / keys-from-the-written-group contract.
+    */
+  private def writeGroupAutoLocal(df: DataFrame, kind: String, seq: Long)
+      : (Option[ManifestEntry], Option[(Seq[Row], StructType)]) = {
     val maxRows = _meta.properties.getOrElse("write.local-commit-max-rows", "20000").toInt
     val small = maxRows > 0 && format == "parquet" && !isPartitioned && {
       val leaves = df.queryExecution.logical.collectLeaves()
@@ -2347,17 +2420,18 @@ final class ManagedTable private (
             l.data.length.toLong
         }.sum <= maxRows
     } && LocalCommit.writableSchema(df.schema)
-    if (small) writeGroupDriver(df, kind, seq) else writeGroup(df, kind, seq)
+    if (small) writeGroupDriver(df, kind, seq) else (writeGroup(df, kind, seq), None)
   }
 
-  private def writeGroupDriver(df: DataFrame, kind: String, seq: Long): Option[ManifestEntry] = {
+  private def writeGroupDriver(df: DataFrame, kind: String, seq: Long)
+      : (Option[ManifestEntry], Option[(Seq[Row], StructType)]) = {
     // Stamp the commit seq AFTER the collect, driver-side: withColumn(lit
     // (seq)) would inline a DIFFERENT compile-time constant into the
     // generated code every commit — a janino cache miss per micro-batch,
     // which in the trickle regime costs more than the batch itself.
     val hasSeq = df.columns.contains(SeqCol)
     val collected = df.collect()
-    if (collected.isEmpty) return None
+    if (collected.isEmpty) return (None, None)
     val (rows, schema) =
       if (hasSeq) (collected.toSeq, df.schema)
       else (collected.toSeq.map(r => Row.fromSeq(r.toSeq :+ seq)),
@@ -2378,8 +2452,8 @@ final class ManagedTable private (
     val statCols = (_meta.identifierFields ++ clusterByCols).distinct
       .filter(df.columns.contains)
       .flatMap(c => statsTag(df.schema(c).dataType).map(c -> _))
-    Some(ManifestEntry(rel, kind, seq, LocalCommit.bounds(rows, schema, statCols),
-      rows = rows.length.toLong))
+    (Some(ManifestEntry(rel, kind, seq, LocalCommit.bounds(rows, schema, statCols),
+      rows = rows.length.toLong)), Some((rows, schema)))
   }
 
   private def writeGroup(df: DataFrame, kind: String, seq: Long): Option[ManifestEntry] = {
