@@ -129,15 +129,21 @@ object Bench {
         .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
         .sortBy(f => f.getName.replaceAll("\\D", "").toInt) // r9 < r10
       files.lastOption.map { f =>
-        val full = scala.io.Source.fromFile(f).mkString
-        // the artifact keeps only the LAST ~2000 chars, so the big queries
-        // map is clipped at the FRONT — a number cut mid-digits there
-        // (1.234 → 1.2) parses cleanly and silently skews a ratio. Trust
-        // only the digest object (printed last, survives whole): scan from
-        // the LAST '"digest":1' marker. Artifacts without a digest fall
-        // back to the clipped text minus its first fragment (anything cut
-        // mid-value lives before the first comma).
-        val txt0 = full.lastIndexOf("\"digest\":1") match {
+        val raw = scala.io.Source.fromFile(f).mkString
+        // The driver's artifact wraps our stdout in a JSON field, so the
+        // quotes inside it are ESCAPED (\"digest\":1), and its own
+        // pretty-printed digest section spells keys as '"digest": 1' —
+        // normalize both (unescape + \s*-tolerant regex below) before
+        // anchoring, else the anchor never matches and regression
+        // detection is silently dead. The tail-kept text also clips the
+        // big queries map at the FRONT — a number cut mid-digits there
+        // (1.234 → 1.2) parses cleanly and silently skews a ratio — so
+        // trust only the digest object (printed last, survives whole):
+        // scan from the LAST '"digest"' marker. Artifacts without a
+        // digest fall back to the clipped text minus its first fragment
+        // (anything cut mid-value lives before the first comma).
+        val full = raw.replace("\\\"", "\"")
+        val txt0 = full.lastIndexOf("\"digest\"") match {
           case -1 => full.dropWhile(_ != ',')
           case i  => full.drop(i)
         }
@@ -147,7 +153,7 @@ object Bench {
           case -1 => txt0
           case i  => txt0.take(i)
         }
-        val m = """"(\w+)":([0-9.]+)""".r
+        val m = """"(\w+)"\s*:\s*([0-9.]+)""".r
         // first match per key (the digest's slowest-queries map)
         val prev = m.findAllMatchIn(txt)
           .map(x => x.group(1) -> x.group(2).toDouble).toSeq

@@ -71,7 +71,7 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         s"CREATE TABLE graft.$name: identifier field '$i' is not a declared column"))
       val partitionBy = partitioning.map(transformToSpec(name, _))
       GraftDmlCommand("CREATE TABLE", name, () => {
-        require(graft.tables.ViewStore.load(session, wh, name).isEmpty,
+        require(!graft.tables.ViewStore.exists(session, wh, name),
           s"CREATE TABLE graft.$name: a view with this name exists")
         if (!(ifNotExists && ManagedTable.load(session, wh, name).isDefined))
           ManagedTable.create(session, wh, name, schema, ids, partitionBy,
@@ -86,7 +86,7 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
       val partitionBy = partitioning.map(transformToSpec(name, _))
       GraftDmlCommand("CREATE TABLE AS SELECT", name, () => {
-        require(graft.tables.ViewStore.load(session, wh, name).isEmpty,
+        require(!graft.tables.ViewStore.exists(session, wh, name),
           s"CREATE TABLE graft.$name: a view with this name exists")
         if (!(ifNotExists && ManagedTable.load(session, wh, name).isDefined)) {
           val df = org.apache.spark.sql.graftbridge.GraftBridge.dataFrame(session, query)
@@ -102,7 +102,7 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       val wh = warehouse(name)
       GraftDmlCommand("DROP TABLE", name, () => {
         val exists = ManagedTable.load(session, wh, name).isDefined
-        if (!exists && graft.tables.ViewStore.load(session, wh, name).isDefined)
+        if (!exists && graft.tables.ViewStore.exists(session, wh, name))
           throw new IllegalArgumentException(
             s"graft.$name is a view (use DROP VIEW)")
         require(exists || ifExists, s"table graft.$name does not exist")
@@ -135,7 +135,7 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       GraftDmlCommand("CREATE VIEW", name, () => {
         require(ManagedTable.load(session, wh, name).isEmpty,
           s"CREATE VIEW graft.$name: a managed table with this name exists")
-        val exists = graft.tables.ViewStore.load(session, wh, name).isDefined
+        val exists = graft.tables.ViewStore.exists(session, wh, name)
         if (exists && !repl && !allowExist) throw new IllegalArgumentException(
           s"view graft.$name already exists (use CREATE OR REPLACE VIEW)")
         if (!exists || repl) {
@@ -333,7 +333,9 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
           (if (!fs.exists(base)) Seq.empty[String]
            else fs.listStatus(base).toSeq.filter(_.isDirectory).map(_.getPath.getName)
              .filter(n => fs.exists(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh, n), "meta.json")))
-          ).++(graft.tables.ViewStore.list(session, wh)).sorted
+          // distinct: a raced CREATE TABLE/VIEW can leave both objects
+          // under one name (resolution prefers the table) — list it once
+          ).++(graft.tables.ViewStore.list(session, wh)).distinct.sorted
         val kept = st.pattern match {
           case Some(p) =>
             // Spark's SHOW TABLES LIKE is case-insensitive glob

@@ -165,7 +165,7 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
   private def refuseIfView(name: String, stmt: String,
                            fallback: LogicalPlan): LogicalPlan =
     session.conf.getOption("spark.graft.warehouse") match {
-      case Some(wh) if graft.tables.ViewStore.load(session, wh, name).isDefined =>
+      case Some(wh) if graft.tables.ViewStore.exists(session, wh, name) =>
         throw new IllegalArgumentException(
           s"graft.$name is a view: $stmt must target a managed table " +
             "(views are read-only)")

@@ -1428,10 +1428,20 @@ final class ManagedTable private (
       val sNew = (scopes.map(_.seq) :+ sOld).max
       val allPairs = hiddenPairs(dataEntries, posdels, scopes)
       val n = allPairs.count()
-      if (n == 0) { commitManifest(dataEntries); return 0L }
+      // a zero-pair result (scopes that hide nothing) still commits the
+      // sidecar: the chain invariant ("every scope ≤ S materialized") is
+      // what lets posdelOnCommit resume — dropping the sidecar here would
+      // leave the chain permanently broken and the maintenance tier
+      // re-planning hot forever (same convention as the per-tuple branch
+      // and the per-commit empty sidecars)
       val rel = s"files/${Manifest.PosDel}-$sNew-${java.util.UUID.randomUUID().toString.take(8)}"
-      allPairs.repartition(1).write.mode("overwrite").format(format)
-        .save(new Path(tableDir, rel).toString)
+      val dir = new Path(tableDir, rel)
+      if (n == 0 && format == "parquet") {
+        fs.mkdirs(dir)
+        LocalCommit.writeParquet(spark, new Path(dir, "part-00000.parquet"),
+          ManagedTable.PosDelSchema, Seq.empty)
+      } else allPairs.repartition(1).write.mode("overwrite").format(format)
+        .save(dir.toString)
       commitManifest(dataEntries :+ ManifestEntry(rel, Manifest.PosDel, sNew, rows = n))
       n
     } else {
@@ -1474,9 +1484,12 @@ final class ManagedTable private (
           ManifestEntry(rel, Manifest.PosDel, sNew, partition = tuple,
             rows = collected.length.toLong)
         } else {
+          // oversized: ONE pairs computation (the write), then a
+          // footer-only count of the written file — never a second join
           pairs.repartition(1).write.mode("overwrite").format(format).save(dir.toString)
-          total += pairs.count()
-          ManifestEntry(rel, Manifest.PosDel, sNew, partition = tuple)
+          val n = spark.read.format(format).load(dir.toString).count()
+          total += n
+          ManifestEntry(rel, Manifest.PosDel, sNew, partition = tuple, rows = n)
         }
       }
       val touchedTuples = touched.map(_._1).toSet

@@ -15,6 +15,14 @@ import java.nio.charset.StandardCharsets
   * graft relations through the extension rules), so only persisted views
   * live here. Storage is one tiny file per view — metadata-scale at any
   * table size.
+  *
+  * Name-collision guards with tables are check-then-act: two SESSIONS
+  * racing `CREATE TABLE graft.x` against `CREATE VIEW graft.x` can both
+  * land (the atomic create here only serializes view-vs-view). The
+  * outcome is deterministic, not corrupt — resolution always prefers the
+  * managed table, and `DROP VIEW` still reaches the shadowed definition —
+  * matching the usual lakehouse stance that DDL on one name is
+  * coordinated above the storage layer.
   */
 object ViewStore {
 
@@ -57,8 +65,19 @@ object ViewStore {
     }
   }
 
-  /** Remove the definition; true when something was dropped. */
+  /** Presence probe for guards that only need a boolean — one fs.exists,
+    * never a body read (CREATE TABLE collision checks and the DML
+    * refusal run on analyzer fixed-point iterations).
+    */
+  def exists(session: SparkSession, wh: String, name: String): Boolean =
+    validName(name) && fsOf(session, wh).exists(file(wh, name))
+
+  /** Remove the definition; true when something was dropped. The name
+    * guard is load-bearing here too: a backticked traversal name
+    * (`../x`) must not resolve a delete outside `_views/`.
+    */
   def drop(session: SparkSession, wh: String, name: String): Boolean = {
+    require(validName(name), s"invalid view name: $name")
     val fs = fsOf(session, wh)
     fs.delete(file(wh, name), false)
   }

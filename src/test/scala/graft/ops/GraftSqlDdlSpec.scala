@@ -345,6 +345,12 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       s2.sql("DROP VIEW IF EXISTS graft.big2") // no-op
       intercept[Exception] { s2.sql("DROP VIEW graft.big2") }
       intercept[Exception] { s2.sql("SELECT * FROM graft.big2") }
+
+      // a backticked traversal name must hit the name guard, never the
+      // filesystem (deleting outside _views/ via _views/../x.sql)
+      val eTrav = intercept[Exception] { s2.sql("DROP VIEW graft.`../vt`") }
+      assert(eTrav.getMessage.contains("invalid view name"), eTrav.getMessage)
+      assert(ManagedTable.load(s2, wh, "vt").isDefined, "traversal touched the table")
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)

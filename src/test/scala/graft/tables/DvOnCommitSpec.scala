@@ -241,6 +241,25 @@ class DvOnCommitSpec extends AnyFunSuite with SharedSpark {
       (0 until 50).map(i => (i, s"v$i", "u", 1L)))
   }
 
+  test("materializer with zero hidden pairs still repairs the chain (empty sidecar)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-dv-empty").toString
+    def batch(ids: Range): DataFrame =
+      ids.map(i => (i, s"v$i", "u", 1L)).toDF("id", "name", "__op", "__source_ts_ns")
+    val t = ManagedTable.create(spark, wh, "empt", batch(0 to 0).schema, Seq("id"))
+    t.merge(batch(0 until 20))
+    t.merge(batch(20 until 40)) // all-new keys: the scope hides NOTHING
+    t.setProperties(Map("write.mor.posdel-on-commit" -> "always"))
+    assert(t.materializePositionalDeletes() == 0L)
+    // the zero-pair sidecar must still exist at the absorbed scope's seq —
+    // without it the chain stays broken and per-commit sidecars never resume
+    assert(posdelSeqs(t).lastOption.contains(2L),
+      s"expected an empty sidecar at seq 2, got ${posdelSeqs(t)}")
+    t.merge(batch(0 until 5))
+    assert(posdelSeqs(t).lastOption.contains(t.meta.currentVersion),
+      "per-commit sidecars did not resume after the empty-sidecar repair")
+    assert(t.read().count() == 40)
+  }
+
   test("sidecar pairs touch only bounds/bloom-candidate groups") {
     val wh = java.nio.file.Files.createTempDirectory("graft-dv-cand").toString
     def batch(ids: Range): DataFrame =
