@@ -366,10 +366,15 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         if u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
           !u.multipartIdentifier(1).contains('$') =>
-      session.conf.getOption("spark.graft.warehouse")
-        .flatMap(wh => ManagedTable.load(session, wh, u.multipartIdentifier(1)))
-        .map { t =>
-          val name = u.multipartIdentifier(1)
+      session.conf.getOption("spark.graft.warehouse").flatMap { wh =>
+        val name = u.multipartIdentifier(1)
+        def out(stmt: String): LogicalPlan = {
+          import org.apache.spark.unsafe.types.UTF8String
+          LocalRelation(sc.output.map(_.asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.AttributeReference]),
+            Seq(org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(stmt))))
+        }
+        ManagedTable.load(session, wh, name).map { t =>
           val m = t.meta
           val cols = m.schema.fields
             .map(f => s"  ${quoteIfNeeded(f.name)} ${f.dataType.sql}" +
@@ -406,12 +411,13 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
             else "\nTBLPROPERTIES (" + props.map { case (k, v) =>
               s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
             }.mkString(",\n  ") + ")"
-          val stmt = s"CREATE TABLE graft.$name (\n$cols)$partClause$propClause\n"
-          import org.apache.spark.unsafe.types.UTF8String
-          LocalRelation(sc.output.map(_.asInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.AttributeReference]),
-            Seq(org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(stmt))))
+          out(s"CREATE TABLE graft.$name (\n$cols)$partClause$propClause\n")
+        }.orElse {
+          // views round-trip too: the definition IS the stored SQL text
+          graft.tables.ViewStore.load(session, wh, name)
+            .map(sql => out(s"CREATE VIEW graft.$name AS\n$sql\n"))
         }
+      }
     case _ => None
   }
 
@@ -428,17 +434,19 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         if u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
           !u.multipartIdentifier(1).contains('$') =>
-      session.conf.getOption("spark.graft.warehouse")
-        .flatMap(wh => ManagedTable.load(session, wh, u.multipartIdentifier(1)))
-        .map { t =>
+      session.conf.getOption("spark.graft.warehouse").flatMap { wh =>
+        import org.apache.spark.unsafe.types.UTF8String
+        def row(a: String, b: String, c: String) =
+          org.apache.spark.sql.catalyst.InternalRow(
+            UTF8String.fromString(a), UTF8String.fromString(b),
+            if (c == null) null else UTF8String.fromString(c))
+        def shaped(rows: Seq[org.apache.spark.sql.catalyst.InternalRow]) =
+          LocalRelation(d.output.map(_.asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.AttributeReference]), rows)
+        ManagedTable.load(session, wh, u.multipartIdentifier(1)).map { t =>
           require(d.partitionSpec.isEmpty,
             s"DESCRIBE ... PARTITION is not supported for graft tables " +
               s"(query graft.${u.multipartIdentifier(1)}$$partitions instead)")
-          import org.apache.spark.unsafe.types.UTF8String
-          def row(a: String, b: String, c: String) =
-            org.apache.spark.sql.catalyst.InternalRow(
-              UTF8String.fromString(a), UTF8String.fromString(b),
-              if (c == null) null else UTF8String.fromString(c))
           val cols = t.meta.schema.fields.toSeq.map(f =>
             row(f.name, f.dataType.simpleString, null))
           val parts =
@@ -454,10 +462,24 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
                 t.meta.properties.toSeq.sortBy(_._1).map { case (k, v) =>
                   row(k, v, null)
                 })
-          LocalRelation(d.output.map(_.asInstanceOf[
-            org.apache.spark.sql.catalyst.expressions.AttributeReference]),
-            cols ++ parts ++ detail)
+          shaped(cols ++ parts ++ detail)
+        }.orElse {
+          // DESCRIBE on a persisted view: the body's CURRENT resolved
+          // schema (re-analyzed, like every reference), plus the stored
+          // SQL text under EXTENDED
+          graft.tables.ViewStore.load(session, wh, u.multipartIdentifier(1)).map { sql =>
+            val schema = org.apache.spark.sql.graftbridge.GraftBridge
+              .dataFrame(session, session.sessionState.sqlParser.parsePlan(sql)).schema
+            val cols = schema.fields.toSeq.map(f =>
+              row(f.name, f.dataType.simpleString, null))
+            val detail =
+              if (!d.isExtended) Seq.empty
+              else Seq(row("# Detailed View Information", "", null),
+                row("Type", "VIEW", null), row("View Text", sql, null))
+            shaped(cols ++ detail)
+          }
         }
+      }
     case _ => None
   }
 

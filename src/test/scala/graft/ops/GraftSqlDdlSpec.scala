@@ -351,6 +351,23 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       val eTrav = intercept[Exception] { s2.sql("DROP VIEW graft.`../vt`") }
       assert(eTrav.getMessage.contains("invalid view name"), eTrav.getMessage)
       assert(ManagedTable.load(s2, wh, "vt").isDefined, "traversal touched the table")
+
+      // SHOW CREATE TABLE on a view emits a re-runnable CREATE VIEW
+      val stmt = s2.sql("SHOW CREATE TABLE graft.big").head().getString(0)
+      assert(stmt.startsWith("CREATE VIEW graft.big AS"), stmt)
+      val before = s2.sql("SELECT count(*) AS n FROM graft.big").head().getLong(0)
+      s2.sql("DROP VIEW graft.big")
+      s2.sql(stmt)
+      assert(s2.sql("SELECT count(*) AS n FROM graft.big").head().getLong(0) == before,
+        "SHOW CREATE round-trip changed the view")
+
+      // DESCRIBE on a view reports the body's current resolved schema
+      val desc = s2.sql("DESCRIBE graft.big").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(desc.toSeq == Seq(("id", "bigint"), ("v", "double")), desc.toSeq.toString)
+      val descExt = s2.sql("DESCRIBE EXTENDED graft.big").collect()
+        .map(_.getString(0))
+      assert(descExt.contains("View Text"), descExt.toSeq.toString)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)
