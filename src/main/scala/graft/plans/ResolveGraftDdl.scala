@@ -155,6 +155,23 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
             s"graft.$name is a managed table (use DROP TABLE)")
         require(dropped || ifExists, s"view graft.$name does not exist")
       })
+    // ALTER VIEW graft.v AS <query> — replace the stored definition with
+    // the new body's original SQL text (analyzed eagerly, like CREATE)
+    case av @ AlterViewAs(child, originalText, _)
+        if graftViewIdent(child).isDefined =>
+      val name = graftViewIdent(child).get
+      val wh = warehouse(name)
+      GraftDmlCommand("ALTER VIEW", name, () => {
+        if (!graft.tables.ViewStore.exists(session, wh, name)) {
+          if (ManagedTable.load(session, wh, name).isDefined)
+            throw new IllegalArgumentException(
+              s"graft.$name is a managed table (ALTER VIEW applies to views)")
+          throw new IllegalArgumentException(s"view graft.$name does not exist")
+        }
+        org.apache.spark.sql.graftbridge.GraftBridge.dataFrame(session,
+          session.sessionState.sqlParser.parsePlan(originalText)).queryExecution.analyzed
+        graft.tables.ViewStore.create(session, wh, name, originalText, replace = true)
+      })
     case a @ AddColumns(GraftAlterTarget(name), cols) =>
       withTable(a, name) { t =>
         val fields = cols.map { qc =>
@@ -423,6 +440,19 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def quoteIfNeeded(n: String): String =
     if (n.matches("[a-zA-Z_][a-zA-Z0-9_]*")) n else s"`${n.replace("`", "``")}`"
+
+  /** The `graft.<name>` identifier behind an ALTER VIEW target — the
+    * parser wraps it as UnresolvedView (or UnresolvedIdentifier on some
+    * statement shapes).
+    */
+  private def graftViewIdent(p: LogicalPlan): Option[String] = p match {
+    case UnresolvedIdentifier(Seq(g, n), _) if g.equalsIgnoreCase("graft") => Some(n)
+    case v: org.apache.spark.sql.catalyst.analysis.UnresolvedView
+        if v.multipartIdentifier.length == 2 &&
+          v.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+      Some(v.multipartIdentifier(1))
+    case _ => None
+  }
 
   /** `DESCRIBE [EXTENDED] graft.t` — columns, partitioning, and (under
     * EXTENDED) identifier fields + table properties, shaped by the

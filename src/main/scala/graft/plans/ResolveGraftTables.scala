@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRe
 import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Not}
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.GraftBridge
 
 /** Analyzer rule giving managed tables a first-class SQL identity:
@@ -92,6 +93,65 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
             else t.overwrite(df)
           } else t.append(df)
         }): LogicalPlan
+      }.getOrElse(refuseIfView(name, "INSERT", i))
+    // INSERT [OVERWRITE] ... PARTITION (k=v, ...) — fully-STATIC specs
+    // on identity partition sources: the named values become literal
+    // columns, positional queries provide only the remaining columns
+    // (Spark's static-partition arity), and OVERWRITE replaces exactly
+    // the named partition via the zero-rewrite overwritePartitions.
+    // Dynamic entries (PARTITION (k)) are refused with a pointer to the
+    // plain INSERT (whose partitionOverwriteMode handling covers them).
+    case i: InsertIntoStatement if (i.table match {
+        case GraftTarget(_, _) => i.partitionSpec.nonEmpty
+        case _ => false
+      }) =>
+      val GraftTarget(name, _) = i.table: @unchecked
+      loadTable(name).map { t =>
+        val staticSpec: Seq[(String, String)] = i.partitionSpec.toSeq.map {
+          case (k, Some(v)) => k -> v
+          case (k, None) => throw new IllegalArgumentException(
+            s"INSERT ... PARTITION graft.$name: dynamic partition column '$k' " +
+              "is not supported — omit the PARTITION clause and provide it as " +
+              "a query column (dynamic partitionOverwriteMode applies)")
+        }
+        val identitySources = t.meta.partitionBy.map(_.trim).filter(_.nonEmpty)
+          .flatMap {
+            case s if s.startsWith("identity(") && s.endsWith(")") =>
+              Some(s.stripPrefix("identity(").stripSuffix(")"))
+            case s if !s.contains('(') => Some(s)
+            case _ => None
+          }.toSet
+        staticSpec.foreach { case (k, _) =>
+          require(identitySources.contains(k),
+            s"INSERT ... PARTITION graft.$name: '$k' is not an identity " +
+              s"partition source column (spec: ${t.meta.partitionBy.mkString(", ")})")
+        }
+        val (q, cols, over, byName) =
+          (i.query, i.userSpecifiedCols, i.overwrite, i.byName)
+        GraftDmlCommand(if (over) "INSERT OVERWRITE PARTITION" else "INSERT PARTITION",
+          name, () => {
+            val df0 = GraftBridge.dataFrame(session, q)
+            val specCols = staticSpec.map(_._1).toSet
+            val remaining = t.meta.schema.fields.toSeq.filterNot(f => specCols.contains(f.name))
+            val base =
+              if (cols.nonEmpty) {
+                require(!cols.exists(specCols.contains),
+                  s"INSERT ... PARTITION graft.$name: the column list repeats a PARTITION column")
+                require(df0.columns.length == cols.length,
+                  s"INSERT column list has ${cols.length} columns but the query produces ${df0.columns.length}")
+                df0.toDF(cols: _*)
+              } else if (byName) df0
+              else {
+                require(df0.columns.length == remaining.length,
+                  s"positional INSERT PARTITION needs ${remaining.length} columns " +
+                    s"(${remaining.map(_.name).mkString(", ")}), query produces ${df0.columns.length}")
+                df0.toDF(remaining.map(_.name): _*)
+              }
+            val withParts = staticSpec.foldLeft(base) { case (d, (k, v)) =>
+              d.withColumn(k, lit(v).cast(t.meta.schema(k).dataType))
+            }
+            if (over) t.overwritePartitions(withParts) else t.append(withParts)
+          }): LogicalPlan
       }.getOrElse(refuseIfView(name, "INSERT", i))
     case m: MergeIntoTable if (m.targetTable match {
         case GraftTarget(_, _) => true

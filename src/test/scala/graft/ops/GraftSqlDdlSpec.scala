@@ -368,6 +368,16 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       val descExt = s2.sql("DESCRIBE EXTENDED graft.big").collect()
         .map(_.getString(0))
       assert(descExt.contains("View Text"), descExt.toSeq.toString)
+
+      // ALTER VIEW ... AS replaces the definition in place
+      s2.sql("ALTER VIEW graft.big AS SELECT id FROM graft.vt WHERE v > 190")
+      assert(s2.sql("SELECT count(*) AS n FROM graft.big").head().getLong(0) == 2,
+        "id=20 (200) and id=1 (999)")
+      val eAlterT = intercept[Exception] {
+        s2.sql("ALTER VIEW graft.vt AS SELECT 1 AS x") }
+      assert(eAlterT.getMessage.contains("is a managed table"), eAlterT.getMessage)
+      intercept[Exception] {
+        s2.sql("ALTER VIEW graft.no_such AS SELECT 1 AS x") }
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)

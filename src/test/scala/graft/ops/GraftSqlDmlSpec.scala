@@ -114,6 +114,23 @@ class GraftSqlDmlSpec extends AnyFunSuite with SharedSpark {
       s2.sql("INSERT OVERWRITE graft.pt VALUES (5, 'w', 3)")
       assert(curPt.count() == 1, "static mode must replace the whole table")
 
+      // INSERT ... PARTITION (static spec): values become literal columns,
+      // positional arity excludes the named partition columns
+      s2.sql("INSERT INTO graft.pt PARTITION (g=7) VALUES (70, 'p70')")
+      assert(curPt.where(col("g") === 7).select("id").head().getLong(0) == 70)
+      // static OVERWRITE replaces exactly the named partition
+      s2.sql("INSERT OVERWRITE graft.pt PARTITION (g=7) VALUES (71, 'p71')")
+      assert(curPt.where(col("g") === 7).count() == 1)
+      assert(curPt.where(col("g") === 7).select("name").head().getString(0) == "p71")
+      assert(curPt.where(col("g") === 3).count() == 1, "other partitions untouched")
+      // dynamic entries and non-partition columns are refused precisely
+      val eDyn = intercept[Exception] {
+        s2.sql("INSERT INTO graft.pt PARTITION (g) VALUES (1, 'x', 2)") }
+      assert(eDyn.getMessage.contains("dynamic partition column"), eDyn.getMessage)
+      val eNp = intercept[Exception] {
+        s2.sql("INSERT INTO graft.pt PARTITION (name='x') VALUES (1, 2)") }
+      assert(eNp.getMessage.contains("identity partition source"), eNp.getMessage)
+
       // metadata suffixes are read-only — precise refusal, nothing mutated
       val e3 = intercept[Exception] {
         s2.sql("DELETE FROM graft.`people$files` WHERE 1=1")
