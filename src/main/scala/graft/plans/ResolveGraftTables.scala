@@ -61,48 +61,19 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         GraftDmlCommand("UPDATE", name,
           () => t.updateWhere(GraftBridge.column(c), set)): LogicalPlan
       }.getOrElse(refuseIfView(name, "UPDATE", u0))
+    // INSERT [OVERWRITE] — with an optional fully-STATIC
+    // `PARTITION (k=v, …)` spec on identity partition sources: the named
+    // values become literal columns, positional queries provide only the
+    // remaining columns (Spark's static-partition arity), and static
+    // OVERWRITE replaces EXACTLY the region the predicate names via
+    // overwriteWhere — sound under additional derived transforms (every
+    // matching tuple is cleared, not just the tuples the batch lands in)
+    // and an empty source truncates the partition, both per SQL
+    // static-overwrite semantics. Dynamic PARTITION entries are refused
+    // with a pointer to the plain INSERT, whose partitionOverwriteMode
+    // handling covers them.
     case i: InsertIntoStatement if (i.table match {
-        case GraftTarget(_, _) => i.partitionSpec.isEmpty
-        case _ => false
-      }) =>
-      val GraftTarget(name, _) = i.table: @unchecked
-      loadTable(name).map { t =>
-        val (q, cols, over, byName) =
-          (i.query, i.userSpecifiedCols, i.overwrite, i.byName)
-        GraftDmlCommand(if (over) "INSERT OVERWRITE" else "INSERT", name, () => {
-          val df0 = GraftBridge.dataFrame(session, q)
-          val df =
-            if (cols.nonEmpty) {
-              require(df0.columns.length == cols.length,
-                s"INSERT column list has ${cols.length} columns but the query produces ${df0.columns.length}")
-              df0.toDF(cols: _*)
-            } else if (byName) df0
-            else {
-              require(df0.columns.length == t.meta.schema.fields.length,
-                s"positional INSERT needs ${t.meta.schema.fields.length} columns, query produces ${df0.columns.length}")
-              df0.toDF(t.meta.schema.fieldNames.toIndexedSeq: _*)
-            }
-          if (over) {
-            // honor Spark's dynamic partition-overwrite mode: replace
-            // only the batch's partitions on partitioned tables
-            val dynamic = session.conf
-              .get("spark.sql.sources.partitionOverwriteMode", "static")
-              .equalsIgnoreCase("dynamic")
-            if (dynamic && t.meta.partitionBy.exists(_.trim.nonEmpty))
-              t.overwritePartitions(df)
-            else t.overwrite(df)
-          } else t.append(df)
-        }): LogicalPlan
-      }.getOrElse(refuseIfView(name, "INSERT", i))
-    // INSERT [OVERWRITE] ... PARTITION (k=v, ...) — fully-STATIC specs
-    // on identity partition sources: the named values become literal
-    // columns, positional queries provide only the remaining columns
-    // (Spark's static-partition arity), and OVERWRITE replaces exactly
-    // the named partition via the zero-rewrite overwritePartitions.
-    // Dynamic entries (PARTITION (k)) are refused with a pointer to the
-    // plain INSERT (whose partitionOverwriteMode handling covers them).
-    case i: InsertIntoStatement if (i.table match {
-        case GraftTarget(_, _) => i.partitionSpec.nonEmpty
+        case GraftTarget(_, _) => true
         case _ => false
       }) =>
       val GraftTarget(name, _) = i.table: @unchecked
@@ -128,30 +99,58 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         }
         val (q, cols, over, byName) =
           (i.query, i.userSpecifiedCols, i.overwrite, i.byName)
-        GraftDmlCommand(if (over) "INSERT OVERWRITE PARTITION" else "INSERT PARTITION",
-          name, () => {
-            val df0 = GraftBridge.dataFrame(session, q)
-            val specCols = staticSpec.map(_._1).toSet
-            val remaining = t.meta.schema.fields.toSeq.filterNot(f => specCols.contains(f.name))
-            val base =
-              if (cols.nonEmpty) {
-                require(!cols.exists(specCols.contains),
-                  s"INSERT ... PARTITION graft.$name: the column list repeats a PARTITION column")
-                require(df0.columns.length == cols.length,
-                  s"INSERT column list has ${cols.length} columns but the query produces ${df0.columns.length}")
-                df0.toDF(cols: _*)
-              } else if (byName) df0
-              else {
-                require(df0.columns.length == remaining.length,
-                  s"positional INSERT PARTITION needs ${remaining.length} columns " +
-                    s"(${remaining.map(_.name).mkString(", ")}), query produces ${df0.columns.length}")
-                df0.toDF(remaining.map(_.name): _*)
-              }
-            val withParts = staticSpec.foldLeft(base) { case (d, (k, v)) =>
-              d.withColumn(k, lit(v).cast(t.meta.schema(k).dataType))
+        GraftDmlCommand(if (over) "INSERT OVERWRITE" else "INSERT", name, () => {
+          val df0 = GraftBridge.dataFrame(session, q)
+          val specCols = staticSpec.map(_._1).toSet
+          val expected = t.meta.schema.fields.toSeq.filterNot(f => specCols.contains(f.name))
+          def noSpecOverlap(produced: Seq[String]): Unit = {
+            val dup = produced.filter(specCols.contains)
+            require(dup.isEmpty,
+              s"INSERT ... PARTITION graft.$name: the query/column list also " +
+                s"provides PARTITION column(s) ${dup.mkString(", ")} — their " +
+                "per-row values would be silently replaced by the static spec")
+          }
+          val base =
+            if (cols.nonEmpty) {
+              noSpecOverlap(cols)
+              require(df0.columns.length == cols.length,
+                s"INSERT column list has ${cols.length} columns but the query produces ${df0.columns.length}")
+              df0.toDF(cols: _*)
+            } else if (byName) {
+              noSpecOverlap(df0.columns.toSeq)
+              df0
+            } else {
+              require(df0.columns.length == expected.length,
+                s"positional INSERT needs ${expected.length} columns " +
+                  s"(${expected.map(_.name).mkString(", ")}), query produces ${df0.columns.length}")
+              df0.toDF(expected.map(_.name): _*)
             }
-            if (over) t.overwritePartitions(withParts) else t.append(withParts)
-          }): LogicalPlan
+          val df = staticSpec.foldLeft(base) { case (d, (k, v)) =>
+            d.withColumn(k, lit(v).cast(t.meta.schema(k).dataType))
+          }
+          if (over && staticSpec.nonEmpty) {
+            // keyed tables: MoR tombstones (overwriteWhere) keep the
+            // changelog precise at O(matched + batch); keyless tables
+            // have no row identity to tombstone, so the zero-rewrite
+            // metadata drop of the named region is strictly better than
+            // copy-on-write of the whole table
+            if (t.meta.identifierFields.nonEmpty) {
+              val region = staticSpec.map { case (k, v) =>
+                org.apache.spark.sql.functions.col(k) === lit(v).cast(t.meta.schema(k).dataType)
+              }.reduce(_ && _)
+              t.overwriteWhere(region, df)
+            } else t.overwriteStaticRegion(staticSpec, df)
+          } else if (over) {
+            // honor Spark's dynamic partition-overwrite mode: replace
+            // only the batch's partitions on partitioned tables
+            val dynamic = session.conf
+              .get("spark.sql.sources.partitionOverwriteMode", "static")
+              .equalsIgnoreCase("dynamic")
+            if (dynamic && t.meta.partitionBy.exists(_.trim.nonEmpty))
+              t.overwritePartitions(df)
+            else t.overwrite(df)
+          } else t.append(df)
+        }): LogicalPlan
       }.getOrElse(refuseIfView(name, "INSERT", i))
     case m: MergeIntoTable if (m.targetTable match {
         case GraftTarget(_, _) => true

@@ -1801,29 +1801,42 @@ final class ManagedTable private (
     val keyed = _meta.identifierFields.filter(schema.fieldNames.contains)
       .flatMap(c => statsTag(schema(c).dataType).map(schema.fieldIndex(c) -> _))
     if (keyed.isEmpty) return rows
-    val ord = new Ordering[Row] {
-      def compare(a: Row, b: Row): Int = {
-        keyed.foreach { case (idx, tag) =>
-          val (x, y) = (a.get(idx), b.get(idx))
+    // decorate-sort-undecorate: the sort key (notably the UTF-8 byte
+    // encoding of string ids) is computed ONCE per row, not twice per
+    // comparison — O(n) allocations instead of O(n log n) on this hot
+    // trickle-commit path
+    def keyOf(r: Row): Array[AnyRef] = keyed.map { case (idx, tag) =>
+      val v = r.get(idx)
+      if (v == null) null
+      else tag match {
+        case "i" => java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())
+        case "f" => java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue())
+        case _   => String.valueOf(v).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      }
+    }.toArray
+    val ord = new Ordering[(Array[AnyRef], Row)] {
+      def compare(a: (Array[AnyRef], Row), b: (Array[AnyRef], Row)): Int = {
+        var i = 0
+        while (i < a._1.length) {
+          val (x, y) = (a._1(i), b._1(i))
           val c =
             if (x == null && y == null) 0
-            else if (x == null) -1
+            else if (x == null) -1 // nulls first, Spark's ascending default
             else if (y == null) 1
-            else tag match {
-              case "i" => java.lang.Long.compare(
-                x.asInstanceOf[Number].longValue(), y.asInstanceOf[Number].longValue())
-              case "f" => java.lang.Double.compare(
-                x.asInstanceOf[Number].doubleValue(), y.asInstanceOf[Number].doubleValue())
-              case _ => java.util.Arrays.compareUnsigned(
-                String.valueOf(x).getBytes(java.nio.charset.StandardCharsets.UTF_8),
-                String.valueOf(y).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            else (x, y) match {
+              case (l: java.lang.Long, m: java.lang.Long)     => l.compareTo(m)
+              case (l: java.lang.Double, m: java.lang.Double) => l.compareTo(m)
+              case (l: Array[Byte], m: Array[Byte]) =>
+                java.util.Arrays.compareUnsigned(l, m)
+              case _ => 0
             }
           if (c != 0) return c
+          i += 1
         }
         0
       }
     }
-    rows.sorted(ord)
+    rows.map(r => (keyOf(r), r)).sorted(ord).map(_._2)
   }
 
   /** Driver-side C2 dedup for trickle micro-batches — the merge twin of
@@ -3054,6 +3067,58 @@ final class ManagedTable private (
     // a plain commit would silently keep the replaced rows downstream.
     commitManifestWithProps(
       entries.filterNot(e => replaced.contains(e.partition)) ++ newEntries, barrierProp)
+  }
+
+  /** STATIC partition overwrite (SQL `INSERT OVERWRITE … PARTITION (k=v)`):
+    * atomically replace EVERY group whose tuple's identity component(s)
+    * match the named values with `batch` — a zero-rewrite metadata drop
+    * plus one write of the batch, like [[overwritePartitions]], but the
+    * replaced set is the NAMED region rather than the batch's tuples:
+    * under additional derived transforms (e.g. `identity(g), bucket(id)`)
+    * every matching tuple is cleared even when the batch lands in only
+    * some of them, and an EMPTY batch truncates the region — both per
+    * SQL static-overwrite semantics, where dynamic overwrite would leave
+    * stale siblings / silently no-op.
+    *
+    * Single-spec-epoch only, same soundness argument as
+    * [[overwritePartitions]]; multi-epoch tables fall back to
+    * [[overwriteWhere]]'s row-level path (correct at copy-on-write cost —
+    * or run [[compact]] first to re-enable the metadata drop). Keyed
+    * tables should prefer [[overwriteWhere]] directly: its tombstones
+    * keep the changelog precise where this path must barrier-stamp.
+    */
+  def overwriteStaticRegion(spec: Seq[(String, String)], batch: DataFrame): Unit = {
+    require(isPartitioned, "overwriteStaticRegion needs a partitioned table")
+    require(spec.nonEmpty, "overwriteStaticRegion needs at least one k=v pair")
+    val regionCond = spec.map { case (k, v) =>
+      col(k) === lit(v).cast(_meta.schema(k).dataType)
+    }.reduce(_ && _)
+    val entries = currentEntries
+    if (!entries.forall(e => entryEpoch(e.seq) == currentEpoch)) {
+      overwriteWhere(regionCond, batch); return
+    }
+    val comps = spec.map { case (k, v) =>
+      val pf = partitionFields.find(p => p.transform == "identity" && p.sourceColumn == k)
+        .getOrElse(throw new IllegalArgumentException(
+          s"overwriteStaticRegion: '$k' is not an identity partition source " +
+            s"of the current spec (${_meta.partitionBy.mkString(", ")})"))
+      pf.name -> transformBound(pf, v)
+    }
+    def matches(t: Map[String, String]): Boolean =
+      comps.forall { case (n, v) => t.get(n).contains(v) }
+    val seq = _meta.currentVersion + 1
+    val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
+    val newEntries = splitWriteGroups(withPartitionCols(conformed),
+      Manifest.Data, _ => seq, seq)
+    // region containment is checked on the WRITTEN tuples — zero extra
+    // jobs; a violation aborts before the pointer flip (files GC'd)
+    require(newEntries.forall(e => matches(e.partition)),
+      "overwriteStaticRegion: batch rows must land in the named partition " +
+        "region (a row outside it would evade the replace)")
+    // barrier-stamped like overwritePartitions: replaced rows vanish
+    // without tombstones, so changelog consumers must reseed
+    commitManifestWithProps(
+      entries.filterNot(e => matches(e.partition)) ++ newEntries, barrierProp)
   }
 
   /** D6 — union-by-name evolution; commits metadata only on change.

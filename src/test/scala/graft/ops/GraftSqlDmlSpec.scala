@@ -123,6 +123,11 @@ class GraftSqlDmlSpec extends AnyFunSuite with SharedSpark {
       assert(curPt.where(col("g") === 7).count() == 1)
       assert(curPt.where(col("g") === 7).select("name").head().getString(0) == "p71")
       assert(curPt.where(col("g") === 3).count() == 1, "other partitions untouched")
+      // static OVERWRITE with an empty source TRUNCATES the named
+      // partition (SQL static semantics — dynamic overwrite would no-op)
+      s2.sql("INSERT OVERWRITE graft.pt PARTITION (g=7) SELECT id, name FROM graft.pt WHERE false")
+      assert(curPt.where(col("g") === 7).count() == 0, "empty static overwrite must truncate")
+      assert(curPt.where(col("g") === 3).count() == 1, "other partitions untouched")
       // dynamic entries and non-partition columns are refused precisely
       val eDyn = intercept[Exception] {
         s2.sql("INSERT INTO graft.pt PARTITION (g) VALUES (1, 'x', 2)") }
@@ -130,6 +135,15 @@ class GraftSqlDmlSpec extends AnyFunSuite with SharedSpark {
       val eNp = intercept[Exception] {
         s2.sql("INSERT INTO graft.pt PARTITION (name='x') VALUES (1, 2)") }
       assert(eNp.getMessage.contains("identity partition source"), eNp.getMessage)
+      // a query that ALSO provides the static column is refused in every
+      // shape — its per-row values would silently vanish (column list,
+      // BY NAME)
+      val eClash1 = intercept[Exception] {
+        s2.sql("INSERT INTO graft.pt PARTITION (g=7) (id, name, g) VALUES (1, 'x', 9)") }
+      assert(eClash1.getMessage.contains("PARTITION column"), eClash1.getMessage)
+      val eClash2 = intercept[Exception] {
+        s2.sql("INSERT INTO graft.pt PARTITION (g=7) BY NAME SELECT 1L AS id, 'x' AS name, 9 AS g") }
+      assert(eClash2.getMessage.contains("PARTITION column"), eClash2.getMessage)
 
       // metadata suffixes are read-only — precise refusal, nothing mutated
       val e3 = intercept[Exception] {

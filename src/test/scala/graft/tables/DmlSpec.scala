@@ -284,6 +284,58 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] { t.overwritePartitions(batch) }
   }
 
+  test("overwriteStaticRegion clears the NAMED region: mixed transforms, empty batch, containment") {
+    val w = wh
+    // identity(grp) + bucket(2,id): the static region grp=3 spans two
+    // tuples — dynamic overwrite would leave the bucket the batch misses
+    val t = seed(w, "sro1", partitionBy = Seq("grp", "bucket(2, id)"), ids = Seq.empty)
+    val before = t.filesMetadata().select("path").as[String].collect().toSet
+    assert(t.read().filter(col("grp") === 3).count() == 10)
+    // one replacement row lands in ONE bucket; the other bucket's old
+    // grp=3 rows must be cleared anyway
+    t.overwriteStaticRegion(Seq("grp" -> "3"),
+      Seq((1001, "x", 3, 1L)).toDF("id", "name", "grp", "v"))
+    assert(t.read().filter(col("grp") === 3).count() == 1,
+      "stale sibling tuples of the named region survived")
+    assert(t.read().count() == 90 + 1)
+    // untouched partitions keep their EXACT old groups (zero rewrite)
+    val after = t.filesMetadata().select("path", "partition").collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1).get("grp").orNull)
+    val untouched = after.filter(_._2 != "3").map(_._1).toSet
+    assert(untouched.subsetOf(before) && untouched.nonEmpty)
+    // empty batch TRUNCATES the region (vs overwritePartitions' no-op)
+    t.overwriteStaticRegion(Seq("grp" -> "7"), t.read().limit(0))
+    assert(t.read().filter(col("grp") === 7).count() == 0)
+    assert(t.read().count() == 80 + 1)
+    // barrier stamped: replaced rows vanished without tombstones
+    assert(t.meta.properties(ManagedTable.BarrierKey).toLong == t.meta.currentVersion)
+    // batch rows outside the named region abort before the pointer flip
+    val v = t.meta.currentVersion
+    intercept[IllegalArgumentException] {
+      t.overwriteStaticRegion(Seq("grp" -> "5"),
+        Seq((1002, "y", 6, 1L)).toDF("id", "name", "grp", "v"))
+    }
+    assert(t.meta.currentVersion == v, "failed region overwrite must not commit")
+    // non-identity sources are refused
+    intercept[IllegalArgumentException] {
+      t.overwriteStaticRegion(Seq("id" -> "1"), t.read().limit(0))
+    }
+  }
+
+  test("overwriteStaticRegion multi-epoch falls back to row-level overwriteWhere") {
+    val w = wh
+    val t = seed(w, "sro2", partitionBy = Seq("grp"), ids = Seq.empty)
+    t.updatePartitionSpec(Seq("grp", "bucket(2, id)"))
+    t.append(Seq((200, "new", 3, 5L)).toDF("id", "name", "grp", "v"))
+    // old-epoch groups carry a different tuple formula — the metadata
+    // drop is unsound, but the row-level fallback still replaces exactly
+    // the region across both epochs
+    t.overwriteStaticRegion(Seq("grp" -> "3"),
+      Seq((1001, "x", 3, 1L)).toDF("id", "name", "grp", "v"))
+    assert(t.read().filter(col("grp") === 3).count() == 1)
+    assert(t.read().count() == 90 + 1)
+  }
+
   test("overwritePartitions stamps the changelog barrier: incremental consumers reseed") {
     val w = wh
     val t = seed(w, "dpo2", partitionBy = Seq("grp"))
