@@ -680,6 +680,76 @@ object Queries {
       |  o_totalprice * 0.5 AS o_totalprice, o_orderpriority
       |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin))
 
+  /** SQL `INSERT OVERWRITE … PARTITION (k=v)` static semantics
+    * ([[graft.tables.ManagedTable.overwriteStaticRegion]]): on a
+    * priority+bucket partitioned KEYLESS table, the statement replaces
+    * the ENTIRE named region — including bucket tuples the replacement
+    * batch never lands in, which dynamic overwrite would leave stale —
+    * as a zero-rewrite metadata drop plus one batch write. The query
+    * asserts the zero-rewrite property at runtime (untouched partitions
+    * keep their exact old files); the DuckDB oracle pins the static
+    * replace semantics.
+    */
+  val sqlOverwriteStatic = Q("sql_overwrite_static_partition",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_sop").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_sop",
+        base.schema, Seq.empty,
+        partitionBy = Seq("o_orderpriority", "bucket(4, o_orderkey)"))
+      tbl.append(base)
+      val before = tbl.filesMetadata()
+        .select("path", "partition").collect()
+        .map(r => r.getString(0) ->
+          r.getMap[String, String](1).get("o_orderpriority").orNull).toMap
+      val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+      val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      try {
+        val b = org.apache.spark.sql.SparkSession.builder()
+          .master(s.sparkContext.master)
+          .withExtensions(new graft.GraftExtensions().apply(_))
+        s.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+        val s2 = b.getOrCreate()
+        s2.conf.set("spark.graft.warehouse", wh)
+        // the repriced batch covers only part of the region (and so only
+        // some bucket tuples) — static overwrite must clear the rest too
+        s2.sql(
+          s"""INSERT OVERWRITE graft.orders_sop PARTITION (o_orderpriority='1-URGENT')
+             |SELECT o_orderkey, o_custkey, o_orderstatus,
+             |       o_totalprice * 0.5 AS o_totalprice
+             |FROM parquet.`$dir/orders.parquet`
+             |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+             |""".stripMargin)
+      } finally {
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        org.apache.spark.sql.SparkSession.clearDefaultSession()
+        prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+        prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      }
+      val after = graft.tables.ManagedTable.load(s, wh, "orders_sop").get
+      val afterFiles = after.filesMetadata()
+        .select("path", "partition").collect()
+        .map(r => r.getString(0) ->
+          r.getMap[String, String](1).get("o_orderpriority").orNull)
+      val untouched = afterFiles.filterNot(_._2 == "1-URGENT").map(_._1).toSet
+      require(untouched == before.filterNot(_._2 == "1-URGENT").keySet &&
+        untouched.nonEmpty,
+        "static partition overwrite must leave other partitions' files byte-identical")
+      require(afterFiles.filter(_._2 == "1-URGENT").map(_._1)
+        .forall(p => !before.contains(p)),
+        "the named region must hold only the replacement batch's files")
+      after.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderpriority <> '1-URGENT'
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  o_totalprice * 0.5 AS o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0""".stripMargin))
+
   /** Manifest-answered SQL aggregates under the oracle
     * ([[graft.plans.ResolveGraftDdl]]): `count(*)` / `min` / `max` over
     * an all-data graft table answer from the manifest's row counts and
@@ -3878,7 +3948,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlUpdate, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlUpdate, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
