@@ -78,20 +78,25 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       }) =>
       val GraftTarget(name, _) = i.table: @unchecked
       loadTable(name).map { t =>
+        // spec keys are canonicalized to the schema's field names with the
+        // session resolver, so PARTITION (G=7) works (and is refused for
+        // overlap) exactly like (g=7) under case-insensitive resolution
+        val resolver = session.sessionState.analyzer.resolver
         val staticSpec: Seq[(String, String)] = i.partitionSpec.toSeq.map {
-          case (k, Some(v)) => k -> v
+          case (k, Some(v)) =>
+            t.meta.schema.fields.find(f => resolver(f.name, k)).getOrElse(
+              throw new IllegalArgumentException(
+                s"INSERT ... PARTITION graft.$name: unknown column '$k'")).name -> v
           case (k, None) => throw new IllegalArgumentException(
             s"INSERT ... PARTITION graft.$name: dynamic partition column '$k' " +
               "is not supported — omit the PARTITION clause and provide it as " +
               "a query column (dynamic partitionOverwriteMode applies)")
         }
-        val identitySources = t.meta.partitionBy.map(_.trim).filter(_.nonEmpty)
-          .flatMap {
-            case s if s.startsWith("identity(") && s.endsWith(")") =>
-              Some(s.stripPrefix("identity(").stripSuffix(")"))
-            case s if !s.contains('(') => Some(s)
-            case _ => None
-          }.toSet
+        // identity sources come from the real spec parser — the same
+        // grammar the write path uses (IDENTITY(g), inner spaces, ...)
+        val identitySources = graft.tables.PartitionSpecParser
+          .parse(t.meta.partitionBy, t.meta.schema.fieldNames.toSet)
+          .filter(_.transform == "identity").map(_.sourceColumn).toSet
         staticSpec.foreach { case (k, _) =>
           require(identitySources.contains(k),
             s"INSERT ... PARTITION graft.$name: '$k' is not an identity " +
@@ -99,12 +104,14 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         }
         val (q, cols, over, byName) =
           (i.query, i.userSpecifiedCols, i.overwrite, i.byName)
-        GraftDmlCommand(if (over) "INSERT OVERWRITE" else "INSERT", name, () => {
+        val label = (if (over) "INSERT OVERWRITE" else "INSERT") +
+          (if (staticSpec.nonEmpty) " PARTITION" else "")
+        GraftDmlCommand(label, name, () => {
           val df0 = GraftBridge.dataFrame(session, q)
           val specCols = staticSpec.map(_._1).toSet
           val expected = t.meta.schema.fields.toSeq.filterNot(f => specCols.contains(f.name))
           def noSpecOverlap(produced: Seq[String]): Unit = {
-            val dup = produced.filter(specCols.contains)
+            val dup = produced.filter(p => specCols.exists(resolver(p, _)))
             require(dup.isEmpty,
               s"INSERT ... PARTITION graft.$name: the query/column list also " +
                 s"provides PARTITION column(s) ${dup.mkString(", ")} — their " +

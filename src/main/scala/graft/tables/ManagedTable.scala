@@ -3090,19 +3090,22 @@ final class ManagedTable private (
   def overwriteStaticRegion(spec: Seq[(String, String)], batch: DataFrame): Unit = {
     require(isPartitioned, "overwriteStaticRegion needs a partitioned table")
     require(spec.nonEmpty, "overwriteStaticRegion needs at least one k=v pair")
-    val regionCond = spec.map { case (k, v) =>
-      col(k) === lit(v).cast(_meta.schema(k).dataType)
-    }.reduce(_ && _)
-    val entries = currentEntries
-    if (!entries.forall(e => entryEpoch(e.seq) == currentEpoch)) {
-      overwriteWhere(regionCond, batch); return
-    }
+    // validate BEFORE the multi-epoch fallback: a non-identity spec key
+    // must be refused identically in every epoch state, not silently
+    // executed as a row-level value overwrite on evolved tables
     val comps = spec.map { case (k, v) =>
       val pf = partitionFields.find(p => p.transform == "identity" && p.sourceColumn == k)
         .getOrElse(throw new IllegalArgumentException(
           s"overwriteStaticRegion: '$k' is not an identity partition source " +
             s"of the current spec (${_meta.partitionBy.mkString(", ")})"))
       pf.name -> transformBound(pf, v)
+    }
+    val entries = currentEntries
+    if (!entries.forall(e => entryEpoch(e.seq) == currentEpoch)) {
+      val regionCond = spec.map { case (k, v) =>
+        col(k) === lit(v).cast(_meta.schema(k).dataType)
+      }.reduce(_ && _)
+      overwriteWhere(regionCond, batch); return
     }
     def matches(t: Map[String, String]): Boolean =
       comps.forall { case (n, v) => t.get(n).contains(v) }
@@ -3115,10 +3118,16 @@ final class ManagedTable private (
     require(newEntries.forall(e => matches(e.partition)),
       "overwriteStaticRegion: batch rows must land in the named partition " +
         "region (a row outside it would evade the replace)")
-    // barrier-stamped like overwritePartitions: replaced rows vanish
-    // without tombstones, so changelog consumers must reseed
+    val dropped = entries.exists(e => matches(e.partition))
+    // empty batch over an already-empty region: semantic no-op — don't
+    // burn a version or force changelog consumers into a reseed
+    if (newEntries.isEmpty && !dropped) return
+    // barrier-stamped like overwritePartitions WHEN rows vanish without
+    // tombstones (consumers must reseed); a pure insert into an empty
+    // region is append-shaped and keeps the changelog incremental
     commitManifestWithProps(
-      entries.filterNot(e => matches(e.partition)) ++ newEntries, barrierProp)
+      entries.filterNot(e => matches(e.partition)) ++ newEntries,
+      if (dropped) barrierProp else Map.empty)
   }
 
   /** D6 — union-by-name evolution; commits metadata only on change.

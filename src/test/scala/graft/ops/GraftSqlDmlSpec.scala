@@ -144,6 +144,16 @@ class GraftSqlDmlSpec extends AnyFunSuite with SharedSpark {
       val eClash2 = intercept[Exception] {
         s2.sql("INSERT INTO graft.pt PARTITION (g=7) BY NAME SELECT 1L AS id, 'x' AS name, 9 AS g") }
       assert(eClash2.getMessage.contains("PARTITION column"), eClash2.getMessage)
+      // case-insensitive resolution (Spark's default): an upper-cased
+      // spec key resolves to the schema column, and an upper-cased query
+      // column still trips the overlap guard — it would otherwise be
+      // silently replaced by the static value
+      val eClash3 = intercept[Exception] {
+        s2.sql("INSERT INTO graft.pt PARTITION (g=7) BY NAME SELECT 1L AS id, 'x' AS name, 9 AS G") }
+      assert(eClash3.getMessage.contains("PARTITION column"), eClash3.getMessage)
+      s2.sql("INSERT INTO graft.pt PARTITION (G=6) VALUES (60, 'up')")
+      assert(curPt.where(col("g") === 6 && col("id") === 60).count() == 1,
+        "upper-cased PARTITION key must resolve case-insensitively")
 
       // metadata suffixes are read-only — precise refusal, nothing mutated
       val e3 = intercept[Exception] {

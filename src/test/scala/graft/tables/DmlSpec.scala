@@ -320,6 +320,21 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
     intercept[IllegalArgumentException] {
       t.overwriteStaticRegion(Seq("id" -> "1"), t.read().limit(0))
     }
+    // empty batch over an already-empty region is a semantic no-op:
+    // no version burned, no changelog barrier advanced
+    val v2 = t.meta.currentVersion
+    val b2 = t.meta.properties(ManagedTable.BarrierKey)
+    t.overwriteStaticRegion(Seq("grp" -> "7"), t.read().limit(0))
+    assert(t.meta.currentVersion == v2, "no-op region overwrite must not commit")
+    assert(t.meta.properties(ManagedTable.BarrierKey) == b2)
+    // a pure insert into an empty region is append-shaped: commits, but
+    // does NOT stamp the barrier (no rows vanished; changelog stays
+    // incremental)
+    t.overwriteStaticRegion(Seq("grp" -> "7"),
+      Seq((1003, "z", 7, 1L)).toDF("id", "name", "grp", "v"))
+    assert(t.read().filter(col("grp") === 7).count() == 1)
+    assert(t.meta.properties(ManagedTable.BarrierKey) == b2,
+      "insert into an empty region must not barrier the changelog")
   }
 
   test("overwriteStaticRegion multi-epoch falls back to row-level overwriteWhere") {
@@ -334,6 +349,12 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
       Seq((1001, "x", 3, 1L)).toDF("id", "name", "grp", "v"))
     assert(t.read().filter(col("grp") === 3).count() == 1)
     assert(t.read().count() == 90 + 1)
+    // a non-identity spec key is refused BEFORE the multi-epoch fallback
+    // — epoch state must never flip a refusal into a silent value
+    // overwrite
+    intercept[IllegalArgumentException] {
+      t.overwriteStaticRegion(Seq("id" -> "1"), t.read().limit(0))
+    }
   }
 
   test("overwritePartitions stamps the changelog barrier: incremental consumers reseed") {
