@@ -750,6 +750,47 @@ object Queries {
       |FROM orders
       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0""".stripMargin))
 
+  /** `SHOW PARTITIONS graft.t` under the oracle
+    * ([[graft.plans.ResolveGraftDdl]]): live partition tuples answered
+    * from the MANIFEST — a LocalRelation plan, zero file scans (the
+    * Iceberg partitions-metadata-table answer), runtime-asserted like
+    * `sql_manifest_agg`. Identity-only spec so DuckDB can replay the
+    * tuple strings from the raw parquet.
+    */
+  val sqlShowPartitions = Q("sql_show_partitions",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_shp").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_shp",
+        base.schema, Seq.empty, partitionBy = Seq("o_orderpriority"))
+      tbl.append(base)
+      val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+      val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      try {
+        val b = org.apache.spark.sql.SparkSession.builder()
+          .master(s.sparkContext.master)
+          .withExtensions(new graft.GraftExtensions().apply(_))
+        s.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+        val s2 = b.getOrCreate()
+        s2.conf.set("spark.graft.warehouse", wh)
+        val out = s2.sql("SHOW PARTITIONS graft.orders_shp")
+        require(out.queryExecution.optimizedPlan.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+          "SHOW PARTITIONS did not produce a scan-free plan:\n" +
+            out.queryExecution.optimizedPlan)
+        out
+      } finally {
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        org.apache.spark.sql.SparkSession.clearDefaultSession()
+        prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+        prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      }
+    },
+    Some("""SELECT DISTINCT 'o_orderpriority=' || o_orderpriority AS partition
+      |FROM orders""".stripMargin))
+
   /** Manifest-answered SQL aggregates under the oracle
     * ([[graft.plans.ResolveGraftDdl]]): `count(*)` / `min` / `max` over
     * an all-data graft table answer from the manifest's row counts and
@@ -3948,7 +3989,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlUpdate, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlUpdate, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

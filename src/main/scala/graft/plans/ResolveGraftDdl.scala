@@ -38,6 +38,8 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       describeTable(d).getOrElse(d)
     case sc: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable =>
       showCreateTable(sc).getOrElse(sc)
+    case sp: org.apache.spark.sql.catalyst.plans.logical.ShowPartitions =>
+      showPartitions(sp).getOrElse(sp)
     // `SELECT count(*)/min(c)/max(c) FROM graft.t` answered from the
     // MANIFEST when exact (all-data-kind groups with recorded row counts
     // / column bounds) — Iceberg's snapshot-summary / manifest-bounds
@@ -366,6 +368,79 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
           org.apache.spark.sql.catalyst.expressions.AttributeReference]),
           kept.map(n => org.apache.spark.sql.catalyst.InternalRow(
             UTF8String.fromString("graft"), UTF8String.fromString(n), false)))
+      }
+    case _ => None
+  }
+
+  /** `SHOW PARTITIONS graft.t [PARTITION (k=v, …)]` — answered from the
+    * manifest: live data tuples, one manifest read, ZERO data scan (the
+    * Iceberg partitions-metadata-table answer; at 100 TB the difference
+    * between milliseconds and a full listing). Output rows are Spark's
+    * `k=v/k2=v2` strings in current-spec field order (old-epoch-only
+    * keys trail, sorted). Filter keys must be identity partition
+    * sources — bucket/truncate/date values are derived, so filtering on
+    * them goes through `graft.t$partitions` where the tuple is a map.
+    */
+  private def showPartitions(sp: org.apache.spark.sql.catalyst.plans.logical.ShowPartitions)
+      : Option[LogicalPlan] = sp.child match {
+    case u: UnresolvedTable
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+          !u.multipartIdentifier(1).contains('$') =>
+      val name = u.multipartIdentifier(1)
+      session.conf.getOption("spark.graft.warehouse").flatMap { wh =>
+        ManagedTable.load(session, wh, name).map { t =>
+          val pf = graft.tables.PartitionSpecParser.parse(
+            t.meta.partitionBy, t.meta.schema.fieldNames.toSet)
+          require(pf.nonEmpty,
+            s"SHOW PARTITIONS: graft.$name is not a partitioned table")
+          val resolver = session.sessionState.analyzer.resolver
+          val filter: Map[String, String] = sp.pattern match {
+            case Some(org.apache.spark.sql.catalyst.analysis
+                .UnresolvedPartitionSpec(m, _)) =>
+              m.map { case (k, v) =>
+                val f = pf.find(p =>
+                    p.transform == "identity" && resolver(p.sourceColumn, k))
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"SHOW PARTITIONS graft.$name: '$k' is not an identity " +
+                      s"partition source (spec: ${t.meta.partitionBy.mkString(", ")}); " +
+                      s"filter derived transforms via graft.$name$$partitions"))
+                val dt = t.meta.schema(f.sourceColumn).dataType
+                // canonicalize exactly like manifest tuples: typed cast,
+                // then Spark's cast-to-string
+                val canon = session.range(1)
+                  .select(org.apache.spark.sql.functions.lit(v).cast(dt)
+                    .cast(org.apache.spark.sql.types.StringType).as("c"))
+                  .head().getString(0)
+                require(canon != null,
+                  s"SHOW PARTITIONS graft.$name: '$v' does not cast to " +
+                    s"${f.sourceColumn}'s type ${dt.simpleString}")
+                f.name -> canon
+              }
+            case Some(other) => throw new IllegalArgumentException(
+              s"SHOW PARTITIONS graft.$name: unsupported partition spec $other")
+            case None => Map.empty
+          }
+          val order = pf.map(_.name).zipWithIndex.toMap
+          val strs = t.partitionsMetadata().select("partition").collect()
+            .map(_.getMap[String, String](0).toMap)
+            .filter(tp => filter.forall { case (k, v) => tp.get(k).contains(v) })
+            .map { tp =>
+              val (inSpec, extra) = tp.toSeq.partition(kv => order.contains(kv._1))
+              (inSpec.sortBy(kv => order(kv._1)) ++ extra.sortBy(_._1))
+                .map { case (k, v) => s"$k=$v" }.mkString("/")
+            }.distinct.sorted.toIndexedSeq
+          import org.apache.spark.unsafe.types.UTF8String
+          LocalRelation(sp.output.map(_.asInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.AttributeReference]),
+            strs.map(s => org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(s)))): LogicalPlan
+        }.orElse {
+          if (graft.tables.ViewStore.exists(session, wh, name))
+            throw new IllegalArgumentException(
+              s"SHOW PARTITIONS: graft.$name is a view — views have no partitions")
+          else None
+        }
       }
     case _ => None
   }

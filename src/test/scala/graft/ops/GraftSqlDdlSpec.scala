@@ -253,6 +253,54 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("SHOW PARTITIONS: manifest-answered tuples, identity filter, refusals") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val b = org.apache.spark.sql.SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+      base.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
+      val wh = java.nio.file.Files.createTempDirectory("graft-showpart").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+
+      s2.sql("CREATE TABLE graft.sp (id BIGINT, g INT, m STRING) PARTITIONED BY (g, bucket(2, id))")
+      s2.sql("INSERT INTO graft.sp SELECT id, cast(id % 3 as int), concat('m', id) FROM range(0, 30)")
+      val rows = s2.sql("SHOW PARTITIONS graft.sp").collect().map(_.getString(0))
+      // spec-ordered k=v strings, sorted; both bucket values present per g
+      assert(rows.forall(_.matches("g=\\d/id_bucket=\\d")), rows.mkString(","))
+      assert(rows.length == rows.distinct.length && rows.sorted.sameElements(rows))
+      assert(rows.count(_.startsWith("g=1/")) >= 1)
+      // identity filter narrows to the named region (all buckets of g=1)
+      val g1 = s2.sql("SHOW PARTITIONS graft.sp PARTITION (g=1)").collect().map(_.getString(0))
+      assert(g1.nonEmpty && g1.forall(_.startsWith("g=1/")), g1.mkString(","))
+      assert(g1.toSet == rows.filter(_.startsWith("g=1/")).toSet)
+      // the statement is metadata-answered: its plan has no file scan
+      val plan = s2.sql("SHOW PARTITIONS graft.sp").queryExecution.optimizedPlan
+      assert(plan.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]), plan)
+      // derived-transform filter keys are refused with a pointer
+      val eB = intercept[Exception] { s2.sql("SHOW PARTITIONS graft.sp PARTITION (id=1)") }
+      assert(eB.getMessage.contains("identity partition source"), eB.getMessage)
+      // value that cannot cast to the source type is refused
+      val eC = intercept[Exception] { s2.sql("SHOW PARTITIONS graft.sp PARTITION (g='x')") }
+      assert(eC.getMessage != null)
+      // unpartitioned tables and views are refused precisely
+      s2.sql("CREATE TABLE graft.flat (id BIGINT)")
+      val eF = intercept[Exception] { s2.sql("SHOW PARTITIONS graft.flat") }
+      assert(eF.getMessage.contains("not a partitioned table"), eF.getMessage)
+      s2.sql("CREATE VIEW graft.vsp AS SELECT * FROM graft.sp")
+      val eV = intercept[Exception] { s2.sql("SHOW PARTITIONS graft.vsp") }
+      assert(eV.getMessage.contains("is a view"), eV.getMessage)
+      s2.sql("DROP VIEW graft.vsp"); s2.sql("DROP TABLE graft.flat"); s2.sql("DROP TABLE graft.sp")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("CREATE [TEMP] VIEW over graft SQL: create/query/drop, time travel, refusals") {
     val base = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
