@@ -61,17 +61,17 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         GraftDmlCommand("UPDATE", name,
           () => t.updateWhere(GraftBridge.column(c), set)): LogicalPlan
       }.getOrElse(refuseIfView(name, "UPDATE", u0))
-    // INSERT [OVERWRITE] — with an optional fully-STATIC
-    // `PARTITION (k=v, …)` spec on identity partition sources: the named
-    // values become literal columns, positional queries provide only the
-    // remaining columns (Spark's static-partition arity), and static
-    // OVERWRITE replaces EXACTLY the region the predicate names via
-    // overwriteWhere — sound under additional derived transforms (every
-    // matching tuple is cleared, not just the tuples the batch lands in)
-    // and an empty source truncates the partition, both per SQL
-    // static-overwrite semantics. Dynamic PARTITION entries are refused
-    // with a pointer to the plain INSERT, whose partitionOverwriteMode
-    // handling covers them.
+    // INSERT [OVERWRITE] — with an optional `PARTITION (k=v, k2, …)`
+    // spec on identity partition sources. STATIC entries (k=v) become
+    // literal columns; DYNAMIC entries (bare k) take their values from
+    // the query, exactly like omitting them (Spark's equivalence).
+    // Positional queries provide the non-static columns in schema order.
+    // OVERWRITE with a fully-static spec replaces EXACTLY the named
+    // region (stale sibling tuples under extra derived transforms
+    // cleared; an empty source truncates — SQL static semantics). With
+    // dynamic entries present, partitionOverwriteMode decides, per
+    // Spark: static mode clears the whole static-prefix region; dynamic
+    // mode replaces only the tuples the batch writes.
     case i: InsertIntoStatement if (i.table match {
         case GraftTarget(_, _) => true
         case _ => false
@@ -82,22 +82,22 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         // session resolver, so PARTITION (G=7) works (and is refused for
         // overlap) exactly like (g=7) under case-insensitive resolution
         val resolver = session.sessionState.analyzer.resolver
-        val staticSpec: Seq[(String, String)] = i.partitionSpec.toSeq.map {
-          case (k, Some(v)) =>
-            t.meta.schema.fields.find(f => resolver(f.name, k)).getOrElse(
-              throw new IllegalArgumentException(
-                s"INSERT ... PARTITION graft.$name: unknown column '$k'")).name -> v
-          case (k, None) => throw new IllegalArgumentException(
-            s"INSERT ... PARTITION graft.$name: dynamic partition column '$k' " +
-              "is not supported — omit the PARTITION clause and provide it as " +
-              "a query column (dynamic partitionOverwriteMode applies)")
+        def schemaName(k: String): String =
+          t.meta.schema.fields.find(f => resolver(f.name, k)).getOrElse(
+            throw new IllegalArgumentException(
+              s"INSERT ... PARTITION graft.$name: unknown column '$k'")).name
+        val staticSpec: Seq[(String, String)] = i.partitionSpec.toSeq.collect {
+          case (k, Some(v)) => schemaName(k) -> v
+        }
+        val dynamicKeys: Seq[String] = i.partitionSpec.toSeq.collect {
+          case (k, None) => schemaName(k)
         }
         // identity sources come from the real spec parser — the same
         // grammar the write path uses (IDENTITY(g), inner spaces, ...)
         val identitySources = graft.tables.PartitionSpecParser
           .parse(t.meta.partitionBy, t.meta.schema.fieldNames.toSet)
           .filter(_.transform == "identity").map(_.sourceColumn).toSet
-        staticSpec.foreach { case (k, _) =>
+        (staticSpec.map(_._1) ++ dynamicKeys).foreach { k =>
           require(identitySources.contains(k),
             s"INSERT ... PARTITION graft.$name: '$k' is not an identity " +
               s"partition source column (spec: ${t.meta.partitionBy.mkString(", ")})")
@@ -105,7 +105,7 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         val (q, cols, over, byName) =
           (i.query, i.userSpecifiedCols, i.overwrite, i.byName)
         val label = (if (over) "INSERT OVERWRITE" else "INSERT") +
-          (if (staticSpec.nonEmpty) " PARTITION" else "")
+          (if (i.partitionSpec.nonEmpty) " PARTITION" else "")
         GraftDmlCommand(label, name, () => {
           val df0 = GraftBridge.dataFrame(session, q)
           val specCols = staticSpec.map(_._1).toSet
@@ -117,14 +117,20 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
                 s"provides PARTITION column(s) ${dup.mkString(", ")} — their " +
                 "per-row values would be silently replaced by the static spec")
           }
+          def requireDynamic(produced: Seq[String]): Unit = {
+            val missing = dynamicKeys.filterNot(k => produced.exists(resolver(_, k)))
+            require(missing.isEmpty,
+              s"INSERT ... PARTITION graft.$name: dynamic partition column(s) " +
+                s"${missing.mkString(", ")} must be provided by the query")
+          }
           val base =
             if (cols.nonEmpty) {
-              noSpecOverlap(cols)
+              noSpecOverlap(cols); requireDynamic(cols)
               require(df0.columns.length == cols.length,
                 s"INSERT column list has ${cols.length} columns but the query produces ${df0.columns.length}")
               df0.toDF(cols: _*)
             } else if (byName) {
-              noSpecOverlap(df0.columns.toSeq)
+              noSpecOverlap(df0.columns.toSeq); requireDynamic(df0.columns.toSeq)
               df0
             } else {
               require(df0.columns.length == expected.length,
@@ -135,25 +141,30 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
           val df = staticSpec.foldLeft(base) { case (d, (k, v)) =>
             d.withColumn(k, lit(v).cast(t.meta.schema(k).dataType))
           }
-          if (over && staticSpec.nonEmpty) {
-            // keyed tables: MoR tombstones (overwriteWhere) keep the
-            // changelog precise at O(matched + batch); keyless tables
-            // have no row identity to tombstone, so the zero-rewrite
-            // metadata drop of the named region is strictly better than
-            // copy-on-write of the whole table
+          // keyed tables: MoR tombstones (overwriteWhere) keep the
+          // changelog precise at O(matched + batch); keyless tables
+          // have no row identity to tombstone, so the zero-rewrite
+          // metadata drop of the named region is strictly better than
+          // copy-on-write of the whole table
+          def replaceStaticRegion(): Unit =
             if (t.meta.identifierFields.nonEmpty) {
               val region = staticSpec.map { case (k, v) =>
                 org.apache.spark.sql.functions.col(k) === lit(v).cast(t.meta.schema(k).dataType)
               }.reduce(_ && _)
               t.overwriteWhere(region, df)
             } else t.overwriteStaticRegion(staticSpec, df)
+          def dynamicMode = session.conf
+            .get("spark.sql.sources.partitionOverwriteMode", "static")
+            .equalsIgnoreCase("dynamic")
+          if (over && i.partitionSpec.nonEmpty) {
+            if (dynamicKeys.isEmpty) replaceStaticRegion() // fully static: the NAMED region, both modes
+            else if (dynamicMode) t.overwritePartitions(df) // only the batch's tuples
+            else if (staticSpec.nonEmpty) replaceStaticRegion() // static mode: whole static-prefix region
+            else t.overwrite(df) // fully dynamic spec ≡ no spec, static mode: whole table
           } else if (over) {
             // honor Spark's dynamic partition-overwrite mode: replace
             // only the batch's partitions on partitioned tables
-            val dynamic = session.conf
-              .get("spark.sql.sources.partitionOverwriteMode", "static")
-              .equalsIgnoreCase("dynamic")
-            if (dynamic && t.meta.partitionBy.exists(_.trim.nonEmpty))
+            if (dynamicMode && t.meta.partitionBy.exists(_.trim.nonEmpty))
               t.overwritePartitions(df)
             else t.overwrite(df)
           } else t.append(df)

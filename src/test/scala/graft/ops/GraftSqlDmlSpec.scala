@@ -128,10 +128,11 @@ class GraftSqlDmlSpec extends AnyFunSuite with SharedSpark {
       s2.sql("INSERT OVERWRITE graft.pt PARTITION (g=7) SELECT id, name FROM graft.pt WHERE false")
       assert(curPt.where(col("g") === 7).count() == 0, "empty static overwrite must truncate")
       assert(curPt.where(col("g") === 3).count() == 1, "other partitions untouched")
-      // dynamic entries and non-partition columns are refused precisely
-      val eDyn = intercept[Exception] {
-        s2.sql("INSERT INTO graft.pt PARTITION (g) VALUES (1, 'x', 2)") }
-      assert(eDyn.getMessage.contains("dynamic partition column"), eDyn.getMessage)
+      // dynamic PARTITION entries take their values from the query —
+      // Spark's equivalence with omitting the clause
+      s2.sql("INSERT INTO graft.pt PARTITION (g) VALUES (90, 'dyn', 9)")
+      assert(curPt.where(col("g") === 9).select("id").head().getLong(0) == 90)
+      // non-partition columns are refused precisely
       val eNp = intercept[Exception] {
         s2.sql("INSERT INTO graft.pt PARTITION (name='x') VALUES (1, 2)") }
       assert(eNp.getMessage.contains("identity partition source"), eNp.getMessage)
@@ -154,6 +155,35 @@ class GraftSqlDmlSpec extends AnyFunSuite with SharedSpark {
       s2.sql("INSERT INTO graft.pt PARTITION (G=6) VALUES (60, 'up')")
       assert(curPt.where(col("g") === 6 && col("id") === 60).count() == 1,
         "upper-cased PARTITION key must resolve case-insensitively")
+
+      // mixed static+dynamic spec: the static prefix pins the region,
+      // the dynamic column rides the query; partitionOverwriteMode
+      // decides the replaced set (Spark semantics)
+      val p2df = Seq((1L, "a", 1, 10), (2L, "b", 1, 20), (3L, "c", 2, 10))
+        .toDF("id", "name", "g", "h")
+      val pt2 = ManagedTable.create(s2, wh, "pt2", p2df.schema, Seq.empty, Seq("g", "h"))
+      pt2.append(p2df)
+      def curPt2 = ManagedTable.load(s2, wh, "pt2").get.read()
+      // static mode: the WHOLE g=1 prefix region is replaced — including
+      // h=20, a tuple the batch never writes
+      s2.sql("INSERT OVERWRITE graft.pt2 PARTITION (g=1, h) VALUES (7, 'n', 10)")
+      assert(curPt2.where(col("g") === 1).count() == 1)
+      assert(curPt2.where(col("g") === 1 && col("h") === 20).count() == 0,
+        "static mode must clear stale dynamic siblings of the prefix")
+      assert(curPt2.where(col("g") === 2).count() == 1, "outside the static prefix untouched")
+      // dynamic mode: only the tuples the batch writes are replaced
+      ManagedTable.load(s2, wh, "pt2").get
+        .append(Seq((8L, "x", 1, 20)).toDF("id", "name", "g", "h"))
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s2.sql("INSERT OVERWRITE graft.pt2 PARTITION (g=1, h) VALUES (9, 'y', 10)")
+      assert(curPt2.where(col("g") === 1 && col("h") === 10).select("id").head().getLong(0) == 9)
+      assert(curPt2.where(col("g") === 1 && col("h") === 20).count() == 1,
+        "dynamic mode must keep untouched tuples of the prefix")
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      // a dynamic column missing from an explicit column list is refused
+      val eMiss = intercept[Exception] {
+        s2.sql("INSERT INTO graft.pt2 PARTITION (g=1, h) (id, name) VALUES (1, 'x')") }
+      assert(eMiss.getMessage.contains("must be provided"), eMiss.getMessage)
 
       // metadata suffixes are read-only — precise refusal, nothing mutated
       val e3 = intercept[Exception] {
