@@ -203,6 +203,41 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       withTable(tr, name) { t =>
         GraftDmlCommand("TRUNCATE", name, () => t.truncate())
       }
+    // `TRUNCATE TABLE graft.t PARTITION (k=v, …)` — the static-region
+    // machinery with an empty batch: keyless tables drop the named
+    // region's groups at metadata cost (zero rewrite), keyed tables
+    // tombstone it so the changelog stays precise. Spec keys must be
+    // identity partition sources, like INSERT … PARTITION.
+    case tp @ org.apache.spark.sql.catalyst.plans.logical.TruncatePartition(
+        GraftAlterTarget(name),
+        org.apache.spark.sql.catalyst.analysis.UnresolvedPartitionSpec(m, _)) =>
+      withTable(tp, name) { t =>
+        val resolver = session.sessionState.analyzer.resolver
+        val spec = m.toSeq.map { case (k, v) =>
+          t.meta.schema.fields.find(f => resolver(f.name, k)).getOrElse(
+            throw new IllegalArgumentException(
+              s"TRUNCATE ... PARTITION graft.$name: unknown column '$k'")).name -> v
+        }
+        val identitySources = graft.tables.PartitionSpecParser
+          .parse(t.meta.partitionBy, t.meta.schema.fieldNames.toSet)
+          .filter(_.transform == "identity").map(_.sourceColumn).toSet
+        spec.foreach { case (k, _) =>
+          require(identitySources.contains(k),
+            s"TRUNCATE ... PARTITION graft.$name: '$k' is not an identity " +
+              s"partition source column (spec: ${t.meta.partitionBy.mkString(", ")})")
+        }
+        GraftDmlCommand("TRUNCATE PARTITION", name, () => {
+          val empty = session.createDataFrame(
+            session.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.meta.schema)
+          if (t.meta.identifierFields.nonEmpty) {
+            val region = spec.map { case (k, v) =>
+              org.apache.spark.sql.functions.col(k) ===
+                org.apache.spark.sql.functions.lit(v).cast(t.meta.schema(k).dataType)
+            }.reduce(_ && _)
+            t.overwriteWhere(region, empty)
+          } else t.overwriteStaticRegion(spec, empty)
+        })
+      }
     case s @ SetTableProperties(GraftAlterTarget(name), props) =>
       withTable(s, name) { t =>
         require(!props.contains(IdsProp),

@@ -294,6 +294,16 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       s2.sql("CREATE VIEW graft.vsp AS SELECT * FROM graft.sp")
       val eV = intercept[Exception] { s2.sql("SHOW PARTITIONS graft.vsp") }
       assert(eV.getMessage.contains("is a view"), eV.getMessage)
+      // TRUNCATE ... PARTITION: the named region's groups drop at
+      // metadata cost; other partitions untouched; refusals match the
+      // INSERT ... PARTITION rules
+      s2.sql("TRUNCATE TABLE graft.sp PARTITION (g=1)")
+      assert(s2.sql("SELECT count(*) c FROM graft.sp WHERE g = 1").head().getLong(0) == 0)
+      assert(s2.sql("SELECT count(*) c FROM graft.sp WHERE g = 2").head().getLong(0) == 10)
+      val afterTrunc = s2.sql("SHOW PARTITIONS graft.sp").collect().map(_.getString(0))
+      assert(afterTrunc.nonEmpty && !afterTrunc.exists(_.startsWith("g=1/")), afterTrunc.mkString(","))
+      val eT = intercept[Exception] { s2.sql("TRUNCATE TABLE graft.sp PARTITION (id=1)") }
+      assert(eT.getMessage.contains("identity partition source"), eT.getMessage)
       s2.sql("DROP VIEW graft.vsp"); s2.sql("DROP TABLE graft.flat"); s2.sql("DROP TABLE graft.sp")
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
