@@ -680,6 +680,32 @@ object Queries {
       |  o_totalprice * 0.5 AS o_totalprice, o_orderpriority
       |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin))
 
+  /** Run `f` in a fresh session with the graft extensions and `wh` as
+    * its warehouse — the second-session dance every SQL-surface oracle
+    * query needs (the Verify session has no extensions) — restoring the
+    * caller's default/active sessions afterwards.
+    */
+  private def withGraftSession[A](s: SparkSession, wh: String)(f: SparkSession => A): A = {
+    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val b = org.apache.spark.sql.SparkSession.builder()
+        .master(s.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+      s.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
+      s2.conf.set("spark.graft.warehouse", wh)
+      f(s2)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    }
+  }
+
   /** SQL `INSERT OVERWRITE … PARTITION (k=v)` static semantics
     * ([[graft.tables.ManagedTable.overwriteStaticRegion]]): on a
     * priority+bucket partitioned KEYLESS table, the statement replaces
@@ -702,17 +728,7 @@ object Queries {
         .select("path", "partition").collect()
         .map(r => r.getString(0) ->
           r.getMap[String, String](1).get("o_orderpriority").orNull).toMap
-      val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
-      val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-      try {
-        val b = org.apache.spark.sql.SparkSession.builder()
-          .master(s.sparkContext.master)
-          .withExtensions(new graft.GraftExtensions().apply(_))
-        s.conf.getAll.foreach { case (k, v) => b.config(k, v) }
-        val s2 = b.getOrCreate()
-        s2.conf.set("spark.graft.warehouse", wh)
+      withGraftSession(s, wh) { s2 =>
         // the repriced batch covers only part of the region (and so only
         // some bucket tuples) — static overwrite must clear the rest too
         s2.sql(
@@ -722,11 +738,6 @@ object Queries {
              |FROM parquet.`$dir/orders.parquet`
              |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
              |""".stripMargin)
-      } finally {
-        org.apache.spark.sql.SparkSession.clearActiveSession()
-        org.apache.spark.sql.SparkSession.clearDefaultSession()
-        prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
-        prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
       }
       val after = graft.tables.ManagedTable.load(s, wh, "orders_sop").get
       val afterFiles = after.filesMetadata()
@@ -764,28 +775,13 @@ object Queries {
       val tbl = graft.tables.ManagedTable.create(s, wh, "orders_shp",
         base.schema, Seq.empty, partitionBy = Seq("o_orderpriority"))
       tbl.append(base)
-      val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
-      val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-      try {
-        val b = org.apache.spark.sql.SparkSession.builder()
-          .master(s.sparkContext.master)
-          .withExtensions(new graft.GraftExtensions().apply(_))
-        s.conf.getAll.foreach { case (k, v) => b.config(k, v) }
-        val s2 = b.getOrCreate()
-        s2.conf.set("spark.graft.warehouse", wh)
+      withGraftSession(s, wh) { s2 =>
         val out = s2.sql("SHOW PARTITIONS graft.orders_shp")
         require(out.queryExecution.optimizedPlan.collectLeaves().forall(
           _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
           "SHOW PARTITIONS did not produce a scan-free plan:\n" +
             out.queryExecution.optimizedPlan)
         out
-      } finally {
-        org.apache.spark.sql.SparkSession.clearActiveSession()
-        org.apache.spark.sql.SparkSession.clearDefaultSession()
-        prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
-        prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
       }
     },
     Some("""SELECT DISTINCT 'o_orderpriority=' || o_orderpriority AS partition
@@ -807,17 +803,7 @@ object Queries {
       val tbl = graft.tables.ManagedTable.create(s, wh, "orders_ma",
         base.schema, Seq("o_orderkey"))
       tbl.append(base)
-      val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
-      val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-      try {
-        val b = org.apache.spark.sql.SparkSession.builder()
-          .master(s.sparkContext.master)
-          .withExtensions(new graft.GraftExtensions().apply(_))
-        s.conf.getAll.foreach { case (k, v) => b.config(k, v) }
-        val s2 = b.getOrCreate()
-        s2.conf.set("spark.graft.warehouse", wh)
+      withGraftSession(s, wh) { s2 =>
         // the rewrite fires on bare single-aggregate projects only (the
         // guard that keeps WHERE/GROUP BY off the metadata path), so the
         // three aggregates are three statements combined locally
@@ -832,11 +818,6 @@ object Queries {
               d.queryExecution.optimizedPlan)
         }
         parts.reduce(_ crossJoin _)
-      } finally {
-        org.apache.spark.sql.SparkSession.clearActiveSession()
-        org.apache.spark.sql.SparkSession.clearDefaultSession()
-        prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
-        prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
       }
     },
     Some("""SELECT count(*)::BIGINT AS n_rows,

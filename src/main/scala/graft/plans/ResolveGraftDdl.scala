@@ -218,24 +218,12 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
             throw new IllegalArgumentException(
               s"TRUNCATE ... PARTITION graft.$name: unknown column '$k'")).name -> v
         }
-        val identitySources = graft.tables.PartitionSpecParser
-          .parse(t.meta.partitionBy, t.meta.schema.fieldNames.toSet)
-          .filter(_.transform == "identity").map(_.sourceColumn).toSet
-        spec.foreach { case (k, _) =>
-          require(identitySources.contains(k),
-            s"TRUNCATE ... PARTITION graft.$name: '$k' is not an identity " +
-              s"partition source column (spec: ${t.meta.partitionBy.mkString(", ")})")
-        }
         GraftDmlCommand("TRUNCATE PARTITION", name, () => {
           val empty = session.createDataFrame(
             session.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.meta.schema)
-          if (t.meta.identifierFields.nonEmpty) {
-            val region = spec.map { case (k, v) =>
-              org.apache.spark.sql.functions.col(k) ===
-                org.apache.spark.sql.functions.lit(v).cast(t.meta.schema(k).dataType)
-            }.reduce(_ && _)
-            t.overwriteWhere(region, empty)
-          } else t.overwriteStaticRegion(spec, empty)
+          // overwriteStaticRegion owns the routing (keyed → tombstones,
+          // keyless → metadata drop) and the identity/cast validation
+          t.overwriteStaticRegion(spec, empty)
         })
       }
     case s @ SetTableProperties(GraftAlterTarget(name), props) =>
@@ -433,25 +421,39 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
           val filter: Map[String, String] = sp.pattern match {
             case Some(org.apache.spark.sql.catalyst.analysis
                 .UnresolvedPartitionSpec(m, _)) =>
-              m.map { case (k, v) =>
+              val keyed = m.toSeq.map { case (k, v) =>
                 val f = pf.find(p =>
                     p.transform == "identity" && resolver(p.sourceColumn, k))
                   .getOrElse(throw new IllegalArgumentException(
                     s"SHOW PARTITIONS graft.$name: '$k' is not an identity " +
                       s"partition source (spec: ${t.meta.partitionBy.mkString(", ")}); " +
                       s"filter derived transforms via graft.$name$$partitions"))
-                val dt = t.meta.schema(f.sourceColumn).dataType
-                // canonicalize exactly like manifest tuples: typed cast,
-                // then Spark's cast-to-string
-                val canon = session.range(1)
-                  .select(org.apache.spark.sql.functions.lit(v).cast(dt)
-                    .cast(org.apache.spark.sql.types.StringType).as("c"))
-                  .head().getString(0)
-                require(canon != null,
-                  s"SHOW PARTITIONS graft.$name: '$v' does not cast to " +
-                    s"${f.sourceColumn}'s type ${dt.simpleString}")
-                f.name -> canon
+                (f, v)
               }
+              // canonicalize exactly like manifest tuples — typed cast,
+              // then Spark's cast-to-string — in ONE job for all keys,
+              // with ANSI cast failures wrapped precisely
+              val canonRow =
+                try session.range(1).select(keyed.map { case (f, v) =>
+                  org.apache.spark.sql.functions.lit(v)
+                    .cast(t.meta.schema(f.sourceColumn).dataType)
+                    .cast(org.apache.spark.sql.types.StringType)
+                }: _*).head()
+                catch {
+                  case e: org.apache.spark.SparkThrowable =>
+                    throw new IllegalArgumentException(
+                      s"SHOW PARTITIONS graft.$name: a PARTITION value does not " +
+                        s"cast to its source column's type " +
+                        s"(${keyed.map { case (f, v) => s"${f.sourceColumn}='$v'" }.mkString(", ")})",
+                      e.asInstanceOf[Throwable])
+                }
+              keyed.zipWithIndex.map { case ((f, v), idx) =>
+                require(!canonRow.isNullAt(idx),
+                  s"SHOW PARTITIONS graft.$name: '$v' does not cast to " +
+                    s"${f.sourceColumn}'s type " +
+                    t.meta.schema(f.sourceColumn).dataType.simpleString)
+                f.name -> canonRow.getString(idx)
+              }.toMap
             case Some(other) => throw new IllegalArgumentException(
               s"SHOW PARTITIONS graft.$name: unsupported partition spec $other")
             case None => Map.empty

@@ -141,25 +141,20 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
           val df = staticSpec.foldLeft(base) { case (d, (k, v)) =>
             d.withColumn(k, lit(v).cast(t.meta.schema(k).dataType))
           }
-          // keyed tables: MoR tombstones (overwriteWhere) keep the
-          // changelog precise at O(matched + batch); keyless tables
-          // have no row identity to tombstone, so the zero-rewrite
-          // metadata drop of the named region is strictly better than
-          // copy-on-write of the whole table
-          def replaceStaticRegion(): Unit =
-            if (t.meta.identifierFields.nonEmpty) {
-              val region = staticSpec.map { case (k, v) =>
-                org.apache.spark.sql.functions.col(k) === lit(v).cast(t.meta.schema(k).dataType)
-              }.reduce(_ && _)
-              t.overwriteWhere(region, df)
-            } else t.overwriteStaticRegion(staticSpec, df)
           def dynamicMode = session.conf
             .get("spark.sql.sources.partitionOverwriteMode", "static")
             .equalsIgnoreCase("dynamic")
+          // Spark's rule: partition columns the spec OMITS are dynamic
+          // too — the spec is fully static only when it names EVERY
+          // identity source. overwriteStaticRegion routes keyed tables
+          // to changelog-precise tombstones, keyless to the zero-rewrite
+          // metadata drop.
+          val fullyStatic = dynamicKeys.isEmpty &&
+            identitySources.subsetOf(staticSpec.map(_._1).toSet)
           if (over && i.partitionSpec.nonEmpty) {
-            if (dynamicKeys.isEmpty) replaceStaticRegion() // fully static: the NAMED region, both modes
+            if (fullyStatic) t.overwriteStaticRegion(staticSpec, df) // the NAMED region, both modes
             else if (dynamicMode) t.overwritePartitions(df) // only the batch's tuples
-            else if (staticSpec.nonEmpty) replaceStaticRegion() // static mode: whole static-prefix region
+            else if (staticSpec.nonEmpty) t.overwriteStaticRegion(staticSpec, df) // static mode: whole static-prefix region
             else t.overwrite(df) // fully dynamic spec ≡ no spec, static mode: whole table
           } else if (over) {
             // honor Spark's dynamic partition-overwrite mode: replace

@@ -3083,16 +3083,18 @@ final class ManagedTable private (
     * Single-spec-epoch only, same soundness argument as
     * [[overwritePartitions]]; multi-epoch tables fall back to
     * [[overwriteWhere]]'s row-level path (correct at copy-on-write cost —
-    * or run [[compact]] first to re-enable the metadata drop). Keyed
-    * tables should prefer [[overwriteWhere]] directly: its tombstones
-    * keep the changelog precise where this path must barrier-stamp.
+    * or run [[compact]] first to re-enable the metadata drop). KEYED
+    * tables route to [[overwriteWhere]] unconditionally: their MoR
+    * tombstones keep the changelog precise at O(matched + batch) where
+    * the metadata drop would have to barrier-stamp.
     */
   def overwriteStaticRegion(spec: Seq[(String, String)], batch: DataFrame): Unit = {
     require(isPartitioned, "overwriteStaticRegion needs a partitioned table")
     require(spec.nonEmpty, "overwriteStaticRegion needs at least one k=v pair")
-    // validate BEFORE the multi-epoch fallback: a non-identity spec key
-    // must be refused identically in every epoch state, not silently
-    // executed as a row-level value overwrite on evolved tables
+    // validate BEFORE any routing: a non-identity spec key or a value
+    // that does not cast must be refused identically in every epoch and
+    // key state, not silently executed as a row-level value overwrite
+    // (transformBound also wraps ANSI cast errors precisely)
     val comps = spec.map { case (k, v) =>
       val pf = partitionFields.find(p => p.transform == "identity" && p.sourceColumn == k)
         .getOrElse(throw new IllegalArgumentException(
@@ -3100,11 +3102,12 @@ final class ManagedTable private (
             s"of the current spec (${_meta.partitionBy.mkString(", ")})"))
       pf.name -> transformBound(pf, v)
     }
+    def regionCond = spec.map { case (k, v) =>
+      col(k) === lit(v).cast(_meta.schema(k).dataType)
+    }.reduce(_ && _)
+    if (_meta.identifierFields.nonEmpty) { overwriteWhere(regionCond, batch); return }
     val entries = currentEntries
     if (!entries.forall(e => entryEpoch(e.seq) == currentEpoch)) {
-      val regionCond = spec.map { case (k, v) =>
-        col(k) === lit(v).cast(_meta.schema(k).dataType)
-      }.reduce(_ && _)
       overwriteWhere(regionCond, batch); return
     }
     def matches(t: Map[String, String]): Boolean =

@@ -184,6 +184,15 @@ class GraftSqlDmlSpec extends AnyFunSuite with SharedSpark {
       val eMiss = intercept[Exception] {
         s2.sql("INSERT INTO graft.pt2 PARTITION (g=1, h) (id, name) VALUES (1, 'x')") }
       assert(eMiss.getMessage.contains("must be provided"), eMiss.getMessage)
+      // an identity column the spec OMITS is dynamic too (Spark's rule:
+      // fully static only when every partition column is named) — so
+      // dynamic mode keeps the prefix's untouched tuples
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s2.sql("INSERT OVERWRITE graft.pt2 PARTITION (g=1) VALUES (11, 'o', 10)")
+      assert(curPt2.where(col("g") === 1 && col("h") === 20).count() == 1,
+        "omitted identity column must be treated as dynamic under dynamic mode")
+      assert(curPt2.where(col("g") === 1 && col("h") === 10).select("id").head().getLong(0) == 11)
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
 
       // metadata suffixes are read-only — precise refusal, nothing mutated
       val e3 = intercept[Exception] {
