@@ -680,6 +680,33 @@ object Queries {
       |  o_totalprice * 0.5 AS o_totalprice, o_orderpriority
       |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin))
 
+  /** Metadata-only DELETE (`DELETE FROM t WHERE <partition region>`):
+    * on a keyless priority-partitioned orders table, a predicate that is
+    * a pure function of the identity partition source drops the matching
+    * regions as ONE manifest diff — zero data files read or rewritten at
+    * any table size (the 100 TB retention shape; Iceberg's "metadata
+    * delete"). The query runtime-asserts the zero-rewrite property: every
+    * surviving file group is byte-identical to a pre-delete group. Oracle
+    * = survivors, with the engine's null-keeps-row semantics.
+    */
+  val dmlDeleteRegion = Q("dml_delete_partition_region",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_mdel").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_mdel",
+        base.schema, Seq.empty, partitionBy = Seq("o_orderpriority"))
+      tbl.append(base)
+      val before = tbl.filesMetadata().select("path").collect().map(_.getString(0)).toSet
+      tbl.deleteWhere(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      val after = tbl.filesMetadata().select("path").collect().map(_.getString(0)).toSet
+      require(after.subsetOf(before) && after.nonEmpty,
+        "metadata delete must drop manifest entries, never rewrite survivors")
+      tbl.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE NOT coalesce(o_orderpriority IN ('1-URGENT', '2-HIGH'), false)""".stripMargin))
+
   /** Run `f` in a fresh session with the graft extensions and `wh` as
     * its warehouse — the second-session dance every SQL-surface oracle
     * query needs (the Verify session has no extensions) — restoring the
@@ -3970,7 +3997,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlUpdate, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlUpdate, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

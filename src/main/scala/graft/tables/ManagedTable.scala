@@ -2271,15 +2271,109 @@ final class ManagedTable private (
 
   // ------------------------------------------------------------- row-level DML
 
+  /** Metadata-only DELETE (Iceberg's "metadata delete"): when the
+    * predicate is a pure function of IDENTITY partition source columns,
+    * every row of a file group shares those values, so the predicate is
+    * constant per group — a tuple either matches wholly (drop the group
+    * from the manifest) or not at all (keep it untouched). The retention
+    * shape (`DELETE FROM events WHERE day = '2024-01-03'`) then commits
+    * one manifest diff: zero data files read, zero rewritten, at ANY
+    * table size — where the keyless fallback would rewrite the whole
+    * table. Returns true when it handled the delete.
+    *
+    * Eligibility (anything else falls through to the row-level paths):
+    *  - keyless table — keyed tables keep MoR tombstones so the
+    *    changelog stays precise (same routing as [[overwriteStaticRegion]]);
+    *  - single spec epoch — old-epoch tuples use a different formula;
+    *  - predicate references ONLY identity partition sources (plain
+    *    single-part names), no subqueries, and resolves deterministic;
+    *  - source types whose canonical tuple string round-trips the value
+    *    exactly and session-independently (integral / string / boolean /
+    *    date / decimal / timestamp_ntz — tz-aware timestamps render in
+    *    the WRITER's session zone, so a later session cannot reconstruct
+    *    the instant; float/double excluded with them out of caution).
+    *
+    * Evaluation runs the REAL predicate over a one-row-per-live-tuple
+    * local relation (values rebuilt by casting the canonical tuple
+    * string back to the column type — the exact inverse of the write
+    * path's `cast(StringType)`), so semantics including ANSI cast errors
+    * match the row-level path; null predicate = kept, like everywhere.
+    * A match-nothing delete returns without burning a version. Dropped
+    * rows vanish without tombstones, so the commit is barrier-stamped —
+    * changelog consumers reseed, exactly as after [[overwritePartitions]].
+    */
+  private def metadataDeleteWhere(cond: org.apache.spark.sql.Column): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    if (!isPartitioned || _meta.identifierFields.nonEmpty) return false
+    val entries = currentEntries
+    if (entries.exists(e => entryEpoch(e.seq) != currentEpoch)) return false
+    val idFields = partitionFields.filter(_.transform == "identity")
+    if (idFields.isEmpty) return false
+    def roundTrips(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           BooleanType | DateType | _: DecimalType | TimestampNTZType => true
+      case _ => false
+    }
+    if (_meta.schema.fieldNames.contains("__graft_tuple_idx")) return false
+    val tuples = entries.map(_.partition).distinct
+    // a STRING source value equal to the Hive null marker is
+    // indistinguishable from null in the tuple — don't guess
+    if (tuples.exists(t => idFields.exists { pf =>
+        t.get(pf.name).contains(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) &&
+          _meta.schema(pf.sourceColumn).dataType == StringType }))
+      return false
+    val strSchema = StructType(StructField("__graft_tuple_idx", IntegerType, nullable = false) +:
+      idFields.map(pf => StructField(s"__graft_s_${pf.name}", StringType, nullable = true)))
+    val rows = tuples.zipWithIndex.map { case (t, i) =>
+      Row.fromSeq(i +: idFields.map { pf =>
+        t.get(pf.name).filter(_ != ExternalCatalogUtils.DEFAULT_PARTITION_NAME).orNull
+      })
+    }
+    val tupleDf = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), strSchema)
+      .select(col("__graft_tuple_idx") +: idFields.map(pf =>
+        col(s"__graft_s_${pf.name}")
+          .cast(_meta.schema(pf.sourceColumn).dataType).as(pf.sourceColumn)): _*)
+    // Eligibility is read off the ANALYZED plan (a classic Column is an
+    // opaque node until resolution): the predicate must resolve against
+    // the tuple relation at all (else it references non-partition
+    // columns — AnalysisException, eager in classic mode — and the
+    // row-level path owns it), and the resolved condition must reference
+    // only round-tripping identity sources, be deterministic (rand()
+    // must evaluate per ROW, not per tuple), and contain no subqueries
+    // (their inner plan reads tables).
+    val filtered = try tupleDf.filter(coalesce(cond, lit(false))) catch {
+      case _: org.apache.spark.sql.AnalysisException => return false
+    }
+    val analyzed = filtered.queryExecution.analyzed
+    val resolver = spark.sessionState.analyzer.resolver
+    def refOk(n: String): Boolean = idFields.exists(pf =>
+      resolver(pf.sourceColumn, n) && roundTrips(_meta.schema(pf.sourceColumn).dataType))
+    val conds = analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+    if (conds.isEmpty) return false
+    if (!conds.forall(c => c.references.forall(a => refOk(a.name)) &&
+        !c.exists(e => !e.deterministic || e.isInstanceOf[PlanExpression[_]])))
+      return false
+    val matched = filtered.select("__graft_tuple_idx").collect()
+      .map(r => tuples(r.getInt(0))).toSet
+    if (matched.isEmpty) return true // no region matches: semantic no-op, no version burnt
+    commitManifestWithProps(entries.filterNot(e => matched.contains(e.partition)), barrierProp)
+    true
+  }
+
   /** Row-level DELETE (`DELETE FROM t WHERE cond`): rows where `cond` is
     * TRUE (null = kept) become tombstones in one merge-on-read commit —
     * table files are never rewritten. Cost: one table scan with the
     * predicate pushed to the file scan, plus an O(matched) write; the
     * Iceberg merge-on-read `DELETE` analogue. Keyless tables have no
     * equality-delete identity, so they fall back to copy-on-write
-    * (`overwrite` of the survivors) — Iceberg's COW mode.
+    * (`overwrite` of the survivors) — Iceberg's COW mode — unless the
+    * predicate names whole partition regions, where
+    * [[metadataDeleteWhere]] commits a manifest diff instead: zero
+    * files read or rewritten (the 100 TB retention path).
     */
   def deleteWhere(cond: org.apache.spark.sql.Column): Unit = {
+    if (metadataDeleteWhere(cond)) return
     if (_meta.identifierFields.isEmpty) {
       overwrite(read().filter(!coalesce(cond, lit(false))))
       return

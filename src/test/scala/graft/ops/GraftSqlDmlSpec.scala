@@ -292,4 +292,36 @@ class GraftSqlDmlSpec extends AnyFunSuite with SharedSpark {
       org.apache.spark.sql.SparkSession.setActiveSession(base)
     }
   }
+
+  test("SQL DELETE on a whole partition region is a metadata-only commit") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val b = org.apache.spark.sql.SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+      base.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
+      import s2.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqlmd").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+      val df = (1 to 60).map(i => (i.toLong, s"d2024-01-${"%02d".format(i % 6 + 1)}", i * 1.0))
+        .toDF("id", "day", "v")
+      val t = ManagedTable.create(s2, wh, "events_md", df.schema, Seq.empty, Seq("day"))
+      t.append(df)
+      val before = t.filesMetadata().select("path").as[String].collect().toSet
+      // the SQL retention shape: qualified alias + IN list over the region
+      s2.sql("DELETE FROM graft.events_md AS e WHERE e.day IN ('d2024-01-01', 'd2024-01-02')")
+      val t2 = ManagedTable.load(s2, wh, "events_md").get
+      assert(t2.read().count() == 40)
+      assert(t2.read().filter(col("day") < "d2024-01-03").count() == 0)
+      val after = t2.filesMetadata().select("path").as[String].collect().toSet
+      assert(after.subsetOf(before) && after.nonEmpty,
+        "SQL region delete must drop manifest entries, not rewrite files")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
 }

@@ -357,6 +357,97 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("metadata delete: region predicate on a keyless partitioned table drops groups, zero rewrite") {
+    val w = wh
+    val t = seed(w, "md1", partitionBy = Seq("grp"), ids = Seq.empty)
+    val before = t.filesMetadata().select("path").as[String].collect().toSet
+    val v0 = t.meta.currentVersion
+    // predicate is a pure function of the identity source: IN + range mix
+    t.deleteWhere(col("grp").isin(3, 7) || col("grp") > 8)
+    assert(t.meta.currentVersion == v0 + 1)
+    assert(t.read().filter(col("grp").isin(3, 7, 9)).count() == 0)
+    assert(t.read().count() == 70)
+    // every surviving group is an UNTOUCHED original file — no rewrite
+    val after = t.filesMetadata().select("path").as[String].collect().toSet
+    assert(after.subsetOf(before) && after.nonEmpty,
+      "metadata delete must drop manifest entries, never rewrite survivors")
+    // barrier stamped: rows vanished without tombstones
+    assert(t.meta.properties(ManagedTable.BarrierKey).toLong == t.meta.currentVersion)
+    // time travel still sees the pre-delete state
+    assert(t.readVersion(v0).count() == 100)
+  }
+
+  test("metadata delete runs zero data-reading Spark jobs") {
+    val t = seed(wh, "md2", partitionBy = Seq("grp"), ids = Seq.empty)
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val started = new java.util.concurrent.atomic.AtomicInteger
+    val ended = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        started.incrementAndGet()
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        ended.incrementAndGet()
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t.deleteWhere(col("grp") === 4)
+      // listener delivery is async but FIFO: once every started job's end
+      // event arrived, all its task-end events (and their input metrics)
+      // arrived before it
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while ((started.get() == 0 || ended.get() < started.get()) &&
+             System.nanoTime() < deadline) Thread.sleep(20)
+      assert(bytes.get() == 0L,
+        s"metadata delete read ${bytes.get()} bytes — it must not open data files")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(t.read().count() == 90)
+  }
+
+  test("metadata delete: match-nothing region burns no version; non-region predicates fall through") {
+    val w = wh
+    val t = seed(w, "md3", partitionBy = Seq("grp"), ids = Seq.empty)
+    val v = t.meta.currentVersion
+    t.deleteWhere(col("grp") === 42) // no such region
+    assert(t.meta.currentVersion == v, "match-nothing metadata delete must not commit")
+    assert(t.read().count() == 100)
+    // a predicate over a NON-partition column takes the row-level path
+    t.deleteWhere(col("v") > 900L)
+    assert(t.read().count() == 90)
+    // mixed region + row predicate also falls through (not tuple-decidable):
+    // grp=1 keeps only ids 51,61,71,81 (v>=500; id 91 went with v>900)
+    t.deleteWhere(col("grp") === 1 && col("v") < 500L)
+    assert(t.read().filter(col("grp") === 1).count() === 4)
+  }
+
+  test("metadata delete agrees with row-level semantics on null partition values and derived siblings") {
+    val w = wh
+    // nullable int partition source + a derived bucket: region grp=3
+    // spans several tuples; null-region deletes must match row semantics
+    val df = (1 to 40).map(i =>
+      (i, if (i % 5 == 0) null else Integer.valueOf(i % 4), i.toLong))
+      .toDF("id", "grp", "v")
+    val t = ManagedTable.create(spark, w, "md4", df.schema, Seq.empty,
+      Seq("grp", "bucket(2, id)"))
+    t.append(df)
+    val before = t.filesMetadata().select("path").as[String].collect().toSet
+    t.deleteWhere(col("grp").isNull || col("grp") === 3)
+    val expected = (1 to 40).filter(i => i % 5 != 0 && i % 4 != 3)
+      .filterNot(i => i % 5 == 0).toSet
+    assert(t.read().select("id").as[Int].collect().toSet == expected)
+    assert(t.filesMetadata().select("path").as[String].collect().toSet.subsetOf(before),
+      "derived-transform sibling tuples of the region must drop without rewrite")
+    // keyed tables keep the MoR tombstone path: old groups survive
+    val tk = seed(w, "md5", partitionBy = Seq("grp"), ids = Seq("id"))
+    val keyedBefore = tk.filesMetadata().select("path").as[String].collect().toSet
+    tk.deleteWhere(col("grp") === 3)
+    assert(tk.read().filter(col("grp") === 3).count() == 0)
+    assert(keyedBefore.subsetOf(
+      tk.filesMetadata().select("path").as[String].collect().toSet),
+      "keyed region delete must add tombstones, not drop groups (changelog precision)")
+  }
+
   test("overwritePartitions stamps the changelog barrier: incremental consumers reseed") {
     val w = wh
     val t = seed(w, "dpo2", partitionBy = Seq("grp"))
