@@ -720,10 +720,27 @@ final class ManagedTable private (
         .filter(p => p.getName.startsWith("v=") && p.getName.endsWith(".json"))
     val retained = (survivors.flatMap(p => Manifest.read(fs, p).getOrElse(Seq.empty)) ++
       liveBranchEntries).map(_.path).toSet
-    if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { s =>
-      if (!retained.contains(s"files/${s.getPath.getName}")) fs.delete(s.getPath, true)
-    }
+    sweepUnreferencedGroups(retained)
     candidates.size
+  }
+
+  /** Delete file groups no retained manifest references — but only once
+    * STALE (the commit-lease grace): a CONCURRENT appender's staged group
+    * is unreferenced right up to its own pointer flip, and with commit
+    * retry making parallel appenders a supported pattern, an age-blind
+    * sweep would delete a group mid-write. True crash debris just waits
+    * one grace period. (Same lease convention as claims and
+    * branch-manifest sweeps; a write stalled past the grace loses its
+    * lease everywhere.)
+    */
+  private def sweepUnreferencedGroups(retained: Set[String]): Unit = {
+    val graceMs = _meta.properties.getOrElse("commit.lock-grace-ms", "300000").toLong
+    val now = System.currentTimeMillis()
+    if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { s =>
+      if (!retained.contains(s"files/${s.getPath.getName}") &&
+          now - s.getModificationTime > graceMs)
+        fs.delete(s.getPath, true)
+    }
   }
 
   // --------------------------------------------------- metadata tables
@@ -1563,14 +1580,55 @@ final class ManagedTable private (
     * commits go through the same manifest + pointer-flip protocol.
     */
   def append(batch: DataFrame, commitProperties: Map[String, String]): Unit = {
-    // stage the properties into the handle only for the duration of this
-    // commit attempt: a failed write must not leak them into a LATER
-    // commit (they'd claim a batch landed that never did)
-    val prevMeta = _meta
-    if (commitProperties.nonEmpty)
-      _meta = _meta.copy(properties = _meta.properties ++ commitProperties)
-    try appendStaged(batch)
-    catch { case t: Throwable => _meta = prevMeta; throw t }
+    // Optimistic commit retry on a LOST RACE (the Iceberg commit-retry
+    // analogue, `commit.retry-num`, default 10, 0 = off): reload the
+    // on-disk state and RE-RUN the staged write from scratch. Appends
+    // conflict with nothing semantically — only the pointer CAS can lose
+    // — so concurrent appenders all land without caller-side retry
+    // loops. The redo is a full re-stage rather than Iceberg's
+    // metadata-only rebase because commit seqs are baked into rows at
+    // write time: re-pointing the old group at a new version would
+    // desync entry seq from row seq and silently break the changelog
+    // range contract ([[readChangesBetween]] filters on entry seq).
+    // Redo is correct under EVERY interleaving — it is exactly the
+    // documented reload-and-retry, automated — and the lost attempt's
+    // staged groups are unreferenced debris the next commit GCs. NOTE:
+    // the batch plan re-executes on retry; a nondeterministic source
+    // (sampling without a seed) should set commit.retry-num=0 or
+    // materialize first.
+    val retries = _meta.properties.getOrElse("commit.retry-num", "10").toInt
+    var attempt = 0
+    while (true) {
+      // stage the properties into the handle only for the duration of
+      // this commit attempt: a failed write must not leak them into a
+      // LATER commit (they'd claim a batch landed that never did)
+      val prevMeta = _meta
+      if (commitProperties.nonEmpty)
+        _meta = _meta.copy(properties = _meta.properties ++ commitProperties)
+      // a raced manifest GC reads as IllegalStateException (the reloaded
+      // version's manifest vanished because OTHER writers advanced the
+      // pointer past retention between our reload and our base read) —
+      // only a genuine concurrency signal when the pointer moved, so
+      // gate the retry on that
+      def pointerMoved: Boolean =
+        TableMeta.read(fs, tableDir).exists(_.currentVersion > prevMeta.currentVersion)
+      try { appendStaged(batch); return }
+      catch {
+        case e @ (_: java.util.ConcurrentModificationException |
+                  _: java.lang.IllegalStateException)
+            if attempt < retries &&
+              (e.isInstanceOf[java.util.ConcurrentModificationException] || pointerMoved) =>
+          TableMeta.read(fs, tableDir) match {
+            case Some(onDisk) => _meta = onDisk
+            case None => _meta = prevMeta; throw e
+          }
+          attempt += 1
+          // brief jittered backoff: the loser typically re-collides with
+          // the winner's still-held claim if it turns around instantly
+          Thread.sleep(25L * attempt + scala.util.Random.nextInt(50))
+        case t: Throwable => _meta = prevMeta; throw t
+      }
+    }
   }
 
   private def appendStaged(batch: DataFrame): Unit = {
@@ -2952,9 +3010,7 @@ final class ManagedTable private (
       .flatMap(v => Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty)) ++ entries ++
       liveBranchEntries) // WAP-staged groups: protected until publish/abandon
       .map(_.path).toSet
-    if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { s =>
-      if (!retained.contains(s"files/${s.getPath.getName}")) fs.delete(s.getPath, true)
-    }
+    sweepUnreferencedGroups(retained)
     if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).foreach { s =>
       val n = s.getPath.getName
       val ext = Seq(".json", ".lock").find(n.endsWith)

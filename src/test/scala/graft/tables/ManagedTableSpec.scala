@@ -250,12 +250,15 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(t.readVersion(v1).count() == 1)
     assert(t.readAsOf(afterV1).count() == 1)
     assert(t.read().count() == 2)
-    // a crashed commit's orphan group is invisible and swept at next commit
+    // a crashed commit's orphan group is invisible and swept at next
+    // commit ONCE STALE (the sweep spares young dirs — they may be a
+    // concurrent appender's in-flight staging; age this one past grace)
     val orphan = new java.io.File(s"$wh/patom/files/data-99-orphan")
     orphan.mkdirs()
+    orphan.setLastModified(System.currentTimeMillis() - 10L * 60 * 1000)
     assert(t.read().count() == 2)
     t.append(mk(Seq((3, "d3", "c", 3L))))
-    assert(!orphan.exists(), "orphan group must be GC'd on commit")
+    assert(!orphan.exists(), "stale orphan group must be GC'd on commit")
     // commit properties ride the partitioned pointer flip (replay markers)
     t.append(mk(Seq((4, "d1", "c", 4L))), Map("cdc.last-batch-id" -> "7"))
     assert(ManagedTable.load(spark, wh, "patom").get
@@ -342,12 +345,18 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
       assert(java.nio.file.Files.readAllBytes(new java.io.File(p).toPath).toSeq == bytes,
         s"version-$v1 data file changed on append: $p")
     }
-    // a crashed append's orphan group is invisible to readers and swept by the next commit
+    // a crashed append's orphan group is invisible to readers and swept
+    // by the next commit once STALE (young dirs are spared — they may be
+    // a concurrent appender's in-flight staging)
     val orphan = new java.io.File(s"$wh/mor2/files/data-99-orphan")
     orphan.mkdirs()
+    orphan.setLastModified(System.currentTimeMillis() - 10L * 60 * 1000)
     assert(t.read().count() == 2)
+    val young = new java.io.File(s"$wh/mor2/files/data-98-young")
+    young.mkdirs() // fresh unreferenced dir: spared this sweep
     t.append(rows((3, "c", "c", 3L)))
-    assert(!orphan.exists(), "orphan group must be GC'd on commit")
+    assert(!orphan.exists(), "stale orphan group must be GC'd on commit")
+    assert(young.exists(), "a young unreferenced group must survive the sweep (in-flight staging)")
     assert(t.read().count() == 3)
   }
 
@@ -363,8 +372,11 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     val (before, after) = t.compact()
     assert(after < before, s"$before -> $after")
     val filesDir = new java.io.File(s"$wh/mor3/files")
-    // current manifest is upsert-free: after one more commit cycle only data groups remain
+    // current manifest is upsert-free: after one more commit cycle only
+    // data groups remain PHYSICALLY too — the sweep spares young dirs
+    // (possible in-flight staging), so age everything past the grace
     t.append(rows((4, "d", "c", 4L)))
+    filesDir.listFiles().foreach(_.setLastModified(System.currentTimeMillis() - 10L * 60 * 1000))
     t.append(rows((5, "e", "c", 5L)))
     assert(!filesDir.listFiles().exists(_.getName.startsWith("upsert-")),
       "upsert groups must be gone after compaction + GC")
@@ -686,7 +698,11 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
 
   test("stale-handle commits are rejected, not silently clobbered (optimistic concurrency)") {
     val wh = tmpWarehouse()
-    ManagedTable.create(spark, wh, "occ", schema, Seq("id"))
+    // retry-num=0 pins the RAW rejection signal (with the default retry,
+    // a stale append transparently reloads and lands — covered by the
+    // concurrent-appenders test)
+    ManagedTable.create(spark, wh, "occ", schema, Seq("id"),
+      properties = Map("commit.retry-num" -> "0"))
     val h1 = ManagedTable.load(spark, wh, "occ").get
     val h2 = ManagedTable.load(spark, wh, "occ").get
     h1.append(rows((1, "a", "c", 1L)))
@@ -801,9 +817,12 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(state(t) == state(control))
   }
 
-  test("commit CAS: two writers racing the same version window — exactly one wins") {
+  test("commit CAS: two writers racing the same version window — exactly one wins (retry off)") {
     val wh = tmpWarehouse()
-    ManagedTable.create(spark, wh, "cas", schema, Seq("id"))
+    // retry off: this test pins the RAW claim protocol — the loser gets
+    // the reload-and-retry signal instead of an automatic redo
+    ManagedTable.create(spark, wh, "cas", schema, Seq("id"),
+      properties = Map("commit.retry-num" -> "0"))
     val h1 = ManagedTable.load(spark, wh, "cas").get
     val h2 = ManagedTable.load(spark, wh, "cas").get
     // both handles believe version 0; race the commits on two threads —
@@ -819,6 +838,40 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     }), 2.minutes)
     assert(outcomes.count(_.isRight) == 1, s"expected exactly one winner, got $outcomes")
     assert(ManagedTable.load(spark, wh, "cas").get.read().count() == 1)
+  }
+
+  test("append commit retry: concurrent appenders all land without caller retry loops") {
+    val wh = tmpWarehouse()
+    // retention high enough that every version's manifest survives for
+    // the changelog replay below; retry-num stays at its default
+    ManagedTable.create(spark, wh, "casr", schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "15"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // 4 writers, 3 appends each, all racing from stale handles — every
+    // append must land (redo reloads the pointer and re-stages)
+    val futs = (0 until 4).map { w =>
+      Future {
+        val h = ManagedTable.load(spark, wh, "casr").get
+        (0 until 3).foreach { i =>
+          val id = w * 10 + i
+          h.append(rows((id, s"w$w-$i", "c", id.toLong)))
+        }
+      }
+    }
+    Await.result(Future.sequence(futs), 3.minutes)
+    val t = ManagedTable.load(spark, wh, "casr").get
+    assert(t.read().count() == 12, "every concurrent append must commit exactly once")
+    assert(t.meta.currentVersion == 12L, "each append is its own version")
+    // per-writer batch ids arrived intact (no batch lost or doubled)
+    val names = t.read().select("name").collect().map(_.getString(0)).toSet
+    assert(names == (for (w <- 0 until 4; i <- 0 until 3) yield s"w$w-$i").toSet)
+    // the changelog contract survives retried commits: every version
+    // range replays to exactly its own batch
+    val perVersion = (1L to 12L).map(v =>
+      t.readChangesBetween(v - 1, v).count()).sum
+    assert(perVersion == 12L, "rebased/retried appends must stay changelog-visible")
   }
 
   test("commit CAS: an unexpired claim blocks the window; an expired claim is rolled back") {
