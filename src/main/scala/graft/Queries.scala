@@ -707,6 +707,54 @@ object Queries {
       |FROM orders
       |WHERE NOT coalesce(o_orderpriority IN ('1-URGENT', '2-HIGH'), false)""".stripMargin))
 
+  /** Commit-exact graft→graft replication ([[graft.cdc.Replicate]]): a
+    * replica follows an upstream orders table through seed + three
+    * mutation commits (update / region update / hard delete) applied
+    * INCREMENTALLY — the catch-up reads only the three commits' groups,
+    * never the base, and the exactly-once marker rides the apply commit.
+    * The query runtime-asserts marker == upstream version and replica ≡
+    * upstream, then returns the replica; the oracle replays the same
+    * mutation chain in SQL.
+    */
+  val cdcReplicate = Q("cdc_replicate_follow",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_repl").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val src = graft.tables.ManagedTable.create(s, wh, "orders_src",
+        base.schema, Seq("o_orderkey"))
+      src.append(base)
+      val dst = graft.tables.ManagedTable.create(s, wh, "orders_replica",
+        base.schema, Seq("o_orderkey"))
+      graft.cdc.Replicate.syncOnce(src, dst) // initial seed
+      // three upstream commits, then ONE incremental catch-up
+      src.updateWhere(col("o_orderpriority") === "5-LOW",
+        Map("o_orderstatus" -> lit("L")))
+      src.updateWhere(col("o_orderstatus") === "O",
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      src.deleteWhere(col("o_orderstatus") === "F" && col("o_totalprice") < 50000.0)
+      val src2 = graft.tables.ManagedTable.load(s, wh, "orders_src").get
+      val dst2 = graft.tables.ManagedTable.load(s, wh, "orders_replica").get
+      val synced = graft.cdc.Replicate.syncOnce(src2, dst2)
+      require(synced == src2.meta.currentVersion &&
+        dst2.meta.properties(graft.cdc.Replicate.markerKey("orders_src")).toLong == synced,
+        "replication marker must ride the apply commit")
+      dst2.read().select(dmlCols.map(col): _*)
+    },
+    Some("""WITH s1 AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderpriority = '5-LOW' THEN 'L' ELSE o_orderstatus END AS o_orderstatus,
+      |    o_totalprice, o_orderpriority
+      |  FROM orders
+      |), s2 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+      |    o_orderpriority
+      |  FROM s1
+      |)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM s2
+      |WHERE NOT coalesce(o_orderstatus = 'F' AND o_totalprice < 50000.0, false)""".stripMargin))
+
   /** Run `f` in a fresh session with the graft extensions and `wh` as
     * its warehouse — the second-session dance every SQL-surface oracle
     * query needs (the Verify session has no extensions) — restoring the
@@ -3964,7 +4012,7 @@ object Queries {
   // ------------------------------------------------------------------ index
 
   val all: Seq[Q] = Seq(
-    cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcUpsertPartitioned, cdcAppendFallback, partitionEvolution,
+    cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcUpsertPartitioned, cdcAppendFallback, cdcReplicate, partitionEvolution,
     mvIncremental, mvIncrementalMinmax,
     cdcScd2, cdcSnapshotAsOf, cdcReconcile, qScd2TemporalJoin,
     cdcDecode, cdcOpMapping,

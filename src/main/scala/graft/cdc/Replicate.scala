@@ -1,0 +1,108 @@
+package graft.cdc
+
+import graft.tables.ManagedTable
+import org.apache.spark.sql.functions._
+
+/** Commit-exact graft→graft replication: keep a replica table in sync
+  * with an upstream managed table by replaying its changelog — the
+  * downstream half of the CDC loop [[ChangeFeed]] opens (the reference's
+  * deployment topology, where one table's sink is another pipeline's
+  * source), with none of the JSON envelope cost: changes flow as columnar
+  * reads of exactly the file groups each upstream commit wrote.
+  *
+  * One [[syncOnce]] call catches the replica up to the upstream's current
+  * version; run it per micro-batch, per poll, or from a cron. The sync is
+  * EXACTLY-ONCE under any crash/replay interleaving because the progress
+  * marker (`replication.applied-upto.<src>`) rides the SAME commit that
+  * applied the changes — there is no window where data landed but the
+  * marker didn't, or vice versa. A replayed sync sees the marker already
+  * at the target version and does nothing.
+  *
+  * Cost shape at 100 TB: the idle poll is one manifest read and ZERO
+  * Spark jobs ([[ManagedTable.hasChangesBetween]]); a catch-up reads only
+  * the file groups of the missed commits (O(changes), the base is never
+  * scanned) and applies them as ONE merge-on-read commit (O(changes)
+  * write). Only a changelog BARRIER upstream (overwrite / truncate /
+  * full compact / partition-region delete) forces a full reseed — the
+  * same rule every incremental consumer of the changelog obeys.
+  *
+  * Schema evolution follows automatically: the replica union-by-name
+  * evolves to the upstream schema before each apply, so columns added
+  * upstream appear downstream with nulls for pre-evolution rows — the
+  * pipeline's D6 semantics end to end.
+  */
+object Replicate {
+
+  /** The replica-side progress marker: the highest upstream version whose
+    * changes this replica has applied, stamped atomically with the apply.
+    */
+  def markerKey(srcName: String): String = s"replication.applied-upto.$srcName"
+
+  /** Catch the replica up to the upstream's current version; returns that
+    * version. Safe to call at any cadence, including concurrently with
+    * upstream writes (it pins the version it syncs to) and repeatedly
+    * after crashes (the marker makes replays no-ops).
+    *
+    * First call on an EMPTY replica seeds it with a full snapshot; a
+    * non-empty replica without a marker is refused (it isn't a replica of
+    * anything — clobbering it silently would destroy data). Keyed
+    * upstream tables only: replication applies net per-key changes, and
+    * a keyless table has no row identity to apply a delete against.
+    */
+  def syncOnce(src: ManagedTable, dst: ManagedTable): Long = {
+    val ids = src.meta.identifierFields
+    require(ids.nonEmpty, "replication follows keyed tables " +
+      "(keyless append-only tables: re-append readChangesBetween ranges)")
+    require(dst.meta.identifierFields == ids,
+      s"replica identifier fields ${dst.meta.identifierFields} != upstream $ids")
+    val key = markerKey(src.name)
+    val to = src.meta.currentVersion
+    val applied = dst.meta.properties.get(key).map(_.toLong)
+    // caught up — or the src HANDLE is stale relative to what some other
+    // follower pass already applied; both are zero-job no-ops
+    applied.filter(_ >= to).foreach(a => return a)
+    // evolve FIRST so both the seed and the incremental apply conform the
+    // incoming rows to a schema that already holds every upstream column
+    dst.evolve(logicalSchema(src))
+    applied match {
+      case None =>
+        require(dst.meta.currentVersion == 0L,
+          s"replica ${dst.meta.name} has commits but no replication marker " +
+            s"'$key' — refusing to clobber a non-replica table")
+        if (to == 0L) { dst.setProperties(Map(key -> "0")); return 0L }
+        dst.overwrite(snapshotAt(src, to), Map(key -> to.toString))
+        to
+      case Some(from) =>
+        val barrier = src.meta.properties
+          .get(ManagedTable.BarrierKey).map(_.toLong).getOrElse(Long.MinValue)
+        if (barrier > from) {
+          // a non-incremental rewrite upstream: rows vanished without
+          // tombstones, so the range (from, to] cannot reconstruct the
+          // state — reseed from the pinned snapshot
+          dst.overwrite(snapshotAt(src, to), Map(key -> to.toString))
+        } else if (src.hasChangesBetween(from, to)) {
+          // the changelog is already NET per key with a tombstone verdict
+          // per row — exactly applyNetChanges' input shape
+          val cols = src.meta.schema.fieldNames.toSeq
+          val batch = src.readChangesBetween(from, to)
+            .select((cols :+ ManagedTable.TombstoneCol).map(col): _*)
+          dst.applyNetChanges(batch, ManagedTable.TombstoneCol,
+            Map(key -> to.toString))
+        } else {
+          // versions advanced with nothing in range (metadata commits):
+          // advance the marker without burning a replica version
+          dst.setProperties(Map(key -> to.toString))
+        }
+        to
+    }
+  }
+
+  /** The upstream's LOGICAL columns (its declared schema) — the changelog
+    * additionally carries seq/tombstone meta, and a CDC-built upstream
+    * may carry its own op/ts meta columns, which replicate as plain data.
+    */
+  private def logicalSchema(src: ManagedTable) = src.meta.schema
+
+  private def snapshotAt(src: ManagedTable, v: Long) =
+    src.readVersion(v).select(src.meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+}

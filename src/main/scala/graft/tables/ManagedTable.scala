@@ -1796,6 +1796,68 @@ final class ManagedTable private (
     }
   }
 
+  /** [[merge]] with `commitProperties` riding the SAME commit's pointer
+    * flip — [[append]]'s replay-marker twin for the upsert path: a
+    * follower stamps "applied up to upstream version V" into the very
+    * commit that applied those changes, so a crash-replayed catch-up
+    * detects the batch already landed (see [[graft.cdc.Replicate]]).
+    */
+  def merge(batch: DataFrame, cfg: CdcApply.UpsertConfig,
+            commitProperties: Map[String, String]): Unit = {
+    if (commitProperties.isEmpty) { merge(batch, cfg); return }
+    val prevMeta = _meta
+    _meta = _meta.copy(properties = _meta.properties ++ commitProperties)
+    try merge(batch, cfg)
+    catch { case t: Throwable => _meta = prevMeta; throw t }
+  }
+
+  /** [[overwrite]] with `commitProperties` riding the SAME pointer flip
+    * (the reseed path of [[graft.cdc.Replicate]] needs its marker atomic
+    * with the snapshot it stamped).
+    */
+  def overwrite(df: DataFrame, commitProperties: Map[String, String]): Unit = {
+    if (commitProperties.isEmpty) { overwrite(df); return }
+    val prevMeta = _meta
+    _meta = _meta.copy(properties = _meta.properties ++ commitProperties)
+    try overwrite(df)
+    catch { case t: Throwable => _meta = prevMeta; throw t }
+  }
+
+  /** Driver-only: did any live group land in versions (fromVersion,
+    * toVersion]? One manifest read, ZERO Spark jobs — the cheap poll a
+    * changelog follower runs before deciding to read anything.
+    */
+  def hasChangesBetween(fromVersion: Long, toVersion: Long): Boolean = {
+    require(fromVersion <= toVersion, s"empty range: ($fromVersion, $toVersion]")
+    Manifest.read(fs, manifestPath(toVersion))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no retained manifest for version $toVersion of ${_meta.name}"))
+      .exists(e => e.seq > fromVersion && e.seq <= toVersion)
+  }
+
+  /** Apply a NET change batch — one row per key, plus a boolean column
+    * naming hard deletes — as one merge-on-read commit: the changelog-
+    * apply primitive ([[readChangesBetween]]'s output shape, which is
+    * what [[graft.cdc.Replicate]] feeds back in). Unlike [[merge]] this
+    * takes the tombstone verdict as data instead of deriving it from a
+    * CDC op column, so the table schema needs no meta columns. The batch
+    * MUST be net per key (duplicate keys would land as same-seq sibling
+    * rows); non-tombstone columns are cast to the declared schema
+    * (changelog replication is type-identical, so the casts are no-ops).
+    */
+  def applyNetChanges(batch: DataFrame, tombstoneCol: String,
+                      commitProperties: Map[String, String] = Map.empty): Unit = {
+    require(_meta.identifierFields.nonEmpty, "applyNetChanges needs identifier fields")
+    require(batch.columns.contains(tombstoneCol),
+      s"batch is missing the tombstone column $tombstoneCol")
+    val present = batch.columns.toSet
+    val flagged = batch.select(_meta.schema.fields.toSeq.map { f =>
+      (if (present.contains(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    } :+ coalesce(col(tombstoneCol).cast(BooleanType), lit(false)).as(TombstoneCol): _*)
+    commitUpsertBatch(flagged, skipIfEmpty = true, commitProperties = commitProperties)
+  }
+
   /** C3–C7 — upsert-merge a CDC batch into the table. */
   def merge(batch: DataFrame, cfg: CdcApply.UpsertConfig = CdcApply.UpsertConfig()): Unit = {
     val ids = _meta.identifierFields

@@ -1,0 +1,113 @@
+package graft.cdc
+
+import graft.SharedSpark
+import graft.tables.ManagedTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Commit-exact graft→graft replication ([[Replicate.syncOnce]]):
+  * seed + incremental catch-up equivalence, hard deletes, exactly-once
+  * markers, barrier reseed, schema evolution, and the refusal guards.
+  */
+class ReplicateSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def wh = java.nio.file.Files.createTempDirectory("graft-repl").toString
+
+  private def rows(t: (Int, String, Long)*): DataFrame =
+    t.toSeq.toDF("id", "name", "v")
+
+  private def state(t: ManagedTable): Set[(Int, String, Long)] =
+    t.read().select("id", "name", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+
+  test("seed + incremental syncs mirror the upstream exactly, including hard deletes") {
+    val w = wh
+    val src = ManagedTable.create(spark, w, "up", rows().schema, Seq("id"))
+    val dst = ManagedTable.create(spark, w, "down", rows().schema, Seq("id"))
+    src.append(rows((1, "a", 1L), (2, "b", 2L), (3, "c", 3L)))
+    // initial seed
+    assert(Replicate.syncOnce(src, dst) == src.meta.currentVersion)
+    assert(state(dst) == state(src))
+    val seededV = dst.meta.currentVersion
+    // no-change re-sync: zero commits, marker already current
+    assert(Replicate.syncOnce(src, dst) == src.meta.currentVersion)
+    assert(dst.meta.currentVersion == seededV, "idle sync must not commit")
+    // incremental: update + insert + a hard delete across THREE upstream
+    // commits (native DML — each produces changelog rows/tombstones)
+    src.updateWhere(col("id") === 2, Map("name" -> lit("b2"), "v" -> lit(20L)))
+    src.append(rows((4, "d", 4L)))
+    src.deleteWhere(col("id") === 1)
+    val synced = Replicate.syncOnce(
+      ManagedTable.load(spark, w, "up").get, ManagedTable.load(spark, w, "down").get)
+    val src2 = ManagedTable.load(spark, w, "up").get
+    val dst2 = ManagedTable.load(spark, w, "down").get
+    assert(synced == src2.meta.currentVersion)
+    assert(state(dst2) == state(src2))
+    assert(state(dst2) == Set((2, "b2", 20L), (3, "c", 3L), (4, "d", 4L)))
+    // exactly-once marker rode the apply commit
+    assert(dst2.meta.properties(Replicate.markerKey("up")).toLong == src2.meta.currentVersion)
+    // replayed catch-up (crash between apply and nothing — the marker is
+    // atomic with the apply) is a no-op
+    val vAfter = dst2.meta.currentVersion
+    Replicate.syncOnce(src2, dst2)
+    assert(dst2.meta.currentVersion == vAfter)
+  }
+
+  test("a changelog barrier upstream (overwrite/compact) forces a reseed that converges") {
+    val w = wh
+    val src = ManagedTable.create(spark, w, "up2", rows().schema, Seq("id"))
+    val dst = ManagedTable.create(spark, w, "down2", rows().schema, Seq("id"))
+    src.append(rows((1, "a", 1L), (2, "b", 2L)))
+    Replicate.syncOnce(src, dst)
+    // upstream rewrite WITHOUT tombstones: rows vanish from the changelog
+    src.overwrite(rows((2, "B", 20L), (5, "e", 5L)))
+    src.append(rows((6, "f", 6L)))
+    val src2 = ManagedTable.load(spark, w, "up2").get
+    val dst2 = ManagedTable.load(spark, w, "down2").get
+    Replicate.syncOnce(src2, dst2)
+    assert(state(ManagedTable.load(spark, w, "down2").get) == state(src2))
+    assert(state(src2) == Set((2, "B", 20L), (5, "e", 5L), (6, "f", 6L)))
+    // full compact is also a barrier; replica still converges
+    src2.compact()
+    src2.append(rows((7, "g", 7L)))
+    val src3 = ManagedTable.load(spark, w, "up2").get
+    Replicate.syncOnce(src3, ManagedTable.load(spark, w, "down2").get)
+    assert(state(ManagedTable.load(spark, w, "down2").get) == state(src3))
+  }
+
+  test("upstream schema evolution flows through: new columns appear with nulls downstream") {
+    val w = wh
+    val src = ManagedTable.create(spark, w, "up3", rows().schema, Seq("id"))
+    val dst = ManagedTable.create(spark, w, "down3", rows().schema, Seq("id"))
+    src.append(rows((1, "a", 1L)))
+    Replicate.syncOnce(src, dst)
+    val evolved = Seq((2, "b", 2L, "extra")).toDF("id", "name", "v", "note")
+    src.evolve(evolved.schema)
+    src.append(evolved)
+    val src2 = ManagedTable.load(spark, w, "up3").get
+    val dst2 = ManagedTable.load(spark, w, "down3").get
+    Replicate.syncOnce(src2, dst2)
+    val d = ManagedTable.load(spark, w, "down3").get.read()
+    assert(d.schema.fieldNames.contains("note"))
+    assert(d.where(col("id") === 2).select("note").head().getString(0) == "extra")
+    assert(d.where(col("id") === 1).select("note").head().isNullAt(0),
+      "pre-evolution replica rows must read null for the new column")
+  }
+
+  test("refusals: keyless upstream, non-replica destination, mismatched keys") {
+    val w = wh
+    val keyless = ManagedTable.create(spark, w, "kl", rows().schema, Seq.empty)
+    val dst = ManagedTable.create(spark, w, "d1", rows().schema, Seq.empty)
+    intercept[IllegalArgumentException] { Replicate.syncOnce(keyless, dst) }
+    val src = ManagedTable.create(spark, w, "up4", rows().schema, Seq("id"))
+    src.append(rows((1, "a", 1L)))
+    val otherKey = ManagedTable.create(spark, w, "d2", rows().schema, Seq("name"))
+    intercept[IllegalArgumentException] { Replicate.syncOnce(src, otherKey) }
+    // a table with its own history and no marker must not be clobbered
+    val notAReplica = ManagedTable.create(spark, w, "d3", rows().schema, Seq("id"))
+    notAReplica.append(rows((9, "z", 9L)))
+    intercept[IllegalArgumentException] { Replicate.syncOnce(src, notAReplica) }
+  }
+}
