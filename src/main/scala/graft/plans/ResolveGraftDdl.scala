@@ -256,7 +256,8 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     "materialize_position_deletes" -> Seq("table"),
     "expire_snapshots" -> Seq("table", "older_than"),
     "rollback_to_version" -> Seq("table", "version"),
-    "maintenance" -> Seq("table"))
+    "maintenance" -> Seq("table"),
+    "replicate" -> Seq("source", "target"))
 
   private def procedureCommand(
       proc: String,
@@ -353,9 +354,17 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
           attrs("action" -> StringType, "detail" -> StringType),
           () => graft.tables.Maintenance.run(table(name))
             .map(a => Row(a.kind, a.detail)))
+      case "replicate" =>
+        // one commit-exact catch-up of `target` against `source`'s
+        // changelog ([[graft.cdc.Replicate.syncOnce]]) — run per poll/cron
+        val srcName = str(0); val dstName = str(1)
+        GraftCallCommand("CALL replicate", dstName,
+          attrs("synced_to_version" -> LongType),
+          () => Seq(Row(graft.cdc.Replicate.syncOnce(table(srcName), table(dstName)))))
       case other => throw new IllegalArgumentException(
         s"CALL graft.system.$other: unknown procedure (have: compact, compact_minor, " +
-          "materialize_position_deletes, expire_snapshots, rollback_to_version, maintenance)")
+          "materialize_position_deletes, expire_snapshots, rollback_to_version, " +
+          "maintenance, replicate)")
     }
   }
 

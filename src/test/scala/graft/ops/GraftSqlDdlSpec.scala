@@ -240,6 +240,19 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       val eProc = intercept[Exception] { s2.sql("CALL graft.system.nope('mt')") }
       assert(eProc.getMessage.contains("unknown procedure"), eProc.getMessage)
 
+      // replicate: one commit-exact catch-up, SQL-driven end to end
+      s2.sql("""CREATE TABLE graft.mt_rep (id BIGINT, v STRING)
+        |TBLPROPERTIES ('graft.identifier-fields'='id')""".stripMargin)
+      val r1 = s2.sql("CALL graft.system.replicate('mt', 'mt_rep')").head()
+      assert(r1.getLong(0) == ManagedTable.load(s2, wh, "mt").get.meta.currentVersion)
+      s2.sql("UPDATE graft.mt SET v = 'a3' WHERE id = 1")
+      s2.sql("DELETE FROM graft.mt WHERE id = 2")
+      s2.sql("CALL graft.system.replicate(source => 'mt', target => 'mt_rep')")
+      val repRows = s2.sql("SELECT id, v FROM graft.mt_rep ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(repRows == Seq((1L, "a3")), s"replica state: $repRows")
+      s2.sql("DROP TABLE graft.mt_rep")
+
       // DROP TABLE
       s2.sql("DROP TABLE graft.mt")
       s2.sql("DROP TABLE graft.top_logs")
