@@ -736,7 +736,7 @@ object Queries {
       val dst2 = graft.tables.ManagedTable.load(s, wh, "orders_replica").get
       val synced = graft.cdc.Replicate.syncOnce(src2, dst2)
       require(synced == src2.meta.currentVersion &&
-        dst2.meta.properties(graft.cdc.Replicate.markerKey("orders_src")).toLong == synced,
+        dst2.meta.properties(graft.cdc.Replicate.markerKey(src2)).toLong == synced,
         "replication marker must ride the apply commit")
       dst2.read().select(dmlCols.map(col): _*)
     },

@@ -35,8 +35,17 @@ object Replicate {
 
   /** The replica-side progress marker: the highest upstream version whose
     * changes this replica has applied, stamped atomically with the apply.
+    * Keyed by the upstream's NAME plus a digest of its warehouse location
+    * — two same-named tables in different warehouses must never share a
+    * marker (versions from one would silently apply as the other's
+    * progress).
     */
-  def markerKey(srcName: String): String = s"replication.applied-upto.$srcName"
+  def markerKey(src: ManagedTable): String = {
+    val loc = s"${src.warehouse}/${src.name}"
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(loc.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"replication.applied-upto.${src.name}.$d"
+  }
 
   /** Catch the replica up to the upstream's current version; returns that
     * version. Safe to call at any cadence, including concurrently with
@@ -55,20 +64,22 @@ object Replicate {
       "(keyless append-only tables: re-append readChangesBetween ranges)")
     require(dst.meta.identifierFields == ids,
       s"replica identifier fields ${dst.meta.identifierFields} != upstream $ids")
-    val key = markerKey(src.name)
+    val key = markerKey(src)
     val to = src.meta.currentVersion
     val applied = dst.meta.properties.get(key).map(_.toLong)
     // caught up — or the src HANDLE is stale relative to what some other
     // follower pass already applied; both are zero-job no-ops
     applied.filter(_ >= to).foreach(a => return a)
-    // evolve FIRST so both the seed and the incremental apply conform the
+    // the refusal guard runs BEFORE any mutation (including schema
+    // evolution): refusing to clobber a table must leave it untouched
+    require(applied.isDefined || dst.meta.currentVersion == 0L,
+      s"replica ${dst.meta.name} has commits but no replication marker " +
+        s"'$key' — refusing to clobber a non-replica table")
+    // evolve next, so both the seed and the incremental apply conform the
     // incoming rows to a schema that already holds every upstream column
     dst.evolve(logicalSchema(src))
     applied match {
       case None =>
-        require(dst.meta.currentVersion == 0L,
-          s"replica ${dst.meta.name} has commits but no replication marker " +
-            s"'$key' — refusing to clobber a non-replica table")
         if (to == 0L) { dst.setProperties(Map(key -> "0")); return 0L }
         dst.overwrite(snapshotAt(src, to), Map(key -> to.toString))
         to
@@ -88,6 +99,12 @@ object Replicate {
             .select((cols :+ ManagedTable.TombstoneCol).map(col): _*)
           dst.applyNetChanges(batch, ManagedTable.TombstoneCol,
             Map(key -> to.toString))
+          // an in-range commit can still net to ZERO rows (an empty
+          // upstream micro-batch commits a 0-row group): the apply skips
+          // and rolls its properties back — advance the marker anyway or
+          // every later poll re-reads this range forever
+          if (!dst.meta.properties.get(key).contains(to.toString))
+            dst.setProperties(Map(key -> to.toString))
         } else {
           // versions advanced with nothing in range (metadata commits):
           // advance the marker without burning a replica version

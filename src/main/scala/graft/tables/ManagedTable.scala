@@ -733,6 +733,18 @@ final class ManagedTable private (
     * branch-manifest sweeps; a write stalled past the grace loses its
     * lease everywhere.)
     */
+  /** Reset a group dir's mtime at the moment it lands under `files/`:
+    * rename preserves the STAGING-time mtime, and for a long write that
+    * predates the sweep grace — [[sweepUnreferencedGroups]] would treat
+    * the just-landed (not yet committed) group as stale debris and
+    * delete it out from under the pending pointer flip. Best-effort: a
+    * filesystem refusing setTimes degrades to the pre-grace behavior for
+    * long writes only.
+    */
+  private def freshenGroupDir(dst: Path): Unit =
+    try fs.setTimes(dst, System.currentTimeMillis(), -1)
+    catch { case _: UnsupportedOperationException | _: java.io.IOException => () }
+
   private def sweepUnreferencedGroups(retained: Set[String]): Unit = {
     val graceMs = _meta.properties.getOrElse("commit.lock-grace-ms", "300000").toLong
     val now = System.currentTimeMillis()
@@ -1619,7 +1631,16 @@ final class ManagedTable private (
             if attempt < retries &&
               (e.isInstanceOf[java.util.ConcurrentModificationException] || pointerMoved) =>
           TableMeta.read(fs, tableDir) match {
-            case Some(onDisk) => _meta = onDisk
+            case Some(onDisk) =>
+              // EXACTLY-ONCE guard: callers that pass replay markers do
+              // check-then-append (read the marker, append only if new).
+              // If the conflicting commit already moved any of OUR marker
+              // keys, a blind re-stage would land the same batch twice —
+              // surface the conflict so the caller re-runs its check.
+              val markerMoved = commitProperties.keys.exists(k =>
+                onDisk.properties.get(k) != prevMeta.properties.get(k))
+              if (markerMoved) { _meta = prevMeta; throw e }
+              _meta = onDisk
             case None => _meta = prevMeta; throw e
           }
           attempt += 1
@@ -1796,6 +1817,20 @@ final class ManagedTable private (
     }
   }
 
+  /** Stage `props` into the handle only for the duration of ONE commit
+    * attempt: they ride that commit's pointer flip or not at all — a
+    * failed write must never leak a replay marker into a LATER commit
+    * (it would claim a batch landed that never did). The shared
+    * discipline of every `commitProperties` overload.
+    */
+  private def stagedProps[A](props: Map[String, String])(body: => A): A = {
+    if (props.isEmpty) return body
+    val prevMeta = _meta
+    _meta = _meta.copy(properties = _meta.properties ++ props)
+    try body
+    catch { case t: Throwable => _meta = prevMeta; throw t }
+  }
+
   /** [[merge]] with `commitProperties` riding the SAME commit's pointer
     * flip — [[append]]'s replay-marker twin for the upsert path: a
     * follower stamps "applied up to upstream version V" into the very
@@ -1803,25 +1838,15 @@ final class ManagedTable private (
     * detects the batch already landed (see [[graft.cdc.Replicate]]).
     */
   def merge(batch: DataFrame, cfg: CdcApply.UpsertConfig,
-            commitProperties: Map[String, String]): Unit = {
-    if (commitProperties.isEmpty) { merge(batch, cfg); return }
-    val prevMeta = _meta
-    _meta = _meta.copy(properties = _meta.properties ++ commitProperties)
-    try merge(batch, cfg)
-    catch { case t: Throwable => _meta = prevMeta; throw t }
-  }
+            commitProperties: Map[String, String]): Unit =
+    stagedProps(commitProperties)(merge(batch, cfg))
 
   /** [[overwrite]] with `commitProperties` riding the SAME pointer flip
     * (the reseed path of [[graft.cdc.Replicate]] needs its marker atomic
     * with the snapshot it stamped).
     */
-  def overwrite(df: DataFrame, commitProperties: Map[String, String]): Unit = {
-    if (commitProperties.isEmpty) { overwrite(df); return }
-    val prevMeta = _meta
-    _meta = _meta.copy(properties = _meta.properties ++ commitProperties)
-    try overwrite(df)
-    catch { case t: Throwable => _meta = prevMeta; throw t }
-  }
+  def overwrite(df: DataFrame, commitProperties: Map[String, String]): Unit =
+    stagedProps(commitProperties)(overwrite(df))
 
   /** Driver-only: did any live group land in versions (fromVersion,
     * toVersion]? One manifest read, ZERO Spark jobs — the cheap poll a
@@ -3159,6 +3184,7 @@ final class ManagedTable private (
         fs.mkdirs(dst.getParent)
         if (!fs.rename(new Path(staging, srcRel), dst))
           throw new java.io.IOException(s"failed to stage partition group $rel")
+        freshenGroupDir(dst)
         ManifestEntry(rel, kind, seqOf(tuple), stats, tuple,
           rows = row.getAs[Long]("__n"))
       }
@@ -3638,6 +3664,7 @@ final class ManagedTable private (
         fs.mkdirs(dst.getParent)
         if (!fs.rename(new Path(staging, s"__zb=$bucket"), dst))
           throw new java.io.IOException(s"failed to stage clustered group $rel")
+        freshenGroupDir(dst)
         ManifestEntry(rel, Manifest.Data, seq, stats,
           rows = row.getAs[Long]("__n"))
       }

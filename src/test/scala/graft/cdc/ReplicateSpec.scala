@@ -47,7 +47,7 @@ class ReplicateSpec extends AnyFunSuite with SharedSpark {
     assert(state(dst2) == state(src2))
     assert(state(dst2) == Set((2, "b2", 20L), (3, "c", 3L), (4, "d", 4L)))
     // exactly-once marker rode the apply commit
-    assert(dst2.meta.properties(Replicate.markerKey("up")).toLong == src2.meta.currentVersion)
+    assert(dst2.meta.properties(Replicate.markerKey(src2)).toLong == src2.meta.currentVersion)
     // replayed catch-up (crash between apply and nothing — the marker is
     // atomic with the apply) is a no-op
     val vAfter = dst2.meta.currentVersion
@@ -94,6 +94,43 @@ class ReplicateSpec extends AnyFunSuite with SharedSpark {
     assert(d.where(col("id") === 2).select("note").head().getString(0) == "extra")
     assert(d.where(col("id") === 1).select("note").head().isNullAt(0),
       "pre-evolution replica rows must read null for the new column")
+  }
+
+  test("a refused non-replica destination is left UNTOUCHED (no schema mutation)") {
+    val w = wh
+    val src = ManagedTable.create(spark, w, "up5",
+      Seq((1, "a", 1L, "x")).toDF("id", "name", "v", "extra").schema, Seq("id"))
+    src.append(Seq((1, "a", 1L, "x")).toDF("id", "name", "v", "extra"))
+    val precious = ManagedTable.create(spark, w, "d5", rows().schema, Seq("id"))
+    precious.append(rows((9, "z", 9L)))
+    val schemaBefore = precious.meta.schema
+    intercept[IllegalArgumentException] { Replicate.syncOnce(src, precious) }
+    assert(ManagedTable.load(spark, w, "d5").get.meta.schema == schemaBefore,
+      "refusal must not evolve the refused table's schema")
+  }
+
+  test("an in-range commit netting to zero rows still advances the marker") {
+    val w = wh
+    // a CDC-built upstream: its schema carries the __op meta column, so
+    // an EMPTY micro-batch merge commits a 0-row upsert group (the
+    // pipeline shape that nets to zero changelog rows)
+    val cdcSchema = rows().withColumn("__op", lit("c")).schema
+    val src = ManagedTable.create(spark, w, "up6", cdcSchema, Seq("id"))
+    val dst = ManagedTable.create(spark, w, "down6", cdcSchema, Seq("id"))
+    src.append(rows((1, "a", 1L)).withColumn("__op", lit("c")))
+    Replicate.syncOnce(src, dst)
+    src.merge(rows().withColumn("__op", lit("c")),
+      CdcApply.UpsertConfig(keepDeletes = false, runDedup = false))
+    val src2 = ManagedTable.load(spark, w, "up6").get
+    val dst2 = ManagedTable.load(spark, w, "down6").get
+    assert(Replicate.syncOnce(src2, dst2) == src2.meta.currentVersion)
+    assert(dst2.meta.properties(Replicate.markerKey(src2)).toLong ==
+      src2.meta.currentVersion,
+      "marker must advance past a zero-row range or every poll re-reads it")
+    // and the next poll is a real no-op
+    val v = ManagedTable.load(spark, w, "down6").get.meta.currentVersion
+    Replicate.syncOnce(src2, ManagedTable.load(spark, w, "down6").get)
+    assert(ManagedTable.load(spark, w, "down6").get.meta.currentVersion == v)
   }
 
   test("refusals: keyless upstream, non-replica destination, mismatched keys") {

@@ -840,6 +840,31 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(ManagedTable.load(spark, wh, "cas").get.read().count() == 1)
   }
 
+  test("append retry aborts when the conflicting commit moved OUR replay marker") {
+    val wh = tmpWarehouse()
+    ManagedTable.create(spark, wh, "casm", schema, Seq("id"))
+    val h1 = ManagedTable.load(spark, wh, "casm").get
+    val h2 = ManagedTable.load(spark, wh, "casm").get
+    // both replay the SAME batch id (zombie-driver duplicate): the winner
+    // stamps the marker; the loser's auto-retry must SURFACE the conflict
+    // (so the caller re-runs its check-then-append) instead of blindly
+    // re-staging the same batch a second time
+    h1.append(rows((1, "a", "c", 1L)), Map("cdc.last-batch-id" -> "7"))
+    assertThrows[java.util.ConcurrentModificationException] {
+      h2.append(rows((1, "a", "c", 1L)), Map("cdc.last-batch-id" -> "7"))
+    }
+    assert(ManagedTable.load(spark, wh, "casm").get.read().count() == 1,
+      "the duplicate replay must not land twice")
+    // a DIFFERENT marker value still conflicts (the caller's check is
+    // stale either way) …
+    assertThrows[java.util.ConcurrentModificationException] {
+      h2.append(rows((2, "b", "c", 2L)), Map("cdc.last-batch-id" -> "8"))
+    }
+    // … but a marker-free stale append retries and lands as usual
+    h2.append(rows((3, "c", "c", 3L)))
+    assert(ManagedTable.load(spark, wh, "casm").get.read().count() == 2)
+  }
+
   test("append commit retry: concurrent appenders all land without caller retry loops") {
     val wh = tmpWarehouse()
     // retention high enough that every version's manifest survives for
