@@ -54,14 +54,18 @@ object Replicate {
     *
     * First call on an EMPTY replica seeds it with a full snapshot; a
     * non-empty replica without a marker is refused (it isn't a replica of
-    * anything — clobbering it silently would destroy data). Keyed
-    * upstream tables only: replication applies net per-key changes, and
-    * a keyless table has no row identity to apply a delete against.
+    * anything — clobbering it silently would destroy data).
+    *
+    * KEYED upstreams apply net per-key changes (upserts + tombstones).
+    * KEYLESS upstreams (the log/event shape) re-APPEND each range: sound
+    * and exactly-once because keyless tables have no upsert groups —
+    * [[ManagedTable.compactMinor]] folds only those, so nothing ever
+    * re-seqs a delivered keyless row — and every other keyless mutation
+    * (overwrite / truncate / compact / metadata delete) stamps the
+    * changelog barrier, which routes to the reseed below.
     */
   def syncOnce(src: ManagedTable, dst: ManagedTable): Long = {
     val ids = src.meta.identifierFields
-    require(ids.nonEmpty, "replication follows keyed tables " +
-      "(keyless append-only tables: re-append readChangesBetween ranges)")
     require(dst.meta.identifierFields == ids,
       s"replica identifier fields ${dst.meta.identifierFields} != upstream $ids")
     val key = markerKey(src)
@@ -92,13 +96,19 @@ object Replicate {
           // state — reseed from the pinned snapshot
           dst.overwrite(snapshotAt(src, to), Map(key -> to.toString))
         } else if (src.hasChangesBetween(from, to)) {
-          // the changelog is already NET per key with a tombstone verdict
-          // per row — exactly applyNetChanges' input shape
           val cols = src.meta.schema.fieldNames.toSeq
-          val batch = src.readChangesBetween(from, to)
-            .select((cols :+ ManagedTable.TombstoneCol).map(col): _*)
-          dst.applyNetChanges(batch, ManagedTable.TombstoneCol,
-            Map(key -> to.toString))
+          val changes = src.readChangesBetween(from, to)
+          if (ids.nonEmpty) {
+            // the changelog is already NET per key with a tombstone
+            // verdict per row — exactly applyNetChanges' input shape
+            dst.applyNetChanges(
+              changes.select((cols :+ ManagedTable.TombstoneCol).map(col): _*),
+              ManagedTable.TombstoneCol, Map(key -> to.toString))
+          } else {
+            // keyless: the range is pure appended rows (no upsert groups
+            // exist to fold or tombstone) — re-append them
+            dst.append(changes.select(cols.map(col): _*), Map(key -> to.toString))
+          }
           // an in-range commit can still net to ZERO rows (an empty
           // upstream micro-batch commits a 0-row group): the apply skips
           // and rolls its properties back — advance the marker anyway or

@@ -133,11 +133,39 @@ class ReplicateSpec extends AnyFunSuite with SharedSpark {
     assert(ManagedTable.load(spark, w, "down6").get.meta.currentVersion == v)
   }
 
-  test("refusals: keyless upstream, non-replica destination, mismatched keys") {
+  test("keyless (log-shape) upstream replicates by range re-append; barrier reseeds") {
     val w = wh
-    val keyless = ManagedTable.create(spark, w, "kl", rows().schema, Seq.empty)
-    val dst = ManagedTable.create(spark, w, "d1", rows().schema, Seq.empty)
-    intercept[IllegalArgumentException] { Replicate.syncOnce(keyless, dst) }
+    val src = ManagedTable.create(spark, w, "kl", rows().schema, Seq.empty)
+    val dst = ManagedTable.create(spark, w, "kld", rows().schema, Seq.empty)
+    src.append(rows((1, "a", 1L), (2, "b", 2L)))
+    Replicate.syncOnce(src, dst)
+    // two incremental appends, incl. a duplicate row — keyless semantics
+    // keep both copies, and the replica must too
+    src.append(rows((3, "c", 3L)))
+    src.append(rows((3, "c", 3L), (4, "d", 4L)))
+    Replicate.syncOnce(ManagedTable.load(spark, w, "kl").get,
+      ManagedTable.load(spark, w, "kld").get)
+    def multiset(n: String) = ManagedTable.load(spark, w, n).get.read()
+      .select("id", "name", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(multiset("kld") == multiset("kl"))
+    assert(multiset("kld").count(_._1 == 3) == 2, "duplicate log rows must replicate as-is")
+    // a metadata-region delete upstream is a barrier: replica reseeds
+    val srcP = ManagedTable.create(spark, w, "klp",
+      rows((1, "a", 1L)).schema, Seq.empty, Seq("name"))
+    val dstP = ManagedTable.create(spark, w, "klpd", rows().schema, Seq.empty)
+    srcP.append(rows((1, "a", 1L), (2, "b", 2L), (3, "a", 3L)))
+    Replicate.syncOnce(srcP, dstP)
+    srcP.deleteWhere(col("name") === "a") // metadata drop, barrier-stamped
+    srcP.append(rows((5, "e", 5L)))
+    Replicate.syncOnce(ManagedTable.load(spark, w, "klp").get,
+      ManagedTable.load(spark, w, "klpd").get)
+    assert(multiset("klpd") == multiset("klp"))
+    assert(multiset("klp") == Seq((2, "b", 2L), (5, "e", 5L)))
+  }
+
+  test("refusals: non-replica destination, mismatched keys") {
+    val w = wh
     val src = ManagedTable.create(spark, w, "up4", rows().schema, Seq("id"))
     src.append(rows((1, "a", 1L)))
     val otherKey = ManagedTable.create(spark, w, "d2", rows().schema, Seq("name"))
