@@ -257,7 +257,8 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     "expire_snapshots" -> Seq("table", "older_than"),
     "rollback_to_version" -> Seq("table", "version"),
     "maintenance" -> Seq("table"),
-    "replicate" -> Seq("source", "target"))
+    "replicate" -> Seq("source", "target"),
+    "remove_orphan_files" -> Seq("table", "older_than"))
 
   private def procedureCommand(
       proc: String,
@@ -361,10 +362,15 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         GraftCallCommand("CALL replicate", dstName,
           attrs("synced_to_version" -> LongType),
           () => Seq(Row(graft.cdc.Replicate.syncOnce(table(srcName), table(dstName)))))
+      case "remove_orphan_files" =>
+        val name = str(0); val olderThan = lng(1)
+        GraftCallCommand("CALL remove_orphan_files", name,
+          attrs("removed" -> LongType),
+          () => Seq(Row(table(name).removeOrphanFiles(olderThan).toLong)))
       case other => throw new IllegalArgumentException(
         s"CALL graft.system.$other: unknown procedure (have: compact, compact_minor, " +
           "materialize_position_deletes, expire_snapshots, rollback_to_version, " +
-          "maintenance, replicate)")
+          "maintenance, replicate, remove_orphan_files)")
     }
   }
 

@@ -733,6 +733,34 @@ final class ManagedTable private (
     * branch-manifest sweeps; a write stalled past the grace loses its
     * lease everywhere.)
     */
+  /** Maintenance: delete file groups no retained manifest, tag, or
+    * branch references and whose last modification predates `olderThanMs`
+    * (Iceberg's `remove_orphan_files`) — the explicit cleanup for debris
+    * a hard crash left behind, without waiting for the next commit's
+    * sweep. The effective cutoff is floored at now − commit-lease grace:
+    * a younger unreferenced dir may be a CONCURRENT writer's in-flight
+    * staging (the same rule the commit-time sweep applies), so even an
+    * aggressive cutoff cannot delete a live write. Metadata-scale: one
+    * files-dir listing plus one manifest read per retained version.
+    * Returns the number of group dirs removed.
+    */
+  def removeOrphanFiles(olderThanMs: Long): Int = {
+    requireCurrentPointer()
+    val retained = (versions()
+      .flatMap { case (v, _) => Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty) } ++
+      liveBranchEntries).map(_.path).toSet
+    val graceMs = _meta.properties.getOrElse("commit.lock-grace-ms", "300000").toLong
+    val cutoff = math.min(olderThanMs, System.currentTimeMillis() - graceMs)
+    var removed = 0
+    if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { s =>
+      if (!retained.contains(s"files/${s.getPath.getName}") &&
+          s.getModificationTime < cutoff) {
+        fs.delete(s.getPath, true); removed += 1
+      }
+    }
+    removed
+  }
+
   /** Reset a group dir's mtime at the moment it lands under `files/`:
     * rename preserves the STAGING-time mtime, and for a long write that
     * predates the sweep grace — [[sweepUnreferencedGroups]] would treat

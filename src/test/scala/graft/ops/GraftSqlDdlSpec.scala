@@ -240,6 +240,18 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       val eProc = intercept[Exception] { s2.sql("CALL graft.system.nope('mt')") }
       assert(eProc.getMessage.contains("unknown procedure"), eProc.getMessage)
 
+      // remove_orphan_files: stale debris goes, referenced groups stay,
+      // and a young unreferenced dir (possible in-flight staging) is
+      // spared even with an aggressive cutoff
+      val mtFiles = new java.io.File(s"$wh/mt/files")
+      val stale = new java.io.File(mtFiles, "data-99-stale"); stale.mkdirs()
+      stale.setLastModified(System.currentTimeMillis() - 10L * 60 * 1000)
+      val fresh = new java.io.File(mtFiles, "data-98-fresh"); fresh.mkdirs()
+      val ro = s2.sql("CALL graft.system.remove_orphan_files('mt', 9999999999999)").head()
+      assert(ro.getLong(0) == 1L, s"expected 1 removed, got ${ro.getLong(0)}")
+      assert(!stale.exists() && fresh.exists())
+      assert(s2.sql("SELECT count(*) FROM graft.mt").head().getLong(0) == 2L)
+
       // replicate: one commit-exact catch-up, SQL-driven end to end
       s2.sql("""CREATE TABLE graft.mt_rep (id BIGINT, v STRING)
         |TBLPROPERTIES ('graft.identifier-fields'='id')""".stripMargin)
