@@ -724,41 +724,23 @@ final class ManagedTable private (
     candidates.size
   }
 
-  /** Delete file groups no retained manifest references — but only once
-    * STALE (the commit-lease grace): a CONCURRENT appender's staged group
-    * is unreferenced right up to its own pointer flip, and with commit
-    * retry making parallel appenders a supported pattern, an age-blind
-    * sweep would delete a group mid-write. True crash debris just waits
-    * one grace period. (Same lease convention as claims and
-    * branch-manifest sweeps; a write stalled past the grace loses its
-    * lease everywhere.)
-    */
   /** Maintenance: delete file groups no retained manifest, tag, or
     * branch references and whose last modification predates `olderThanMs`
     * (Iceberg's `remove_orphan_files`) — the explicit cleanup for debris
     * a hard crash left behind, without waiting for the next commit's
-    * sweep. The effective cutoff is floored at now − commit-lease grace:
+    * sweep. The effective cutoff is floored at now − commit-lease grace
+    * (enforced inside [[sweepUnreferencedGroups]], the ONE sweep loop):
     * a younger unreferenced dir may be a CONCURRENT writer's in-flight
-    * staging (the same rule the commit-time sweep applies), so even an
-    * aggressive cutoff cannot delete a live write. Metadata-scale: one
-    * files-dir listing plus one manifest read per retained version.
-    * Returns the number of group dirs removed.
+    * staging, so even an aggressive cutoff cannot delete a live write.
+    * Metadata-scale: one files-dir listing plus one manifest read per
+    * retained version. Returns the number of group dirs removed.
     */
   def removeOrphanFiles(olderThanMs: Long): Int = {
     requireCurrentPointer()
     val retained = (versions()
       .flatMap { case (v, _) => Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty) } ++
       liveBranchEntries).map(_.path).toSet
-    val graceMs = _meta.properties.getOrElse("commit.lock-grace-ms", "300000").toLong
-    val cutoff = math.min(olderThanMs, System.currentTimeMillis() - graceMs)
-    var removed = 0
-    if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { s =>
-      if (!retained.contains(s"files/${s.getPath.getName}") &&
-          s.getModificationTime < cutoff) {
-        fs.delete(s.getPath, true); removed += 1
-      }
-    }
-    removed
+    sweepUnreferencedGroups(retained, cutoffMs = Some(olderThanMs))
   }
 
   /** Reset a group dir's mtime at the moment it lands under `files/`:
@@ -773,14 +755,30 @@ final class ManagedTable private (
     try fs.setTimes(dst, System.currentTimeMillis(), -1)
     catch { case _: UnsupportedOperationException | _: java.io.IOException => () }
 
-  private def sweepUnreferencedGroups(retained: Set[String]): Unit = {
+  /** Delete file groups no retained manifest references — but only once
+    * STALE (the commit-lease grace): a CONCURRENT appender's staged group
+    * is unreferenced right up to its own pointer flip, and with commit
+    * retry making parallel appenders a supported pattern, an age-blind
+    * sweep would delete a group mid-write. True crash debris just waits
+    * one grace period. (Same lease convention as claims and
+    * branch-manifest sweeps; a write stalled past the grace loses its
+    * lease everywhere.) An explicit `cutoffMs` ([[removeOrphanFiles]])
+    * tightens the window further but can never loosen it past the grace.
+    * Returns the number of group dirs removed.
+    */
+  private def sweepUnreferencedGroups(retained: Set[String],
+                                      cutoffMs: Option[Long] = None): Int = {
     val graceMs = _meta.properties.getOrElse("commit.lock-grace-ms", "300000").toLong
-    val now = System.currentTimeMillis()
+    val graceCutoff = System.currentTimeMillis() - graceMs
+    val cutoff = cutoffMs.fold(graceCutoff)(c => math.min(c, graceCutoff))
+    var removed = 0
     if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { s =>
       if (!retained.contains(s"files/${s.getPath.getName}") &&
-          now - s.getModificationTime > graceMs)
-        fs.delete(s.getPath, true)
+          s.getModificationTime < cutoff) {
+        fs.delete(s.getPath, true); removed += 1
+      }
     }
+    removed
   }
 
   // --------------------------------------------------- metadata tables

@@ -379,26 +379,37 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
 
   test("metadata delete runs zero data-reading Spark jobs") {
     val t = seed(wh, "md2", partitionBy = Seq("grp"), ids = Seq.empty)
+    // scope the accounting to THIS test's jobs via a job group — suites
+    // share one SparkContext, so a global byte count would absorb other
+    // suites' concurrent scans and flake
+    val tag = s"md-zero-scan-${java.util.UUID.randomUUID()}"
     val bytes = new java.util.concurrent.atomic.AtomicLong
-    val started = new java.util.concurrent.atomic.AtomicInteger
-    val ended = new java.util.concurrent.atomic.AtomicInteger
+    val groupJobs = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val endedJobs = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        started.incrementAndGet()
+        if (Option(js.properties).exists(_.getProperty("spark.jobGroup.id") == tag)) {
+          groupJobs.add(js.jobId)
+          js.stageIds.foreach(id => stages.add(id))
+        }
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
-        ended.incrementAndGet()
+        endedJobs.add(je.jobId)
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+        if (stages.contains(te.stageId))
+          bytes.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      t.deleteWhere(col("grp") === 4)
-      // listener delivery is async but FIFO: once every started job's end
-      // event arrived, all its task-end events (and their input metrics)
-      // arrived before it
+      spark.sparkContext.setJobGroup(tag, "metadata delete under test")
+      try t.deleteWhere(col("grp") === 4)
+      finally spark.sparkContext.clearJobGroup()
+      // listener delivery is async but FIFO: once OUR group's every job-end
+      // arrived, its task-end events (and their input metrics) preceded it
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while ((started.get() == 0 || ended.get() < started.get()) &&
-             System.nanoTime() < deadline) Thread.sleep(20)
+      def pending = groupJobs.isEmpty ||
+        groupJobs.stream().anyMatch(j => !endedJobs.contains(j))
+      while (pending && System.nanoTime() < deadline) Thread.sleep(20)
       assert(bytes.get() == 0L,
         s"metadata delete read ${bytes.get()} bytes — it must not open data files")
     } finally spark.sparkContext.removeSparkListener(listener)
