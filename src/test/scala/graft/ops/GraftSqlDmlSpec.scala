@@ -293,6 +293,46 @@ class GraftSqlDmlSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("DML predicates may carry subqueries over graft tables") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val b = org.apache.spark.sql.SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+      base.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqsub").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+      s2.sql("CREATE TABLE graft.tt (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('graft.identifier-fields'='id')")
+      s2.sql("INSERT INTO graft.tt VALUES (1,'a'),(2,'b'),(3,'c')")
+      s2.sql("CREATE TABLE graft.flagged (id BIGINT)")
+      s2.sql("INSERT INTO graft.flagged VALUES (2)")
+      // IN-subquery DELETE: the condition's inner plan resolves through
+      // the same extension rules as any query
+      s2.sql("DELETE FROM graft.tt WHERE id IN (SELECT id FROM graft.flagged)")
+      assert(s2.sql("SELECT id FROM graft.tt ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+      // scalar-subquery UPDATE
+      s2.sql("UPDATE graft.tt SET v = 'top' WHERE id = (SELECT max(id) FROM graft.tt)")
+      assert(s2.sql("SELECT v FROM graft.tt WHERE id = 3").head().getString(0) == "top")
+      // a subquery over the PARTITION column of a keyless partitioned
+      // table is NOT tuple-decidable per the metadata-delete rules — it
+      // must fall through to the row-level path and still be correct
+      s2.sql("CREATE TABLE graft.logs2 (id BIGINT, day STRING) PARTITIONED BY (day)")
+      s2.sql("INSERT INTO graft.logs2 VALUES (1,'d1'),(2,'d2'),(3,'d1')")
+      s2.sql("CREATE TABLE graft.dropdays (day STRING)")
+      s2.sql("INSERT INTO graft.dropdays VALUES ('d1')")
+      s2.sql("DELETE FROM graft.logs2 WHERE day IN (SELECT day FROM graft.dropdays)")
+      assert(s2.sql("SELECT id FROM graft.logs2").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("SQL DELETE on a whole partition region is a metadata-only commit") {
     val base = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
