@@ -707,6 +707,42 @@ object Queries {
       |FROM orders
       |WHERE NOT coalesce(o_orderpriority IN ('1-URGENT', '2-HIGH'), false)""".stripMargin))
 
+  /** Partition-SCOPED keyless COW delete ([[graft.tables.ManagedTable]]
+    * scopedKeylessDelete): a MIXED predicate — region conjunct
+    * (priority IN …) × row residual (price < …) — rewrites ONLY the
+    * region's partitions; every other partition's file groups ride into
+    * the new manifest untouched (runtime-asserted), so
+    * retention-with-residual costs O(affected partitions), not a
+    * full-table rewrite. Oracle = the plain row-level delete replay.
+    */
+  val dmlDeleteScoped = Q("dml_delete_scoped_region",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_sdel").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_sdel",
+        base.schema, Seq.empty, partitionBy = Seq("o_orderpriority"))
+      tbl.append(base)
+      def files = tbl.filesMetadata().select("path", "partition").collect()
+        .map(r => r.getString(0) ->
+          r.getMap[String, String](1).get("o_orderpriority").orNull).toSeq
+      val before = files
+      tbl.deleteWhere(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_totalprice") < 100000.0)
+      val after = files
+      val hot = Set("1-URGENT", "2-HIGH")
+      require(after.filterNot(p => hot(p._2)).map(_._1).toSet ==
+          before.filterNot(p => hot(p._2)).map(_._1).toSet,
+        "partitions outside the region conjunct must keep their exact files")
+      require(after.filter(p => hot(p._2)).map(_._1).toSet
+          .intersect(before.map(_._1).toSet).isEmpty,
+        "region partitions must be rewritten")
+      tbl.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE NOT coalesce(o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  AND o_totalprice < 100000.0, false)""".stripMargin))
+
   /** Commit-exact graft→graft replication ([[graft.cdc.Replicate]]): a
     * replica follows an upstream orders table through seed + three
     * mutation commits (update / region update / hard delete) applied
@@ -4045,7 +4081,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlUpdate, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteScoped, dmlUpdate, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

@@ -2532,6 +2532,102 @@ final class ManagedTable private (
     true
   }
 
+  /** Partition-SCOPED copy-on-write delete for keyless tables with a
+    * MIXED predicate (`day < X AND quality < q` — a tuple-decidable
+    * region conjunct times a row-level residual): only partitions the
+    * decidable conjuncts can possibly match are rewritten; every other
+    * partition's groups ride into the new manifest untouched. The
+    * retention-with-residual shape then costs O(affected partitions)
+    * instead of the full-table rewrite the plain COW fallback pays —
+    * on a day-partitioned 100 TB log, one day's rewrite vs all of them.
+    *
+    * Soundness: a conjunct referencing only identity partition sources is
+    * constant per tuple; where it evaluates FALSE or NULL the whole AND
+    * is non-TRUE for every row in the tuple, so no row there matches and
+    * the group cannot change. Tuples where every decidable conjunct is
+    * TRUE (or that carry undecidable-only conjuncts) are rewritten
+    * through the SAME survivor filter the plain path uses, so row
+    * semantics are identical. Same eligibility gates as
+    * [[metadataDeleteWhere]] (keyless, single epoch, round-tripping
+    * identity sources, deterministic, no subqueries — per conjunct).
+    * Returns true when it handled the delete; a predicate with no
+    * decidable conjunct, or one that prunes nothing, falls through.
+    */
+  private def scopedKeylessDelete(cond: org.apache.spark.sql.Column): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, PlanExpression}
+    if (!isPartitioned || _meta.identifierFields.nonEmpty) return false
+    val entries = currentEntries
+    if (entries.isEmpty) return false
+    if (entries.exists(e => entryEpoch(e.seq) != currentEpoch)) return false
+    val idFields = partitionFields.filter(_.transform == "identity")
+    if (idFields.isEmpty) return false
+    def roundTrips(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           BooleanType | DateType | _: DecimalType | TimestampNTZType => true
+      case _ => false
+    }
+    if (_meta.schema.fieldNames.contains("__graft_tuple_idx")) return false
+    // analyze the predicate against the table schema, split conjuncts,
+    // keep the tuple-decidable ones
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], _meta.schema)
+    val analyzed = try probe.filter(cond).queryExecution.analyzed catch {
+      case _: org.apache.spark.sql.AnalysisException => return false
+    }
+    val conds = analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+    if (conds.size != 1) return false
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    val resolver = spark.sessionState.analyzer.resolver
+    def refOk(n: String): Boolean = idFields.exists(pf =>
+      resolver(pf.sourceColumn, n) && roundTrips(_meta.schema(pf.sourceColumn).dataType))
+    val decidable = split(conds.head).filter(c =>
+      c.references.nonEmpty && c.references.forall(a => refOk(a.name)) &&
+        !c.exists(e => !e.deterministic || e.isInstanceOf[PlanExpression[_]]))
+    if (decidable.isEmpty) return false
+    val tuples = entries.map(_.partition).distinct
+    if (tuples.exists(t => idFields.exists { pf =>
+        t.get(pf.name).contains(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) &&
+          _meta.schema(pf.sourceColumn).dataType == StringType }))
+      return false
+    val strSchema = StructType(StructField("__graft_tuple_idx", IntegerType, nullable = false) +:
+      idFields.map(pf => StructField(s"__graft_s_${pf.name}", StringType, nullable = true)))
+    val rows = tuples.zipWithIndex.map { case (t, i) =>
+      Row.fromSeq(i +: idFields.map { pf =>
+        t.get(pf.name).filter(_ != ExternalCatalogUtils.DEFAULT_PARTITION_NAME).orNull
+      })
+    }
+    val tupleDf = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), strSchema)
+      .select(col("__graft_tuple_idx") +: idFields.map(pf =>
+        col(s"__graft_s_${pf.name}")
+          .cast(_meta.schema(pf.sourceColumn).dataType).as(pf.sourceColumn)): _*)
+    // re-resolve the decidable conjunction against the tuple relation
+    // (fresh names, not the probe's attribute ids)
+    val tuplePred = org.apache.spark.sql.graftbridge.GraftBridge.column(
+      decidable.map(_.transform {
+        case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+      }).reduce(And(_, _)))
+    val affected = tupleDf.filter(tuplePred).select("__graft_tuple_idx")
+      .collect().map(r => tuples(r.getInt(0))).toSet
+    if (affected.isEmpty) return true // no tuple can hold a matching row: no-op
+    if (affected.size == tuples.size) return false // nothing pruned: plain COW
+    val target = entries.filter(e => affected.contains(e.partition))
+    val untouched = entries.filterNot(e => affected.contains(e.partition))
+    val seq = _meta.currentVersion + 1
+    val survivors = morRead(target)
+      .filter(!coalesce(cond, lit(false)))
+      .select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val newEntries = splitWriteGroups(withPartitionCols(survivors),
+      Manifest.Data, _ => seq, seq)
+    // barrier: rows vanish without tombstones, like every keyless rewrite
+    commitManifestWithProps(untouched ++ newEntries, barrierProp)
+    true
+  }
+
   /** Row-level DELETE (`DELETE FROM t WHERE cond`): rows where `cond` is
     * TRUE (null = kept) become tombstones in one merge-on-read commit —
     * table files are never rewritten. Cost: one table scan with the
@@ -2539,12 +2635,15 @@ final class ManagedTable private (
     * Iceberg merge-on-read `DELETE` analogue. Keyless tables have no
     * equality-delete identity, so they fall back to copy-on-write
     * (`overwrite` of the survivors) — Iceberg's COW mode — unless the
-    * predicate names whole partition regions, where
-    * [[metadataDeleteWhere]] commits a manifest diff instead: zero
-    * files read or rewritten (the 100 TB retention path).
+    * predicate names whole partition regions ([[metadataDeleteWhere]]:
+    * a manifest diff, zero files read or rewritten — the 100 TB
+    * retention path) or carries a partition-region conjunct
+    * ([[scopedKeylessDelete]]: only the possibly-matching partitions
+    * are rewritten).
     */
   def deleteWhere(cond: org.apache.spark.sql.Column): Unit = {
     if (metadataDeleteWhere(cond)) return
+    if (scopedKeylessDelete(cond)) return
     if (_meta.identifierFields.isEmpty) {
       overwrite(read().filter(!coalesce(cond, lit(false))))
       return

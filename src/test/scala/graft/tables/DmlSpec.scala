@@ -459,6 +459,41 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
       "keyed region delete must add tombstones, not drop groups (changelog precision)")
   }
 
+  test("scoped keyless delete: mixed predicate rewrites only the region's partitions") {
+    val w = wh
+    val t = seed(w, "skd1", partitionBy = Seq("grp"), ids = Seq.empty)
+    val byGrp = t.filesMetadata().select("path", "partition").collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1).get("grp").orNull).toSeq
+    val v0 = t.meta.currentVersion
+    // region conjunct (grp IN 2,5) × row residual (v < 500): only those
+    // two partitions may hold matches
+    t.deleteWhere(col("grp").isin(2, 5) && col("v") < 500L)
+    assert(t.meta.currentVersion == v0 + 1)
+    // semantics = the full row-level filter
+    val expected = (1 to 100).filter(i => !(Set(2, 5).contains(i % 10) && i * 10 < 500)).toSet
+    assert(t.read().select("id").as[Int].collect().toSet == expected)
+    // untouched partitions keep their EXACT groups; affected ones were rewritten
+    val after = t.filesMetadata().select("path", "partition").collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1).get("grp").orNull).toSeq
+    val untouchedBefore = byGrp.filterNot(p => p._2 == "2" || p._2 == "5").map(_._1).toSet
+    val untouchedAfter = after.filterNot(p => p._2 == "2" || p._2 == "5").map(_._1).toSet
+    assert(untouchedAfter == untouchedBefore,
+      "partitions outside the region conjunct must keep their exact files")
+    assert(after.filter(p => p._2 == "2" || p._2 == "5").map(_._1).toSet
+      .intersect(byGrp.map(_._1).toSet).isEmpty,
+      "affected partitions must be rewritten")
+    // barrier stamped (rows vanished without tombstones)
+    assert(t.meta.properties(ManagedTable.BarrierKey).toLong == t.meta.currentVersion)
+    // region conjunct matching NOTHING: semantic no-op, no version burnt
+    val v1 = t.meta.currentVersion
+    t.deleteWhere(col("grp") === 77 && col("v") < 100L)
+    assert(t.meta.currentVersion == v1)
+    // OR predicates are not conjunct-decomposable: full COW, still correct
+    t.deleteWhere(col("grp") === 1 || col("v") > 980L)
+    assert(t.read().filter(col("grp") === 1).count() == 0)
+    assert(t.read().filter(col("v") > 980L).count() == 0)
+  }
+
   test("overwritePartitions stamps the changelog barrier: incremental consumers reseed") {
     val w = wh
     val t = seed(w, "dpo2", partitionBy = Seq("grp"))
