@@ -2473,26 +2473,40 @@ final class ManagedTable private (
     * rows vanish without tombstones, so the commit is barrier-stamped —
     * changelog consumers reseed, exactly as after [[overwritePartitions]].
     */
-  private def metadataDeleteWhere(cond: org.apache.spark.sql.Column): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.PlanExpression
-    if (!isPartitioned || _meta.identifierFields.nonEmpty) return false
-    val entries = currentEntries
-    if (entries.exists(e => entryEpoch(e.seq) != currentEpoch)) return false
+  /** Types whose canonical tuple string round-trips the value exactly
+    * and session-independently — the gate of every tuple-decidable
+    * delete path. Tz-aware timestamps render in the WRITER's session
+    * zone, so a later session cannot reconstruct the instant;
+    * float/double are excluded with them out of caution.
+    */
+  private def tupleRoundTrips(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         BooleanType | DateType | _: DecimalType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Shared eligibility + tuple-relation machinery of the
+    * tuple-decidable DELETE paths ([[metadataDeleteWhere]],
+    * [[scopedKeylessDelete]]): on a KEYLESS, single-spec-epoch
+    * partitioned table with identity sources, build one local row per
+    * live partition tuple with the source values rebuilt by casting the
+    * canonical tuple string back to the column type — the exact inverse
+    * of the write path's `cast(StringType)`. None when any gate fails
+    * (notably: a STRING source value equal to the Hive null marker is
+    * indistinguishable from null in the tuple — don't guess).
+    */
+  private def tupleRelation(entries: Seq[ManifestEntry])
+      : Option[(Seq[Map[String, String]], DataFrame, Seq[PartitionField])] = {
+    if (!isPartitioned || _meta.identifierFields.nonEmpty) return None
+    if (entries.exists(e => entryEpoch(e.seq) != currentEpoch)) return None
     val idFields = partitionFields.filter(_.transform == "identity")
-    if (idFields.isEmpty) return false
-    def roundTrips(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType | StringType |
-           BooleanType | DateType | _: DecimalType | TimestampNTZType => true
-      case _ => false
-    }
-    if (_meta.schema.fieldNames.contains("__graft_tuple_idx")) return false
+    if (idFields.isEmpty) return None
+    if (_meta.schema.fieldNames.contains("__graft_tuple_idx")) return None
     val tuples = entries.map(_.partition).distinct
-    // a STRING source value equal to the Hive null marker is
-    // indistinguishable from null in the tuple — don't guess
     if (tuples.exists(t => idFields.exists { pf =>
         t.get(pf.name).contains(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) &&
           _meta.schema(pf.sourceColumn).dataType == StringType }))
-      return false
+      return None
     val strSchema = StructType(StructField("__graft_tuple_idx", IntegerType, nullable = false) +:
       idFields.map(pf => StructField(s"__graft_s_${pf.name}", StringType, nullable = true)))
     val rows = tuples.zipWithIndex.map { case (t, i) =>
@@ -2504,26 +2518,54 @@ final class ManagedTable private (
       .select(col("__graft_tuple_idx") +: idFields.map(pf =>
         col(s"__graft_s_${pf.name}")
           .cast(_meta.schema(pf.sourceColumn).dataType).as(pf.sourceColumn)): _*)
+    Some((tuples, tupleDf, idFields))
+  }
+
+  /** Is `n` an identity partition source whose tuple string round-trips? */
+  private def tupleRefOk(idFields: Seq[PartitionField])(n: String): Boolean = {
+    val resolver = spark.sessionState.analyzer.resolver
+    idFields.exists(pf => resolver(pf.sourceColumn, n) &&
+      tupleRoundTrips(_meta.schema(pf.sourceColumn).dataType))
+  }
+
+  /** An expression a tuple decision may NOT contain: nondeterminism
+    * (rand() must evaluate per ROW, not per tuple) and subqueries (their
+    * inner plan reads tables). With `twoPhase` — for paths where the
+    * tuple-pruning collect and the row-level apply are SEPARATE query
+    * executions ([[scopedKeylessDelete]]) — current-time expressions are
+    * also unsafe: deterministic within one query, but `current_date()`
+    * could evaluate to different instants in the two executions and the
+    * result would match no single-instant reading of the statement.
+    * [[metadataDeleteWhere]]'s single evaluation IS the delete, so the
+    * retention idiom `day < current_date() - 90` keeps its fast path.
+    */
+  private def tupleUnsafe(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                          twoPhase: Boolean): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e.exists(x => !x.deterministic || x.isInstanceOf[PlanExpression[_]] ||
+      (twoPhase && (x.isInstanceOf[CurrentDate] ||
+        x.isInstanceOf[CurrentTimestampLike] || x.isInstanceOf[LocalTimestamp])))
+  }
+
+  private def metadataDeleteWhere(cond: org.apache.spark.sql.Column): Boolean = {
+    val entries = currentEntries
+    val (tuples, tupleDf, idFields) = tupleRelation(entries).getOrElse(return false)
     // Eligibility is read off the ANALYZED plan (a classic Column is an
     // opaque node until resolution): the predicate must resolve against
     // the tuple relation at all (else it references non-partition
     // columns — AnalysisException, eager in classic mode — and the
     // row-level path owns it), and the resolved condition must reference
-    // only round-tripping identity sources, be deterministic (rand()
-    // must evaluate per ROW, not per tuple), and contain no subqueries
-    // (their inner plan reads tables).
+    // only round-tripping identity sources and be tuple-safe
+    // ([[tupleUnsafe]]).
     val filtered = try tupleDf.filter(coalesce(cond, lit(false))) catch {
       case _: org.apache.spark.sql.AnalysisException => return false
     }
-    val analyzed = filtered.queryExecution.analyzed
-    val resolver = spark.sessionState.analyzer.resolver
-    def refOk(n: String): Boolean = idFields.exists(pf =>
-      resolver(pf.sourceColumn, n) && roundTrips(_meta.schema(pf.sourceColumn).dataType))
-    val conds = analyzed.collect {
+    val conds = filtered.queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
     if (conds.isEmpty) return false
-    if (!conds.forall(c => c.references.forall(a => refOk(a.name)) &&
-        !c.exists(e => !e.deterministic || e.isInstanceOf[PlanExpression[_]])))
+    if (!conds.forall(c =>
+        c.references.forall(a => tupleRefOk(idFields)(a.name)) &&
+          !tupleUnsafe(c, twoPhase = false)))
       return false
     val matched = filtered.select("__graft_tuple_idx").collect()
       .map(r => tuples(r.getInt(0))).toSet
@@ -2555,21 +2597,13 @@ final class ManagedTable private (
     */
   private def scopedKeylessDelete(cond: org.apache.spark.sql.Column): Boolean = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression, PlanExpression}
-    if (!isPartitioned || _meta.identifierFields.nonEmpty) return false
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression}
     val entries = currentEntries
     if (entries.isEmpty) return false
-    if (entries.exists(e => entryEpoch(e.seq) != currentEpoch)) return false
-    val idFields = partitionFields.filter(_.transform == "identity")
-    if (idFields.isEmpty) return false
-    def roundTrips(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType | StringType |
-           BooleanType | DateType | _: DecimalType | TimestampNTZType => true
-      case _ => false
-    }
-    if (_meta.schema.fieldNames.contains("__graft_tuple_idx")) return false
+    val (tuples, tupleDf, idFields) = tupleRelation(entries).getOrElse(return false)
     // analyze the predicate against the table schema, split conjuncts,
-    // keep the tuple-decidable ones
+    // keep the tuple-decidable ones (twoPhase: the pruning collect and
+    // the survivor rewrite are separate executions — see [[tupleUnsafe]])
     val probe = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], _meta.schema)
     val analyzed = try probe.filter(cond).queryExecution.analyzed catch {
@@ -2582,29 +2616,11 @@ final class ManagedTable private (
       case And(l, r) => split(l) ++ split(r)
       case x => Seq(x)
     }
-    val resolver = spark.sessionState.analyzer.resolver
-    def refOk(n: String): Boolean = idFields.exists(pf =>
-      resolver(pf.sourceColumn, n) && roundTrips(_meta.schema(pf.sourceColumn).dataType))
     val decidable = split(conds.head).filter(c =>
-      c.references.nonEmpty && c.references.forall(a => refOk(a.name)) &&
-        !c.exists(e => !e.deterministic || e.isInstanceOf[PlanExpression[_]]))
+      c.references.nonEmpty &&
+        c.references.forall(a => tupleRefOk(idFields)(a.name)) &&
+        !tupleUnsafe(c, twoPhase = true))
     if (decidable.isEmpty) return false
-    val tuples = entries.map(_.partition).distinct
-    if (tuples.exists(t => idFields.exists { pf =>
-        t.get(pf.name).contains(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) &&
-          _meta.schema(pf.sourceColumn).dataType == StringType }))
-      return false
-    val strSchema = StructType(StructField("__graft_tuple_idx", IntegerType, nullable = false) +:
-      idFields.map(pf => StructField(s"__graft_s_${pf.name}", StringType, nullable = true)))
-    val rows = tuples.zipWithIndex.map { case (t, i) =>
-      Row.fromSeq(i +: idFields.map { pf =>
-        t.get(pf.name).filter(_ != ExternalCatalogUtils.DEFAULT_PARTITION_NAME).orNull
-      })
-    }
-    val tupleDf = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), strSchema)
-      .select(col("__graft_tuple_idx") +: idFields.map(pf =>
-        col(s"__graft_s_${pf.name}")
-          .cast(_meta.schema(pf.sourceColumn).dataType).as(pf.sourceColumn)): _*)
     // re-resolve the decidable conjunction against the tuple relation
     // (fresh names, not the probe's attribute ids)
     val tuplePred = org.apache.spark.sql.graftbridge.GraftBridge.column(

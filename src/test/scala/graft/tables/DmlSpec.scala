@@ -494,6 +494,32 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
     assert(t.read().filter(col("v") > 980L).count() == 0)
   }
 
+  test("current-time predicates: metadata path allowed (single evaluation), scoped path refused") {
+    val w = wh
+    val df = (1 to 30).map(i => (i, java.sql.Date.valueOf(s"2020-01-${"%02d".format(i % 3 + 1)}"), i.toLong))
+      .toDF("id", "day", "v")
+    val t = ManagedTable.create(spark, w, "ct1", df.schema, Seq.empty, Seq("day"))
+    t.append(df)
+    val before = t.filesMetadata().select("path").as[String].collect().toSet
+    // the retention idiom: pure region predicate with current_date — the
+    // metadata path's ONE evaluation both decides and applies, so it
+    // keeps the fast path (all 2020 days are < today: everything drops)
+    t.deleteWhere(col("day") < current_date())
+    assert(t.read().count() == 0)
+    assert(t.filesMetadata().count() == 0, "metadata path must drop, not rewrite")
+    // mixed predicate with current_date: the scoped path's prune and
+    // rewrite are separate executions, so it must fall through to the
+    // plain COW (correct, just unscoped) — files all rewritten
+    val t2 = ManagedTable.create(spark, w, "ct2", df.schema, Seq.empty, Seq("day"))
+    t2.append(df)
+    val before2 = t2.filesMetadata().select("path").as[String].collect().toSet
+    t2.deleteWhere(col("day") < current_date() && col("v") <= 10L)
+    assert(t2.read().count() == 20)
+    val after2 = t2.filesMetadata().select("path").as[String].collect().toSet
+    assert(after2.intersect(before2).isEmpty,
+      "two-phase-unsafe predicate must take the single-evaluation COW path")
+  }
+
   test("overwritePartitions stamps the changelog barrier: incremental consumers reseed") {
     val w = wh
     val t = seed(w, "dpo2", partitionBy = Seq("grp"))
