@@ -2595,7 +2595,17 @@ final class ManagedTable private (
     * Returns true when it handled the delete; a predicate with no
     * decidable conjunct, or one that prunes nothing, falls through.
     */
-  private def scopedKeylessDelete(cond: org.apache.spark.sql.Column): Boolean = {
+  private def scopedKeylessDelete(cond: org.apache.spark.sql.Column): Boolean =
+    scopedKeylessRewrite(cond, replacement = None)
+
+  /** The shared engine of [[scopedKeylessDelete]] and the keyless
+    * [[overwriteWhere]] fast path: prune to the partitions the decidable
+    * region conjuncts can match, rewrite only those (survivors of
+    * `!cond`, plus `replacement` for the overwrite shape), ride every
+    * other group into the new manifest untouched.
+    */
+  private def scopedKeylessRewrite(cond: org.apache.spark.sql.Column,
+                                   replacement: Option[DataFrame]): Boolean = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression}
     val entries = currentEntries
@@ -2629,18 +2639,25 @@ final class ManagedTable private (
       }).reduce(And(_, _)))
     val affected = tupleDf.filter(tuplePred).select("__graft_tuple_idx")
       .collect().map(r => tuples(r.getInt(0))).toSet
-    if (affected.isEmpty) return true // no tuple can hold a matching row: no-op
+    // DELETE of a region no tuple can match: semantic no-op, no version
+    // burnt. An OVERWRITE still writes its replacement batch (below).
+    if (affected.isEmpty && replacement.isEmpty) return true
     if (affected.size == tuples.size) return false // nothing pruned: plain COW
     val target = entries.filter(e => affected.contains(e.partition))
     val untouched = entries.filterNot(e => affected.contains(e.partition))
     val seq = _meta.currentVersion + 1
+    val cols = _meta.schema.fieldNames.map(col).toIndexedSeq
     val survivors = morRead(target)
       .filter(!coalesce(cond, lit(false)))
-      .select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*)
-    val newEntries = splitWriteGroups(withPartitionCols(survivors),
+      .select(cols: _*)
+    val out = replacement.fold(survivors)(b => survivors.unionByName(b.select(cols: _*)))
+    val newEntries = splitWriteGroups(withPartitionCols(out),
       Manifest.Data, _ => seq, seq)
-    // barrier: rows vanish without tombstones, like every keyless rewrite
-    commitManifestWithProps(untouched ++ newEntries, barrierProp)
+    // barrier only when existing groups drop (rows vanish without
+    // tombstones); a pure insert into an empty region stays append-shaped
+    // — the same rule as overwriteStaticRegion
+    commitManifestWithProps(untouched ++ newEntries,
+      if (target.nonEmpty) barrierProp else Map.empty)
     true
   }
 
@@ -3406,6 +3423,11 @@ final class ManagedTable private (
       "overwriteWhere: batch rows must satisfy the replace condition " +
         "(a row outside the region would evade the next backfill)")
     if (_meta.identifierFields.isEmpty) {
+      // partition-scoped when the predicate carries a region conjunct:
+      // only the region's partitions rewrite (the batch lands inside the
+      // region by the containment check above, so its tuples are a
+      // subset of the affected set — or brand-new tuples in it)
+      if (scopedKeylessRewrite(cond, replacement = Some(conformed))) return
       overwrite(read().filter(!coalesce(cond, lit(false))).unionByName(conformed))
       return
     }

@@ -494,6 +494,41 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
     assert(t.read().filter(col("v") > 980L).count() == 0)
   }
 
+  test("scoped keyless overwriteWhere: the backfill rewrites only the region's partitions") {
+    val w = wh
+    val t = seed(w, "sko1", partitionBy = Seq("grp"), ids = Seq.empty)
+    val files = () => t.filesMetadata().select("path", "partition").collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1).get("grp").orNull).toSeq
+    val before = files()
+    // recompute the grp=3 region where v < 500: replacement re-tags the
+    // rows (v unchanged — batch rows must satisfy the replace condition)
+    val region = col("grp") === 3 && col("v") < 500L
+    val backfill = t.read().where(region).withColumn("name", lit("bf"))
+    t.overwriteWhere(region, backfill)
+    // semantics = untouched rows ∪ transformed region
+    val got = canon(t.read())
+    val expect = (1 to 100).map { i =>
+      if (i % 10 == 3 && i * 10 < 500) (i, "bf", i % 10, i.toLong * 10)
+      else (i, s"n$i", i % 10, i.toLong * 10)
+    }.sortBy(x => x)
+    assert(got == expect)
+    // only grp=3's groups were rewritten
+    val after = files()
+    assert(after.filterNot(_._2 == "3").map(_._1).toSet ==
+      before.filterNot(_._2 == "3").map(_._1).toSet,
+      "partitions outside the backfill region must keep their exact files")
+    assert(after.filter(_._2 == "3").map(_._1).toSet
+      .intersect(before.map(_._1).toSet).isEmpty)
+    // barrier stamped: region rows were replaced without tombstones
+    assert(t.meta.properties(ManagedTable.BarrierKey).toLong == t.meta.currentVersion)
+    // a batch row OUTSIDE the region still throws before anything commits
+    val v = t.meta.currentVersion
+    intercept[IllegalArgumentException] {
+      t.overwriteWhere(region, backfill.withColumn("grp", lit(4)))
+    }
+    assert(t.meta.currentVersion == v)
+  }
+
   test("current-time predicates: metadata path allowed (single evaluation), scoped path refused") {
     val w = wh
     val df = (1 to 30).map(i => (i, java.sql.Date.valueOf(s"2020-01-${"%02d".format(i % 3 + 1)}"), i.toLong))
