@@ -2626,7 +2626,8 @@ final class ManagedTable private (
       case And(l, r) => split(l) ++ split(r)
       case x => Seq(x)
     }
-    val decidable = split(conds.head).filter(c =>
+    val allConjuncts = split(conds.head)
+    val decidable = allConjuncts.filter(c =>
       c.references.nonEmpty &&
         c.references.forall(a => tupleRefOk(idFields)(a.name)) &&
         !tupleUnsafe(c, twoPhase = true))
@@ -2647,12 +2648,26 @@ final class ManagedTable private (
     val untouched = entries.filterNot(e => affected.contains(e.partition))
     val seq = _meta.currentVersion + 1
     val cols = _meta.schema.fieldNames.map(col).toIndexedSeq
-    val survivors = morRead(target)
-      .filter(!coalesce(cond, lit(false)))
-      .select(cols: _*)
-    val out = replacement.fold(survivors)(b => survivors.unionByName(b.select(cols: _*)))
-    val newEntries = splitWriteGroups(withPartitionCols(out),
-      Manifest.Data, _ => seq, seq)
+    // PURE-REGION predicate (every conjunct tuple-decidable): the
+    // decidable conjunction is TRUE for every row of every affected
+    // tuple, so the survivors of !cond are provably empty — skip the
+    // region read entirely (the backfill twin of the metadata delete:
+    // drop the region's entries, write only the batch)
+    val pureRegion = decidable.size == allConjuncts.size
+    val survivors: Option[DataFrame] =
+      if (pureRegion) None
+      else Some(morRead(target).filter(!coalesce(cond, lit(false))).select(cols: _*))
+    val out: Option[DataFrame] = (survivors, replacement.map(_.select(cols: _*))) match {
+      case (Some(sv), Some(b)) => Some(sv.unionByName(b))
+      case (Some(sv), None)    => Some(sv)
+      case (None, b)           => b
+    }
+    val newEntries = out.map(o => splitWriteGroups(withPartitionCols(o),
+      Manifest.Data, _ => seq, seq)).getOrElse(Seq.empty)
+    // nothing dropped AND nothing written (empty batch over a no-match
+    // region): semantic no-op — don't burn a version, same rule as
+    // overwriteStaticRegion
+    if (target.isEmpty && newEntries.isEmpty) return true
     // barrier only when existing groups drop (rows vanish without
     // tombstones); a pure insert into an empty region stays append-shaped
     // — the same rule as overwriteStaticRegion
@@ -3407,9 +3422,13 @@ final class ManagedTable private (
     * every matched row plus the new rows — O(matched + batch), nothing
     * rewritten; same-seq tombstone/insert siblings resolve exactly like
     * [[updateWhere]]'s identity changes. Keyless tables have no row
-    * identity to tombstone, so they fall back to copy-on-write of
-    * survivors ∪ batch (partitioned keyless backfills should use
-    * [[overwritePartitions]], which is rewrite-free).
+    * identity to tombstone; when the predicate carries a partition-region
+    * conjunct they take the SCOPED copy-on-write path (only the region's
+    * partitions rewrite — and a PURE-region predicate skips the region
+    * read entirely: entries drop, only the batch is written), otherwise
+    * copy-on-write of survivors ∪ batch (tuple-exact partitioned
+    * backfills can also use [[overwritePartitions]] /
+    * [[overwriteStaticRegion]]).
     *
     * The replaceWhere contract: every batch row must satisfy `cond` —
     * a row landing outside the replaced region would silently survive

@@ -527,6 +527,19 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
       t.overwriteWhere(region, backfill.withColumn("grp", lit(4)))
     }
     assert(t.meta.currentVersion == v)
+    // PURE-region overwrite skips the region read: entries drop, only the
+    // batch is written (zero input bytes from the replaced region)
+    val repl = Seq((777, "only", 5, 7L)).toDF("id", "name", "grp", "v")
+    val beforePure = files().filterNot(_._2 == "5").map(_._1).toSet
+    t.overwriteWhere(col("grp") === 5, repl)
+    assert(t.read().filter(col("grp") === 5).count() == 1)
+    assert(t.read().filter(col("grp") === 5).select("name").head().getString(0) == "only")
+    assert(files().filterNot(_._2 == "5").map(_._1).toSet == beforePure,
+      "pure-region overwrite must not touch other partitions")
+    // empty batch over a NO-MATCH region: semantic no-op, no version burnt
+    val v2 = t.meta.currentVersion
+    t.overwriteWhere(col("grp") === 99, repl.limit(0))
+    assert(t.meta.currentVersion == v2, "empty no-match overwrite must not commit")
   }
 
   test("current-time predicates: metadata path allowed (single evaluation), scoped path refused") {
