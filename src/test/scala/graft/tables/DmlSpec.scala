@@ -568,6 +568,42 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
       "two-phase-unsafe predicate must take the single-evaluation COW path")
   }
 
+  test("keyless delete routing differential: metadata, scoped, and full-COW paths all match the model") {
+    // a seeded sweep of predicate shapes across the three routes — each
+    // result must equal the plain DataFrame-filter model of the SAME
+    // predicate; file-level behavior is covered by the dedicated tests,
+    // this pins ROW semantics against routing mistakes between the paths
+    val w = wh
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 120).map(i =>
+      (i, if (i % 11 == 0) null else Integer.valueOf(i % 6), i.toLong, s"s${i % 4}"))
+      .toDF("id", "grp", "v", "tag")
+    def mkPred(): org.apache.spark.sql.Column = {
+      val region = rnd.nextInt(4) match {
+        case 0 => col("grp") === rnd.nextInt(7)
+        case 1 => col("grp").isin(rnd.nextInt(6), rnd.nextInt(6))
+        case 2 => col("grp") > rnd.nextInt(5)
+        case 3 => col("grp").isNull
+      }
+      rnd.nextInt(3) match {
+        case 0 => region                           // metadata route
+        case 1 => region && col("v") % 3 === 0     // scoped route
+        case 2 => region || col("tag") === "s1"    // full-COW route (OR)
+      }
+    }
+    (1 to 12).foreach { k =>
+      val t = ManagedTable.create(spark, w, s"rdiff$k", df.schema, Seq.empty,
+        Seq("grp", "bucket(2, id)"))
+      t.append(df)
+      val pred = mkPred()
+      val expected = df.filter(!coalesce(pred, lit(false)))
+        .select("id").as[Int].collect().toSet
+      t.deleteWhere(pred)
+      val got = t.read().select("id").as[Int].collect().toSet
+      assert(got == expected, s"route divergence for predicate #$k: $pred")
+    }
+  }
+
   test("overwritePartitions stamps the changelog barrier: incremental consumers reseed") {
     val w = wh
     val t = seed(w, "dpo2", partitionBy = Seq("grp"))
