@@ -743,6 +743,40 @@ object Queries {
       |WHERE NOT coalesce(o_orderpriority IN ('1-URGENT', '2-HIGH')
       |  AND o_totalprice < 100000.0, false)""".stripMargin))
 
+  /** Keyless UPDATE (Iceberg COW-update parity for tables without row
+    * identity — previously refused): a region × residual predicate
+    * rewrites ONLY the region's partitions (runtime-asserted: every
+    * other partition keeps its exact files), applying the SET in place.
+    * Oracle = the CASE-WHEN replay. Double math is one IEEE add.
+    */
+  val dmlUpdateKeyless = Q("dml_update_keyless_region",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_kupd").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_kupd",
+        base.schema, Seq.empty, partitionBy = Seq("o_orderpriority"))
+      tbl.append(base)
+      def files = tbl.filesMetadata().select("path", "partition").collect()
+        .map(r => r.getString(0) ->
+          r.getMap[String, String](1).get("o_orderpriority").orNull).toSeq
+      val before = files
+      tbl.updateWhere(col("o_orderpriority") === "3-MEDIUM" &&
+          col("o_totalprice") < 100000.0,
+        Map("o_orderstatus" -> lit("M"), "o_totalprice" -> (col("o_totalprice") + 1000.0)))
+      val after = files
+      require(after.filterNot(_._2 == "3-MEDIUM").map(_._1).toSet ==
+          before.filterNot(_._2 == "3-MEDIUM").map(_._1).toSet,
+        "keyless update must rewrite only the region's partitions")
+      tbl.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderpriority = '3-MEDIUM' AND o_totalprice < 100000.0
+      |       THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderpriority = '3-MEDIUM' AND o_totalprice < 100000.0
+      |       THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+      |  o_orderpriority
+      |FROM orders""".stripMargin))
+
   /** Commit-exact graft→graft replication ([[graft.cdc.Replicate]]): a
     * replica follows an upstream orders table through seed + three
     * mutation commits (update / region update / hard delete) applied
@@ -4081,7 +4115,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteScoped, dmlUpdate, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteScoped, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

@@ -2604,24 +2604,28 @@ final class ManagedTable private (
     * `!cond`, plus `replacement` for the overwrite shape), ride every
     * other group into the new manifest untouched.
     */
-  private def scopedKeylessRewrite(cond: org.apache.spark.sql.Column,
-                                   replacement: Option[DataFrame]): Boolean = {
+  /** The partition-pruning decision shared by every scoped keyless
+    * path: analyze `cond` against the table schema, split conjuncts,
+    * keep the tuple-decidable ones (twoPhase: the pruning collect and
+    * the row-level apply are separate executions — see [[tupleUnsafe]]),
+    * and evaluate them per live tuple. Returns (affected tuples,
+    * all-conjuncts-decidable) — None when ineligible or nothing prunes.
+    */
+  private def regionPrune(cond: org.apache.spark.sql.Column)
+      : Option[(Set[Map[String, String]], Boolean)] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression}
     val entries = currentEntries
-    if (entries.isEmpty) return false
-    val (tuples, tupleDf, idFields) = tupleRelation(entries).getOrElse(return false)
-    // analyze the predicate against the table schema, split conjuncts,
-    // keep the tuple-decidable ones (twoPhase: the pruning collect and
-    // the survivor rewrite are separate executions — see [[tupleUnsafe]])
+    if (entries.isEmpty) return None
+    val (tuples, tupleDf, idFields) = tupleRelation(entries).getOrElse(return None)
     val probe = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], _meta.schema)
     val analyzed = try probe.filter(cond).queryExecution.analyzed catch {
-      case _: org.apache.spark.sql.AnalysisException => return false
+      case _: org.apache.spark.sql.AnalysisException => return None
     }
     val conds = analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
-    if (conds.size != 1) return false
+    if (conds.size != 1) return None
     def split(e: Expression): Seq[Expression] = e match {
       case And(l, r) => split(l) ++ split(r)
       case x => Seq(x)
@@ -2631,7 +2635,7 @@ final class ManagedTable private (
       c.references.nonEmpty &&
         c.references.forall(a => tupleRefOk(idFields)(a.name)) &&
         !tupleUnsafe(c, twoPhase = true))
-    if (decidable.isEmpty) return false
+    if (decidable.isEmpty) return None
     // re-resolve the decidable conjunction against the tuple relation
     // (fresh names, not the probe's attribute ids)
     val tuplePred = org.apache.spark.sql.graftbridge.GraftBridge.column(
@@ -2640,10 +2644,17 @@ final class ManagedTable private (
       }).reduce(And(_, _)))
     val affected = tupleDf.filter(tuplePred).select("__graft_tuple_idx")
       .collect().map(r => tuples(r.getInt(0))).toSet
+    if (affected.size == tuples.size) return None // nothing pruned: plain COW
+    Some((affected, decidable.size == allConjuncts.size))
+  }
+
+  private def scopedKeylessRewrite(cond: org.apache.spark.sql.Column,
+                                   replacement: Option[DataFrame]): Boolean = {
+    val entries = currentEntries
+    val (affected, pureRegion) = regionPrune(cond).getOrElse(return false)
     // DELETE of a region no tuple can match: semantic no-op, no version
     // burnt. An OVERWRITE still writes its replacement batch (below).
     if (affected.isEmpty && replacement.isEmpty) return true
-    if (affected.size == tuples.size) return false // nothing pruned: plain COW
     val target = entries.filter(e => affected.contains(e.partition))
     val untouched = entries.filterNot(e => affected.contains(e.partition))
     val seq = _meta.currentVersion + 1
@@ -2653,7 +2664,6 @@ final class ManagedTable private (
     // tuple, so the survivors of !cond are provably empty — skip the
     // region read entirely (the backfill twin of the metadata delete:
     // drop the region's entries, write only the batch)
-    val pureRegion = decidable.size == allConjuncts.size
     val survivors: Option[DataFrame] =
       if (pureRegion) None
       else Some(morRead(target).filter(!coalesce(cond, lit(false))).select(cols: _*))
@@ -2716,11 +2726,10 @@ final class ManagedTable private (
   def updateWhere(cond: org.apache.spark.sql.Column,
                   set: Map[String, org.apache.spark.sql.Column]): Unit = {
     val ids = _meta.identifierFields
-    require(ids.nonEmpty,
-      "updateWhere requires identifier fields (keyless tables: overwrite)")
     require(set.nonEmpty, "updateWhere requires at least one assignment")
     set.keys.foreach(k => require(_meta.schema.fieldNames.contains(k),
       s"unknown column $k"))
+    if (ids.isEmpty) { keylessUpdate(cond, set); return }
     val matched = read().filter(coalesce(cond, lit(false)))
     val updated = matched.select(_meta.schema.fields.toSeq.map { f =>
       set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name)).as(f.name)
@@ -2732,6 +2741,45 @@ final class ManagedTable private (
         updated.unionByName(matched.withColumn(TombstoneCol, lit(true)))
       else updated
     commitUpsertBatch(flagged, skipIfEmpty = true)
+  }
+
+  /** Keyless UPDATE (Iceberg's copy-on-write UPDATE for tables without
+    * row identity): rows where `cond` is TRUE get `set` applied, all
+    * others pass through unchanged, committed as a rewrite. With a
+    * partition-region conjunct in the predicate ([[regionPrune]]) only
+    * the region's partitions rewrite — every other group rides the new
+    * manifest untouched, so "re-price January where flagged" costs
+    * O(affected partitions), not the table. A SET on a partition SOURCE
+    * column is fine: rewritten rows land under their recomputed tuples
+    * (an update can only move rows OUT of the affected region, never
+    * create matches in untouched partitions — those rows never matched).
+    * Rows change without tombstones, so the commit is barrier-stamped;
+    * a region no tuple can match is a semantic no-op (no version).
+    */
+  private def keylessUpdate(cond: org.apache.spark.sql.Column,
+                            set: Map[String, org.apache.spark.sql.Column]): Unit = {
+    def applySet(df: DataFrame): DataFrame =
+      df.select(_meta.schema.fields.toSeq.map { f =>
+        set.get(f.name)
+          .map(v => when(coalesce(cond, lit(false)), v.cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name))
+          .getOrElse(col(f.name))
+      }: _*)
+    regionPrune(cond) match {
+      case Some((affected, _)) =>
+        if (affected.isEmpty) return // no tuple can match: no-op, no version
+        val entries = currentEntries
+        val target = entries.filter(e => affected.contains(e.partition))
+        val untouched = entries.filterNot(e => affected.contains(e.partition))
+        val seq = _meta.currentVersion + 1
+        val out = applySet(
+          morRead(target).select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*))
+        val newEntries = splitWriteGroups(withPartitionCols(out),
+          Manifest.Data, _ => seq, seq)
+        commitManifestWithProps(untouched ++ newEntries, barrierProp)
+      case None =>
+        overwrite(applySet(read()))
+    }
   }
 
   /** SQL MERGE (`MERGE INTO t USING s ON t.pk = s.pk ...`) as one

@@ -568,6 +568,40 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
       "two-phase-unsafe predicate must take the single-evaluation COW path")
   }
 
+  test("keyless UPDATE: scoped rewrite, partition moves, no-op region, full-COW fallback") {
+    val w = wh
+    val t = seed(w, "ku1", partitionBy = Seq("grp"), ids = Seq.empty)
+    val files = () => t.filesMetadata().select("path", "partition").collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1).get("grp").orNull).toSeq
+    val before = files()
+    // region × residual update: only grp=4's groups rewrite
+    t.updateWhere(col("grp") === 4 && col("v") < 500L,
+      Map("name" -> lit("upd"), "v" -> (col("v") + 1L)))
+    val got = canon(t.read())
+    val expect = (1 to 100).map { i =>
+      if (i % 10 == 4 && i * 10 < 500) (i, "upd", 4, i.toLong * 10 + 1)
+      else (i, s"n$i", i % 10, i.toLong * 10)
+    }.sortBy(x => x)
+    assert(got == expect)
+    val after = files()
+    assert(after.filterNot(_._2 == "4").map(_._1).toSet ==
+      before.filterNot(_._2 == "4").map(_._1).toSet,
+      "partitions outside the region must keep their exact files")
+    assert(t.meta.properties(ManagedTable.BarrierKey).toLong == t.meta.currentVersion)
+    // SET moving rows ACROSS partitions: updated rows land in their new tuple
+    t.updateWhere(col("grp") === 7, Map("grp" -> lit(8)))
+    assert(t.read().filter(col("grp") === 7).count() == 0)
+    assert(t.read().filter(col("grp") === 8).count() == 20)
+    assert(t.read().count() == 100)
+    // region matching nothing: no version burnt
+    val v = t.meta.currentVersion
+    t.updateWhere(col("grp") === 42, Map("name" -> lit("x")))
+    assert(t.meta.currentVersion == v)
+    // non-region predicate: full COW, still exact
+    t.updateWhere(col("v") === 10L, Map("name" -> lit("one")))
+    assert(t.read().filter(col("name") === "one").count() == 1)
+  }
+
   test("keyless delete routing differential: metadata, scoped, and full-COW paths all match the model") {
     // a seeded sweep of predicate shapes across the three routes — each
     // result must equal the plain DataFrame-filter model of the SAME
