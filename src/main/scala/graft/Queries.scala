@@ -595,6 +595,25 @@ object Queries {
 
   private val dmlCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
 
+  /** Keyless priority-partitioned orders table + its partition→files
+    * snapshot — the shared scaffold of the scoped-DML oracle queries
+    * (their runtime assertions compare these snapshots).
+    */
+  private def keylessOrdersTable(s: SparkSession, dir: String, name: String)
+      : graft.tables.ManagedTable = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_kdml").toString
+    val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+    val tbl = graft.tables.ManagedTable.create(s, wh, name,
+      base.schema, Seq.empty, partitionBy = Seq("o_orderpriority"))
+    tbl.append(base)
+    tbl
+  }
+
+  private def priorityFiles(tbl: graft.tables.ManagedTable): Seq[(String, String)] =
+    tbl.filesMetadata().select("path", "partition").collect()
+      .map(r => r.getString(0) ->
+        r.getMap[String, String](1).get("o_orderpriority").orNull).toSeq
+
   /** `DELETE FROM orders WHERE status='F' AND price<100000` through the
     * merge-on-read tombstone commit ([[graft.tables.ManagedTable.deleteWhere]]),
     * read back. Oracle = the survivors, with the engine's null-keeps-row
@@ -691,14 +710,10 @@ object Queries {
     */
   val dmlDeleteRegion = Q("dml_delete_partition_region",
     (s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft_mdel").toString
-      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
-      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_mdel",
-        base.schema, Seq.empty, partitionBy = Seq("o_orderpriority"))
-      tbl.append(base)
-      val before = tbl.filesMetadata().select("path").collect().map(_.getString(0)).toSet
+      val tbl = keylessOrdersTable(s, dir, "orders_mdel")
+      val before = priorityFiles(tbl).map(_._1).toSet
       tbl.deleteWhere(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-      val after = tbl.filesMetadata().select("path").collect().map(_.getString(0)).toSet
+      val after = priorityFiles(tbl).map(_._1).toSet
       require(after.subsetOf(before) && after.nonEmpty,
         "metadata delete must drop manifest entries, never rewrite survivors")
       tbl.read().select(dmlCols.map(col): _*)
@@ -717,18 +732,11 @@ object Queries {
     */
   val dmlDeleteScoped = Q("dml_delete_scoped_region",
     (s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft_sdel").toString
-      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
-      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_sdel",
-        base.schema, Seq.empty, partitionBy = Seq("o_orderpriority"))
-      tbl.append(base)
-      def files = tbl.filesMetadata().select("path", "partition").collect()
-        .map(r => r.getString(0) ->
-          r.getMap[String, String](1).get("o_orderpriority").orNull).toSeq
-      val before = files
+      val tbl = keylessOrdersTable(s, dir, "orders_sdel")
+      val before = priorityFiles(tbl)
       tbl.deleteWhere(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
         col("o_totalprice") < 100000.0)
-      val after = files
+      val after = priorityFiles(tbl)
       val hot = Set("1-URGENT", "2-HIGH")
       require(after.filterNot(p => hot(p._2)).map(_._1).toSet ==
           before.filterNot(p => hot(p._2)).map(_._1).toSet,
@@ -751,19 +759,12 @@ object Queries {
     */
   val dmlUpdateKeyless = Q("dml_update_keyless_region",
     (s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft_kupd").toString
-      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
-      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_kupd",
-        base.schema, Seq.empty, partitionBy = Seq("o_orderpriority"))
-      tbl.append(base)
-      def files = tbl.filesMetadata().select("path", "partition").collect()
-        .map(r => r.getString(0) ->
-          r.getMap[String, String](1).get("o_orderpriority").orNull).toSeq
-      val before = files
+      val tbl = keylessOrdersTable(s, dir, "orders_kupd")
+      val before = priorityFiles(tbl)
       tbl.updateWhere(col("o_orderpriority") === "3-MEDIUM" &&
           col("o_totalprice") < 100000.0,
         Map("o_orderstatus" -> lit("M"), "o_totalprice" -> (col("o_totalprice") + 1000.0)))
-      val after = files
+      val after = priorityFiles(tbl)
       require(after.filterNot(_._2 == "3-MEDIUM").map(_._1).toSet ==
           before.filterNot(_._2 == "3-MEDIUM").map(_._1).toSet,
         "keyless update must rewrite only the region's partitions")

@@ -2664,6 +2664,13 @@ final class ManagedTable private (
     // tuple, so the survivors of !cond are provably empty — skip the
     // region read entirely (the backfill twin of the metadata delete:
     // drop the region's entries, write only the batch)
+    // residual matching ZERO rows in the region: a delete would rewrite
+    // identical content and stamp a barrier for a semantic no-op — probe
+    // with a short-circuit scan first (bounded by the region, and far
+    // cheaper than the rewrite it avoids)
+    if (!pureRegion && replacement.isEmpty &&
+        morRead(target).filter(coalesce(cond, lit(false))).isEmpty)
+      return true
     val survivors: Option[DataFrame] =
       if (pureRegion) None
       else Some(morRead(target).filter(!coalesce(cond, lit(false))).select(cols: _*))
@@ -2672,18 +2679,26 @@ final class ManagedTable private (
       case (Some(sv), None)    => Some(sv)
       case (None, b)           => b
     }
+    commitRegionRewrite(untouched, target, out, seq)
+    true
+  }
+
+  /** The shared commit tail of the scoped keyless rewrites: write `out`
+    * (when any) as the affected region's replacement groups and flip the
+    * pointer. Nothing dropped AND nothing written (empty batch over a
+    * no-match region) is a semantic no-op — no version burnt, same rule
+    * as overwriteStaticRegion. Barrier only when existing groups drop
+    * (rows vanish without tombstones); a pure insert into an empty
+    * region stays append-shaped.
+    */
+  private def commitRegionRewrite(untouched: Seq[ManifestEntry],
+                                  target: Seq[ManifestEntry],
+                                  out: Option[DataFrame], seq: Long): Unit = {
     val newEntries = out.map(o => splitWriteGroups(withPartitionCols(o),
       Manifest.Data, _ => seq, seq)).getOrElse(Seq.empty)
-    // nothing dropped AND nothing written (empty batch over a no-match
-    // region): semantic no-op — don't burn a version, same rule as
-    // overwriteStaticRegion
-    if (target.isEmpty && newEntries.isEmpty) return true
-    // barrier only when existing groups drop (rows vanish without
-    // tombstones); a pure insert into an empty region stays append-shaped
-    // — the same rule as overwriteStaticRegion
+    if (target.isEmpty && newEntries.isEmpty) return
     commitManifestWithProps(untouched ++ newEntries,
       if (target.nonEmpty) barrierProp else Map.empty)
-    true
   }
 
   /** Row-level DELETE (`DELETE FROM t WHERE cond`): rows where `cond` is
@@ -2771,13 +2786,16 @@ final class ManagedTable private (
         val entries = currentEntries
         val target = entries.filter(e => affected.contains(e.partition))
         val untouched = entries.filterNot(e => affected.contains(e.partition))
+        // residual matching zero rows: no-op, no rewrite, no barrier
+        if (morRead(target).filter(coalesce(cond, lit(false))).isEmpty) return
         val seq = _meta.currentVersion + 1
         val out = applySet(
           morRead(target).select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*))
-        val newEntries = splitWriteGroups(withPartitionCols(out),
-          Manifest.Data, _ => seq, seq)
-        commitManifestWithProps(untouched ++ newEntries, barrierProp)
+        commitRegionRewrite(untouched, target, Some(out), seq)
       case None =>
+        // zero-match probe first: the full-COW rewrite + barrier after a
+        // no-op UPDATE would force changelog followers into a reseed
+        if (read().filter(coalesce(cond, lit(false))).isEmpty) return
         overwrite(applySet(read()))
     }
   }
