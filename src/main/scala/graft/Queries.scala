@@ -722,6 +722,49 @@ object Queries {
       |FROM orders
       |WHERE NOT coalesce(o_orderpriority IN ('1-URGENT', '2-HIGH'), false)""".stripMargin))
 
+  /** Metadata-only DELETE on a KEYED table (round 8): the CDC-parity
+    * retention shape. A keyed (o_orderkey) priority-partitioned orders
+    * table in a genuine MoR state — an [[graft.tables.ManagedTable
+    * .updateWhere]] upsert batch touching every partition — gets a
+    * pure-region DELETE: one manifest diff dropping the region's data,
+    * upsert and sidecar entries together (equality scopes are
+    * partition-local within the single spec epoch, so no surviving
+    * scope can reference the dropped tuples). Runtime-asserts ZERO
+    * files read or rewritten (survivors keep their exact paths, MoR
+    * upsert groups included) and the changelog barrier stamp. Oracle =
+    * the update replayed as CASE-WHEN, then the survivors.
+    */
+  val dmlDeleteRegionKeyed = Q("dml_delete_region_keyed",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_krdel").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_krdel",
+        base.schema, Seq("o_orderkey"), partitionBy = Seq("o_orderpriority"))
+      tbl.append(base)
+      tbl.updateWhere(col("o_orderkey") % 10 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") + 500.0)))
+      val before = priorityFiles(tbl).map(_._1).toSet
+      val upsertsBefore = tbl.filesMetadata()
+        .filter(col("kind") === "upsert").count()
+      tbl.deleteWhere(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      val after = priorityFiles(tbl).map(_._1).toSet
+      require(after.subsetOf(before) && after.nonEmpty,
+        "keyed region delete must drop manifest entries, never rewrite survivors")
+      require(upsertsBefore > 0 && tbl.filesMetadata()
+          .filter(col("kind") === "upsert").count() > 0,
+        "the MoR state must be genuine: upsert groups before AND after")
+      require(tbl.meta.properties(graft.tables.ManagedTable.BarrierKey).toLong ==
+          tbl.meta.currentVersion,
+        "keyed region delete must stamp the changelog barrier")
+      tbl.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 500.0
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  o_orderpriority
+      |FROM orders
+      |WHERE NOT coalesce(o_orderpriority IN ('1-URGENT', '2-HIGH'), false)""".stripMargin))
+
   /** Partition-SCOPED keyless COW delete ([[graft.tables.ManagedTable]]
     * scopedKeylessDelete): a MIXED predicate — region conjunct
     * (priority IN …) × row residual (price < …) — rewrites ONLY the
@@ -4116,7 +4159,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteScoped, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

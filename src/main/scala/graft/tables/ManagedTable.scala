@@ -2453,8 +2453,14 @@ final class ManagedTable private (
     * table. Returns true when it handled the delete.
     *
     * Eligibility (anything else falls through to the row-level paths):
-    *  - keyless table — keyed tables keep MoR tombstones so the
-    *    changelog stays precise (same routing as [[overwriteStaticRegion]]);
+    *  - keyless table, or a KEYED table unless
+    *    `delete.keyed-region-mode=tombstone` (round 8): equality-delete
+    *    scopes are partition-local within a spec epoch, so dropping a
+    *    whole tuple drops its data, upsert AND posdel entries together —
+    *    no surviving scope can reference the region. Keyed CDC tables
+    *    are exactly where the 100 TB retention shape lives; consumers
+    *    that prefer an incremental (tombstone-precise) changelog over
+    *    the barrier+reseed opt out via the property;
     *  - single spec epoch — old-epoch tuples use a different formula;
     *  - predicate references ONLY identity partition sources (plain
     *    single-part names), no subqueries, and resolves deterministic;
@@ -2495,9 +2501,9 @@ final class ManagedTable private (
     * (notably: a STRING source value equal to the Hive null marker is
     * indistinguishable from null in the tuple — don't guess).
     */
-  private def tupleRelation(entries: Seq[ManifestEntry])
+  private def tupleRelation(entries: Seq[ManifestEntry], allowKeyed: Boolean = false)
       : Option[(Seq[Map[String, String]], DataFrame, Seq[PartitionField])] = {
-    if (!isPartitioned || _meta.identifierFields.nonEmpty) return None
+    if (!isPartitioned || (_meta.identifierFields.nonEmpty && !allowKeyed)) return None
     if (entries.exists(e => entryEpoch(e.seq) != currentEpoch)) return None
     val idFields = partitionFields.filter(_.transform == "identity")
     if (idFields.isEmpty) return None
@@ -2549,7 +2555,13 @@ final class ManagedTable private (
 
   private def metadataDeleteWhere(cond: org.apache.spark.sql.Column): Boolean = {
     val entries = currentEntries
-    val (tuples, tupleDf, idFields) = tupleRelation(entries).getOrElse(return false)
+    // Keyed tables take the manifest-drop path too (round 8) — sound
+    // because scopes are partition-local within the (gated) single
+    // epoch — unless the consumer opted into tombstone-precise deletes.
+    val allowKeyed =
+      _meta.properties.getOrElse("delete.keyed-region-mode", "metadata") != "tombstone"
+    val (tuples, tupleDf, idFields) =
+      tupleRelation(entries, allowKeyed).getOrElse(return false)
     // Eligibility is read off the ANALYZED plan (a classic Column is an
     // opaque node until resolution): the predicate must resolve against
     // the tuple relation at all (else it references non-partition
@@ -2705,7 +2717,10 @@ final class ManagedTable private (
     * TRUE (null = kept) become tombstones in one merge-on-read commit —
     * table files are never rewritten. Cost: one table scan with the
     * predicate pushed to the file scan, plus an O(matched) write; the
-    * Iceberg merge-on-read `DELETE` analogue. Keyless tables have no
+    * Iceberg merge-on-read `DELETE` analogue. A predicate naming whole
+    * partition regions short-circuits to [[metadataDeleteWhere]] on
+    * keyed AND keyless tables alike (round 8; keyed opt-out:
+    * `delete.keyed-region-mode=tombstone`). Keyless tables have no
     * equality-delete identity, so they fall back to copy-on-write
     * (`overwrite` of the survivors) — Iceberg's COW mode — unless the
     * predicate names whole partition regions ([[metadataDeleteWhere]]:

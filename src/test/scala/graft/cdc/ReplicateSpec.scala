@@ -77,6 +77,26 @@ class ReplicateSpec extends AnyFunSuite with SharedSpark {
     assert(state(ManagedTable.load(spark, w, "down2").get) == state(src3))
   }
 
+  test("a keyed metadata region delete upstream is a barrier; the replica reseeds and converges") {
+    val w = wh
+    val df = (1 to 40).map(i => (i, s"n$i", (i % 4).toLong)).toDF("id", "name", "v")
+    val src = ManagedTable.create(spark, w, "upk", df.schema, Seq("id"), Seq("v"))
+    val dst = ManagedTable.create(spark, w, "downk", df.schema, Seq("id"), Seq("v"))
+    src.append(df)
+    Replicate.syncOnce(src, dst)
+    // keyed pure-region delete: manifest diff, rows vanish with NO
+    // tombstones — only the barrier tells the replica
+    val files = src.filesMetadata().select("path").as[String].collect().toSet
+    src.deleteWhere(col("v").isin(1L, 2L))
+    assert(src.filesMetadata().select("path").as[String].collect().toSet
+        .subsetOf(files), "precondition: the delete took the metadata route")
+    src.append(Seq((100, "x", 3L)).toDF("id", "name", "v"))
+    val src2 = ManagedTable.load(spark, w, "upk").get
+    Replicate.syncOnce(src2, ManagedTable.load(spark, w, "downk").get)
+    assert(state(ManagedTable.load(spark, w, "downk").get) == state(src2))
+    assert(!state(src2).exists(r => r._3 == 1L || r._3 == 2L))
+  }
+
   test("upstream schema evolution flows through: new columns appear with nulls downstream") {
     val w = wh
     val src = ManagedTable.create(spark, w, "up3", rows().schema, Seq("id"))

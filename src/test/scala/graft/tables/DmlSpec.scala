@@ -449,14 +449,26 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
     assert(t.read().select("id").as[Int].collect().toSet == expected)
     assert(t.filesMetadata().select("path").as[String].collect().toSet.subsetOf(before),
       "derived-transform sibling tuples of the region must drop without rewrite")
-    // keyed tables keep the MoR tombstone path: old groups survive
+    // keyed tables take the manifest drop too (round 8) unless the
+    // consumer opted into changelog-precise tombstones
     val tk = seed(w, "md5", partitionBy = Seq("grp"), ids = Seq("id"))
     val keyedBefore = tk.filesMetadata().select("path").as[String].collect().toSet
     tk.deleteWhere(col("grp") === 3)
     assert(tk.read().filter(col("grp") === 3).count() == 0)
-    assert(keyedBefore.subsetOf(
-      tk.filesMetadata().select("path").as[String].collect().toSet),
-      "keyed region delete must add tombstones, not drop groups (changelog precision)")
+    assert(tk.filesMetadata().select("path").as[String].collect().toSet
+        .subsetOf(keyedBefore),
+      "keyed region delete must drop groups (manifest diff), not rewrite")
+    val tkOpt = ManagedTable.create(spark, w, "md6",
+      (1 to 10).map(i => (i, i % 2, i.toLong)).toDF("id", "grp", "v").schema,
+      Seq("id"), Seq("grp"),
+      properties = Map("delete.keyed-region-mode" -> "tombstone"))
+    tkOpt.append((1 to 10).map(i => (i, i % 2, i.toLong)).toDF("id", "grp", "v"))
+    val optBefore = tkOpt.filesMetadata().select("path").as[String].collect().toSet
+    tkOpt.deleteWhere(col("grp") === 1)
+    assert(tkOpt.read().filter(col("grp") === 1).count() == 0)
+    assert(optBefore.subsetOf(
+      tkOpt.filesMetadata().select("path").as[String].collect().toSet),
+      "tombstone opt-out must keep every pre-delete group (changelog precision)")
   }
 
   test("scoped keyless delete: mixed predicate rewrites only the region's partitions") {
@@ -635,6 +647,79 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
       t.deleteWhere(pred)
       val got = t.read().select("id").as[Int].collect().toSet
       assert(got == expected, s"route divergence for predicate #$k: $pred")
+    }
+  }
+
+  test("keyed metadata region delete: manifest diff (MoR groups included), barrier, tombstone opt-out agrees") {
+    val w = wh
+    def mk(name: String, props: Map[String, String]): ManagedTable = {
+      val df = (1 to 100).map(i => (i, s"n$i", i % 10, i.toLong * 10)).toDF("id", "name", "grp", "v")
+      val t = ManagedTable.create(spark, w, name, df.schema, Seq("id"), Seq("grp"),
+        properties = props)
+      t.append(df)
+      // a genuine MoR state: upsert groups in every partition
+      t.updateWhere(col("id") % 4 === 0, Map("v" -> (col("v") + 1L)))
+      t
+    }
+    val t = mk("krd", Map.empty)
+    val v0 = t.meta.currentVersion
+    val pre = canon(t.read())
+    val before = t.filesMetadata().select("path", "kind").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(before.exists(_._2 == "upsert"), "setup must leave live upsert groups")
+    t.deleteWhere(col("grp").isin(3, 7))
+    val after = t.filesMetadata().select("path", "kind").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after.subsetOf(before) && after.nonEmpty,
+      "keyed region delete must drop entries, never rewrite survivors")
+    assert(after.exists(_._2 == "upsert"),
+      "surviving partitions keep their MoR upsert groups untouched")
+    assert(t.meta.properties(ManagedTable.BarrierKey).toLong == t.meta.currentVersion,
+      "rows vanished without tombstones — the barrier must be stamped")
+    assert(canon(t.readVersion(v0)) == pre, "time travel sees the pre-delete state")
+    // the tombstone opt-out: same delete through MoR tombstones, same rows
+    val t2 = mk("krd2", Map("delete.keyed-region-mode" -> "tombstone"))
+    val files2 = t2.filesMetadata().select("path").as[String].collect().toSet
+    t2.deleteWhere(col("grp").isin(3, 7))
+    assert(files2.subsetOf(
+        t2.filesMetadata().select("path").as[String].collect().toSet),
+      "tombstone mode must keep every pre-delete group (MoR, no drop)")
+    assert(!t2.meta.properties.get(ManagedTable.BarrierKey)
+        .exists(_.toLong == t2.meta.currentVersion),
+      "tombstone deletes are changelog-precise — no barrier")
+    assert(canon(t.read()) == canon(t2.read()),
+      "metadata and tombstone routes must agree on rows")
+  }
+
+  test("keyed delete routing differential: metadata, tombstone and mixed-predicate paths match the model") {
+    val w = wh
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 120).map(i =>
+      (i, if (i % 11 == 0) null else Integer.valueOf(i % 6), i.toLong, s"s${i % 4}"))
+      .toDF("id", "grp", "v", "tag")
+    def mkPred(): org.apache.spark.sql.Column = {
+      val region = rnd.nextInt(4) match {
+        case 0 => col("grp") === rnd.nextInt(7)
+        case 1 => col("grp").isin(rnd.nextInt(6), rnd.nextInt(6))
+        case 2 => col("grp") > rnd.nextInt(5)
+        case 3 => col("grp").isNull
+      }
+      rnd.nextInt(3) match {
+        case 0 => region                           // keyed metadata route
+        case 1 => region && col("v") % 3 === 0     // MoR tombstone route
+        case 2 => region || col("tag") === "s1"    // MoR tombstone route (OR)
+      }
+    }
+    (1 to 12).foreach { k =>
+      val t = ManagedTable.create(spark, w, s"krdiff$k", df.schema, Seq("id"),
+        Seq("grp", "bucket(2, id)"))
+      t.append(df)
+      val pred = mkPred()
+      val expected = df.filter(!coalesce(pred, lit(false)))
+        .select("id").as[Int].collect().toSet
+      t.deleteWhere(pred)
+      val got = t.read().select("id").as[Int].collect().toSet
+      assert(got == expected, s"keyed route divergence for predicate #$k: $pred")
     }
   }
 

@@ -63,6 +63,26 @@ class MaterializedViewSpec extends AnyFunSuite with SharedSpark {
     assert(re.refreshedVersion == src.meta.currentVersion)
   }
 
+  test("a keyed metadata region delete is a barrier: the MV reseeds to the recompute") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mvk").toString
+    val df = (1 to 60).map(i => (i, s"g${i % 3}", i.toLong)).toDF("id", "grp", "v")
+    val src = ManagedTable.create(spark, wh, "kfacts", df.schema, Seq("id"), Seq("grp"),
+      properties = Map("write.versions-retained" -> "10"))
+    src.append(df)
+    val mv = MaterializedView.create(spark, wh, "kfacts_by_grp", src, Seq("grp"), Seq("v"))
+    assert(canonAgg(mv.read()) == expected(src))
+    // pure-region keyed delete: manifest diff, no tombstones — only the
+    // barrier keeps the incremental refresh from silently keeping g1
+    val files = src.filesMetadata().select("path").as[String].collect().toSet
+    src.deleteWhere(col("grp") === "g1")
+    assert(src.filesMetadata().select("path").as[String].collect().toSet
+        .subsetOf(files), "precondition: the delete took the metadata route")
+    mv.refresh()
+    assert(canonAgg(mv.read()) == expected(src),
+      "MV diverged across a keyed metadata region delete")
+    assert(!canonAgg(mv.read()).exists(_._1 == "g1"))
+  }
+
   test("a group emptied by deletes leaves the summary; group-moving update migrates counts") {
     val wh = java.nio.file.Files.createTempDirectory("graft-mv2").toString
     val cfg = CdcApply.UpsertConfig(keepDeletes = false)
