@@ -21,8 +21,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private lazy val ddl = new ResolveGraftDdl(session)
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    ddl(delegate.parsePlan(sqlText))
+  /** Snapshot-ref DDL (round 8) — `ALTER TABLE graft.t CREATE|DROP
+    * BRANCH|TAG name [AS OF VERSION n]`, the Iceberg ref-management
+    * grammar. Spark's own parser has no production for these (Iceberg
+    * ships them in its extension grammar), so they are recognized from
+    * the SQL TEXT before delegating — the delegate would raise a parse
+    * error, not an unresolved plan a rule could claim.
+    */
+  private val RefDdl =
+    ("""(?is)^\s*ALTER\s+TABLE\s+graft\s*\.\s*`?([A-Za-z0-9_]+)`?\s+""" +
+      """(CREATE|DROP)\s+(BRANCH|TAG)\s+`?([A-Za-z0-9_][A-Za-z0-9_.\-]*)`?""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""").r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case RefDdl(tbl, verb, kind, ref, ver) =>
+      ddl.refDdlCommand(tbl, verb.toUpperCase(java.util.Locale.ROOT),
+        kind.toUpperCase(java.util.Locale.ROOT), ref, Option(ver).map(_.toLong))
+    case _ => ddl(delegate.parsePlan(sqlText))
+  }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)

@@ -246,6 +246,28 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       procedureCommand(up.nameParts(2).toLowerCase(java.util.Locale.ROOT), args)
   }
 
+  /** Snapshot-ref DDL (round 8): `ALTER TABLE graft.t CREATE|DROP
+    * BRANCH|TAG name [AS OF VERSION n]` — recognized from the SQL text
+    * by [[GraftSqlParser]] (Spark's grammar has no production for it)
+    * and executed eagerly over [[ManagedTable]]'s tag/branch layer. The
+    * table loads inside the command body, so EXPLAIN never touches it.
+    */
+  def refDdlCommand(name: String, verb: String, kind: String, ref: String,
+                    version: Option[Long]): LogicalPlan = {
+    require(version.isEmpty || (verb, kind) == (("CREATE", "TAG")),
+      s"ALTER TABLE graft.$name $verb $kind: AS OF VERSION applies only to " +
+        "CREATE TAG (branches stage onto the current snapshot)")
+    def t = ManagedTable.load(session, warehouse(name), name).getOrElse(
+      throw new IllegalArgumentException(s"table graft.$name does not exist"))
+    GraftDmlCommand(s"ALTER $verb $kind", name, () => (verb, kind) match {
+      case ("CREATE", "BRANCH") => t.createBranch(ref)
+      case ("DROP", "BRANCH")   => t.abandonBranch(ref)
+      case ("CREATE", "TAG")    => version.fold(t.tag(ref))(v => t.tag(ref, v))
+      case ("DROP", "TAG")      => t.dropTag(ref)
+      case other => throw new IllegalStateException(s"unreachable ref DDL $other")
+    })
+  }
+
   /** Declared parameter names per procedure — positional and Iceberg-style
     * named arguments (`older_than => TIMESTAMP '…'`) both resolve onto
     * this order.
@@ -258,7 +280,8 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     "rollback_to_version" -> Seq("table", "version"),
     "maintenance" -> Seq("table"),
     "replicate" -> Seq("source", "target"),
-    "remove_orphan_files" -> Seq("table", "older_than"))
+    "remove_orphan_files" -> Seq("table", "older_than"),
+    "publish_branch" -> Seq("table", "branch"))
 
   private def procedureCommand(
       proc: String,
@@ -367,10 +390,20 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         GraftCallCommand("CALL remove_orphan_files", name,
           attrs("removed" -> LongType),
           () => Seq(Row(table(name).removeOrphanFiles(olderThan).toLong)))
+      case "publish_branch" =>
+        // WAP step 3a in SQL: fold the branch's staged groups into the
+        // live table atomically ([[ManagedTable.publishBranch]] —
+        // metadata-only on the fast path)
+        val name = str(0); val br = str(1)
+        GraftCallCommand("CALL publish_branch", name,
+          attrs("published_version" -> LongType), () => {
+            val t = table(name); t.publishBranch(br)
+            Seq(Row(t.meta.currentVersion))
+          })
       case other => throw new IllegalArgumentException(
         s"CALL graft.system.$other: unknown procedure (have: compact, compact_minor, " +
           "materialize_position_deletes, expire_snapshots, rollback_to_version, " +
-          "maintenance, replicate, remove_orphan_files)")
+          "maintenance, replicate, remove_orphan_files, publish_branch)")
     }
   }
 
@@ -703,6 +736,14 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     * parser seam like the DDL: built-in relation resolution fails hard on
     * a time-travel over an uncataloged identifier before extension rules
     * would see it.
+    *
+    * `VERSION AS OF` accepts a snapshot number, a TAG name, or a WAP
+    * BRANCH name (round 8, matching Iceberg's ref resolution in time
+    * travel): a non-numeric version string resolves through
+    * [[ManagedTable.tags]] first (tags are immutable pins — the
+    * reproducibility use), then [[ManagedTable.branches]] (the staged
+    * audit view), and an unknown ref fails with the live ref names
+    * rather than Spark's generic unresolved-relation error.
     */
   private def timeTravel(tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel)
       : Option[LogicalPlan] = tt.relation match {
@@ -716,6 +757,15 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
           val df = (tt.version, tt.timestamp) match {
             case (Some(v), _) if v.nonEmpty && v.forall(_.isDigit) =>
               Some(t.readVersion(v.toLong))
+            case (Some(v), _) if v.nonEmpty =>
+              Some(t.tags().get(v).map(ver => t.readVersion(ver)).getOrElse {
+                if (t.branches().contains(v)) t.readBranch(v)
+                else throw new IllegalArgumentException(
+                  s"graft.${u.multipartIdentifier(1)}: unknown version ref '$v' — " +
+                    "not a snapshot version, tag or branch (tags: " +
+                    s"${t.tags().keys.toSeq.sorted.mkString(", ")}; branches: " +
+                    s"${t.branches().mkString(", ")})")
+              })
             case (None, Some(e)) if e.foldable =>
               val micros = org.apache.spark.sql.catalyst.expressions.Cast(
                 e, org.apache.spark.sql.types.TimestampType,

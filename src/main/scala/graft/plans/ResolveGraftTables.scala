@@ -27,6 +27,9 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   *  - `graft.<table>$snapshots`  — [[ManagedTable.snapshotsMetadata]]
   *  - `graft.<table>$refs`       — [[ManagedTable.refsMetadata]]
   *  - `graft.<table>$changes`    — full changelog (seq + tombstone cols)
+  *  - `graft.<table>$branch_<b>` — WAP branch audit view (round 8); a
+  *    set `spark.wap.branch` routes plain reads and INSERTs of tables
+  *    carrying that branch the same way
   *
   * Unknown tables fall through unresolved so Spark's normal error (and
   * temp-view/catalog resolution for other names) is preserved.
@@ -151,6 +154,16 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
           // metadata drop.
           val fullyStatic = dynamicKeys.isEmpty &&
             identitySources.subsetOf(staticSpec.map(_._1).toSet)
+          // write-audit-publish: with `spark.wap.branch` set, a plain
+          // INSERT stages onto that branch instead of committing — the
+          // live table is untouched until CALL publish_branch (Iceberg's
+          // write-to-branch session conf). Overwrites are refused: a
+          // branch holds staged APPENDS only.
+          val wapBranch = session.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
+          require(wapBranch.isEmpty || !over,
+            s"INSERT OVERWRITE graft.$name cannot target WAP branch " +
+              s"'${wapBranch.get}' — branches stage appends only " +
+              "(unset spark.wap.branch to overwrite the live table)")
           if (over && i.partitionSpec.nonEmpty) {
             if (fullyStatic) t.overwriteStaticRegion(staticSpec, df) // the NAMED region, both modes
             else if (dynamicMode) t.overwritePartitions(df) // only the batch's tuples
@@ -162,7 +175,10 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
             if (dynamicMode && t.meta.partitionBy.exists(_.trim.nonEmpty))
               t.overwritePartitions(df)
             else t.overwrite(df)
-          } else t.append(df)
+          } else wapBranch match {
+            case Some(br) => t.stageAppendInto(df, br)
+            case None     => t.append(df)
+          }
         }): LogicalPlan
       }.getOrElse(refuseIfView(name, "INSERT", i))
     case m: MergeIntoTable if (m.targetTable match {
@@ -181,8 +197,13 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     // level up.
     case f @ Filter(cond, u: UnresolvedRelation) if isGraft(u) &&
         !u.multipartIdentifier(1).contains('$') =>
-      resolvePruned(u.multipartIdentifier(1), cond)
-        .orElse(resolve(u.multipartIdentifier(1)))
+      val name = u.multipartIdentifier(1)
+      // manifest pruning scans the LIVE snapshot — under an active
+      // spark.wap.branch the read must see the staged view instead, so
+      // pruning steps aside (correctness over the group-skip win)
+      val wapActive = loadTable(name).exists(wapBranchOn(_).isDefined)
+      (if (wapActive) resolve(name)
+       else resolvePruned(name, cond).orElse(resolve(name)))
         .map(child => Filter(cond, child)).getOrElse(f)
     case u: UnresolvedRelation if isGraft(u) =>
       resolve(u.multipartIdentifier(1)).getOrElse(u)
@@ -191,6 +212,13 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
   private def isGraft(u: UnresolvedRelation): Boolean =
     u.multipartIdentifier.length == 2 &&
       u.multipartIdentifier.head.equalsIgnoreCase("graft")
+
+  /** The session's `spark.wap.branch` when it names a live branch of
+    * `t` — the branch plain reads of `t` must observe.
+    */
+  private def wapBranchOn(t: ManagedTable): Option[String] =
+    session.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
+      .filter(t.branches().contains)
 
   /** A `$`-suffixed graft identifier appearing as a DML target — always
     * a mistake; refuse with a precise message instead of letting the
@@ -564,7 +592,15 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     ManagedTable.load(session, wh.get, name) match {
       case Some(t) =>
         val df = suffix match {
-          case None              => Some(t.read())
+          // `spark.wap.branch`: session-scoped write-audit-publish
+          // context (round 8, Iceberg's WAP conf) — plain reads see the
+          // branch's staged view when the branch exists on THIS table;
+          // an absent branch falls back to the live snapshot, so one
+          // session conf audits just the tables actually staged on.
+          case None => Some(wapBranchOn(t).map(t.readBranch).getOrElse(t.read()))
+          case Some(s) if s.startsWith("branch_") &&
+              t.branches().contains(s.stripPrefix("branch_")) =>
+            Some(t.readBranch(s.stripPrefix("branch_")))
           case Some("files")      => Some(t.filesMetadata())
           case Some("snapshots")  => Some(t.snapshotsMetadata())
           case Some("refs")       => Some(t.refsMetadata())

@@ -579,8 +579,23 @@ final class ManagedTable private (
 
   // ------------------------------------------------------- WAP branches
 
-  private def branchManifestPath(name: String) =
-    new Path(manifestsDir, s"branch=$name.json")
+  /** The branch's CURRENT manifest file. Manifests are immutable
+    * (temp + rename-no-overwrite), so extending a branch's staged set
+    * ([[stageAppendInto]]) writes a NEW generation file
+    * `branch=<name>@g<k>.json` and flips the branch property — the
+    * guarded metadata write IS the atomic commit point; the superseded
+    * generation becomes debris the load-time sweep clears. The property
+    * value carries the generation tag after '@' (a fresh
+    * [[stageAppend]]/[[createBranch]] writes the untagged base name).
+    */
+  private def branchManifestPath(name: String): Path = {
+    val tag = _meta.properties.get(ManagedTable.BranchPrefix + name)
+      .flatMap(v => v.indexOf('@') match {
+        case -1 => None
+        case i  => Some(v.substring(i)) // "@g<k>"
+      })
+    new Path(manifestsDir, s"branch=$name${tag.getOrElse("")}.json")
+  }
 
   /** All file groups any live WAP branch references — GC-protected like
     * tagged snapshots until the branch publishes or is abandoned.
@@ -607,8 +622,8 @@ final class ManagedTable private (
     * practice).
     */
   def stageAppend(batch: DataFrame, branch: String): Unit = {
-    require(branch.nonEmpty && !branch.contains('/') && !branch.contains('='),
-      s"invalid branch name '$branch'")
+    require(branch.nonEmpty && !branch.contains('/') && !branch.contains('=') &&
+      !branch.contains('@'), s"invalid branch name '$branch'")
     val key = ManagedTable.BranchPrefix + branch
     require(!_meta.properties.contains(key), s"branch '$branch' already exists")
     val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
@@ -622,6 +637,52 @@ final class ManagedTable private (
     // the property is the branch's commit point (same guarded metadata
     // write as tags); a crash before it leaves only swept-at-load debris
     setProperties(Map(key -> seq.toString))
+  }
+
+  /** Create an EMPTY branch (the SQL `ALTER TABLE … CREATE BRANCH`
+    * shape, round 8): nothing is staged yet; branch-targeted writes
+    * ([[stageAppendInto]], SQL INSERT under `spark.wap.branch`)
+    * accumulate onto it, [[publishBranch]] folds the accumulated set in
+    * atomically, [[abandonBranch]] frees it. Metadata-only.
+    */
+  def createBranch(branch: String): Unit = {
+    require(branch.nonEmpty && !branch.contains('/') && !branch.contains('=') &&
+      !branch.contains('@'), s"invalid branch name '$branch'")
+    val key = ManagedTable.BranchPrefix + branch
+    require(!_meta.properties.contains(key), s"branch '$branch' already exists")
+    Manifest.write(fs, branchManifestPath(branch), Seq.empty,
+      Some(System.currentTimeMillis()))
+    setProperties(Map(key -> (_meta.currentVersion + 1).toString))
+  }
+
+  /** Stage a batch ONTO a branch, creating the branch when absent —
+    * the `spark.wap.branch` write shape (Iceberg's write-to-branch,
+    * round 8): the batch's groups join the branch's staged set; the
+    * live table is untouched and plain readers see nothing until
+    * [[publishBranch]]. Each staged batch costs exactly its own write.
+    */
+  def stageAppendInto(batch: DataFrame, branch: String): Unit = {
+    val key = ManagedTable.BranchPrefix + branch
+    if (!_meta.properties.contains(key)) { stageAppend(batch, branch); return }
+    val oldPath = branchManifestPath(branch)
+    val existing = Manifest.read(fs, oldPath).getOrElse(Seq.empty)
+    val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
+    val seq = _meta.currentVersion + 1
+    val entries =
+      if (isPartitioned)
+        splitWriteGroups(withPartitionCols(conformed), Manifest.Data, _ => seq, seq)
+      else writeGroupAuto(sortForWrite(conformed), Manifest.Data, seq).toSeq
+    // next generation file + guarded property flip = atomic extension;
+    // the superseded generation is debris (load-time sweep, below delete
+    // is just the eager path)
+    val gen = _meta.properties(key).indexOf('@') match {
+      case -1 => 1L
+      case i  => _meta.properties(key).substring(i + 2).toLong + 1L
+    }
+    Manifest.write(fs, new Path(manifestsDir, s"branch=$branch@g$gen.json"),
+      existing ++ entries, Some(System.currentTimeMillis()))
+    setProperties(Map(key -> s"$seq@g$gen"))
+    fs.delete(oldPath, false)
   }
 
   /** WAP step 2 (audit): the table AS IT WOULD BE after publishing —
@@ -652,9 +713,15 @@ final class ManagedTable private (
   def publishBranch(branch: String): Unit = {
     val key = ManagedTable.BranchPrefix + branch
     require(_meta.properties.contains(key), s"no branch '$branch' on ${_meta.name}")
-    val staged = Manifest.read(fs, branchManifestPath(branch)).getOrElse(
+    // resolve the manifest path BEFORE any property mutation — the
+    // generation tag lives in the property value
+    val manifestFile = branchManifestPath(branch)
+    val staged = Manifest.read(fs, manifestFile).getOrElse(
       throw new IllegalStateException(
         s"branch '$branch' of ${_meta.name} has no manifest — corrupted branch"))
+    // publishing a branch nothing was ever staged on is a semantic no-op:
+    // free the branch without burning a snapshot version
+    if (staged.isEmpty) { abandonBranch(branch); return }
     val publishSeq = _meta.currentVersion + 1
     // Per-ROW seqs inside the staged files carry the stage-time sequence.
     // If no commit intervened since staging, that IS the publish sequence
@@ -681,7 +748,7 @@ final class ManagedTable private (
     _meta = _meta.copy(properties = _meta.properties - key)
     try commitManifest(currentEntries ++ published)
     catch { case t: Throwable => _meta = prevMeta; throw t }
-    fs.delete(branchManifestPath(branch), false)
+    fs.delete(manifestFile, false)
     // re-stamped path: the original staged groups are no longer referenced
     // anywhere; the commit above already swept them from files/
   }
@@ -692,10 +759,11 @@ final class ManagedTable private (
   def abandonBranch(branch: String): Unit = {
     val key = ManagedTable.BranchPrefix + branch
     require(_meta.properties.contains(key), s"no branch '$branch' on ${_meta.name}")
+    val manifestFile = branchManifestPath(branch) // before the property drop
     requireCurrentPointer()
     _meta = _meta.copy(properties = _meta.properties - key)
     writeMeta()
-    fs.delete(branchManifestPath(branch), false)
+    fs.delete(manifestFile, false)
   }
 
   /** Expire retained snapshots committed at or before `olderThanMs`
@@ -3459,16 +3527,26 @@ final class ManagedTable private (
         fs.delete(s.getPath, true)
     }
     // branch manifests whose property commit never landed (crash between
-    // manifest write and property set): the branch was never created.
-    // Lease-guarded like commit claims — a LIVE writer may be in exactly
-    // that window right now (this sweep runs on every load, including
-    // pure readers), so only debris older than the grace period goes.
+    // manifest write and property set — the branch was never created /
+    // the extension never took) and SUPERSEDED generation files a
+    // [[stageAppendInto]] flip left behind. Lease-guarded like commit
+    // claims — a LIVE writer may be in exactly that window right now
+    // (this sweep runs on every load, including pure readers), so only
+    // debris older than the grace period goes.
     val graceMs = _meta.properties.getOrElse("commit.lock-grace-ms", "300000").toLong
     if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).foreach { s =>
       val n = s.getPath.getName
       if (n.startsWith("branch=") && n.endsWith(".json")) {
-        val branch = n.stripPrefix("branch=").stripSuffix(".json")
-        if (!_meta.properties.contains(ManagedTable.BranchPrefix + branch) &&
+        val stem = n.stripPrefix("branch=").stripSuffix(".json")
+        // "name" (base generation) or "name@g<k>" (a later generation)
+        val branch = stem.indexOf('@') match {
+          case -1 => stem
+          case i  => stem.take(i)
+        }
+        val isCurrent = _meta.properties
+          .get(ManagedTable.BranchPrefix + branch)
+          .exists(_ => branchManifestPath(branch).getName == n)
+        if (!isCurrent &&
             System.currentTimeMillis() - s.getModificationTime > graceMs)
           fs.delete(s.getPath, false)
       }

@@ -336,6 +336,136 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("VERSION AS OF resolves tags and WAP branches; unknown refs fail with the live names") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val b = org.apache.spark.sql.SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+      base.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
+      val wh = java.nio.file.Files.createTempDirectory("graft-ttref").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+
+      s2.sql("CREATE TABLE graft.tt (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('write.versions-retained'='2')")
+      s2.sql("INSERT INTO graft.tt VALUES (1, 'a'), (2, 'b')")
+      val t = ManagedTable.load(s2, wh, "tt").get
+      t.tag("v1-validated")
+      val tagged = t.meta.currentVersion
+
+      // numeric version still works; tag name resolves to the same snapshot
+      s2.sql("INSERT INTO graft.tt VALUES (3, 'c')")
+      assert(s2.sql(s"SELECT * FROM graft.tt VERSION AS OF $tagged").count() == 2)
+      assert(s2.sql("SELECT * FROM graft.tt VERSION AS OF 'v1-validated'").count() == 2)
+      assert(s2.sql("SELECT * FROM graft.tt").count() == 3)
+
+      // the tag outlives the retention window (2): pile on commits, the
+      // numeric read of an expired sibling dies but the tag still reads
+      (4 to 8).foreach(i => s2.sql(s"INSERT INTO graft.tt VALUES ($i, 'x')"))
+      assert(s2.sql("SELECT * FROM graft.tt VERSION AS OF 'v1-validated'").count() == 2,
+        "a tagged snapshot must survive snapshot expiry")
+
+      // WAP branch: staged rows visible ONLY through the branch ref
+      import s2.implicits._
+      val t2 = ManagedTable.load(s2, wh, "tt").get
+      t2.stageAppend(Seq((100L, "staged")).toDF("id", "v"), "audit")
+      assert(s2.sql("SELECT * FROM graft.tt VERSION AS OF 'audit'").count() == 9)
+      assert(s2.sql("SELECT * FROM graft.tt").count() == 8,
+        "plain reads must not see staged branch rows")
+
+      // a name that is neither tag nor branch fails with the live refs
+      val e = intercept[Exception] {
+        s2.sql("SELECT * FROM graft.tt VERSION AS OF 'nope'").collect()
+      }
+      assert(e.getMessage.contains("unknown version ref") &&
+        e.getMessage.contains("v1-validated") && e.getMessage.contains("audit"),
+        e.getMessage)
+      s2.sql("DROP TABLE graft.tt")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("WAP in SQL: branch DDL, wap.branch staging + reads, publish atomic, abandon frees, tag DDL") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val b = org.apache.spark.sql.SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+      base.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
+      val wh = java.nio.file.Files.createTempDirectory("graft-wapsql").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+
+      s2.sql("CREATE TABLE graft.wap (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('graft.identifier-fields'='id')")
+      s2.sql("INSERT INTO graft.wap VALUES (1, 'live')")
+      s2.sql("ALTER TABLE graft.wap CREATE BRANCH audit")
+      assert(ManagedTable.load(s2, wh, "wap").get.branches() == Seq("audit"))
+
+      // wap.branch context: INSERTs stage, reads see the branch view;
+      // tables WITHOUT the branch are untouched by the conf
+      s2.conf.set("spark.wap.branch", "audit")
+      s2.sql("INSERT INTO graft.wap VALUES (2, 'staged'), (3, 'staged')")
+      s2.sql("INSERT INTO graft.wap VALUES (4, 'staged2')") // accumulates
+      assert(s2.sql("SELECT * FROM graft.wap").count() == 4,
+        "reads under wap.branch must see the staged view")
+      assert(s2.sql("SELECT * FROM graft.wap WHERE id = 4").count() == 1,
+        "filtered reads under wap.branch must see the staged view too")
+      val eOver = intercept[Exception] {
+        s2.sql("INSERT OVERWRITE graft.wap VALUES (9, 'x')")
+      }
+      assert(eOver.getMessage.contains("stage appends only"), eOver.getMessage)
+      s2.conf.unset("spark.wap.branch")
+      assert(s2.sql("SELECT * FROM graft.wap").count() == 1,
+        "the live table must not see staged rows")
+      assert(s2.sql("SELECT * FROM graft.`wap$branch_audit`").count() == 4)
+      assert(s2.sql("SELECT * FROM graft.wap VERSION AS OF 'audit'").count() == 4)
+
+      // publish is atomic and metadata-shaped; the branch is gone after
+      val pub = s2.sql("CALL graft.system.publish_branch('wap', 'audit')")
+      assert(pub.columns.toSeq == Seq("published_version"))
+      assert(s2.sql("SELECT * FROM graft.wap").count() == 4)
+      assert(ManagedTable.load(s2, wh, "wap").get.branches().isEmpty)
+
+      // abandon: staged rows never reach the live table
+      s2.sql("ALTER TABLE graft.wap CREATE BRANCH risky")
+      s2.conf.set("spark.wap.branch", "risky")
+      s2.sql("INSERT INTO graft.wap VALUES (99, 'bad')")
+      s2.conf.unset("spark.wap.branch")
+      s2.sql("ALTER TABLE graft.wap DROP BRANCH risky")
+      assert(s2.sql("SELECT * FROM graft.wap").count() == 4)
+      assert(ManagedTable.load(s2, wh, "wap").get.branches().isEmpty)
+
+      // tag DDL: CREATE TAG [AS OF VERSION], DROP TAG; misuse is precise
+      s2.sql("ALTER TABLE graft.wap CREATE TAG approved")
+      assert(s2.sql("SELECT * FROM graft.wap VERSION AS OF 'approved'").count() == 4)
+      val vNow = ManagedTable.load(s2, wh, "wap").get.meta.currentVersion
+      s2.sql(s"ALTER TABLE graft.wap CREATE TAG pinned AS OF VERSION $vNow")
+      assert(ManagedTable.load(s2, wh, "wap").get.tags()("pinned") == vNow)
+      s2.sql("ALTER TABLE graft.wap DROP TAG pinned")
+      assert(!ManagedTable.load(s2, wh, "wap").get.tags().contains("pinned"))
+      val eAsOf = intercept[Exception] {
+        s2.sql("ALTER TABLE graft.wap CREATE BRANCH b2 AS OF VERSION 1")
+      }
+      assert(eAsOf.getMessage.contains("applies only to"), eAsOf.getMessage)
+      val eNoTbl = intercept[Exception] {
+        s2.sql("ALTER TABLE graft.nope CREATE BRANCH b").collect()
+      }
+      assert(eNoTbl.getMessage.contains("does not exist"), eNoTbl.getMessage)
+      s2.sql("DROP TABLE graft.wap")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("CREATE [TEMP] VIEW over graft SQL: create/query/drop, time travel, refusals") {
     val base = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()

@@ -1161,6 +1161,47 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(reloaded.read().count() == 5)
   }
 
+  test("branch accumulation: createBranch + stageAppendInto generations, reload, debris swept") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "wacc", schema, Seq("id"))
+    t.append(rows((1, "a", "c", 1L)))
+    // empty branch: stageable, publish of nothing is a free no-op
+    t.createBranch("empty")
+    assert(t.branches() == Seq("empty"))
+    val vE = t.meta.currentVersion
+    t.publishBranch("empty")
+    assert(t.meta.currentVersion == vE && t.branches().isEmpty,
+      "publishing a never-staged branch must not burn a version")
+    // accumulate three batches (base generation + two flips), with a live
+    // commit in between — every generation's rows survive into the audit
+    t.createBranch("acc")
+    t.stageAppendInto(rows((2, "b", "c", 2L)), "acc")
+    t.append(rows((10, "j", "c", 3L)))
+    t.stageAppendInto(rows((3, "c", "c", 3L), (4, "d", "c", 3L)), "acc")
+    assert(t.read().count() == 2)
+    assert(t.readBranch("acc").count() == 5)
+    // a reload resolves the current generation from the property
+    val re = ManagedTable.load(spark, wh, "wacc").get
+    assert(re.readBranch("acc").count() == 5)
+    re.publishBranch("acc")
+    assert(re.read().count() == 5)
+    assert(re.read().select("id").collect().map(_.getInt(0)).toSet ==
+      Set(1, 2, 3, 4, 10))
+    // superseded generation files are debris: none left referenced, and a
+    // zero-grace reload sweeps every branch manifest file
+    re.setProperties(Map("commit.lock-grace-ms" -> "0"))
+    val re2 = ManagedTable.load(spark, wh, "wacc").get
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(s"$wh/wacc/manifests"))
+      .map(_.getPath.getName).filter(_.startsWith("branch="))
+    assert(left.isEmpty, s"superseded branch generations must be swept: ${left.mkString(",")}")
+    assert(re2.read().count() == 5)
+    // stageAppendInto on an absent branch creates it (the wap.branch shape)
+    re2.stageAppendInto(rows((7, "g", "c", 7L)), "fresh")
+    assert(re2.branches() == Seq("fresh") && re2.readBranch("fresh").count() == 6)
+    re2.abandonBranch("fresh")
+  }
+
   test("expireSnapshots: age-based expiry keeps current + tagged, sweeps unreferenced groups") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "exp", schema, Seq("id"),
