@@ -71,22 +71,34 @@ object Replicate {
     val key = markerKey(src)
     val to = src.meta.currentVersion
     val applied = dst.meta.properties.get(key).map(_.toLong)
-    // caught up — or the src HANDLE is stale relative to what some other
-    // follower pass already applied; both are zero-job no-ops
-    applied.filter(_ >= to).foreach(a => return a)
-    // the refusal guard runs BEFORE any mutation (including schema
-    // evolution): refusing to clobber a table must leave it untouched
-    require(applied.isDefined || dst.meta.currentVersion == 0L,
-      s"replica ${dst.meta.name} has commits but no replication marker " +
-        s"'$key' — refusing to clobber a non-replica table")
-    // evolve next, so both the seed and the incremental apply conform the
-    // incoming rows to a schema that already holds every upstream column
-    dst.evolve(logicalSchema(src))
+    applied match {
+      // caught up — or the src HANDLE is stale relative to what some
+      // other follower pass already applied; both are zero-job no-ops
+      case Some(a) if a >= to => a
+      case _ =>
+        // the refusal guard runs BEFORE any mutation (including schema
+        // evolution): refusing to clobber a table must leave it untouched
+        require(applied.isDefined || dst.meta.currentVersion == 0L,
+          s"replica ${dst.meta.name} has commits but no replication marker " +
+            s"'$key' — refusing to clobber a non-replica table")
+        // evolve next, so both the seed and the incremental apply conform
+        // the incoming rows to a schema that already holds every upstream
+        // column
+        dst.evolve(logicalSchema(src))
+        syncBelow(src, dst, ids, key, to, applied)
+    }
+  }
+
+  /** The not-yet-caught-up tail of [[syncOnce]]: seed or incremental
+    * apply up to the pinned `to`.
+    */
+  private def syncBelow(src: ManagedTable, dst: ManagedTable,
+                        ids: Seq[String], key: String, to: Long,
+                        applied: Option[Long]): Long =
     applied match {
       case None =>
-        if (to == 0L) { dst.setProperties(Map(key -> "0")); return 0L }
-        dst.overwrite(snapshotAt(src, to), Map(key -> to.toString))
-        to
+        if (to == 0L) { dst.setProperties(Map(key -> "0")); 0L }
+        else { dst.overwrite(snapshotAt(src, to), Map(key -> to.toString)); to }
       case Some(from) =>
         val barrier = src.meta.properties
           .get(ManagedTable.BarrierKey).map(_.toLong).getOrElse(Long.MinValue)
@@ -122,6 +134,47 @@ object Replicate {
         }
         to
     }
+
+  /** Continuous replication (round 8): follow the upstream's change
+    * stream ([[ManagedTable.readChangeStream]]) and run [[syncOnce]]
+    * once per micro-batch — the [[graft.tables.MaterializedView.follow]]
+    * pattern applied to a replica. The streamed rows are only the
+    * WAKE-UP signal: syncOnce re-loads both tables and reads exact
+    * committed versions itself, so the file stream's at-least-once
+    * delivery cannot affect correctness — a spurious wake-up finds the
+    * marker current and costs one manifest read, ZERO Spark jobs (the
+    * idle-poll fast path), and exactly-once still comes from the marker
+    * riding the apply commit. Restart-safe twice over: the stream
+    * resumes from `checkpointDir`, and even a lost checkpoint only
+    * causes re-wake-ups the marker no-ops. Barriers upstream
+    * (overwrite / truncate / compact / region delete) reseed inside
+    * syncOnce, exactly as in the one-shot form.
+    */
+  def follow(src: ManagedTable, dst: ManagedTable, checkpointDir: String,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fail fast on a non-replica destination BEFORE starting the stream
+    // (same guard syncOnce applies per batch)
+    require(dst.meta.properties.contains(markerKey(src)) ||
+        dst.meta.currentVersion == 0L,
+      s"replica ${dst.meta.name} has commits but no replication marker — " +
+        "refusing to follow onto a non-replica table")
+    val (srcWh, srcName) = (src.warehouse, src.name)
+    val (dstWh, dstName) = (dst.warehouse, dst.name)
+    src.readChangeStream()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // fresh handles per batch: the long-lived stream must see the
+        // upstream's CURRENT version, not the start-time snapshot
+        val s = batch.sparkSession
+        syncOnce(ManagedTable.load(s, srcWh, srcName).get,
+          ManagedTable.load(s, dstWh, dstName).get)
+        ()
+      }
+      .trigger(trigger)
+      .start()
   }
 
   /** The upstream's LOGICAL columns (its declared schema) — the changelog

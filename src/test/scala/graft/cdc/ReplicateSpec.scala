@@ -184,6 +184,47 @@ class ReplicateSpec extends AnyFunSuite with SharedSpark {
     assert(multiset("klp") == Seq((2, "b", 2L), (5, "e", 5L)))
   }
 
+  test("follow(): streamed catch-up converges, restart resumes, barrier reseeds") {
+    val w = wh
+    val ck = java.nio.file.Files.createTempDirectory("graft-repl-ck").toString
+    val src = ManagedTable.create(spark, w, "fup", rows().schema, Seq("id"))
+    val dst = ManagedTable.create(spark, w, "fdown", rows().schema, Seq("id"))
+    src.append(rows((1, "a", 1L), (2, "b", 2L)))
+    // a trickle of three commits, then one AvailableNow follow pass
+    src.updateWhere(col("id") === 1, Map("v" -> lit(10L)))
+    src.append(rows((3, "c", 3L)))
+    src.deleteWhere(col("id") === 2)
+    Replicate.follow(src, dst, ck).awaitTermination(60000)
+    val src1 = ManagedTable.load(spark, w, "fup").get
+    assert(state(ManagedTable.load(spark, w, "fdown").get) == state(src1))
+    assert(state(src1) == Set((1, "a", 10L), (3, "c", 3L)))
+
+    // restart from the same checkpoint: resumes, applies only the new range
+    src1.append(rows((4, "d", 4L)))
+    Replicate.follow(src1, ManagedTable.load(spark, w, "fdown").get, ck)
+      .awaitTermination(60000)
+    val d2 = ManagedTable.load(spark, w, "fdown").get
+    assert(state(d2) == state(ManagedTable.load(spark, w, "fup").get))
+    assert(d2.meta.properties(Replicate.markerKey(src1)).toLong ==
+      ManagedTable.load(spark, w, "fup").get.meta.currentVersion)
+
+    // a barrier upstream (overwrite) reseeds through the same loop
+    val src2 = ManagedTable.load(spark, w, "fup").get
+    src2.overwrite(rows((9, "z", 9L)))
+    Replicate.follow(src2, ManagedTable.load(spark, w, "fdown").get, ck)
+      .awaitTermination(60000)
+    assert(state(ManagedTable.load(spark, w, "fdown").get) == Set((9, "z", 9L)))
+
+    // following onto a non-replica destination fails before starting
+    val stranger = ManagedTable.create(spark, w, "fstr", rows().schema, Seq("id"))
+    stranger.append(rows((5, "e", 5L)))
+    val e = intercept[IllegalArgumentException] {
+      Replicate.follow(ManagedTable.load(spark, w, "fup").get, stranger,
+        java.nio.file.Files.createTempDirectory("graft-repl-ck2").toString)
+    }
+    assert(e.getMessage.contains("refusing to follow"))
+  }
+
   test("refusals: non-replica destination, mismatched keys") {
     val w = wh
     val src = ManagedTable.create(spark, w, "up4", rows().schema, Seq("id"))
