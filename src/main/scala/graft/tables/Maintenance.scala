@@ -11,11 +11,12 @@ package graft.tables
   *  2. [[ManagedTable.compactMinor]] — the trickle suffix of upsert
   *     groups exceeds `maxTrickleGroups` (per partition tuple for
   *     partitioned tables): fold it, never touching the base;
-  *  3. [[ManagedTable.materializePositionalDeletes]] — single-epoch
-  *     tables where some partition tuple's equality-delete scopes exceed
-  *     `maxDeleteScopes` AFTER minor folding: reset that delete side for
-  *     one scan, writing only (file, pos) pairs (per touched tuple on
-  *     partitioned tables);
+  *  3. [[ManagedTable.materializePositionalDeletes]] — some partition
+  *     tuple's equality-delete scopes exceed `maxDeleteScopes` AFTER
+  *     minor folding: reset that delete side for one scan, writing only
+  *     (file, pos) pairs (per touched tuple on partitioned tables;
+  *     multi-epoch tables split each scope into its epoch-local and
+  *     cross-epoch roles since round 8);
   *  4. [[ManagedTable.compact]] — the live-file count still exceeds
   *     `maxLiveFiles` (small-file accumulation compaction tiers can't
   *     fold away), or old partition-spec epochs linger: full rewrite at
@@ -75,10 +76,11 @@ object Maintenance {
     // scopes at or below the tuple's newest posdel sidecar seq are already
     // skipped/absorbed; counted PER PARTITION TUPLE (unpartitioned tables
     // have the one empty tuple), since that is the per-read breadth and
-    // the unit the per-tuple materializer recovers. Single-epoch tables
-    // only: prior spec epochs leave cross-epoch deletes the sidecar
-    // cannot express (the epoch history clears at the first full compact
-    // once old snapshots age out).
+    // the unit the per-tuple materializer recovers. Multi-epoch tables
+    // qualify too (round 8): the materializer splits each scope into its
+    // epoch-local and cross-epoch roles (the per-tuple count here treats
+    // a later-epoch tuple-minimum group as base — a conservative
+    // undercount that only delays the tier, never misfires it).
     val appliedByTuple = byKind.getOrElse(Manifest.PosDel, Array.empty)
       .groupBy(_.getAs[Map[String, String]]("partition"))
       .map { case (p, es) => p -> es.map(_.getLong(2)).max }
@@ -88,8 +90,12 @@ object Maintenance {
         val applied = appliedByTuple.getOrElse(p, Long.MinValue)
         es.map(_.getLong(2)).distinct.count(_ > applied)
       }.maxOption.getOrElse(0)
-    val singleEpoch = !table.meta.properties.contains(ManagedTable.SpecHistoryKey)
-    if (singleEpoch && scopes > policy.maxDeleteScopes)
+    // the one remaining unsupported shape: a table partitioned in a PRIOR
+    // epoch but unpartitioned NOW (the id-only sidecar would over-apply
+    // old partition-scoped deletes — compact() is that recovery)
+    val materializable = table.meta.partitionBy.exists(_.trim.nonEmpty) ||
+      !table.meta.properties.contains(ManagedTable.SpecHistoryKey)
+    if (materializable && scopes > policy.maxDeleteScopes)
       actions += Action("materializePositionalDeletes",
         s"$scopes live delete scopes in a tuple > ${policy.maxDeleteScopes}")
     // tier 4: live file-group count (manifest entries stand in for file

@@ -1529,9 +1529,25 @@ final class ManagedTable private (
     * sidecar data, not a [[compact]]-scale table rewrite. A possibly-empty
     * sidecar is always committed for a touched tuple — the chain invariant
     * needs every scope ≤ S accounted for before [[posdelOnCommit]] may
-    * resume. Multi-epoch tables still require [[compact]] (cross-epoch
-    * scopes are global-on-ids; a tuple-scoped sidecar cannot cover them).
-    * Returns the number of materialized pairs.
+    * resume.
+    *
+    * MULTI-epoch partitioned tables (round 8): each tuple's scopes split
+    * into their EPOCH-LOCAL role (hide same-tuple, same-epoch older rows
+    * — the round-7 shape) and their CROSS-EPOCH role (global-on-ids:
+    * hide matching rows in ANY strictly earlier epoch's groups, any
+    * tuple). Both roles materialize into the tuple's ONE sidecar
+    * ([[hiddenPairsEpochAware]]), so the per-tuple chain bookkeeping is
+    * unchanged; cross-epoch candidate groups are pruned on manifest
+    * identifier BOUNDS before any file opens (the [[posdelOnCommit]]
+    * probe's bounds tier), so the cross pass costs O(bounds-matching
+    * groups), not O(earlier epochs). Cross-TUPLE pairs inside a tuple's
+    * sidecar stay sound on partition-pruned reads: sidecars carry no
+    * stats (every pruned scan keeps them — pairs for unscanned files
+    * match nothing), and a subset that DROPS the scope's tuple re-applies
+    * its equality scope through [[readPartitionsEpochAware]]'s delete
+    * carriers. [[compact]] remains the recovery that also normalizes the
+    * spec; this one recovers WITHOUT the data rewrite. Returns the number
+    * of materialized pairs.
     */
   def materializePositionalDeletes(): Long = {
     val ids = _meta.identifierFields
@@ -1568,23 +1584,28 @@ final class ManagedTable private (
       commitManifest(dataEntries :+ ManifestEntry(rel, Manifest.PosDel, sNew, rows = n))
       n
     } else {
-      require(specBoundaries.isEmpty,
-        "partitioned positional-delete materialization needs a single-epoch " +
-          "table: cross-epoch scopes are global-on-ids and a tuple-scoped " +
-          "sidecar cannot cover them (run compact() to normalize)")
       if (ids.isEmpty) return 0L
       val entries = currentEntries
       val posdels = entries.filter(_.kind == Manifest.PosDel)
       val dataEntries = entries.filterNot(_.kind == Manifest.PosDel)
+      val minEpochPresent = dataEntries.map(e => entryEpoch(e.seq))
+        .minOption.getOrElse(0)
+      val minSeqByTE = dataEntries.groupBy(e => (e.partition, entryEpoch(e.seq)))
+        .map { case (k, es) => k -> es.map(_.seq).min }
       // touched = tuples with at least one live scope above their applied
-      // watermark; untouched tuples keep their sidecars (and their chains)
+      // watermark; untouched tuples keep their sidecars (and their
+      // chains). Scope-ness is [[morResolve]]'s epoch-aware rule: above
+      // the per-(tuple, epoch) minimum, or from a later epoch than the
+      // oldest present (its global scope can hide earlier-epoch rows even
+      // at its own tuple-epoch minimum).
       val touched = dataEntries.groupBy(_.partition).toSeq
         .sortBy(_._1.toString).flatMap { case (tuple, tEntries) =>
           val tApplied = posdels.filter(_.partition == tuple)
             .map(_.seq).maxOption.getOrElse(Long.MinValue)
-          val tMin = tEntries.map(_.seq).minOption.getOrElse(Long.MinValue)
           val scopes = tEntries.filter(e =>
-            e.kind == Manifest.Upsert && e.seq > tMin && e.seq > tApplied)
+            e.kind == Manifest.Upsert && e.seq > tApplied &&
+              (e.seq > minSeqByTE((e.partition, entryEpoch(e.seq))) ||
+                entryEpoch(e.seq) > minEpochPresent))
           if (scopes.isEmpty) None else Some((tuple, tEntries, scopes, tApplied))
         }
       if (touched.isEmpty) return 0L
@@ -1592,7 +1613,8 @@ final class ManagedTable private (
       val maxLocal = 100000
       val newSidecars = touched.map { case (tuple, tEntries, scopes, tApplied) =>
         val sNew = (scopes.map(_.seq) :+ tApplied).max
-        val pairs = hiddenPairs(tEntries, posdels.filter(_.partition == tuple), scopes)
+        val pairs = hiddenPairsEpochAware(tEntries, dataEntries,
+          posdels.filter(_.partition == tuple), scopes, minEpochPresent)
         val rel = s"files/${Manifest.PosDel}-$sNew-${java.util.UUID.randomUUID().toString.take(8)}"
         val dir = new Path(tableDir, rel)
         // small sidecars (the common case: one tuple's hidden rows) are
@@ -1670,6 +1692,104 @@ final class ManagedTable private (
         pairs.join(scan.select("file").distinct(), Seq("file"), "left_semi")
       }
     newHidden.unionByName(oldPairs).distinct()
+  }
+
+  /** [[hiddenPairs]] for one TUPLE of a (possibly multi-epoch)
+    * partitioned table (round 8): the tuple's scopes hide
+    *  - EPOCH-LOCAL: same-tuple rows of the scope's own epoch at lower
+    *    seq (partition-local semantics — the scan is restricted to the
+    *    tuple's same-epoch groups, so ids + seq express it exactly), and
+    *  - CROSS-EPOCH: rows with matching ids in ANY strictly earlier
+    *    epoch's groups, any tuple (global scope). Candidates prune on
+    *    manifest identifier bounds before any file opens; the join gates
+    *    on per-row epochs so an epoch-1 scope never hides an epoch-1 row
+    *    of another tuple.
+    * Old pairs re-emit against the files the sidecar can ever have named
+    * (the tuple's own plus every earlier-epoch group). Single-epoch
+    * tables take [[hiddenPairs]] unchanged.
+    */
+  private def hiddenPairsEpochAware(tEntries: Seq[ManifestEntry],
+                                    allData: Seq[ManifestEntry],
+                                    oldPosdels: Seq[ManifestEntry],
+                                    scopes: Seq[ManifestEntry],
+                                    minEpochPresent: Int): DataFrame = {
+    if (specBoundaries.isEmpty)
+      return hiddenPairs(tEntries, oldPosdels, scopes)
+    val ids = _meta.identifierFields
+    val readSchema = StructType(physicalSchema.fields :+
+      StructField(SeqCol, LongType, nullable = false) :+
+      StructField(TombstoneCol, BooleanType, nullable = true))
+    def scanOf(es: Seq[ManifestEntry]): DataFrame = spark.read
+      .schema(readSchema).format(format)
+      .load(es.map(e => new Path(tableDir, e.path).toString): _*)
+      .select(Seq(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos")) ++ ids.map(col) :+
+        coalesce(col(SeqCol), regexp_extract(col("_metadata.file_path"),
+          ManagedTable.GroupSeqPattern, 2).cast(LongType)).as(SeqCol): _*)
+    def delsOf(es: Seq[ManifestEntry]): DataFrame = {
+      val pkSchema = StructType(
+        ids.map(n => physicalSchema(n)) :+ StructField(SeqCol, LongType, nullable = false))
+      spark.read.schema(pkSchema).format(format)
+        .load(es.map(e => new Path(tableDir, e.path).toString): _*)
+        .select(ids.map(n => col(n).as(s"__del_$n")) :+ col(SeqCol).as(DelSeqCol): _*)
+    }
+    def epochOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      specBoundaries.foldLeft(lit(0))((a, b) => a + when(c > b, 1).otherwise(lit(0)))
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      ManagedTable.PosDelSchema)
+    // epoch-local pass, per scope epoch
+    val localParts = scopes.groupBy(e => entryEpoch(e.seq)).toSeq.sortBy(_._1)
+      .flatMap { case (ep, sc) =>
+        val same = tEntries.filter(e => entryEpoch(e.seq) == ep)
+        if (same.isEmpty) None
+        else {
+          val s = scanOf(same); val d = delsOf(sc)
+          Some(s.join(d,
+            ids.map(n => s(n) === d(s"__del_$n")).reduce(_ && _) &&
+              d(DelSeqCol) > s(SeqCol) &&
+              epochOf(d(DelSeqCol)) === epochOf(s(SeqCol)),
+            "left_semi").select(col("file"), col("pos")))
+        }
+      }
+    // cross-epoch pass: one join over the bounds-matching earlier-epoch
+    // candidates, epoch-gated per pair
+    val crossScopes = scopes.filter(e => entryEpoch(e.seq) > minEpochPresent)
+    val crossPart =
+      if (crossScopes.isEmpty) None
+      else {
+        val maxEp = crossScopes.map(e => entryEpoch(e.seq)).max
+        val candidates = allData.filter { e =>
+          entryEpoch(e.seq) < maxEp && crossScopes.exists { sc =>
+            ids.forall { c =>
+              (e.stats.get(c), sc.stats.get(c)) match {
+                case (Some(cb), Some(sb)) => cb.intersects(sb.min, sb.max)
+                case _ => true // missing stats: never prune on doubt
+              }
+            }
+          }
+        }
+        if (candidates.isEmpty) None
+        else {
+          val s = scanOf(candidates); val d = delsOf(crossScopes)
+          Some(s.join(d,
+            ids.map(n => s(n) === d(s"__del_$n")).reduce(_ && _) &&
+              d(DelSeqCol) > s(SeqCol) &&
+              epochOf(d(DelSeqCol)) > epochOf(s(SeqCol)),
+            "left_semi").select(col("file"), col("pos")))
+        }
+      }
+    val oldPairs =
+      if (oldPosdels.isEmpty) None
+      else {
+        val covered = (tEntries ++
+          allData.filter(e => entryEpoch(e.seq) < currentEpoch)).distinct
+        val pairs = spark.read.schema(ManagedTable.PosDelSchema).format(format)
+          .load(oldPosdels.map(e => new Path(tableDir, e.path).toString): _*)
+        Some(pairs.join(scanOf(covered).select("file").distinct(),
+          Seq("file"), "left_semi"))
+      }
+    (localParts ++ crossPart ++ oldPairs)
+      .foldLeft(empty)(_ unionByName _).distinct()
   }
 
   /** W1/W2 — append. Batch is conformed to the table schema (R4), hash-
