@@ -512,8 +512,15 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
             .filter(tp => filter.forall { case (k, v) => tp.get(k).contains(v) })
             .map { tp =>
               val (inSpec, extra) = tp.toSeq.partition(kv => order.contains(kv._1))
+              // escape through the same helper the path writer uses
+              // (ManagedTable's getPartitionPathString staging): a value
+              // containing '/' or '=' must not yield an ambiguous row —
+              // this matches Spark/Hive SHOW PARTITIONS output exactly
               (inSpec.sortBy(kv => order(kv._1)) ++ extra.sortBy(_._1))
-                .map { case (k, v) => s"$k=$v" }.mkString("/")
+                .map { case (k, v) =>
+                  org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                    .getPartitionPathString(k, v)
+                }.mkString("/")
             }.distinct.sorted.toIndexedSeq
           import org.apache.spark.unsafe.types.UTF8String
           LocalRelation(sp.output.map(_.asInstanceOf[

@@ -805,23 +805,56 @@ final class ManagedTable private (
     */
   def removeOrphanFiles(olderThanMs: Long): Int = {
     requireCurrentPointer()
+    // `older_than` is an ABSOLUTE epoch-ms timestamp (Iceberg's
+    // procedure contract). A duration passed by mistake (3600000 for
+    // "1 hour") lands in 1970 and would silently remove nothing — fail
+    // loudly instead: a cutoff before the first retained commit cannot
+    // match any debris (staging orphans sweep at load, expired-era
+    // groups swept at expiry).
+    versions().map(_._2).minOption.foreach(born =>
+      require(olderThanMs >= born,
+        s"remove_orphan_files: older_than=$olderThanMs predates the table's " +
+          s"first retained commit ($born). The argument is an absolute " +
+          "epoch-millis timestamp, not a duration — pass e.g. " +
+          "System.currentTimeMillis() - retention"))
     val retained = (versions()
       .flatMap { case (v, _) => Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty) } ++
       liveBranchEntries).map(_.path).toSet
     sweepUnreferencedGroups(retained, cutoffMs = Some(olderThanMs))
   }
 
-  /** Reset a group dir's mtime at the moment it lands under `files/`:
-    * rename preserves the STAGING-time mtime, and for a long write that
+  /** Record the moment a group dir lands under `files/`: rename
+    * preserves the STAGING-time mtime, and for a long write that
     * predates the sweep grace — [[sweepUnreferencedGroups]] would treat
     * the just-landed (not yet committed) group as stale debris and
-    * delete it out from under the pending pointer flip. Best-effort: a
-    * filesystem refusing setTimes degrades to the pre-grace behavior for
-    * long writes only.
+    * delete it out from under the pending pointer flip. The durable
+    * record is a fresh SENTINEL file (`.landed`) created inside the dir
+    * — its own creation time IS the land time on any filesystem —
+    * because `setTimes` is optional FS surface (HDFS-compatible stores
+    * may throw) and a swallowed failure there would silently reopen the
+    * lost-commit window the grace exists to close. setTimes still runs
+    * as a best-effort extra so plain `ls -l` agrees. Dot-named, so every
+    * Spark reader (and our own scans) skips it.
     */
-  private def freshenGroupDir(dst: Path): Unit =
+  private def freshenGroupDir(dst: Path): Unit = {
+    try fs.create(new Path(dst, ManagedTable.LandSentinel), true).close()
+    catch { case _: java.io.IOException => () }
     try fs.setTimes(dst, System.currentTimeMillis(), -1)
     catch { case _: UnsupportedOperationException | _: java.io.IOException => () }
+  }
+
+  /** The land time [[sweepUnreferencedGroups]] ages a candidate by: the
+    * sentinel's mtime when present (authoritative — see
+    * [[freshenGroupDir]]), else the dir mtime. Stat cost is paid per
+    * UNREFERENCED candidate only — debris-sized, not table-sized.
+    */
+  private def landedAtMs(dir: org.apache.hadoop.fs.FileStatus): Long =
+    try {
+      val sent = new Path(dir.getPath, ManagedTable.LandSentinel)
+      if (fs.exists(sent))
+        math.max(dir.getModificationTime, fs.getFileStatus(sent).getModificationTime)
+      else dir.getModificationTime
+    } catch { case _: java.io.IOException => dir.getModificationTime }
 
   /** Delete file groups no retained manifest references — but only once
     * STALE (the commit-lease grace): a CONCURRENT appender's staged group
@@ -842,7 +875,7 @@ final class ManagedTable private (
     var removed = 0
     if (fs.exists(filesDir)) fs.listStatus(filesDir).foreach { s =>
       if (!retained.contains(s"files/${s.getPath.getName}") &&
-          s.getModificationTime < cutoff) {
+          landedAtMs(s) < cutoff) {
         fs.delete(s.getPath, true); removed += 1
       }
     }
@@ -4159,6 +4192,11 @@ object ManagedTable {
     * with seq <= boundaryVersion were written under that spec.
     */
   val SpecHistoryKey = "partition.spec.history"
+
+  /** Land-time sentinel file inside each group dir ([[ManagedTable
+    * .freshenGroupDir]]); dot-named so every reader skips it.
+    */
+  val LandSentinel = ".landed"
 
   /** Version of the last NON-INCREMENTAL state rewrite (full compact /
     * overwrite / rollback) — the changelog history barrier: incremental

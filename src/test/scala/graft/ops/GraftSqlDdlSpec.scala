@@ -251,6 +251,22 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       assert(ro.getLong(0) == 1L, s"expected 1 removed, got ${ro.getLong(0)}")
       assert(!stale.exists() && fresh.exists())
       assert(s2.sql("SELECT count(*) FROM graft.mt").head().getLong(0) == 2L)
+      // a DURATION passed by mistake (3600000 = "1 hour") lands in 1970:
+      // fail loudly instead of silently removing nothing
+      val eDur = intercept[Exception] {
+        s2.sql("CALL graft.system.remove_orphan_files('mt', 3600000)").collect()
+      }
+      assert(eDur.getMessage.contains("not a duration"), eDur.getMessage)
+      // land-time sentinel: an ancient dir mtime (rename-preserved, on a
+      // filesystem where setTimes is a no-op) must not get a just-landed
+      // group swept — the sentinel's own creation time is the land time
+      val landed = new java.io.File(mtFiles, "data-97-landed"); landed.mkdirs()
+      new java.io.File(landed, ".landed").createNewFile()
+      landed.setLastModified(1000000000000L) // 2001 — sentinel stays fresh
+      val ro2 = s2.sql("CALL graft.system.remove_orphan_files('mt', 9999999999999)").head()
+      assert(landed.exists(), "fresh sentinel must spare the group from the sweep")
+      assert(ro2.getLong(0) == 0L, s"expected 0 removed, got ${ro2.getLong(0)}")
+      landed.listFiles().foreach(_.delete()); landed.delete(); fresh.delete()
 
       // replicate: one commit-exact catch-up, SQL-driven end to end
       s2.sql("""CREATE TABLE graft.mt_rep (id BIGINT, v STRING)
@@ -329,6 +345,13 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       assert(afterTrunc.nonEmpty && !afterTrunc.exists(_.startsWith("g=1/")), afterTrunc.mkString(","))
       val eT = intercept[Exception] { s2.sql("TRUNCATE TABLE graft.sp PARTITION (id=1)") }
       assert(eT.getMessage.contains("identity partition source"), eT.getMessage)
+      // partition VALUES containing '/' or '=' must render escaped (the
+      // path writer's own escaping) — never an ambiguous k=v/k2=v2 row
+      s2.sql("CREATE TABLE graft.spx (id BIGINT, tag STRING) PARTITIONED BY (tag)")
+      s2.sql("INSERT INTO graft.spx VALUES (1, 'a/b=c'), (2, 'plain')")
+      val xs = s2.sql("SHOW PARTITIONS graft.spx").collect().map(_.getString(0)).sorted
+      assert(xs.toSeq == Seq("tag=a%2Fb%3Dc", "tag=plain"), xs.mkString(","))
+      s2.sql("DROP TABLE graft.spx")
       s2.sql("DROP VIEW graft.vsp"); s2.sql("DROP TABLE graft.flat"); s2.sql("DROP TABLE graft.sp")
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
