@@ -175,8 +175,9 @@ object Bench {
       }
     }: Runnable, "bench-load-sampler")
     def start(): Unit = { th.setDaemon(true); t0 = System.nanoTime(); th.start() }
+    def stop(): Unit = stopped = true
     def stopRate(): Double = {
-      stopped = true; th.join(2000)
+      stop(); th.join(2000)
       count.get / ((System.nanoTime() - t0) / 1e9)
     }
   }
@@ -188,13 +189,13 @@ object Bench {
   }
 
   /** Run `f` with a [[LoadSampler]] covering exactly its window; returns
-    * (result, window mix rate).
+    * (result, window mix rate). The sampler stops even when `f` throws —
+    * a survivor would spin a full core under every later window.
     */
   private def sampledRun[A](f: => A): (A, Double) = {
     val s = new LoadSampler
     s.start()
-    val r = try f finally () // rate read after, even on failure paths
-    (r, s.stopRate())
+    try { val r = f; (r, s.stopRate()) } finally s.stop()
   }
 
   private def digestLine(results: Seq[(String, Double)], total: Double,

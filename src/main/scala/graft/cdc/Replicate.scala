@@ -135,20 +135,22 @@ object Replicate {
         to
     }
 
-  /** Continuous replication (round 8): follow the upstream's change
-    * stream ([[ManagedTable.readChangeStream]]) and run [[syncOnce]]
-    * once per micro-batch — the [[graft.tables.MaterializedView.follow]]
-    * pattern applied to a replica. The streamed rows are only the
-    * WAKE-UP signal: syncOnce re-loads both tables and reads exact
-    * committed versions itself, so the file stream's at-least-once
-    * delivery cannot affect correctness — a spurious wake-up finds the
-    * marker current and costs one manifest read, ZERO Spark jobs (the
-    * idle-poll fast path), and exactly-once still comes from the marker
-    * riding the apply commit. Restart-safe twice over: the stream
-    * resumes from `checkpointDir`, and even a lost checkpoint only
-    * causes re-wake-ups the marker no-ops. Barriers upstream
-    * (overwrite / truncate / compact / region delete) reseed inside
-    * syncOnce, exactly as in the one-shot form.
+  /** Continuous replication (round 8): follow the upstream's COMMIT
+    * stream ([[ManagedTable.commitStream]] — one row per new manifest,
+    * so metadata-only commits like a keyed region delete or truncate
+    * wake the follower too, which a data-file stream would sleep
+    * through) and run [[syncOnce]] once per micro-batch — the
+    * [[graft.tables.MaterializedView.follow]] pattern applied to a
+    * replica. The streamed rows are only the WAKE-UP signal: syncOnce
+    * re-loads both tables and reads exact committed versions itself, so
+    * the file stream's at-least-once delivery cannot affect correctness
+    * — a spurious wake-up finds the marker current and costs one
+    * manifest read, ZERO Spark jobs (the idle-poll fast path), and
+    * exactly-once still comes from the marker riding the apply commit.
+    * Restart-safe twice over: the stream resumes from `checkpointDir`,
+    * and even a lost checkpoint only causes re-wake-ups the marker
+    * no-ops. Barriers upstream (overwrite / truncate / compact / region
+    * delete) reseed inside syncOnce, exactly as in the one-shot form.
     */
   def follow(src: ManagedTable, dst: ManagedTable, checkpointDir: String,
              trigger: org.apache.spark.sql.streaming.Trigger =
@@ -162,7 +164,7 @@ object Replicate {
         "refusing to follow onto a non-replica table")
     val (srcWh, srcName) = (src.warehouse, src.name)
     val (dstWh, dstName) = (dst.warehouse, dst.name)
-    src.readChangeStream()
+    src.commitStream()
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>

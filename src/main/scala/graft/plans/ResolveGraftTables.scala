@@ -54,7 +54,8 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       loadTable(name).map { t =>
         val c = stripQualifier(cond, alias)
         GraftDmlCommand("DELETE", name,
-          () => t.deleteWhere(GraftBridge.column(c))): LogicalPlan
+          () => { refuseWapDml(t, "DELETE")
+            t.deleteWhere(GraftBridge.column(c)) }): LogicalPlan
       }.getOrElse(refuseIfView(name, "DELETE", d))
     case u0 @ UpdateTable(GraftTarget(name, alias), assigns, cond) =>
       loadTable(name).map { t =>
@@ -62,7 +63,8 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
           assignName(a.key) -> GraftBridge.column(stripQualifier(a.value, alias))).toMap
         val c = stripQualifier(cond.getOrElse(Literal.TrueLiteral), alias)
         GraftDmlCommand("UPDATE", name,
-          () => t.updateWhere(GraftBridge.column(c), set)): LogicalPlan
+          () => { refuseWapDml(t, "UPDATE")
+            t.updateWhere(GraftBridge.column(c), set) }): LogicalPlan
       }.getOrElse(refuseIfView(name, "UPDATE", u0))
     // INSERT [OVERWRITE] — with an optional `PARTITION (k=v, k2, …)`
     // spec on identity partition sources. STATIC entries (k=v) become
@@ -200,8 +202,13 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       val name = u.multipartIdentifier(1)
       // manifest pruning scans the LIVE snapshot — under an active
       // spark.wap.branch the read must see the staged view instead, so
-      // pruning steps aside (correctness over the group-skip win)
-      val wapActive = loadTable(name).exists(wapBranchOn(_).isDefined)
+      // pruning steps aside (correctness over the group-skip win). The
+      // conf check comes FIRST: in the common wap-off case the extra
+      // table load (metadata read + load-time sweep) must not tax every
+      // filtered read.
+      val wapActive = session.conf.getOption("spark.wap.branch")
+        .filter(_.nonEmpty)
+        .exists(b => loadTable(name).exists(_.branches().contains(b)))
       (if (wapActive) resolve(name)
        else resolvePruned(name, cond).orElse(resolve(name)))
         .map(child => Filter(cond, child)).getOrElse(f)
@@ -219,6 +226,17 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
   private def wapBranchOn(t: ManagedTable): Option[String] =
     session.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
       .filter(t.branches().contains)
+
+  /** Row-level DML on a table whose WAP branch is active would mutate
+    * the LIVE table mid-audit while the user believes every write is
+    * staged (graft branches stage APPENDS only) — refuse precisely,
+    * like the INSERT OVERWRITE guard.
+    */
+  private def refuseWapDml(t: ManagedTable, stmt: String): Unit =
+    wapBranchOn(t).foreach(b => throw new IllegalArgumentException(
+      s"$stmt graft.${t.name}: spark.wap.branch '$b' is active on this " +
+        "table and graft WAP branches stage appends only — publish or " +
+        "abandon the branch (or unset spark.wap.branch) before row-level DML"))
 
   /** A `$`-suffixed graft identifier appearing as a DML target — always
     * a mistake; refuse with a precise message instead of letting the
@@ -449,6 +467,7 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     val updBsWhen = updateBsWhen; val updBsSet = updateBsSet
     val delBsWhen = deleteBsWhen
     GraftDmlCommand("MERGE", name, () => {
+      refuseWapDml(t, "MERGE")
       t.mergeInto(GraftBridge.dataFrame(session, src),
         updateWhen = updWhen.map(GraftBridge.column),
         updateSet = updSet.map { case (k, v) => k -> GraftBridge.column(v) },

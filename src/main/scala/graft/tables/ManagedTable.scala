@@ -665,7 +665,13 @@ final class ManagedTable private (
     val key = ManagedTable.BranchPrefix + branch
     if (!_meta.properties.contains(key)) { stageAppend(batch, branch); return }
     val oldPath = branchManifestPath(branch)
-    val existing = Manifest.read(fs, oldPath).getOrElse(Seq.empty)
+    // a missing current-generation manifest is CORRUPTION, exactly as
+    // publishBranch treats it — reading it as empty would silently
+    // discard every previously staged batch
+    val existing = Manifest.read(fs, oldPath).getOrElse(
+      throw new IllegalStateException(
+        s"branch '$branch' of ${_meta.name} has no manifest — corrupted " +
+          "branch (abandon it before staging again)"))
     val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
     val seq = _meta.currentVersion + 1
     val entries =
@@ -673,15 +679,18 @@ final class ManagedTable private (
         splitWriteGroups(withPartitionCols(conformed), Manifest.Data, _ => seq, seq)
       else writeGroupAuto(sortForWrite(conformed), Manifest.Data, seq).toSeq
     // next generation file + guarded property flip = atomic extension;
-    // the superseded generation is debris (load-time sweep, below delete
-    // is just the eager path)
+    // the superseded generation is debris (load-time sweep; the delete
+    // below is just the eager path). The nonce keeps a re-created
+    // branch's g1 from colliding with crash debris of a previous
+    // incarnation still inside the sweep grace.
     val gen = _meta.properties(key).indexOf('@') match {
       case -1 => 1L
-      case i  => _meta.properties(key).substring(i + 2).toLong + 1L
+      case i  => _meta.properties(key).substring(i + 2).takeWhile(_.isDigit).toLong + 1L
     }
-    Manifest.write(fs, new Path(manifestsDir, s"branch=$branch@g$gen.json"),
+    val tag = s"g$gen-${java.util.UUID.randomUUID().toString.take(6)}"
+    Manifest.write(fs, new Path(manifestsDir, s"branch=$branch@$tag.json"),
       existing ++ entries, Some(System.currentTimeMillis()))
-    setProperties(Map(key -> s"$seq@g$gen"))
+    setProperties(Map(key -> s"$seq@$tag"))
     fs.delete(oldPath, false)
   }
 
@@ -808,15 +817,14 @@ final class ManagedTable private (
     // `older_than` is an ABSOLUTE epoch-ms timestamp (Iceberg's
     // procedure contract). A duration passed by mistake (3600000 for
     // "1 hour") lands in 1970 and would silently remove nothing — fail
-    // loudly instead: a cutoff before the first retained commit cannot
-    // match any debris (staging orphans sweep at load, expired-era
-    // groups swept at expiry).
-    versions().map(_._2).minOption.foreach(born =>
-      require(olderThanMs >= born,
-        s"remove_orphan_files: older_than=$olderThanMs predates the table's " +
-          s"first retained commit ($born). The argument is an absolute " +
-          "epoch-millis timestamp, not a duration — pass e.g. " +
-          "System.currentTimeMillis() - retention"))
+    // loudly instead. The floor is year 2000, not the table's first
+    // commit: a conservative cutoff (now − 7 days) on a two-day-old
+    // table is a legitimate no-op, while every duration-style value
+    // (anything under ~30 years in millis) sits far below the floor.
+    require(olderThanMs >= 946684800000L,
+      s"remove_orphan_files: older_than=$olderThanMs is before 2000-01-01 — " +
+        "the argument is an absolute epoch-millis timestamp, not a duration; " +
+        "pass e.g. System.currentTimeMillis() - retention")
     val retained = (versions()
       .flatMap { case (v, _) => Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty) } ++
       liveBranchEntries).map(_.path).toSet
@@ -966,7 +974,9 @@ final class ManagedTable private (
     val tagRows = tags().toSeq.map { case (n, v) => (n, "tag", v) }
     val branchRows = _meta.properties.collect {
       case (k, v) if k.startsWith(ManagedTable.BranchPrefix) =>
-        (k.stripPrefix(ManagedTable.BranchPrefix), "branch", v.toLong)
+        // the value may carry a generation tag after '@' (stageAppendInto)
+        (k.stripPrefix(ManagedTable.BranchPrefix), "branch",
+          v.takeWhile(_.isDigit).toLong)
     }.toSeq
     (tagRows ++ branchRows).toDF("name", "type", "version")
   }
@@ -1047,6 +1057,20 @@ final class ManagedTable private (
     * Parquet tables only (posdel sidecars are excluded by the path
     * glob's kind prefix).
     */
+  /** Commit WAKE-UP stream: one row per new manifest file — fires on
+    * EVERY commit, including metadata-only ones a data-file stream never
+    * sees (keyed/keyless metadata region deletes, truncate, adopt-in-
+    * place branch publish, marker-advance property commits). Rows are
+    * wake signals (the manifest file's text), not data: followers
+    * ([[graft.cdc.Replicate.follow]], [[MaterializedView.follow]])
+    * re-read exact committed versions themselves, so delivery semantics
+    * of the file source cannot affect correctness. Works for any group
+    * file format (the manifest is always JSON text).
+    */
+  def commitStream(): DataFrame =
+    spark.readStream.format("text")
+      .load(s"${new Path(tableDir, "manifests")}/v=*.json")
+
   def readChangeStream(): DataFrame = {
     require(format == "parquet", "readChangeStream follows parquet tables")
     val readSchema = StructType(physicalSchema.fields :+

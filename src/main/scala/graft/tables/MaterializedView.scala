@@ -94,20 +94,22 @@ final class MaterializedView private (
     v0
   }
 
-  /** Keep the summary continuously current: follow the source's change
-    * stream ([[ManagedTable.readChangeStream]]) and run [[refresh]] once
-    * per micro-batch. The streamed rows are only the WAKE-UP signal —
-    * refresh reads exact committed versions itself, so the file-level
-    * at-least-once delivery (and the visible-before-commit crash window)
-    * of the change stream cannot affect correctness; a spurious wake-up
-    * is a no-op and exactly-once still comes from the marker riding the
-    * delta commit. Parquet sources only (the change stream's contract).
+  /** Keep the summary continuously current: follow the source's COMMIT
+    * stream ([[ManagedTable.commitStream]] — one row per new manifest,
+    * round 8: metadata-only commits like a region delete or truncate
+    * wake the refresh too, where the old data-file stream slept through
+    * them and the summary served stale rows until an unrelated write)
+    * and run [[refresh]] once per micro-batch. The streamed rows are
+    * only the WAKE-UP signal — refresh reads exact committed versions
+    * itself, so the file source's at-least-once delivery cannot affect
+    * correctness; a spurious wake-up is a no-op and exactly-once still
+    * comes from the marker riding the delta commit.
     */
   def follow(checkpointDir: String,
              trigger: org.apache.spark.sql.streaming.Trigger =
                org.apache.spark.sql.streaming.Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
-    source.readChangeStream()
+    source.commitStream()
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (_: DataFrame, _: Long) => refresh(); () }

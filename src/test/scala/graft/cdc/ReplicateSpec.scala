@@ -215,6 +215,19 @@ class ReplicateSpec extends AnyFunSuite with SharedSpark {
       .awaitTermination(60000)
     assert(state(ManagedTable.load(spark, w, "fdown").get) == Set((9, "z", 9L)))
 
+    // a METADATA-ONLY upstream commit (truncate: one empty manifest,
+    // ZERO data files written) must still wake the follower — the
+    // commit stream fires per manifest, where a data-file stream would
+    // sleep through it and serve the truncated rows forever
+    val src3 = ManagedTable.load(spark, w, "fup").get
+    src3.truncate()
+    Replicate.follow(src3, ManagedTable.load(spark, w, "fdown").get, ck)
+      .awaitTermination(60000)
+    val d3 = ManagedTable.load(spark, w, "fdown").get
+    assert(state(d3).isEmpty, "metadata-only commit did not wake the follower")
+    assert(d3.meta.properties(Replicate.markerKey(src3)).toLong ==
+      ManagedTable.load(spark, w, "fup").get.meta.currentVersion)
+
     // following onto a non-replica destination fails before starting
     val stranger = ManagedTable.create(spark, w, "fstr", rows().schema, Seq("id"))
     stranger.append(rows((5, "e", 5L)))

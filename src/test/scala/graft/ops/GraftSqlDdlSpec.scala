@@ -445,6 +445,18 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
         s2.sql("INSERT OVERWRITE graft.wap VALUES (9, 'x')")
       }
       assert(eOver.getMessage.contains("stage appends only"), eOver.getMessage)
+      // row-level DML under an active wap branch would mutate the LIVE
+      // table mid-audit — refused like the overwrite
+      val eDel = intercept[Exception] {
+        s2.sql("DELETE FROM graft.wap WHERE id = 1")
+      }
+      assert(eDel.getMessage.contains("appends only"), eDel.getMessage)
+      val eUpd = intercept[Exception] {
+        s2.sql("UPDATE graft.wap SET v = 'x' WHERE id = 1")
+      }
+      assert(eUpd.getMessage.contains("appends only"), eUpd.getMessage)
+      assert(s2.sql("SELECT * FROM graft.wap VERSION AS OF 'audit'").count() == 4,
+        "refused DML must leave live and staged state untouched")
       s2.conf.unset("spark.wap.branch")
       assert(s2.sql("SELECT * FROM graft.wap").count() == 1,
         "the live table must not see staged rows")

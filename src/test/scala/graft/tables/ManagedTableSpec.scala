@@ -1199,7 +1199,21 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     // stageAppendInto on an absent branch creates it (the wap.branch shape)
     re2.stageAppendInto(rows((7, "g", "c", 7L)), "fresh")
     assert(re2.branches() == Seq("fresh") && re2.readBranch("fresh").count() == 6)
-    re2.abandonBranch("fresh")
+    // refs metadata parses the generation-tagged property value
+    re2.stageAppendInto(rows((8, "h", "c", 8L)), "fresh")
+    val refRow = re2.refsMetadata().filter(col("name") === "fresh").collect()
+    assert(refRow.length == 1 && refRow.head.getString(1) == "branch" &&
+      refRow.head.getLong(2) > 0, refRow.toSeq.toString)
+    // a missing current-generation manifest is corruption, never "empty"
+    val cur = fs.listStatus(new org.apache.hadoop.fs.Path(s"$wh/wacc/manifests"))
+      .map(_.getPath).filter(_.getName.startsWith("branch=fresh@")).head
+    fs.delete(cur, false)
+    val eCorrupt = intercept[IllegalStateException] {
+      ManagedTable.load(spark, wh, "wacc").get
+        .stageAppendInto(rows((9, "i", "c", 9L)), "fresh")
+    }
+    assert(eCorrupt.getMessage.contains("corrupted"), eCorrupt.getMessage)
+    ManagedTable.load(spark, wh, "wacc").get.abandonBranch("fresh")
   }
 
   test("expireSnapshots: age-based expiry keeps current + tagged, sweeps unreferenced groups") {
