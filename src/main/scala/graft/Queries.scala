@@ -821,6 +821,57 @@ object Queries {
       |  o_orderpriority
       |FROM orders""".stripMargin))
 
+  /** KEYED pure-region backfill (round 8 — the overwrite twin of the
+    * keyed metadata delete): a keyed priority-partitioned orders table
+    * in a genuine MoR state gets `overwriteWhere(region, batch)` where
+    * the predicate is a pure function of the identity partition source —
+    * the region's entries (MoR groups included) drop as a manifest diff
+    * and ONLY the batch is written (runtime-asserted: untouched
+    * partitions keep their exact files, the region holds only fresh
+    * files), so a keyed CDC backfill costs O(batch) instead of
+    * O(region) tombstones. Oracle = survivors ∪ the repriced batch.
+    */
+  val dmlOverwriteRegionKeyed = Q("dml_overwrite_region_keyed",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_krow").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_krow",
+        base.schema, Seq("o_orderkey"), partitionBy = Seq("o_orderpriority"))
+      tbl.append(base)
+      tbl.updateWhere(col("o_orderkey") % 10 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") + 500.0)))
+      val before = priorityFiles(tbl)
+      val region = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val batch = tbl.read().where(region)
+        .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+        .withColumn("o_orderstatus", lit("B"))
+        .select(dmlCols.map(col): _*)
+      tbl.overwriteWhere(region, batch)
+      val after = priorityFiles(tbl)
+      val hot = Set("1-URGENT", "2-HIGH")
+      require(after.filterNot(p => hot(p._2)).map(_._1).toSet ==
+          before.filterNot(p => hot(p._2)).map(_._1).toSet,
+        "untouched partitions must keep their exact files")
+      require(after.filter(p => hot(p._2)).map(_._1).toSet
+          .intersect(before.map(_._1).toSet).isEmpty,
+        "the region must hold only the batch's fresh files")
+      tbl.read().select(dmlCols.map(col): _*)
+    },
+    Some("""WITH upd AS MATERIALIZED (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 500.0
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderpriority
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM upd
+      |WHERE NOT coalesce(o_orderpriority IN ('1-URGENT', '2-HIGH'), false)
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, 'B' AS o_orderstatus,
+      |  o_totalprice * 0.5 AS o_totalprice, o_orderpriority
+      |FROM upd
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin))
+
   /** Commit-exact graft→graft replication ([[graft.cdc.Replicate]]): a
     * replica follows an upstream orders table through seed + three
     * mutation commits (update / region update / hard delete) applied
@@ -949,6 +1000,56 @@ object Queries {
       |  o_totalprice * 0.5 AS o_totalprice, o_orderpriority
       |FROM orders
       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0""".stripMargin))
+
+  /** Write-audit-publish + snapshot refs end to end through SQL (round
+    * 8): a keyed orders table seeded with the non-urgent rows gets the
+    * urgent rows staged on a WAP branch in TWO accumulated
+    * `spark.wap.branch` INSERT batches (split by price), audited via
+    * `VERSION AS OF 'audit'`, and folded in atomically by
+    * `CALL graft.system.publish_branch`. Runtime-asserts: staged rows
+    * invisible to plain reads; the pre-branch `baseline` TAG still reads
+    * the seed row count AFTER publish; DML under the active branch is
+    * refused. Oracle = the whole orders table (publish completes it).
+    */
+  val sqlWapRefs = Q("sql_wap_refs",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_wapq").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_wap",
+        base.schema, Seq("o_orderkey"))
+      tbl.append(base.where(col("o_orderpriority") =!= "1-URGENT"))
+      val seedCount = tbl.read().count()
+      withGraftSession(s, wh) { s2 =>
+        s2.sql("ALTER TABLE graft.orders_wap CREATE TAG baseline")
+        s2.sql("ALTER TABLE graft.orders_wap CREATE BRANCH audit")
+        s2.conf.set("spark.wap.branch", "audit")
+        def stage(pred: String): Unit = s2.sql(
+          s"""INSERT INTO graft.orders_wap
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+             |FROM parquet.`$dir/orders.parquet`
+             |WHERE o_orderpriority = '1-URGENT' AND $pred""".stripMargin)
+        stage("o_totalprice > 100000.0")
+        stage("o_totalprice <= 100000.0") // accumulates on the branch
+        require(intercept(s2.sql("DELETE FROM graft.orders_wap WHERE o_orderkey = 1")),
+          "DML under an active wap branch must be refused")
+        s2.conf.unset("spark.wap.branch")
+        require(s2.sql("SELECT count(*) c FROM graft.orders_wap WHERE o_orderpriority = '1-URGENT'")
+            .head().getLong(0) == 0L,
+          "staged rows must be invisible to plain reads")
+        s2.sql("CALL graft.system.publish_branch('orders_wap', 'audit')")
+        require(s2.sql("SELECT count(*) c FROM graft.orders_wap VERSION AS OF 'baseline'")
+            .head().getLong(0) == seedCount,
+          "the pre-branch tag must still read the seed snapshot after publish")
+      }
+      graft.tables.ManagedTable.load(s, wh, "orders_wap").get
+        .read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders""".stripMargin))
+
+  /** Did `body` throw? (runtime-assert helper for refusal paths) */
+  private def intercept(body: => Any): Boolean =
+    try { body; false } catch { case _: Exception => true }
 
   /** `SHOW PARTITIONS graft.t` under the oracle
     * ([[graft.plans.ResolveGraftDdl]]): live partition tuples answered
@@ -4159,7 +4260,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

@@ -151,9 +151,10 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
             .equalsIgnoreCase("dynamic")
           // Spark's rule: partition columns the spec OMITS are dynamic
           // too — the spec is fully static only when it names EVERY
-          // identity source. overwriteStaticRegion routes keyed tables
-          // to changelog-precise tombstones, keyless to the zero-rewrite
-          // metadata drop.
+          // identity source. overwriteStaticRegion routes both keyed and
+          // keyless tables to the zero-rewrite region drop (keyed since
+          // round 8; `delete.keyed-region-mode=tombstone` opts keyed
+          // tables back into changelog-precise tombstones).
           val fullyStatic = dynamicKeys.isEmpty &&
             identitySources.subsetOf(staticSpec.map(_._1).toSet)
           // write-audit-publish: with `spark.wap.branch` set, a plain

@@ -2868,13 +2868,15 @@ final class ManagedTable private (
     * and evaluate them per live tuple. Returns (affected tuples,
     * all-conjuncts-decidable) — None when ineligible or nothing prunes.
     */
-  private def regionPrune(cond: org.apache.spark.sql.Column)
+  private def regionPrune(cond: org.apache.spark.sql.Column,
+                          allowKeyed: Boolean = false)
       : Option[(Set[Map[String, String]], Boolean)] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression}
     val entries = currentEntries
     if (entries.isEmpty) return None
-    val (tuples, tupleDf, idFields) = tupleRelation(entries).getOrElse(return None)
+    val (tuples, tupleDf, idFields) =
+      tupleRelation(entries, allowKeyed).getOrElse(return None)
     val probe = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], _meta.schema)
     val analyzed = try probe.filter(cond).queryExecution.analyzed catch {
@@ -3785,6 +3787,30 @@ final class ManagedTable private (
       if (scopedKeylessRewrite(cond, replacement = Some(conformed))) return
       overwrite(read().filter(!coalesce(cond, lit(false))).unionByName(conformed))
       return
+    }
+    // KEYED pure-region backfill (round 8, the overwrite twin of the
+    // keyed metadata delete): every conjunct tuple-decidable → the
+    // region's entries (data, upsert and posdel together — scopes are
+    // partition-local in the gated single epoch) drop as a manifest
+    // diff and only the batch is written: O(batch), where the tombstone
+    // path below pays O(matched region rows). Barrier-stamped (rows
+    // vanish without tombstones); the same
+    // `delete.keyed-region-mode=tombstone` property opts back into the
+    // changelog-precise shape. Same-key rows in OTHER tuples survive on
+    // both routes (scopes are partition-local — the documented
+    // partition-move behavior), so the routes agree row-for-row.
+    if (_meta.properties.getOrElse("delete.keyed-region-mode", "metadata") != "tombstone") {
+      regionPrune(cond, allowKeyed = true) match {
+        case Some((affected, true)) =>
+          val entries = currentEntries
+          commitRegionRewrite(
+            entries.filterNot(e => affected.contains(e.partition)),
+            entries.filter(e => affected.contains(e.partition)),
+            Some(conformed.select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*)),
+            _meta.currentVersion + 1)
+          return
+        case _ => () // mixed or ineligible: changelog-precise tombstones
+      }
     }
     val tombstones = read().filter(coalesce(cond, lit(false)))
       .withColumn(TombstoneCol, lit(true))

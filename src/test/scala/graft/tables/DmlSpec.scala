@@ -691,6 +691,48 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
       "metadata and tombstone routes must agree on rows")
   }
 
+  test("keyed pure-region overwriteWhere: manifest drop + batch write, tombstone opt-out agrees") {
+    val w = wh
+    def mk(name: String, props: Map[String, String]): ManagedTable = {
+      val df = (1 to 100).map(i => (i, s"n$i", i % 10, i.toLong * 10)).toDF("id", "name", "grp", "v")
+      val t = ManagedTable.create(spark, w, name, df.schema, Seq("id"), Seq("grp"),
+        properties = props)
+      t.append(df)
+      t.updateWhere(col("id") % 4 === 0, Map("v" -> (col("v") + 1L))) // MoR state
+      t
+    }
+    val batch = Seq((1001, "a", 3, 5L), (1002, "b", 7, 6L))
+      .toDF("id", "name", "grp", "v")
+    val t = mk("krow", Map.empty)
+    val before = t.filesMetadata().select("path", "partition").collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1).get("grp").orNull)
+    t.overwriteWhere(col("grp").isin(3, 7), batch)
+    val after = t.filesMetadata().select("path", "partition").collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1).get("grp").orNull)
+    assert(after.filterNot(p => p._2 == "3" || p._2 == "7").map(_._1).toSet ==
+      before.filterNot(p => p._2 == "3" || p._2 == "7").map(_._1).toSet,
+      "untouched partitions must keep their exact files")
+    assert(after.filter(p => p._2 == "3" || p._2 == "7").map(_._1)
+      .forall(p => !before.map(_._1).toSet.contains(p)),
+      "the region must hold only the batch's fresh files")
+    assert(t.meta.properties(ManagedTable.BarrierKey).toLong == t.meta.currentVersion,
+      "rows vanished without tombstones — barrier required")
+    // the tombstone opt-out produces the same rows, keeps every group
+    val t2 = mk("krow2", Map("delete.keyed-region-mode" -> "tombstone"))
+    val files2 = t2.filesMetadata().select("path").as[String].collect().toSet
+    t2.overwriteWhere(col("grp").isin(3, 7), batch)
+    assert(files2.subsetOf(
+      t2.filesMetadata().select("path").as[String].collect().toSet))
+    assert(canon(t.read()) == canon(t2.read()),
+      "drop and tombstone overwrite routes must agree on rows")
+    // mixed predicate on a keyed table still takes tombstones (exact)
+    val v = t.meta.currentVersion
+    t.overwriteWhere(col("grp") === 5 && col("v") < 500L,
+      Seq((1003, "c", 5, 7L)).toDF("id", "name", "grp", "v"))
+    assert(t.meta.currentVersion == v + 1)
+    assert(t.read().filter(col("grp") === 5 && col("v") < 500L && col("id") < 1000).count() == 0)
+  }
+
   test("keyed delete routing differential: metadata, tombstone and mixed-predicate paths match the model") {
     val w = wh
     val rnd = new scala.util.Random(13)
