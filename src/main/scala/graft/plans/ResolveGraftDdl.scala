@@ -58,6 +58,12 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
           !u.multipartIdentifier(1).contains('$') && manifestAggOf(proj).isDefined =>
       session.conf.getOption("spark.graft.warehouse")
         .flatMap(wh => ManagedTable.load(session, wh, u.multipartIdentifier(1)))
+        // an active spark.wap.branch routes plain READS of this table to
+        // the branch's staged view (ResolveGraftTables) — the manifest
+        // answer reads the LIVE snapshot and would silently disagree
+        // with SELECT *; fall through to the real (branch) plan
+        .filterNot(t => session.conf.getOption("spark.wap.branch")
+          .filter(_.nonEmpty).exists(t.branches().contains))
         .flatMap(manifestAnswer(_, manifestAggOf(proj).get))
         .getOrElse(p)
     case c @ CreateTable(UnresolvedIdentifier(Seq(g, name), _), columns,

@@ -441,6 +441,8 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
         "reads under wap.branch must see the staged view")
       assert(s2.sql("SELECT * FROM graft.wap WHERE id = 4").count() == 1,
         "filtered reads under wap.branch must see the staged view too")
+      assert(s2.sql("SELECT count(*) FROM graft.wap").head().getLong(0) == 4,
+        "manifest-answered count must not bypass the branch view")
       val eOver = intercept[Exception] {
         s2.sql("INSERT OVERWRITE graft.wap VALUES (9, 'x')")
       }
