@@ -1030,7 +1030,8 @@ object Queries {
              |WHERE o_orderpriority = '1-URGENT' AND $pred""".stripMargin)
         stage("o_totalprice > 100000.0")
         stage("o_totalprice <= 100000.0") // accumulates on the branch
-        require(intercept(s2.sql("DELETE FROM graft.orders_wap WHERE o_orderkey = 1")),
+        require(refusedWith("appends only") {
+          s2.sql("DELETE FROM graft.orders_wap WHERE o_orderkey = 1") },
           "DML under an active wap branch must be refused")
         s2.conf.unset("spark.wap.branch")
         require(s2.sql("SELECT count(*) c FROM graft.orders_wap WHERE o_orderpriority = '1-URGENT'")
@@ -1047,9 +1048,13 @@ object Queries {
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
       |FROM orders""".stripMargin))
 
-  /** Did `body` throw? (runtime-assert helper for refusal paths) */
-  private def intercept(body: => Any): Boolean =
-    try { body; false } catch { case _: Exception => true }
+  /** Did `body` throw the EXPECTED refusal? An unrelated failure must
+    * not vacuously satisfy a refusal assert.
+    */
+  private def refusedWith(fragment: String)(body: => Any): Boolean =
+    try { body; false } catch {
+      case e: Exception => e.getMessage != null && e.getMessage.contains(fragment)
+    }
 
   /** `SHOW PARTITIONS graft.t` under the oracle
     * ([[graft.plans.ResolveGraftDdl]]): live partition tuples answered

@@ -2803,10 +2803,8 @@ final class ManagedTable private (
     // Keyed tables take the manifest-drop path too (round 8) — sound
     // because scopes are partition-local within the (gated) single
     // epoch — unless the consumer opted into tombstone-precise deletes.
-    val allowKeyed =
-      _meta.properties.getOrElse("delete.keyed-region-mode", "metadata") != "tombstone"
     val (tuples, tupleDf, idFields) =
-      tupleRelation(entries, allowKeyed).getOrElse(return false)
+      tupleRelation(entries, keyedRegionDropOk).getOrElse(return false)
     // Eligibility is read off the ANALYZED plan (a classic Column is an
     // opaque node until resolution): the predicate must resolve against
     // the tuple relation at all (else it references non-partition
@@ -2868,8 +2866,17 @@ final class ManagedTable private (
     * and evaluate them per live tuple. Returns (affected tuples,
     * all-conjuncts-decidable) — None when ineligible or nothing prunes.
     */
+  /** Does this table's `delete.keyed-region-mode` permit the keyed
+    * manifest-drop routes (metadata delete, pure-region overwrite)?
+    * `tombstone` opts back into changelog-precise MoR deletes — ONE
+    * gate shared by every keyed region fast path.
+    */
+  private def keyedRegionDropOk: Boolean =
+    _meta.properties.getOrElse("delete.keyed-region-mode", "metadata") != "tombstone"
+
   private def regionPrune(cond: org.apache.spark.sql.Column,
-                          allowKeyed: Boolean = false)
+                          allowKeyed: Boolean = false,
+                          allowFull: Boolean = false)
       : Option[(Set[Map[String, String]], Boolean)] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Expression}
@@ -2903,7 +2910,10 @@ final class ManagedTable private (
       }).reduce(And(_, _)))
     val affected = tupleDf.filter(tuplePred).select("__graft_tuple_idx")
       .collect().map(r => tuples(r.getInt(0))).toSet
-    if (affected.size == tuples.size) return None // nothing pruned: plain COW
+    // keyless COW callers bail when nothing prunes (the scoped rewrite
+    // would equal the plain one); the keyed drop route keeps the win
+    // even on a full-region predicate (drop ALL entries, write batch)
+    if (!allowFull && affected.size == tuples.size) return None
     Some((affected, decidable.size == allConjuncts.size))
   }
 
@@ -3756,9 +3766,12 @@ final class ManagedTable private (
   /** Filter-scoped overwrite (Iceberg overwrite-by-filter / Delta
     * `replaceWhere`): atomically replace exactly the rows matching
     * `cond` with `batch` — the backfill primitive ("recompute March").
-    * Keyed tables commit ONE merge-on-read group holding tombstones for
-    * every matched row plus the new rows — O(matched + batch), nothing
-    * rewritten; same-seq tombstone/insert siblings resolve exactly like
+    * Keyed tables with a PURE-region predicate take the manifest-drop
+    * fast path (round 8, below — O(batch), barrier-stamped; opt out via
+    * `delete.keyed-region-mode=tombstone`); otherwise they commit ONE
+    * merge-on-read group holding tombstones for every matched row plus
+    * the new rows — O(matched + batch), nothing rewritten; same-seq
+    * tombstone/insert siblings resolve exactly like
     * [[updateWhere]]'s identity changes. Keyless tables have no row
     * identity to tombstone; when the predicate carries a partition-region
     * conjunct they take the SCOPED copy-on-write path (only the region's
@@ -3799,8 +3812,8 @@ final class ManagedTable private (
     // changelog-precise shape. Same-key rows in OTHER tuples survive on
     // both routes (scopes are partition-local — the documented
     // partition-move behavior), so the routes agree row-for-row.
-    if (_meta.properties.getOrElse("delete.keyed-region-mode", "metadata") != "tombstone") {
-      regionPrune(cond, allowKeyed = true) match {
+    if (keyedRegionDropOk) {
+      regionPrune(cond, allowKeyed = true, allowFull = true) match {
         case Some((affected, true)) =>
           val entries = currentEntries
           commitRegionRewrite(
@@ -3866,9 +3879,10 @@ final class ManagedTable private (
     * [[overwritePartitions]]; multi-epoch tables fall back to
     * [[overwriteWhere]]'s row-level path (correct at copy-on-write cost —
     * or run [[compact]] first to re-enable the metadata drop). KEYED
-    * tables route to [[overwriteWhere]] unconditionally: their MoR
-    * tombstones keep the changelog precise at O(matched + batch) where
-    * the metadata drop would have to barrier-stamp.
+    * tables route through [[overwriteWhere]], whose pure-region fast
+    * path (round 8) performs the SAME barrier-stamped metadata drop —
+    * `delete.keyed-region-mode=tombstone` opts back into
+    * changelog-precise MoR tombstones at O(matched + batch).
     */
   def overwriteStaticRegion(spec: Seq[(String, String)], batch: DataFrame): Unit = {
     require(isPartitioned, "overwriteStaticRegion needs a partitioned table")

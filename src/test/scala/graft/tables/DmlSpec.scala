@@ -704,6 +704,13 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
     val batch = Seq((1001, "a", 3, 5L), (1002, "b", 7, 6L))
       .toDF("id", "name", "grp", "v")
     val t = mk("krow", Map.empty)
+    // the MoR state must OVERLAP the dropped region: id%4==0 touches
+    // only even grps, so upsert the region's partitions explicitly too
+    t.updateWhere(col("id") % 10 === 3, Map("v" -> (col("v") + 2L))) // grp 3
+    assert(t.filesMetadata().filter(col("kind") === "upsert")
+      .select("partition").collect()
+      .exists(_.getMap[String, String](0).get("grp").contains("3")),
+      "precondition: a live upsert group inside the dropped region")
     val before = t.filesMetadata().select("path", "partition").collect()
       .map(r => r.getString(0) -> r.getMap[String, String](1).get("grp").orNull)
     t.overwriteWhere(col("grp").isin(3, 7), batch)
@@ -731,6 +738,15 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
       Seq((1003, "c", 5, 7L)).toDF("id", "name", "grp", "v"))
     assert(t.meta.currentVersion == v + 1)
     assert(t.read().filter(col("grp") === 5 && col("v") < 500L && col("id") < 1000).count() == 0)
+    // a FULL-region predicate (every live tuple affected) keeps the drop
+    // — no tombstone cliff on the whole-table backfill shape
+    val t3 = mk("krow3", Map.empty)
+    val b3 = t3.filesMetadata().select("path").as[String].collect().toSet
+    t3.overwriteWhere(col("grp") >= 0, batch)
+    val a3 = t3.filesMetadata().select("path").as[String].collect().toSet
+    assert(a3.intersect(b3).isEmpty && a3.nonEmpty,
+      "full-region keyed overwrite must drop every old group, never tombstone")
+    assert(t3.read().count() == 2)
   }
 
   test("keyed delete routing differential: metadata, tombstone and mixed-predicate paths match the model") {
