@@ -1668,10 +1668,25 @@ final class ManagedTable private (
       if (touched.isEmpty) return 0L
       var total = 0L
       val maxLocal = 100000
+      // Old-pair liveness against earlier-epoch files is TUPLE-INDEPENDENT:
+      // materialize that file list once across all touched tuples instead
+      // of rescanning the earlier epochs per tuple (K touched tuples would
+      // otherwise pay K scans of the same old groups).
+      lazy val earlierEpochFiles: DataFrame = {
+        val es = dataEntries.filter(e => entryEpoch(e.seq) < currentEpoch)
+        if (es.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            StructType(Seq(StructField("file", StringType, nullable = true))))
+        else spark.read.format(format)
+          .load(es.map(e => new Path(tableDir, e.path).toString): _*)
+          .select(col("_metadata.file_path").as("file")).distinct()
+          .localCheckpoint(true)
+      }
       val newSidecars = touched.map { case (tuple, tEntries, scopes, tApplied) =>
         val sNew = (scopes.map(_.seq) :+ tApplied).max
         val pairs = hiddenPairsEpochAware(tEntries, dataEntries,
-          posdels.filter(_.partition == tuple), scopes, minEpochPresent)
+          posdels.filter(_.partition == tuple), scopes, minEpochPresent,
+          earlierEpochFiles)
         val rel = s"files/${Manifest.PosDel}-$sNew-${java.util.UUID.randomUUID().toString.take(8)}"
         val dir = new Path(tableDir, rel)
         // small sidecars (the common case: one tuple's hidden rows) are
@@ -1762,14 +1777,17 @@ final class ManagedTable private (
     *    on per-row epochs so an epoch-1 scope never hides an epoch-1 row
     *    of another tuple.
     * Old pairs re-emit against the files the sidecar can ever have named
-    * (the tuple's own plus every earlier-epoch group). Single-epoch
-    * tables take [[hiddenPairs]] unchanged.
+    * (the tuple's own plus every earlier-epoch group — the latter's
+    * distinct file list comes in as `earlierFiles`, materialized ONCE by
+    * the caller across every touched tuple). Single-epoch tables take
+    * [[hiddenPairs]] unchanged.
     */
   private def hiddenPairsEpochAware(tEntries: Seq[ManifestEntry],
                                     allData: Seq[ManifestEntry],
                                     oldPosdels: Seq[ManifestEntry],
                                     scopes: Seq[ManifestEntry],
-                                    minEpochPresent: Int): DataFrame = {
+                                    minEpochPresent: Int,
+                                    earlierFiles: => DataFrame): DataFrame = {
     if (specBoundaries.isEmpty)
       return hiddenPairs(tEntries, oldPosdels, scopes)
     val ids = _meta.identifierFields
@@ -1838,12 +1856,11 @@ final class ManagedTable private (
     val oldPairs =
       if (oldPosdels.isEmpty) None
       else {
-        val covered = (tEntries ++
-          allData.filter(e => entryEpoch(e.seq) < currentEpoch)).distinct
+        val liveFiles = scanOf(tEntries).select("file").distinct()
+          .unionByName(earlierFiles).distinct()
         val pairs = spark.read.schema(ManagedTable.PosDelSchema).format(format)
           .load(oldPosdels.map(e => new Path(tableDir, e.path).toString): _*)
-        Some(pairs.join(scanOf(covered).select("file").distinct(),
-          Seq("file"), "left_semi"))
+        Some(pairs.join(liveFiles, Seq("file"), "left_semi"))
       }
     (localParts ++ crossPart ++ oldPairs)
       .foldLeft(empty)(_ unionByName _).distinct()
