@@ -821,6 +821,34 @@ object Queries {
       |  o_orderpriority
       |FROM orders""".stripMargin))
 
+  /** The V1 DataSource surface (round 8, [[graft.sources.GraftSource]]):
+    * a third-party Spark job — NO graft extensions — writes orders
+    * through `format("graft")` (create-on-first-write with identifier +
+    * partition options), appends a second batch, then reads back with a
+    * region filter whose pruning rides the manifest (superset scan;
+    * Spark re-applies the predicate). Oracle = the same filter in SQL.
+    */
+  val tableDataSourceV1 = Q("table_datasource_v1",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_dsv1").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      base.where(col("o_orderkey") % 2 === 0).write.format("graft")
+        .option("warehouse", wh).option("table", "orders_ds")
+        .option("identifier-fields", "o_orderkey")
+        .option("partition-by", "o_orderpriority")
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+      base.where(col("o_orderkey") % 2 === 1).write.format("graft")
+        .option("warehouse", wh).option("table", "orders_ds")
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+      s.read.format("graft").option("warehouse", wh).option("table", "orders_ds")
+        .load()
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 50000.0)
+        .select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 50000.0""".stripMargin))
+
   /** KEYED pure-region backfill (round 8 — the overwrite twin of the
     * keyed metadata delete): a keyed priority-partitioned orders table
     * in a genuine MoR state gets `overwriteWhere(region, batch)` where
@@ -4265,7 +4293,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, tableAddFiles, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

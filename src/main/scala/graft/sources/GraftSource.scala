@@ -1,0 +1,170 @@
+package graft.sources
+
+import graft.tables.ManagedTable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("graft")` — the no-extensions integration surface:
+  * any third-party Spark job reads (and appends/overwrites) a graft
+  * table without registering [[graft.GraftExtensions]], through Spark's
+  * stable V1 source API. The SQL surface (DML, DDL, time travel
+  * grammar) still needs the extensions; this is the programmatic seam a
+  * foreign pipeline embeds.
+  *
+  * Options: `warehouse` (or the session's `spark.graft.warehouse`),
+  * `table` (or `path`), and one of `versionAsOf` = snapshot number /
+  * tag name / WAP branch name — the same ref resolution as SQL
+  * `VERSION AS OF` (round 8).
+  *
+  * Scan: [[PrunedFilteredScan]] — pushed filters drive MANIFEST pruning
+  * (equality → bounds+Bloom group pruning via
+  * [[ManagedTable.readWhereEq]], ranges → [[ManagedTable.readColRange]]
+  * / partition-tuple pruning via [[ManagedTable.readSourceRange]]) and
+  * are then declared UNHANDLED, so Spark re-applies every predicate on
+  * top: pruning opens a superset of the matching groups, semantics are
+  * exactly the full scan's. Columns are pruned before the scan
+  * materializes, so the parquet reader sees the narrow schema.
+  *
+  * Write: `SaveMode.Append` → [[ManagedTable.append]] (MoR upsert
+  * semantics ride the table's identifier fields on read),
+  * `SaveMode.Overwrite` → [[ManagedTable.overwrite]]. A missing table
+  * is created on first write — `identifier-fields` and `partition-by`
+  * options (comma-separated) shape it, matching D3 auto-create.
+  */
+class GraftSource extends RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def resolve(sqlContext: SQLContext,
+                      parameters: Map[String, String]): (String, String) = {
+    val wh = parameters.get("warehouse")
+      .orElse(sqlContext.sparkSession.conf.getOption("spark.graft.warehouse"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft source: set the 'warehouse' option or spark.graft.warehouse"))
+    val name = parameters.get("table").orElse(parameters.get("path"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft source: set the 'table' (or 'path') option"))
+    (wh, name)
+  }
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val (wh, name) = resolve(sqlContext, parameters)
+    GraftRelation(sqlContext, wh, name, parameters.get("versionAsOf"))
+  }
+
+  /** User-specified schemas are not supported (the table's committed
+    * schema is authoritative) — refuse precisely instead of silently
+    * mis-projecting.
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String],
+                              schema: StructType): BaseRelation =
+    throw new IllegalArgumentException(
+      "graft source: the table's committed schema is authoritative — " +
+        "drop the .schema(...) call")
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val (wh, name) = resolve(sqlContext, parameters)
+    val spark = sqlContext.sparkSession
+    val existing = ManagedTable.load(spark, wh, name)
+    val t = existing.getOrElse {
+      val ids = parameters.get("identifier-fields")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      val parts = parameters.get("partition-by")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      ManagedTable.create(spark, wh, name, data.schema, ids, parts)
+    }
+    mode match {
+      case SaveMode.Append    => t.append(data)
+      case SaveMode.Overwrite => t.overwrite(data)
+      case SaveMode.ErrorIfExists if existing.isDefined =>
+        throw new IllegalArgumentException(
+          s"graft.$name already exists (SaveMode.ErrorIfExists)")
+      case SaveMode.ErrorIfExists => t.append(data)
+      case SaveMode.Ignore if existing.isDefined => () // per contract: no-op
+      case SaveMode.Ignore => t.append(data)
+    }
+    GraftRelation(sqlContext, wh, name, None)
+  }
+}
+
+private[sources] final case class GraftRelation(
+    sqlContext: SQLContext, wh: String, name: String,
+    versionAsOf: Option[String]) extends BaseRelation with PrunedFilteredScan {
+
+  @transient private lazy val table: ManagedTable =
+    ManagedTable.load(sqlContext.sparkSession, wh, name).getOrElse(
+      throw new IllegalArgumentException(s"graft table '$name' not found in $wh"))
+
+  /** Pinned at relation creation — the scan-plans-pin-a-snapshot model. */
+  @transient private lazy val snapshot: DataFrame = versionAsOf match {
+    case Some(v) if v.nonEmpty && v.forall(_.isDigit) => table.readVersion(v.toLong)
+    case Some(v) if v.nonEmpty =>
+      table.tags().get(v).map(table.readVersion).getOrElse {
+        if (table.branches().contains(v)) table.readBranch(v)
+        else throw new IllegalArgumentException(
+          s"graft.$name: unknown versionAsOf ref '$v' (tags: " +
+            s"${table.tags().keys.toSeq.sorted.mkString(", ")}; branches: " +
+            s"${table.branches().mkString(", ")})")
+      }
+    case _ => table.read()
+  }
+
+  override def schema: StructType = snapshot.schema
+
+  // buildScan returns the pruned plan's InternalRow RDD directly
+  override def needConversion: Boolean = false
+
+  // every filter is re-applied by Spark on top — pruning below is a
+  // superset scan, never the final predicate
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val base = pruned(filters)
+    val projected =
+      if (requiredColumns.isEmpty) base.select()
+      else base.select(requiredColumns.map(col).toIndexedSeq: _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
+  /** Manifest pruning from pushed filters — CURRENT snapshot only (time
+    * travel and ref reads return the pinned plan unpruned; their
+    * retained manifests carry the same stats but the point-read APIs
+    * target the live snapshot).
+    */
+  private def pruned(filters: Array[Filter]): DataFrame = {
+    if (versionAsOf.isDefined) return snapshot
+    val cols = schema.fieldNames.toSet
+    // first equality on a real column wins (readWhereEq also consults
+    // Bloom filters); otherwise try a closed range on one column
+    filters.collectFirst {
+      case EqualTo(a, v) if v != null && cols.contains(a) => table.readWhereEq(a, v)
+    }.orElse {
+      val lo = filters.collectFirst {
+        case GreaterThan(a, v) if v != null && cols.contains(a) => a -> v
+        case GreaterThanOrEqual(a, v) if v != null && cols.contains(a) => a -> v
+      }
+      val hi = filters.collectFirst {
+        case LessThan(a, v) if v != null && cols.contains(a) => a -> v
+        case LessThanOrEqual(a, v) if v != null && cols.contains(a) => a -> v
+      }
+      (lo, hi) match {
+        case (Some((c1, l)), Some((c2, h))) if c1 == c2 =>
+          Some(table.readColRange(c1, l, h))
+        case (Some((c, l)), None) if table.isMonotonePartitionSource(c) =>
+          Some(table.readSourceRange(c, Some(l), None))
+        case (None, Some((c, h))) if table.isMonotonePartitionSource(c) =>
+          Some(table.readSourceRange(c, None, Some(h)))
+        case _ => None
+      }
+    }.getOrElse(snapshot)
+  }
+}

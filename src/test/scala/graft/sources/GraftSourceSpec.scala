@@ -1,0 +1,96 @@
+package graft.sources
+
+import graft.SharedSpark
+import graft.tables.ManagedTable
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `format("graft")` V1 source ([[GraftSource]]): the no-extensions
+  * read/write surface — MoR reads, ref reads, filter-driven manifest
+  * pruning (superset-scan soundness), and create-on-first-write.
+  */
+class GraftSourceSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def wh = java.nio.file.Files.createTempDirectory("graft-src").toString
+
+  test("read: MoR snapshot, column/filter pushdown agree with table.read()") {
+    val w = wh
+    val df = (1 to 200).map(i => (i.toLong, i % 10, s"n$i")).toDF("id", "grp", "name")
+    val t = ManagedTable.create(spark, w, "t1", df.schema, Seq("id"), Seq("grp"))
+    t.append(df)
+    t.deleteWhere(col("id") > 180L) // MoR tombstones must apply
+    val viaSource = spark.read.format("graft")
+      .option("warehouse", w).option("table", "t1").load()
+    assert(viaSource.count() == 180)
+    assert(viaSource.schema == t.read().schema)
+    // filter + projection: same rows as the table API
+    val got = viaSource.filter(col("grp") === 3).select("id").as[Long].collect().toSet
+    val want = t.read().filter(col("grp") === 3).select("id").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // range filter (manifest bounds prune path) still exact
+    assert(viaSource.filter(col("id") >= 50L && col("id") <= 60L).count() ==
+      t.read().filter(col("id").between(50L, 60L)).count())
+    // partition-source single-sided range (tuple pruning path)
+    assert(viaSource.filter(col("grp") >= 8).count() ==
+      t.read().filter(col("grp") >= 8).count())
+    // session-conf warehouse fallback
+    spark.conf.set("spark.graft.warehouse", w)
+    try assert(spark.read.format("graft").option("table", "t1").load().count() == 180)
+    finally spark.conf.unset("spark.graft.warehouse")
+  }
+
+  test("read: versionAsOf resolves snapshot numbers, tags and branches") {
+    val w = wh
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "t2", df.schema, Seq("id"))
+    t.append(df)
+    val v1 = t.meta.currentVersion
+    t.tag("pinned")
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.stageAppend(Seq((9L, "staged")).toDF("id", "v"), "audit")
+    def rd(ref: String) = spark.read.format("graft")
+      .option("warehouse", w).option("table", "t2").option("versionAsOf", ref).load()
+    assert(rd(v1.toString).count() == 2)
+    assert(rd("pinned").count() == 2)
+    assert(rd("audit").count() == 4)
+    val e = intercept[Exception] { rd("nope").count() }
+    assert(e.getMessage.contains("unknown versionAsOf ref"), e.getMessage)
+  }
+
+  test("write: append, overwrite, create-on-first-write with ids and partitioning") {
+    val w = wh
+    val df = (1 to 50).map(i => (i.toLong, i % 5, s"n$i")).toDF("id", "grp", "name")
+    df.write.format("graft").option("warehouse", w).option("table", "t3")
+      .option("identifier-fields", "id").option("partition-by", "grp")
+      .mode(SaveMode.Append).save()
+    val t = ManagedTable.load(spark, w, "t3").get
+    assert(t.meta.identifierFields == Seq("id"))
+    assert(t.meta.partitionBy == Seq("grp"))
+    assert(t.read().count() == 50)
+    // append again through the source
+    Seq((100L, 1, "x")).toDF("id", "grp", "name").write.format("graft")
+      .option("warehouse", w).option("table", "t3").mode(SaveMode.Append).save()
+    assert(ManagedTable.load(spark, w, "t3").get.read().count() == 51)
+    // overwrite replaces the content
+    Seq((7L, 2, "only")).toDF("id", "grp", "name").write.format("graft")
+      .option("warehouse", w).option("table", "t3").mode(SaveMode.Overwrite).save()
+    assert(ManagedTable.load(spark, w, "t3").get.read().count() == 1)
+    // ErrorIfExists refuses, Ignore no-ops
+    val e = intercept[Exception] {
+      df.write.format("graft").option("warehouse", w).option("table", "t3")
+        .mode(SaveMode.ErrorIfExists).save()
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    df.write.format("graft").option("warehouse", w).option("table", "t3")
+      .mode(SaveMode.Ignore).save()
+    assert(ManagedTable.load(spark, w, "t3").get.read().count() == 1)
+    // user schemas are refused (committed schema is authoritative)
+    val e2 = intercept[Exception] {
+      spark.read.format("graft").schema(df.schema)
+        .option("warehouse", w).option("table", "t3").load()
+    }
+    assert(e2.getMessage.contains("authoritative"), e2.getMessage)
+  }
+}
