@@ -3,7 +3,7 @@ package graft.sources
 import graft.tables.ManagedTable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
@@ -35,9 +35,31 @@ import org.apache.spark.sql.types.StructType
   * options (comma-separated) shape it, matching D3 auto-create.
   */
 class GraftSource extends RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft")` — the streaming sink (the
+    * reference's own deployment shape as a first-class sink, round 8):
+    * each micro-batch commits exactly once via a batch-id marker riding
+    * the commit's pointer flip, so replays after a crash are no-ops.
+    * `mode=append` (default) appends rows; `mode=upsert` applies each
+    * batch as net per-key changes on a keyed table (no deletes through
+    * this surface — use the CDC pipeline for tombstone semantics).
+    * Create-on-first-batch honors `identifier-fields`/`partition-by`.
+    * Distinct streams into one table need distinct `sink-id` options
+    * (the marker key) — two streams sharing the default would suppress
+    * each other's batches.
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val (wh, name) = resolve(sqlContext, parameters)
+    new GraftSink(sqlContext.sparkSession, wh, name, parameters)
+  }
 
   private def resolve(sqlContext: SQLContext,
                       parameters: Map[String, String]): (String, String) = {
@@ -93,6 +115,42 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     }
     GraftRelation(sqlContext, wh, name, None)
   }
+}
+
+/** The V1 streaming sink behind `writeStream.format("graft")`. */
+private[sources] final class GraftSink(
+    spark: org.apache.spark.sql.SparkSession, wh: String, name: String,
+    parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val sinkId = parameters.getOrElse("sink-id", "default")
+  private val markerKey = s"sink.last-batch-id.$sinkId"
+  private val upsert = parameters.get("mode").exists(_.equalsIgnoreCase("upsert"))
+  private val SinkDelCol = "__graft_sink_del"
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val df = org.apache.spark.sql.graftbridge.GraftBridge.batchDataFrame(data)
+    val t = ManagedTable.load(spark, wh, name).getOrElse {
+      val ids = parameters.get("identifier-fields")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      val parts = parameters.get("partition-by")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      ManagedTable.create(spark, wh, name, df.schema, ids, parts)
+    }
+    // exactly-once on replay: the marker rode the commit that applied
+    // this batch; a crash between commit and checkpoint re-delivers the
+    // batch and lands here
+    if (t.meta.properties.get(markerKey).exists(_.toLong >= batchId)) return
+    val props = Map(markerKey -> batchId.toString)
+    if (upsert) {
+      require(t.meta.identifierFields.nonEmpty,
+        s"graft sink mode=upsert needs identifier fields on graft.$name")
+      // net per-key apply, no tombstones through this surface
+      t.applyNetChanges(df.withColumn(SinkDelCol, lit(false)), SinkDelCol, props)
+    } else t.append(df, props)
+  }
+
+  override def toString: String = s"GraftSink(graft.$name, $sinkId)"
 }
 
 private[sources] final case class GraftRelation(

@@ -64,4 +64,15 @@ object GraftBridge {
   def bloomMightContain(bloom: Array[Byte], hashedValue: Column): Column =
     ExpressionUtils.column(BloomFilterMightContain(
       Literal(bloom, BinaryType), convertedExpression(hashedValue)))
+
+  /** V1 `Sink.addBatch` hands a DataFrame whose logical plan is
+    * streaming-internal (a second action on it re-plans against the
+    * source); re-wrap its physical rows as a PLAIN batch DataFrame so
+    * normal table writes can run on it — the established V1-sink
+    * pattern (`internalCreateDataFrame` is `private[sql]`).
+    */
+  def batchDataFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -93,4 +93,41 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     }
     assert(e2.getMessage.contains("authoritative"), e2.getMessage)
   }
+
+  test("streaming sink: writeStream.format(graft) appends exactly-once; upsert mode nets per key") {
+    val w = wh
+    val in = java.nio.file.Files.createTempDirectory("graft-sink-in").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-sink-ck").toString
+    def drop(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "v").repartition(1).write.mode("overwrite")
+        .json(s"$in/$name")
+    drop("b1", Seq((1L, "a"), (2L, "b")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = spark.readStream.schema(schema).json(s"$in/*")
+      .writeStream.format("graft")
+      .option("warehouse", w).option("table", "sunk")
+      .option("identifier-fields", "id").option("mode", "upsert")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(60000)
+    runOnce()
+    val t = ManagedTable.load(spark, w, "sunk").get
+    assert(t.meta.identifierFields == Seq("id"))
+    assert(t.read().count() == 2)
+    // upsert: second batch replaces key 1, adds key 3
+    drop("b2", Seq((1L, "a2"), (3L, "c")))
+    runOnce()
+    val got = ManagedTable.load(spark, w, "sunk").get.read()
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a2"), (2L, "b"), (3L, "c")), got.toString)
+    // replay safety: wipe the checkpoint (worst case) — batch ids restart,
+    // the marker suppresses the re-delivered batches, state unchanged
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ck))
+    runOnce()
+    val after = ManagedTable.load(spark, w, "sunk").get.read()
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == got, "replayed batches must be exactly-once no-ops")
+  }
 }
