@@ -36,9 +36,52 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  private def changeSchema(spark: org.apache.spark.sql.SparkSession,
+                           wh: String, name: String): StructType = {
+    val t = ManagedTable.load(spark, wh, name).getOrElse(
+      throw new IllegalArgumentException(s"graft table '$name' not found in $wh"))
+    StructType(t.read().schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(ManagedTable.SeqCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(ManagedTable.TombstoneCol,
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+  }
+
+  /** `spark.readStream.format("graft")` — the table's CHANGELOG as a
+    * streaming source (round 8): offsets are table VERSIONS, each
+    * micro-batch is `readChangesBetween(from, to]` — net per-key change
+    * rows with the commit seq and tombstone verdict, the same rows
+    * [[graft.cdc.Replicate]] applies. Version-offset semantics make
+    * restart exact (offsets are commit points, not files), and
+    * metadata-only commits (region deletes, truncates) surface
+    * immediately as new offsets. A changelog BARRIER inside a batch
+    * range (overwrite/truncate/compact/region delete — rows vanished
+    * without tombstones) fails the stream with a precise error: an
+    * incremental consumer cannot reconstruct across it — reseed, or
+    * follow with [[graft.cdc.Replicate.follow]], which handles reseeds.
+    */
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String, parameters: Map[String, String])
+      : (String, StructType) = {
+    val (wh, name) = resolve(sqlContext, parameters)
+    require(schema.isEmpty, "graft source: the changelog schema is fixed — " +
+      "drop the .schema(...) call")
+    (s"graft.$name", changeSchema(sqlContext.sparkSession, wh, name))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val (wh, name) = resolve(sqlContext, parameters)
+    new GraftStreamSource(sqlContext.sparkSession, wh, name,
+      changeSchema(sqlContext.sparkSession, wh, name))
+  }
 
   /** `df.writeStream.format("graft")` — the streaming sink (the
     * reference's own deployment shape as a first-class sink, round 8):
@@ -115,6 +158,56 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     }
     GraftRelation(sqlContext, wh, name, None)
   }
+}
+
+/** The V1 changelog streaming source behind `readStream.format("graft")`:
+  * version offsets, net per-key change batches, barrier refusal.
+  */
+private[sources] final class GraftStreamSource(
+    spark: org.apache.spark.sql.SparkSession, wh: String, name: String,
+    val schema: StructType)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.Offset
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private def table: ManagedTable =
+    ManagedTable.load(spark, wh, name).getOrElse(
+      throw new IllegalStateException(s"graft table '$name' vanished from $wh"))
+
+  override def getOffset: Option[Offset] = {
+    val v = table.meta.currentVersion
+    if (v <= 0L) None else Some(LongOffset(v))
+  }
+
+  private def ver(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other         => other.json.trim.toLong // restored SerializedOffset
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(ver).getOrElse(0L)
+    val to = ver(end)
+    val t = table
+    // an incremental consumer cannot reconstruct state across a barrier
+    // (rows vanished without tombstones) — fail precisely instead of
+    // silently serving a partial changelog
+    val barrier = t.meta.properties.get(ManagedTable.BarrierKey)
+      .map(_.toLong).getOrElse(Long.MinValue)
+    if (barrier > from && barrier <= to)
+      throw new IllegalStateException(
+        s"graft.$name: changelog barrier at version $barrier inside " +
+          s"($from, $to] — the stream cannot replay a non-incremental " +
+          "rewrite (overwrite/truncate/compact/region delete); restart " +
+          "the stream from a fresh checkpoint to reseed, or follow with " +
+          "graft.cdc.Replicate.follow which reseeds automatically")
+    val batch = t.readChangesBetween(from, to)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    org.apache.spark.sql.graftbridge.GraftBridge.streamingDataFrame(batch)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftStreamSource(graft.$name)"
 }
 
 /** The V1 streaming sink behind `writeStream.format("graft")`. */

@@ -75,4 +75,12 @@ object GraftBridge {
     val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** The inverse, for V1 `Source.getBatch`: the returned DataFrame must
+    * be streaming-flagged or the engine rejects it as a batch plan.
+    */
+  def streamingDataFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -94,6 +94,44 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     assert(e2.getMessage.contains("authoritative"), e2.getMessage)
   }
 
+  test("changelog streaming source: version offsets, restart resume, barrier refusal") {
+    val w = wh
+    val out = java.nio.file.Files.createTempDirectory("graft-chg-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-chg-ck").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "chg", df.schema, Seq("id"))
+    t.append(df)
+    t.updateWhere(col("id") === 1L, Map("v" -> lit("a2")))
+    def runOnce(): Unit = spark.readStream.format("graft")
+      .option("warehouse", w).option("table", "chg").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(60000)
+    runOnce()
+    val got1 = spark.read.parquet(out)
+    assert(got1.columns.contains(ManagedTable.SeqCol) &&
+      got1.columns.contains(ManagedTable.TombstoneCol))
+    // seed batch = the net current state (2 live keys; the update's net row)
+    assert(got1.count() >= 2)
+    assert(got1.filter(col("id") === 1L && col("v") === "a2").count() >= 1)
+    // restart from the checkpoint: only the NEW commits arrive
+    val before = got1.count()
+    ManagedTable.load(spark, w, "chg").get.deleteWhere(col("id") === 2L)
+    runOnce()
+    val got2 = spark.read.parquet(out)
+    assert(got2.count() > before)
+    assert(got2.filter(col("id") === 2L &&
+      col(ManagedTable.TombstoneCol)).count() >= 1,
+      "the hard delete must arrive as a tombstone change row")
+    // a barrier inside the next range fails precisely
+    ManagedTable.load(spark, w, "chg").get.overwrite(Seq((9L, "z")).toDF("id", "v"))
+    val e = intercept[Exception] { runOnce() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("changelog barrier")), msgs(e).mkString(" | "))
+  }
+
   test("streaming sink: writeStream.format(graft) appends exactly-once; upsert mode nets per key") {
     val w = wh
     val in = java.nio.file.Files.createTempDirectory("graft-sink-in").toString
