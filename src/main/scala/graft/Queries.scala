@@ -823,7 +823,7 @@ object Queries {
 
   /** The V1 DataSource surface (round 8, [[graft.sources.GraftSource]]):
     * a third-party Spark job — NO graft extensions — writes orders
-    * through `format("graft")` (create-on-first-write with identifier +
+    * through `format("graft-table")` (create-on-first-write with identifier +
     * partition options), appends a second batch, then reads back with a
     * region filter whose pruning rides the manifest (superset scan;
     * Spark re-applies the predicate). Oracle = the same filter in SQL.
@@ -832,15 +832,15 @@ object Queries {
     (s, dir) => {
       val wh = java.nio.file.Files.createTempDirectory("graft_dsv1").toString
       val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
-      base.where(col("o_orderkey") % 2 === 0).write.format("graft")
+      base.where(col("o_orderkey") % 2 === 0).write.format("graft-table")
         .option("warehouse", wh).option("table", "orders_ds")
         .option("identifier-fields", "o_orderkey")
         .option("partition-by", "o_orderpriority")
         .mode(org.apache.spark.sql.SaveMode.Append).save()
-      base.where(col("o_orderkey") % 2 === 1).write.format("graft")
+      base.where(col("o_orderkey") % 2 === 1).write.format("graft-table")
         .option("warehouse", wh).option("table", "orders_ds")
         .mode(org.apache.spark.sql.SaveMode.Append).save()
-      s.read.format("graft").option("warehouse", wh).option("table", "orders_ds")
+      s.read.format("graft-table").option("warehouse", wh).option("table", "orders_ds")
         .load()
         .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 50000.0)
         .select(dmlCols.map(col): _*)

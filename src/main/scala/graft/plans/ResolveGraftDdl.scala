@@ -768,17 +768,7 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         .flatMap(wh => ManagedTable.load(session, wh, u.multipartIdentifier(1)))
         .flatMap { t =>
           val df = (tt.version, tt.timestamp) match {
-            case (Some(v), _) if v.nonEmpty && v.forall(_.isDigit) =>
-              Some(t.readVersion(v.toLong))
-            case (Some(v), _) if v.nonEmpty =>
-              Some(t.tags().get(v).map(ver => t.readVersion(ver)).getOrElse {
-                if (t.branches().contains(v)) t.readBranch(v)
-                else throw new IllegalArgumentException(
-                  s"graft.${u.multipartIdentifier(1)}: unknown version ref '$v' — " +
-                    "not a snapshot version, tag or branch (tags: " +
-                    s"${t.tags().keys.toSeq.sorted.mkString(", ")}; branches: " +
-                    s"${t.branches().mkString(", ")})")
-              })
+            case (Some(v), _) if v.nonEmpty => Some(t.readRef(v))
             case (None, Some(e)) if e.foldable =>
               val micros = org.apache.spark.sql.catalyst.expressions.Cast(
                 e, org.apache.spark.sql.types.TimestampType,

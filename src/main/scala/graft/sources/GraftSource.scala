@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
-/** `spark.read.format("graft")` — the no-extensions integration surface:
+/** `spark.read.format("graft-table")` — the no-extensions integration surface:
   * any third-party Spark job reads (and appends/overwrites) a graft
   * table without registering [[graft.GraftExtensions]], through Spark's
   * stable V1 source API. The SQL surface (DML, DDL, time travel
@@ -39,20 +39,26 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
     with org.apache.spark.sql.sources.StreamSourceProvider {
 
-  override def shortName(): String = "graft"
+  // NOT "graft": a registered datasource short name equal to the SQL
+  // namespace prefix makes Spark's ResolveSQLOnFile claim every
+  // `SELECT ... FROM graft.t` as a direct-file query (`format`.`path`)
+  // and fail analysis before the graft resolution rules run
+  override def shortName(): String = "graft-table"
 
   private def changeSchema(spark: org.apache.spark.sql.SparkSession,
                            wh: String, name: String): StructType = {
     val t = ManagedTable.load(spark, wh, name).getOrElse(
       throw new IllegalArgumentException(s"graft table '$name' not found in $wh"))
-    StructType(t.read().schema.fields ++ Seq(
+    // the DECLARED schema — no need to build the MoR read plan (which
+    // lists files at analysis) just for field names
+    StructType(t.meta.schema.fields ++ Seq(
       org.apache.spark.sql.types.StructField(ManagedTable.SeqCol,
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField(ManagedTable.TombstoneCol,
         org.apache.spark.sql.types.BooleanType, nullable = false)))
   }
 
-  /** `spark.readStream.format("graft")` — the table's CHANGELOG as a
+  /** `spark.readStream.format("graft-table")` — the table's CHANGELOG as a
     * streaming source (round 8): offsets are table VERSIONS, each
     * micro-batch is `readChangesBetween(from, to]` — net per-key change
     * rows with the commit seq and tombstone verdict, the same rows
@@ -83,7 +89,7 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
       changeSchema(sqlContext.sparkSession, wh, name))
   }
 
-  /** `df.writeStream.format("graft")` — the streaming sink (the
+  /** `df.writeStream.format("graft-table")` — the streaming sink (the
     * reference's own deployment shape as a first-class sink, round 8):
     * each micro-batch commits exactly once via a batch-id marker riding
     * the commit's pointer flip, so replays after a crash are no-ops.
@@ -91,9 +97,10 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     * batch as net per-key changes on a keyed table (no deletes through
     * this surface — use the CDC pipeline for tombstone semantics).
     * Create-on-first-batch honors `identifier-fields`/`partition-by`.
-    * Distinct streams into one table need distinct `sink-id` options
-    * (the marker key) — two streams sharing the default would suppress
-    * each other's batches.
+    * The marker scope defaults to a digest of the CHECKPOINT location
+    * (batch-id monotonicity only holds within one checkpoint lineage);
+    * `sink-id` overrides it. A wiped/relocated checkpoint reusing a
+    * marker scope fails precisely instead of silently dropping data.
     */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -101,6 +108,22 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
                           outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
     val (wh, name) = resolve(sqlContext, parameters)
+    // Complete mode re-delivers the FULL result every trigger — appending
+    // it would duplicate every group each batch; refuse up front
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft sink: Complete output mode would re-append the whole result " +
+        "every trigger — use Append or Update")
+    require(partitionColumns.isEmpty,
+      "graft sink: use the 'partition-by' option (table-level spec), " +
+        "not .partitionBy(...)")
+    // upsert needs key identity; fail BEFORE the first batch could
+    // create a keyless table that then fails forever
+    if (parameters.get("mode").exists(_.equalsIgnoreCase("upsert")))
+      require(parameters.get("identifier-fields").exists(_.trim.nonEmpty) ||
+        ManagedTable.load(sqlContext.sparkSession, wh, name)
+          .exists(_.meta.identifierFields.nonEmpty),
+        s"graft sink mode=upsert: graft.$name needs identifier fields — " +
+          "set the 'identifier-fields' option (create) or use an existing keyed table")
     new GraftSink(sqlContext.sparkSession, wh, name, parameters)
   }
 
@@ -160,7 +183,7 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
   }
 }
 
-/** The V1 changelog streaming source behind `readStream.format("graft")`:
+/** The V1 changelog streaming source behind `readStream.format("graft-table")`:
   * version offsets, net per-key change batches, barrier refusal.
   */
 private[sources] final class GraftStreamSource(
@@ -190,13 +213,20 @@ private[sources] final class GraftStreamSource(
     val t = table
     // an incremental consumer cannot reconstruct state across a barrier
     // (rows vanished without tombstones) — fail precisely instead of
-    // silently serving a partial changelog
+    // silently serving a partial changelog. The property records only
+    // the LATEST barrier, so the sound check is `barrier > from`, not
+    // `<= to`: a barrier beyond `to` proves nothing about earlier ones
+    // inside the range (one may have landed between the offset poll and
+    // this read), and a stream with a barrier ahead of it fails at the
+    // next range anyway — failing one batch early is harmless, serving
+    // a partial changelog is not. The SEED batch (start=None) is exempt:
+    // (0, to] is the net current snapshot, correct across any barrier.
     val barrier = t.meta.properties.get(ManagedTable.BarrierKey)
       .map(_.toLong).getOrElse(Long.MinValue)
-    if (barrier > from && barrier <= to)
+    if (start.isDefined && barrier > from)
       throw new IllegalStateException(
-        s"graft.$name: changelog barrier at version $barrier inside " +
-          s"($from, $to] — the stream cannot replay a non-incremental " +
+        s"graft.$name: changelog barrier at version $barrier after " +
+          s"offset $from — the stream cannot replay a non-incremental " +
           "rewrite (overwrite/truncate/compact/region delete); restart " +
           "the stream from a fresh checkpoint to reseed, or follow with " +
           "graft.cdc.Replicate.follow which reseeds automatically")
@@ -210,13 +240,20 @@ private[sources] final class GraftStreamSource(
   override def toString: String = s"GraftStreamSource(graft.$name)"
 }
 
-/** The V1 streaming sink behind `writeStream.format("graft")`. */
+/** The V1 streaming sink behind `writeStream.format("graft-table")`. */
 private[sources] final class GraftSink(
     spark: org.apache.spark.sql.SparkSession, wh: String, name: String,
     parameters: Map[String, String])
     extends org.apache.spark.sql.execution.streaming.Sink {
 
-  private val sinkId = parameters.getOrElse("sink-id", "default")
+  // marker scope defaults to the CHECKPOINT lineage (batch-id
+  // monotonicity only holds within one checkpoint), falling back to an
+  // explicit sink-id; two streams into one table need distinct scopes
+  private val sinkId = parameters.get("sink-id").orElse(
+    parameters.get("checkpointLocation").map { p =>
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(p.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    }).getOrElse("default")
   private val markerKey = s"sink.last-batch-id.$sinkId"
   private val upsert = parameters.get("mode").exists(_.equalsIgnoreCase("upsert"))
   private val SinkDelCol = "__graft_sink_del"
@@ -230,16 +267,40 @@ private[sources] final class GraftSink(
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
       ManagedTable.create(spark, wh, name, df.schema, ids, parts)
     }
+    val marker = t.meta.properties.get(markerKey).map(_.toLong)
     // exactly-once on replay: the marker rode the commit that applied
     // this batch; a crash between commit and checkpoint re-delivers the
-    // batch and lands here
-    if (t.meta.properties.get(markerKey).exists(_.toLong >= batchId)) return
+    // SAME batch id and lands here
+    if (marker.contains(batchId)) return
+    // a marker AHEAD of the id means batch numbering restarted — a wiped
+    // or relocated checkpoint reusing this marker scope. Silently
+    // skipping would DROP whatever new data rode the restarted batch;
+    // fail precisely instead (exactly-once is only sound within one
+    // monotone lineage).
+    require(marker.forall(_ < batchId),
+      s"graft sink: marker '$markerKey'=${marker.get} is ahead of batch " +
+        s"$batchId — the checkpoint was wiped or relocated while reusing " +
+        "this marker scope; restart with a fresh checkpoint dir (new " +
+        "lineage) or an explicit new sink-id")
     val props = Map(markerKey -> batchId.toString)
     if (upsert) {
       require(t.meta.identifierFields.nonEmpty,
         s"graft sink mode=upsert needs identifier fields on graft.$name")
-      // net per-key apply, no tombstones through this surface
-      t.applyNetChanges(df.withColumn(SinkDelCol, lit(false)), SinkDelCol, props)
+      val ids = t.meta.identifierFields
+      // net the batch per key before applying (applyNetChanges' contract;
+      // duplicate keys would land as permanently-visible same-seq
+      // siblings): deterministic last-wins via the 'dedup-column' option,
+      // else an arbitrary single row per key
+      val netted = parameters.get("dedup-column") match {
+        case Some(c) =>
+          val winner = org.apache.spark.sql.functions.max_by(
+            org.apache.spark.sql.functions.struct(df.columns.map(col): _*), col(c))
+          df.groupBy(ids.map(col): _*).agg(winner.as("__w"))
+            .select(df.columns.map(n => col(s"__w.$n").as(n)).toIndexedSeq: _*)
+        case None => df.dropDuplicates(ids)
+      }
+      // no tombstones through this surface
+      t.applyNetChanges(netted.withColumn(SinkDelCol, lit(false)), SinkDelCol, props)
     } else t.append(df, props)
   }
 
@@ -254,18 +315,12 @@ private[sources] final case class GraftRelation(
     ManagedTable.load(sqlContext.sparkSession, wh, name).getOrElse(
       throw new IllegalArgumentException(s"graft table '$name' not found in $wh"))
 
-  /** Pinned at relation creation — the scan-plans-pin-a-snapshot model. */
+  /** Pinned at relation creation — the scan-plans-pin-a-snapshot model;
+    * ref resolution shared with SQL ([[ManagedTable.readRef]]).
+    */
   @transient private lazy val snapshot: DataFrame = versionAsOf match {
-    case Some(v) if v.nonEmpty && v.forall(_.isDigit) => table.readVersion(v.toLong)
-    case Some(v) if v.nonEmpty =>
-      table.tags().get(v).map(table.readVersion).getOrElse {
-        if (table.branches().contains(v)) table.readBranch(v)
-        else throw new IllegalArgumentException(
-          s"graft.$name: unknown versionAsOf ref '$v' (tags: " +
-            s"${table.tags().keys.toSeq.sorted.mkString(", ")}; branches: " +
-            s"${table.branches().mkString(", ")})")
-      }
-    case _ => table.read()
+    case Some(v) if v.nonEmpty => table.readRef(v)
+    case _                     => table.read()
   }
 
   override def schema: StructType = snapshot.schema

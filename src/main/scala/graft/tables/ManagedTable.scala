@@ -565,6 +565,26 @@ final class ManagedTable private (
     readVersion(tags().getOrElse(name,
       throw new IllegalArgumentException(s"no tag '$name' on ${_meta.name}")))
 
+  /** Read by REF string — ONE resolution shared by SQL `VERSION AS OF`
+    * and the DataSource's `versionAsOf` option (round 8): an all-digit
+    * string is a snapshot version; otherwise a TAG name resolves first
+    * (immutable pins — the reproducibility use), then a WAP BRANCH name
+    * (the staged audit view); an unknown ref fails listing the live
+    * names.
+    */
+  def readRef(ref: String): DataFrame = {
+    require(ref.nonEmpty, "empty version ref")
+    if (ref.forall(_.isDigit)) readVersion(ref.toLong)
+    else tags().get(ref).map(readVersion).getOrElse {
+      if (branches().contains(ref)) readBranch(ref)
+      else throw new IllegalArgumentException(
+        s"${_meta.name}: unknown version ref '$ref' — not a snapshot " +
+          s"version, tag or branch (tags: " +
+          s"${tags().keys.toSeq.sorted.mkString(", ")}; branches: " +
+          s"${branches().mkString(", ")})")
+    }
+  }
+
   /** Drop a tag; the version it pinned becomes GC-eligible at the next
     * commit (unless still inside the retention window). Same optimistic-
     * concurrency guard as every metadata commit.

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** `format("graft")` V1 source ([[GraftSource]]): the no-extensions
+/** `format("graft-table")` V1 source ([[GraftSource]]): the no-extensions
   * read/write surface — MoR reads, ref reads, filter-driven manifest
   * pruning (superset-scan soundness), and create-on-first-write.
   */
@@ -21,7 +21,7 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     val t = ManagedTable.create(spark, w, "t1", df.schema, Seq("id"), Seq("grp"))
     t.append(df)
     t.deleteWhere(col("id") > 180L) // MoR tombstones must apply
-    val viaSource = spark.read.format("graft")
+    val viaSource = spark.read.format("graft-table")
       .option("warehouse", w).option("table", "t1").load()
     assert(viaSource.count() == 180)
     assert(viaSource.schema == t.read().schema)
@@ -37,7 +37,7 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
       t.read().filter(col("grp") >= 8).count())
     // session-conf warehouse fallback
     spark.conf.set("spark.graft.warehouse", w)
-    try assert(spark.read.format("graft").option("table", "t1").load().count() == 180)
+    try assert(spark.read.format("graft-table").option("table", "t1").load().count() == 180)
     finally spark.conf.unset("spark.graft.warehouse")
   }
 
@@ -50,19 +50,19 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     t.tag("pinned")
     t.append(Seq((3L, "c")).toDF("id", "v"))
     t.stageAppend(Seq((9L, "staged")).toDF("id", "v"), "audit")
-    def rd(ref: String) = spark.read.format("graft")
+    def rd(ref: String) = spark.read.format("graft-table")
       .option("warehouse", w).option("table", "t2").option("versionAsOf", ref).load()
     assert(rd(v1.toString).count() == 2)
     assert(rd("pinned").count() == 2)
     assert(rd("audit").count() == 4)
     val e = intercept[Exception] { rd("nope").count() }
-    assert(e.getMessage.contains("unknown versionAsOf ref"), e.getMessage)
+    assert(e.getMessage.contains("unknown version ref"), e.getMessage)
   }
 
   test("write: append, overwrite, create-on-first-write with ids and partitioning") {
     val w = wh
     val df = (1 to 50).map(i => (i.toLong, i % 5, s"n$i")).toDF("id", "grp", "name")
-    df.write.format("graft").option("warehouse", w).option("table", "t3")
+    df.write.format("graft-table").option("warehouse", w).option("table", "t3")
       .option("identifier-fields", "id").option("partition-by", "grp")
       .mode(SaveMode.Append).save()
     val t = ManagedTable.load(spark, w, "t3").get
@@ -70,25 +70,25 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     assert(t.meta.partitionBy == Seq("grp"))
     assert(t.read().count() == 50)
     // append again through the source
-    Seq((100L, 1, "x")).toDF("id", "grp", "name").write.format("graft")
+    Seq((100L, 1, "x")).toDF("id", "grp", "name").write.format("graft-table")
       .option("warehouse", w).option("table", "t3").mode(SaveMode.Append).save()
     assert(ManagedTable.load(spark, w, "t3").get.read().count() == 51)
     // overwrite replaces the content
-    Seq((7L, 2, "only")).toDF("id", "grp", "name").write.format("graft")
+    Seq((7L, 2, "only")).toDF("id", "grp", "name").write.format("graft-table")
       .option("warehouse", w).option("table", "t3").mode(SaveMode.Overwrite).save()
     assert(ManagedTable.load(spark, w, "t3").get.read().count() == 1)
     // ErrorIfExists refuses, Ignore no-ops
     val e = intercept[Exception] {
-      df.write.format("graft").option("warehouse", w).option("table", "t3")
+      df.write.format("graft-table").option("warehouse", w).option("table", "t3")
         .mode(SaveMode.ErrorIfExists).save()
     }
     assert(e.getMessage.contains("already exists"), e.getMessage)
-    df.write.format("graft").option("warehouse", w).option("table", "t3")
+    df.write.format("graft-table").option("warehouse", w).option("table", "t3")
       .mode(SaveMode.Ignore).save()
     assert(ManagedTable.load(spark, w, "t3").get.read().count() == 1)
     // user schemas are refused (committed schema is authoritative)
     val e2 = intercept[Exception] {
-      spark.read.format("graft").schema(df.schema)
+      spark.read.format("graft-table").schema(df.schema)
         .option("warehouse", w).option("table", "t3").load()
     }
     assert(e2.getMessage.contains("authoritative"), e2.getMessage)
@@ -102,7 +102,7 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     val t = ManagedTable.create(spark, w, "chg", df.schema, Seq("id"))
     t.append(df)
     t.updateWhere(col("id") === 1L, Map("v" -> lit("a2")))
-    def runOnce(): Unit = spark.readStream.format("graft")
+    def runOnce(): Unit = spark.readStream.format("graft-table")
       .option("warehouse", w).option("table", "chg").load()
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ck)
@@ -144,7 +144,7 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
     def runOnce(): Unit = spark.readStream.schema(schema).json(s"$in/*")
-      .writeStream.format("graft")
+      .writeStream.format("graft-table")
       .option("warehouse", w).option("table", "sunk")
       .option("identifier-fields", "id").option("mode", "upsert")
       .option("checkpointLocation", ck)
@@ -160,12 +160,51 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     val got = ManagedTable.load(spark, w, "sunk").get.read()
       .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((1L, "a2"), (2L, "b"), (3L, "c")), got.toString)
-    // replay safety: wipe the checkpoint (worst case) — batch ids restart,
-    // the marker suppresses the re-delivered batches, state unchanged
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ck))
+    // a clean re-run on the SAME checkpoint finds nothing new: no-op
     runOnce()
-    val after = ManagedTable.load(spark, w, "sunk").get.read()
+    assert(ManagedTable.load(spark, w, "sunk").get.read().count() == 3)
+    // a WIPED checkpoint restarts batch ids below the marker — silently
+    // skipping would drop any NEW files mixed into the restarted batch,
+    // so the sink fails precisely instead
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ck))
+    val e3 = intercept[Exception] { runOnce() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e3).exists(_.contains("wiped or relocated")), msgs(e3).mkString(" | "))
+    // duplicate keys within ONE batch net to a single row (dedup-column
+    // makes it deterministic last-wins)
+    val w2 = wh
+    val in2 = java.nio.file.Files.createTempDirectory("graft-sink-in2").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-sink-ck2").toString
+    Seq((1L, "old", 1L), (1L, "new", 2L), (2L, "b", 1L)).toDF("id", "v", "ts")
+      .repartition(1).write.json(s"$in2/b1")
+    val schema2 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)))
+    spark.readStream.schema(schema2).json(s"$in2/*")
+      .writeStream.format("graft-table")
+      .option("warehouse", w2).option("table", "sunk2")
+      .option("identifier-fields", "id").option("mode", "upsert")
+      .option("dedup-column", "ts")
+      .option("checkpointLocation", ck2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(60000)
+    val s2 = ManagedTable.load(spark, w2, "sunk2").get.read()
       .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(after == got, "replayed batches must be exactly-once no-ops")
+    assert(s2 == Set((1L, "new"), (2L, "b")), s2.toString)
+    // upsert without ids anywhere is refused BEFORE any table is created
+    val e4 = intercept[Exception] {
+      spark.readStream.schema(schema2).json(s"$in2/*")
+        .writeStream.format("graft-table")
+        .option("warehouse", w2).option("table", "sunk3").option("mode", "upsert")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck3").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(60000)
+    }
+    assert(msgs(e4).exists(_.contains("identifier-fields")), msgs(e4).mkString(" | "))
+    assert(ManagedTable.load(spark, w2, "sunk3").isEmpty,
+      "a refused upsert stream must not leave a keyless table behind")
   }
 }
