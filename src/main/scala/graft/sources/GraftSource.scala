@@ -230,8 +230,18 @@ private[sources] final class GraftStreamSource(
           "rewrite (overwrite/truncate/compact/region delete); restart " +
           "the stream from a fresh checkpoint to reseed, or follow with " +
           "graft.cdc.Replicate.follow which reseeds automatically")
-    val batch = t.readChangesBetween(from, to)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // restart recovery: the engine re-requests the last batch at start-up
+    // and `to`'s own manifest may have aged out of retention (the default
+    // retains ONE version) — fall back to the current manifest's view of
+    // the seq range (net per key; barrier-gated above)
+    val changes =
+      try t.readChangesBetween(from, to)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("no retained manifest") =>
+          t.readChangesBetweenCurrent(from, to)
+      }
+    val batch = changes.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     org.apache.spark.sql.graftbridge.GraftBridge.streamingDataFrame(batch)
   }
 
@@ -299,8 +309,18 @@ private[sources] final class GraftSink(
             .select(df.columns.map(n => col(s"__w.$n").as(n)).toIndexedSeq: _*)
         case None => df.dropDuplicates(ids)
       }
-      // no tombstones through this surface
-      t.applyNetChanges(netted.withColumn(SinkDelCol, lit(false)), SinkDelCol, props)
+      // 'tombstone-column' names a boolean column carrying per-row hard-
+      // delete verdicts (e.g. the changelog source's __graft_deleted) —
+      // the source+sink pair then forms a complete streamed replication;
+      // without it every row is an upsert
+      parameters.get("tombstone-column") match {
+        case Some(tc) =>
+          require(netted.columns.contains(tc),
+            s"graft sink: tombstone-column '$tc' is not in the stream")
+          t.applyNetChanges(netted, tc, props)
+        case None =>
+          t.applyNetChanges(netted.withColumn(SinkDelCol, lit(false)), SinkDelCol, props)
+      }
     } else t.append(df, props)
   }
 

@@ -1042,6 +1042,27 @@ final class ManagedTable private (
     val entries = Manifest.read(fs, manifestPath(toVersion))
       .getOrElse(throw new IllegalArgumentException(
         s"no retained manifest for version $toVersion of ${_meta.name}"))
+    changesFromEntries(entries, fromVersion, toVersion)
+  }
+
+  /** [[readChangesBetween]] evaluated against the CURRENT manifest — the
+    * streaming-source restart fallback when `toVersion`'s own manifest
+    * aged out of retention (the default retains ONE version): the
+    * current snapshot's view of the seq range, net per key. Equivalent
+    * whenever the range's groups survive unchanged; a minor compaction
+    * folding range groups together with LATER ones can lift their entry
+    * seq past `toVersion` and drop them from this view (at-least-once,
+    * same caveat the changelog already documents under compaction), and
+    * a full rewrite stamps the barrier, which streaming callers check
+    * first.
+    */
+  def readChangesBetweenCurrent(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"empty range: ($fromVersion, $toVersion]")
+    changesFromEntries(currentEntries, fromVersion, toVersion)
+  }
+
+  private def changesFromEntries(entries: Seq[ManifestEntry],
+                                 fromVersion: Long, toVersion: Long): DataFrame = {
     val inRange = entries.filter(e => e.seq > fromVersion && e.seq <= toVersion)
     val outSchema = StructType(physicalSchema.fields :+
       StructField(SeqCol, LongType, nullable = false) :+

@@ -132,6 +132,56 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     assert(msgs(e).exists(_.contains("changelog barrier")), msgs(e).mkString(" | "))
   }
 
+  test("randomized mirror differential: source→sink streamed replication ≡ upstream") {
+    val rnd = new scala.util.Random(97)
+    val w = wh
+    val ck = java.nio.file.Files.createTempDirectory("graft-mirror-ck").toString
+    val df0 = Seq((0L, "seed", 0L)).toDF("id", "v", "n")
+    val up = ManagedTable.create(spark, w, "mup", df0.schema, Seq("id"))
+    up.append(df0)
+    var nextId = 1L
+    def randomOps(): Unit = (1 to 1 + rnd.nextInt(3)).foreach { _ =>
+      val t = ManagedTable.load(spark, w, "mup").get
+      rnd.nextInt(3) match {
+        case 0 =>
+          val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+            nextId += 1; (nextId, s"v$nextId", rnd.nextInt(100).toLong)
+          }
+          t.append(rows.toDF("id", "v", "n"))
+        case 1 =>
+          t.updateWhere(col("id") % 3 === rnd.nextInt(3) && col("id") <= nextId,
+            Map("v" -> concat(lit("u"), col("id")), "n" -> (col("n") + 1L)))
+        case 2 =>
+          t.deleteWhere(col("id") === (rnd.nextInt(nextId.toInt + 1).toLong))
+      }
+    }
+    def drain(): Unit = spark.readStream.format("graft-table")
+      .option("warehouse", w).option("table", "mup").load()
+      // reserved meta names cannot be table columns downstream — rename
+      .select(col("id"), col("v"), col("n"),
+        col(ManagedTable.SeqCol).as("src_seq"),
+        col(ManagedTable.TombstoneCol).as("src_del"))
+      .writeStream.format("graft-table")
+      .option("warehouse", w).option("table", "mmirror")
+      .option("identifier-fields", "id").option("mode", "upsert")
+      .option("tombstone-column", "src_del")
+      .option("dedup-column", "src_seq")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(60000)
+    def state(name: String): Set[(Long, String, Long)] =
+      ManagedTable.load(spark, w, name).get.read()
+        .select("id", "v", "n").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    (1 to 6).foreach { round =>
+      randomOps()
+      drain()
+      // the mirror carries the change-meta columns as data; compare the
+      // logical columns
+      assert(state("mmirror") == state("mup"), s"mirror diverged at round $round")
+    }
+  }
+
   test("streaming sink: writeStream.format(graft) appends exactly-once; upsert mode nets per key") {
     val w = wh
     val in = java.nio.file.Files.createTempDirectory("graft-sink-in").toString
