@@ -3842,7 +3842,11 @@ final class ManagedTable private (
     * The replaceWhere contract: every batch row must satisfy `cond` —
     * a row landing outside the replaced region would silently survive
     * the NEXT backfill of that region's complement. Violations throw
-    * before anything commits.
+    * before anything commits. On KEYED tables the batch's keys must
+    * also be UNIQUE (the same per-key contract as [[applyNetChanges]]):
+    * duplicate keys land as same-seq sibling rows, and a LATER delete
+    * of that key — key-scoped, like every equality delete — collapses
+    * all siblings at once where row-scoped semantics would keep some.
     */
   def overwriteWhere(cond: org.apache.spark.sql.Column, batch: DataFrame): Unit = {
     val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)

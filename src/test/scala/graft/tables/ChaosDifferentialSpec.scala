@@ -99,6 +99,72 @@ class ChaosDifferentialSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  // Keyed REGION DML chaos (round 8): an identity-partitioned keyed
+  // table under random merges, pure-region deletes (the manifest-drop
+  // route), mixed-predicate deletes (tombstones), pure-region
+  // overwrites (drop + batch) and maintenance — one seed runs the
+  // default metadata routing, the other the tombstone opt-out, so both
+  // routes are differentially pinned against the same model. grp is a
+  // FUNCTION of id (id % 4) everywhere, so merges never move keys
+  // across partitions (the documented partition-move limitation stays
+  // out of scope, as in the other chaos folds).
+  for ((seed, mode) <- Seq((41, "metadata"), (83, "tombstone"))) {
+    test(s"keyed-region chaos: region DML + merges + maintenance ≡ model (seed $seed, $mode)") {
+      val rnd = new Random(seed)
+      val cfg = CdcApply.UpsertConfig(keepDeletes = false)
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-krchaos$seed").toString
+      // KEY-UNIQUE batches: the keyed-table contract (duplicate keys in
+      // an overwrite batch land as same-seq siblings that a later
+      // key-scoped tombstone collapses together, where a row-scoped
+      // model keeps one — deliberately out of contract)
+      def batch(n: Int): DataFrame =
+        rnd.shuffle((0 until 24).toList).take(n).map { id =>
+          (id, id % 4, s"p${rnd.nextInt(1000)}", ops(rnd.nextInt(5)), rnd.nextInt(5).toLong)
+        }.toDF("id", "grp", "name", "__op", "__source_ts_ns")
+      val schema = batch(1).schema
+      var t = ManagedTable.create(spark, wh, "krchaos", schema, Seq("id"),
+        partitionBy = Seq("grp", "bucket(2,id)"),
+        properties = Map("write.versions-retained" -> "8",
+          "delete.keyed-region-mode" -> mode))
+      var model = t.read()
+      def canon5(df: DataFrame): Seq[(Int, Int, String, String, Long)] =
+        df.select("id", "grp", "name", "__op", "__source_ts_ns").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))
+          .sortBy(x => x).toSeq
+      for (step <- 1 to 40) {
+        rnd.nextInt(8) match {
+          case 0 => // PURE-region delete: metadata drop (or tombstones under opt-out)
+            val g = rnd.nextInt(5)
+            t.deleteWhere(col("grp").isin(g, (g + 1) % 5))
+            model = model.filter(!col("grp").isin(g, (g + 1) % 5)).localCheckpoint(true)
+          case 1 => // MIXED predicate: always the tombstone route
+            val g = rnd.nextInt(4); val cut = s"p${rnd.nextInt(1000)}"
+            t.deleteWhere(col("grp") === g && col("name") < cut)
+            model = model.filter(!(col("grp") === g && col("name") < cut)).localCheckpoint(true)
+          case 2 => // PURE-region overwrite: drop + batch (keys stay in-region)
+            val g = rnd.nextInt(4)
+            val b = batch(12).where(col("grp") === g)
+            t.overwriteWhere(col("grp") === g, b)
+            model = model.filter(!(col("grp") === g)).unionByName(b).localCheckpoint(true)
+          case 3 => t.compactMinor()
+          case 4 =>
+            Maintenance.run(t, Maintenance.Policy(maxTrickleGroups = 2 + rnd.nextInt(3)))
+          case 5 => t = ManagedTable.load(spark, wh, "krchaos").get
+          case 6 => t.compact()
+          case _ =>
+            val b = batch(15)
+            t.merge(b, cfg)
+            model = CdcApply.upsert(model, b, Seq("id"), cfg).localCheckpoint(true)
+        }
+        if (step % 4 == 0)
+          assert(canon5(t.read()) == canon5(model), s"diverged at step $step")
+      }
+      assert(canon5(t.read()) == canon5(model), "diverged at end")
+      assert(canon5(ManagedTable.load(spark, wh, "krchaos").get.read()) == canon5(model),
+        "reload diverged")
+    }
+  }
+
   for (seed <- Seq(101, 202)) {
     test(s"random merge/evolve/maintain/reload interleaving ≡ relational fold (seed $seed)") {
       val rnd = new Random(seed)
