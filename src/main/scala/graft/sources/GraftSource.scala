@@ -94,8 +94,10 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     * each micro-batch commits exactly once via a batch-id marker riding
     * the commit's pointer flip, so replays after a crash are no-ops.
     * `mode=append` (default) appends rows; `mode=upsert` applies each
-    * batch as net per-key changes on a keyed table (no deletes through
-    * this surface — use the CDC pipeline for tombstone semantics).
+    * batch as net per-key changes on a keyed table, with
+    * `tombstone-column` naming a boolean column of hard-delete verdicts
+    * (the changelog source's, for streamed replication) — without it
+    * every row upserts.
     * Create-on-first-batch honors `identifier-fields`/`partition-by`.
     * The marker scope defaults to a digest of the CHECKPOINT location
     * (batch-id monotonicity only holds within one checkpoint lineage);
@@ -124,6 +126,12 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
           .exists(_.meta.identifierFields.nonEmpty),
         s"graft sink mode=upsert: graft.$name needs identifier fields — " +
           "set the 'identifier-fields' option (create) or use an existing keyed table")
+    // a tombstone column only acts on the upsert path — appending delete
+    // verdicts as live rows would silently corrupt the target
+    require(!parameters.contains("tombstone-column") ||
+      parameters.get("mode").exists(_.equalsIgnoreCase("upsert")),
+      "graft sink: 'tombstone-column' requires mode=upsert (append would " +
+        "write delete verdicts as live rows)")
     new GraftSink(sqlContext.sparkSession, wh, name, parameters)
   }
 
@@ -231,16 +239,19 @@ private[sources] final class GraftStreamSource(
           "the stream from a fresh checkpoint to reseed, or follow with " +
           "graft.cdc.Replicate.follow which reseeds automatically")
     // restart recovery: the engine re-requests the last batch at start-up
-    // and `to`'s own manifest may have aged out of retention (the default
-    // retains ONE version) — fall back to the current manifest's view of
-    // the seq range (net per key; barrier-gated above)
+    // (COMMITTED seeds included — this fires on every restart of a
+    // default-retention table) and `to`'s manifest may have aged out, so
+    // fall back to the current manifest's view of the seq range.
+    // Cumulatively sound for the net-per-key consumers this source
+    // feeds: ranges filter by ENTRY seq, so a row a minor fold lifted
+    // past `to` is not lost — it re-arrives inside the folded entry's
+    // later range — and the only operation that re-stamps PER-ROW seqs
+    // (a full rewrite) also stamps the barrier, which kills the stream
+    // loudly at the next incremental range regardless of what this
+    // replayed batch served.
     val changes =
-      try t.readChangesBetween(from, to)
-      catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null && e.getMessage.contains("no retained manifest") =>
-          t.readChangesBetweenCurrent(from, to)
-      }
+      if (t.manifestRetained(to)) t.readChangesBetween(from, to)
+      else t.readChangesBetweenCurrent(from, to)
     val batch = changes.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     org.apache.spark.sql.graftbridge.GraftBridge.streamingDataFrame(batch)
   }

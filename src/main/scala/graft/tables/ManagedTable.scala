@@ -1045,6 +1045,11 @@ final class ManagedTable private (
     changesFromEntries(entries, fromVersion, toVersion)
   }
 
+  /** Is `version`'s manifest still retained (readable for time travel /
+    * changelog ranges)? One metadata existence check.
+    */
+  def manifestRetained(version: Long): Boolean = fs.exists(manifestPath(version))
+
   /** [[readChangesBetween]] evaluated against the CURRENT manifest — the
     * streaming-source restart fallback when `toVersion`'s own manifest
     * aged out of retention (the default retains ONE version): the

@@ -102,12 +102,12 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     val t = ManagedTable.create(spark, w, "chg", df.schema, Seq("id"))
     t.append(df)
     t.updateWhere(col("id") === 1L, Map("v" -> lit("a2")))
-    def runOnce(): Unit = spark.readStream.format("graft-table")
+    def runOnce(): Unit = assert(spark.readStream.format("graft-table")
       .option("warehouse", w).option("table", "chg").load()
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ck)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start().awaitTermination(60000)
+      .start().awaitTermination(120000), "drain timed out")
     runOnce()
     val got1 = spark.read.parquet(out)
     assert(got1.columns.contains(ManagedTable.SeqCol) &&
@@ -130,6 +130,41 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("changelog barrier")), msgs(e).mkString(" | "))
+  }
+
+  test("changelog source retention fallback: incremental ranges recover, expired seed fails") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val w = wh
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "rf", df.schema, Seq("id")) // retention default: 1
+    t.append(df)                                   // v1
+    t.append(Seq((2L, "b")).toDF("id", "v"))       // v2
+    t.append(Seq((3L, "c")).toDF("id", "v"))       // v3
+    t.append(Seq((4L, "d")).toDF("id", "v"))       // v4 — v2's manifest expires
+    assert(!t.manifestRetained(2L) && t.manifestRetained(4L))
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(ManagedTable.SeqCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(ManagedTable.TombstoneCol,
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val src = new GraftStreamSource(spark, w, "rf", schema)
+    // fallback CONTENT: the current-manifest view of an expired range is
+    // exactly the range's rows on this append-only history
+    assert(t.readChangesBetweenCurrent(1L, 2L)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(t.readChangesBetweenCurrent(0L, 2L)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // and readChangesBetween itself still refuses the expired manifest
+    intercept[IllegalArgumentException] { t.readChangesBetween(1L, 2L) }
+    // the SOURCE takes the fallback for both incremental and seed
+    // re-requests without throwing (content execution rides the engine —
+    // the mirror differential's restarts cover it e2e)
+    val inc = src.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    val seed = src.getBatch(None, LongOffset(2L))
+    assert(inc.isStreaming && seed.isStreaming)
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(inc.schema) == shape(schema) && shape(seed.schema) == shape(schema))
   }
 
   test("randomized mirror differential: source→sink streamed replication ≡ upstream") {
@@ -168,7 +203,7 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
       .option("dedup-column", "src_seq")
       .option("checkpointLocation", ck)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start().awaitTermination(60000)
+      .start().awaitTermination(120000)
     def state(name: String): Set[(Long, String, Long)] =
       ManagedTable.load(spark, w, name).get.read()
         .select("id", "v", "n").collect()
@@ -199,7 +234,7 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
       .option("identifier-fields", "id").option("mode", "upsert")
       .option("checkpointLocation", ck)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start().awaitTermination(60000)
+      .start().awaitTermination(120000)
     runOnce()
     val t = ManagedTable.load(spark, w, "sunk").get
     assert(t.meta.identifierFields == Seq("id"))
@@ -239,7 +274,7 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
       .option("dedup-column", "ts")
       .option("checkpointLocation", ck2)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start().awaitTermination(60000)
+      .start().awaitTermination(120000)
     val s2 = ManagedTable.load(spark, w2, "sunk2").get.read()
       .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(s2 == Set((1L, "new"), (2L, "b")), s2.toString)
@@ -251,7 +286,7 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("ck3").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination(60000)
+        .start().awaitTermination(120000)
     }
     assert(msgs(e4).exists(_.contains("identifier-fields")), msgs(e4).mkString(" | "))
     assert(ManagedTable.load(spark, w2, "sunk3").isEmpty,
