@@ -70,6 +70,12 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     * without tombstones) fails the stream with a precise error: an
     * incremental consumer cannot reconstruct across it — reseed, or
     * follow with [[graft.cdc.Replicate.follow]], which handles reseeds.
+    *
+    * Attach/rate options (round 9): `startingVersion=latest` attaches at
+    * the current version (only commits after attach stream; the pin is
+    * durable across restarts), `startingVersion=<n>` starts at version n
+    * inclusive; `maxVersionsPerTrigger=<k>` caps each micro-batch at k
+    * commit versions, so a burst splits instead of landing as one batch.
     */
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String, parameters: Map[String, String])
@@ -85,8 +91,33 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
                             parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val (wh, name) = resolve(sqlContext, parameters)
+    // `startingVersion` = latest | <n>: where the stream ATTACHES. Without
+    // it the seed batch is the full net snapshot (0, current] — correct
+    // for a fresh replica, but attaching a follower to an existing LARGE
+    // table replays the whole table as batch 0; `latest` pins the
+    // attach-time version (durably, in the stream's metadata dir — exact
+    // across restarts), a number starts at that version INCLUSIVE
+    // (Delta's startingVersion contract).
+    val startingVersion = parameters.get("startingVersion")
+    startingVersion.foreach(sv => require(
+      sv.equalsIgnoreCase("latest") ||
+        (sv.nonEmpty && sv.forall(_.isDigit) && sv.toLong >= 1L),
+      s"graft source: startingVersion must be 'latest' or a version >= 1, got '$sv'"))
+    // `maxVersionsPerTrigger` caps how many commit VERSIONS one
+    // micro-batch covers (Kafka's maxOffsetsPerTrigger shape): a commit
+    // burst splits across batches instead of landing as one giant batch.
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map { s =>
+      val n = try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft source: maxVersionsPerTrigger must be a positive number, got '$s'")
+      }
+      require(n >= 1L,
+        s"graft source: maxVersionsPerTrigger must be >= 1, got $n")
+      n
+    }
     new GraftStreamSource(sqlContext.sparkSession, wh, name,
-      changeSchema(sqlContext.sparkSession, wh, name))
+      changeSchema(sqlContext.sparkSession, wh, name),
+      startingVersion, maxVersions, metadataPath)
   }
 
   /** `df.writeStream.format("graft-table")` — the streaming sink (the
@@ -101,8 +132,14 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     * Create-on-first-batch honors `identifier-fields`/`partition-by`.
     * The marker scope defaults to a digest of the CHECKPOINT location
     * (batch-id monotonicity only holds within one checkpoint lineage);
-    * `sink-id` overrides it. A wiped/relocated checkpoint reusing a
-    * marker scope fails precisely instead of silently dropping data.
+    * `sink-id` overrides it, and one of the two MUST be an explicit
+    * writer option — a shared fallback scope would let two streams into
+    * one table drop each other's batches. A wiped/relocated checkpoint
+    * reusing a marker scope fails precisely instead of silently dropping
+    * data. Schema: columns the table lacks refuse precisely (the write
+    * path conforms to the table schema, which would silently drop their
+    * data) unless `merge-schema=true` evolves the table union-by-name
+    * first (the CDC pipeline's D6 semantics through the V1 seam).
     */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
@@ -132,6 +169,36 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
       parameters.get("mode").exists(_.equalsIgnoreCase("upsert")),
       "graft sink: 'tombstone-column' requires mode=upsert (append would " +
         "write delete verdicts as live rows)")
+    // Update mode re-delivers every CHANGED row per trigger; appending
+    // those re-emissions accumulates one stale row per update — the same
+    // duplication the Complete guard refuses. Upsert mode is exactly the
+    // right receiver for update-mode re-emissions (latest per key wins).
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Update() ||
+      parameters.get("mode").exists(_.equalsIgnoreCase("upsert")),
+      "graft sink: Update output mode re-emits changed rows every trigger — " +
+        "append mode would accumulate stale versions of each key; use " +
+        "mode=upsert (with identifier fields)")
+    // A delete verdict must not lose to a stale update inside one
+    // micro-batch: intra-batch netting needs a deterministic per-key
+    // winner when tombstones are in play (without dedup-column it is an
+    // arbitrary row per key — fine for idempotent upserts, silent replica
+    // divergence for deletes)
+    require(!parameters.contains("tombstone-column") ||
+      parameters.contains("dedup-column"),
+      "graft sink: 'tombstone-column' requires 'dedup-column' (the per-key " +
+        "ordering column, e.g. the changelog source's seq) — without it a " +
+        "delete verdict can lose to a stale update within one micro-batch")
+    // The exactly-once marker scope derives from the checkpoint lineage.
+    // Spark only passes checkpointLocation here when set via .option(...)
+    // on the writer — a session-default checkpoint dir never reaches this
+    // map, and a shared fallback scope would let two streams into one
+    // table treat each other's batch ids as replays (silent drops).
+    require(parameters.contains("sink-id") ||
+      parameters.contains("checkpointLocation"),
+      "graft sink: set .option(\"checkpointLocation\", ...) on the writer " +
+        "(or an explicit 'sink-id') — the exactly-once marker scope " +
+        "derives from it, and a session-default checkpoint location never " +
+        "reaches the sink")
     new GraftSink(sqlContext.sparkSession, wh, name, parameters)
   }
 
@@ -196,7 +263,10 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
   */
 private[sources] final class GraftStreamSource(
     spark: org.apache.spark.sql.SparkSession, wh: String, name: String,
-    val schema: StructType)
+    val schema: StructType,
+    startingVersion: Option[String] = None,
+    maxVersionsPerTrigger: Option[Long] = None,
+    metadataPath: String = "")
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.Offset
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -205,9 +275,46 @@ private[sources] final class GraftStreamSource(
     ManagedTable.load(spark, wh, name).getOrElse(
       throw new IllegalStateException(s"graft table '$name' vanished from $wh"))
 
+  /** The version the stream starts strictly AFTER. 0 = full-snapshot seed
+    * (default). `startingVersion=<n>` starts at n INCLUSIVE, so after
+    * n-1. `latest` pins the attach-time current version DURABLY in the
+    * stream's metadata dir: recomputing it at restart would silently skip
+    * every commit between a stop and the restart.
+    */
+  private lazy val seedFrom: Long = startingVersion match {
+    case None                              => 0L
+    case Some(n) if n.forall(_.isDigit)    => n.toLong - 1L
+    case Some(_)                           => // latest
+      val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-attach-version")
+      val mfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!mfs.exists(p)) {
+        // temp + rename: a crash mid-write must never leave a torn pin
+        val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+          s".graft-attach-version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        val out = mfs.create(tmp, false)
+        try out.write(table.meta.currentVersion.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (!mfs.rename(tmp, p)) mfs.delete(tmp, false) // lost a (re)start race: read the winner's pin
+      }
+      val in = mfs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+  }
+
+  /** Highest version already handed to the engine — the rate-limit base.
+    * Recovery calls [[getBatch]] for the last checkpointed batch before
+    * asking for new offsets, so restarts re-establish it before the first
+    * capped poll.
+    */
+  @volatile private var lastBatchEnd: Long = Long.MinValue
+
   override def getOffset: Option[Offset] = {
-    val v = table.meta.currentVersion
-    if (v <= 0L) None else Some(LongOffset(v))
+    val cur = table.meta.currentVersion
+    val base = math.max(lastBatchEnd, seedFrom)
+    val end = maxVersionsPerTrigger.map(k => math.min(cur, base + k)).getOrElse(cur)
+    if (end <= seedFrom) None else Some(LongOffset(end))
   }
 
   private def ver(o: Offset): Long = o match {
@@ -216,8 +323,9 @@ private[sources] final class GraftStreamSource(
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(ver).getOrElse(0L)
+    val from = start.map(ver).getOrElse(seedFrom)
     val to = ver(end)
+    lastBatchEnd = math.max(lastBatchEnd, to)
     val t = table
     // an incremental consumer cannot reconstruct state across a barrier
     // (rows vanished without tombstones) — fail precisely instead of
@@ -227,11 +335,13 @@ private[sources] final class GraftStreamSource(
     // inside the range (one may have landed between the offset poll and
     // this read), and a stream with a barrier ahead of it fails at the
     // next range anyway — failing one batch early is harmless, serving
-    // a partial changelog is not. The SEED batch (start=None) is exempt:
-    // (0, to] is the net current snapshot, correct across any barrier.
+    // a partial changelog is not. The full-snapshot SEED (from == 0) is
+    // exempt: (0, to] is the net current snapshot, correct across any
+    // barrier. A startingVersion seed (from > 0) is an INCREMENTAL range
+    // and gets the same protection as a restart.
     val barrier = t.meta.properties.get(ManagedTable.BarrierKey)
       .map(_.toLong).getOrElse(Long.MinValue)
-    if (start.isDefined && barrier > from)
+    if (from > 0L && barrier > from)
       throw new IllegalStateException(
         s"graft.$name: changelog barrier at version $barrier after " +
           s"offset $from — the stream cannot replay a non-incremental " +
@@ -267,16 +377,19 @@ private[sources] final class GraftSink(
     parameters: Map[String, String])
     extends org.apache.spark.sql.execution.streaming.Sink {
 
-  // marker scope defaults to the CHECKPOINT lineage (batch-id
-  // monotonicity only holds within one checkpoint), falling back to an
-  // explicit sink-id; two streams into one table need distinct scopes
+  // marker scope = an explicit sink-id, else a digest of the CHECKPOINT
+  // location (batch-id monotonicity only holds within one checkpoint
+  // lineage); createSink guarantees one of the two is present — a shared
+  // fallback scope would silently drop batches across streams
   private val sinkId = parameters.get("sink-id").orElse(
     parameters.get("checkpointLocation").map { p =>
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(p.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    }).getOrElse("default")
+    }).getOrElse(throw new IllegalStateException(
+      "graft sink: no sink-id and no checkpointLocation (createSink guards this)"))
   private val markerKey = s"sink.last-batch-id.$sinkId"
   private val upsert = parameters.get("mode").exists(_.equalsIgnoreCase("upsert"))
+  private val mergeSchema = parameters.get("merge-schema").exists(_.equalsIgnoreCase("true"))
   private val SinkDelCol = "__graft_sink_del"
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -303,6 +416,19 @@ private[sources] final class GraftSink(
         s"$batchId — the checkpoint was wiped or relocated while reusing " +
         "this marker scope; restart with a fresh checkpoint dir (new " +
         "lineage) or an explicit new sink-id")
+    // Columns the table lacks (a restarted stream with an evolved schema):
+    // the write path conforms to the TABLE schema, which would silently
+    // DROP the new columns' data — either evolve the table (union-by-name,
+    // the CDC pipeline's D6 semantics) when merge-schema=true, or refuse
+    // precisely. The sink never silently discards data.
+    val unknown = df.columns.filterNot(t.meta.schema.fieldNames.contains)
+    if (unknown.nonEmpty) {
+      if (mergeSchema) t.evolve(df.schema)
+      else throw new IllegalArgumentException(
+        s"graft sink: stream columns [${unknown.mkString(", ")}] are not in " +
+          s"graft.$name's schema — set merge-schema=true to evolve the " +
+          "table (union-by-name), or drop them upstream")
+    }
     val props = Map(markerKey -> batchId.toString)
     if (upsert) {
       require(t.meta.identifierFields.nonEmpty,

@@ -83,4 +83,16 @@ object GraftBridge {
     val cs = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** Undo [[streamingDataFrame]]'s flag so a `getBatch` result's CONTENT
+    * can be asserted without running the engine (batch execution refuses
+    * streaming-flagged plans) — spec support for source unit tests.
+    */
+  def unwrapStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .internalCreateDataFrame(l.rdd, df.schema, isStreaming = false)
+      case _ => df
+    }
 }

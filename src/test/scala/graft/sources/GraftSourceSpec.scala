@@ -167,6 +167,96 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     assert(shape(inc.schema) == shape(schema) && shape(seed.schema) == shape(schema))
   }
 
+  test("changelog source: startingVersion=latest attaches at current and pins across restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val w = wh
+    val md = java.nio.file.Files.createTempDirectory("graft-attach-md").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "att", df.schema, Seq("id"))
+    t.append(df)                              // v1
+    t.append(Seq((3L, "c")).toDF("id", "v"))  // v2
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(ManagedTable.SeqCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(ManagedTable.TombstoneCol,
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val src = new GraftStreamSource(spark, w, "att", schema,
+      startingVersion = Some("latest"), metadataPath = md)
+    // nothing new since attach: no offset, no seed replay of the table
+    assert(src.getOffset.isEmpty, "attach-at-latest must not replay the snapshot")
+    t.append(Seq((4L, "d")).toDF("id", "v"))  // v3 — after attach
+    assert(src.getOffset.contains(LongOffset(3L)))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      org.apache.spark.sql.graftbridge.GraftBridge.unwrapStreaming(df)
+        .select("id").collect().map(_.getLong(0)).toSet
+    // the seed range is (attachVersion, 3] = only the new commit
+    assert(rows(src.getBatch(None, LongOffset(3L))) == Set(4L))
+    // a RESTART (new source instance, same metadata dir) keeps the pin:
+    // commits between stop and restart are NOT skipped
+    t.append(Seq((5L, "e")).toDF("id", "v"))  // v4
+    val src2 = new GraftStreamSource(spark, w, "att", schema,
+      startingVersion = Some("latest"), metadataPath = md)
+    assert(rows(src2.getBatch(None, LongOffset(4L))) == Set(4L, 5L),
+      "the attach pin must survive a restart (recomputing 'latest' would skip v3)")
+    // numeric startingVersion: inclusive of that version's commit
+    val srcN = new GraftStreamSource(spark, w, "att", schema,
+      startingVersion = Some("3"), metadataPath = md)
+    assert(rows(srcN.getBatch(None, LongOffset(4L))) == Set(4L, 5L))
+    // invalid values refuse at stream definition
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-table").option("warehouse", w)
+        .option("table", "att").option("startingVersion", "0").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck-sv").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("startingVersion")), msgs(e).mkString(" | "))
+  }
+
+  test("changelog source: maxVersionsPerTrigger splits a commit burst across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val w = wh
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "burst", df.schema, Seq("id"))
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v"))) // v1..v5
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(ManagedTable.SeqCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(ManagedTable.TombstoneCol,
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    // unit-level: the offset walk is capped at 2 versions per poll
+    val src = new GraftStreamSource(spark, w, "burst", schema,
+      maxVersionsPerTrigger = Some(2L))
+    assert(src.getOffset.contains(LongOffset(2L)))
+    src.getBatch(None, LongOffset(2L))
+    assert(src.getOffset.contains(LongOffset(4L)))
+    src.getBatch(Some(LongOffset(2L)), LongOffset(4L))
+    assert(src.getOffset.contains(LongOffset(5L)))
+    src.getBatch(Some(LongOffset(4L)), LongOffset(5L))
+    assert(src.getOffset.contains(LongOffset(5L)), "caught up: offset stays put")
+    // e2e: a ProcessingTime drain covers the burst in >= 3 capped batches
+    // and delivers every row exactly once
+    val out = java.nio.file.Files.createTempDirectory("graft-burst-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-burst-ck").toString
+    val q = spark.readStream.format("graft-table")
+      .option("warehouse", w).option("table", "burst")
+      .option("maxVersionsPerTrigger", "2").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).toSet == (1L to 5L).toSet)
+    val batches = new java.io.File(s"$ck/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 3, s"a 5-commit burst at cap 2 needs >= 3 batches, got $batches")
+  }
+
   test("randomized mirror differential: source→sink streamed replication ≡ upstream") {
     val rnd = new scala.util.Random(97)
     val w = wh
@@ -291,5 +381,117 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     assert(msgs(e4).exists(_.contains("identifier-fields")), msgs(e4).mkString(" | "))
     assert(ManagedTable.load(spark, w2, "sunk3").isEmpty,
       "a refused upsert stream must not leave a keyless table behind")
+  }
+
+  test("sink guards: update-mode, marker scope, tombstone netting refuse precisely") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val w = wh
+    val in = java.nio.file.Files.createTempDirectory("graft-guard-in").toString
+    Seq((1L, "a")).toDF("id", "v").repartition(1).write.json(s"$in/b1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    def stream = spark.readStream.schema(schema).json(s"$in/*")
+    // Update output mode + append sink mode would accumulate one stale row
+    // per re-emission — refused up front (mirrors the Complete refusal)
+    val eU = intercept[Exception] {
+      stream.groupBy("id").count().withColumnRenamed("count", "n")
+        .writeStream.format("graft-table").outputMode("update")
+        .option("warehouse", w).option("table", "gU")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckU").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+    }
+    assert(msgs(eU).exists(_.contains("Update output mode")), msgs(eU).mkString(" | "))
+    // ...and the exact same query in Update + upsert mode is accepted and
+    // converges to the latest count per key across re-emissions
+    val ckOk = java.nio.file.Files.createTempDirectory("ckOk").toString
+    def runUpd(): Unit = stream.groupBy("id").count().withColumnRenamed("count", "n")
+      .writeStream.format("graft-table").outputMode("update")
+      .option("warehouse", w).option("table", "gU")
+      .option("identifier-fields", "id").option("mode", "upsert")
+      .option("checkpointLocation", ckOk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(120000)
+    runUpd()
+    Seq((1L, "a2"), (2L, "b")).toDF("id", "v").repartition(1).write.json(s"$in/b2")
+    runUpd()
+    val gotU = ManagedTable.load(spark, w, "gU").get.read()
+      .select("id", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotU == Set((1L, 2L), (2L, 1L)),
+      s"update-mode re-emission must net to the latest count per key: $gotU")
+    // no checkpointLocation OPTION and no sink-id: the marker scope would
+    // be shared across streams — refused even when a session-default
+    // checkpoint dir exists (Spark never passes the default to the sink)
+    spark.conf.set("spark.sql.streaming.checkpointLocation",
+      java.nio.file.Files.createTempDirectory("ck-default").toString)
+    val eM = try intercept[Exception] {
+      stream.writeStream.format("graft-table")
+        .option("warehouse", w).option("table", "gM")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+    assert(msgs(eM).exists(_.contains("marker scope")), msgs(eM).mkString(" | "))
+    // tombstone-column without dedup-column: a delete verdict could lose
+    // to a stale update inside one micro-batch — refused
+    val eT = intercept[Exception] {
+      stream.withColumn("del", lit(false))
+        .writeStream.format("graft-table")
+        .option("warehouse", w).option("table", "gT")
+        .option("identifier-fields", "id").option("mode", "upsert")
+        .option("tombstone-column", "del")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ckT").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+    }
+    assert(msgs(eT).exists(_.contains("dedup-column")), msgs(eT).mkString(" | "))
+  }
+
+  test("sink schema: unknown columns refuse by default, merge-schema=true evolves") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val w = wh
+    val in = java.nio.file.Files.createTempDirectory("graft-evo-in").toString
+    Seq((1L, "a")).toDF("id", "v").repartition(1).write.json(s"$in/b1")
+    val s2 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    def run(ck: String, schema: org.apache.spark.sql.types.StructType,
+            merge: Boolean): Unit = {
+      val wr = spark.readStream.schema(schema).json(s"$in/*")
+        .writeStream.format("graft-table")
+        .option("warehouse", w).option("table", "evo")
+        .option("identifier-fields", "id").option("mode", "upsert")
+        .option("dedup-column", "id")
+        .option("checkpointLocation", ck)
+      (if (merge) wr.option("merge-schema", "true") else wr)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+    }
+    run(java.nio.file.Files.createTempDirectory("ckE1").toString, s2, merge = false)
+    assert(ManagedTable.load(spark, w, "evo").get.read().count() == 1)
+    // the stream widens (a restarted pipeline with an evolved upstream):
+    // default = precise refusal, NOT a silent conformTo drop
+    val s3 = org.apache.spark.sql.types.StructType(s2.fields :+
+      org.apache.spark.sql.types.StructField("extra", org.apache.spark.sql.types.LongType))
+    Seq((2L, "b", 7L)).toDF("id", "v", "extra").repartition(1).write.json(s"$in/b2")
+    val e = intercept[Exception] {
+      run(java.nio.file.Files.createTempDirectory("ckE2").toString, s3, merge = false)
+    }
+    assert(msgs(e).exists(m => m.contains("merge-schema") && m.contains("extra")),
+      msgs(e).mkString(" | "))
+    assert(ManagedTable.load(spark, w, "evo").get.read().count() == 1,
+      "a refused batch must not partially apply")
+    // merge-schema=true: the table evolves union-by-name; pre-evolution
+    // rows read the new column as null, the new row keeps its value
+    run(java.nio.file.Files.createTempDirectory("ckE3").toString, s3, merge = true)
+    val t = ManagedTable.load(spark, w, "evo").get
+    assert(t.meta.schema.fieldNames.contains("extra"))
+    val got = t.read().select("id", "extra").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got == Map(1L -> null, 2L -> 7L), got.toString)
   }
 }
