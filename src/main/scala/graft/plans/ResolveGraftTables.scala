@@ -500,12 +500,13 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     case other     => Seq(other)
   }
 
-  /** The pruned scan for the first prunable conjunct: a RANGE (or
-    * equality) on a monotone partition source column tuple-prunes via
-    * [[ManagedTable.readSourceRange]]; otherwise a `col = literal`
-    * conjunct group-prunes via bounds + Bloom ([[ManagedTable
-    * .readWhereEq]]). The caller keeps the original filter on top, so
-    * pruning only ever opens a superset of the matching groups.
+  /** The COMPOSITE pruned scan over every prunable conjunct
+    * ([[ManagedTable.readPrunedConjunction]]): per column, ranges and
+    * equalities fold into one inclusive-bounds conjunct, and candidate
+    * entry sets intersect across conjuncts — bounds ∧ Bloom ∧
+    * partition-tuple per conjunct. The caller keeps the original filter
+    * on top, so pruning only ever opens a superset of the matching
+    * groups.
     */
   private def resolvePruned(name: String, cond: Expression): Option[LogicalPlan] = {
     val wh = session.conf.getOption("spark.graft.warehouse")
@@ -569,36 +570,24 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       def logical(df: org.apache.spark.sql.DataFrame): LogicalPlan =
         df.select(t.meta.schema.fieldNames.toIndexedSeq.map(
           org.apache.spark.sql.functions.col): _*).queryExecution.analyzed
-      // 1. partition-source tuple pruning — the strongest cut at scale
-      val partitionPruned = ranges.groupBy(_._1).view
-        .flatMap { case (colName, bs) =>
-          t.meta.schema.fields.find(_.name.equalsIgnoreCase(colName))
-            .filter(f => t.isMonotonePartitionSource(f.name))
-            .flatMap { fld =>
-              val lo = bs.collectFirst { case (_, true, l) => l }
-                .flatMap(extValue(fld, _))
-              val hi = bs.collectFirst { case (_, false, l) => l }
-                .flatMap(extValue(fld, _))
-              if (lo.isEmpty && hi.isEmpty) None
-              else Some(logical(t.readSourceRange(fld.name, lo, hi)))
-            }
-        }.headOption
-      if (partitionPruned.isDefined) return partitionPruned
-      // 2. bounds + Bloom group pruning on an equality conjunct
-      val eq = conjuncts(cond).collectFirst(Function.unlift {
-        case EqualTo(a: UnresolvedAttribute, l: Literal) if l.value != null =>
-          Some((a.nameParts.last, l))
-        case EqualTo(l: Literal, a: UnresolvedAttribute) if l.value != null =>
-          Some((a.nameParts.last, l))
-        case _ => None
-      })
-      eq.flatMap { case (colName, l) =>
+      // COMPOSITE pruning (round 9): every prunable conjunct contributes —
+      // bounds are grouped PER COLUMN (equality contributed both bounds
+      // above, so `k = 5` becomes the closed range [5, 5] and Bloom-probes)
+      // and the per-conjunct candidate sets INTERSECT inside
+      // readPrunedConjunction (bounds ∧ Bloom ∧ partition-tuple per
+      // conjunct) — `WHERE k = 5 AND day >= X` prunes multiplicatively.
+      val preds = ranges.groupBy(_._1).toSeq.flatMap { case (colName, bs) =>
         t.meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).flatMap { fld =>
-          extValue(fld, l).map { ext =>
-            logical(t.readWhereEq(fld.name, ext))
-          }
+          val lo = bs.collectFirst { case (_, true, l) => l }
+            .flatMap(extValue(fld, _))
+          val hi = bs.collectFirst { case (_, false, l) => l }
+            .flatMap(extValue(fld, _))
+          if (lo.isEmpty && hi.isEmpty) None
+          else Some(ManagedTable.PruneConjunct(fld.name, lo, hi))
         }
       }
+      if (preds.isEmpty) None
+      else Some(logical(t.readPrunedConjunction(preds)))
     }
   }
 

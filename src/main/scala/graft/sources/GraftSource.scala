@@ -19,14 +19,15 @@ import org.apache.spark.sql.types.StructType
   * tag name / WAP branch name — the same ref resolution as SQL
   * `VERSION AS OF` (round 8).
   *
-  * Scan: [[PrunedFilteredScan]] — pushed filters drive MANIFEST pruning
-  * (equality → bounds+Bloom group pruning via
-  * [[ManagedTable.readWhereEq]], ranges → [[ManagedTable.readColRange]]
-  * / partition-tuple pruning via [[ManagedTable.readSourceRange]]) and
-  * are then declared UNHANDLED, so Spark re-applies every predicate on
-  * top: pruning opens a superset of the matching groups, semantics are
-  * exactly the full scan's. Columns are pruned before the scan
-  * materializes, so the parquet reader sees the narrow schema.
+  * Scan: [[PrunedFilteredScan]] — pushed filters drive COMPOSITE
+  * MANIFEST pruning ([[ManagedTable.readPrunedConjunction]]): candidate
+  * entry sets intersect across ALL pushed conjuncts (bounds ∧ Bloom ∧
+  * partition-tuple per conjunct), live and ref/time-travel reads alike,
+  * and the filters are then declared UNHANDLED, so Spark re-applies
+  * every predicate on top: pruning opens a superset of the matching
+  * groups, semantics are exactly the full scan's. Columns are pruned
+  * before the scan materializes, so the parquet reader sees the narrow
+  * schema.
   *
   * Write: `SaveMode.Append` → [[ManagedTable.append]] (MoR upsert
   * semantics ride the table's identifier fields on read),
@@ -498,36 +499,37 @@ private[sources] final case class GraftRelation(
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 
-  /** Manifest pruning from pushed filters — CURRENT snapshot only (time
-    * travel and ref reads return the pinned plan unpruned; their
-    * retained manifests carry the same stats but the point-read APIs
-    * target the live snapshot).
+  /** COMPOSITE manifest pruning from pushed filters (round 9): every
+    * pushed conjunct contributes — one [[ManagedTable.PruneConjunct]] per
+    * equality plus one per range column (bounds grouped PER COLUMN, so
+    * `a > 1 AND b < 5 AND a < 9` prunes on a's closed range instead of
+    * silently degrading) — and the candidate sets intersect, bounds ∧
+    * Bloom ∧ tuple per conjunct. Ref/time-travel reads route through the
+    * SAME pruning against the pinned manifest instead of an unpruned
+    * early-return. Strict bounds prune as their inclusive counterparts
+    * (superset-sound; Spark re-applies every filter on top).
     */
   private def pruned(filters: Array[Filter]): DataFrame = {
-    if (versionAsOf.isDefined) return snapshot
     val cols = schema.fieldNames.toSet
-    // first equality on a real column wins (readWhereEq also consults
-    // Bloom filters); otherwise try a closed range on one column
-    filters.collectFirst {
-      case EqualTo(a, v) if v != null && cols.contains(a) => table.readWhereEq(a, v)
-    }.orElse {
-      val lo = filters.collectFirst {
-        case GreaterThan(a, v) if v != null && cols.contains(a) => a -> v
-        case GreaterThanOrEqual(a, v) if v != null && cols.contains(a) => a -> v
-      }
-      val hi = filters.collectFirst {
-        case LessThan(a, v) if v != null && cols.contains(a) => a -> v
-        case LessThanOrEqual(a, v) if v != null && cols.contains(a) => a -> v
-      }
-      (lo, hi) match {
-        case (Some((c1, l)), Some((c2, h))) if c1 == c2 =>
-          Some(table.readColRange(c1, l, h))
-        case (Some((c, l)), None) if table.isMonotonePartitionSource(c) =>
-          Some(table.readSourceRange(c, Some(l), None))
-        case (None, Some((c, h))) if table.isMonotonePartitionSource(c) =>
-          Some(table.readSourceRange(c, None, Some(h)))
-        case _ => None
-      }
-    }.getOrElse(snapshot)
+    val eqs = filters.collect {
+      case EqualTo(a, v) if v != null && cols.contains(a) =>
+        ManagedTable.PruneConjunct(a, Some(v), Some(v))
+    }.toSeq
+    val lows = filters.collect {
+      case GreaterThan(a, v) if v != null && cols.contains(a) => a -> v
+      case GreaterThanOrEqual(a, v) if v != null && cols.contains(a) => a -> v
+    }
+    val highs = filters.collect {
+      case LessThan(a, v) if v != null && cols.contains(a) => a -> v
+      case LessThanOrEqual(a, v) if v != null && cols.contains(a) => a -> v
+    }
+    val ranges = (lows.map(_._1) ++ highs.map(_._1)).distinct.toSeq.map { c =>
+      ManagedTable.PruneConjunct(c,
+        lows.collectFirst { case (`c`, v) => v },
+        highs.collectFirst { case (`c`, v) => v })
+    }
+    val preds = eqs ++ ranges
+    if (preds.isEmpty) snapshot
+    else table.readPrunedConjunction(preds, versionAsOf.filter(_.nonEmpty))
   }
 }

@@ -349,16 +349,31 @@ final class ManagedTable private (
     require(lo.isDefined || hi.isDefined, "at least one bound")
     require(monotoneFieldsOf(c).nonEmpty,
       s"$c is not a monotone partition source column of any spec epoch")
-    // Bounds are transformed PER EPOCH through that epoch's own Catalyst
-    // expression: updatePartitionSpec allows re-parameterizing a transform
-    // (truncate(c,4) -> truncate(c,8)) under one derived name, so a bound
-    // computed at one width must never be compared against another
-    // epoch's tuples — e.g. hi='apricot' truncates to 'apri' at width 4,
-    // which would wrongly prune a width-8 group whose tuple is 'apric'
-    // even though its rows satisfy c <= 'apricot'.
-    // Year compares numerically (tuple ints are not zero-padded), the
-    // string transforms lexicographically (fixed-width formats), identity
-    // in the column's natural domain.
+    val fltr = readPartitionsEpochAware(tupleRangePred(c, lo, hi))
+    val base = fltr.select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val withLo = lo.map(v => base.filter(col(c) >= lit(v))).getOrElse(base)
+    hi.map(v => withLo.filter(col(c) <= lit(v))).getOrElse(withLo)
+  }
+
+  /** The epoch-aware tuple-range test behind [[readSourceRange]], reusable
+    * against any entry set (composite pruning, round 9): can the tuple
+    * hold rows with `c` in the inclusive range [lo, hi]?
+    *
+    * Bounds are transformed PER EPOCH through that epoch's own Catalyst
+    * expression: updatePartitionSpec allows re-parameterizing a transform
+    * (truncate(c,4) -> truncate(c,8)) under one derived name, so a bound
+    * computed at one width must never be compared against another
+    * epoch's tuples — e.g. hi='apricot' truncates to 'apri' at width 4,
+    * which would wrongly prune a width-8 group whose tuple is 'apric'
+    * even though its rows satisfy c <= 'apricot'.
+    * Year compares numerically (tuple ints are not zero-padded), the
+    * string transforms lexicographically (fixed-width formats), identity
+    * in the column's natural domain. Throws on a bound that does not cast
+    * to the column's type (callers either propagate — readSourceRange's
+    * fail-fast contract — or fall back to not pruning).
+    */
+  private def tupleRangePred(c: String, lo: Option[Any], hi: Option[Any])
+      : (Int, Map[String, String]) => Boolean = {
     val perEpochBounds: IndexedSeq[Seq[(PartitionField, (Option[String], Option[String]))]] =
       (0 to currentEpoch).map { i =>
         epochPartitionFields(i)
@@ -379,7 +394,7 @@ final class ManagedTable private (
       else java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val fltr = readPartitionsEpochAware { (epoch, tuple) =>
+    (epoch: Int, tuple: Map[String, String]) =>
       perEpochBounds(epoch).forall { case (pf, (l, h)) =>
         tuple.get(pf.name) match {
           case None => true // tuple lacks the column: cannot prune
@@ -389,10 +404,6 @@ final class ManagedTable private (
             l.forall(lv => cmp(pf, v, lv) >= 0) && h.forall(hv => cmp(pf, v, hv) <= 0)
         }
       }
-    }
-    val base = fltr.select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*)
-    val withLo = lo.map(v => base.filter(col(c) >= lit(v))).getOrElse(base)
-    hi.map(v => withLo.filter(col(c) <= lit(v))).getOrElse(withLo)
   }
 
   /** Live partition tuples (SHOW PARTITIONS analogue) — metadata-only:
@@ -1311,6 +1322,113 @@ final class ManagedTable private (
             entryEpoch(e.seq) > minKeptEpoch)))
       }
     morRead(pruned).filter(col(c) === lit(v))
+  }
+
+  /** Composite manifest pruning (round 9): intersect per-conjunct
+    * candidate entry sets across ALL pushed conjuncts — for each conjunct
+    * every applicable signal fires (column bounds ∧ Bloom on equality ∧
+    * partition-tuple range on monotone source columns), and an entry
+    * survives only if EVERY conjunct keeps it, so `WHERE k = 5 AND day >=
+    * X` prunes multiplicatively instead of by one predicate. `ref` routes
+    * the same pruning against a PINNED manifest (snapshot / tag / branch
+    * read — retained manifests carry the same stats), so a time-travel
+    * audit query prunes like a live read.
+    *
+    * Contract: the result holds a SUPERSET of the rows matching the
+    * conjunction and a subset of the snapshot's rows — callers MUST keep
+    * the exact predicate on top (both the V1 relation and the SQL rule
+    * do). Soundness per conjunct follows [[readWhereEq]] /
+    * [[readColRange]] / [[readSourceRange]]'s per-kind rules: identifier
+    * and tuple conjuncts prune upsert groups outright (a group with no
+    * in-range keys / an out-of-range tuple carries no deletes for
+    * surviving rows — scopes are key- and partition-local), non-identifier
+    * bounds keep failing upsert groups of surviving tuples as DELETE
+    * CARRIERS (scope side only, rows never surface), and later-epoch
+    * upsert groups always carry (cross-epoch scopes are global). The
+    * intersection of sound per-conjunct supersets is itself sound: a
+    * surviving row passes every conjunct, so every per-conjunct rule
+    * keeps both its group and any group that might hide it. A conjunct
+    * that cannot evaluate (unknown column, uncastable bound) prunes
+    * nothing — never prune on doubt.
+    */
+  def readPrunedConjunction(preds: Seq[ManagedTable.PruneConjunct],
+                            ref: Option[String] = None): DataFrame = {
+    val entries = ref.map(refEntries).getOrElse(currentEntries)
+    val valid = preds.filter(p =>
+      _meta.schema.fieldNames.contains(p.c) && (p.lo.isDefined || p.hi.isDefined))
+    if (valid.isEmpty) return morRead(entries)
+    // per-entry state per conjunct: 2 = may hold matching rows, 1 = delete
+    // scopes only (carrier), 0 = provably irrelevant; combine as min
+    val states = valid.map { p =>
+      try conjunctStates(entries, p)
+      catch { case scala.util.control.NonFatal(_) =>
+        entries.map(e => e.path -> 2).toMap } // unevaluable: no pruning
+    }
+    def st(e: ManifestEntry): Int = states.map(_(e.path)).min
+    morRead(entries.filter(st(_) == 2),
+      deleteCarriers = entries.filter(st(_) == 1))
+  }
+
+  /** Entry states for ONE conjunct — see [[readPrunedConjunction]]. */
+  private def conjunctStates(entries: Seq[ManifestEntry],
+                             p: ManagedTable.PruneConjunct): Map[String, Int] = {
+    val isId = _meta.identifierFields.contains(p.c)
+    val eqVal: Option[Any] = for { l <- p.lo; h <- p.hi; if l == h } yield l
+    val tupleTest: Option[(Int, Map[String, String]) => Boolean] =
+      if (monotoneFieldsOf(p.c).isEmpty) None
+      else try Some(tupleRangePred(p.c, p.lo, p.hi))
+      catch { case _: IllegalArgumentException => None } // uncastable bound
+    // absence of stats / Bloom / tuple column always passes (cannot prune)
+    def boundsPass(e: ManifestEntry) = e.stats.get(p.c).forall(b =>
+      b.intersects(p.lo.getOrElse(b.min), p.hi.getOrElse(b.max)))
+    def bloomPass(e: ManifestEntry) = eqVal.forall(v =>
+      e.blooms.get(p.c).forall(b => b.mightContain(bloomPositions(p.c, v, b.m, b.k))))
+    def tuplePass(e: ManifestEntry) =
+      tupleTest.forall(tt => tt(entryEpoch(e.seq), e.partition))
+    def passAll(e: ManifestEntry) = boundsPass(e) && bloomPass(e) && tuplePass(e)
+    val dataPassing = entries.filter(e => e.kind != Manifest.PosDel && passAll(e))
+    val keptTuples = dataPassing.map(_.partition).toSet
+    val minKeptEpoch = dataPassing.map(e => entryEpoch(e.seq)).minOption
+      .getOrElse(Int.MaxValue)
+    entries.map { e =>
+      val s =
+        if (passAll(e)) 2
+        else if (e.kind != Manifest.Upsert) 0
+        // cross-epoch scopes are GLOBAL: a later-epoch upsert group may
+        // hide kept rows of any tuple (readPartitionsEpochAware's rule)
+        else if (entryEpoch(e.seq) > minKeptEpoch) 1
+        // tuple failed under its own epoch: same-epoch kept groups of this
+        // tuple would have passed too (the test is tuple+epoch-pure), so
+        // no kept row lives in its partition-local scope
+        else if (!tuplePass(e)) 0
+        // no in-range keys => no deletes FOR in-range keys (scopes are
+        // keyed on the identifier)
+        else if (isId) 0
+        else if (keptTuples.contains(e.partition)) 1
+        else 0
+      e.path -> s
+    }.toMap
+  }
+
+  /** Manifest entries a ref read pins — the entry-set face of [[readRef]]
+    * (same resolution order: snapshot number, then tag, then branch),
+    * feeding ref-pinned pruning.
+    */
+  private def refEntries(ref: String): Seq[ManifestEntry] = {
+    require(ref.nonEmpty, "empty version ref")
+    def retained(v: Long) = Manifest.read(fs, manifestPath(v)).getOrElse(
+      throw new ManagedTable.RetentionLostException(
+        s"no retained manifest for version $v of ${_meta.name}"))
+    if (ref.forall(_.isDigit)) retained(ref.toLong)
+    else tags().get(ref).map(retained).getOrElse {
+      if (branches().contains(ref))
+        currentEntries ++ Manifest.read(fs, branchManifestPath(ref)).getOrElse(Seq.empty)
+      else throw new IllegalArgumentException(
+        s"${_meta.name}: unknown version ref '$ref' — not a snapshot " +
+          s"version, tag or branch (tags: " +
+          s"${tags().keys.toSeq.sorted.mkString(", ")}; branches: " +
+          s"${branches().mkString(", ")})")
+    }
   }
 
   private def morRead(entries: Seq[ManifestEntry], keepSeq: Boolean = false,
@@ -4302,6 +4420,15 @@ final class ManagedTable private (
 object ManagedTable {
 
   private[tables] val JsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** One pushed conjunct for composite manifest pruning
+    * ([[ManagedTable.readPrunedConjunction]]): an INCLUSIVE range
+    * [lo, hi] on column `c` — equality when both bounds carry the same
+    * value (enables Bloom probing), an open side is None. Values must be
+    * in the column's external Scala domain (the caller's type-coercion
+    * contract, same as [[ManagedTable.readWhereEq]]).
+    */
+  final case class PruneConjunct(c: String, lo: Option[Any], hi: Option[Any])
 
   /** Reserved property prefix for snapshot tags ([[ManagedTable.tag]]). */
   val TagPrefix = "ref.tag."

@@ -94,6 +94,71 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     assert(e2.getMessage.contains("authoritative"), e2.getMessage)
   }
 
+  test("composite pruning: conjuncts intersect (files), ref reads prune, results exact") {
+    val w = wh
+    val df = (1 to 400).map(i => (i.toLong, i % 4, s"n$i")).toDF("id", "grp", "name")
+    val t = ManagedTable.create(spark, w, "cp", df.schema, Seq("id"), Seq("grp"))
+    // id-chunked appends => tight per-group id bounds alongside grp tuples
+    (0 until 4).foreach { k =>
+      t.append(df.filter(col("id") > k * 100L && col("id") <= (k + 1) * 100L))
+    }
+    // genuine MoR state: an upsert and a tombstone inside the probed window
+    t.updateWhere(col("id") === 155L, Map("name" -> lit("upd")))
+    t.deleteWhere(col("id") === 156L)
+    import graft.tables.ManagedTable.PruneConjunct
+    def files(preds: Seq[PruneConjunct], ref: Option[String] = None): Int =
+      t.readPrunedConjunction(preds, ref).inputFiles.length
+    val eqGrp = PruneConjunct("grp", Some(2), Some(2))
+    val idRange = PruneConjunct("id", Some(101L), Some(200L))
+    val full = t.read().inputFiles.length
+    val fEq = files(Seq(eqGrp))
+    val fRange = files(Seq(idRange))
+    val fBoth = files(Seq(eqGrp, idRange))
+    assert(fEq < full && fRange < full, s"single-conjunct pruning lost: $fEq/$fRange vs $full")
+    assert(fBoth < fEq && fBoth < fRange,
+      s"conjunction must intersect candidate sets: both=$fBoth eq=$fEq range=$fRange")
+    // a tag read prunes like a live read (same stats ride the pinned manifest)
+    t.tag("pin")
+    t.append(Seq((999L, 1, "late")).toDF("id", "grp", "name")) // after the tag
+    val fTag = files(Seq(eqGrp, idRange), Some("pin"))
+    assert(fTag < full, s"tag read must prune: $fTag vs $full")
+    // randomized differential: pruned-conjunction scan + exact filter ==
+    // full scan + exact filter, across eq/range mixes on the MoR state
+    val rnd = new scala.util.Random(41)
+    def want(cond: org.apache.spark.sql.Column): Set[Long] =
+      t.read().filter(cond).select("id").as[Long].collect().toSet
+    (1 to 15).foreach { i =>
+      val lo = 1L + rnd.nextInt(400)
+      val hi = lo + rnd.nextInt(120)
+      val g = rnd.nextInt(4)
+      val preds = Seq(PruneConjunct("id", Some(lo), Some(hi))) ++
+        (if (rnd.nextBoolean()) Seq(PruneConjunct("grp", Some(g), Some(g))) else Nil) ++
+        (if (rnd.nextBoolean()) Seq(PruneConjunct("name", Some("n"), None)) else Nil)
+      val cond = preds.map {
+        case PruneConjunct(c, Some(l), Some(h)) if l == h => col(c) === lit(l)
+        case PruneConjunct(c, l, h) =>
+          Seq(l.map(v => col(c) >= lit(v)), h.map(v => col(c) <= lit(v)))
+            .flatten.reduce(_ && _)
+      }.reduce(_ && _)
+      val got = t.readPrunedConjunction(preds).filter(cond)
+        .select("id").as[Long].collect().toSet
+      assert(got == want(cond), s"round $i: preds=$preds")
+    }
+    // …and through the V1 seam: conjunction + projection + count(*) exact
+    def src = spark.read.format("graft-table")
+      .option("warehouse", w).option("table", "cp").load()
+    val c = col("grp") === 2 && col("id").between(101L, 200L)
+    assert(src.filter(c).select("id").as[Long].collect().toSet == want(c))
+    assert(src.filter(c).count() == want(c).size)
+    assert(src.count() == t.read().count()) // zero-column scan (count(*))
+    val viaTag = spark.read.format("graft-table")
+      .option("warehouse", w).option("table", "cp")
+      .option("versionAsOf", "pin").load()
+    assert(viaTag.filter(c).select("id").as[Long].collect().toSet == want(c),
+      "the late append is invisible at the tag, pruned or not")
+    assert(!viaTag.filter(col("id") === 999L).collect().exists(_ => true))
+  }
+
   test("changelog streaming source: version offsets, restart resume, barrier refusal") {
     val w = wh
     val out = java.nio.file.Files.createTempDirectory("graft-chg-out").toString
