@@ -555,6 +555,12 @@ final class ManagedTable private (
   def tag(name: String, version: Long): Unit = {
     require(name.nonEmpty && !name.contains('/') && !name.contains('='),
       s"invalid tag name '$name'")
+    // readRef resolves all-digit refs as SNAPSHOT numbers first — an
+    // all-digit tag would be unreachable, and worse, a snapshot with that
+    // number would silently serve instead of the tag's pinned version
+    require(!name.forall(_.isDigit),
+      s"invalid tag name '$name': all-digit names collide with snapshot " +
+        "version refs (VERSION AS OF resolves numbers as snapshots first)")
     require(fs.exists(manifestPath(version)),
       s"cannot tag version $version of ${_meta.name}: no retained manifest " +
         "(tags must point at a still-retained snapshot)")
@@ -655,6 +661,11 @@ final class ManagedTable private (
   def stageAppend(batch: DataFrame, branch: String): Unit = {
     require(branch.nonEmpty && !branch.contains('/') && !branch.contains('=') &&
       !branch.contains('@'), s"invalid branch name '$branch'")
+    // same collision as all-digit tags: readRef would resolve the name as
+    // a snapshot number, never reaching the branch
+    require(!branch.forall(_.isDigit),
+      s"invalid branch name '$branch': all-digit names collide with " +
+        "snapshot version refs")
     val key = ManagedTable.BranchPrefix + branch
     require(!_meta.properties.contains(key), s"branch '$branch' already exists")
     val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
@@ -679,6 +690,9 @@ final class ManagedTable private (
   def createBranch(branch: String): Unit = {
     require(branch.nonEmpty && !branch.contains('/') && !branch.contains('=') &&
       !branch.contains('@'), s"invalid branch name '$branch'")
+    require(!branch.forall(_.isDigit),
+      s"invalid branch name '$branch': all-digit names collide with " +
+        "snapshot version refs")
     val key = ManagedTable.BranchPrefix + branch
     require(!_meta.properties.contains(key), s"branch '$branch' already exists")
     Manifest.write(fs, branchManifestPath(branch), Seq.empty,

@@ -77,6 +77,23 @@ class RollbackSpec extends AnyFunSuite with SharedSpark {
     assert(t.read().collect().map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("all-digit tag and branch names are refused at creation") {
+    val w = wh
+    val df = (1 to 3).map(i => (i, i)).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "refn", df.schema, Seq("id"))
+    t.append(df)
+    // readRef resolves digits as snapshot numbers FIRST — an all-digit
+    // tag would be unreachable (or worse, silently shadowed by a real
+    // snapshot of that number), so creation refuses
+    val e = intercept[IllegalArgumentException] { t.tag("123") }
+    assert(e.getMessage.contains("snapshot version refs"), e.getMessage)
+    intercept[IllegalArgumentException] { t.createBranch("42") }
+    intercept[IllegalArgumentException] { t.stageAppend(df, "7") }
+    // non-digit names still work and resolve through readRef
+    t.tag("v123")
+    assert(t.readRef("v123").count() == 3)
+  }
+
   test("diffVersions classifies added/removed/changed between snapshots") {
     val w = wh
     val df = Seq((1, "a", "c", 0L), (2, "b", "c", 0L), (3, "x", "c", 0L))
