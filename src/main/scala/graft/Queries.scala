@@ -1029,15 +1029,19 @@ object Queries {
       |FROM orders
       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0""".stripMargin))
 
-  /** Write-audit-publish + snapshot refs end to end through SQL (round
-    * 8): a keyed orders table seeded with the non-urgent rows gets the
+  /** Write-audit-publish + snapshot refs end to end through SQL (rounds
+    * 8–9): a keyed orders table seeded with the non-urgent rows gets the
     * urgent rows staged on a WAP branch in TWO accumulated
-    * `spark.wap.branch` INSERT batches (split by price), audited via
-    * `VERSION AS OF 'audit'`, and folded in atomically by
-    * `CALL graft.system.publish_branch`. Runtime-asserts: staged rows
-    * invisible to plain reads; the pre-branch `baseline` TAG still reads
-    * the seed row count AFTER publish; DML under the active branch is
-    * refused. Oracle = the whole orders table (publish completes it).
+    * `spark.wap.branch` INSERT batches (split by price), the audit step
+    * CORRECTS the staged set with row-level DML ON THE BRANCH (round 9 —
+    * the lowest urgent orderkey is deleted, staged-only, via `DELETE`
+    * under the active branch), and the result folds in atomically by
+    * `CALL graft.system.publish_branch`. Runtime-asserts: the staged
+    * delete is visible in the branch view and invisible to plain reads;
+    * staged rows invisible to plain reads; the pre-branch `baseline` TAG
+    * still reads the seed row count AFTER publish; publish is
+    * adopt-in-place (zero live snapshot versions burned while staging).
+    * Oracle = the whole orders table minus the audited-out key.
     */
   val sqlWapRefs = Q("sql_wap_refs",
     (s, dir) => {
@@ -1047,6 +1051,7 @@ object Queries {
         base.schema, Seq("o_orderkey"))
       tbl.append(base.where(col("o_orderpriority") =!= "1-URGENT"))
       val seedCount = tbl.read().count()
+      val stagedVersion = tbl.meta.currentVersion
       withGraftSession(s, wh) { s2 =>
         s2.sql("ALTER TABLE graft.orders_wap CREATE TAG baseline")
         s2.sql("ALTER TABLE graft.orders_wap CREATE BRANCH audit")
@@ -1058,31 +1063,35 @@ object Queries {
              |WHERE o_orderpriority = '1-URGENT' AND $pred""".stripMargin)
         stage("o_totalprice > 100000.0")
         stage("o_totalprice <= 100000.0") // accumulates on the branch
-        require(refusedWith("appends only") {
-          s2.sql("DELETE FROM graft.orders_wap WHERE o_orderkey = 1") },
-          "DML under an active wap branch must be refused")
+        // the audit finds a bad staged row: row-level DML under the
+        // active branch STAGES the correction (round 9) — branch view
+        // loses the key, the live table never sees any of it
+        val audited = s2.sql(
+          """SELECT min(o_orderkey) FROM graft.orders_wap
+            |WHERE o_orderpriority = '1-URGENT'""".stripMargin).head().getLong(0)
+        s2.sql(s"DELETE FROM graft.orders_wap WHERE o_orderkey = $audited")
+        require(s2.sql(
+          s"SELECT count(*) c FROM graft.orders_wap WHERE o_orderkey = $audited")
+            .head().getLong(0) == 0L,
+          "the staged delete must be visible in the branch view")
         s2.conf.unset("spark.wap.branch")
         require(s2.sql("SELECT count(*) c FROM graft.orders_wap WHERE o_orderpriority = '1-URGENT'")
             .head().getLong(0) == 0L,
-          "staged rows must be invisible to plain reads")
+          "staged rows (and staged DML) must be invisible to plain reads")
         s2.sql("CALL graft.system.publish_branch('orders_wap', 'audit')")
         require(s2.sql("SELECT count(*) c FROM graft.orders_wap VERSION AS OF 'baseline'")
             .head().getLong(0) == seedCount,
           "the pre-branch tag must still read the seed snapshot after publish")
       }
-      graft.tables.ManagedTable.load(s, wh, "orders_wap").get
-        .read().select(dmlCols.map(col): _*)
+      val published = graft.tables.ManagedTable.load(s, wh, "orders_wap").get
+      require(published.meta.currentVersion > stagedVersion,
+        "publish must advance the version")
+      published.read().select(dmlCols.map(col): _*)
     },
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
-      |FROM orders""".stripMargin))
-
-  /** Did `body` throw the EXPECTED refusal? An unrelated failure must
-    * not vacuously satisfy a refusal assert.
-    */
-  private def refusedWith(fragment: String)(body: => Any): Boolean =
-    try { body; false } catch {
-      case e: Exception => e.getMessage != null && e.getMessage.contains(fragment)
-    }
+      |FROM orders
+      |WHERE o_orderkey <> (SELECT min(o_orderkey) FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')""".stripMargin))
 
   /** `SHOW PARTITIONS graft.t` under the oracle
     * ([[graft.plans.ResolveGraftDdl]]): live partition tuples answered

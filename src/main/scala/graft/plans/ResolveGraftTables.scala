@@ -53,9 +53,15 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     case d @ DeleteFromTable(GraftTarget(name, alias), cond) =>
       loadTable(name).map { t =>
         val c = stripQualifier(cond, alias)
+        // write-audit-publish: with spark.wap.branch naming a live branch
+        // of this table, row-level DML STAGES onto the branch (Iceberg's
+        // branch-targeted DML, round 9) — the live table is untouched
+        // until CALL publish_branch
         GraftDmlCommand("DELETE", name,
-          () => { refuseWapDml(t, "DELETE")
-            t.deleteWhere(GraftBridge.column(c)) }): LogicalPlan
+          () => wapBranchOn(t) match {
+            case Some(b) => t.deleteWhereOnBranch(GraftBridge.column(c), b)
+            case None    => t.deleteWhere(GraftBridge.column(c))
+          }): LogicalPlan
       }.getOrElse(refuseIfView(name, "DELETE", d))
     case u0 @ UpdateTable(GraftTarget(name, alias), assigns, cond) =>
       loadTable(name).map { t =>
@@ -63,8 +69,10 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
           assignName(a.key) -> GraftBridge.column(stripQualifier(a.value, alias))).toMap
         val c = stripQualifier(cond.getOrElse(Literal.TrueLiteral), alias)
         GraftDmlCommand("UPDATE", name,
-          () => { refuseWapDml(t, "UPDATE")
-            t.updateWhere(GraftBridge.column(c), set) }): LogicalPlan
+          () => wapBranchOn(t) match {
+            case Some(b) => t.updateWhereOnBranch(GraftBridge.column(c), set, b)
+            case None    => t.updateWhere(GraftBridge.column(c), set)
+          }): LogicalPlan
       }.getOrElse(refuseIfView(name, "UPDATE", u0))
     // INSERT [OVERWRITE] — with an optional `PARTITION (k=v, k2, …)`
     // spec on identity partition sources. STATIC entries (k=v) become
@@ -161,12 +169,14 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
           // INSERT stages onto that branch instead of committing — the
           // live table is untouched until CALL publish_branch (Iceberg's
           // write-to-branch session conf). Overwrites are refused: a
-          // branch holds staged APPENDS only.
+          // branch stages appends and row-level DML (round 9), not
+          // whole-region replacement.
           val wapBranch = session.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
           require(wapBranch.isEmpty || !over,
             s"INSERT OVERWRITE graft.$name cannot target WAP branch " +
-              s"'${wapBranch.get}' — branches stage appends only " +
-              "(unset spark.wap.branch to overwrite the live table)")
+              s"'${wapBranch.get}' — branches stage appends and row-level " +
+              "DML, not overwrites (unset spark.wap.branch to overwrite " +
+              "the live table)")
           if (over && i.partitionSpec.nonEmpty) {
             if (fullyStatic) t.overwriteStaticRegion(staticSpec, df) // the NAMED region, both modes
             else if (dynamicMode) t.overwritePartitions(df) // only the batch's tuples
@@ -227,17 +237,6 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
   private def wapBranchOn(t: ManagedTable): Option[String] =
     session.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
       .filter(t.branches().contains)
-
-  /** Row-level DML on a table whose WAP branch is active would mutate
-    * the LIVE table mid-audit while the user believes every write is
-    * staged (graft branches stage APPENDS only) — refuse precisely,
-    * like the INSERT OVERWRITE guard.
-    */
-  private def refuseWapDml(t: ManagedTable, stmt: String): Unit =
-    wapBranchOn(t).foreach(b => throw new IllegalArgumentException(
-      s"$stmt graft.${t.name}: spark.wap.branch '$b' is active on this " +
-        "table and graft WAP branches stage appends only — publish or " +
-        "abandon the branch (or unset spark.wap.branch) before row-level DML"))
 
   /** A `$`-suffixed graft identifier appearing as a DML target — always
     * a mistake; refuse with a precise message instead of letting the
@@ -468,7 +467,6 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     val updBsWhen = updateBsWhen; val updBsSet = updateBsSet
     val delBsWhen = deleteBsWhen
     GraftDmlCommand("MERGE", name, () => {
-      refuseWapDml(t, "MERGE")
       t.mergeInto(GraftBridge.dataFrame(session, src),
         updateWhen = updWhen.map(GraftBridge.column),
         updateSet = updSet.map { case (k, v) => k -> GraftBridge.column(v) },
@@ -476,7 +474,8 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         insertWhen = insWhen.map(GraftBridge.column),
         deleteBySourceWhen = delBsWhen.map(GraftBridge.column),
         updateBySourceWhen = updBsWhen.map(GraftBridge.column),
-        updateBySourceSet = updBsSet.map { case (k, v) => k -> GraftBridge.column(v) })
+        updateBySourceSet = updBsSet.map { case (k, v) => k -> GraftBridge.column(v) },
+        stageToBranch = wapBranchOn(t)) // spark.wap.branch: stage, don't commit
     })
   }
 

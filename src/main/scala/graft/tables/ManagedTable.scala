@@ -709,6 +709,39 @@ final class ManagedTable private (
   def stageAppendInto(batch: DataFrame, branch: String): Unit = {
     val key = ManagedTable.BranchPrefix + branch
     if (!_meta.properties.contains(key)) { stageAppend(batch, branch); return }
+    stageInto(branch, Manifest.Data,
+      EventDecoder.conformTo(batch, _meta.schema, temporalMode), skipIfEmpty = false)
+  }
+
+  /** Row-level DML batch staged onto a WAP branch (round 9): a flagged
+    * upsert group — table columns + [[ManagedTable.TombstoneCol]]
+    * hard-delete verdicts, the exact shape [[deleteWhere]]/[[updateWhere]]
+    * /[[mergeInto]] commit — joins the branch's staged set at the next
+    * BRANCH-LOCAL sequence, strictly above every earlier staged batch and
+    * above the live snapshot: the staged DML hides earlier staged rows
+    * and (at publish) live rows of its keys, exactly like commits order
+    * on the live table. Schema contract is the writer's (no conformTo —
+    * callers build from the branch view). Keyed tables only.
+    */
+  private[graft] def stageUpsertInto(flagged: DataFrame, branch: String): Unit = {
+    require(_meta.identifierFields.nonEmpty,
+      s"stageUpsertInto on ${_meta.name}: keyed tables only")
+    require(_meta.properties.contains(ManagedTable.BranchPrefix + branch),
+      s"no branch '$branch' on ${_meta.name}")
+    stageInto(branch, Manifest.Upsert, flagged, skipIfEmpty = true)
+  }
+
+  /** Shared branch-extension body: write `rows` as one staged batch of
+    * `kind` at the next branch-local seq and flip the branch property.
+    * Every staged batch lands STRICTLY ABOVE the previous one (and above
+    * the live snapshot at stage time), so the staged set carries exact
+    * intra-branch ordering — contiguous seqs from stage-time
+    * currentVersion+1, which is what lets [[publishBranch]] adopt a
+    * multi-batch branch in place.
+    */
+  private def stageInto(branch: String, kind: String, rows: DataFrame,
+                        skipIfEmpty: Boolean): Unit = {
+    val key = ManagedTable.BranchPrefix + branch
     val oldPath = branchManifestPath(branch)
     // a missing current-generation manifest is CORRUPTION, exactly as
     // publishBranch treats it — reading it as empty would silently
@@ -717,12 +750,18 @@ final class ManagedTable private (
       throw new IllegalStateException(
         s"branch '$branch' of ${_meta.name} has no manifest — corrupted " +
           "branch (abandon it before staging again)"))
-    val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
-    val seq = _meta.currentVersion + 1
+    val seq = math.max(_meta.currentVersion,
+      existing.map(_.seq).maxOption.getOrElse(0L)) + 1
     val entries =
       if (isPartitioned)
-        splitWriteGroups(withPartitionCols(conformed), Manifest.Data, _ => seq, seq)
-      else writeGroupAuto(sortForWrite(conformed), Manifest.Data, seq).toSeq
+        splitWriteGroups(withPartitionCols(rows), kind, _ => seq, seq)
+      else writeGroupAuto(sortForWrite(rows), kind, seq).toSeq
+    // a no-match branch DML writes a zero-row group — don't burn a branch
+    // generation on it (mirrors finishUpsertCommit's skip)
+    if (skipIfEmpty && entries.forall(_.rows == 0L)) {
+      entries.foreach(e => fs.delete(new Path(tableDir, e.path), true))
+      return
+    }
     // next generation file + guarded property flip = atomic extension;
     // the superseded generation is debris (load-time sweep; the delete
     // below is just the eager path). The nonce keeps a re-created
@@ -776,31 +815,49 @@ final class ManagedTable private (
     // publishing a branch nothing was ever staged on is a semantic no-op:
     // free the branch without burning a snapshot version
     if (staged.isEmpty) { abandonBranch(branch); return }
-    val publishSeq = _meta.currentVersion + 1
-    // Per-ROW seqs inside the staged files carry the stage-time sequence.
-    // If no commit intervened since staging, that IS the publish sequence
-    // and the groups adopt in place — the metadata-only fast path. If
-    // commits DID intervene, adopting would emit changelog rows whose seq
-    // collides with another commit's; re-stamp the rows into fresh groups
-    // at the publish sequence (costs one write of the staged batch, keeps
-    // the "seq == commit version" invariant exact in all cases).
-    val adoptInPlace = staged.forall(_.seq == publishSeq)
-    val published =
-      if (adoptInPlace) staged
+    val base = _meta.currentVersion
+    val seqs = staged.map(_.seq)
+    // Staged batches carry contiguous branch-local seqs from stage-time
+    // currentVersion+1 ([[stageInto]]). If no live commit intervened,
+    // those are exactly base+1..base+k: adopt the groups IN PLACE and
+    // land the pointer at base+k in ONE atomic flip — metadata-only at
+    // any staged size, intra-branch ordering (staged DML over staged
+    // appends) preserved bit-for-bit, and changelog consumers replay the
+    // branch's internal history with exact per-batch seqs. (min == base+1
+    // with max <= base + #distinct forces contiguity by pigeonhole.)
+    val adoptInPlace = seqs.min == base + 1 && seqs.max <= base + seqs.distinct.size
+    val (published, target) =
+      if (adoptInPlace) (staged, seqs.max)
       else {
-        val (scanned, project) = scanGroups(
-          staged.map(e => new Path(tableDir, e.path).toString))
-        // same shape a fresh append writes: no seq/tombstone columns, the
-        // writer stamps publishSeq (staged files already carry derived
-        // partition columns, so no withPartitionCols here)
-        val rows = project(scanned).drop(SeqCol, TombstoneCol)
-        if (isPartitioned)
-          splitWriteGroups(rows, Manifest.Data, _ => publishSeq, publishSeq)
-        else writeGroupAuto(sortForWrite(rows), Manifest.Data, publishSeq).toSeq
+        // Live commits intervened since staging: staged seqs collide with
+        // (or fall behind) committed ones, so adopting would corrupt the
+        // changelog. Re-stamp each staged batch IN SEQ ORDER onto
+        // consecutive fresh seqs — upsert groups keep their kind and
+        // tombstones (a delete staged on the branch still deletes at
+        // publish), data groups re-write as plain appends — and commit
+        // once at base + #batches. Costs one write of the staged data.
+        // Ordering vs the intervened commits remains stage-time
+        // (documented single-writer caveat).
+        val bySeq = staged.groupBy(_.seq).toSeq.sortBy(_._1)
+        val out = bySeq.zipWithIndex.flatMap { case ((_, batch), i) =>
+          val newSeq = base + 1 + i
+          batch.groupBy(_.kind).toSeq.flatMap { case (kind, es) =>
+            val (scanned, project) = scanGroups(
+              es.map(e => new Path(tableDir, e.path).toString))
+            // staged files already carry derived partition columns, so no
+            // withPartitionCols here; the writer stamps newSeq
+            val rows0 = project(scanned).drop(SeqCol)
+            val rows = if (kind == Manifest.Upsert) rows0 // tombstones ride
+                       else rows0.drop(TombstoneCol)
+            if (isPartitioned) splitWriteGroups(rows, kind, _ => newSeq, newSeq)
+            else writeGroupAuto(sortForWrite(rows), kind, newSeq).toSeq
+          }
+        }
+        (out, base + bySeq.size)
       }
     val prevMeta = _meta
     _meta = _meta.copy(properties = _meta.properties - key)
-    try commitManifest(currentEntries ++ published)
+    try commitManifestAt(currentEntries ++ published, target)
     catch { case t: Throwable => _meta = prevMeta; throw t }
     fs.delete(manifestFile, false)
     // re-stamped path: the original staged groups are no longer referenced
@@ -818,6 +875,63 @@ final class ManagedTable private (
     _meta = _meta.copy(properties = _meta.properties - key)
     writeMeta()
     fs.delete(manifestFile, false)
+  }
+
+  /** Row-level DELETE staged onto a WAP branch (round 9 — Iceberg routes
+    * DML under `spark.wap.branch` to the branch, and so does graft's SQL
+    * layer now): rows of the BRANCH VIEW matching `cond` are tombstoned
+    * in a staged upsert group at the next branch-local seq, so the delete
+    * hides earlier staged rows of those keys immediately and live rows at
+    * publish. Plain readers see nothing; [[publishBranch]] folds the
+    * delete in, [[abandonBranch]] discards it. Keyed tables only —
+    * keyless row deletes are copy-on-write rewrites a branch cannot
+    * stage, and the metadata region fast paths don't apply (they mutate
+    * live metadata mid-audit).
+    */
+  def deleteWhereOnBranch(cond: org.apache.spark.sql.Column, branch: String): Unit = {
+    requireBranchDml("DELETE", branch)
+    val flagged = readBranch(branch).filter(coalesce(cond, lit(false)))
+      .withColumn(TombstoneCol, lit(true))
+    stageUpsertInto(flagged, branch)
+  }
+
+  /** Row-level UPDATE staged onto a WAP branch — [[updateWhere]] against
+    * the branch view, landing in the branch's staged set instead of the
+    * live table. Setting an identifier or partition-source column
+    * tombstones the old identity in the same staged group, exactly like
+    * the live path.
+    */
+  def updateWhereOnBranch(cond: org.apache.spark.sql.Column,
+                          set: Map[String, org.apache.spark.sql.Column],
+                          branch: String): Unit = {
+    requireBranchDml("UPDATE", branch)
+    require(set.nonEmpty, "updateWhereOnBranch requires at least one assignment")
+    set.keys.foreach(k => require(_meta.schema.fieldNames.contains(k),
+      s"unknown column $k"))
+    val matched = readBranch(branch).filter(coalesce(cond, lit(false)))
+    val updated = matched.select(_meta.schema.fields.toSeq.map { f =>
+      set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name)).as(f.name)
+    }: _*).withColumn(TombstoneCol, lit(false))
+    val partSrc = partitionFields.map(_.sourceColumn).toSet
+    val needsTombstones = set.keySet.exists(k =>
+      _meta.identifierFields.contains(k) || partSrc.contains(k))
+    val flagged =
+      if (needsTombstones)
+        updated.unionByName(matched.withColumn(TombstoneCol, lit(true)))
+      else updated
+    stageUpsertInto(flagged, branch)
+  }
+
+  /** Branch DML is staged as equality-delete-scoped upsert groups, so it
+    * needs row identity; refuse keyless tables precisely.
+    */
+  private def requireBranchDml(stmt: String, branch: String): Unit = {
+    require(_meta.properties.contains(ManagedTable.BranchPrefix + branch),
+      s"no branch '$branch' on ${_meta.name}")
+    require(_meta.identifierFields.nonEmpty,
+      s"$stmt on WAP branch '$branch' of ${_meta.name}: keyed tables only — " +
+        "keyless row-level DML is a copy-on-write rewrite, which a branch " +
+        "cannot stage (publish or abandon the branch first)")
   }
 
   /** Expire retained snapshots committed at or before `olderThanMs`
@@ -3306,9 +3420,17 @@ final class ManagedTable private (
                 deleteBySourceWhen: Option[org.apache.spark.sql.Column] = None,
                 updateBySourceWhen: Option[org.apache.spark.sql.Column] = None,
                 updateBySourceSet: Map[String, org.apache.spark.sql.Column] = Map.empty,
-                commitProperties: Map[String, String] = Map.empty): Unit = {
+                commitProperties: Map[String, String] = Map.empty,
+                stageToBranch: Option[String] = None): Unit = {
     val ids = _meta.identifierFields
     require(ids.nonEmpty, "mergeInto requires identifier fields")
+    // branch-staged merge (round 9): the same flagged batch, matched
+    // against the BRANCH VIEW and staged onto the branch instead of
+    // committed — see [[deleteWhereOnBranch]] for the model
+    stageToBranch.foreach(requireBranchDml("MERGE", _))
+    require(stageToBranch.isEmpty || commitProperties.isEmpty,
+      "commitProperties ride a live commit's pointer flip — they cannot " +
+        "attach to a branch-staged merge")
     val partSrc = partitionFields.map(_.sourceColumn).toSet
     (updateSet.keys ++ updateBySourceSet.keys).foreach { k =>
       require(_meta.schema.fieldNames.contains(k), s"unknown column $k")
@@ -3324,7 +3446,7 @@ final class ManagedTable private (
     ids.foreach(i => require(srcCols.contains(i), s"source is missing identifier column $i"))
 
     val s = source.alias("s")
-    val state = statePrunedBySourceKeys(source)
+    val state = stageToBranch.map(readBranch).getOrElse(statePrunedBySourceKeys(source))
       .select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*).alias("t")
     val joinCond = ids.map(i => col(s"s.$i") === col(s"t.$i")).reduce(_ && _)
     val joined = s.join(state, joinCond, "left_outer")
@@ -3362,7 +3484,7 @@ final class ManagedTable private (
         // Disjoint from the matched branch by construction — matched rows
         // have a source key, these provably do not — so the union stays
         // unique per key (the commitUpsertBatch contract).
-        val tgt = read()
+        val tgt = stageToBranch.map(readBranch).getOrElse(read())
           .select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*).alias("t")
         val sKeys = source.select(ids.map(col).toIndexedSeq: _*).alias("s")
         val antiCond = ids.map(i => col(s"s.$i") === col(s"t.$i")).reduce(_ && _)
@@ -3380,7 +3502,12 @@ final class ManagedTable private (
         flagged.unionByName(bsActed.select(
           bsValued :+ (col("__graft_action") === "D").as(TombstoneCol): _*))
       }
-    commitUpsertBatch(withBySource, skipIfEmpty = true, commitProperties = commitProperties)
+    stageToBranch match {
+      case Some(b) => stageUpsertInto(withBySource, b)
+      case None =>
+        commitUpsertBatch(withBySource, skipIfEmpty = true,
+          commitProperties = commitProperties)
+    }
   }
 
   /** The table state a merge's join actually needs: for a
@@ -3747,11 +3874,30 @@ final class ManagedTable private (
     }
   }
 
-  private def commitManifest(entries: Seq[ManifestEntry]): Unit = {
+  private def commitManifest(entries: Seq[ManifestEntry]): Unit =
+    commitManifestAt(entries, _meta.currentVersion + 1)
+
+  /** [[commitManifest]] generalized to land the pointer at `target` ≥
+    * currentVersion + 1 in ONE atomic flip (round 9) — the adopt-in-place
+    * WAP publish of a multi-batch branch: staged groups carry contiguous
+    * branch-local seqs currentVersion+1..target, and publishing them as
+    * one commit must advance the version past ALL of them (a manifest at
+    * currentVersion+1 holding entries with higher seqs would break the
+    * changelog's "entry seq ≤ committed version" reading). The CLAIM is
+    * always taken at currentVersion + 1 — the one slot every concurrent
+    * writer also claims — so multi-version commits serialize with
+    * single-version ones. Intermediate versions get no manifest file
+    * (they were never committed snapshots; readVersion on them fails
+    * precisely) but their SEQ numbers are owned by this commit's own
+    * entries, so no later commit can mint a colliding seq — callers only
+    * pass targets covered that way.
+    */
+  private def commitManifestAt(entries: Seq[ManifestEntry], target: Long): Unit = {
     requireCurrentPointer()
     val retainPrev = versionsRetained // validate BEFORE any mutation
     val prevMeta = _meta
     val next = _meta.currentVersion + 1
+    require(target >= next, s"commit target $target behind next version $next")
     val fence = claimVersion(next)
     try {
       // fence check before touching the manifest slot: a writer resuming
@@ -3760,22 +3906,22 @@ final class ManagedTable private (
       // write — minutes shrunk to microseconds; an external catalog's
       // atomic swap is the full answer, as for the reference)
       requireClaim(next, fence)
-      // holding the claim, any manifest already at `next` is a dead
+      // holding the claim, any manifest already at `target` is a dead
       // leftover (its writer never flipped the pointer) — clear it so the
       // rename-in below can't collide with it
-      fs.delete(manifestPath(next), false)
-      Manifest.write(fs, manifestPath(next), entries, Some(System.currentTimeMillis()))
+      fs.delete(manifestPath(target), false)
+      Manifest.write(fs, manifestPath(target), entries, Some(System.currentTimeMillis()))
       // fence check strictly before the pointer flip: if our lease expired
       // and another writer retook the claim (and possibly committed its
       // own v=next), flipping now would overwrite an acknowledged commit.
       // The manifest written above is then debris the new owner already
       // cleared or will clear; never touch it again from this handle.
       requireClaim(next, fence)
-      _meta = _meta.copy(currentVersion = next)
+      _meta = _meta.copy(currentVersion = target)
       writeMeta()
       // prime the per-version cache with what was just written — the
       // next read (often in the same micro-batch) skips a JSON re-parse
-      entriesCache = (next, entries)
+      entriesCache = (target, entries)
     } catch {
       case t: Throwable =>
         // Roll back ONLY if the pointer flip didn't land AND we still own
@@ -3785,20 +3931,20 @@ final class ManagedTable private (
         if (onDisk < next) {
           _meta = prevMeta
           if (claimHeld(next, fence)) {
-            fs.delete(manifestPath(next), false)
+            fs.delete(manifestPath(target), false)
             fs.delete(lockPath(next), false) // release the claim
           }
         }
         throw t
     }
-    val keepFrom = next - retainPrev
+    val keepFrom = target - retainPrev
     // Tagged snapshots are GC-protected outside the retention window: both
     // their manifest files and every file group those manifests reference
     // survive until the tag is dropped (see [[tag]]).
     val taggedVs = _meta.properties.collect {
       case (k, v) if k.startsWith(ManagedTable.TagPrefix) => v.toLong
     }.toSet
-    val protectedVs = ((keepFrom until next) ++ taggedVs.filter(_ < keepFrom)).distinct
+    val protectedVs = ((keepFrom until target) ++ taggedVs.filter(_ < keepFrom)).distinct
     val retained = (protectedVs
       .flatMap(v => Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty)) ++ entries ++
       liveBranchEntries) // WAP-staged groups: protected until publish/abandon
@@ -3920,6 +4066,17 @@ final class ManagedTable private (
     val graceMs = _meta.properties.getOrElse("commit.lock-grace-ms", "300000").toLong
     if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).foreach { s =>
       val n = s.getPath.getName
+      // version manifests AHEAD of the pointer: debris of a commit that
+      // crashed between manifest write and pointer flip (the pointer is
+      // the commit point; a multi-version branch publish can leave one
+      // several slots ahead). Grace-guarded — a live committer is in
+      // exactly that window right now.
+      if (n.startsWith("v=") && n.endsWith(".json")) {
+        val v = n.stripPrefix("v=").stripSuffix(".json").toLong
+        if (v > _meta.currentVersion &&
+            System.currentTimeMillis() - s.getModificationTime > graceMs)
+          fs.delete(s.getPath, false)
+      }
       if (n.startsWith("branch=") && n.endsWith(".json")) {
         val stem = n.stripPrefix("branch=").stripSuffix(".json")
         // "name" (base generation) or "name@g<k>" (a later generation)

@@ -446,43 +446,71 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       val eOver = intercept[Exception] {
         s2.sql("INSERT OVERWRITE graft.wap VALUES (9, 'x')")
       }
-      assert(eOver.getMessage.contains("stage appends only"), eOver.getMessage)
-      // row-level DML under an active wap branch would mutate the LIVE
-      // table mid-audit — refused like the overwrite
-      val eDel = intercept[Exception] {
-        s2.sql("DELETE FROM graft.wap WHERE id = 1")
-      }
-      assert(eDel.getMessage.contains("appends only"), eDel.getMessage)
-      val eUpd = intercept[Exception] {
-        s2.sql("UPDATE graft.wap SET v = 'x' WHERE id = 1")
-      }
-      assert(eUpd.getMessage.contains("appends only"), eUpd.getMessage)
-      assert(s2.sql("SELECT * FROM graft.wap VERSION AS OF 'audit'").count() == 4,
-        "refused DML must leave live and staged state untouched")
+      assert(eOver.getMessage.contains("not overwrites"), eOver.getMessage)
+      // row-level DML under an active wap branch STAGES onto the branch
+      // (round 9, Iceberg's branch-targeted DML): the audit workflow can
+      // correct staged rows in place, the live table stays untouched
+      s2.sql("DELETE FROM graft.wap WHERE id = 2")      // staged row
+      s2.sql("UPDATE graft.wap SET v = 'fixed' WHERE id = 3")
+      assert(s2.sql("SELECT * FROM graft.wap").count() == 3,
+        "the branch view must reflect the staged delete")
+      assert(s2.sql("SELECT v FROM graft.wap WHERE id = 3")
+        .head().getString(0) == "fixed",
+        "the branch view must reflect the staged update")
+      // MERGE under the branch: update a staged row, insert a new one
+      s2.sql("SELECT * FROM VALUES (CAST(4 AS BIGINT), 'merged'), " +
+        "(CAST(5 AS BIGINT), 'new') AS v(id, v)").createOrReplaceTempView("mupd")
+      s2.sql("""MERGE INTO graft.wap t USING mupd s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // a LIVE row deleted under the branch: staged verdict, live intact
+      s2.sql("DELETE FROM graft.wap WHERE id = 1")
+      val branchIds = s2.sql("SELECT id, v FROM graft.wap").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(branchIds == Set((3L, "fixed"), (4L, "merged"), (5L, "new")),
+        s"branch view after DML battery: $branchIds")
       s2.conf.unset("spark.wap.branch")
       assert(s2.sql("SELECT * FROM graft.wap").count() == 1,
-        "the live table must not see staged rows")
-      assert(s2.sql("SELECT * FROM graft.`wap$branch_audit`").count() == 4)
-      assert(s2.sql("SELECT * FROM graft.wap VERSION AS OF 'audit'").count() == 4)
+        "the live table must not see staged rows OR staged DML")
+      assert(s2.sql("SELECT id FROM graft.wap").head().getLong(0) == 1L,
+        "a live row deleted on the branch must stay live until publish")
+      assert(s2.sql("SELECT * FROM graft.`wap$branch_audit`").count() == 3)
+      assert(s2.sql("SELECT * FROM graft.wap VERSION AS OF 'audit'").count() == 3)
 
-      // publish is atomic and metadata-shaped; the branch is gone after
+      // publish is atomic and metadata-shaped (multi-batch adopt-in-place
+      // lands the pointer past every staged seq); the branch is gone after
+      val branchFiles = s2.sql("SELECT * FROM graft.`wap$branch_audit`")
+        .inputFiles.toSet
       val pub = s2.sql("CALL graft.system.publish_branch('wap', 'audit')")
       assert(pub.columns.toSeq == Seq("published_version"))
-      assert(s2.sql("SELECT * FROM graft.wap").count() == 4)
+      val postPub = s2.sql("SELECT id, v FROM graft.wap").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(postPub == Set((3L, "fixed"), (4L, "merged"), (5L, "new")),
+        s"publish must fold the staged DML in: $postPub")
       assert(ManagedTable.load(s2, wh, "wap").get.branches().isEmpty)
+      // adopt-in-place: a single-writer multi-batch DML branch publishes
+      // METADATA-ONLY — the live read after publish opens exactly the
+      // files the branch view opened, no group re-stamped or copied
+      val postFiles = ManagedTable.load(s2, wh, "wap").get.read().inputFiles.toSet
+      assert(postFiles == branchFiles,
+        s"publish must adopt staged groups in place: " +
+          s"new=${(postFiles -- branchFiles).size} lost=${(branchFiles -- postFiles).size}")
 
-      // abandon: staged rows never reach the live table
+      // abandon: staged rows AND staged DML never reach the live table
       s2.sql("ALTER TABLE graft.wap CREATE BRANCH risky")
       s2.conf.set("spark.wap.branch", "risky")
       s2.sql("INSERT INTO graft.wap VALUES (99, 'bad')")
+      s2.sql("DELETE FROM graft.wap WHERE id = 3") // staged verdict only
       s2.conf.unset("spark.wap.branch")
       s2.sql("ALTER TABLE graft.wap DROP BRANCH risky")
-      assert(s2.sql("SELECT * FROM graft.wap").count() == 4)
+      assert(s2.sql("SELECT id FROM graft.wap").collect()
+        .map(_.getLong(0)).toSet == Set(3L, 4L, 5L),
+        "abandon must discard staged DML (id=3 survives)")
       assert(ManagedTable.load(s2, wh, "wap").get.branches().isEmpty)
 
       // tag DDL: CREATE TAG [AS OF VERSION], DROP TAG; misuse is precise
       s2.sql("ALTER TABLE graft.wap CREATE TAG approved")
-      assert(s2.sql("SELECT * FROM graft.wap VERSION AS OF 'approved'").count() == 4)
+      assert(s2.sql("SELECT * FROM graft.wap VERSION AS OF 'approved'").count() == 3)
       val vNow = ManagedTable.load(s2, wh, "wap").get.meta.currentVersion
       s2.sql(s"ALTER TABLE graft.wap CREATE TAG pinned AS OF VERSION $vNow")
       assert(ManagedTable.load(s2, wh, "wap").get.tags()("pinned") == vNow)
