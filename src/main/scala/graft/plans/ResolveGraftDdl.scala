@@ -589,7 +589,16 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
             ManagedTable.DroppedPrefix, ManagedTable.SpecHistoryKey,
             ManagedTable.BarrierKey,
             // bare key AND dot-suffixed variants (nullkey/expect/per-table)
-            graft.streaming.CdcPipeline.CdcBatchIdProp)
+            graft.streaming.CdcPipeline.CdcBatchIdProp,
+            // progress markers (round 9): replaying exactly-once /
+            // refresh bookkeeping onto a fresh table would corrupt it —
+            // a restarted stream's batch 0 hits a marker-ahead refusal,
+            // a replica skips upstream versions it never applied
+            "sink.last-batch-id.",
+            "ingest.last-batch-id",
+            graft.streaming.StreamingAgg.BatchIdProp,
+            "replication.applied-upto.",
+            graft.tables.MaterializedView.VersionKey)
           val userProps = m.properties.filterNot { case (k, _) =>
             internalPrefixes.exists(k.startsWith)
           }

@@ -531,6 +531,64 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("SHOW CREATE TABLE reconstructs round-8 surfaces; refs ride $refs; markers excluded") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val b = org.apache.spark.sql.SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+      base.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
+      val wh = java.nio.file.Files.createTempDirectory("graft-sct8").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+      s2.sql("""CREATE TABLE graft.r8 (id BIGINT, grp INT, v STRING)
+        |PARTITIONED BY (grp)
+        |TBLPROPERTIES ('graft.identifier-fields'='id',
+        |  'write.format-default'='orc',
+        |  'delete.keyed-region-mode'='tombstone')""".stripMargin)
+      s2.sql("INSERT INTO graft.r8 VALUES (1, 0, 'a'), (2, 1, 'b')")
+      s2.sql("ALTER TABLE graft.r8 CREATE TAG pin")
+      s2.sql("ALTER TABLE graft.r8 CREATE BRANCH audit")
+      // a sink marker lands on the table (exactly-once bookkeeping)
+      ManagedTable.load(s2, wh, "r8").get
+        .setProperties(Map("sink.last-batch-id.abcd" -> "7"))
+      val stmt = s2.sql("SHOW CREATE TABLE graft.r8").head().getString(0)
+      // round-8 DEFINITION properties round-trip…
+      assert(stmt.contains("'write.format-default'='orc'"), stmt)
+      assert(stmt.contains("'delete.keyed-region-mode'='tombstone'"), stmt)
+      // …history and progress markers do not (replaying a batch-id marker
+      // onto a fresh table would refuse the new stream's batch 0)
+      assert(!stmt.contains("sink.last-batch-id"), stmt)
+      assert(!stmt.contains("ref.tag") && !stmt.contains("ref.branch"), stmt)
+      // the refs themselves are reconstructable from $refs (name, type,
+      // version — everything CREATE TAG/BRANCH ... AS OF VERSION needs)
+      val refs = s2.sql("SELECT name, type, version FROM graft.`r8$refs`")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(refs == Set(("pin", "tag"), ("audit", "branch")), refs.toString)
+      // executing the emitted statement on a fresh warehouse yields a
+      // table whose ORC setting is EFFECTIVE, not just recorded
+      val wh2 = java.nio.file.Files.createTempDirectory("graft-sct8b").toString
+      s2.conf.set("spark.graft.warehouse", wh2)
+      try {
+        s2.sql(stmt)
+        s2.sql("INSERT INTO graft.r8 VALUES (9, 2, 'z')")
+        val re = ManagedTable.load(s2, wh2, "r8").get
+        assert(re.meta.properties("write.format-default") == "orc")
+        assert(re.meta.properties("delete.keyed-region-mode") == "tombstone")
+        assert(re.read().inputFiles.nonEmpty &&
+          re.read().inputFiles.forall(_.endsWith(".orc")),
+          re.read().inputFiles.mkString(","))
+        assert(re.read().count() == 1)
+      } finally s2.conf.unset("spark.graft.warehouse")
+      ()
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("CREATE [TEMP] VIEW over graft SQL: create/query/drop, time travel, refusals") {
     val base = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
