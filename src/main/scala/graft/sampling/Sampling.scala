@@ -153,6 +153,9 @@ object Sampling {
   def temperatureRatesBp(df: DataFrame, groupCol: String,
                          temperature: Double): Map[String, Int] = {
     require(temperature > 0 && temperature <= 1, s"temperature out of (0,1]: $temperature")
+    // metadata-scale by construction: one row per SOURCE (the mixture's
+    // corpus list, tens not millions), never per document — the collect
+    // moves #sources rows, same class as its sqrtUpsampleRates sibling
     val counts = df.groupBy(col(groupCol)).count().collect()
       .map(r => r.get(0).toString -> r.getLong(1)).toMap
     val raw = counts.map { case (g, c) => g -> math.pow(c.toDouble, temperature - 1.0) }

@@ -60,33 +60,60 @@ object TableMeta {
     )
   }
 
-  /** Atomic-ish write: temp file + rename-aside + rename-in, like a catalog
-    * pointer swap. The live pointer is never deleted before its replacement
-    * is in place: the current file is renamed aside first, so a crash at
-    * any point leaves either the old or the new pointer recoverable
-    * ([[read]] restores `.meta.json.__old` when `meta.json` is missing).
+  /** Atomic pointer write. On LOCAL filesystems: one POSIX `rename(2)`
+    * over the live file (`ATOMIC_MOVE + REPLACE_EXISTING`) — a concurrent
+    * reader sees the old pointer or the new one, NEVER a missing file
+    * (round 9: the rename-aside dance below has a window between
+    * rename-aside and rename-in where a changelog source polling a table
+    * under active commits observed "table vanished" — measured in a
+    * 360-commit follow soak). On DFS implementations whose rename cannot
+    * replace (HDFS contract): temp + rename-aside + rename-in, like a
+    * catalog pointer swap — the live pointer is never deleted before its
+    * replacement is in place, a crash at any point leaves either the old
+    * or the new pointer recoverable ([[read]] restores
+    * `.meta.json.__old` when `meta.json` is missing, and retries briefly
+    * to ride out a concurrent writer's in-flight swap).
     */
   def write(fs: FileSystem, tableDir: Path, m: TableMeta): Unit = {
     val tmp = new Path(tableDir, s".meta.json.tmp-${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(toJson(m).getBytes("UTF-8")) finally out.close()
     val dst = new Path(tableDir, "meta.json")
-    val old = new Path(tableDir, ".meta.json.__old")
-    fs.delete(old, false) // leftover from an earlier completed swap
-    if (fs.exists(dst) && !fs.rename(dst, old))
-      throw new java.io.IOException(s"failed to stage metadata swap for ${m.name}")
-    if (!fs.rename(tmp, dst)) {
-      fs.rename(old, dst) // best-effort rollback to the previous pointer
-      throw new java.io.IOException(s"failed to commit metadata for ${m.name}")
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      case _ =>
+        val old = new Path(tableDir, ".meta.json.__old")
+        fs.delete(old, false) // leftover from an earlier completed swap
+        if (fs.exists(dst) && !fs.rename(dst, old))
+          throw new java.io.IOException(s"failed to stage metadata swap for ${m.name}")
+        if (!fs.rename(tmp, dst)) {
+          fs.rename(old, dst) // best-effort rollback to the previous pointer
+          throw new java.io.IOException(s"failed to commit metadata for ${m.name}")
+        }
+        fs.delete(old, false)
     }
-    fs.delete(old, false)
   }
 
   def read(fs: FileSystem, tableDir: Path): Option[TableMeta] = {
     val p = new Path(tableDir, "meta.json")
     val old = new Path(tableDir, ".meta.json.__old")
-    // crash recovery: a write that died between rename-aside and rename-in
-    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
+    // A missing pointer is EITHER a genuinely absent table, a writer
+    // crashed mid-swap (restore the aside copy), or — on the non-local
+    // swap path — a concurrent writer between its two renames. Retry
+    // briefly before concluding absence: 3 × 10 ms bounds the cost on a
+    // genuinely absent table while riding out any in-flight swap (the
+    // local path is a single atomic rename and never enters this loop).
+    var attempts = 0
+    while (!fs.exists(p) && attempts < 3) {
+      if (fs.exists(old)) { fs.rename(old, p); attempts = 3 }
+      else { attempts += 1; if (attempts < 3) Thread.sleep(10) }
+    }
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
