@@ -4,7 +4,7 @@ import graft.tables.ManagedTable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Not}
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Not}
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.lit
@@ -575,7 +575,7 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       // and the per-conjunct candidate sets INTERSECT inside
       // readPrunedConjunction (bounds ∧ Bloom ∧ partition-tuple per
       // conjunct) — `WHERE k = 5 AND day >= X` prunes multiplicatively.
-      val preds = ranges.groupBy(_._1).toSeq.flatMap { case (colName, bs) =>
+      val rangePreds = ranges.groupBy(_._1).toSeq.flatMap { case (colName, bs) =>
         t.meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).flatMap { fld =>
           val lo = bs.collectFirst { case (_, true, l) => l }
             .flatMap(extValue(fld, _))
@@ -585,6 +585,25 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
           else Some(ManagedTable.PruneConjunct(fld.name, lo, hi))
         }
       }
+      // IN lists (round 9): any-value-may-be-present probing. Null
+      // members never match a row (three-valued IN), so they drop from
+      // the probe list; the REMAINING values must ALL convert to the
+      // column domain — one coercion-suspect member could match rows
+      // via Spark's own casting in groups the other values would prune.
+      val inPreds = conjuncts(cond).flatMap {
+        case In(a: UnresolvedAttribute, ls)
+            if ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
+          t.meta.schema.fields.find(_.name.equalsIgnoreCase(a.nameParts.last))
+            .flatMap { fld =>
+              val lits = ls.map(_.asInstanceOf[Literal]).filter(_.value != null)
+              val vs = lits.map(extValue(fld, _))
+              if (vs.exists(_.isEmpty)) None
+              else Some(ManagedTable.PruneConjunct(fld.name, None, None,
+                Some(vs.flatten)))
+            }
+        case _ => None
+      }
+      val preds = rangePreds ++ inPreds
       if (preds.isEmpty) None
       else Some(logical(t.readPrunedConjunction(preds)))
     }

@@ -75,7 +75,10 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     * Attach/rate options (round 9): `startingVersion=latest` attaches at
     * the current version (only commits after attach stream; the pin is
     * durable across restarts), `startingVersion=<n>` starts at version n
-    * inclusive; `maxVersionsPerTrigger=<k>` caps each micro-batch at k
+    * inclusive, `startingTimestamp=<epoch-ms | yyyy-MM-dd HH:mm:ss>`
+    * at the first commit at or after the instant (pinned durably;
+    * earlier than retained history seeds the full snapshot);
+    * `maxVersionsPerTrigger=<k>` caps each micro-batch at k
     * commit versions, so a burst splits instead of landing as one batch.
     */
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
@@ -104,6 +107,19 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
       sv.equalsIgnoreCase("latest") ||
         (sv.nonEmpty && sv.forall(_.isDigit) && sv.toLong >= 1L),
       s"graft source: startingVersion must be 'latest' or a version >= 1, got '$sv'"))
+    // `startingTimestamp` = epoch millis or 'yyyy-MM-dd HH:mm:ss':
+    // attach at the first commit at or after the instant (Delta's
+    // startingTimestamp contract); resolved against the retained
+    // snapshot log at first attach and pinned durably like `latest`.
+    val startingTimestamp = parameters.get("startingTimestamp")
+    require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+      "graft source: set startingVersion OR startingTimestamp, not both")
+    startingTimestamp.foreach(ts => require(
+      ts.forall(_.isDigit) ||
+        (try { java.sql.Timestamp.valueOf(ts); true }
+         catch { case _: IllegalArgumentException => false }),
+      s"graft source: startingTimestamp must be epoch millis or " +
+        s"'yyyy-MM-dd HH:mm:ss', got '$ts'"))
     // `maxVersionsPerTrigger` caps how many commit VERSIONS one
     // micro-batch covers (Kafka's maxOffsetsPerTrigger shape): a commit
     // burst splits across batches instead of landing as one giant batch.
@@ -118,7 +134,7 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     }
     new GraftStreamSource(sqlContext.sparkSession, wh, name,
       changeSchema(sqlContext.sparkSession, wh, name),
-      startingVersion, maxVersions, metadataPath)
+      startingVersion, maxVersions, metadataPath, startingTimestamp)
   }
 
   /** `df.writeStream.format("graft-table")` — the streaming sink (the
@@ -267,7 +283,8 @@ private[sources] final class GraftStreamSource(
     val schema: StructType,
     startingVersion: Option[String] = None,
     maxVersionsPerTrigger: Option[Long] = None,
-    metadataPath: String = "")
+    metadataPath: String = "",
+    startingTimestamp: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.Offset
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -278,30 +295,44 @@ private[sources] final class GraftStreamSource(
 
   /** The version the stream starts strictly AFTER. 0 = full-snapshot seed
     * (default). `startingVersion=<n>` starts at n INCLUSIVE, so after
-    * n-1. `latest` pins the attach-time current version DURABLY in the
-    * stream's metadata dir: recomputing it at restart would silently skip
-    * every commit between a stop and the restart.
+    * n-1. `latest` pins the attach-time current version, and
+    * `startingTimestamp` the last version committed BEFORE the instant
+    * (the first served commit is the first at-or-after it) — both DURABLY
+    * in the stream's metadata dir: recomputing at restart would silently
+    * skip every commit between a stop and the restart. A timestamp
+    * earlier than the earliest retained snapshot seeds the full net
+    * snapshot (the sound reconstruction once per-commit history is gone).
     */
-  private lazy val seedFrom: Long = startingVersion match {
-    case None                              => 0L
-    case Some(n) if n.forall(_.isDigit)    => n.toLong - 1L
-    case Some(_)                           => // latest
-      val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-attach-version")
-      val mfs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!mfs.exists(p)) {
-        // temp + rename: a crash mid-write must never leave a torn pin
-        val tmp = new org.apache.hadoop.fs.Path(metadataPath,
-          s".graft-attach-version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-        val out = mfs.create(tmp, false)
-        try out.write(table.meta.currentVersion.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        if (!mfs.rename(tmp, p)) mfs.delete(tmp, false) // lost a (re)start race: read the winner's pin
-      }
-      val in = mfs.open(p)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
+  private lazy val seedFrom: Long = (startingVersion, startingTimestamp) match {
+    case (None, None)                          => 0L
+    case (Some(n), _) if n.forall(_.isDigit)   => n.toLong - 1L
+    case (Some(_), _)                          => pinned(table.meta.currentVersion)
+    case (None, Some(ts))                      =>
+      val tsMs = if (ts.forall(_.isDigit)) ts.toLong
+                 else java.sql.Timestamp.valueOf(ts).getTime
+      pinned(table.versions().filter(_._2 < tsMs).map(_._1)
+        .maxOption.getOrElse(0L))
+  }
+
+  /** Durable attach pin: compute once, persist in the stream's metadata
+    * dir, read back on every restart. Temp + rename so a crash mid-write
+    * never leaves a torn pin.
+    */
+  private def pinned(compute: => Long): Long = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-attach-version")
+    val mfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!mfs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+        s".graft-attach-version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = mfs.create(tmp, false)
+      try out.write(compute.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!mfs.rename(tmp, p)) mfs.delete(tmp, false) // lost a (re)start race: read the winner's pin
+    }
+    val in = mfs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    finally in.close()
   }
 
   /** Highest version already handed to the engine — the rate-limit base.
@@ -514,6 +545,10 @@ private[sources] final case class GraftRelation(
     val eqs = filters.collect {
       case EqualTo(a, v) if v != null && cols.contains(a) =>
         ManagedTable.PruneConjunct(a, Some(v), Some(v))
+      // IN lists prune as any-value-may-be-present (null members never
+      // match a row, so probing the non-null values is exact)
+      case In(a, vs) if cols.contains(a) =>
+        ManagedTable.PruneConjunct(a, None, None, Some(vs.toSeq.filter(_ != null)))
     }.toSeq
     val lows = filters.collect {
       case GreaterThan(a, v) if v != null && cols.contains(a) => a -> v

@@ -1483,7 +1483,8 @@ final class ManagedTable private (
                             ref: Option[String] = None): DataFrame = {
     val entries = ref.map(refEntries).getOrElse(currentEntries)
     val valid = preds.filter(p =>
-      _meta.schema.fieldNames.contains(p.c) && (p.lo.isDefined || p.hi.isDefined))
+      _meta.schema.fieldNames.contains(p.c) &&
+        (p.lo.isDefined || p.hi.isDefined || p.values.isDefined))
     if (valid.isEmpty) return morRead(entries)
     // per-entry state per conjunct: 2 = may hold matching rows, 1 = delete
     // scopes only (carrier), 0 = provably irrelevant; combine as min
@@ -1501,6 +1502,29 @@ final class ManagedTable private (
   private def conjunctStates(entries: Seq[ManifestEntry],
                              p: ManagedTable.PruneConjunct): Map[String, Int] = {
     val isId = _meta.identifierFields.contains(p.c)
+    // IN lists: the entry passes if ANY value might be present; each
+    // value probes as an equality (bounds + Bloom + tuple point). The
+    // per-value tuple predicates are built ONCE per conjunct (each costs
+    // a local Catalyst eval); oversized lists (> 64 values) stop pruning
+    // — the caller's re-applied filter keeps semantics either way.
+    def pointTest(v: Any): Option[(Int, Map[String, String]) => Boolean] =
+      if (monotoneFieldsOf(p.c).isEmpty) None
+      else try Some(tupleRangePred(p.c, Some(v), Some(v)))
+      catch { case _: IllegalArgumentException => None }
+    // None = cannot prune on this list; Some(tests) = per-value probes
+    // (an EMPTY list matches nothing: everything prunes, soundly)
+    val inTests: Option[Seq[(Any, Option[(Int, Map[String, String]) => Boolean])]] =
+      p.values.map(_.filter(_ != null)) match {
+        case Some(vs) if vs.size <= 64 => Some(vs.map(v => v -> pointTest(v)))
+        case Some(_)                   => None // oversized: pass-all below
+        case None                      => None
+      }
+    val isIn = p.values.isDefined
+    def eqPass(e: ManifestEntry, v: Any,
+               tt: Option[(Int, Map[String, String]) => Boolean]): Boolean =
+      e.stats.get(p.c).forall(_.intersects(v, v)) &&
+        e.blooms.get(p.c).forall(b => b.mightContain(bloomPositions(p.c, v, b.m, b.k))) &&
+        tt.forall(f => f(entryEpoch(e.seq), e.partition))
     val eqVal: Option[Any] = for { l <- p.lo; h <- p.hi; if l == h } yield l
     val tupleTest: Option[(Int, Map[String, String]) => Boolean] =
       if (monotoneFieldsOf(p.c).isEmpty) None
@@ -1511,9 +1535,13 @@ final class ManagedTable private (
       b.intersects(p.lo.getOrElse(b.min), p.hi.getOrElse(b.max)))
     def bloomPass(e: ManifestEntry) = eqVal.forall(v =>
       e.blooms.get(p.c).forall(b => b.mightContain(bloomPositions(p.c, v, b.m, b.k))))
-    def tuplePass(e: ManifestEntry) =
-      tupleTest.forall(tt => tt(entryEpoch(e.seq), e.partition))
-    def passAll(e: ManifestEntry) = boundsPass(e) && bloomPass(e) && tuplePass(e)
+    def tuplePass(e: ManifestEntry): Boolean =
+      if (isIn) inTests.forall(_.exists { case (_, tt) =>
+        tt.forall(f => f(entryEpoch(e.seq), e.partition)) })
+      else tupleTest.forall(tt => tt(entryEpoch(e.seq), e.partition))
+    def passAll(e: ManifestEntry): Boolean =
+      if (isIn) inTests.forall(_.exists { case (v, tt) => eqPass(e, v, tt) })
+      else boundsPass(e) && bloomPass(e) && tuplePass(e)
     val dataPassing = entries.filter(e => e.kind != Manifest.PosDel && passAll(e))
     val keptTuples = dataPassing.map(_.partition).toSet
     val minKeptEpoch = dataPassing.map(e => entryEpoch(e.seq)).minOption
@@ -4595,11 +4623,16 @@ object ManagedTable {
   /** One pushed conjunct for composite manifest pruning
     * ([[ManagedTable.readPrunedConjunction]]): an INCLUSIVE range
     * [lo, hi] on column `c` — equality when both bounds carry the same
-    * value (enables Bloom probing), an open side is None. Values must be
-    * in the column's external Scala domain (the caller's type-coercion
-    * contract, same as [[ManagedTable.readWhereEq]]).
+    * value (enables Bloom probing), an open side is None — or, when
+    * `values` is set, an IN LIST (the entry passes if ANY value might be
+    * present: bounds ∧ Bloom ∧ tuple per value; lo/hi are ignored).
+    * Values must be in the column's external Scala domain (the caller's
+    * type-coercion contract, same as [[ManagedTable.readWhereEq]]); an
+    * EMPTY value list matches nothing and prunes everything — sound,
+    * since the caller re-applies the exact predicate.
     */
-  final case class PruneConjunct(c: String, lo: Option[Any], hi: Option[Any])
+  final case class PruneConjunct(c: String, lo: Option[Any], hi: Option[Any],
+                                 values: Option[Seq[Any]] = None)
 
   /** Reserved property prefix for snapshot tags ([[ManagedTable.tag]]). */
   val TagPrefix = "ref.tag."

@@ -135,8 +135,8 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
         (if (rnd.nextBoolean()) Seq(PruneConjunct("grp", Some(g), Some(g))) else Nil) ++
         (if (rnd.nextBoolean()) Seq(PruneConjunct("name", Some("n"), None)) else Nil)
       val cond = preds.map {
-        case PruneConjunct(c, Some(l), Some(h)) if l == h => col(c) === lit(l)
-        case PruneConjunct(c, l, h) =>
+        case PruneConjunct(c, Some(l), Some(h), _) if l == h => col(c) === lit(l)
+        case PruneConjunct(c, l, h, _) =>
           Seq(l.map(v => col(c) >= lit(v)), h.map(v => col(c) <= lit(v)))
             .flatten.reduce(_ && _)
       }.reduce(_ && _)
@@ -144,12 +144,26 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
         .select("id").as[Long].collect().toSet
       assert(got == want(cond), s"round $i: preds=$preds")
     }
+    // IN lists prune (round 9): any-value probing, intersected like any
+    // other conjunct; the empty list prunes everything, soundly
+    val inGrp = PruneConjunct("grp", None, None, Some(Seq(1, 3)))
+    assert(files(Seq(inGrp)) < full, "IN must tuple-prune")
+    assert(files(Seq(inGrp, idRange)) < files(Seq(inGrp)),
+      "IN intersects with ranges")
+    assert(files(Seq(PruneConjunct("id", None, None, Some(Seq.empty)))) == 0,
+      "empty IN matches nothing")
+    val inCond = col("grp").isin(1, 3) && col("id").between(101L, 200L)
+    assert(t.readPrunedConjunction(Seq(inGrp, idRange)).filter(inCond)
+      .select("id").as[Long].collect().toSet == want(inCond))
     // …and through the V1 seam: conjunction + projection + count(*) exact
     def src = spark.read.format("graft-table")
       .option("warehouse", w).option("table", "cp").load()
     val c = col("grp") === 2 && col("id").between(101L, 200L)
     assert(src.filter(c).select("id").as[Long].collect().toSet == want(c))
     assert(src.filter(c).count() == want(c).size)
+    assert(src.filter(col("grp").isin(1, 3) && col("id") <= 50L)
+      .select("id").as[Long].collect().toSet ==
+      want(col("grp").isin(1, 3) && col("id") <= 50L))
     assert(src.count() == t.read().count()) // zero-column scan (count(*))
     val viaTag = spark.read.format("graft-table")
       .option("warehouse", w).option("table", "cp")
@@ -280,6 +294,56 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("startingVersion")), msgs(e).mkString(" | "))
+  }
+
+  test("changelog source: startingTimestamp attaches at the first commit at/after the instant") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val w = wh
+    val md = java.nio.file.Files.createTempDirectory("graft-ts-md").toString
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "tsa", df.schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "10"))
+    t.append(df)                               // v1
+    Thread.sleep(30)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(30)
+    t.append(Seq((2L, "b")).toDF("id", "v"))   // v2 — after the cut
+    t.append(Seq((3L, "c")).toDF("id", "v"))   // v3
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(ManagedTable.SeqCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(ManagedTable.TombstoneCol,
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      org.apache.spark.sql.graftbridge.GraftBridge.unwrapStreaming(df)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val src = new GraftStreamSource(spark, w, "tsa", schema,
+      metadataPath = md, startingTimestamp = Some(cut.toString))
+    assert(rows(src.getBatch(None, LongOffset(3L))) == Set(2L, 3L),
+      "only commits at/after the instant")
+    // the pin survives restarts (same metadata dir)
+    val src2 = new GraftStreamSource(spark, w, "tsa", schema,
+      metadataPath = md, startingTimestamp = Some(cut.toString))
+    assert(rows(src2.getBatch(None, LongOffset(3L))) == Set(2L, 3L))
+    // a timestamp before all retained history seeds the full snapshot
+    val srcOld = new GraftStreamSource(spark, w, "tsa", schema,
+      metadataPath = java.nio.file.Files.createTempDirectory("graft-ts-md2").toString,
+      startingTimestamp = Some("1000"))
+    assert(rows(srcOld.getBatch(None, LongOffset(3L))) == Set(1L, 2L, 3L))
+    // both options together refuse at stream definition
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-table").option("warehouse", w)
+        .option("table", "tsa").option("startingVersion", "latest")
+        .option("startingTimestamp", cut.toString).load()
+        .writeStream.format("noop")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck-ts").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+    }
+    assert(msgs(e).exists(_.contains("not both")), msgs(e).mkString(" | "))
   }
 
   test("changelog source: maxVersionsPerTrigger splits a commit burst across batches") {
