@@ -58,7 +58,7 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         // branch-targeted DML, round 9) — the live table is untouched
         // until CALL publish_branch
         GraftDmlCommand("DELETE", name,
-          () => wapBranchOn(t) match {
+          () => wapWriteBranch match {
             case Some(b) => t.deleteWhereOnBranch(GraftBridge.column(c), b)
             case None    => t.deleteWhere(GraftBridge.column(c))
           }): LogicalPlan
@@ -69,7 +69,7 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
           assignName(a.key) -> GraftBridge.column(stripQualifier(a.value, alias))).toMap
         val c = stripQualifier(cond.getOrElse(Literal.TrueLiteral), alias)
         GraftDmlCommand("UPDATE", name,
-          () => wapBranchOn(t) match {
+          () => wapWriteBranch match {
             case Some(b) => t.updateWhereOnBranch(GraftBridge.column(c), set, b)
             case None    => t.updateWhere(GraftBridge.column(c), set)
           }): LogicalPlan
@@ -232,11 +232,21 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       u.multipartIdentifier.head.equalsIgnoreCase("graft")
 
   /** The session's `spark.wap.branch` when it names a live branch of
-    * `t` — the branch plain reads of `t` must observe.
+    * `t` — the branch plain reads of `t` must observe. READS ONLY: an
+    * absent branch falls back to the live snapshot (one session conf
+    * audits just the tables actually staged on).
     */
   private def wapBranchOn(t: ManagedTable): Option[String] =
     session.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
       .filter(t.branches().contains)
+
+  /** The session's `spark.wap.branch` for WRITE routing — writes under
+    * the conf ALWAYS target the branch (created on first touch, like
+    * INSERT's stageAppendInto): a misspelled or not-yet-staged branch
+    * name must stage, never silently mutate the live table mid-audit.
+    */
+  private def wapWriteBranch: Option[String] =
+    session.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
 
   /** A `$`-suffixed graft identifier appearing as a DML target — always
     * a mistake; refuse with a precise message instead of letting the
@@ -475,7 +485,7 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
         deleteBySourceWhen = delBsWhen.map(GraftBridge.column),
         updateBySourceWhen = updBsWhen.map(GraftBridge.column),
         updateBySourceSet = updBsSet.map { case (k, v) => k -> GraftBridge.column(v) },
-        stageToBranch = wapBranchOn(t)) // spark.wap.branch: stage, don't commit
+        stageToBranch = wapWriteBranch) // spark.wap.branch: stage, don't commit
     })
   }
 

@@ -102,10 +102,14 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     // attach-time version (durably, in the stream's metadata dir — exact
     // across restarts), a number starts at that version INCLUSIVE
     // (Delta's startingVersion contract).
+    // safe long parse: the EMPTY string is all-digits vacuously, and an
+    // overlong digit run overflows toLong — both must fail HERE with the
+    // precise option error, not later inside the first offset poll
+    def asLong(s: String): Option[Long] =
+      try Some(s.toLong) catch { case _: NumberFormatException => None }
     val startingVersion = parameters.get("startingVersion")
     startingVersion.foreach(sv => require(
-      sv.equalsIgnoreCase("latest") ||
-        (sv.nonEmpty && sv.forall(_.isDigit) && sv.toLong >= 1L),
+      sv.equalsIgnoreCase("latest") || asLong(sv).exists(_ >= 1L),
       s"graft source: startingVersion must be 'latest' or a version >= 1, got '$sv'"))
     // `startingTimestamp` = epoch millis or 'yyyy-MM-dd HH:mm:ss':
     // attach at the first commit at or after the instant (Delta's
@@ -115,7 +119,7 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     require(startingVersion.isEmpty || startingTimestamp.isEmpty,
       "graft source: set startingVersion OR startingTimestamp, not both")
     startingTimestamp.foreach(ts => require(
-      ts.forall(_.isDigit) ||
+      (ts.nonEmpty && ts.forall(_.isDigit) && asLong(ts).isDefined) ||
         (try { java.sql.Timestamp.valueOf(ts); true }
          catch { case _: IllegalArgumentException => false }),
       s"graft source: startingTimestamp must be epoch millis or " +
@@ -285,7 +289,10 @@ private[sources] final class GraftStreamSource(
     maxVersionsPerTrigger: Option[Long] = None,
     metadataPath: String = "",
     startingTimestamp: Option[String] = None)
-    extends org.apache.spark.sql.execution.streaming.Source {
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
   import org.apache.spark.sql.execution.streaming.Offset
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
@@ -342,11 +349,40 @@ private[sources] final class GraftStreamSource(
     */
   @volatile private var lastBatchEnd: Long = Long.MinValue
 
-  override def getOffset: Option[Offset] = {
-    val cur = table.meta.currentVersion
+  /** Trigger.AvailableNow target: without [[SupportsTriggerAvailableNow]]
+    * Spark wraps a plain V1 source in AvailableNowSourceWrapper, which
+    * latches ONE getOffset as the whole run's end — combined with
+    * maxVersionsPerTrigger the run would process a single capped batch
+    * and report successful completion with versions left behind. With
+    * the interface, the engine keeps polling [[latestOffset]] per batch
+    * until it reaches this run-start pin, so a drain covers everything
+    * in capped batches.
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.meta.currentVersion)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(k => ReadLimit.maxRows(k)).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission-controlled offset poll (the engine's path once
+    * [[SupportsAdmissionControl]] is implemented); null = no new data.
+    */
+  override def latestOffset(startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+                            limit: ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    nextEnd().map(LongOffset(_)).orNull
+
+  override def getOffset: Option[Offset] = nextEnd().map(LongOffset(_))
+
+  private def nextEnd(): Option[Long] = {
+    val cur0 = table.meta.currentVersion
+    // under AvailableNow the run never reads past its start pin
+    val cur = availableNowCap.fold(cur0)(math.min(_, cur0))
     val base = math.max(lastBatchEnd, seedFrom)
     val end = maxVersionsPerTrigger.map(k => math.min(cur, base + k)).getOrElse(cur)
-    if (end <= seedFrom) None else Some(LongOffset(end))
+    if (end <= base || end <= seedFrom) None else Some(end)
   }
 
   private def ver(o: Offset): Long = o match {

@@ -923,15 +923,19 @@ final class ManagedTable private (
   }
 
   /** Branch DML is staged as equality-delete-scoped upsert groups, so it
-    * needs row identity; refuse keyless tables precisely.
+    * needs row identity (refuse keyless tables precisely — BEFORE any
+    * branch is created). A missing branch is CREATED, matching INSERT
+    * under `spark.wap.branch` (stageAppendInto's create-on-first-stage):
+    * a misspelled or not-yet-staged branch name must stage-and-audit,
+    * never silently mutate the live table mid-audit.
     */
   private def requireBranchDml(stmt: String, branch: String): Unit = {
-    require(_meta.properties.contains(ManagedTable.BranchPrefix + branch),
-      s"no branch '$branch' on ${_meta.name}")
     require(_meta.identifierFields.nonEmpty,
       s"$stmt on WAP branch '$branch' of ${_meta.name}: keyed tables only — " +
         "keyless row-level DML is a copy-on-write rewrite, which a branch " +
         "cannot stage (publish or abandon the branch first)")
+    if (!_meta.properties.contains(ManagedTable.BranchPrefix + branch))
+      createBranch(branch)
   }
 
   /** Expire retained snapshots committed at or before `olderThanMs`
@@ -1520,10 +1524,17 @@ final class ManagedTable private (
         case None                      => None
       }
     val isIn = p.values.isDefined
+    // Bloom probe positions depend only on (value, m, k), not the entry —
+    // memoize across the manifest: a 64-value IN over thousands of
+    // entries would otherwise re-run the driver-side hash evals per
+    // (entry, value) pair on the query-planning hot path.
+    val posCache = scala.collection.mutable.HashMap.empty[(Any, Int, Int), Seq[Int]]
+    def positions(v: Any, m: Int, k: Int): Seq[Int] =
+      posCache.getOrElseUpdate((v, m, k), bloomPositions(p.c, v, m, k))
     def eqPass(e: ManifestEntry, v: Any,
                tt: Option[(Int, Map[String, String]) => Boolean]): Boolean =
       e.stats.get(p.c).forall(_.intersects(v, v)) &&
-        e.blooms.get(p.c).forall(b => b.mightContain(bloomPositions(p.c, v, b.m, b.k))) &&
+        e.blooms.get(p.c).forall(b => b.mightContain(positions(v, b.m, b.k))) &&
         tt.forall(f => f(entryEpoch(e.seq), e.partition))
     val eqVal: Option[Any] = for { l <- p.lo; h <- p.hi; if l == h } yield l
     val tupleTest: Option[(Int, Map[String, String]) => Boolean] =
@@ -1534,7 +1545,7 @@ final class ManagedTable private (
     def boundsPass(e: ManifestEntry) = e.stats.get(p.c).forall(b =>
       b.intersects(p.lo.getOrElse(b.min), p.hi.getOrElse(b.max)))
     def bloomPass(e: ManifestEntry) = eqVal.forall(v =>
-      e.blooms.get(p.c).forall(b => b.mightContain(bloomPositions(p.c, v, b.m, b.k))))
+      e.blooms.get(p.c).forall(b => b.mightContain(positions(v, b.m, b.k))))
     def tuplePass(e: ManifestEntry): Boolean =
       if (isIn) inTests.forall(_.exists { case (_, tt) =>
         tt.forall(f => f(entryEpoch(e.seq), e.partition)) })
@@ -3454,11 +3465,13 @@ final class ManagedTable private (
     require(ids.nonEmpty, "mergeInto requires identifier fields")
     // branch-staged merge (round 9): the same flagged batch, matched
     // against the BRANCH VIEW and staged onto the branch instead of
-    // committed — see [[deleteWhereOnBranch]] for the model
-    stageToBranch.foreach(requireBranchDml("MERGE", _))
+    // committed — see [[deleteWhereOnBranch]] for the model. The
+    // properties check comes FIRST: requireBranchDml auto-creates the
+    // branch, and a refused call must not leave one behind.
     require(stageToBranch.isEmpty || commitProperties.isEmpty,
       "commitProperties ride a live commit's pointer flip — they cannot " +
         "attach to a branch-staged merge")
+    stageToBranch.foreach(requireBranchDml("MERGE", _))
     val partSrc = partitionFields.map(_.sourceColumn).toSet
     (updateSet.keys ++ updateBySourceSet.keys).foreach { k =>
       require(_meta.schema.fieldNames.contains(k), s"unknown column $k")
@@ -3965,7 +3978,12 @@ final class ManagedTable private (
         }
         throw t
     }
-    val keepFrom = target - retainPrev
+    // Retention counts COMMITS, not version numbers: anchor the window at
+    // the pre-commit pointer + 1 (`next`), not at a jumped `target` — a
+    // k-batch adopt-in-place publish is ONE commit and must expire exactly
+    // one window slot, not k (k >= versions-retained would otherwise wipe
+    // the whole retained history in a single publish).
+    val keepFrom = next - retainPrev
     // Tagged snapshots are GC-protected outside the retention window: both
     // their manifest files and every file group those manifests reference
     // survive until the tag is dropped (see [[tag]]).

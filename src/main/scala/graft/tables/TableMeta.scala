@@ -75,19 +75,31 @@ object TableMeta {
     * to ride out a concurrent writer's in-flight swap).
     */
   def write(fs: FileSystem, tableDir: Path, m: TableMeta): Unit = {
-    val tmp = new Path(tableDir, s".meta.json.tmp-${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(toJson(m).getBytes("UTF-8")) finally out.close()
     val dst = new Path(tableDir, "meta.json")
     fs match {
       case _: org.apache.hadoop.fs.LocalFileSystem |
            _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp.toUri.getPath),
-          java.nio.file.Paths.get(dst.toUri.getPath),
+        // Pure NIO on the local path — writing the temp through the
+        // Hadoop fs would leave a ChecksumFileSystem '..tmp....crc'
+        // sidecar orphaned by the NIO move (one per write, forever), and
+        // any '.meta.json.crc' from the pre-round-9 rename path would go
+        // STALE against the moved-in bytes, failing every subsequent
+        // checksummed read. Drop the legacy crc BEFORE the move (a reader
+        // in between reads the old pointer uncheckummed — fine), then one
+        // atomic rename(2): readers see the old or new pointer, never
+        // neither.
+        val dir = java.nio.file.Paths.get(tableDir.toUri.getPath)
+        java.nio.file.Files.createDirectories(dir)
+        val tmp = java.nio.file.Files.createTempFile(dir, ".meta.json.tmp-", "")
+        java.nio.file.Files.write(tmp, toJson(m).getBytes("UTF-8"))
+        java.nio.file.Files.deleteIfExists(dir.resolve(".meta.json.crc"))
+        java.nio.file.Files.move(tmp, dir.resolve("meta.json"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       case _ =>
+        val tmp = new Path(tableDir, s".meta.json.tmp-${System.nanoTime()}")
+        val out = fs.create(tmp, true)
+        try out.write(toJson(m).getBytes("UTF-8")) finally out.close()
         val old = new Path(tableDir, ".meta.json.__old")
         fs.delete(old, false) // leftover from an earlier completed swap
         if (fs.exists(dst) && !fs.rename(dst, old))
@@ -103,13 +115,16 @@ object TableMeta {
   def read(fs: FileSystem, tableDir: Path): Option[TableMeta] = {
     val p = new Path(tableDir, "meta.json")
     val old = new Path(tableDir, ".meta.json.__old")
-    // A missing pointer is EITHER a genuinely absent table, a writer
-    // crashed mid-swap (restore the aside copy), or — on the non-local
-    // swap path — a concurrent writer between its two renames. Retry
-    // briefly before concluding absence: 3 × 10 ms bounds the cost on a
-    // genuinely absent table while riding out any in-flight swap (the
-    // local path is a single atomic rename and never enters this loop).
-    var attempts = 0
+    // Local FS writes are one atomic rename — a missing pointer there is
+    // a genuinely absent table, answered immediately (load-miss sits on
+    // the hot analysis path: view resolution, IF NOT EXISTS probes). The
+    // non-local swap path has a window between its two renames, so a
+    // missing pointer EITHER means absent, a writer crashed mid-swap
+    // (restore the aside copy), or a concurrent writer mid-swap — retry
+    // briefly (3 × 10 ms) before concluding absence.
+    val atomicLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    var attempts = if (atomicLocal) 2 else 0
     while (!fs.exists(p) && attempts < 3) {
       if (fs.exists(old)) { fs.rename(old, p); attempts = 3 }
       else { attempts += 1; if (attempts < 3) Thread.sleep(10) }

@@ -366,19 +366,20 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     src.getBatch(Some(LongOffset(2L)), LongOffset(4L))
     assert(src.getOffset.contains(LongOffset(5L)))
     src.getBatch(Some(LongOffset(4L)), LongOffset(5L))
-    assert(src.getOffset.contains(LongOffset(5L)), "caught up: offset stays put")
-    // e2e: a ProcessingTime drain covers the burst in >= 3 capped batches
-    // and delivers every row exactly once
+    assert(src.getOffset.isEmpty, "caught up: no new offset")
+    // e2e under Trigger.AvailableNow — the drain pattern real followers
+    // use: SupportsTriggerAvailableNow makes the engine keep polling
+    // capped offsets to the run-start pin instead of latching ONE capped
+    // getOffset (which would silently stop after 2 of 5 versions)
     val out = java.nio.file.Files.createTempDirectory("graft-burst-out").toString
     val ck = java.nio.file.Files.createTempDirectory("graft-burst-ck").toString
-    val q = spark.readStream.format("graft-table")
+    spark.readStream.format("graft-table")
       .option("warehouse", w).option("table", "burst")
       .option("maxVersionsPerTrigger", "2").load()
       .writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ck)
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
-      .start()
-    try q.processAllAvailable() finally q.stop()
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(120000)
     assert(spark.read.parquet(out).select("id").collect()
       .map(_.getLong(0)).toSet == (1L to 5L).toSet)
     val batches = new java.io.File(s"$ck/offsets").listFiles()

@@ -112,9 +112,14 @@ class BranchDmlSpec extends AnyFunSuite with SharedSpark {
     val t = ManagedTable.create(spark, w, "kd",
       Seq((1L, "a")).toDF("id", "v").schema, Seq("id"))
     t.append(Seq((1L, "a")).toDF("id", "v"))
-    intercept[IllegalArgumentException] {
-      t.updateWhereOnBranch(col("id") === 1L, Map("v" -> lit("x")), "nope")
-    }
+    // DML on a not-yet-created branch CREATES it (matching INSERT under
+    // spark.wap.branch) — a typo'd branch name stages instead of silently
+    // mutating the live table mid-audit
+    t.updateWhereOnBranch(col("id") === 1L, Map("v" -> lit("x")), "fresh")
+    assert(t.branches().contains("fresh"))
+    assert(t.readBranch("fresh").select("v").head().getString(0) == "x")
+    assert(t.read().select("v").head().getString(0) == "a", "live untouched")
+    t.abandonBranch("fresh")
     t.createBranch("b")
     val e2 = intercept[IllegalArgumentException] {
       t.mergeInto(Seq((1L, "x")).toDF("id", "v"),
