@@ -1156,6 +1156,48 @@ object Queries {
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       |FROM orders""".stripMargin))
 
+  /** Composite manifest pruning end to end in SQL (round 9): orders
+    * keyed on `o_orderkey`, identity-partitioned on `o_orderstatus`,
+    * appended in TWO key-chunked batches so every file group carries
+    * tight key bounds alongside its status tuple. The audit query
+    * conjoins a status IN list with a key range; runtime-asserts the
+    * plan opens strictly fewer files than the full scan AND than either
+    * conjunct alone (the candidate-set intersection is real, not just
+    * one predicate winning), then the oracle checks the rows. The key
+    * midpoint is data-derived on both sides ((min+max)/2 — BIGINT
+    * floor division agrees between Scala and DuckDB on positives).
+    */
+  val sqlPrunedConjunction = Q("sql_pruned_conjunction",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_sqlpc").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_pc",
+        base.schema, Seq("o_orderkey"), Seq("o_orderstatus"))
+      val mm = base.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+      tbl.append(base.where(col("o_orderkey") <= mid))
+      tbl.append(base.where(col("o_orderkey") > mid))
+      withGraftSession(s, wh) { s2 =>
+        def q(where: String) = s2.sql(
+          s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+             |FROM graft.orders_pc WHERE $where""".stripMargin)
+        val all = s2.sql("SELECT * FROM graft.orders_pc").inputFiles.length
+        val fIn = q("o_orderstatus IN ('F', 'P')").inputFiles.length
+        val fRange = q(s"o_orderkey <= $mid").inputFiles.length
+        val conj = q(s"o_orderstatus IN ('F', 'P') AND o_orderkey <= $mid")
+        val fConj = conj.inputFiles.length
+        require(fIn < all && fRange < all,
+          s"single-conjunct pruning lost: in=$fIn range=$fRange all=$all")
+        require(fConj < fIn && fConj < fRange,
+          s"conjunction must intersect candidate sets: conj=$fConj in=$fIn range=$fRange")
+        conj
+      }
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderstatus IN ('F', 'P')
+      |  AND o_orderkey <= (SELECT (min(o_orderkey) + max(o_orderkey)) / 2 FROM orders)""".stripMargin))
+
   /** Mergeable HLL sketch rollup ([[graft.operators.SketchRollup]],
     * Spark's Datasketches functions): per-day distinct-user sketches
     * built once from raw events — every later range/rollup question
@@ -4302,7 +4344,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

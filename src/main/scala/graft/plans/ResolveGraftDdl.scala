@@ -29,7 +29,18 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
 
   private val IdsProp = "graft.identifier-fields"
 
+  /** The read-side rule, for the shared pruned-scan machinery
+    * ([[ResolveGraftTables.prunedTimeTravel]]).
+    */
+  private lazy val tables = new ResolveGraftTables(session)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    // filtered version-ref reads prune against the pinned manifest
+    // (round 9); falling through unchanged lets the recursion resolve
+    // the child via the bare RelationTimeTravel case below
+    case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
+        tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel) =>
+      tables.prunedTimeTravel(cond, tt).getOrElse(f)
     case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
       timeTravel(tt).getOrElse(tt)
     case st: org.apache.spark.sql.catalyst.plans.logical.ShowTables =>

@@ -231,6 +231,25 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     u.multipartIdentifier.length == 2 &&
       u.multipartIdentifier.head.equalsIgnoreCase("graft")
 
+  /** `WHERE …` over a `VERSION AS OF '<ref>'` read (round 9): composite
+    * pruning against the PINNED manifest — retained manifests carry the
+    * same bounds/Blooms/tuples, so a time-travel audit query prunes like
+    * a live read instead of paying a full scan. Called from
+    * [[ResolveGraftDdl]] (time travel resolves at the PARSE seam, before
+    * this resolution rule would see the node); None = not a graft
+    * version-ref read or nothing prunable — the caller's plain pinned
+    * resolution takes over.
+    */
+  private[plans] def prunedTimeTravel(cond: Expression,
+      tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel)
+      : Option[LogicalPlan] = tt.relation match {
+    case u: UnresolvedRelation if isGraft(u) &&
+        !u.multipartIdentifier(1).contains('$') && tt.version.exists(_.nonEmpty) =>
+      resolvePruned(u.multipartIdentifier(1), cond, tt.version)
+        .map(child => Filter(cond, child))
+    case _ => None
+  }
+
   /** The session's `spark.wap.branch` when it names a live branch of
     * `t` — the branch plain reads of `t` must observe. READS ONLY: an
     * absent branch falls back to the live snapshot (one session conf
@@ -517,7 +536,8 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     * on top, so pruning only ever opens a superset of the matching
     * groups.
     */
-  private def resolvePruned(name: String, cond: Expression): Option[LogicalPlan] = {
+  private def resolvePruned(name: String, cond: Expression,
+                            ref: Option[String] = None): Option[LogicalPlan] = {
     val wh = session.conf.getOption("spark.graft.warehouse")
     if (wh.isEmpty) return None
     ManagedTable.load(session, wh.get, name).flatMap { t =>
@@ -615,7 +635,7 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       }
       val preds = rangePreds ++ inPreds
       if (preds.isEmpty) None
-      else Some(logical(t.readPrunedConjunction(preds)))
+      else Some(logical(t.readPrunedConjunction(preds, ref)))
     }
   }
 

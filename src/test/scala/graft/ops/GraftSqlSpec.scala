@@ -115,6 +115,22 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
       // no-equality predicates fall back to the plain scan, same results
       assert(s2.sql("SELECT count(*) FROM graft.bl WHERE tag LIKE 'x%'")
         .collect().head.getLong(0) == 40)
+      // IN lists prune (round 9): bounds + Bloom per value — both probes
+      // land in the second group, the first is never opened
+      val inQ = s2.sql("SELECT id FROM graft.bl WHERE tag IN ('y55', 'y60')")
+      assert(inQ.collect().map(_.getInt(0)).toSet == Set(55, 60))
+      assert(inQ.inputFiles.length < all,
+        s"no IN pruning through SQL: ${inQ.inputFiles.length} vs $all")
+      // a NULL member never matches a row; remaining values still exact
+      assert(s2.sql("SELECT id FROM graft.bl WHERE tag IN ('x7', NULL)")
+        .collect().map(_.getInt(0)).toSet == Set(7))
+      // time-travel reads prune too (round 9): the tag's pinned manifest
+      // carries the same bounds/Blooms as the live one
+      ManagedTable.load(s2, wh, "bl").get.tag("pin")
+      val ttQ = s2.sql("SELECT id FROM graft.bl VERSION AS OF 'pin' WHERE tag = 'y55'")
+      assert(ttQ.collect().map(_.getInt(0)).toSeq == Seq(55))
+      assert(ttQ.inputFiles.length < all,
+        s"no pruning through SQL time travel: ${ttQ.inputFiles.length} vs $all")
       // COERCION GUARD: a numeric literal against a STRING column makes
       // Spark cast the COLUMN ("05" matches 5) — pruning on the string
       // "5" would wrongly drop "05". The rule must fall back to the
