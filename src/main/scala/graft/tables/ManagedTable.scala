@@ -3553,19 +3553,34 @@ final class ManagedTable private (
 
   /** The table state a merge's join actually needs: for a
     * single-identifier table with manifest key bounds, only the file
-    * groups whose bounds intersect the source's [min, max] key range —
-    * sound because a source row can only match a target row with the
-    * SAME key value (readKeyRange prunes every group kind on identifier
-    * bounds). The bounds agg is metadata-scale (2 values). Composite keys
-    * or bound-less manifests read the full state.
+    * groups that can hold the source's keys — sound because a source row
+    * can only match a target row with the SAME key value (identifier
+    * pruning drops every group kind). A SMALL source (≤ 64 rows — the
+    * trickle-merge shape) probes its exact key list through
+    * [[readPrunedConjunction]]: bounds ∧ Bloom per key, so 100 scattered
+    * trickle keys open only the groups that might hold them instead of
+    * every group intersecting [min, max]. Larger sources keep the
+    * [min, max] range (one metadata-scale agg); composite keys or
+    * bound-less manifests read the full state.
     */
   private def statePrunedBySourceKeys(source: DataFrame): DataFrame = {
     val ids = _meta.identifierFields
     if (ids.size == 1 && statsTag(_meta.schema(ids.head).dataType).isDefined &&
         currentEntries.exists(_.stats.contains(ids.head))) {
-      val r = source.agg(min(col(ids.head)), max(col(ids.head))).head()
-      if (r.isNullAt(0)) read().limit(0)
-      else readKeyRange(ids.head, r.get(0), r.get(1))
+      // limit(65) bounds the probe cost on ANY source size: 65 rows back
+      // means "too big for key-list probing", fall to the range path
+      val head = source.select(col(ids.head)).limit(65).collect()
+      if (head.isEmpty) return read().limit(0)
+      val keys = head.map(_.get(0)).distinct.toSeq
+      if (head.length <= 64 && keys.forall(_ != null))
+        readPrunedConjunction(
+          Seq(ManagedTable.PruneConjunct(ids.head, None, None, Some(keys))))
+          .filter(col(ids.head).isin(keys: _*))
+      else {
+        val r = source.agg(min(col(ids.head)), max(col(ids.head))).head()
+        if (r.isNullAt(0)) read().limit(0)
+        else readKeyRange(ids.head, r.get(0), r.get(1))
+      }
     } else read()
   }
 

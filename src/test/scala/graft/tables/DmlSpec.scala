@@ -801,4 +801,35 @@ class DmlSpec extends AnyFunSuite with SharedSpark {
       "MV diverged across overwritePartitions — replaced rows leaked through the changelog")
     assert(canonAgg(mv.read()).exists { case (g, s, n) => g == "3" && s == 7L && n == 1L })
   }
+
+  test("trickle merge: a small source probes its exact key list; results exact across paths") {
+    val w = java.nio.file.Files.createTempDirectory("graft-dml-tm").toString
+    val df = (1 to 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "tm", df.schema, Seq("id"),
+      properties = Map("write.mor.compact-after-upserts" -> "0"))
+    // id-chunked appends => tight per-group key bounds
+    (0 until 4).foreach { k =>
+      t.append(df.filter(col("id") > k * 100L && col("id") <= (k + 1) * 100L))
+    }
+    t.buildBlooms(Seq("id"))
+    // SMALL source (key-list probe path): scattered keys across chunks —
+    // update two live keys, delete one, insert one new
+    t.mergeInto(
+      Seq((5L, "u5"), (305L, "u305"), (77L, "del"), (999L, "new"))
+        .toDF("id", "v"),
+      deleteWhen = Some(col("s.v") === "del"))
+    val got = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(5L) == "u5" && got(305L) == "u305" && got(999L) == "new")
+    assert(!got.contains(77L) && got.size == 400, s"size=${got.size}")
+    // LARGE source (range path, > 64 rows): same machinery, same answer
+    val big = (1 to 80).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+    t.mergeInto(big)
+    val got2 = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // key 77 was deleted above, so the big merge RE-INSERTS it: 401 rows
+    assert((1 to 80).forall(i => got2(i.toLong) == s"b$i") && got2.size == 401)
+    // empty source: no-op, no version burned
+    val v0 = t.meta.currentVersion
+    t.mergeInto(big.limit(0))
+    assert(t.meta.currentVersion == v0)
+  }
 }
