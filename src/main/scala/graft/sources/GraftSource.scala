@@ -548,7 +548,17 @@ private[sources] final case class GraftRelation(
     case _                     => table.read()
   }
 
-  override def schema: StructType = snapshot.schema
+  /** Live reads answer the schema from METADATA (the declared table
+    * schema IS `read()`'s output schema) — building the MoR scan plan
+    * just for field names would list files at every analysis, and the
+    * manifest-answered `count(*)` path must not touch data paths at
+    * all. Ref reads keep the planned schema (version reads surface
+    * derived partition columns).
+    */
+  override def schema: StructType =
+    if (versionAsOf.forall(_.isEmpty))
+      org.apache.spark.sql.graftbridge.GraftBridge.asNullable(table.meta.schema)
+    else snapshot.schema
 
   // buildScan returns the pruned plan's InternalRow RDD directly
   override def needConversion: Boolean = false
@@ -559,6 +569,18 @@ private[sources] final case class GraftRelation(
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
+    // zero-column unfiltered scan = count(*): answer from the MANIFEST
+    // when it is exact (every live group plain data with recorded rows —
+    // fastRowCount's contract; MoR states fall through to the real scan).
+    // At 100 TB this is the difference between milliseconds and a
+    // full-table job through the no-extensions seam. Live reads only:
+    // a ref read's pinned manifest is not the loaded table's.
+    if (requiredColumns.isEmpty && filters.isEmpty && versionAsOf.isEmpty) {
+      table.fastRowCount.foreach { n =>
+        return sqlContext.sparkSession.range(n).toDF().select()
+          .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+      }
+    }
     val base = pruned(filters)
     val projected =
       if (requiredColumns.isEmpty) base.select()

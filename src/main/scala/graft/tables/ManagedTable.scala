@@ -836,8 +836,11 @@ final class ManagedTable private (
         // tombstones (a delete staged on the branch still deletes at
         // publish), data groups re-write as plain appends — and commit
         // once at base + #batches. Costs one write of the staged data.
-        // Ordering vs the intervened commits remains stage-time
-        // (documented single-writer caveat).
+        // Ordering vs the intervened commits is PUBLISH-time: the staged
+        // batches take effect AFTER them (fresh seqs above base), i.e.
+        // publish ≡ replaying the branch's ops, in stage order, on top of
+        // the publish-time live state — the deterministic reading of the
+        // single-writer caveat (BranchDmlChaosSpec pins it).
         val bySeq = staged.groupBy(_.seq).toSeq.sortBy(_._1)
         val out = bySeq.zipWithIndex.flatMap { case ((_, batch), i) =>
           val newSeq = base + 1 + i

@@ -173,6 +173,31 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     assert(!viaTag.filter(col("id") === 999L).collect().exists(_ => true))
   }
 
+  test("count(*) through the V1 seam is manifest-answered on pure-append tables") {
+    val w = wh
+    val df = (1 to 120).map(i => (i.toLong, s"n$i")).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "fc", df.schema, Seq("id"))
+    t.append(df)
+    t.append(Seq((121L, "x")).toDF("id", "v"))
+    def src = spark.read.format("graft-table")
+      .option("warehouse", w).option("table", "fc").load()
+    assert(src.count() == 121)
+    // proof of zero data reads: delete a whole GROUP DIR from disk — the
+    // manifest answer survives, a column scan cannot even plan
+    val grpDir = new java.io.File(
+      t.read().inputFiles.head.stripPrefix("file:")).getParentFile
+    org.apache.commons.io.FileUtils.deleteDirectory(grpDir)
+    assert(src.count() == 121, "count(*) must be answered from the manifest")
+    intercept[Exception] { src.select("id").collect() }
+    // restore-by-rewrite, then an upsert makes fastRowCount inexact: the
+    // count falls back to the real scan and stays right
+    t.overwrite(df) // fresh single group, file intact
+    t.mergeInto(Seq((5L, "u")).toDF("id", "v"))
+    assert(spark.read.format("graft-table")
+      .option("warehouse", w).option("table", "fc").load().count() == 120,
+      "MoR states must fall back to the exact scan")
+  }
+
   test("changelog streaming source: version offsets, restart resume, barrier refusal") {
     val w = wh
     val out = java.nio.file.Files.createTempDirectory("graft-chg-out").toString
