@@ -635,7 +635,19 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       }
       val preds = rangePreds ++ inPreds
       if (preds.isEmpty) None
-      else Some(logical(t.readPrunedConjunction(preds, ref)))
+      else {
+        val pruned = t.readPrunedConjunction(preds, ref)
+        // Projection must match what the UNPRUNED path would output, or
+        // adding a prunable WHERE silently changes the schema: live and
+        // branch reads project to the table schema (read()/readBranch),
+        // while snapshot/tag reads surface derived partition columns
+        // (readVersion is unprojected) — keep the physical columns there
+        // so e.g. a filter on a derived column still resolves on top.
+        val branchView = ref.exists(r => !r.forall(_.isDigit) &&
+          !t.tags().contains(r) && t.branches().contains(r))
+        val versionRead = ref.isDefined && !branchView
+        Some(if (versionRead) pruned.queryExecution.analyzed else logical(pruned))
+      }
     }
   }
 

@@ -838,9 +838,13 @@ final class ManagedTable private (
         // once at base + #batches. Costs one write of the staged data.
         // Ordering vs the intervened commits is PUBLISH-time: the staged
         // batches take effect AFTER them (fresh seqs above base), i.e.
-        // publish ≡ replaying the branch's ops, in stage order, on top of
-        // the publish-time live state — the deterministic reading of the
-        // single-writer caveat (BranchDmlChaosSpec pins it).
+        // publish ≡ replaying the branch's CAPTURED ROW batches, in stage
+        // order, on top of the publish-time live state — staged updates
+        // re-apply as upserts (an intervened live delete of the same key
+        // is overridden; the staged batch is later), staged tombstones
+        // delete regardless of intervened re-writes. The deterministic
+        // reading of the single-writer caveat (BranchDmlChaosSpec pins
+        // it, conflicts included).
         val bySeq = staged.groupBy(_.seq).toSeq.sortBy(_._1)
         val out = bySeq.zipWithIndex.flatMap { case ((_, batch), i) =>
           val newSeq = base + 1 + i
@@ -3489,8 +3493,27 @@ final class ManagedTable private (
     val srcCols = source.columns.toSet
     ids.foreach(i => require(srcCols.contains(i), s"source is missing identifier column $i"))
 
-    val s = source.alias("s")
-    val state = stageToBranch.map(readBranch).getOrElse(statePrunedBySourceKeys(source))
+    // Materialize SMALL sources once (≤ 64 rows — the trickle shape): the
+    // key-probe, the join and the BY SOURCE anti-join must see the SAME
+    // rows, and a non-deterministic source plan (sampled/deduped upstream)
+    // re-evaluated per action would otherwise drift — with key-list-pruned
+    // state, a drifted key looks unmatched and INSERTS a same-seq sibling.
+    // One bounded action; 65 rows back = keep the original plan (the old
+    // double-evaluation exposure, unchanged) and the [min,max] range path.
+    val headRows = source.limit(65).collect()
+    val (src0, smallKeys) =
+      if (headRows.length <= 64) {
+        val local = spark.createDataFrame(
+          spark.sparkContext.parallelize(headRows.toSeq, 1), source.schema)
+        val keyIdx = source.schema.fieldIndex(ids.head)
+        (local, if (ids.size == 1)
+          Some(headRows.map(_.get(keyIdx)).filter(_ != null).distinct.toSeq)
+        else None)
+      } else (source, None)
+
+    val s = src0.alias("s")
+    val state = stageToBranch.map(readBranch)
+      .getOrElse(statePrunedBySourceKeys(src0, smallKeys))
       .select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*).alias("t")
     val joinCond = ids.map(i => col(s"s.$i") === col(s"t.$i")).reduce(_ && _)
     val joined = s.join(state, joinCond, "left_outer")
@@ -3530,7 +3553,7 @@ final class ManagedTable private (
         // unique per key (the commitUpsertBatch contract).
         val tgt = stageToBranch.map(readBranch).getOrElse(read())
           .select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*).alias("t")
-        val sKeys = source.select(ids.map(col).toIndexedSeq: _*).alias("s")
+        val sKeys = src0.select(ids.map(col).toIndexedSeq: _*).alias("s")
         val antiCond = ids.map(i => col(s"s.$i") === col(s"t.$i")).reduce(_ && _)
         val unmatched = tgt.join(sKeys, antiCond, "left_anti")
         val bsAction = when(cl(deleteBySourceWhen), "D")
@@ -3566,23 +3589,23 @@ final class ManagedTable private (
     * [min, max] range (one metadata-scale agg); composite keys or
     * bound-less manifests read the full state.
     */
-  private def statePrunedBySourceKeys(source: DataFrame): DataFrame = {
+  private def statePrunedBySourceKeys(source: DataFrame,
+                                      smallKeys: Option[Seq[Any]]): DataFrame = {
     val ids = _meta.identifierFields
     if (ids.size == 1 && statsTag(_meta.schema(ids.head).dataType).isDefined &&
         currentEntries.exists(_.stats.contains(ids.head))) {
-      // limit(65) bounds the probe cost on ANY source size: 65 rows back
-      // means "too big for key-list probing", fall to the range path
-      val head = source.select(col(ids.head)).limit(65).collect()
-      if (head.isEmpty) return read().limit(0)
-      val keys = head.map(_.get(0)).distinct.toSeq
-      if (head.length <= 64 && keys.forall(_ != null))
-        readPrunedConjunction(
-          Seq(ManagedTable.PruneConjunct(ids.head, None, None, Some(keys))))
-          .filter(col(ids.head).isin(keys: _*))
-      else {
-        val r = source.agg(min(col(ids.head)), max(col(ids.head))).head()
-        if (r.isNullAt(0)) read().limit(0)
-        else readKeyRange(ids.head, r.get(0), r.get(1))
+      smallKeys match {
+        // key list precomputed by mergeInto's one bounded probe — zero
+        // extra actions here
+        case Some(keys) if keys.isEmpty => read().limit(0)
+        case Some(keys) =>
+          readPrunedConjunction(
+            Seq(ManagedTable.PruneConjunct(ids.head, None, None, Some(keys))))
+            .filter(col(ids.head).isin(keys: _*))
+        case None =>
+          val r = source.agg(min(col(ids.head)), max(col(ids.head))).head()
+          if (r.isNullAt(0)) read().limit(0)
+          else readKeyRange(ids.head, r.get(0), r.get(1))
       }
     } else read()
   }

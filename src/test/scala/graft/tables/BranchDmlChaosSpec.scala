@@ -27,7 +27,10 @@ class BranchDmlChaosSpec extends AnyFunSuite with SharedSpark {
     ops.foldLeft(base) {
       case (m, StAppend(rows)) => m ++ rows
       case (m, StDelete(k))    => m - k
-      case (m, StUpdate(k, v)) => if (m.contains(k)) m.updated(k, v) else m
+      // staged DML re-applies its CAPTURED rows as upserts at publish: an
+      // update of k staged while k existed re-inserts k even if an
+      // intervened live commit deleted it (the staged batch is later)
+      case (m, StUpdate(k, v)) => m.updated(k, v)
       case (m, StMerge(rows))  => m ++ rows // matched update + unmatched insert
     }
 
@@ -90,9 +93,24 @@ class BranchDmlChaosSpec extends AnyFunSuite with SharedSpark {
             val rows = upd :+ ((freshKey(), s"m$step"))
             t.mergeInto(rows.toDF("id", "v"), stageToBranch = Some("b"))
             branchOps = Some(ops :+ StMerge(rows))
-          case 4 => // INTERVENING live append: forces the re-stamp publish
-            val rows = Seq((freshKey(), s"iv$step"))
-            t.append(rows.toDF("id", "v")); live ++= rows; intervened = true
+          case 4 => // INTERVENING live commit: forces the re-stamp publish —
+            // including CONFLICTING ops on keys the branch also staged
+            rnd.nextInt(3) match {
+              case 0 =>
+                val rows = Seq((freshKey(), s"iv$step"))
+                t.append(rows.toDF("id", "v")); live ++= rows
+              case 1 if live.nonEmpty => // live delete, possibly of a staged key
+                val k = live.keys.toSeq(rnd.nextInt(live.size))
+                t.deleteWhere(col("id") === k); live -= k
+              case _ if live.nonEmpty => // live update of a possibly-staged key
+                val k = live.keys.toSeq(rnd.nextInt(live.size))
+                t.mergeInto(Seq((k, s"ivm$step")).toDF("id", "v"))
+                live = live.updated(k, s"ivm$step")
+              case _ =>
+                val rows = Seq((freshKey(), s"iv$step"))
+                t.append(rows.toDF("id", "v")); live ++= rows
+            }
+            intervened = true
           case 5 => // publish: replay ops on publish-time live
             t.publishBranch("b")
             live = fold(ops.toSeq, live); branchOps = None
