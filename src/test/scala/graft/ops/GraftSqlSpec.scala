@@ -131,6 +131,28 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
       assert(ttQ.collect().map(_.getInt(0)).toSeq == Seq(55))
       assert(ttQ.inputFiles.length < all,
         s"no pruning through SQL time travel: ${ttQ.inputFiles.length} vs $all")
+      // projection parity (round 9): a PRUNED time-travel read must keep
+      // the same columns as the unpruned one — snapshot/tag reads surface
+      // derived partition columns, and a filter on one must still resolve
+      val tp = ManagedTable.create(s2, wh, "blp", StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("ts", TimestampType))), Seq("id"),
+        partitionBy = Seq("day(ts)"))
+      tp.append(s2.sql(
+        """SELECT CAST(id AS INT) AS id,
+          |  timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT)) AS ts
+          |FROM range(1, 40)""".stripMargin))
+      tp.tag("p0")
+      val bare = s2.sql("SELECT * FROM graft.blp VERSION AS OF 'p0'")
+      val prunedTt = s2.sql("SELECT * FROM graft.blp VERSION AS OF 'p0' WHERE id = 7")
+      assert(prunedTt.columns.toSeq == bare.columns.toSeq,
+        s"pruned TT changed the schema: ${prunedTt.columns.toSeq} vs ${bare.columns.toSeq}")
+      assert(prunedTt.count() == 1)
+      // a filter naming the derived partition column resolves either way
+      val derivedCol = bare.columns.filterNot(Seq("id", "ts").contains).head
+      assert(s2.sql(s"SELECT id FROM graft.blp VERSION AS OF 'p0' " +
+        s"WHERE id <= 10 AND `$derivedCol` = '2024-01-02'").count() ==
+        (1 to 10).count(_ % 3 == 1))
       // COERCION GUARD: a numeric literal against a STRING column makes
       // Spark cast the COLUMN ("05" matches 5) — pruning on the string
       // "5" would wrongly drop "05". The rule must fall back to the
