@@ -238,6 +238,26 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val (wh, name) = resolve(sqlContext, parameters)
+    // BATCH changelog read (round 9): `changesFrom`/`changesTo` expose
+    // readChangesBetween through the no-extensions seam — the incremental
+    // batch-ETL shape (poll versions(), read the delta, advance a
+    // watermark) without running a stream. Rows are the net per-key
+    // changes in (from, to] with seq + tombstone columns.
+    val chFrom = parameters.get("changesFrom")
+    val chTo = parameters.get("changesTo")
+    if (chFrom.isDefined || chTo.isDefined) {
+      require(parameters.get("versionAsOf").forall(_.isEmpty),
+        "graft source: changesFrom/changesTo cannot combine with versionAsOf")
+      def v(s: String, opt: String): Long =
+        try s.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft source: $opt must be a version number, got '$s'") }
+      val t = ManagedTable.load(sqlContext.sparkSession, wh, name).getOrElse(
+        throw new IllegalArgumentException(s"graft table '$name' not found in $wh"))
+      val from = chFrom.map(v(_, "changesFrom")).getOrElse(0L)
+      val to = chTo.map(v(_, "changesTo")).getOrElse(t.meta.currentVersion)
+      return GraftChangesRelation(sqlContext, wh, name, from, to)
+    }
     GraftRelation(sqlContext, wh, name, parameters.get("versionAsOf"))
   }
 
@@ -530,6 +550,38 @@ private[sources] final class GraftSink(
   }
 
   override def toString: String = s"GraftSink(graft.$name, $sinkId)"
+}
+
+/** Batch changelog relation behind `changesFrom`/`changesTo`: the net
+  * per-key changes of versions (from, to] ([[ManagedTable
+  * .readChangesBetween]]) with the commit seq and tombstone verdict —
+  * incremental batch consumers read exactly the delta, never the base.
+  * The barrier rule matches the STREAMING source: an incremental range
+  * (from > 0) crossing a non-incremental rewrite refuses precisely; a
+  * full seed (from = 0) is the net current snapshot, exempt.
+  */
+private[sources] final case class GraftChangesRelation(
+    sqlContext: SQLContext, wh: String, name: String,
+    from: Long, to: Long) extends BaseRelation with TableScan {
+
+  @transient private lazy val table: ManagedTable =
+    ManagedTable.load(sqlContext.sparkSession, wh, name).getOrElse(
+      throw new IllegalArgumentException(s"graft table '$name' not found in $wh"))
+
+  @transient private lazy val changes: DataFrame = {
+    val barrier = table.meta.properties.get(ManagedTable.BarrierKey)
+      .map(_.toLong).getOrElse(Long.MinValue)
+    require(from == 0L || barrier <= from,
+      s"graft.$name: changelog barrier at version $barrier after " +
+        s"changesFrom=$from — an incremental consumer cannot reconstruct " +
+        "across a non-incremental rewrite; re-read from changesFrom=0")
+    table.readChangesBetween(from, to)
+  }
+
+  override def schema: StructType = changes.schema
+  override def needConversion: Boolean = false
+  override def buildScan(): RDD[Row] =
+    changes.queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
 private[sources] final case class GraftRelation(

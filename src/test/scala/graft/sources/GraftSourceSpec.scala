@@ -173,6 +173,41 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     assert(!viaTag.filter(col("id") === 999L).collect().exists(_ => true))
   }
 
+  test("batch changelog reads: changesFrom/changesTo through the V1 seam") {
+    val w = wh
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "chb", df.schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "10"))
+    t.append(df)                                            // v1
+    t.updateWhere(col("id") === 1L, Map("v" -> lit("a2")))  // v2
+    t.deleteWhere(col("id") === 2L)                         // v3
+    def rd(opts: (String, String)*): org.apache.spark.sql.DataFrame = {
+      val r = spark.read.format("graft-table")
+        .option("warehouse", w).option("table", "chb")
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+    }
+    // incremental range (1, 3]: the update's net row + the tombstone
+    val inc = rd("changesFrom" -> "1").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(3))).toSet
+    assert(inc == Set((1L, "a2", false), (2L, "b", true)), inc.toString)
+    // bounded range (1, 2]: only the update
+    assert(rd("changesFrom" -> "1", "changesTo" -> "2")
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // full seed (0, current]: net snapshot shape, carries the verdicts
+    assert(rd("changesFrom" -> "0").count() >= 2)
+    // a barrier inside an incremental range refuses precisely
+    t.overwrite(Seq((9L, "z")).toDF("id", "v"))
+    val e = intercept[Exception] { rd("changesFrom" -> "2").count() }
+    assert(e.getMessage.contains("changelog barrier"), e.getMessage)
+    // …while the full re-read works
+    assert(rd("changesFrom" -> "0").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(9L))
+    val e2 = intercept[Exception] {
+      rd("changesFrom" -> "1", "versionAsOf" -> "2").count()
+    }
+    assert(e2.getMessage.contains("cannot combine"), e2.getMessage)
+  }
+
   test("count(*) through the V1 seam is manifest-answered on pure-append tables") {
     val w = wh
     val df = (1 to 120).map(i => (i.toLong, s"n$i")).toDF("id", "v")
