@@ -391,16 +391,28 @@ private[sources] final class GraftStreamSource(
     */
   override def latestOffset(startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
                             limit: ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
-    nextEnd().map(LongOffset(_)).orNull
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    // The ENGINE's committed start is the authoritative rate-limit base:
+    // relying only on the in-memory lastBatchEnd assumes the restart
+    // contract re-calls getBatch before the first capped poll — if that
+    // call is ever skipped (engine drift, AvailableNow wrapper changes),
+    // a base behind the committed offset would re-serve already-committed
+    // versions as duplicates.
+    val engineBase = Option(startOffset).map {
+      case LongOffset(v) => v
+      case other         => other.json.trim.toLong
+    }
+    nextEnd(engineBase).map(LongOffset(_)).orNull
+  }
 
-  override def getOffset: Option[Offset] = nextEnd().map(LongOffset(_))
+  override def getOffset: Option[Offset] = nextEnd(None).map(LongOffset(_))
 
-  private def nextEnd(): Option[Long] = {
+  private def nextEnd(engineBase: Option[Long]): Option[Long] = {
     val cur0 = table.meta.currentVersion
     // under AvailableNow the run never reads past its start pin
     val cur = availableNowCap.fold(cur0)(math.min(_, cur0))
-    val base = math.max(lastBatchEnd, seedFrom)
+    val base = math.max(math.max(lastBatchEnd, engineBase.getOrElse(Long.MinValue)),
+      seedFrom)
     val end = maxVersionsPerTrigger.map(k => math.min(cur, base + k)).getOrElse(cur)
     if (end <= base || end <= seedFrom) None else Some(end)
   }
@@ -508,10 +520,21 @@ private[sources] final class GraftSink(
     // the write path conforms to the TABLE schema, which would silently
     // DROP the new columns' data — either evolve the table (union-by-name,
     // the CDC pipeline's D6 semantics) when merge-schema=true, or refuse
-    // precisely. The sink never silently discards data.
+    // precisely. The sink never silently discards data. The configured
+    // tombstone-column / dedup-column are exempt on the upsert path: the
+    // changelog→sink replication pairing necessarily carries them as META
+    // columns (renamed seq + delete verdict) the sink CONSUMES rather than
+    // writes — a pre-existing target with only the logical schema must
+    // neither refuse them nor evolve verdict columns into the table.
+    val consumed: Set[String] =
+      if (upsert) (parameters.get("tombstone-column").toSeq ++
+        parameters.get("dedup-column").toSeq).toSet
+      else Set.empty
     val unknown = df.columns.filterNot(t.meta.schema.fieldNames.contains)
+      .filterNot(consumed.contains)
     if (unknown.nonEmpty) {
-      if (mergeSchema) t.evolve(df.schema)
+      if (mergeSchema) t.evolve(org.apache.spark.sql.types.StructType(
+        df.schema.fields.filterNot(f => consumed.contains(f.name))))
       else throw new IllegalArgumentException(
         s"graft sink: stream columns [${unknown.mkString(", ")}] are not in " +
           s"graft.$name's schema — set merge-schema=true to evolve the " +

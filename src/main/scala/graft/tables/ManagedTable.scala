@@ -484,7 +484,8 @@ final class ManagedTable private (
     else fs.listStatus(manifestsDir).toSeq
       .map(_.getPath.getName)
       .filter(n => n.startsWith("v=") && n.endsWith(".json"))
-      .map(_.stripPrefix("v=").stripSuffix(".json").toLong)
+      .flatMap(n => scala.util.Try( // stray non-numeric names never break listing
+        n.stripPrefix("v=").stripSuffix(".json").toLong).toOption)
       .sorted
       .flatMap(v => Manifest.commitTimeMs(fs, manifestPath(v)).map(v -> _))
   }
@@ -4019,12 +4020,22 @@ final class ManagedTable private (
         }
         throw t
     }
-    // Retention counts COMMITS, not version numbers: anchor the window at
-    // the pre-commit pointer + 1 (`next`), not at a jumped `target` — a
-    // k-batch adopt-in-place publish is ONE commit and must expire exactly
-    // one window slot, not k (k >= versions-retained would otherwise wipe
-    // the whole retained history in a single publish).
-    val keepFrom = next - retainPrev
+    // Retention counts COMMITS, not version numbers: a k-batch adopt-in-
+    // place publish jumps the pointer by k but is ONE commit, and the k-1
+    // skipped numbers must not consume window slots — neither for the
+    // jumping commit itself nor for any LATER commit (anchoring at
+    // `next - retainPrev` would let a later commit's window swallow the
+    // gap and expire pre-publish snapshots k-1 commits early). Anchor at
+    // the retainPrev-th newest PRIOR manifest actually on disk; stray
+    // non-numeric names are ignored, like the sweeps below.
+    val priorCommits =
+      (if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).toSeq else Seq.empty)
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("v=") && n.endsWith(".json"))
+        .flatMap(n => scala.util.Try(
+          n.stripPrefix("v=").stripSuffix(".json").toLong).toOption)
+        .filter(_ < target).sorted
+    val keepFrom = priorCommits.takeRight(retainPrev).headOption.getOrElse(target)
     // Tagged snapshots are GC-protected outside the retention window: both
     // their manifest files and every file group those manifests reference
     // survive until the tag is dropped (see [[tag]]).
@@ -4041,9 +4052,11 @@ final class ManagedTable private (
       val n = s.getPath.getName
       val ext = Seq(".json", ".lock").find(n.endsWith)
       if (n.startsWith("v=") && ext.isDefined) {
-        val v = n.stripPrefix("v=").stripSuffix(ext.get).toLong
-        if (v < keepFrom && !(ext.get == ".json" && taggedVs.contains(v)))
-          fs.delete(s.getPath, false)
+        scala.util.Try(n.stripPrefix("v=").stripSuffix(ext.get).toLong).toOption
+          .foreach { v =>
+            if (v < keepFrom && !(ext.get == ".json" && taggedVs.contains(v)))
+              fs.delete(s.getPath, false)
+          }
       }
     }
   }
@@ -4151,18 +4164,29 @@ final class ManagedTable private (
     // (this sweep runs on every load, including pure readers), so only
     // debris older than the grace period goes.
     val graceMs = _meta.properties.getOrElse("commit.lock-grace-ms", "300000").toLong
+    // the commit claim slot is ALWAYS currentVersion + 1: while that lock
+    // file lives, a committer may legitimately be past its manifest write
+    // (possibly several slots ahead, at an adopt-in-place target) and
+    // merely slow — even beyond the grace period, the claim is only ever
+    // invalidated by another WRITER's lease break, never by a reader's
+    // sweep. Deleting its manifest here would let the pointer flip land
+    // on a version with no manifest file.
+    val liveClaim = fs.exists(lockPath(_meta.currentVersion + 1L))
     if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).foreach { s =>
       val n = s.getPath.getName
       // version manifests AHEAD of the pointer: debris of a commit that
       // crashed between manifest write and pointer flip (the pointer is
       // the commit point; a multi-version branch publish can leave one
       // several slots ahead). Grace-guarded — a live committer is in
-      // exactly that window right now.
+      // exactly that window right now — and claim-guarded (above); stray
+      // non-numeric names are ignored rather than failing every load.
       if (n.startsWith("v=") && n.endsWith(".json")) {
-        val v = n.stripPrefix("v=").stripSuffix(".json").toLong
-        if (v > _meta.currentVersion &&
-            System.currentTimeMillis() - s.getModificationTime > graceMs)
-          fs.delete(s.getPath, false)
+        scala.util.Try(n.stripPrefix("v=").stripSuffix(".json").toLong).toOption
+          .foreach { v =>
+            if (v > _meta.currentVersion && !liveClaim &&
+                System.currentTimeMillis() - s.getModificationTime > graceMs)
+              fs.delete(s.getPath, false)
+          }
       }
       if (n.startsWith("branch=") && n.endsWith(".json")) {
         val stem = n.stripPrefix("branch=").stripSuffix(".json")

@@ -640,6 +640,84 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     assert(msgs(eT).exists(_.contains("dedup-column")), msgs(eT).mkString(" | "))
   }
 
+  test("sink schema: consumed tombstone/dedup meta columns are exempt from the unknown-column check") {
+    val w = wh
+    val in = java.nio.file.Files.createTempDirectory("graft-meta-in").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-meta-ck").toString
+    // the target PRE-EXISTS with only the logical schema — the
+    // changelog→sink pairing's normal shape (a replica created by DDL,
+    // not by the sink's create-on-first-batch)
+    val logical = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "metacons", logical.schema, Seq("id"))
+    t.append(logical)
+    // stream rows carry renamed seq + delete-verdict META columns the
+    // sink consumes: an update for key 1 and a hard delete for key 2
+    Seq((1L, "a2", 10L, false), (2L, "b", 11L, true))
+      .toDF("id", "v", "src_seq", "src_del").repartition(1).write.json(s"$in/b1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("src_seq", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("src_del", org.apache.spark.sql.types.BooleanType)))
+    def run(merge: Boolean): Unit = {
+      val wr = spark.readStream.schema(schema).json(s"$in/*")
+        .writeStream.format("graft-table")
+        .option("warehouse", w).option("table", "metacons")
+        .option("mode", "upsert")
+        .option("tombstone-column", "src_del").option("dedup-column", "src_seq")
+        .option("checkpointLocation", ck)
+      (if (merge) wr.option("merge-schema", "true") else wr)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+    }
+    run(merge = false) // must NOT refuse: the meta columns are consumed, not written
+    val after = ManagedTable.load(spark, w, "metacons").get
+    assert(after.meta.schema.fieldNames.toSeq == Seq("id", "v"),
+      "consumed meta columns must never evolve into the table")
+    val got = after.read().select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a2")), s"update applied, delete verdict honored: $got")
+    // and merge-schema=true still evolves only GENUINE data columns
+    Seq((3L, "c", 12L, false, 7L)).toDF("id", "v", "src_seq", "src_del", "extra")
+      .repartition(1).write.json(s"$in/b2")
+    val schema2 = org.apache.spark.sql.types.StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("extra", org.apache.spark.sql.types.LongType))
+    spark.readStream.schema(schema2).json(s"$in/*")
+      .writeStream.format("graft-table")
+      .option("warehouse", w).option("table", "metacons")
+      .option("mode", "upsert")
+      .option("tombstone-column", "src_del").option("dedup-column", "src_seq")
+      .option("merge-schema", "true")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(120000)
+    val evolved = ManagedTable.load(spark, w, "metacons").get
+    assert(evolved.meta.schema.fieldNames.toSeq == Seq("id", "v", "extra"),
+      "merge-schema evolves the data column but never the consumed meta columns")
+  }
+
+  test("changelog source: the engine's startOffset is the rate-limit base after a cold restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val w = wh
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "rlb", df.schema, Seq("id"))
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v"))) // v1..v5
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(ManagedTable.SeqCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(ManagedTable.TombstoneCol,
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    // fresh instance = post-restart state, with NO getBatch replay yet:
+    // the committed offset the engine hands in must bound the next batch
+    val src = new GraftStreamSource(spark, w, "rlb", schema,
+      maxVersionsPerTrigger = Some(2L))
+    val got = src.latestOffset(LongOffset(3L), ReadLimit.maxRows(2L))
+    assert(got == LongOffset(5L),
+      s"capped poll must advance from the ENGINE's offset 3, got $got " +
+        "(an in-memory base would re-serve committed versions 1-3)")
+  }
+
   test("sink schema: unknown columns refuse by default, merge-schema=true evolves") {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))

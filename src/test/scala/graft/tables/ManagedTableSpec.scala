@@ -1390,6 +1390,64 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(t.refsMetadata().where(col("type") === "branch").count() == 0)
   }
 
+  test("retention counts COMMITS, not version numbers, across an adopt-in-place publish jump") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "retj", schema, Seq.empty,
+      properties = Map("write.versions-retained" -> "3"))
+    t.append(rows((1, "a", "c", 1L)))  // v1
+    t.append(rows((2, "b", "c", 2L)))  // v2
+    t.append(rows((3, "c", "c", 3L)))  // v3
+    // a 3-batch branch published in place: ONE commit, pointer jumps 3→6
+    t.stageAppendInto(rows((4, "d", "c", 4L)), "wap")
+    t.stageAppendInto(rows((5, "e", "c", 5L)), "wap")
+    t.stageAppendInto(rows((6, "f", "c", 6L)), "wap")
+    t.publishBranch("wap")
+    assert(t.meta.currentVersion == 6L, "adopt-in-place must jump the pointer")
+    // the publish itself expired exactly ONE window slot (v1..v3 were the
+    // 3 priors; the window keeps all of them)
+    assert(t.manifestRetained(1L) && t.manifestRetained(2L) && t.manifestRetained(3L))
+    // the NEXT commit's window must count the 3 retained PRIOR COMMITS
+    // {2,3,6}, not version numbers 4..6 — versions 4,5 never existed as
+    // commits and must not consume retention slots
+    t.append(rows((7, "g", "c", 7L)))  // v7
+    assert(t.manifestRetained(2L) && t.manifestRetained(3L) && t.manifestRetained(6L),
+      "the skipped version numbers of a publish jump must not shrink the retained-commit window")
+    assert(!t.manifestRetained(1L), "the window still slides by one per commit")
+    // and time travel to the oldest retained commit still reads
+    assert(t.readVersion(2L).count() == 2)
+  }
+
+  test("load-time sweep: stray manifest names are ignored; a live commit claim protects ahead-of-pointer manifests") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "swp", schema, Seq.empty,
+      properties = Map("commit.lock-grace-ms" -> "1"))
+    t.append(rows((1, "a", "c", 1L)))  // v1
+    val mdir = new java.io.File(s"$wh/swp/manifests")
+    // a stray non-numeric v=*.json must not make every load throw
+    val stray = new java.io.File(mdir, "v=garbage.json")
+    java.nio.file.Files.write(stray.toPath, "junk".getBytes)
+    val re = ManagedTable.load(spark, wh, "swp").get
+    assert(re.read().count() == 1)
+    assert(re.versions().map(_._1) == Seq(0L, 1L), "versions() must skip the stray name")
+    // a manifest AHEAD of the pointer with a LIVE claim at currentVersion+1
+    // is an in-flight commit (possibly stalled past the grace) — a reader's
+    // load-time sweep must not delete it even though its age exceeds grace
+    val ahead = new java.io.File(mdir, "v=9.json")
+    java.nio.file.Files.copy(new java.io.File(mdir, "v=1.json").toPath, ahead.toPath)
+    val claim = new java.io.File(mdir, "v=2.lock")
+    java.nio.file.Files.write(claim.toPath, "someone-elses-token".getBytes)
+    ahead.setLastModified(System.currentTimeMillis() - 60000)
+    Thread.sleep(5) // grace is 1ms — age alone would sweep it
+    ManagedTable.load(spark, wh, "swp").get.read().count()
+    assert(ahead.exists(), "a live claim must protect the in-flight manifest from the sweep")
+    // claim released (crash cleanup / lease break): the debris now goes
+    claim.delete()
+    ManagedTable.load(spark, wh, "swp").get.read().count()
+    assert(!ahead.exists(), "without a live claim, aged ahead-of-pointer debris is swept")
+    t.append(rows((2, "b", "c", 2L))) // the stray never breaks commits either
+    assert(ManagedTable.load(spark, wh, "swp").get.read().count() == 2)
+  }
+
   test("int->long promotion during evolution keeps old data readable") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "promo",
