@@ -34,6 +34,14 @@ import org.apache.spark.sql.types.StructType
   * `SaveMode.Overwrite` → [[ManagedTable.overwrite]]. A missing table
   * is created on first write — `identifier-fields` and `partition-by`
   * options (comma-separated) shape it, matching D3 auto-create.
+  *
+  * `spark.wap.branch` (round 10): the V1 seam adjudicates the session's
+  * write-audit-publish conf exactly like SQL — plain reads of a table
+  * carrying the branch see the staged view, appends stage onto the
+  * branch (created on first touch), overwrites refuse; the streaming
+  * SINK refuses under an active branch (its exactly-once marker rides
+  * live commits), and the changelog source/batch changes keep serving
+  * the LIVE changelog (staged state joins it at publish).
   */
 class GraftSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with DataSourceRegister
@@ -79,7 +87,20 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     * at the first commit at or after the instant (pinned durably;
     * earlier than retained history seeds the full snapshot);
     * `maxVersionsPerTrigger=<k>` caps each micro-batch at k
-    * commit versions, so a burst splits instead of landing as one batch.
+    * commit versions, so a burst splits instead of landing as one batch;
+    * `maxRowsPerTrigger=<r>` (round 10) budgets admission by the
+    * manifest's per-commit ROW totals instead — versions are admitted in
+    * order while they fit, never split, so one fat backfill commit lands
+    * alone and a `startingVersion=<n>` that has aged out of retention or
+    * sits behind a changelog barrier fails at ATTACH with reseed
+    * guidance, not at the first batch.
+    *
+    * `spark.wap.branch` does NOT affect the changelog: offsets are LIVE
+    * commit versions, and branch staging is pre-commit state by design
+    * (it becomes part of the changelog at publish, as the publish
+    * commit). A follower therefore keeps serving the live changelog
+    * under an active wap conf — deliberately, and consistently with
+    * [[graft.cdc.Replicate]], which replays the same rows.
     */
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String, parameters: Map[String, String])
@@ -127,18 +148,77 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     // `maxVersionsPerTrigger` caps how many commit VERSIONS one
     // micro-batch covers (Kafka's maxOffsetsPerTrigger shape): a commit
     // burst splits across batches instead of landing as one giant batch.
-    val maxVersions = parameters.get("maxVersionsPerTrigger").map { s =>
+    def positiveLong(opt: String): Option[Long] = parameters.get(opt).map { s =>
       val n = try s.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
-          s"graft source: maxVersionsPerTrigger must be a positive number, got '$s'")
+          s"graft source: $opt must be a positive number, got '$s'")
       }
-      require(n >= 1L,
-        s"graft source: maxVersionsPerTrigger must be >= 1, got $n")
+      require(n >= 1L, s"graft source: $opt must be >= 1, got $n")
       n
+    }
+    val maxVersions = positiveLong("maxVersionsPerTrigger")
+    // `maxRowsPerTrigger` (round 10): version-granular admission alone
+    // lets one FAT commit (a backfill, a multi-batch publish) land as a
+    // single giant micro-batch — a ROW budget chooses how many versions
+    // to admit per trigger from the manifest's per-entry row counts (one
+    // metadata read, zero jobs), never splitting a version: a single
+    // over-budget commit still lands alone.
+    val maxRows = positiveLong("maxRowsPerTrigger")
+    // numeric attach points validate ONCE, durably: aged-out or
+    // behind-barrier versions must fail AT ATTACH with reseed guidance,
+    // not at the first getBatch — while a RESTART (pin present) must
+    // never re-fail because retention moved after the attach succeeded.
+    startingVersion.filter(_.forall(_.isDigit)).map(_.toLong).foreach { n =>
+      validateNumericAttach(sqlContext.sparkSession, wh, name, n, metadataPath)
     }
     new GraftStreamSource(sqlContext.sparkSession, wh, name,
       changeSchema(sqlContext.sparkSession, wh, name),
-      startingVersion, maxVersions, metadataPath, startingTimestamp)
+      startingVersion, maxVersions, metadataPath, startingTimestamp, maxRows)
+  }
+
+  /** Fresh-attach validation for `startingVersion=<n>` (n >= 2 — n = 1 is
+    * the full-snapshot seed, sound across anything): the incremental
+    * range (n-1, …] must start inside retained history and past the
+    * latest changelog barrier. Marker-guarded in the stream's metadata
+    * dir so restarts skip it (the attach already succeeded; retention
+    * sliding afterwards must not kill a running checkpoint lineage —
+    * that path keeps the documented current-manifest fallback).
+    */
+  private def validateNumericAttach(spark: org.apache.spark.sql.SparkSession,
+                                    wh: String, name: String, n: Long,
+                                    metadataPath: String): Unit = {
+    if (n < 2L) return
+    val marker = new org.apache.hadoop.fs.Path(metadataPath, "graft-attach-validated")
+    val mfs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (mfs.exists(marker)) return
+    val t = ManagedTable.load(spark, wh, name).getOrElse(
+      throw new IllegalArgumentException(s"graft table '$name' not found in $wh"))
+    if (n <= t.meta.currentVersion) { // future attach points are a valid pin
+      val barrier = t.meta.properties.get(ManagedTable.BarrierKey)
+        .map(_.toLong).getOrElse(Long.MinValue)
+      if (barrier > n - 1L)
+        throw new IllegalArgumentException(
+          s"graft.$name: changelog barrier at version $barrier is after " +
+            s"startingVersion $n — an incremental attach cannot reconstruct " +
+            "across a non-incremental rewrite (overwrite/truncate/compact/" +
+            "region delete); attach with startingVersion=latest, " +
+            "startingTimestamp, or no startingVersion (full-snapshot seed)")
+      val earliest = t.versions().map(_._1).headOption.getOrElse(0L)
+      if (n - 1L < earliest)
+        throw new IllegalArgumentException(
+          s"graft.$name: startingVersion $n predates retained history " +
+            s"(earliest retained snapshot: $earliest) — per-commit changes " +
+            "before it are no longer individually reconstructible; attach " +
+            "with startingVersion=latest, startingTimestamp (which seeds " +
+            "the full snapshot when too early), or no startingVersion " +
+            "(full-snapshot seed)")
+    }
+    val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+      s".graft-attach-validated.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = mfs.create(tmp, false)
+    try out.write("ok".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!mfs.rename(tmp, marker)) mfs.delete(tmp, false) // raced restart: validated
   }
 
   /** `df.writeStream.format("graft-table")` — the streaming sink (the
@@ -285,15 +365,31 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
       ManagedTable.create(spark, wh, name, data.schema, ids, parts)
     }
+    // write-audit-publish: an active `spark.wap.branch` routes V1 appends
+    // to branch STAGING — the same adjudication as SQL INSERT
+    // ([[graft.plans.ResolveGraftTables]]): writes under the conf always
+    // target the branch (created on first touch), so a misspelled or
+    // not-yet-staged name stages rather than silently mutating the live
+    // table mid-audit; overwrites are refused (branches stage appends and
+    // row-level DML, not whole-region replacement).
+    val wapBranch = spark.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
+    require(wapBranch.isEmpty || mode != SaveMode.Overwrite,
+      s"graft.$name: SaveMode.Overwrite cannot target WAP branch " +
+        s"'${wapBranch.getOrElse("")}' — branches stage appends, not " +
+        "overwrites (unset spark.wap.branch to overwrite the live table)")
+    def land(df: DataFrame): Unit = wapBranch match {
+      case Some(b) => t.stageAppendInto(df, b)
+      case None    => t.append(df)
+    }
     mode match {
-      case SaveMode.Append    => t.append(data)
+      case SaveMode.Append    => land(data)
       case SaveMode.Overwrite => t.overwrite(data)
       case SaveMode.ErrorIfExists if existing.isDefined =>
         throw new IllegalArgumentException(
           s"graft.$name already exists (SaveMode.ErrorIfExists)")
-      case SaveMode.ErrorIfExists => t.append(data)
+      case SaveMode.ErrorIfExists => land(data)
       case SaveMode.Ignore if existing.isDefined => () // per contract: no-op
-      case SaveMode.Ignore => t.append(data)
+      case SaveMode.Ignore => land(data)
     }
     GraftRelation(sqlContext, wh, name, None)
   }
@@ -308,7 +404,8 @@ private[sources] final class GraftStreamSource(
     startingVersion: Option[String] = None,
     maxVersionsPerTrigger: Option[Long] = None,
     metadataPath: String = "",
-    startingTimestamp: Option[String] = None)
+    startingTimestamp: Option[String] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -319,6 +416,13 @@ private[sources] final class GraftStreamSource(
   private def table: ManagedTable =
     ManagedTable.load(spark, wh, name).getOrElse(
       throw new IllegalStateException(s"graft table '$name' vanished from $wh"))
+
+  /** The attach-time LOGICAL column set (the stream's fixed schema minus
+    * the changelog meta columns) — the reference point for the widen
+    * check in [[getBatch]].
+    */
+  private val attachCols: Set[String] =
+    schema.fieldNames.toSet - ManagedTable.SeqCol - ManagedTable.TombstoneCol
 
   /** The version the stream starts strictly AFTER. 0 = full-snapshot seed
     * (default). `startingVersion=<n>` starts at n INCLUSIVE, so after
@@ -408,12 +512,32 @@ private[sources] final class GraftStreamSource(
   override def getOffset: Option[Offset] = nextEnd(None).map(LongOffset(_))
 
   private def nextEnd(engineBase: Option[Long]): Option[Long] = {
-    val cur0 = table.meta.currentVersion
+    val t = table
+    val cur0 = t.meta.currentVersion
     // under AvailableNow the run never reads past its start pin
     val cur = availableNowCap.fold(cur0)(math.min(_, cur0))
     val base = math.max(math.max(lastBatchEnd, engineBase.getOrElse(Long.MinValue)),
       seedFrom)
-    val end = maxVersionsPerTrigger.map(k => math.min(cur, base + k)).getOrElse(cur)
+    val verEnd = maxVersionsPerTrigger.map(k => math.min(cur, base + k)).getOrElse(cur)
+    // row-budgeted admission (round 10): admit versions in order while
+    // the manifest's per-commit row totals fit the budget — one metadata
+    // read, zero jobs; a version is never split, so a single over-budget
+    // commit lands alone. Metadata-only commits cost 0 and always admit.
+    val end = maxRowsPerTrigger match {
+      case Some(budget) if verEnd > base =>
+        val rows = t.rowsPerVersion(base, verEnd)
+        var adm = base
+        var cum = 0L
+        var v = base + 1L
+        var over = false
+        while (v <= verEnd && !over) {
+          val r = rows.getOrElse(v, 0L)
+          if (adm == base || cum + r <= budget) { adm = v; cum += r; v += 1L }
+          else over = true
+        }
+        adm
+      case _ => verEnd
+    }
     if (end <= base || end <= seedFrom) None else Some(end)
   }
 
@@ -427,6 +551,23 @@ private[sources] final class GraftStreamSource(
     val to = ver(end)
     lastBatchEnd = math.max(lastBatchEnd, to)
     val t = table
+    // the table WIDENED since attach (union-by-name evolution is the
+    // upstream's ROUTINE event, not a rare one): projecting each batch to
+    // the attach-time schema would silently DROP the new columns' data
+    // with no signal to the operator — fail precisely instead, Delta-
+    // source style. A restart from the SAME checkpoint re-attaches with
+    // the widened schema and replays from the committed offset, so no
+    // rows are lost. (A dropped/renamed column already fails loudly: the
+    // projection below throws on the missing name.)
+    val widened = t.meta.schema.fieldNames.filterNot(attachCols.contains)
+    if (widened.nonEmpty)
+      throw new IllegalStateException(
+        s"graft.$name: table schema evolved — new column(s) " +
+          s"[${widened.mkString(", ")}] at or before version " +
+          s"${t.meta.currentVersion} are not in this stream's attach-time " +
+          "schema and their data would be silently dropped; restart the " +
+          "stream from the SAME checkpoint to resume with the widened " +
+          "schema (no rows are lost)")
     // an incremental consumer cannot reconstruct state across a barrier
     // (rows vanished without tombstones) — fail precisely instead of
     // silently serving a partial changelog. The property records only
@@ -493,6 +634,19 @@ private[sources] final class GraftSink(
   private val SinkDelCol = "__graft_sink_del"
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // an active wap branch cannot scope a STREAMING sink: the
+    // exactly-once batch marker rides live-table commit properties, and
+    // branch staging commits none — staging micro-batches would lose the
+    // replay protection. Refuse precisely (checked per batch: the conf
+    // can be set mid-stream) rather than silently writing to LIVE while
+    // the session's SQL INSERTs next to it stage.
+    spark.conf.getOption("spark.wap.branch").filter(_.nonEmpty).foreach { b =>
+      throw new IllegalStateException(
+        s"graft sink: spark.wap.branch='$b' is active — a streaming sink " +
+          "cannot stage onto a branch (the exactly-once marker rides live " +
+          "commits); unset spark.wap.branch for this session, or stage " +
+          "audit data via SQL INSERT / the batch writer instead")
+    }
     val df = org.apache.spark.sql.graftbridge.GraftBridge.batchDataFrame(data)
     val t = ManagedTable.load(spark, wh, name).getOrElse {
       val ids = parameters.get("identifier-fields")
@@ -615,12 +769,25 @@ private[sources] final case class GraftRelation(
     ManagedTable.load(sqlContext.sparkSession, wh, name).getOrElse(
       throw new IllegalArgumentException(s"graft table '$name' not found in $wh"))
 
+  /** An active `spark.wap.branch` naming a live branch of THIS table
+    * routes plain reads to the branch's staged view — the SAME
+    * adjudication as SQL reads ([[graft.plans.ResolveGraftTables]]):
+    * one session conf must never make `SELECT * FROM graft.t` and
+    * `spark.read.format("graft-table")` return different answers. An
+    * absent branch falls back to live; an explicit `versionAsOf` wins
+    * (it may itself name the branch).
+    */
+  @transient private lazy val wapBranch: Option[String] =
+    if (versionAsOf.exists(_.nonEmpty)) None
+    else sqlContext.sparkSession.conf.getOption("spark.wap.branch")
+      .filter(_.nonEmpty).filter(table.branches().contains)
+
   /** Pinned at relation creation — the scan-plans-pin-a-snapshot model;
     * ref resolution shared with SQL ([[ManagedTable.readRef]]).
     */
   @transient private lazy val snapshot: DataFrame = versionAsOf match {
     case Some(v) if v.nonEmpty => table.readRef(v)
-    case _                     => table.read()
+    case _ => wapBranch.map(table.readBranch).getOrElse(table.read())
   }
 
   /** Live reads answer the schema from METADATA (the declared table
@@ -631,7 +798,7 @@ private[sources] final case class GraftRelation(
     * derived partition columns).
     */
   override def schema: StructType =
-    if (versionAsOf.forall(_.isEmpty))
+    if (versionAsOf.forall(_.isEmpty) && wapBranch.isEmpty)
       org.apache.spark.sql.graftbridge.GraftBridge.asNullable(table.meta.schema)
     else snapshot.schema
 
@@ -650,7 +817,8 @@ private[sources] final case class GraftRelation(
     // At 100 TB this is the difference between milliseconds and a
     // full-table job through the no-extensions seam. Live reads only:
     // a ref read's pinned manifest is not the loaded table's.
-    if (requiredColumns.isEmpty && filters.isEmpty && versionAsOf.isEmpty) {
+    if (requiredColumns.isEmpty && filters.isEmpty && versionAsOf.isEmpty &&
+        wapBranch.isEmpty) { // a staged branch view must count staged rows
       table.fastRowCount.foreach { n =>
         return sqlContext.sparkSession.range(n).toDF().select()
           .queryExecution.toRdd.asInstanceOf[RDD[Row]]
@@ -674,6 +842,10 @@ private[sources] final case class GraftRelation(
     * (superset-sound; Spark re-applies every filter on top).
     */
   private def pruned(filters: Array[Filter]): DataFrame = {
+    // manifest pruning scans LIVE entries — under an active wap branch
+    // the read must see the staged view instead, so pruning steps aside
+    // (correctness over the group-skip win; same rule as SQL)
+    if (wapBranch.isDefined) return snapshot
     val cols = schema.fieldNames.toSet
     val eqs = filters.collect {
       case EqualTo(a, v) if v != null && cols.contains(a) =>

@@ -1201,6 +1201,18 @@ final class ManagedTable private (
     */
   def manifestRetained(version: Long): Boolean = fs.exists(manifestPath(version))
 
+  /** Per-commit row totals over (fromExclusive, toInclusive] from the
+    * CURRENT manifest's entries (entry seq = commit version): one cached
+    * metadata read, ZERO Spark jobs — the admission-control budget a
+    * `maxRowsPerTrigger`-style source cap needs. Minor folds attribute
+    * their rows to the fold's max seq, so this is a sound BUDGET (what a
+    * batch would actually scan), not an exact per-commit changelog count.
+    */
+  def rowsPerVersion(fromExclusive: Long, toInclusive: Long): Map[Long, Long] =
+    currentEntries.filter(e => e.seq > fromExclusive && e.seq <= toInclusive)
+      .groupBy(_.seq) // unrecorded counts (adopted files, rows = -1) cost 0 budget
+      .map { case (v, es) => v -> es.map(e => math.max(0L, e.rows)).sum }
+
   /** [[readChangesBetween]] evaluated against the CURRENT manifest — the
     * streaming-source restart fallback when `toVersion`'s own manifest
     * aged out of retention (the default retains ONE version): the

@@ -447,6 +447,240 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     assert(batches >= 3, s"a 5-commit burst at cap 2 needs >= 3 batches, got $batches")
   }
 
+  test("changelog source: a mid-stream schema WIDEN fails loudly; restart resumes with the new column, no rows lost") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val w = wh
+    val ck = java.nio.file.Files.createTempDirectory("graft-widen-ck").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "widen", df.schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "10"))
+    t.append(df) // v1
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[Long])]()
+    def drain(): Unit = assert(spark.readStream.format("graft-table")
+      .option("warehouse", w).option("table", "widen").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          val extra = if (b.columns.contains("extra") && !r.isNullAt(r.fieldIndex("extra")))
+            Some(r.getLong(r.fieldIndex("extra"))) else None
+          seen.add((r.getLong(r.fieldIndex("id")), extra))
+        }
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(120000), "drain timed out")
+    // a LONG-LIVED follower (one query across the evolve — the shape the
+    // widen check protects; a fresh AvailableNow drain would re-attach
+    // with the new schema and never see the hazard)
+    val q = spark.readStream.format("graft-table")
+      .option("warehouse", w).option("table", "widen").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          val extra = if (b.columns.contains("extra") && !r.isNullAt(r.fieldIndex("extra")))
+            Some(r.getLong(r.fieldIndex("extra"))) else None
+          seen.add((r.getLong(r.fieldIndex("id")), extra))
+        }
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50L))
+      .start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (seen.size() < 2 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(seen.size() == 2, "seed batch must land before the evolve")
+    // the table widens upstream (the reference's ROUTINE evolution event)
+    t.evolve(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("extra", org.apache.spark.sql.types.LongType))))
+    ManagedTable.load(spark, w, "widen").get
+      .append(Seq((3L, "c", 7L)).toDF("id", "v", "extra")) // v2 carries the new column
+    // the RUNNING follower's schema predates the widen: serving the batch
+    // would silently drop `extra` — it must fail with the restart guidance
+    val e = intercept[Exception] { q.awaitTermination(120000) }
+    assert(msgs(e).exists(m => m.contains("schema evolved") && m.contains("extra")),
+      msgs(e).mkString(" | "))
+    // restart from the SAME checkpoint: the re-attached stream carries the
+    // widened schema and replays the refused range — nothing lost
+    drain()
+    import scala.jdk.CollectionConverters._
+    val all = seen.asScala.toSeq
+    assert(all.exists(r => r._1 == 3L && r._2.contains(7L)),
+      s"the new column's data must arrive after the restart: $all")
+    // a DROPPED column keeps failing loudly for a RUNNING follower whose
+    // attach schema still carries it (the projection throws)
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val t2 = ManagedTable.load(spark, w, "widen").get
+    val preDrop = org.apache.spark.sql.types.StructType(t2.meta.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(ManagedTable.SeqCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(ManagedTable.TombstoneCol,
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    t2.dropColumn("extra")
+    t2.append(Seq((5L, "e")).toDF("id", "v"))
+    val running = new GraftStreamSource(spark, w, "widen", preDrop)
+    val e2 = intercept[Exception] {
+      running.getBatch(None, LongOffset(t2.meta.currentVersion))
+    }
+    assert(msgs(e2).nonEmpty, "a dropped column must not serve silently")
+  }
+
+  test("spark.wap.branch adjudicated on the V1 seam: reads see the branch, writes stage, overwrite/sink refuse") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val w = wh
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "wapv1", df.schema, Seq("id"))
+    t.append(df)
+    def src = spark.read.format("graft-table")
+      .option("warehouse", w).option("table", "wapv1").load()
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      // absent branch: plain reads fall back to live (one conf audits
+      // only the tables actually staged on — same rule as SQL)
+      assert(src.count() == 2)
+      // a V1 append under the conf STAGES (created on first touch): the
+      // live table must stay untouched mid-audit
+      Seq((3L, "c")).toDF("id", "v").write.format("graft-table")
+        .option("warehouse", w).option("table", "wapv1")
+        .mode(SaveMode.Append).save()
+      val after = ManagedTable.load(spark, w, "wapv1").get
+      assert(after.branches().contains("audit"), "the write must stage, not commit")
+      assert(after.read().count() == 2, "live table untouched mid-audit")
+      // now the branch exists on this table: plain V1 reads see the
+      // staged view — the same answer as the branch read / SQL
+      assert(src.count() == 3, "V1 read must see the staged view (incl. fastRowCount bypass)")
+      assert(src.filter(col("id") === 3L).count() == 1,
+        "filtered reads route through the branch view too (pruning steps aside)")
+      assert(src.select("id").as[Long].collect().toSet ==
+        after.readBranch("audit").select("id").as[Long].collect().toSet)
+      // explicit versionAsOf still wins over the conf
+      assert(spark.read.format("graft-table").option("warehouse", w)
+        .option("table", "wapv1").option("versionAsOf", "audit").load().count() == 3)
+      // overwrite mid-audit is refused, like SQL INSERT OVERWRITE
+      val eo = intercept[Exception] {
+        Seq((9L, "z")).toDF("id", "v").write.format("graft-table")
+          .option("warehouse", w).option("table", "wapv1")
+          .mode(SaveMode.Overwrite).save()
+      }
+      assert(msgs(eo).exists(_.contains("WAP branch")), msgs(eo).mkString(" | "))
+      // the streaming SINK refuses under an active branch (its
+      // exactly-once marker rides live commits)
+      val in = java.nio.file.Files.createTempDirectory("graft-wap-in").toString
+      Seq((7L, "g")).toDF("id", "v").repartition(1).write.json(s"$in/b1")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+      val es = intercept[Exception] {
+        spark.readStream.schema(schema).json(s"$in/*")
+          .writeStream.format("graft-table")
+          .option("warehouse", w).option("table", "wapv1")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("ck-wap").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination(120000)
+      }
+      assert(msgs(es).exists(_.contains("spark.wap.branch")), msgs(es).mkString(" | "))
+      // the changelog source keeps serving the LIVE changelog (staged
+      // state joins it at publish) — documented adjudication
+      val out = java.nio.file.Files.createTempDirectory("graft-wap-out").toString
+      spark.readStream.format("graft-table")
+        .option("warehouse", w).option("table", "wapv1").load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ck-wap2").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+      assert(spark.read.parquet(out).select("id").as[Long].collect().toSet == Set(1L, 2L),
+        "the changelog is LIVE state — staged rows are pre-commit by design")
+    } finally spark.conf.unset("spark.wap.branch")
+    // conf off again: live view, then publish folds the stage in
+    assert(src.count() == 2)
+    val t2 = ManagedTable.load(spark, w, "wapv1").get
+    t2.publishBranch("audit")
+    assert(src.count() == 3)
+  }
+
+  test("changelog source: maxRowsPerTrigger budgets admission by manifest row counts, never splitting a version") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val w = wh
+    val df = Seq((0L, "z")).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "rowb", df.schema, Seq("id"))
+    def batch(n: Int, from: Int): org.apache.spark.sql.DataFrame =
+      (from until from + n).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    t.append(batch(5, 100))   // v1: 5 rows
+    t.append(batch(5, 200))   // v2: 5 rows
+    t.append(batch(50, 300))  // v3: 50 rows — one FAT commit
+    t.append(batch(5, 400))   // v4: 5 rows
+    t.append(batch(5, 500))   // v5: 5 rows
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(ManagedTable.SeqCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(ManagedTable.TombstoneCol,
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val src = new GraftStreamSource(spark, w, "rowb", schema,
+      maxRowsPerTrigger = Some(10L))
+    // v1+v2 fit the 10-row budget exactly; v3 would blow it — split there
+    assert(src.getOffset.contains(LongOffset(2L)))
+    src.getBatch(None, LongOffset(2L))
+    // the single over-budget commit lands ALONE (a version never splits)
+    assert(src.getOffset.contains(LongOffset(3L)))
+    src.getBatch(Some(LongOffset(2L)), LongOffset(3L))
+    assert(src.getOffset.contains(LongOffset(5L)))
+    src.getBatch(Some(LongOffset(3L)), LongOffset(5L))
+    assert(src.getOffset.isEmpty)
+    // e2e: an AvailableNow drain covers everything in budgeted batches
+    val out = java.nio.file.Files.createTempDirectory("graft-rowb-out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-rowb-ck").toString
+    spark.readStream.format("graft-table")
+      .option("warehouse", w).option("table", "rowb")
+      .option("maxRowsPerTrigger", "10").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == 70)
+    val batches = new java.io.File(s"$ck/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 3, s"the fat commit must land alone: got $batches batches")
+  }
+
+  test("changelog source: expired or behind-barrier startingVersion fails at ATTACH with reseed guidance") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val w = wh
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val t = ManagedTable.create(spark, w, "attv", df.schema, Seq("id")) // retention 1
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v"))) // v1..v5
+    def start(sv: String, md: String = java.nio.file.Files
+        .createTempDirectory("graft-attv-ck").toString): Unit =
+      spark.readStream.format("graft-table")
+        .option("warehouse", w).option("table", "attv")
+        .option("startingVersion", sv).load()
+        .writeStream.format("noop").option("checkpointLocation", md)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+    // v2 aged out (default retention keeps the last window only)
+    val e1 = intercept[Exception] { start("2") }
+    assert(msgs(e1).exists(_.contains("predates retained history")), msgs(e1).mkString(" | "))
+    // a retained attach point works, and its validation is pinned: once
+    // attached, later retention slides must not re-fail the restart
+    val ckOk = java.nio.file.Files.createTempDirectory("graft-attv-ok").toString
+    start("5", ckOk)
+    (6 to 9).foreach(i => ManagedTable.load(spark, w, "attv").get
+      .append(Seq((i.toLong, s"v$i")).toDF("id", "v"))) // v5 ages out
+    start("5", ckOk) // restart on the same checkpoint lineage: no re-validation
+    // behind a barrier: an overwrite stamps it; attaching before it refuses
+    val t2 = ManagedTable.load(spark, w, "attv").get
+    t2.overwrite(Seq((99L, "z")).toDF("id", "v")) // v10, barrier at 10
+    t2.append(Seq((100L, "y")).toDF("id", "v"))   // v11
+    val e2 = intercept[Exception] { start("10") }
+    assert(msgs(e2).exists(_.contains("changelog barrier")), msgs(e2).mkString(" | "))
+    // attaching AT/after the barrier is fine
+    start("11")
+  }
+
   test("randomized mirror differential: source→sink streamed replication ≡ upstream") {
     val rnd = new scala.util.Random(97)
     val w = wh
