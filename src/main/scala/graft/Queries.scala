@@ -228,6 +228,53 @@ object Queries {
       |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
       |FROM r WHERE rn = 1 AND __op <> 'd'""".stripMargin))
 
+  /** Partition-spec evolution driven through SQL DDL (round 10 —
+    * `ALTER TABLE … ADD/DROP/REPLACE PARTITION FIELD`, the Iceberg
+    * extension grammar at graft's parser seam): the same three-slice CDC
+    * fold as `partition_evolution`, but every epoch boundary is an ALTER
+    * statement — REPLACE rebuckets 4→8 after slice one, DROP goes
+    * unpartitioned after slice two. Runtime-asserts the spec after each
+    * statement; the final state must still equal the relational fold
+    * (old groups stay delete-scoped under the spec they were written
+    * with).
+    */
+  val sqlPartitionEvolutionDdl = Q("sql_partition_evolution_ddl",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_pevoddl").toString
+      val log = cdcEvents(s, dir)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "events_pfd",
+        log.drop(Dedup.ArrivalCol).schema, Seq("user_id"),
+        partitionBy = Seq("bucket(4,user_id)"))
+      val cfg = CdcApply.UpsertConfig(keepDeletes = false, dedupColumn = "ts_us")
+      val cuts = Seq(Long.MinValue, 1705276800000000L, 1706227200000000L, Long.MaxValue)
+      val alters = Seq(None,
+        Some("REPLACE PARTITION FIELD bucket(4, user_id) WITH bucket(8, user_id)"
+          -> Seq("bucket(user_id,8)")),
+        Some("DROP PARTITION FIELD bucket(8, user_id)" -> Seq.empty[String]))
+      withGraftSession(s, wh) { s2 =>
+        cuts.sliding(2).zip(alters.iterator).foreach {
+          case (Seq(lo, hi), alter) =>
+            alter.foreach { case (stmt, want) =>
+              s2.sql(s"ALTER TABLE graft.events_pfd $stmt")
+              val got = graft.tables.ManagedTable.load(s2, wh, "events_pfd")
+                .get.meta.partitionBy
+              require(got == want, s"spec after '$stmt': $got, wanted $want")
+            }
+            val slice = log.where(col("ts_us") >= lo && col("ts_us") < hi)
+            graft.tables.ManagedTable.load(s, wh, "events_pfd").get
+              .merge(Dedup.deduplicate(slice, Seq("user_id"), "ts_us"), cfg)
+          case _ => ()
+        }
+      }
+      graft.tables.ManagedTable.load(s, wh, "events_pfd").get
+        .read().select(cdcCols.map(col): _*)
+    },
+    Some(s"""WITH e AS ($cdcEventsSql),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts_us DESC, $opPrioSql DESC, event_id DESC) AS rn FROM e)
+      |SELECT user_id, event_id, __op, ts_us, event_type, value, __deleted
+      |FROM r WHERE rn = 1 AND __op <> 'd'""".stripMargin))
+
   /** Incremental materialized-view maintenance end to end
     * ([[graft.tables.MaterializedView]]): the CDC slices merge into a
     * keyed source table and the summary (`group by event_type`) is rolled
@@ -4312,6 +4359,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     cdcDedup, cdcUpsertHard, cdcUpsertSoft, cdcUpsertPartitioned, cdcAppendFallback, cdcReplicate, partitionEvolution,
+    sqlPartitionEvolutionDdl,
     mvIncremental, mvIncrementalMinmax,
     cdcScd2, cdcSnapshotAsOf, cdcReconcile, qScd2TemporalJoin,
     cdcDecode, cdcOpMapping,

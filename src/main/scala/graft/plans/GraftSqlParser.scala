@@ -33,10 +33,41 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """(CREATE|DROP)\s+(BRANCH|TAG)\s+`?([A-Za-z0-9_][A-Za-z0-9_.\-]*)`?""" +
       """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""").r
 
+  /** Table-management DDL (round 10) — the Iceberg Spark-extension
+    * grammar for partition-spec evolution, identifier fields and write
+    * order, none of which Spark's own parser has a production for:
+    *   ALTER TABLE graft.t ADD PARTITION FIELD <transform>
+    *   ALTER TABLE graft.t DROP PARTITION FIELD <transform>
+    *   ALTER TABLE graft.t REPLACE PARTITION FIELD <old> WITH <new>
+    *   ALTER TABLE graft.t SET IDENTIFIER FIELDS a, b
+    *   ALTER TABLE graft.t WRITE [LOCALLY] ORDERED BY a [ASC|DESC], b
+    *   ALTER TABLE graft.t WRITE UNORDERED
+    */
+  private val AlterHead = """(?is)^\s*ALTER\s+TABLE\s+graft\s*\.\s*`?([A-Za-z0-9_]+)`?\s+"""
+  private val PartitionFieldDdl =
+    (AlterHead + """(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""").r
+  private val ReplacePartitionFieldDdl =
+    (AlterHead + """REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*;?\s*$""").r
+  private val SetIdentifierFieldsDdl =
+    (AlterHead + """SET\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*$""").r
+  private val WriteOrderedDdl =
+    (AlterHead + """WRITE\s+(?:LOCALLY\s+)?ORDERED\s+BY\s+(.+?)\s*;?\s*$""").r
+  private val WriteUnorderedDdl =
+    (AlterHead + """WRITE\s+UNORDERED\s*;?\s*$""").r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case RefDdl(tbl, verb, kind, ref, ver) =>
       ddl.refDdlCommand(tbl, verb.toUpperCase(java.util.Locale.ROOT),
         kind.toUpperCase(java.util.Locale.ROOT), ref, Option(ver).map(_.toLong))
+    case ReplacePartitionFieldDdl(tbl, oldF, newF) =>
+      ddl.replacePartitionFieldCommand(tbl, oldF, newF)
+    case PartitionFieldDdl(tbl, verb, field) =>
+      ddl.partitionFieldCommand(tbl,
+        verb.toUpperCase(java.util.Locale.ROOT), field)
+    case SetIdentifierFieldsDdl(tbl, fields) =>
+      ddl.setIdentifierFieldsCommand(tbl, fields)
+    case WriteOrderedDdl(tbl, order) => ddl.writeOrderedCommand(tbl, Some(order))
+    case WriteUnorderedDdl(tbl)      => ddl.writeOrderedCommand(tbl, None)
     case _ => ddl(delegate.parsePlan(sqlText))
   }
 

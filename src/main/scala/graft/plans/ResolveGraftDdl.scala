@@ -17,6 +17,9 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *   ALTER TABLE graft.t ADD COLUMNS (c TYPE, …)     — schema evolution D6
   *   ALTER TABLE graft.t DROP COLUMN c / RENAME COLUMN a TO b
   *   ALTER TABLE graft.t SET TBLPROPERTIES (…)
+  *   ALTER TABLE graft.t ADD|DROP|REPLACE PARTITION FIELD … — spec evolution
+  *   ALTER TABLE graft.t SET IDENTIFIER FIELDS a, b  — re-key (plain-data gated)
+  *   ALTER TABLE graft.t WRITE ORDERED BY … / WRITE UNORDERED — D5's SQL form
   *
   * Identifier fields ride the `graft.identifier-fields` table property
   * (Spark's DDL grammar has no key-constraint clause to carry them).
@@ -246,7 +249,8 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     case s @ SetTableProperties(GraftAlterTarget(name), props) =>
       withTable(s, name) { t =>
         require(!props.contains(IdsProp),
-          s"ALTER TABLE graft.$name: identifier fields are fixed at CREATE")
+          s"ALTER TABLE graft.$name: use SET IDENTIFIER FIELDS to re-key " +
+            "(the property form would skip the merge-on-read state guard)")
         GraftDmlCommand("ALTER SET TBLPROPERTIES", name,
           () => t.setProperties(props))
       }
@@ -282,6 +286,174 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       case ("CREATE", "TAG")    => version.fold(t.tag(ref))(v => t.tag(ref, v))
       case ("DROP", "TAG")      => t.dropTag(ref)
       case other => throw new IllegalStateException(s"unreachable ref DDL $other")
+    })
+  }
+
+  /** SQL-form partition transform text → the spec grammar string the
+    * strict parser validates: `day(ts)` / `days(ts)`, `bucket(4, id)`
+    * (either argument order), `truncate(8, c)`, or a bare identity
+    * column. The TEXT seam's analogue of [[transformToSpec]].
+    */
+  private def sqlTransformToSpec(name: String, raw: String): String = {
+    def unq(id: String): String = {
+      val t = id.trim
+      if (t.startsWith("`") && t.endsWith("`") && t.length > 1)
+        t.substring(1, t.length - 1).replace("``", "`")
+      else t
+    }
+    val Fn = """(?s)([A-Za-z_]+)\s*\(\s*(.+?)\s*\)""".r
+    raw.trim match {
+      case Fn(fn, argsRaw) =>
+        val args = argsRaw.split(',').map(a => unq(a)).toSeq
+        def one(): String = {
+          require(args.length == 1,
+            s"ALTER TABLE graft.$name: $fn takes one column, got '$raw'")
+          args.head
+        }
+        fn.toLowerCase(java.util.Locale.ROOT) match {
+          case "identity"         => one()
+          case "years" | "year"   => s"year(${one()})"
+          case "months" | "month" => s"month(${one()})"
+          case "days" | "day"     => s"day(${one()})"
+          case "hours" | "hour"   => s"hour(${one()})"
+          case t @ ("bucket" | "truncate") =>
+            require(args.length == 2,
+              s"ALTER TABLE graft.$name: $t takes (N, column), got '$raw'")
+            val (num, c) = args.head.toIntOption match {
+              case Some(n) => (n, args(1))
+              case None => (args(1).toIntOption.getOrElse(
+                throw new IllegalArgumentException(
+                  s"ALTER TABLE graft.$name: no numeric argument in '$raw'")), args.head)
+            }
+            s"$t($c,$num)"
+          case other => throw new IllegalArgumentException(
+            s"ALTER TABLE graft.$name: unsupported partition transform '$other'")
+        }
+      case bare => unq(bare)
+    }
+  }
+
+  /** `ALTER TABLE graft.t ADD|DROP PARTITION FIELD <transform>` —
+    * partition-spec EVOLUTION through SQL
+    * ([[ManagedTable.updatePartitionSpec]]): metadata-only, nothing
+    * rewritten; existing groups keep their epoch's layout, future writes
+    * use the new spec. DROP matches the field's derived NAME (unique
+    * within a spec), so `DROP PARTITION FIELD bucket(4, id)` and
+    * `DROP PARTITION FIELD id_bucket`'s transform form both resolve.
+    */
+  def partitionFieldCommand(name: String, verb: String, field: String): LogicalPlan = {
+    def t = ManagedTable.load(session, warehouse(name), name).getOrElse(
+      throw new IllegalArgumentException(s"table graft.$name does not exist"))
+    GraftDmlCommand(s"ALTER $verb PARTITION FIELD", name, () => {
+      val tbl = t
+      val cols = tbl.meta.schema.fieldNames.toSet
+      val spec = sqlTransformToSpec(name, field)
+      val target = graft.tables.PartitionSpecParser
+        .parse(Seq(spec), cols, strict = true).head
+      val current = tbl.meta.partitionBy.map(_.trim).filter(_.nonEmpty)
+      def nameOf(s: String): Option[String] =
+        graft.tables.PartitionSpecParser.parse(Seq(s), cols).headOption.map(_.name)
+      verb match {
+        case "ADD" =>
+          require(!current.flatMap(nameOf).contains(target.name),
+            s"ALTER TABLE graft.$name: partition field '${target.name}' already " +
+              s"exists (spec: ${current.mkString(", ")})")
+          tbl.updatePartitionSpec(current :+ spec)
+        case "DROP" =>
+          val keep = current.filterNot(s => nameOf(s).contains(target.name))
+          require(keep.size < current.size,
+            s"ALTER TABLE graft.$name: no partition field '${target.name}' " +
+              s"(spec: ${current.mkString(", ")})")
+          tbl.updatePartitionSpec(keep)
+        case other => throw new IllegalStateException(s"unreachable verb $other")
+      }
+    })
+  }
+
+  /** `ALTER TABLE graft.t REPLACE PARTITION FIELD <old> WITH <new>` —
+    * one spec evolution (a single epoch boundary), not a DROP + ADD pair.
+    */
+  def replacePartitionFieldCommand(name: String, oldField: String,
+                                   newField: String): LogicalPlan = {
+    def t = ManagedTable.load(session, warehouse(name), name).getOrElse(
+      throw new IllegalArgumentException(s"table graft.$name does not exist"))
+    GraftDmlCommand("ALTER REPLACE PARTITION FIELD", name, () => {
+      val tbl = t
+      val cols = tbl.meta.schema.fieldNames.toSet
+      val oldSpec = sqlTransformToSpec(name, oldField)
+      val newSpec = sqlTransformToSpec(name, newField)
+      val oldName = graft.tables.PartitionSpecParser
+        .parse(Seq(oldSpec), cols, strict = true).head.name
+      graft.tables.PartitionSpecParser.parse(Seq(newSpec), cols, strict = true)
+      val current = tbl.meta.partitionBy.map(_.trim).filter(_.nonEmpty)
+      def nameOf(s: String): Option[String] =
+        graft.tables.PartitionSpecParser.parse(Seq(s), cols).headOption.map(_.name)
+      require(current.flatMap(nameOf).contains(oldName),
+        s"ALTER TABLE graft.$name: no partition field '$oldName' to replace " +
+          s"(spec: ${current.mkString(", ")})")
+      tbl.updatePartitionSpec(current.map(s =>
+        if (nameOf(s).contains(oldName)) newSpec else s))
+    })
+  }
+
+  /** `ALTER TABLE graft.t SET IDENTIFIER FIELDS a, b` — re-key through
+    * SQL ([[ManagedTable.setIdentifierFields]]; plain-data state gated
+    * there: MoR artifacts scope on the old key).
+    */
+  def setIdentifierFieldsCommand(name: String, fields: String): LogicalPlan = {
+    def t = ManagedTable.load(session, warehouse(name), name).getOrElse(
+      throw new IllegalArgumentException(s"table graft.$name does not exist"))
+    GraftDmlCommand("ALTER SET IDENTIFIER FIELDS", name, () => {
+      val tbl = t
+      val resolver = session.sessionState.analyzer.resolver
+      val ids = fields.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { raw =>
+        val id = raw.stripPrefix("`").stripSuffix("`")
+        tbl.meta.schema.fields.find(f => resolver(f.name, id)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ALTER TABLE graft.$name: identifier field '$id' is not a column")).name
+      }
+      tbl.setIdentifierFields(ids)
+    })
+  }
+
+  /** `ALTER TABLE graft.t WRITE [LOCALLY] ORDERED BY c [ASC|DESC], …` /
+    * `WRITE UNORDERED` — D5's SQL form: the order lands in the
+    * `write.sort-order` property and replaces the default PK-ascending
+    * within-partition write sort (no extra shuffle; file-level
+    * clustering for manifest bounds + parquet row-group pruning).
+    */
+  def writeOrderedCommand(name: String, order: Option[String]): LogicalPlan = {
+    def t = ManagedTable.load(session, warehouse(name), name).getOrElse(
+      throw new IllegalArgumentException(s"table graft.$name does not exist"))
+    GraftDmlCommand("ALTER WRITE ORDERED", name, () => {
+      val tbl = t
+      order match {
+        case None => tbl.unsetProperties(Seq("write.sort-order"))
+        case Some(o) =>
+          val resolver = session.sessionState.analyzer.resolver
+          val entries = o.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { tok =>
+            val parts = tok.split("\\s+").toSeq
+            require(parts.length <= 2,
+              s"ALTER TABLE graft.$name WRITE ORDERED BY: cannot parse '$tok' " +
+                "(expected `col [ASC|DESC]`; NULLS FIRST/LAST is not supported)")
+            val id = parts.head.stripPrefix("`").stripSuffix("`")
+            val colName = tbl.meta.schema.fields.find(f => resolver(f.name, id))
+              .getOrElse(throw new IllegalArgumentException(
+                s"ALTER TABLE graft.$name WRITE ORDERED BY: '$id' is not a column")).name
+            val asc = parts.lift(1) match {
+              case None => true
+              case Some(d) if d.equalsIgnoreCase("asc")  => true
+              case Some(d) if d.equalsIgnoreCase("desc") => false
+              case Some(d) => throw new IllegalArgumentException(
+                s"ALTER TABLE graft.$name WRITE ORDERED BY: expected ASC or " +
+                  s"DESC after '$id', got '$d'")
+            }
+            s"$colName ${if (asc) "ASC" else "DESC"}"
+          }
+          require(entries.nonEmpty,
+            s"ALTER TABLE graft.$name WRITE ORDERED BY: empty column list")
+          tbl.setProperties(Map("write.sort-order" -> entries.mkString(",")))
+      }
     })
   }
 

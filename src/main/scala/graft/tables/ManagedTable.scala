@@ -4534,13 +4534,66 @@ final class ManagedTable private (
     writeMeta()
   }
 
+  /** Remove table properties (the UNSET side of [[setProperties]]) —
+    * `ALTER TABLE … WRITE UNORDERED` and similar clears. Missing keys are
+    * a no-op, matching SQL UNSET TBLPROPERTIES semantics.
+    */
+  def unsetProperties(keys: Seq[String]): Unit = {
+    requireCurrentPointer()
+    _meta = _meta.copy(properties = _meta.properties -- keys)
+    writeMeta()
+  }
+
+  /** Re-key the table (`ALTER TABLE … SET IDENTIFIER FIELDS`) — metadata
+    * only, but gated on a PLAIN-DATA state: identifier fields scope
+    * merge-on-read resolution at READ time, so live upsert groups /
+    * delete artifacts written under the old key would silently
+    * reinterpret under the new one. Compact first; staged WAP branches
+    * must publish or abandon for the same reason.
+    */
+  def setIdentifierFields(ids: Seq[String]): Unit = {
+    require(ids.nonEmpty, "SET IDENTIFIER FIELDS needs at least one column")
+    ids.foreach(i => require(_meta.schema.fieldNames.contains(i),
+      s"identifier field '$i' is not a column of ${_meta.name} " +
+        s"(${_meta.schema.fieldNames.mkString(", ")})"))
+    if (ids == _meta.identifierFields) return
+    require(currentEntries.forall(_.kind == Manifest.Data),
+      s"cannot re-key ${_meta.name} with live merge-on-read state (upsert " +
+        "groups / delete artifacts scope on the OLD key) — run CALL " +
+        "graft.system.compact('" + _meta.name + "') first")
+    require(branches().isEmpty,
+      s"cannot re-key ${_meta.name} while WAP branches are staged " +
+        "(publish or abandon them first)")
+    requireCurrentPointer()
+    _meta = _meta.copy(identifierFields = ids)
+    writeMeta()
+  }
+
   private def withPartitionCols(df: DataFrame): DataFrame =
     partitionFields.filter(_.transform != "identity")
       .foldLeft(df)((d, pf) => d.withColumn(pf.name, pf.expr))
 
+  /** `write.sort-order` (`ALTER TABLE … WRITE ORDERED BY`, round 10):
+    * comma-separated `col [ASC|DESC]` entries. When set it replaces the
+    * default PK-ascending write sort (D5) — same cost shape, a
+    * sortWithinPartitions on the write path, no extra shuffle.
+    */
+  private def writeSortOrder: Seq[(String, Boolean)] =
+    _meta.properties.get("write.sort-order").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).map { tok =>
+        val parts = tok.split("\\s+")
+        (parts(0), parts.length < 2 || !parts(1).equalsIgnoreCase("desc"))
+      }
+
   private def sortForWrite(df: DataFrame): DataFrame = {
-    val ids = _meta.identifierFields.filter(df.columns.contains)
-    if (ids.isEmpty) df else df.sortWithinPartitions(ids.map(col): _*)
+    val ordered = writeSortOrder.filter { case (c, _) => df.columns.contains(c) }
+    if (ordered.nonEmpty)
+      df.sortWithinPartitions(ordered.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc }: _*)
+    else {
+      val ids = _meta.identifierFields.filter(df.columns.contains)
+      if (ids.isEmpty) df else df.sortWithinPartitions(ids.map(col): _*)
+    }
   }
 
   /** W10 — rolling file size: honor the reference's

@@ -58,11 +58,12 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       // evolved schema reads back with nulls for pre-evolution rows
       assert(s2.sql("SELECT source FROM graft.logs WHERE id = 1").head().isNullAt(0))
 
-      // identifier fields are fixed at CREATE
+      // identifier fields never change through the PROPERTY back door
+      // (SET IDENTIFIER FIELDS is the guarded verb)
       val e = intercept[Exception] {
         s2.sql("ALTER TABLE graft.logs SET TBLPROPERTIES ('graft.identifier-fields'='msg')")
       }
-      assert(e.getMessage.contains("fixed at CREATE"))
+      assert(e.getMessage.contains("SET IDENTIFIER FIELDS"))
 
       // unknown identifier column fails the CREATE up front
       val e2 = intercept[Exception] {
@@ -288,6 +289,116 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       assert(ManagedTable.load(s2, wh, "logs").isEmpty)
       s2.sql("DROP TABLE IF EXISTS graft.logs") // no-op
       intercept[Exception] { s2.sql("DROP TABLE graft.logs") }
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("partition-spec evolution, identifier fields and write order through SQL DDL") {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val b = org.apache.spark.sql.SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+      base.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
+      val wh = java.nio.file.Files.createTempDirectory("graft-pfddl").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+
+      s2.sql("""CREATE TABLE graft.ev (id BIGINT, grp INT, v STRING)
+        |PARTITIONED BY (grp)
+        |TBLPROPERTIES ('graft.identifier-fields'='id')""".stripMargin)
+      s2.sql("INSERT INTO graft.ev VALUES (1, 0, 'a'), (2, 1, 'b')")
+
+      // ADD PARTITION FIELD: metadata-only epoch boundary; old groups stay
+      s2.sql("ALTER TABLE graft.ev ADD PARTITION FIELD bucket(4, id)")
+      assert(ManagedTable.load(s2, wh, "ev").get.meta.partitionBy ==
+        Seq("grp", "bucket(id,4)"))
+      s2.sql("INSERT INTO graft.ev VALUES (3, 0, 'c')")
+      assert(s2.sql("SELECT id FROM graft.ev").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 3L), "cross-epoch reads stay exact")
+      // duplicate field refuses precisely
+      val eDup = intercept[Exception] {
+        s2.sql("ALTER TABLE graft.ev ADD PARTITION FIELD bucket(8, id)")
+      }
+      assert(eDup.getMessage.contains("already exists"), eDup.getMessage)
+
+      // REPLACE PARTITION FIELD: rebucket in ONE epoch boundary
+      s2.sql("ALTER TABLE graft.ev REPLACE PARTITION FIELD bucket(4, id) WITH bucket(8, id)")
+      assert(ManagedTable.load(s2, wh, "ev").get.meta.partitionBy ==
+        Seq("grp", "bucket(id,8)"))
+
+      // DROP PARTITION FIELD (by transform form) — identity source drops too
+      s2.sql("ALTER TABLE graft.ev DROP PARTITION FIELD grp")
+      assert(ManagedTable.load(s2, wh, "ev").get.meta.partitionBy == Seq("bucket(id,8)"))
+      val eNo = intercept[Exception] {
+        s2.sql("ALTER TABLE graft.ev DROP PARTITION FIELD grp")
+      }
+      assert(eNo.getMessage.contains("no partition field"), eNo.getMessage)
+      val eBad = intercept[Exception] {
+        s2.sql("ALTER TABLE graft.ev ADD PARTITION FIELD wat(id)")
+      }
+      assert(eBad.getMessage.contains("unsupported partition transform"), eBad.getMessage)
+      val eCol = intercept[Exception] {
+        s2.sql("ALTER TABLE graft.ev ADD PARTITION FIELD day(nope)")
+      }
+      assert(eCol.getMessage.contains("not in schema"), eCol.getMessage)
+      s2.sql("INSERT INTO graft.ev VALUES (4, 2, 'd')")
+      assert(s2.sql("SELECT count(*) c FROM graft.ev WHERE grp >= 0").head().getLong(0) == 4)
+
+      // SET IDENTIFIER FIELDS: plain-data tables re-key; case-insensitive
+      s2.sql("ALTER TABLE graft.ev SET IDENTIFIER FIELDS ID, grp")
+      assert(ManagedTable.load(s2, wh, "ev").get.meta.identifierFields == Seq("id", "grp"))
+      // …but live MoR state refuses (old-key delete scopes would reinterpret)
+      s2.sql("UPDATE graft.ev SET v = 'u' WHERE id = 1 AND grp = 0")
+      val eKey = intercept[Exception] {
+        s2.sql("ALTER TABLE graft.ev SET IDENTIFIER FIELDS id")
+      }
+      assert(eKey.getMessage.contains("re-key"), eKey.getMessage)
+      val eKey2 = intercept[Exception] {
+        s2.sql("ALTER TABLE graft.ev SET IDENTIFIER FIELDS nope")
+      }
+      assert(eKey2.getMessage.contains("not a column"), eKey2.getMessage)
+
+      // WRITE ORDERED BY: lands in write.sort-order, shapes the write path
+      s2.sql("CREATE TABLE graft.ord (id BIGINT, v BIGINT)")
+      s2.sql("ALTER TABLE graft.ord WRITE ORDERED BY v DESC, id")
+      val tOrd = ManagedTable.load(s2, wh, "ord").get
+      assert(tOrd.meta.properties("write.sort-order") == "v DESC,id ASC")
+      import s2.implicits._
+      tOrd.append(s2.createDataset((1L to 100L).map(i => (i, i * 7L % 101L)))
+        .toDF("id", "v").repartition(1))
+      val file = ManagedTable.load(s2, wh, "ord").get.read().inputFiles.head
+      val written = s2.read.parquet(file).select("v").collect().map(_.getLong(0)).toSeq
+      assert(written == written.sorted(Ordering[Long].reverse),
+        "files must be laid out in the declared write order")
+      s2.sql("ALTER TABLE graft.ord WRITE UNORDERED")
+      assert(!ManagedTable.load(s2, wh, "ord").get
+        .meta.properties.contains("write.sort-order"))
+      val eOrd = intercept[Exception] {
+        s2.sql("ALTER TABLE graft.ord WRITE ORDERED BY nope")
+      }
+      assert(eOrd.getMessage.contains("not a column"), eOrd.getMessage)
+
+      // SHOW CREATE TABLE reflects the evolved definition (current spec,
+      // current identifier fields, write order as a property)
+      s2.sql("ALTER TABLE graft.ord WRITE ORDERED BY v")
+      val stmt = s2.sql("SHOW CREATE TABLE graft.ord").head().getString(0)
+      assert(stmt.contains("'write.sort-order'='v ASC'"), stmt)
+      val stmtEv = s2.sql("SHOW CREATE TABLE graft.ev").head().getString(0)
+      assert(stmtEv.contains("PARTITIONED BY (bucket(8, id))"), stmtEv)
+      assert(stmtEv.contains("'graft.identifier-fields'='id,grp'"), stmtEv)
+
+      // unknown table fails precisely at execution
+      val eMiss = intercept[Exception] {
+        s2.sql("ALTER TABLE graft.nope ADD PARTITION FIELD day(ts)")
+      }
+      assert(eMiss.getMessage.contains("does not exist"), eMiss.getMessage)
+      s2.sql("DROP TABLE graft.ord")
+      s2.sql("DROP TABLE graft.ev")
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)
