@@ -238,6 +238,122 @@ class ReplicateSpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage.contains("refusing to follow"))
   }
 
+  test("tags mirror: sync-time tags split exactly, retroactive boundary tags map, " +
+      "pins survive retention, drops flow through") {
+    val w = wh
+    val src = ManagedTable.create(spark, w, "tup", rows().schema, Seq("id"))
+    val dst = ManagedTable.create(spark, w, "tdown", rows().schema, Seq("id"))
+    src.setProperties(Map("write.versions-retained" -> "10"))
+    dst.setProperties(Map("write.versions-retained" -> "10"))
+
+    src.append(rows((1, "a", 1L)))
+    Replicate.syncOnce(src, dst)
+    // a tag INSIDE the next catch-up range: the apply must split at it so
+    // the replica owns a snapshot with exactly the tagged state
+    src.append(rows((2, "b", 2L)))
+    src.tag("mid") // pins the version holding {1, 2}
+    src.append(rows((3, "c", 3L)))
+    val src1 = ManagedTable.load(spark, w, "tup").get
+    val dst1 = ManagedTable.load(spark, w, "tdown").get
+    Replicate.syncOnce(src1, dst1)
+    def tagState(t: ManagedTable, name: String): Set[(Int, String, Long)] =
+      t.readRef(name).select("id", "name", "v").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val d1 = ManagedTable.load(spark, w, "tdown").get
+    assert(tagState(d1, "mid") == tagState(src1, "mid"))
+    assert(tagState(d1, "mid") == Set((1, "a", 1L), (2, "b", 2L)),
+      "the mirrored tag must pin the MID-range state, not the sync target")
+
+    // retroactive tag at a SYNC BOUNDARY: the version map remembers which
+    // replica snapshot held that upstream version
+    val boundaryV = ManagedTable.load(spark, w, "tup").get.meta.currentVersion
+    src1.append(rows((4, "d", 4L)))
+    Replicate.syncOnce(ManagedTable.load(spark, w, "tup").get,
+      ManagedTable.load(spark, w, "tdown").get)
+    val src2 = ManagedTable.load(spark, w, "tup").get
+    src2.tag("old", boundaryV)
+    // caught-up poll: ZERO data commits, the mirror pass alone picks it up
+    Replicate.syncOnce(src2, ManagedTable.load(spark, w, "tdown").get)
+    val d2 = ManagedTable.load(spark, w, "tdown").get
+    assert(tagState(d2, "old") == tagState(src2, "old"))
+    assert(tagState(d2, "old") == Set((1, "a", 1L), (2, "b", 2L), (3, "c", 3L)))
+
+    // the mirrored pin survives replica retention: churn well past the
+    // retention window and the tagged snapshot must stay readable
+    var s = src2
+    (5 to 9).foreach { i =>
+      s.append(rows((i, s"x$i", i.toLong)))
+      Replicate.syncOnce(ManagedTable.load(spark, w, "tup").get,
+        ManagedTable.load(spark, w, "tdown").get)
+      s = ManagedTable.load(spark, w, "tup").get
+    }
+    val d3 = ManagedTable.load(spark, w, "tdown").get
+    assert(tagState(d3, "mid") == Set((1, "a", 1L), (2, "b", 2L)),
+      "GC must not expire a snapshot a mirrored tag pins")
+
+    // upstream drop expires the mirrored tag; a replica-LOCAL tag is the
+    // replica's own and never follows upstream state
+    d3.tag("local-only")
+    s.dropTag("mid")
+    Replicate.syncOnce(ManagedTable.load(spark, w, "tup").get,
+      ManagedTable.load(spark, w, "tdown").get)
+    val d4 = ManagedTable.load(spark, w, "tdown").get
+    assert(!d4.tags().contains("mid"), "upstream drop must flow through")
+    assert(d4.tags().contains("local-only"), "local tags are not mirror-owned")
+    assert(d4.tags().contains("old"), "unrelated mirrored tags survive")
+  }
+
+  test("tags mirror: unmirrorable and name-conflicting tags are skipped VISIBLY, not fatally") {
+    val w = wh
+    val src = ManagedTable.create(spark, w, "uup", rows().schema, Seq("id"))
+    val dst = ManagedTable.create(spark, w, "udown", rows().schema, Seq("id"))
+    src.setProperties(Map("write.versions-retained" -> "10"))
+    src.append(rows((1, "a", 1L)))
+    Replicate.syncOnce(src, dst)
+    // two upstream commits collapse into ONE apply: the interior version
+    // has no replica snapshot, so a retroactive tag on it can't mirror
+    src.append(rows((2, "b", 2L)))
+    src.append(rows((3, "c", 3L)))
+    val interiorV = ManagedTable.load(spark, w, "uup").get.meta.currentVersion - 1
+    Replicate.syncOnce(ManagedTable.load(spark, w, "uup").get,
+      ManagedTable.load(spark, w, "udown").get)
+    val src1 = ManagedTable.load(spark, w, "uup").get
+    src1.tag("interior", interiorV)
+    // and a name CONFLICT: the replica already owns this name locally
+    val dst1 = ManagedTable.load(spark, w, "udown").get
+    dst1.tag("clash")
+    val localPin = dst1.tags()("clash")
+    src1.tag("clash")
+    Replicate.syncOnce(src1, ManagedTable.load(spark, w, "udown").get)
+    val d = ManagedTable.load(spark, w, "udown").get
+    assert(!d.tags().contains("interior"))
+    assert(d.tags()("clash") == localPin, "a local tag must never be clobbered")
+    val un = d.meta.properties(Replicate.unmirroredKey(src1)).split(',').toSet
+    assert(un == Set("interior", "clash"),
+      "skipped tags must be VISIBLE in the unmirrored property")
+    // the skip is not fatal: replication itself keeps converging
+    src1.append(rows((4, "d", 4L)))
+    Replicate.syncOnce(ManagedTable.load(spark, w, "uup").get,
+      ManagedTable.load(spark, w, "udown").get)
+    assert(state(ManagedTable.load(spark, w, "udown").get) ==
+      state(ManagedTable.load(spark, w, "uup").get))
+  }
+
+  test("follow() mirrors tags on the next wake") {
+    val w = wh
+    val ck = java.nio.file.Files.createTempDirectory("graft-repl-tck").toString
+    val src = ManagedTable.create(spark, w, "ftup", rows().schema, Seq("id"))
+    val dst = ManagedTable.create(spark, w, "ftdown", rows().schema, Seq("id"))
+    src.setProperties(Map("write.versions-retained" -> "10"))
+    src.append(rows((1, "a", 1L)))
+    src.tag("release")
+    // the tag rides the wake the data commit fires
+    Replicate.follow(src, dst, ck).awaitTermination(60000)
+    val d = ManagedTable.load(spark, w, "ftdown").get
+    assert(d.tags().contains("release"))
+    assert(d.readRef("release").count() == 1)
+  }
+
   test("refusals: non-replica destination, mismatched keys") {
     val w = wh
     val src = ManagedTable.create(spark, w, "up4", rows().schema, Seq("id"))
