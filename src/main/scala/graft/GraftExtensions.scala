@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // [[graft.plans.GraftSqlParser]] / [[graft.plans.ResolveGraftDdl]].
     ext.injectParser((session, delegate) =>
       new graft.plans.GraftSqlParser(session, delegate))
+    // manifest-answered min/max/count for the DataFrame-API spelling over
+    // V1 graft-table relations (the SQL spelling is handled at the parser
+    // seam) — see [[graft.plans.ManifestAggOnV1]].
+    ext.injectOptimizerRule(session => new graft.plans.ManifestAggOnV1(session))
 
     ext.injectFunction((
       FunctionIdentifier("decimal_from_bytes"),

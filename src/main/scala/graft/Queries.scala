@@ -1190,13 +1190,25 @@ object Queries {
           s2.sql("SELECT count(*) AS n_rows FROM graft.orders_ma"),
           s2.sql("SELECT min(o_orderkey) AS min_key FROM graft.orders_ma"),
           s2.sql("SELECT max(o_orderkey) AS max_key FROM graft.orders_ma"))
-        parts.foreach { d =>
+        // the V1 DataFrame spelling of the SAME question rewrites too
+        // (round 10, [[graft.plans.ManifestAggOnV1]]): one combined
+        // ungrouped aggregate over format("graft-table")
+        val v1 = s2.read.format("graft-table")
+          .option("warehouse", wh).option("table", "orders_ma").load()
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+            org.apache.spark.sql.functions.min("o_orderkey").as("min_key"),
+            org.apache.spark.sql.functions.max("o_orderkey").as("max_key"))
+        (parts :+ v1).foreach { d =>
           require(d.queryExecution.optimizedPlan.collectLeaves().forall(
             _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
             "manifest-answered aggregate did not produce a scan-free plan:\n" +
               d.queryExecution.optimizedPlan)
         }
-        parts.reduce(_ crossJoin _)
+        val sqlAnswer = parts.reduce(_ crossJoin _)
+        require(v1.collect().toSeq == sqlAnswer.collect().toSeq,
+          "V1 and SQL manifest-agg answers diverged")
+        sqlAnswer
       }
     },
     Some("""SELECT count(*)::BIGINT AS n_rows,

@@ -918,15 +918,9 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       case (kind, Some(colName), name) =>
         t.meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).flatMap { fld =>
           t.manifestColExtreme(fld.name, wantMin = kind == "min").map { raw =>
-            // stats domain → the column's type through Catalyst's own cast
-            val normalized = raw match {
-              case n: Number if !raw.isInstanceOf[java.lang.Double] &&
-                !raw.isInstanceOf[java.lang.Float] => Literal(n.longValue())
-              case n: Number => Literal(n.doubleValue())
-              case other     => Literal(String.valueOf(other))
-            }
-            val v = Cast(normalized, fld.dataType,
-              Some(session.sessionState.conf.sessionLocalTimeZone)).eval(null)
+            // stats domain → the column's type (shared with the V1 plan
+            // rule so both spellings materialize identically)
+            val v = ManifestAggOnV1.statsToColumn(raw, fld.dataType, session)
             LocalRelation(
               Seq(AttributeReference(name, fld.dataType, nullable = true)()),
               Seq(InternalRow(v)))

@@ -605,12 +605,27 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       // and the per-conjunct candidate sets INTERSECT inside
       // readPrunedConjunction (bounds ∧ Bloom ∧ partition-tuple per
       // conjunct) — `WHERE k = 5 AND day >= X` prunes multiplicatively.
+      // Multiple bounds on one side fold to the TIGHTEST (max of lowers /
+      // min of uppers) — `k > 5 AND k > 10` prunes at 10, not whichever
+      // conjunct the predicate listed first. Values are already in the
+      // column domain (one Scala class per column), so Comparable is the
+      // right order; a non-Comparable domain keeps any one bound (every
+      // converted bound is individually superset-safe).
+      def tightest(vs: Seq[Any], takeMax: Boolean): Option[Any] =
+        if (vs.forall(_.isInstanceOf[Comparable[_]]))
+          vs.reduceOption { (a, b) =>
+            val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
+            if ((c >= 0) == takeMax) a else b
+          }
+        else vs.headOption
       val rangePreds = ranges.groupBy(_._1).toSeq.flatMap { case (colName, bs) =>
         t.meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).flatMap { fld =>
-          val lo = bs.collectFirst { case (_, true, l) => l }
-            .flatMap(extValue(fld, _))
-          val hi = bs.collectFirst { case (_, false, l) => l }
-            .flatMap(extValue(fld, _))
+          val lo = tightest(
+            bs.collect { case (_, true, l) => l }.flatMap(extValue(fld, _)),
+            takeMax = true)
+          val hi = tightest(
+            bs.collect { case (_, false, l) => l }.flatMap(extValue(fld, _)),
+            takeMax = false)
           if (lo.isEmpty && hi.isEmpty) None
           else Some(ManagedTable.PruneConjunct(fld.name, lo, hi))
         }

@@ -5,7 +5,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** `spark.read.format("graft-table")` — the no-extensions integration surface:
   * any third-party Spark job reads (and appends/overwrites) a graft
@@ -761,9 +761,50 @@ private[sources] final case class GraftChangesRelation(
     changes.queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
+/** Manifest-answerable aggregate surface of the V1 relation (round 10):
+  * the plan-level seam [[graft.plans.ManifestAggOnV1]] matches so a bare
+  * `df.agg(min/max/count)` over `format("graft-table")` answers from the
+  * manifest (LocalRelation, zero file scans) exactly like the SQL rule's
+  * `SELECT min(c) FROM graft.t` — the V1 scan contract itself cannot
+  * host this (buildScan can't see WHICH aggregate sits above it).
+  * Answers are None whenever the manifest is not exact (MoR state,
+  * ref/branch views) — the caller falls back to the real scan.
+  */
+trait ManifestAnswerable {
+  /** Exact LIVE row count from the manifest, when every group is plain
+    * data with recorded rows.
+    */
+  def manifestCount: Option[Long]
+
+  /** Exact LIVE min/max of a column: (raw stats-domain value, resolved
+    * field) — the caller casts into the column's type.
+    */
+  def manifestExtreme(colName: String, wantMin: Boolean): Option[(Any, StructField)]
+}
+
 private[sources] final case class GraftRelation(
     sqlContext: SQLContext, wh: String, name: String,
-    versionAsOf: Option[String]) extends BaseRelation with PrunedFilteredScan {
+    versionAsOf: Option[String]) extends BaseRelation with PrunedFilteredScan
+    with ManifestAnswerable {
+
+  /** Live view only: a ref read's pinned manifest is not the loaded
+    * table's, and a staged branch view must aggregate staged rows.
+    */
+  private def liveView: Boolean = versionAsOf.forall(_.isEmpty) && wapBranch.isEmpty
+
+  override def manifestCount: Option[Long] =
+    if (liveView) table.fastRowCount else None
+
+  override def manifestExtreme(colName: String, wantMin: Boolean): Option[(Any, StructField)] =
+    if (!liveView) None
+    else {
+      // exact name first; case-insensitive only when unambiguous (two
+      // columns differing by case must not answer for each other)
+      val cands = table.meta.schema.fields.filter(_.name.equalsIgnoreCase(colName))
+      cands.find(_.name == colName)
+        .orElse(if (cands.length == 1) cands.headOption else None)
+        .flatMap(fld => table.manifestColExtreme(fld.name, wantMin).map(_ -> fld))
+    }
 
   @transient private lazy val table: ManagedTable =
     ManagedTable.load(sqlContext.sparkSession, wh, name).getOrElse(
@@ -863,10 +904,21 @@ private[sources] final case class GraftRelation(
       case LessThan(a, v) if v != null && cols.contains(a) => a -> v
       case LessThanOrEqual(a, v) if v != null && cols.contains(a) => a -> v
     }
+    // stacked bounds on one side fold to the TIGHTEST (max of lowers /
+    // min of uppers) — pushed values are already in the column domain,
+    // one Scala class per column, so Comparable is the right order; a
+    // non-Comparable domain keeps any one bound (each is superset-safe)
+    def tightest(vs: Seq[Any], takeMax: Boolean): Option[Any] =
+      if (vs.forall(_.isInstanceOf[Comparable[_]]))
+        vs.reduceOption { (a, b) =>
+          val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
+          if ((c >= 0) == takeMax) a else b
+        }
+      else vs.headOption
     val ranges = (lows.map(_._1) ++ highs.map(_._1)).distinct.toSeq.map { c =>
       ManagedTable.PruneConjunct(c,
-        lows.collectFirst { case (`c`, v) => v },
-        highs.collectFirst { case (`c`, v) => v })
+        tightest(lows.collect { case (`c`, v) => v }, takeMax = true),
+        tightest(highs.collect { case (`c`, v) => v }, takeMax = false))
     }
     val preds = eqs ++ ranges
     if (preds.isEmpty) snapshot

@@ -153,6 +153,20 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
       assert(s2.sql(s"SELECT id FROM graft.blp VERSION AS OF 'p0' " +
         s"WHERE id <= 10 AND `$derivedCol` = '2024-01-02'").count() ==
         (1 to 10).count(_ % 3 == 1))
+      // TIGHTEST-BOUND fold (round 10): stacked bounds on one column
+      // prune at the strictest one — `id > 5 AND id > 50` opens only the
+      // second group (41..80), not both (the first-listed bound 5 would)
+      val oneGroup = s2.sql("SELECT id FROM graft.bl WHERE id > 50")
+        .inputFiles.length
+      val tb = s2.sql("SELECT id FROM graft.bl WHERE id > 5 AND id > 50")
+      assert(tb.collect().map(_.getInt(0)).toSet == (51 to 80).toSet)
+      assert(tb.inputFiles.length == oneGroup && oneGroup < all,
+        s"stacked lower bounds must fold to the max: ${tb.inputFiles.length} " +
+          s"vs $oneGroup (all=$all)")
+      val ub = s2.sql("SELECT id FROM graft.bl WHERE id < 50 AND id < 5")
+      assert(ub.collect().map(_.getInt(0)).toSet == (1 to 4).toSet)
+      assert(ub.inputFiles.length < all,
+        "stacked upper bounds must fold to the min")
       // COERCION GUARD: a numeric literal against a STRING column makes
       // Spark cast the COLUMN ("05" matches 5) — pruning on the string
       // "5" would wrongly drop "05". The rule must fall back to the
@@ -164,6 +178,77 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
       val coerced = s2.sql("SELECT id FROM graft.blc WHERE tag = 5")
       assert(coerced.collect().map(_.getInt(0)).toSet == Set(1, 3),
         "numeric-literal-vs-string-column must keep Spark's coercion semantics")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("min/max/count over the V1 relation answer from the manifest; MoR and filters fall back") {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val b = SparkSession.builder()
+        .master(base.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions().apply(_))
+      base.conf.getAll.foreach { case (k, v) => b.config(k, v) }
+      val s2 = b.getOrCreate()
+      import org.apache.spark.sql.functions.{count => fcount, lit, max => fmax, min => fmin}
+      import s2.implicits._
+
+      val wh = java.nio.file.Files.createTempDirectory("graft-v1agg-wh").toString
+      val t = ManagedTable.create(s2, wh, "ma",
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", StringType))), Seq("id"))
+      t.append((1L to 60L).map(i => (i, s"n$i")).toDF("id", "v"))
+      t.append((61L to 90L).map(i => (i, s"n$i")).toDF("id", "v"))
+
+      def rel = s2.read.format("graft-table")
+        .option("warehouse", wh).option("table", "ma").load()
+      def scanFree(d: org.apache.spark.sql.DataFrame): Boolean =
+        d.queryExecution.optimizedPlan.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+
+      val agg = rel.agg(fmin($"id").as("lo"), fmax($"id").as("hi"),
+        fcount(lit(1)).as("n"))
+      assert(scanFree(agg), "V1 min/max/count must collapse to the manifest:\n" +
+        agg.queryExecution.optimizedPlan)
+      assert(agg.collect().head.toSeq == Seq(1L, 90L, 90L))
+      // Dataset.count() plans the same ungrouped count(1) — also scan-free
+      assert(rel.count() == 90L)
+
+      // proof of ZERO data reads: remove a group dir — the answer survives
+      val grpDir = new java.io.File(
+        t.read().inputFiles.head.stripPrefix("file:")).getParentFile
+      org.apache.commons.io.FileUtils.deleteDirectory(grpDir)
+      assert(rel.agg(fmin($"id"), fmax($"id")).collect().head.toSeq ==
+        Seq(1L, 90L))
+
+      // a FILTER above the relation changes the answer's input: no rewrite
+      t.overwrite((1L to 90L).map(i => (i, s"n$i")).toDF("id", "v"))
+      val filtered = rel.where($"id" > 10L).agg(fmin($"id").as("lo"))
+      assert(!scanFree(filtered), "a filtered aggregate must keep the scan")
+      assert(filtered.collect().head.getLong(0) == 11L)
+      // grouped aggregates keep the scan too
+      assert(!scanFree(rel.groupBy($"v").agg(fmin($"id"))))
+      // count(col) needs null counts the manifest does not claim: no rewrite
+      assert(!scanFree(rel.agg(fcount($"v"))))
+
+      // MoR state (an upsert group) makes bounds inexact: fall back + stay right
+      t.mergeInto(Seq((5L, "u")).toDF("id", "v"))
+      val mor = rel.agg(fmin($"id").as("lo"), fmax($"id").as("hi"))
+      assert(!scanFree(mor), "MoR states must fall back to the real scan")
+      assert(mor.collect().head.toSeq == Seq(1L, 90L))
+
+      // ref reads aggregate their pinned view, not the live manifest
+      ManagedTable.load(s2, wh, "ma").get.tag("pin")
+      val tagged = s2.read.format("graft-table").option("warehouse", wh)
+        .option("table", "ma").option("versionAsOf", "pin").load()
+        .agg(fmax($"id"))
+      assert(!scanFree(tagged))
+      assert(tagged.collect().head.getLong(0) == 90L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
