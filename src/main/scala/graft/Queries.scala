@@ -1215,6 +1215,52 @@ object Queries {
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       |FROM orders""".stripMargin))
 
+  /** Partition-GROUPED manifest aggregates under the oracle (round 10,
+    * [[graft.plans.ResolveGraftDdl]] / [[graft.plans.ManifestAggOnV1]]):
+    * `GROUP BY <identity partition source>` with count/min/max answered
+    * from per-entry row counts and column bounds — the Iceberg
+    * partitions-metadata-table rollup, LocalRelation plan, ZERO file
+    * scans even though the table was appended in TWO batches (multiple
+    * entries per tuple fold). Runtime-asserts the scan-free shape for
+    * BOTH the SQL and the V1 DataFrame spellings and their value parity;
+    * the DuckDB oracle pins the values against the raw parquet.
+    */
+  val sqlManifestGroupAgg = Q("sql_manifest_group_agg",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_sqlmga").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_mga",
+        base.schema, Seq("o_orderkey"), partitionBy = Seq("o_orderpriority"))
+      val mid = base.agg(
+        ((min("o_orderkey") + max("o_orderkey")) / 2).cast("long")).head.getLong(0)
+      tbl.append(base.where(col("o_orderkey") <= mid))
+      tbl.append(base.where(col("o_orderkey") > mid))
+      withGraftSession(s, wh) { s2 =>
+        val bySql = s2.sql(
+          """SELECT o_orderpriority, count(*) AS n_rows,
+            |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+            |FROM graft.orders_mga GROUP BY o_orderpriority""".stripMargin)
+        val byV1 = s2.read.format("graft-table")
+          .option("warehouse", wh).option("table", "orders_mga").load()
+          .groupBy(col("o_orderpriority"))
+          .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+            min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        Seq(bySql, byV1).foreach { d =>
+          require(d.queryExecution.optimizedPlan.collectLeaves().forall(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+            "grouped manifest aggregate did not produce a scan-free plan:\n" +
+              d.queryExecution.optimizedPlan)
+        }
+        require(bySql.collect().map(_.toSeq).toSet ==
+          byV1.collect().map(_.toSeq).toSet,
+          "SQL and V1 grouped manifest-agg answers diverged")
+        bySql
+      }
+    },
+    Some("""SELECT o_orderpriority, count(*)::BIGINT AS n_rows,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
   /** Composite manifest pruning end to end in SQL (round 9): orders
     * keyed on `o_orderkey`, identity-partitioned on `o_orderstatus`,
     * appended in TWO key-chunked batches so every file group carries
@@ -4404,7 +4450,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

@@ -30,16 +30,65 @@ import org.apache.spark.sql.types.{DataType, StructField}
 class ManifestAggOnV1(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg: Aggregate if agg.groupingExpressions.isEmpty &&
-        agg.aggregateExpressions.nonEmpty =>
-      relationOf(agg.child).flatMap { r =>
-        val vs = agg.aggregateExpressions.map(answer(r, _))
-        if (vs.forall(_.isDefined))
-          Some(LocalRelation(agg.output,
-            Seq(InternalRow.fromSeq(vs.map(_.get)))))
-        else None
-      }.getOrElse(agg)
+    case agg: Aggregate if agg.aggregateExpressions.nonEmpty =>
+      (if (agg.groupingExpressions.isEmpty) ungrouped(agg) else grouped(agg))
+        .getOrElse(agg)
   }
+
+  private def ungrouped(agg: Aggregate): Option[LogicalPlan] =
+    relationOf(agg.child).flatMap { r =>
+      val vs = agg.aggregateExpressions.map(answer(r, _))
+      if (vs.forall(_.isDefined))
+        Some(LocalRelation(agg.output,
+          Seq(InternalRow.fromSeq(vs.map(_.get)))))
+      else None
+    }
+
+  /** `GROUP BY <one bare column>` where the column is an identity
+    * partition source: per-tuple count/min/max (and bare DISTINCT — an
+    * empty want list) answer from per-entry row counts and bounds. The
+    * grouping attribute itself passes through (cast back from the tuple
+    * string — sound only for round-tripping types, which the table layer
+    * gates); any other output must be an answerable aggregate.
+    */
+  private def grouped(agg: Aggregate): Option[LogicalPlan] =
+    agg.groupingExpressions match {
+      case Seq(g: AttributeReference) =>
+        for {
+          r <- relationOf(agg.child)
+          outs <- traverse(agg.aggregateExpressions.map {
+            case a: AttributeReference if a.exprId == g.exprId =>
+              Some(Left(()))
+            case Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
+              Some(Left(()))
+            case Alias(ae: AggregateExpression, _) if ae.filter.isEmpty =>
+              wantOf(ae).map(Right(_))
+            case _ => None
+          })
+          wants = outs.collect { case Right(w) => w }
+          answered <- r.manifestGroupedAgg(g.name, wants)
+        } yield {
+          val (gf, aggFields, rows) = answered
+          val tz = session.sessionState.conf.sessionLocalTimeZone
+          val data = rows.map { case (tuple, vals) =>
+            val gVal = tuple.map(s =>
+              Cast(Literal(s), gf.dataType, Some(tz)).eval(null)).orNull
+            var i = -1
+            InternalRow.fromSeq(outs.map {
+              case Left(_) => gVal
+              case Right(("count", _)) => i += 1; vals(i)
+              case Right(_) =>
+                i += 1
+                ManifestAggOnV1.statsToColumn(vals(i), aggFields(i).get.dataType, session)
+            })
+          }
+          LocalRelation(agg.output, data)
+        }
+      case _ => None
+    }
+
+  private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
   /** The child must be the V1 relation itself — transparently through
     * pure column projections and aliases only (a Filter, a computed
@@ -55,25 +104,31 @@ class ManifestAggOnV1(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The manifest-answerable aggregate shapes: count over a non-null
+    * literal (count(col) needs per-column null counts the manifest does
+    * not claim as exact) and min/max of a bare column (which ignore
+    * distinctness by definition).
+    */
+  private def wantOf(ae: AggregateExpression): Option[(String, Option[String])] =
+    ae.aggregateFunction match {
+      case c: Count if !ae.isDistinct && c.children.sizeIs == 1 &&
+          (c.children.head match {
+            case l: Literal => l.value != null
+            case _ => false
+          }) =>
+        Some(("count", None))
+      case Min(a: AttributeReference) => Some(("min", Some(a.name)))
+      case Max(a: AttributeReference) => Some(("max", Some(a.name)))
+      case _ => None
+    }
+
   private def answer(r: ManifestAnswerable, e: NamedExpression): Option[Any] =
     e match {
       case Alias(ae: AggregateExpression, _) if ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          // count over a non-null literal = row count; count(col) needs
-          // per-column null counts the manifest does not claim as exact
-          case c: Count if !ae.isDistinct && c.children.sizeIs == 1 &&
-              (c.children.head match {
-                case l: Literal => l.value != null
-                case _ => false
-              }) =>
-            r.manifestCount
-          // min/max ignore distinctness by definition
-          case Min(a: AttributeReference) =>
-            r.manifestExtreme(a.name, wantMin = true)
-              .map { case (raw, fld) => ManifestAggOnV1.statsToColumn(
-                raw, fld.dataType, session) }
-          case Max(a: AttributeReference) =>
-            r.manifestExtreme(a.name, wantMin = false)
+        wantOf(ae).flatMap {
+          case ("count", _) => r.manifestCount
+          case (kind, Some(c)) =>
+            r.manifestExtreme(c, wantMin = kind == "min")
               .map { case (raw, fld) => ManifestAggOnV1.statsToColumn(
                 raw, fld.dataType, session) }
           case _ => None

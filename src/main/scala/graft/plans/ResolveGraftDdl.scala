@@ -80,6 +80,26 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
           .filter(_.nonEmpty).exists(t.branches().contains))
         .flatMap(manifestAnswer(_, manifestAggOf(proj).get))
         .getOrElse(p)
+    // `SELECT day, count(*)/min(c)/max(c) FROM graft.t GROUP BY day`
+    // where `day` is an identity partition source: per-tuple answers from
+    // per-entry row counts and bounds (the Iceberg partitions-metadata-
+    // table rollup) — same exactness gates and snapshot-at-statement
+    // semantics as the bare aggregate above; see
+    // [[ManagedTable.manifestGroupedAgg]].
+    case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if agg.child.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedRelation] &&
+          (agg.groupingExpressions match {
+            case Seq(g: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute) =>
+              g.nameParts.length == 1
+            case _ => false
+          }) => {
+      val u = agg.child.asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedRelation]
+      if (u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+          !u.multipartIdentifier(1).contains('$'))
+        groupedManifestAnswer(agg, u.multipartIdentifier(1)).getOrElse(agg)
+      else agg
+    }
     case c @ CreateTable(UnresolvedIdentifier(Seq(g, name), _), columns,
         partitioning, spec: UnresolvedTableSpec, ifNotExists)
         if g.equalsIgnoreCase("graft") =>
@@ -902,6 +922,79 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       case UnresolvedAlias(child, _) => parse(child)
       case _                         => None
     }
+  }
+
+  /** The GROUP-BY-partition-source form of [[manifestAnswer]]: every
+    * output must be the grouping attribute itself (pass-through) or a
+    * manifest-answerable aggregate ([[manifestAggOf]]); one row per live
+    * tuple. Unresolvable shapes fall through to the real plan.
+    */
+  private def groupedManifestAnswer(
+      agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
+      name: String): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Literal}
+    val g = agg.groupingExpressions.head.asInstanceOf[UnresolvedAttribute]
+    session.conf.getOption("spark.graft.warehouse")
+      .flatMap(wh => ManagedTable.load(session, wh, name))
+      // same wap-branch fall-through as the bare-aggregate case: the
+      // manifest answer reads LIVE and must not disagree with SELECT *
+      .filterNot(t => session.conf.getOption("spark.wap.branch")
+        .filter(_.nonEmpty).exists(t.branches().contains))
+      .flatMap { t =>
+        def fieldOf(n: String) =
+          t.meta.schema.fields.find(_.name.equalsIgnoreCase(n))
+        // Left(outputName) = grouping passthrough; Right(agg want)
+        val outs = agg.aggregateExpressions.map {
+          case a: UnresolvedAttribute if a.nameParts == g.nameParts =>
+            Some(Left(a.nameParts.head))
+          case al @ Alias(a: UnresolvedAttribute, _) if a.nameParts == g.nameParts =>
+            Some(Left(al.name))
+          case UnresolvedAlias(a: UnresolvedAttribute, _) if a.nameParts == g.nameParts =>
+            Some(Left(a.nameParts.head))
+          case e => manifestAggOf(e).map(Right(_))
+        }
+        if (!outs.forall(_.isDefined)) None
+        else {
+          val flat = outs.map(_.get)
+          val wants = flat.collect { case Right((k, c, _)) => (k, c) }
+          val wantFields = wants.map { case (_, c) => c.map(fieldOf) }
+          if (wantFields.exists(_.exists(_.isEmpty))) None
+          else fieldOf(g.nameParts.head).flatMap { gf =>
+            val resolved = wants.zip(wantFields).map { case ((k, _), f) =>
+              (k, f.flatten.map(_.name))
+            }
+            t.manifestGroupedAgg(gf.name, resolved).map { rows =>
+              val tz = session.sessionState.conf.sessionLocalTimeZone
+              val attrs = flat.map {
+                case Left(n) => AttributeReference(n, gf.dataType, nullable = true)()
+                case Right(("count", _, n)) =>
+                  AttributeReference(n, org.apache.spark.sql.types.LongType,
+                    nullable = false)()
+                case Right((_, Some(c), n)) =>
+                  AttributeReference(n, fieldOf(c).get.dataType, nullable = true)()
+                case Right((k, None, n)) => // unreachable: min/max carry a column
+                  AttributeReference(n, org.apache.spark.sql.types.LongType)()
+              }
+              val data = rows.map { case (tuple, vals) =>
+                val gVal = tuple.map(s =>
+                  Cast(Literal(s), gf.dataType, Some(tz)).eval(null)).orNull
+                var i = -1
+                InternalRow.fromSeq(flat.map {
+                  case Left(_) => gVal
+                  case Right(("count", _, _)) => i += 1; vals(i)
+                  case Right((_, Some(c), _)) =>
+                    i += 1
+                    ManifestAggOnV1.statsToColumn(vals(i), fieldOf(c).get.dataType, session)
+                  case Right(_) => i += 1; vals(i)
+                })
+              }
+              LocalRelation(attrs, data)
+            }
+          }
+        }
+      }
   }
 
   private def manifestAnswer(t: ManagedTable,

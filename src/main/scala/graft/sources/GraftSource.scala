@@ -780,6 +780,15 @@ trait ManifestAnswerable {
     * field) — the caller casts into the column's type.
     */
   def manifestExtreme(colName: String, wantMin: Boolean): Option[(Any, StructField)]
+
+  /** Exact LIVE per-partition-tuple aggregates for `GROUP BY <identity
+    * partition source>`: (group field, per-want agg field (None for
+    * count), rows as (tuple string / None for null, raw values)) — see
+    * [[graft.tables.ManagedTable.manifestGroupedAgg]] for the exactness
+    * contract.
+    */
+  def manifestGroupedAgg(groupCol: String, wants: Seq[(String, Option[String])])
+      : Option[(StructField, Seq[Option[StructField]], Seq[(Option[String], Seq[Any])])]
 }
 
 private[sources] final case class GraftRelation(
@@ -795,16 +804,35 @@ private[sources] final case class GraftRelation(
   override def manifestCount: Option[Long] =
     if (liveView) table.fastRowCount else None
 
+  /** Exact name first; case-insensitive only when unambiguous (two
+    * columns differing by case must not answer for each other).
+    */
+  private def resolveField(colName: String): Option[StructField] = {
+    val cands = table.meta.schema.fields.filter(_.name.equalsIgnoreCase(colName))
+    cands.find(_.name == colName)
+      .orElse(if (cands.length == 1) cands.headOption else None)
+  }
+
   override def manifestExtreme(colName: String, wantMin: Boolean): Option[(Any, StructField)] =
     if (!liveView) None
-    else {
-      // exact name first; case-insensitive only when unambiguous (two
-      // columns differing by case must not answer for each other)
-      val cands = table.meta.schema.fields.filter(_.name.equalsIgnoreCase(colName))
-      cands.find(_.name == colName)
-        .orElse(if (cands.length == 1) cands.headOption else None)
-        .flatMap(fld => table.manifestColExtreme(fld.name, wantMin).map(_ -> fld))
-    }
+    else resolveField(colName).flatMap(fld =>
+      table.manifestColExtreme(fld.name, wantMin).map(_ -> fld))
+
+  override def manifestGroupedAgg(groupCol: String, wants: Seq[(String, Option[String])])
+      : Option[(StructField, Seq[Option[StructField]], Seq[(Option[String], Seq[Any])])] =
+    if (!liveView) None
+    else for {
+      g <- resolveField(groupCol)
+      aggFields <- traverse(wants.map {
+        case (_, Some(c)) => resolveField(c).map(Some(_))
+        case (_, None)    => Some(None)
+      })
+      resolved = wants.zip(aggFields).map { case ((k, _), f) => (k, f.map(_.name)) }
+      rows <- table.manifestGroupedAgg(g.name, resolved)
+    } yield (g, aggFields, rows)
+
+  private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
 
   @transient private lazy val table: ManagedTable =
     ManagedTable.load(sqlContext.sparkSession, wh, name).getOrElse(

@@ -451,17 +451,79 @@ final class ManagedTable private (
     val tag = entries.head.stats(c).t
     if (!entries.forall(_.stats(c).t == tag)) return None
     val vs = entries.map(e => if (wantMin) e.stats(c).min else e.stats(c).max)
-    // exact-domain comparisons: SortKey's double-compare is fine for
-    // conservative pruning but this value is claimed EXACT — a 64-bit id
-    // past 2^53 must not tie with its double-rounded neighbor
-    val ord: Ordering[Any] = tag match {
-      case "i" => Ordering.by((v: Any) => v.asInstanceOf[Number].longValue())
-      case "f" => Ordering.by((v: Any) => v.asInstanceOf[Number].doubleValue())
-      case _ => (a: Any, b: Any) => java.util.Arrays.compareUnsigned(
-        String.valueOf(a).getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        String.valueOf(b).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Some(if (wantMin) vs.min(statsOrd(tag)) else vs.max(statsOrd(tag)))
+  }
+
+  /** Exact-domain ordering of stats-tag `t` values: SortKey's
+    * double-compare is fine for conservative pruning but manifest-agg
+    * values are claimed EXACT — a 64-bit id past 2^53 must not tie with
+    * its double-rounded neighbor.
+    */
+  private def statsOrd(tag: String): Ordering[Any] = tag match {
+    case "i" => Ordering.by((v: Any) => v.asInstanceOf[Number].longValue())
+    case "f" => Ordering.by((v: Any) => v.asInstanceOf[Number].doubleValue())
+    case _ => (a: Any, b: Any) => java.util.Arrays.compareUnsigned(
+      String.valueOf(a).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      String.valueOf(b).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Per-PARTITION-TUPLE manifest aggregates (round 10): `GROUP BY <an
+    * identity partition source>` with count / min / max answered from
+    * per-entry row counts and column bounds — the Iceberg
+    * partitions-metadata-table answer to the most common rollup on a
+    * partitioned table, one manifest read, ZERO data scans.
+    *
+    * `wants`: ("count", None) and/or ("min"/"max", Some(col)). Returns
+    * one row per live tuple value — (tuple string, None for the Hive
+    * null sentinel; raw values: count→Long, min/max in the stats domain,
+    * callers cast like [[manifestColExtreme]]) — or None unless EXACT:
+    *  - every live group plain data with recorded rows (no MoR hiding);
+    *  - single spec epoch (older epochs may not carry the field at all);
+    *  - the group column identity-transformed and string-round-tripping
+    *    (the tuple string must cast back to the exact value — same gate
+    *    as [[tupleRelation]], including the null-vs-"__HIVE_DEFAULT..."
+    *    ambiguity for STRING columns);
+    *  - zero-row groups contribute nothing (SQL emits no group for
+    *    them), and every counted group carries bounds for every min/max
+    *    column (an all-null group has no bounds and cannot claim one).
+    */
+  def manifestGroupedAgg(groupCol: String, wants: Seq[(String, Option[String])])
+      : Option[Seq[(Option[String], Seq[Any])]] = {
+    val entries = currentEntries
+    if (entries.exists(e => entryEpoch(e.seq) != currentEpoch)) return None
+    val pf = partitionFields.find(f => f.transform == "identity" &&
+      f.sourceColumn.equalsIgnoreCase(groupCol)).getOrElse(return None)
+    val fld = _meta.schema.fields.find(_.name == pf.sourceColumn)
+      .getOrElse(return None)
+    if (!tupleRoundTrips(fld.dataType)) return None
+    if (!entries.forall(e =>
+        e.kind == Manifest.Data && e.rows >= 0L && e.partition.contains(pf.name)))
+      return None
+    if (fld.dataType == StringType && entries.exists(
+        _.partition.get(pf.name).contains(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)))
+      return None
+    // validate every min/max column ONCE: consistent stats tag across all
+    // counted (rows > 0) groups
+    val counted = entries.filter(_.rows > 0L)
+    val aggCols = wants.collect { case (_, Some(c)) => c }.distinct
+    aggCols.foreach { c =>
+      if (!counted.forall(_.stats.contains(c))) return None
+      if (counted.map(_.stats(c).t).distinct.sizeIs > 1) return None
     }
-    Some(if (wantMin) vs.min(ord) else vs.max(ord))
+    val rows = counted.groupBy { e =>
+      val v = e.partition(pf.name)
+      if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None else Some(v)
+    }.toSeq.map { case (tuple, es) =>
+      tuple -> wants.map {
+        case ("count", _) => es.map(_.rows).sum
+        case (kind, Some(c)) =>
+          val ord = statsOrd(es.head.stats(c).t)
+          val vs = es.map(e => if (kind == "min") e.stats(c).min else e.stats(c).max)
+          if (kind == "min") vs.min(ord) else vs.max(ord)
+        case other => return None // unknown want shape
+      }
+    }
+    Some(rows)
   }
 
   /** Time travel: resolve an older manifest (previous versions are

@@ -198,6 +198,7 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
       import s2.implicits._
 
       val wh = java.nio.file.Files.createTempDirectory("graft-v1agg-wh").toString
+      s2.conf.set("spark.graft.warehouse", wh)
       val t = ManagedTable.create(s2, wh, "ma",
         StructType(Seq(
           StructField("id", LongType, nullable = false),
@@ -249,6 +250,53 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
         .agg(fmax($"id"))
       assert(!scanFree(tagged))
       assert(tagged.collect().head.getLong(0) == 90L)
+
+      // GROUP BY an identity partition source: per-tuple count/min/max
+      // from per-entry rows + bounds, incl. a NULL partition value
+      val tp = ManagedTable.create(s2, wh, "mag",
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("day", IntegerType),
+          StructField("v", StringType))), Seq("id"),
+        partitionBy = Seq("day"))
+      val src = (1L to 30L).map(i =>
+        (i, if (i % 10 == 0) null else Integer.valueOf((i % 3).toInt), s"n$i"))
+        .toDF("id", "day", "v")
+      tp.append(src.where($"id" <= 15))
+      tp.append(src.where($"id" > 15))
+      def relG = s2.read.format("graft-table")
+        .option("warehouse", wh).option("table", "mag").load()
+      val grouped = relG.groupBy($"day")
+        .agg(fcount(lit(1)).as("n"), fmin($"id").as("lo"), fmax($"id").as("hi"))
+      assert(scanFree(grouped), "grouped manifest agg must be scan-free:\n" +
+        grouped.queryExecution.optimizedPlan)
+      val expect = src.groupBy($"day")
+        .agg(fcount(lit(1)).as("n"), fmin($"id").as("lo"), fmax($"id").as("hi"))
+        .collect().map(_.toSeq).toSet
+      assert(grouped.collect().map(_.toSeq).toSet == expect)
+      // bare DISTINCT over the partition source is the same metadata
+      val dist = relG.select($"day").distinct()
+      assert(scanFree(dist), "DISTINCT partition source must be scan-free:\n" +
+        dist.queryExecution.optimizedPlan)
+      assert(dist.collect().map(r => Option(r.get(0))).toSet ==
+        src.select($"day").distinct().collect().map(r => Option(r.get(0))).toSet)
+      // grouping by a NON-partition column keeps the scan
+      assert(!scanFree(relG.groupBy($"v").agg(fcount(lit(1)))))
+      // avg is not manifest-answerable: the whole aggregate keeps the scan
+      assert(!scanFree(relG.groupBy($"day")
+        .agg(org.apache.spark.sql.functions.avg($"id"))))
+      // the SQL spelling rewrites at the parser seam, same answers
+      val sqlGrouped = s2.sql(
+        "SELECT day, count(*) AS n, min(id) AS lo, max(id) AS hi " +
+          "FROM graft.mag GROUP BY day")
+      assert(scanFree(sqlGrouped), "SQL grouped manifest agg must be scan-free:\n" +
+        sqlGrouped.queryExecution.optimizedPlan)
+      assert(sqlGrouped.collect().map(_.toSeq).toSet == expect)
+      // a WHERE between relation and aggregate keeps the scan (and the answer)
+      val sqlFiltered = s2.sql(
+        "SELECT day, count(*) AS n FROM graft.mag WHERE id > 15 GROUP BY day")
+      assert(!scanFree(sqlFiltered))
+      assert(sqlFiltered.collect().map(_.getLong(1)).sum == 15L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
