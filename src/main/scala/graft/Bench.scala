@@ -68,6 +68,11 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    // the gate must bracket the QUERY phase too (round 10): a throttled
+    // or contended box slows every query ~uniformly, and an ungated
+    // per-query comparison would flag the environment as ~2× regressions
+    // (observed: host-throttled run, gate 0.33, nine spurious flags)
+    val gate0 = wideProbeShare()
     val (p1, p2) = if (epsOnly) (Map.empty[String, Double], Map.empty[String, Double])
       else (timedPass(), timedPass())
     val results = ordered.map { case (name, _) =>
@@ -117,7 +122,7 @@ object Bench {
     val trickleRuns = Seq(t1, t2, t3)
     val trickleWindows = Seq(w4, w5, w6)
     val trickleEps = trickleRuns.max
-    val gateShares = Seq(gate1, wideProbeShare())
+    val gateShares = Seq(gate0, gate1, wideProbeShare())
     // 10× scale soak (VERDICT r4 #7): sub-linear suite scaling at a
     // generated sf1 plus flat per-batch CDC cost on a growing table —
     // the measured form of the O(batch)/scale claims. On by default for
@@ -309,7 +314,15 @@ object Bench {
           .foldLeft(Map.empty[String, Double]) { case (acc, (k, v)) =>
             if (acc.contains(k)) acc else acc + (k -> v)
           }
-        val queryRegr = results.flatMap { case (k, v) =>
+        // Per-query comparisons are gated like the throughput ones
+        // (round 10): a throttled/contended box slows EVERY query
+        // roughly uniformly (observed: host-throttle run with gate 0.33
+        // ran the whole suite ~1.9×), and an ungated comparison would
+        // flag the environment as code regressions. thr_gate_share in
+        // the digest records WHY a comparison was withheld.
+        val gateIdleQ = gateShares.nonEmpty && gateShares.min >= 0.9
+        val queryRegr = if (!gateIdleQ) Seq.empty
+        else results.flatMap { case (k, v) =>
           prev.get(k).filter(p => p > 0.05 && v / p > 1.5)
             .map(p => "\"" + k + "\":" + f"${v / p}%.2f")
         }
