@@ -44,48 +44,51 @@ class ManifestAggOnV1(session: SparkSession) extends Rule[LogicalPlan] {
       else None
     }
 
-  /** `GROUP BY <one bare column>` where the column is an identity
-    * partition source: per-tuple count/min/max (and bare DISTINCT — an
-    * empty want list) answer from per-entry row counts and bounds. The
-    * grouping attribute itself passes through (cast back from the tuple
-    * string — sound only for round-tripping types, which the table layer
-    * gates); any other output must be an answerable aggregate.
+  /** `GROUP BY <one or more bare columns>` where every column is an
+    * identity partition source: per-tuple count/min/max (and bare
+    * DISTINCT — an empty want list) answer from per-entry row counts and
+    * bounds. The grouping attributes themselves pass through (cast back
+    * from the tuple strings — sound only for round-tripping types, which
+    * the table layer gates); any other output must be an answerable
+    * aggregate.
     */
-  private def grouped(agg: Aggregate): Option[LogicalPlan] =
-    agg.groupingExpressions match {
-      case Seq(g: AttributeReference) =>
-        for {
-          r <- relationOf(agg.child)
-          outs <- traverse(agg.aggregateExpressions.map {
-            case a: AttributeReference if a.exprId == g.exprId =>
-              Some(Left(()))
-            case Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
-              Some(Left(()))
-            case Alias(ae: AggregateExpression, _) if ae.filter.isEmpty =>
-              wantOf(ae).map(Right(_))
-            case _ => None
-          })
-          wants = outs.collect { case Right(w) => w }
-          answered <- r.manifestGroupedAgg(g.name, wants)
-        } yield {
-          val (gf, aggFields, rows) = answered
-          val tz = session.sessionState.conf.sessionLocalTimeZone
-          val data = rows.map { case (tuple, vals) =>
-            val gVal = tuple.map(s =>
-              Cast(Literal(s), gf.dataType, Some(tz)).eval(null)).orNull
-            var i = -1
-            InternalRow.fromSeq(outs.map {
-              case Left(_) => gVal
-              case Right(("count", _)) => i += 1; vals(i)
-              case Right(_) =>
-                i += 1
-                ManifestAggOnV1.statsToColumn(vals(i), aggFields(i).get.dataType, session)
-            })
-          }
-          LocalRelation(agg.output, data)
+  private def grouped(agg: Aggregate): Option[LogicalPlan] = {
+    val gs = agg.groupingExpressions.collect { case a: AttributeReference => a }
+    if (gs.length != agg.groupingExpressions.length ||
+        gs.map(_.exprId).distinct.length != gs.length) return None
+    val gIdx = gs.map(_.exprId).zipWithIndex.toMap
+    for {
+      r <- relationOf(agg.child)
+      outs <- traverse(agg.aggregateExpressions.map {
+        case a: AttributeReference if gIdx.contains(a.exprId) =>
+          Some(Left(gIdx(a.exprId)))
+        case Alias(a: AttributeReference, _) if gIdx.contains(a.exprId) =>
+          Some(Left(gIdx(a.exprId)))
+        case Alias(ae: AggregateExpression, _) if ae.filter.isEmpty =>
+          wantOf(ae).map(Right(_))
+        case _ => None
+      })
+      wants = outs.collect { case Right(w) => w }
+      answered <- r.manifestGroupedAgg(gs.map(_.name), wants)
+    } yield {
+      val (gfs, aggFields, rows) = answered
+      val tz = session.sessionState.conf.sessionLocalTimeZone
+      val data = rows.map { case (tuple, vals) =>
+        val gVals = tuple.zip(gfs).map { case (s, gf) =>
+          s.map(v => Cast(Literal(v), gf.dataType, Some(tz)).eval(null)).orNull
         }
-      case _ => None
+        var i = -1
+        InternalRow.fromSeq(outs.map {
+          case Left(gi) => gVals(gi)
+          case Right(("count", _)) => i += 1; vals(i)
+          case Right(_) =>
+            i += 1
+            ManifestAggOnV1.statsToColumn(vals(i), aggFields(i).get.dataType, session)
+        })
+      }
+      LocalRelation(agg.output, data)
     }
+  }
 
   private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None

@@ -80,19 +80,20 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
           .filter(_.nonEmpty).exists(t.branches().contains))
         .flatMap(manifestAnswer(_, manifestAggOf(proj).get))
         .getOrElse(p)
-    // `SELECT day, count(*)/min(c)/max(c) FROM graft.t GROUP BY day`
-    // where `day` is an identity partition source: per-tuple answers from
-    // per-entry row counts and bounds (the Iceberg partitions-metadata-
-    // table rollup) — same exactness gates and snapshot-at-statement
-    // semantics as the bare aggregate above; see
+    // `SELECT day, …, count(*)/min(c)/max(c) FROM graft.t GROUP BY day, …`
+    // where every grouping column is an identity partition source:
+    // per-tuple answers from per-entry row counts and bounds (the Iceberg
+    // partitions-metadata-table rollup) — same exactness gates and
+    // snapshot-at-statement semantics as the bare aggregate above; see
     // [[ManagedTable.manifestGroupedAgg]].
     case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
         if agg.child.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedRelation] &&
-          (agg.groupingExpressions match {
-            case Seq(g: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute) =>
+          agg.groupingExpressions.nonEmpty &&
+          agg.groupingExpressions.forall {
+            case g: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
               g.nameParts.length == 1
             case _ => false
-          }) => {
+          } => {
       val u = agg.child.asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedRelation]
       if (u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
@@ -925,9 +926,10 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The GROUP-BY-partition-source form of [[manifestAnswer]]: every
-    * output must be the grouping attribute itself (pass-through) or a
+    * output must be one of the grouping attributes (pass-through) or a
     * manifest-answerable aggregate ([[manifestAggOf]]); one row per live
-    * tuple. Unresolvable shapes fall through to the real plan.
+    * tuple combination. Unresolvable shapes fall through to the real
+    * plan.
     */
   private def groupedManifestAnswer(
       agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
@@ -935,7 +937,13 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute}
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Literal}
-    val g = agg.groupingExpressions.head.asInstanceOf[UnresolvedAttribute]
+    val gNames = agg.groupingExpressions
+      .map(_.asInstanceOf[UnresolvedAttribute].nameParts.head)
+    if (gNames.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.length !=
+        gNames.length) return None
+    def gIdx(parts: Seq[String]): Option[Int] =
+      if (parts.length != 1) None
+      else Some(gNames.indexWhere(_.equalsIgnoreCase(parts.head))).filter(_ >= 0)
     session.conf.getOption("spark.graft.warehouse")
       .flatMap(wh => ManagedTable.load(session, wh, name))
       // same wap-branch fall-through as the bare-aggregate case: the
@@ -945,14 +953,14 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       .flatMap { t =>
         def fieldOf(n: String) =
           t.meta.schema.fields.find(_.name.equalsIgnoreCase(n))
-        // Left(outputName) = grouping passthrough; Right(agg want)
+        // Left((groupIdx, outputName)) = grouping passthrough; Right(want)
         val outs = agg.aggregateExpressions.map {
-          case a: UnresolvedAttribute if a.nameParts == g.nameParts =>
-            Some(Left(a.nameParts.head))
-          case al @ Alias(a: UnresolvedAttribute, _) if a.nameParts == g.nameParts =>
-            Some(Left(al.name))
-          case UnresolvedAlias(a: UnresolvedAttribute, _) if a.nameParts == g.nameParts =>
-            Some(Left(a.nameParts.head))
+          case a: UnresolvedAttribute =>
+            gIdx(a.nameParts).map(i => Left((i, a.nameParts.head)))
+          case al @ Alias(a: UnresolvedAttribute, _) =>
+            gIdx(a.nameParts).map(i => Left((i, al.name)))
+          case UnresolvedAlias(a: UnresolvedAttribute, _) =>
+            gIdx(a.nameParts).map(i => Left((i, a.nameParts.head)))
           case e => manifestAggOf(e).map(Right(_))
         }
         if (!outs.forall(_.isDefined)) None
@@ -960,15 +968,18 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
           val flat = outs.map(_.get)
           val wants = flat.collect { case Right((k, c, _)) => (k, c) }
           val wantFields = wants.map { case (_, c) => c.map(fieldOf) }
-          if (wantFields.exists(_.exists(_.isEmpty))) None
-          else fieldOf(g.nameParts.head).flatMap { gf =>
+          val gFields = gNames.map(fieldOf)
+          if (wantFields.exists(_.exists(_.isEmpty)) || gFields.exists(_.isEmpty)) None
+          else {
+            val gfs = gFields.map(_.get)
             val resolved = wants.zip(wantFields).map { case ((k, _), f) =>
               (k, f.flatten.map(_.name))
             }
-            t.manifestGroupedAgg(gf.name, resolved).map { rows =>
+            t.manifestGroupedAgg(gfs.map(_.name), resolved).map { rows =>
               val tz = session.sessionState.conf.sessionLocalTimeZone
               val attrs = flat.map {
-                case Left(n) => AttributeReference(n, gf.dataType, nullable = true)()
+                case Left((i, n)) =>
+                  AttributeReference(n, gfs(i).dataType, nullable = true)()
                 case Right(("count", _, n)) =>
                   AttributeReference(n, org.apache.spark.sql.types.LongType,
                     nullable = false)()
@@ -978,11 +989,12 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
                   AttributeReference(n, org.apache.spark.sql.types.LongType)()
               }
               val data = rows.map { case (tuple, vals) =>
-                val gVal = tuple.map(s =>
-                  Cast(Literal(s), gf.dataType, Some(tz)).eval(null)).orNull
+                val gVals = tuple.zip(gfs).map { case (s, gf) =>
+                  s.map(v => Cast(Literal(v), gf.dataType, Some(tz)).eval(null)).orNull
+                }
                 var i = -1
                 InternalRow.fromSeq(flat.map {
-                  case Left(_) => gVal
+                  case Left((gi, _)) => gVals(gi)
                   case Right(("count", _, _)) => i += 1; vals(i)
                   case Right((_, Some(c), _)) =>
                     i += 1

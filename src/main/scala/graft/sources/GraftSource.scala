@@ -782,13 +782,14 @@ trait ManifestAnswerable {
   def manifestExtreme(colName: String, wantMin: Boolean): Option[(Any, StructField)]
 
   /** Exact LIVE per-partition-tuple aggregates for `GROUP BY <identity
-    * partition source>`: (group field, per-want agg field (None for
-    * count), rows as (tuple string / None for null, raw values)) — see
-    * [[graft.tables.ManagedTable.manifestGroupedAgg]] for the exactness
-    * contract.
+    * partition source(s)>`: (group fields, per-want agg field (None for
+    * count), rows as (per-group tuple strings / None for null, raw
+    * values)) — see [[graft.tables.ManagedTable.manifestGroupedAgg]] for
+    * the exactness contract.
     */
-  def manifestGroupedAgg(groupCol: String, wants: Seq[(String, Option[String])])
-      : Option[(StructField, Seq[Option[StructField]], Seq[(Option[String], Seq[Any])])]
+  def manifestGroupedAgg(groupCols: Seq[String], wants: Seq[(String, Option[String])])
+      : Option[(Seq[StructField], Seq[Option[StructField]],
+        Seq[(Seq[Option[String]], Seq[Any])])]
 }
 
 private[sources] final case class GraftRelation(
@@ -818,18 +819,19 @@ private[sources] final case class GraftRelation(
     else resolveField(colName).flatMap(fld =>
       table.manifestColExtreme(fld.name, wantMin).map(_ -> fld))
 
-  override def manifestGroupedAgg(groupCol: String, wants: Seq[(String, Option[String])])
-      : Option[(StructField, Seq[Option[StructField]], Seq[(Option[String], Seq[Any])])] =
+  override def manifestGroupedAgg(groupCols: Seq[String], wants: Seq[(String, Option[String])])
+      : Option[(Seq[StructField], Seq[Option[StructField]],
+        Seq[(Seq[Option[String]], Seq[Any])])] =
     if (!liveView) None
     else for {
-      g <- resolveField(groupCol)
+      gs <- traverse(groupCols.map(resolveField))
       aggFields <- traverse(wants.map {
         case (_, Some(c)) => resolveField(c).map(Some(_))
         case (_, None)    => Some(None)
       })
       resolved = wants.zip(aggFields).map { case ((k, _), f) => (k, f.map(_.name)) }
-      rows <- table.manifestGroupedAgg(g.name, resolved)
-    } yield (g, aggFields, rows)
+      rows <- table.manifestGroupedAgg(gs.map(_.name), resolved)
+    } yield (gs, aggFields, rows)
 
   private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
     if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None

@@ -467,19 +467,20 @@ final class ManagedTable private (
       String.valueOf(b).getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** Per-PARTITION-TUPLE manifest aggregates (round 10): `GROUP BY <an
-    * identity partition source>` with count / min / max answered from
-    * per-entry row counts and column bounds — the Iceberg
+  /** Per-PARTITION-TUPLE manifest aggregates (round 10): `GROUP BY <one
+    * or more identity partition sources>` with count / min / max answered
+    * from per-entry row counts and column bounds — the Iceberg
     * partitions-metadata-table answer to the most common rollup on a
     * partitioned table, one manifest read, ZERO data scans.
     *
     * `wants`: ("count", None) and/or ("min"/"max", Some(col)). Returns
-    * one row per live tuple value — (tuple string, None for the Hive
-    * null sentinel; raw values: count→Long, min/max in the stats domain,
-    * callers cast like [[manifestColExtreme]]) — or None unless EXACT:
+    * one row per live tuple-value combination — (per-group-column tuple
+    * strings, None for the Hive null sentinel; raw values: count→Long,
+    * min/max in the stats domain, callers cast like
+    * [[manifestColExtreme]]) — or None unless EXACT:
     *  - every live group plain data with recorded rows (no MoR hiding);
     *  - single spec epoch (older epochs may not carry the field at all);
-    *  - the group column identity-transformed and string-round-tripping
+    *  - every group column identity-transformed and string-round-tripping
     *    (the tuple string must cast back to the exact value — same gate
     *    as [[tupleRelation]], including the null-vs-"__HIVE_DEFAULT..."
     *    ambiguity for STRING columns);
@@ -487,20 +488,24 @@ final class ManagedTable private (
     *    them), and every counted group carries bounds for every min/max
     *    column (an all-null group has no bounds and cannot claim one).
     */
-  def manifestGroupedAgg(groupCol: String, wants: Seq[(String, Option[String])])
-      : Option[Seq[(Option[String], Seq[Any])]] = {
+  def manifestGroupedAgg(groupCols: Seq[String], wants: Seq[(String, Option[String])])
+      : Option[Seq[(Seq[Option[String]], Seq[Any])]] = {
+    if (groupCols.isEmpty) return None
     val entries = currentEntries
     if (entries.exists(e => entryEpoch(e.seq) != currentEpoch)) return None
-    val pf = partitionFields.find(f => f.transform == "identity" &&
-      f.sourceColumn.equalsIgnoreCase(groupCol)).getOrElse(return None)
-    val fld = _meta.schema.fields.find(_.name == pf.sourceColumn)
-      .getOrElse(return None)
-    if (!tupleRoundTrips(fld.dataType)) return None
-    if (!entries.forall(e =>
-        e.kind == Manifest.Data && e.rows >= 0L && e.partition.contains(pf.name)))
+    val pfs = groupCols.map { gc =>
+      partitionFields.find(f => f.transform == "identity" &&
+        f.sourceColumn.equalsIgnoreCase(gc)).getOrElse(return None)
+    }
+    val flds = pfs.map(pf =>
+      _meta.schema.fields.find(_.name == pf.sourceColumn).getOrElse(return None))
+    if (!flds.forall(f => tupleRoundTrips(f.dataType))) return None
+    if (!entries.forall(e => e.kind == Manifest.Data && e.rows >= 0L &&
+        pfs.forall(pf => e.partition.contains(pf.name))))
       return None
-    if (fld.dataType == StringType && entries.exists(
-        _.partition.get(pf.name).contains(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)))
+    if (pfs.zip(flds).exists { case (pf, fld) =>
+        fld.dataType == StringType && entries.exists(
+          _.partition.get(pf.name).contains(ExternalCatalogUtils.DEFAULT_PARTITION_NAME)) })
       return None
     // validate every min/max column ONCE: consistent stats tag across all
     // counted (rows > 0) groups
@@ -511,8 +516,10 @@ final class ManagedTable private (
       if (counted.map(_.stats(c).t).distinct.sizeIs > 1) return None
     }
     val rows = counted.groupBy { e =>
-      val v = e.partition(pf.name)
-      if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None else Some(v)
+      pfs.map { pf =>
+        val v = e.partition(pf.name)
+        if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) None else Some(v)
+      }
     }.toSeq.map { case (tuple, es) =>
       tuple -> wants.map {
         case ("count", _) => es.map(_.rows).sum

@@ -297,6 +297,43 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
         "SELECT day, count(*) AS n FROM graft.mag WHERE id > 15 GROUP BY day")
       assert(!scanFree(sqlFiltered))
       assert(sqlFiltered.collect().map(_.getLong(1)).sum == 15L)
+
+      // MULTI-column GROUP BY over a two-dimensional identity spec — both
+      // spellings, null tuple values included
+      val tp2 = ManagedTable.create(s2, wh, "mag2",
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("day", IntegerType),
+          StructField("reg", IntegerType))), Seq("id"),
+        partitionBy = Seq("day", "reg"))
+      val src2d = (1L to 40L).map(i => (i,
+        if (i % 10 == 0) null else Integer.valueOf((i % 2).toInt),
+        Integer.valueOf((i % 3).toInt))).toDF("id", "day", "reg")
+      tp2.append(src2d.where($"id" <= 20))
+      tp2.append(src2d.where($"id" > 20))
+      val sql2d = s2.sql(
+        "SELECT day, reg, count(*) AS n, max(id) AS hi FROM graft.mag2 " +
+          "GROUP BY day, reg")
+      assert(scanFree(sql2d), "multi-column grouped agg must be scan-free:\n" +
+        sql2d.queryExecution.optimizedPlan)
+      val expect2d = src2d.groupBy($"day", $"reg")
+        .agg(fcount(lit(1)).as("n"),
+          org.apache.spark.sql.functions.max($"id").as("hi"))
+        .collect().map(_.toSeq).toSet
+      assert(sql2d.collect().map(_.toSeq).toSet == expect2d)
+      val v12d = s2.read.format("graft-table")
+        .option("warehouse", wh).option("table", "mag2").load()
+        .groupBy($"day", $"reg")
+        .agg(fcount(lit(1)).as("n"), fmax($"id").as("hi"))
+      assert(scanFree(v12d))
+      assert(v12d.collect().map(_.toSeq).toSet == expect2d)
+      // grouping by only ONE of the two partition dimensions still folds
+      val oneOfTwo = s2.sql(
+        "SELECT reg, count(*) AS n FROM graft.mag2 GROUP BY reg")
+      assert(scanFree(oneOfTwo))
+      assert(oneOfTwo.collect().map(_.toSeq).toSet ==
+        src2d.groupBy($"reg").agg(fcount(lit(1)).as("n"))
+          .collect().map(_.toSeq).toSet)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
