@@ -354,6 +354,74 @@ class ReplicateSpec extends AnyFunSuite with SharedSpark {
     assert(d.readRef("release").count() == 1)
   }
 
+  test("chaos fold: random DML + tag churn + syncs keep every mirrored tag " +
+      "content-equal and every skip visible") {
+    val w = wh
+    val rnd = new scala.util.Random(42)
+    val src0 = ManagedTable.create(spark, w, "cup", rows().schema, Seq("id"))
+    val dst0 = ManagedTable.create(spark, w, "cdown", rows().schema, Seq("id"))
+    src0.setProperties(Map("write.versions-retained" -> "12"))
+    dst0.setProperties(Map("write.versions-retained" -> "12"))
+    def up = ManagedTable.load(spark, w, "cup").get
+    def down = ManagedTable.load(spark, w, "cdown").get
+    var nextId = 0
+    var nextTag = 0
+    (1 to 30).foreach { _ =>
+      val u = up
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 =>
+          nextId += 1
+          u.append(rows((nextId, s"a$nextId", nextId.toLong)))
+        case 3 =>
+          if (nextId > 0)
+            u.updateWhere(col("id") === (rnd.nextInt(nextId) + 1),
+              Map("v" -> lit(999L)))
+        case 4 =>
+          if (nextId > 0) u.deleteWhere(col("id") === (rnd.nextInt(nextId) + 1))
+        case 5 =>
+          // a retroactive tag at a random RETAINED version (may or may not
+          // be a sync boundary — the mirror must be exact or visibly skip)
+          val vs = u.versions().map(_._1)
+          if (vs.nonEmpty) {
+            nextTag += 1
+            u.tag(s"t$nextTag", vs(rnd.nextInt(vs.length)))
+          }
+        case 6 =>
+          val live = u.tags().keys.toSeq.sorted
+          if (live.nonEmpty) u.dropTag(live(rnd.nextInt(live.length)))
+        case 7 =>
+          // a barrier: reseed path; previously-mirrored tags stay valid
+          // (both sides' pins are immutable), unmirrored ones stay skipped
+          if (rnd.nextBoolean() && nextId > 0)
+            u.overwrite(rows((nextId, s"ow$nextId", nextId.toLong)))
+        case _ =>
+          Replicate.syncOnce(u, down)
+      }
+    }
+    Replicate.syncOnce(up, down)
+    val u = up
+    val d = down
+    assert(state(d) == state(u), "replica diverged from upstream")
+    val unmirrored = d.meta.properties.get(Replicate.unmirroredKey(u))
+      .map(_.split(',').toSet).getOrElse(Set.empty)
+    u.tags().foreach { case (n, sv) =>
+      if (d.tags().contains(n)) {
+        val us = u.readVersion(sv).select("id", "name", "v").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+        val ds = d.readRef(n).select("id", "name", "v").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+        assert(ds == us, s"mirrored tag '$n' pins the wrong content")
+      } else assert(unmirrored.contains(n),
+        s"tag '$n' neither mirrored nor visibly skipped")
+    }
+    // no stale mirror-owned tags: every replica tag the mirror owns still
+    // exists upstream
+    val owned = d.meta.properties.get(Replicate.mirroredKey(u))
+      .map(_.split(',').toSet).getOrElse(Set.empty)
+    owned.foreach(n => assert(u.tags().contains(n),
+      s"mirror-owned replica tag '$n' outlived its upstream tag"))
+  }
+
   test("refusals: non-replica destination, mismatched keys") {
     val w = wh
     val src = ManagedTable.create(spark, w, "up4", rows().schema, Seq("id"))
