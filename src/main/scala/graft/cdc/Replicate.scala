@@ -145,14 +145,21 @@ object Replicate {
         if (to == 0L) { dst.setProperties(Map(key -> "0")); 0L }
         else { dst.overwrite(snapshotAt(src, to), Map(key -> to.toString)); to }
       case Some(from) =>
+        // record the CURRENT boundary (from → the replica version that
+        // holds it) before the first apply commits a newer one: a crash
+        // between a previous sync's apply and its mirror pass would
+        // otherwise lose that pair forever — the next apply moves the
+        // handle past it and the tag that needed it stays unmirrorable
+        mirrorRefs(src, dst, key)
         val barrier = src.meta.properties
           .get(ManagedTable.BarrierKey).map(_.toLong).getOrElse(Long.MinValue)
         if (barrier > from) {
           // a non-incremental rewrite upstream: rows vanished without
           // tombstones, so the range (from, to] cannot reconstruct the
           // state — reseed from the pinned snapshot. Tagged versions
-          // behind the barrier are unmirrorable (their replica states
-          // were never built) — [[mirrorRefs]] surfaces them.
+          // behind the barrier with no recorded boundary are unmirrorable
+          // (their replica states were never built) — [[mirrorRefs]]
+          // surfaces them.
           dst.overwrite(snapshotAt(src, to), Map(key -> to.toString))
         } else {
           val cuts = src.tags().values
@@ -275,9 +282,9 @@ object Replicate {
     *
     * Idempotent and crash-safe without riding the apply commit: a replay
     * re-derives the same tags from the same map, and a crash between
-    * apply and mirror is healed by the next sync's pass (the boundary
-    * pair for the LATEST marker is recomputable from the handle at any
-    * time before the next apply).
+    * apply and mirror is healed by the next sync, which records the
+    * still-current boundary pair BEFORE its first apply moves the handle
+    * past it ([[syncBelow]]'s leading mirror pass).
     */
   private def mirrorRefs(src: ManagedTable, dst: ManagedTable,
                          key: String): Unit = {

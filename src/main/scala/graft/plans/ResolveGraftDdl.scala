@@ -37,7 +37,38 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     */
   private lazy val tables = new ResolveGraftTables(session)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+  /** Aggregate/Project nodes whose PARENT still needs their shape: a
+    * HAVING clause resolves against the child Aggregate (replacing it
+    * with a LocalRelation would strand the aggregate condition in a
+    * plain Filter and fail analysis), and an ORDER BY carrying any
+    * function call may need the analyzer to push it INTO the aggregate.
+    * The manifest-answer rewrites below must not fire on these — falling
+    * through to the real plan is always correct, just unoptimized.
+    * Identity-based: the same textual subtree elsewhere is unaffected.
+    */
+  private def havingGuarded(plan: LogicalPlan): java.util.Set[LogicalPlan] = {
+    val s = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
+        s.add(h.child)
+      case so: org.apache.spark.sql.catalyst.plans.logical.Sort
+          if so.order.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedFunction])) =>
+        s.add(so.child)
+      case _ => ()
+    }
+    s
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val guarded = havingGuarded(plan)
+    applyRules(plan, guarded)
+  }
+
+  private def applyRules(plan: LogicalPlan,
+                         guarded: java.util.Set[LogicalPlan]): LogicalPlan =
+    plan.resolveOperatorsDown {
     // filtered version-ref reads prune against the pinned manifest
     // (round 9); falling through unchanged lets the recursion resolve
     // the child via the bare RelationTimeTravel case below
@@ -67,7 +98,8 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     // after later commits returns the planned snapshot on BOTH paths;
     // re-issue `spark.sql(...)` to observe new commits.
     case p @ Project(Seq(proj), u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation)
-        if u.multipartIdentifier.length == 2 &&
+        if !guarded.contains(p) &&
+          u.multipartIdentifier.length == 2 &&
           u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
           !u.multipartIdentifier(1).contains('$') && manifestAggOf(proj).isDefined =>
       session.conf.getOption("spark.graft.warehouse")
@@ -87,7 +119,8 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     // snapshot-at-statement semantics as the bare aggregate above; see
     // [[ManagedTable.manifestGroupedAgg]].
     case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
-        if agg.child.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedRelation] &&
+        if !guarded.contains(agg) &&
+          agg.child.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedRelation] &&
           agg.groupingExpressions.nonEmpty &&
           agg.groupingExpressions.forall {
             case g: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
@@ -315,13 +348,14 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     * (either argument order), `truncate(8, c)`, or a bare identity
     * column. The TEXT seam's analogue of [[transformToSpec]].
     */
+  private def unq(id: String): String = {
+    val t = id.trim
+    if (t.startsWith("`") && t.endsWith("`") && t.length > 1)
+      t.substring(1, t.length - 1).replace("``", "`")
+    else t
+  }
+
   private def sqlTransformToSpec(name: String, raw: String): String = {
-    def unq(id: String): String = {
-      val t = id.trim
-      if (t.startsWith("`") && t.endsWith("`") && t.length > 1)
-        t.substring(1, t.length - 1).replace("``", "`")
-      else t
-    }
     val Fn = """(?s)([A-Za-z_]+)\s*\(\s*(.+?)\s*\)""".r
     raw.trim match {
       case Fn(fn, argsRaw) =>
@@ -368,22 +402,30 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     GraftDmlCommand(s"ALTER $verb PARTITION FIELD", name, () => {
       val tbl = t
       val cols = tbl.meta.schema.fieldNames.toSet
-      val spec = sqlTransformToSpec(name, field)
-      val target = graft.tables.PartitionSpecParser
-        .parse(Seq(spec), cols, strict = true).head
       val current = tbl.meta.partitionBy.map(_.trim).filter(_.nonEmpty)
       def nameOf(s: String): Option[String] =
         graft.tables.PartitionSpecParser.parse(Seq(s), cols).headOption.map(_.name)
       verb match {
         case "ADD" =>
+          val spec = sqlTransformToSpec(name, field)
+          val target = graft.tables.PartitionSpecParser
+            .parse(Seq(spec), cols, strict = true).head
           require(!current.flatMap(nameOf).contains(target.name),
             s"ALTER TABLE graft.$name: partition field '${target.name}' already " +
               s"exists (spec: ${current.mkString(", ")})")
           tbl.updatePartitionSpec(current :+ spec)
         case "DROP" =>
-          val keep = current.filterNot(s => nameOf(s).contains(target.name))
+          // a bare token naming a CURRENT field's derived name (id_bucket)
+          // resolves to that field — derived names are not schema columns,
+          // so the transform parse below could never see them
+          val targetName = Some(unq(field))
+            .filter(b => current.flatMap(nameOf).contains(b))
+            .getOrElse(graft.tables.PartitionSpecParser
+              .parse(Seq(sqlTransformToSpec(name, field)), cols, strict = true)
+              .head.name)
+          val keep = current.filterNot(s => nameOf(s).contains(targetName))
           require(keep.size < current.size,
-            s"ALTER TABLE graft.$name: no partition field '${target.name}' " +
+            s"ALTER TABLE graft.$name: no partition field '$targetName' " +
               s"(spec: ${current.mkString(", ")})")
           tbl.updatePartitionSpec(keep)
         case other => throw new IllegalStateException(s"unreachable verb $other")
@@ -401,14 +443,18 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     GraftDmlCommand("ALTER REPLACE PARTITION FIELD", name, () => {
       val tbl = t
       val cols = tbl.meta.schema.fieldNames.toSet
-      val oldSpec = sqlTransformToSpec(name, oldField)
-      val newSpec = sqlTransformToSpec(name, newField)
-      val oldName = graft.tables.PartitionSpecParser
-        .parse(Seq(oldSpec), cols, strict = true).head.name
-      graft.tables.PartitionSpecParser.parse(Seq(newSpec), cols, strict = true)
       val current = tbl.meta.partitionBy.map(_.trim).filter(_.nonEmpty)
       def nameOf(s: String): Option[String] =
         graft.tables.PartitionSpecParser.parse(Seq(s), cols).headOption.map(_.name)
+      val newSpec = sqlTransformToSpec(name, newField)
+      // the OLD side resolves like DROP: a current field's derived name
+      // first, else a schema-validated transform
+      val oldName = Some(unq(oldField))
+        .filter(b => current.flatMap(nameOf).contains(b))
+        .getOrElse(graft.tables.PartitionSpecParser
+          .parse(Seq(sqlTransformToSpec(name, oldField)), cols, strict = true)
+          .head.name)
+      graft.tables.PartitionSpecParser.parse(Seq(newSpec), cols, strict = true)
       require(current.flatMap(nameOf).contains(oldName),
         s"ALTER TABLE graft.$name: no partition field '$oldName' to replace " +
           s"(spec: ${current.mkString(", ")})")

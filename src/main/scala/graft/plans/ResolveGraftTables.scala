@@ -605,25 +605,14 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
       // and the per-conjunct candidate sets INTERSECT inside
       // readPrunedConjunction (bounds ∧ Bloom ∧ partition-tuple per
       // conjunct) — `WHERE k = 5 AND day >= X` prunes multiplicatively.
-      // Multiple bounds on one side fold to the TIGHTEST (max of lowers /
-      // min of uppers) — `k > 5 AND k > 10` prunes at 10, not whichever
-      // conjunct the predicate listed first. Values are already in the
-      // column domain (one Scala class per column), so Comparable is the
-      // right order; a non-Comparable domain keeps any one bound (every
-      // converted bound is individually superset-safe).
-      def tightest(vs: Seq[Any], takeMax: Boolean): Option[Any] =
-        if (vs.forall(_.isInstanceOf[Comparable[_]]))
-          vs.reduceOption { (a, b) =>
-            val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
-            if ((c >= 0) == takeMax) a else b
-          }
-        else vs.headOption
+      // Multiple bounds on one side fold to the TIGHTEST
+      // ([[ManagedTable.tightestBound]], shared with the V1 seam)
       val rangePreds = ranges.groupBy(_._1).toSeq.flatMap { case (colName, bs) =>
         t.meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).flatMap { fld =>
-          val lo = tightest(
+          val lo = ManagedTable.tightestBound(
             bs.collect { case (_, true, l) => l }.flatMap(extValue(fld, _)),
             takeMax = true)
-          val hi = tightest(
+          val hi = ManagedTable.tightestBound(
             bs.collect { case (_, false, l) => l }.flatMap(extValue(fld, _)),
             takeMax = false)
           if (lo.isEmpty && hi.isEmpty) None

@@ -484,6 +484,13 @@ private[sources] final class GraftStreamSource(
     */
   @volatile private var availableNowCap: Option[Long] = None
 
+  // per-version row totals for maxRowsPerTrigger, keyed by the current
+  // version they were read at (see nextEnd) — offset polls are
+  // single-threaded per source, plain vars suffice
+  private var rowsCacheKey: Long = Long.MinValue
+  private var rowsCacheBase: Long = Long.MinValue
+  private var rowsCache: Map[Long, Long] = null
+
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(table.meta.currentVersion)
 
@@ -525,7 +532,19 @@ private[sources] final class GraftStreamSource(
     // commit lands alone. Metadata-only commits cost 0 and always admit.
     val end = maxRowsPerTrigger match {
       case Some(budget) if verEnd > base =>
-        val rows = t.rowsPerVersion(base, verEnd)
+        // per-version rows cached by the table's current version: while a
+        // capped drain works through a static backlog, every poll loads a
+        // FRESH handle (it must see new commits) whose entries cache is
+        // cold — without this, draining an n-version burst parses the
+        // manifest n times instead of once
+        val rows =
+          if (rowsCache != null && rowsCacheKey == cur0 && rowsCacheBase <= base)
+            rowsCache
+          else {
+            rowsCacheKey = cur0; rowsCacheBase = base
+            rowsCache = t.rowsPerVersion(base, cur0)
+            rowsCache
+          }
         var adm = base
         var cum = 0L
         var v = base + 1L
@@ -934,21 +953,14 @@ private[sources] final case class GraftRelation(
       case LessThan(a, v) if v != null && cols.contains(a) => a -> v
       case LessThanOrEqual(a, v) if v != null && cols.contains(a) => a -> v
     }
-    // stacked bounds on one side fold to the TIGHTEST (max of lowers /
-    // min of uppers) — pushed values are already in the column domain,
-    // one Scala class per column, so Comparable is the right order; a
-    // non-Comparable domain keeps any one bound (each is superset-safe)
-    def tightest(vs: Seq[Any], takeMax: Boolean): Option[Any] =
-      if (vs.forall(_.isInstanceOf[Comparable[_]]))
-        vs.reduceOption { (a, b) =>
-          val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
-          if ((c >= 0) == takeMax) a else b
-        }
-      else vs.headOption
+    // stacked bounds on one side fold to the TIGHTEST
+    // ([[ManagedTable.tightestBound]], shared with the SQL rule)
     val ranges = (lows.map(_._1) ++ highs.map(_._1)).distinct.toSeq.map { c =>
       ManagedTable.PruneConjunct(c,
-        tightest(lows.collect { case (`c`, v) => v }, takeMax = true),
-        tightest(highs.collect { case (`c`, v) => v }, takeMax = false))
+        ManagedTable.tightestBound(
+          lows.collect { case (`c`, v) => v }, takeMax = true),
+        ManagedTable.tightestBound(
+          highs.collect { case (`c`, v) => v }, takeMax = false))
     }
     val preds = eqs ++ ranges
     if (preds.isEmpty) snapshot

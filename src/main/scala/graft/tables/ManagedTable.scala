@@ -4851,6 +4851,23 @@ object ManagedTable {
   final case class PruneConjunct(c: String, lo: Option[Any], hi: Option[Any],
                                  values: Option[Seq[Any]] = None)
 
+  /** Fold stacked one-sided bounds on a column to the TIGHTEST (max of
+    * lower bounds / min of upper bounds) — `k > 5 AND k > 10` prunes at
+    * 10, not whichever conjunct was listed first. Shared by the SQL rule
+    * and the V1 pushed-filter path so the two seams cannot diverge.
+    * Values must already be in the column's domain (one Scala class per
+    * column — the [[PruneConjunct]] contract), so Comparable is the
+    * right order; a non-Comparable domain keeps any one bound (each
+    * converted bound is individually superset-safe).
+    */
+  def tightestBound(vs: Seq[Any], takeMax: Boolean): Option[Any] =
+    if (vs.forall(_.isInstanceOf[Comparable[_]]))
+      vs.reduceOption { (a, b) =>
+        val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
+        if ((c >= 0) == takeMax) a else b
+      }
+    else vs.headOption
+
   /** Reserved property prefix for snapshot tags ([[ManagedTable.tag]]). */
   val TagPrefix = "ref.tag."
 

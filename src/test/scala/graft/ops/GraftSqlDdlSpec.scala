@@ -331,6 +331,17 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       assert(ManagedTable.load(s2, wh, "ev").get.meta.partitionBy ==
         Seq("grp", "bucket(id,8)"))
 
+      // REPLACE by the field's DERIVED NAME (id_bucket) resolves too —
+      // derived names are not schema columns, so this exercises the
+      // current-spec-name resolution path, not the transform parse
+      s2.sql("ALTER TABLE graft.ev REPLACE PARTITION FIELD id_bucket WITH bucket(16, id)")
+      assert(ManagedTable.load(s2, wh, "ev").get.meta.partitionBy ==
+        Seq("grp", "bucket(id,16)"))
+      // DROP by derived name
+      s2.sql("ALTER TABLE graft.ev DROP PARTITION FIELD id_bucket")
+      assert(ManagedTable.load(s2, wh, "ev").get.meta.partitionBy == Seq("grp"))
+      s2.sql("ALTER TABLE graft.ev ADD PARTITION FIELD bucket(8, id)")
+
       // DROP PARTITION FIELD (by transform form) — identity source drops too
       s2.sql("ALTER TABLE graft.ev DROP PARTITION FIELD grp")
       assert(ManagedTable.load(s2, wh, "ev").get.meta.partitionBy == Seq("bucket(id,8)"))

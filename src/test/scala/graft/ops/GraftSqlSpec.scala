@@ -334,6 +334,21 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
       assert(oneOfTwo.collect().map(_.toSeq).toSet ==
         src2d.groupBy($"reg").agg(fcount(lit(1)).as("n"))
           .collect().map(_.toSeq).toSet)
+      // HAVING (and aggregate ORDER BY) need the Aggregate SHAPE for the
+      // analyzer to resolve against — the rewrite must not fire, and the
+      // query must still analyze and answer correctly
+      val having = s2.sql(
+        "SELECT day, count(*) AS n FROM graft.mag GROUP BY day HAVING count(*) > 9")
+      assert(having.collect().map(_.toSeq).toSet ==
+        src.groupBy($"day").agg(fcount(lit(1)).as("n"))
+          .where($"n" > 9).collect().map(_.toSeq).toSet)
+      val orderByAgg = s2.sql(
+        "SELECT day, count(*) AS n FROM graft.mag GROUP BY day ORDER BY count(*) DESC, day")
+      assert(orderByAgg.collect().map(_.toSeq).nonEmpty)
+      // bare-aggregate HAVING over the ungrouped rewrite too
+      val bareHaving = s2.sql(
+        "SELECT count(*) AS n FROM graft.ma HAVING count(*) > 0")
+      assert(bareHaving.collect().head.getLong(0) == 90L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
