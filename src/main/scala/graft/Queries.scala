@@ -1183,13 +1183,11 @@ object Queries {
         base.schema, Seq("o_orderkey"))
       tbl.append(base)
       withGraftSession(s, wh) { s2 =>
-        // the rewrite fires on bare single-aggregate projects only (the
-        // guard that keeps WHERE/GROUP BY off the metadata path), so the
-        // three aggregates are three statements combined locally
-        val parts = Seq(
-          s2.sql("SELECT count(*) AS n_rows FROM graft.orders_ma"),
-          s2.sql("SELECT min(o_orderkey) AS min_key FROM graft.orders_ma"),
-          s2.sql("SELECT max(o_orderkey) AS max_key FROM graft.orders_ma"))
+        // one multi-aggregate statement folds whole (round 10 — it used
+        // to take three single-agg statements combined locally)
+        val sqlAnswer = s2.sql(
+          """SELECT count(*) AS n_rows, min(o_orderkey) AS min_key,
+            |  max(o_orderkey) AS max_key FROM graft.orders_ma""".stripMargin)
         // the V1 DataFrame spelling of the SAME question rewrites too
         // (round 10, [[graft.plans.ManifestAggOnV1]]): one combined
         // ungrouped aggregate over format("graft-table")
@@ -1199,13 +1197,12 @@ object Queries {
               org.apache.spark.sql.functions.lit(1)).as("n_rows"),
             org.apache.spark.sql.functions.min("o_orderkey").as("min_key"),
             org.apache.spark.sql.functions.max("o_orderkey").as("max_key"))
-        (parts :+ v1).foreach { d =>
+        Seq(sqlAnswer, v1).foreach { d =>
           require(d.queryExecution.optimizedPlan.collectLeaves().forall(
             _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
             "manifest-answered aggregate did not produce a scan-free plan:\n" +
               d.queryExecution.optimizedPlan)
         }
-        val sqlAnswer = parts.reduce(_ crossJoin _)
         require(v1.collect().toSeq == sqlAnswer.collect().toSeq,
           "V1 and SQL manifest-agg answers diverged")
         sqlAnswer

@@ -97,20 +97,20 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     // plans-pin-a-snapshot model). A retained DataFrame re-collected
     // after later commits returns the planned snapshot on BOTH paths;
     // re-issue `spark.sql(...)` to observe new commits.
-    case p @ Project(Seq(proj), u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation)
-        if !guarded.contains(p) &&
-          u.multipartIdentifier.length == 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
-          !u.multipartIdentifier(1).contains('$') && manifestAggOf(proj).isDefined =>
+    case p @ Project(projs, GraftAggSource(name, ref))
+        if !guarded.contains(p) && projs.nonEmpty &&
+          projs.forall(manifestAggOf(_).isDefined) =>
       session.conf.getOption("spark.graft.warehouse")
-        .flatMap(wh => ManagedTable.load(session, wh, u.multipartIdentifier(1)))
+        .flatMap(wh => ManagedTable.load(session, wh, name))
         // an active spark.wap.branch routes plain READS of this table to
         // the branch's staged view (ResolveGraftTables) — the manifest
         // answer reads the LIVE snapshot and would silently disagree
-        // with SELECT *; fall through to the real (branch) plan
-        .filterNot(t => session.conf.getOption("spark.wap.branch")
+        // with SELECT *; fall through to the real (branch) plan. An
+        // EXPLICIT ref read is unaffected by wap (round 10) — the table
+        // layer refuses branch-name refs itself.
+        .filterNot(t => ref.isEmpty && session.conf.getOption("spark.wap.branch")
           .filter(_.nonEmpty).exists(t.branches().contains))
-        .flatMap(manifestAnswer(_, manifestAggOf(proj).get))
+        .flatMap(manifestAnswer(_, projs.map(manifestAggOf(_).get), ref))
         .getOrElse(p)
     // `SELECT day, …, count(*)/min(c)/max(c) FROM graft.t GROUP BY day, …`
     // where every grouping column is an identity partition source:
@@ -120,19 +120,15 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     // [[ManagedTable.manifestGroupedAgg]].
     case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
         if !guarded.contains(agg) &&
-          agg.child.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedRelation] &&
+          GraftAggSource.unapply(agg.child).isDefined &&
           agg.groupingExpressions.nonEmpty &&
           agg.groupingExpressions.forall {
             case g: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
               g.nameParts.length == 1
             case _ => false
           } => {
-      val u = agg.child.asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedRelation]
-      if (u.multipartIdentifier.length == 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
-          !u.multipartIdentifier(1).contains('$'))
-        groupedManifestAnswer(agg, u.multipartIdentifier(1)).getOrElse(agg)
-      else agg
+      val (name, ref) = GraftAggSource.unapply(agg.child).get
+      groupedManifestAnswer(agg, name, ref).getOrElse(agg)
     }
     case c @ CreateTable(UnresolvedIdentifier(Seq(g, name), _), columns,
         partitioning, spec: UnresolvedTableSpec, ifNotExists)
@@ -945,6 +941,31 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** A plan a manifest aggregate may answer over: (table name, pinned
+    * ref) — the bare `graft.t` relation (ref None) or `graft.t VERSION
+    * AS OF <snapshot-or-tag>` over it (round 10; timestamps and branch
+    * refs fall through — the former need version resolution the scan
+    * already does, the latter are staged views only the scan sees).
+    */
+  private object GraftAggSource {
+    def unapply(p: LogicalPlan): Option[(String, Option[String])] = {
+      def nameOf(r: LogicalPlan): Option[String] = r match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if u.multipartIdentifier.length == 2 &&
+              u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+              !u.multipartIdentifier(1).contains('$') =>
+          Some(u.multipartIdentifier(1))
+        case _ => None
+      }
+      p match {
+        case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+            if tt.timestamp.isEmpty && tt.version.exists(_.nonEmpty) =>
+          nameOf(tt.relation).map(_ -> tt.version)
+        case other => nameOf(other).map(_ -> None)
+      }
+    }
+  }
+
   /** A manifest-answerable single aggregate: count(*), min(col), or
     * max(col). (kind, column, output name). */
   private def manifestAggOf(proj: org.apache.spark.sql.catalyst.expressions.NamedExpression)
@@ -979,7 +1000,7 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     */
   private def groupedManifestAnswer(
       agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate,
-      name: String): Option[LogicalPlan] = {
+      name: String, ref: Option[String] = None): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute}
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Literal}
@@ -994,7 +1015,8 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       .flatMap(wh => ManagedTable.load(session, wh, name))
       // same wap-branch fall-through as the bare-aggregate case: the
       // manifest answer reads LIVE and must not disagree with SELECT *
-      .filterNot(t => session.conf.getOption("spark.wap.branch")
+      // (explicit ref reads are unaffected by wap)
+      .filterNot(t => ref.isEmpty && session.conf.getOption("spark.wap.branch")
         .filter(_.nonEmpty).exists(t.branches().contains))
       .flatMap { t =>
         def fieldOf(n: String) =
@@ -1021,7 +1043,7 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
             val resolved = wants.zip(wantFields).map { case ((k, _), f) =>
               (k, f.flatten.map(_.name))
             }
-            t.manifestGroupedAgg(gfs.map(_.name), resolved).map { rows =>
+            t.manifestGroupedAgg(gfs.map(_.name), resolved, ref).map { rows =>
               val tz = session.sessionState.conf.sessionLocalTimeZone
               val attrs = flat.map {
                 case Left((i, n)) =>
@@ -1055,30 +1077,34 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       }
   }
 
+  /** One LocalRelation row answering EVERY aggregate in the project list
+    * (round 10: multi-aggregate SELECTs fold in one statement); None if
+    * any single cell is not exactly answerable.
+    */
   private def manifestAnswer(t: ManagedTable,
-                             agg: (String, Option[String], String)): Option[LogicalPlan] = {
+                             aggs: Seq[(String, Option[String], String)],
+                             ref: Option[String] = None): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, Literal}
-    agg match {
-      case ("count", _, name) => t.fastRowCount.map { n =>
-        LocalRelation(
-          Seq(AttributeReference(name, org.apache.spark.sql.types.LongType,
-            nullable = false)()),
-          Seq(InternalRow(n)))
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val cells = aggs.map {
+      case ("count", _, name) => t.fastRowCount(ref).map { n =>
+        (AttributeReference(name, org.apache.spark.sql.types.LongType,
+          nullable = false)(), n: Any)
       }
       case (kind, Some(colName), name) =>
         t.meta.schema.fields.find(_.name.equalsIgnoreCase(colName)).flatMap { fld =>
-          t.manifestColExtreme(fld.name, wantMin = kind == "min").map { raw =>
+          t.manifestColExtreme(fld.name, wantMin = kind == "min", ref).map { raw =>
             // stats domain → the column's type (shared with the V1 plan
             // rule so both spellings materialize identically)
-            val v = ManifestAggOnV1.statsToColumn(raw, fld.dataType, session)
-            LocalRelation(
-              Seq(AttributeReference(name, fld.dataType, nullable = true)()),
-              Seq(InternalRow(v)))
+            (AttributeReference(name, fld.dataType, nullable = true)(),
+              ManifestAggOnV1.statsToColumn(raw, fld.dataType, session))
           }
         }
       case _ => None
     }
+    if (cells.exists(_.isEmpty)) None
+    else Some(LocalRelation(cells.map(_.get._1),
+      Seq(InternalRow.fromSeq(cells.map(_.get._2)))))
   }
 
   /** SQL time travel — the grammar-level spelling of the `graft.t$v<N>`

@@ -821,8 +821,18 @@ private[sources] final case class GraftRelation(
     */
   private def liveView: Boolean = versionAsOf.forall(_.isEmpty) && wapBranch.isEmpty
 
+  /** The ref the metadata layer may answer aggregates for: None = live
+    * (when no wap branch is active), Some(ref) = an explicit pinned
+    * snapshot/tag (round 10 — the table layer resolves and refuses
+    * branches itself). Returns None (no answer) under an active branch
+    * view, whose staged rows only the scan sees.
+    */
+  private def metaRef: Option[Option[String]] =
+    if (liveView) Some(None)
+    else versionAsOf.filter(_.nonEmpty).map(Some(_))
+
   override def manifestCount: Option[Long] =
-    if (liveView) table.fastRowCount else None
+    metaRef.flatMap(table.fastRowCount)
 
   /** Exact name first; case-insensitive only when unambiguous (two
     * columns differing by case must not answer for each other).
@@ -834,22 +844,24 @@ private[sources] final case class GraftRelation(
   }
 
   override def manifestExtreme(colName: String, wantMin: Boolean): Option[(Any, StructField)] =
-    if (!liveView) None
-    else resolveField(colName).flatMap(fld =>
-      table.manifestColExtreme(fld.name, wantMin).map(_ -> fld))
+    for {
+      ref <- metaRef
+      fld <- resolveField(colName)
+      v <- table.manifestColExtreme(fld.name, wantMin, ref)
+    } yield (v, fld)
 
   override def manifestGroupedAgg(groupCols: Seq[String], wants: Seq[(String, Option[String])])
       : Option[(Seq[StructField], Seq[Option[StructField]],
         Seq[(Seq[Option[String]], Seq[Any])])] =
-    if (!liveView) None
-    else for {
+    for {
+      ref <- metaRef
       gs <- traverse(groupCols.map(resolveField))
       aggFields <- traverse(wants.map {
         case (_, Some(c)) => resolveField(c).map(Some(_))
         case (_, None)    => Some(None)
       })
       resolved = wants.zip(aggFields).map { case ((k, _), f) => (k, f.map(_.name)) }
-      rows <- table.manifestGroupedAgg(gs.map(_.name), resolved)
+      rows <- table.manifestGroupedAgg(gs.map(_.name), resolved, ref)
     } yield (gs, aggFields, rows)
 
   private def traverse[A](xs: Seq[Option[A]]): Option[Seq[A]] =
@@ -905,11 +917,11 @@ private[sources] final case class GraftRelation(
     // when it is exact (every live group plain data with recorded rows —
     // fastRowCount's contract; MoR states fall through to the real scan).
     // At 100 TB this is the difference between milliseconds and a
-    // full-table job through the no-extensions seam. Live reads only:
-    // a ref read's pinned manifest is not the loaded table's.
-    if (requiredColumns.isEmpty && filters.isEmpty && versionAsOf.isEmpty &&
-        wapBranch.isEmpty) { // a staged branch view must count staged rows
-      table.fastRowCount.foreach { n =>
+    // full-table job through the no-extensions seam. Live reads and
+    // pinned snapshot/tag refs (round 10) — a staged branch view must
+    // count staged rows, which only the scan sees.
+    if (requiredColumns.isEmpty && filters.isEmpty) {
+      metaRef.flatMap(table.fastRowCount).foreach { n =>
         return sqlContext.sparkSession.range(n).toDF().select()
           .queryExecution.toRdd.asInstanceOf[RDD[Row]]
       }

@@ -422,12 +422,32 @@ final class ManagedTable private (
     * rows ≠ written rows until a full [[compact]]) or predates row-count
     * recording — callers fall back to [[rowCount]].
     */
-  def fastRowCount: Option[Long] = {
-    val entries = currentEntries
-    if (entries.forall(e => e.kind == Manifest.Data && e.rows >= 0L))
-      Some(entries.map(_.rows).sum)
-    else None
-  }
+  def fastRowCount: Option[Long] = fastRowCount(None)
+
+  /** [[fastRowCount]] against a PINNED ref (snapshot number or tag) —
+    * the count of `VERSION AS OF <ref>` from its own retained manifest.
+    */
+  def fastRowCount(ref: Option[String]): Option[Long] =
+    refEntries(ref).flatMap { entries =>
+      if (entries.forall(e => e.kind == Manifest.Data && e.rows >= 0L))
+        Some(entries.map(_.rows).sum)
+      else None
+    }
+
+  /** Entries of a PINNED ref for metadata-answered aggregates: None (the
+    * ref) = the live manifest; a snapshot number or tag = its retained
+    * manifest. None (the result) when the ref is a branch (a staged view
+    * must aggregate staged rows), unknown, or its manifest aged out of
+    * retention — callers fall back to the scan path, which raises the
+    * normal error for genuinely unreadable refs.
+    */
+  private def refEntries(ref: Option[String]): Option[Seq[ManifestEntry]] =
+    ref.filter(_.nonEmpty) match {
+      case None => Some(currentEntries)
+      case Some(r) =>
+        val v = if (r.forall(_.isDigit)) Some(r.toLong) else tags().get(r)
+        v.flatMap(x => Manifest.read(fs, manifestPath(x)))
+    }
 
   /** Exact visible-row count: the manifest answer when available, else one
     * scan. Appends/overwrites/compacted tables stay metadata-only.
@@ -443,8 +463,9 @@ final class ManagedTable private (
     * is returned in the stats domain (i→Long, f→Double, s→String);
     * callers cast to the column type.
     */
-  def manifestColExtreme(c: String, wantMin: Boolean): Option[Any] = {
-    val entries = currentEntries
+  def manifestColExtreme(c: String, wantMin: Boolean,
+                         ref: Option[String] = None): Option[Any] = {
+    val entries = refEntries(ref).getOrElse(return None)
     if (entries.isEmpty) return None
     if (!entries.forall(e => e.kind == Manifest.Data && e.stats.contains(c)))
       return None
@@ -488,10 +509,11 @@ final class ManagedTable private (
     *    them), and every counted group carries bounds for every min/max
     *    column (an all-null group has no bounds and cannot claim one).
     */
-  def manifestGroupedAgg(groupCols: Seq[String], wants: Seq[(String, Option[String])])
+  def manifestGroupedAgg(groupCols: Seq[String], wants: Seq[(String, Option[String])],
+                         ref: Option[String] = None)
       : Option[Seq[(Seq[Option[String]], Seq[Any])]] = {
     if (groupCols.isEmpty) return None
-    val entries = currentEntries
+    val entries = refEntries(ref).getOrElse(return None)
     if (entries.exists(e => entryEpoch(e.seq) != currentEpoch)) return None
     val pfs = groupCols.map { gc =>
       partitionFields.find(f => f.transform == "identity" &&

@@ -237,17 +237,34 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
       // count(col) needs null counts the manifest does not claim: no rewrite
       assert(!scanFree(rel.agg(fcount($"v"))))
 
-      // MoR state (an upsert group) makes bounds inexact: fall back + stay right
-      t.mergeInto(Seq((5L, "u")).toDF("id", "v"))
+      // a tag pinning a PLAIN-data snapshot answers from ITS manifest
+      // (round 10) — even after live DML moves on
+      ManagedTable.load(s2, wh, "ma").get.tag("clean")
+
+      // MoR state (an upsert group) makes bounds inexact: fall back + stay
+      // right (fresh handle: the tag above bumped the metadata generation)
+      ManagedTable.load(s2, wh, "ma").get.mergeInto(Seq((5L, "u")).toDF("id", "v"))
       val mor = rel.agg(fmin($"id").as("lo"), fmax($"id").as("hi"))
       assert(!scanFree(mor), "MoR states must fall back to the real scan")
       assert(mor.collect().head.toSeq == Seq(1L, 90L))
 
-      // ref reads aggregate their pinned view, not the live manifest
+      def taggedRel(ref: String) = s2.read.format("graft-table")
+        .option("warehouse", wh).option("table", "ma")
+        .option("versionAsOf", ref).load()
+      val cleanAgg = taggedRel("clean").agg(fmax($"id").as("hi"))
+      assert(scanFree(cleanAgg),
+        "a plain-data pinned tag must answer from its own manifest:\n" +
+          cleanAgg.queryExecution.optimizedPlan)
+      assert(cleanAgg.collect().head.getLong(0) == 90L)
+      // the SQL spelling of the same pinned aggregate rewrites too
+      val cleanSql = s2.sql(
+        "SELECT max(id) AS hi FROM graft.ma VERSION AS OF 'clean'")
+      assert(scanFree(cleanSql), "SQL ref aggregate must rewrite:\n" +
+        cleanSql.queryExecution.optimizedPlan)
+      assert(cleanSql.collect().head.getLong(0) == 90L)
+      // a tag pinning the MoR state falls back (hidden rows) + stays right
       ManagedTable.load(s2, wh, "ma").get.tag("pin")
-      val tagged = s2.read.format("graft-table").option("warehouse", wh)
-        .option("table", "ma").option("versionAsOf", "pin").load()
-        .agg(fmax($"id"))
+      val tagged = taggedRel("pin").agg(fmax($"id"))
       assert(!scanFree(tagged))
       assert(tagged.collect().head.getLong(0) == 90L)
 
@@ -349,6 +366,21 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
       val bareHaving = s2.sql(
         "SELECT count(*) AS n FROM graft.ma HAVING count(*) > 0")
       assert(bareHaving.collect().head.getLong(0) == 90L)
+      // grouped aggregates over a PINNED tag rewrite from its manifest
+      // (round 10): pin, then delete a whole partition live — the tag's
+      // grouped answer must keep the pre-delete counts, scan-free
+      ManagedTable.load(s2, wh, "mag").get.tag("gclean")
+      ManagedTable.load(s2, wh, "mag").get.deleteWhere($"day" === 1)
+      val gTag = s2.sql("SELECT day, count(*) AS n FROM graft.mag " +
+        "VERSION AS OF 'gclean' GROUP BY day")
+      assert(scanFree(gTag), "grouped ref aggregate must rewrite:\n" +
+        gTag.queryExecution.optimizedPlan)
+      assert(gTag.collect().map(_.toSeq).toSet ==
+        src.groupBy($"day").agg(fcount(lit(1)).as("n"))
+          .collect().map(_.toSeq).toSet)
+      val gLive = s2.sql("SELECT day, count(*) AS n FROM graft.mag GROUP BY day")
+      assert(!gLive.collect().exists(r => !r.isNullAt(0) && r.getInt(0) == 1),
+        "live grouped answer must reflect the delete")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
