@@ -304,6 +304,46 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
         GraftDmlCommand("ALTER SET TBLPROPERTIES", name,
           () => t.setProperties(props))
       }
+    // `ALTER TABLE graft.t UNSET TBLPROPERTIES [IF EXISTS] (k, …)` —
+    // the clear side of SET (round 10). Missing keys are a no-op either
+    // way ([[ManagedTable.unsetProperties]] semantics); IF EXISTS is
+    // accepted for compatibility.
+    case s @ UnsetTableProperties(GraftAlterTarget(name), keys, _) =>
+      withTable(s, name) { t =>
+        GraftDmlCommand("ALTER UNSET TBLPROPERTIES", name,
+          () => t.unsetProperties(keys))
+      }
+    // `SHOW TBLPROPERTIES graft.t [(key)]` — every live property (the
+    // honest introspection surface: replication markers, refs, write
+    // config all show; SHOW CREATE TABLE stays the curated round-trip
+    // form). A named missing key fails precisely.
+    case s: ShowTableProperties if (s.table match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+            u.multipartIdentifier.length == 2 &&
+              u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+              !u.multipartIdentifier(1).contains('$')
+          case _ => false
+        }) => {
+      val name = s.table
+        .asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView]
+        .multipartIdentifier(1)
+      session.conf.getOption("spark.graft.warehouse")
+        .flatMap(wh => ManagedTable.load(session, wh, name))
+        .map { t =>
+          val props = s.propertyKey match {
+            case Some(k) => Map(k -> t.meta.properties.getOrElse(k,
+              throw new IllegalArgumentException(
+                s"SHOW TBLPROPERTIES graft.$name: no property '$k'")))
+            case None => t.meta.properties
+          }
+          LocalRelation(s.output, props.toSeq.sortBy(_._1).map { case (k, v) =>
+            org.apache.spark.sql.catalyst.InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(k),
+              org.apache.spark.unsafe.types.UTF8String.fromString(v))
+          })
+        }
+        .getOrElse(s)
+    }
     // `CALL graft.system.<proc>(…)` — the Iceberg stored-procedure
     // analogue over the maintenance ladder: compact / compact_minor /
     // materialize_position_deletes / expire_snapshots /

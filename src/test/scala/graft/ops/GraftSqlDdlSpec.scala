@@ -55,6 +55,21 @@ class GraftSqlDdlSpec extends AnyFunSuite with SharedSpark {
       s2.sql("ALTER TABLE graft.logs SET TBLPROPERTIES ('write.cluster-by'='id')")
       assert(ManagedTable.load(s2, wh, "logs").get
         .meta.properties("write.cluster-by") == "id")
+      // SHOW TBLPROPERTIES: all properties, a named key, a missing key
+      val shownProps = s2.sql("SHOW TBLPROPERTIES graft.logs").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shownProps("write.cluster-by") == "id")
+      assert(s2.sql("SHOW TBLPROPERTIES graft.logs ('write.cluster-by')")
+        .collect().map(_.getString(1)).toSeq == Seq("id"))
+      val eShow = intercept[Exception] {
+        s2.sql("SHOW TBLPROPERTIES graft.logs ('nope')").collect()
+      }
+      assert(eShow.getMessage.contains("no property 'nope'"), eShow.getMessage)
+      // UNSET TBLPROPERTIES clears; missing keys are a no-op
+      s2.sql("ALTER TABLE graft.logs UNSET TBLPROPERTIES ('write.cluster-by', 'never-set')")
+      assert(!ManagedTable.load(s2, wh, "logs").get
+        .meta.properties.contains("write.cluster-by"))
+      s2.sql("ALTER TABLE graft.logs SET TBLPROPERTIES ('write.cluster-by'='id')")
       // evolved schema reads back with nulls for pre-evolution rows
       assert(s2.sql("SELECT source FROM graft.logs WHERE id = 1").head().isNullAt(0))
 
