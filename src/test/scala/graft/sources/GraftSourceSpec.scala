@@ -231,6 +231,21 @@ class GraftSourceSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.format("graft-table")
       .option("warehouse", w).option("table", "fc").load().count() == 120,
       "MoR states must fall back to the exact scan")
+
+    // a PINNED ref over a plain-data snapshot answers from ITS manifest
+    // too (round 10) — through the bare no-extensions seam
+    ManagedTable.load(spark, w, "fc").get.compact() // fold the MoR state
+    ManagedTable.load(spark, w, "fc").get.tag("pin")
+    ManagedTable.load(spark, w, "fc").get.deleteWhere(col("id") <= 100L)
+    def pinned = spark.read.format("graft-table")
+      .option("warehouse", w).option("table", "fc")
+      .option("versionAsOf", "pin").load()
+    // 120 ≠ the live count below proves the PINNED manifest answered;
+    // the dir-deletion proof is live-only (a ref relation's schema comes
+    // from the planned snapshot, which must still resolve its paths)
+    assert(pinned.count() == 120, "pinned-ref count must see the pre-delete state")
+    assert(spark.read.format("graft-table")
+      .option("warehouse", w).option("table", "fc").load().count() == 20)
   }
 
   test("changelog streaming source: version offsets, restart resume, barrier refusal") {
