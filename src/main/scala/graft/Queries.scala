@@ -1300,6 +1300,55 @@ object Queries {
       |WHERE o_orderstatus IN ('F', 'P')
       |  AND o_orderkey <= (SELECT (min(o_orderkey) + max(o_orderkey)) / 2 FROM orders)""".stripMargin))
 
+  /** Storage-partitioned join through the DSv2 catalog
+    * ([[graft.catalog.GraftCatalog]]): customer and orders re-hosted as
+    * graft tables CO-BUCKETED on the customer key (`bucket(8)`), then
+    * joined THROUGH the V2 seam under
+    * `spark.sql.sources.v2.bucketing.enabled`. The executed plan is
+    * runtime-asserted EXCHANGE-FREE: both join shuffles drop because each
+    * scan reports `KeyGroupedPartitioning` over the catalog's bucket
+    * function, whose semantics equal the write path's
+    * `pmod(hash(col), n)` — the on-disk layout IS Spark's hash
+    * partitioning (Iceberg's SPJ design). At 100 TB this is the fact-dim
+    * co-location path: the layout pays its shuffle once at write time,
+    * and every co-keyed join after is exchange-free. DuckDB replays the
+    * same join on the raw parquet.
+    */
+  val sqlSpjCobucketed = Q("sql_spj_cobucketed",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_spj").toString
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name")
+      val ords = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val tc = graft.tables.ManagedTable.create(s, wh, "cust_b",
+        cust.schema, Seq.empty, Seq("bucket(8, c_custkey)"))
+      tc.append(cust)
+      val to = graft.tables.ManagedTable.create(s, wh, "orders_b",
+        ords.schema, Seq.empty, Seq("bucket(8, o_custkey)"))
+      to.append(ords)
+      // isolated session: the SPJ confs ride with the returned frame's
+      // session instead of mutating the caller's (an unset
+      // autoBroadcastJoinThreshold would warp every later query)
+      val ns = s.newSession()
+      val cat = s"gspj_${java.util.UUID.randomUUID().toString.take(8)}"
+      ns.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      ns.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      ns.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      ns.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = ns.sql(
+        s"""SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+           |FROM $cat.cust_b c JOIN $cat.orders_b o ON c.c_custkey = o.o_custkey
+           |""".stripMargin)
+      // plan-shape assert needs no action: exchanges appear (or don't) in
+      // the initial physical plan — AQE only ever re-plans around them
+      val planStr = df.queryExecution.executedPlan.toString
+      require(!planStr.contains("Exchange"),
+        s"co-bucketed V2 join must be storage-partitioned (no exchange):\n$planStr")
+      df
+    },
+    Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      |FROM customer JOIN orders ON c_custkey = o_custkey""".stripMargin))
+
   /** Mergeable HLL sketch rollup ([[graft.operators.SketchRollup]],
     * Spark's Datasketches functions): per-day distinct-user sketches
     * built once from raw events — every later range/rollup question
@@ -4447,7 +4496,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,222 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.tables.{ManagedTable, TableMeta}
+
+/** The graft DSv2 catalog — the scale seam of the table layer.
+  *
+  * Registered as `spark.sql.catalog.<name> = graft.catalog.GraftCatalog`
+  * with `spark.sql.catalog.<name>.warehouse = <dir>`, it exposes every
+  * warehouse table to Spark's native V2 resolution: `SELECT … FROM
+  * <name>.<table>` plans a [[GraftScan]] whose per-partition-tuple input
+  * splits report [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+  * — so a join of two co-bucketed tables (or a GROUP BY on the partition
+  * key) runs with NO shuffle exchange under
+  * `spark.sql.sources.v2.bucketing.enabled`, Spark's storage-partitioned
+  * join. The reference gets this from Iceberg's SparkCatalog
+  * (docs/iceberg.md catalog configuration); graft re-expresses it over
+  * the manifest layer.
+  *
+  * Also a [[FunctionCatalog]]: Catalyst resolves the reported `bucket`
+  * transform through [[GraftBucketFunction]], whose semantics equal the
+  * write path's `pmod(hash(col), n)` — identical to Spark's own
+  * `HashPartitioning`, so the physical layout IS Spark's shuffle
+  * partitioning and SPJ compatibility is exact, not approximate.
+  *
+  * DDL: CREATE/CTAS/DROP TABLE work through the standard V2 path.
+  * ALTER routes to the `graft.` SQL surface (one schema-evolution
+  * implementation, not two). The namespace is single-level: tables live
+  * directly under the warehouse; the empty and `default` namespaces are
+  * interchangeable.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Tables live flat under the warehouse: `<catalog>.<t>` and
+    * `<catalog>.default.<t>` name the same table.
+    */
+  private def checkNs(ns: Array[String]): Unit =
+    if (!(ns.isEmpty || (ns.length == 1 && ns(0).equalsIgnoreCase("default"))))
+      throw new NoSuchNamespaceException(catalogName +: ns)
+
+  // ----------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    checkNs(namespace)
+    ManagedTable.list(spark, warehouse)
+      .map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    checkNs(ident.namespace)
+    ManagedTable.load(spark, warehouse, ident.name)
+      .map(new GraftV2Table(_))
+      .getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    checkNs(ident.namespace)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala.toMap
+    val ids = props.get(GraftCatalog.IdsProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    ids.foreach(i => require(schema.fieldNames.contains(i),
+      s"$catalogName.${ident.name}: identifier field '$i' is not a declared column"))
+    val spec = partitions.toSeq.map(GraftCatalog.transformToSpec(ident.name, _))
+    val t = ManagedTable.create(spark, warehouse, ident.name, schema, ids, spec,
+      props -- GraftCatalog.ReservedProps - GraftCatalog.IdsProp)
+    new GraftV2Table(t)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName.${ident.name}: ALTER TABLE through the V2 catalog is not " +
+        s"supported — use the graft SQL surface (ALTER TABLE graft.${ident.name} …), " +
+        "which owns schema and partition-spec evolution")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    checkNs(ident.namespace)
+    ManagedTable.load(spark, warehouse, ident.name) match {
+      case Some(_) =>
+        val fs = TableMeta.fs(spark.sparkContext.hadoopConfiguration, warehouse)
+        fs.delete(new Path(warehouse, ident.name), true)
+      case None => false
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName: RENAME TABLE is not supported (table names anchor " +
+        "replication markers and ref properties)")
+
+  // ------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = Array(Array("default"))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    checkNs(namespace)
+    Array.empty
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    checkNs(namespace)
+    Map("location" -> warehouse).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName: namespaces are fixed — tables live directly under the warehouse")
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(s"$catalogName: namespaces are fixed")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(s"$catalogName: namespaces are fixed")
+
+  // -------------------------------------------------------- functions
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    checkNs(namespace)
+    Array(Identifier.of(namespace, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier): UnboundFunction = {
+    checkNs(ident.namespace)
+    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+  }
+}
+
+object GraftCatalog {
+  /** Same key-constraint property the graft SQL CREATE surface uses. */
+  val IdsProp = "graft.identifier-fields"
+
+  /** Spark-managed reserved properties a V2 CREATE carries. */
+  val ReservedProps: Set[String] = Set(
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER,
+    TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_COMMENT, TableCatalog.PROP_TABLE_TYPE)
+
+  /** V2 transform → graft spec string (the grammar
+    * [[graft.tables.PartitionSpecParser]] parses).
+    */
+  def transformToSpec(table: String, t: Transform): String = {
+    val refs = t.references.toSeq.map(_.fieldNames.mkString("."))
+    val lits = t.arguments.toSeq.collect {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] => String.valueOf(l.value)
+    }
+    t.name.toLowerCase match {
+      case "identity"         => refs.head
+      case "years" | "year"   => s"year(${refs.head})"
+      case "months" | "month" => s"month(${refs.head})"
+      case "days" | "day"     => s"day(${refs.head})"
+      case "hours" | "hour"   => s"hour(${refs.head})"
+      case "bucket" =>
+        require(refs.length == 1 && lits.length == 1, s"$table: bucket takes (N, column)")
+        s"bucket(${refs.head},${lits.head})"
+      case "truncate" =>
+        require(refs.length == 1 && lits.length == 1, s"$table: truncate takes (W, column)")
+        s"truncate(${refs.head},${lits.head})"
+      case other => throw new IllegalArgumentException(
+        s"$table: unsupported partition transform '$other'")
+    }
+  }
+
+  /** Graft spec field → V2 transform, for [[GraftV2Table.partitioning]]. */
+  def specToTransform(pf: graft.tables.PartitionField, spec: Seq[String]): Transform =
+    pf.transform match {
+      case "identity" => Expressions.identity(pf.sourceColumn)
+      case "year"     => Expressions.years(pf.sourceColumn)
+      case "month"    => Expressions.months(pf.sourceColumn)
+      case "day"      => Expressions.days(pf.sourceColumn)
+      case "hour"     => Expressions.hours(pf.sourceColumn)
+      case "bucket"   => Expressions.bucket(numericArgOf(pf, spec), pf.sourceColumn)
+      case "truncate" =>
+        Expressions.apply("truncate",
+          Expressions.literal(Int.box(numericArgOf(pf, spec))), Expressions.column(pf.sourceColumn))
+      case other => throw new IllegalArgumentException(s"unknown transform '$other'")
+    }
+
+  /** Recover bucket N / truncate W from the raw spec string — the parsed
+    * [[graft.tables.PartitionField]] bakes it into the expression only.
+    */
+  private def numericArgOf(pf: graft.tables.PartitionField, spec: Seq[String]): Int = {
+    val Fn = """^(\w+)\((.+)\)$""".r
+    spec.map(_.trim).collectFirst {
+      case Fn(fn, args) if fn.equalsIgnoreCase(pf.transform) &&
+          args.split(",").map(_.trim).contains(pf.sourceColumn) =>
+        args.split(",").map(_.trim).flatMap(_.toIntOption).headOption.getOrElse(
+          throw new IllegalArgumentException(s"no numeric arg in '$fn($args)'"))
+    }.getOrElse(throw new IllegalArgumentException(
+      s"spec field ${pf.name} not found in ${spec.mkString(", ")}"))
+  }
+}

@@ -1,0 +1,495 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.connector.expressions.{Expressions, Expression => V2Expression}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.tables.{ManagedTable, Manifest, ManifestEntry}
+
+/** DSv2 read path over the manifest layer.
+  *
+  * The scan plans one input split per partition TUPLE (storage-partitioned
+  * mode) or per bounded file chunk, and each split resolves merge-on-read
+  * VISIBILITY locally inside its reader — no join in the Spark plan at
+  * all. That locality is exactly what the table layout guarantees:
+  * single-epoch delete scopes are partition-local
+  * ([[ManagedTable.morResolve]]'s anti-join matches partition columns
+  * alongside the identifiers), so a tuple's rows can only ever be hidden
+  * by that tuple's own upsert groups and posdel sidecars, both of which
+  * ride in the split. The per-split rule mirrors `morResolve` exactly:
+  *
+  *   visible(row) ⟺ row's (file,pos) ∉ posdel pairs
+  *               ∧ ¬tombstone
+  *               ∧ rowSeq ≥ max seq of the tuple's delete scopes naming
+  *                 the row's key (scopes above the posdel watermark plus
+  *                 pruning's delete carriers; keyless tables have none)
+  *
+  * At 100 TB the delete scopes a split loads are the UNCOMPACTED trickle
+  * of one partition tuple — the same rows the DataFrame path would
+  * broadcast — and the maintenance ladder (DV-at-commit, minor compact)
+  * keeps that bounded by design.
+  *
+  * Eligible scans report [[KeyGroupedPartitioning]] over the table's
+  * bucket/identity transforms, resolved through [[GraftBucketFunction]]:
+  * Spark's storage-partitioned join then drops BOTH shuffle exchanges of
+  * a co-bucketed join (and the exchange under a GROUP BY on the
+  * partition key) under `spark.sql.sources.v2.bucketing.enabled` — the
+  * Iceberg SPJ design, re-expressed over graft manifests.
+  */
+final class GraftScanBuilder(t: ManagedTable)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = t.meta.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var conjuncts: Seq[ManagedTable.PruneConjunct] = Seq.empty
+
+  override def pruneColumns(s: StructType): Unit = required = s
+
+  /** Best-effort manifest pruning: supported shapes become
+    * [[ManagedTable.PruneConjunct]]s (bounds ∧ Bloom ∧ partition-tuple per
+    * entry); EVERY filter stays residual, so Spark re-applies the exact
+    * predicate above the scan and pruning can only drop provably
+    * irrelevant groups. Values prune only when the literal's external
+    * class matches the column domain — never coerce on the pruning path.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val translated = filters.flatMap(f => GraftScan.toConjunct(t.meta.schema, f).map(f -> _))
+    pushed = translated.map(_._1)
+    conjuncts = translated.map(_._2).toSeq
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GraftScan(t, required, conjuncts)
+}
+
+final class GraftScan(t: ManagedTable, required: StructType,
+                      conjuncts: Seq[ManagedTable.PruneConjunct])
+    extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics {
+
+  private lazy val plan: GraftScan.Planned =
+    GraftScan.plan(SparkSession.active, t, required, conjuncts)
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft:${t.name} pushed=[${conjuncts.map(_.c).distinct.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = plan.partitions
+
+  override def outputPartitioning(): Partitioning = plan.keys match {
+    case Some(ks) if plan.partitions.nonEmpty =>
+      new KeyGroupedPartitioning(ks, plan.partitions.length)
+    case _ => new UnknownPartitioning(plan.partitions.length)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = plan.factory
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(plan.sizeInBytes)
+    override def numRows(): java.util.OptionalLong =
+      plan.numRows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+  }
+}
+
+object GraftScan {
+  import ManagedTable.{SeqCol, TombstoneCol}
+
+  /** One physical file of a group, as shipped to executors. */
+  final case class GFile(path: String, length: Long, entrySeq: Long) extends Serializable
+
+  class GraftInputPartition(val dataFiles: Array[GFile], val delFiles: Array[GFile],
+                            val posdelFiles: Array[GFile]) extends InputPartition
+
+  final class KeyedGraftInputPartition(dataFiles: Array[GFile], delFiles: Array[GFile],
+                                       posdelFiles: Array[GFile], key: InternalRow)
+      extends GraftInputPartition(dataFiles, delFiles, posdelFiles) with HasPartitionKey {
+    override def partitionKey(): InternalRow = key
+  }
+
+  final case class Planned(partitions: Array[InputPartition],
+                           keys: Option[Array[V2Expression]],
+                           factory: PartitionReaderFactory,
+                           sizeInBytes: Long, numRows: Option[Long])
+
+  /** V1 filter → prune conjunct, when the shape and the literal domain
+    * allow; None prunes nothing (the residual filter keeps semantics).
+    */
+  def toConjunct(schema: StructType, f: Filter): Option[ManagedTable.PruneConjunct] = {
+    def ok(c: String, v: Any): Boolean =
+      schema.fieldNames.contains(c) && v != null && (schema(c).dataType match {
+        case StringType    => v.isInstanceOf[String]
+        case IntegerType   => v.isInstanceOf[java.lang.Integer]
+        case LongType      => v.isInstanceOf[java.lang.Long]
+        case ShortType     => v.isInstanceOf[java.lang.Short]
+        case ByteType      => v.isInstanceOf[java.lang.Byte]
+        case DoubleType    => v.isInstanceOf[java.lang.Double]
+        case FloatType     => v.isInstanceOf[java.lang.Float]
+        case BooleanType   => v.isInstanceOf[java.lang.Boolean]
+        case DateType      => v.isInstanceOf[java.sql.Date] || v.isInstanceOf[java.time.LocalDate]
+        case TimestampType => v.isInstanceOf[java.sql.Timestamp] || v.isInstanceOf[java.time.Instant]
+        case _: DecimalType => v.isInstanceOf[java.math.BigDecimal]
+        case _             => false
+      })
+    f match {
+      case EqualTo(c, v) if ok(c, v) =>
+        Some(ManagedTable.PruneConjunct(c, Some(v), Some(v)))
+      case GreaterThan(c, v) if ok(c, v) =>
+        Some(ManagedTable.PruneConjunct(c, Some(v), None))
+      case GreaterThanOrEqual(c, v) if ok(c, v) =>
+        Some(ManagedTable.PruneConjunct(c, Some(v), None))
+      case LessThan(c, v) if ok(c, v) =>
+        Some(ManagedTable.PruneConjunct(c, None, Some(v)))
+      case LessThanOrEqual(c, v) if ok(c, v) =>
+        Some(ManagedTable.PruneConjunct(c, None, Some(v)))
+      case In(c, vs) if vs != null && vs.forall(ok(c, _)) =>
+        Some(ManagedTable.PruneConjunct(c, None, None, Some(vs.toSeq)))
+      case _ => None
+    }
+  }
+
+  private[catalog] def plan(spark: SparkSession, t: ManagedTable, required: StructType,
+                            conjuncts: Seq[ManagedTable.PruneConjunct]): Planned = {
+    val name = t.name
+    require(t.v2Format == "parquet",
+      s"graft V2 catalog: table $name stores ${t.v2Format} groups — the V2 read " +
+        "path is parquet-only; read via the graft SQL surface")
+    require(t.v2SingleEpoch,
+      s"graft V2 catalog: table $name has partition-spec history (evolved spec) — " +
+        s"CALL graft.system.compact('$name') normalizes files to the current spec, " +
+        "or read via the graft SQL surface (epoch-aware)")
+    require(!t.v2HasRenameLineage && !t.v2HasColumnDefaults,
+      s"graft V2 catalog: table $name carries rename lineage / initial column " +
+        "defaults — read via the graft SQL surface, which folds them at scan")
+
+    val (scanEntries, carriers) = t.v2PrunedEntries(conjuncts)
+    val posdels = scanEntries.filter(_.kind == Manifest.PosDel)
+    val dataEntries = scanEntries.filterNot(_.kind == Manifest.PosDel)
+    val appliedByTuple = posdels.groupBy(_.partition)
+      .map { case (p, es) => p -> es.map(_.seq).max }
+    def appliedFor(p: Map[String, String]): Long =
+      appliedByTuple.getOrElse(p, Long.MinValue)
+
+    val fs = t.v2TableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesOf(e: ManifestEntry): Array[GFile] = {
+      val dir = new Path(t.v2TableDir, e.path)
+      fs.listStatus(dir).collect {
+        case s if s.isFile && s.getPath.getName.endsWith(".parquet") &&
+            !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_") =>
+          GFile(s.getPath.toString, s.getLen, e.seq)
+      }
+    }
+
+    val keyed = t.meta.identifierFields.nonEmpty
+    val byTuple = dataEntries.groupBy(_.partition)
+    val carriersByTuple = carriers.groupBy(_.partition)
+    val posdelsByTuple = posdels.groupBy(_.partition)
+
+    // delete sources per tuple — morResolve's rule, single-epoch form:
+    // scan upserts strictly above both the tuple's min live seq and its
+    // posdel watermark, plus pruning's delete carriers (unconditioned)
+    def delSourcesOf(tuple: Map[String, String], es: Seq[ManifestEntry]): Seq[ManifestEntry] =
+      if (!keyed) Seq.empty
+      else {
+        val minSeq = es.map(_.seq).min
+        es.filter(e => e.kind == Manifest.Upsert &&
+          e.seq > appliedFor(tuple) && e.seq > minSeq) ++
+          carriersByTuple.getOrElse(tuple, Seq.empty)
+      }
+
+    val spjWanted = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+    val pfs = t.v2PartitionFields
+    val spjKeys: Option[Array[V2Expression]] =
+      if (!spjWanted || pfs.isEmpty) None
+      else {
+        val exprs = pfs.map { pf =>
+          pf.transform match {
+            case "identity" if keyTypeSupported(t.meta.schema(pf.sourceColumn).dataType) =>
+              Some(Expressions.identity(pf.sourceColumn): V2Expression)
+            case "bucket" =>
+              Some(Expressions.bucket(
+                GraftCatalog.specToTransform(pf, t.meta.partitionBy)
+                  .asInstanceOf[org.apache.spark.sql.connector.expressions.Transform]
+                  .arguments.collectFirst {
+                    case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                      l.value.asInstanceOf[Int]
+                  }.get, pf.sourceColumn): V2Expression)
+            case _ => None
+          }
+        }
+        if (exprs.forall(_.isDefined)) Some(exprs.flatten.toArray) else None
+      }
+
+    // typed partition-key rows, only when every tuple value parses
+    val keyRows: Option[Map[Map[String, String], InternalRow]] = spjKeys.flatMap { _ =>
+      val rows = byTuple.keys.toSeq.map { tuple =>
+        val vals = pfs.map { pf =>
+          val raw = tuple.getOrElse(pf.name, null)
+          parseTupleValue(raw, pf, t.meta.schema)
+        }
+        if (vals.exists(_.isEmpty)) None
+        else Some(tuple -> (new GenericInternalRow(vals.map(_.get.orNull).toArray[Any]): InternalRow))
+      }
+      if (rows.forall(_.isDefined)) Some(rows.flatten.toMap) else None
+    }
+
+    val maxFiles = math.max(1,
+      t.meta.properties.getOrElse("read.v2.split-max-files", "32").toInt)
+    val partitions: Array[InputPartition] = keyRows match {
+      case Some(keys) =>
+        byTuple.toArray.map { case (tuple, es) =>
+          new KeyedGraftInputPartition(
+            es.toArray.flatMap(filesOf),
+            delSourcesOf(tuple, es).distinct.toArray.flatMap(filesOf),
+            posdelsByTuple.getOrElse(tuple, Seq.empty).toArray.flatMap(filesOf),
+            keys(tuple)): InputPartition
+        }
+      case None =>
+        byTuple.toArray.flatMap { case (tuple, es) =>
+          val dels = delSourcesOf(tuple, es).distinct.toArray.flatMap(filesOf)
+          val pds = posdelsByTuple.getOrElse(tuple, Seq.empty).toArray.flatMap(filesOf)
+          es.toArray.flatMap(filesOf).grouped(maxFiles).map(chunk =>
+            new GraftInputPartition(chunk, dels, pds): InputPartition)
+        }
+    }
+
+    // ------------------------------------------------- reader factory
+    val dataSchema = StructType(t.v2PhysicalSchema.fields :+
+      StructField(SeqCol, LongType, nullable = true) :+
+      StructField(TombstoneCol, BooleanType, nullable = true))
+    val ids = t.meta.identifierFields
+    val extraIds = ids.filterNot(required.fieldNames.contains)
+    val matSchema = StructType(
+      required.fields.map(f => dataSchema(f.name)) ++
+        extraIds.map(dataSchema(_)) :+
+        dataSchema(SeqCol) :+ dataSchema(TombstoneCol))
+    val idIdxs = ids.map(matSchema.fieldIndex).toArray
+    val delSchema = StructType(ids.map(n => dataSchema(n)) :+ dataSchema(SeqCol))
+    val fmt = new ParquetFileFormat()
+    // row-based output: the vectorized reader still runs inside, yielding
+    // rows — the reader loop consumes one row at a time. Each build gets
+    // its OWN hadoop conf: the builder writes its requested schema into
+    // the conf it broadcasts.
+    val opts = Map(
+      org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false")
+    val dataReader = fmt.buildReaderWithPartitionValues(spark, dataSchema,
+      new StructType(), matSchema, Nil, opts, spark.sessionState.newHadoopConf())
+    val delReader =
+      if (keyed) fmt.buildReaderWithPartitionValues(spark, dataSchema,
+        new StructType(), delSchema, Nil, opts, spark.sessionState.newHadoopConf())
+      else null
+    val posdelReader = fmt.buildReaderWithPartitionValues(spark, ManagedTable.PosDelSchema,
+      new StructType(), ManagedTable.PosDelSchema, Nil, opts, spark.sessionState.newHadoopConf())
+
+    val factory = new GraftReaderFactory(dataReader, delReader, posdelReader,
+      matSchema, required.length, idIdxs, delSchema.length - 1)
+
+    val dataRows = dataEntries.map(_.rows)
+    Planned(partitions, spjKeys.filter(_ => keyRows.isDefined), factory,
+      sizeInBytes = partitions.collect {
+        case p: GraftInputPartition => p.dataFiles.map(_.length).sum }.sum,
+      numRows = if (dataRows.nonEmpty && dataRows.forall(_ >= 0L)) Some(dataRows.sum) else None)
+  }
+
+  private def keyTypeSupported(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+         BooleanType | DateType => true
+    case _ => false
+  }
+
+  /** Manifest tuple string → typed catalyst value; None = unparseable
+    * (the scan falls back to unkeyed splits). The hive null marker maps
+    * to a null key.
+    */
+  private def parseTupleValue(raw: String, pf: graft.tables.PartitionField,
+                              schema: StructType): Option[Option[Any]] = {
+    if (raw == null) return None
+    if (raw == "__HIVE_DEFAULT_PARTITION__") return Some(None)
+    try pf.transform match {
+      case "bucket" => Some(Some(raw.toInt))
+      case "identity" => schema(pf.sourceColumn).dataType match {
+        case StringType  => Some(Some(UTF8String.fromString(raw)))
+        case IntegerType => Some(Some(raw.toInt))
+        case LongType    => Some(Some(raw.toLong))
+        case ShortType   => Some(Some(raw.toShort))
+        case ByteType    => Some(Some(raw.toByte))
+        case BooleanType => Some(Some(raw.toBoolean))
+        case DateType    => Some(Some(java.time.LocalDate.parse(raw).toEpochDay.toInt))
+        case _           => None
+      }
+      case _ => None
+    } catch { case _: IllegalArgumentException | _: java.time.format.DateTimeParseException => None }
+  }
+}
+
+/** Serializable executor-side machinery: the three reader closures are the
+  * SAME vectorized parquet readers the file-source scan uses
+  * (`ParquetFileFormat.buildReaderWithPartitionValues` — broadcast conf,
+  * by-name projection, null-fill for pre-evolution files). Splits read
+  * whole files with no parquet-level filter, so the running ordinal IS the
+  * file's row index — the posdel pair domain.
+  */
+final class GraftReaderFactory(
+    dataReader: PartitionedFile => Iterator[InternalRow],
+    delReader: PartitionedFile => Iterator[InternalRow],
+    posdelReader: PartitionedFile => Iterator[InternalRow],
+    matSchema: StructType, outCount: Int, idIdxs: Array[Int], delSeqIdx: Int)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(partition.asInstanceOf[GraftScan.GraftInputPartition],
+      dataReader, delReader, posdelReader, matSchema, outCount, idIdxs, delSeqIdx)
+}
+
+final class GraftPartitionReader(
+    p: GraftScan.GraftInputPartition,
+    dataReader: PartitionedFile => Iterator[InternalRow],
+    delReader: PartitionedFile => Iterator[InternalRow],
+    posdelReader: PartitionedFile => Iterator[InternalRow],
+    matSchema: StructType, outCount: Int, idIdxs: Array[Int], delSeqIdx: Int)
+    extends PartitionReader[InternalRow] {
+
+  import GraftScan.GFile
+
+  private val seqIdx = matSchema.length - 2
+  private val tombIdx = matSchema.length - 1
+
+  /** Group-dir + file name — stable across URI renderings, unique because
+    * group dirs carry a uuid; joins posdel pair strings to split files.
+    */
+  private def fileKey(path: String): String = {
+    val i = path.lastIndexOf('/')
+    val j = path.lastIndexOf('/', i - 1)
+    path.substring(j + 1)
+  }
+
+  private def open(f: GFile, reader: PartitionedFile => Iterator[InternalRow])
+      : Iterator[InternalRow] =
+    reader(PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f.path),
+      0L, f.length, Array.empty, 0L, f.length)).asInstanceOf[Iterator[Any]].flatMap {
+      case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator()).asScala
+      case r => Iterator.single(r.asInstanceOf[InternalRow])
+    }
+
+  /** (group-dir/file) → hidden row positions. */
+  private lazy val posdelsByFile: java.util.HashMap[String, java.util.HashSet[java.lang.Long]] = {
+    val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
+    p.posdelFiles.foreach { f =>
+      val it = open(f, posdelReader)
+      while (it.hasNext) {
+        val r = it.next()
+        val k = fileKey(r.getUTF8String(0).toString)
+        var s = m.get(k)
+        if (s == null) { s = new java.util.HashSet[java.lang.Long](); m.put(k, s) }
+        s.add(r.getLong(1))
+      }
+    }
+    m
+  }
+
+  /** identifier key → max delete-scope seq (null map ⇔ keyless / no scopes). */
+  private lazy val delMax: java.util.HashMap[AnyRef, java.lang.Long] =
+    if (idIdxs.isEmpty || p.delFiles.isEmpty) null
+    else {
+      val m = new java.util.HashMap[AnyRef, java.lang.Long]()
+      val delIdIdxs = idIdxs.indices.toArray // delSchema = ids ++ seq
+      p.delFiles.foreach { f =>
+        val it = open(f, delReader)
+        while (it.hasNext) {
+          val r = it.next()
+          val k = keyOfIdx(r, delIdIdxs, i => delTypeAt(i))
+          val s: Long = if (r.isNullAt(delSeqIdx)) f.entrySeq else r.getLong(delSeqIdx)
+          val prev = m.get(k)
+          if (prev == null || prev < s) m.put(k, s)
+        }
+      }
+      m
+    }
+
+  private def delTypeAt(i: Int): DataType = matSchema(idIdxs(i)).dataType
+  private def dataTypeAt(i: Int): DataType = matSchema(idIdxs(i)).dataType
+
+  /** Copy-out id values (buffers behind vectorized rows are reused). */
+  private def keyOfIdx(r: InternalRow, idxs: Array[Int], typeOf: Int => DataType): AnyRef = {
+    def v(i: Int): AnyRef =
+      if (r.isNullAt(idxs(i))) null
+      else typeOf(i) match {
+        case StringType        => r.getUTF8String(idxs(i)).copy()
+        case IntegerType | DateType => Int.box(r.getInt(idxs(i)))
+        case LongType | TimestampType | TimestampNTZType => Long.box(r.getLong(idxs(i)))
+        case ShortType         => Short.box(r.getShort(idxs(i)))
+        case ByteType          => Byte.box(r.getByte(idxs(i)))
+        case BooleanType       => Boolean.box(r.getBoolean(idxs(i)))
+        case DoubleType        => Double.box(r.getDouble(idxs(i)))
+        case FloatType         => Float.box(r.getFloat(idxs(i)))
+        case d: DecimalType    => r.getDecimal(idxs(i), d.precision, d.scale).toJavaBigDecimal
+        case BinaryType        => java.nio.ByteBuffer.wrap(r.getBinary(idxs(i)).clone())
+        case other => throw new UnsupportedOperationException(
+          s"graft V2 reader: identifier type $other")
+      }
+    if (idxs.length == 1) v(0)
+    else { val a = new Array[AnyRef](idxs.length); var i = 0
+           while (i < idxs.length) { a(i) = v(i); i += 1 }; a.toList }
+  }
+
+  private val proj = UnsafeProjection.create(
+    matSchema.fields.take(outCount).toIndexedSeq.zipWithIndex.map { case (f, i) =>
+      BoundReference(i, f.dataType, f.nullable)
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+    })
+
+  private var fileIdx = 0
+  private var iter: Iterator[InternalRow] = Iterator.empty
+  private var curEntrySeq = 0L
+  private var curHidden: java.util.HashSet[java.lang.Long] = null
+  private var pos = -1L
+  private var cur: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (iter.hasNext) {
+        val r = iter.next()
+        pos += 1L
+        val posHidden = curHidden != null && curHidden.contains(pos)
+        if (!posHidden) {
+          val tomb = !r.isNullAt(tombIdx) && r.getBoolean(tombIdx)
+          if (!tomb) {
+            val rowSeq = if (r.isNullAt(seqIdx)) curEntrySeq else r.getLong(seqIdx)
+            val eqHidden = delMax != null && {
+              val m = delMax.get(keyOfIdx(r, idIdxs, i => dataTypeAt(i)))
+              m != null && m > rowSeq
+            }
+            if (!eqHidden) { cur = proj(r); return true }
+          }
+        }
+      } else if (fileIdx < p.dataFiles.length) {
+        val f = p.dataFiles(fileIdx)
+        fileIdx += 1
+        iter = open(f, dataReader)
+        curEntrySeq = f.entrySeq
+        curHidden = posdelsByFile.get(fileKey(f.path))
+        pos = -1L
+      } else return false
+    }
+    false
+  }
+
+  override def get(): InternalRow = cur
+
+  override def close(): Unit = ()
+}

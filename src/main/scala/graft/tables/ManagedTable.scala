@@ -1597,10 +1597,21 @@ final class ManagedTable private (
   def readPrunedConjunction(preds: Seq[ManagedTable.PruneConjunct],
                             ref: Option[String] = None): DataFrame = {
     val entries = ref.map(refEntries).getOrElse(currentEntries)
+    val (scan, carriers) = prunedSplit(entries, preds)
+    morRead(scan, deleteCarriers = carriers)
+  }
+
+  /** Entry-set face of [[readPrunedConjunction]]: (scan entries, delete
+    * carriers) over a given entry set. A sound superset per the same
+    * per-conjunct rules; callers re-apply the exact predicates.
+    */
+  private def prunedSplit(entries: Seq[ManifestEntry],
+                          preds: Seq[ManagedTable.PruneConjunct])
+      : (Seq[ManifestEntry], Seq[ManifestEntry]) = {
     val valid = preds.filter(p =>
       _meta.schema.fieldNames.contains(p.c) &&
         (p.lo.isDefined || p.hi.isDefined || p.values.isDefined))
-    if (valid.isEmpty) return morRead(entries)
+    if (valid.isEmpty) return (entries, Seq.empty)
     // per-entry state per conjunct: 2 = may hold matching rows, 1 = delete
     // scopes only (carrier), 0 = provably irrelevant; combine as min
     val states = valid.map { p =>
@@ -1609,9 +1620,31 @@ final class ManagedTable private (
         entries.map(e => e.path -> 2).toMap } // unevaluable: no pruning
     }
     def st(e: ManifestEntry): Int = states.map(_(e.path)).min
-    morRead(entries.filter(st(_) == 2),
-      deleteCarriers = entries.filter(st(_) == 1))
+    (entries.filter(st(_) == 2), entries.filter(st(_) == 1))
   }
+
+  // ------------------------------------------------------------- V2 seam
+  //
+  // Read-only internals for the DSv2 catalog ([[graft.catalog]]). The V2
+  // scan plans per-partition-tuple MoR reads straight from the manifest
+  // and must see exactly what [[morRead]] sees; everything here is a
+  // view — the catalog never mutates table state through it.
+
+  private[graft] def v2SnapshotEntries: Seq[ManifestEntry] = currentEntries
+  private[graft] def v2PhysicalSchema: StructType = physicalSchema
+  private[graft] def v2SingleEpoch: Boolean = specBoundaries.isEmpty
+  private[graft] def v2HasRenameLineage: Boolean = renameAliases.nonEmpty
+  private[graft] def v2HasColumnDefaults: Boolean = columnDefaults.nonEmpty
+  private[graft] def v2Format: String = format
+  private[graft] def v2TableDir: Path = tableDir
+  private[graft] def v2PartitionFields: Seq[PartitionField] = partitionFields
+
+  /** Manifest-level pruning for the V2 pushed-filter path — the same
+    * superset-safe split the SQL rule uses, over the current snapshot.
+    */
+  private[graft] def v2PrunedEntries(preds: Seq[ManagedTable.PruneConjunct])
+      : (Seq[ManifestEntry], Seq[ManifestEntry]) =
+    prunedSplit(currentEntries, preds)
 
   /** Entry states for ONE conjunct — see [[readPrunedConjunction]]. */
   private def conjunctStates(entries: Seq[ManifestEntry],

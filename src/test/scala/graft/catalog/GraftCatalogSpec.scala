@@ -1,0 +1,221 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SharedSpark
+import graft.cdc.CdcApply
+import graft.tables.ManagedTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 catalog seam: differential correctness against the DataFrame
+  * read path across MoR states, storage-partitioned join plan shape, and
+  * the refusal edges.
+  */
+class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def tmpWarehouse(): String =
+    Files.createTempDirectory("graft-v2wh").toString
+
+  /** Each test registers its own catalog name — catalog instances pin
+    * their warehouse at first use.
+    */
+  private def registerCatalog(wh: String): String = {
+    val cat = s"gv2_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    cat
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("name", StringType),
+    StructField("__op", StringType),
+    StructField("__source_ts_ns", LongType)))
+
+  private def rows(t: (Int, String, String, Long)*) =
+    t.toSeq.toDF("id", "name", "__op", "__source_ts_ns")
+
+  private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  private def assertSameRows(v2: DataFrame, api: DataFrame): Unit = {
+    assert(v2.schema.fieldNames.toSeq == api.schema.fieldNames.toSeq)
+    assert(sortedRows(v2) == sortedRows(api))
+  }
+
+  test("bucket function computes exactly the write path's pmod(hash(col), n)") {
+    val df = Seq(1, 7, -3, 42, Int.MaxValue).toDF("k")
+      .withColumn("b", pmod(hash(col("k")), lit(8)))
+    df.collect().foreach { r =>
+      val bf = BoundBucket(IntegerType)
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](8, r.getInt(0)))
+      assert(bf.produceResult(row) == r.getInt(1), s"int key ${r.getInt(0)}")
+    }
+    val sdf = Seq("a", "hello", "", "été").toDF("k")
+      .withColumn("b", pmod(hash(col("k")), lit(16)))
+    sdf.collect().foreach { r =>
+      val bf = BoundBucket(StringType)
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](16, org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
+      assert(bf.produceResult(row) == r.getInt(1), s"string key ${r.getString(0)}")
+    }
+    val ldf = Seq(1L, -99L, 1234567890123L).toDF("k")
+      .withColumn("b", pmod(hash(col("k")), lit(4)))
+    ldf.collect().foreach { r =>
+      val bf = BoundBucket(LongType)
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](4, r.getLong(0)))
+      assert(bf.produceResult(row) == r.getInt(1), s"long key ${r.getLong(0)}")
+    }
+  }
+
+  test("V2 read = DataFrame read: unpartitioned keyed MoR with trickle and tombstones") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "t1", schema, Seq("id"))
+    t.merge(rows((1, "a", "c", 1L), (2, "b", "c", 1L), (3, "c", "c", 1L)))
+    t.merge(rows((1, "a2", "u", 2L), (4, "d", "c", 2L)))
+    t.merge(rows((2, null, "d", 3L), (5, "e", "c", 3L)),
+      CdcApply.UpsertConfig(keepDeletes = false))
+    val cat = registerCatalog(wh)
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.t1"), t.read())
+    // column pruning + empty projection (count star)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t1").as[Long].head() == t.read().count())
+    assertSameRows(spark.sql(s"SELECT name FROM $cat.t1"), t.read().select("name"))
+  }
+
+  test("V2 read = DataFrame read: posdel sidecars and post-sidecar trickle") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "t2", schema, Seq("id"))
+    t.merge(rows((1 to 50).map(i => (i, s"n$i", "c", 1L)): _*))
+    t.merge(rows((1, "a2", "u", 2L), (2, null, "d", 2L)),
+      CdcApply.UpsertConfig(keepDeletes = false))
+    t.materializePositionalDeletes()
+    t.merge(rows((3, "c3", "u", 3L), (51, "x", "c", 3L)))
+    val cat = registerCatalog(wh)
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.t2"), t.read())
+  }
+
+  test("V2 read = DataFrame read: bucket-partitioned table, pruned filters stay sound") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "t3", schema, Seq("id"),
+      partitionBy = Seq("bucket(id,4)"))
+    t.merge(rows((1 to 200).map(i => (i, s"n$i", "c", 1L)): _*))
+    t.merge(rows((1, "a2", "u", 2L), (7, null, "d", 2L), (201, "w", "c", 2L)),
+      CdcApply.UpsertConfig(keepDeletes = false))
+    val cat = registerCatalog(wh)
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.t3"), t.read())
+    assertSameRows(
+      spark.sql(s"SELECT id, name FROM $cat.t3 WHERE id = 42"),
+      t.read().filter(col("id") === 42).select("id", "name"))
+    assertSameRows(
+      spark.sql(s"SELECT id FROM $cat.t3 WHERE id > 150 AND id <= 160"),
+      t.read().filter(col("id") > 150 && col("id") <= 160).select("id"))
+    assertSameRows(
+      spark.sql(s"SELECT id FROM $cat.t3 WHERE id IN (1, 7, 42, 999)"),
+      t.read().filter(col("id").isin(1, 7, 42, 999)).select("id"))
+  }
+
+  test("V2 read = DataFrame read: keyless table across many chunked splits") {
+    val wh = tmpWarehouse()
+    val kschema = StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("v", StringType)))
+    val t = ManagedTable.create(spark, wh, "t4", kschema,
+      properties = Map("read.v2.split-max-files" -> "1"))
+    (1 to 4).foreach(b => t.append(Seq.tabulate(25)(i => (b * 100 + i, s"v$b-$i")).toDF("k", "v")))
+    val cat = registerCatalog(wh)
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.t4"), t.read())
+  }
+
+  test("storage-partitioned join: co-bucketed join and keyed group-by plan no shuffle") {
+    val wh = tmpWarehouse()
+    val a = ManagedTable.create(spark, wh, "spj_a", StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("v", StringType))), partitionBy = Seq("bucket(id,4)"))
+    val b = ManagedTable.create(spark, wh, "spj_b", StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("w", LongType))), partitionBy = Seq("bucket(id,4)"))
+    a.append(Seq.tabulate(300)(i => (i, s"a$i")).toDF("id", "v"))
+    b.append(Seq.tabulate(300)(i => (i * 2, i.toLong)).toDF("id", "w"))
+    val cat = registerCatalog(wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.sql(
+        s"SELECT a.id, a.v, b.w FROM $cat.spj_a a JOIN $cat.spj_b b ON a.id = b.id")
+      val got = sortedRows(joined)
+      val expect = sortedRows(
+        a.read().as("a").join(b.read().as("b"), "id").select($"id", $"v", $"w"))
+      assert(got == expect)
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(!planStr.contains("Exchange"),
+        s"co-bucketed join should be storage-partitioned (no exchange):\n$planStr")
+
+      val agg = spark.sql(s"SELECT id, count(*) AS n FROM $cat.spj_a GROUP BY id")
+      val aggGot = sortedRows(agg)
+      val aggExpect = sortedRows(a.read().groupBy("id").agg(count(lit(1)).as("n")))
+      assert(aggGot == aggExpect)
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"keyed group-by over the bucketed layout should not shuffle:\n$aggPlan")
+
+      // without the conf the same query still answers correctly (shuffled)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      assert(sortedRows(spark.sql(
+        s"SELECT a.id, a.v, b.w FROM $cat.spj_a a JOIN $cat.spj_b b ON a.id = b.id")) == expect)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("CREATE / DROP through the V2 catalog; writes and ALTER refuse") {
+    val wh = tmpWarehouse()
+    val cat = registerCatalog(wh)
+    spark.sql(s"CREATE TABLE $cat.created (id INT, v STRING) PARTITIONED BY (bucket(8, id)) " +
+      s"TBLPROPERTIES ('graft.identifier-fields' = 'id', 'write.target-rows' = '1000')")
+    val t = ManagedTable.load(spark, wh, "created").get
+    assert(t.meta.identifierFields == Seq("id"))
+    assert(t.meta.partitionBy == Seq("bucket(id,8)"))
+    assert(t.meta.properties.get("write.target-rows").contains("1000"))
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1)).contains("created"))
+    val e = intercept[Exception](spark.sql(s"INSERT INTO $cat.created VALUES (1, 'x')"))
+    assert(e.getMessage.toLowerCase.contains("does not support") ||
+      e.getMessage.toLowerCase.contains("unsupported"),
+      s"insert should refuse through V2: ${e.getMessage}")
+    val e2 = intercept[Exception](spark.sql(s"ALTER TABLE $cat.created ADD COLUMN z INT"))
+    assert(e2.getMessage.contains("graft SQL surface"), e2.getMessage)
+    spark.sql(s"DROP TABLE $cat.created")
+    assert(ManagedTable.load(spark, wh, "created").isEmpty)
+  }
+
+  test("refusals: evolved partition spec and rename lineage point at the SQL surface") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "ref1", schema, Seq("id"))
+    t.merge(rows((1, "a", "c", 1L)))
+    t.updatePartitionSpec(Seq("bucket(id,4)"))
+    t.merge(rows((2, "b", "c", 2L)))
+    val cat = registerCatalog(wh)
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM $cat.ref1").collect())
+    assert(e.getMessage.contains("partition-spec history") ||
+      (e.getCause != null && e.getCause.getMessage.contains("partition-spec history")),
+      s"expected spec-history refusal, got: ${e.getMessage}")
+
+    val t2 = ManagedTable.create(spark, wh, "ref2", schema, Seq("id"))
+    t2.merge(rows((1, "a", "c", 1L)))
+    t2.renameColumn("name", "label")
+    val e2 = intercept[Exception](spark.sql(s"SELECT * FROM $cat.ref2").collect())
+    assert(e2.getMessage.contains("rename lineage") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("rename lineage")),
+      s"expected rename-lineage refusal, got: ${e2.getMessage}")
+  }
+}
