@@ -72,11 +72,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .map(Identifier.of(namespace, _)).toArray
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  private def managed(ident: Identifier): ManagedTable = {
     checkNs(ident.namespace)
     ManagedTable.load(spark, warehouse, ident.name)
-      .map(new GraftV2Table(_))
       .getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** Plain resolution adjudicates `spark.wap.branch` exactly like the
+    * graft SQL surface: with the conf naming a LIVE branch of this table,
+    * the read serves the branch's staged view; an absent branch falls
+    * back to live. A V2 read and a graft SQL read in one session must
+    * never disagree.
+    */
+  override def loadTable(ident: Identifier): Table = {
+    val t = managed(ident)
+    val wap = spark.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
+      .filter(b => t.branches().contains(b))
+    new GraftV2Table(t, wap)
+  }
+
+  /** `VERSION AS OF '<ref>'` — snapshot number, tag or branch; resolved
+    * eagerly so an unknown ref fails at analysis listing the live refs.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = managed(ident)
+    t.v2RefEntries(version)
+    new GraftV2Table(t, Some(version))
+  }
+
+  /** `TIMESTAMP AS OF` — micros since epoch (Spark's V2 contract); reads
+    * the last snapshot committed at or before it, like the SQL surface's
+    * `readAsOf`.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = managed(ident)
+    val tsMs = timestamp / 1000L
+    val vs = t.versions()
+    val at = vs.filter(_._2 <= tsMs)
+    if (at.isEmpty) throw new IllegalArgumentException(
+      s"no retained snapshot of ${ident.name} at or before $tsMs " +
+        s"(earliest retained: ${vs.headOption.map(_._2).getOrElse("none")})")
+    new GraftV2Table(t, Some(at.last._1.toString))
   }
 
   override def invalidateTable(ident: Identifier): Unit = ()

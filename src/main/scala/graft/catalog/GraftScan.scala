@@ -46,7 +46,7 @@ import graft.tables.{ManagedTable, Manifest, ManifestEntry}
   * partition key) under `spark.sql.sources.v2.bucketing.enabled` — the
   * Iceberg SPJ design, re-expressed over graft manifests.
   */
-final class GraftScanBuilder(t: ManagedTable)
+final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = t.meta.schema
@@ -71,22 +71,24 @@ final class GraftScanBuilder(t: ManagedTable)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftScan(t, required, conjuncts)
+  override def build(): Scan = new GraftScan(t, required, conjuncts, pinnedRef)
 }
 
 final class GraftScan(t: ManagedTable, required: StructType,
-                      conjuncts: Seq[ManagedTable.PruneConjunct])
+                      conjuncts: Seq[ManagedTable.PruneConjunct],
+                      pinnedRef: Option[String] = None)
     extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics {
 
   private lazy val plan: GraftScan.Planned =
-    GraftScan.plan(SparkSession.active, t, required, conjuncts)
+    GraftScan.plan(SparkSession.active, t, required, conjuncts, pinnedRef)
 
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"graft:${t.name} pushed=[${conjuncts.map(_.c).distinct.mkString(",")}]"
+    s"graft:${t.name}${pinnedRef.map(r => s"@$r").getOrElse("")} " +
+      s"pushed=[${conjuncts.map(_.c).distinct.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = plan.partitions
 
@@ -163,7 +165,8 @@ object GraftScan {
   }
 
   private[catalog] def plan(spark: SparkSession, t: ManagedTable, required: StructType,
-                            conjuncts: Seq[ManagedTable.PruneConjunct]): Planned = {
+                            conjuncts: Seq[ManagedTable.PruneConjunct],
+                            pinnedRef: Option[String]): Planned = {
     val name = t.name
     require(t.v2Format == "parquet",
       s"graft V2 catalog: table $name stores ${t.v2Format} groups — the V2 read " +
@@ -176,7 +179,8 @@ object GraftScan {
       s"graft V2 catalog: table $name carries rename lineage / initial column " +
         "defaults — read via the graft SQL surface, which folds them at scan")
 
-    val (scanEntries, carriers) = t.v2PrunedEntries(conjuncts)
+    val snapshot = pinnedRef.map(t.v2RefEntries).getOrElse(t.v2SnapshotEntries)
+    val (scanEntries, carriers) = t.v2PrunedEntries(conjuncts, snapshot)
     val posdels = scanEntries.filter(_.kind == Manifest.PosDel)
     val dataEntries = scanEntries.filterNot(_.kind == Manifest.PosDel)
     val appliedByTuple = posdels.groupBy(_.partition)

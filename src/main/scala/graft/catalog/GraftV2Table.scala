@@ -16,8 +16,15 @@ import graft.tables.ManagedTable
   * verb lives on the `graft.` SQL surface and the [[ManagedTable]] API
   * (one commit protocol, not two). The table handle pins the snapshot
   * loaded at resolution time, so one query reads one version.
+  *
+  * `pinnedRef` carries V2 time travel (`VERSION AS OF` → snapshot number
+  * / tag / branch via [[GraftCatalog.loadTable]]) and the wap-branch
+  * routing: the scan plans from that ref's entry set instead of the
+  * live snapshot.
   */
-final class GraftV2Table(val t: ManagedTable) extends Table with SupportsRead {
+final class GraftV2Table(val t: ManagedTable,
+                         val pinnedRef: Option[String] = None)
+    extends Table with SupportsRead {
 
   override def name(): String = t.name
 
@@ -32,5 +39,5 @@ final class GraftV2Table(val t: ManagedTable) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(t)
+    new GraftScanBuilder(t, pinnedRef)
 }

@@ -1640,11 +1640,19 @@ final class ManagedTable private (
   private[graft] def v2PartitionFields: Seq[PartitionField] = partitionFields
 
   /** Manifest-level pruning for the V2 pushed-filter path — the same
-    * superset-safe split the SQL rule uses, over the current snapshot.
+    * superset-safe split the SQL rule uses, over the given entry set
+    * (current snapshot, or a pinned ref's).
     */
-  private[graft] def v2PrunedEntries(preds: Seq[ManagedTable.PruneConjunct])
+  private[graft] def v2PrunedEntries(preds: Seq[ManagedTable.PruneConjunct],
+                                     entries: Seq[ManifestEntry])
       : (Seq[ManifestEntry], Seq[ManifestEntry]) =
-    prunedSplit(currentEntries, preds)
+    prunedSplit(entries, preds)
+
+  /** Pinned entry set of a snapshot number / tag / branch — V2 time
+    * travel and wap-branch routing read through this (same resolution as
+    * [[readRef]]).
+    */
+  private[graft] def v2RefEntries(ref: String): Seq[ManifestEntry] = refEntries(ref)
 
   /** Entry states for ONE conjunct — see [[readPrunedConjunction]]. */
   private def conjunctStates(entries: Seq[ManifestEntry],

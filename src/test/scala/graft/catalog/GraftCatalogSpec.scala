@@ -198,6 +198,47 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     assert(ManagedTable.load(spark, wh, "created").isEmpty)
   }
 
+  test("V2 time travel: VERSION AS OF number / tag, TIMESTAMP AS OF, unknown ref fails") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "tt", schema, Seq("id"))
+    t.merge(rows((1, "a", "c", 1L), (2, "b", "c", 1L)))
+    val v1 = t.meta.currentVersion
+    t.tag("audit")
+    t.merge(rows((1, "a2", "u", 2L), (3, "c", "c", 2L)))
+    val cat = registerCatalog(wh)
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.tt VERSION AS OF $v1"), t.readVersion(v1))
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.tt VERSION AS OF 'audit'"), t.readTag("audit"))
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.tt"), t.read())
+    val tsMs = t.versions().find(_._1 == v1).get._2
+    val tsLit = java.time.Instant.ofEpochMilli(tsMs).toString
+    assertSameRows(
+      spark.sql(s"SELECT * FROM $cat.tt TIMESTAMP AS OF '$tsLit'"), t.readVersion(v1))
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM $cat.tt VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("unknown version ref") ||
+      (e.getCause != null && e.getCause.getMessage.contains("unknown version ref")),
+      e.getMessage)
+  }
+
+  test("V2 reads adjudicate spark.wap.branch like the SQL surface") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "wapt", schema, Seq("id"))
+    t.merge(rows((1, "a", "c", 1L), (2, "b", "c", 1L)))
+    t.stageAppend(rows((3, "staged", "c", 2L)), "audit_b")
+    val cat = registerCatalog(wh)
+    try {
+      spark.conf.set("spark.wap.branch", "audit_b")
+      assertSameRows(spark.sql(s"SELECT * FROM $cat.wapt"), t.readBranch("audit_b"))
+      // absent branch falls back to live (the SQL rule's wapBranchOn shape)
+      spark.conf.set("spark.wap.branch", "no_such_branch")
+      assertSameRows(spark.sql(s"SELECT * FROM $cat.wapt"), t.read())
+      // explicit time travel wins over the ambient branch
+      spark.conf.set("spark.wap.branch", "audit_b")
+      val v = t.meta.currentVersion
+      assertSameRows(spark.sql(s"SELECT * FROM $cat.wapt VERSION AS OF $v"), t.readVersion(v))
+    } finally spark.conf.unset("spark.wap.branch")
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.wapt"), t.read())
+  }
+
   test("refusals: evolved partition spec and rename lineage point at the SQL surface") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "ref1", schema, Seq("id"))
