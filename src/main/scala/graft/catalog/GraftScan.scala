@@ -77,10 +77,38 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None)
 final class GraftScan(t: ManagedTable, required: StructType,
                       conjuncts: Seq[ManagedTable.PruneConjunct],
                       pinnedRef: Option[String] = None)
-    extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
-  private lazy val plan: GraftScan.Planned =
-    GraftScan.plan(SparkSession.active, t, required, conjuncts, pinnedRef)
+  /** Runtime (DPP-style) conjuncts — [[filter]] installs them after the
+    * build side of a join materializes; re-planning prunes groups against
+    * them. Superset-safe like every manifest prune, so serving extra rows
+    * is always correct — the join re-filters.
+    */
+  @volatile private var runtimeConjuncts: Seq[ManagedTable.PruneConjunct] = Seq.empty
+  @volatile private var planned: GraftScan.Planned = null
+
+  private def plan: GraftScan.Planned = {
+    var p = planned
+    if (p == null) {
+      p = GraftScan.plan(SparkSession.active, t, required, conjuncts,
+        runtimeConjuncts, pinnedRef)
+      planned = p
+    }
+    p
+  }
+
+  /** Columns a runtime filter can prune on: partition sources (tuple
+    * probes) plus identifiers (bounds + Bloom probes).
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (t.v2PartitionFields.map(_.sourceColumn) ++ t.meta.identifierFields)
+      .distinct.map(Expressions.column).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeConjuncts = filters.flatMap(GraftScan.toConjunct(t.meta.schema, _)).toSeq
+    planned = null
+  }
 
   override def readSchema(): StructType = required
 
@@ -166,6 +194,7 @@ object GraftScan {
 
   private[catalog] def plan(spark: SparkSession, t: ManagedTable, required: StructType,
                             conjuncts: Seq[ManagedTable.PruneConjunct],
+                            runtimeConjuncts: Seq[ManagedTable.PruneConjunct],
                             pinnedRef: Option[String]): Planned = {
     val name = t.name
     require(t.v2Format == "parquet",
@@ -180,7 +209,13 @@ object GraftScan {
         "defaults — read via the graft SQL surface, which folds them at scan")
 
     val snapshot = pinnedRef.map(t.v2RefEntries).getOrElse(t.v2SnapshotEntries)
-    val (scanEntries, carriers) = t.v2PrunedEntries(conjuncts, snapshot)
+    val (staticScan, staticCarriers) = t.v2PrunedEntries(conjuncts, snapshot)
+    // runtime filters narrow further, but the reported partition-VALUE set
+    // must stay the statically planned one (SPJ consistency): filtered-out
+    // tuples keep an EMPTY keyed split below
+    val (scanEntries, carriers) =
+      if (runtimeConjuncts.isEmpty) (staticScan, staticCarriers)
+      else t.v2PrunedEntries(conjuncts ++ runtimeConjuncts, snapshot)
     val posdels = scanEntries.filter(_.kind == Manifest.PosDel)
     val dataEntries = scanEntries.filterNot(_.kind == Manifest.PosDel)
     val appliedByTuple = posdels.groupBy(_.partition)
@@ -207,7 +242,7 @@ object GraftScan {
     // scan upserts strictly above both the tuple's min live seq and its
     // posdel watermark, plus pruning's delete carriers (unconditioned)
     def delSourcesOf(tuple: Map[String, String], es: Seq[ManifestEntry]): Seq[ManifestEntry] =
-      if (!keyed) Seq.empty
+      if (!keyed || es.isEmpty) Seq.empty // no rows in the split, nothing to hide
       else {
         val minSeq = es.map(_.seq).min
         es.filter(e => e.kind == Manifest.Upsert &&
@@ -238,9 +273,14 @@ object GraftScan {
         if (exprs.forall(_.isDefined)) Some(exprs.flatten.toArray) else None
       }
 
+    // keyed splits iterate the STATIC tuple set so runtime filtering
+    // never changes the reported partition values
+    val spjTuples = staticScan.filterNot(_.kind == Manifest.PosDel)
+      .map(_.partition).distinct
+
     // typed partition-key rows, only when every tuple value parses
     val keyRows: Option[Map[Map[String, String], InternalRow]] = spjKeys.flatMap { _ =>
-      val rows = byTuple.keys.toSeq.map { tuple =>
+      val rows = spjTuples.map { tuple =>
         val vals = pfs.map { pf =>
           val raw = tuple.getOrElse(pf.name, null)
           parseTupleValue(raw, pf, t.meta.schema)
@@ -255,7 +295,8 @@ object GraftScan {
       t.meta.properties.getOrElse("read.v2.split-max-files", "32").toInt)
     val partitions: Array[InputPartition] = keyRows match {
       case Some(keys) =>
-        byTuple.toArray.map { case (tuple, es) =>
+        spjTuples.toArray.map { tuple =>
+          val es = byTuple.getOrElse(tuple, Seq.empty)
           new KeyedGraftInputPartition(
             es.toArray.flatMap(filesOf),
             delSourcesOf(tuple, es).distinct.toArray.flatMap(filesOf),

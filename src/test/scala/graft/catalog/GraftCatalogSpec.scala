@@ -198,6 +198,43 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     assert(ManagedTable.load(spark, wh, "created").isEmpty)
   }
 
+  test("runtime filtering prunes groups and preserves the SPJ partition-value set") {
+    import org.apache.spark.sql.connector.read.{HasPartitionKey, SupportsRuntimeFiltering}
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "rt", schema, Seq("id"),
+      partitionBy = Seq("bucket(id,8)"))
+    t.merge(rows((1 to 400).map(i => (i, s"n$i", "c", 1L)): _*))
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val scan = new GraftV2Table(t)
+        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .build().asInstanceOf[GraftScan]
+      val before = scan.planInputPartitions()
+      def keysOf(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+        ps.map(_.asInstanceOf[HasPartitionKey].partitionKey().toString).sorted.toSeq
+      def dataFilesOf(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+        ps.map(_.asInstanceOf[GraftScan.GraftInputPartition].dataFiles.length).sum
+      scan.asInstanceOf[SupportsRuntimeFiltering]
+        .filter(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("id", Array(7))))
+      val after = scan.planInputPartitions()
+      assert(after.length == before.length, "partition count must not change under runtime filters")
+      assert(keysOf(after) == keysOf(before), "partition values must not change under runtime filters")
+      assert(dataFilesOf(after) < dataFilesOf(before),
+        s"runtime In-filter should prune groups: ${dataFilesOf(after)} vs ${dataFilesOf(before)}")
+      // a filtered read through SQL still answers exactly
+      val cat = registerCatalog(wh)
+      assertSameRows(spark.sql(s"SELECT id, name FROM $cat.rt WHERE id = 7"),
+        t.read().filter(col("id") === 7).select("id", "name"))
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None    => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
   test("V2 time travel: VERSION AS OF number / tag, TIMESTAMP AS OF, unknown ref fails") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "tt", schema, Seq("id"))
