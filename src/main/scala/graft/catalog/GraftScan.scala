@@ -47,13 +47,101 @@ import graft.tables.{ManagedTable, Manifest, ManifestEntry}
   * Iceberg SPJ design, re-expressed over graft manifests.
   */
 final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = t.meta.schema
   private var pushed: Array[Filter] = Array.empty
   private var conjuncts: Seq[ManagedTable.PruneConjunct] = Seq.empty
+  private var aggAnswer: Option[(StructType, Array[InternalRow])] = None
 
   override def pruneColumns(s: StructType): Unit = required = s
+
+  /** Manifest-answered aggregates through the V2 seam — the third
+    * spelling of what `SELECT count(*)/min/max FROM graft.t` and the V1
+    * `df.agg(...)` already collapse to: when every live group is plain
+    * data carrying the needed stats, the aggregate answers from ONE
+    * manifest read as a [[LocalScan]] — zero file scans on a 100 TB
+    * table. The table layer's exactness gates (MoR states, branch views,
+    * bound-less or pre-evolution columns, non-round-tripping tuples)
+    * return None and the real scan keeps the query.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    answerAggregation(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggAnswer = answerAggregation(agg)
+    aggAnswer.isDefined
+  }
+
+  private def answerAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[InternalRow])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max => V2Max, Min => V2Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (conjuncts.nonEmpty || pushed.nonEmpty) return None // manifest answers are unfiltered-only
+    val session = SparkSession.active
+    def fieldRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+        case _ => None
+      }
+    // ("count", None) | ("min"/"max", Some(col)) per aggregate, else bail
+    val wants: Seq[(String, Option[String])] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => ("count", None)
+      case m: V2Min => fieldRef(m.column) match {
+        case Some(c) if t.meta.schema.fieldNames.contains(c) => ("min", Some(c))
+        case _ => return None
+      }
+      case m: V2Max => fieldRef(m.column) match {
+        case Some(c) if t.meta.schema.fieldNames.contains(c) => ("max", Some(c))
+        case _ => return None
+      }
+      case _ => return None
+    }
+    def aggField(w: (String, Option[String])): StructField = w match {
+      case ("count", _) => StructField("count", LongType, nullable = false)
+      case (k, Some(c)) => StructField(s"$k($c)", t.meta.schema(c).dataType)
+      case _            => throw new IllegalStateException("unreachable")
+    }
+    val groupCols = agg.groupByExpressions.toSeq.map(g => fieldRef(g) match {
+      case Some(c) if t.meta.schema.fieldNames.contains(c) => c
+      case _ => return None
+    })
+    if (groupCols.isEmpty) {
+      val vals = wants.map {
+        case ("count", _) => t.fastRowCount(pinnedRef).getOrElse(return None)
+        case (k, Some(c)) =>
+          t.manifestColExtreme(c, wantMin = k == "min", pinnedRef)
+            .map(graft.plans.ManifestAggOnV1.statsToColumn(_, t.meta.schema(c).dataType, session))
+            .getOrElse(return None)
+        case _ => return None
+      }
+      Some((StructType(wants.map(aggField)), Array(InternalRow.fromSeq(vals))))
+    } else {
+      t.manifestGroupedAgg(groupCols, wants, pinnedRef).map { rows =>
+        val tz = session.sessionState.conf.sessionLocalTimeZone
+        val gFields = groupCols.map(c => t.meta.schema(c))
+        val data = rows.map { case (tuple, vals) =>
+          val gVals = tuple.zip(gFields).map { case (s, gf) =>
+            s.map(v => org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.catalyst.expressions.Literal(v), gf.dataType, Some(tz))
+              .eval(null)).orNull
+          }
+          val aVals = wants.zip(vals).map {
+            case (("count", _), v) => v
+            case ((_, Some(c)), v) =>
+              graft.plans.ManifestAggOnV1.statsToColumn(v, t.meta.schema(c).dataType, session)
+            case _ => throw new IllegalStateException("unreachable")
+          }
+          InternalRow.fromSeq(gVals ++ aVals)
+        }
+        (StructType(gFields ++ wants.map(aggField)), data.toArray)
+      }
+    }
+  }
 
   /** Best-effort manifest pruning: supported shapes become
     * [[ManagedTable.PruneConjunct]]s (bounds ∧ Bloom ∧ partition-tuple per
@@ -71,7 +159,20 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftScan(t, required, conjuncts, pinnedRef)
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, rows)) => new GraftManifestLocalScan(schema, rows, t.name)
+    case None => new GraftScan(t, required, conjuncts, pinnedRef)
+  }
+}
+
+/** A fully pushed aggregate: the manifest's exact answer as driver-local
+  * rows — plans as a LocalTableScan, zero jobs.
+  */
+final class GraftManifestLocalScan(schema: StructType, data: Array[InternalRow],
+                                   table: String) extends LocalScan {
+  override def rows(): Array[InternalRow] = data
+  override def readSchema(): StructType = schema
+  override def description(): String = s"graft:$table manifest-aggregate"
 }
 
 final class GraftScan(t: ManagedTable, required: StructType,

@@ -235,6 +235,53 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("manifest-answered aggregates plan as LocalTableScan through the V2 seam") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "agg1", schema, Seq("id"))
+    t.append(rows((1 to 40).map(i => (i, s"n$i", "c", 1L)): _*))
+    t.append(rows((41 to 60).map(i => (i, s"n$i", "c", 2L)): _*))
+    val cat = registerCatalog(wh)
+    val agg = spark.sql(s"SELECT count(*) AS n, min(id) AS mn, max(id) AS mx FROM $cat.agg1")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"flat aggregate should answer from the manifest:\n$plan")
+    assert(agg.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((60L, 1, 60)))
+
+    // grouped over an identity partition source
+    val pschema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("grp", IntegerType, nullable = false),
+      StructField("name", StringType)))
+    val p = ManagedTable.create(spark, wh, "agg2", pschema, Seq("id"), partitionBy = Seq("grp"))
+    p.append((1 to 90).map(i => (i, i % 3, s"n$i")).toDF("id", "grp", "name"))
+    val gagg = spark.sql(s"SELECT grp, count(*) AS n, max(id) AS mx FROM $cat.agg2 GROUP BY grp")
+    val gplan = gagg.queryExecution.executedPlan.toString
+    assert(gplan.contains("LocalTableScan") && !gplan.contains("BatchScan"),
+      s"partition-grouped aggregate should answer from the manifest:\n$gplan")
+    assert(sortedRows(gagg) ==
+      sortedRows(p.read().groupBy("grp").agg(count(lit(1)).as("n"), max(col("id")).as("mx"))))
+
+    // tag-pinned count answers from the pinned manifest
+    t.tag("before")
+    t.append(rows((61, "x", "c", 3L)))
+    val tagAgg = spark.sql(s"SELECT count(*) AS n FROM $cat.agg1 VERSION AS OF 'before'")
+    assert(tagAgg.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(tagAgg.as[Long].head() == 60L)
+
+    // MoR state falls through to the real scan — and still answers exactly
+    t.merge(rows((1, "a2", "u", 4L)))
+    val mor = spark.sql(s"SELECT count(*) AS n, min(id) AS mn FROM $cat.agg1")
+    assert(mor.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "MoR table must keep the real scan")
+    assert(mor.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((61L, 1)))
+
+    // filtered aggregates keep the real scan (manifest answers are unfiltered-only)
+    val filtered = spark.sql(s"SELECT count(*) AS n FROM $cat.agg2 WHERE id > 10")
+    assert(filtered.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(filtered.as[Long].head() == 80L)
+  }
+
   test("V2 time travel: VERSION AS OF number / tag, TIMESTAMP AS OF, unknown ref fails") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "tt", schema, Seq("id"))
