@@ -178,7 +178,7 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("CREATE / DROP through the V2 catalog; writes and ALTER refuse") {
+  test("CREATE / DROP through the V2 catalog; ALTER refuses") {
     val wh = tmpWarehouse()
     val cat = registerCatalog(wh)
     spark.sql(s"CREATE TABLE $cat.created (id INT, v STRING) PARTITIONED BY (bucket(8, id)) " +
@@ -188,14 +188,56 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     assert(t.meta.partitionBy == Seq("bucket(id,8)"))
     assert(t.meta.properties.get("write.target-rows").contains("1000"))
     assert(spark.sql(s"SHOW TABLES IN $cat").collect().map(_.getString(1)).contains("created"))
-    val e = intercept[Exception](spark.sql(s"INSERT INTO $cat.created VALUES (1, 'x')"))
-    assert(e.getMessage.toLowerCase.contains("does not support") ||
-      e.getMessage.toLowerCase.contains("unsupported"),
-      s"insert should refuse through V2: ${e.getMessage}")
     val e2 = intercept[Exception](spark.sql(s"ALTER TABLE $cat.created ADD COLUMN z INT"))
     assert(e2.getMessage.contains("graft SQL surface"), e2.getMessage)
     spark.sql(s"DROP TABLE $cat.created")
     assert(ManagedTable.load(spark, wh, "created").isEmpty)
+  }
+
+  test("V2 writes: INSERT INTO / OVERWRITE / CTAS / wap staging through one commit protocol") {
+    val wh = tmpWarehouse()
+    val cat = registerCatalog(wh)
+    spark.sql(s"CREATE TABLE $cat.w (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.w VALUES (1, 'a'), (2, 'b')")
+    val t = ManagedTable.load(spark, wh, "w").get
+    assert(sortedRows(t.read()) == sortedRows(Seq((1, "a"), (2, "b")).toDF("id", "v")))
+    assert(sortedRows(spark.sql(s"SELECT * FROM $cat.w")) == sortedRows(t.read()))
+    // V2 overwrite = truncate semantics; dynamic mode needs a native
+    // BatchWrite (no V1 bridge) and refuses with Spark's capability error
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      val e0 = intercept[Exception](spark.sql(s"INSERT OVERWRITE $cat.w VALUES (9, 'z')"))
+      assert(e0.getMessage.contains("dynamic overwrite"), e0.getMessage)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.sql(s"INSERT OVERWRITE $cat.w VALUES (9, 'z')")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    def live() = ManagedTable.load(spark, wh, "w").get.read()
+    assert(sortedRows(live()) == sortedRows(Seq((9, "z")).toDF("id", "v")))
+
+    // CTAS
+    spark.sql(s"CREATE TABLE $cat.wc AS SELECT id, v FROM $cat.w")
+    assert(sortedRows(spark.sql(s"SELECT * FROM $cat.wc")) ==
+      sortedRows(Seq((9, "z")).toDF("id", "v")))
+
+    // wap: INSERT stages; live untouched until publish; overwrite refuses
+    try {
+      spark.conf.set("spark.wap.branch", "audit")
+      spark.sql(s"INSERT INTO $cat.w VALUES (10, 'staged')")
+      assert(sortedRows(spark.sql(s"SELECT * FROM $cat.w")) ==
+        sortedRows(Seq((9, "z"), (10, "staged")).toDF("id", "v")), "wap read sees staged")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      val e = intercept[Exception](spark.sql(s"INSERT OVERWRITE $cat.w VALUES (0, 'x')"))
+      assert(e.getMessage.contains("WAP branch") ||
+        (e.getCause != null && e.getCause.getMessage.contains("WAP branch")), e.getMessage)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    } finally spark.conf.unset("spark.wap.branch")
+    assert(sortedRows(live()) == sortedRows(Seq((9, "z")).toDF("id", "v")),
+      "live table untouched by staged insert")
+
+    // an explicitly pinned table handle is read-only
+    val e3 = intercept[IllegalArgumentException](
+      new GraftV2Table(t, Some("1")).newWriteBuilder(null))
+    assert(e3.getMessage.contains("read-only"), e3.getMessage)
   }
 
   test("runtime filtering prunes groups and preserves the SPJ partition-value set") {
