@@ -1317,6 +1317,14 @@ object Queries {
   val sqlSpjCobucketed = Q("sql_spj_cobucketed",
     (s, dir) => {
       val wh = java.nio.file.Files.createTempDirectory("graft_spj").toString
+      // the returned frame reads the re-hosted tables lazily, so the
+      // warehouse must outlive the query — reclaim it at JVM exit
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(wh))
+      }
       val cust = t(s, dir, "customer").select("c_custkey", "c_name")
       val ords = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
       val tc = graft.tables.ManagedTable.create(s, wh, "cust_b",

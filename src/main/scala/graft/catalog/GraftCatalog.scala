@@ -106,13 +106,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val t = managed(ident)
-    val tsMs = timestamp / 1000L
-    val vs = t.versions()
-    val at = vs.filter(_._2 <= tsMs)
-    if (at.isEmpty) throw new IllegalArgumentException(
-      s"no retained snapshot of ${ident.name} at or before $tsMs " +
-        s"(earliest retained: ${vs.headOption.map(_._2).getOrElse("none")})")
-    new GraftV2Table(t, Some(at.last._1.toString))
+    new GraftV2Table(t, Some(t.versionAt(timestamp / 1000L).toString))
   }
 
   override def invalidateTable(ident: Identifier): Unit = ()
@@ -245,7 +239,7 @@ object GraftCatalog {
   /** Recover bucket N / truncate W from the raw spec string — the parsed
     * [[graft.tables.PartitionField]] bakes it into the expression only.
     */
-  private def numericArgOf(pf: graft.tables.PartitionField, spec: Seq[String]): Int = {
+  private[catalog] def numericArgOf(pf: graft.tables.PartitionField, spec: Seq[String]): Int = {
     val Fn = """^(\w+)\((.+)\)$""".r
     spec.map(_.trim).collectFirst {
       case Fn(fn, args) if fn.equalsIgnoreCase(pf.transform) &&

@@ -27,15 +27,20 @@ object GraftBucketFunction extends UnboundFunction {
   override def description(): String =
     "bucket(numBuckets, col): graft bucket partition transform — pmod(murmur3_hash(col), n)"
 
+  /** Unbindable shapes throw [[UnsupportedOperationException]] — the ONE
+    * exception Catalyst's SPJ function resolution catches and degrades to
+    * an unpartitioned (shuffled) plan on; anything else would fail the
+    * whole query at planning.
+    */
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.fields.length == 2,
-      s"graft bucket expects (numBuckets int, col), got ${inputType.catalogString}")
-    require(inputType.fields(0).dataType == IntegerType,
-      s"graft bucket: numBuckets must be int, got ${inputType.fields(0).dataType.catalogString}")
+    if (inputType.fields.length != 2 || inputType.fields(0).dataType != IntegerType)
+      throw new UnsupportedOperationException(
+        s"graft bucket expects (numBuckets int, col), got ${inputType.catalogString}")
     val keyType = inputType.fields(1).dataType
-    require(BoundBucket.supported(keyType),
-      s"graft bucket: unsupported key type ${keyType.catalogString} " +
-        "(supported: integral, date, timestamp, string, binary)")
+    if (!BoundBucket.supported(keyType))
+      throw new UnsupportedOperationException(
+        s"graft bucket: unsupported key type ${keyType.catalogString} " +
+          "(supported: integral, date, timestamp, string, binary)")
     BoundBucket(keyType)
   }
 }

@@ -66,13 +66,25 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None)
     * bound-less or pre-evolution columns, non-round-tripping tuples)
     * return None and the real scan keeps the query.
     */
+  // memoized per Aggregation instance: Spark probes supportCompletePushDown
+  // and pushAggregation with the same object — one manifest walk, not two
+  private var aggCache: (AnyRef, Option[(StructType, Array[InternalRow])]) = null
+
+  private def cachedAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[InternalRow])] = {
+    val c = aggCache
+    if (c != null && (c._1 eq agg)) c._2
+    else { val a = answerAggregation(agg); aggCache = (agg, a); a }
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    answerAggregation(agg).isDefined
+    cachedAnswer(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    aggAnswer = answerAggregation(agg)
+    aggAnswer = cachedAnswer(agg)
     aggAnswer.isDefined
   }
 
@@ -325,14 +337,19 @@ object GraftScan {
       appliedByTuple.getOrElse(p, Long.MinValue)
 
     val fs = t.v2TableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def filesOf(e: ManifestEntry): Array[GFile] = {
-      val dir = new Path(t.v2TableDir, e.path)
-      fs.listStatus(dir).collect {
-        case s if s.isFile && s.getPath.getName.endsWith(".parquet") &&
-            !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_") =>
-          GFile(s.getPath.toString, s.getLen, e.seq)
-      }
-    }
+    // memoized per plan: an upsert group feeds both the data and the
+    // delete-source file lists, and chunked splits share delete/posdel
+    // groups — one listing per group dir, not per use
+    val fileCache = scala.collection.mutable.HashMap.empty[String, Array[GFile]]
+    def filesOf(e: ManifestEntry): Array[GFile] =
+      fileCache.getOrElseUpdate(e.path, {
+        val dir = new Path(t.v2TableDir, e.path)
+        fs.listStatus(dir).collect {
+          case s if s.isFile && s.getPath.getName.endsWith(".parquet") &&
+              !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_") =>
+            GFile(s.getPath.toString, s.getLen, e.seq)
+        }
+      })
 
     val keyed = t.meta.identifierFields.nonEmpty
     val byTuple = dataEntries.groupBy(_.partition)
@@ -360,14 +377,9 @@ object GraftScan {
           pf.transform match {
             case "identity" if keyTypeSupported(t.meta.schema(pf.sourceColumn).dataType) =>
               Some(Expressions.identity(pf.sourceColumn): V2Expression)
-            case "bucket" =>
+            case "bucket" if BoundBucket.supported(t.meta.schema(pf.sourceColumn).dataType) =>
               Some(Expressions.bucket(
-                GraftCatalog.specToTransform(pf, t.meta.partitionBy)
-                  .asInstanceOf[org.apache.spark.sql.connector.expressions.Transform]
-                  .arguments.collectFirst {
-                    case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-                      l.value.asInstanceOf[Int]
-                  }.get, pf.sourceColumn): V2Expression)
+                GraftCatalog.numericArgOf(pf, t.meta.partitionBy), pf.sourceColumn): V2Expression)
             case _ => None
           }
         }
@@ -464,7 +476,15 @@ object GraftScan {
   private def parseTupleValue(raw: String, pf: graft.tables.PartitionField,
                               schema: StructType): Option[Option[Any]] = {
     if (raw == null) return None
-    if (raw == "__HIVE_DEFAULT_PARTITION__") return Some(None)
+    if (raw == "__HIVE_DEFAULT_PARTITION__") {
+      // a STRING identity column could genuinely HOLD the sentinel text —
+      // the tuple cannot distinguish it from null (same ambiguity
+      // manifestGroupedAgg refuses on), so fall back to unkeyed splits;
+      // for every other type the sentinel unambiguously means null
+      val ambiguous = pf.transform == "identity" &&
+        schema(pf.sourceColumn).dataType == StringType
+      return if (ambiguous) None else Some(None)
+    }
     try pf.transform match {
       case "bucket" => Some(Some(raw.toInt))
       case "identity" => schema(pf.sourceColumn).dataType match {

@@ -586,13 +586,19 @@ final class ManagedTable private (
     * snapshot is newer — succeeding with a later state would silently
     * violate the as-of contract.
     */
-  def readAsOf(tsMs: Long): DataFrame = {
+  def readAsOf(tsMs: Long): DataFrame = readVersion(versionAt(tsMs))
+
+  /** The snapshot version [[readAsOf]] resolves `tsMs` to — shared with
+    * the V2 catalog's `TIMESTAMP AS OF` so the as-of contract lives in
+    * one place.
+    */
+  def versionAt(tsMs: Long): Long = {
     val vs = versions()
     val at = vs.filter(_._2 <= tsMs)
     require(at.nonEmpty,
       s"no retained snapshot of ${_meta.name} at or before $tsMs " +
         s"(earliest retained: ${vs.headOption.map(_._2).getOrElse("none")})")
-    readVersion(at.last._1)
+    at.last._1
   }
 
   /** Classified row-level diff between two retained snapshots — "what

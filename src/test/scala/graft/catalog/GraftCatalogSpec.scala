@@ -365,6 +365,32 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     assertSameRows(spark.sql(s"SELECT * FROM $cat.wapt"), t.read())
   }
 
+  test("SPJ ineligibility degrades to a shuffled plan, never a crash") {
+    val wh = tmpWarehouse()
+    // bucket on a DOUBLE key: the write path accepts it, the catalog's
+    // bucket function cannot bind it — the read must fall back, not fail
+    val d = ManagedTable.create(spark, wh, "dbl", StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("v", IntegerType))), partitionBy = Seq("bucket(score,4)"))
+    d.append(Seq.tabulate(50)(i => (i * 1.5, i)).toDF("score", "v"))
+    // a NULL identity tuple (hive default sentinel dir) must read through
+    // keyed splits — the null key is a legal partition value
+    val s0 = ManagedTable.create(spark, wh, "sent", StructType(Seq(
+      StructField("grp", StringType),
+      StructField("v", IntegerType))), partitionBy = Seq("grp"))
+    s0.append(Seq((null: String, 2), ("ok", 3)).toDF("grp", "v"))
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val cat = registerCatalog(wh)
+      assertSameRows(spark.sql(s"SELECT * FROM $cat.dbl"), d.read())
+      assertSameRows(spark.sql(s"SELECT * FROM $cat.sent"), s0.read())
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None    => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("refusals: evolved partition spec and rename lineage point at the SQL surface") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "ref1", schema, Seq("id"))
