@@ -721,6 +721,36 @@ object Queries {
       |FROM orders
       |WHERE o_orderstatus = 'F' AND o_totalprice < 100000.0""".stripMargin))
 
+  /** `DELETE FROM <catalog>.t WHERE …` through the DSv2 catalog
+    * ([[graft.catalog.GraftV2Table]]'s filter-based SupportsDelete):
+    * Spark's NATIVE V2 delete resolution translates the condition to
+    * source filters — no graft extension rule touches the statement —
+    * and the table runs the SAME merge-on-read deleteWhere as the SQL
+    * surface. At 100 TB the cost profile is deleteWhere's: a
+    * predicate-pushed scan of candidates plus an O(matched) tombstone
+    * commit, never a rewrite. Oracle = survivors with the engine's
+    * null-keeps-row semantics spelled out.
+    */
+  val dmlV2Delete = Q("dml_v2_delete",
+    (s, dir) => {
+      val tbl = ordersTable(s, dir, "orders_v2del")
+      // isolated session: the catalog registration rides with it instead
+      // of accumulating on the shared session
+      val ns = s.newSession()
+      val cat = s"gv2d_${java.util.UUID.randomUUID().toString.take(8)}"
+      ns.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      ns.conf.set(s"spark.sql.catalog.$cat.warehouse", tbl.warehouse)
+      ns.sql(s"DELETE FROM $cat.orders_v2del WHERE " +
+        "(o_orderstatus = 'F' AND o_totalprice < 100000.0) " +
+        "OR o_orderpriority IN ('5-LOW')")
+      graft.tables.ManagedTable.load(s, tbl.warehouse, "orders_v2del").get
+        .read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE NOT coalesce((o_orderstatus = 'F' AND o_totalprice < 100000.0)
+      |                   OR o_orderpriority IN ('5-LOW'), false)""".stripMargin))
+
   /** Dynamic partition overwrite ([[graft.tables.ManagedTable
     * .overwritePartitions]]): a priority-partitioned orders table gets
     * one partition's recomputation — only that partition's groups are
@@ -4504,7 +4534,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

@@ -212,11 +212,16 @@ final class GraftScan(t: ManagedTable, required: StructType,
   }
 
   /** Columns a runtime filter can prune on: partition sources (tuple
-    * probes) plus identifiers (bounds + Bloom probes).
+    * probes) plus identifiers (bounds + Bloom probes) — restricted to the
+    * scan's PRUNED output: Spark resolves these references against the
+    * scan relation's (column-pruned) output, so reporting a projected-out
+    * column fails analysis of any join that prunes it (e.g. a count over
+    * a join on the partition key alone).
     */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     (t.v2PartitionFields.map(_.sourceColumn) ++ t.meta.identifierFields)
-      .distinct.map(Expressions.column).toArray
+      .distinct.filter(required.fieldNames.contains)
+      .map(Expressions.column).toArray
 
   override def filter(filters: Array[Filter]): Unit = {
     runtimeConjuncts = filters.flatMap(GraftScan.toConjunct(t.meta.schema, _)).toSeq

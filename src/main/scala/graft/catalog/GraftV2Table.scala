@@ -4,12 +4,13 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -30,7 +31,7 @@ import graft.tables.ManagedTable
   */
 final class GraftV2Table(val t: ManagedTable,
                          val pinnedRef: Option[String] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = t.name
 
@@ -49,13 +50,101 @@ final class GraftV2Table(val t: ManagedTable,
     new GraftScanBuilder(t, pinnedRef)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    def wapBranch: Option[String] = SparkSession.active.conf
-      .getOption("spark.wap.branch").filter(_.nonEmpty)
-    require(pinnedRef.isEmpty || pinnedRef == wapBranch,
+    require(pinnedRef.isEmpty || pinnedRef == GraftV2Table.activeWapBranch,
       s"graft V2 catalog: cannot write to ${t.name} VERSION AS OF " +
         s"'${pinnedRef.get}' — time-traveled tables are read-only " +
         "(rollback via CALL graft.system.rollback_to_version)")
     new GraftWriteBuilder(t)
+  }
+
+  /** Row-level DELETE through the V2 seam (`DELETE FROM <cat>.t WHERE …`):
+    * the condition must translate EXACTLY to a Column over the table
+    * schema — a delete acts on its predicate, so unlike the scan's
+    * superset-safe pruning there is no residual to hide behind; an
+    * untranslatable condition refuses here and Spark raises its standard
+    * cannot-translate error. The accepted shape runs the SAME
+    * merge-on-read [[ManagedTable.deleteWhere]] the SQL surface uses —
+    * metadata region drops, scoped keyless rewrites, tombstone commits —
+    * and under an active `spark.wap.branch` it STAGES onto the branch
+    * exactly like SQL DML (the live table is untouched until publish).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    (pinnedRef.isEmpty || pinnedRef == GraftV2Table.activeWapBranch) &&
+      filters.forall(GraftV2Table.filterToColumn(t.meta.schema, _).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val wap = GraftV2Table.activeWapBranch
+    require(pinnedRef.isEmpty || pinnedRef == wap,
+      s"graft V2 catalog: cannot DELETE from ${t.name} VERSION AS OF " +
+        s"'${pinnedRef.get}' — time-traveled tables are read-only")
+    val cond = filters.toSeq.map(f =>
+      GraftV2Table.filterToColumn(t.meta.schema, f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft V2 catalog: cannot translate delete condition $f — " +
+            s"use the graft SQL surface (DELETE FROM graft.${t.name} …)")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    wap match {
+      case Some(b) => t.deleteWhereOnBranch(cond, b)
+      case None    => t.deleteWhere(cond)
+    }
+  }
+
+  /** `TRUNCATE TABLE <cat>.t` — the metadata-only truncate (zero files
+    * read, a barrier-stamped empty manifest). Refused under an active
+    * wap branch: truncation mutates live metadata mid-audit, and
+    * branches stage row-level changes, not whole-table drops.
+    */
+  override def truncateTable(): Boolean = {
+    GraftV2Table.activeWapBranch.foreach { b =>
+      throw new UnsupportedOperationException(
+        s"graft V2 catalog: TRUNCATE TABLE ${t.name} cannot target WAP " +
+          s"branch '$b' — stage row deletes instead (DELETE FROM), or " +
+          "unset spark.wap.branch to truncate the live table")
+    }
+    require(pinnedRef.isEmpty,
+      s"graft V2 catalog: cannot TRUNCATE ${t.name} VERSION AS OF " +
+        s"'${pinnedRef.get}' — time-traveled tables are read-only")
+    t.truncate()
+    true
+  }
+}
+
+object GraftV2Table {
+  private[catalog] def activeWapBranch: Option[String] =
+    SparkSession.active.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
+
+  /** V1 Filter → exact Column over a flat schema; None = untranslatable
+    * (unknown / nested attribute, or a shape with no exact Column form).
+    * Every translation preserves three-valued SQL semantics — the
+    * consumers (deleteWhere) treat null as no-match, same as SQL DML.
+    */
+  private[catalog] def filterToColumn(schema: StructType, f: Filter): Option[Column] = {
+    def ref(c: String): Option[Column] =
+      // top-level exact names only — a dotted name through this seam is a
+      // nested field the delete surface does not address
+      if (schema.fieldNames.contains(c)) Some(col(s"`$c`")) else None
+    f match {
+      case AlwaysTrue()            => Some(lit(true))
+      case AlwaysFalse()           => Some(lit(false))
+      case And(l, r)               => for { a <- filterToColumn(schema, l)
+                                            b <- filterToColumn(schema, r) } yield a && b
+      case Or(l, r)                => for { a <- filterToColumn(schema, l)
+                                            b <- filterToColumn(schema, r) } yield a || b
+      case Not(c)                  => filterToColumn(schema, c).map(!_)
+      case EqualTo(c, v)           => ref(c).map(_ === lit(v))
+      case EqualNullSafe(c, v)     => ref(c).map(_ <=> lit(v))
+      case GreaterThan(c, v)       => ref(c).map(_ > lit(v))
+      case GreaterThanOrEqual(c, v) => ref(c).map(_ >= lit(v))
+      case LessThan(c, v)          => ref(c).map(_ < lit(v))
+      case LessThanOrEqual(c, v)   => ref(c).map(_ <= lit(v))
+      case In(c, vs)               => ref(c).map(_.isin(vs.toIndexedSeq: _*))
+      case IsNull(c)               => ref(c).map(_.isNull)
+      case IsNotNull(c)            => ref(c).map(_.isNotNull)
+      case StringStartsWith(c, v)  => ref(c).map(_.startsWith(v))
+      case StringEndsWith(c, v)    => ref(c).map(_.endsWith(v))
+      case StringContains(c, v)    => ref(c).map(_.contains(v))
+      case _                       => None
+    }
   }
 }
 

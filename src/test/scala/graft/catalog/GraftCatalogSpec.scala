@@ -411,4 +411,105 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
       (e2.getCause != null && e2.getCause.getMessage.contains("rename lineage")),
       s"expected rename-lineage refusal, got: ${e2.getMessage}")
   }
+
+  test("runtime-filter attributes respect column pruning: count over an SPJ join resolves") {
+    // a count over a join on the partition key alone prunes every other
+    // column out of both scans; filterAttributes must not name a
+    // projected-out identifier, or Spark fails to resolve it when
+    // injecting runtime filters ("Unable to resolve id given [cust]")
+    val wh = tmpWarehouse()
+    val a = ManagedTable.create(spark, wh, "rfa",
+      StructType(Seq(StructField("id", IntegerType), StructField("cust", IntegerType))),
+      Seq("id"), partitionBy = Seq("bucket(cust,4)"))
+    a.append((1 to 50).map(i => (i, i % 10)).toDF("id", "cust"))
+    val b = ManagedTable.create(spark, wh, "rfb",
+      StructType(Seq(StructField("k", IntegerType), StructField("cust", IntegerType))),
+      Seq("k"), partitionBy = Seq("bucket(cust,4)"))
+    b.append((1 to 30).map(i => (i, i % 10)).toDF("k", "cust"))
+    val cat = registerCatalog(wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val n = spark.sql(
+        s"SELECT count(*) FROM $cat.rfa x JOIN $cat.rfb y ON x.cust = y.cust")
+        .as[Long].head()
+      assert(n == 150L, s"join count $n") // 5 rows per cust value x 3 x 10
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("V2 DELETE FROM = the SQL surface's merge-on-read delete; TRUNCATE; refusal edges") {
+    val wh = tmpWarehouse()
+    val cat = registerCatalog(wh)
+
+    // keyed MoR delete through the V2 seam = the DataFrame deleteWhere
+    val t = ManagedTable.create(spark, wh, "d1", schema, Seq("id"))
+    t.merge(rows((1 to 40).map(i => (i, s"n$i", "c", 1L)): _*))
+    t.merge(rows((3, "u3", "u", 2L), (41, "x", "c", 2L)))
+    spark.sql(s"DELETE FROM $cat.d1 WHERE id <= 10 AND name != 'n7'")
+    // differential oracle: the SAME history and predicate through the
+    // DataFrame deleteWhere on a sibling table
+    val t2 = ManagedTable.create(spark, wh, "d1_oracle", schema, Seq("id"))
+    t2.merge(rows((1 to 40).map(i => (i, s"n$i", "c", 1L)): _*))
+    t2.merge(rows((3, "u3", "u", 2L), (41, "x", "c", 2L)))
+    t2.deleteWhere(col("id") <= 10 && col("name") =!= "n7")
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.d1"), t2.read())
+    // null-semantics edge: a null name row is KEPT (cond evaluates null)
+    t2.merge(rows((50, null, "c", 3L)))
+    spark.sql(s"INSERT INTO $cat.d1 SELECT 50, CAST(NULL AS STRING), 'c', CAST(3 AS BIGINT)")
+    spark.sql(s"DELETE FROM $cat.d1 WHERE name != 'keepall'")
+    t2.deleteWhere(col("name") =!= "keepall")
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.d1"), t2.read())
+
+    // IN / IS NULL / LIKE-prefix shapes all translate and apply exactly
+    spark.sql(s"DELETE FROM $cat.d1 WHERE id IN (50) OR name LIKE 'n1%'")
+    t2.deleteWhere(col("id").isin(50) || col("name").startsWith("n1"))
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.d1"), t2.read())
+
+    // wap: DELETE stages onto the branch, live untouched until publish
+    val tw = ManagedTable.create(spark, wh, "d2", schema, Seq("id"))
+    tw.merge(rows((1, "a", "c", 1L), (2, "b", "c", 1L), (3, "c", "c", 1L)))
+    try {
+      spark.conf.set("spark.wap.branch", "audit")
+      spark.sql(s"DELETE FROM $cat.d2 WHERE id = 2")
+      assert(spark.sql(s"SELECT * FROM $cat.d2").collect().map(_.getInt(0)).sorted.toSeq ==
+        Seq(1, 3), "wap read sees the staged delete")
+      // TRUNCATE refuses mid-audit
+      val e = intercept[Exception](spark.sql(s"TRUNCATE TABLE $cat.d2"))
+      assert(e.getMessage.contains("WAP branch") ||
+        (e.getCause != null && e.getCause.getMessage.contains("WAP branch")), e.getMessage)
+    } finally spark.conf.unset("spark.wap.branch")
+    assert(ManagedTable.load(spark, wh, "d2").get.read().count() == 3,
+      "live table untouched by the staged delete")
+    ManagedTable.load(spark, wh, "d2").get.publishBranch("audit")
+    assert(ManagedTable.load(spark, wh, "d2").get.read()
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+
+    // TRUNCATE TABLE = the metadata truncate
+    spark.sql(s"TRUNCATE TABLE $cat.d2")
+    assert(ManagedTable.load(spark, wh, "d2").get.read().count() == 0)
+
+    // untranslatable condition refuses with a pointer, table untouched
+    val t3 = ManagedTable.create(spark, wh, "d3", schema, Seq("id"))
+    t3.merge(rows((1, "abc", "c", 1L), (2, "defg", "c", 1L)))
+    val e3 = intercept[Exception](
+      spark.sql(s"DELETE FROM $cat.d3 WHERE length(name) > 3"))
+    assert(e3.getMessage.nonEmpty)
+    assert(ManagedTable.load(spark, wh, "d3").get.read().count() == 2,
+      "refused delete must not mutate the table")
+
+    // keyless table: the copy-on-write path through the same verb
+    val k = ManagedTable.create(spark, wh, "d4",
+      StructType(Seq(StructField("id", IntegerType), StructField("v", StringType))))
+    k.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    spark.sql(s"DELETE FROM $cat.d4 WHERE id = 2")
+    assert(ManagedTable.load(spark, wh, "d4").get.read()
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+  }
 }
