@@ -82,13 +82,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * graft SQL surface: with the conf naming a LIVE branch of this table,
     * the read serves the branch's staged view; an absent branch falls
     * back to live. A V2 read and a graft SQL read in one session must
-    * never disagree.
+    * never disagree. Metadata tables resolve under BOTH spellings —
+    * `<cat>.t$files` (the graft SQL surface's) and `<cat>.t.files`
+    * (Iceberg's nested form) — for `files`/`partitions`/`snapshots`/
+    * `refs`, as read-only driver-local scans (manifest-scale, zero file
+    * reads); like the SQL surface they describe the LIVE table.
     */
-  override def loadTable(ident: Identifier): Table = {
-    val t = managed(ident)
-    val wap = spark.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
-      .filter(b => t.branches().contains(b))
-    new GraftV2Table(t, wap)
+  override def loadTable(ident: Identifier): Table =
+    metadataTable(ident).getOrElse {
+      val t = managed(ident)
+      val wap = spark.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
+        .filter(b => t.branches().contains(b))
+      new GraftV2Table(t, wap)
+    }
+
+  private val MetaSuffixes = Set("files", "partitions", "snapshots", "refs")
+
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    def load(tn: String): Option[ManagedTable] =
+      ManagedTable.load(spark, warehouse, tn)
+    def nsOk(ns: Array[String]): Boolean =
+      ns.isEmpty || (ns.length == 1 && ns(0).equalsIgnoreCase("default"))
+    val dollar = ident.name.lastIndexOf('$')
+    val byDollar =
+      if (dollar > 0 && nsOk(ident.namespace)) {
+        val sfx = ident.name.substring(dollar + 1)
+        if (MetaSuffixes(sfx))
+          load(ident.name.substring(0, dollar)).map(new GraftMetadataTable(_, sfx))
+        else None
+      } else None
+    // the nested spelling only claims the name when the inner namespace
+    // element IS a live table — a genuine unknown namespace still raises
+    // NoSuchNamespace through the normal path
+    byDollar.orElse {
+      if (ident.namespace.nonEmpty && MetaSuffixes(ident.name) &&
+          nsOk(ident.namespace.dropRight(1)))
+        load(ident.namespace.last).map(new GraftMetadataTable(_, ident.name))
+      else None
+    }
   }
 
   /** `VERSION AS OF '<ref>'` — snapshot number, tag or branch; resolved

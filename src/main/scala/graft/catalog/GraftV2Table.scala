@@ -109,6 +109,47 @@ final class GraftV2Table(val t: ManagedTable,
   }
 }
 
+/** A metadata table through the V2 seam (`<cat>.t$files` / `<cat>.t.files`
+  * and siblings `partitions`/`snapshots`/`refs`): the SAME driver-built
+  * manifest-scale frames the graft SQL surface serves
+  * ([[ManagedTable.filesMetadata]] …), exposed as a read-only
+  * [[org.apache.spark.sql.connector.read.LocalScan]] — zero data files
+  * touched at any table size. Deliberately describes the LIVE table
+  * (Iceberg's metadata tables do not follow wap.branch either; the SQL
+  * surface documents the same choice). Not writable: no SupportsWrite,
+  * so INSERT/DELETE against it fail with Spark's capability error.
+  */
+final class GraftMetadataTable(t: ManagedTable, suffix: String)
+    extends Table with SupportsRead {
+
+  private def frame: DataFrame = suffix match {
+    case "files"      => t.filesMetadata()
+    case "partitions" => t.partitionsMetadata()
+    case "snapshots"  => t.snapshotsMetadata()
+    case "refs"       => t.refsMetadata()
+    case other => throw new IllegalStateException(s"unknown metadata suffix '$other'")
+  }
+
+  override def name(): String = s"${t.name}$$$suffix"
+  override def schema(): StructType = frame.schema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): util.Map[String, String] = util.Collections.emptyMap()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          private val df = frame // one manifest read per scan build
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            df.queryExecution.executedPlan.executeCollect()
+          override def readSchema(): StructType = df.schema
+          override def description(): String = s"graft:${t.name} metadata $suffix"
+        }
+    }
+}
+
 object GraftV2Table {
   private[catalog] def activeWapBranch: Option[String] =
     SparkSession.active.conf.getOption("spark.wap.branch").filter(_.nonEmpty)

@@ -444,6 +444,46 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("metadata tables resolve through the catalog under both spellings, read-only") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "m1", schema, Seq("id"),
+      partitionBy = Seq("bucket(id,4)"))
+    t.merge(rows((1 to 20).map(i => (i, s"n$i", "c", 1L)): _*))
+    t.tag("v1tag")
+    t.merge(rows((21, "x", "c", 2L)))
+    val cat = registerCatalog(wh)
+
+    // $-suffix spelling matches the graft SQL surface's frames exactly
+    for (sfx <- Seq("files", "partitions", "snapshots", "refs")) {
+      val viaCat = spark.sql(s"SELECT * FROM $cat.`m1$$$sfx`")
+      val viaSql = sfx match {
+        case "files"      => t.filesMetadata()
+        case "partitions" => t.partitionsMetadata()
+        case "snapshots"  => t.snapshotsMetadata()
+        case "refs"       => t.refsMetadata()
+      }
+      assert(viaCat.schema.fieldNames.toSeq == viaSql.schema.fieldNames.toSeq, sfx)
+      assert(sortedRows(viaCat) == sortedRows(viaSql), s"$sfx rows")
+      assert(viaCat.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        s"$sfx must plan driver-local")
+    }
+
+    // Iceberg's nested spelling names the same tables
+    assert(sortedRows(spark.sql(s"SELECT * FROM $cat.m1.files")) ==
+      sortedRows(t.filesMetadata()))
+    assert(sortedRows(spark.sql(s"SELECT * FROM $cat.default.m1.snapshots")) ==
+      sortedRows(t.snapshotsMetadata()))
+    assert(spark.sql(s"SELECT name, type FROM $cat.m1.refs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("v1tag", "tag")))
+
+    // not writable; unknown suffix / table still fail normally
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.`m1$$files` VALUES ('p', 'data', 1, 1, map(), map())"))
+    assert(e.getMessage.nonEmpty)
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.`m1$$bogus`").collect())
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.nosuch.files").collect())
+  }
+
   test("V2 DELETE FROM = the SQL surface's merge-on-read delete; TRUNCATE; refusal edges") {
     val wh = tmpWarehouse()
     val cat = registerCatalog(wh)
