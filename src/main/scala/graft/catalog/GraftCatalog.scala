@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNa
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.tables.{ManagedTable, TableMeta}
@@ -35,11 +35,12 @@ import graft.tables.{ManagedTable, TableMeta}
   * `HashPartitioning`, so the physical layout IS Spark's shuffle
   * partitioning and SPJ compatibility is exact, not approximate.
   *
-  * DDL: CREATE/CTAS/DROP TABLE work through the standard V2 path.
-  * ALTER routes to the `graft.` SQL surface (one schema-evolution
-  * implementation, not two). The namespace is single-level: tables live
-  * directly under the warehouse; the empty and `default` namespaces are
-  * interchangeable.
+  * DDL: CREATE/CTAS/DROP TABLE work through the standard V2 path; ALTER
+  * dispatches onto the SAME evolution implementation the SQL surface
+  * calls (see [[alterTable]] — add/drop columns, properties; renames and
+  * grammar-owned verbs refuse with pointers). The namespace is
+  * single-level: tables live directly under the warehouse; the empty and
+  * `default` namespaces are interchangeable.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
@@ -158,11 +159,69 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftV2Table(t)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName.${ident.name}: ALTER TABLE through the V2 catalog is not " +
-        s"supported — use the graft SQL surface (ALTER TABLE graft.${ident.name} …), " +
-        "which owns schema and partition-spec evolution")
+  /** ALTER TABLE through the V2 catalog — a DISPATCHER onto the one
+    * evolution implementation ([[ManagedTable.evolve]]/dropColumn/
+    * renameColumn/setProperties), matching the graft SQL surface verb for
+    * verb: ADD COLUMNS (top-level, appended, nullable — same contract as
+    * the SQL rule), DROP/RENAME COLUMN, SET/UNSET TBLPROPERTIES. The V2
+    * seam is the no-extensions integration surface, so an external
+    * consumer must be able to evolve schema here; anything the SQL
+    * surface reaches through its own grammar (partition fields,
+    * identifier fields, write order) refuses with a pointer rather than
+    * growing a second spelling with different guards.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = managed(ident)
+    def single(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"$catalogName.${ident.name}: nested $what is not supported " +
+          s"(field ${fieldNames.mkString(".")})")
+      fieldNames.head
+    }
+    // a multi-column ADD lands as one union-by-name evolution commit,
+    // like the SQL surface's ADD COLUMNS list
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    adds.foreach { a =>
+      require(a.position == null,
+        s"$catalogName.${ident.name}: column positions are not supported (columns append)")
+      require(a.defaultValue == null,
+        s"$catalogName.${ident.name}: column defaults are not supported through " +
+          "the V2 catalog")
+    }
+    if (adds.nonEmpty)
+      t.evolve(StructType(adds.map(a =>
+        StructField(single(a.fieldNames, "ADD COLUMN"), a.dataType, nullable = true))))
+    changes.foreach {
+      case _: TableChange.AddColumn => () // handled above
+      case d: TableChange.DeleteColumn =>
+        val n = single(d.fieldNames, "DROP COLUMN")
+        // ifExists is a nullable java.lang.Boolean — null means strict
+        val ifEx = java.lang.Boolean.TRUE.equals(d.ifExists)
+        if (!ifEx || t.meta.schema.fieldNames.contains(n)) t.dropColumn(n)
+      case r: TableChange.RenameColumn =>
+        // renameColumn works by lineage folding, which only the graft scan
+        // implements — a rename HERE would succeed and then brick every V2
+        // read of this table ("rename lineage — read via the SQL surface");
+        // a V2-only consumer must not be handed that trap
+        throw new UnsupportedOperationException(
+          s"$catalogName.${ident.name}: RENAME COLUMN " +
+            s"'${r.fieldNames.mkString(".")}' is not supported through the V2 " +
+            "catalog — renames fold prior-name values at scan, which the V2 " +
+            "read path does not implement; rename via the graft SQL surface " +
+            s"(ALTER TABLE graft.${ident.name} RENAME COLUMN …) and read " +
+            "through it, or add+backfill a new column instead")
+      case s: TableChange.SetProperty =>
+        t.setProperties(Map(s.property -> s.value))
+      case rm: TableChange.RemoveProperty =>
+        t.unsetProperties(Seq(rm.property))
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName.${ident.name}: ${other.getClass.getSimpleName} is not " +
+          s"supported through the V2 catalog — the graft SQL surface " +
+          s"(ALTER TABLE graft.${ident.name} …) owns partition-spec evolution, " +
+          "identifier fields, write order, and type changes")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     checkNs(ident.namespace)
