@@ -1,0 +1,91 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SharedSpark
+import graft.tables.ManagedTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Write-path parity chaos: ONE random op stream applied twice — through
+  * the V2 catalog's SQL verbs (DataFrameWriterV2 append, DELETE FROM,
+  * TRUNCATE TABLE) on table `pa`, and through the ManagedTable API
+  * (append / deleteWhere / truncate) on sibling `pb` — must leave
+  * IDENTICAL visible states at every checkpoint, read through BOTH the
+  * catalog and the API. This is the differential net under the round-10
+  * V2 write surface: any drift between the seams' delete translation,
+  * truncate semantics, or append commit shape surfaces as a state diff
+  * within a few steps.
+  */
+class V2ParityChaosSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("name", StringType),
+    StructField("v", DoubleType)))
+
+  private def batch(rnd: Random, n: Int): DataFrame =
+    List.fill(n)((rnd.nextInt(20), s"p${rnd.nextInt(10)}", rnd.nextInt(50).toDouble))
+      .toDF("id", "name", "v")
+
+  private def canon(df: DataFrame): Seq[(Int, String, Double)] =
+    df.select("id", "name", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+
+  for (seed <- Seq(11, 42)) {
+    test(s"V2 SQL verbs ≡ ManagedTable API under a random op stream (seed $seed)") {
+      val rnd = new Random(seed)
+      val wh = Files.createTempDirectory(s"graft-v2chaos$seed").toString
+      ManagedTable.create(spark, wh, "pa", schema, Seq("id"))
+      val pb = ManagedTable.create(spark, wh, "pb", schema, Seq("id"))
+      val cat = s"gvp_${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+
+      def check(step: Int): Unit = {
+        val viaCat = canon(spark.sql(s"SELECT * FROM $cat.pa"))
+        val viaApiA = canon(ManagedTable.load(spark, wh, "pa").get.read())
+        val viaApiB = canon(ManagedTable.load(spark, wh, "pb").get.read())
+        assert(viaCat == viaApiB, s"step $step: V2-written state != API-written state")
+        assert(viaCat == viaApiA, s"step $step: V2 read != API read of the V2-written table")
+      }
+
+      for (step <- 1 to 24) {
+        rnd.nextInt(12) match {
+          case n if n <= 5 => // append the SAME batch through both seams
+            val b = batch(rnd, 1 + rnd.nextInt(8))
+            b.writeTo(s"$cat.pa").append()
+            pb.append(b)
+          case 6 | 7 => // range delete
+            val k = rnd.nextInt(20)
+            spark.sql(s"DELETE FROM $cat.pa WHERE id < $k")
+            pb.deleteWhere(col("id") < k)
+          case 8 => // IN-list delete
+            val (a, b) = (rnd.nextInt(20), rnd.nextInt(20))
+            spark.sql(s"DELETE FROM $cat.pa WHERE id IN ($a, $b)")
+            pb.deleteWhere(col("id").isin(a, b))
+          case 9 => // prefix delete on a nullable string (null = kept, both sides)
+            val d = rnd.nextInt(10)
+            spark.sql(s"DELETE FROM $cat.pa WHERE name LIKE 'p$d%'")
+            pb.deleteWhere(col("name").startsWith(s"p$d"))
+          case 10 => // numeric bound with a conjunction
+            val x = rnd.nextInt(50)
+            spark.sql(s"DELETE FROM $cat.pa WHERE v >= $x.0 AND id >= ${x % 20}")
+            pb.deleteWhere(col("v") >= x.toDouble && col("id") >= x % 20)
+          case 11 => // rare whole-table truncate
+            spark.sql(s"TRUNCATE TABLE $cat.pa")
+            pb.truncate()
+        }
+        if (step % 6 == 0) check(step)
+      }
+      check(-1)
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+}
