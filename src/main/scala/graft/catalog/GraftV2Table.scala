@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -44,7 +44,8 @@ final class GraftV2Table(val t: ManagedTable,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(t, pinnedRef)
@@ -190,30 +191,55 @@ object GraftV2Table {
 }
 
 /** INSERT INTO → append (or branch staging under `spark.wap.branch`);
-  * INSERT OVERWRITE → whole-table overwrite (V2 truncate semantics) —
-  * reached through [[InsertableRelation]] so the write is ONE
-  * [[ManagedTable]] commit.
+  * INSERT OVERWRITE → whole-table overwrite (V2 truncate semantics);
+  * overwrite-by-FILTER (`INSERT OVERWRITE … PARTITION (k=v)` under
+  * `partitionOverwriteMode=static`, `df.writeTo(t).overwrite(cond)`) →
+  * [[ManagedTable.overwriteWhere]] — Spark's `OverwriteByExpressionExecV1`
+  * bridges all three through [[InsertableRelation]], so every write is
+  * ONE [[ManagedTable]] commit. The by-filter shape carries the full
+  * replaceWhere semantics of the SQL surface: keyed pure-region
+  * predicates take the zero-rewrite manifest drop, keyless region
+  * conjuncts scope the copy-on-write, and batch rows OUTSIDE the
+  * condition refuse before anything commits (Delta's replaceWhere
+  * contract — the SQL static-partition spelling satisfies it by
+  * construction, Spark injects the static values as literal columns).
+  * Conditions that don't translate to an exact Column (nested fields,
+  * expression shapes) make `canOverwrite` false and Spark raises its
+  * standard unsupported-expression error.
   *
-  * Deliberately NOT declared: `OVERWRITE_DYNAMIC` and overwrite-by-filter
-  * — both execs require a connector-native `BatchWrite` (no V1 bridge
-  * exists), which would mean a SECOND write protocol. Under
-  * `partitionOverwriteMode=dynamic` or a static PARTITION spec, Spark
-  * refuses with its capability error naming the table — the graft SQL
-  * surface (`INSERT OVERWRITE graft.<t> …`) is the full-featured
-  * overwrite path (dynamic tuples, static regions, keyed region drops).
+  * Deliberately NOT declared: `OVERWRITE_DYNAMIC` — its exec requires a
+  * connector-native `BatchWrite` (no V1 bridge exists in Spark), which
+  * would mean a SECOND write protocol. Under
+  * `partitionOverwriteMode=dynamic` Spark refuses with its capability
+  * error naming the table — the graft SQL surface
+  * (`INSERT OVERWRITE graft.<t> …`) keeps the dynamic-tuple verb.
   */
 final class GraftWriteBuilder(t: ManagedTable)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsOverwrite {
 
   private var overwriteAll = false
+  private var overwriteCond: Option[Column] = None
 
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(GraftV2Table.filterToColumn(t.meta.schema, _).isDefined)
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    overwriteCond = Some(filters.toSeq.map(f =>
+      GraftV2Table.filterToColumn(t.meta.schema, f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft V2 catalog: cannot translate overwrite condition $f — " +
+            s"use the graft SQL surface (INSERT OVERWRITE graft.${t.name} …)")))
+      .reduceOption(_ && _).getOrElse(lit(true)))
+    this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation(): InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, overwrite: Boolean): Unit = {
         val session = data.sparkSession
-        val over = overwriteAll || overwrite
+        val over = overwriteAll || overwriteCond.isDefined || overwrite
         // NOT gated on the branch existing: writes auto-create it, like
         // the SQL surface (reads are the side that falls back to live)
         val wap = session.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
@@ -221,10 +247,14 @@ final class GraftWriteBuilder(t: ManagedTable)
           s"INSERT OVERWRITE ${t.name} cannot target WAP branch " +
             s"'${wap.get}' — branches stage appends and row-level DML, " +
             "not overwrites (unset spark.wap.branch to overwrite the live table)")
-        if (over) t.overwrite(data)
-        else wap match {
-          case Some(br) => t.stageAppendInto(data, br)
-          case None     => t.append(data)
+        overwriteCond match {
+          case Some(cond) if !overwriteAll => t.overwriteWhere(cond, data)
+          case _ =>
+            if (over) t.overwrite(data)
+            else wap match {
+              case Some(br) => t.stageAppendInto(data, br)
+              case None     => t.append(data)
+            }
         }
       }
     }

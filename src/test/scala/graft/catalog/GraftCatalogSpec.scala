@@ -587,4 +587,79 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     assert(ManagedTable.load(spark, wh, "d4").get.read()
       .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
   }
+
+  test("V2 overwrite-by-filter = the SQL surface's overwriteWhere; static PARTITION; edges") {
+    val wh = tmpWarehouse()
+    val cat = registerCatalog(wh)
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+
+    // keyless identity-partitioned: static PARTITION spec replaces ONLY
+    // the named region — the scoped copy-on-write / region-drop path
+    val kschema = StructType(Seq(
+      StructField("g", StringType), StructField("id", IntegerType),
+      StructField("v", StringType)))
+    val po = ManagedTable.create(spark, wh, "po", kschema,
+      partitionBy = Seq("g"))
+    po.append(Seq(("a", 1, "x1"), ("a", 2, "x2"), ("b", 3, "y1"), ("b", 4, "y2"))
+      .toDF("g", "id", "v"))
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.sql(s"INSERT OVERWRITE $cat.po PARTITION (g='a') VALUES (9, 'z')")
+      // differential oracle: same history + the SQL surface's verb
+      val sib = ManagedTable.create(spark, wh, "po_oracle", kschema,
+        partitionBy = Seq("g"))
+      sib.append(Seq(("a", 1, "x1"), ("a", 2, "x2"), ("b", 3, "y1"), ("b", 4, "y2"))
+        .toDF("g", "id", "v"))
+      sib.overwriteStaticRegion(Seq("g" -> "a"), Seq(("a", 9, "z")).toDF("g", "id", "v"))
+      assertSameRows(spark.sql(s"SELECT * FROM $cat.po ORDER BY g, id"),
+        sib.read().orderBy("g", "id"))
+
+      // KEYED table: the pure-region predicate takes the manifest drop
+      val kt = ManagedTable.create(spark, wh, "pok", StructType(kschema.fields :+
+        StructField("__op", StringType) :+ StructField("__source_ts_ns", LongType)),
+        Seq("id"), partitionBy = Seq("g"))
+      kt.merge(Seq(("a", 1, "x1", "c", 1L), ("b", 2, "y1", "c", 1L))
+        .toDF("g", "id", "v", "__op", "__source_ts_ns"))
+      spark.sql(s"INSERT OVERWRITE $cat.pok PARTITION (g='b') " +
+        "VALUES (7, 'nw', 'c', CAST(2 AS BIGINT))")
+      assert(spark.sql(s"SELECT g, id, v FROM $cat.pok").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted.toSeq ==
+        Seq(("a", 1, "x1"), ("b", 7, "nw")))
+
+      // programmatic writeTo(...).overwrite(cond)
+      Seq(("a", 10, "r1"), ("a", 11, "r2")).toDF("g", "id", "v")
+        .writeTo(s"$cat.po").overwrite(col("g") === "a")
+      assert(spark.sql(s"SELECT id FROM $cat.po WHERE g = 'a'").collect()
+        .map(_.getInt(0)).sorted.toSeq == Seq(10, 11))
+      assert(spark.sql(s"SELECT id FROM $cat.po WHERE g = 'b'").collect()
+        .map(_.getInt(0)).sorted.toSeq == Seq(3, 4), "other region untouched")
+
+      // replaceWhere contract: a batch row OUTSIDE the condition refuses
+      // before anything commits
+      val before = spark.sql(s"SELECT * FROM $cat.po").collect().length
+      val eC = intercept[Exception](
+        Seq(("b", 99, "bad")).toDF("g", "id", "v")
+          .writeTo(s"$cat.po").overwrite(col("g") === "a"))
+      assert(eC.getMessage.contains("satisfy") ||
+        (eC.getCause != null && eC.getCause.getMessage.contains("satisfy")), eC.getMessage)
+      assert(spark.sql(s"SELECT * FROM $cat.po").collect().length == before,
+        "refused overwrite must not mutate the table")
+
+      // untranslatable condition: Spark's standard error, table untouched
+      val eU = intercept[Exception](
+        Seq(("a", 1, "x")).toDF("g", "id", "v")
+          .writeTo(s"$cat.po").overwrite(lower(col("g")) === "a"))
+      assert(eU.getMessage.nonEmpty)
+      assert(spark.sql(s"SELECT * FROM $cat.po").collect().length == before)
+
+      // wap: overwrite-by-filter refuses mid-audit like whole-table overwrite
+      try {
+        spark.conf.set("spark.wap.branch", "audit")
+        val eW = intercept[Exception](
+          spark.sql(s"INSERT OVERWRITE $cat.po PARTITION (g='a') VALUES (0, 'w')"))
+        assert(eW.getMessage.contains("WAP branch") ||
+          (eW.getCause != null && eW.getCause.getMessage.contains("WAP branch")), eW.getMessage)
+      } finally spark.conf.unset("spark.wap.branch")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
 }
