@@ -315,16 +315,32 @@ object GraftScan {
                             runtimeConjuncts: Seq[ManagedTable.PruneConjunct],
                             pinnedRef: Option[String]): Planned = {
     val name = t.name
+    val keyed = t.meta.identifierFields.nonEmpty
     require(t.v2Format == "parquet",
       s"graft V2 catalog: table $name stores ${t.v2Format} groups — the V2 read " +
         "path is parquet-only; read via the graft SQL surface")
-    require(t.v2SingleEpoch,
-      s"graft V2 catalog: table $name has partition-spec history (evolved spec) — " +
-        s"CALL graft.system.compact('$name') normalizes files to the current spec, " +
-        "or read via the graft SQL surface (epoch-aware)")
-    require(!t.v2HasRenameLineage && !t.v2HasColumnDefaults,
-      s"graft V2 catalog: table $name carries rename lineage / initial column " +
-        "defaults — read via the graft SQL surface, which folds them at scan")
+    // Multi-epoch KEYED tables refuse: cross-epoch delete scopes are
+    // GLOBAL on identifiers (a new-epoch delete hides old-epoch rows in
+    // other tuples), which breaks this scan's per-split MoR locality.
+    // Keyless multi-epoch tables have no delete scopes — their groups
+    // union soundly, so they read below (SPJ naturally disengages: old
+    // epochs' tuples don't parse under the current spec's fields).
+    require(t.v2SingleEpoch || !keyed,
+      s"graft V2 catalog: table $name is keyed with partition-spec history " +
+        s"(evolved spec) — CALL graft.system.compact('$name') normalizes files " +
+        "to the current spec, or read via the graft SQL surface (epoch-aware)")
+    // Rename lineage and seq-gated initial defaults fold inside the
+    // reader (same rule as the SQL surface's scanGroups projection) —
+    // EXCEPT on identifier columns, where the fold would have to run
+    // before delete-key extraction; renameColumn refuses identifiers, so
+    // only a later SET IDENTIFIER FIELDS over a defaulted column hits this.
+    val aliases = t.v2RenameAliasesLive
+    val defaults = t.v2ColumnDefaults
+    require(!t.meta.identifierFields.exists(i =>
+        aliases.contains(i) || defaults.contains(i)),
+      s"graft V2 catalog: table $name has rename lineage / an initial default " +
+        "on an IDENTIFIER column — read via the graft SQL surface, which folds " +
+        "them before delete resolution")
 
     val snapshot = pinnedRef.map(t.v2RefEntries).getOrElse(t.v2SnapshotEntries)
     val (staticScan, staticCarriers) = t.v2PrunedEntries(conjuncts, snapshot)
@@ -356,7 +372,6 @@ object GraftScan {
         }
       })
 
-    val keyed = t.meta.identifierFields.nonEmpty
     val byTuple = dataEntries.groupBy(_.partition)
     val carriersByTuple = carriers.groupBy(_.partition)
     val posdelsByTuple = posdels.groupBy(_.partition)
@@ -436,11 +451,32 @@ object GraftScan {
       StructField(TombstoneCol, BooleanType, nullable = true))
     val ids = t.meta.identifierFields
     val extraIds = ids.filterNot(required.fieldNames.contains)
+    val dataFields = required.fields.map(f => dataSchema(f.name)) ++
+      extraIds.map(dataSchema(_))
+    // rename-lineage fold: each renamed OUTPUT column's prior names ride
+    // the read schema as extra nullable fields (parquet by-name projection
+    // fills whichever a file has); the reader coalesces them — the exact
+    // rule scanGroups applies on the SQL surface
+    val aliasFields = dataFields.flatMap(f =>
+      aliases.getOrElse(f.name, Seq.empty)
+        .map(o => StructField(o, f.dataType, nullable = true)))
     val matSchema = StructType(
-      required.fields.map(f => dataSchema(f.name)) ++
-        extraIds.map(dataSchema(_)) :+
+      dataFields ++ aliasFields :+
         dataSchema(SeqCol) :+ dataSchema(TombstoneCol))
     val idIdxs = ids.map(matSchema.fieldIndex).toArray
+    val aliasIdxs: Array[Array[Int]] = dataFields.take(required.length).map(f =>
+      aliases.getOrElse(f.name, Seq.empty).map(matSchema.fieldIndex).toArray)
+    // seq-gated initial defaults, evaluated ONCE on the driver to a
+    // catalyst value (the same lit(s).cast(dt) the SQL fold applies)
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val defaultVals: Array[Option[(Long, Any)]] =
+      dataFields.take(required.length).map { f =>
+        defaults.get(f.name).map { case (v, s) =>
+          (v, org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              UTF8String.fromString(s), StringType), f.dataType, Some(tz)).eval(null))
+        }
+      }
     val delSchema = StructType(ids.map(n => dataSchema(n)) :+ dataSchema(SeqCol))
     val fmt = new ParquetFileFormat()
     // row-based output: the vectorized reader still runs inside, yielding
@@ -459,7 +495,8 @@ object GraftScan {
       new StructType(), ManagedTable.PosDelSchema, Nil, opts, spark.sessionState.newHadoopConf())
 
     val factory = new GraftReaderFactory(dataReader, delReader, posdelReader,
-      matSchema, required.length, idIdxs, delSchema.length - 1)
+      matSchema, required.length, idIdxs, delSchema.length - 1,
+      aliasIdxs, defaultVals)
 
     val dataRows = dataEntries.map(_.rows)
     Planned(partitions, spjKeys.filter(_ => keyRows.isDefined), factory,
@@ -518,12 +555,15 @@ final class GraftReaderFactory(
     dataReader: PartitionedFile => Iterator[InternalRow],
     delReader: PartitionedFile => Iterator[InternalRow],
     posdelReader: PartitionedFile => Iterator[InternalRow],
-    matSchema: StructType, outCount: Int, idIdxs: Array[Int], delSeqIdx: Int)
+    matSchema: StructType, outCount: Int, idIdxs: Array[Int], delSeqIdx: Int,
+    aliasIdxs: Array[Array[Int]] = Array.empty,
+    defaultVals: Array[Option[(Long, Any)]] = Array.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftScan.GraftInputPartition],
-      dataReader, delReader, posdelReader, matSchema, outCount, idIdxs, delSeqIdx)
+      dataReader, delReader, posdelReader, matSchema, outCount, idIdxs, delSeqIdx,
+      aliasIdxs, defaultVals)
 }
 
 final class GraftPartitionReader(
@@ -531,7 +571,8 @@ final class GraftPartitionReader(
     dataReader: PartitionedFile => Iterator[InternalRow],
     delReader: PartitionedFile => Iterator[InternalRow],
     posdelReader: PartitionedFile => Iterator[InternalRow],
-    matSchema: StructType, outCount: Int, idIdxs: Array[Int], delSeqIdx: Int)
+    matSchema: StructType, outCount: Int, idIdxs: Array[Int], delSeqIdx: Int,
+    aliasIdxs: Array[Array[Int]], defaultVals: Array[Option[(Long, Any)]])
     extends PartitionReader[InternalRow] {
 
   import GraftScan.GFile
@@ -618,11 +659,40 @@ final class GraftPartitionReader(
            while (i < idxs.length) { a(i) = v(i); i += 1 }; a.toList }
   }
 
-  private val proj = UnsafeProjection.create(
-    matSchema.fields.take(outCount).toIndexedSeq.zipWithIndex.map { case (f, i) =>
-      BoundReference(i, f.dataType, f.nullable)
-        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
-    })
+  /** Output projection: per field, the rename-lineage coalesce plus the
+    * seq-gated initial default — scanGroups' projection, reader-side. The
+    * default gate needs the row's effective seq (`coalesce(seq, entrySeq)`),
+    * so folding readers build one projection per distinct file entry seq
+    * (memoized); fold-free tables keep a single static projection.
+    */
+  private val needsFold = aliasIdxs.exists(_.nonEmpty) || defaultVals.exists(_.isDefined)
+
+  private def mkProj(entrySeq: Long): UnsafeProjection = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Coalesce, Expression, If, IsNull, LessThanOrEqual, Literal}
+    UnsafeProjection.create(
+      (0 until outCount).map { i =>
+        val f = matSchema(i)
+        val base: Expression = BoundReference(i, f.dataType, nullable = true)
+        val folded: Expression =
+          if (i >= aliasIdxs.length || aliasIdxs(i).isEmpty) base
+          else Coalesce(base +: aliasIdxs(i).toSeq.map(j =>
+            BoundReference(j, f.dataType, nullable = true): Expression))
+        if (i >= defaultVals.length) folded
+        else defaultVals(i) match {
+          case Some((v, dv)) =>
+            val rowSeq = Coalesce(Seq(
+              BoundReference(seqIdx, LongType, nullable = true),
+              Literal(entrySeq, LongType)))
+            If(And(LessThanOrEqual(rowSeq, Literal(v, LongType)), IsNull(folded)),
+              Literal(dv, f.dataType), folded)
+          case None => folded
+        }
+      })
+  }
+
+  private val staticProj = if (needsFold) null else mkProj(0L)
+  private val projCache = new java.util.HashMap[Long, UnsafeProjection]()
+  private var proj: UnsafeProjection = staticProj
 
   private var fileIdx = 0
   private var iter: Iterator[InternalRow] = Iterator.empty
@@ -653,6 +723,11 @@ final class GraftPartitionReader(
         fileIdx += 1
         iter = open(f, dataReader)
         curEntrySeq = f.entrySeq
+        if (needsFold) {
+          var pj = projCache.get(curEntrySeq)
+          if (pj == null) { pj = mkProj(curEntrySeq); projCache.put(curEntrySeq, pj) }
+          proj = pj
+        }
         curHidden = posdelsByFile.get(fileKey(f.path))
         pos = -1L
       } else return false

@@ -1645,6 +1645,17 @@ final class ManagedTable private (
   private[graft] def v2TableDir: Path = tableDir
   private[graft] def v2PartitionFields: Seq[PartitionField] = partitionFields
 
+  /** Rename lineage with live-shadowed alias names dropped — the same
+    * filter [[scanGroups]] applies before building its read schema.
+    */
+  private[graft] def v2RenameAliasesLive: Map[String, Seq[String]] = {
+    val live = physicalSchema.fieldNames.toSet
+    renameAliases.map { case (n, olds) => n -> olds.filterNot(live.contains) }
+      .filter(_._2.nonEmpty)
+  }
+
+  private[graft] def v2ColumnDefaults: Map[String, (Long, String)] = columnDefaults
+
   /** Manifest-level pruning for the V2 pushed-filter path — the same
     * superset-safe split the SQL rule uses, over the given entry set
     * (current snapshot, or a pinned ref's).

@@ -426,7 +426,7 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("refusals: evolved partition spec and rename lineage point at the SQL surface") {
+  test("refusal: KEYED evolved partition spec points at the SQL surface") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "ref1", schema, Seq("id"))
     t.merge(rows((1, "a", "c", 1L)))
@@ -437,14 +437,69 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     assert(e.getMessage.contains("partition-spec history") ||
       (e.getCause != null && e.getCause.getMessage.contains("partition-spec history")),
       s"expected spec-history refusal, got: ${e.getMessage}")
+  }
 
-    val t2 = ManagedTable.create(spark, wh, "ref2", schema, Seq("id"))
-    t2.merge(rows((1, "a", "c", 1L)))
-    t2.renameColumn("name", "label")
-    val e2 = intercept[Exception](spark.sql(s"SELECT * FROM $cat.ref2").collect())
-    assert(e2.getMessage.contains("rename lineage") ||
-      (e2.getCause != null && e2.getCause.getMessage.contains("rename lineage")),
-      s"expected rename-lineage refusal, got: ${e2.getMessage}")
+  test("V2 read folds rename lineage and initial defaults like the SQL surface") {
+    val wh = tmpWarehouse()
+    val cat = registerCatalog(wh)
+
+    // rename mid-history: old files carry the old name, new files the new
+    // one — the reader coalesces them; later MoR trickle still applies
+    val t = ManagedTable.create(spark, wh, "rl1", schema, Seq("id"))
+    t.merge(rows((1, "a", "c", 1L), (2, "b", "c", 1L), (3, "c", "c", 1L)))
+    t.renameColumn("name", "label")
+    t.merge(Seq((2, "b2", "u", 2L), (4, "d", "c", 2L))
+      .toDF("id", "label", "__op", "__source_ts_ns"))
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.rl1"), t.read())
+    assertSameRows(spark.sql(s"SELECT label FROM $cat.rl1 WHERE id <= 2"),
+      t.read().filter(col("id") <= 2).select("label"))
+
+    // chained rename across file generations
+    t.renameColumn("label", "title")
+    t.merge(Seq((5, "e", "c", 3L)).toDF("id", "title", "__op", "__source_ts_ns"))
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.rl1"), t.read())
+
+    // initial default: pre-add rows get the default, post-add explicit
+    // null stays null (seq-gated, not blanket coalesce)
+    val d = ManagedTable.create(spark, wh, "df1", StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("v", StringType))), Seq("id"))
+    d.append(Seq((1, "x"), (2, "y")).toDF("id", "v"))
+    d.addColumn(StructField("score", IntegerType), default = Some("7"))
+    d.append(Seq((3, "z", 30), (4, "w", null.asInstanceOf[Integer]))
+      .map { case (a, b, c) => (a, b, Option(c).map(_.toString)) }
+      .toDF("id", "v", "s").withColumn("score", col("s").cast(IntegerType)).drop("s"))
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.df1"), d.read())
+    assert(spark.sql(s"SELECT score FROM $cat.df1 WHERE id = 1").head().getInt(0) == 7,
+      "pre-add row must read the default")
+    assert(spark.sql(s"SELECT score FROM $cat.df1 WHERE id = 4").head().isNullAt(0),
+      "post-add explicit null must stay null")
+
+    // rename + default together on a partitioned table, differential
+    val p = ManagedTable.create(spark, wh, "rl2", schema, Seq("id"),
+      partitionBy = Seq("bucket(id,4)"))
+    p.merge(rows((1 to 60).map(i => (i, s"n$i", "c", 1L)): _*))
+    p.renameColumn("name", "label")
+    p.addColumn(StructField("rank", LongType), default = Some("5"))
+    p.merge(Seq((2, "b2", 20L, "u", 2L), (61, "x", 61L, "c", 2L))
+      .toDF("id", "label", "rank", "__op", "__source_ts_ns"))
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.rl2"), p.read())
+  }
+
+  test("V2 read: multi-epoch KEYLESS tables union soundly (SPJ disengages)") {
+    val wh = tmpWarehouse()
+    val cat = registerCatalog(wh)
+    val kschema = StructType(Seq(
+      StructField("g", StringType), StructField("id", IntegerType),
+      StructField("v", StringType)))
+    val t = ManagedTable.create(spark, wh, "me1", kschema, partitionBy = Seq("g"))
+    t.append(Seq(("a", 1, "x"), ("b", 2, "y")).toDF("g", "id", "v"))
+    t.updatePartitionSpec(Seq("bucket(id,4)"))
+    t.append(Seq(("a", 3, "z"), ("c", 4, "w")).toDF("g", "id", "v"))
+    assertSameRows(spark.sql(s"SELECT * FROM $cat.me1 ORDER BY id"),
+      t.read().orderBy("id"))
+    assertSameRows(spark.sql(s"SELECT v FROM $cat.me1 WHERE g = 'a'"),
+      t.read().filter(col("g") === "a").select("v"))
   }
 
   test("runtime-filter attributes respect column pruning: count over an SPJ join resolves") {
