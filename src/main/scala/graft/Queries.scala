@@ -751,6 +751,45 @@ object Queries {
       |WHERE NOT coalesce((o_orderstatus = 'F' AND o_totalprice < 100000.0)
       |                   OR o_orderpriority IN ('5-LOW'), false)""".stripMargin))
 
+  /** Static-partition INSERT OVERWRITE through the DSv2 catalog (round
+    * 10, [[graft.catalog.GraftWriteBuilder]]'s SupportsOverwrite via
+    * Spark's `OverwriteByExpressionExecV1` V1-write bridge): Spark's
+    * NATIVE resolution builds the region predicate and injects the
+    * static value — no graft extension rule touches the statement — and
+    * the write runs the SAME overwriteWhere the SQL surface uses. On
+    * this keyless priority-partitioned table the pure-region predicate
+    * takes the zero-rewrite path: the region's entries drop as a
+    * manifest diff and only the recomputed batch is written. The query
+    * runtime-asserts the zero-rewrite property (untouched regions keep
+    * byte-identical file groups) and reads its own region back through
+    * the catalog in the same statement (the scan pins the pre-commit
+    * snapshot). Oracle = other regions ∪ the recomputed region.
+    */
+  val dmlV2Overwrite = Q("dml_v2_overwrite",
+    (s, dir) => {
+      val tbl = keylessOrdersTable(s, dir, "orders_v2ow")
+      val beforeOther = priorityFiles(tbl).filterNot(_._2 == "1-URGENT").map(_._1).toSet
+      val ns = s.newSession()
+      val cat = s"gv2o_${java.util.UUID.randomUUID().toString.take(8)}"
+      ns.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      ns.conf.set(s"spark.sql.catalog.$cat.warehouse", tbl.warehouse)
+      ns.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      ns.sql(s"INSERT OVERWRITE $cat.orders_v2ow PARTITION (o_orderpriority='1-URGENT') " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 0.5 AS o_totalprice " +
+        s"FROM $cat.orders_v2ow WHERE o_orderpriority = '1-URGENT'")
+      val re = graft.tables.ManagedTable.load(s, tbl.warehouse, "orders_v2ow").get
+      val afterOther = priorityFiles(re).filterNot(_._2 == "1-URGENT").map(_._1).toSet
+      require(afterOther == beforeOther,
+        "V2 static-partition overwrite must leave other regions' files untouched")
+      re.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderpriority <> '1-URGENT'
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  o_totalprice * 0.5 AS o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin))
+
   /** Dynamic partition overwrite ([[graft.tables.ManagedTable
     * .overwritePartitions]]): a priority-partitioned orders table gets
     * one partition's recomputation — only that partition's groups are
@@ -4534,7 +4573,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, dmlV2Overwrite, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

@@ -11,9 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
 
 /** Write-path parity chaos: ONE random op stream applied twice — through
-  * the V2 catalog's SQL verbs (DataFrameWriterV2 append, DELETE FROM,
-  * TRUNCATE TABLE) on table `pa`, and through the ManagedTable API
-  * (append / deleteWhere / truncate) on sibling `pb` — must leave
+  * the V2 catalog's SQL verbs (DataFrameWriterV2 append / overwrite(cond),
+  * DELETE FROM, TRUNCATE TABLE) on table `pa`, and through the
+  * ManagedTable API (append / overwriteWhere / deleteWhere / truncate)
+  * on sibling `pb` — must leave
   * IDENTICAL visible states at every checkpoint, read through BOTH the
   * catalog and the API. This is the differential net under the round-10
   * V2 write surface: any drift between the seams' delete translation,
@@ -56,7 +57,7 @@ class V2ParityChaosSpec extends AnyFunSuite with SharedSpark {
       }
 
       for (step <- 1 to 24) {
-        rnd.nextInt(12) match {
+        rnd.nextInt(13) match {
           case n if n <= 5 => // append the SAME batch through both seams
             val b = batch(rnd, 1 + rnd.nextInt(8))
             b.writeTo(s"$cat.pa").append()
@@ -80,6 +81,14 @@ class V2ParityChaosSpec extends AnyFunSuite with SharedSpark {
           case 11 => // rare whole-table truncate
             spark.sql(s"TRUNCATE TABLE $cat.pa")
             pb.truncate()
+          case 12 => // overwrite-by-filter: replace the id < k region with
+            // a unique-keyed in-region batch (the replaceWhere contract)
+            val k = 1 + rnd.nextInt(20)
+            val b = rnd.shuffle((0 until k).toList).take(1 + rnd.nextInt(k))
+              .map(i => (i, s"ow${rnd.nextInt(10)}", rnd.nextInt(50).toDouble))
+              .toDF("id", "name", "v")
+            b.writeTo(s"$cat.pa").overwrite(col("id") < k)
+            pb.overwriteWhere(col("id") < k, b)
         }
         if (step % 6 == 0) check(step)
       }
