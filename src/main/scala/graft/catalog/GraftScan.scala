@@ -46,7 +46,8 @@ import graft.tables.{ManagedTable, Manifest, ManifestEntry}
   * partition key) under `spark.sql.sources.v2.bucketing.enabled` — the
   * Iceberg SPJ design, re-expressed over graft manifests.
   */
-final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None)
+final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None,
+                             options: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
 
@@ -173,7 +174,7 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None)
 
   override def build(): Scan = aggAnswer match {
     case Some((schema, rows)) => new GraftManifestLocalScan(schema, rows, t.name)
-    case None => new GraftScan(t, required, conjuncts, pinnedRef)
+    case None => new GraftScan(t, required, conjuncts, pinnedRef, options)
   }
 }
 
@@ -189,7 +190,8 @@ final class GraftManifestLocalScan(schema: StructType, data: Array[InternalRow],
 
 final class GraftScan(t: ManagedTable, required: StructType,
                       conjuncts: Seq[ManagedTable.PruneConjunct],
-                      pinnedRef: Option[String] = None)
+                      pinnedRef: Option[String] = None,
+                      options: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -231,6 +233,29 @@ final class GraftScan(t: ManagedTable, required: StructType,
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  /** `spark.readStream.table("<cat>.t")` — the table as an APPEND-ONLY
+    * micro-batch stream (Iceberg's Spark streaming-read semantics): the
+    * first batch is the attach-time snapshot (full MoR resolution),
+    * subsequent batches serve each commit's newly added data groups as
+    * file splits — zero shuffles, zero driver materialization at any
+    * table size. Non-append commits fail precisely and point at the V1
+    * changelog source (`readStream.format("graft-table")`), which owns
+    * CDC semantics (per-key net changes, tombstones).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(pinnedRef.isEmpty || pinnedRef == GraftV2Table.activeWapBranch,
+      s"graft V2 catalog: cannot stream ${t.name} VERSION AS OF " +
+        s"'${pinnedRef.getOrElse("")}' — time-traveled tables are read-only " +
+        "snapshots; stream the live table")
+    // under an ambient spark.wap.branch the STREAM serves the LIVE
+    // table's appends, like the V1 changelog source (documented): a
+    // branch is unpublished staging state, not a commit sequence
+    new GraftMicroBatchStream(t, required, conjuncts,
+      options.get("maxversionspertrigger").map(_.toLong),
+      options.get("maxrowspertrigger").map(_.toLong))
+  }
 
   override def description(): String =
     s"graft:${t.name}${pinnedRef.map(r => s"@$r").getOrElse("")} " +
@@ -313,7 +338,8 @@ object GraftScan {
   private[catalog] def plan(spark: SparkSession, t: ManagedTable, required: StructType,
                             conjuncts: Seq[ManagedTable.PruneConjunct],
                             runtimeConjuncts: Seq[ManagedTable.PruneConjunct],
-                            pinnedRef: Option[String]): Planned = {
+                            pinnedRef: Option[String],
+                            entriesOverride: Option[Seq[ManifestEntry]] = None): Planned = {
     val name = t.name
     val keyed = t.meta.identifierFields.nonEmpty
     require(t.v2Format == "parquet",
@@ -342,7 +368,8 @@ object GraftScan {
         "on an IDENTIFIER column — read via the graft SQL surface, which folds " +
         "them before delete resolution")
 
-    val snapshot = pinnedRef.map(t.v2RefEntries).getOrElse(t.v2SnapshotEntries)
+    val snapshot = entriesOverride.getOrElse(
+      pinnedRef.map(t.v2RefEntries).getOrElse(t.v2SnapshotEntries))
     val (staticScan, staticCarriers) = t.v2PrunedEntries(conjuncts, snapshot)
     // runtime filters narrow further, but the reported partition-VALUE set
     // must stay the statically planned one (SPJ consistency): filtered-out
@@ -445,7 +472,24 @@ object GraftScan {
         }
     }
 
-    // ------------------------------------------------- reader factory
+    val factory = buildFactory(spark, t, required)
+
+    val dataRows = dataEntries.map(_.rows)
+    Planned(partitions, spjKeys.filter(_ => keyRows.isDefined), factory,
+      sizeInBytes = partitions.collect {
+        case p: GraftInputPartition => p.dataFiles.map(_.length).sum }.sum,
+      numRows = if (dataRows.nonEmpty && dataRows.forall(_ >= 0L)) Some(dataRows.sum) else None)
+  }
+
+  /** The split-reader factory — schema-determined only (independent of
+    * which entries a particular plan serves), so the streaming path
+    * builds it ONCE per stream instead of per micro-batch.
+    */
+  private[catalog] def buildFactory(spark: SparkSession, t: ManagedTable,
+                                    required: StructType): GraftReaderFactory = {
+    val keyed = t.meta.identifierFields.nonEmpty
+    val aliases = t.v2RenameAliasesLive
+    val defaults = t.v2ColumnDefaults
     val dataSchema = StructType(t.v2PhysicalSchema.fields :+
       StructField(SeqCol, LongType, nullable = true) :+
       StructField(TombstoneCol, BooleanType, nullable = true))
@@ -494,15 +538,9 @@ object GraftScan {
     val posdelReader = fmt.buildReaderWithPartitionValues(spark, ManagedTable.PosDelSchema,
       new StructType(), ManagedTable.PosDelSchema, Nil, opts, spark.sessionState.newHadoopConf())
 
-    val factory = new GraftReaderFactory(dataReader, delReader, posdelReader,
+    new GraftReaderFactory(dataReader, delReader, posdelReader,
       matSchema, required.length, idIdxs, delSchema.length - 1,
       aliasIdxs, defaultVals)
-
-    val dataRows = dataEntries.map(_.rows)
-    Planned(partitions, spjKeys.filter(_ => keyRows.isDefined), factory,
-      sizeInBytes = partitions.collect {
-        case p: GraftInputPartition => p.dataFiles.map(_.length).sum }.sum,
-      numRows = if (dataRows.nonEmpty && dataRows.forall(_ >= 0L)) Some(dataRows.sum) else None)
   }
 
   private def keyTypeSupported(dt: DataType): Boolean = dt match {

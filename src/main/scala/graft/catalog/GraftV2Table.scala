@@ -45,10 +45,12 @@ final class GraftV2Table(val t: ManagedTable,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(t, pinnedRef)
+    new GraftScanBuilder(t, pinnedRef,
+      options.asCaseSensitiveMap().asScala.toMap
+        .map { case (k, v) => k.toLowerCase -> v })
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedRef.isEmpty || pinnedRef == GraftV2Table.activeWapBranch,

@@ -1656,6 +1656,10 @@ final class ManagedTable private (
 
   private[graft] def v2ColumnDefaults: Map[String, (Long, String)] = columnDefaults
 
+  /** Retained manifest at `v`, for the V2 streaming seed batch. */
+  private[graft] def v2EntriesAt(v: Long): Option[Seq[ManifestEntry]] =
+    Manifest.read(fs, manifestPath(v))
+
   /** Manifest-level pruning for the V2 pushed-filter path — the same
     * superset-safe split the SQL rule uses, over the given entry set
     * (current snapshot, or a pinned ref's).
