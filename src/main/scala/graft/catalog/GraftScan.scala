@@ -174,7 +174,7 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None,
 
   override def build(): Scan = aggAnswer match {
     case Some((schema, rows)) => new GraftManifestLocalScan(schema, rows, t.name)
-    case None => new GraftScan(t, required, conjuncts, pinnedRef, options)
+    case None => new GraftScan(t, required, conjuncts, pinnedRef, options, pushed)
   }
 }
 
@@ -191,7 +191,8 @@ final class GraftManifestLocalScan(schema: StructType, data: Array[InternalRow],
 final class GraftScan(t: ManagedTable, required: StructType,
                       conjuncts: Seq[ManagedTable.PruneConjunct],
                       pinnedRef: Option[String] = None,
-                      options: Map[String, String] = Map.empty)
+                      options: Map[String, String] = Map.empty,
+                      pushedV1: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -207,7 +208,7 @@ final class GraftScan(t: ManagedTable, required: StructType,
     var p = planned
     if (p == null) {
       p = GraftScan.plan(SparkSession.active, t, required, conjuncts,
-        runtimeConjuncts, pinnedRef)
+        runtimeConjuncts, pinnedRef, parquetFilters = pushedV1)
       planned = p
     }
     p
@@ -254,7 +255,7 @@ final class GraftScan(t: ManagedTable, required: StructType,
     // branch is unpublished staging state, not a commit sequence
     new GraftMicroBatchStream(t, required, conjuncts,
       options.get("maxversionspertrigger").map(_.toLong),
-      options.get("maxrowspertrigger").map(_.toLong))
+      options.get("maxrowspertrigger").map(_.toLong), pushedV1)
   }
 
   override def description(): String =
@@ -339,7 +340,9 @@ object GraftScan {
                             conjuncts: Seq[ManagedTable.PruneConjunct],
                             runtimeConjuncts: Seq[ManagedTable.PruneConjunct],
                             pinnedRef: Option[String],
-                            entriesOverride: Option[Seq[ManifestEntry]] = None): Planned = {
+                            entriesOverride: Option[Seq[ManifestEntry]] = None,
+                            parquetFilters: Array[Filter] = Array.empty,
+                            withFactory: Boolean = true): Planned = {
     val name = t.name
     val keyed = t.meta.identifierFields.nonEmpty
     require(t.v2Format == "parquet",
@@ -472,7 +475,9 @@ object GraftScan {
         }
     }
 
-    val factory = buildFactory(spark, t, required)
+    // the streaming path builds ONE factory per stream and plans
+    // partitions per micro-batch — skip the 3 reader builds it discards
+    val factory = if (withFactory) buildFactory(spark, t, required, parquetFilters) else null
 
     val dataRows = dataEntries.map(_.rows)
     Planned(partitions, spjKeys.filter(_ => keyRows.isDefined), factory,
@@ -486,7 +491,9 @@ object GraftScan {
     * builds it ONCE per stream instead of per micro-batch.
     */
   private[catalog] def buildFactory(spark: SparkSession, t: ManagedTable,
-                                    required: StructType): GraftReaderFactory = {
+                                    required: StructType,
+                                    parquetFilters: Array[Filter] = Array.empty)
+      : GraftReaderFactory = {
     val keyed = t.meta.identifierFields.nonEmpty
     val aliases = t.v2RenameAliasesLive
     val defaults = t.v2ColumnDefaults
@@ -531,6 +538,18 @@ object GraftScan {
       org.apache.spark.sql.execution.datasources.FileFormat.OPTION_RETURNING_BATCH -> "false")
     val dataReader = fmt.buildReaderWithPartitionValues(spark, dataSchema,
       new StructType(), matSchema, Nil, opts, spark.sessionState.newHadoopConf())
+    // filtered twin for POSDEL-FREE splits: the pushed predicates reach the
+    // parquet reader for row-group/page skipping (dropped rows are exactly
+    // rows the residual filter above drops anyway — predicates referencing
+    // columns a pre-evolution file lacks are skipped per file by Spark's
+    // ParquetFilters). Splits CARRYING posdel sidecars must keep the
+    // unfiltered reader: skipping breaks the running-ordinal = row-index
+    // identity the (file, pos) pairs address.
+    val dataReaderF =
+      if (parquetFilters.isEmpty) null
+      else fmt.buildReaderWithPartitionValues(spark, dataSchema,
+        new StructType(), matSchema, parquetFilters.toIndexedSeq, opts,
+        spark.sessionState.newHadoopConf())
     val delReader =
       if (keyed) fmt.buildReaderWithPartitionValues(spark, dataSchema,
         new StructType(), delSchema, Nil, opts, spark.sessionState.newHadoopConf())
@@ -540,7 +559,7 @@ object GraftScan {
 
     new GraftReaderFactory(dataReader, delReader, posdelReader,
       matSchema, required.length, idIdxs, delSchema.length - 1,
-      aliasIdxs, defaultVals)
+      aliasIdxs, defaultVals, dataReaderF)
   }
 
   private def keyTypeSupported(dt: DataType): Boolean = dt match {
@@ -595,13 +614,20 @@ final class GraftReaderFactory(
     posdelReader: PartitionedFile => Iterator[InternalRow],
     matSchema: StructType, outCount: Int, idIdxs: Array[Int], delSeqIdx: Int,
     aliasIdxs: Array[Array[Int]] = Array.empty,
-    defaultVals: Array[Option[(Long, Any)]] = Array.empty)
+    defaultVals: Array[Option[(Long, Any)]] = Array.empty,
+    dataReaderFiltered: PartitionedFile => Iterator[InternalRow] = null)
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftScan.GraftInputPartition],
-      dataReader, delReader, posdelReader, matSchema, outCount, idIdxs, delSeqIdx,
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftScan.GraftInputPartition]
+    // row-group-skipping reader only where no (file, pos) pairs depend on
+    // exact row ordinals
+    val dr = if (dataReaderFiltered != null && p.posdelFiles.isEmpty)
+      dataReaderFiltered else dataReader
+    new GraftPartitionReader(p,
+      dr, delReader, posdelReader, matSchema, outCount, idIdxs, delSeqIdx,
       aliasIdxs, defaultVals)
+  }
 }
 
 final class GraftPartitionReader(

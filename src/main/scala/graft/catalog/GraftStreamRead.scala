@@ -52,7 +52,8 @@ final class GraftMicroBatchStream(
     t0: ManagedTable, required: StructType,
     conjuncts: Seq[ManagedTable.PruneConjunct],
     maxVersionsPerTrigger: Option[Long],
-    maxRowsPerTrigger: Option[Long])
+    maxRowsPerTrigger: Option[Long],
+    pushedV1: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -70,7 +71,7 @@ final class GraftMicroBatchStream(
 
   // schema-determined only; the widen check guards mid-stream drift
   private lazy val factory: GraftReaderFactory =
-    GraftScan.buildFactory(spark, t0, required)
+    GraftScan.buildFactory(spark, t0, required, pushedV1)
 
   override def initialOffset(): Offset = GraftV2Offset(Seed)
 
@@ -162,7 +163,7 @@ final class GraftMicroBatchStream(
         es
       }
     GraftScan.plan(spark, t, required, conjuncts, Seq.empty, None,
-      entriesOverride = Some(entries)).partitions
+      entriesOverride = Some(entries), withFactory = false).partitions
   }
 
   override def createReaderFactory(): PartitionReaderFactory = factory

@@ -98,6 +98,13 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     t.merge(rows((3, "c3", "u", 3L), (51, "x", "c", 3L)))
     val cat = registerCatalog(wh)
     assertSameRows(spark.sql(s"SELECT * FROM $cat.t2"), t.read())
+    // filtered read over posdel-carrying splits: the reader must keep the
+    // UNfiltered parquet path there (row-group skipping would break the
+    // running-ordinal = row-index identity the (file,pos) pairs address),
+    // and the answer must still be exact
+    assertSameRows(
+      spark.sql(s"SELECT id, name FROM $cat.t2 WHERE id <= 5 OR id = 51"),
+      t.read().filter(col("id") <= 5 || col("id") === 51).select("id", "name"))
   }
 
   test("V2 read = DataFrame read: bucket-partitioned table, pruned filters stay sound") {
