@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,7 +43,8 @@ import graft.tables.{ManagedTable, TableMeta}
   * single-level: tables live directly under the warehouse; the empty and
   * `default` namespaces are interchangeable.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -274,6 +276,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     checkNs(ident.namespace)
     if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
     else throw new NoSuchFunctionException(ident)
+  }
+
+  // ------------------------------------------------------- procedures
+
+  /** `CALL <cat>.system.<proc>(…)` — Spark's native stored-procedure
+    * resolution over the SAME nine maintenance verbs the graft SQL
+    * surface exposes (see [[GraftProcedures]]). Procedures live under the
+    * `system` namespace, Iceberg-style.
+    */
+  private def checkProcNs(ns: Array[String]): Unit =
+    if (!(ns.length == 1 && ns(0).equalsIgnoreCase("system")))
+      throw new NoSuchNamespaceException(catalogName +: ns)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    checkProcNs(namespace)
+    GraftProcedures.Names.map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    checkProcNs(ident.namespace)
+    GraftProcedures.load(spark, warehouse, ident.name).getOrElse(
+      throw new RuntimeException(
+        s"$catalogName.system.${ident.name}: unknown procedure " +
+          s"(have: ${GraftProcedures.Names.mkString(", ")})"))
   }
 }
 

@@ -650,6 +650,53 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
       .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
   }
 
+  test("CALL procedures through the V2 catalog run the one maintenance implementation") {
+    val wh = tmpWarehouse()
+    val cat = registerCatalog(wh)
+    val t = ManagedTable.create(spark, wh, "mp", schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "10"))
+    t.merge(rows((1 to 30).map(i => (i, s"n$i", "c", 1L)): _*))
+    t.merge(rows((1, "a2", "u", 2L)))
+    t.merge(rows((2, "b2", "u", 3L)))
+
+    // compact (positional arg): trickle folds away, data preserved
+    val c = spark.sql(s"CALL $cat.system.compact('mp')").collect()
+    assert(c.length == 1 && c(0).getLong(0) > c(0).getLong(1),
+      s"compact must fold groups, got ${c.toSeq}")
+    assert(ManagedTable.load(spark, wh, "mp").get.read().count() == 30)
+
+    // rollback (named args, Spark's native by-name resolution)
+    val preV = ManagedTable.load(spark, wh, "mp").get.meta.currentVersion
+    ManagedTable.load(spark, wh, "mp").get.append(rows((99, "x", "c", 4L)))
+    val rb = spark.sql(
+      s"CALL $cat.system.rollback_to_version(version => $preV, `table` => 'mp')").collect()
+    assert(rb(0).getLong(0) > preV, "rollback commits a NEW version")
+    assert(ManagedTable.load(spark, wh, "mp").get.read().count() == 30,
+      "rolled-back table must not show the appended row")
+
+    // publish_branch folds staged rows atomically
+    val tb = ManagedTable.load(spark, wh, "mp").get
+    tb.stageAppendInto(rows((500, "staged", "c", 5L)), "audit")
+    val pb = spark.sql(s"CALL $cat.system.publish_branch('mp', 'audit')").collect()
+    assert(pb(0).getLong(0) > 0)
+    assert(ManagedTable.load(spark, wh, "mp").get.read().count() == 31)
+
+    // expire_snapshots takes a TIMESTAMP argument (micros → millis cutoff)
+    val ex = spark.sql(
+      s"CALL $cat.system.expire_snapshots('mp', TIMESTAMP '2020-01-01 00:00:00')").collect()
+    assert(ex(0).getLong(0) == 0L, "nothing is older than 2020")
+
+    // maintenance returns informational action rows
+    val m = spark.sql(s"CALL $cat.system.maintenance('mp')").collect()
+    assert(m.forall(_.getString(0).nonEmpty))
+
+    // unknown procedure refuses listing the known ones
+    val e = intercept[Exception](spark.sql(s"CALL $cat.system.vacuum('mp')"))
+    assert(e.getMessage.contains("unknown procedure") ||
+      (e.getCause != null && e.getCause.getMessage.contains("unknown procedure")),
+      e.getMessage)
+  }
+
   test("V2 overwrite-by-filter = the SQL surface's overwriteWhere; static PARTITION; edges") {
     val wh = tmpWarehouse()
     val cat = registerCatalog(wh)
