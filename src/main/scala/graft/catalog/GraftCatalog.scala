@@ -181,18 +181,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       fieldNames.head
     }
     // a multi-column ADD lands as one union-by-name evolution commit,
-    // like the SQL surface's ADD COLUMNS list
+    // like the SQL surface's ADD COLUMNS list; a column WITH a default
+    // goes through addColumn's seq-gated initial-default path (the V2
+    // reader folds it — GraftScan round 10), restricted to literals whose
+    // string form round-trips through `lit(s).cast(dt)` (the stored
+    // representation): numerics, booleans, strings
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     adds.foreach { a =>
       require(a.position == null,
         s"$catalogName.${ident.name}: column positions are not supported (columns append)")
-      require(a.defaultValue == null,
-        s"$catalogName.${ident.name}: column defaults are not supported through " +
-          "the V2 catalog")
     }
-    if (adds.nonEmpty)
-      t.evolve(StructType(adds.map(a =>
+    val (withDefault, plain) = adds.partition(_.defaultValue != null)
+    if (plain.nonEmpty)
+      t.evolve(StructType(plain.map(a =>
         StructField(single(a.fieldNames, "ADD COLUMN"), a.dataType, nullable = true))))
+    withDefault.foreach { a =>
+      val n = single(a.fieldNames, "ADD COLUMN")
+      val lit = Option(a.defaultValue.getValue).getOrElse(
+        throw new UnsupportedOperationException(
+          s"$catalogName.${ident.name}: DEFAULT for '$n' must be a literal " +
+            s"(got ${a.defaultValue.getSql})"))
+      val stringRoundTrips = a.dataType match {
+        case _: org.apache.spark.sql.types.NumericType |
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BooleanType => true
+        case _ => false
+      }
+      require(stringRoundTrips,
+        s"$catalogName.${ident.name}: DEFAULT for '$n' of type " +
+          s"${a.dataType.catalogString} is not supported through the V2 catalog " +
+          "(numeric/boolean/string literals only)")
+      t.addColumn(StructField(n, a.dataType, nullable = true),
+        default = Some(String.valueOf(lit.value)))
+    }
     changes.foreach {
       case _: TableChange.AddColumn => () // handled above
       case d: TableChange.DeleteColumn =>
@@ -201,17 +222,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         val ifEx = java.lang.Boolean.TRUE.equals(d.ifExists)
         if (!ifEx || t.meta.schema.fieldNames.contains(n)) t.dropColumn(n)
       case r: TableChange.RenameColumn =>
-        // renameColumn works by lineage folding, which only the graft scan
-        // implements — a rename HERE would succeed and then brick every V2
-        // read of this table ("rename lineage — read via the SQL surface");
-        // a V2-only consumer must not be handed that trap
-        throw new UnsupportedOperationException(
-          s"$catalogName.${ident.name}: RENAME COLUMN " +
-            s"'${r.fieldNames.mkString(".")}' is not supported through the V2 " +
-            "catalog — renames fold prior-name values at scan, which the V2 " +
-            "read path does not implement; rename via the graft SQL surface " +
-            s"(ALTER TABLE graft.${ident.name} RENAME COLUMN …) and read " +
-            "through it, or add+backfill a new column instead")
+        // safe through the V2-only surface since round 10: the V2 reader
+        // folds rename lineage itself (prior names coalesce per row), so
+        // a rename here no longer bricks subsequent V2 reads. The guards
+        // (identifier/partition-source immutability, lineage shadowing)
+        // live in renameColumn — one implementation, two spellings.
+        t.renameColumn(single(r.fieldNames, "RENAME COLUMN"), r.newName)
       case s: TableChange.SetProperty =>
         t.setProperties(Map(s.property -> s.value))
       case rm: TableChange.RemoveProperty =>

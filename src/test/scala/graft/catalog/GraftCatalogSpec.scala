@@ -216,12 +216,32 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     assert(!ManagedTable.load(spark, wh, "created").get
       .meta.properties.contains("write.target-rows"))
 
-    // renames would brick V2 reads (lineage folds only in the graft scan);
-    // grammar-owned verbs stay on the SQL surface — both refuse precisely
+    // RENAME works through V2 since the reader folds lineage (round 10):
+    // old files answer under the new name, new writes use it
+    spark.sql(s"ALTER TABLE $cat.created RENAME COLUMN v TO label")
+    assert(sortedRows(spark.sql(s"SELECT id, label FROM $cat.created")) ==
+      sortedRows(Seq((1, "a"), (2, "b")).toDF("id", "label")))
+    // identifier/partition-source immutability rides the one implementation
     val er = intercept[Exception](
-      spark.sql(s"ALTER TABLE $cat.created RENAME COLUMN v TO label"))
-    assert(er.getMessage.contains("RENAME COLUMN") &&
-      er.getMessage.contains("SQL surface"), er.getMessage)
+      spark.sql(s"ALTER TABLE $cat.created RENAME COLUMN id TO key"))
+    assert(er.getMessage.contains("identifier") ||
+      (er.getCause != null && er.getCause.getMessage.contains("identifier")),
+      er.getMessage)
+
+    // ADD COLUMN with a DEFAULT: pre-add rows read the default (seq-gated
+    // fold), post-add rows their written values
+    spark.sql(s"ALTER TABLE $cat.created ADD COLUMN score INT DEFAULT 7")
+    spark.sql(s"INSERT INTO $cat.created VALUES (3, 'c', 1, 30)")
+    assert(sortedRows(spark.sql(s"SELECT id, score FROM $cat.created")) ==
+      sortedRows(Seq((1, 7), (2, 7), (3, 30)).toDF("id", "score")))
+    // non-round-tripping default types refuse with a pointer
+    val ed = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.created ADD COLUMN d DATE DEFAULT DATE'2020-01-01'"))
+    assert(ed.getMessage.contains("numeric/boolean/string") ||
+      (ed.getCause != null && ed.getCause.getMessage.contains("numeric/boolean/string")),
+      ed.getMessage)
+
+    // grammar-owned verbs stay on the SQL surface — refuse precisely
     val et = intercept[Exception](
       spark.sql(s"ALTER TABLE $cat.created ALTER COLUMN z TYPE BIGINT"))
     assert(et.getMessage.nonEmpty)
