@@ -501,8 +501,13 @@ object GraftScan {
       StructField(SeqCol, LongType, nullable = true) :+
       StructField(TombstoneCol, BooleanType, nullable = true))
     val ids = t.meta.identifierFields
-    val extraIds = ids.filterNot(required.fieldNames.contains)
-    val dataFields = required.fields.map(f => dataSchema(f.name)) ++
+    // metadata columns (_graft_version, _file) are SYNTHESIZED by the
+    // reader — they must not reach the parquet read schema; outBind maps
+    // each output slot to its matSchema input (or the -1/-2 sentinels)
+    val dataReq = required.fields.filterNot(f =>
+      f.name == GraftV2Table.VersionMetaCol || f.name == GraftV2Table.FileMetaCol)
+    val extraIds = ids.filterNot(dataReq.map(_.name).contains)
+    val dataFields = dataReq.map(f => dataSchema(f.name)) ++
       extraIds.map(dataSchema(_))
     // rename-lineage fold: each renamed OUTPUT column's prior names ride
     // the read schema as extra nullable fields (parquet by-name projection
@@ -515,13 +520,18 @@ object GraftScan {
       dataFields ++ aliasFields :+
         dataSchema(SeqCol) :+ dataSchema(TombstoneCol))
     val idIdxs = ids.map(matSchema.fieldIndex).toArray
-    val aliasIdxs: Array[Array[Int]] = dataFields.take(required.length).map(f =>
+    val outBind: Array[Int] = required.fields.map { f =>
+      if (f.name == GraftV2Table.VersionMetaCol) -1
+      else if (f.name == GraftV2Table.FileMetaCol) -2
+      else dataReq.indexWhere(_.name == f.name)
+    }
+    val aliasIdxs: Array[Array[Int]] = required.fields.map(f =>
       aliases.getOrElse(f.name, Seq.empty).map(matSchema.fieldIndex).toArray)
     // seq-gated initial defaults, evaluated ONCE on the driver to a
     // catalyst value (the same lit(s).cast(dt) the SQL fold applies)
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     val defaultVals: Array[Option[(Long, Any)]] =
-      dataFields.take(required.length).map { f =>
+      required.fields.map { f =>
         defaults.get(f.name).map { case (v, s) =>
           (v, org.apache.spark.sql.catalyst.expressions.Cast(
             org.apache.spark.sql.catalyst.expressions.Literal(
@@ -558,8 +568,8 @@ object GraftScan {
       new StructType(), ManagedTable.PosDelSchema, Nil, opts, spark.sessionState.newHadoopConf())
 
     new GraftReaderFactory(dataReader, delReader, posdelReader,
-      matSchema, required.length, idIdxs, delSchema.length - 1,
-      aliasIdxs, defaultVals, dataReaderF)
+      matSchema, outBind, idIdxs, delSchema.length - 1,
+      required.fields.map(_.dataType), aliasIdxs, defaultVals, dataReaderF)
   }
 
   private def keyTypeSupported(dt: DataType): Boolean = dt match {
@@ -612,7 +622,8 @@ final class GraftReaderFactory(
     dataReader: PartitionedFile => Iterator[InternalRow],
     delReader: PartitionedFile => Iterator[InternalRow],
     posdelReader: PartitionedFile => Iterator[InternalRow],
-    matSchema: StructType, outCount: Int, idIdxs: Array[Int], delSeqIdx: Int,
+    matSchema: StructType, outBind: Array[Int], idIdxs: Array[Int], delSeqIdx: Int,
+    outTypes: Array[DataType],
     aliasIdxs: Array[Array[Int]] = Array.empty,
     defaultVals: Array[Option[(Long, Any)]] = Array.empty,
     dataReaderFiltered: PartitionedFile => Iterator[InternalRow] = null)
@@ -625,8 +636,8 @@ final class GraftReaderFactory(
     val dr = if (dataReaderFiltered != null && p.posdelFiles.isEmpty)
       dataReaderFiltered else dataReader
     new GraftPartitionReader(p,
-      dr, delReader, posdelReader, matSchema, outCount, idIdxs, delSeqIdx,
-      aliasIdxs, defaultVals)
+      dr, delReader, posdelReader, matSchema, outBind, idIdxs, delSeqIdx,
+      outTypes, aliasIdxs, defaultVals)
   }
 }
 
@@ -635,7 +646,8 @@ final class GraftPartitionReader(
     dataReader: PartitionedFile => Iterator[InternalRow],
     delReader: PartitionedFile => Iterator[InternalRow],
     posdelReader: PartitionedFile => Iterator[InternalRow],
-    matSchema: StructType, outCount: Int, idIdxs: Array[Int], delSeqIdx: Int,
+    matSchema: StructType, outBind: Array[Int], idIdxs: Array[Int], delSeqIdx: Int,
+    outTypes: Array[DataType],
     aliasIdxs: Array[Array[Int]], defaultVals: Array[Option[(Long, Any)]])
     extends PartitionReader[InternalRow] {
 
@@ -723,33 +735,41 @@ final class GraftPartitionReader(
            while (i < idxs.length) { a(i) = v(i); i += 1 }; a.toList }
   }
 
-  /** Output projection: per field, the rename-lineage coalesce plus the
-    * seq-gated initial default — scanGroups' projection, reader-side. The
-    * default gate needs the row's effective seq (`coalesce(seq, entrySeq)`),
-    * so folding readers build one projection per distinct file entry seq
-    * (memoized); fold-free tables keep a single static projection.
+  /** Output projection: per slot, the rename-lineage coalesce plus the
+    * seq-gated initial default — scanGroups' projection, reader-side —
+    * and the synthesized metadata columns (`_graft_version`, `_file`),
+    * which bind past the physical row into a per-row joined metadata
+    * tail. The default gate needs the row's effective seq
+    * (`coalesce(seq, entrySeq)`), so folding readers build one projection
+    * per distinct file entry seq (memoized); fold-free tables keep a
+    * single static projection.
     */
   private val needsFold = aliasIdxs.exists(_.nonEmpty) || defaultVals.exists(_.isDefined)
+  private val metaNeeded = outBind.exists(_ < 0)
 
   private def mkProj(entrySeq: Long): UnsafeProjection = {
     import org.apache.spark.sql.catalyst.expressions.{And, Coalesce, Expression, If, IsNull, LessThanOrEqual, Literal}
     UnsafeProjection.create(
-      (0 until outCount).map { i =>
-        val f = matSchema(i)
-        val base: Expression = BoundReference(i, f.dataType, nullable = true)
-        val folded: Expression =
-          if (i >= aliasIdxs.length || aliasIdxs(i).isEmpty) base
-          else Coalesce(base +: aliasIdxs(i).toSeq.map(j =>
-            BoundReference(j, f.dataType, nullable = true): Expression))
-        if (i >= defaultVals.length) folded
-        else defaultVals(i) match {
-          case Some((v, dv)) =>
-            val rowSeq = Coalesce(Seq(
-              BoundReference(seqIdx, LongType, nullable = true),
-              Literal(entrySeq, LongType)))
-            If(And(LessThanOrEqual(rowSeq, Literal(v, LongType)), IsNull(folded)),
-              Literal(dv, f.dataType), folded)
-          case None => folded
+      outBind.indices.map { i =>
+        outBind(i) match {
+          case -1 => BoundReference(matSchema.length, LongType, nullable = false): Expression
+          case -2 => BoundReference(matSchema.length + 1, StringType, nullable = false)
+          case j =>
+            val dt = outTypes(i)
+            val base: Expression = BoundReference(j, dt, nullable = true)
+            val folded: Expression =
+              if (aliasIdxs(i).isEmpty) base
+              else Coalesce(base +: aliasIdxs(i).toSeq.map(k =>
+                BoundReference(k, dt, nullable = true): Expression))
+            defaultVals(i) match {
+              case Some((v, dv)) =>
+                val rowSeq = Coalesce(Seq(
+                  BoundReference(seqIdx, LongType, nullable = true),
+                  Literal(entrySeq, LongType)))
+                If(And(LessThanOrEqual(rowSeq, Literal(v, LongType)), IsNull(folded)),
+                  Literal(dv, dt), folded)
+              case None => folded
+            }
         }
       })
   }
@@ -757,6 +777,12 @@ final class GraftPartitionReader(
   private val staticProj = if (needsFold) null else mkProj(0L)
   private val projCache = new java.util.HashMap[Long, UnsafeProjection]()
   private var proj: UnsafeProjection = staticProj
+  // per-row metadata tail: [version, file path] joined past the physical row
+  private val metaRow = if (metaNeeded)
+    new GenericInternalRow(2) else null
+  private val joined = if (metaNeeded)
+    new org.apache.spark.sql.catalyst.expressions.JoinedRow() else null
+  private var curFileUtf8: UTF8String = null
 
   private var fileIdx = 0
   private var iter: Iterator[InternalRow] = Iterator.empty
@@ -779,7 +805,14 @@ final class GraftPartitionReader(
               val m = delMax.get(keyOfIdx(r, idIdxs, i => dataTypeAt(i)))
               m != null && m > rowSeq
             }
-            if (!eqHidden) { cur = proj(r); return true }
+            if (!eqHidden) {
+              cur = if (metaNeeded) {
+                metaRow.update(0, rowSeq)
+                metaRow.update(1, curFileUtf8)
+                proj(joined(r, metaRow))
+              } else proj(r)
+              return true
+            }
           }
         }
       } else if (fileIdx < p.dataFiles.length) {
@@ -792,6 +825,7 @@ final class GraftPartitionReader(
           if (pj == null) { pj = mkProj(curEntrySeq); projCache.put(curEntrySeq, pj) }
           proj = pj
         }
+        if (metaNeeded) curFileUtf8 = UTF8String.fromString(f.path)
         curHidden = posdelsByFile.get(fileKey(f.path))
         pos = -1L
       } else return false

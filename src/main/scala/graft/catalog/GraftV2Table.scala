@@ -5,7 +5,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
@@ -31,11 +31,35 @@ import graft.tables.ManagedTable
   */
 final class GraftV2Table(val t: ManagedTable,
                          val pinnedRef: Option[String] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsMetadataColumns {
 
   override def name(): String = t.name
 
   override def schema(): StructType = t.meta.schema
+
+  /** Iceberg-style metadata columns, resolved only when NAMED (never in
+    * `SELECT *`): `_graft_version` = the commit version that wrote the
+    * row (incremental-ETL watermarks: `WHERE _graft_version > x`),
+    * `_file` = the data file path (audits, skew forensics). Both are
+    * synthesized in the reader from state it already tracks — zero cost
+    * when not requested.
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = GraftV2Table.VersionMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "commit version that wrote the row"
+    },
+    new MetadataColumn {
+      override def name(): String = GraftV2Table.FileMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path"
+    })
 
   override def partitioning(): Array[Transform] =
     t.v2PartitionFields.map(GraftCatalog.specToTransform(_, t.meta.partitionBy)).toArray
@@ -154,6 +178,9 @@ final class GraftMetadataTable(t: ManagedTable, suffix: String)
 }
 
 object GraftV2Table {
+  private[catalog] val VersionMetaCol = "_graft_version"
+  private[catalog] val FileMetaCol = "_file"
+
   private[catalog] def activeWapBranch: Option[String] =
     SparkSession.active.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
 

@@ -670,6 +670,38 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
       .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
   }
 
+  test("metadata columns _graft_version and _file synthesize in the reader") {
+    val wh = tmpWarehouse()
+    val cat = registerCatalog(wh)
+    val t = ManagedTable.create(spark, wh, "mc1", schema, Seq("id"))
+    t.merge(rows((1, "a", "c", 1L), (2, "b", "c", 1L))) // version 1
+    t.merge(rows((2, "b2", "u", 2L), (3, "c", "c", 2L))) // version 2
+
+    // hidden from SELECT * — only named references resolve them
+    assert(spark.sql(s"SELECT * FROM $cat.mc1").columns.toSeq ==
+      schema.fieldNames.toSeq)
+
+    // _graft_version = the commit that wrote the VISIBLE row (2's update
+    // rides commit 2); usable as an incremental watermark filter
+    val vs = spark.sql(s"SELECT id, _graft_version FROM $cat.mc1")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(vs == Map(1 -> 1L, 2 -> 2L, 3 -> 2L), s"got $vs")
+    assert(spark.sql(s"SELECT id FROM $cat.mc1 WHERE _graft_version > 1")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+
+    // _file points at a real parquet file of the table
+    val files = spark.sql(s"SELECT DISTINCT _file FROM $cat.mc1")
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(f =>
+      f.endsWith(".parquet") && f.contains("mc1")), files.toSeq.toString)
+
+    // composes with the rename-lineage fold and ordinary columns
+    t.renameColumn("name", "label")
+    val both = spark.sql(s"SELECT id, label, _graft_version FROM $cat.mc1 WHERE id = 2")
+      .head()
+    assert(both.getString(1) == "b2" && both.getLong(2) == 2L)
+  }
+
   test("CALL procedures through the V2 catalog run the one maintenance implementation") {
     val wh = tmpWarehouse()
     val cat = registerCatalog(wh)
