@@ -255,7 +255,9 @@ final class GraftScan(t: ManagedTable, required: StructType,
     // branch is unpublished staging state, not a commit sequence
     new GraftMicroBatchStream(t, required, conjuncts,
       options.get("maxversionspertrigger").map(_.toLong),
-      options.get("maxrowspertrigger").map(_.toLong), pushedV1)
+      options.get("maxrowspertrigger").map(_.toLong), pushedV1,
+      options.get("startingversion"), options.get("startingtimestamp"),
+      checkpointLocation)
   }
 
   override def description(): String =

@@ -53,7 +53,10 @@ final class GraftMicroBatchStream(
     conjuncts: Seq[ManagedTable.PruneConjunct],
     maxVersionsPerTrigger: Option[Long],
     maxRowsPerTrigger: Option[Long],
-    pushedV1: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    pushedV1: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    startingVersion: Option[String] = None,
+    startingTimestamp: Option[String] = None,
+    checkpointLocation: String = "")
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -73,7 +76,63 @@ final class GraftMicroBatchStream(
   private lazy val factory: GraftReaderFactory =
     GraftScan.buildFactory(spark, t0, required, pushedV1)
 
-  override def initialOffset(): Offset = GraftV2Offset(Seed)
+  /** Attach point: `Seed` (default — first batch is the full MoR
+    * snapshot), or the version the tail starts strictly AFTER.
+    * `startingVersion=<n>` serves n inclusive; `latest` and
+    * `startingTimestamp` resolve ONCE and pin DURABLY under the stream's
+    * checkpoint (the V1 changelog source's contract): a restart after
+    * commits landed must serve them, not re-resolve "latest" past them.
+    * An explicit version behind the changelog barrier fails AT ATTACH
+    * with reseed guidance. A timestamp predating the earliest retained
+    * snapshot seeds the full snapshot (the sound reconstruction once
+    * per-commit history is gone).
+    */
+  private lazy val seedFrom: Long = {
+    val resolved = (startingVersion, startingTimestamp) match {
+      case (None, None)                        => Seed
+      case (Some(n), _) if n.forall(_.isDigit) => n.toLong - 1L
+      case (Some(_), _)                        => pinned(fresh.meta.currentVersion)
+      case (None, Some(ts))                    =>
+        val tsMs = if (ts.forall(_.isDigit)) ts.toLong
+                   else java.sql.Timestamp.valueOf(ts).getTime
+        pinned(fresh.versions().filter(_._2 < tsMs).map(_._1)
+          .maxOption.getOrElse(Seed))
+    }
+    if (resolved > 0L) {
+      val barrier = fresh.meta.properties.get(ManagedTable.BarrierKey)
+        .map(_.toLong).getOrElse(Long.MinValue)
+      if (barrier > resolved)
+        throw new IllegalArgumentException(
+          s"$name: cannot attach at version ${resolved + 1} — a changelog " +
+            s"barrier landed at version $barrier (overwrite/truncate/compact/" +
+            "region delete); attach without startingVersion to seed the " +
+            "current snapshot instead")
+    }
+    resolved
+  }
+
+  /** Durable attach pin under the stream's checkpoint dir — temp + rename
+    * so a crash mid-write never leaves a torn pin (the V1 source's idiom).
+    */
+  private def pinned(compute: => Long): Long = {
+    if (checkpointLocation.isEmpty) return compute
+    val p = new org.apache.hadoop.fs.Path(checkpointLocation, "graft-attach-version")
+    val mfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!mfs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(checkpointLocation,
+        s".graft-attach-version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = mfs.create(tmp, false)
+      try out.write(compute.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!mfs.rename(tmp, p)) mfs.delete(tmp, false) // lost a (re)start race: read the winner's pin
+    }
+    val in = mfs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    finally in.close()
+  }
+
+  override def initialOffset(): Offset = GraftV2Offset(seedFrom)
 
   override def deserializeOffset(json: String): Offset =
     GraftV2Offset(json.trim.toLong)

@@ -100,6 +100,55 @@ class GraftV2StreamSpec extends AnyFunSuite with SharedSpark {
       ManagedTable.load(spark, wh, "s2").get.read().count(), "no rows lost or duplicated")
   }
 
+  test("V2 table stream: startingVersion / startingTimestamp attach points") {
+    val wh = Files.createTempDirectory("graft-v2s6").toString
+    val cat = registerCatalog(wh)
+    val t = ManagedTable.create(spark, wh, "s6", schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "10"))
+    t.append(rows((1, "a", "c", 1L))) // v1
+    t.append(rows((2, "b", "c", 2L))) // v2
+    t.append(rows((3, "c", "c", 3L))) // v3
+
+    // explicit version: serve v2 onward, NO snapshot seed
+    val out = Files.createTempDirectory("graft-v2s6-out").toString
+    val ck = Files.createTempDirectory("graft-v2s6-ck").toString
+    drainToParquet(s"$cat.s6", out, ck, Map("startingVersion" -> "2"))
+    assert(spark.read.parquet(out).collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+
+    // latest: nothing at attach; the pin survives a stop — commits landing
+    // between drains are SERVED, not skipped by a re-resolved "latest"
+    val out2 = Files.createTempDirectory("graft-v2s6-out2").toString
+    val ck2 = Files.createTempDirectory("graft-v2s6-ck2").toString
+    val r0 = spark.readStream.option("startingVersion", "latest").table(s"$cat.s6")
+    assert(r0.writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination(120000))
+    def parquetFiles(dir: String): Int = {
+      val fs = new java.io.File(dir).listFiles()
+      if (fs == null) 0 else fs.count(_.getName.endsWith(".parquet"))
+    }
+    assert(parquetFiles(out2) == 0 || spark.read.parquet(out2).isEmpty,
+      "latest attach serves nothing at first")
+    t.append(rows((4, "d", "c", 4L)))
+    drainToParquet(s"$cat.s6", out2, ck2, Map("startingVersion" -> "latest"))
+    assert(spark.read.parquet(out2).collect().map(_.getInt(0)).toSeq == Seq(4),
+      "commits after the pinned attach must be served on restart")
+
+    // timestamp predating the table: full snapshot seed
+    val out3 = Files.createTempDirectory("graft-v2s6-out3").toString
+    val ck3 = Files.createTempDirectory("graft-v2s6-ck3").toString
+    drainToParquet(s"$cat.s6", out3, ck3, Map("startingTimestamp" -> "100"))
+    assert(spark.read.parquet(out3).count() == 4, "pre-creation timestamp seeds the snapshot")
+
+    // behind-barrier attach fails AT ATTACH with reseed guidance
+    t.overwrite(rows((9, "z", "c", 5L)))
+    val out4 = Files.createTempDirectory("graft-v2s6-out4").toString
+    val ck4 = Files.createTempDirectory("graft-v2s6-ck4").toString
+    val e = intercept[Exception](
+      drainToParquet(s"$cat.s6", out4, ck4, Map("startingVersion" -> "2")))
+    assert(msgs(e).exists(_.contains("barrier")), msgs(e).mkString(" | "))
+  }
+
   test("V2 table stream: non-append commits, barriers, and widen fail precisely") {
     val wh = Files.createTempDirectory("graft-v2s3").toString
     val cat = registerCatalog(wh)
