@@ -505,9 +505,14 @@ object GraftScan {
     val ids = t.meta.identifierFields
     // metadata columns (_graft_version, _file) are SYNTHESIZED by the
     // reader — they must not reach the parquet read schema; outBind maps
-    // each output slot to its matSchema input (or the -1/-2 sentinels)
-    val dataReq = required.fields.filterNot(f =>
-      f.name == GraftV2Table.VersionMetaCol || f.name == GraftV2Table.FileMetaCol)
+    // each output slot to its matSchema input (or the -1/-2 sentinels).
+    // A REAL table column of either name wins (Spark's metadata-column
+    // conflict contract; GraftV2Table suppresses the metadata def too)
+    val physNames = t.v2PhysicalSchema.fieldNames.toSet
+    def isMetaName(n: String): Boolean =
+      !physNames.contains(n) &&
+        (n == GraftV2Table.VersionMetaCol || n == GraftV2Table.FileMetaCol)
+    val dataReq = required.fields.filterNot(f => isMetaName(f.name))
     val extraIds = ids.filterNot(dataReq.map(_.name).contains)
     val dataFields = dataReq.map(f => dataSchema(f.name)) ++
       extraIds.map(dataSchema(_))
@@ -523,9 +528,9 @@ object GraftScan {
         dataSchema(SeqCol) :+ dataSchema(TombstoneCol))
     val idIdxs = ids.map(matSchema.fieldIndex).toArray
     val outBind: Array[Int] = required.fields.map { f =>
-      if (f.name == GraftV2Table.VersionMetaCol) -1
-      else if (f.name == GraftV2Table.FileMetaCol) -2
-      else dataReq.indexWhere(_.name == f.name)
+      if (!isMetaName(f.name)) dataReq.indexWhere(_.name == f.name)
+      else if (f.name == GraftV2Table.VersionMetaCol) -1
+      else -2
     }
     val aliasIdxs: Array[Array[Int]] = required.fields.map(f =>
       aliases.getOrElse(f.name, Seq.empty).map(matSchema.fieldIndex).toArray)

@@ -88,17 +88,36 @@ final class GraftMicroBatchStream(
     * per-commit history is gone).
     */
   private lazy val seedFrom: Long = {
+    // same option contract as the V1 changelog source: empty strings are
+    // all-digits vacuously and overlong runs overflow toLong — both must
+    // fail HERE with the precise option error, never later in a poll
+    def asLong(s: String): Option[Long] =
+      try Some(s.toLong) catch { case _: NumberFormatException => None }
+    require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+      s"$name: set startingVersion OR startingTimestamp, not both")
+    startingVersion.foreach(sv => require(
+      sv.equalsIgnoreCase("latest") || asLong(sv).exists(_ >= 1L),
+      s"$name: startingVersion must be 'latest' or a version >= 1, got '$sv'"))
+    startingTimestamp.foreach(ts => require(
+      (ts.nonEmpty && ts.forall(_.isDigit) && asLong(ts).isDefined) ||
+        (try { java.sql.Timestamp.valueOf(ts); true }
+         catch { case _: IllegalArgumentException => false }),
+      s"$name: startingTimestamp must be epoch millis or " +
+        s"'yyyy-MM-dd HH:mm:ss', got '$ts'"))
     val resolved = (startingVersion, startingTimestamp) match {
-      case (None, None)                        => Seed
-      case (Some(n), _) if n.forall(_.isDigit) => n.toLong - 1L
-      case (Some(_), _)                        => pinned(fresh.meta.currentVersion)
-      case (None, Some(ts))                    =>
+      case (None, None)                               => Seed
+      case (Some(n), _) if !n.equalsIgnoreCase("latest") => n.toLong - 1L
+      case (Some(_), _)                               => pinned(fresh.meta.currentVersion)
+      case (None, Some(ts))                           =>
         val tsMs = if (ts.forall(_.isDigit)) ts.toLong
                    else java.sql.Timestamp.valueOf(ts).getTime
         pinned(fresh.versions().filter(_._2 < tsMs).map(_._1)
           .maxOption.getOrElse(Seed))
     }
-    if (resolved > 0L) {
+    // EVERY explicit attach point (startingVersion=1 ⇒ resolved == 0
+    // included) validates against the barrier AT ATTACH — the mid-stream
+    // error's reseed guidance is wrong for a stream that hasn't started
+    if (resolved >= 0L) {
       val barrier = fresh.meta.properties.get(ManagedTable.BarrierKey)
         .map(_.toLong).getOrElse(Long.MinValue)
       if (barrier > resolved)

@@ -43,9 +43,13 @@ final class GraftV2Table(val t: ManagedTable,
     * row (incremental-ETL watermarks: `WHERE _graft_version > x`),
     * `_file` = the data file path (audits, skew forensics). Both are
     * synthesized in the reader from state it already tracks — zero cost
-    * when not requested.
+    * when not requested. A table carrying a REAL column of either name
+    * (e.g. a CTAS that materialized `_graft_version`) suppresses the
+    * metadata column entirely — the data column must win, per Spark's
+    * metadata-column conflict contract (the reader applies the same
+    * schema-first rule, so both layers agree).
     */
-  override def metadataColumns(): Array[MetadataColumn] = Array(
+  override def metadataColumns(): Array[MetadataColumn] = Array[MetadataColumn](
     new MetadataColumn {
       override def name(): String = GraftV2Table.VersionMetaCol
       override def dataType(): org.apache.spark.sql.types.DataType =
@@ -59,7 +63,7 @@ final class GraftV2Table(val t: ManagedTable,
         org.apache.spark.sql.types.StringType
       override def isNullable: Boolean = false
       override def comment(): String = "data file path"
-    })
+    }).filterNot(mc => t.meta.schema.fieldNames.contains(mc.name()))
 
   override def partitioning(): Array[Transform] =
     t.v2PartitionFields.map(GraftCatalog.specToTransform(_, t.meta.partitionBy)).toArray

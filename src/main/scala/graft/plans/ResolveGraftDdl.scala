@@ -560,31 +560,23 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
     })
   }
 
-  /** Declared parameter names per procedure — positional and Iceberg-style
-    * named arguments (`older_than => TIMESTAMP '…'`) both resolve onto
-    * this order.
-    */
-  private val ProcedureParams: Map[String, Seq[String]] = Map(
-    "compact" -> Seq("table"),
-    "compact_minor" -> Seq("table"),
-    "materialize_position_deletes" -> Seq("table"),
-    "expire_snapshots" -> Seq("table", "older_than"),
-    "rollback_to_version" -> Seq("table", "version"),
-    "maintenance" -> Seq("table"),
-    "replicate" -> Seq("source", "target"),
-    "remove_orphan_files" -> Seq("table", "older_than"),
-    "publish_branch" -> Seq("table", "branch"))
-
   private def procedureCommand(
       proc: String,
       rawArgs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): LogicalPlan = {
-    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Literal, NamedArgumentExpression}
-    import org.apache.spark.sql.types.{DataType, LongType, StringType}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal, NamedArgumentExpression}
+    import org.apache.spark.sql.types.StringType
     import org.apache.spark.sql.Row
+    // ONE spec declares every procedure (names, params, result schemas,
+    // dispatch bodies) for BOTH seams — this parser seam and the V2
+    // ProcedureCatalog ([[graft.catalog.GraftProcedures]]) render it
+    val spec = ProcedureSpecs.byName.getOrElse(proc,
+      throw new IllegalArgumentException(
+        s"CALL graft.system.$proc: unknown procedure " +
+          s"(have: ${ProcedureSpecs.names.mkString(", ")})"))
     // fold named arguments onto the declared positional slots — with the
     // standard procedure-call rules: no positional after named, no
     // duplicate/unknown names, no extra arguments
-    val params = ProcedureParams.getOrElse(proc, Seq.empty)
+    val params = spec.params.map(_._1)
     val args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
       require(params.isEmpty || rawArgs.length <= params.length,
         s"CALL graft.system.$proc: too many arguments " +
@@ -629,74 +621,19 @@ class ResolveGraftDdl(session: SparkSession) extends Rule[LogicalPlan] {
       case other => throw new IllegalArgumentException(
         s"CALL graft.system.$proc: expected a numeric or timestamp argument, got $other")
     }
-    def attrs(pairs: (String, DataType)*): Seq[Attribute] =
-      pairs.map { case (n, t) => AttributeReference(n, t, nullable = false)() }
     def table(name: String): ManagedTable =
       ManagedTable.load(session, warehouse(name), name).getOrElse(
         throw new IllegalArgumentException(s"table graft.$name does not exist"))
-    proc match {
-      case "compact" =>
-        val name = str(0)
-        GraftCallCommand("CALL compact", name,
-          attrs("files_before" -> LongType, "files_after" -> LongType), () => {
-            val (b, a) = table(name).compact(); Seq(Row(b, a))
-          })
-      case "compact_minor" =>
-        val name = str(0)
-        GraftCallCommand("CALL compact_minor", name,
-          attrs("trickle_groups_before" -> LongType, "trickle_groups_after" -> LongType),
-          () => {
-            val (b, a) = table(name).compactMinor(); Seq(Row(b.toLong, a.toLong))
-          })
-      case "materialize_position_deletes" =>
-        val name = str(0)
-        GraftCallCommand("CALL materialize_position_deletes", name,
-          attrs("pairs" -> LongType),
-          () => Seq(Row(table(name).materializePositionalDeletes())))
-      case "expire_snapshots" =>
-        val name = str(0); val olderThan = lng(1)
-        GraftCallCommand("CALL expire_snapshots", name,
-          attrs("expired" -> LongType),
-          () => Seq(Row(table(name).expireSnapshots(olderThan).toLong)))
-      case "rollback_to_version" =>
-        val name = str(0); val v = lng(1)
-        GraftCallCommand("CALL rollback_to_version", name,
-          attrs("current_version" -> LongType), () => {
-            val t = table(name); t.rollbackTo(v); Seq(Row(t.meta.currentVersion))
-          })
-      case "maintenance" =>
-        val name = str(0)
-        GraftCallCommand("CALL maintenance", name,
-          attrs("action" -> StringType, "detail" -> StringType),
-          () => graft.tables.Maintenance.run(table(name))
-            .map(a => Row(a.kind, a.detail)))
-      case "replicate" =>
-        // one commit-exact catch-up of `target` against `source`'s
-        // changelog ([[graft.cdc.Replicate.syncOnce]]) — run per poll/cron
-        val srcName = str(0); val dstName = str(1)
-        GraftCallCommand("CALL replicate", dstName,
-          attrs("synced_to_version" -> LongType),
-          () => Seq(Row(graft.cdc.Replicate.syncOnce(table(srcName), table(dstName)))))
-      case "remove_orphan_files" =>
-        val name = str(0); val olderThan = lng(1)
-        GraftCallCommand("CALL remove_orphan_files", name,
-          attrs("removed" -> LongType),
-          () => Seq(Row(table(name).removeOrphanFiles(olderThan).toLong)))
-      case "publish_branch" =>
-        // WAP step 3a in SQL: fold the branch's staged groups into the
-        // live table atomically ([[ManagedTable.publishBranch]] —
-        // metadata-only on the fast path)
-        val name = str(0); val br = str(1)
-        GraftCallCommand("CALL publish_branch", name,
-          attrs("published_version" -> LongType), () => {
-            val t = table(name); t.publishBranch(br)
-            Seq(Row(t.meta.currentVersion))
-          })
-      case other => throw new IllegalArgumentException(
-        s"CALL graft.system.$other: unknown procedure (have: compact, compact_minor, " +
-          "materialize_position_deletes, expire_snapshots, rollback_to_version, " +
-          "maintenance, replicate, remove_orphan_files, publish_branch)")
+    // spec boundary: String / Long, timestamps as epoch MILLIS (lng
+    // already folds numeric and timestamp literals to millis)
+    val argVals: Seq[Any] = spec.params.zipWithIndex.map {
+      case ((_, StringType), i) => str(i)
+      case ((_, _), i)          => lng(i)
     }
+    GraftCallCommand(s"CALL ${spec.name}",
+      String.valueOf(argVals(spec.displayArg)),
+      spec.out.map { case (n, t) => AttributeReference(n, t, nullable = false)() },
+      () => spec.run(session, table, argVals).map(vs => Row(vs: _*)))
   }
 
   /** `SHOW TABLES IN graft` — list the warehouse's managed tables

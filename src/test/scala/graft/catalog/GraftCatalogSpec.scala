@@ -700,6 +700,17 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     val both = spark.sql(s"SELECT id, label, _graft_version FROM $cat.mc1 WHERE id = 2")
       .head()
     assert(both.getString(1) == "b2" && both.getLong(2) == 2L)
+
+    // a REAL column named _file wins over the metadata column (Spark's
+    // conflict contract) — e.g. a table materialized FROM metadata reads
+    val shadow = ManagedTable.create(spark, wh, "mc2", StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("_file", StringType))))
+    shadow.append(Seq((1, "stored-a"), (2, "stored-b")).toDF("id", "_file"))
+    assert(spark.sql(s"SELECT _file FROM $cat.mc2 ORDER BY id").collect()
+      .map(_.getString(0)).toSeq == Seq("stored-a", "stored-b"),
+      "the DATA column must win over the synthesized metadata column")
+    assert(spark.sql(s"SELECT * FROM $cat.mc2").columns.toSeq == Seq("id", "_file"))
   }
 
   test("CALL procedures through the V2 catalog run the one maintenance implementation") {

@@ -140,13 +140,32 @@ class GraftV2StreamSpec extends AnyFunSuite with SharedSpark {
     drainToParquet(s"$cat.s6", out3, ck3, Map("startingTimestamp" -> "100"))
     assert(spark.read.parquet(out3).count() == 4, "pre-creation timestamp seeds the snapshot")
 
-    // behind-barrier attach fails AT ATTACH with reseed guidance
+    // malformed options refuse precisely — never silently mean "latest"
+    for (bad <- Seq("v3", "", "0", "-1", "three"))
+      assert(msgs(intercept[Exception](
+        drainToParquet(s"$cat.s6",
+          Files.createTempDirectory("graft-v2s6-bad").toString,
+          Files.createTempDirectory("graft-v2s6-badck").toString,
+          Map("startingVersion" -> bad))))
+        .exists(_.contains("'latest' or a version >= 1")), s"value '$bad'")
+    assert(msgs(intercept[Exception](
+      drainToParquet(s"$cat.s6",
+        Files.createTempDirectory("graft-v2s6-both").toString,
+        Files.createTempDirectory("graft-v2s6-bothck").toString,
+        Map("startingVersion" -> "2", "startingTimestamp" -> "100"))))
+      .exists(_.contains("not both")))
+
+    // behind-barrier attach fails AT ATTACH with reseed guidance — for
+    // EVERY explicit version, startingVersion=1 (resolved offset 0) included
     t.overwrite(rows((9, "z", "c", 5L)))
-    val out4 = Files.createTempDirectory("graft-v2s6-out4").toString
-    val ck4 = Files.createTempDirectory("graft-v2s6-ck4").toString
-    val e = intercept[Exception](
-      drainToParquet(s"$cat.s6", out4, ck4, Map("startingVersion" -> "2")))
-    assert(msgs(e).exists(_.contains("barrier")), msgs(e).mkString(" | "))
+    for (sv <- Seq("2", "1")) {
+      val e = intercept[Exception](
+        drainToParquet(s"$cat.s6",
+          Files.createTempDirectory("graft-v2s6-out4").toString,
+          Files.createTempDirectory("graft-v2s6-ck4").toString,
+          Map("startingVersion" -> sv)))
+      assert(msgs(e).exists(_.contains("barrier")), s"sv=$sv: ${msgs(e).mkString(" | ")}")
+    }
   }
 
   test("V2 table stream: non-append commits, barriers, and widen fail precisely") {
