@@ -670,6 +670,27 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
       .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
   }
 
+  test("native V2 integration: SHOW CREATE TABLE, DESCRIBE, reader-option time travel") {
+    val wh = tmpWarehouse()
+    val cat = registerCatalog(wh)
+    spark.sql(s"CREATE TABLE $cat.nat (id INT, v STRING) PARTITIONED BY (bucket(4, id)) " +
+      "TBLPROPERTIES ('write.target-rows' = '1000')")
+    spark.sql(s"INSERT INTO $cat.nat VALUES (1, 'a')") // v1
+    spark.sql(s"INSERT INTO $cat.nat VALUES (2, 'b')") // v2
+
+    // Spark's own ShowCreateTableExec renders from schema/partitioning/props
+    val ddl = spark.sql(s"SHOW CREATE TABLE $cat.nat").head().getString(0)
+    assert(ddl.contains("id INT") && ddl.contains("bucket(4, id)"), ddl)
+
+    // DESCRIBE lists columns and the partitioning
+    val desc = spark.sql(s"DESCRIBE TABLE $cat.nat").collect().map(_.getString(0))
+    assert(desc.contains("id") && desc.contains("v"), desc.toSeq.toString)
+
+    // DataFrameReader option time travel rides loadTable(ident, version)
+    assert(spark.read.option("versionAsOf", "1").table(s"$cat.nat").count() == 1)
+    assert(spark.read.option("versionAsOf", "2").table(s"$cat.nat").count() == 2)
+  }
+
   test("metadata columns _graft_version and _file synthesize in the reader") {
     val wh = tmpWarehouse()
     val cat = registerCatalog(wh)
