@@ -96,7 +96,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       val t = managed(ident)
       val wap = spark.conf.getOption("spark.wap.branch").filter(_.nonEmpty)
         .filter(b => t.branches().contains(b))
-      new GraftV2Table(t, wap)
+      // all-identity single-epoch specs additionally expose Spark's native
+      // partition management (SHOW PARTITIONS / DROP PARTITION); derived
+      // transforms and evolved specs keep the plain table — Spark then
+      // raises its standard not-partition-managed error
+      if (GraftCatalog.partitionManaged(t)) new GraftV2PartitionedTable(t, wap)
+      else new GraftV2Table(t, wap)
     }
 
   private val MetaSuffixes = Set("files", "partitions", "snapshots", "refs")
@@ -322,6 +327,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 object GraftCatalog {
   /** Same key-constraint property the graft SQL CREATE surface uses. */
   val IdsProp = "graft.identifier-fields"
+
+  /** Eligible for [[GraftV2PartitionedTable]]: a non-empty ALL-identity
+    * spec on a single-epoch table whose source types round-trip through
+    * their tuple strings (the same set the SPJ key parser accepts).
+    */
+  private[catalog] def partitionManaged(t: ManagedTable): Boolean = {
+    import org.apache.spark.sql.types._
+    val pfs = t.v2PartitionFields
+    pfs.nonEmpty && t.v2SingleEpoch && pfs.forall { pf =>
+      pf.transform == "identity" && (t.meta.schema(pf.sourceColumn).dataType match {
+        case StringType | IntegerType | LongType | ShortType | ByteType |
+             BooleanType | DateType => true
+        case _ => false
+      })
+    }
+  }
 
   /** Spark-managed reserved properties a V2 CREATE carries. */
   val ReservedProps: Set[String] = Set(

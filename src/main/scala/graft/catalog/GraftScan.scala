@@ -589,7 +589,7 @@ object GraftScan {
     * (the scan falls back to unkeyed splits). The hive null marker maps
     * to a null key.
     */
-  private def parseTupleValue(raw: String, pf: graft.tables.PartitionField,
+  private[catalog] def parseTupleValue(raw: String, pf: graft.tables.PartitionField,
                               schema: StructType): Option[Option[Any]] = {
     if (raw == null) return None
     if (raw == "__HIVE_DEFAULT_PARTITION__") {

@@ -29,8 +29,8 @@ import graft.tables.ManagedTable
   * an ambient `spark.wap.branch` they STAGE onto the branch like the SQL
   * surface's INSERT.
   */
-final class GraftV2Table(val t: ManagedTable,
-                         val pinnedRef: Option[String] = None)
+class GraftV2Table(val t: ManagedTable,
+                   val pinnedRef: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns {
 
@@ -138,6 +138,107 @@ final class GraftV2Table(val t: ManagedTable,
     t.truncate()
     true
   }
+}
+
+/** The partition-managed variant — constructed by [[GraftCatalog.loadTable]]
+  * when the table's spec is non-empty, ALL-identity, single-epoch, and
+  * every source type round-trips through its tuple string: Spark's native
+  * `SHOW PARTITIONS <cat>.t [PARTITION (k=v)]` lists the manifest's live
+  * tuples (one metadata read, zero file scans — the SQL surface's answer),
+  * and `ALTER TABLE <cat>.t DROP PARTITION (k=v)` / TRUNCATE PARTITION run
+  * the SAME region delete as `DELETE FROM` — the zero-rewrite manifest
+  * drop on pure-region predicates, staging under `spark.wap.branch` like
+  * every V2 DML verb. ADD PARTITION refuses: graft partitions materialize
+  * on write (Iceberg's model), an empty partition has no representation.
+  */
+final class GraftV2PartitionedTable(t2: ManagedTable,
+                                    pinnedRef2: Option[String] = None)
+    extends GraftV2Table(t2, pinnedRef2)
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{DataType, DateType, StringType => SStr}
+
+  private def pfs = t2.v2PartitionFields
+
+  override def partitionSchema(): StructType =
+    StructType(pfs.map(pf => t2.meta.schema(pf.sourceColumn)))
+
+  /** Live tuples from the manifest, typed; PosDel sidecars carry no rows. */
+  private def liveTuples(): Seq[InternalRow] = {
+    val schema = t2.meta.schema
+    t2.v2SnapshotEntries.filterNot(_.kind == graft.tables.Manifest.PosDel)
+      .map(_.partition).distinct.flatMap { tuple =>
+        val vals = pfs.map(pf => GraftScan.parseTupleValue(
+          tuple.getOrElse(pf.name, null), pf, schema))
+        if (vals.exists(_.isEmpty)) None
+        else Some(InternalRow.fromSeq(vals.map(_.get.orNull)))
+      }
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+                                        ident: InternalRow): Array[InternalRow] = {
+    require(names.length == ident.numFields,
+      s"${t2.name}: names (${names.length}) != ident fields (${ident.numFields})")
+    val schema = partitionSchema()
+    val idxs = names.map(schema.fieldIndex)
+    def matches(row: InternalRow): Boolean = idxs.indices.forall { i =>
+      val fi = idxs(i)
+      val dt = schema(fi).dataType
+      val a = if (row.isNullAt(fi)) null else row.get(fi, dt)
+      val b = if (ident.isNullAt(i)) null else ident.get(i, dt)
+      a == b
+    }
+    liveTuples().filter(matches).toArray
+  }
+
+  override def partitionExists(ident: InternalRow): Boolean = {
+    require(ident.numFields == pfs.length,
+      s"${t2.name}: partition spec must name all ${pfs.length} partition column(s)")
+    listPartitionIdentifiers(partitionSchema().fieldNames, ident).nonEmpty
+  }
+
+  /** External (Column-API) value of an ident slot, for the delete filter. */
+  private def externalValue(ident: InternalRow, i: Int): Any = {
+    val dt: DataType = partitionSchema()(i).dataType
+    if (ident.isNullAt(i)) null
+    else dt match {
+      case SStr    => ident.getUTF8String(i).toString
+      case DateType => java.time.LocalDate.ofEpochDay(ident.getInt(i).toLong)
+      case _       => ident.get(i, dt)
+    }
+  }
+
+  /** `ALTER TABLE … DROP PARTITION (k=v, …)` — the region delete (manifest
+    * drop on pure-region predicates); false when the region has no rows.
+    */
+  override def dropPartition(ident: InternalRow): Boolean = {
+    if (!partitionExists(ident)) return false
+    deleteWhere(pfs.indices.map(i => org.apache.spark.sql.sources
+      .EqualNullSafe(pfs(i).sourceColumn, externalValue(ident, i))
+      : org.apache.spark.sql.sources.Filter).toArray)
+    true
+  }
+
+  override def truncatePartition(ident: InternalRow): Boolean = {
+    if (!partitionExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+        t2.name, ident, partitionSchema())
+    dropPartition(ident)
+  }
+
+  override def createPartition(ident: InternalRow,
+                               properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"${t2.name}: ADD PARTITION is not supported — graft partitions " +
+        "materialize on write (insert rows carrying the partition values)")
+
+  override def replacePartitionMetadata(ident: InternalRow,
+                                        properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"${t2.name}: partition metadata is not supported")
+
+  override def loadPartitionMetadata(ident: InternalRow): java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
 }
 
 /** A metadata table through the V2 seam (`<cat>.t$files` / `<cat>.t.files`

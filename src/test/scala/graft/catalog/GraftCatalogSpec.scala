@@ -691,6 +691,69 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.option("versionAsOf", "2").table(s"$cat.nat").count() == 2)
   }
 
+  test("partition management: SHOW PARTITIONS from the manifest, DROP PARTITION = region delete") {
+    val wh = tmpWarehouse()
+    val cat = registerCatalog(wh)
+    val kschema = StructType(Seq(
+      StructField("g", StringType), StructField("id", IntegerType),
+      StructField("v", StringType)))
+    val t = ManagedTable.create(spark, wh, "pm1", kschema, partitionBy = Seq("g"))
+    t.append(Seq(("a", 1, "x"), ("a", 2, "y"), ("b", 3, "z"), ("c", 4, "w"))
+      .toDF("g", "id", "v"))
+
+    // SHOW PARTITIONS answers from the manifest (Spark's native exec)
+    assert(spark.sql(s"SHOW PARTITIONS $cat.pm1").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("g=a", "g=b", "g=c"))
+    assert(spark.sql(s"SHOW PARTITIONS $cat.pm1 PARTITION (g='b')").collect()
+      .map(_.getString(0)).toSeq == Seq("g=b"))
+
+    // DROP PARTITION = the zero-rewrite region delete; other regions'
+    // files stay byte-identical
+    val before = t.filesMetadata().select("path").collect().map(_.getString(0)).toSet
+    spark.sql(s"ALTER TABLE $cat.pm1 DROP PARTITION (g='a')")
+    val re = ManagedTable.load(spark, wh, "pm1").get
+    assert(re.read().collect().map(_.getInt(1)).sorted.toSeq == Seq(3, 4))
+    val after = re.filesMetadata().select("path").collect().map(_.getString(0)).toSet
+    assert(after.subsetOf(before), "region drop must not rewrite surviving groups")
+    assert(spark.sql(s"SHOW PARTITIONS $cat.pm1").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("g=b", "g=c"))
+
+    // IF EXISTS tolerates a missing region; without it Spark raises its
+    // standard partition-not-found error
+    spark.sql(s"ALTER TABLE $cat.pm1 DROP IF EXISTS PARTITION (g='zz')")
+    val eM = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.pm1 DROP PARTITION (g='zz')"))
+    assert(eM.getMessage.nonEmpty)
+
+    // ADD PARTITION refuses — partitions materialize on write
+    val eA = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.pm1 ADD PARTITION (g='new')"))
+    assert(eA.getMessage.contains("materialize") ||
+      (eA.getCause != null && eA.getCause.getMessage.contains("materialize")),
+      eA.getMessage)
+
+    // derived-transform specs stay un-managed: Spark's standard error
+    val bt = ManagedTable.create(spark, wh, "pm2", kschema,
+      partitionBy = Seq("bucket(id,4)"))
+    bt.append(Seq(("a", 1, "x")).toDF("g", "id", "v"))
+    val eB = intercept[Exception](spark.sql(s"SHOW PARTITIONS $cat.pm2"))
+    assert(eB.getMessage.nonEmpty)
+
+    // wap: DROP PARTITION stages like every V2 DML verb (keyed table —
+    // keyless row-level DML cannot stage, the existing branch contract)
+    val wt = ManagedTable.create(spark, wh, "pm3", kschema, Seq("id"),
+      partitionBy = Seq("g"))
+    wt.append(Seq(("a", 1, "x"), ("b", 2, "y")).toDF("g", "id", "v"))
+    try {
+      spark.conf.set("spark.wap.branch", "audit")
+      spark.sql(s"ALTER TABLE $cat.pm3 DROP PARTITION (g='a')")
+      assert(spark.sql(s"SELECT g FROM $cat.pm3").collect()
+        .map(_.getString(0)).toSeq == Seq("b"), "wap read sees the staged drop")
+    } finally spark.conf.unset("spark.wap.branch")
+    assert(ManagedTable.load(spark, wh, "pm3").get.read().count() == 2,
+      "live table untouched until publish")
+  }
+
   test("metadata columns _graft_version and _file synthesize in the reader") {
     val wh = tmpWarehouse()
     val cat = registerCatalog(wh)
