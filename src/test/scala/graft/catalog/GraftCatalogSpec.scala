@@ -718,6 +718,16 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     assert(spark.sql(s"SHOW PARTITIONS $cat.pm1").collect()
       .map(_.getString(0)).sorted.toSeq == Seq("g=b", "g=c"))
 
+    // TRUNCATE TABLE ... PARTITION routes to truncatePartition — the same
+    // region drop; a missing region raises NoSuchPartition
+    spark.sql(s"INSERT INTO $cat.pm1 VALUES ('d', 9, 'q')")
+    spark.sql(s"TRUNCATE TABLE $cat.pm1 PARTITION (g='d')")
+    assert(spark.sql(s"SHOW PARTITIONS $cat.pm1").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("g=b", "g=c"))
+    val eT = intercept[Exception](
+      spark.sql(s"TRUNCATE TABLE $cat.pm1 PARTITION (g='zz')"))
+    assert(eT.getMessage.nonEmpty)
+
     // IF EXISTS tolerates a missing region; without it Spark raises its
     // standard partition-not-found error
     spark.sql(s"ALTER TABLE $cat.pm1 DROP IF EXISTS PARTITION (g='zz')")
