@@ -330,18 +330,14 @@ object GraftCatalog {
 
   /** Eligible for [[GraftV2PartitionedTable]]: a non-empty ALL-identity
     * spec on a single-epoch table whose source types round-trip through
-    * their tuple strings (the same set the SPJ key parser accepts).
+    * their tuple strings — [[GraftScan.keyTypeSupported]], the ONE
+    * whitelist the SPJ key parser uses (no parallel copy to drift).
     */
   private[catalog] def partitionManaged(t: ManagedTable): Boolean = {
-    import org.apache.spark.sql.types._
     val pfs = t.v2PartitionFields
-    pfs.nonEmpty && t.v2SingleEpoch && pfs.forall { pf =>
-      pf.transform == "identity" && (t.meta.schema(pf.sourceColumn).dataType match {
-        case StringType | IntegerType | LongType | ShortType | ByteType |
-             BooleanType | DateType => true
-        case _ => false
-      })
-    }
+    pfs.nonEmpty && t.v2SingleEpoch && pfs.forall(pf =>
+      pf.transform == "identity" &&
+        GraftScan.keyTypeSupported(t.meta.schema(pf.sourceColumn).dataType))
   }
 
   /** Spark-managed reserved properties a V2 CREATE carries. */

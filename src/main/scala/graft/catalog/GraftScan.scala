@@ -579,7 +579,7 @@ object GraftScan {
       required.fields.map(_.dataType), aliasIdxs, defaultVals, dataReaderF)
   }
 
-  private def keyTypeSupported(dt: DataType): Boolean = dt match {
+  private[catalog] def keyTypeSupported(dt: DataType): Boolean = dt match {
     case StringType | IntegerType | LongType | ShortType | ByteType |
          BooleanType | DateType => true
     case _ => false

@@ -88,32 +88,16 @@ final class GraftMicroBatchStream(
     * per-commit history is gone).
     */
   private lazy val seedFrom: Long = {
-    // same option contract as the V1 changelog source: empty strings are
-    // all-digits vacuously and overlong runs overflow toLong — both must
-    // fail HERE with the precise option error, never later in a poll
-    def asLong(s: String): Option[Long] =
-      try Some(s.toLong) catch { case _: NumberFormatException => None }
-    require(startingVersion.isEmpty || startingTimestamp.isEmpty,
-      s"$name: set startingVersion OR startingTimestamp, not both")
-    startingVersion.foreach(sv => require(
-      sv.equalsIgnoreCase("latest") || asLong(sv).exists(_ >= 1L),
-      s"$name: startingVersion must be 'latest' or a version >= 1, got '$sv'"))
-    startingTimestamp.foreach(ts => require(
-      (ts.nonEmpty && ts.forall(_.isDigit) && asLong(ts).isDefined) ||
-        (try { java.sql.Timestamp.valueOf(ts); true }
-         catch { case _: IllegalArgumentException => false }),
-      s"$name: startingTimestamp must be epoch millis or " +
-        s"'yyyy-MM-dd HH:mm:ss', got '$ts'"))
-    val resolved = (startingVersion, startingTimestamp) match {
-      case (None, None)                               => Seed
-      case (Some(n), _) if !n.equalsIgnoreCase("latest") => n.toLong - 1L
-      case (Some(_), _)                               => pinned(fresh.meta.currentVersion)
-      case (None, Some(ts))                           =>
-        val tsMs = if (ts.forall(_.isDigit)) ts.toLong
-                   else java.sql.Timestamp.valueOf(ts).getTime
-        pinned(fresh.versions().filter(_._2 < tsMs).map(_._1)
-          .maxOption.getOrElse(Seed))
-    }
+    import graft.sources.AttachPoint
+    // validation + latest/timestamp resolution + the durable pin are the
+    // ONE attach contract shared with the V1 changelog source
+    AttachPoint.validate(name, startingVersion, startingTimestamp)
+    val resolved = AttachPoint.resolve(
+      startingVersion, startingTimestamp, default = Seed, preHistory = Seed,
+      current = () => fresh.meta.currentVersion,
+      versions = () => fresh.versions(),
+      pin = if (checkpointLocation.isEmpty) (c: () => Long) => c()
+            else AttachPoint.pin(checkpointLocation, spark.sessionState.newHadoopConf()))
     // EVERY explicit attach point (startingVersion=1 ⇒ resolved == 0
     // included) validates against the barrier AT ATTACH — the mid-stream
     // error's reseed guidance is wrong for a stream that hasn't started
@@ -124,31 +108,10 @@ final class GraftMicroBatchStream(
         throw new IllegalArgumentException(
           s"$name: cannot attach at version ${resolved + 1} — a changelog " +
             s"barrier landed at version $barrier (overwrite/truncate/compact/" +
-            "region delete); attach without startingVersion to seed the " +
-            "current snapshot instead")
+            "region delete); attach without startingVersion/startingTimestamp " +
+            "to seed the current snapshot instead")
     }
     resolved
-  }
-
-  /** Durable attach pin under the stream's checkpoint dir — temp + rename
-    * so a crash mid-write never leaves a torn pin (the V1 source's idiom).
-    */
-  private def pinned(compute: => Long): Long = {
-    if (checkpointLocation.isEmpty) return compute
-    val p = new org.apache.hadoop.fs.Path(checkpointLocation, "graft-attach-version")
-    val mfs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!mfs.exists(p)) {
-      val tmp = new org.apache.hadoop.fs.Path(checkpointLocation,
-        s".graft-attach-version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      val out = mfs.create(tmp, false)
-      try out.write(compute.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (!mfs.rename(tmp, p)) mfs.delete(tmp, false) // lost a (re)start race: read the winner's pin
-    }
-    val in = mfs.open(p)
-    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    finally in.close()
   }
 
   override def initialOffset(): Offset = GraftV2Offset(seedFrom)

@@ -163,20 +163,43 @@ final class GraftV2PartitionedTable(t2: ManagedTable,
   override def partitionSchema(): StructType =
     StructType(pfs.map(pf => t2.meta.schema(pf.sourceColumn)))
 
-  /** Live tuples from the manifest, typed; PosDel sidecars carry no rows. */
-  private def liveTuples(): Seq[InternalRow] = {
+  /** Typed tuples of an entry set; PosDel sidecars carry no rows. The
+    * hive null sentinel lists as a NULL value for every type — including
+    * string identity columns, where a stored value equal to the sentinel
+    * text is indistinguishable (Hive's own ambiguity; omitting the
+    * partition from the listing would be strictly worse).
+    */
+  private def tuplesOf(entries: Seq[graft.tables.ManifestEntry]): Seq[InternalRow] = {
     val schema = t2.meta.schema
-    t2.v2SnapshotEntries.filterNot(_.kind == graft.tables.Manifest.PosDel)
+    entries.filterNot(_.kind == graft.tables.Manifest.PosDel)
       .map(_.partition).distinct.flatMap { tuple =>
-        val vals = pfs.map(pf => GraftScan.parseTupleValue(
-          tuple.getOrElse(pf.name, null), pf, schema))
+        val vals = pfs.map { pf =>
+          val raw = tuple.getOrElse(pf.name, null)
+          if (raw == "__HIVE_DEFAULT_PARTITION__") Some(None)
+          else GraftScan.parseTupleValue(raw, pf, schema)
+        }
         if (vals.exists(_.isEmpty)) None
         else Some(InternalRow.fromSeq(vals.map(_.get.orNull)))
       }
   }
 
-  override def listPartitionIdentifiers(names: Array[String],
-                                        ident: InternalRow): Array[InternalRow] = {
+  /** LISTING describes the LIVE table — the documented metadata contract
+    * shared with the SQL surface's SHOW PARTITIONS and Iceberg's metadata
+    * tables, which do not follow `spark.wap.branch` either.
+    */
+  private def liveTuples(): Seq[InternalRow] = tuplesOf(t2.v2SnapshotEntries)
+
+  /** The DML verbs' existence guard follows the view the verb MUTATES:
+    * under an active wap branch that is the branch's staged view, so a
+    * partition staged mid-audit can be dropped and a staged drop is not
+    * re-droppable.
+    */
+  private def dmlTuples(): Seq[InternalRow] = tuplesOf(
+    GraftV2Table.activeWapBranch.filter(_ => pinnedRef2.isDefined)
+      .map(t2.v2RefEntries).getOrElse(t2.v2SnapshotEntries))
+
+  private def matching(tuples: Seq[InternalRow], names: Array[String],
+                       ident: InternalRow): Seq[InternalRow] = {
     require(names.length == ident.numFields,
       s"${t2.name}: names (${names.length}) != ident fields (${ident.numFields})")
     val schema = partitionSchema()
@@ -188,13 +211,17 @@ final class GraftV2PartitionedTable(t2: ManagedTable,
       val b = if (ident.isNullAt(i)) null else ident.get(i, dt)
       a == b
     }
-    liveTuples().filter(matches).toArray
+    tuples.filter(matches)
   }
+
+  override def listPartitionIdentifiers(names: Array[String],
+                                        ident: InternalRow): Array[InternalRow] =
+    matching(liveTuples(), names, ident).toArray
 
   override def partitionExists(ident: InternalRow): Boolean = {
     require(ident.numFields == pfs.length,
       s"${t2.name}: partition spec must name all ${pfs.length} partition column(s)")
-    listPartitionIdentifiers(partitionSchema().fieldNames, ident).nonEmpty
+    matching(dmlTuples(), partitionSchema().fieldNames, ident).nonEmpty
   }
 
   /** External (Column-API) value of an ident slot, for the delete filter. */

@@ -123,28 +123,15 @@ class GraftSource extends RelationProvider with SchemaRelationProvider
     // attach-time version (durably, in the stream's metadata dir — exact
     // across restarts), a number starts at that version INCLUSIVE
     // (Delta's startingVersion contract).
-    // safe long parse: the EMPTY string is all-digits vacuously, and an
-    // overlong digit run overflows toLong — both must fail HERE with the
-    // precise option error, not later inside the first offset poll
-    def asLong(s: String): Option[Long] =
-      try Some(s.toLong) catch { case _: NumberFormatException => None }
-    val startingVersion = parameters.get("startingVersion")
-    startingVersion.foreach(sv => require(
-      sv.equalsIgnoreCase("latest") || asLong(sv).exists(_ >= 1L),
-      s"graft source: startingVersion must be 'latest' or a version >= 1, got '$sv'"))
     // `startingTimestamp` = epoch millis or 'yyyy-MM-dd HH:mm:ss':
     // attach at the first commit at or after the instant (Delta's
     // startingTimestamp contract); resolved against the retained
     // snapshot log at first attach and pinned durably like `latest`.
+    // Validation + resolution + pin live in [[AttachPoint]] — the ONE
+    // attach contract shared with the V2 table stream.
+    val startingVersion = parameters.get("startingVersion")
     val startingTimestamp = parameters.get("startingTimestamp")
-    require(startingVersion.isEmpty || startingTimestamp.isEmpty,
-      "graft source: set startingVersion OR startingTimestamp, not both")
-    startingTimestamp.foreach(ts => require(
-      (ts.nonEmpty && ts.forall(_.isDigit) && asLong(ts).isDefined) ||
-        (try { java.sql.Timestamp.valueOf(ts); true }
-         catch { case _: IllegalArgumentException => false }),
-      s"graft source: startingTimestamp must be epoch millis or " +
-        s"'yyyy-MM-dd HH:mm:ss', got '$ts'"))
+    AttachPoint.validate("graft source", startingVersion, startingTimestamp)
     // `maxVersionsPerTrigger` caps how many commit VERSIONS one
     // micro-batch covers (Kafka's maxOffsetsPerTrigger shape): a commit
     // burst splits across batches instead of landing as one giant batch.
@@ -434,37 +421,10 @@ private[sources] final class GraftStreamSource(
     * earlier than the earliest retained snapshot seeds the full net
     * snapshot (the sound reconstruction once per-commit history is gone).
     */
-  private lazy val seedFrom: Long = (startingVersion, startingTimestamp) match {
-    case (None, None)                          => 0L
-    case (Some(n), _) if n.forall(_.isDigit)   => n.toLong - 1L
-    case (Some(_), _)                          => pinned(table.meta.currentVersion)
-    case (None, Some(ts))                      =>
-      val tsMs = if (ts.forall(_.isDigit)) ts.toLong
-                 else java.sql.Timestamp.valueOf(ts).getTime
-      pinned(table.versions().filter(_._2 < tsMs).map(_._1)
-        .maxOption.getOrElse(0L))
-  }
-
-  /** Durable attach pin: compute once, persist in the stream's metadata
-    * dir, read back on every restart. Temp + rename so a crash mid-write
-    * never leaves a torn pin.
-    */
-  private def pinned(compute: => Long): Long = {
-    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-attach-version")
-    val mfs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!mfs.exists(p)) {
-      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
-        s".graft-attach-version.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      val out = mfs.create(tmp, false)
-      try out.write(compute.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (!mfs.rename(tmp, p)) mfs.delete(tmp, false) // lost a (re)start race: read the winner's pin
-    }
-    val in = mfs.open(p)
-    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-    finally in.close()
-  }
+  private lazy val seedFrom: Long = AttachPoint.resolve(
+    startingVersion, startingTimestamp, default = 0L, preHistory = 0L,
+    current = () => table.meta.currentVersion, versions = () => table.versions(),
+    pin = AttachPoint.pin(metadataPath, spark.sessionState.newHadoopConf()))
 
   /** Highest version already handed to the engine — the rate-limit base.
     * Recovery calls [[getBatch]] for the last checkpointed batch before

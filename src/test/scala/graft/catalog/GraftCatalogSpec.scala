@@ -749,8 +749,18 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     val eB = intercept[Exception](spark.sql(s"SHOW PARTITIONS $cat.pm2"))
     assert(eB.getMessage.nonEmpty)
 
+    // a NULL partition value lists (as a null ident) instead of silently
+    // vanishing from SHOW PARTITIONS — string identity included
+    val nt = ManagedTable.create(spark, wh, "pmn", kschema, partitionBy = Seq("g"))
+    nt.append(Seq(("x", 1, "a"), (null, 2, "b")).toDF("g", "id", "v"))
+    val nparts = spark.sql(s"SHOW PARTITIONS $cat.pmn").collect().map(_.getString(0))
+    assert(nparts.length == 2 && nparts.contains("g=x"), nparts.toSeq.toString)
+
     // wap: DROP PARTITION stages like every V2 DML verb (keyed table —
-    // keyless row-level DML cannot stage, the existing branch contract)
+    // keyless row-level DML cannot stage, the existing branch contract);
+    // the DML's existence guard follows the BRANCH view it mutates, so a
+    // partition staged mid-audit is droppable; the LISTING stays live
+    // (the documented metadata contract)
     val wt = ManagedTable.create(spark, wh, "pm3", kschema, Seq("id"),
       partitionBy = Seq("g"))
     wt.append(Seq(("a", 1, "x"), ("b", 2, "y")).toDF("g", "id", "v"))
@@ -759,6 +769,15 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
       spark.sql(s"ALTER TABLE $cat.pm3 DROP PARTITION (g='a')")
       assert(spark.sql(s"SELECT g FROM $cat.pm3").collect()
         .map(_.getString(0)).toSeq == Seq("b"), "wap read sees the staged drop")
+      // stage a NEW region onto the branch, then drop it — the guard must
+      // see the staged view, not live
+      spark.sql(s"INSERT INTO $cat.pm3 VALUES ('staged', 9, 'q')")
+      spark.sql(s"ALTER TABLE $cat.pm3 DROP PARTITION (g='staged')")
+      assert(spark.sql(s"SELECT g FROM $cat.pm3").collect()
+        .map(_.getString(0)).toSeq == Seq("b"), "staged region dropped mid-audit")
+      // the LISTING describes LIVE (like the SQL surface's SHOW PARTITIONS)
+      assert(spark.sql(s"SHOW PARTITIONS $cat.pm3").collect()
+        .map(_.getString(0)).sorted.toSeq == Seq("g=a", "g=b"))
     } finally spark.conf.unset("spark.wap.branch")
     assert(ManagedTable.load(spark, wh, "pm3").get.read().count() == 2,
       "live table untouched until publish")
