@@ -96,5 +96,68 @@ class V2ParityChaosSpec extends AnyFunSuite with SharedSpark {
       spark.conf.unset(s"spark.sql.catalog.$cat")
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
     }
+
+    test(s"V2 PARTITION verbs ≡ ManagedTable region ops on a partitioned table (seed $seed)") {
+      val rnd = new Random(seed * 7)
+      val wh = Files.createTempDirectory(s"graft-v2pchaos$seed").toString
+      val pschema = StructType(Seq(
+        StructField("g", StringType),
+        StructField("id", IntegerType, nullable = false),
+        StructField("v", DoubleType)))
+      ManagedTable.create(spark, wh, "qa", pschema, Seq("id"), partitionBy = Seq("g"))
+      val qb = ManagedTable.create(spark, wh, "qb", pschema, Seq("id"),
+        partitionBy = Seq("g"))
+      val cat = s"gvq_${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      import org.apache.spark.sql.functions.{col, lit}
+
+      def pbatch(n: Int): DataFrame =
+        List.fill(n)((s"g${rnd.nextInt(4)}", rnd.nextInt(40), rnd.nextInt(50).toDouble))
+          .toDF("g", "id", "v")
+      def pcanon(df: DataFrame): Seq[(String, Int, Double)] =
+        df.select("g", "id", "v").collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+          .sortBy(t => (t._1, t._2, t._3)).toSeq
+      def pcheck(step: Int): Unit = {
+        val viaCat = pcanon(spark.sql(s"SELECT * FROM $cat.qa"))
+        val viaApi = pcanon(ManagedTable.load(spark, wh, "qb").get.read())
+        assert(viaCat == viaApi, s"step $step: V2 state != API state")
+        // the partition LISTING agrees with the API's live tuple set
+        val viaShow = spark.sql(s"SHOW PARTITIONS $cat.qa").collect()
+          .map(_.getString(0)).sorted.toSeq
+        val viaMeta = ManagedTable.load(spark, wh, "qa").get.filesMetadata()
+          .select("partition").collect()
+          .map(_.getMap[String, String](0).get("g").map(g => s"g=$g").getOrElse("g=null"))
+          .distinct.sorted.toSeq
+        assert(viaShow == viaMeta, s"step $step: SHOW PARTITIONS != manifest tuples")
+      }
+
+      for (step <- 1 to 18) {
+        rnd.nextInt(8) match {
+          case n if n <= 4 => // append the SAME batch through both seams
+            val b = pbatch(1 + rnd.nextInt(10))
+            b.writeTo(s"$cat.qa").append()
+            qb.append(b)
+          case 5 | 6 => // DROP PARTITION vs the API's region delete
+            val g = s"g${rnd.nextInt(4)}"
+            val exists = spark.sql(s"SHOW PARTITIONS $cat.qa").collect()
+              .exists(_.getString(0) == s"g=$g")
+            spark.sql(s"ALTER TABLE $cat.qa DROP IF EXISTS PARTITION (g='$g')")
+            if (exists) qb.deleteWhere(col("g") <=> lit(g))
+          case 7 => // static-region overwrite through both seams (unique
+            // keys in the batch — the keyed replaceWhere contract)
+            val g = s"g${rnd.nextInt(4)}"
+            val rows = rnd.shuffle((0 until 40).toList).take(1 + rnd.nextInt(4))
+              .map(i => (g, i, rnd.nextInt(50).toDouble)).toDF("g", "id", "v")
+            rows.writeTo(s"$cat.qa").overwrite(col("g") <=> lit(g))
+            qb.overwriteWhere(col("g") <=> lit(g), rows)
+        }
+        if (step % 6 == 0) pcheck(step)
+      }
+      pcheck(-1)
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
   }
 }
