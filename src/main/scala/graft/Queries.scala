@@ -790,6 +790,101 @@ object Queries {
       |  o_totalprice * 0.5 AS o_totalprice, o_orderpriority
       |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin))
 
+  /** Keyed orders table whose row-id columns (key + partition sources) are
+    * DECLARED non-nullable — the eligibility contract of the V2 row-level
+    * delta protocol ([[graft.catalog.GraftRowLevelOps]]): Spark refuses
+    * nullable row id attributes, so the V2 UPDATE/MERGE oracle tables
+    * tighten the parquet-inferred (all-nullable) schema before re-hosting.
+    */
+  private def rowIdOrdersTable(s: SparkSession, dir: String, name: String,
+                               partitionBy: Seq[String] = Seq.empty)
+      : graft.tables.ManagedTable = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_v2rl").toString
+    val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+    val nonNull = Set("o_orderkey") ++ partitionBy
+    val schema = org.apache.spark.sql.types.StructType(base.schema.fields.map(f =>
+      if (nonNull.contains(f.name)) f.copy(nullable = false) else f))
+    val tbl = graft.tables.ManagedTable.create(s, wh, name, schema,
+      Seq("o_orderkey"), partitionBy)
+    tbl.append(base)
+    tbl
+  }
+
+  /** Native `UPDATE <catalog>.t SET …` through Spark's row-level rewrite
+    * ([[graft.catalog.GraftRowLevelOps]] → the merge-on-read delta write):
+    * no graft extension rule touches the statement — Spark scans the
+    * matched rows, the executor-side delta writers stage the per-row verbs
+    * as parquet, and ONE [[graft.tables.ManagedTable.applyNetChanges]] MoR
+    * commit lands them. The statement REASSIGNS the partition column on a
+    * region, so every matched row splits into tombstone(old tuple) +
+    * insert(new tuple) — the exact updateWhere commit shape — and the
+    * query runtime-asserts the moved tuple materialized. At 100 TB the
+    * cost profile is O(matched): a predicate-pushed scan plus a
+    * delta-sized commit, never a table rewrite. Oracle replays the
+    * two-assignment update relationally.
+    */
+  val dmlV2Update = Q("dml_v2_update",
+    (s, dir) => {
+      val tbl = rowIdOrdersTable(s, dir, "orders_v2upd", Seq("o_orderpriority"))
+      val ns = s.newSession()
+      val cat = s"gv2u_${java.util.UUID.randomUUID().toString.take(8)}"
+      ns.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      ns.conf.set(s"spark.sql.catalog.$cat.warehouse", tbl.warehouse)
+      ns.sql(s"UPDATE $cat.orders_v2upd SET o_orderpriority = 'REPRICED', " +
+        "o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderpriority = '5-LOW' AND o_orderstatus = 'F'")
+      val re = graft.tables.ManagedTable.load(s, tbl.warehouse, "orders_v2upd").get
+      val tuples = re.filesMetadata().select("partition").collect()
+        .map(_.getMap[String, String](0).get("o_orderpriority").orNull).toSet
+      require(tuples.contains("REPRICED"),
+        "partition-moving V2 UPDATE must materialize the new tuple")
+      re.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderpriority = '5-LOW' AND o_orderstatus = 'F'
+      |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+      |  CASE WHEN o_orderpriority = '5-LOW' AND o_orderstatus = 'F'
+      |       THEN 'REPRICED' ELSE o_orderpriority END AS o_orderpriority
+      |FROM orders""".stripMargin))
+
+  /** Native `MERGE INTO <catalog>.t` through Spark's row-level rewrite —
+    * the full clause set (matched-delete, matched-update, not-matched
+    * insert) resolved, joined and cardinality-checked by Spark itself,
+    * landing as ONE O(delta) MoR commit via the same delta writers as
+    * [[dmlV2Update]]. Mirrors `dml_merge_into`'s scenario so the two
+    * spellings (graft mergeInto vs native V2 MERGE) stay pinned to one
+    * relational oracle shape.
+    */
+  val dmlV2Merge = Q("dml_v2_merge",
+    (s, dir) => {
+      val tbl = rowIdOrdersTable(s, dir, "orders_v2mrg")
+      val ns = s.newSession()
+      val cat = s"gv2m_${java.util.UUID.randomUUID().toString.take(8)}"
+      ns.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      ns.conf.set(s"spark.sql.catalog.$cat.warehouse", tbl.warehouse)
+      val baseSrc = t(ns, dir, "orders").select(dmlCols.map(col): _*)
+        .where(col("o_orderkey") % 7 === 0)
+      baseSrc.unionByName(
+        baseSrc.withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+        .createOrReplaceTempView("v2_merge_src")
+      ns.sql(
+        s"""MERGE INTO $cat.orders_v2mrg AS t USING v2_merge_src AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.o_orderstatus = 'F' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 1
+           |WHEN NOT MATCHED AND s.o_custkey % 2 = 0 THEN INSERT *
+           |""".stripMargin)
+      graft.tables.ManagedTable.load(s, tbl.warehouse, "orders_v2mrg").get
+        .read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+      |  o_orderpriority
+      |FROM orders WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'F')
+      |UNION ALL
+      |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderkey % 7 = 0 AND o_custkey % 2 = 0""".stripMargin))
+
   /** Dynamic partition overwrite ([[graft.tables.ManagedTable
     * .overwritePartitions]]): a priority-partitioned orders table gets
     * one partition's recomputation — only that partition's groups are
@@ -4573,7 +4668,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, dmlV2Overwrite, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, dmlV2Overwrite, dmlV2Update, dmlV2Merge, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

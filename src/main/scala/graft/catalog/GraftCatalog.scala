@@ -100,8 +100,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       // partition management (SHOW PARTITIONS / DROP PARTITION); derived
       // transforms and evolved specs keep the plain table — Spark then
       // raises its standard not-partition-managed error
-      if (GraftCatalog.partitionManaged(t)) new GraftV2PartitionedTable(t, wap)
-      else new GraftV2Table(t, wap)
+      GraftCatalog.v2Table(t, wap)
     }
 
   private val MetaSuffixes = Set("files", "partitions", "snapshots", "refs")
@@ -163,7 +162,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val spec = partitions.toSeq.map(GraftCatalog.transformToSpec(ident.name, _))
     val t = ManagedTable.create(spark, warehouse, ident.name, schema, ids, spec,
       props -- GraftCatalog.ReservedProps - GraftCatalog.IdsProp)
-    new GraftV2Table(t)
+    GraftCatalog.v2Table(t, None)
   }
 
   /** ALTER TABLE through the V2 catalog — a DISPATCHER onto the one
@@ -327,6 +326,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 object GraftCatalog {
   /** Same key-constraint property the graft SQL CREATE surface uses. */
   val IdsProp = "graft.identifier-fields"
+
+  /** The concrete V2 table handle for a live (non-time-traveled) load:
+    * partition management when the spec qualifies, and Spark's native
+    * row-level UPDATE/MERGE/complex-DELETE via the [[GraftRowLevelOps]]
+    * delta-write mixin when the table is ELIGIBLE — keyed, with every row
+    * id column (identifiers + partition sources) declared non-nullable.
+    * Ineligible tables deliberately stay without the interface rather
+    * than refusing inside it: the rewrite rules claim every DELETE at
+    * ANALYSIS (before the metadata-only optimizer rule could restore
+    * them), so presence of the mixin on a keyless or nullable-key table
+    * would break the translatable filter-based DELETEs that work today
+    * through [[org.apache.spark.sql.connector.catalog.SupportsDelete]].
+    */
+  private[catalog] def v2Table(t: ManagedTable, wap: Option[String]): GraftV2Table = {
+    val rowLevel = t.meta.identifierFields.nonEmpty &&
+      GraftRowLevelOperation.rowIdColumns(t).forall(c => !t.meta.schema(c).nullable)
+    (partitionManaged(t), rowLevel) match {
+      case (true, true)   => new GraftV2PartitionedTable(t, wap) with GraftRowLevelOps
+      case (true, false)  => new GraftV2PartitionedTable(t, wap)
+      case (false, true)  => new GraftV2Table(t, wap) with GraftRowLevelOps
+      case (false, false) => new GraftV2Table(t, wap)
+    }
+  }
 
   /** Eligible for [[GraftV2PartitionedTable]]: a non-empty ALL-identity
     * spec on a single-epoch table whose source types round-trip through

@@ -151,8 +151,8 @@ class GraftV2Table(val t: ManagedTable,
   * every V2 DML verb. ADD PARTITION refuses: graft partitions materialize
   * on write (Iceberg's model), an empty partition has no representation.
   */
-final class GraftV2PartitionedTable(t2: ManagedTable,
-                                    pinnedRef2: Option[String] = None)
+class GraftV2PartitionedTable(t2: ManagedTable,
+                              pinnedRef2: Option[String] = None)
     extends GraftV2Table(t2, pinnedRef2)
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   import org.apache.spark.sql.catalyst.InternalRow

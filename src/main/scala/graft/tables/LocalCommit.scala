@@ -29,7 +29,7 @@ import org.apache.spark.sql.types._
   * SINK/BatchConfig.java:16-19); a Spark JOB per 2048-row file is the
   * part of the rebuild that had no analogue.
   */
-private[tables] object LocalCommit {
+private[graft] object LocalCommit {
 
   /** Can every column type round-trip through the driver-side converter?
     * (Variant/UDTs stay on the distributed path — rare, and not worth a
@@ -50,17 +50,25 @@ private[tables] object LocalCommit {
     override def getWriteSupport(conf: Configuration) = new ParquetWriteSupport
   }
 
-  /** Write `rows` (external Rows of `schema`) as one parquet file. */
-  def writeParquet(spark: SparkSession, file: Path, schema: StructType,
-                   rows: Iterable[Row]): Unit = {
-    // newHadoopConf carries every set spark.sql.* entry, the same channel a
-    // distributed write's tasks read parquet options from; the two keys
-    // ParquetWriteSupport.init asserts on are defaulted when unset.
+  /** An [[InternalRow]] parquet writer over a PREPARED conf (schema
+    * already stamped via [[prepareWriteConf]]) — runs anywhere a
+    * Configuration travels, including executor tasks (the V2 delta
+    * writers stage their per-task files through this).
+    */
+  def internalRowWriter(file: Path, conf: Configuration,
+                        codec: CompressionCodecName): ParquetWriter[InternalRow] =
+    new RowBuilder(HadoopOutputFile.fromPath(file, conf))
+      .withConf(conf).withCompressionCodec(codec).build()
+
+  /** Stamp `schema` + the session's parquet write options into a conf —
+    * the exact keys a distributed write's tasks receive
+    * (ParquetFileFormat.prepareWrite), so [[internalRowWriter]] bytes are
+    * indistinguishable from a task's. Returns the session codec too.
+    */
+  def prepareWriteConf(spark: SparkSession, schema: StructType)
+      : (Configuration, CompressionCodecName) = {
     val conf = spark.sessionState.newHadoopConf()
     ParquetWriteSupport.setSchema(schema, conf)
-    // the key set ParquetFileFormat.prepareWrite stamps into the task conf
-    // (ParquetWriteSupport.init and SparkToParquetSchemaConverter read
-    // them back raw, with no defaults)
     val sql = spark.sessionState.conf
     conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
       sql.writeLegacyParquetFormat.toString)
@@ -77,11 +85,22 @@ private[tables] object LocalCommit {
     conf.set(SQLConf.CASE_SENSITIVE.key, sql.caseSensitiveAnalysis.toString)
     val codec =
       try CompressionCodecName.fromConf(
-        spark.sessionState.conf.parquetCompressionCodec.toUpperCase(java.util.Locale.ROOT))
+        sql.parquetCompressionCodec.toUpperCase(java.util.Locale.ROOT))
       catch { case _: IllegalArgumentException => CompressionCodecName.SNAPPY }
+    (conf, codec)
+  }
+
+  /** Write `rows` (external Rows of `schema`) as one parquet file. */
+  def writeParquet(spark: SparkSession, file: Path, schema: StructType,
+                   rows: Iterable[Row]): Unit = {
+    // newHadoopConf (inside prepareWriteConf) carries every set spark.sql.*
+    // entry, the same channel a distributed write's tasks read parquet
+    // options from; the keys ParquetFileFormat.prepareWrite stamps into the
+    // task conf are set explicitly (ParquetWriteSupport.init and
+    // SparkToParquetSchemaConverter read them back raw, with no defaults).
+    val (conf, codec) = prepareWriteConf(spark, schema)
     val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
-    val w = new RowBuilder(HadoopOutputFile.fromPath(file, conf))
-      .withConf(conf).withCompressionCodec(codec).build()
+    val w = internalRowWriter(file, conf, codec)
     try rows.foreach(r => w.write(toCatalyst(r).asInstanceOf[InternalRow]))
     finally w.close()
   }

@@ -2664,15 +2664,37 @@ final class ManagedTable private (
     */
   def applyNetChanges(batch: DataFrame, tombstoneCol: String,
                       commitProperties: Map[String, String] = Map.empty): Unit = {
+    commitUpsertBatch(netFlagged(batch, tombstoneCol), skipIfEmpty = true,
+      commitProperties = commitProperties)
+  }
+
+  /** [[applyNetChanges]] staged onto a WAP branch instead of committed —
+    * the branch form the V2 row-level delta write uses under an active
+    * `spark.wap.branch` (see [[graft.catalog.GraftDeltaBatchWrite]]):
+    * the SAME net batch, landing in the branch's staged set at the next
+    * branch-local seq, live table untouched until publish. A missing
+    * branch is created ([[deleteWhereOnBranch]]'s discipline — a
+    * misspelled branch must stage-and-audit, never mutate live state).
+    */
+  def applyNetChangesOnBranch(batch: DataFrame, tombstoneCol: String,
+                              branch: String): Unit = {
+    requireBranchDml("row-level DML", branch)
+    stageUpsertInto(netFlagged(batch, tombstoneCol), branch)
+  }
+
+  /** Net change batch → the flagged upsert shape the MoR commit takes:
+    * declared columns (cast, null-filled when absent) + the tombstone
+    * verdict as [[TombstoneCol]].
+    */
+  private def netFlagged(batch: DataFrame, tombstoneCol: String): DataFrame = {
     require(_meta.identifierFields.nonEmpty, "applyNetChanges needs identifier fields")
     require(batch.columns.contains(tombstoneCol),
       s"batch is missing the tombstone column $tombstoneCol")
     val present = batch.columns.toSet
-    val flagged = batch.select(_meta.schema.fields.toSeq.map { f =>
+    batch.select(_meta.schema.fields.toSeq.map { f =>
       (if (present.contains(f.name)) col(f.name).cast(f.dataType)
        else lit(null).cast(f.dataType)).as(f.name)
     } :+ coalesce(col(tombstoneCol).cast(BooleanType), lit(false)).as(TombstoneCol): _*)
-    commitUpsertBatch(flagged, skipIfEmpty = true, commitProperties = commitProperties)
   }
 
   /** C3–C7 — upsert-merge a CDC batch into the table. */

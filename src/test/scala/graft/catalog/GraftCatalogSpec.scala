@@ -652,14 +652,15 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     spark.sql(s"TRUNCATE TABLE $cat.d2")
     assert(ManagedTable.load(spark, wh, "d2").get.read().count() == 0)
 
-    // untranslatable condition refuses with a pointer, table untouched
+    // untranslatable condition: no longer a refusal — the row-level
+    // delta path (GraftRowLevelOps, round 11) scans the matches and
+    // commits the same MoR tombstones
     val t3 = ManagedTable.create(spark, wh, "d3", schema, Seq("id"))
     t3.merge(rows((1, "abc", "c", 1L), (2, "defg", "c", 1L)))
-    val e3 = intercept[Exception](
-      spark.sql(s"DELETE FROM $cat.d3 WHERE length(name) > 3"))
-    assert(e3.getMessage.nonEmpty)
-    assert(ManagedTable.load(spark, wh, "d3").get.read().count() == 2,
-      "refused delete must not mutate the table")
+    spark.sql(s"DELETE FROM $cat.d3 WHERE length(name) > 3")
+    assert(ManagedTable.load(spark, wh, "d3").get.read()
+      .collect().map(_.getInt(0)).toSeq == Seq(1),
+      "expression delete must run through the delta path")
 
     // keyless table: the copy-on-write path through the same verb
     val k = ManagedTable.create(spark, wh, "d4",

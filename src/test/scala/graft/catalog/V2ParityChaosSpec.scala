@@ -57,7 +57,7 @@ class V2ParityChaosSpec extends AnyFunSuite with SharedSpark {
       }
 
       for (step <- 1 to 24) {
-        rnd.nextInt(13) match {
+        rnd.nextInt(15) match {
           case n if n <= 5 => // append the SAME batch through both seams
             val b = batch(rnd, 1 + rnd.nextInt(8))
             b.writeTo(s"$cat.pa").append()
@@ -89,6 +89,29 @@ class V2ParityChaosSpec extends AnyFunSuite with SharedSpark {
               .toDF("id", "name", "v")
             b.writeTo(s"$cat.pa").overwrite(col("id") < k)
             pb.overwriteWhere(col("id") < k, b)
+          case 13 => // native row-level UPDATE (round 11) vs updateWhere
+            val k = rnd.nextInt(20)
+            spark.sql(s"UPDATE $cat.pa SET v = v + 1.0, name = 'u$k' WHERE id >= $k")
+            pb.updateWhere(col("id") >= k,
+              Map("v" -> (col("v") + 1.0), "name" -> lit(s"u$k")))
+          case 14 => // native MERGE (round 11) vs mergeInto — disjoint
+            // matched clauses so clause order cannot matter; unique source
+            // keys (the cardinality contract)
+            val src = rnd.shuffle((0 until 20).toList).take(1 + rnd.nextInt(10))
+              .map(i => (i, s"m${rnd.nextInt(10)}", rnd.nextInt(50).toDouble))
+              .toDF("id", "name", "v")
+            src.createOrReplaceTempView("v2_chaos_src")
+            spark.sql(
+              s"""MERGE INTO $cat.pa AS t USING v2_chaos_src AS s ON t.id = s.id
+                 |WHEN MATCHED AND s.v < 25.0 THEN UPDATE SET name = s.name, v = s.v
+                 |WHEN MATCHED THEN DELETE
+                 |WHEN NOT MATCHED THEN INSERT *
+                 |""".stripMargin)
+            pb.mergeInto(src,
+              updateWhen = Some(col("s.v") < 25.0),
+              updateSet = Map("name" -> col("s.name"), "v" -> col("s.v")),
+              deleteWhen = Some(!(col("s.v") < 25.0)),
+              insertWhen = Some(lit(true)))
         }
         if (step % 6 == 0) check(step)
       }
@@ -100,8 +123,10 @@ class V2ParityChaosSpec extends AnyFunSuite with SharedSpark {
     test(s"V2 PARTITION verbs ≡ ManagedTable region ops on a partitioned table (seed $seed)") {
       val rnd = new Random(seed * 7)
       val wh = Files.createTempDirectory(s"graft-v2pchaos$seed").toString
+      // g non-nullable: the partition source is part of the row-level
+      // delta row id, so the UPDATE verb below stays V2-eligible
       val pschema = StructType(Seq(
-        StructField("g", StringType),
+        StructField("g", StringType, nullable = false),
         StructField("id", IntegerType, nullable = false),
         StructField("v", DoubleType)))
       ManagedTable.create(spark, wh, "qa", pschema, Seq("id"), partitionBy = Seq("g"))
@@ -134,7 +159,7 @@ class V2ParityChaosSpec extends AnyFunSuite with SharedSpark {
       }
 
       for (step <- 1 to 18) {
-        rnd.nextInt(8) match {
+        rnd.nextInt(9) match {
           case n if n <= 4 => // append the SAME batch through both seams
             val b = pbatch(1 + rnd.nextInt(10))
             b.writeTo(s"$cat.qa").append()
@@ -152,6 +177,12 @@ class V2ParityChaosSpec extends AnyFunSuite with SharedSpark {
               .map(i => (g, i, rnd.nextInt(50).toDouble)).toDF("g", "id", "v")
             rows.writeTo(s"$cat.qa").overwrite(col("g") <=> lit(g))
             qb.overwriteWhere(col("g") <=> lit(g), rows)
+          case 8 => // partition-MOVING native UPDATE (round 11): the delta
+            // splits into tombstone(old tuple) + insert(new tuple)
+            val (from, to, m) = (s"g${rnd.nextInt(4)}", s"g${rnd.nextInt(4)}", rnd.nextInt(5))
+            spark.sql(s"UPDATE $cat.qa SET g = '$to' WHERE g = '$from' AND id % 5 = $m")
+            qb.updateWhere(col("g") === from && col("id") % 5 === m,
+              Map("g" -> lit(to)))
         }
         if (step % 6 == 0) pcheck(step)
       }
