@@ -389,15 +389,26 @@ object GraftScan {
     def appliedFor(p: Map[String, String]): Long =
       appliedByTuple.getOrElse(p, Long.MinValue)
 
-    val fs = t.v2TableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Plan from the manifest alone: entries carry their file names + sizes
+    // (stamped at commit time), so building splits costs ZERO filesystem
+    // listing RPCs — at 100 TB / O(10^5) groups on an object store the
+    // per-plan LIST fan-out was the planning bottleneck, re-paid on every
+    // runtime-filter re-plan. listStatus survives only as the fallback for
+    // pre-upgrade manifests (lazy FS handle: a fully-stamped table never
+    // even resolves the FileSystem).
+    lazy val fs = t.v2TableDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // memoized per plan: an upsert group feeds both the data and the
     // delete-source file lists, and chunked splits share delete/posdel
-    // groups — one listing per group dir, not per use
+    // groups — one lookup per group dir, not per use
     val fileCache = scala.collection.mutable.HashMap.empty[String, Array[GFile]]
     def filesOf(e: ManifestEntry): Array[GFile] =
       fileCache.getOrElseUpdate(e.path, {
         val dir = new Path(t.v2TableDir, e.path)
-        fs.listStatus(dir).collect {
+        if (e.files.nonEmpty)
+          e.files.iterator.filter(_.name.endsWith(".parquet"))
+            .map(f => GFile(new Path(dir, f.name).toString, f.bytes, e.seq))
+            .toArray
+        else fs.listStatus(dir).collect {
           case s if s.isFile && s.getPath.getName.endsWith(".parquet") &&
               !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_") =>
             GFile(s.getPath.toString, s.getLen, e.seq)

@@ -91,11 +91,24 @@ final case class BloomMeta(m: Int, k: Int, bits: String) {
   }
 }
 
+/** One physical file of a committed group — name relative to the group
+  * dir + exact byte length, recorded AT COMMIT TIME (the writer just
+  * produced the files, so the one listing happens where the data already
+  * is). Scan planning then builds its splits from the manifest alone:
+  * zero filesystem listing RPCs per plan — the difference between a
+  * metadata read and O(live groups) object-store LIST calls at 100 TB,
+  * re-paid on every runtime-filter re-plan (Iceberg's manifests carry
+  * `file_size_in_bytes` for exactly this reason). Absent on pre-upgrade
+  * manifests — readers fall back to listing those groups.
+  */
+final case class GroupFile(name: String, bytes: Long)
+
 final case class ManifestEntry(path: String, kind: String, seq: Long,
                                stats: Map[String, ColBounds] = Map.empty,
                                partition: Map[String, String] = Map.empty,
                                rows: Long = -1L,
-                               blooms: Map[String, BloomMeta] = Map.empty)
+                               blooms: Map[String, BloomMeta] = Map.empty,
+                               files: Seq[GroupFile] = Seq.empty)
 
 object Manifest {
   private val mapper = new ObjectMapper()
@@ -125,6 +138,13 @@ object Manifest {
       if (e.partition.nonEmpty) {
         val p = n.putObject("partition")
         e.partition.foreach { case (k, v) => p.put(k, v) }
+      }
+      if (e.files.nonEmpty) {
+        val fl = n.putArray("files")
+        e.files.foreach { f =>
+          val o = fl.addObject()
+          o.put("n", f.name); o.put("b", f.bytes)
+        }
       }
       if (e.blooms.nonEmpty) {
         val bl = n.putObject("blooms")
@@ -179,10 +199,14 @@ object Manifest {
             o.get("bits").asText)
         }.toMap
       }.getOrElse(Map.empty[String, BloomMeta])
+      val files = Option(n.get("files")).map { fl =>
+        fl.elements().asScala.map(o =>
+          GroupFile(o.get("n").asText, o.get("b").asLong)).toSeq
+      }.getOrElse(Seq.empty)
       ManifestEntry(n.get("path").asText, n.get("kind").asText, n.get("seq").asLong,
         stats, partition,
         Option(n.get("rows")).map(_.asLong).getOrElse(-1L),
-        blooms)
+        blooms, files)
     }.toSeq
 
   /** Manifests are immutable once written: temp + rename, never rewritten. */
