@@ -790,6 +790,42 @@ object Queries {
       |  o_totalprice * 0.5 AS o_totalprice, o_orderpriority
       |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin))
 
+  /** Dynamic-mode INSERT OVERWRITE through the DSv2 catalog (round 11,
+    * [[graft.catalog.GraftDynamicOverwriteWrite]] — the one connector-
+    * native V2 write, since Spark's `OverwritePartitionsDynamicExec` has
+    * no V1 bridge): under `partitionOverwriteMode=dynamic` with NO
+    * PARTITION clause, only the tuples PRESENT IN THE BATCH are replaced.
+    * Executor tasks stage the batch as parquet; the commit runs
+    * [[graft.tables.ManagedTable.overwritePartitions]] — the touched
+    * tuple's groups drop as a manifest diff, untouched regions keep
+    * byte-identical files (runtime-asserted). Oracle = other regions ∪
+    * the recomputed region.
+    */
+  val dmlV2OverwriteDynamic = Q("dml_v2_overwrite_dynamic",
+    (s, dir) => {
+      val tbl = keylessOrdersTable(s, dir, "orders_v2dyn")
+      val beforeOther = priorityFiles(tbl).filterNot(_._2 == "1-URGENT").map(_._1).toSet
+      val ns = s.newSession()
+      val cat = s"gv2y_${java.util.UUID.randomUUID().toString.take(8)}"
+      ns.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      ns.conf.set(s"spark.sql.catalog.$cat.warehouse", tbl.warehouse)
+      ns.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      ns.sql(s"INSERT OVERWRITE $cat.orders_v2dyn " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 0.5 AS o_totalprice, " +
+        s"o_orderpriority FROM $cat.orders_v2dyn WHERE o_orderpriority = '1-URGENT'")
+      val re = graft.tables.ManagedTable.load(s, tbl.warehouse, "orders_v2dyn").get
+      val afterOther = priorityFiles(re).filterNot(_._2 == "1-URGENT").map(_._1).toSet
+      require(afterOther == beforeOther,
+        "V2 dynamic overwrite must leave untouched tuples' files byte-identical")
+      re.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderpriority <> '1-URGENT'
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  o_totalprice * 0.5 AS o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin))
+
   /** Keyed orders table whose row-id columns (key + partition sources) are
     * DECLARED non-nullable — the eligibility contract of the V2 row-level
     * delta protocol ([[graft.catalog.GraftRowLevelOps]]): Spark refuses
@@ -1478,17 +1514,72 @@ object Queries {
     * and every co-keyed join after is exchange-free. DuckDB replays the
     * same join on the raw parquet.
     */
+  /** The V2 table STREAM under the driver's hash discipline (round 11 —
+    * GraftV2StreamSpec pinned the semantics, this row pins the BYTES):
+    * `readStream.table("<cat>.t")` drains a keyed MoR table in two
+    * AvailableNow runs against one checkpoint — run 1 serves the
+    * MoR-RESOLVED attach snapshot (net per key, trickle applied), two
+    * more append commits land, run 2 serves exactly those increments (no
+    * re-served seed). The drained union must hash-equal DuckDB's replay
+    * of snapshot ∪ appends. Zero shuffles, zero driver materialization:
+    * batches are manifest-planned file splits at any table size.
+    */
+  val streamV2Table = Q("stream_v2_table",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_v2st").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val mid = 30000L
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_v2st",
+        base.schema, Seq("o_orderkey"),
+        properties = Map("write.versions-retained" -> "10"))
+      // seed with MoR trickle: low keys, then a re-statement of a slice
+      // (same values — the stream must serve the NET snapshot, and the
+      // oracle sees one copy)
+      tbl.append(base.where(col("o_orderkey") <= mid))
+      tbl.applyNetChanges(base.where(col("o_orderkey") <= 1000L)
+        .withColumn("__tomb", lit(false)), "__tomb")
+      val ns = s.newSession()
+      val cat = s"gv2s_${java.util.UUID.randomUUID().toString.take(8)}"
+      ns.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      ns.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val out = java.nio.file.Files.createTempDirectory("graft_v2st_out").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft_v2st_ck").toString
+      def drain(): Unit = require(
+        ns.readStream.table(s"$cat.orders_v2st").writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination(300000), "V2 stream drain timed out")
+      drain()
+      tbl.append(base.where(col("o_orderkey") > mid && col("o_orderkey") <= 2 * mid))
+      tbl.append(base.where(col("o_orderkey") > 2 * mid))
+      drain()
+      s.read.parquet(out).select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders""".stripMargin))
+
+  /** One JVM-wide SPJ scratch warehouse, reclaimed by a SINGLE exit hook
+    * — see [[sqlSpjCobucketed]].
+    */
+  private lazy val spjWarehouseRoot: java.io.File = {
+    val root = java.nio.file.Files.createTempDirectory("graft_spj").toFile
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root)
+    }
+    root
+  }
+
   val sqlSpjCobucketed = Q("sql_spj_cobucketed",
     (s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft_spj").toString
       // the returned frame reads the re-hosted tables lazily, so the
-      // warehouse must outlive the query — reclaim it at JVM exit
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(new java.io.File(wh))
-      }
+      // warehouse must outlive the query. ONE warehouse + ONE exit hook
+      // per JVM (bench invokes this 3+ times in-process — per-invocation
+      // hooks would accumulate); re-runs re-host under a fresh suffix
+      val wh = java.nio.file.Files.createTempDirectory(
+        spjWarehouseRoot.toPath, "run").toString
       val cust = t(s, dir, "customer").select("c_custkey", "c_name")
       val ords = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
       val tc = graft.tables.ManagedTable.create(s, wh, "cust_b",
@@ -4668,7 +4759,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, dmlV2Overwrite, dmlV2Update, dmlV2Merge, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, dmlV2Overwrite, dmlV2OverwriteDynamic, dmlV2Update, dmlV2Merge, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, streamV2Table, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

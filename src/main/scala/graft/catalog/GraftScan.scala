@@ -204,14 +204,24 @@ final class GraftScan(t: ManagedTable, required: StructType,
   @volatile private var runtimeConjuncts: Seq[ManagedTable.PruneConjunct] = Seq.empty
   @volatile private var planned: GraftScan.Planned = null
 
+  /** Memoized under a lock: two concurrent planners (e.g. a reused scan
+    * inside AQE re-optimization) must observe ONE planned instance —
+    * recomputation was idempotent but wasted a manifest walk, and a
+    * filter() installing runtime conjuncts concurrently with a reader
+    * could interleave with the lazy fill.
+    */
   private def plan: GraftScan.Planned = {
-    var p = planned
-    if (p == null) {
-      p = GraftScan.plan(SparkSession.active, t, required, conjuncts,
-        runtimeConjuncts, pinnedRef, parquetFilters = pushedV1)
-      planned = p
+    val p0 = planned
+    if (p0 != null) return p0
+    synchronized {
+      var p = planned
+      if (p == null) {
+        p = GraftScan.plan(SparkSession.active, t, required, conjuncts,
+          runtimeConjuncts, pinnedRef, parquetFilters = pushedV1)
+        planned = p
+      }
+      p
     }
-    p
   }
 
   /** Columns a runtime filter can prune on: partition sources (tuple
@@ -288,8 +298,16 @@ object GraftScan {
   /** One physical file of a group, as shipped to executors. */
   final case class GFile(path: String, length: Long, entrySeq: Long) extends Serializable
 
+  /** `crossDelFiles` (multi-epoch keyed tables only): upsert groups of
+    * OTHER tuples, whose rows hide this split's rows exactly when the two
+    * sides' seqs fall in DIFFERENT spec epochs (cross-epoch scopes are
+    * global on identifiers — morResolve's rule). Empty on single-epoch
+    * tables.
+    */
   class GraftInputPartition(val dataFiles: Array[GFile], val delFiles: Array[GFile],
-                            val posdelFiles: Array[GFile]) extends InputPartition
+                            val posdelFiles: Array[GFile],
+                            val crossDelFiles: Array[GFile] = Array.empty)
+      extends InputPartition
 
   final class KeyedGraftInputPartition(dataFiles: Array[GFile], delFiles: Array[GFile],
                                        posdelFiles: Array[GFile], key: InternalRow)
@@ -350,16 +368,17 @@ object GraftScan {
     require(t.v2Format == "parquet",
       s"graft V2 catalog: table $name stores ${t.v2Format} groups — the V2 read " +
         "path is parquet-only; read via the graft SQL surface")
-    // Multi-epoch KEYED tables refuse: cross-epoch delete scopes are
+    // Multi-epoch KEYED tables (round 11): cross-epoch delete scopes are
     // GLOBAL on identifiers (a new-epoch delete hides old-epoch rows in
-    // other tuples), which breaks this scan's per-split MoR locality.
-    // Keyless multi-epoch tables have no delete scopes — their groups
-    // union soundly, so they read below (SPJ naturally disengages: old
-    // epochs' tuples don't parse under the current spec's fields).
-    require(t.v2SingleEpoch || !keyed,
-      s"graft V2 catalog: table $name is keyed with partition-spec history " +
-        s"(evolved spec) — CALL graft.system.compact('$name') normalizes files " +
-        "to the current spec, or read via the graft SQL surface (epoch-aware)")
+    // other tuples), so per-split MoR locality needs help — each split
+    // additionally carries the OTHER tuples' upsert groups as
+    // `crossDelFiles`, applied by the reader only across epoch boundaries
+    // (the exact morResolve rule). SPJ stays disengaged (old epochs'
+    // tuples don't describe the current spec). The read amplification is
+    // O(tuples × uncompacted cross-tuple trickle) — bounded by the
+    // maintenance ladder; CALL graft.system.compact(…) normalizes files
+    // to the current spec and restores per-tuple locality + SPJ.
+    val multiEpoch = keyed && !t.v2SingleEpoch
     // Rename lineage and seq-gated initial defaults fold inside the
     // reader (same rule as the SQL surface's scanGroups projection) —
     // EXCEPT on identifier columns, where the fold would have to run
@@ -419,19 +438,34 @@ object GraftScan {
     val carriersByTuple = carriers.groupBy(_.partition)
     val posdelsByTuple = posdels.groupBy(_.partition)
 
-    // delete sources per tuple — morResolve's rule, single-epoch form:
-    // scan upserts strictly above both the tuple's min live seq and its
-    // posdel watermark, plus pruning's delete carriers (unconditioned)
+    // delete sources per tuple — morResolve's rule: scan upserts strictly
+    // above both the tuple's min live seq and its posdel watermark, plus
+    // pruning's delete carriers (unconditioned). A SAME-tuple delete
+    // applies in every epoch combination (same epoch: the tuple matches;
+    // cross epoch: global), so on multi-epoch tables the min-seq skip is
+    // dropped (a min-entry-seq group's scope can still hide other epochs'
+    // rows) — superset-safe either way.
     def delSourcesOf(tuple: Map[String, String], es: Seq[ManifestEntry]): Seq[ManifestEntry] =
       if (!keyed || es.isEmpty) Seq.empty // no rows in the split, nothing to hide
       else {
         val minSeq = es.map(_.seq).min
         es.filter(e => e.kind == Manifest.Upsert &&
-          e.seq > appliedFor(tuple) && e.seq > minSeq) ++
+          e.seq > appliedFor(tuple) && (multiEpoch || e.seq > minSeq)) ++
           carriersByTuple.getOrElse(tuple, Seq.empty)
       }
 
-    val spjWanted = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+    // multi-epoch only: every OTHER tuple's upsert groups (and pruned-out
+    // carriers), applied by the reader strictly across epoch boundaries
+    lazy val allCross: Seq[ManifestEntry] =
+      (dataEntries.filter(e => e.kind == Manifest.Upsert &&
+        e.seq > appliedFor(e.partition)) ++ carriers).distinct
+    def crossDelSourcesOf(tuple: Map[String, String],
+                          es: Seq[ManifestEntry]): Seq[ManifestEntry] =
+      if (!multiEpoch || es.isEmpty) Seq.empty
+      else allCross.filterNot(_.partition == tuple)
+
+    val spjWanted = !multiEpoch &&
+      spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false") == "true"
     val pfs = t.v2PartitionFields
     val spjKeys: Option[Array[V2Expression]] =
       if (!spjWanted || pfs.isEmpty) None
@@ -471,20 +505,33 @@ object GraftScan {
       t.meta.properties.getOrElse("read.v2.split-max-files", "32").toInt)
     val partitions: Array[InputPartition] = keyRows match {
       case Some(keys) =>
-        spjTuples.toArray.map { tuple =>
+        // One split per bounded FILE CHUNK, several per hot tuple (round
+        // 11): under Spark's default grouping same-key splits coalesce
+        // back into one task (the exchange-free SPJ plan, unchanged), and
+        // under `…bucketing.partiallyClusteredDistribution.enabled` the
+        // grouped side replicates instead — a hot tuple becomes several
+        // tasks, the SPJ skew escape hatch. Correct because MoR
+        // resolution is per-row: every chunk carries the WHOLE tuple's
+        // delete/posdel state ((file,pos) pairs for files outside the
+        // chunk match nothing). A tuple pruned empty by runtime filters
+        // keeps one empty split — the reported partition-value set must
+        // stay the statically planned one.
+        spjTuples.toArray.flatMap { tuple =>
           val es = byTuple.getOrElse(tuple, Seq.empty)
-          new KeyedGraftInputPartition(
-            es.toArray.flatMap(filesOf),
-            delSourcesOf(tuple, es).distinct.toArray.flatMap(filesOf),
-            posdelsByTuple.getOrElse(tuple, Seq.empty).toArray.flatMap(filesOf),
-            keys(tuple)): InputPartition
+          val dels = delSourcesOf(tuple, es).distinct.toArray.flatMap(filesOf)
+          val pds = posdelsByTuple.getOrElse(tuple, Seq.empty).toArray.flatMap(filesOf)
+          val chunks = es.toArray.flatMap(filesOf).grouped(maxFiles).toArray
+          val use = if (chunks.isEmpty) Array(Array.empty[GFile]) else chunks
+          use.map(chunk =>
+            new KeyedGraftInputPartition(chunk, dels, pds, keys(tuple)): InputPartition)
         }
       case None =>
         byTuple.toArray.flatMap { case (tuple, es) =>
           val dels = delSourcesOf(tuple, es).distinct.toArray.flatMap(filesOf)
+          val cross = crossDelSourcesOf(tuple, es).toArray.flatMap(filesOf)
           val pds = posdelsByTuple.getOrElse(tuple, Seq.empty).toArray.flatMap(filesOf)
           es.toArray.flatMap(filesOf).grouped(maxFiles).map(chunk =>
-            new GraftInputPartition(chunk, dels, pds): InputPartition)
+            new GraftInputPartition(chunk, dels, pds, cross): InputPartition)
         }
     }
 
@@ -587,7 +634,8 @@ object GraftScan {
 
     new GraftReaderFactory(dataReader, delReader, posdelReader,
       matSchema, outBind, idIdxs, delSchema.length - 1,
-      required.fields.map(_.dataType), aliasIdxs, defaultVals, dataReaderF)
+      required.fields.map(_.dataType), aliasIdxs, defaultVals, dataReaderF,
+      t.v2EpochBoundaries)
   }
 
   private[catalog] def keyTypeSupported(dt: DataType): Boolean = dt match {
@@ -644,7 +692,8 @@ final class GraftReaderFactory(
     outTypes: Array[DataType],
     aliasIdxs: Array[Array[Int]] = Array.empty,
     defaultVals: Array[Option[(Long, Any)]] = Array.empty,
-    dataReaderFiltered: PartitionedFile => Iterator[InternalRow] = null)
+    dataReaderFiltered: PartitionedFile => Iterator[InternalRow] = null,
+    epochBoundaries: Array[Long] = Array.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -655,7 +704,7 @@ final class GraftReaderFactory(
       dataReaderFiltered else dataReader
     new GraftPartitionReader(p,
       dr, delReader, posdelReader, matSchema, outBind, idIdxs, delSeqIdx,
-      outTypes, aliasIdxs, defaultVals)
+      outTypes, aliasIdxs, defaultVals, epochBoundaries)
   }
 }
 
@@ -666,10 +715,21 @@ final class GraftPartitionReader(
     posdelReader: PartitionedFile => Iterator[InternalRow],
     matSchema: StructType, outBind: Array[Int], idIdxs: Array[Int], delSeqIdx: Int,
     outTypes: Array[DataType],
-    aliasIdxs: Array[Array[Int]], defaultVals: Array[Option[(Long, Any)]])
+    aliasIdxs: Array[Array[Int]], defaultVals: Array[Option[(Long, Any)]],
+    epochBoundaries: Array[Long] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   import GraftScan.GFile
+
+  /** Spec epoch of a commit seq: #boundaries strictly below it (the
+    * table layer's entryEpoch, executor-side). Boundary count is the
+    * number of spec EVOLUTIONS — tiny — so the linear walk is free.
+    */
+  private def epochOf(seq: Long): Int = {
+    var i = 0; var n = 0
+    while (i < epochBoundaries.length) { if (seq > epochBoundaries(i)) n += 1; i += 1 }
+    n
+  }
 
   private val seqIdx = matSchema.length - 2
   private val tombIdx = matSchema.length - 1
@@ -722,6 +782,33 @@ final class GraftPartitionReader(
           val s: Long = if (r.isNullAt(delSeqIdx)) f.entrySeq else r.getLong(delSeqIdx)
           val prev = m.get(k)
           if (prev == null || prev < s) m.put(k, s)
+        }
+      }
+      m
+    }
+
+  /** Multi-epoch cross-tuple delete scopes (round 11): identifier key →
+    * per-epoch max delete seq. A cross-tuple scope hides a row ONLY when
+    * the two seqs fall in different epochs (global cross-epoch rule), so
+    * the reader keeps one max per (key, epoch of the delete row) — epoch
+    * count is the number of spec evolutions, so the arrays stay tiny.
+    */
+  private lazy val crossDelMax: java.util.HashMap[AnyRef, Array[Long]] =
+    if (idIdxs.isEmpty || p.crossDelFiles.isEmpty) null
+    else {
+      val nEpochs = epochBoundaries.length + 1
+      val m = new java.util.HashMap[AnyRef, Array[Long]]()
+      val delIdIdxs = idIdxs.indices.toArray
+      p.crossDelFiles.foreach { f =>
+        val it = open(f, delReader)
+        while (it.hasNext) {
+          val r = it.next()
+          val k = keyOfIdx(r, delIdIdxs, i => delTypeAt(i))
+          val s: Long = if (r.isNullAt(delSeqIdx)) f.entrySeq else r.getLong(delSeqIdx)
+          var a = m.get(k)
+          if (a == null) { a = Array.fill(nEpochs)(Long.MinValue); m.put(k, a) }
+          val ep = epochOf(s)
+          if (a(ep) < s) a(ep) = s
         }
       }
       m
@@ -819,11 +906,26 @@ final class GraftPartitionReader(
           val tomb = !r.isNullAt(tombIdx) && r.getBoolean(tombIdx)
           if (!tomb) {
             val rowSeq = if (r.isNullAt(seqIdx)) curEntrySeq else r.getLong(seqIdx)
+            val key = if (delMax != null || crossDelMax != null)
+              keyOfIdx(r, idIdxs, i => dataTypeAt(i)) else null
             val eqHidden = delMax != null && {
-              val m = delMax.get(keyOfIdx(r, idIdxs, i => dataTypeAt(i)))
+              val m = delMax.get(key)
               m != null && m > rowSeq
             }
-            if (!eqHidden) {
+            // cross-tuple scopes hide strictly ACROSS epoch boundaries
+            val crossHidden = !eqHidden && crossDelMax != null && {
+              val a = crossDelMax.get(key)
+              a != null && {
+                val re = epochOf(rowSeq)
+                var i = 0; var hit = false
+                while (i < a.length && !hit) {
+                  if (i != re && a(i) > rowSeq) hit = true
+                  i += 1
+                }
+                hit
+              }
+            }
+            if (!eqHidden && !crossHidden) {
               cur = if (metaNeeded) {
                 metaRow.update(0, rowSeq)
                 metaRow.update(1, curFileUtf8)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -73,7 +73,8 @@ class GraftV2Table(val t: ManagedTable,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER, TableCapability.MICRO_BATCH_READ)
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(t, pinnedRef,
@@ -85,7 +86,7 @@ class GraftV2Table(val t: ManagedTable,
       s"graft V2 catalog: cannot write to ${t.name} VERSION AS OF " +
         s"'${pinnedRef.get}' — time-traveled tables are read-only " +
         "(rollback via CALL graft.system.rollback_to_version)")
-    new GraftWriteBuilder(t)
+    new GraftWriteBuilder(t, info)
   }
 
   /** Row-level DELETE through the V2 seam (`DELETE FROM <cat>.t WHERE …`):
@@ -368,20 +369,24 @@ object GraftV2Table {
   * expression shapes) make `canOverwrite` false and Spark raises its
   * standard unsupported-expression error.
   *
-  * Deliberately NOT declared: `OVERWRITE_DYNAMIC` — its exec requires a
-  * connector-native `BatchWrite` (no V1 bridge exists in Spark), which
-  * would mean a SECOND write protocol. Under
-  * `partitionOverwriteMode=dynamic` Spark refuses with its capability
-  * error naming the table — the graft SQL surface
-  * (`INSERT OVERWRITE graft.<t> …`) keeps the dynamic-tuple verb.
+  * DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic`,
+  * `df.writeTo(t).overwritePartitions()`) takes the one connector-native
+  * write in the builder — its exec has no V1 bridge — staging the batch
+  * executor-side and landing [[ManagedTable.overwritePartitions]]'s
+  * manifest-diff commit (see [[GraftDynamicOverwriteWrite]]).
   */
-final class GraftWriteBuilder(t: ManagedTable)
-    extends WriteBuilder with SupportsOverwrite {
+final class GraftWriteBuilder(t: ManagedTable, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
 
   private var overwriteAll = false
+  private var overwriteDynamic = false
   private var overwriteCond: Option[Column] = None
 
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    overwriteDynamic = true; this
+  }
 
   override def canOverwrite(filters: Array[Filter]): Boolean =
     filters.forall(GraftV2Table.filterToColumn(t.meta.schema, _).isDefined)
@@ -396,7 +401,9 @@ final class GraftWriteBuilder(t: ManagedTable)
     this
   }
 
-  override def build(): Write = new V1Write {
+  override def build(): Write = if (overwriteDynamic)
+    new GraftDynamicOverwriteWrite(t, info)
+  else new V1Write {
     override def toInsertableRelation(): InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, overwrite: Boolean): Unit = {
         val session = data.sparkSession

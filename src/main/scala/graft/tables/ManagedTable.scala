@@ -1639,6 +1639,12 @@ final class ManagedTable private (
   private[graft] def v2SnapshotEntries: Seq[ManifestEntry] = currentEntries
   private[graft] def v2PhysicalSchema: StructType = physicalSchema
   private[graft] def v2SingleEpoch: Boolean = specBoundaries.isEmpty
+
+  /** Spec-epoch boundaries for the V2 reader's epoch-aware delete
+    * resolution on multi-epoch keyed tables (epoch of a seq = #boundaries
+    * strictly below it — [[entryEpoch]]'s rule, shipped to executors).
+    */
+  private[graft] def v2EpochBoundaries: Array[Long] = specBoundaries.toArray
   private[graft] def v2HasRenameLineage: Boolean = renameAliases.nonEmpty
   private[graft] def v2HasColumnDefaults: Boolean = columnDefaults.nonEmpty
   private[graft] def v2Format: String = format

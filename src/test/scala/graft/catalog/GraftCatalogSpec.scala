@@ -264,12 +264,14 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     val t = ManagedTable.load(spark, wh, "w").get
     assert(sortedRows(t.read()) == sortedRows(Seq((1, "a"), (2, "b")).toDF("id", "v")))
     assert(sortedRows(spark.sql(s"SELECT * FROM $cat.w")) == sortedRows(t.read()))
-    // V2 overwrite = truncate semantics; dynamic mode needs a native
-    // BatchWrite (no V1 bridge) and refuses with Spark's capability error
+    // V2 overwrite = truncate semantics in BOTH modes on an unpartitioned
+    // table (dynamic mode, round 11, runs the connector-native write and
+    // full-replaces — Iceberg's semantics; static rides the V1 bridge)
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try {
-      val e0 = intercept[Exception](spark.sql(s"INSERT OVERWRITE $cat.w VALUES (9, 'z')"))
-      assert(e0.getMessage.contains("dynamic overwrite"), e0.getMessage)
+      spark.sql(s"INSERT OVERWRITE $cat.w VALUES (8, 'y')") // dynamic default
+      assert(sortedRows(ManagedTable.load(spark, wh, "w").get.read()) ==
+        sortedRows(Seq((8, "y")).toDF("id", "v")))
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
       spark.sql(s"INSERT OVERWRITE $cat.w VALUES (9, 'z')")
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
@@ -453,17 +455,47 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("refusal: KEYED evolved partition spec points at the SQL surface") {
+  test("V2 read: KEYED multi-epoch tables resolve epoch-aware (round 11), SPJ off") {
     val wh = tmpWarehouse()
-    val t = ManagedTable.create(spark, wh, "ref1", schema, Seq("id"))
-    t.merge(rows((1, "a", "c", 1L)))
-    t.updatePartitionSpec(Seq("bucket(id,4)"))
-    t.merge(rows((2, "b", "c", 2L)))
     val cat = registerCatalog(wh)
-    val e = intercept[Exception](spark.sql(s"SELECT * FROM $cat.ref1").collect())
-    assert(e.getMessage.contains("partition-spec history") ||
-      (e.getCause != null && e.getCause.getMessage.contains("partition-spec history")),
-      s"expected spec-history refusal, got: ${e.getMessage}")
+    // epoch 0: identity-partitioned on name; tombstones within the epoch
+    val t = ManagedTable.create(spark, wh, "me1", schema, Seq("id"),
+      partitionBy = Seq("name"))
+    val hard = graft.cdc.CdcApply.UpsertConfig(keepDeletes = false)
+    t.merge(rows((1 to 30).map(i => (i, s"g${i % 3}", "c", 1L)): _*), hard)
+    t.merge(rows((3, "g0", "d", 2L), (4, "g1", "u", 2L)), hard)
+    def check(label: String): Unit =
+      assertSameRows(spark.sql(s"SELECT * FROM $cat.me1"), t.read())
+    check("epoch 0")
+    // epoch 1: rebucket — cross-epoch deletes are GLOBAL on ids: a delete
+    // landing in a bucket tuple must hide epoch-0 rows living in name
+    // tuples (and a partition-moving update across the boundary resolves)
+    t.updatePartitionSpec(Seq("bucket(id,4)"))
+    t.merge(rows((5, "g2", "d", 3L), (6, "MOVED", "u", 3L), (31, "new", "c", 3L)), hard)
+    check("epoch 1")
+    // epoch 2: unpartitioned; more cross-epoch deletes against BOTH prior
+    t.updatePartitionSpec(Seq.empty)
+    t.merge(rows((1, "g1", "d", 4L), (31, "renew", "u", 4L), (7, "x", "d", 4L)), hard)
+    check("epoch 2")
+    assert(spark.sql(s"SELECT id FROM $cat.me1 WHERE id IN (1,3,5,7)").count() == 0,
+      "cross-epoch tombstones must hide old-epoch rows globally")
+    // SPJ stays disengaged on the evolved table but reads stay correct
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      check("bucketing on")
+      val plan = spark.sql(s"SELECT id, count(*) c FROM $cat.me1 GROUP BY id")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"),
+        "multi-epoch keyed scan must not report KeyGroupedPartitioning")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None    => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+    // compact normalizes to the current spec — locality (and SPJ
+    // eligibility) restored, state unchanged
+    t.compact()
+    check("after compact")
   }
 
   test("V2 read folds rename lineage and initial defaults like the SQL surface") {
@@ -946,6 +978,111 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
         assert(eW.getMessage.contains("WAP branch") ||
           (eW.getCause != null && eW.getCause.getMessage.contains("WAP branch")), eW.getMessage)
       } finally spark.conf.unset("spark.wap.branch")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+  }
+
+  test("SPJ skew: partially-clustered distribution splits a hot tuple, plan stays exchange-free") {
+    val wh = tmpWarehouse()
+    val kschema = StructType(Seq(
+      StructField("g", IntegerType, nullable = false),
+      StructField("v", IntegerType)))
+    // fact: hot tuple g=1 spread over MANY files (tiny split cap), dim: one
+    // row per tuple — co-partitioned identity tables
+    val fact = ManagedTable.create(spark, wh, "skf", kschema, partitionBy = Seq("g"),
+      properties = Map("read.v2.split-max-files" -> "1"))
+    (1 to 6).foreach { _ =>
+      fact.append((1 to 40).map(i => (if (i <= 36) 1 else i % 4, i)).toDF("g", "v"))
+    }
+    val dim = ManagedTable.create(spark, wh, "skd", kschema, partitionBy = Seq("g"))
+    dim.append(Seq((0, 100), (1, 101), (2, 102), (3, 103)).toDF("g", "v"))
+    val cat = registerCatalog(wh)
+    val savedB = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val savedP = spark.conf.getOption(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+    val savedA = spark.conf.getOption("spark.sql.adaptive.enabled")
+    val savedT = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      def q = spark.sql(
+        s"SELECT f.g, f.v, d.v AS dv FROM $cat.skf f JOIN $cat.skd d ON f.g = d.g")
+      // grouped mode (default): exchange-free, one task per tuple
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "false")
+      val grouped = q
+      val gPlan = grouped.queryExecution.executedPlan.toString
+      assert(!gPlan.contains("Exchange"), s"grouped SPJ must be exchange-free:\n$gPlan")
+      val gRows = grouped.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val gParts = grouped.rdd.getNumPartitions
+      // partially-clustered: STILL exchange-free, hot tuple split across tasks
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      val split = q
+      val sPlan = split.queryExecution.executedPlan.toString
+      assert(!sPlan.contains("Exchange"),
+        s"partially-clustered SPJ must stay exchange-free:\n$sPlan")
+      assert(split.rdd.getNumPartitions > gParts,
+        s"hot tuple must split into more tasks (grouped=$gParts, " +
+          s"split=${split.rdd.getNumPartitions})")
+      assert(split.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq == gRows,
+        "both modes must agree on the join result")
+    } finally {
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k)
+      }
+      restore("spark.sql.sources.v2.bucketing.enabled", savedB)
+      restore("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", savedP)
+      restore("spark.sql.adaptive.enabled", savedA)
+      restore("spark.sql.autoBroadcastJoinThreshold", savedT)
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+    }
+  }
+
+  test("V2 dynamic partition overwrite replaces exactly the batch's tuples (round 11)") {
+    val wh = tmpWarehouse()
+    val cat = registerCatalog(wh)
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    val kschema = StructType(Seq(
+      StructField("g", StringType), StructField("id", IntegerType),
+      StructField("v", StringType)))
+    val po = ManagedTable.create(spark, wh, "dy", kschema, partitionBy = Seq("g"))
+    po.append(Seq(("a", 1, "x1"), ("a", 2, "x2"), ("b", 3, "y1"), ("c", 4, "z1"))
+      .toDF("g", "id", "v"))
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // SQL spelling: no PARTITION clause — batch touches a and b only
+      spark.sql(s"INSERT OVERWRITE $cat.dy VALUES ('a', 9, 'na'), ('b', 8, 'nb')")
+      assert(spark.sql(s"SELECT g, id FROM $cat.dy").collect()
+        .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq ==
+        Seq(("a", 9), ("b", 8), ("c", 4)), "untouched tuple c must survive")
+
+      // programmatic spelling, differential vs the API verb on a sibling
+      val sib = ManagedTable.create(spark, wh, "dy_oracle", kschema, partitionBy = Seq("g"))
+      sib.append(Seq(("a", 1, "x1"), ("a", 2, "x2"), ("b", 3, "y1"), ("c", 4, "z1"))
+        .toDF("g", "id", "v"))
+      sib.overwritePartitions(Seq(("a", 9, "na"), ("b", 8, "nb")).toDF("g", "id", "v"))
+      val expected = Seq(("c", 7, "nc"))
+      expected.toDF("g", "id", "v").writeTo(s"$cat.dy").overwritePartitions()
+      sib.overwritePartitions(expected.toDF("g", "id", "v"))
+      assertSameRows(spark.sql(s"SELECT * FROM $cat.dy ORDER BY g, id"),
+        sib.read().orderBy("g", "id"))
+
+      // wap: refuses mid-audit like every overwrite, table untouched
+      val before = spark.sql(s"SELECT * FROM $cat.dy").collect().length
+      try {
+        spark.conf.set("spark.wap.branch", "audit")
+        val eW = intercept[Exception](
+          spark.sql(s"INSERT OVERWRITE $cat.dy VALUES ('a', 0, 'w')"))
+        assert(eW.getMessage.contains("WAP branch") ||
+          (eW.getCause != null && eW.getCause.getMessage.contains("WAP branch")), eW.getMessage)
+      } finally spark.conf.unset("spark.wap.branch")
+      assert(spark.sql(s"SELECT * FROM $cat.dy").collect().length == before)
+      // no staging debris
+      val staging = new org.apache.hadoop.fs.Path(s"$wh/dy/_dyn_staging")
+      val fsys = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fsys.exists(staging) || fsys.listStatus(staging).isEmpty)
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
 }
