@@ -123,6 +123,11 @@ object Bench {
     val trickleWindows = Seq(w4, w5, w6)
     val trickleEps = trickleRuns.max
     val gateShares = Seq(gate0, gate1, wideProbeShare())
+    // standing V2-seam family (round 11): the catalog read path vs the V1
+    // DataFrame path on the SAME re-hosted tables — full scan and the
+    // co-bucketed join (SPJ exchange-free vs shuffled) — so the new seam
+    // has a perf row every round, not just correctness rows
+    val v2SeamJson = "," + "\"v2_seam\":" + v2SeamBench(spark, sfDir)
     // 10× scale soak (VERDICT r4 #7): sub-linear suite scaling at a
     // generated sf1 plus flat per-batch CDC cost on a growing table —
     // the measured form of the O(batch)/scale claims. On by default for
@@ -135,14 +140,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc_events_per_sec":$eps,"cdc_trickle_events_per_sec":$trickleEps$soakJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc_events_per_sec":$eps,"cdc_trickle_events_per_sec":$trickleEps$soakJson$v2SeamJson,"sf":"$sfDir"}""")
     // The artifact keeps only the LAST ~2000 chars of output, which with
     // 145 queries truncates the full line above mid-map. Print a compact
     // digest LAST — totals, per-family rollups (count/sum/max), the ten
     // slowest queries, and >1.5× regressions vs the newest parseable
     // BENCH_r*.json — sized to survive the tail whole.
     println(digestLine(results, total, epsRuns, trickleRuns,
-      epsWindows, trickleWindows, gateShares, soakJson))
+      epsWindows, trickleWindows, gateShares, soakJson, v2SeamJson))
     spark.stop()
   }
 
@@ -256,10 +261,63 @@ object Bench {
     try { val r = f; (r, s.stopRate()) } finally s.stop()
   }
 
+  /** The V2-seam standing comparison: re-host customer + orders
+    * co-bucketed on the customer key (untimed setup), then time — best of
+    * two, noop-materialized — the full orders scan through the V1
+    * DataFrame path vs the V2 catalog scan, and the co-keyed join shuffled
+    * (V1) vs storage-partitioned (V2, runtime-checked exchange-free). The
+    * join pair is the design win this seam exists for: the layout pays
+    * its shuffle once at write time, every co-keyed join after is
+    * exchange-free.
+    */
+  private def v2SeamBench(spark: SparkSession, sfDir: String): String = try {
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft_v2seam").toString
+    val ns = spark.newSession()
+    val cat = "v2seam"
+    ns.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+    ns.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    ns.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    ns.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val cust = ns.read.parquet(s"$sfDir/customer.parquet").select("c_custkey", "c_name")
+    val ords = ns.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val tc = graft.tables.ManagedTable.create(ns, wh, "cust_b",
+      cust.schema, Seq.empty, Seq("bucket(32, c_custkey)"))
+    tc.append(cust)
+    val to = graft.tables.ManagedTable.create(ns, wh, "orders_b",
+      ords.schema, Seq.empty, Seq("bucket(32, o_custkey)"))
+    to.append(ords)
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def best(f: => Unit): Double = {
+      def one(): Double = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      one(); math.min(one(), one()) // first run warms plan/codegen, then best-of-2
+    }
+    val v1Scan = best(noop(to.read()))
+    val v2Scan = best(noop(ns.sql(s"SELECT * FROM $cat.orders_b")))
+    val v1Join = best(noop(tc.read().as("c").join(to.read().as("o"),
+      col("c.c_custkey") === col("o.o_custkey"))
+      .select(col("c.c_custkey"), col("c.c_name"), col("o.o_orderkey"), col("o.o_totalprice"))))
+    def spjQ = ns.sql(
+      s"""SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+         |FROM $cat.cust_b c JOIN $cat.orders_b o ON c.c_custkey = o.o_custkey
+         |""".stripMargin)
+    val spjJoin = best(noop(spjQ))
+    val exchangeFree = !spjQ.queryExecution.executedPlan.toString.contains("Exchange")
+    f"""{"v1_scan_sec":$v1Scan%.3f,"v2_scan_sec":$v2Scan%.3f,""" +
+      f""""v1_join_sec":$v1Join%.3f,"spj_join_sec":$spjJoin%.3f,""" +
+      s""""spj_exchange_free":$exchangeFree}"""
+  } catch { case e: Throwable =>
+    s"""{"err":"${String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)}"}"""
+  }
+
   private def digestLine(results: Seq[(String, Double)], total: Double,
                          epsRuns: Seq[Double], trickleRuns: Seq[Double],
                          epsWindows: Seq[Double], trickleWindows: Seq[Double],
-                         gateShares: Seq[Double], soakJson: String): String = {
+                         gateShares: Seq[Double], soakJson: String,
+                         v2SeamJson: String = ""): String = {
     val eps = epsRuns.max
     val trickleEps = trickleRuns.max
     // normalization never deflates below raw: an idle window (rate at or
@@ -369,7 +427,7 @@ object Bench {
       s""""sampler_mmix":$windows,""" +
       s""""cdc_trickle_events_per_sec":${f3(trickleEps)},"cdc_trickle_runs":$trickleBoth,""" +
       s""""soak_scale_ratio":$soakRatio,"cdc_batch_flatness":$flat,""" +
-      s""""families":$families,"slowest":$top,"regressions_vs_prev":$regr}"""
+      s""""families":$families,"slowest":$top$v2SeamJson,"regressions_vs_prev":$regr}"""
   }
 
   /** BASELINE.md's rebuild bench definition: events/sec through the full
