@@ -2541,7 +2541,8 @@ final class ManagedTable private (
       .parquet(paths: _*)
       .withColumn("__file", col("_metadata.file_path"))
     val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { case (c, _) =>
-      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) }
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+        count(col(c)).as(s"nn_$c")) }
     // tuple strings via Spark's OWN string cast — byte-identical to the
     // write path's staging-key canonicalization (java toString differs
     // for timestamps), so adopted and written groups of one logical
@@ -2590,7 +2591,9 @@ final class ManagedTable private (
           val mxs = rows.map(_.get(rows.head.fieldIndex(s"mx_$c"))).filter(_ != null)
           if (mns.length == rows.length && mxs.length == rows.length)
             Some(c -> ColBounds(tg,
-              mns.minBy(v => SortKey(tg, v)), mxs.maxBy(v => SortKey(tg, v))))
+              mns.minBy(v => SortKey(tg, v)), mxs.maxBy(v => SortKey(tg, v)),
+              rows.map(_.getAs[Long]("__rows")).sum -
+                rows.map(_.getAs[Long](s"nn_$c")).sum))
           else None
         }).toMap
         stampFiles(ManifestEntry(rel, Manifest.Data, seq, stats, tuple,
@@ -3932,7 +3935,8 @@ final class ManagedTable private (
     // extra job; the count feeds metadata-only counts ([[fastRowCount]]).
     val o = new org.apache.spark.sql.Observation(s"stats-$kind-$seq")
     val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { case (c, _) =>
-      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) }
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+        count(col(c)).as(s"nn_$c")) }
     val toWrite = df.observe(o, aggs.head, aggs.tail: _*)
     // A df that already carries per-row seqs (compactMinor's fold) keeps
     // them — stamping would rewrite delete scopes; fresh commits get `seq`.
@@ -3947,7 +3951,8 @@ final class ManagedTable private (
       val row = o.get
       val stats = statCols.collect { case (c, t)
         if row(s"mn_$c") != null && row(s"mx_$c") != null =>
-        c -> ColBounds(t, row(s"mn_$c"), row(s"mx_$c"))
+        c -> ColBounds(t, row(s"mn_$c"), row(s"mx_$c"),
+          row("__rows").asInstanceOf[Long] - row(s"nn_$c").asInstanceOf[Long])
       }.toMap
       Some(stampFiles(ManifestEntry(rel, kind, seq, stats,
         rows = row("__rows").asInstanceOf[Long])))
@@ -4331,7 +4336,8 @@ final class ManagedTable private (
         .filter(n => fileFields.exists(_.name == n))
         .flatMap(c => statsTag(readBack(c).dataType).map(c -> _))
       val aggs = count(lit(1)).as("__n") +: statCols.flatMap { case (c, _) =>
-        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+          count(col(c)).as(s"nn_$c"))
       }
       val perPart = staged.groupBy(ptCols.map(col): _*).agg(aggs.head, aggs.tail: _*).collect()
       perPart.toSeq.map { row =>
@@ -4342,7 +4348,8 @@ final class ManagedTable private (
         val stats = statCols.collect { case (c, tg)
           if row.get(row.fieldIndex(s"mn_$c")) != null &&
              row.get(row.fieldIndex(s"mx_$c")) != null =>
-          c -> ColBounds(tg, row.get(row.fieldIndex(s"mn_$c")), row.get(row.fieldIndex(s"mx_$c")))
+          c -> ColBounds(tg, row.get(row.fieldIndex(s"mn_$c")), row.get(row.fieldIndex(s"mx_$c")),
+            row.getAs[Long]("__n") - row.getAs[Long](s"nn_$c"))
         }.toMap
         val srcRel = ptCols.map(c =>
           ExternalCatalogUtils.getPartitionPathString(c, ptVal(c))).mkString("/")
@@ -4941,7 +4948,8 @@ final class ManagedTable private (
       val statCols = (cols ++ _meta.identifierFields).distinct
         .flatMap(c => statsTag(_meta.schema(c).dataType).map(c -> _))
       val aggs = count(lit(1)).as("__n") +: statCols.flatMap { case (c, _) =>
-        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")) }
+        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+          count(col(c)).as(s"nn_$c")) }
       val boundRows = spark.read.option("basePath", staging.toString).format(format)
         .load(staging.toString)
         .groupBy(col("__zb")).agg(aggs.head, aggs.tail: _*).collect()
@@ -4950,7 +4958,8 @@ final class ManagedTable private (
         val stats = statCols.collect { case (c, t)
           if row.get(row.fieldIndex(s"mn_$c")) != null &&
              row.get(row.fieldIndex(s"mx_$c")) != null =>
-          c -> ColBounds(t, row.get(row.fieldIndex(s"mn_$c")), row.get(row.fieldIndex(s"mx_$c")))
+          c -> ColBounds(t, row.get(row.fieldIndex(s"mn_$c")), row.get(row.fieldIndex(s"mx_$c")),
+            row.getAs[Long]("__n") - row.getAs[Long](s"nn_$c"))
         }.toMap
         val rel = groupRel(Manifest.Data, seq)
         val dst = new Path(tableDir, rel)

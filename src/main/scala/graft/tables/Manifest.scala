@@ -9,8 +9,14 @@ import scala.jdk.CollectionConverters._
   * comparison domain: "i" integral, "f" floating, "s" string. Values are
   * stored in their JSON-native form; comparison happens in the tagged
   * domain, so pruning never mixes lexicographic and numeric order.
+  *
+  * `nulls` is the group's null count for the column (-1 on pre-upgrade
+  * manifests = unknown; Iceberg's `null_value_counts` analogue). min/max
+  * describe only the NON-null values, so null-aware consumers — top-N
+  * truncation's null-ordering accounting, CBO column statistics — need
+  * the count alongside the bounds.
   */
-final case class ColBounds(t: String, min: Any, max: Any) {
+final case class ColBounds(t: String, min: Any, max: Any, nulls: Long = -1L) {
   /** Does [lo, hi] (inclusive) intersect this group's [min, max]? Unknown
     * domains or incomparable requests answer true (never prune on doubt).
     *
@@ -158,6 +164,7 @@ object Manifest {
         e.stats.foreach { case (c, b) =>
           val o = st.putObject(c)
           o.put("t", b.t)
+          if (b.nulls >= 0L) o.put("nulls", b.nulls)
           def put(field: String, v: Any): Unit = v match {
             case x: java.lang.Long    => o.put(field, x.longValue())
             case x: java.lang.Integer => o.put(field, x.longValue())
@@ -186,7 +193,8 @@ object Manifest {
             case "f" => java.lang.Double.valueOf(o.get(f).asDouble)
             case _   => o.get(f).asText
           }
-          e.getKey -> ColBounds(t, v("min"), v("max"))
+          e.getKey -> ColBounds(t, v("min"), v("max"),
+            Option(o.get("nulls")).map(_.asLong).getOrElse(-1L))
         }.toMap
       }.getOrElse(Map.empty[String, ColBounds])
       val partition = Option(n.get("partition")).map { p =>
