@@ -921,6 +921,98 @@ object Queries {
       |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
       |FROM orders WHERE o_orderkey % 7 = 0 AND o_custkey % 2 = 0""".stripMargin))
 
+  /** Distinct manifest group dirs a V2 plan's splits serve — the probe
+    * the pushed-limit/top-N oracle rows runtime-assert truncation with
+    * (split count cannot observe it: an unpartitioned table chunks many
+    * groups into few splits).
+    */
+  private def v2PlannedGroups(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.inputPartitions).flatMap {
+      case p: graft.catalog.GraftScan.GraftInputPartition =>
+        p.dataFiles.map(f => f.path.substring(0, f.path.lastIndexOf('/')))
+      case _ => Seq.empty
+    }.distinct.size
+
+  /** Pushed LIMIT through the DSv2 catalog (round 11,
+    * [[graft.catalog.GraftScanBuilder.pushLimit]]): `LIMIT n` over a
+    * keyless all-data table plans only enough manifest groups to cover n
+    * from their exact recorded row counts — on a 100 TB table `SELECT *
+    * … LIMIT 10` reads one group instead of every live file. The push is
+    * PARTIAL (Spark keeps its Limit above), so semantics are exact; the
+    * query runtime-asserts the truncation (the 4-commit table plans only
+    * the needed prefix of groups) and returns a deterministic aggregate
+    * over the limited scan. Oracle replays the same shape — both engines
+    * serve min(n, total) rows.
+    */
+  val sqlV2LimitPushdown = Q("sql_v2_limit_pushdown",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_v2lim").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_v2lim", base.schema)
+      val chunkRows = (0 until 4).map { k =>
+        val chunk = base.where(col("o_orderkey") % 4 === k)
+        tbl.append(chunk)
+        chunk.count()
+      }
+      val ns = s.newSession()
+      val cat = s"gv2l_${java.util.UUID.randomUUID().toString.take(8)}"
+      ns.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      ns.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val limited = ns.sql(s"SELECT * FROM $cat.orders_v2lim LIMIT 5000")
+      // groups needed = shortest prefix of commits covering the limit
+      val needed = {
+        var acc = 0L; var k = 0
+        while (k < chunkRows.length && acc < 5000L) { acc += chunkRows(k); k += 1 }
+        k
+      }
+      require(v2PlannedGroups(limited) == needed,
+        s"pushed LIMIT must plan exactly $needed of 4 groups")
+      ns.sql(s"SELECT count(*) AS cnt, count(DISTINCT o_orderkey) AS keys FROM " +
+        s"(SELECT * FROM $cat.orders_v2lim LIMIT 5000)")
+    },
+    Some("""SELECT count(*) AS cnt, count(DISTINCT o_orderkey) AS keys
+      |FROM (SELECT * FROM orders LIMIT 5000)""".stripMargin))
+
+  /** Pushed ORDER-BY-LIMIT (top-N) through the DSv2 catalog (round 11,
+    * [[graft.catalog.GraftScanBuilder.pushTopN]]): on a table whose
+    * commits carry key-range-disjoint manifest bounds (`write.cluster-by`
+    * stats), `ORDER BY k LIMIT n` drops every group provably beaten by ≥n
+    * rows of other groups — "first/latest n" on a time-clustered 100 TB
+    * table reads only the boundary groups. Null ordering is accounted via
+    * the manifest null counts; the push stays partial (TakeOrdered above
+    * re-sorts). Runtime-asserts that only the boundary group plans; the
+    * unique sort key makes the result deterministic for the oracle hash.
+    */
+  val sqlV2TopNPushdown = Q("sql_v2_topn_pushdown",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_v2topn").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_v2topn",
+        base.schema, Seq.empty, Seq.empty, Map("write.cluster-by" -> "o_orderkey"))
+      // four commits over disjoint key ranges → disjoint manifest bounds
+      val qs = base.stat.approxQuantile("o_orderkey", Array(0.25, 0.5, 0.75), 0.01)
+      val cuts = Seq(Double.NegativeInfinity) ++ qs ++ Seq(Double.PositiveInfinity)
+      val firstChunk = cuts.sliding(2).map { case Seq(lo, hi) =>
+        val chunk = base.where(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+        tbl.append(chunk)
+        chunk.count()
+      }.toSeq.head
+      val ns = s.newSession()
+      val cat = s"gv2t_${java.util.UUID.randomUUID().toString.take(8)}"
+      ns.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      ns.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val topn = ns.sql(s"SELECT o_orderkey, o_totalprice FROM $cat.orders_v2topn " +
+        "ORDER BY o_orderkey LIMIT 100")
+      if (firstChunk >= 100L)
+        require(v2PlannedGroups(topn) == 1,
+          "pushed top-N must plan only the boundary group")
+      topn
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey LIMIT 100""".stripMargin))
+
   /** Dynamic partition overwrite ([[graft.tables.ManagedTable
     * .overwritePartitions]]): a priority-partitioned orders table gets
     * one partition's recomputation — only that partition's groups are
@@ -4759,7 +4851,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, dmlV2Overwrite, dmlV2OverwriteDynamic, dmlV2Update, dmlV2Merge, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, streamV2Table, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, dmlV2Overwrite, dmlV2OverwriteDynamic, dmlV2Update, dmlV2Merge, sqlV2LimitPushdown, sqlV2TopNPushdown, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, streamV2Table, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

@@ -49,14 +49,65 @@ import graft.tables.{ManagedTable, Manifest, ManifestEntry}
 final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None,
                              options: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = t.meta.schema
   private var pushed: Array[Filter] = Array.empty
   private var conjuncts: Seq[ManagedTable.PruneConjunct] = Seq.empty
   private var aggAnswer: Option[(StructType, Array[InternalRow])] = None
+  private var limitHint: Option[Int] = None
+  private var topNHint: Option[GraftScan.TopNHint] = None
 
   override def pruneColumns(s: StructType): Unit = required = s
+
+  /** LIMIT pushdown as GROUP TRUNCATION: plan only enough manifest groups
+    * to cover the limit from their exact recorded row counts — `SELECT *
+    * FROM t LIMIT 10` on a 100 TB table plans one split instead of every
+    * live group. Always PARTIAL (Spark keeps its Limit above the scan, so
+    * serving extra rows is correct); engages only when every served row is
+    * guaranteed visible — keyless all-data snapshots with no residual
+    * filters — because a truncated plan must still yield ≥ limit rows.
+    * Keyed/MoR tables refuse here: delete scopes make a group's net row
+    * count unknowable without reading it.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    val eligible = limit > 0 && pushed.isEmpty && conjuncts.isEmpty &&
+      t.meta.identifierFields.isEmpty
+    if (eligible) limitHint = Some(limit)
+    eligible
+  }
+
+  override def isPartiallyPushed: Boolean = true
+
+  /** ORDER BY c LIMIT n pushdown, also as group truncation: a group whose
+    * BEST possible value (its manifest bound) is provably beaten by ≥ n
+    * rows of other groups cannot contribute to the top n and is dropped
+    * from the plan — "latest 100 events" on a time-clustered table reads
+    * the tail groups only. Null ordering is accounted exactly via the
+    * manifest null counts ([[graft.tables.ColBounds.nulls]]); groups
+    * missing stats are never dropped and never counted as beating others.
+    * Multi-column orderings drop only on STRICT first-key dominance (a
+    * first-key tie would need the later keys to adjudicate). Partial push:
+    * Spark's TakeOrdered above re-sorts whatever the scan serves.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
+    val eligible = limit > 0 && pushed.isEmpty && conjuncts.isEmpty &&
+      t.meta.identifierFields.isEmpty && orders.nonEmpty
+    if (!eligible) return false
+    orders.head.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+          t.meta.schema.fieldNames.contains(nr.fieldNames.head) =>
+        topNHint = Some(GraftScan.TopNHint(nr.fieldNames.head,
+          asc = orders.head.direction() == SortDirection.ASCENDING,
+          nullsFirst = orders.head.nullOrdering() == NullOrdering.NULLS_FIRST,
+          strict = orders.length > 1, n = limit))
+        true
+      case _ => false
+    }
+  }
 
   /** Manifest-answered aggregates through the V2 seam — the third
     * spelling of what `SELECT count(*)/min/max FROM graft.t` and the V1
@@ -174,7 +225,8 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None,
 
   override def build(): Scan = aggAnswer match {
     case Some((schema, rows)) => new GraftManifestLocalScan(schema, rows, t.name)
-    case None => new GraftScan(t, required, conjuncts, pinnedRef, options, pushed)
+    case None => new GraftScan(t, required, conjuncts, pinnedRef, options, pushed,
+      limitHint, topNHint)
   }
 }
 
@@ -192,7 +244,9 @@ final class GraftScan(t: ManagedTable, required: StructType,
                       conjuncts: Seq[ManagedTable.PruneConjunct],
                       pinnedRef: Option[String] = None,
                       options: Map[String, String] = Map.empty,
-                      pushedV1: Array[Filter] = Array.empty)
+                      pushedV1: Array[Filter] = Array.empty,
+                      limitHint: Option[Int] = None,
+                      topNHint: Option[GraftScan.TopNHint] = None)
     extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -217,7 +271,8 @@ final class GraftScan(t: ManagedTable, required: StructType,
       var p = planned
       if (p == null) {
         p = GraftScan.plan(SparkSession.active, t, required, conjuncts,
-          runtimeConjuncts, pinnedRef, parquetFilters = pushedV1)
+          runtimeConjuncts, pinnedRef, parquetFilters = pushedV1,
+          limitHint = limitHint, topNHint = topNHint)
         planned = p
       }
       p
@@ -272,7 +327,10 @@ final class GraftScan(t: ManagedTable, required: StructType,
 
   override def description(): String =
     s"graft:${t.name}${pinnedRef.map(r => s"@$r").getOrElse("")} " +
-      s"pushed=[${conjuncts.map(_.c).distinct.mkString(",")}]"
+      s"pushed=[${conjuncts.map(_.c).distinct.mkString(",")}]" +
+      limitHint.map(n => s" limit=$n").getOrElse("") +
+      topNHint.map(tn => s" topN=${tn.n} on ${tn.col}" +
+        s"${if (tn.asc) " ASC" else " DESC"}").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = plan.partitions
 
@@ -320,6 +378,121 @@ object GraftScan {
                            factory: PartitionReaderFactory,
                            sizeInBytes: Long, numRows: Option[Long])
 
+  /** A pushed `ORDER BY col LIMIT n` (first sort key only). `strict` = a
+    * later sort key exists, so group dominance must be STRICT on the
+    * first key (ties would need the later keys to adjudicate which tied
+    * rows make the top n).
+    */
+  final case class TopNHint(col: String, asc: Boolean, nullsFirst: Boolean,
+                            strict: Boolean, n: Int)
+
+  /** Domain-tagged bound comparison (the [[graft.tables.ColBounds]]
+    * domains): integral compares exactly as Long — a double round-trip
+    * could mis-order values above 2^53 and wrongly drop a group.
+    */
+  private def cmpBound(tag: String, a: Any, b: Any): Option[Int] = (tag, a, b) match {
+    case ("i", x: java.lang.Number, y: java.lang.Number) =>
+      Some(java.lang.Long.compare(x.longValue(), y.longValue()))
+    case ("f", x: java.lang.Number, y: java.lang.Number) =>
+      Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+    case ("s", x: String, y: String) =>
+      Some(java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    case _ => None
+  }
+
+  /** Plain-LIMIT truncation: keep manifest groups until their exact row
+    * counts cover the limit. Caller guarantees every row is visible
+    * (keyless, all-data, no delete state, no residual filters).
+    */
+  private def limitTruncate(entries: Seq[ManifestEntry], n: Int): Seq[ManifestEntry] = {
+    var acc = 0L
+    val b = Seq.newBuilder[ManifestEntry]
+    val it = entries.iterator
+    while (it.hasNext && acc < n) { val e = it.next(); b += e; acc += e.rows }
+    b.result()
+  }
+
+  /** Top-N truncation: drop group g iff ≥ n rows of OTHER groups provably
+    * sort at-or-before g's best possible row. "Provably" runs entirely on
+    * manifest bounds + null counts:
+    *
+    *  - ASC: h's non-null rows beat g's best (g.min) when h.max ≤ g.min
+    *    (STRICT < under a multi-key ordering); DESC mirrors with min/max
+    *    swapped.
+    *  - NULLS FIRST: every known null (any group) sorts before every
+    *    non-null, so nulls count as beating rows — and a group holding
+    *    ANY nulls is never dropped (its nulls could be top-n ties).
+    *  - NULLS LAST: nulls beat nothing; a dropped g's own nulls are
+    *    beaten by the same ≥ n non-null rows that beat g.min.
+    *  - groups with absent/unknown stats: never dropped, never counted.
+    *
+    * Driver work is O(g log g) on numbers already in the manifest: groups
+    * sort once by worst bound, and each drop decision is one binary
+    * search over the prefix-summed non-null row counts — a naive pairwise
+    * check would be O(g²), ~10^10 steps at the 10^5 groups a 100 TB table
+    * carries.
+    */
+  private def topNTruncate(entries: Seq[ManifestEntry], tn: TopNHint): Seq[ManifestEntry] = {
+    final case class St(best: Any, worst: Any, tag: String, nonNull: Long, nulls: Long)
+    val sts: Seq[Option[St]] = entries.map { e =>
+      e.stats.get(tn.col).collect {
+        case b if b.nulls >= 0L && e.rows >= 0L =>
+          if (tn.asc) St(b.min, b.max, b.t, e.rows - b.nulls, b.nulls)
+          else St(b.max, b.min, b.t, e.rows - b.nulls, b.nulls)
+      }
+    }
+    val known = sts.flatten
+    if (known.isEmpty) return entries
+    val tag = known.head.tag
+    def comparable(v: Any): Boolean = tag match {
+      case "i" | "f" => v.isInstanceOf[java.lang.Number]
+      case "s"       => v.isInstanceOf[String]
+      case _         => false
+    }
+    if (known.exists(h => h.tag != tag || !comparable(h.best) || !comparable(h.worst)))
+      return entries // mixed/unknown domains: drop nothing
+    val totalNulls = known.map(_.nulls).sum
+    // direction-ordered compare: "a sorts at-or-before b in the query's
+    // ordering" ⟺ dirCmp(a, b) ≤ 0
+    def dirCmp(a: Any, b: Any): Int = {
+      val c = cmpBound(tag, a, b).get // comparability pre-validated above
+      if (tn.asc) c else -c
+    }
+    // groups sorted by WORST bound; prefix sums answer "non-null rows
+    // provably at-or-before value v" with one binary search per group
+    val sorted = known.sortWith((x, y) => dirCmp(x.worst, y.worst) < 0).toArray
+    val prefix = new Array[Long](sorted.length + 1)
+    var i = 0
+    while (i < sorted.length) { prefix(i + 1) = prefix(i) + sorted(i).nonNull; i += 1 }
+    // index of the first sorted element whose worst does NOT satisfy the
+    // dominance rule against v (≤ for ties-allowed, < for strict)
+    def countDominating(v: Any, strict: Boolean): Long = {
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val c = dirCmp(sorted(mid).worst, v)
+        if (if (strict) c < 0 else c <= 0) lo = mid + 1 else hi = mid
+      }
+      prefix(lo)
+    }
+    entries.zip(sts).filter {
+      case (_, None) => true // unknown stats: never drop
+      case (_, Some(g)) =>
+        if (tn.nullsFirst && g.nulls > 0L) true
+        else {
+          var better = countDominating(g.best, tn.strict)
+          // the prefix sum counted g itself when its own worst dominates
+          // its best (single-valued group under a ties-allowed rule)
+          val selfC = dirCmp(g.worst, g.best)
+          if (if (tn.strict) selfC < 0 else selfC <= 0) better -= g.nonNull
+          if (tn.nullsFirst) better += totalNulls - g.nulls
+          better < tn.n // provably beaten by ≥ n rows → drop
+        }
+    }.map(_._1)
+  }
+
   /** V1 filter → prune conjunct, when the shape and the literal domain
     * allow; None prunes nothing (the residual filter keeps semantics).
     */
@@ -362,7 +535,9 @@ object GraftScan {
                             pinnedRef: Option[String],
                             entriesOverride: Option[Seq[ManifestEntry]] = None,
                             parquetFilters: Array[Filter] = Array.empty,
-                            withFactory: Boolean = true): Planned = {
+                            withFactory: Boolean = true,
+                            limitHint: Option[Int] = None,
+                            topNHint: Option[TopNHint] = None): Planned = {
     val name = t.name
     val keyed = t.meta.identifierFields.nonEmpty
     require(t.v2Format == "parquet",
@@ -403,6 +578,19 @@ object GraftScan {
       else t.v2PrunedEntries(conjuncts ++ runtimeConjuncts, snapshot)
     val posdels = scanEntries.filter(_.kind == Manifest.PosDel)
     val dataEntries = scanEntries.filterNot(_.kind == Manifest.PosDel)
+    // pushed LIMIT / ORDER-BY-LIMIT group truncation — only when every
+    // served row is guaranteed visible (keyless all-data snapshot, no
+    // delete state, no residual filters above the scan), so a truncated
+    // plan still yields ≥ limit rows / provably contains the top n
+    val hintEligible = (limitHint.isDefined || topNHint.isDefined) &&
+      !keyed && posdels.isEmpty && conjuncts.isEmpty &&
+      runtimeConjuncts.isEmpty && parquetFilters.isEmpty &&
+      dataEntries.forall(e => e.kind == Manifest.Data && e.rows >= 0L)
+    val dataServed =
+      if (!hintEligible) dataEntries
+      else topNHint.map(topNTruncate(dataEntries, _))
+        .orElse(limitHint.map(limitTruncate(dataEntries, _)))
+        .getOrElse(dataEntries)
     val appliedByTuple = posdels.groupBy(_.partition)
       .map { case (p, es) => p -> es.map(_.seq).max }
     def appliedFor(p: Map[String, String]): Long =
@@ -434,7 +622,7 @@ object GraftScan {
         }
       })
 
-    val byTuple = dataEntries.groupBy(_.partition)
+    val byTuple = dataServed.groupBy(_.partition)
     val carriersByTuple = carriers.groupBy(_.partition)
     val posdelsByTuple = posdels.groupBy(_.partition)
 
@@ -484,8 +672,11 @@ object GraftScan {
       }
 
     // keyed splits iterate the STATIC tuple set so runtime filtering
-    // never changes the reported partition values
-    val spjTuples = staticScan.filterNot(_.kind == Manifest.PosDel)
+    // never changes the reported partition values; under a pushed-limit
+    // truncation the served entry set IS the static plan (truncation and
+    // runtime filters are mutually exclusive by the eligibility gate)
+    val spjTuples = (if (dataServed ne dataEntries) dataServed
+                     else staticScan.filterNot(_.kind == Manifest.PosDel))
       .map(_.partition).distinct
 
     // typed partition-key rows, only when every tuple value parses
@@ -539,7 +730,7 @@ object GraftScan {
     // partitions per micro-batch — skip the 3 reader builds it discards
     val factory = if (withFactory) buildFactory(spark, t, required, parquetFilters) else null
 
-    val dataRows = dataEntries.map(_.rows)
+    val dataRows = dataServed.map(_.rows)
     Planned(partitions, spjKeys.filter(_ => keyRows.isDefined), factory,
       sizeInBytes = partitions.collect {
         case p: GraftInputPartition => p.dataFiles.map(_.length).sum }.sum,
