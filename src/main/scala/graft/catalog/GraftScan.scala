@@ -347,6 +347,32 @@ final class GraftScan(t: ManagedTable, required: StructType,
       java.util.OptionalLong.of(plan.sizeInBytes)
     override def numRows(): java.util.OptionalLong =
       plan.numRows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+    /** Manifest-folded per-column stats for CBO — Spark's
+      * `transformV2Stats` maps them onto the scan attributes, feeding
+      * filter/join selectivity estimation under `spark.sql.cbo.enabled`.
+      * One metadata pass, zero file reads.
+      */
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+      import java.util.{Optional, OptionalLong}
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+      plan.colStats.foreach { case (c, st) =>
+        m.put(Expressions.column(c), new ColumnStatistics {
+          override def distinctCount(): OptionalLong =
+            st.ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+          override def min(): Optional[Object] =
+            st.min.map(v => Optional.of(v.asInstanceOf[Object])).getOrElse(Optional.empty())
+          override def max(): Optional[Object] =
+            st.max.map(v => Optional.of(v.asInstanceOf[Object])).getOrElse(Optional.empty())
+          override def nullCount(): OptionalLong =
+            st.nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+        })
+      }
+      m
+    }
   }
 }
 
@@ -376,7 +402,20 @@ object GraftScan {
   final case class Planned(partitions: Array[InputPartition],
                            keys: Option[Array[V2Expression]],
                            factory: PartitionReaderFactory,
-                           sizeInBytes: Long, numRows: Option[Long])
+                           sizeInBytes: Long, numRows: Option[Long],
+                           colStats: Map[String, ColStat] = Map.empty)
+
+  /** Catalyst-valued column statistics folded from the manifest for CBO
+    * (`spark.sql.cbo.enabled`): min/max for numeric domains (range
+    * selectivity), null counts when every group recorded them, and an
+    * NDV estimate for a single-identifier table (upsert semantics make
+    * the key unique, so served rows bound the distinct count). String
+    * bounds are deliberately omitted — Spark's estimators don't range-
+    * estimate strings, and a wrong-typed value would poison the plan
+    * stats.
+    */
+  final case class ColStat(min: Option[Any], max: Option[Any],
+                           nulls: Option[Long], ndv: Option[Long])
 
   /** A pushed `ORDER BY col LIMIT n` (first sort key only). `strict` = a
     * later sort key exists, so group dominance must be STRICT on the
@@ -731,10 +770,61 @@ object GraftScan {
     val factory = if (withFactory) buildFactory(spark, t, required, parquetFilters) else null
 
     val dataRows = dataServed.map(_.rows)
+    val numRowsOpt =
+      if (dataRows.nonEmpty && dataRows.forall(_ >= 0L)) Some(dataRows.sum) else None
+
+    // CBO column statistics, folded from the SERVED entries' manifest
+    // bounds — one metadata pass, no file reads. A column reports only
+    // when EVERY served group carries comparable bounds for it (partial
+    // coverage would understate the range and mislead the estimator).
+    val colStats: Map[String, ColStat] =
+      if (dataServed.isEmpty) Map.empty
+      else required.fields.iterator.flatMap { f =>
+        val bs = dataServed.map(_.stats.get(f.name))
+        if (bs.exists(_.isEmpty)) None
+        else {
+          val bounds = bs.map(_.get)
+          val tag = bounds.head.t
+          def comp(v: Any): Boolean = tag match {
+            case "i" | "f" => v.isInstanceOf[java.lang.Number]
+            case "s"       => v.isInstanceOf[String]
+            case _         => false
+          }
+          if (bounds.exists(b => b.t != tag || !comp(b.min) || !comp(b.max))) None
+          else {
+            val mn = bounds.map(_.min).reduce((a, b) =>
+              if (cmpBound(tag, a, b).get <= 0) a else b)
+            val mx = bounds.map(_.max).reduce((a, b) =>
+              if (cmpBound(tag, a, b).get >= 0) a else b)
+            val nulls =
+              if (bounds.forall(_.nulls >= 0L)) Some(bounds.map(_.nulls).sum) else None
+            val (mino, maxo) = tag match {
+              case "i" | "f" =>
+                (Some(graft.plans.ManifestAggOnV1.statsToColumn(mn, f.dataType, spark)),
+                 Some(graft.plans.ManifestAggOnV1.statsToColumn(mx, f.dataType, spark)))
+              case _ => (None, None)
+            }
+            // NDV upper bound: per-group approx counts sum, capped at the
+            // non-null row total; a single-identifier key falls back to
+            // the served row count (upsert semantics make it unique)
+            val nonNull =
+              if (bounds.forall(_.nulls >= 0L))
+                numRowsOpt.map(_ - bounds.map(_.nulls).sum) else None
+            val ndv =
+              if (bounds.forall(_.ndv >= 0L)) {
+                val s = bounds.map(_.ndv).sum
+                Some(nonNull.fold(s)(math.min(s, _)))
+              } else if (t.meta.identifierFields == Seq(f.name)) numRowsOpt
+              else None
+            Some(f.name -> ColStat(mino, maxo, nulls, ndv))
+          }
+        }
+      }.toMap
+
     Planned(partitions, spjKeys.filter(_ => keyRows.isDefined), factory,
       sizeInBytes = partitions.collect {
         case p: GraftInputPartition => p.dataFiles.map(_.length).sum }.sum,
-      numRows = if (dataRows.nonEmpty && dataRows.forall(_ >= 0L)) Some(dataRows.sum) else None)
+      numRows = numRowsOpt, colStats = colStats)
   }
 
   /** The split-reader factory — schema-determined only (independent of

@@ -126,20 +126,22 @@ private[graft] object LocalCommit {
             case n: java.lang.Number => n.longValue() }
           if (longs.isEmpty) None
           else { val l = longs.toSeq
-                 Some(c -> ColBounds("i", l.min, l.max, rows.size - l.length)) }
+                 Some(c -> ColBounds("i", l.min, l.max, rows.size - l.length,
+                   l.distinct.length)) } // driver-local rows: exact NDV is free
         case "f" =>
           val ds = rows.iterator.map(_.get(idx)).collect {
             case n: java.lang.Number => n.doubleValue() }
           if (ds.isEmpty) None
           else { val d = ds.toSeq
-                 Some(c -> ColBounds("f", d.min, d.max, rows.size - d.length)) }
+                 Some(c -> ColBounds("f", d.min, d.max, rows.size - d.length,
+                   d.distinct.length)) }
         case "s" =>
           val ss = rows.iterator.map(_.get(idx)).collect { case s: String => s }.toSeq
           if (ss.isEmpty) None
           else Some(c -> ColBounds("s",
             ss.reduce((a, b) => if (utf8Lt(a, b)) a else b),
             ss.reduce((a, b) => if (utf8Lt(a, b)) b else a),
-            rows.size - ss.length))
+            rows.size - ss.length, ss.distinct.length))
         case _ => None
       }
     }.toMap

@@ -2542,7 +2542,7 @@ final class ManagedTable private (
       .withColumn("__file", col("_metadata.file_path"))
     val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { case (c, _) =>
       Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
-        count(col(c)).as(s"nn_$c")) }
+        count(col(c)).as(s"nn_$c"), approx_count_distinct(col(c)).as(s"nd_$c")) }
     // tuple strings via Spark's OWN string cast — byte-identical to the
     // write path's staging-key canonicalization (java toString differs
     // for timestamps), so adopted and written groups of one logical
@@ -2593,7 +2593,9 @@ final class ManagedTable private (
             Some(c -> ColBounds(tg,
               mns.minBy(v => SortKey(tg, v)), mxs.maxBy(v => SortKey(tg, v)),
               rows.map(_.getAs[Long]("__rows")).sum -
-                rows.map(_.getAs[Long](s"nn_$c")).sum))
+                rows.map(_.getAs[Long](s"nn_$c")).sum,
+              math.min(rows.map(_.getAs[Long](s"nd_$c")).sum,
+                rows.map(_.getAs[Long](s"nn_$c")).sum)))
           else None
         }).toMap
         stampFiles(ManifestEntry(rel, Manifest.Data, seq, stats, tuple,
@@ -3936,7 +3938,7 @@ final class ManagedTable private (
     val o = new org.apache.spark.sql.Observation(s"stats-$kind-$seq")
     val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { case (c, _) =>
       Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
-        count(col(c)).as(s"nn_$c")) }
+        count(col(c)).as(s"nn_$c"), approx_count_distinct(col(c)).as(s"nd_$c")) }
     val toWrite = df.observe(o, aggs.head, aggs.tail: _*)
     // A df that already carries per-row seqs (compactMinor's fold) keeps
     // them — stamping would rewrite delete scopes; fresh commits get `seq`.
@@ -3952,7 +3954,8 @@ final class ManagedTable private (
       val stats = statCols.collect { case (c, t)
         if row(s"mn_$c") != null && row(s"mx_$c") != null =>
         c -> ColBounds(t, row(s"mn_$c"), row(s"mx_$c"),
-          row("__rows").asInstanceOf[Long] - row(s"nn_$c").asInstanceOf[Long])
+          row("__rows").asInstanceOf[Long] - row(s"nn_$c").asInstanceOf[Long],
+          math.min(row(s"nd_$c").asInstanceOf[Long], row(s"nn_$c").asInstanceOf[Long]))
       }.toMap
       Some(stampFiles(ManifestEntry(rel, kind, seq, stats,
         rows = row("__rows").asInstanceOf[Long])))
@@ -4337,7 +4340,7 @@ final class ManagedTable private (
         .flatMap(c => statsTag(readBack(c).dataType).map(c -> _))
       val aggs = count(lit(1)).as("__n") +: statCols.flatMap { case (c, _) =>
         Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
-          count(col(c)).as(s"nn_$c"))
+          count(col(c)).as(s"nn_$c"), approx_count_distinct(col(c)).as(s"nd_$c"))
       }
       val perPart = staged.groupBy(ptCols.map(col): _*).agg(aggs.head, aggs.tail: _*).collect()
       perPart.toSeq.map { row =>
@@ -4349,7 +4352,8 @@ final class ManagedTable private (
           if row.get(row.fieldIndex(s"mn_$c")) != null &&
              row.get(row.fieldIndex(s"mx_$c")) != null =>
           c -> ColBounds(tg, row.get(row.fieldIndex(s"mn_$c")), row.get(row.fieldIndex(s"mx_$c")),
-            row.getAs[Long]("__n") - row.getAs[Long](s"nn_$c"))
+            row.getAs[Long]("__n") - row.getAs[Long](s"nn_$c"),
+            math.min(row.getAs[Long](s"nd_$c"), row.getAs[Long](s"nn_$c")))
         }.toMap
         val srcRel = ptCols.map(c =>
           ExternalCatalogUtils.getPartitionPathString(c, ptVal(c))).mkString("/")
@@ -4949,7 +4953,7 @@ final class ManagedTable private (
         .flatMap(c => statsTag(_meta.schema(c).dataType).map(c -> _))
       val aggs = count(lit(1)).as("__n") +: statCols.flatMap { case (c, _) =>
         Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
-          count(col(c)).as(s"nn_$c")) }
+          count(col(c)).as(s"nn_$c"), approx_count_distinct(col(c)).as(s"nd_$c")) }
       val boundRows = spark.read.option("basePath", staging.toString).format(format)
         .load(staging.toString)
         .groupBy(col("__zb")).agg(aggs.head, aggs.tail: _*).collect()
@@ -4959,7 +4963,8 @@ final class ManagedTable private (
           if row.get(row.fieldIndex(s"mn_$c")) != null &&
              row.get(row.fieldIndex(s"mx_$c")) != null =>
           c -> ColBounds(t, row.get(row.fieldIndex(s"mn_$c")), row.get(row.fieldIndex(s"mx_$c")),
-            row.getAs[Long]("__n") - row.getAs[Long](s"nn_$c"))
+            row.getAs[Long]("__n") - row.getAs[Long](s"nn_$c"),
+            math.min(row.getAs[Long](s"nd_$c"), row.getAs[Long](s"nn_$c")))
         }.toMap
         val rel = groupRel(Manifest.Data, seq)
         val dst = new Path(tableDir, rel)

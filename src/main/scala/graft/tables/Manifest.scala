@@ -15,8 +15,17 @@ import scala.jdk.CollectionConverters._
   * describe only the NON-null values, so null-aware consumers — top-N
   * truncation's null-ordering accounting, CBO column statistics — need
   * the count alongside the bounds.
+  *
+  * `ndv` is the group's approximate distinct-value count (-1 unknown),
+  * collected by `approx_count_distinct` in the same write-side stats
+  * aggregation — the piece Spark's filter/join selectivity estimation
+  * cannot work without (the analogue of Iceberg's puffin theta-sketch
+  * NDV stats). Cross-group rollups sum the per-group counts capped at
+  * the non-null row total: an upper bound, which is what an estimator
+  * wants.
   */
-final case class ColBounds(t: String, min: Any, max: Any, nulls: Long = -1L) {
+final case class ColBounds(t: String, min: Any, max: Any, nulls: Long = -1L,
+                           ndv: Long = -1L) {
   /** Does [lo, hi] (inclusive) intersect this group's [min, max]? Unknown
     * domains or incomparable requests answer true (never prune on doubt).
     *
@@ -165,6 +174,7 @@ object Manifest {
           val o = st.putObject(c)
           o.put("t", b.t)
           if (b.nulls >= 0L) o.put("nulls", b.nulls)
+          if (b.ndv >= 0L) o.put("ndv", b.ndv)
           def put(field: String, v: Any): Unit = v match {
             case x: java.lang.Long    => o.put(field, x.longValue())
             case x: java.lang.Integer => o.put(field, x.longValue())
@@ -194,7 +204,8 @@ object Manifest {
             case _   => o.get(f).asText
           }
           e.getKey -> ColBounds(t, v("min"), v("max"),
-            Option(o.get("nulls")).map(_.asLong).getOrElse(-1L))
+            Option(o.get("nulls")).map(_.asLong).getOrElse(-1L),
+            Option(o.get("ndv")).map(_.asLong).getOrElse(-1L))
         }.toMap
       }.getOrElse(Map.empty[String, ColBounds])
       val partition = Option(n.get("partition")).map { p =>

@@ -49,10 +49,10 @@ class StatsNullCountSpec extends AnyFunSuite with SharedSpark {
     assert(st.nulls == 0L)
     // explicit round-trip of the JSON codec, including the unknown default
     val e = ManifestEntry("p", Manifest.Data, 1L,
-      stats = Map("a" -> ColBounds("i", 1L, 9L, 3L), "b" -> ColBounds("s", "a", "z")))
+      stats = Map("a" -> ColBounds("i", 1L, 9L, 3L, 7L), "b" -> ColBounds("s", "a", "z")))
     val back = Manifest.fromJson(Manifest.toJson(Seq(e))).head
-    assert(back.stats("a").nulls == 3L)
-    assert(back.stats("b").nulls == -1L)
+    assert(back.stats("a").nulls == 3L && back.stats("a").ndv == 7L)
+    assert(back.stats("b").nulls == -1L && back.stats("b").ndv == -1L)
   }
 
   test("driver-local commit path records null counts too") {
