@@ -1013,6 +1013,55 @@ object Queries {
     Some("""SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_orderkey LIMIT 100""".stripMargin))
 
+  /** Connector-native STREAMING WRITE through the DSv2 catalog (round 11,
+    * [[graft.catalog.GraftStreamingWrite]] — the last V2 write verb):
+    * `writeStream.toTable("<cat>.t")` stages each micro-batch as
+    * executor-written parquet and lands ONE managed append per epoch,
+    * with the `streaming.v2.epoch.<queryId>` replay marker riding the
+    * same commit's pointer flip (exactly-once across crash re-delivery).
+    * The source drains in several AvailableNow micro-batches
+    * (maxFilesPerTrigger), so multiple epochs exercise the marker
+    * monotonicity; the query runtime-asserts the marker landed and the
+    * staging root drained. Oracle = the streamed rows.
+    */
+  val dmlV2StreamWrite = Q("dml_v2_stream_write",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_v2sw").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      graft.tables.ManagedTable.create(s, wh, "orders_v2sw", base.schema)
+      val src = java.nio.file.Files.createTempDirectory("graft_v2sw_src").toString
+      base.where(col("o_orderkey") % 2 === 0).write.mode("append").parquet(src)
+      base.where(col("o_orderkey") % 2 =!= 0).write.mode("append").parquet(src)
+      val ns = s.newSession()
+      val cat = s"gv2w_${java.util.UUID.randomUUID().toString.take(8)}"
+      ns.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      ns.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      // pin the catalog INSTANCE in ns's CatalogManager before toTable:
+      // DataStreamWriter.toTable's pre-create existence check resolves
+      // the catalog via the THREAD-LOCAL SQLConf (the outer session here,
+      // which lacks the registration), concludes the table is missing,
+      // and then collides at exec time where resolution uses ns — a
+      // session-isolation quirk this harness hits, not a user shape
+      ns.sql(s"SHOW TABLES IN $cat").collect()
+      val ck = java.nio.file.Files.createTempDirectory("graft_v2sw_ck").toString
+      val q = ns.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "2").parquet(src)
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.orders_v2sw")
+      require(q.awaitTermination(300000), "V2 streaming write drain timed out")
+      val re = graft.tables.ManagedTable.load(s, wh, "orders_v2sw").get
+      require(re.meta.properties.keys.exists(_.startsWith("streaming.v2.epoch.")),
+        "the exactly-once replay marker must ride the streaming commits")
+      val staging = new java.io.File(s"$wh/orders_v2sw/_stream_staging")
+      require(!staging.exists() ||
+        staging.listFiles().forall(d => d.listFiles() == null || d.listFiles().isEmpty),
+        "per-epoch staging must drain after each commit")
+      re.read().select(dmlCols.map(col): _*)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders""".stripMargin))
+
   /** Dynamic partition overwrite ([[graft.tables.ManagedTable
     * .overwritePartitions]]): a priority-partitioned orders table gets
     * one partition's recomputation — only that partition's groups are
@@ -4851,7 +4900,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, dmlV2Overwrite, dmlV2OverwriteDynamic, dmlV2Update, dmlV2Merge, sqlV2LimitPushdown, sqlV2TopNPushdown, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, streamV2Table, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, dmlV2Overwrite, dmlV2OverwriteDynamic, dmlV2Update, dmlV2Merge, sqlV2LimitPushdown, sqlV2TopNPushdown, dmlV2StreamWrite, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, streamV2Table, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

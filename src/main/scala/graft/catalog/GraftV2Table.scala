@@ -74,7 +74,7 @@ class GraftV2Table(val t: ManagedTable,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(t, pinnedRef,
@@ -404,6 +404,13 @@ final class GraftWriteBuilder(t: ManagedTable, info: LogicalWriteInfo)
   override def build(): Write = if (overwriteDynamic)
     new GraftDynamicOverwriteWrite(t, info)
   else new V1Write {
+    /** `writeStream.toTable("<cat>.t")` — Append mode appends per epoch,
+      * Complete mode (builder truncate()) overwrites per epoch; both with
+      * a replay marker riding the commit for exactly-once
+      * ([[GraftStreamingWrite]]).
+      */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(t, info, truncateEachEpoch = overwriteAll)
     override def toInsertableRelation(): InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, overwrite: Boolean): Unit = {
         val session = data.sparkSession
