@@ -306,9 +306,41 @@ object Bench {
          |""".stripMargin)
     val spjJoin = best(noop(spjQ))
     val exchangeFree = !spjQ.queryExecution.executedPlan.toString.contains("Exchange")
+    // round 11: pushed LIMIT / top-N group truncation — a key-clustered
+    // keyless table in 8 range commits; the pushed plans should serve a
+    // strict subset of groups and beat the full-scan wall time
+    val okeys = ords.select("o_orderkey", "o_totalprice")
+    val tn = graft.tables.ManagedTable.create(ns, wh, "orders_c",
+      okeys.schema, Seq.empty, Seq.empty,
+      Map("write.cluster-by" -> "o_orderkey"))
+    val cuts = okeys.stat.approxQuantile("o_orderkey",
+      (1 to 7).map(_ / 8.0).toArray, 0.01)
+    val bounds = (Double.NegativeInfinity +: cuts.toSeq) :+ Double.PositiveInfinity
+    bounds.sliding(2).foreach { case Seq(lo, hi) =>
+      tn.append(okeys.where(col("o_orderkey") > lo && col("o_orderkey") <= hi))
+    }
+    def groupsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.flatMap(_.inputPartitions).flatMap {
+        case p: graft.catalog.GraftScan.GraftInputPartition =>
+          p.dataFiles.map(f => f.path.substring(0, f.path.lastIndexOf('/')))
+        case _ => Seq.empty
+      }.distinct.size
+    def limitQ = ns.sql(s"SELECT * FROM $cat.orders_c LIMIT 1000")
+    def topnQ = ns.sql(
+      s"SELECT * FROM $cat.orders_c ORDER BY o_orderkey DESC LIMIT 100")
+    val fullScan = best(noop(ns.sql(s"SELECT * FROM $cat.orders_c")))
+    val limitSec = best(noop(limitQ))
+    val topnSec = best(noop(topnQ))
+    val limitGroups = groupsOf(limitQ)
+    val topnGroups = groupsOf(topnQ)
     f"""{"v1_scan_sec":$v1Scan%.3f,"v2_scan_sec":$v2Scan%.3f,""" +
       f""""v1_join_sec":$v1Join%.3f,"spj_join_sec":$spjJoin%.3f,""" +
-      s""""spj_exchange_free":$exchangeFree}"""
+      s""""spj_exchange_free":$exchangeFree,""" +
+      f""""v2_full_sec":$fullScan%.3f,"v2_limit_sec":$limitSec%.3f,""" +
+      f""""v2_topn_sec":$topnSec%.3f,""" +
+      s""""limit_groups":$limitGroups,"topn_groups":$topnGroups,"total_groups":8}"""
   } catch { case e: Throwable =>
     s"""{"err":"${String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)}"}"""
   }

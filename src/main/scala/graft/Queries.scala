@@ -1013,6 +1013,49 @@ object Queries {
     Some("""SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_orderkey LIMIT 100""".stripMargin))
 
+  /** `CALL graft.system.analyze` (round 11,
+    * [[graft.tables.ManagedTable.analyzeColumns]] — the Iceberg
+    * compute-stats analogue): backfills manifest column statistics
+    * (bounds, null counts, approximate NDV) for arbitrary columns as ONE
+    * metadata-only commit after one distributed pass. The query proves
+    * the stats are LOAD-BEARING: on a 4-commit key-range table written
+    * WITHOUT write-time stats, the pushed top-N keeps all four groups;
+    * after ANALYZE the same query plans only the boundary group. Oracle
+    * replays the final top-N.
+    */
+  val sqlAnalyzeStats = Q("sql_analyze_stats",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_an").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      // NO identifiers, NO cluster-by: nothing indexed at write time
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_an", base.schema)
+      val qs = base.stat.approxQuantile("o_orderkey", Array(0.25, 0.5, 0.75), 0.01)
+      val cuts = Seq(Double.NegativeInfinity) ++ qs ++ Seq(Double.PositiveInfinity)
+      val firstChunk = cuts.sliding(2).map { case Seq(lo, hi) =>
+        val chunk = base.where(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+        tbl.append(chunk)
+        chunk.count()
+      }.toSeq.head
+      val ns = s.newSession()
+      val cat = s"gan_${java.util.UUID.randomUUID().toString.take(8)}"
+      ns.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      ns.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      def topn = ns.sql(s"SELECT o_orderkey, o_totalprice FROM $cat.orders_an " +
+        "ORDER BY o_orderkey LIMIT 100")
+      require(v2PlannedGroups(topn) == 4,
+        "without stats the top-N must keep every group")
+      val r = ns.sql(s"CALL $cat.system.analyze('orders_an', 'o_orderkey')")
+        .collect().head
+      require(r.getLong(0) == 4L, s"analyze must update all 4 groups, got $r")
+      val after = topn
+      if (firstChunk >= 100L)
+        require(v2PlannedGroups(after) == 1,
+          "analyzed bounds must confine the top-N to the boundary group")
+      after
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey LIMIT 100""".stripMargin))
+
   /** Connector-native STREAMING WRITE through the DSv2 catalog (round 11,
     * [[graft.catalog.GraftStreamingWrite]] — the last V2 write verb):
     * `writeStream.toTable("<cat>.t")` stages each micro-batch as
@@ -4900,7 +4943,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, dmlV2Overwrite, dmlV2OverwriteDynamic, dmlV2Update, dmlV2Merge, sqlV2LimitPushdown, sqlV2TopNPushdown, dmlV2StreamWrite, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, streamV2Table, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, dmlV2Overwrite, dmlV2OverwriteDynamic, dmlV2Update, dmlV2Merge, sqlV2LimitPushdown, sqlV2TopNPushdown, sqlAnalyzeStats, dmlV2StreamWrite, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, streamV2Table, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

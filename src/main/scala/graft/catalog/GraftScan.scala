@@ -67,12 +67,13 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None,
     * serving extra rows is correct); engages only when every served row is
     * guaranteed visible — keyless all-data snapshots with no residual
     * filters — because a truncated plan must still yield ≥ limit rows.
-    * Keyed/MoR tables refuse here: delete scopes make a group's net row
-    * count unknowable without reading it.
+    * MoR states refuse AT PLAN TIME: delete scopes make a group's net
+    * row count unknowable without reading it — but a keyed table whose
+    * snapshot is all plain data (the steady state after compact) has no
+    * scopes and truncates like a keyless one.
     */
   override def pushLimit(limit: Int): Boolean = {
-    val eligible = limit > 0 && pushed.isEmpty && conjuncts.isEmpty &&
-      t.meta.identifierFields.isEmpty
+    val eligible = limit > 0 && pushed.isEmpty && conjuncts.isEmpty
     if (eligible) limitHint = Some(limit)
     eligible
   }
@@ -94,8 +95,7 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None,
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
-    val eligible = limit > 0 && pushed.isEmpty && conjuncts.isEmpty &&
-      t.meta.identifierFields.isEmpty && orders.nonEmpty
+    val eligible = limit > 0 && pushed.isEmpty && conjuncts.isEmpty && orders.nonEmpty
     if (!eligible) return false
     orders.head.expression() match {
       case nr: NamedReference if nr.fieldNames.length == 1 &&
@@ -618,11 +618,13 @@ object GraftScan {
     val posdels = scanEntries.filter(_.kind == Manifest.PosDel)
     val dataEntries = scanEntries.filterNot(_.kind == Manifest.PosDel)
     // pushed LIMIT / ORDER-BY-LIMIT group truncation — only when every
-    // served row is guaranteed visible (keyless all-data snapshot, no
-    // delete state, no residual filters above the scan), so a truncated
-    // plan still yields ≥ limit rows / provably contains the top n
+    // served row is guaranteed visible (an ALL-DATA snapshot: no upsert
+    // scopes, no posdel sidecars — only upsert groups ever hide rows, so
+    // a keyed table compacted to plain data qualifies too; and no
+    // residual filters above the scan), so a truncated plan still yields
+    // ≥ limit rows / provably contains the top n
     val hintEligible = (limitHint.isDefined || topNHint.isDefined) &&
-      !keyed && posdels.isEmpty && conjuncts.isEmpty &&
+      posdels.isEmpty && conjuncts.isEmpty &&
       runtimeConjuncts.isEmpty && parquetFilters.isEmpty &&
       dataEntries.forall(e => e.kind == Manifest.Data && e.rows >= 0L)
     val dataServed =

@@ -64,7 +64,14 @@ object ProcedureSpecs {
     Spec("publish_branch", Seq("table" -> StringType, "branch" -> StringType),
       Seq("published_version" -> LongType), 0,
       (_, load, a) => { val t = load(str(a, 0)); t.publishBranch(str(a, 1))
-                        Seq(Seq(t.meta.currentVersion)) }))
+                        Seq(Seq(t.meta.currentVersion)) }),
+    Spec("analyze", Seq("table" -> StringType, "columns" -> StringType),
+      Seq("groups_updated" -> LongType, "columns_analyzed" -> StringType), 0,
+      (_, load, a) => {
+        val cols = str(a, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val (n, cs) = load(str(a, 0)).analyzeColumns(cols)
+        Seq(Seq(n, cs.mkString(",")))
+      }))
 
   val byName: Map[String, Spec] = all.map(s => s.name -> s).toMap
 

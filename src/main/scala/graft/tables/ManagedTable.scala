@@ -3819,6 +3819,90 @@ final class ManagedTable private (
     case _                                             => None
   }
 
+  /** `CALL graft.system.analyze(t, 'c1,c2')` — backfill or refresh
+    * manifest column statistics (min/max, null count, approximate NDV)
+    * for the named columns on every LIVE file group, as ONE metadata-only
+    * commit (the Iceberg ANALYZE/compute-stats analogue). This is how a
+    * pre-upgrade table gains the stats the round-11 consumers need
+    * (top-N scan truncation, CBO selectivity), and how a user indexes
+    * columns beyond the write path's identifier/cluster-by set.
+    *
+    * Cost: one distributed pass over the live data files (that is the
+    * point of ANALYZE) + a manifest rewrite; existing per-group `rows`
+    * and other columns' stats are untouched. Upsert groups are analyzed
+    * over their RAW rows (tombstones included) — superset bounds, safe
+    * for pruning, estimates for CBO. Empty column list = the write
+    * path's stat columns (identifiers + cluster-by).
+    *
+    * Refuses columns carrying rename lineage or a seq-gated initial
+    * default: their physical values differ from their read values
+    * (pre-evolution files hold nulls the reader folds), so physical
+    * bounds could miss values the fold materializes and WRONGLY prune —
+    * `compact` normalizes the files first.
+    */
+  def analyzeColumns(requested: Seq[String] = Seq.empty): (Long, Seq[String]) = {
+    val cols =
+      if (requested.isEmpty) (_meta.identifierFields ++ clusterByCols).distinct
+      else requested
+    cols.foreach { c =>
+      require(_meta.schema.fieldNames.contains(c),
+        s"analyze: table ${_meta.name} has no column '$c'")
+      require(!v2RenameAliasesLive.contains(c) && !v2ColumnDefaults.contains(c),
+        s"analyze: column '$c' carries rename lineage or an initial default — " +
+          s"physical bounds would diverge from read values; run CALL " +
+          s"graft.system.compact('${_meta.name}') first")
+    }
+    val statCols = cols.flatMap(c => statsTag(_meta.schema(c).dataType).map(c -> _))
+    require(statCols.nonEmpty,
+      s"analyze: no analyzable column among [${cols.mkString(",")}] — " +
+        "stats cover integral/floating/string types")
+    val entries = currentEntries
+    val dataEntries = entries.filterNot(_.kind == Manifest.PosDel)
+    if (dataEntries.isEmpty) return (0L, statCols.map(_._1))
+    // qualified group dir → entry path, for the per-file driver rollup
+    val dirOf: Map[String, String] = dataEntries.map(e =>
+      fs.makeQualified(new Path(tableDir, e.path)).toUri.getPath -> e.path).toMap
+    val readSchema = StructType(statCols.map { case (c, _) =>
+      _meta.schema(c).copy(nullable = true) })
+    val scan = spark.read.schema(readSchema).format(format)
+      .load(dataEntries.map(e => new Path(tableDir, e.path).toString): _*)
+      .withColumn("__file", col("_metadata.file_path"))
+    val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { case (c, _) =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+        count(col(c)).as(s"nn_$c"), approx_count_distinct(col(c)).as(s"nd_$c")) }
+    val perFile = scan.groupBy(col("__file")).agg(aggs.head, aggs.tail: _*).collect()
+    val byEntry = perFile.groupBy { r =>
+      val p = new Path(r.getString(r.fieldIndex("__file"))).toUri.getPath
+      dirOf.getOrElse(p.substring(0, p.lastIndexOf('/')), null)
+    }.filter(_._1 != null)
+    var updated = 0L
+    val rewritten = entries.map { e =>
+      byEntry.get(e.path) match {
+        case Some(rows) =>
+          val fresh = statCols.collect(Function.unlift { case (c, tg) =>
+            val mns = rows.map(_.get(rows.head.fieldIndex(s"mn_$c"))).filter(_ != null)
+            val mxs = rows.map(_.get(rows.head.fieldIndex(s"mx_$c"))).filter(_ != null)
+            // a bound is only sound when EVERY file contributed one —
+            // an all-null file contributes none and bounds stay absent
+            // (nulls/ndv would still be exact, but absent bounds cannot
+            // mislead; same rule as file adoption)
+            if (mns.length == rows.length && mxs.length == rows.length) {
+              val nn = rows.map(_.getAs[Long](s"nn_$c")).sum
+              Some(c -> ColBounds(tg,
+                mns.minBy(v => SortKey(tg, v)), mxs.maxBy(v => SortKey(tg, v)),
+                rows.map(_.getAs[Long]("__rows")).sum - nn,
+                math.min(rows.map(_.getAs[Long](s"nd_$c")).sum, nn)))
+            } else None
+          }).toMap
+          if (fresh.nonEmpty) { updated += 1; e.copy(stats = e.stats ++ fresh) }
+          else e
+        case None => e
+      }
+    }
+    if (updated > 0) commitManifest(rewritten)
+    (updated, statCols.map(_._1))
+  }
+
   /** Write an immutable file group stamped with its commit sequence
     * number. Returns no entry for an empty group.
     *

@@ -80,17 +80,36 @@ class V2LimitTopNSpec extends AnyFunSuite with SharedSpark {
     assert(all.count() == 500)
   }
 
-  test("LIMIT refuses on keyed tables (net rows unknowable without reading)") {
+  test("LIMIT refuses on MoR states (net rows unknowable without reading)") {
     val wh = tmpWarehouse()
-    val kt = ManagedTable.create(spark, wh, "limk", schema, Seq("id"))
+    val cdc = StructType(schema.fields :+ StructField("__op", StringType))
+    val kt = ManagedTable.create(spark, wh, "limk", cdc, Seq("id"))
     (0 until 3).foreach { k =>
-      kt.append((0 until 50).map(i => (k * 50 + i, (k * 50 + i).toLong, s"n$i"))
-        .toDF("id", "ts", "name").withColumn("__op", lit("u")))
+      kt.append((0 until 50).map(i => (k * 50 + i, (k * 50 + i).toLong, s"n$i", "u"))
+        .toDF("id", "ts", "name", "__op"))
     }
+    // a merge introduces an upsert group = a delete scope → ineligible
+    kt.merge(Seq((0, 999L, "redone", "u")).toDF("id", "ts", "name", "__op"),
+      graft.cdc.CdcApply.UpsertConfig(runDedup = false))
     val cat = registerCatalog(wh)
     val df = spark.sql(s"SELECT id FROM $cat.limk LIMIT 5")
     assert(df.count() == 5)
-    assert(plannedGroups(df) == 3, "keyed table must keep every group")
+    assert(plannedGroups(df) == 4, "a MoR snapshot must keep every group")
+  }
+
+  test("a keyed ALL-DATA snapshot (post-compact steady state) truncates") {
+    val wh = tmpWarehouse()
+    val cdc = StructType(schema.fields :+ StructField("__op", StringType))
+    val kt = ManagedTable.create(spark, wh, "limc", cdc, Seq("id"))
+    (0 until 3).foreach { k =>
+      kt.append((0 until 100).map(i => (k * 100 + i, (k * 100 + i).toLong, s"n$i", "u"))
+        .toDF("id", "ts", "name", "__op"))
+    }
+    val cat = registerCatalog(wh)
+    val df = spark.sql(s"SELECT id FROM $cat.limc LIMIT 10")
+    assert(df.count() == 10)
+    assert(plannedGroups(df) == 1,
+      "data-only groups carry no delete scopes; truncation applies")
   }
 
   test("ORDER BY ts ASC/DESC LIMIT reads only the boundary group") {
@@ -148,12 +167,14 @@ class V2LimitTopNSpec extends AnyFunSuite with SharedSpark {
     assert(plannedGroups(df) == 2, "tied groups both kept, far group dropped")
   }
 
-  test("builder-level contract: partial push, keyed refusal, non-column order") {
+  test("builder-level contract: partial push; eligibility decided at plan time") {
     val wh = tmpWarehouse()
     val t = mkTable(wh, "b1")
     val b = new GraftScanBuilder(t)
     assert(b.pushLimit(7) && b.isPartiallyPushed)
+    // keyed tables accept at the builder (partial push promises nothing);
+    // MoR refusal is a PLAN-time decision — see the MoR test above
     val kt = ManagedTable.create(spark, wh, "b2", schema, Seq("id"))
-    assert(!new GraftScanBuilder(kt).pushLimit(7))
+    assert(new GraftScanBuilder(kt).pushLimit(7))
   }
 }
