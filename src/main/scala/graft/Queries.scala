@@ -1559,6 +1559,45 @@ object Queries {
     * runtime, so this row fails if the rewrite ever stops firing, and
     * the DuckDB oracle pins the VALUES against the raw parquet.
     */
+  /** SQL-seam LIMIT / ORDER-BY-LIMIT group truncation (round 11,
+    * [[graft.plans.ResolveGraftTables]]'s analysis-time rewrite over
+    * [[graft.tables.StatsPrune]] — the SAME rules the V2 scan pushes,
+    * spelled as `SELECT … FROM graft.t ORDER BY k LIMIT n`): on a
+    * key-clustered 4-commit table the top-N reads only the boundary
+    * group and a bare LIMIT reads only the covering prefix, both
+    * runtime-asserted via inputFiles against the full read. Sort/Limit
+    * stay in the plan, so the unique sort key makes the result exact
+    * and deterministic for the oracle hash.
+    */
+  val sqlLimitTopnPrune = Q("sql_limit_topn_prune",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_sqllt").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_lt",
+        base.schema, Seq.empty, Seq.empty, Map("write.cluster-by" -> "o_orderkey"))
+      val qs = base.stat.approxQuantile("o_orderkey", Array(0.25, 0.5, 0.75), 0.01)
+      val cuts = Seq(Double.NegativeInfinity) ++ qs ++ Seq(Double.PositiveInfinity)
+      val firstChunk = cuts.sliding(2).map { case Seq(lo, hi) =>
+        val chunk = base.where(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+        tbl.append(chunk)
+        chunk.count()
+      }.toSeq.head
+      withGraftSession(s, wh) { s2 =>
+        val full = s2.sql("SELECT o_orderkey FROM graft.orders_lt")
+        val lim = s2.sql("SELECT o_orderkey FROM graft.orders_lt LIMIT 100")
+        require(lim.inputFiles.length < full.inputFiles.length,
+          "SQL LIMIT must read a strict subset of files")
+        val topn = s2.sql("SELECT o_orderkey, o_totalprice FROM graft.orders_lt " +
+          "ORDER BY o_orderkey LIMIT 100")
+        if (firstChunk >= 100L)
+          require(topn.inputFiles.length < full.inputFiles.length,
+            "SQL top-N must read only the boundary group")
+        topn
+      }
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey LIMIT 100""".stripMargin))
+
   val sqlManifestAgg = Q("sql_manifest_agg",
     (s, dir) => {
       val wh = java.nio.file.Files.createTempDirectory("graft_sqlma").toString
@@ -4943,7 +4982,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, dmlV2Overwrite, dmlV2OverwriteDynamic, dmlV2Update, dmlV2Merge, sqlV2LimitPushdown, sqlV2TopNPushdown, sqlAnalyzeStats, dmlV2StreamWrite, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlSpjCobucketed, streamV2Table, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, dmlV2Overwrite, dmlV2OverwriteDynamic, dmlV2Update, dmlV2Merge, sqlV2LimitPushdown, sqlV2TopNPushdown, sqlAnalyzeStats, dmlV2StreamWrite, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlLimitTopnPrune, sqlSpjCobucketed, streamV2Table, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

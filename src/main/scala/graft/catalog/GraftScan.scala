@@ -420,117 +420,22 @@ object GraftScan {
   /** A pushed `ORDER BY col LIMIT n` (first sort key only). `strict` = a
     * later sort key exists, so group dominance must be STRICT on the
     * first key (ties would need the later keys to adjudicate which tied
-    * rows make the top n).
+    * rows make the top n). Truncation logic lives in
+    * [[graft.tables.StatsPrune]] — ONE implementation shared with the
+    * SQL surface's analysis-time rewrite.
     */
   final case class TopNHint(col: String, asc: Boolean, nullsFirst: Boolean,
                             strict: Boolean, n: Int)
 
-  /** Domain-tagged bound comparison (the [[graft.tables.ColBounds]]
-    * domains): integral compares exactly as Long — a double round-trip
-    * could mis-order values above 2^53 and wrongly drop a group.
-    */
-  private def cmpBound(tag: String, a: Any, b: Any): Option[Int] = (tag, a, b) match {
-    case ("i", x: java.lang.Number, y: java.lang.Number) =>
-      Some(java.lang.Long.compare(x.longValue(), y.longValue()))
-    case ("f", x: java.lang.Number, y: java.lang.Number) =>
-      Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
-    case ("s", x: String, y: String) =>
-      Some(java.util.Arrays.compareUnsigned(
-        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    case _ => None
-  }
+  private def cmpBound(tag: String, a: Any, b: Any): Option[Int] =
+    graft.tables.StatsPrune.cmpBound(tag, a, b)
 
-  /** Plain-LIMIT truncation: keep manifest groups until their exact row
-    * counts cover the limit. Caller guarantees every row is visible
-    * (keyless, all-data, no delete state, no residual filters).
-    */
-  private def limitTruncate(entries: Seq[ManifestEntry], n: Int): Seq[ManifestEntry] = {
-    var acc = 0L
-    val b = Seq.newBuilder[ManifestEntry]
-    val it = entries.iterator
-    while (it.hasNext && acc < n) { val e = it.next(); b += e; acc += e.rows }
-    b.result()
-  }
+  private def limitTruncate(entries: Seq[ManifestEntry], n: Int): Seq[ManifestEntry] =
+    graft.tables.StatsPrune.limitTruncate(entries, n)
 
-  /** Top-N truncation: drop group g iff ≥ n rows of OTHER groups provably
-    * sort at-or-before g's best possible row. "Provably" runs entirely on
-    * manifest bounds + null counts:
-    *
-    *  - ASC: h's non-null rows beat g's best (g.min) when h.max ≤ g.min
-    *    (STRICT < under a multi-key ordering); DESC mirrors with min/max
-    *    swapped.
-    *  - NULLS FIRST: every known null (any group) sorts before every
-    *    non-null, so nulls count as beating rows — and a group holding
-    *    ANY nulls is never dropped (its nulls could be top-n ties).
-    *  - NULLS LAST: nulls beat nothing; a dropped g's own nulls are
-    *    beaten by the same ≥ n non-null rows that beat g.min.
-    *  - groups with absent/unknown stats: never dropped, never counted.
-    *
-    * Driver work is O(g log g) on numbers already in the manifest: groups
-    * sort once by worst bound, and each drop decision is one binary
-    * search over the prefix-summed non-null row counts — a naive pairwise
-    * check would be O(g²), ~10^10 steps at the 10^5 groups a 100 TB table
-    * carries.
-    */
-  private def topNTruncate(entries: Seq[ManifestEntry], tn: TopNHint): Seq[ManifestEntry] = {
-    final case class St(best: Any, worst: Any, tag: String, nonNull: Long, nulls: Long)
-    val sts: Seq[Option[St]] = entries.map { e =>
-      e.stats.get(tn.col).collect {
-        case b if b.nulls >= 0L && e.rows >= 0L =>
-          if (tn.asc) St(b.min, b.max, b.t, e.rows - b.nulls, b.nulls)
-          else St(b.max, b.min, b.t, e.rows - b.nulls, b.nulls)
-      }
-    }
-    val known = sts.flatten
-    if (known.isEmpty) return entries
-    val tag = known.head.tag
-    def comparable(v: Any): Boolean = tag match {
-      case "i" | "f" => v.isInstanceOf[java.lang.Number]
-      case "s"       => v.isInstanceOf[String]
-      case _         => false
-    }
-    if (known.exists(h => h.tag != tag || !comparable(h.best) || !comparable(h.worst)))
-      return entries // mixed/unknown domains: drop nothing
-    val totalNulls = known.map(_.nulls).sum
-    // direction-ordered compare: "a sorts at-or-before b in the query's
-    // ordering" ⟺ dirCmp(a, b) ≤ 0
-    def dirCmp(a: Any, b: Any): Int = {
-      val c = cmpBound(tag, a, b).get // comparability pre-validated above
-      if (tn.asc) c else -c
-    }
-    // groups sorted by WORST bound; prefix sums answer "non-null rows
-    // provably at-or-before value v" with one binary search per group
-    val sorted = known.sortWith((x, y) => dirCmp(x.worst, y.worst) < 0).toArray
-    val prefix = new Array[Long](sorted.length + 1)
-    var i = 0
-    while (i < sorted.length) { prefix(i + 1) = prefix(i) + sorted(i).nonNull; i += 1 }
-    // index of the first sorted element whose worst does NOT satisfy the
-    // dominance rule against v (≤ for ties-allowed, < for strict)
-    def countDominating(v: Any, strict: Boolean): Long = {
-      var lo = 0; var hi = sorted.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        val c = dirCmp(sorted(mid).worst, v)
-        if (if (strict) c < 0 else c <= 0) lo = mid + 1 else hi = mid
-      }
-      prefix(lo)
-    }
-    entries.zip(sts).filter {
-      case (_, None) => true // unknown stats: never drop
-      case (_, Some(g)) =>
-        if (tn.nullsFirst && g.nulls > 0L) true
-        else {
-          var better = countDominating(g.best, tn.strict)
-          // the prefix sum counted g itself when its own worst dominates
-          // its best (single-valued group under a ties-allowed rule)
-          val selfC = dirCmp(g.worst, g.best)
-          if (if (tn.strict) selfC < 0 else selfC <= 0) better -= g.nonNull
-          if (tn.nullsFirst) better += totalNulls - g.nulls
-          better < tn.n // provably beaten by ≥ n rows → drop
-        }
-    }.map(_._1)
-  }
+  private def topNTruncate(entries: Seq[ManifestEntry], tn: TopNHint): Seq[ManifestEntry] =
+    graft.tables.StatsPrune.topNTruncate(entries, tn.col, tn.asc, tn.nullsFirst,
+      tn.strict, tn.n)
 
   /** V1 filter → prune conjunct, when the shape and the literal domain
     * allow; None prunes nothing (the residual filter keeps semantics).

@@ -4,8 +4,8 @@ import graft.tables.ManagedTable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Not}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Not, NullsFirst}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, Filter, GlobalLimit, InsertIntoStatement, LocalLimit, LogicalPlan, MergeIntoTable, Project, Sort, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.GraftBridge
@@ -208,6 +208,18 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     // so semantics are identical and the win is groups never opened. The
     // planning-time analogue of parquet row-group bloom pruning, one
     // level up.
+    // `FROM graft.t [ORDER BY c …] LIMIT n` — analysis-time GROUP
+    // truncation, the SQL spelling of the V2 scan's pushed limit/top-N
+    // (ONE shared implementation: [[graft.tables.StatsPrune]]). Only the
+    // RELATION is rewritten to a pruned merge-on-read scan; the
+    // Sort/Project/Limit above are kept verbatim, so semantics never
+    // depend on the truncation, and every ineligible shape (a Filter in
+    // between, MoR states, an active wap branch, missing stats) falls
+    // through to the normal resolution.
+    case gl @ GlobalLimit(Literal(n: Int, org.apache.spark.sql.types.IntegerType),
+        ll @ LocalLimit(_, limChild)) if n > 0 =>
+      truncatedLimitChild(limChild, n)
+        .map(c => gl.copy(child = ll.copy(child = c))).getOrElse(gl)
     case f @ Filter(cond, u: UnresolvedRelation) if isGraft(u) &&
         !u.multipartIdentifier(1).contains('$') =>
       val name = u.multipartIdentifier(1)
@@ -536,6 +548,63 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     * on top, so pruning only ever opens a superset of the matching
     * groups.
     */
+  /** The bare `graft.<t>` relation under a LIMIT-eligible shape (through
+    * Project / SubqueryAlias wrappers only — any other operator, e.g. a
+    * Filter, makes the shape ineligible), or None.
+    */
+  private def bareGraftUnder(p: LogicalPlan): Option[UnresolvedRelation] = p match {
+    case u: UnresolvedRelation
+        if isGraft(u) && !u.multipartIdentifier(1).contains('$') => Some(u)
+    case SubqueryAlias(_, q)  => bareGraftUnder(q)
+    case Project(_, q)        => bareGraftUnder(q)
+    case _                    => None
+  }
+
+  /** Replace the bare relation with `replacement`, keeping every
+    * Project / SubqueryAlias wrapper (alias references must survive).
+    */
+  private def swapBareGraft(p: LogicalPlan, replacement: LogicalPlan): LogicalPlan =
+    p match {
+      case _: UnresolvedRelation => replacement
+      case sa @ SubqueryAlias(_, q) => sa.copy(child = swapBareGraft(q, replacement))
+      case pj @ Project(_, q)       => pj.copy(child = swapBareGraft(q, replacement))
+      case other                    => other
+    }
+
+  /** The LIMIT rewrite's child: a Sort on top takes the top-N rule
+    * (first sort key + direction + null ordering, strict dominance when
+    * later keys exist), a plain projection takes the row-count prefix
+    * rule. None = ineligible → normal resolution.
+    */
+  private def truncatedLimitChild(child: LogicalPlan, n: Int): Option[LogicalPlan] = {
+    def loadEligible(u: UnresolvedRelation): Option[ManagedTable] =
+      loadTable(u.multipartIdentifier(1)).filter(t => wapBranchOn(t).isEmpty)
+    child match {
+      case s @ Sort(orders, true, inner, _) if orders.nonEmpty =>
+        val colName = orders.head.child match {
+          case a: UnresolvedAttribute => Some(a.nameParts.last)
+          case _                      => None
+        }
+        for {
+          c <- colName
+          u <- bareGraftUnder(inner)
+          t <- loadEligible(u)
+          field <- t.meta.schema.fields.find(f =>
+            session.sessionState.analyzer.resolver(f.name, c))
+          pruned <- t.readTopNPruned(field.name,
+            asc = orders.head.direction == Ascending,
+            nullsFirst = orders.head.nullOrdering == NullsFirst,
+            strict = orders.length > 1, n = n)
+        } yield s.copy(child = swapBareGraft(inner, pruned.queryExecution.analyzed))
+      case other =>
+        for {
+          u <- bareGraftUnder(other)
+          t <- loadEligible(u)
+          pruned <- t.readLimitPruned(n)
+        } yield swapBareGraft(other, pruned.queryExecution.analyzed)
+    }
+  }
+
   private def resolvePruned(name: String, cond: Expression,
                             ref: Option[String] = None): Option[LogicalPlan] = {
     val wh = session.conf.getOption("spark.graft.warehouse")

@@ -794,6 +794,16 @@ private[sources] final case class GraftRelation(
   override def manifestCount: Option[Long] =
     metaRef.flatMap(table.fastRowCount)
 
+  /** Manifest-summed file bytes — the broadcast-side signal. Without
+    * this override the relation reports `defaultSizeInBytes` (huge) and
+    * a small graft dimension table in a big join can never be chosen as
+    * the broadcast side. Branch views (metaRef None) and pre-upgrade
+    * manifests keep the conservative default.
+    */
+  override def sizeInBytes: Long =
+    metaRef.flatMap(table.manifestSizeInBytes)
+      .getOrElse(super.sizeInBytes)
+
   /** Exact name first; case-insensitive only when unambiguous (two
     * columns differing by case must not answer for each other).
     */

@@ -454,6 +454,24 @@ final class ManagedTable private (
     */
   def rowCount(): Long = fastRowCount.getOrElse(read().count())
 
+  /** Total on-disk bytes of the snapshot's live groups, from the
+    * manifest-carried file sizes — one metadata read, zero filesystem
+    * calls. None when any entry predates file-size stamping (callers
+    * fall back to a conservative default). Drives the V1 relation's
+    * `sizeInBytes`, i.e. Spark's broadcast-side selection: without it a
+    * small graft dimension table reports the default "huge" size and a
+    * 100 TB fact join that should broadcast it sort-merges instead.
+    * MoR states overestimate (hidden rows still occupy bytes) — the
+    * safe direction for a broadcast decision.
+    */
+  def manifestSizeInBytes(ref: Option[String] = None): Option[Long] =
+    refEntries(ref).flatMap { entries =>
+      val data = entries.filterNot(_.kind == Manifest.PosDel)
+      if (data.forall(_.files.nonEmpty))
+        Some(data.flatMap(_.files).map(_.bytes).sum)
+      else None
+    }
+
   /** Exact table-level MIN/MAX of `c` from manifest column bounds, when
     * the manifest can answer it: every live group is plain data and
     * carries bounds for `c` (bounds cover the group's non-null values —
@@ -1605,6 +1623,38 @@ final class ManagedTable private (
     val entries = ref.map(refEntries).getOrElse(currentEntries)
     val (scan, carriers) = prunedSplit(entries, preds)
     morRead(scan, deleteCarriers = carriers)
+  }
+
+  /** LIMIT-pruned read for the SQL surface's `SELECT … FROM graft.t
+    * LIMIT n` rewrite ([[graft.plans.ResolveGraftTables]]): reads only
+    * the shortest prefix of live groups whose exact manifest row counts
+    * cover n — on a 100 TB table, one group instead of every live file.
+    * None when any group could hide rows (upsert scopes, posdels,
+    * missing counts) — the caller keeps the full read. The caller ALWAYS
+    * keeps its Limit above (partial semantics, like the V2 push).
+    */
+  private[graft] def readLimitPruned(n: Int): Option[DataFrame] = {
+    val entries = currentEntries
+    if (entries.isEmpty ||
+        !entries.forall(e => e.kind == Manifest.Data && e.rows >= 0L)) None
+    else Some(morRead(StatsPrune.limitTruncate(entries, n)))
+  }
+
+  /** Top-N-pruned read for `SELECT … FROM graft.t ORDER BY c LIMIT n`:
+    * drops every group provably beaten by ≥ n rows of other groups
+    * (manifest bounds + null counts — [[StatsPrune.topNTruncate]]'s
+    * exact rule, shared with the V2 scan's pushed top-N). None when the
+    * snapshot isn't all-data or the column has no stats domain; the
+    * caller keeps its Sort + Limit above, so semantics never depend on
+    * the truncation.
+    */
+  private[graft] def readTopNPruned(c: String, asc: Boolean, nullsFirst: Boolean,
+                                    strict: Boolean, n: Int): Option[DataFrame] = {
+    val entries = currentEntries
+    if (entries.isEmpty ||
+        !entries.forall(e => e.kind == Manifest.Data && e.rows >= 0L)) None
+    else if (!_meta.schema.fieldNames.contains(c)) None
+    else Some(morRead(StatsPrune.topNTruncate(entries, c, asc, nullsFirst, strict, n)))
   }
 
   /** Entry-set face of [[readPrunedConjunction]]: (scan entries, delete
