@@ -47,6 +47,7 @@ class V1SizeInBytesSpec extends AnyFunSuite with SharedSpark {
       spark.sparkContext.hadoopConfiguration)
     val mp = new org.apache.hadoop.fs.Path(
       s"$wh/nofiles/manifests/v=${t.meta.currentVersion}.json")
+    fs.delete(mp, false) // manifests are write-once; replace out-of-band
     graft.tables.Manifest.write(fs, mp, entries)
     val rel = spark.read.format("graft-table")
       .option("warehouse", wh).option("table", "nofiles").load()
