@@ -1013,6 +1013,43 @@ object Queries {
     Some("""SELECT o_orderkey, o_totalprice FROM orders
       |ORDER BY o_orderkey LIMIT 100""".stripMargin))
 
+  /** Region-filtered manifest aggregates through the DSv2 catalog (round
+    * 11, [[graft.catalog.GraftScan.exactRegionConjunct]]): equality/IN on
+    * an identity partition source is CONSUMED by the scan — every row of
+    * a group shares its tuple, so entry filtering IS the predicate — and
+    * Spark then pushes the whole aggregate, answered from the region's
+    * manifest entries as a zero-job LocalTableScan. "Rows and key range
+    * for day X" — the most common corpus-operations probe — costs one
+    * metadata read on a 100 TB table. Runtime-asserts the scan-free plan;
+    * DuckDB replays count/min/max per region.
+    */
+  val sqlV2RegionCount = Q("sql_v2_region_count",
+    (s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_v2rc").toString
+      val base = t(s, dir, "orders").select(dmlCols.map(col): _*)
+      // cluster-by records o_orderkey bounds per group → min/max fold too
+      val tbl = graft.tables.ManagedTable.create(s, wh, "orders_v2rc",
+        base.schema, Seq.empty, Seq("o_orderpriority"),
+        Map("write.cluster-by" -> "o_orderkey"))
+      tbl.append(base)
+      val ns = s.newSession()
+      val cat = s"gv2r_${java.util.UUID.randomUUID().toString.take(8)}"
+      ns.conf.set(s"spark.sql.catalog.$cat", classOf[graft.catalog.GraftCatalog].getName)
+      ns.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val df = ns.sql(
+        s"""SELECT count(*) AS cnt, min(o_orderkey) AS min_key,
+           |  max(o_orderkey) AS max_key
+           |FROM $cat.orders_v2rc
+           |WHERE o_orderpriority IN ('1-URGENT', '5-LOW')""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"region-filtered aggregate must answer from the manifest:\n$plan")
+      df
+    },
+    Some("""SELECT count(*)::BIGINT AS cnt, min(o_orderkey) AS min_key,
+      |  max(o_orderkey) AS max_key
+      |FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')""".stripMargin))
+
   /** `CALL graft.system.analyze` (round 11,
     * [[graft.tables.ManagedTable.analyzeColumns]] — the Iceberg
     * compute-stats analogue): backfills manifest column statistics
@@ -4982,7 +5019,7 @@ object Queries {
     multimodalMeta, multimodalFeatures, multimodalPixelStats, multimodalAudioStats,
     multimodalVideoStats,
     tableStats, erBlockedPairs, textVocab, textBpePairs,
-    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, dmlV2Overwrite, dmlV2OverwriteDynamic, dmlV2Update, dmlV2Merge, sqlV2LimitPushdown, sqlV2TopNPushdown, sqlAnalyzeStats, dmlV2StreamWrite, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlLimitTopnPrune, sqlSpjCobucketed, streamV2Table, textBpeTrain, textBpeMerges,
+    dmlDelete, dmlDeleteRegion, dmlDeleteRegionKeyed, dmlDeleteScoped, dmlOverwriteRegionKeyed, dmlUpdate, dmlUpdateKeyless, dmlMerge, dmlMergeBySource, dmlOverwriteWhere, dmlV2Delete, dmlV2Overwrite, dmlV2OverwriteDynamic, dmlV2Update, dmlV2Merge, sqlV2LimitPushdown, sqlV2TopNPushdown, sqlV2RegionCount, sqlAnalyzeStats, dmlV2StreamWrite, tableOverwritePartitions, sqlOverwriteStatic, sqlShowPartitions, sqlWapRefs, sqlPrunedConjunction, tableAddFiles, tableDataSourceV1, tableZorderRead, tableRollbackTag, tableWapPublish, tableChangelog, sqlManifestAgg, sqlManifestGroupAgg, sqlLimitTopnPrune, sqlSpjCobucketed, streamV2Table, textBpeTrain, textBpeMerges,
     qualityExpectations, tableBloomLookup)
 
   def queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap

@@ -53,7 +53,14 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None,
 
   private var required: StructType = t.meta.schema
   private var pushed: Array[Filter] = Array.empty
+  // residual-backed filters only — safe for the parquet reader, whose
+  // requested schema always carries their columns (the residual above
+  // keeps them in the scan output); CONSUMED region filters must NOT go
+  // to parquet: their columns can be projected away, and a parquet
+  // filter on an unrequested column drops every row
+  private var parquetEligible: Array[Filter] = Array.empty
   private var conjuncts: Seq[ManagedTable.PruneConjunct] = Seq.empty
+  private var exactRegion: Seq[(String, Set[String])] = Seq.empty
   private var aggAnswer: Option[(StructType, Array[InternalRow])] = None
   private var limitHint: Option[Int] = None
   private var topNHint: Option[GraftScan.TopNHint] = None
@@ -140,12 +147,31 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None,
     aggAnswer.isDefined
   }
 
+  /** Entries of the pinned/live snapshot filtered by the CONSUMED exact
+    * region predicates — the entry set every region-filtered answer and
+    * scan serves. A single-epoch entry missing the tuple key would make
+    * the consumed filter silently wrong, so it fails loudly instead.
+    */
+  private def regionEntries(snapshot: Seq[ManifestEntry]): Seq[ManifestEntry] =
+    if (exactRegion.isEmpty) snapshot
+    else snapshot.filter(e => exactRegion.forall { case (k, vs) =>
+      e.partition.get(k) match {
+        case Some(pv) => vs.contains(pv)
+        case None => throw new IllegalStateException(
+          s"graft V2 catalog: entry ${e.path} of single-epoch table ${t.name} " +
+            s"carries no partition key '$k' — cannot serve the consumed " +
+            "region predicate exactly")
+      }
+    })
+
   private def answerAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Array[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max => V2Max, Min => V2Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (conjuncts.nonEmpty || pushed.nonEmpty) return None // manifest answers are unfiltered-only
+    // superset-safe (residual) conjuncts block manifest answers; CONSUMED
+    // exact region predicates don't — the region's entries ARE the filter
+    if (conjuncts.nonEmpty) return None
     val session = SparkSession.active
     def fieldRef(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -175,16 +201,48 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None,
       case _ => return None
     })
     if (groupCols.isEmpty) {
-      val vals = wants.map {
-        case ("count", _) => t.fastRowCount(pinnedRef).getOrElse(return None)
-        case (k, Some(c)) =>
-          t.manifestColExtreme(c, wantMin = k == "min", pinnedRef)
-            .map(graft.plans.ManifestAggOnV1.statsToColumn(_, t.meta.schema(c).dataType, session))
-            .getOrElse(return None)
-        case _ => return None
-      }
+      val vals =
+        if (exactRegion.isEmpty) wants.map {
+          case ("count", _) => t.fastRowCount(pinnedRef).getOrElse(return None)
+          case (k, Some(c)) =>
+            t.manifestColExtreme(c, wantMin = k == "min", pinnedRef)
+              .map(graft.plans.ManifestAggOnV1.statsToColumn(_, t.meta.schema(c).dataType, session))
+              .getOrElse(return None)
+          case _ => return None
+        } else {
+          // region-filtered fold (round 11): the same exactness gates as
+          // the whole-table answers (all-data entries, recorded counts,
+          // bounds present on EVERY entry — an all-null group has none
+          // and forces the scan), over the region's entries only
+          val entries = regionEntries(
+            pinnedRef.map(t.v2RefEntries).getOrElse(t.v2SnapshotEntries))
+            .filterNot(_.kind == Manifest.PosDel)
+          if (!entries.forall(e => e.kind == Manifest.Data && e.rows >= 0L))
+            return None
+          wants.map {
+            case ("count", _) => entries.map(_.rows).sum
+            case (k, Some(c)) =>
+              if (entries.isEmpty) return None // empty region: scan answers the NULL shape
+              val bs = entries.map(_.stats.get(c))
+              if (bs.exists(_.isEmpty)) return None
+              val bounds = bs.map(_.get)
+              val tag = bounds.head.t
+              if (bounds.exists(_.t != tag)) return None
+              val folded = bounds.map(b => if (k == "min") b.min else b.max)
+                .reduce((a, b) => graft.tables.StatsPrune.cmpBound(tag, a, b) match {
+                  case Some(cmp) =>
+                    if (k == "min") { if (cmp <= 0) a else b }
+                    else if (cmp >= 0) a else b
+                  case None => return None
+                })
+              graft.plans.ManifestAggOnV1.statsToColumn(
+                folded, t.meta.schema(c).dataType, session)
+            case _ => return None
+          }
+        }
       Some((StructType(wants.map(aggField)), Array(InternalRow.fromSeq(vals))))
     } else {
+      if (exactRegion.nonEmpty) return None // grouped + region: the scan answers
       t.manifestGroupedAgg(groupCols, wants, pinnedRef).map { rows =>
         val tz = session.sessionState.conf.sessionLocalTimeZone
         val gFields = groupCols.map(c => t.meta.schema(c))
@@ -207,26 +265,50 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None,
     }
   }
 
-  /** Best-effort manifest pruning: supported shapes become
-    * [[ManagedTable.PruneConjunct]]s (bounds ∧ Bloom ∧ partition-tuple per
-    * entry); EVERY filter stays residual, so Spark re-applies the exact
-    * predicate above the scan and pruning can only drop provably
-    * irrelevant groups. Values prune only when the literal's external
-    * class matches the column domain — never coerce on the pruning path.
+  /** Manifest pruning in two strengths:
+    *
+    *  - EXACT region predicates — equality/IN on an IDENTITY partition
+    *    source whose literal round-trips the tuple canonicalization, on a
+    *    single-epoch table — are CONSUMED: all rows of a group share one
+    *    tuple, so filtering entries by tuple IS the predicate, no
+    *    residual needed. Consuming them is what lets Spark push an
+    *    aggregate past the WHERE (`count(*) WHERE day='x'` → a zero-job
+    *    manifest answer) and drops the per-row re-filter from region
+    *    scans.
+    *  - every other supported shape becomes a superset-safe
+    *    [[ManagedTable.PruneConjunct]] (bounds ∧ Bloom ∧ tuple per entry)
+    *    and STAYS residual — Spark re-applies the exact predicate above
+    *    the scan. Values prune only when the literal's external class
+    *    matches the column domain — never coerce on the pruning path.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val translated = filters.flatMap(f => GraftScan.toConjunct(t.meta.schema, f).map(f -> _))
-    pushed = translated.map(_._1)
+    val withRegion = filters.map(f => f -> GraftScan.exactRegionConjunct(t, f))
+    val regionKeys = withRegion.collect { case (_, Some((k, _))) => k }.toSet
+    // an IsNotNull over a column whose region is already consumed by an
+    // equality/IN is IMPLIED (those value sets never admit the null
+    // tuple) — consume it too, or the inferred-constraint residual
+    // Spark adds next to every equality would block the whole win
+    val (consumed, rest) = withRegion.partition {
+      case (_, Some(_)) => true
+      case (IsNotNull(c), _) =>
+        GraftScan.identityRegionKey(t, c).exists(regionKeys.contains)
+      case _ => false
+    }
+    exactRegion = consumed.flatMap(_._2).toSeq
+    val restF = rest.map(_._1)
+    val translated = restF.flatMap(f => GraftScan.toConjunct(t.meta.schema, f).map(f -> _))
+    pushed = consumed.map(_._1) ++ translated.map(_._1)
+    parquetEligible = translated.map(_._1)
     conjuncts = translated.map(_._2).toSeq
-    filters
+    restF
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = aggAnswer match {
     case Some((schema, rows)) => new GraftManifestLocalScan(schema, rows, t.name)
-    case None => new GraftScan(t, required, conjuncts, pinnedRef, options, pushed,
-      limitHint, topNHint)
+    case None => new GraftScan(t, required, conjuncts, pinnedRef, options,
+      parquetEligible, limitHint, topNHint, exactRegion)
   }
 }
 
@@ -246,7 +328,8 @@ final class GraftScan(t: ManagedTable, required: StructType,
                       options: Map[String, String] = Map.empty,
                       pushedV1: Array[Filter] = Array.empty,
                       limitHint: Option[Int] = None,
-                      topNHint: Option[GraftScan.TopNHint] = None)
+                      topNHint: Option[GraftScan.TopNHint] = None,
+                      exactRegion: Seq[(String, Set[String])] = Seq.empty)
     extends Scan with Batch with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -272,7 +355,7 @@ final class GraftScan(t: ManagedTable, required: StructType,
       if (p == null) {
         p = GraftScan.plan(SparkSession.active, t, required, conjuncts,
           runtimeConjuncts, pinnedRef, parquetFilters = pushedV1,
-          limitHint = limitHint, topNHint = topNHint)
+          limitHint = limitHint, topNHint = topNHint, exactRegion = exactRegion)
         planned = p
       }
       p
@@ -322,12 +405,14 @@ final class GraftScan(t: ManagedTable, required: StructType,
       options.get("maxversionspertrigger").map(_.toLong),
       options.get("maxrowspertrigger").map(_.toLong), pushedV1,
       options.get("startingversion"), options.get("startingtimestamp"),
-      checkpointLocation)
+      checkpointLocation, exactRegion)
   }
 
   override def description(): String =
     s"graft:${t.name}${pinnedRef.map(r => s"@$r").getOrElse("")} " +
       s"pushed=[${conjuncts.map(_.c).distinct.mkString(",")}]" +
+      (if (exactRegion.isEmpty) ""
+       else s" region=[${exactRegion.map(_._1).mkString(",")}]") +
       limitHint.map(n => s" limit=$n").getOrElse("") +
       topNHint.map(tn => s" topN=${tn.n} on ${tn.col}" +
         s"${if (tn.asc) " ASC" else " DESC"}").getOrElse("")
@@ -437,6 +522,66 @@ object GraftScan {
     graft.tables.StatsPrune.topNTruncate(entries, tn.col, tn.asc, tn.nullsFirst,
       tn.strict, tn.n)
 
+  /** An EXACT region selector: equality / IN on an identity partition
+    * SOURCE column of a single-epoch table, whose literal's canonical
+    * string provably equals the write path's tuple canonicalization
+    * (Spark's own string cast — the same rule staged writes key groups
+    * by). Returns the (tuple key, allowed canonical values) pair the
+    * scan filters entries with, or None (the filter stays residual).
+    *
+    * Exactness preconditions, each load-bearing:
+    *  - identity transform only (derived transforms don't round-trip);
+    *  - single-epoch (an evolved spec leaves old entries whose tuples
+    *    lack the key — filtering them out would LOSE rows);
+    *  - non-null literal of an unambiguous-canonicalization type (no
+    *    timestamps: timezone-dependent rendering; no floats: -0.0/NaN);
+    *  - a string literal equal to the hive null sentinel is refused (a
+    *    stored value and a null tuple are indistinguishable).
+    */
+  /** The manifest tuple key of `c` when it is an identity partition
+    * source of a single-epoch table — the column whose equality filters
+    * can be consumed exactly.
+    */
+  private[catalog] def identityRegionKey(t: ManagedTable, c: String): Option[String] =
+    if (!t.v2SingleEpoch) None
+    else t.v2PartitionFields.find(pf =>
+      pf.transform == "identity" && pf.sourceColumn == c).map(_.name)
+
+  private[catalog] def exactRegionConjunct(t: ManagedTable, f: Filter)
+      : Option[(String, Set[String])] = {
+    if (!t.v2SingleEpoch) return None
+    val pfs = t.v2PartitionFields
+    def fieldFor(c: String) = pfs.find(pf =>
+      pf.transform == "identity" && pf.sourceColumn == c)
+    def canon(c: String, v: Any): Option[String] = {
+      if (v == null) return None
+      t.meta.schema(c).dataType match {
+        case StringType => v match {
+          case s: String if s != "__HIVE_DEFAULT_PARTITION__" => Some(s)
+          case _ => None
+        }
+        case IntegerType | LongType | ShortType | ByteType | BooleanType | DateType =>
+          try {
+            val lit = org.apache.spark.sql.catalyst.expressions.Literal(v)
+            if (lit.dataType != t.meta.schema(c).dataType) None
+            else Option(org.apache.spark.sql.catalyst.expressions.Cast(
+              lit, StringType, Some("UTC")).eval(null)).map(_.toString)
+          } catch { case _: RuntimeException => None }
+        case _ => None
+      }
+    }
+    f match {
+      case EqualTo(c, v) =>
+        for { pf <- fieldFor(c); s <- canon(c, v) } yield (pf.name, Set(s))
+      case In(c, vs) if vs != null && vs.nonEmpty && !vs.contains(null) =>
+        fieldFor(c).flatMap { pf =>
+          val ss = vs.toSeq.map(canon(c, _))
+          if (ss.forall(_.isDefined)) Some((pf.name, ss.flatten.toSet)) else None
+        }
+      case _ => None
+    }
+  }
+
   /** V1 filter → prune conjunct, when the shape and the literal domain
     * allow; None prunes nothing (the residual filter keeps semantics).
     */
@@ -481,7 +626,8 @@ object GraftScan {
                             parquetFilters: Array[Filter] = Array.empty,
                             withFactory: Boolean = true,
                             limitHint: Option[Int] = None,
-                            topNHint: Option[TopNHint] = None): Planned = {
+                            topNHint: Option[TopNHint] = None,
+                            exactRegion: Seq[(String, Set[String])] = Seq.empty): Planned = {
     val name = t.name
     val keyed = t.meta.identifierFields.nonEmpty
     require(t.v2Format == "parquet",
@@ -511,8 +657,23 @@ object GraftScan {
         "on an IDENTIFIER column — read via the graft SQL surface, which folds " +
         "them before delete resolution")
 
-    val snapshot = entriesOverride.getOrElse(
+    val snapshot0 = entriesOverride.getOrElse(
       pinnedRef.map(t.v2RefEntries).getOrElse(t.v2SnapshotEntries))
+    // CONSUMED exact region predicates filter entries by tuple — all
+    // rows of a group share one tuple, so this IS the predicate (no
+    // residual above). A single-epoch entry missing the key would make
+    // the consumed filter silently wrong: fail loudly.
+    val snapshot =
+      if (exactRegion.isEmpty) snapshot0
+      else snapshot0.filter(e => exactRegion.forall { case (k, vs) =>
+        e.partition.get(k) match {
+          case Some(pv) => vs.contains(pv)
+          case None => throw new IllegalStateException(
+            s"graft V2 catalog: entry ${e.path} of single-epoch table $name " +
+              s"carries no partition key '$k' — cannot serve the consumed " +
+              "region predicate exactly")
+        }
+      })
     val (staticScan, staticCarriers) = t.v2PrunedEntries(conjuncts, snapshot)
     // runtime filters narrow further, but the reported partition-VALUE set
     // must stay the statically planned one (SPJ consistency): filtered-out

@@ -56,7 +56,8 @@ final class GraftMicroBatchStream(
     pushedV1: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     startingVersion: Option[String] = None,
     startingTimestamp: Option[String] = None,
-    checkpointLocation: String = "")
+    checkpointLocation: String = "",
+    exactRegion: Seq[(String, Set[String])] = Seq.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -204,7 +205,8 @@ final class GraftMicroBatchStream(
         es
       }
     GraftScan.plan(spark, t, required, conjuncts, Seq.empty, None,
-      entriesOverride = Some(entries), withFactory = false).partitions
+      entriesOverride = Some(entries), withFactory = false,
+      exactRegion = exactRegion).partitions
   }
 
   override def createReaderFactory(): PartitionReaderFactory = factory
