@@ -320,13 +320,7 @@ object Bench {
       tn.append(okeys.where(col("o_orderkey") > lo && col("o_orderkey") <= hi))
     }
     def groupsOf(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.executedPlan.collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-      }.flatMap(_.inputPartitions).flatMap {
-        case p: graft.catalog.GraftScan.GraftInputPartition =>
-          p.dataFiles.map(f => f.path.substring(0, f.path.lastIndexOf('/')))
-        case _ => Seq.empty
-      }.distinct.size
+      graft.catalog.GraftScan.servedGroupDirs(df)
     def limitQ = ns.sql(s"SELECT * FROM $cat.orders_c LIMIT 1000")
     def topnQ = ns.sql(
       s"SELECT * FROM $cat.orders_c ORDER BY o_orderkey DESC LIMIT 100")

@@ -927,13 +927,7 @@ object Queries {
     * groups into few splits).
     */
   private def v2PlannedGroups(df: DataFrame): Int =
-    df.queryExecution.executedPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-    }.flatMap(_.inputPartitions).flatMap {
-      case p: graft.catalog.GraftScan.GraftInputPartition =>
-        p.dataFiles.map(f => f.path.substring(0, f.path.lastIndexOf('/')))
-      case _ => Seq.empty
-    }.distinct.size
+    graft.catalog.GraftScan.servedGroupDirs(df)
 
   /** Pushed LIMIT through the DSv2 catalog (round 11,
     * [[graft.catalog.GraftScanBuilder.pushLimit]]): `LIMIT n` over a

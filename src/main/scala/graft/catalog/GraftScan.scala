@@ -93,10 +93,11 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None,
     * from the plan — "latest 100 events" on a time-clustered table reads
     * the tail groups only. Null ordering is accounted exactly via the
     * manifest null counts ([[graft.tables.ColBounds.nulls]]); groups
-    * missing stats are never dropped and never counted as beating others.
-    * Multi-column orderings drop only on STRICT first-key dominance (a
-    * first-key tie would need the later keys to adjudicate). Partial push:
-    * Spark's TakeOrdered above re-sorts whatever the scan serves.
+    * missing stats are never dropped and never counted as beating
+    * others; dominance is STRICT always (ties could be mutually
+    * eliminating, and under multi-key orderings the later keys would
+    * have to adjudicate them). Partial push: Spark's TakeOrdered above
+    * re-sorts whatever the scan serves.
     */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
@@ -110,7 +111,7 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None,
         topNHint = Some(GraftScan.TopNHint(nr.fieldNames.head,
           asc = orders.head.direction() == SortDirection.ASCENDING,
           nullsFirst = orders.head.nullOrdering() == NullOrdering.NULLS_FIRST,
-          strict = orders.length > 1, n = limit))
+          n = limit))
         true
       case _ => false
     }
@@ -153,16 +154,7 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None,
     * the consumed filter silently wrong, so it fails loudly instead.
     */
   private def regionEntries(snapshot: Seq[ManifestEntry]): Seq[ManifestEntry] =
-    if (exactRegion.isEmpty) snapshot
-    else snapshot.filter(e => exactRegion.forall { case (k, vs) =>
-      e.partition.get(k) match {
-        case Some(pv) => vs.contains(pv)
-        case None => throw new IllegalStateException(
-          s"graft V2 catalog: entry ${e.path} of single-epoch table ${t.name} " +
-            s"carries no partition key '$k' — cannot serve the consumed " +
-            "region predicate exactly")
-      }
-    })
+    GraftScan.filterByRegion(snapshot, exactRegion, t.name)
 
   private def answerAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
@@ -502,15 +494,12 @@ object GraftScan {
   final case class ColStat(min: Option[Any], max: Option[Any],
                            nulls: Option[Long], ndv: Option[Long])
 
-  /** A pushed `ORDER BY col LIMIT n` (first sort key only). `strict` = a
-    * later sort key exists, so group dominance must be STRICT on the
-    * first key (ties would need the later keys to adjudicate which tied
-    * rows make the top n). Truncation logic lives in
-    * [[graft.tables.StatsPrune]] — ONE implementation shared with the
-    * SQL surface's analysis-time rewrite.
+  /** A pushed `ORDER BY col LIMIT n` (first sort key only — dominance is
+    * STRICT, so later sort keys never adjudicate a dropped group).
+    * Truncation logic lives in [[graft.tables.StatsPrune]] — ONE
+    * implementation shared with the SQL surface's analysis-time rewrite.
     */
-  final case class TopNHint(col: String, asc: Boolean, nullsFirst: Boolean,
-                            strict: Boolean, n: Int)
+  final case class TopNHint(col: String, asc: Boolean, nullsFirst: Boolean, n: Int)
 
   private def cmpBound(tag: String, a: Any, b: Any): Option[Int] =
     graft.tables.StatsPrune.cmpBound(tag, a, b)
@@ -519,8 +508,7 @@ object GraftScan {
     graft.tables.StatsPrune.limitTruncate(entries, n)
 
   private def topNTruncate(entries: Seq[ManifestEntry], tn: TopNHint): Seq[ManifestEntry] =
-    graft.tables.StatsPrune.topNTruncate(entries, tn.col, tn.asc, tn.nullsFirst,
-      tn.strict, tn.n)
+    graft.tables.StatsPrune.topNTruncate(entries, tn.col, tn.asc, tn.nullsFirst, tn.n)
 
   /** An EXACT region selector: equality / IN on an identity partition
     * SOURCE column of a single-epoch table, whose literal's canonical
@@ -538,6 +526,40 @@ object GraftScan {
     *  - a string literal equal to the hive null sentinel is refused (a
     *    stored value and a null tuple are indistinguishable).
     */
+  /** Entries filtered by CONSUMED exact region predicates — shared by
+    * the scan plan and the builder's manifest-answered aggregates, so
+    * the two can never disagree on which entries a consumed predicate
+    * selects. A single-epoch entry missing the key would make the
+    * consumed filter silently wrong: fail loudly.
+    */
+  private[catalog] def filterByRegion(entries: Seq[ManifestEntry],
+                                      exactRegion: Seq[(String, Set[String])],
+                                      tableName: String): Seq[ManifestEntry] =
+    if (exactRegion.isEmpty) entries
+    else entries.filter(e => exactRegion.forall { case (k, vs) =>
+      e.partition.get(k) match {
+        case Some(pv) => vs.contains(pv)
+        case None => throw new IllegalStateException(
+          s"graft V2 catalog: entry ${e.path} of single-epoch table $tableName " +
+            s"carries no partition key '$k' — cannot serve the consumed " +
+            "region predicate exactly")
+      }
+    })
+
+  /** Distinct manifest group DIRS a V2 plan's splits serve — the probe
+    * bench rows, oracle queries and specs assert group truncation with
+    * (split count cannot observe it: an unpartitioned table chunks many
+    * groups into few splits).
+    */
+  def servedGroupDirs(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.inputPartitions).flatMap {
+      case p: GraftInputPartition =>
+        p.dataFiles.map(f => f.path.substring(0, f.path.lastIndexOf('/')))
+      case _ => Seq.empty
+    }.distinct.size
+
   /** The manifest tuple key of `c` when it is an identity partition
     * source of a single-epoch table — the column whose equality filters
     * can be consumed exactly.
@@ -661,19 +683,8 @@ object GraftScan {
       pinnedRef.map(t.v2RefEntries).getOrElse(t.v2SnapshotEntries))
     // CONSUMED exact region predicates filter entries by tuple — all
     // rows of a group share one tuple, so this IS the predicate (no
-    // residual above). A single-epoch entry missing the key would make
-    // the consumed filter silently wrong: fail loudly.
-    val snapshot =
-      if (exactRegion.isEmpty) snapshot0
-      else snapshot0.filter(e => exactRegion.forall { case (k, vs) =>
-        e.partition.get(k) match {
-          case Some(pv) => vs.contains(pv)
-          case None => throw new IllegalStateException(
-            s"graft V2 catalog: entry ${e.path} of single-epoch table $name " +
-              s"carries no partition key '$k' — cannot serve the consumed " +
-              "region predicate exactly")
-        }
-      })
+    // residual above)
+    val snapshot = filterByRegion(snapshot0, exactRegion, name)
     val (staticScan, staticCarriers) = t.v2PrunedEntries(conjuncts, snapshot)
     // runtime filters narrow further, but the reported partition-VALUE set
     // must stay the statically planned one (SPJ consistency): filtered-out
@@ -750,10 +761,15 @@ object GraftScan {
       }
 
     // multi-epoch only: every OTHER tuple's upsert groups (and pruned-out
-    // carriers), applied by the reader strictly across epoch boundaries
+    // carriers), applied by the reader strictly across epoch boundaries.
+    // Deliberately NOT gated on the scope tuple's posdel watermark: a
+    // materialized sidecar lands in the SCOPE'S OWN tuple and raises its
+    // appliedFor, but the (file,pos) pairs hiding OTHER tuples' rows ride
+    // that sidecar — which those tuples' splits never load. Skipping the
+    // scope here would resurrect their deleted rows; re-applying it where
+    // the sidecar already covers the same rows is idempotent.
     lazy val allCross: Seq[ManifestEntry] =
-      (dataEntries.filter(e => e.kind == Manifest.Upsert &&
-        e.seq > appliedFor(e.partition)) ++ carriers).distinct
+      (dataEntries.filter(_.kind == Manifest.Upsert) ++ carriers).distinct
     def crossDelSourcesOf(tuple: Map[String, String],
                           es: Seq[ManifestEntry]): Seq[ManifestEntry] =
       if (!multiEpoch || es.isEmpty) Seq.empty

@@ -548,20 +548,40 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     * on top, so pruning only ever opens a superset of the matching
     * groups.
     */
+  /** Is this projection list PLAIN — only stars and bare column
+    * references? Anything else refuses the LIMIT rewrite: at this
+    * pre-resolution point an expression could still turn out to be a
+    * generator (`explode` parses as an UnresolvedFunction) or a window
+    * function — both non-row-preserving, so a truncated input would
+    * produce wrong output — and an Alias could SHADOW the sort column
+    * (`SELECT name AS ts … ORDER BY ts` sorts by name, not the table's
+    * ts the truncation would prune on).
+    */
+  private def plainProjection(
+      list: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]): Boolean =
+    list.forall {
+      case _: org.apache.spark.sql.catalyst.analysis.UnresolvedStar => true
+      case _: UnresolvedAttribute => true
+      case _ => false
+    }
+
   /** The bare `graft.<t>` relation under a LIMIT-eligible shape (through
-    * Project / SubqueryAlias wrappers only — any other operator, e.g. a
-    * Filter, makes the shape ineligible), or None.
+    * SubqueryAlias wrappers and PLAIN projections only — any other
+    * operator or expression, e.g. a Filter, an aliasing Project, a
+    * not-yet-resolved generator/window, makes the shape ineligible), or
+    * None.
     */
   private def bareGraftUnder(p: LogicalPlan): Option[UnresolvedRelation] = p match {
     case u: UnresolvedRelation
         if isGraft(u) && !u.multipartIdentifier(1).contains('$') => Some(u)
     case SubqueryAlias(_, q)  => bareGraftUnder(q)
-    case Project(_, q)        => bareGraftUnder(q)
+    case Project(list, q) if plainProjection(list) => bareGraftUnder(q)
     case _                    => None
   }
 
   /** Replace the bare relation with `replacement`, keeping every
-    * Project / SubqueryAlias wrapper (alias references must survive).
+    * wrapper [[bareGraftUnder]] admitted (alias references must
+    * survive).
     */
   private def swapBareGraft(p: LogicalPlan, replacement: LogicalPlan): LogicalPlan =
     p match {
@@ -593,8 +613,7 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
             session.sessionState.analyzer.resolver(f.name, c))
           pruned <- t.readTopNPruned(field.name,
             asc = orders.head.direction == Ascending,
-            nullsFirst = orders.head.nullOrdering == NullsFirst,
-            strict = orders.length > 1, n = n)
+            nullsFirst = orders.head.nullOrdering == NullsFirst, n = n)
         } yield s.copy(child = swapBareGraft(inner, pruned.queryExecution.analyzed))
       case other =>
         for {

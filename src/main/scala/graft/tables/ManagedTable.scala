@@ -1649,12 +1649,12 @@ final class ManagedTable private (
     * the truncation.
     */
   private[graft] def readTopNPruned(c: String, asc: Boolean, nullsFirst: Boolean,
-                                    strict: Boolean, n: Int): Option[DataFrame] = {
+                                    n: Int): Option[DataFrame] = {
     val entries = currentEntries
     if (entries.isEmpty ||
         !entries.forall(e => e.kind == Manifest.Data && e.rows >= 0L)) None
     else if (!_meta.schema.fieldNames.contains(c)) None
-    else Some(morRead(StatsPrune.topNTruncate(entries, c, asc, nullsFirst, strict, n)))
+    else Some(morRead(StatsPrune.topNTruncate(entries, c, asc, nullsFirst, n)))
   }
 
   /** Entry-set face of [[readPrunedConjunction]]: (scan entries, delete

@@ -37,13 +37,12 @@ private[graft] object StatsPrune {
     b.result()
   }
 
-  /** Top-N truncation: drop group g iff ≥ n rows of OTHER groups provably
-    * sort at-or-before g's best possible row. "Provably" runs entirely on
-    * manifest bounds + null counts:
+  /** Top-N truncation: drop group g iff ≥ n rows of other groups provably
+    * sort STRICTLY before g's best possible row. "Provably" runs entirely
+    * on manifest bounds + null counts:
     *
-    *  - ASC: h's non-null rows beat g's best (g.min) when h.max ≤ g.min
-    *    (STRICT < under a multi-key ordering); DESC mirrors with min/max
-    *    swapped.
+    *  - ASC: h's non-null rows beat g's best (g.min) when h.max < g.min;
+    *    DESC mirrors with min/max swapped.
     *  - NULLS FIRST: every known null (any group) sorts before every
     *    non-null, so nulls count as beating rows — and a group holding
     *    ANY nulls is never dropped (its nulls could be top-n ties).
@@ -51,18 +50,22 @@ private[graft] object StatsPrune {
     *    beaten by the same ≥ n non-null rows that beat g.min.
     *  - groups with absent/unknown stats: never dropped, never counted.
     *
+    * Dominance is STRICT always, not just under multi-key orderings
+    * (where a first-key tie needs the later keys to adjudicate): a
+    * ties-allowed rule lets tied groups dominate EACH OTHER — k
+    * single-valued groups sharing one sort-key value would all drop
+    * whenever k−1 rows ≥ n, losing rows the top-n needs. Strictly-better
+    * rows can never be mutually eliminating: if ≥ n rows sort strictly
+    * before g's best, no valid top-n contains any row of g, kept or not.
+    *
     * Driver work is O(g log g) on numbers already in the manifest: groups
     * sort once by worst bound, and each drop decision is one binary
     * search over the prefix-summed non-null row counts — a naive pairwise
     * check would be O(g²), ~10^10 steps at the 10^5 groups a 100 TB table
     * carries.
-    *
-    * `strict` = a later sort key exists, so group dominance must be
-    * STRICT on the first key (ties would need the later keys to
-    * adjudicate which tied rows make the top n).
     */
   def topNTruncate(entries: Seq[ManifestEntry], col: String, asc: Boolean,
-                   nullsFirst: Boolean, strict: Boolean, n: Int): Seq[ManifestEntry] = {
+                   nullsFirst: Boolean, n: Int): Seq[ManifestEntry] = {
     final case class St(best: Any, worst: Any, tag: String, nonNull: Long, nulls: Long)
     val sts: Seq[Option[St]] = entries.map { e =>
       e.stats.get(col).collect {
@@ -89,17 +92,18 @@ private[graft] object StatsPrune {
       if (asc) c else -c
     }
     // groups sorted by WORST bound; prefix sums answer "non-null rows
-    // provably at-or-before value v" with one binary search per group
+    // provably strictly before value v" with one binary search per group
+    // (g itself never counts: its worst cannot sort strictly before its
+    // own best)
     val sorted = known.sortWith((x, y) => dirCmp(x.worst, y.worst) < 0).toArray
     val prefix = new Array[Long](sorted.length + 1)
     var i = 0
     while (i < sorted.length) { prefix(i + 1) = prefix(i) + sorted(i).nonNull; i += 1 }
-    def countDominating(v: Any, strictly: Boolean): Long = {
+    def countStrictlyBefore(v: Any): Long = {
       var lo = 0; var hi = sorted.length
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
-        val c = dirCmp(sorted(mid).worst, v)
-        if (if (strictly) c < 0 else c <= 0) lo = mid + 1 else hi = mid
+        if (dirCmp(sorted(mid).worst, v) < 0) lo = mid + 1 else hi = mid
       }
       prefix(lo)
     }
@@ -108,13 +112,9 @@ private[graft] object StatsPrune {
       case (_, Some(g)) =>
         if (nullsFirst && g.nulls > 0L) true
         else {
-          var better = countDominating(g.best, strict)
-          // the prefix sum counted g itself when its own worst dominates
-          // its best (single-valued group under a ties-allowed rule)
-          val selfC = dirCmp(g.worst, g.best)
-          if (if (strict) selfC < 0 else selfC <= 0) better -= g.nonNull
+          var better = countStrictlyBefore(g.best)
           if (nullsFirst) better += totalNulls - g.nulls
-          better < n // provably beaten by ≥ n rows → drop
+          better < n // provably beaten by ≥ n strictly-better rows → drop
         }
     }.map(_._1)
   }

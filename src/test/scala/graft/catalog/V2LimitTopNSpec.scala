@@ -56,17 +56,8 @@ class V2LimitTopNSpec extends AnyFunSuite with SharedSpark {
     * over every split's data files (an unpartitioned table chunks all
     * groups into few splits, so split count cannot observe truncation).
     */
-  private def plannedGroups(df: DataFrame): Int = {
-    val scans = df.queryExecution.executedPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-    }
-    assert(scans.nonEmpty, s"no BatchScan in:\n${df.queryExecution.executedPlan}")
-    scans.flatMap(_.inputPartitions).flatMap {
-      case p: GraftScan.GraftInputPartition =>
-        p.dataFiles.map(f => f.path.substring(0, f.path.lastIndexOf('/')))
-      case _ => Seq.empty
-    }.distinct.size
-  }
+  private def plannedGroups(df: DataFrame): Int =
+    GraftScan.servedGroupDirs(df)
 
   test("LIMIT plans only enough groups to cover it; result stays exact") {
     val wh = tmpWarehouse()

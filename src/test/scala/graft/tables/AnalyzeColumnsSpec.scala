@@ -49,13 +49,7 @@ class AnalyzeColumnsSpec extends AnyFunSuite with SharedSpark {
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
     def groups(sql: String): Int =
-      spark.sql(sql).queryExecution.executedPlan.collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-      }.flatMap(_.inputPartitions).flatMap {
-        case p: graft.catalog.GraftScan.GraftInputPartition =>
-          p.dataFiles.map(f => f.path.substring(0, f.path.lastIndexOf('/')))
-        case _ => Seq.empty
-      }.distinct.size
+      graft.catalog.GraftScan.servedGroupDirs(spark.sql(sql))
     assert(groups(s"SELECT * FROM $cat.an1 WHERE id <= 50") == 1,
       "analyzed id bounds must prune the scan to the first group")
   }
