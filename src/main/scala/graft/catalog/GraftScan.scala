@@ -551,14 +551,18 @@ object GraftScan {
     * (split count cannot observe it: an unpartitioned table chunks many
     * groups into few splits).
     */
-  def servedGroupDirs(df: org.apache.spark.sql.DataFrame): Int =
-    df.queryExecution.executedPlan.collect {
+  def servedGroupDirs(df: org.apache.spark.sql.DataFrame): Int = {
+    val scans = df.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
-    }.flatMap(_.inputPartitions).flatMap {
+    }
+    require(scans.nonEmpty,
+      s"no BatchScan in:\n${df.queryExecution.executedPlan}")
+    scans.flatMap(_.inputPartitions).flatMap {
       case p: GraftInputPartition =>
         p.dataFiles.map(f => f.path.substring(0, f.path.lastIndexOf('/')))
       case _ => Seq.empty
     }.distinct.size
+  }
 
   /** The manifest tuple key of `c` when it is an identity partition
     * source of a single-epoch table — the column whose equality filters

@@ -592,18 +592,35 @@ class ResolveGraftTables(session: SparkSession) extends Rule[LogicalPlan] {
     }
 
   /** The LIMIT rewrite's child: a Sort on top takes the top-N rule
-    * (first sort key + direction + null ordering, strict dominance when
-    * later keys exist), a plain projection takes the row-count prefix
-    * rule. None = ineligible → normal resolution.
+    * (first sort key + direction + null ordering; dominance is STRICT
+    * always — see [[graft.tables.StatsPrune.topNTruncate]]), a plain
+    * projection takes the row-count prefix rule. None = ineligible →
+    * normal resolution.
     */
   private def truncatedLimitChild(child: LogicalPlan, n: Int): Option[LogicalPlan] = {
     def loadEligible(u: UnresolvedRelation): Option[ManagedTable] =
       loadTable(u.multipartIdentifier(1)).filter(t => wapBranchOn(t).isEmpty)
     child match {
       case s @ Sort(orders, true, inner, _) if orders.nonEmpty =>
+        // the subquery-alias qualifier (if any) the sort key may carry
+        def aliasOf(p: LogicalPlan): Option[String] = p match {
+          case SubqueryAlias(id, _) => Some(id.name)
+          case Project(_, q)        => aliasOf(q)
+          case _                    => None
+        }
+        val resolver = session.sessionState.analyzer.resolver
+        // ONLY a bare top-level column (`c`) or the relation's alias
+        // qualifying it (`x.c`): a multi-part reference whose LAST part
+        // happens to match a top-level column (e.g. a struct field
+        // `s.c`) must NOT prune on that column's stats — the kept Sort
+        // orders by something else entirely
         val colName = orders.head.child match {
-          case a: UnresolvedAttribute => Some(a.nameParts.last)
-          case _                      => None
+          case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+            Some(a.nameParts.head)
+          case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+              aliasOf(inner).exists(resolver(_, a.nameParts.head)) =>
+            Some(a.nameParts.last)
+          case _ => None
         }
         for {
           c <- colName

@@ -93,4 +93,29 @@ class SqlLimitTopNSpec extends AnyFunSuite with SharedSpark {
       assert(filtered == Seq(1, 2, 3))
     }
   }
+
+  test("ORDER BY a struct field never prunes on a same-named column") {
+    withSqlSession { s2 =>
+      import s2.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-sqllim-wh").toString
+      s2.conf.set("spark.graft.warehouse", wh)
+      // top-level ts (clustered, with stats) and struct n.ts, UNCORRELATED:
+      // pruning on ts's bounds would drop the group holding n.ts's minimum
+      val df = (0 until 100).map(i => (i, i.toLong, (99 - i).toLong))
+        .toDF("id", "ts", "inner_ts")
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("ts"),
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.col("inner_ts").as("ts")).as("n"))
+      val t = ManagedTable.create(s2, wh, "nested", df.schema, Seq.empty, Seq.empty,
+        Map("write.cluster-by" -> "ts"))
+      t.append(df.where(org.apache.spark.sql.functions.col("ts") < 50))
+      t.append(df.where(org.apache.spark.sql.functions.col("ts") >= 50))
+      val got = s2.sql("SELECT id FROM graft.nested ORDER BY n.ts LIMIT 1")
+        .collect().map(_.getInt(0)).toSeq
+      // the true n.ts minimum (0) lives at id=99 — in the SECOND group,
+      // which a ts-stats prune would have dropped
+      assert(got == Seq(99), s"struct-field ORDER BY mispruned: $got")
+    }
+  }
 }
