@@ -234,8 +234,15 @@ final class GraftScanBuilder(t: ManagedTable, pinnedRef: Option[String] = None,
         }
       Some((StructType(wants.map(aggField)), Array(InternalRow.fromSeq(vals))))
     } else {
-      if (exactRegion.nonEmpty) return None // grouped + region: the scan answers
-      t.manifestGroupedAgg(groupCols, wants, pinnedRef).map { rows =>
+      // grouped answers: whole-snapshot through the table layer, or the
+      // region's entries when exact region predicates were consumed —
+      // `GROUP BY hour WHERE day='x'` from one metadata read
+      val grouped =
+        if (exactRegion.isEmpty) t.manifestGroupedAgg(groupCols, wants, pinnedRef)
+        else t.manifestGroupedAggOver(groupCols, wants, regionEntries(
+          pinnedRef.map(t.v2RefEntries).getOrElse(t.v2SnapshotEntries))
+          .filterNot(_.kind == Manifest.PosDel))
+      grouped.map { rows =>
         val tz = session.sessionState.conf.sessionLocalTimeZone
         val gFields = groupCols.map(c => t.meta.schema(c))
         val data = rows.map { case (tuple, vals) =>

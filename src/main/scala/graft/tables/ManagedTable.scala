@@ -529,9 +529,19 @@ final class ManagedTable private (
     */
   def manifestGroupedAgg(groupCols: Seq[String], wants: Seq[(String, Option[String])],
                          ref: Option[String] = None)
+      : Option[Seq[(Seq[Option[String]], Seq[Any])]] =
+    refEntries(ref).flatMap(manifestGroupedAggOver(groupCols, wants, _))
+
+  /** [[manifestGroupedAgg]] over a CALLER-CHOSEN entry set — the seam the
+    * V2 catalog's region-filtered grouped answers use (`GROUP BY hour
+    * WHERE day='x'`): the consumed region predicate filters the entries,
+    * this folds them with the SAME exactness gates.
+    */
+  private[graft] def manifestGroupedAggOver(groupCols: Seq[String],
+                                            wants: Seq[(String, Option[String])],
+                                            entries: Seq[ManifestEntry])
       : Option[Seq[(Seq[Option[String]], Seq[Any])]] = {
     if (groupCols.isEmpty) return None
-    val entries = refEntries(ref).getOrElse(return None)
     if (entries.exists(e => entryEpoch(e.seq) != currentEpoch)) return None
     val pfs = groupCols.map { gc =>
       partitionFields.find(f => f.transform == "identity" &&

@@ -106,6 +106,32 @@ class V2ExactRegionSpec extends AnyFunSuite with SharedSpark {
     assert(cnt.as[Long].head() == 30L)
   }
 
+  test("GROUP BY under a consumed region predicate answers from the manifest") {
+    val wh = tmpWarehouse()
+    val twoCol = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("day", StringType),
+      StructField("hour", IntegerType),
+      StructField("v", LongType)))
+    val t = ManagedTable.create(spark, wh, "erg", twoCol, Seq.empty,
+      Seq("day", "hour"))
+    t.append((0 until 240).map(i =>
+      (i, s"d${i % 2}", i % 4, i.toLong)).toDF("id", "day", "hour", "v"))
+    val cat = registerCatalog(wh)
+    // "rows per hour for day d1" — the corpus operator's hourly rollup
+    // (d1 rows are the odd ids, which land only in hours 1 and 3)
+    val df = spark.sql(s"SELECT hour, count(*) AS c FROM $cat.erg " +
+      "WHERE day = 'd1' GROUP BY hour")
+    assert(isLocalOnly(df), s"grouped region rollup must be metadata-only:\n" +
+      df.queryExecution.executedPlan)
+    assert(df.as[(Int, Long)].collect().toSet == Set((1, 60L), (3, 60L)))
+    // grouping BY the region column itself restricts the answered tuples
+    val byDay = spark.sql(s"SELECT day, count(*) AS c FROM $cat.erg " +
+      "WHERE day IN ('d0') GROUP BY day")
+    assert(isLocalOnly(byDay))
+    assert(byDay.as[(String, Long)].collect().toSet == Set(("d0", 120L)))
+  }
+
   test("exactness refusals stay residual: sentinel, non-identity, multi-epoch") {
     val wh = tmpWarehouse()
     val t = mkPartitioned(wh, "er4")
