@@ -24,10 +24,43 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     if (doExplain) fn(spark, sfDir).explain("formatted")
-    (1 to 2).foreach { i =>
+    // "jobs": per-run Spark job accounting — count + total job wall vs
+    // query wall, and the slowest jobs by description. The gap between
+    // query wall and summed job wall is driver-side work (planning,
+    // commit protocol, FS metadata).
+    val doJobs = args.contains("jobs")
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    val done = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    if (doJobs) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(e.jobId, (Option(e.properties.getProperty("spark.job.description"))
+            .orElse(Option(e.properties.getProperty("callSite.short"))).getOrElse(""),
+            e.time))
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          done.put(e.jobId, e.time)
+      })
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val doPhases = args.contains("phases")
+    (1 to runs).foreach { i =>
+      jobs.clear(); done.clear()
+      if (doPhases) graft.tables.PhaseTimer.reset()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[runone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[runone] $name run$i: $wall%.2f s")
+      if (doPhases) println(graft.tables.PhaseTimer.report())
+      if (doJobs) {
+        import scala.jdk.CollectionConverters._
+        val rows = jobs.asScala.toSeq.flatMap { case (id, (desc, t0j)) =>
+          Option(done.get(id)).filter(_ > 0).map(t1 => (id, desc, (t1 - t0j) / 1e3))
+        }.sortBy(-_._3)
+        val sum = rows.map(_._3).sum
+        println(f"[runone]   jobs=${rows.size} jobwall=$sum%.2f s driverGap=${wall - sum}%.2f s")
+        rows.take(15).foreach { case (id, desc, s) =>
+          println(f"[runone]   job$id%4d $s%6.3f s  ${desc.take(100)}")
+        }
+      }
     }
     spark.stop()
   }

@@ -61,6 +61,19 @@ final class ManagedTable private (
   private def tableDir = new Path(warehouse, _meta.name)
   private def fs = TableMeta.fs(spark.sparkContext.hadoopConfiguration, warehouse)
 
+  /** Label every Spark job an operation submits (guide §1.5) so the UI —
+    * and job-level profiling — attribute work to table operations instead
+    * of anonymous action call sites. Restores the caller's description so
+    * nested operations keep the outermost label. Thread-local, like the
+    * underlying property.
+    */
+  private def labeled[A](op: String)(f: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"graft:${_meta.name}.$op")
+    try f finally sc.setJobDescription(prev)
+  }
+
   private def partitionFields: Seq[PartitionField] =
     PartitionSpecParser.parse(_meta.partitionBy, _meta.schema.fieldNames.toSet)
   private def isPartitioned: Boolean = partitionFields.nonEmpty
@@ -2510,7 +2523,7 @@ final class ManagedTable private (
     }
   }
 
-  private def appendStaged(batch: DataFrame): Unit = {
+  private def appendStaged(batch: DataFrame): Unit = labeled("append") {
     // MoR: new immutable data group(s) + manifest commit — the live
     // snapshot is never mutated (a failed append leaves unreferenced
     // groups, invisible to readers and swept by the next commit's GC).
@@ -2784,7 +2797,7 @@ final class ManagedTable private (
     * write job runs — per-micro-batch cost is proportional to the batch,
     * not the table, on partitioned and unpartitioned tables alike.
     */
-  private def mergeOnRead(batch: DataFrame, cfg: CdcApply.UpsertConfig): Unit = {
+  private def mergeOnRead(batch: DataFrame, cfg: CdcApply.UpsertConfig): Unit = labeled("merge") {
     val ids = _meta.identifierFields
     val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
     localWinners(conformed, ids, cfg) match {
@@ -3024,7 +3037,9 @@ final class ManagedTable private (
       return false
     }
     val prior = currentEntries
-    val dv = posdelOnCommit(prior, seq, entries, localRows)
+    val dv = PhaseTimer.time("commit.posdel") {
+      posdelOnCommit(prior, seq, entries, localRows)
+    }
     val committed = prior ++ entries ++ dv
     commitManifest(committed)
     // Bounded read amplification: a trickle stream accumulates one upsert
@@ -3600,7 +3615,7 @@ final class ManagedTable private (
     * ([[scopedKeylessDelete]]: only the possibly-matching partitions
     * are rewritten).
     */
-  def deleteWhere(cond: org.apache.spark.sql.Column): Unit = {
+  def deleteWhere(cond: org.apache.spark.sql.Column): Unit = labeled("deleteWhere") {
     if (metadataDeleteWhere(cond)) return
     if (scopedKeylessDelete(cond)) return
     if (_meta.identifierFields.isEmpty) {
@@ -3625,7 +3640,7 @@ final class ManagedTable private (
     * documented partition-move limitation, which has no old-row handle.
     */
   def updateWhere(cond: org.apache.spark.sql.Column,
-                  set: Map[String, org.apache.spark.sql.Column]): Unit = {
+                  set: Map[String, org.apache.spark.sql.Column]): Unit = labeled("updateWhere") {
     val ids = _meta.identifierFields
     require(set.nonEmpty, "updateWhere requires at least one assignment")
     set.keys.foreach(k => require(_meta.schema.fieldNames.contains(k),
@@ -3726,7 +3741,7 @@ final class ManagedTable private (
                 updateBySourceWhen: Option[org.apache.spark.sql.Column] = None,
                 updateBySourceSet: Map[String, org.apache.spark.sql.Column] = Map.empty,
                 commitProperties: Map[String, String] = Map.empty,
-                stageToBranch: Option[String] = None): Unit = {
+                stageToBranch: Option[String] = None): Unit = labeled("mergeInto") {
     val ids = _meta.identifierFields
     require(ids.nonEmpty, "mergeInto requires identifier fields")
     // branch-staged merge (round 9): the same flagged batch, matched
@@ -4089,8 +4104,10 @@ final class ManagedTable private (
     val stamped =
       if (toWrite.columns.contains(SeqCol)) toWrite
       else toWrite.withColumn(SeqCol, lit(seq))
-    applyWriteProps(stamped.write.mode("overwrite"))
-      .format(format).save(dir.toString)
+    PhaseTimer.time("wg.write-job") {
+      applyWriteProps(stamped.write.mode("overwrite"))
+        .format(format).save(dir.toString)
+    }
     val hasFiles = fs.exists(dir) &&
       fs.listStatus(dir).exists(s => !s.getPath.getName.startsWith("_"))
     if (hasFiles) {
@@ -4342,7 +4359,7 @@ final class ManagedTable private (
     * entries, so no later commit can mint a colliding seq — callers only
     * pass targets covered that way.
     */
-  private def commitManifestAt(entries: Seq[ManifestEntry], target: Long): Unit = {
+  private def commitManifestAt(entries: Seq[ManifestEntry], target: Long): Unit = PhaseTimer.time("commit.tail") {
     requireCurrentPointer()
     val retainPrev = versionsRetained // validate BEFORE any mutation
     val prevMeta = _meta
@@ -4466,8 +4483,10 @@ final class ManagedTable private (
       else sorted.withColumn(SeqCol, lit(defaultSeq))
     val staging = new Path(tableDir, s".stage-${java.util.UUID.randomUUID()}")
     try {
-      applyWriteProps(stamped.write.mode("overwrite"))
-        .partitionBy(ptCols: _*).format(format).save(staging.toString)
+      PhaseTimer.time("swg.stage-write") {
+        applyWriteProps(stamped.write.mode("overwrite"))
+          .partitionBy(ptCols: _*).format(format).save(staging.toString)
+      }
       val hasDirs = fs.exists(staging) && fs.listStatus(staging).exists(s =>
         s.isDirectory && !s.getPath.getName.startsWith("_"))
       if (!hasDirs) return Seq.empty
@@ -4486,7 +4505,9 @@ final class ManagedTable private (
         Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
           count(col(c)).as(s"nn_$c"), approx_count_distinct(col(c)).as(s"nd_$c"))
       }
-      val perPart = staged.groupBy(ptCols.map(col): _*).agg(aggs.head, aggs.tail: _*).collect()
+      val perPart = PhaseTimer.time("swg.readback-agg") {
+        staged.groupBy(ptCols.map(col): _*).agg(aggs.head, aggs.tail: _*).collect()
+      }
       perPart.toSeq.map { row =>
         def ptVal(c: String): String =
           Option(row.get(row.fieldIndex(c))).map(_.toString)
@@ -4586,7 +4607,7 @@ final class ManagedTable private (
     */
   def truncate(): Unit = commitManifestWithProps(Seq.empty, barrierProp)
 
-  def overwrite(df: DataFrame): Unit = {
+  def overwrite(df: DataFrame): Unit = labeled("overwrite") {
     val seq = _meta.currentVersion + 1
     val conformed = EventDecoder.conformTo(df, _meta.schema, temporalMode)
     val entries =
@@ -4623,7 +4644,7 @@ final class ManagedTable private (
     * of that key — key-scoped, like every equality delete — collapses
     * all siblings at once where row-scoped semantics would keep some.
     */
-  def overwriteWhere(cond: org.apache.spark.sql.Column, batch: DataFrame): Unit = {
+  def overwriteWhere(cond: org.apache.spark.sql.Column, batch: DataFrame): Unit = labeled("overwriteWhere") {
     val conformed = EventDecoder.conformTo(batch, _meta.schema, temporalMode)
     val outside = conformed.filter(!coalesce(cond, lit(false))).limit(1).count()
     require(outside == 0L,
@@ -4681,7 +4702,7 @@ final class ManagedTable private (
     * spec) first. Within one epoch, MoR delete scopes are partition-
     * local, so dropping a tuple's groups wholesale is delete-sound.
     */
-  def overwritePartitions(batch: DataFrame): Unit = {
+  def overwritePartitions(batch: DataFrame): Unit = labeled("overwritePartitions") {
     require(isPartitioned, "overwritePartitions needs a partitioned table")
     val entries = currentEntries
     require(entries.forall(e => entryEpoch(e.seq) == currentEpoch),
@@ -4981,7 +5002,7 @@ final class ManagedTable private (
     * are dropped, so [[readChangesBetween]] ranges that start before the
     * compacted version lose delete notifications (see its scaladoc).
     */
-  def compact(): (Long, Long) = {
+  def compact(): (Long, Long) = labeled("compact") {
     def countFiles(p: Path): Long =
       if (!fs.exists(p)) 0L
       else fs.listStatus(p).foldLeft(0L) { (acc, s) =>
