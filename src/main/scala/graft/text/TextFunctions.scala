@@ -279,8 +279,19 @@ object TextFunctions {
       .select(col(idCol), size(col("__tk")).as("__dl"),
         explode(filter(col("__tk"),
           t => q.map(t === lit(_)).reduce(_ || _))).as("term"))
+    // tf is consumed TWICE (the dfreq aggregate's build side and the
+    // contribution join's probe side) and Spark re-executes shared
+    // subtrees per consumer — before round 11 that re-ran the whole
+    // scan + tokenize + explode + aggregate a second time. Materialize
+    // the post-aggregation tf instead (guide §1.2/§3.3: truncate the
+    // plan at the small intermediate): tf is (matched docs × query
+    // terms) rows — fingerprint-sized at any corpus scale — so the
+    // checkpoint is cheap and the corpus is tokenized for tf exactly
+    // once. dfreq stays a partial-aggregated groupBy + broadcast join
+    // (skew-safe for hot terms, unlike a count-over-window by term).
     val tf = toks.groupBy(col(idCol), col("__dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dfreq"))
     val stats = df.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(tokenCount(safeText)).as("avgdl"))
