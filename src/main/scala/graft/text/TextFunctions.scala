@@ -497,12 +497,28 @@ object TextFunctions {
                      kNum: Long = 1L, kDen: Long = 2L): org.apache.spark.sql.DataFrame = {
     import graft.dedup.Shingles
     require(kNum > 0 && kDen > 0, "smoothing constant must be a positive rational")
-    val c3 = model.select(explode(Shingles.rawWordShingles(col(textCol), 3)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("c3"))
-    val c2 = model.select(explode(Shingles.rawWordShingles(col(textCol), 2)).as("p"))
-      .groupBy("p").agg(count(lit(1)).as("c2"))
-    val vocab = model.select(explode(tokens(col(textCol))).as("t"))
-      .agg(count_distinct(col("t")).as("__v"))
+    // ONE pass over the model half (round 11, guide §1.2): trigram
+    // counts, bigram counts and the vocabulary all explode from the same
+    // scan+tokenize — before, three separate aggregate branches each
+    // re-read and re-tokenized the model corpus. The combined gram-count
+    // table is checkpointed so its three consumers read the counts, not
+    // the corpus; it is broadcast-small by this operator's own contract
+    // (c3/c2 are broadcast into the scoring join below).
+    val modelGrams = model.select(explode(concat(
+        transform(Shingles.rawWordShingles(col(textCol), 3),
+          g => struct(lit(3).as("n"), g.as("g"))),
+        transform(Shingles.rawWordShingles(col(textCol), 2),
+          g => struct(lit(2).as("n"), g.as("g"))),
+        transform(tokens(col(textCol)),
+          t => struct(lit(1).as("n"), t.as("g"))))).as("e"))
+      .select(col("e.n").as("n"), col("e.g").as("g"))
+      .groupBy("n", "g").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val c3 = modelGrams.where(col("n") === 3).select(col("g"), col("c").as("c3"))
+    val c2 = modelGrams.where(col("n") === 2).select(col("g").as("p"), col("c").as("c2"))
+    // distinct token count = the number of 1-gram groups (array elements
+    // are non-null regex matches, so count(groups) ≡ count_distinct)
+    val vocab = modelGrams.where(col("n") === 1).agg(count(lit(1)).as("__v"))
     val grams = scored
       .select(col(idCol), explode(Shingles.rawWordShingles(col(textCol), 3)).as("g"))
       // tokens contain no whitespace (split on \s+), so the trigram's
