@@ -47,8 +47,16 @@ object SemanticDedup {
   def keep(emb: DataFrame, idCol: String, vecCol: String,
            centroids: DataFrame, centIdCol: String, centVecCol: String,
            tau: Double): DataFrame = {
+    // The assignment relation feeds BOTH sides of the per-cell self-join
+    // and the final keep, and Spark re-executes shared subtrees per
+    // consumer — the scan + centroid scoring + argmin ran three times.
+    // Materialize it once (round 11, guide §1.2/§3.3): the relation is
+    // one row per embedding (id, cell, vec, norm), the smallest shape
+    // this operator ever holds, and the three consumers read it instead
+    // of re-assigning the corpus.
     val assigned = assign(emb, idCol, vecCol, centroids, centIdCol, centVecCol)
       .withColumn("__n", Knn.norm(col(vecCol)))
+      .localCheckpoint(true)
     val a = assigned.select(col("cell"), col(idCol).as("__ida"),
       col(vecCol).as("__va"), col("__n").as("__na"))
     val b = assigned.select(col("cell"), col(idCol).as("__idb"),

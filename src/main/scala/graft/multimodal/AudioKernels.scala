@@ -24,6 +24,33 @@ import org.apache.spark.sql.types._
   */
 object AudioKernels {
 
+  /** `AudioSystem.getAudioInputStream` re-runs a ServiceLoader provider
+    * lookup on EVERY call — a full classpath/module scan for
+    * `META-INF/services` entries, which profiled as the dominant cost of
+    * the audio kernel under Spark's jar-heavy executor classloader
+    * (ZipFile.getEntryPos ate the task time, not PCM decode). Resolve the
+    * reader providers ONCE per JVM and replicate AudioSystem's own
+    * dispatch: try each reader, first success wins, no-match raises
+    * UnsupportedAudioFileException (the fail-soft catch treats it like
+    * any malformed header). Readers are stateless; a fresh byte stream
+    * per attempt replaces AudioSystem's mark/reset contract.
+    */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+  }
+
+  private def openAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      try return it.next().getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
   /** Decode + per-channel PCM statistics:
     * `[channels, sample_rate, n_frames, duration_ms, sum0, sum1, peak0,
     * peak1, bits]` — sums/peaks over the first two channels (mono leaves
@@ -43,7 +70,7 @@ object AudioKernels {
     if (bytes == null || bytes.isEmpty) zero
     else
       try {
-        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val ais = openAudio(bytes)
         try {
           val fmt = ais.getFormat
           val bits = fmt.getSampleSizeInBits
@@ -109,7 +136,7 @@ object AudioKernels {
       StructField("media_type", StringType, nullable = false),
       StructField("content", BinaryType)))
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    ids.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+    Multimodal.widenForCompute(ids.select(col(idCol).cast(LongType))).mapPartitions { rows =>
       rows.map { r =>
         val id = Multimodal.requireId(r)
         Row(id, "audio/wav",
@@ -135,7 +162,7 @@ object AudioKernels {
       StructField("media_type", StringType, nullable = false),
       StructField("content", BinaryType)))
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    ids.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+    Multimodal.widenForCompute(ids.select(col(idCol).cast(LongType))).mapPartitions { rows =>
       rows.map { r =>
         val id = Multimodal.requireId(r)
         val ch = 1 + Math.floorMod(id, 2).toInt

@@ -23,6 +23,14 @@ import org.apache.spark.sql.types._
   */
 object ImageKernels {
 
+  // ImageIO defaults to a FILE-backed stream cache: every decode/encode
+  // creates (and deletes) a temp file on local disk, which both costs a
+  // disk round-trip per image and funnels parallel codec tasks through
+  // the filesystem. Memory-cached streams produce bit-identical codec
+  // output; these kernels only ever touch in-memory byte arrays. Set once
+  // per JVM at object init (executors load this object before first use).
+  ImageIO.setUseCache(false)
+
   /** Decode + per-band pixel statistics:
     * `[width, height, bands, sumBand0, sumBand1, sumBand2]` — sums are
     * exact integers (a 4096×4096 8-bit band sums below 2^32, and the
@@ -102,7 +110,7 @@ object ImageKernels {
       StructField("media_type", StringType, nullable = false),
       StructField("content", BinaryType)))
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    ids.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+    Multimodal.widenForCompute(ids.select(col(idCol).cast(LongType))).mapPartitions { rows =>
       rows.map { r =>
         val id = Multimodal.requireId(r)
         Row(id, "image/png", encodePng(syntheticImage(id)))

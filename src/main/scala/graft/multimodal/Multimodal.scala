@@ -46,6 +46,22 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("duration_ms", LongType)))
 
+  /** Media kernels are COMPUTE-bound, not byte-bound: Spark sizes scan
+    * splits by input bytes, so a small asset list (or a compact id
+    * column) plans to fewer splits than the session has cores and the
+    * whole codec chain runs on a handful of tasks while the rest of the
+    * box idles (guide §2.6/§6 — measured: the 500-asset video demux ran
+    * as ONE task, 1/32 of the machine). Widen ONLY when the input is
+    * narrower than the default parallelism: at corpus scale the scan is
+    * already wider and this is a no-op — no shuffle, no plan change.
+    * Round-robin repartition keeps Spark's sort-before-repartition
+    * determinism; per-row kernels are order-independent.
+    */
+  private[multimodal] def widenForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Cheap binary metadata (native expressions, no decode): size, digest,
     * magic-byte sniff. Works on any binary column at full scan speed.
     */
@@ -103,7 +119,7 @@ object Multimodal {
       StructField("asset_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType))))
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val prepared = partitions.map(df.repartition(_)).getOrElse(df)
+    val prepared = partitions.map(df.repartition(_)).getOrElse(widenForCompute(df))
       .select(col(idCol).cast(LongType), col(binCol))
     prepared.mapPartitions { rows =>
       // per-partition init seam: real codecs open here, once
@@ -141,7 +157,7 @@ object Multimodal {
       StructField("width", IntegerType),
       StructField("height", IntegerType)))
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val prepared = partitions.map(df.repartition(_)).getOrElse(df)
+    val prepared = partitions.map(df.repartition(_)).getOrElse(widenForCompute(df))
       .select(col(idCol).cast(LongType), col(binCol))
     prepared.mapPartitions { rows =>
       rows.map { r =>
@@ -180,7 +196,7 @@ object Multimodal {
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("frame", BinaryType)))
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    val prepared = partitions.map(df.repartition(_)).getOrElse(df)
+    val prepared = partitions.map(df.repartition(_)).getOrElse(widenForCompute(df))
       .select(col(idCol).cast(LongType), col(binCol))
     prepared.mapPartitions { rows =>
       rows.flatMap { r =>

@@ -183,7 +183,7 @@ object VideoKernels {
       StructField("media_type", StringType, nullable = false),
       StructField("content", BinaryType)))
     val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    ids.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+    Multimodal.widenForCompute(ids.select(col(idCol).cast(LongType))).mapPartitions { rows =>
       rows.map { r =>
         val id = Multimodal.requireId(r)
         val n = 2 + Math.floorMod(id, 4).toInt

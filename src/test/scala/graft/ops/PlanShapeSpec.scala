@@ -230,8 +230,20 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("dedup_semantic: codebook broadcasts; no cartesian pair scan across cells") {
+    // round 11: the assignment relation is checkpointed (computed once
+    // for the self-join's two sides and the final keep), so the final
+    // plan reads it as an RDD scan; the codebook broadcast lives in the
+    // assignment subtree, asserted on its own plan here.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val assignPlan = graft.dedup.SemanticDedup.assign(emb, "vec_id", "embedding",
+      emb.where(org.apache.spark.sql.functions.col("vec_id") < 8),
+      "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(assignPlan.contains("BroadcastExchange") ||
+      assignPlan.contains("BroadcastNestedLoopJoin"), "codebook must broadcast")
     val p = plan(Queries.dedupSemantic)
-    assert(p.contains("BroadcastExchange"), "codebook must broadcast")
+    assert(p.contains("ExistingRDD"),
+      s"assignment must be materialized once, not recomputed per consumer:\n$p")
     assert(!p.contains("CartesianProduct"),
       p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
@@ -339,11 +351,22 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
 
   // ---- round-6 operators
 
-  test("multimodal audio/video stats: map-only kernel pipelines — no shuffle, no join") {
+  test("multimodal audio/video stats: map-only kernels behind one compute-widening exchange") {
     for (q <- Seq(Queries.multimodalAudioStats, Queries.multimodalVideoStats)) {
       val p = plan(q)
-      assert(!p.contains("Exchange") && !p.contains("Join"),
-        s"${q.name}: decode kernels must stay in one map stage:\n$p")
+      // round 11: media kernels are compute-bound, so a narrow input is
+      // widened ONCE to the core count (round-robin — the id rows are a
+      // few bytes each); the codec chain itself stays one map stage. At
+      // corpus scale the scan is already wide and even that exchange
+      // disappears. A keyed/aggregating exchange or a join would mean the
+      // kernel stopped being map-only.
+      val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+      assert(exchanges <= 1, s"${q.name}: expected at most the widening exchange:\n$p")
+      if (exchanges == 1)
+        assert(p.contains("RoundRobinPartitioning"),
+          s"${q.name}: the only exchange must be the compute widening:\n$p")
+      assert(!p.contains("Join"),
+        s"${q.name}: decode kernels must stay join-free:\n$p")
     }
   }
 
