@@ -2565,9 +2565,15 @@ object Queries {
       // correctly-rounded quotient can floor across an integer boundary;
       // integer div matches DuckDB's `//` exactly
       val wk = expr("unix_micros(ts) div 604800000000").cast("long")
+      // cohort week via a per-user window, not groupBy + self-join: the
+      // distinct (user, wk) relation fed BOTH the cohort aggregate and
+      // the join probe, so the scan + distinct subtree executed twice
+      // (round 11, guide §1.2). min-over-user-partition yields the same
+      // cohort_wk with one scan and one fewer exchange; the window key
+      // is the same user_id the join shuffled by, so skew is unchanged.
       val m = events(s, dir).select(col("user_id"), wk.as("wk")).distinct()
-      val first = m.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-      m.join(first, "user_id")
+      m.withColumn("cohort_wk",
+          min("wk").over(Window.partitionBy("user_id")))
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
         .agg(count_distinct(col("user_id")).as("n_users"))
     },

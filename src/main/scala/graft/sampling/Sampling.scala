@@ -181,8 +181,14 @@ object Sampling {
                           seed: String = "", epochCol: String = "__epoch",
                           factorCap: Double = 100.0): DataFrame = {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__gn"))
-    val cmax = counts.agg(max("__gn").as("__gmax"))
-    val factors = counts.crossJoin(broadcast(cmax))
+    // count_max via a global window over the COUNTS relation, not a
+    // second aggregate branch: `counts` consumed twice re-executed the
+    // corpus count scan twice (round 11, guide §1.2). The window's single
+    // partition holds one row per SOURCE — tens, by the mixture
+    // contract — so the gather is metadata-scale at any corpus size.
+    val factors = counts
+      .withColumn("__gmax", max("__gn").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("__gf", least(lit(factorCap),
         sqrt(col("__gmax").cast("double") / col("__gn").cast("double"))))
       .select(col(groupCol).as("__tg"), col("__gf"))
