@@ -3857,20 +3857,20 @@ object Queries {
 
   /** MinHash candidate pairs are the shared upstream of FIVE queries
     * (`dedup_minhash_pairs`, `dedup_clusters`, `dedup_clusters_star`,
-    * `dedup_apply`, `sample_leakage_safe_split`) — a real pipeline
-    * materializes them once, so the harness does too: memoized per
-    * (session, table dir) and pinned with an eager `localCheckpoint`.
-    * The pair set is metadata-scale relative to the corpus (bounded by
-    * the LSH hot-bucket cap at any SF), so pinning it is cheap and the
-    * downstream family stops re-running the shingle→signature→band
-    * pipeline — and stops multiplying its noise into bench deltas.
+    * `dedup_apply`, `sample_leakage_safe_split`). Round 11
+    * (optimization): the former (session, dir)-keyed MEMO is gone — it
+    * made every invocation after the first (including the bench's
+    * second timed pass and the four sibling queries) measure a cached
+    * checkpoint instead of the pipeline, which is precisely the
+    * cross-run result caching an honest bench must not do. Each CALL
+    * now computes the pipeline from the parquet inputs and materializes
+    * it once FOR ITSELF (eager localCheckpoint) — intra-query sharing
+    * across a query's own multi-consumer DAG is a real pipeline's
+    * materialize-once, cross-query reuse is not.
     */
-  private val minhashPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    minhashPairsCache.computeIfAbsent((s, dir), _ =>
-      MinHashLSH.candidatePairs(t(s, dir, "documents"), "text", "doc_id",
-        k = 8, bands = 8, shingleSize = 3).localCheckpoint(eager = true))
+    MinHashLSH.candidatePairs(t(s, dir, "documents"), "text", "doc_id",
+      k = 8, bands = 8, shingleSize = 3).localCheckpoint(eager = true)
 
   /** Incremental near-dup detection against a PERSISTED signature index
     * ([[MinHashIndex]]): the corpus (doc_id % 3 != 0) is signed once into

@@ -124,14 +124,19 @@ object MinHashLSH {
   def candidatePairs(df: DataFrame, textCol: String, idCol: String,
                      k: Int = 16, bands: Int = 8, shingleSize: Int = 3,
                      maxBucketSize: Option[Int] = None): DataFrame = {
-    // Exchange barrier: [[signatures]] is a pure projection, so without it
-    // the band explode inlines the whole shingle+md5 pipeline into every
-    // band column (k× recompute per doc — measured 8 s vs 5 s at sf0.1).
-    // The shuffled signature table is n_docs × (k+1) longs — tiny relative
-    // to the shingle work it protects, and a sane re-balance point before
-    // the band fan-out at 100 TB.
+    // Materialization barrier (round 11 — replaces the former repartition
+    // barrier): the banded relation feeds BOTH sides of the self-join
+    // below and Spark re-executes shared subtrees per consumer, so the
+    // whole shingle → minhash pipeline ran TWICE (verified in the
+    // executed plan: two full FileScan+minhash_sigs branches, zero
+    // ReusedExchange). An eager localCheckpoint of the signature table —
+    // n_docs × (k+1) longs, tiny at any corpus scale — runs the shingle
+    // work exactly once AND still blocks the band explode from inlining
+    // the pipeline into every band column (the job the old exchange
+    // barrier did, measured 8 s vs 5 s at sf0.1), without the extra
+    // shuffle that barrier cost.
     val sigs = signatures(df, textCol, idCol, k, shingleSize)
-      .repartition(col(idCol))
+      .localCheckpoint(true)
     val exploded = bandHashes(sigs, idCol, k, bands)
     // Hot-bucket cap: one window count over the same (band, hash) shuffle
     // key the join uses — no extra exchange — then drop oversized buckets.
