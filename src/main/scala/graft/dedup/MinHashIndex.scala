@@ -87,8 +87,13 @@ final class MinHashIndex private (val table: ManagedTable) {
     */
   def candidatePairsSigned(newSigs: DataFrame,
                            maxBucketSize: Option[Int] = None): DataFrame = {
+    // the probe bands feed BOTH the join's probe side and the target
+    // union below; unmaterialized, the batch's signing pipeline executed
+    // twice (round 11). Batch-band-sized — trickle-scale by this class's
+    // design — so the eager materialization is cheap at any corpus size.
     val probe = MinHashLSH.bandHashes(newSigs, "doc_id", k, bands)
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("__probe_id"))
+      .localCheckpoint(true)
     val corpusBands = MinHashLSH.bandHashes(table.read(), "doc_id", k, bands)
     val capped = maxBucketSize match {
       case Some(cap) =>

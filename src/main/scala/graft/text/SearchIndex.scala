@@ -92,9 +92,15 @@ final class SearchIndex private (val postings: ManagedTable, val docs: ManagedTa
     import org.apache.spark.sql.expressions.Window
     require(query.nonEmpty, "BM25 needs at least one query term")
     val q = query.map(_.toLowerCase).distinct
+    // tf feeds both the dfreq aggregate and the contribution join — the
+    // same double-execution [[TextFunctions.bm25Rank]] had (round 11):
+    // materialize the candidate set once. It is bounded by the query
+    // terms' postings (bucket-pruned), the relation a search engine
+    // materializes anyway.
     val tf = prunedPostings(q)
       .filter(col("term").isin(q: _*))
       .join(docs.read(), "doc_id") // dl rides in; doc-keyed broadcast-or-shuffle by size
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("dfreq"))
     val stats = docs.read().agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
