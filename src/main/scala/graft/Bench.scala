@@ -160,12 +160,59 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cdc_events_per_sec":$eps,"cdc_trickle_events_per_sec":$trickleEps$soakJson$v2SeamJson,"sf":"$sfDir"}""")
     // The artifact keeps only the LAST ~2000 chars of output, which with
     // 145 queries truncates the full line above mid-map. Print a compact
-    // digest LAST — totals, per-family rollups (count/sum/max), the ten
+    // digest — totals, per-family rollups (count/sum/max), the ten
     // slowest queries, and >1.5× regressions vs the newest parseable
-    // BENCH_r*.json — sized to survive the tail whole.
+    // BENCH_r*.json — then the per-query seconds in chunked lines LAST
+    // (round 12): the full map is ~6 KB, so a tail-only consumer could
+    // never compare rounds query-by-query. Each chunk is a complete JSON
+    // object under ~1800 chars; the final chunk repeats the headline
+    // scalars so even a bare 2-KB tail still carries the totals plus the
+    // last chunk of queries whole, and a consumer with the full output
+    // reassembles all parts via part/nparts.
+    def normRate(runs: Seq[Double], windows: Seq[Double]): Double =
+      runs.zip(windows).map { case (r, w) =>
+        if (w > 0) r * math.max(1.0, MixNominalPerSec / w) else r }.max
+    val epsNorm = normRate(epsRuns, epsWindows)
+    val trickleNorm = normRate(trickleRuns, trickleWindows)
+    val gateMin = if (gateShares.isEmpty) 1.0 else gateShares.min
     println(digestLine(results, total, epsRuns, trickleRuns,
-      epsWindows, trickleWindows, gateShares, soakJson, v2SeamJson))
+      epsWindows, trickleWindows, epsNorm, trickleNorm, gateMin,
+      soakJson, v2SeamJson, subsetMode))
+    perQueryChunks(results, total, eps, epsNorm, trickleEps, trickleNorm,
+      gateMin, subsetMode).foreach(println)
     spark.stop()
+  }
+
+  /** Per-query seconds in tail-survivable chunks (round 12, VERDICT r11
+    * item 2). Greedy packing keeps every line under ~1800 chars; in
+    * subset mode the throughput scalars are omitted rather than emitted
+    * as misleading zeros.
+    */
+  private def perQueryChunks(results: Seq[(String, Double)], total: Double,
+      eps: Double, epsNorm: Double, trickleEps: Double, trickleNorm: Double,
+      gateMin: Double, subsetMode: Boolean): Seq[String] = {
+    if (results.isEmpty) return Seq.empty
+    def f3(d: Double) = f"$d%.3f"
+    val entries = results.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val scalars = s""""total_sec":${f3(total)},"n_queries":${results.size}""" +
+      (if (subsetMode) "" else
+        s""","cdc_events_per_sec":${f3(eps)},"cdc_eps_norm":${f3(epsNorm)}""" +
+          s""","cdc_trickle_events_per_sec":${f3(trickleEps)}""" +
+          s""","cdc_trickle_norm":${f3(trickleNorm)}""" +
+          f""","thr_gate_share":$gateMin%.2f""")
+    val groups = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[String])
+    entries.foreach { e =>
+      if (groups.last.map(_.length + 1).sum + e.length > 1450)
+        groups += scala.collection.mutable.ArrayBuffer.empty[String]
+      groups.last += e
+    }
+    val n = groups.size
+    groups.zipWithIndex.map { case (g, i) =>
+      val tailScalars = if (i == n - 1) "," + scalars else ""
+      s"""{"digest_q":1,"part":${i + 1},"nparts":$n,""" +
+        s""""queries":${g.mkString("{", ",", "}")}$tailScalars}"""
+    }.toSeq
   }
 
   /** Available-parallelism probe (round 9): a short FULL-WIDTH mix burst
@@ -359,17 +406,12 @@ object Bench {
   private def digestLine(results: Seq[(String, Double)], total: Double,
                          epsRuns: Seq[Double], trickleRuns: Seq[Double],
                          epsWindows: Seq[Double], trickleWindows: Seq[Double],
-                         gateShares: Seq[Double], soakJson: String,
-                         v2SeamJson: String = ""): String = {
+                         epsNorm: Double, trickleNorm: Double,
+                         gateMin: Double, soakJson: String,
+                         v2SeamJson: String = "",
+                         subsetMode: Boolean = false): String = {
     val eps = epsRuns.max
     val trickleEps = trickleRuns.max
-    // normalization never deflates below raw: an idle window (rate at or
-    // above nominal) reports the raw number, a contended one scales up
-    def norm(runs: Seq[Double], windows: Seq[Double]): Double =
-      runs.zip(windows).map { case (r, w) =>
-        if (w > 0) r * math.max(1.0, MixNominalPerSec / w) else r }.max
-    val epsNorm = norm(epsRuns, epsWindows)
-    val trickleNorm = norm(trickleRuns, trickleWindows)
     def f3(d: Double) = f"$d%.3f"
     val families = results.groupBy(_._1.takeWhile(_ != '_')).toSeq.sortBy(_._1)
       .map { case (fam, qs) =>
@@ -421,7 +463,7 @@ object Bench {
         // ran the whole suite ~1.9×), and an ungated comparison would
         // flag the environment as code regressions. thr_gate_share in
         // the digest records WHY a comparison was withheld.
-        val gateIdleQ = gateShares.nonEmpty && gateShares.min >= 0.9
+        val gateIdleQ = gateMin >= 0.9
         val queryRegr = if (!gateIdleQ) Seq.empty
         else results.flatMap { case (k, v) =>
           prev.get(k).filter(p => p > 0.05 && v / p > 1.5)
@@ -437,7 +479,7 @@ object Bench {
         // are invisible to the single-thread sampler but cost the 32-way
         // pipeline real throughput; a gated-out comparison is reported
         // via thr_gate_share rather than risking a false flag).
-        val gateIdle = gateShares.nonEmpty && gateShares.min >= 0.9
+        val gateIdle = gateMin >= 0.9
         val thrRegr =
           if (!gateIdle) Seq.empty
           else Seq("cdc_eps_norm" -> epsNorm, "cdc_trickle_norm" -> trickleNorm)
@@ -462,14 +504,19 @@ object Bench {
     // for absolutes; window < nominal quantifies the contention
     def f2(d: Double) = f"${d / 1e6}%.0f"
     val windows = (epsWindows ++ trickleWindows).map(f2).mkString("[", ",", "]")
-    val gateMin = if (gateShares.isEmpty) 1.0 else gateShares.min
-    s"""{"digest":1,"n_queries":${results.size},"total_sec":${f3(total)},""" +
+    // subset mode never runs the throughput sections; emitting their
+    // fields as 0.0 reads as a throughput collapse downstream, so mark
+    // the mode and omit them instead. The driver never sets subset mode.
+    val thrFields = if (subsetMode) """"subset_mode":true,""" else
       s""""cdc_events_per_sec":${f3(eps)},"cdc_eps_runs":$epsBoth,""" +
-      s""""cdc_eps_norm":${f3(epsNorm)},"cdc_trickle_norm":${f3(trickleNorm)},""" +
-      s""""thr_gate_share":${f"$gateMin%.2f"},""" +
-      s""""sampler_mmix":$windows,""" +
-      s""""cdc_trickle_events_per_sec":${f3(trickleEps)},"cdc_trickle_runs":$trickleBoth,""" +
-      s""""soak_scale_ratio":$soakRatio,"cdc_batch_flatness":$flat,""" +
+        s""""cdc_eps_norm":${f3(epsNorm)},"cdc_trickle_norm":${f3(trickleNorm)},""" +
+        s""""thr_gate_share":${f"$gateMin%.2f"},""" +
+        s""""sampler_mmix":$windows,""" +
+        s""""cdc_trickle_events_per_sec":${f3(trickleEps)},""" +
+        s""""cdc_trickle_runs":$trickleBoth,""" +
+        s""""soak_scale_ratio":$soakRatio,"cdc_batch_flatness":$flat,"""
+    s"""{"digest":1,"n_queries":${results.size},"total_sec":${f3(total)},""" +
+      thrFields +
       s""""families":$families,"slowest":$top$v2SeamJson,"regressions_vs_prev":$regr}"""
   }
 

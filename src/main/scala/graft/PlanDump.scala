@@ -8,8 +8,11 @@ import java.nio.file.{Files, Paths}
   *
   *   sbt "runMain graft.PlanDump <outDir> <tag> [q1,q2,...] [sfDir]"
   *
-  * Capturing the formatted plan goes through queryExecution directly (no
-  * job runs), so this is cheap and safe to run on a loaded box.
+  * Capturing the formatted plan goes through queryExecution directly —
+  * no job for the CAPTURE itself, but queries whose construction
+  * materializes shared intermediates eagerly (BM25, semantic dedup, LSH
+  * pairs, connected components, MV refresh) run those jobs before the
+  * plan exists, so dumping them is not free on a loaded box (ADVICE r11).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {

@@ -1128,26 +1128,39 @@ final class GraftPartitionReader(
       case r => Iterator.single(r.asInstanceOf[InternalRow])
     }
 
-  /** (group-dir/file) → hidden row positions. */
-  private lazy val posdelsByFile: java.util.HashMap[String, java.util.HashSet[java.lang.Long]] = {
-    val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
-    p.posdelFiles.foreach { f =>
-      val it = open(f, posdelReader)
-      while (it.hasNext) {
-        val r = it.next()
-        val k = fileKey(r.getUTF8String(0).toString)
-        var s = m.get(k)
-        if (s == null) { s = new java.util.HashSet[java.lang.Long](); m.put(k, s) }
-        s.add(r.getLong(1))
-      }
-    }
-    m
+  /** Stable identity of this split's delete-state inputs: the files are
+    * immutable (uuid group dirs, never rewritten in place), so (path,
+    * length, entrySeq) identifies their content; the shaping config
+    * (identifier types, seq slot, epochs) completes the key. See
+    * [[GraftPartitionReader.sharedState]].
+    */
+  private def stateKey(files: Array[GFile], tag: String): String = {
+    val sig = idIdxs.indices.map(i => delTypeAt(i).catalogString).mkString(",")
+    files.map(f => s"${f.path}#${f.length}#${f.entrySeq}").sorted
+      .mkString(s"$tag|$sig|$delSeqIdx|${epochBoundaries.mkString("_")}|", ";", "")
   }
+
+  /** (group-dir/file) → hidden row positions. */
+  private lazy val posdelsByFile: java.util.HashMap[String, java.util.HashSet[java.lang.Long]] =
+    GraftPartitionReader.sharedState(stateKey(p.posdelFiles, "pd")) {
+      val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
+      p.posdelFiles.foreach { f =>
+        val it = open(f, posdelReader)
+        while (it.hasNext) {
+          val r = it.next()
+          val k = fileKey(r.getUTF8String(0).toString)
+          var s = m.get(k)
+          if (s == null) { s = new java.util.HashSet[java.lang.Long](); m.put(k, s) }
+          s.add(r.getLong(1))
+        }
+      }
+      m
+    }
 
   /** identifier key → max delete-scope seq (null map ⇔ keyless / no scopes). */
   private lazy val delMax: java.util.HashMap[AnyRef, java.lang.Long] =
     if (idIdxs.isEmpty || p.delFiles.isEmpty) null
-    else {
+    else GraftPartitionReader.sharedState(stateKey(p.delFiles, "dm")) {
       val m = new java.util.HashMap[AnyRef, java.lang.Long]()
       val delIdIdxs = idIdxs.indices.toArray // delSchema = ids ++ seq
       p.delFiles.foreach { f =>
@@ -1171,7 +1184,7 @@ final class GraftPartitionReader(
     */
   private lazy val crossDelMax: java.util.HashMap[AnyRef, Array[Long]] =
     if (idIdxs.isEmpty || p.crossDelFiles.isEmpty) null
-    else {
+    else GraftPartitionReader.sharedState(stateKey(p.crossDelFiles, "xd")) {
       val nEpochs = epochBoundaries.length + 1
       val m = new java.util.HashMap[AnyRef, Array[Long]]()
       val delIdIdxs = idIdxs.indices.toArray
@@ -1332,4 +1345,36 @@ final class GraftPartitionReader(
   override def get(): InternalRow = cur
 
   override def close(): Unit = ()
+}
+
+object GraftPartitionReader {
+  /** Executor-side sharing of per-tuple delete state (round 12). Chunked
+    * splits of one tuple carry the SAME delete/posdel file lists, and
+    * every chunk's reader used to re-read those parquet files and rebuild
+    * the hash maps — k× readback amplification for a tuple split k ways
+    * under partially-clustered SPJ, and a rebuild per chunk even inside a
+    * single SPJ-grouped task. The maps are immutable after construction
+    * and keyed on immutable file identity, so sharing them across readers
+    * in the same executor JVM is semantics-free. A driver-built broadcast
+    * would achieve the same sharing but pulls every delete row through
+    * the driver (§5: the driver should do no data work); executor-local
+    * sharing costs at most one build per executor instead. SoftReferences
+    * let memory pressure reclaim; the crude size bound caps the key set.
+    * Cross-run reuse is impossible by construction — keys embed absolute
+    * group paths, which are freshly minted uuid dirs per table write.
+    */
+  private val stateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[AnyRef]]()
+
+  private[catalog] def sharedState[A <: AnyRef](key: String)(build: => A): A = {
+    val ref = stateCache.get(key)
+    val hit = if (ref != null) ref.get() else null
+    if (hit != null) hit.asInstanceOf[A]
+    else {
+      val v = build // racy double-build is idempotent; last put wins
+      if (stateCache.size > 64) stateCache.clear()
+      stateCache.put(key, new java.lang.ref.SoftReference[AnyRef](v))
+      v
+    }
+  }
 }

@@ -27,9 +27,11 @@ object ImageKernels {
   // creates (and deletes) a temp file on local disk, which both costs a
   // disk round-trip per image and funnels parallel codec tasks through
   // the filesystem. Memory-cached streams produce bit-identical codec
-  // output; these kernels only ever touch in-memory byte arrays. Set once
-  // per JVM at object init (executors load this object before first use).
-  ImageIO.setUseCache(false)
+  // output; these kernels only ever touch in-memory byte arrays. Round 12
+  // (ADVICE r11): the kernels construct explicit MemoryCache image
+  // streams below instead of flipping the PROCESS-GLOBAL
+  // `ImageIO.setUseCache` default, which silently changed behavior for
+  // every other ImageIO user in a consumer's JVM.
 
   /** Decode + per-band pixel statistics:
     * `[width, height, bands, sumBand0, sumBand1, sumBand2]` — sums are
@@ -88,12 +90,18 @@ object ImageKernels {
       // the JDK decoders throw RUNTIME exceptions on malformed headers
       // (AIOOBE/NegativeArraySize/IAE), not just IOException — fail-soft
       // must cover them all or one corrupt blob kills the scan stage
-      try ImageIO.read(new ByteArrayInputStream(bytes))
+      try
+        // ImageIO.read(ImageInputStream) closes the stream itself — an
+        // explicit close here would throw "closed" into the fail-soft
+        // catch and turn every good image into null
+        ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(bytes)))
       catch { case _: Exception => null }
 
   def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try { ImageIO.write(img, "png", ios); ios.flush() } finally ios.close()
     bos.toByteArray
   }
 

@@ -59,7 +59,17 @@ object Multimodal {
     */
   private[multimodal] def widenForCompute(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Estimate the scan's split count from LOGICAL stats (bytes ÷ max
+    // split size) instead of df.rdd.getNumPartitions — the latter forced
+    // a full physical planning pass per call just to read a partition
+    // count (ADVICE r11). Same decision at both ends of the scale: a
+    // small synthetic asset list estimates to a handful of splits and
+    // widens; a corpus-scale scan estimates wider than the session and
+    // stays untouched (no shuffle, no plan change).
+    val maxSplit = math.max(1L,
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val splits = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit + 1
+    if (splits < target) df.repartition(target) else df
   }
 
   /** Cheap binary metadata (native expressions, no decode): size, digest,

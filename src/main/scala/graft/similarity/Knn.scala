@@ -142,12 +142,23 @@ object Knn {
       if (spread) vectors.repartition(
         vectors.sparkSession.sessionState.conf.numShufflePartitions)
       else vectors
-    val c = base.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      norm(col(vecCol)).as("cn"),
-      element_at(nearestLists(col(vecCol), centroids, 1), 1).as("list_id"))
-    val q = vectors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"),
-      explode(nearestLists(col(vecCol), centroids, nprobe)).as("list_id"))
+    // Both join sides need the same per-vector prep — the probe-list
+    // nearest-centroid sort (non-codegen higher-order functions, the
+    // dominant per-row cost) and the self-dot norm. Spark re-executes a
+    // shared subtree once per consumer, so without a barrier the corpus
+    // is scanned and prepped TWICE (round 12, §1.2). Materialize the
+    // prepped relation once, lazily: the first join action computes it
+    // and truncates lineage; plan-only callers never pay a job. The
+    // corpus side's assigned list is the first probe entry (nprobe ≥ 1),
+    // identical to the former nearestLists(vec, centroids, 1) head.
+    val prep = base.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"),
+      nearestLists(col(vecCol), centroids, nprobe).as("lists"))
+      .localCheckpoint(false)
+    val c = prep.select(col("id").as("neighbor_id"), col("vec").as("cv"),
+      col("nrm").as("cn"), element_at(col("lists"), 1).as("list_id"))
+    val q = prep.select(col("id").as("query_id"), col("vec").as("qv"),
+      col("nrm").as("qn"), explode(col("lists")).as("list_id"))
     rank(q.join(c, "list_id").where(col("query_id") =!= col("neighbor_id")), k)
   }
 

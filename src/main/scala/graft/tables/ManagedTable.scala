@@ -222,6 +222,31 @@ final class ManagedTable private (
     */
   @transient private var entriesCache: (Long, Seq[ManifestEntry]) = null
 
+  /** Per-handle cache of committed manifests for the commit-path GC
+    * (round 12): committed manifests are immutable, and the retention
+    * diff re-reads the same window every commit — each read is an FS RPC
+    * on an object store. Bounded to the newest 64 versions; a missing or
+    * unparsable manifest caches as empty (gap versions from multi-version
+    * publishes never gain a manifest later, so that is stable).
+    */
+  @transient private var manifestCache: Map[Long, Seq[ManifestEntry]] = Map.empty
+
+  /** Retirement candidates the commit GC's age guard deferred — see
+    * [[retireGroups]].
+    */
+  @transient private var pendingRetire: Set[String] = Set.empty
+
+  private def readManifestCached(v: Long): Seq[ManifestEntry] =
+    manifestCache.get(v) match {
+      case Some(e) => e
+      case None =>
+        val e = Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty)
+        manifestCache += (v -> e)
+        if (manifestCache.size > 64)
+          manifestCache = manifestCache.toSeq.sortBy(-_._1).take(64).toMap
+        e
+    }
+
   private def currentEntries: Seq[ManifestEntry] = {
     val v = _meta.currentVersion
     val cached = entriesCache
@@ -1006,21 +1031,45 @@ final class ManagedTable private (
     try commitManifestAt(currentEntries ++ published, target)
     catch { case t: Throwable => _meta = prevMeta; throw t }
     fs.delete(manifestFile, false)
-    // re-stamped path: the original staged groups are no longer referenced
-    // anywhere; the commit above already swept them from files/
+    // re-stamped path: the original staged groups were re-written onto
+    // fresh seqs above and are no longer referenced anywhere. The commit
+    // path no longer sweeps unreferenced dirs (round 12 manifest-diff GC),
+    // so retire them here — the branch manifest was their only reference.
+    if (!adoptInPlace) dropBranchOnlyGroups(staged)
   }
 
-  /** WAP step 3b: drop the branch; its staged groups become GC-eligible
-    * at the next commit. The live table never saw them.
+  /** WAP step 3b: drop the branch and retire its staged groups — the
+    * branch manifest was their only reference, and the commit path no
+    * longer sweeps unreferenced dirs (round 12 manifest-diff GC). The
+    * live table never saw them.
     */
   def abandonBranch(branch: String): Unit = {
     val key = ManagedTable.BranchPrefix + branch
     require(_meta.properties.contains(key), s"no branch '$branch' on ${_meta.name}")
     val manifestFile = branchManifestPath(branch) // before the property drop
+    val staged = Manifest.read(fs, manifestFile).getOrElse(Seq.empty)
     requireCurrentPointer()
     _meta = _meta.copy(properties = _meta.properties - key)
     writeMeta()
     fs.delete(manifestFile, false)
+    dropBranchOnlyGroups(staged)
+  }
+
+  /** Delete a dropped/published branch's staged group dirs, sparing any
+    * path a live reference still covers (the current snapshot, another
+    * branch, or a retained/tagged manifest — a staged group is
+    * uuid-fresh, so overlaps are defensive, not expected).
+    */
+  private def dropBranchOnlyGroups(staged: Seq[ManifestEntry]): Unit = {
+    if (staged.isEmpty) return
+    val taggedVs = _meta.properties.collect {
+      case (k, v) if k.startsWith(ManagedTable.TagPrefix) => v.toLong
+    }
+    val keep = ((versions().map(_._1) ++ taggedVs).distinct
+      .flatMap(readManifestCached) ++ liveBranchEntries).map(_.path).toSet
+    staged.map(_.path).distinct.filterNot(keep).foreach { p =>
+      fs.delete(new Path(tableDir, p), true)
+    }
   }
 
   /** Row-level DELETE staged onto a WAP branch (round 9 — Iceberg routes
@@ -3772,22 +3821,48 @@ final class ManagedTable private (
     // rows, and a non-deterministic source plan (sampled/deduped upstream)
     // re-evaluated per action would otherwise drift — with key-list-pruned
     // state, a drifted key looks unmatched and INSERTS a same-seq sibling.
-    // One bounded action; 65 rows back = keep the original plan (the old
-    // double-evaluation exposure, unchanged) and the [min,max] range path.
-    val headRows = source.limit(65).collect()
-    val (src0, smallKeys) =
-      if (headRows.length <= 64) {
-        val local = spark.createDataFrame(
-          spark.sparkContext.parallelize(headRows.toSeq, 1), source.schema)
-        val keyIdx = source.schema.fieldIndex(ids.head)
-        (local, if (ids.size == 1)
-          Some(headRows.map(_.get(keyIdx)).filter(_ != null).distinct.toSeq)
-        else None)
-      } else (source, None)
+    //
+    // Round 12: when the state scan will be key-range pruned (single
+    // identifier with manifest bounds — the keyed-DML hot path), the
+    // smallness probe is FOLDED into the pruning aggregate: one
+    // count+min+max pass over the source instead of a bounded probe PLUS
+    // the [min,max] aggregate, each re-executing the raw source subtree
+    // (§1.2). A source the aggregate counted ≤ 64 pays one extra bounded
+    // collect, but downstream still consumes only that single collected
+    // materialization, so the determinism contract is unchanged (the
+    // count is routing, not data). Tables that cannot key-prune keep the
+    // single bounded probe — an unconditional aggregate would turn their
+    // early-out probe into a full source pass for nothing.
+    val keyPrunable = stageToBranch.isEmpty && ids.size == 1 &&
+      statsTag(_meta.schema(ids.head).dataType).isDefined &&
+      currentEntries.exists(_.stats.contains(ids.head))
+    def localize(headRows: Array[org.apache.spark.sql.Row]) = {
+      val local = spark.createDataFrame(
+        spark.sparkContext.parallelize(headRows.toSeq, 1), source.schema)
+      val keyIdx = source.schema.fieldIndex(ids.head)
+      (local, if (ids.size == 1)
+        Some(headRows.map(_.get(keyIdx)).filter(_ != null).distinct.toSeq)
+      else None)
+    }
+    val (src0, smallKeys, keyBounds) =
+      if (keyPrunable) {
+        val r = source
+          .agg(count(lit(1)), min(col(ids.head)), max(col(ids.head))).head()
+        if (r.getLong(0) <= 64L) {
+          val (local, keys) = localize(source.limit(65).collect())
+          (local, keys, None)
+        } else (source, None, Some((r.get(1), r.get(2))))
+      } else {
+        val headRows = source.limit(65).collect()
+        if (headRows.length <= 64) {
+          val (local, keys) = localize(headRows)
+          (local, keys, None)
+        } else (source, None, None)
+      }
 
     val s = src0.alias("s")
     val state = stageToBranch.map(readBranch)
-      .getOrElse(statePrunedBySourceKeys(src0, smallKeys))
+      .getOrElse(statePrunedBySourceKeys(smallKeys, keyBounds, keyPrunable))
       .select(_meta.schema.fieldNames.map(col).toIndexedSeq: _*).alias("t")
     val joinCond = ids.map(i => col(s"s.$i") === col(s"t.$i")).reduce(_ && _)
     val joined = s.join(state, joinCond, "left_outer")
@@ -3859,27 +3934,27 @@ final class ManagedTable private (
     * trickle-merge shape) probes its exact key list through
     * [[readPrunedConjunction]]: bounds ∧ Bloom per key, so 100 scattered
     * trickle keys open only the groups that might hold them instead of
-    * every group intersecting [min, max]. Larger sources keep the
-    * [min, max] range (one metadata-scale agg); composite keys or
+    * every group intersecting [min, max]. Larger sources use the
+    * [min, max] bounds mergeInto's single probe aggregate already
+    * computed (round 12 — zero extra actions here); composite keys or
     * bound-less manifests read the full state.
     */
-  private def statePrunedBySourceKeys(source: DataFrame,
-                                      smallKeys: Option[Seq[Any]]): DataFrame = {
+  private def statePrunedBySourceKeys(smallKeys: Option[Seq[Any]],
+                                      keyBounds: Option[(Any, Any)],
+                                      keyPrunable: Boolean): DataFrame = {
     val ids = _meta.identifierFields
-    if (ids.size == 1 && statsTag(_meta.schema(ids.head).dataType).isDefined &&
-        currentEntries.exists(_.stats.contains(ids.head))) {
+    if (keyPrunable) {
       smallKeys match {
-        // key list precomputed by mergeInto's one bounded probe — zero
-        // extra actions here
         case Some(keys) if keys.isEmpty => read().limit(0)
         case Some(keys) =>
           readPrunedConjunction(
             Seq(ManagedTable.PruneConjunct(ids.head, None, None, Some(keys))))
             .filter(col(ids.head).isin(keys: _*))
-        case None =>
-          val r = source.agg(min(col(ids.head)), max(col(ids.head))).head()
-          if (r.isNullAt(0)) read().limit(0)
-          else readKeyRange(ids.head, r.get(0), r.get(1))
+        case None => keyBounds match {
+          case Some((lo, hi)) if lo != null => readKeyRange(ids.head, lo, hi)
+          // > 64 rows, all with null keys: nothing can match
+          case _ => read().limit(0)
+        }
       }
     } else read()
   }
@@ -4386,9 +4461,13 @@ final class ManagedTable private (
       requireClaim(next, fence)
       _meta = _meta.copy(currentVersion = target)
       writeMeta()
-      // prime the per-version cache with what was just written — the
-      // next read (often in the same micro-batch) skips a JSON re-parse
+      // prime the per-version caches with what was just written — the
+      // next read (often in the same micro-batch) skips a JSON re-parse,
+      // and the GC diff below never re-reads its own commit
       entriesCache = (target, entries)
+      manifestCache += (target -> entries)
+      if (manifestCache.size > 64)
+        manifestCache = manifestCache.toSeq.sortBy(-_._1).take(64).toMap
     } catch {
       case t: Throwable =>
         // Roll back ONLY if the pointer flip didn't land AND we still own
@@ -4411,14 +4490,31 @@ final class ManagedTable private (
     // `next - retainPrev` would let a later commit's window swallow the
     // gap and expire pre-publish snapshots k-1 commits early). Anchor at
     // the retainPrev-th newest PRIOR manifest actually on disk; stray
-    // non-numeric names are ignored, like the sweeps below.
-    val priorCommits =
-      (if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).toSeq else Seq.empty)
-        .map(_.getPath.getName)
-        .filter(n => n.startsWith("v=") && n.endsWith(".json"))
-        .flatMap(n => scala.util.Try(
-          n.stripPrefix("v=").stripSuffix(".json").toLong).toOption)
-        .filter(_ < target).sorted
+    // non-numeric names are ignored, like the expiry loop below.
+    //
+    // Round 12 — group retirement is a MANIFEST DIFF, not a files/
+    // listing. The former sweep listed every live group dir per commit —
+    // O(live groups) FS RPCs, the one remaining object-store
+    // scale-killer — and re-read each retained manifest from disk.
+    // Retiring now deletes exactly (entries of the manifests leaving the
+    // retention window) minus (every still-retained path), age-guarded by
+    // the commit-lease grace as before; manifest reads go through a
+    // per-handle immutable-manifest cache, so a steady-state commit
+    // re-reads nothing. Crash debris (staged dirs that never committed)
+    // is no longer referenced by any manifest and is therefore invisible
+    // to the diff — sweeping it is [[removeOrphanFiles]] maintenance now
+    // (Iceberg's own orphan story). The ONE listing left is the
+    // manifests dir: O(retention window) entries, never O(table), and it
+    // is required for cross-process correctness of the keepFrom anchor
+    // (a concurrent writer may have advanced or gapped the window).
+    val manifestStatuses =
+      if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).toSeq else Seq.empty
+    val priorCommits = manifestStatuses
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v=") && n.endsWith(".json"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("v=").stripSuffix(".json").toLong).toOption)
+      .filter(_ < target).sorted
     val keepFrom = priorCommits.takeRight(retainPrev).headOption.getOrElse(target)
     // Tagged snapshots are GC-protected outside the retention window: both
     // their manifest files and every file group those manifests reference
@@ -4427,12 +4523,16 @@ final class ManagedTable private (
       case (k, v) if k.startsWith(ManagedTable.TagPrefix) => v.toLong
     }.toSet
     val protectedVs = ((keepFrom until target) ++ taggedVs.filter(_ < keepFrom)).distinct
-    val retained = (protectedVs
-      .flatMap(v => Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty)) ++ entries ++
+    val retained = (protectedVs.flatMap(readManifestCached) ++ entries ++
       liveBranchEntries) // WAP-staged groups: protected until publish/abandon
       .map(_.path).toSet
-    sweepUnreferencedGroups(retained)
-    if (fs.exists(manifestsDir)) fs.listStatus(manifestsDir).foreach { s =>
+    val expiring = priorCommits.filter(v => v < keepFrom && !taggedVs.contains(v))
+    // read the expiring manifests BEFORE the loop below deletes them;
+    // deferred candidates from earlier commits re-check against the
+    // CURRENT retained set (a rollback may have re-referenced them)
+    retireGroups((expiring.flatMap(readManifestCached).map(_.path).toSet ++
+      pendingRetire) -- retained)
+    manifestStatuses.foreach { s =>
       val n = s.getPath.getName
       val ext = Seq(".json", ".lock").find(n.endsWith)
       if (n.startsWith("v=") && ext.isDefined) {
@@ -4443,6 +4543,35 @@ final class ManagedTable private (
           }
       }
     }
+  }
+
+  /** Group paths whose last referencing snapshot just left the retention
+    * window, plus earlier candidates the age guard deferred. A candidate
+    * younger than the commit-lease grace is NOT deleted yet — the same
+    * conservatism the old files/ sweep applied (an in-flight reader of a
+    * just-expired snapshot gets the grace to finish) — but unlike the old
+    * sweep no later commit would reconsider it, so deferred candidates
+    * carry forward on this handle ([[pendingRetire]]) and are re-checked
+    * (against the then-current retained set) by every subsequent commit.
+    * A handle lost to a crash leaves them as orphans for
+    * [[removeOrphanFiles]], exactly like any other crash debris.
+    */
+  private def retireGroups(candidates: Set[String]): Unit = {
+    if (candidates.isEmpty) { pendingRetire = Set.empty; return }
+    val graceMs = _meta.properties.getOrElse("commit.lock-grace-ms", "300000").toLong
+    val cutoff = System.currentTimeMillis() - graceMs
+    val deferred = Set.newBuilder[String]
+    candidates.foreach { p =>
+      val path = new Path(tableDir, p)
+      val st = try Some(fs.getFileStatus(path))
+               catch { case _: java.io.IOException => None }
+      st match {
+        case None                               => () // already gone
+        case Some(s) if landedAtMs(s) < cutoff  => fs.delete(path, true)
+        case Some(_)                            => deferred += p
+      }
+    }
+    pendingRetire = deferred.result()
   }
 
   /** Partitioned analogue of [[writeGroup]]: split one batch into one

@@ -24,14 +24,21 @@ class CountingFs extends RawLocalFileSystem {
       CountingFs.groupListings.incrementAndGet()
       CountingFs.listed.add(f.toString)
     }
+    // the files/ dir itself: the O(live groups) listing the round-12
+    // manifest-diff commit GC must never issue
+    if (f.getName == "files") {
+      CountingFs.filesDirListings.incrementAndGet()
+      CountingFs.listed.add(f.toString)
+    }
     super.listStatus(f)
   }
 }
 
 object CountingFs {
   val groupListings = new java.util.concurrent.atomic.AtomicInteger(0)
+  val filesDirListings = new java.util.concurrent.atomic.AtomicInteger(0)
   val listed = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
-  def reset(): Unit = { groupListings.set(0); listed.clear() }
+  def reset(): Unit = { groupListings.set(0); filesDirListings.set(0); listed.clear() }
 }
 
 /** Round 11: manifest-carried file lists. Commits stamp each group's file
@@ -89,6 +96,29 @@ class ManifestFilePlanningSpec extends AnyFunSuite with SharedSpark {
     assert(joined == 20)
     assert(CountingFs.groupListings.get() == 0,
       s"planning/read must not list — saw: ${CountingFs.listed}")
+  }
+
+  test("commit hot path issues ZERO files/ listings; manifest-diff GC still retires expired groups") {
+    val local = java.nio.file.Files.createTempDirectory("graft-cntwh2").toString
+    val wh = s"graftcnt://$local"
+    val t = ManagedTable.create(spark, wh, "gc", schema, Seq("id"), Seq.empty,
+      properties = Map("write.versions-retained" -> "1",
+        "commit.lock-grace-ms" -> "1"))
+    CountingFs.reset()
+    t.append((1 to 10).map(i => (i, "a", i * 1.0)).toDF("id", "g", "v"))
+    val v1Groups = new java.io.File(s"$local/gc/files").listFiles().map(_.getName).toSet
+    Thread.sleep(5) // past the 1 ms grace
+    t.overwrite((11 to 20).map(i => (i, "b", i * 1.0)).toDF("id", "g", "v"))
+    Thread.sleep(5)
+    t.overwrite((21 to 30).map(i => (i, "c", i * 1.0)).toDF("id", "g", "v"))
+    // v1's groups left the retention window at the third commit: the
+    // manifest diff must have retired them without ever listing files/
+    val now = new java.io.File(s"$local/gc/files").listFiles().map(_.getName).toSet
+    assert(v1Groups.intersect(now).isEmpty,
+      s"expired groups must be retired by the manifest diff: kept ${v1Groups.intersect(now)}")
+    assert(t.read().count() == 10)
+    assert(CountingFs.filesDirListings.get() == 0,
+      s"commit path must not list files/ — saw: ${CountingFs.listed}")
   }
 
   test("pre-upgrade manifests (no file lists) fall back to listing, same rows") {

@@ -250,15 +250,18 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(t.readVersion(v1).count() == 1)
     assert(t.readAsOf(afterV1).count() == 1)
     assert(t.read().count() == 2)
-    // a crashed commit's orphan group is invisible and swept at next
-    // commit ONCE STALE (the sweep spares young dirs — they may be a
-    // concurrent appender's in-flight staging; age this one past grace)
+    // a crashed commit's orphan group is invisible to readers; commits no
+    // longer list files/ (round 12 manifest-diff GC), so the debris stays
+    // until removeOrphanFiles maintenance — which spares nothing referenced
+    // and sweeps the stale orphan
     val orphan = new java.io.File(s"$wh/patom/files/data-99-orphan")
     orphan.mkdirs()
     orphan.setLastModified(System.currentTimeMillis() - 10L * 60 * 1000)
     assert(t.read().count() == 2)
     t.append(mk(Seq((3, "d3", "c", 3L))))
-    assert(!orphan.exists(), "stale orphan group must be GC'd on commit")
+    assert(orphan.exists(), "commits must not list/sweep files/ (crash debris is maintenance's job)")
+    assert(t.removeOrphanFiles(System.currentTimeMillis()) == 1)
+    assert(!orphan.exists(), "stale orphan group must be GC'd by removeOrphanFiles")
     // commit properties ride the partitioned pointer flip (replay markers)
     t.append(mk(Seq((4, "d1", "c", 4L))), Map("cdc.last-batch-id" -> "7"))
     assert(ManagedTable.load(spark, wh, "patom").get
@@ -345,17 +348,21 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
       assert(java.nio.file.Files.readAllBytes(new java.io.File(p).toPath).toSeq == bytes,
         s"version-$v1 data file changed on append: $p")
     }
-    // a crashed append's orphan group is invisible to readers and swept
-    // by the next commit once STALE (young dirs are spared — they may be
-    // a concurrent appender's in-flight staging)
+    // a crashed append's orphan group is invisible to readers; commits no
+    // longer list files/ (round 12 manifest-diff GC) — debris is
+    // removeOrphanFiles maintenance, whose commit-lease grace floor still
+    // spares young dirs (they may be a concurrent appender's in-flight
+    // staging)
     val orphan = new java.io.File(s"$wh/mor2/files/data-99-orphan")
     orphan.mkdirs()
     orphan.setLastModified(System.currentTimeMillis() - 10L * 60 * 1000)
     assert(t.read().count() == 2)
     val young = new java.io.File(s"$wh/mor2/files/data-98-young")
-    young.mkdirs() // fresh unreferenced dir: spared this sweep
+    young.mkdirs() // fresh unreferenced dir: spared by the grace floor
     t.append(rows((3, "c", "c", 3L)))
-    assert(!orphan.exists(), "stale orphan group must be GC'd on commit")
+    assert(orphan.exists(), "commits must not list/sweep files/ (crash debris is maintenance's job)")
+    assert(t.removeOrphanFiles(System.currentTimeMillis()) == 1)
+    assert(!orphan.exists(), "stale orphan group must be GC'd by removeOrphanFiles")
     assert(young.exists(), "a young unreferenced group must survive the sweep (in-flight staging)")
     assert(t.read().count() == 3)
   }
