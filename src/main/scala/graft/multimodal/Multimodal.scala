@@ -58,6 +58,7 @@ object Multimodal {
     * determinism; per-row kernels are order-independent.
     */
   private[multimodal] def widenForCompute(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
     val target = df.sparkSession.sparkContext.defaultParallelism
     // Estimate the scan's split count from LOGICAL stats (bytes ÷ max
     // split size) instead of df.rdd.getNumPartitions — the latter forced
@@ -65,7 +66,18 @@ object Multimodal {
     // count (ADVICE r11). Same decision at both ends of the scale: a
     // small synthetic asset list estimates to a handful of splits and
     // widens; a corpus-scale scan estimates wider than the session and
-    // stays untouched (no shuffle, no plan change).
+    // stays untouched (no shuffle, no plan change). A plan that ALREADY
+    // repartitions at least this wide (a chained kernel: synthesize
+    // widened the id list, extract widens its output) is left alone —
+    // stats still look small there, and a second round-robin exchange
+    // would shuffle the synthesized binary payloads, not id rows
+    // (measured: pixel stats 0.25 → 0.34 s before this guard).
+    val alreadyWide = df.queryExecution.analyzed.collectFirst {
+      case r: Repartition if r.numPartitions >= target => r
+      case r: RepartitionByExpression
+        if r.optNumPartitions.exists(_ >= target) => r
+    }.isDefined
+    if (alreadyWide) return df
     val maxSplit = math.max(1L,
       df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
     val splits = df.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit + 1

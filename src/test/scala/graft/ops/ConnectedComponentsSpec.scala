@@ -65,6 +65,28 @@ class ConnectedComponentsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("star contraction early exit is sound across graph shapes (round 12)") {
+    // the round-12 loop exits half a round early when the large-star
+    // relation repeats; this differential (vs union-find) sweeps shapes
+    // that stress the exit — chains (many rounds), dense blobs (one
+    // round), disjoint mixtures, and the documented large==e
+    // counterexample family (stars hanging off non-min centers)
+    val rnd = new Random(42)
+    for (trial <- 1 to 8) {
+      val n = 10 + rnd.nextInt(40)
+      val m = 1 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      if (edges.nonEmpty)
+        assert(runStar(edges) == unionFind(edges), s"trial $trial: $edges")
+    }
+    // the counterexample shape from the round-12 analysis: large(e) == e
+    // but small-star still rewrites — a wrong early exit would emit node
+    // 3 with two labels
+    val trap = Seq((5L, 3L), (5L, 2L), (4L, 3L), (4L, 1L))
+    assert(runStar(trap) == unionFind(trap))
+  }
+
   test("star contraction closes a chain whose diameter defeats bounded propagation") {
     // a 60-node path: propagation at maxIter=5 must refuse; star
     // contraction closes it in O(log n) rounds
