@@ -186,9 +186,10 @@ object Bench {
   /** Per-query seconds in tail-survivable chunks (round 12, VERDICT r11
     * item 2). Greedy packing keeps every line under ~1800 chars; in
     * subset mode the throughput scalars are omitted rather than emitted
-    * as misleading zeros.
+    * as misleading zeros. Package-visible so BenchDigestSpec can pin the
+    * contract (complete chunk lines, full reassembly, scalar tail).
     */
-  private def perQueryChunks(results: Seq[(String, Double)], total: Double,
+  private[graft] def perQueryChunks(results: Seq[(String, Double)], total: Double,
       eps: Double, epsNorm: Double, trickleEps: Double, trickleNorm: Double,
       gateMin: Double, subsetMode: Boolean): Seq[String] = {
     if (results.isEmpty) return Seq.empty
