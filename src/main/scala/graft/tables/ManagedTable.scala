@@ -239,12 +239,19 @@ final class ManagedTable private (
   private def readManifestCached(v: Long): Seq[ManifestEntry] =
     manifestCache.get(v) match {
       case Some(e) => e
-      case None =>
-        val e = Manifest.read(fs, manifestPath(v)).getOrElse(Seq.empty)
-        manifestCache += (v -> e)
-        if (manifestCache.size > 64)
-          manifestCache = manifestCache.toSeq.sortBy(-_._1).take(64).toMap
-        e
+      case None => Manifest.read(fs, manifestPath(v)) match {
+        case Some(e) =>
+          manifestCache += (v -> e)
+          if (manifestCache.size > 64)
+            manifestCache = manifestCache.toSeq.sortBy(-_._1).take(64).toMap
+          e
+        case None =>
+          // MISSING (Manifest.read throws on unreadable-but-present, so
+          // None is only the gap versions of multi-version publishes) —
+          // do not cache: a version could in principle appear later, and
+          // the re-probe is one cheap stat.
+          Seq.empty
+      }
     }
 
   private def currentEntries: Seq[ManifestEntry] = {
@@ -4523,6 +4530,12 @@ final class ManagedTable private (
       case (k, v) if k.startsWith(ManagedTable.TagPrefix) => v.toLong
     }.toSet
     val protectedVs = ((keepFrom until target) ++ taggedVs.filter(_ < keepFrom)).distinct
+    // Unreadable-but-present protected manifests THROW out of
+    // Manifest.read right here — before any deletion below — so a
+    // transient store failure can never shrink `retained` into wrongly
+    // classifying live groups as expired (None ⇔ missing, i.e. the
+    // legitimate gap versions of multi-version publishes). Pinned by
+    // ManagedTableSpec's corrupt-manifest GC test.
     val retained = (protectedVs.flatMap(readManifestCached) ++ entries ++
       liveBranchEntries) // WAP-staged groups: protected until publish/abandon
       .map(_.path).toSet

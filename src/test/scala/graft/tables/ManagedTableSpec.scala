@@ -1059,6 +1059,42 @@ class ManagedTableSpec extends AnyFunSuite with SharedSpark {
     assert(p.read().count() == 3)
   }
 
+  test("an unreadable protected manifest vetoes commit GC instead of retiring live groups") {
+    val wh = tmpWarehouse()
+    val t = ManagedTable.create(spark, wh, "gcveto", schema, Seq("id"),
+      properties = Map("write.versions-retained" -> "2",
+        "commit.lock-grace-ms" -> "1"))
+    t.append(rows((1, "a", "c", 1L)))
+    t.append(rows((2, "b", "c", 2L)))
+    t.append(rows((3, "c", "c", 3L)))
+    val mdir = new java.io.File(s"$wh/gcveto/manifests")
+    val fdir = new java.io.File(s"$wh/gcveto/files")
+    val groupsBefore = fdir.listFiles().map(_.getName).toSet
+    val manifestsBefore = mdir.listFiles().map(_.getName).filter(_.endsWith(".json")).toSet
+    // corrupt a PROTECTED (in-window, non-current) manifest: the retained
+    // set can no longer be computed, so the commit must do NOTHING
+    // destructive — a failed read treated as "empty" would let the diff
+    // classify that version's groups as expired
+    val protectedV = t.meta.currentVersion - 1
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$wh/gcveto/manifests/v=$protectedV.json"),
+      "{corrupt")
+    Thread.sleep(5)
+    // fresh handle: the writing handle's manifest cache still holds the
+    // good entries and would (correctly) proceed — the hazard is a
+    // handle that must READ the corrupted file. The GC fails LOUDLY
+    // (Manifest.read throws on unreadable-but-present) strictly before
+    // any deletion: a failed read silently treated as "no entries" would
+    // classify that version's live groups as expired.
+    val t2 = ManagedTable.load(spark, wh, "gcveto").get
+    intercept[Exception](t2.append(rows((4, "d", "c", 4L))))
+    assert(fdir.listFiles().map(_.getName).toSet.intersect(groupsBefore) == groupsBefore,
+      "GC must not retire any group when a protected manifest is unreadable")
+    assert(mdir.listFiles().map(_.getName).filter(_.endsWith(".json")).toSet
+      .intersect(manifestsBefore) == manifestsBefore,
+      "GC must not expire any manifest when a protected manifest is unreadable")
+  }
+
   test("snapshot tags: pinned version survives GC past retention; dropTag releases it") {
     val wh = tmpWarehouse()
     val t = ManagedTable.create(spark, wh, "tagged", schema, Seq("id"),
